@@ -1,0 +1,86 @@
+"""Aggregations (SURVEY.md §2.4, A1-A4).
+
+All built-in aggregates get partial (map-side) + final aggregation from
+Catalyst automatically — the telemetry columns ``partial_sum`` /
+``partial_count`` in the reference's own dataset confirm that is the
+execution model to target (``data/log_app_test.csv:1``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_agg(df: DataFrame, group_by: Sequence[str], **aggs: Column) -> DataFrame:
+    """A1: groupBy + named aggregates (``jobs/vdt2.py:48``).
+
+    ``aggs`` maps output alias → aggregate Column, so callers always alias
+    (required for oracle comparison and plain good hygiene).
+    """
+    return df.groupBy(*group_by).agg(*[c.alias(name) for name, c in aggs.items()])
+
+
+def decimal_sum(expr: Column, decimals: int) -> Column:
+    """Exact sum of a fixed-decimal quantity.
+
+    Doubles summed across partitions pick up order-dependent low bits, so a
+    float SUM is not reproducible across partitionings (or engines). For
+    d-decimal data, scale each row to an integer (exact — the true value is
+    an integer, so no rounding ambiguity), sum as BIGINT (associative,
+    exact), and descale once at the end. The result is bit-identical on any
+    cluster size and matches the DuckDB oracle exactly.
+    """
+    scale = float(10**decimals)
+    return F.sum(F.round(expr * F.lit(scale)).cast("long")) / F.lit(scale)
+
+
+def decimal_sum_sql(expr: str, decimals: int) -> str:
+    """The DuckDB-side twin of ``decimal_sum`` (kept adjacent so the two
+    never drift)."""
+    scale = float(10**decimals)
+    return f"CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / {scale}"
+
+
+def exact_quantiles(df: DataFrame, col: str, probs: Sequence[float]) -> list[float]:
+    """A3 (exact flavor): continuous-interpolated percentiles.
+
+    The reference uses ``approxQuantile`` (Greenwald-Khanna,
+    ``jobs/vdt4.py:68``); for oracle-checkable parity we expose the exact
+    ``percentile`` (matches DuckDB's ``quantile_cont``). Eager: collects
+    len(probs) doubles to the driver.
+    """
+    row = df.select(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias("q")
+    ).first()
+    return list(row["q"])
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probs: Sequence[float], relative_error: float = 0.01
+) -> list[float]:
+    """A3 as-shipped: Greenwald-Khanna sketch — one pass, mergeable across
+    partitions, the right choice at 100 TB where exact percentile would
+    shuffle all values."""
+    return df.approxQuantile(col, list(probs), relative_error)
+
+
+def frequency_index(
+    df: DataFrame, col: str, out: str = "idx", *, start: int = 0
+) -> DataFrame:
+    """A4: frequency-ordered categorical encoding — pure-SQL StringIndexer.
+
+    ``pyspark.ml.feature.StringIndexer`` (``jobs/vdt4.py:64-65``) assigns
+    0-based indices by descending frequency. Re-expressed relationally
+    (count → row_number → broadcast join back) so (a) the DuckDB oracle can
+    verify it and (b) no MLlib fit/collect cycle. Ties break on the value
+    ascending (StringIndexer's ``frequencyDesc`` does the same).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("_freq"))
+    w = Window.orderBy(F.col("_freq").desc(), F.col(col).asc())
+    mapping = counts.withColumn(out, F.row_number().over(w) - 1 + start).drop("_freq")
+    return df.join(F.broadcast(mapping), on=col, how="inner")

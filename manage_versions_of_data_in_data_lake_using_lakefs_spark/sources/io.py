@@ -1,0 +1,116 @@
+"""Reader/writer surface (SURVEY.md §2.1, S1-S10).
+
+Covers the reference's IO option surface — CSV with/without schema
+inference (``jobs/vdt1.py:32-35``, ``jobs/vdt4.py:29-32``), ORC
+(``jobs/vdt1.py:37-38``), Parquet (``jobs/vdt2.py:42-43``), headerless CSV
+sink (``jobs/vdt1.py:45-47``), overwrite-mode sinks — as thin, explicit
+wrappers over ``spark.read`` / ``df.write``. Versioned (Delta-like) IO
+lives in ``versioning/``; the ``lakefs://`` connector (S11) is replaced by
+branch-scoped paths there.
+
+Scale notes: ``inferSchema=True`` is supported for parity but discouraged —
+it double-scans the file (SURVEY.md §4 "known inefficiencies"); prefer an
+explicit ``StructType``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Tables the driver testdata ships (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (parquet).
+
+    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects; read nanos as long (runtime conf)
+    and surface a proper TimestampType (microsecond) column.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
+        if ts_field is not None and isinstance(ts_field.dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several testdata tables at once; all of them when no names given."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+# --- readers (S1-S4) -------------------------------------------------------
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = True,
+    schema: StructType | str | None = None,
+    infer_schema: bool = False,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan. Explicit ``schema`` > ``infer_schema`` > all-string columns."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+# --- writers (S7-S9) -------------------------------------------------------
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    header: bool = False,
+    mode: str = "overwrite",
+    sep: str = ",",
+) -> None:
+    """CSV sink; reference writes headerless comma-separated (``jobs/vdt1.py:45-47``)."""
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -1,0 +1,36 @@
+"""Every query with an oracle must hash-match DuckDB at sf0.01 — the local
+mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_utils import assert_frames_match
+
+
+def _pairs():
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    assert set(o) <= set(q), f"oracles without queries: {set(o) - set(q)}"
+    return sorted(o)
+
+
+@pytest.mark.parametrize("name", _pairs())
+def test_oracle_parity(spark, duck, name):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_oracles, all_queries
+
+    df = all_queries()[name](spark, SF_CORRECT)
+    rel = duck.sql(all_oracles()[name])
+    assert_frames_match(df, rel, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["c_name", "c_mktsegment", "o_orderpriority", "o_orderkey", "revenue"]
