@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+All Spark logs go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_queries
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.session import get_spark
+
+    spark = get_spark(app_name="lakegraft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "flagship",
+        "agg_sum",
+        "tpch_q3",
+        "tpch_q5",
+        "window_top1",
+        "window_mode",
+        "string_indexer",
+        "join_broadcast",
+    ]
+    registry = all_queries()
+    names = [n for n in headline if n in registry]
+    # optional extension headliners, present once implemented
+    for extra in ("dedup_minhash_lsh", "sim_topk", "text_quality"):
+        if extra in registry:
+            names.append(extra)
+
+    # warm the JVM + parquet footers once so timings measure the queries,
+    # not first-touch session costs
+    registry[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
