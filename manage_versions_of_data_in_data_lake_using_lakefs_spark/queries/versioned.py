@@ -1,0 +1,88 @@
+"""Driver-contract demos of the versioning layer (SURVEY.md §2.9).
+
+Not SQL-expressible (no oracle entries) → the driver records rows-only
+checks; full invariants live in tests/test_versioning.py. Each query
+builds a throwaway repo under /tmp from deterministic testdata slices, so
+row counts and schemas are stable run-to-run.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeRepo
+
+
+def _fresh_repo() -> LakeRepo:
+    root = tempfile.mkdtemp(prefix="lakegraft_demo_")
+    shutil.rmtree(root, ignore_errors=True)
+    return LakeRepo.init(root)
+
+
+def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13+V14: overwrite-as-new-version then read both versions
+    (``jobs/vdt4.py:39-40,76-81`` shape). Output: one row per version with
+    its row count — proves the old snapshot is intact after overwrite."""
+    repo = _fresh_repo()
+    orders = load_table(spark, sf_dir, "orders")
+    v0 = orders.where(F.col("o_totalprice") > 3000.0).select("o_orderkey", "o_totalprice")
+    repo.write_table("main", "orders_gold", v0)
+    c0 = repo.commit("main", "v0: high-value orders")
+    v1 = orders.select("o_orderkey", "o_totalprice")  # overwrite with all
+    repo.write_table("main", "orders_gold", v1)
+    c1 = repo.commit("main", "v1: all orders")
+
+    at_v0 = repo.read_table(spark, "orders_gold", "main", version_as_of=c0.version)
+    at_v1 = repo.read_table(spark, "orders_gold", "main", version_as_of=c1.version)
+    return (
+        at_v0.agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit("v0").alias("version"), "n_rows")
+        .unionByName(
+            at_v1.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit("v1").alias("version"), "n_rows"
+            )
+        )
+        .orderBy("version")
+    )
+
+
+def q_versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7+V11+V12: branch from main, diverge, row-level diff, merge back.
+    Output: change-type counts from the pre-merge diff plus post-merge row
+    count — exercises the whole branch lifecycle in one plan-able result."""
+    repo = _fresh_repo()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    repo.write_table("main", "customers", cust)
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    # dev: deposit +100 for AUTOMOBILE-segment-sized slice (deterministic)
+    dev_view = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    repo.write_table("dev", "customers", dev_view)
+    repo.commit("dev", "bonus for every 10th customer")
+
+    diff = repo.diff(spark, "customers", "main", "dev")
+    diff_counts = diff.groupBy("__change").agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("__change").alias("metric"), F.col("n")
+    )
+    repo.merge(spark, "dev", "main")
+    merged_n = (
+        repo.read_table(spark, "customers", "main")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("merged_rows").alias("metric"), "n")
+    )
+    return diff_counts.unionByName(merged_n).orderBy("metric")
+
+
+VERSIONED_QUERIES = {
+    "versioned_time_travel": q_versioned_time_travel,
+    "versioned_branch_merge": q_versioned_branch_merge,
+}

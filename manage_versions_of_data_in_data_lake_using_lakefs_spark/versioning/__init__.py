@@ -1,0 +1,4 @@
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (  # noqa: F401
+    LakeRepo,
+    MergeConflict,
+)

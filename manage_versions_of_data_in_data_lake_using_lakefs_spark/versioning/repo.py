@@ -1,0 +1,572 @@
+"""LakeRepo: Git-like versioning over parquet tables, Spark-native.
+
+Reproduces the reference's versioning surface (SURVEY.md §2.9, V1-V15 —
+lakectl repo/branch/commit/diff/merge per ``README.md:62-147`` plus Delta
+overwrite-versions/time-travel/vacuum per ``jobs/vdt4.py:39-85``) with no
+external server: metadata is a JSON commit DAG (KB-scale, driver-side),
+data is immutable parquet read/written by Spark executors.
+
+Capability map:
+  V1/V2  init / delete repo           LakeRepo.init / delete
+  V3     list objects on branch       list_tables / head snapshot
+  V4     upload to branch             write_table (stage) + commit
+  V5     remove from branch           remove_table (stage) + commit
+  V6     commit                       commit (atomic ref swap)
+  V7     branch create from source    create_branch — O(1), copy-on-write
+  V8     reset uncommitted            reset
+  V9     revert/rollback              revert — new commit of old snapshot
+  V10    show current commit          head / log
+  V11    diff branches                diff (row-level, Spark anti-joins) /
+                                      diff_tables (object-level, like lakectl)
+  V12    merge branch→branch          merge — three-way over the commit DAG,
+                                      fast-forward when possible; row-level
+                                      PK merge for both-modified tables
+  V13    overwrite-as-new-version     write_table(mode="overwrite") + commit
+  V14    time travel                  read_table(ref=..., version_as_of=...)
+  V15    vacuum                       vacuum — GC files unreachable from refs
+
+Scale design: a commit stores *file lists*, so branch/commit/merge never
+copy data; reads prune to exactly the snapshot's files; writes are normal
+partitioned parquet writes. Everything data-sized is executed by Spark.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections import deque
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import (
+    Commit,
+    RepoLock,
+    atomic_write_json,
+    new_id,
+    read_json,
+)
+
+
+class MergeConflict(Exception):
+    def __init__(self, message: str, conflicts: list):
+        super().__init__(message)
+        self.conflicts = conflicts
+
+
+class LakeRepo:
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        if not os.path.exists(self._repo_file):
+            raise FileNotFoundError(f"not a lake repo: {root} (run LakeRepo.init)")
+
+    # -- paths -------------------------------------------------------------
+    @property
+    def _repo_file(self) -> str:
+        return os.path.join(self.root, "repo.json")
+
+    def _ref_file(self, branch: str) -> str:
+        return os.path.join(self.root, "refs", f"{branch}.json")
+
+    def _commit_file(self, cid: str) -> str:
+        return os.path.join(self.root, "commits", f"{cid}.json")
+
+    def _data_dir(self, table: str, file_id: str) -> str:
+        return os.path.join(self.root, "data", table, file_id)
+
+    # -- lifecycle (V1/V2) -------------------------------------------------
+    @classmethod
+    def init(cls, root: str, default_branch: str = "main") -> "LakeRepo":
+        root = os.path.abspath(root)
+        os.makedirs(os.path.join(root, "refs"), exist_ok=True)
+        os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        cid = new_id()
+        genesis = Commit(
+            id=cid,
+            parents=[],
+            message="repo init",
+            branch=default_branch,
+            timestamp=time.time(),
+            version=0,
+            tables={},
+        )
+        atomic_write_json(os.path.join(root, "commits", f"{cid}.json"), genesis.to_json())
+        atomic_write_json(
+            os.path.join(root, "refs", f"{default_branch}.json"),
+            {"head": cid, "staged": {}},
+        )
+        atomic_write_json(
+            os.path.join(root, "repo.json"),
+            {"default_branch": default_branch, "next_version": 1},
+        )
+        return cls(root)
+
+    @classmethod
+    def delete(cls, root: str) -> None:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # -- refs / commits ----------------------------------------------------
+    def branches(self) -> list[str]:
+        return sorted(
+            f[:-5] for f in os.listdir(os.path.join(self.root, "refs")) if f.endswith(".json")
+        )
+
+    def _read_ref(self, branch: str) -> dict:
+        path = self._ref_file(branch)
+        if not os.path.exists(path):
+            raise KeyError(f"no such branch: {branch}")
+        return read_json(path)
+
+    def get_commit(self, cid: str) -> Commit:
+        return Commit.from_json(read_json(self._commit_file(cid)))
+
+    def head(self, branch: str) -> Commit:
+        """V10: current commit of a branch."""
+        return self.get_commit(self._read_ref(branch)["head"])
+
+    def log(self, branch_or_cid: str, limit: int = 100) -> list[Commit]:
+        """History (first-parent walk), newest first."""
+        cid = self._resolve(branch_or_cid).id
+        out: list[Commit] = []
+        while cid and len(out) < limit:
+            c = self.get_commit(cid)
+            out.append(c)
+            cid = c.parents[0] if c.parents else None
+        return out
+
+    def _resolve(self, ref: str, version_as_of: int | None = None) -> Commit:
+        """Resolve branch name | commit id | 'branch~n' to a Commit; with
+        ``version_as_of``, walk first-parents back to that global version
+        (V14 Delta ``versionAsOf`` parity)."""
+        base = ref
+        back = 0
+        if "~" in ref:
+            base, n = ref.split("~", 1)
+            back = int(n or 1)
+        if os.path.exists(self._ref_file(base)):
+            c = self.head(base)
+        elif os.path.exists(self._commit_file(base)):
+            c = self.get_commit(base)
+        else:
+            raise KeyError(f"cannot resolve ref: {ref}")
+        for _ in range(back):
+            if not c.parents:
+                raise KeyError(f"ref walks past root: {ref}")
+            c = self.get_commit(c.parents[0])
+        if version_as_of is not None:
+            while c.version > version_as_of:
+                if not c.parents:
+                    raise KeyError(f"no version {version_as_of} on {ref}")
+                c = self.get_commit(c.parents[0])
+            if c.version != version_as_of:
+                raise KeyError(f"version {version_as_of} not on first-parent line of {ref}")
+        return c
+
+    def _next_version(self) -> int:
+        meta = read_json(self._repo_file)
+        v = meta["next_version"]
+        meta["next_version"] = v + 1
+        atomic_write_json(self._repo_file, meta)
+        return v
+
+    # -- branching (V7) ----------------------------------------------------
+    def create_branch(self, name: str, source: str = "main") -> Commit:
+        """O(1): new ref pointing at source's head; data shared copy-on-write."""
+        with RepoLock(self.root):
+            if os.path.exists(self._ref_file(name)):
+                raise ValueError(f"branch exists: {name}")
+            src = self._resolve(source)
+            atomic_write_json(self._ref_file(name), {"head": src.id, "staged": {}})
+            return src
+
+    def delete_branch(self, name: str) -> None:
+        meta = read_json(self._repo_file)
+        if name == meta["default_branch"]:
+            raise ValueError("cannot delete default branch")
+        os.unlink(self._ref_file(name))
+
+    # -- staging writes (V4/V5/V8) ----------------------------------------
+    def write_table(
+        self,
+        branch: str,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Stage a table write on a branch (uncommitted until ``commit``,
+        mirroring lakeFS's upload-then-commit two-phase flow,
+        ``README.md:85-105``). Data lands immediately as immutable parquet;
+        only the ref's staged pointer changes."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode}")
+        file_id = new_id()
+        out_dir = self._data_dir(table, file_id)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
+        rel = os.path.relpath(out_dir, self.root)
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            staged = ref["staged"]
+            entry = staged.get(table)
+            if mode == "overwrite" or entry is None:
+                base = [] if mode == "overwrite" else list(
+                    self.get_commit(ref["head"]).tables.get(table, [])
+                )
+                staged[table] = {"files": base + [rel], "op": mode}
+            else:
+                entry["files"].append(rel)
+            atomic_write_json(self._ref_file(branch), ref)
+        return rel
+
+    def remove_table(self, branch: str, table: str) -> None:
+        """V5: stage a table drop."""
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            ref["staged"][table] = {"files": [], "op": "drop"}
+            atomic_write_json(self._ref_file(branch), ref)
+
+    def status(self, branch: str) -> dict:
+        """Uncommitted staged changes on a branch."""
+        return dict(self._read_ref(branch)["staged"])
+
+    def reset(self, branch: str) -> None:
+        """V8: discard uncommitted staged changes (lakectl branch reset).
+        Orphaned data files are reclaimed by ``vacuum``."""
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            ref["staged"] = {}
+            atomic_write_json(self._ref_file(branch), ref)
+
+    # -- commit (V6/V13) ---------------------------------------------------
+    def commit(self, branch: str, message: str, meta: dict | None = None) -> Commit:
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            if not ref["staged"]:
+                raise ValueError("nothing staged to commit")
+            parent = self.get_commit(ref["head"])
+            tables = dict(parent.tables)
+            for table, entry in ref["staged"].items():
+                if entry["op"] == "drop":
+                    tables.pop(table, None)
+                else:
+                    tables[table] = list(entry["files"])
+            c = Commit(
+                id=new_id(),
+                parents=[parent.id],
+                message=message,
+                branch=branch,
+                timestamp=time.time(),
+                version=self._next_version(),
+                tables=tables,
+                meta=meta or {},
+            )
+            atomic_write_json(self._commit_file(c.id), c.to_json())
+            atomic_write_json(self._ref_file(branch), {"head": c.id, "staged": {}})
+            return c
+
+    # -- reads (V3/V14) ----------------------------------------------------
+    def list_tables(self, ref: str = "main") -> list[str]:
+        return sorted(self._resolve(ref).tables)
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        table: str,
+        ref: str = "main",
+        version_as_of: int | None = None,
+        include_staged: bool = False,
+    ) -> DataFrame:
+        """Read a table snapshot. ``ref`` may be a branch, commit id, or
+        ``branch~n``; ``version_as_of`` pins a global version (V14)."""
+        if include_staged and version_as_of is None and os.path.exists(self._ref_file(ref)):
+            refd = self._read_ref(ref)
+            entry = refd["staged"].get(table)
+            if entry is not None:
+                if entry["op"] == "drop":
+                    raise KeyError(f"table {table} dropped in staging on {ref}")
+                files = entry["files"]
+                return self._read_files(spark, files)
+        c = self._resolve(ref, version_as_of)
+        if table not in c.tables:
+            raise KeyError(f"table {table} not in snapshot {c.id[:8]} ({ref})")
+        return self._read_files(spark, c.tables[table])
+
+    def _read_files(self, spark: SparkSession, rel_files: list[str]) -> DataFrame:
+        paths = [os.path.join(self.root, f) for f in rel_files]
+        if not paths:
+            raise KeyError("empty table snapshot")
+        return spark.read.parquet(*paths)
+
+    # -- history surgery (V9) ----------------------------------------------
+    def revert(self, branch: str, to: str, message: str | None = None) -> Commit:
+        """V9: move the branch to an old snapshot via a *new* commit whose
+        table map is the old one (history is never rewritten — same model
+        as Delta RESTORE / lakectl revert)."""
+        target = self._resolve(to)
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            parent = self.get_commit(ref["head"])
+            c = Commit(
+                id=new_id(),
+                parents=[parent.id],
+                message=message or f"revert to {target.id[:8]}",
+                branch=branch,
+                timestamp=time.time(),
+                version=self._next_version(),
+                tables=dict(target.tables),
+                meta={"revert_of": target.id},
+            )
+            atomic_write_json(self._commit_file(c.id), c.to_json())
+            atomic_write_json(self._ref_file(branch), {"head": c.id, "staged": {}})
+            return c
+
+    # -- diff (V11) --------------------------------------------------------
+    def diff_tables(self, ref_a: str, ref_b: str) -> dict[str, str]:
+        """Object-level diff (lakectl-diff-shaped): table → added|removed|changed."""
+        a, b = self._resolve(ref_a).tables, self._resolve(ref_b).tables
+        out: dict[str, str] = {}
+        for t in sorted(set(a) | set(b)):
+            if t not in b:
+                out[t] = "removed"
+            elif t not in a:
+                out[t] = "added"
+            elif a[t] != b[t]:
+                out[t] = "changed"
+        return out
+
+    def diff(
+        self, spark: SparkSession, table: str, ref_a: str, ref_b: str
+    ) -> DataFrame:
+        """Row-level diff of one table between two refs: full rows tagged
+        ``__change`` ∈ {added, removed}. Distributed anti-joins — no
+        driver-side row handling, so it scales to the data, not the diff."""
+        da = self.read_table(spark, table, ref_a)
+        db = self.read_table(spark, table, ref_b)
+        removed = da.exceptAll(db).withColumn("__change", F.lit("removed"))
+        added = db.exceptAll(da).withColumn("__change", F.lit("added"))
+        return removed.unionByName(added)
+
+    # -- merge (V12) -------------------------------------------------------
+    def _merge_base(self, a_id: str, b_id: str) -> str | None:
+        seen = set()
+        q = deque([a_id])
+        while q:
+            cid = q.popleft()
+            if cid in seen:
+                continue
+            seen.add(cid)
+            q.extend(self.get_commit(cid).parents)
+        q = deque([b_id])
+        visited = set()
+        while q:
+            cid = q.popleft()
+            if cid in visited:
+                continue
+            visited.add(cid)
+            if cid in seen:
+                return cid
+            q.extend(self.get_commit(cid).parents)
+        return None
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: str,
+        dest: str,
+        message: str | None = None,
+        keys: dict[str, list[str]] | None = None,
+        on_conflict: str = "error",
+    ) -> Commit:
+        """V12: three-way merge of ``source`` into ``dest`` over the commit DAG.
+
+        Table-level resolution against the merge base (lakeFS semantics,
+        object-granular): changed on one side → that side wins; changed on
+        both → conflict. A conflict on a table with an entry in ``keys``
+        degrades to a *row-level* three-way merge on that primary key
+        (Spark full-outer joins; both-sides-changed-same-key follows
+        ``on_conflict``: 'error' | 'source' | 'dest').
+        Fast-forwards when dest is an ancestor of source.
+        """
+        src_c, dst_c = self._resolve(source), self._resolve(dest)
+        base_id = self._merge_base(src_c.id, dst_c.id)
+        if base_id == src_c.id:
+            return dst_c  # source already merged
+        if base_id == dst_c.id:
+            # fast-forward
+            with RepoLock(self.root):
+                atomic_write_json(self._ref_file(dest), {"head": src_c.id, "staged": {}})
+            return src_c
+        base_tables = self.get_commit(base_id).tables if base_id else {}
+        merged: dict[str, list[str]] = {}
+        conflicts: list[str] = []
+        row_merges: list[str] = []
+        for t in sorted(set(src_c.tables) | set(dst_c.tables)):
+            s, d, b = src_c.tables.get(t), dst_c.tables.get(t), base_tables.get(t)
+            if s == d:
+                if s is not None:
+                    merged[t] = s
+            elif d == b:  # only source changed (or dest untouched)
+                if s is not None:
+                    merged[t] = s
+            elif s == b:  # only dest changed
+                if d is not None:
+                    merged[t] = d
+            elif keys and t in keys and s is not None and d is not None:
+                merged[t] = self._row_merge(
+                    spark, t, s, d, b, keys[t], on_conflict, dest
+                )
+                row_merges.append(t)
+            else:
+                conflicts.append(t)
+        if conflicts:
+            raise MergeConflict(
+                f"merge {source}→{dest}: both sides changed {conflicts}; "
+                "pass keys={table: [pk,...]} for row-level merge",
+                conflicts,
+            )
+        with RepoLock(self.root):
+            c = Commit(
+                id=new_id(),
+                parents=[dst_c.id, src_c.id],
+                message=message or f"merge {source} into {dest}",
+                branch=dest,
+                timestamp=time.time(),
+                version=self._next_version(),
+                tables=merged,
+                meta={"merge_source": src_c.id, "row_merged": row_merges},
+            )
+            atomic_write_json(self._commit_file(c.id), c.to_json())
+            atomic_write_json(self._ref_file(dest), {"head": c.id, "staged": {}})
+            return c
+
+    def _row_merge(
+        self,
+        spark: SparkSession,
+        table: str,
+        src_files: list[str],
+        dst_files: list[str],
+        base_files: list[str] | None,
+        pk: list[str],
+        on_conflict: str,
+        dest_branch: str,
+    ) -> list[str]:
+        """Row-level three-way merge, fully distributed.
+
+        Classification per PK against base:
+          src changed / dst unchanged → src row
+          dst changed / src unchanged → dst row
+          both changed identically    → either
+          both changed differently    → on_conflict policy
+        Inserts/deletes fall out of the same comparison with null-extension.
+        """
+        src = self._read_files(spark, src_files)
+        dst = self._read_files(spark, dst_files)
+        base = self._read_files(spark, base_files) if base_files else None
+        cols = src.columns
+        if set(cols) != set(dst.columns):
+            raise MergeConflict(f"schema mismatch on {table}", [table])
+
+        def fp(df: DataFrame, tag: str) -> DataFrame:
+            # one row per PK with a content fingerprint; PK duplicates are
+            # fingerprinted order-insensitively via sum of row hashes
+            h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+            return df.groupBy(*pk).agg(
+                F.sum(h).alias(f"_h_{tag}"), F.count(F.lit(1)).alias(f"_n_{tag}")
+            )
+
+        s_fp, d_fp = fp(src, "s"), fp(dst, "d")
+        b_fp = fp(base, "b") if base is not None else None
+        j = s_fp.join(d_fp, on=pk, how="full")
+        if b_fp is not None:
+            j = j.join(b_fp, on=pk, how="full")
+        else:
+            j = j.withColumn("_h_b", F.lit(None)).withColumn("_n_b", F.lit(None))
+        s_eq_b = (F.col("_h_s").eqNullSafe(F.col("_h_b"))) & (
+            F.col("_n_s").eqNullSafe(F.col("_n_b"))
+        )
+        d_eq_b = (F.col("_h_d").eqNullSafe(F.col("_h_b"))) & (
+            F.col("_n_d").eqNullSafe(F.col("_n_b"))
+        )
+        s_eq_d = (F.col("_h_s").eqNullSafe(F.col("_h_d"))) & (
+            F.col("_n_s").eqNullSafe(F.col("_n_d"))
+        )
+        decided = j.withColumn(
+            "_take",
+            F.when(s_eq_d, F.lit("src"))
+            .when(d_eq_b, F.lit("src"))   # only src changed (incl. src delete)
+            .when(s_eq_b, F.lit("dst"))   # only dst changed
+            .otherwise(F.lit("conflict")),
+        )
+        if on_conflict == "error":
+            n_conf = decided.where(F.col("_take") == "conflict").count()
+            if n_conf:
+                raise MergeConflict(
+                    f"{table}: {n_conf} rows changed on both branches", [table]
+                )
+        else:
+            winner = "src" if on_conflict == "source" else "dst"
+            decided = decided.withColumn(
+                "_take",
+                F.when(F.col("_take") == "conflict", F.lit(winner)).otherwise(
+                    F.col("_take")
+                ),
+            )
+        take_src = decided.where(F.col("_take") == "src").select(*pk)
+        take_dst = decided.where(F.col("_take") == "dst").select(*pk)
+        merged_df = src.join(take_src, on=pk, how="left_semi").unionByName(
+            dst.join(take_dst, on=pk, how="left_semi")
+        )
+        rel = self.write_table(dest_branch, table, merged_df, mode="overwrite")
+        # un-stage: the merge commit will reference the files directly
+        with RepoLock(self.root):
+            ref = self._read_ref(dest_branch)
+            ref["staged"].pop(table, None)
+            atomic_write_json(self._ref_file(dest_branch), ref)
+        return [rel]
+
+    # -- vacuum (V15) ------------------------------------------------------
+    def vacuum(self, keep_history: bool = True, dry_run: bool = False) -> list[str]:
+        """Delete data directories unreachable from any branch ref.
+
+        ``keep_history=True`` (default) keeps every file referenced by any
+        commit reachable from any ref — safe for unlimited time travel.
+        ``keep_history=False`` keeps only branch *heads* (+staged), like an
+        aggressive Delta ``VACUUM RETAIN 0`` — commits stay readable as
+        metadata but old snapshots lose their data files.
+        """
+        live: set[str] = set()
+        for br in self.branches():
+            ref = self._read_ref(br)
+            for entry in ref["staged"].values():
+                live.update(entry["files"])
+            if keep_history:
+                stack = [ref["head"]]
+                seen: set[str] = set()
+                while stack:
+                    cid = stack.pop()
+                    if cid in seen:
+                        continue
+                    seen.add(cid)
+                    c = self.get_commit(cid)
+                    for files in c.tables.values():
+                        live.update(files)
+                    stack.extend(c.parents)
+            else:
+                for files in self.head(br).tables.values():
+                    live.update(files)
+        removed: list[str] = []
+        data_root = os.path.join(self.root, "data")
+        for table in os.listdir(data_root) if os.path.exists(data_root) else []:
+            tdir = os.path.join(data_root, table)
+            for file_id in os.listdir(tdir):
+                rel = os.path.relpath(os.path.join(tdir, file_id), self.root)
+                if rel not in live:
+                    removed.append(rel)
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+        return sorted(removed)

@@ -1,0 +1,270 @@
+"""Versioning-layer invariants (SURVEY.md §2.9, V1-V15).
+
+Not SQL-expressible → bespoke invariant tests per SURVEY.md §5: write v0,
+overwrite v1, assert time-travel reads differ; branch isolation; reset;
+revert; diff; merge (fast-forward, table-level, row-level); vacuum.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeRepo, MergeConflict
+
+
+@pytest.fixture
+def repo(tmp_path):
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id INT, val STRING")
+
+
+def test_init_and_default_branch(repo):
+    assert repo.branches() == ["main"]
+    assert repo.head("main").version == 0
+    assert repo.list_tables("main") == []
+
+
+def test_write_commit_read_roundtrip(spark, repo):
+    df = _df(spark, [(1, "a"), (2, "b")])
+    repo.write_table("main", "t", df)
+    assert "t" in repo.status("main")
+    c = repo.commit("main", "add t")
+    assert repo.status("main") == {}
+    got = repo.read_table(spark, "t", "main").orderBy("id").collect()
+    assert [(r.id, r.val) for r in got] == [(1, "a"), (2, "b")]
+    assert repo.head("main").id == c.id
+    assert repo.list_tables("main") == ["t"]
+
+
+def test_overwrite_creates_new_version_and_time_travel(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "v0")]))
+    c0 = repo.commit("main", "v0")
+    repo.write_table("main", "t", _df(spark, [(1, "v1"), (2, "v1")]))
+    c1 = repo.commit("main", "v1")
+
+    latest = repo.read_table(spark, "t", "main").count()
+    assert latest == 2
+    # V14 flavors: commit id, branch~n, version_as_of
+    assert repo.read_table(spark, "t", c0.id).count() == 1
+    assert repo.read_table(spark, "t", "main~1").count() == 1
+    assert repo.read_table(spark, "t", "main", version_as_of=c0.version).count() == 1
+    assert repo.read_table(spark, "t", "main", version_as_of=c1.version).count() == 2
+
+
+def test_append_mode(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    repo.write_table("main", "t", _df(spark, [(2, "b")]), mode="append")
+    repo.commit("main", "append")
+    assert repo.read_table(spark, "t", "main").count() == 2
+    assert repo.read_table(spark, "t", "main~1").count() == 1
+
+
+def test_reset_discards_staged(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    repo.write_table("main", "t", _df(spark, [(9, "z")]))
+    assert repo.status("main")
+    repo.reset("main")
+    assert repo.status("main") == {}
+    assert repo.read_table(spark, "t", "main").count() == 1
+
+
+def test_branch_isolation(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev", source="main")
+    repo.write_table("dev", "t", _df(spark, [(1, "a"), (2, "dev-only")]))
+    repo.commit("dev", "dev change")
+    assert repo.read_table(spark, "t", "dev").count() == 2
+    assert repo.read_table(spark, "t", "main").count() == 1  # untouched
+
+
+def test_remove_table(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    repo.remove_table("main", "t")
+    repo.commit("main", "drop t")
+    assert repo.list_tables("main") == []
+    with pytest.raises(KeyError):
+        repo.read_table(spark, "t", "main")
+    # still readable in history
+    assert repo.read_table(spark, "t", "main~1").count() == 1
+
+
+def test_revert(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "good")]))
+    c0 = repo.commit("main", "good")
+    repo.write_table("main", "t", _df(spark, [(1, "bad"), (2, "bad")]))
+    repo.commit("main", "bad")
+    repo.revert("main", c0.id)
+    rows = repo.read_table(spark, "t", "main").collect()
+    assert [(r.id, r.val) for r in rows] == [(1, "good")]
+    # history preserved: bad commit still one step back
+    assert repo.read_table(spark, "t", "main~1").count() == 2
+
+
+def test_log_and_show(repo, spark):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "first")
+    repo.write_table("main", "t", _df(spark, [(2, "b")]))
+    repo.commit("main", "second")
+    log = repo.log("main")
+    assert [c.message for c in log] == ["second", "first", "repo init"]
+    assert repo.head("main").message == "second"
+
+
+def test_diff_row_level(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a"), (2, "b")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(1, "a"), (2, "B"), (3, "c")]))
+    repo.commit("dev", "edit")
+    d = repo.diff(spark, "t", "main", "dev")
+    changes = {(r["id"], r["val"], r["__change"]) for r in d.collect()}
+    assert changes == {(2, "b", "removed"), (2, "B", "added"), (3, "c", "added")}
+
+
+def test_diff_tables_object_level(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.write_table("main", "u", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(1, "x")]))
+    repo.write_table("dev", "w", _df(spark, [(1, "w")]))
+    repo.remove_table("dev", "u")
+    repo.commit("dev", "changes")
+    assert repo.diff_tables("main", "dev") == {
+        "t": "changed",
+        "u": "removed",
+        "w": "added",
+    }
+
+
+def test_merge_fast_forward(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(1, "a"), (2, "b")]))
+    dev_head = repo.commit("dev", "dev work")
+    merged = repo.merge(spark, "dev", "main")
+    assert merged.id == dev_head.id  # fast-forward, no new commit
+    assert repo.read_table(spark, "t", "main").count() == 2
+
+
+def test_merge_disjoint_tables(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "u", _df(spark, [(10, "u")]))
+    repo.commit("dev", "add u")
+    repo.write_table("main", "w", _df(spark, [(20, "w")]))
+    repo.commit("main", "add w")
+    c = repo.merge(spark, "dev", "main")
+    assert len(c.parents) == 2
+    assert repo.list_tables("main") == ["t", "u", "w"]
+
+
+def test_merge_conflict_raises(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "base")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(1, "dev")]))
+    repo.commit("dev", "dev edit")
+    repo.write_table("main", "t", _df(spark, [(1, "main")]))
+    repo.commit("main", "main edit")
+    with pytest.raises(MergeConflict):
+        repo.merge(spark, "dev", "main")
+
+
+def test_merge_row_level_no_overlap(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "base"), (2, "base")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(1, "dev"), (2, "base")]))
+    repo.commit("dev", "dev edits row 1")
+    repo.write_table("main", "t", _df(spark, [(1, "base"), (2, "main"), (3, "new")]))
+    repo.commit("main", "main edits row 2, adds row 3")
+    repo.merge(spark, "dev", "main", keys={"t": ["id"]})
+    rows = {(r.id, r.val) for r in repo.read_table(spark, "t", "main").collect()}
+    assert rows == {(1, "dev"), (2, "main"), (3, "new")}
+
+
+def test_merge_row_level_conflict_policies(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "base")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(1, "dev")]))
+    repo.commit("dev", "dev")
+    repo.write_table("main", "t", _df(spark, [(1, "main")]))
+    repo.commit("main", "main")
+    with pytest.raises(MergeConflict):
+        repo.merge(spark, "dev", "main", keys={"t": ["id"]}, on_conflict="error")
+    repo.merge(spark, "dev", "main", keys={"t": ["id"]}, on_conflict="source")
+    rows = repo.read_table(spark, "t", "main").collect()
+    assert [(r.id, r.val) for r in rows] == [(1, "dev")]
+
+
+def test_merge_row_level_delete_propagation(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a"), (2, "b")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(2, "b")]))  # dev deletes id=1
+    repo.commit("dev", "delete 1")
+    repo.write_table("main", "t", _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    repo.commit("main", "add 3")
+    repo.merge(spark, "dev", "main", keys={"t": ["id"]})
+    rows = {(r.id, r.val) for r in repo.read_table(spark, "t", "main").collect()}
+    assert rows == {(2, "b"), (3, "c")}
+
+
+def test_vacuum_keep_history(spark, repo, tmp_path):
+    repo.write_table("main", "t", _df(spark, [(1, "v0")]))
+    repo.commit("main", "v0")
+    repo.write_table("main", "t", _df(spark, [(1, "v1")]))
+    repo.commit("main", "v1")
+    # staged-then-reset write becomes orphaned
+    repo.write_table("main", "t", _df(spark, [(1, "orphan")]))
+    repo.reset("main")
+    removed = repo.vacuum(keep_history=True)
+    assert len(removed) == 1  # only the orphan
+    # time travel still works
+    assert repo.read_table(spark, "t", "main~1").collect()[0].val == "v0"
+
+
+def test_vacuum_heads_only(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "v0")]))
+    repo.commit("main", "v0")
+    repo.write_table("main", "t", _df(spark, [(1, "v1")]))
+    repo.commit("main", "v1")
+    removed = repo.vacuum(keep_history=False)
+    assert len(removed) == 1  # v0 files gone
+    assert repo.read_table(spark, "t", "main").collect()[0].val == "v1"
+    with pytest.raises(Exception):
+        repo.read_table(spark, "t", "main~1").collect()
+
+
+def test_delete_branch_and_repo(spark, repo):
+    repo.create_branch("dev")
+    repo.delete_branch("dev")
+    assert repo.branches() == ["main"]
+    with pytest.raises(ValueError):
+        repo.delete_branch("main")
+    root = repo.root
+    LakeRepo.delete(root)
+    assert not os.path.exists(root)
+
+
+def test_staged_read_visibility(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "committed")]))
+    repo.commit("main", "base")
+    repo.write_table("main", "t", _df(spark, [(1, "staged"), (2, "staged")]))
+    # default read = committed head; include_staged sees the pending write
+    assert repo.read_table(spark, "t", "main").count() == 1
+    assert repo.read_table(spark, "t", "main", include_staged=True).count() == 2
