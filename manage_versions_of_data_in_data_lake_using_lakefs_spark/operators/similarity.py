@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k as the exactness baseline, plus a
+random-hyperplane LSH bucketed variant as the scale path. Both are pure
+DataFrame plans (zip_with/aggregate HOFs — JVM-side, no Python UDFs).
+
+Reproducibility: embeddings are quantized to integers (×10⁶, round) before
+any arithmetic. Integer dot products are exact and associative, so scores
+are bit-identical across engines and partitionings — same rationale as
+``aggregates.decimal_sum``. The float→int rounding loses ~1e-6 relative
+precision, far below any meaningful similarity difference.
+
+Scale notes: brute-force is O(|Q|·|C|·d) — right for small query sets /
+rerank stages; the LSH variant buckets by sign-pattern so candidate sets
+shrink ~2^planes-fold, the standard recall/cost trade. An IVF variant
+(k-means coarse quantizer) would follow the same two-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_QSCALE = 1_000_000.0
+
+
+def quantize(col: Column) -> Column:
+    """array<float> → array<long> at 1e-6 resolution (exact arithmetic)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * F.lit(_QSCALE)).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (left fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine_q(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from exact integer dot/self-dots; fixed-order IEEE ops."""
+    return dot.cast("double") / (
+        F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))
+    )
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.withColumn("_q", q).withColumn("_n", dot_q(F.col("_q"), F.col("_q")))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: all (a<b) with cosine ≥ threshold.
+    O(n²) verify — use within LSH buckets for large corpora."""
+    q = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
+    )
+    a = q.select(F.col("id").alias("a"), F.col("_q").alias("qa"), F.col("_n").alias("na"))
+    b = q.select(F.col("id").alias("b"), F.col("_q").alias("qb"), F.col("_n").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("a", "b", "cos")
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Plan: broadcast the (small) query side, per-pair HOF dot product, then
+    row_number per query. The corpus side streams — no corpus shuffle, so
+    this scales with corpus size; the window partitions by query id.
+    """
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("nbr"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+    )
+    q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_q").alias("qq"), F.col("_n").alias("nq")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("nbr") != F.col("query_id"))
+        .withColumn("cos", cosine_q(dot_q(F.col("qq"), F.col("qc")), F.col("nq"), F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr", "rank", "cos")
+    )
+
+
+# --- random-hyperplane LSH (scale path) ------------------------------------
+
+_N_PLANES = 8
+_W_A = 1103515245
+_W_B = 12345
+_W_MOD = 2039
+_W_SHIFT = 1019
+
+
+def _plane_weight(p: Column, d: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1019, 1019] —
+    plain 64-bit integer arithmetic, identical in the SQL oracle
+    (A*(p*64+d) reaches ~6e11, past int32)."""
+    idx = (p * F.lit(64) + d).cast("long")
+    return (F.lit(_W_A).cast("long") * idx + F.lit(_W_B)) % F.lit(_W_MOD) - F.lit(_W_SHIFT)
+
+
+def lsh_bucket(vec_q: Column, n_planes: int = _N_PLANES) -> Column:
+    """Sign-pattern bucket id: bit p = [dot(vec, plane_p) >= 0].
+    Exact integer dots (quantized vec × integer plane) → no float drift."""
+    def bit(p: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                vec_q,
+                F.sequence(F.lit(0), F.size(vec_q) - 1),
+                lambda x, d: x * _plane_weight(F.lit(p), d),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = bit(0)
+    for p in range(1, n_planes):
+        out = out + bit(p)
+    return out
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = _N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, then exact cosine
+    rerank within bucket. Bucket join replaces the cross join — candidate
+    volume drops ~2^n_planes-fold; recall is tunable via n_planes (fewer
+    planes → bigger buckets → higher recall and cost).
+    """
+    c = with_quantized(corpus, vec_col)
+    c = c.select(
+        F.col(id_col).alias("nbr"),
+        F.col("_q").alias("qc"),
+        F.col("_n").alias("nc"),
+        lsh_bucket(F.col("_q"), n_planes).alias("bucket"),
+    )
+    q = with_quantized(queries, vec_col)
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_q").alias("qq"),
+        F.col("_n").alias("nq"),
+        lsh_bucket(F.col("_q"), n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("nbr") != F.col("query_id"))
+        .withColumn("cos", cosine_q(dot_q(F.col("qq"), F.col("qc")), F.col("nq"), F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr", "rank", "cos")
+    )

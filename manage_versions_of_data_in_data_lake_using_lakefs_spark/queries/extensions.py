@@ -1,0 +1,387 @@
+"""North-star extension queries: dedup, similarity search, text analysis.
+
+Every query here has a full DuckDB oracle that re-implements the *same
+algorithm* in ANSI SQL — including MinHash-LSH banding and LSH bucketed
+ANN — since the operators are deliberately built from portable integer
+arithmetic (see operators/dedup.py, operators/similarity.py docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+    cosine_pairs,
+    topk_bruteforce,
+    topk_lsh,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (must mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+_SQL_SHINGLES = f"""
+toks AS (
+    SELECT doc_id AS id, {_SQL_TOKS} AS tk FROM documents
+),
+sh AS (
+    SELECT DISTINCT id, array_to_string(tk[i+1:i+3], ' ') AS shingle
+    FROM (SELECT id, tk, unnest(range(len(tk) - 2)) AS i
+          FROM toks WHERE len(tk) >= 3)
+)
+"""
+
+_SQL_QVEC = """
+qv AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000000.0)) AS q
+    FROM embeddings
+),
+qn AS (
+    SELECT id, q, list_dot_product(q, q) AS n FROM qv
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+_STOP = {
+    "en": "'the','a','of','and','to','in','is','it','that','for'",
+    "de": "'der','die','das','und','ist','ein','zu','den','von','mit'",
+    "fr": "'le','la','les','et','est','un','une','de','du','que'",
+    "es": "'el','la','los','las','y','es','un','una','de','que'",
+}
+
+ORACLE_TEXT_LANG_ID = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents),
+hits AS (
+    SELECT doc_id, lang,
+           len(list_filter(tk, t -> t IN ({_STOP['en']}))) AS h_en,
+           len(list_filter(tk, t -> t IN ({_STOP['de']}))) AS h_de,
+           len(list_filter(tk, t -> t IN ({_STOP['fr']}))) AS h_fr,
+           len(list_filter(tk, t -> t IN ({_STOP['es']}))) AS h_es
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) < 1 THEN 'unk'
+            WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "mean_tok_len", "stopword_ratio", "alnum_ratio", "quality"
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents),
+m AS (
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS INT) AS tok_chars,
+           CAST(length(text) AS INT) AS n_char,
+           CAST(len(list_filter(tk, t -> t IN ({_STOP['en']}))) AS INT) AS stop_hits
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_tok_len,
+       CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_char > 0 THEN tok_chars / n_char ELSE 0.0 END AS alnum_ratio,
+       LEAST(n_tokens / 100.0, 1.0) * 0.4
+         + (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) * 0.3
+         + (CASE WHEN n_char > 0 THEN tok_chars / n_char ELSE 0.0 END) * 0.3 AS quality
+FROM m
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).select("doc_id", "n_words", "n_bpe_pieces")
+
+
+ORACLE_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS n_bpe_pieces
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("text_hash", F.md5("text"))
+    return exact_dedup(docs, ["text_hash"])
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs)
+
+
+ORACLE_DEDUP_FINGERPRINT = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT a, b, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.id JOIN sizes sb ON inter.b = sb.id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+vocab AS (
+    SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
+    FROM (SELECT DISTINCT shingle FROM sh)
+),
+ids AS (SELECT sh.id, vocab.sid FROM sh JOIN vocab USING (shingle)),
+hashed AS (
+    SELECT id, k,
+           (((1103515245::BIGINT * (k + 1) + 12345) % 2147483647) * sid
+            + (12345::BIGINT * (k + 1)) % 2147483647) % 2147483647 AS hk
+    FROM ids CROSS JOIN (SELECT unnest(range(16)) AS k)
+),
+sig AS (SELECT id, k, MIN(hk) AS mh FROM hashed GROUP BY id, k),
+band_sig AS (
+    SELECT id, CAST(FLOOR(k / 4.0) AS INT) AS band,
+           string_agg(CAST(mh AS VARCHAR), '_' ORDER BY k) AS sig
+    FROM sig GROUP BY 1, 2
+),
+candidates AS (
+    SELECT DISTINCT l.id AS a, r.id AS b
+    FROM band_sig l JOIN band_sig r
+      ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    JOIN candidates c ON c.a = a.id AND c.b = b.id
+    GROUP BY 1, 2
+)
+SELECT a, b, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.id JOIN sizes sb ON inter.b = sb.id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id AS id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+counts AS (SELECT id, tok, COUNT(*) AS cnt FROM toks GROUP BY id, tok),
+vocab AS (
+    SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+    FROM (SELECT DISTINCT tok FROM counts)
+),
+hashed AS (
+    SELECT c.id, c.cnt, (1103515245::BIGINT * v.tid + 12345) % 2147483647 AS h
+    FROM counts c JOIN vocab v USING (tok)
+),
+contrib AS (
+    SELECT id, j,
+           cnt * ((CAST(FLOOR(h / POWER(2.0, j)) AS BIGINT) % 2) * 2 - 1) AS c
+    FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS j)
+),
+bitsums AS (SELECT id, j, SUM(c) AS s FROM contrib GROUP BY id, j),
+sigs AS (
+    SELECT id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsums GROUP BY id
+)
+SELECT a.id AS a, b.id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+WITH {_SQL_QVEC}
+SELECT a.id AS a, b.id AS b,
+       list_dot_product(a.q, b.q) / (SQRT(a.n) * SQRT(b.n)) AS cos
+FROM qn a JOIN qn b ON a.id < b.id
+WHERE list_dot_product(a.q, b.q) / (SQRT(a.n) * SQRT(b.n)) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return topk_bruteforce(emb, queries, k=5)
+
+
+ORACLE_SIM_TOPK = f"""
+WITH {_SQL_QVEC},
+scored AS (
+    SELECT q.id AS query_id, c.id AS nbr,
+           list_dot_product(q.q, c.q) / (SQRT(q.n) * SQRT(c.n)) AS cos
+    FROM qn q JOIN qn c ON c.id <> q.id
+    WHERE q.id < 8
+),
+ranked AS (
+    SELECT query_id, nbr, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return topk_lsh(emb, queries, k=5)
+
+
+ORACLE_SIM_TOPK_LSH = f"""
+WITH {_SQL_QVEC},
+planes AS (
+    SELECT p, list_transform(range(64),
+               d -> CAST((1103515245::BIGINT * (p * 64 + d) + 12345) % 2039 - 1019 AS DOUBLE)) AS w
+    FROM (SELECT unnest(range(8)) AS p)
+),
+buckets AS (
+    SELECT qn.id,
+           CAST(SUM(CASE WHEN list_dot_product(qn.q, planes.w) >= 0
+                         THEN CAST(POWER(2.0, planes.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM qn CROSS JOIN planes GROUP BY qn.id
+),
+vec AS (SELECT qn.id, qn.q, qn.n, b.bucket FROM qn JOIN buckets b USING (id)),
+scored AS (
+    SELECT q.id AS query_id, c.id AS nbr,
+           list_dot_product(q.q, c.q) / (SQRT(q.n) * SQRT(c.n)) AS cos
+    FROM vec q JOIN vec c ON q.bucket = c.bucket AND c.id <> q.id
+    WHERE q.id < 8
+),
+ranked AS (
+    SELECT query_id, nbr, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+EXTENSION_QUERIES = {
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "sim_topk": q_sim_topk,
+    "sim_topk_lsh": q_sim_topk_lsh,
+}
+
+EXTENSION_ORACLES = {
+    "text_lang_id": ORACLE_TEXT_LANG_ID,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "sim_topk": ORACLE_SIM_TOPK,
+    "sim_topk_lsh": ORACLE_SIM_TOPK_LSH,
+}

@@ -1,0 +1,133 @@
+"""Invariant tests for dedup/similarity/text operators — the properties the
+oracle can't check: fast-hash (xxhash64) scale paths, LSH recall vs exact,
+and algebraic sanity of the portable arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    return load_table(spark, SF_CORRECT, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    return load_table(spark, SF_CORRECT, "embeddings").cache()
+
+
+def test_lsh_pairs_subset_of_exact(docs):
+    """LSH candidates pass the same exact-Jaccard verify, so LSH results
+    must be a subset of the all-pairs results; on this corpus the banding
+    config reaches full recall."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.a, r.b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact)  # S-curve recall on near-identical docs
+
+
+def test_fast_hash_lsh_matches_portable_results(docs):
+    """xxhash64 shingle ids change the signatures but not the verify stage:
+    surviving pairs still satisfy jaccard >= threshold and recall holds."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    fast = minhash_lsh_pairs(docs, threshold=0.5, use_fast_hash=True).collect()
+    assert {(r.a, r.b) for r in fast} <= exact
+    assert all(r.jaccard >= 0.5 for r in fast)
+    assert len(fast) >= 0.8 * len(exact)
+
+
+def test_simhash_near_dups_have_high_jaccard(docs):
+    """Hamming-close simhash pairs should overlap heavily with the
+    high-jaccard pairs (both detect the same planted near-dups)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    jac = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    sim = {(r.a, r.b) for r in simhash_pairs(docs, max_hamming=1).collect()}
+    assert jac, "corpus should contain near-identical docs"
+    # 16-bit simhash at radius 1 recalls most but not all (measured 21/25)
+    assert len(jac & sim) >= 0.7 * len(jac)
+
+
+def test_fast_simhash_runs(docs):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import simhash
+
+    out = simhash(docs, use_fast_hash=True)
+    assert out.count() == docs.count()
+    assert out.select("simhash").distinct().count() > 1
+
+
+def test_exact_dedup_counts(docs, spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import exact_dedup
+
+    dup = docs.union(docs.limit(10))  # plant 10 exact duplicates
+    out = exact_dedup(dup.withColumn("text_hash", F.md5("text")), ["text_hash"])
+    assert out.count() == docs.count()
+    assert out.where(F.col("n_dupes") == 2).count() == 10
+
+
+def test_topk_lsh_recall(emb):
+    """Bucketed ANN must agree with brute force on a healthy fraction of
+    neighbors (8 hyperplanes over near-uniform vectors is a coarse net —
+    this guards the plumbing, not state-of-the-art recall)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_lsh,
+    )
+
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.nbr) for r in topk_bruteforce(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.nbr) for r in topk_lsh(emb, queries, k=5, n_planes=4).collect()}
+    assert len(approx & exact) >= 0.25 * len(exact)
+
+
+def test_cosine_self_similarity(emb):
+    """cos(v, v) must be exactly 1.0 under quantized arithmetic."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+        cosine_q,
+        dot_q,
+        with_quantized,
+    )
+
+    q = with_quantized(emb.limit(50))
+    out = q.select(cosine_q(dot_q(F.col("_q"), F.col("_q")), F.col("_n"), F.col("_n")).alias("c"))
+    # n/(sqrt(n)*sqrt(n)) accumulates one ulp of sqrt rounding — not exactly 1
+    assert all(abs(r.c - 1.0) < 1e-12 for r in out.collect())
+
+
+def test_language_id_on_real_sentences(spark):
+    """The synthetic corpus's text is English word-soup for every ``lang``
+    label (only en stopwords appear), so accuracy vs that label is
+    meaningless. Validate the heuristic on actual per-language sentences."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import language_id
+
+    rows = [
+        (1, "the cat sat on the mat and it is happy that the sun is out", "en"),
+        (2, "der hund und die katze sind mit den kindern zu hause", "de"),
+        (3, "le chat est sur la table et les enfants sont du village", "fr"),
+        (4, "el perro y los gatos son de una casa en las montanas", "es"),
+        (5, "xyzzy qwerty plugh", "unk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, expected STRING")
+    out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unk"}
