@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Convention: media rows carry an opaque ``payload: binary`` plus a typed
+``meta`` struct — the lakehouse pattern for multimodal training data
+(decode happens as late as possible, at the consumer).
+
+    media(media_id long, kind string, payload binary,
+          meta struct<format string, width int, height int,
+                      sample_rate int, duration_ms int>)
+
+The Spark-side machinery (schema, Arrow-batched ``mapInPandas``, batch
+shapes, partition sizing) is real and tested; the *codec* step is stubbed
+behind ``_decode_payload`` because no image/audio libraries ship in this
+container — it raises ``NotImplementedError`` unless ``allow_stub=True``
+selects the deterministic fake decoder (byte-statistics features), which
+keeps the pipeline end-to-end runnable and testable.
+
+Scale notes: payloads dominate row size, so ops here must avoid shuffling
+payload bytes. Feature extraction is map-only (``mapInPandas``); the one
+repartition knob offered is by ``media_id`` for downstream joins *after*
+features are extracted and payloads dropped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("feat_mean", LongType()),   # deterministic byte statistics
+        StructField("feat_head", LongType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads so the media
+    pipeline is exercisable on the driver testdata (no real image files in
+    the environment)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("utf-8").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes, kind: str, allow_stub: bool) -> tuple[int, int]:
+    """Codec boundary. Real decoders (PIL/libav/...) are not available in
+    this container; the stub produces deterministic byte statistics so the
+    surrounding distributed plumbing stays fully testable."""
+    if not allow_stub:
+        raise NotImplementedError(
+            f"no codec available for kind={kind!r}; install decoders or "
+            "pass allow_stub=True for deterministic fake features"
+        )
+    if not payload:
+        return 0, 0
+    total = sum(payload) // len(payload)
+    head = int.from_bytes(payload[:4].ljust(4, b"\0"), "big")
+    return total, head
+
+
+def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes.
+
+    ``mapInPandas`` keeps this map-only (no shuffle of payloads) and
+    batch-oriented: each pandas batch holds whole payloads, the return
+    drops them — the output is narrow feature rows.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_payload(p if p is not None else b"", k, allow_stub)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feat_mean": [f[0] for f in feats],
+                    "feat_head": [f[1] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Payload-size stats per kind — pure relational (oracle-checkable):
+    the metadata-only pass a pipeline runs before deciding what to decode."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min(F.length("payload")).alias("min_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )

@@ -35,6 +35,12 @@ def all_queries() -> dict[str, QueryFn]:
         out.update(VERSIONED_QUERIES)
     except ImportError:
         pass
+    try:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.pipeline import PIPELINE_QUERIES
+
+        out.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -45,6 +51,12 @@ def all_oracles() -> dict[str, str]:
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import EXTENSION_ORACLES
 
         out.update(EXTENSION_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.pipeline import PIPELINE_ORACLES
+
+        out.update(PIPELINE_ORACLES)
     except ImportError:
         pass
     return out

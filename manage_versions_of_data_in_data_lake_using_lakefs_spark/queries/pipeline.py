@@ -1,0 +1,157 @@
+"""Pipeline queries: vdt4-parity feature engineering, multimodal plumbing,
+and Structured Streaming surfaced through the driver contract."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    media_stats,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+
+def q_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full vdt4 shape (``jobs/vdt4.py:29-77``) on events:
+    id (rank by value), label (threshold), fe1 (horizontal mean family),
+    fe3 (frequency index of event_type), fe4 (value quartile bucket) —
+    with the quantiles as an in-plan subquery instead of a driver collect.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    ranked = ev.withColumn("id", F.rank().over(Window.orderBy(F.col("value").asc())))
+    labeled = ranked.withColumn(
+        "label", F.when(F.col("value") <= F.lit(50.0), F.lit(0)).otherwise(F.lit(1))
+    )
+    fam = labeled.withColumn(
+        "fe1", (F.col("value") + F.col("user_id") + F.col("event_id")) / F.lit(3)
+    )
+    freq = (
+        fam.groupBy("event_type").agg(F.count(F.lit(1)).alias("_f"))
+    )
+    w = Window.orderBy(F.col("_f").desc(), F.col("event_type").asc())
+    mapping = freq.withColumn("fe3", F.row_number().over(w) - 1).drop("_f")
+    idx = fam.join(F.broadcast(mapping), on="event_type")
+    qs = ev.select(
+        F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+    ).select(F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3"))
+    bucketed = idx.crossJoin(F.broadcast(qs)).withColumn(
+        "fe4",
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4),
+    )
+    return bucketed.select("event_id", "id", "label", "fe1", "event_type", "fe3", "fe4")
+
+
+ORACLE_FEATURE_PIPELINE = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events),
+ranked AS (
+    SELECT *, CAST(RANK() OVER (ORDER BY value ASC) AS INT) AS id FROM ev
+),
+labeled AS (
+    SELECT *, CASE WHEN value <= 50.0 THEN 0 ELSE 1 END AS label,
+           (value + user_id + event_id) / 3 AS fe1
+    FROM ranked
+),
+freq AS (SELECT event_type, COUNT(*) AS f FROM ev GROUP BY event_type),
+mapping AS (
+    SELECT event_type,
+           CAST(ROW_NUMBER() OVER (ORDER BY f DESC, event_type ASC) - 1 AS INT) AS fe3
+    FROM freq
+),
+qs AS (
+    SELECT quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.50) AS q2,
+           quantile_cont(value, 0.75) AS q3
+    FROM ev
+)
+SELECT l.event_id, l.id, l.label, l.fe1, l.event_type, m.fe3,
+       CASE WHEN l.value <= qs.q1 THEN 1
+            WHEN l.value <= qs.q2 THEN 2
+            WHEN l.value <= qs.q3 THEN 3
+            ELSE 4 END AS fe4
+FROM labeled l JOIN mapping m USING (event_type), qs
+"""
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over binary payloads (oracle-checkable half of
+    the multimodal pipeline)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media_stats(media)
+
+
+ORACLE_MULTIMODAL_STATS = """
+SELECT 'text' AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(encode(text))) AS INT) AS min_bytes,
+       CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (stub codec) — the
+    genuinely non-SQL op; driver records the rows-only check."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run surfaced through the batch contract:
+    file-source stream over the events table, watermarked tumbling-window
+    aggregation, availableNow replay into a memory sink; returns the sink.
+    Oracle = the batch equivalent (hour-truncated groupBy)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        stream_events_from_dir,
+        windowed_counts,
+    )
+
+    src = tempfile.mkdtemp(prefix="lakegraft_stream_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, src)
+    run_to_memory(
+        windowed_counts(stream, decimal_scale=2), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+ORACLE_STREAMING_WINDOW_COUNTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+PIPELINE_QUERIES = {
+    "feature_pipeline": q_feature_pipeline,
+    "multimodal_stats": q_multimodal_stats,
+    "multimodal_features": q_multimodal_features,
+    "streaming_window_counts": q_streaming_window_counts,
+}
+
+PIPELINE_ORACLES = {
+    "feature_pipeline": ORACLE_FEATURE_PIPELINE,
+    "multimodal_stats": ORACLE_MULTIMODAL_STATS,
+    "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
+}

@@ -1,0 +1,8 @@
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import (  # noqa: F401
+    EVENTS_SCHEMA,
+    run_to_memory,
+    sessionize,
+    stream_events_from_dir,
+    streaming_dedup,
+    windowed_counts,
+)

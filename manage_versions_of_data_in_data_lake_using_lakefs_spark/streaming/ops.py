@@ -1,0 +1,195 @@
+"""Structured Streaming equivalents of the batch operators.
+
+The reference is batch-only (SURVEY.md §2.8), so this module is pure
+extension surface: the same aggregations/dedup expressed as incremental
+streaming plans with watermarked state, plus a custom stateful operator
+(gap sessionization) via ``applyInPandasWithState``.
+
+Batch/stream parity is the design rule: every op here has a batch
+equivalent the tests compare against using ``trigger(availableNow=True)``
+over a file source — the replay-the-lake-then-keep-following pattern that
+a 100 TB ingest pipeline actually uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over parquet event files (explicit schema — file
+    streams cannot infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    decimal_scale: int | None = None,
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound.
+
+    The watermark caps state: windows older than max(ts)-watermark are
+    finalized and evicted — the piece that makes unbounded streams safe.
+
+    ``decimal_scale`` switches the value sum to exact fixed-point integer
+    accumulation (see aggregates.decimal_sum) — incremental state updates
+    then commute, so results are independent of arrival order.
+    """
+    if decimal_scale is None:
+        total = F.sum("value")
+    else:
+        scale = float(10**decimal_scale)
+        total = F.sum(F.round(F.col("value") * F.lit(scale)).cast("long")) / F.lit(scale)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            total.alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-per-key stream dedup with bounded state: duplicates
+    arriving within the watermark horizon are dropped; state for old keys
+    is evicted. The streaming twin of dedup.exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user via
+    ``applyInPandasWithState`` — the arbitrary-state API (what you reach
+    for when windows/dedup built-ins can't express the semantics).
+
+    Emits a session row when the gap to the next event exceeds
+    ``gap_seconds`` or the group times out past the watermark.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = None, None, 0, 0.0
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.hasTimedOut:
+            if n:
+                out.append((user_id, start_us, last_us, n, total))
+            state.remove()
+        else:
+            for ts, value in zip(rows["ts"], rows["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None and ts_us - last_us > gap_us:
+                    out.append((user_id, start_us, last_us, n, total))
+                    start_us, n, total = ts_us, 0, 0.0
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n += 1
+                total += float(value)
+            state.update((start_us, last_us, n, total))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1] * 1000) for o in out],
+                    "session_end": [pd.Timestamp(o[2] * 1000) for o in out],
+                    "n_events": [o[3] for o in out],
+                    "total_value": [o[4] for o in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drain a stream with availableNow into an in-memory table (test/
+    driver-contract helper): processes everything currently in the source,
+    then stops — the batch-replay mode of a streaming pipeline.
+
+    Note on modes: watermarked aggregations in *append* mode only emit
+    windows the watermark has closed; a single availableNow replay keeps
+    the tail windows in state. Use ``output_mode='complete'`` to observe
+    every window in bounded tests.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

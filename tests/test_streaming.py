@@ -1,0 +1,133 @@
+"""Structured Streaming ops: batch/stream parity via availableNow replay
+over a file source — every streaming op must agree with its batch twin."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events parquet rewritten with a streaming-friendly layout (several
+    files so availableNow gets multiple splits). ts arrives as micros."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    load_table(spark, SF_CORRECT, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        stream_events_from_dir,
+        windowed_counts,
+    )
+
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, events_dir)
+    run_to_memory(windowed_counts(stream), name, output_mode="complete")
+    got = {
+        (r.win_start, r.event_type): (r.n, round(r.total_value, 4))
+        for r in spark.table(name).collect()
+    }
+
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    want = {
+        (r.win_start, r.event_type): (r.n, round(r.total_value, 4))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_matches_batch(spark, events_dir):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        stream_events_from_dir,
+        streaming_dedup,
+    )
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, events_dir)
+    run_to_memory(streaming_dedup(stream, ["user_id", "event_type"]), name)
+    got = spark.table(name).count()
+    want = _batch_events(spark, events_dir).dropDuplicates(["user_id", "event_type"]).count()
+    assert got == want
+
+
+def test_sessionize_emits_valid_sessions(spark, events_dir):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        sessionize,
+        stream_events_from_dir,
+    )
+
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, events_dir)
+    run_to_memory(sessionize(stream, gap_seconds=1800), name)
+    sessions = spark.table(name)
+    n = sessions.count()
+    assert n > 0
+    bad = sessions.where(
+        (F.col("session_end") < F.col("session_start")) | (F.col("n_events") <= 0)
+    ).count()
+    assert bad == 0
+    # sessions for one user never overlap (checked driver-side; memory-sink
+    # self-joins trip attribute dedup in Spark 4)
+    by_user: dict = {}
+    for r in sessions.collect():
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 < s2, f"overlapping sessions: {(s1, e1)} then {(s2, _)}"
+
+
+def test_multimodal_features_deterministic(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        media_stats,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    media = documents_as_media(docs)
+    stats = {r.kind: (r.n, r.total_bytes) for r in media_stats(media).collect()}
+    assert stats["text"][0] == 500
+
+    feats = extract_features(media).orderBy("media_id")
+    rows = feats.collect()
+    assert len(rows) == 500
+    assert all(r.byte_len > 0 and r.feat_mean > 0 for r in rows)
+    # deterministic across runs and partitionings
+    again = extract_features(media.repartition(7)).orderBy("media_id").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_multimodal_stub_gating(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    media = documents_as_media(load_table(spark, SF_CORRECT, "documents")).limit(5)
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        extract_features(media, allow_stub=False).collect()
