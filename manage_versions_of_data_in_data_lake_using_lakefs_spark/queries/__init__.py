@@ -41,6 +41,12 @@ def all_queries() -> dict[str, QueryFn]:
         out.update(PIPELINE_QUERIES)
     except ImportError:
         pass
+    try:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.formats import FORMAT_QUERIES
+
+        out.update(FORMAT_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -57,6 +63,12 @@ def all_oracles() -> dict[str, str]:
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.pipeline import PIPELINE_ORACLES
 
         out.update(PIPELINE_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.formats import FORMAT_ORACLES
+
+        out.update(FORMAT_ORACLES)
     except ImportError:
         pass
     return out
