@@ -35,6 +35,20 @@ _A = 1103515245
 _B = 12345
 
 
+def _widen(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a narrow input across all cores before a 10-100× explode.
+
+    A small corpus file arrives as one scan partition, which would serialize
+    the shingle/token expansion on a single core; hash-repartitioning by doc
+    id first costs one tiny shuffle of raw text and buys full parallelism on
+    the expensive part. No-op when the scan already yields enough partitions
+    (the at-scale case — a 100 TB corpus arrives thousands-wide)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
@@ -58,7 +72,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     """Distinct (id, n-token-shingle) pairs. ``transform`` over a token
     array → explode; distinct happens in the same shuffle as downstream
     groupBys."""
-    base = df.select(
+    base = _widen(df, id_col).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_toks")
     ).where(F.size("_toks") >= n)
     sh = F.transform(
@@ -129,34 +143,31 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
     use_fast_hash: bool = False,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: rows (id, k, mh) — mh = min over the
-    doc's shingles of hash_k(shingle).
+    """Per-doc MinHash signature, wide form: rows (id, mh0..mh{K-1}).
 
-    hash_k(s) = (a_k * sid(s) + b_k) mod P with a_k, b_k derived from k by
-    fixed integer arithmetic — portable to the oracle. The k-expansion is
-    an array literal + explode (no UDF); the min is a partial-aggregable
-    groupBy, so the whole signature build is two narrow shuffles.
+    hash_k(s) = (a_k * sid(s) + b_k) mod P with a_k, b_k precomputed in
+    Python by the same fixed integer arithmetic the oracle uses. All K
+    min-hashes are K ``min()`` aggregates in ONE groupBy over the shingle
+    set — map-side partial mins, a single |shingles|-row shuffle, and no
+    K-fold row expansion (the explode formulation shuffles K× the data).
+    ``shingles_df`` lets the caller share one (cached) shingle set with
+    the downstream exact-verify join instead of shingling twice.
     """
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles_df if shingles_df is not None else shingles(df, text_col, id_col, n)
     if use_fast_hash:
         ids = sh.withColumn("sid", F.abs(F.xxhash64("shingle")) % F.lit(_P))
     else:
         ids = sh.join(_shingle_vocab(sh), "shingle")
-    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
-    expanded = ids.select("id", "sid", ks)
-    # all 64-bit: the a_k derivation overflows int32 (A*(k+1) ~ 1.8e10) and
-    # a_k*sid reaches ~4.6e18, just inside int64
-    k1 = (F.col("k") + 1).cast("long")
-    hashed = expanded.withColumn(
-        "hk",
-        (
-            ((F.lit(_A).cast("long") * k1 + F.lit(_B)) % F.lit(_P)) * F.col("sid")
-            + (F.lit(_B).cast("long") * k1) % F.lit(_P)
-        )
-        % F.lit(_P),
-    )
-    return hashed.groupBy("id", "k").agg(F.min("hk").alias("mh"))
+    aggs = []
+    for k in range(num_hashes):
+        a_k = (_A * (k + 1) + _B) % _P
+        b_k = (_B * (k + 1)) % _P
+        # a_k * sid reaches ~4.6e18, just inside int64
+        hk = (F.lit(a_k).cast("long") * F.col("sid") + F.lit(b_k)) % F.lit(_P)
+        aggs.append(F.min(hk).alias(f"mh{k}"))
+    return ids.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -168,30 +179,51 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     use_fast_hash: bool = False,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
     Banding: ``num_hashes`` minhashes → ``bands`` bands of
     ``num_hashes/bands`` rows; docs colliding on any full band become
     candidates (the classic S-curve selectivity). Candidates then get
-    *exact* n-gram Jaccard (via the shingle join, restricted by semi-join
-    to candidates) and pairs ≥ threshold survive. Everything is
-    groupBy/join — LSH is exactly the shuffle-key trick, so Spark executes
-    it as intended at any scale.
+    *exact* n-gram Jaccard and pairs ≥ threshold survive. The verify join
+    is candidate-driven — shingles attach to the (small) candidate pair
+    set by doc id — NOT a full shingle self-join, so verify cost scales
+    with |candidates|·|doc shingles|, not with shingle co-occurrence
+    (which is quadratic in the worst shingle's document frequency).
+    Everything is groupBy/join — LSH is exactly the shuffle-key trick, so
+    Spark executes it as intended at any scale.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, use_fast_hash)
-    banded = sig.withColumn(
-        "band", F.floor(F.col("k") / F.lit(float(rows_per_band))).cast("int")
+    # the shingle set feeds both the signature build and the verify join;
+    # persist it on big corpora (MEMORY_AND_DISK) to scan the raw text
+    # once — at test scale recomputing pipelines better than a cache
+    # barrier, so default off
+    sh = shingles(df, text_col, id_col, n)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, use_fast_hash, shingles_df=sh
     )
-    band_sig = banded.groupBy("id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "mh"))),
-                lambda s: s["mh"].cast("string"),
-            ),
-            "_",
-        ).alias("sig")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_sig = sig.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     left = band_sig.select(F.col("id").alias("a"), "band", "sig")
     right = band_sig.select(F.col("id").alias("b"), "band", "sig")
@@ -201,15 +233,14 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # exact verify on candidates only
-    sh = shingles(df, text_col, id_col, n)
+    # exact verify on candidates only — reuses the cached shingle set;
+    # a pair's intersection = its a-side shingles matched into the b side
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("a"), "shingle")
-    b = sh.select(F.col("id").alias("b"), "shingle")
+    sh_a = sh.select(F.col("id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .join(candidates, ["a", "b"], "left_semi")
+        candidates.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -238,7 +269,7 @@ def simhash(
     Σ_tokens count·(2·bit_j(h)−1). Bit expansion is sequence+explode,
     sign-sums are one groupBy — two shuffles total, no UDFs.
     """
-    toks = df.select(
+    toks = _widen(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
     counts = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
