@@ -1,0 +1,66 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``df.sample()`` is seed-dependent AND partitioning-dependent — rerunning
+after a repartition yields a different sample, which is poison for
+reproducible training sets. These operators derive the split from a fixed
+affine integer hash of a key column instead: the assignment is a pure
+function of the row, identical on any cluster layout, any engine (the
+DuckDB oracle runs the same arithmetic), and stable across reruns.
+
+All map-only — zero shuffles at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = 2147483647
+_A = 1103515245
+_B = 12345
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key."""
+    return ((F.lit(_A).cast("long") * key.cast("long") + F.lit(_B)) % F.lit(_P)) % F.lit(
+        buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket.
+
+    ``weights`` maps split name → percentage (must sum to 100); default
+    80/10/10 train/valid/test. Buckets are allocated to splits in the
+    given order, so the assignment is stable when weights change only at
+    the tail.
+    """
+    weights = weights or {"train": 80, "valid": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    b = hash_bucket(F.col(key_col))
+    expr = None
+    hi = 0
+    for name, pct in weights.items():
+        hi += pct
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, pct_by_stratum: dict[str, int]
+) -> DataFrame:
+    """Keep a deterministic pct of rows per stratum (e.g., downsample the
+    dominant language, keep all of the rare one). Map-only."""
+    b = hash_bucket(F.col(key_col))
+    keep = None
+    for stratum, pct in pct_by_stratum.items():
+        cond = (F.col(strata_col) == F.lit(stratum)) & (b < F.lit(pct))
+        keep = cond if keep is None else keep | cond
+    return df.where(keep)

@@ -139,6 +139,65 @@ def lsh_bucket(vec_q: Column, n_planes: int = _N_PLANES) -> Column:
     return out
 
 
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 64,
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic subset of the corpus
+    (every ``centroid_stride``-th id) serves as the coarse quantizer; each
+    vector is assigned to its nearest centroid (exact integer-cosine
+    argmax), queries probe only their own cell, and the cell is reranked
+    exactly.
+
+    Plan shape: centroids are broadcast (|corpus|/stride rows), assignment
+    is a map-side join + one window per vector id, the probe is an
+    equi-join on cell id — candidate volume shrinks ~stride-fold vs brute
+    force. nprobe>1 would union the next-nearest cells; the two-join
+    skeleton is unchanged.
+    """
+    q_all = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
+    )
+    cents = q_all.where(F.col("id") % F.lit(centroid_stride) == 0).select(
+        F.col("id").alias("cid"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+    )
+    scored = q_all.join(F.broadcast(cents)).withColumn(
+        "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
+    )
+    wc = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    assigned = (
+        scored.withColumn("rc", F.row_number().over(wc))
+        .where(F.col("rc") == 1)
+        .select("id", "_q", "_n", F.col("cid").alias("cell"))
+    )
+    qs = assigned.join(
+        queries.select(F.col(id_col).alias("id")).distinct(), "id"
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("_q").alias("qq"),
+        F.col("_n").alias("nq"),
+        "cell",
+    )
+    cand = assigned.select(
+        F.col("id").alias("nbr"), F.col("_q").alias("qc2"), F.col("_n").alias("nc2"), "cell"
+    )
+    rescored = (
+        cand.join(F.broadcast(qs), on="cell")
+        .where(F.col("nbr") != F.col("query_id"))
+        .withColumn("cos", cosine_q(dot_q(F.col("qq"), F.col("qc2")), F.col("nq"), F.col("nc2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr", "rank", "cos")
+    )
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,131 @@
+"""Temporal operators: as-of join and sessionization (north-star ext.).
+
+The reference is purely batch with integer dates (SURVEY.md §1.2), but a
+training-data pipeline over event streams needs time-ordered operators.
+Both are built as *scalable* compositions of native DataFrame ops:
+
+- **as-of join** uses the union+window pattern, NOT a range join: tag the
+  two inputs, union them, and carry the last right-side row forward with
+  ``last(ignorenulls)`` over an ordered per-key window. One shuffle on the
+  join key, no quadratic candidate blow-up, no broadcast requirement —
+  this is the formulation that survives 100 TB event tables (a range-join
+  formulation explodes with key frequency; Spark has no native as-of).
+- **sessionization** is the classic gap-rule: ``lag`` → boundary flag →
+  running sum over a per-key ordered window. Map-side after one shuffle
+  by the session key.
+
+Timestamps are compared in integer microseconds (``unix_micros``) so the
+arithmetic is exact and portable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` and the same ``on`` key (direction
+    'backward'; the only direction the union pattern needs — 'forward'
+    is the mirror ordering).
+
+    Implementation: tag left rows 1 / right rows 0, union, then
+    ``last(<right col>, ignorenulls=True)`` over
+    ``Window.partitionBy(on).orderBy(ts, tag).rowsBetween(unboundedPreceding,
+    currentRow)``. Right rows sort before left rows at equal timestamps,
+    so ties are inclusive — identical to ASOF JOIN ``ON l.ts >= r.ts``.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    passthrough = [c for c in left.columns if c not in (on, left_ts)]
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in passthrough],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthrough],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.where(F.col("_tag") == 1).select(
+        F.col("_k").alias(on),
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in passthrough],
+        *[F.col(f"_m_{c}").alias(f"{c}_matched") for c in right_cols],
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: int = 30 * 60,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session indexes per key: a new session starts when
+    the time since the previous event exceeds ``gap`` seconds.
+
+    Adds ``session_idx`` (1-based per key, in time order). One shuffle by
+    ``key``; the two stacked windows (lag + running sum) share the same
+    partitioning and sort, so Catalyst plans a single exchange + sort.
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w)
+    boundary = F.when(
+        prev.isNull() | ((micros - prev) > F.lit(gap * 1_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("_b", boundary).withColumn(
+        "session_idx", F.sum("_b").over(run).cast("int")
+    ).drop("_b")
+
+
+def session_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: int = 30 * 60,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Session-level rollup: event count + span per (key, session_idx)."""
+    s = sessionize(df, key, ts_col, gap, order_tiebreak)
+    micros = F.unix_micros(F.col(ts_col))
+    return s.groupBy(key, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(micros).alias("start_us"),
+        F.max(micros).alias("end_us"),
+    )

@@ -47,6 +47,12 @@ def all_queries() -> dict[str, QueryFn]:
         out.update(FORMAT_QUERIES)
     except ImportError:
         pass
+    try:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import ADVANCED_QUERIES
+
+        out.update(ADVANCED_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -69,6 +75,12 @@ def all_oracles() -> dict[str, str]:
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.formats import FORMAT_ORACLES
 
         out.update(FORMAT_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import ADVANCED_ORACLES
+
+        out.update(ADVANCED_ORACLES)
     except ImportError:
         pass
     return out

@@ -1,0 +1,344 @@
+"""Advanced parity suite: OLAP group-bys, non-equi/temporal joins, window
+frames, deterministic sampling, IVF ANN.
+
+These extend SURVEY.md §2 beyond the reference's literal surface with the
+operator families a production lakehouse + training-data pipeline needs
+(rollup/cube/grouping-sets/pivot are native Spark; as-of join and
+sessionization are scalable compositions — see operators/temporal.py;
+sampling is hash-deterministic — see operators/sampling.py). Every query
+has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum, decimal_sum_sql
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split, stratified_hash_sample
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import asof_join, session_stats
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+
+# ---------------------------------------------------------------------------
+# OLAP group-bys: rollup / cube / grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal,
+    grand total — one shuffle, Spark expands grouping sets internally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_AGG_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {decimal_sum_sql('l_quantity', 2)} AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_AGG_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {decimal_sum_sql('o_totalprice', 2)} AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) via the SQL entry
+    point — same Expand-based plan as rollup/cube."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id() AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_AGG_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: rows = priority, columns = status. Explicit
+    value list — a values-less pivot runs an extra distinct job and is
+    nondeterministic column-wise."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, ["F", "O", "P"])
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-equi / temporal joins
+# ---------------------------------------------------------------------------
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: lineitem quantity binned against a tiny tier
+    table on lo < qty <= hi. The tier side broadcasts, so the non-equi
+    condition runs as a broadcast nested-loop over 3 rows — no shuffle of
+    the fact table at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 51.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = li.join(
+        F.broadcast(tiers),
+        (F.col("l_quantity") > F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_JOIN_RANGE = f"""
+WITH tiers(tier, lo, hi) AS (
+    VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 51.0)
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+       {decimal_sum_sql('l_extendedprice', 2)} AS sum_price
+FROM lineitem JOIN tiers ON l_quantity > lo AND l_quantity <= hi
+GROUP BY tier
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent
+    prior-or-equal purchase. Union+window formulation (one shuffle on
+    user_id) — the oracle uses DuckDB's native ASOF LEFT JOIN, proving
+    the semantics match the standard definition."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "p_event_id_matched",
+    )
+
+
+ORACLE_JOIN_ASOF = """
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       p.event_id AS p_event_id_matched
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the event stream, rolled up to
+    session level: count + span per (user, session)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts_col="ts", gap=1800, order_tiebreak="event_id")
+
+
+ORACLE_SESSIONIZE = """
+WITH o AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), b AS (
+    SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nb
+    FROM o
+), s AS (
+    SELECT *, CAST(SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+    FROM b
+)
+SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_window_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: per-user running total of (floor-quantized)
+    event value in time order. Covers rowsBetween frame specs, absent
+    from the reference (SURVEY.md §2.5 'only default frames')."""
+    ev = load_table(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum(qv).over(w).alias("running_value_q")
+    )
+
+
+ORACLE_WINDOW_FRAME_SUM = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_q
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test split, pure function of doc_id — stable
+    under repartitioning and reruns (df.sample is neither)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+ORACLE_SAMPLE_SPLIT = """
+SELECT doc_id,
+       CASE WHEN ((1103515245::BIGINT * doc_id + 12345) % 2147483647) % 100 < 80 THEN 'train'
+            WHEN ((1103515245::BIGINT * doc_id + 12345) % 2147483647) % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling — rebalance a multilingual
+    corpus (keep all de, half of en, a quarter of fr, ...)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 50, "de": 100, "fr": 25, "es": 75, "zh": 10}
+    ).select("doc_id", "lang")
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH h AS (
+    SELECT doc_id, lang,
+           ((1103515245::BIGINT * doc_id + 12345) % 2147483647) % 100 AS b
+    FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE (lang = 'en' AND b < 50) OR (lang = 'de' AND b < 100)
+   OR (lang = 'fr' AND b < 25) OR (lang = 'es' AND b < 75)
+   OR (lang = 'zh' AND b < 10)
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return topk_ivf(emb, queries, k=5, centroid_stride=64)
+
+
+# shares the quantized-vector CTE shape with queries/extensions.py
+ORACLE_SIM_TOPK_IVF = """
+WITH qv AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000000.0)) AS q
+    FROM embeddings
+),
+qn AS (
+    SELECT id, q, list_dot_product(q, q) AS n FROM qv
+),
+cents AS (SELECT id AS cid, q AS qc, n AS nc FROM qn WHERE id % 64 = 0),
+scored_c AS (
+    SELECT qn.id, cents.cid,
+           list_dot_product(qn.q, cents.qc) / (SQRT(qn.n) * SQRT(cents.nc)) AS cos_c
+    FROM qn CROSS JOIN cents
+),
+assigned AS (
+    SELECT id, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos_c DESC, cid ASC) AS rc
+        FROM scored_c
+    ) WHERE rc = 1
+),
+vec AS (SELECT qn.id, qn.q, qn.n, a.cell FROM qn JOIN assigned a USING (id)),
+rescored AS (
+    SELECT q.id AS query_id, c.id AS nbr,
+           list_dot_product(q.q, c.q) / (SQRT(q.n) * SQRT(c.n)) AS cos
+    FROM vec q JOIN vec c ON q.cell = c.cell AND c.id <> q.id
+    WHERE q.id < 8
+),
+ranked AS (
+    SELECT query_id, nbr, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr ASC) AS INT) AS rank
+    FROM rescored
+)
+SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+ADVANCED_QUERIES = {
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "pivot_status": q_pivot_status,
+    "join_range": q_join_range,
+    "join_asof": q_join_asof,
+    "sessionize": q_sessionize,
+    "window_frame_sum": q_window_frame_sum,
+    "sample_split": q_sample_split,
+    "sample_stratified": q_sample_stratified,
+    "sim_topk_ivf": q_sim_topk_ivf,
+}
+
+ADVANCED_ORACLES = {
+    "agg_rollup": ORACLE_AGG_ROLLUP,
+    "agg_cube": ORACLE_AGG_CUBE,
+    "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
+    "pivot_status": ORACLE_PIVOT_STATUS,
+    "join_range": ORACLE_JOIN_RANGE,
+    "join_asof": ORACLE_JOIN_ASOF,
+    "sessionize": ORACLE_SESSIONIZE,
+    "window_frame_sum": ORACLE_WINDOW_FRAME_SUM,
+    "sample_split": ORACLE_SAMPLE_SPLIT,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
+}

@@ -49,9 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
         if ts_field is not None and isinstance(ts_field.dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer DIV, not float /: nanos exceed double's 53-bit exact
+            # range, so float division rounds the low microsecond up on
+            # ~half the rows while parquet readers (and DuckDB) truncate
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -1,0 +1,84 @@
+"""Semantic edge cases for the advanced operators (temporal, sampling,
+IVF) that the oracle hash-match can't pin down on synthetic data alone."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(s: int):
+    return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s)
+
+
+def test_asof_equal_timestamp_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(100), 77)], "user_id long, ts timestamp, p long"
+    )
+    out = asof_join(left, right, "user_id", "ts", "ts", ["p"]).collect()
+    assert out[0]["p_matched"] == 77
+
+
+def test_asof_takes_latest_prior_and_leaves_unmatched_null(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100)), (2, 10, _ts(10)), (3, 99, _ts(100))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(50), 1), (10, _ts(90), 2), (10, _ts(101), 3)],
+        "user_id long, ts timestamp, p long",
+    )
+    rows = {
+        r["event_id"]: r["p_matched"]
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["p"]).collect()
+    }
+    assert rows == {1: 2, 2: None, 3: None}
+
+
+def test_sessionize_gap_boundary(spark):
+    # events at t=0, t=gap (same session: not > gap), t=2*gap+1 (new session)
+    gap = 60
+    df = spark.createDataFrame(
+        [(1, 5, _ts(0)), (2, 5, _ts(gap)), (3, 5, _ts(2 * gap + 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap=gap, order_tiebreak="event_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_hash_split_is_partitioning_invariant(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7, "doc_id"), "doc_id").collect()
+    }
+    assert a == b
+    # rough proportions
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 700 < n_train < 900
+
+
+def test_topk_ivf_shape(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    out = topk_ivf(emb, queries, k=3, centroid_stride=16).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in out:
+        assert r["nbr"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
