@@ -143,15 +143,90 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (dropDuplicatesWithinWatermark) over
+    the bounded event stream, projected to the key columns — the key set
+    is deterministic regardless of which duplicate wins, so the batch
+    oracle is a plain DISTINCT."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        stream_events_from_dir,
+        streaming_dedup,
+    )
+
+    src = tempfile.mkdtemp(prefix="lakegraft_stream_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, src)
+    run_to_memory(streaming_dedup(stream, ["user_id", "event_type"]), name)
+    return spark.table(name).select("user_id", "event_type")
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState gap
+    sessions) drained with availableNow: gap-closed sessions emit in the
+    data batch, still-open sessions flush via event-time timeout in the
+    final no-data batch — so the bounded run equals batch sessionization,
+    which is the oracle (grouped by session span, value sum excluded:
+    float accumulation order is engine-specific)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        stream_events_from_dir,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import sessionize as stream_sessionize
+
+    src = tempfile.mkdtemp(prefix="lakegraft_stream_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    name = f"ssz_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, src)
+    run_to_memory(stream_sessionize(stream, gap_seconds=1800), name)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+ORACLE_STREAMING_SESSIONIZE = """
+WITH o AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), b AS (
+    SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nb
+    FROM o
+), s AS (
+    SELECT *, SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM b
+)
+SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 PIPELINE_QUERIES = {
     "feature_pipeline": q_feature_pipeline,
     "multimodal_stats": q_multimodal_stats,
     "multimodal_features": q_multimodal_features,
     "streaming_window_counts": q_streaming_window_counts,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_sessionize": q_streaming_sessionize,
 }
 
 PIPELINE_ORACLES = {
     "feature_pipeline": ORACLE_FEATURE_PIPELINE,
     "multimodal_stats": ORACLE_MULTIMODAL_STATS,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
+    "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
 }
