@@ -128,6 +128,94 @@ def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_head_hex", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4, allow_stub: bool = True
+) -> DataFrame:
+    """Frame sampling for video payloads: keep every ``stride``-th frame.
+
+    The 1→N ``mapInPandas`` shape — each input row yields a variable
+    number of narrow frame rows, payload bytes never shuffle. Real
+    pipelines plug a container demuxer into the codec boundary; the stub
+    treats the payload as concatenated fixed-size byte frames
+    (deterministic, so the distributed plumbing is oracle-checkable).
+    """
+    if not allow_stub:
+        raise NotImplementedError(
+            "no video demuxer available in this container; "
+            "pass allow_stub=True for the fixed-size-frame stub"
+        )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, heads = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = p[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    heads.append(chunk[:4].hex().upper())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_head_hex": pd.Series(heads, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, allow_stub: bool = True
+) -> DataFrame:
+    """Resize for image payloads: payload → payload with updated meta —
+    the payload-preserving ``mapInPandas`` shape. The stub crops/pads the
+    byte buffer to width*height (a real pipeline swaps in an image codec
+    at the same boundary; schema and batch shape are unchanged)."""
+    if not allow_stub:
+        raise NotImplementedError(
+            "no image codec available in this container; "
+            "pass allow_stub=True for the crop/pad stub"
+        )
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                (bytes(p) if p is not None else b"")[:target].ljust(target, b"\0")
+                for p in pdf["payload"]
+            ]
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = [
+                {
+                    "format": (m or {}).get("format"),
+                    "width": width,
+                    "height": height,
+                    "sample_rate": (m or {}).get("sample_rate"),
+                    "duration_ms": (m or {}).get("duration_ms"),
+                }
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Payload-size stats per kind — pure relational (oracle-checkable):
     the metadata-only pass a pipeline runs before deciding what to decode."""

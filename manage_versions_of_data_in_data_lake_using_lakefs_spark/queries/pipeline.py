@@ -106,6 +106,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over opaque payloads (mapInPandas, stub demuxer
+    of fixed 64-byte frames, stride 4). Deterministic, so it gets a full
+    blob-arithmetic oracle."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=64, stride=4)
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+-- DuckDB can't slice BLOBs, so byte windows are cut on the hex encoding
+-- (2 hex chars per byte; pure-ASCII, so VARCHAR substring is byte-exact)
+WITH m AS (SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx FROM documents),
+idx AS (
+    SELECT media_id, hx,
+           unnest(range(CAST(CEIL(length(hx) / 128.0) AS BIGINT))) AS fi
+    FROM m
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       CAST(length(substring(hx, CAST(fi*128+1 AS INT), 128)) / 2 AS INT) AS frame_len,
+       substring(hx, CAST(fi*128+1 AS INT), 8) AS frame_head_hex
+FROM idx WHERE fi % 4 = 0
+"""
+
+
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming run surfaced through the batch contract:
     file-source stream over the events table, watermarked tumbling-window
@@ -218,6 +244,7 @@ PIPELINE_QUERIES = {
     "feature_pipeline": q_feature_pipeline,
     "multimodal_stats": q_multimodal_stats,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sessionize": q_streaming_sessionize,
@@ -226,6 +253,7 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLES = {
     "feature_pipeline": ORACLE_FEATURE_PIPELINE,
     "multimodal_stats": ORACLE_MULTIMODAL_STATS,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,

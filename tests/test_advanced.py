@@ -82,3 +82,27 @@ def test_topk_ivf_shape(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_resize_media_payload_and_meta(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import documents_as_media, resize_media
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    media = documents_as_media(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    out = resize_media(media, 8, 4).limit(10).collect()
+    for r in out:
+        assert len(r["payload"]) == 32
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+
+
+def test_sample_frames_covers_payload(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import documents_as_media, sample_frames
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    media = documents_as_media(docs)
+    frames = sample_frames(media, frame_bytes=64, stride=4).collect()
+    assert frames, "expected at least one frame"
+    for r in frames:
+        assert r["frame_idx"] % 4 == 0
+        assert 0 < r["frame_len"] <= 64
