@@ -38,7 +38,16 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in headline if n in registry]
     # optional extension headliners, present once implemented
-    for extra in ("dedup_minhash_lsh", "sim_topk", "text_quality"):
+    for extra in (
+        "dedup_minhash_lsh",
+        "sim_topk",
+        "text_quality",
+        "agg_rollup",
+        "join_asof",
+        "sessionize",
+        "sample_split",
+        "sim_topk_ivf",
+    ):
         if extra in registry:
             names.append(extra)
 
