@@ -47,6 +47,35 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
     return left.join(right, on=on, how="left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key over ``salt``
+    sub-partitions.
+
+    The skewed (left/fact) side gets a deterministic salt in [0, salt)
+    derived from non-key columns' hash; the right side is replicated
+    ``salt``-fold via an exploded literal range. The join key becomes
+    (key, salt), so one pathological key's rows land on ``salt`` tasks
+    instead of one. AQE's skew-join split handles moderate skew
+    automatically; explicit salting is for the extreme tail (a single key
+    holding >1 task's worth of build-side rows) and for deterministic
+    layout control.
+
+    ``right`` is replicated — use with a dimension-sized right side.
+    """
+    non_key = [c for c in left.columns if c != on] or [on]
+    l = left.withColumn("_salt", F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(salt)))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l.join(r, on=[on, "_salt"], how=how).drop("_salt")
+
+
 def co_partitioned_join(
     left: DataFrame,
     right: DataFrame,

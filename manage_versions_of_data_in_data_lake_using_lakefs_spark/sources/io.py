@@ -115,3 +115,29 @@ def write_parquet(
 
 def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    *,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed table: pre-hash-partitioned (and optionally
+    pre-sorted) on the join/agg key.
+
+    The at-scale payoff: two tables bucketed on the same key with the same
+    bucket count join with NO Exchange on either side — the shuffle was
+    paid once at write time and amortizes over every downstream join/agg
+    (see tests/test_advanced.py for the plan assertion). This is the
+    Spark-native equivalent of the co-located table layout a 100 TB fact
+    store needs for repeated key joins.
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

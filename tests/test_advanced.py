@@ -106,3 +106,55 @@ def test_sample_frames_covers_payload(spark):
     for r in frames:
         assert r["frame_idx"] % 4 == 0
         assert 0 < r["frame_len"] <= 64
+
+
+def test_salted_join_matches_plain_join(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.joins import salted_join
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    salted = salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", salt=8
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import io as _io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "t_li_b", ["k"], 8)
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"), "t_ord_b", ["k"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-based path so the bucketed layout is what
+        # removes the exchange (tiny test tables would broadcast otherwise)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_b").join(spark.table("t_ord_b"), "k")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it still computes the right thing
+        expected = li.join(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
