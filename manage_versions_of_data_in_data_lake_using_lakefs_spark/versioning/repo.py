@@ -529,6 +529,38 @@ class LakeRepo:
             atomic_write_json(self._ref_file(dest_branch), ref)
         return [rel]
 
+    # -- compaction --------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        target_files: int | None = None,
+        sort_by: list[str] | None = None,
+        message: str | None = None,
+    ) -> "Commit":
+        """Rewrite a table into a compact layout, as a new commit.
+
+        The small-files problem: streaming/incremental commits accrete many
+        tiny parquet files, and at 100 TB scan cost becomes dominated by
+        per-file open overhead and footer reads. ``compact`` rewrites the
+        branch-head snapshot into ``target_files`` files — with
+        ``sort_by``, rows are range-clustered on the given keys
+        (repartitionByRange + sortWithinPartitions) so parquet min/max
+        stats prune row groups for key-predicated scans. Old files stay
+        referenced by prior commits (time travel intact) until ``vacuum``.
+        """
+        df = self.read_table(spark, table, ref=branch)
+        n = target_files or spark.sparkContext.defaultParallelism
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        else:
+            # coalesce: narrow, no shuffle — pure file-count reduction
+            df = df.coalesce(n)
+        self.write_table(branch, table, df, mode="overwrite")
+        return self.commit(branch, message or f"compact {table} -> {n} files")
+
     # -- vacuum (V15) ------------------------------------------------------
     def vacuum(self, keep_history: bool = True, dry_run: bool = False) -> list[str]:
         """Delete data directories unreachable from any branch ref.

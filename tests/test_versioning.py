@@ -268,3 +268,41 @@ def test_staged_read_visibility(spark, repo):
     # default read = committed head; include_staged sees the pending write
     assert repo.read_table(spark, "t", "main").count() == 1
     assert repo.read_table(spark, "t", "main", include_staged=True).count() == 2
+
+
+def test_compact_reduces_files_preserves_data_and_history(spark, repo):
+    import glob
+    import os
+
+    df = spark.range(0, 1000).selectExpr("CAST(id AS INT) AS id", "CAST(id % 7 AS STRING) AS val")
+    repo.write_table("main", "t", df.repartition(16))
+    repo.commit("main", "v0: 16-way write")
+
+    def parquet_files():
+        c = repo.head("main")
+        files = []
+        for rel in c.tables["t"]:
+            files += glob.glob(os.path.join(repo.root, rel, "**", "*.parquet"), recursive=True)
+        return files
+
+    before = len(parquet_files())
+    assert before >= 16
+    repo.compact(spark, "main", "t", target_files=2)
+    after = len(parquet_files())
+    assert after <= 2
+
+    # data identical, v0 still time-travelable at its 16-file layout
+    now = repo.read_table(spark, "t", "main")
+    assert now.count() == 1000
+    v0 = repo.read_table(spark, "t", "main", version_as_of=repo.log("main")[-1].version + 1)
+    assert sorted(map(tuple, v0.collect())) == sorted(map(tuple, now.collect()))
+
+
+def test_compact_sorted_layout(spark, repo):
+    df = spark.range(0, 1000).selectExpr("CAST(id AS INT) AS id", "CAST(id % 7 AS STRING) AS val")
+    repo.write_table("main", "t", df.repartition(8))
+    repo.commit("main", "v0")
+    repo.compact(spark, "main", "t", target_files=4, sort_by=["id"])
+    out = repo.read_table(spark, "t", "main")
+    assert out.count() == 1000
+    assert out.agg({"id": "min"}).collect()[0][0] == 0
