@@ -21,10 +21,13 @@ _B = 12345
 
 
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key."""
-    return ((F.lit(_A).cast("long") * key.cast("long") + F.lit(_B)) % F.lit(_P)) % F.lit(
-        buckets
-    )
+    """Deterministic bucket in [0, buckets) from an integer key.
+
+    The key is reduced mod P before the multiply — (A·(k mod P) + B) mod P
+    equals (A·k + B) mod P, but A·k itself overflows int64 for k ≳ 8.4e9
+    while A·(k mod P) peaks at ~2.3e18, inside int64."""
+    k = key.cast("long") % F.lit(_P)
+    return ((F.lit(_A).cast("long") * k + F.lit(_B)) % F.lit(_P)) % F.lit(buckets)
 
 
 def hash_split(

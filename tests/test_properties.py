@@ -1,0 +1,66 @@
+"""Property-based invariants (hypothesis): the reproducibility guarantees
+SCALING.md claims — partitioning-independence of exact sums, hash splits,
+and dedup — hold for arbitrary inputs, not just the driver testdata."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_bucket
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# 2-decimal money-like values
+_money = st.integers(min_value=-10_000_00, max_value=10_000_00).map(lambda c: c / 100.0)
+
+
+@given(vals=st.lists(_money, min_size=1, max_size=60), parts=st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_decimal_sum_partitioning_independent(spark, vals, parts):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    a = df.agg(decimal_sum(F.col("v"), 2).alias("s")).collect()[0]["s"]
+    b = (
+        df.repartition(parts)
+        .agg(decimal_sum(F.col("v"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert a == b
+    assert abs(a - round(sum(vals), 2)) < 1e-9
+
+
+@given(ids=st.lists(st.integers(0, 2**40), min_size=1, max_size=50, unique=True))
+@settings(**_SETTINGS)
+def test_hash_bucket_stable_and_in_range(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    out1 = {r["k"]: r["b"] for r in df.select("k", hash_bucket(F.col("k")).alias("b")).collect()}
+    out2 = {
+        r["k"]: r["b"]
+        for r in df.repartition(5).select("k", hash_bucket(F.col("k")).alias("b")).collect()
+    }
+    assert out1 == out2
+    assert all(0 <= b < 100 for b in out1.values())
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=40), min_size=1, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_partition_counts(spark, texts):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["text"]: r["n_dupes"] for r in exact_dedup(df, ["text"]).collect()}
+    expected: dict[str, int] = {}
+    for t in texts:
+        expected[t] = expected.get(t, 0) + 1
+    assert out == expected
