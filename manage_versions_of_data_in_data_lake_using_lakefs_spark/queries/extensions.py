@@ -292,6 +292,92 @@ WHERE list_dot_product(a.q, b.q) / (SQRT(a.n) * SQRT(b.n)) >= 0.4
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (hash-min label
+    propagation, an iterative Spark loop with checkpointed lineage) over
+    the MinHash-LSH near-dup pairs. Oracle: recursive-CTE transitive
+    closure over the same pairs."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return connected_components(pairs)
+
+
+# the LSH pair CTEs, reused verbatim; the recursive closure rides on top
+_LSH_PAIR_CTES = f"""{_SQL_SHINGLES},
+vocab AS (
+    SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
+    FROM (SELECT DISTINCT shingle FROM sh)
+),
+ids AS (SELECT sh.id, vocab.sid FROM sh JOIN vocab USING (shingle)),
+hashed AS (
+    SELECT id, k,
+           (((1103515245::BIGINT * (k + 1) + 12345) % 2147483647) * sid
+            + (12345::BIGINT * (k + 1)) % 2147483647) % 2147483647 AS hk
+    FROM ids CROSS JOIN (SELECT unnest(range(16)) AS k)
+),
+sig AS (SELECT id, k, MIN(hk) AS mh FROM hashed GROUP BY id, k),
+band_sig AS (
+    SELECT id, CAST(FLOOR(k / 4.0) AS INT) AS band,
+           string_agg(CAST(mh AS VARCHAR), '_' ORDER BY k) AS sig
+    FROM sig GROUP BY 1, 2
+),
+candidates AS (
+    SELECT DISTINCT l.id AS a, r.id AS b
+    FROM band_sig l JOIN band_sig r
+      ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    JOIN candidates c ON c.a = a.id AND c.b = b.id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a, b
+    FROM inter JOIN sizes sa ON inter.a = sa.id JOIN sizes sb ON inter.b = sb.id
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+)"""
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_LSH_PAIR_CTES},
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+)
+SELECT x AS id, LEAST(x, MIN(y)) AS component FROM reach GROUP BY x
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: keep the min-id doc per cluster, pass
+    through unpaired docs untouched."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import dedup_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_survivors(docs, pairs).select("doc_id", "lang", "source")
+
+
+ORACLE_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_LSH_PAIR_CTES},
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS id, LEAST(x, MIN(y)) AS component FROM reach GROUP BY x),
+losers AS (SELECT id FROM comp WHERE id <> component)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -367,6 +453,8 @@ EXTENSION_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "sim_topk": q_sim_topk,
     "sim_topk_lsh": q_sim_topk_lsh,
 }
@@ -382,6 +470,8 @@ EXTENSION_ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_topk_lsh": ORACLE_SIM_TOPK_LSH,
 }

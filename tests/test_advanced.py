@@ -158,3 +158,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_connected_components_known_graph(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import connected_components
+
+    # two chains (1-2-3-4), (10-11), one isolate pair (20-21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "a long, b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_survivors_keeps_unpaired(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import dedup_survivors
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, t string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "a long, b long")
+    kept = sorted(r["doc_id"] for r in dedup_survivors(df, pairs).collect())
+    assert kept == [0, 1, 2, 4]
