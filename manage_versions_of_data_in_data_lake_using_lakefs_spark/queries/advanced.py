@@ -11,6 +11,8 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under
+                     # postponed annotations (PEP 563 stringifies them)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -315,7 +317,99 @@ SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# arrays / explode / UDF path / approx aggregates
+# ---------------------------------------------------------------------------
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + HOFs: per-order sorted quantity list (joined
+    to a string for engine-portable comparison), size, max."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("_qs")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("_qs").alias("n_items"),
+        F.array_join(F.transform("_qs", lambda x: x.cast("string")), ",").alias("qty_sorted"),
+        F.element_at("_qs", -1).alias("max_qty"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+SELECT l_orderkey,
+       CAST(len(qs) AS INT) AS n_items,
+       array_to_string(list_transform(qs, x -> CAST(x AS VARCHAR)), ',') AS qty_sorted,
+       qs[-1] AS max_qty
+FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs FROM lineitem GROUP BY 1)
+"""
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral view): one row per (doc, position, token)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
+    return toks.select("doc_id", F.posexplode("_t").alias("pos", "tok"))
+
+
+ORACLE_EXPLODE_TOKENS = """
+SELECT doc_id,
+       CAST(generate_subscripts(tk, 1) - 1 AS INT) AS pos,
+       unnest(tk) AS tok
+FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+    FROM documents
+)
+"""
+
+
+def q_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sanctioned Python escape hatch: an Arrow-vectorized
+    ``pandas_udf`` (batch columnar transfer, ~10-100× row-at-a-time UDFs).
+    The formula is fixed-order multiply/add, so even across engines the
+    doubles are bit-identical. Exists to pin the UDF plumbing —
+    native-expressible logic should stay native (SCALING.md)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(qty: pd.Series, price: pd.Series, disc: pd.Series) -> pd.Series:
+        return qty * 0.5 + price * 0.001 - disc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        score("l_quantity", "l_extendedprice", "l_discount").alias("score"),
+    )
+
+
+ORACLE_UDF_VECTORIZED = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity * 0.5 + l_extendedprice * 0.001 - l_discount AS score
+FROM lineitem
+"""
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, GK quantiles — the
+    reference's A3 approxQuantile flavor). Engine-specific sketch results
+    → rows-only driver check; tests/test_advanced.py bounds the error vs
+    exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
 ADVANCED_QUERIES = {
+    "array_funcs": q_array_funcs,
+    "explode_tokens": q_explode_tokens,
+    "udf_vectorized": q_udf_vectorized,
+    "agg_approx": q_agg_approx,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -330,6 +424,10 @@ ADVANCED_QUERIES = {
 }
 
 ADVANCED_ORACLES = {
+    "array_funcs": ORACLE_ARRAY_FUNCS,
+    "explode_tokens": ORACLE_EXPLODE_TOKENS,
+    "udf_vectorized": ORACLE_UDF_VECTORIZED,
+    # agg_approx: deliberately no oracle — sketches are engine-specific
     "agg_rollup": ORACLE_AGG_ROLLUP,
     "agg_cube": ORACLE_AGG_CUBE,
     "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,

@@ -178,3 +178,27 @@ def test_dedup_survivors_keeps_unpaired(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "a long, b long")
     kept = sorted(r["doc_id"] for r in dedup_survivors(df, pairs).collect())
     assert kept == [0, 1, 2, 4]
+
+
+def test_agg_approx_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import q_agg_approx
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["l_returnflag"]: r for r in q_agg_approx(spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.10
+        assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.10
