@@ -28,6 +28,7 @@ def main() -> None:
     headline = [
         "flagship",
         "agg_sum",
+        "tpch_q1",
         "tpch_q3",
         "tpch_q5",
         "window_top1",

@@ -405,7 +405,59 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide-aggregate scan.
+    Exact fixed-point sums; averages derived from exact sums/counts in a
+    fixed expression order so both engines emit identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    n = F.count(F.lit(1))
+    sum_qty = decimal_sum(F.col("l_quantity"), 2)
+    sum_base = decimal_sum(F.col("l_extendedprice"), 2)
+    sum_disc = decimal_sum(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    )
+    sum_charge = decimal_sum(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+        6,
+    )
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            sum_base.alias("sum_base_price"),
+            sum_disc.alias("sum_disc_price"),
+            sum_charge.alias("sum_charge"),
+            (sum_qty / n).alias("avg_qty"),
+            (sum_base / n).alias("avg_price"),
+            decimal_sum(F.col("l_discount"), 2).alias("sum_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {decimal_sum_sql('l_quantity', 2)} AS sum_qty,
+       {decimal_sum_sql('l_extendedprice', 2)} AS sum_base_price,
+       {decimal_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS sum_disc_price,
+       {decimal_sum_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 6)} AS sum_charge,
+       {decimal_sum_sql('l_quantity', 2)} / COUNT(*) AS avg_qty,
+       {decimal_sum_sql('l_extendedprice', 2)} / COUNT(*) AS avg_price,
+       {decimal_sum_sql('l_discount', 2)} AS sum_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 ADVANCED_QUERIES = {
+    "tpch_q1": q_tpch_q1,
     "array_funcs": q_array_funcs,
     "explode_tokens": q_explode_tokens,
     "udf_vectorized": q_udf_vectorized,
@@ -424,6 +476,7 @@ ADVANCED_QUERIES = {
 }
 
 ADVANCED_ORACLES = {
+    "tpch_q1": ORACLE_TPCH_Q1,
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,
     "udf_vectorized": ORACLE_UDF_VECTORIZED,
