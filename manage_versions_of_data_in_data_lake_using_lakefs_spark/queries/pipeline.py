@@ -240,6 +240,45 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: each click matched to the same
+    user's purchases in the preceding hour. Both sides watermarked +
+    range-bounded (the state-eviction contract); bounded replay equals
+    the batch interval join, which is the oracle."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import run_to_memory, stream_events_from_dir
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import interval_join
+
+    src = tempfile.mkdtemp(prefix="lakegraft_stream_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    stream = stream_events_from_dir(spark, src)
+    clicks = stream.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_event_id"), "user_id", F.col("ts").alias("r_ts"))
+    )
+    joined = interval_join(clicks, purchases, on="user_id", lookback="1 hour")
+    name = f"sij_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name)
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "p_event_id",
+        F.unix_micros(F.col("r_ts")).alias("p_ts_us"),
+    )
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = """
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       p.event_id AS p_event_id, epoch_us(p.ts) AS p_ts_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 PIPELINE_QUERIES = {
     "feature_pipeline": q_feature_pipeline,
     "multimodal_stats": q_multimodal_stats,
@@ -248,6 +287,7 @@ PIPELINE_QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_interval_join": q_streaming_interval_join,
 }
 
 PIPELINE_ORACLES = {
@@ -257,4 +297,5 @@ PIPELINE_ORACLES = {
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
+    "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
 }

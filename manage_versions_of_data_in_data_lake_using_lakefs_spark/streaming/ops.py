@@ -175,6 +175,65 @@ def sessionize(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: left rows match right rows with the same
+    key whose timestamp falls in [left_ts - lookback, left_ts].
+
+    Both sides carry watermarks and the join condition bounds the time
+    range — the two things Structured Streaming needs to know when
+    buffered state can be evicted (an unbounded stream-stream join would
+    grow state forever)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] >= F.expr(f"{left_ts} - INTERVAL {lookback}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "inner").drop(r[on])
+
+
+def stream_into_repo(
+    stream_df: DataFrame,
+    repo,
+    branch: str,
+    table: str,
+    checkpoint_dir: str,
+    commit_prefix: str = "stream batch",
+) -> None:
+    """Versioned streaming ingest: every micro-batch lands as an append +
+    commit on a LakeRepo branch (foreachBatch — the sink adapter for any
+    custom writer). The lake's history *is* the stream's batch log: each
+    commit message carries the batch id, time travel reproduces any
+    prefix of the stream, and a bad batch rolls back with ``revert``.
+
+    Drains with availableNow (bounded replay); a live deployment drops
+    the trigger and keeps the same code.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        repo.write_table(branch, table, batch_df, mode="append")
+        repo.commit(branch, f"{commit_prefix} {batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drain a stream with availableNow into an in-memory table (test/
     driver-contract helper): processes everything currently in the source,

@@ -131,3 +131,26 @@ def test_multimodal_stub_gating(spark):
     media = documents_as_media(load_table(spark, SF_CORRECT, "documents")).limit(5)
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(media, allow_stub=False).collect()
+
+
+def test_stream_into_repo_versioned_ingest(spark, tmp_path):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import stream_events_from_dir
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    src = str(tmp_path / "src")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = stream_events_from_dir(spark, src)
+    stream_into_repo(
+        stream, repo, "main", "events", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    # everything ingested, and the history records the batch commits
+    got = repo.read_table(spark, "events", "main")
+    assert got.count() == events.count()
+    messages = [c.message for c in repo.log("main")]
+    assert any(m.startswith("stream batch") for m in messages)
