@@ -456,8 +456,32 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two join keys — the layout
+    primitive behind two-dimensionally prunable compaction
+    (LakeRepo.compact(zorder_by=...))."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("z"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.layout import zorder_key_sql
+
+    return f"""
+SELECT l_orderkey, l_linenumber, {zorder_key_sql('l_partkey', 'l_suppkey')} AS z
+FROM lineitem
+"""
+
+
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "zorder_key": q_zorder_key,
     "array_funcs": q_array_funcs,
     "explode_tokens": q_explode_tokens,
     "udf_vectorized": q_udf_vectorized,
@@ -477,6 +501,7 @@ ADVANCED_QUERIES = {
 
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
+    "zorder_key": _zorder_oracle(),
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,
     "udf_vectorized": ORACLE_UDF_VECTORIZED,

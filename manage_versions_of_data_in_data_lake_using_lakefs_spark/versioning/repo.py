@@ -537,6 +537,7 @@ class LakeRepo:
         table: str,
         target_files: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
         message: str | None = None,
     ) -> "Commit":
         """Rewrite a table into a compact layout, as a new commit.
@@ -552,7 +553,11 @@ class LakeRepo:
         """
         df = self.read_table(spark, table, ref=branch)
         n = target_files or spark.sparkContext.defaultParallelism
-        if sort_by:
+        if zorder_by:
+            from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.layout import zorder_cluster
+
+            df = zorder_cluster(df, zorder_by[0], zorder_by[1], n)
+        elif sort_by:
             cols = [F.col(c) for c in sort_by]
             df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         else:

@@ -202,3 +202,32 @@ def test_agg_approx_within_tolerance(spark):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.10
         assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.10
+
+
+def test_zorder_key_known_values(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+    )
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    # interleave: x bits at even positions, y bits at odd
+    assert out == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (3, 5): 39}
+
+
+def test_compact_zorder_layout(spark, tmp_path):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    df = spark.range(0, 512).selectExpr(
+        "CAST(id % 32 AS LONG) AS x", "CAST(id / 32 AS LONG) AS y", "id AS v"
+    )
+    repo.write_table("main", "t", df.repartition(8))
+    repo.commit("main", "v0")
+    repo.compact(spark, "main", "t", target_files=4, zorder_by=("x", "y"))
+    out = repo.read_table(spark, "t", "main")
+    assert out.count() == 512
+    assert sorted(r["v"] for r in out.collect()) == list(range(512))
