@@ -230,6 +230,31 @@ FROM events
 # deterministic sampling / splits
 # ---------------------------------------------------------------------------
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-user count of events in the trailing 10 minutes
+    (value-based frame over integer microseconds — completes the frame
+    surface next to window_frame_sum's ROWS frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_10m")
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_last_10m
+FROM events
+"""
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/valid/test split, pure function of doc_id — stable
     under repartitioning and reruns (df.sample is neither)."""
@@ -494,6 +519,7 @@ ADVANCED_QUERIES = {
     "join_asof": q_join_asof,
     "sessionize": q_sessionize,
     "window_frame_sum": q_window_frame_sum,
+    "window_range_frame": q_window_range_frame,
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
     "sim_topk_ivf": q_sim_topk_ivf,
@@ -514,6 +540,7 @@ ADVANCED_ORACLES = {
     "join_asof": ORACLE_JOIN_ASOF,
     "sessionize": ORACLE_SESSIONIZE,
     "window_frame_sum": ORACLE_WINDOW_FRAME_SUM,
+    "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "sample_split": ORACLE_SAMPLE_SPLIT,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,

@@ -231,3 +231,21 @@ def test_compact_zorder_layout(spark, tmp_path):
     out = repo.read_table(spark, "t", "main")
     assert out.count() == 512
     assert sorted(r["v"] for r in out.collect()) == list(range(512))
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    import io as _io
+    import contextlib
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table, write_parquet
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_parted")
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120], plan
+    assert back.count() == ev.where(F.col("event_type") == "click").count()
