@@ -481,6 +481,46 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): aggregate → HAVING-style filter
+    on the aggregate → semi-join back into a 3-table join → global top-k.
+    The agg filter runs *before* the joins (classic cardinality killer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(decimal_sum(F.col("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > F.lit(180.0))
+    )
+    joined = (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .join(
+            F.broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey"
+        )
+    )
+    return (
+        joined.select("c_name", "o_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q18 = f"""
+WITH big AS (
+    SELECT l_orderkey AS o_orderkey,
+           {decimal_sum_sql('l_quantity', 2)} AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING {decimal_sum_sql('l_quantity', 2)} > 180.0
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_totalprice, b.total_qty
+FROM orders o JOIN big b USING (o_orderkey)
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two join keys — the layout
     primitive behind two-dimensionally prunable compaction
@@ -506,6 +546,7 @@ FROM lineitem
 
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q18": q_tpch_q18,
     "zorder_key": q_zorder_key,
     "array_funcs": q_array_funcs,
     "explode_tokens": q_explode_tokens,
@@ -527,6 +568,7 @@ ADVANCED_QUERIES = {
 
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q18": ORACLE_TPCH_Q18,
     "zorder_key": _zorder_oracle(),
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,
