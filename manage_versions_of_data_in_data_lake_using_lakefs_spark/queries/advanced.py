@@ -521,6 +521,63 @@ LIMIT 100
 """
 
 
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL entry point (Catalyst rewrites it
+    to the same left-semi plan as joins.semi_join — verified surface, not
+    just the DataFrame API)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem_sq l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+        )
+        """
+    )
+
+
+ORACLE_SUBQUERY_EXISTS = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+)
+"""
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The
+    average derives from an exact fixed-point sum over an exact count so
+    the threshold double is bit-identical cross-engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sc")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sc
+        WHERE o_totalprice > (
+            SELECT (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) / 100.0)
+                   / COUNT(*)
+            FROM orders_sc
+        )
+        """
+    )
+
+
+ORACLE_SUBQUERY_SCALAR = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+    SELECT (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) / 100.0)
+           / COUNT(*)
+    FROM orders
+)
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two join keys — the layout
     primitive behind two-dimensionally prunable compaction
@@ -547,6 +604,8 @@ FROM lineitem
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q18": q_tpch_q18,
+    "subquery_exists": q_subquery_exists,
+    "subquery_scalar": q_subquery_scalar,
     "zorder_key": q_zorder_key,
     "array_funcs": q_array_funcs,
     "explode_tokens": q_explode_tokens,
@@ -569,6 +628,8 @@ ADVANCED_QUERIES = {
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
     "tpch_q18": ORACLE_TPCH_Q18,
+    "subquery_exists": ORACLE_SUBQUERY_EXISTS,
+    "subquery_scalar": ORACLE_SUBQUERY_SCALAR,
     "zorder_key": _zorder_oracle(),
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,
