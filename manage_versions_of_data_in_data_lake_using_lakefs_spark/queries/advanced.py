@@ -578,6 +578,92 @@ WHERE o_totalprice > (
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: the canonical pushdown probe.
+    Three conjunctive filters over a 2-column projection — all four
+    predicates and both columns must reach the parquet scan
+    (test_advanced.py asserts PushedFilters), so at 100 TB this reads a
+    small fraction of the table and aggregates map-side to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= F.lit(0.05))
+            & (F.col("l_discount") <= F.lit(0.07))
+            & (F.col("l_quantity") < F.lit(24))
+        )
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_TPCH_Q6 = f"""
+SELECT {decimal_sum_sql('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo-revenue ratio: conditional aggregate over a
+    fact⋈dim join. The part side broadcasts; both sums are exact
+    fixed-point so the final ratio is one deterministic double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = decimal_sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)), 4
+    )
+    total = decimal_sum(disc_price, 4)
+    return joined.agg((F.lit(100.0) * promo / total).alias("promo_revenue"))
+
+
+ORACLE_TPCH_Q14 = f"""
+SELECT 100.0 * {decimal_sum_sql(
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END",
+    4,
+)} / ({decimal_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)}) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics in one window pass: ntile / percent_rank /
+    cume_dist per order-status partition. The order key is made unique
+    with the tiebreak column so tile assignment is partition-count
+    independent (ntile over ties is otherwise nondeterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+ORACLE_WINDOW_ANALYTICS = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(NTILE(4) OVER w AS INTEGER) AS tile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two join keys — the layout
     primitive behind two-dimensionally prunable compaction
@@ -603,9 +689,12 @@ FROM lineitem
 
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "subquery_exists": q_subquery_exists,
     "subquery_scalar": q_subquery_scalar,
+    "window_analytics": q_window_analytics,
     "zorder_key": q_zorder_key,
     "array_funcs": q_array_funcs,
     "explode_tokens": q_explode_tokens,
@@ -627,9 +716,12 @@ ADVANCED_QUERIES = {
 
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q6": ORACLE_TPCH_Q6,
+    "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q18": ORACLE_TPCH_Q18,
     "subquery_exists": ORACLE_SUBQUERY_EXISTS,
     "subquery_scalar": ORACLE_SUBQUERY_SCALAR,
+    "window_analytics": ORACLE_WINDOW_ANALYTICS,
     "zorder_key": _zorder_oracle(),
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,

@@ -249,3 +249,28 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120], plan
     assert back.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_q6_predicates_and_projection_reach_the_scan(spark):
+    """TPC-H Q6 is the pushdown probe: all filter columns must appear in
+    PushedFilters and the scan's ReadSchema must be the 4 referenced
+    columns, not the full 11-column lineitem schema."""
+    import contextlib
+    import io as _io
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import q_tpch_q6
+
+    df = q_tpch_q6(spark, "/root/testdata/sf0.001")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], pushed[0]
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "l_extendedprice" in read[0]
+    for absent in ("l_orderkey", "l_returnflag", "l_tax"):
+        assert absent not in read[0], read[0]
