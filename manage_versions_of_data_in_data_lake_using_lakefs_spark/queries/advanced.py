@@ -637,6 +637,87 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item report: 4-way join (two broadcast dims),
+    group-by on a wide composite key, exact revenue, deterministic global
+    top-20 (c_custkey tiebreak). At scale the only large shuffles are the
+    fact-side join on o_orderkey and the final aggregation; nation and
+    customer-as-dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {decimal_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-order-count distribution: LEFT OUTER join so
+    zero-order customers survive with count 0, then a second aggregation
+    over the first's output — the double-agg re-shuffles on a key derived
+    from the first shuffle's result, a shape AQE coalesces well."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_TPCH_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics in one window pass: ntile / percent_rank /
     cume_dist per order-status partition. The order key is made unique
@@ -690,6 +771,8 @@ FROM lineitem
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "subquery_exists": q_subquery_exists,
@@ -717,6 +800,8 @@ ADVANCED_QUERIES = {
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
     "tpch_q6": ORACLE_TPCH_Q6,
+    "tpch_q10": ORACLE_TPCH_Q10,
+    "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q18": ORACLE_TPCH_Q18,
     "subquery_exists": ORACLE_SUBQUERY_EXISTS,
