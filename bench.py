@@ -31,6 +31,10 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q6",
+        "tpch_q10",
+        "tpch_q13",
+        "tpch_q18",
         "window_top1",
         "window_mode",
         "string_indexer",

@@ -202,6 +202,29 @@ class LakeRepo:
         only the ref's staged pointer changes."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
+        if mode == "append":
+            # schema evolution policy (Delta-like): appends may ADD columns
+            # (old rows read back null under merge_schema=True) but may not
+            # CHANGE an existing column's type — that would poison every
+            # future merged read of the table.
+            try:
+                prior = self.read_table(
+                    df.sparkSession, table, branch, include_staged=True
+                )
+            except KeyError:
+                prior = None
+            if prior is not None:
+                old = {f.name: f.dataType for f in prior.schema.fields}
+                clashes = [
+                    (f.name, old[f.name].simpleString(), f.dataType.simpleString())
+                    for f in df.schema.fields
+                    if f.name in old and f.dataType != old[f.name]
+                ]
+                if clashes:
+                    raise ValueError(
+                        f"append to {table!r} changes column types: {clashes}; "
+                        "overwrite instead or cast to the existing schema"
+                    )
         file_id = new_id()
         out_dir = self._data_dir(table, file_id)
         writer = df.write.mode("errorifexists")
@@ -280,9 +303,14 @@ class LakeRepo:
         ref: str = "main",
         version_as_of: int | None = None,
         include_staged: bool = False,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Read a table snapshot. ``ref`` may be a branch, commit id, or
-        ``branch~n``; ``version_as_of`` pins a global version (V14)."""
+        ``branch~n``; ``version_as_of`` pins a global version (V14).
+        ``merge_schema=True`` unions the schemas of all snapshot files
+        (columns added by later appends surface as null on older rows) at
+        the cost of reading every file's footer — leave off for
+        fixed-schema tables."""
         if include_staged and version_as_of is None and os.path.exists(self._ref_file(ref)):
             refd = self._read_ref(ref)
             entry = refd["staged"].get(table)
@@ -290,17 +318,22 @@ class LakeRepo:
                 if entry["op"] == "drop":
                     raise KeyError(f"table {table} dropped in staging on {ref}")
                 files = entry["files"]
-                return self._read_files(spark, files)
+                return self._read_files(spark, files, merge_schema)
         c = self._resolve(ref, version_as_of)
         if table not in c.tables:
             raise KeyError(f"table {table} not in snapshot {c.id[:8]} ({ref})")
-        return self._read_files(spark, c.tables[table])
+        return self._read_files(spark, c.tables[table], merge_schema)
 
-    def _read_files(self, spark: SparkSession, rel_files: list[str]) -> DataFrame:
+    def _read_files(
+        self, spark: SparkSession, rel_files: list[str], merge_schema: bool = False
+    ) -> DataFrame:
         paths = [os.path.join(self.root, f) for f in rel_files]
         if not paths:
             raise KeyError("empty table snapshot")
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*paths)
 
     # -- history surgery (V9) ----------------------------------------------
     def revert(self, branch: str, to: str, message: str | None = None) -> Commit:

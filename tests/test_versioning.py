@@ -306,3 +306,39 @@ def test_compact_sorted_layout(spark, repo):
     out = repo.read_table(spark, "t", "main")
     assert out.count() == 1000
     assert out.agg({"id": "min"}).collect()[0][0] == 0
+
+
+def test_schema_evolution_append_adds_column(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    c0 = repo.commit("main", "v0: two columns")
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "id INT, val STRING, score DOUBLE")
+    repo.write_table("main", "t", evolved, mode="append")
+    repo.commit("main", "v1: append adds score column")
+
+    merged = repo.read_table(spark, "t", "main", merge_schema=True)
+    assert set(merged.columns) == {"id", "val", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+    # time travel to v0 still sees the original two-column schema
+    old = repo.read_table(spark, "t", c0.id, merge_schema=True)
+    assert set(old.columns) == {"id", "val"}
+
+
+def test_schema_evolution_rejects_type_change(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "v0")
+    clash = spark.createDataFrame([(2, 99)], "id INT, val INT")
+    with pytest.raises(ValueError, match="changes column types"):
+        repo.write_table("main", "t", clash, mode="append")
+    # overwrite (a new logical version) remains legal
+    repo.write_table("main", "t", clash, mode="overwrite")
+    repo.commit("main", "v1: schema replaced via overwrite")
+    assert repo.read_table(spark, "t", "main").schema["val"].dataType.simpleString() == "int"
+
+
+def test_schema_check_covers_staged_appends(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    # no commit yet — the staged write must still gate the second append
+    clash = spark.createDataFrame([(2, 99)], "id INT, val INT")
+    with pytest.raises(ValueError, match="changes column types"):
+        repo.write_table("main", "t", clash, mode="append")
