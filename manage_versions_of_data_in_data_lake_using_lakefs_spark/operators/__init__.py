@@ -13,4 +13,5 @@ Submodules map to SURVEY.md §2 groups:
 - ``text``        — language-ID, quality scoring, token counting,
                     fingerprinting
 - ``multimodal``  — binary-column (image/audio/video) plumbing
+- ``mutations``   — MERGE INTO-style row-level upsert
 """

@@ -718,6 +718,41 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO-style upsert (operators/mutations.py): a deterministic
+    change set — every 97th order repriced (UPDATE), every 101st re-keyed
+    negative (INSERT) — merged into orders. One broadcastable anti-join
+    over the target; the big side never shuffles."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.mutations import upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    changed = orders.withColumn("o_orderstatus", F.lit("U")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    updates = changed.where(F.col("o_orderkey") % 97 == 0)
+    inserts = changed.where(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    )
+    return upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+
+
+ORACLE_UPSERT = """
+WITH src AS (
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT -o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT t.* FROM orders t
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT * FROM src
+"""
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics in one window pass: ntile / percent_rank /
     cume_dist per order-status partition. The order key is made unique
@@ -778,6 +813,7 @@ ADVANCED_QUERIES = {
     "subquery_exists": q_subquery_exists,
     "subquery_scalar": q_subquery_scalar,
     "window_analytics": q_window_analytics,
+    "upsert": q_upsert,
     "zorder_key": q_zorder_key,
     "array_funcs": q_array_funcs,
     "explode_tokens": q_explode_tokens,
@@ -807,6 +843,7 @@ ADVANCED_ORACLES = {
     "subquery_exists": ORACLE_SUBQUERY_EXISTS,
     "subquery_scalar": ORACLE_SUBQUERY_SCALAR,
     "window_analytics": ORACLE_WINDOW_ANALYTICS,
+    "upsert": ORACLE_UPSERT,
     "zorder_key": _zorder_oracle(),
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,

@@ -599,6 +599,30 @@ class LakeRepo:
         self.write_table(branch, table, df, mode="overwrite")
         return self.commit(branch, message or f"compact {table} -> {n} files")
 
+    def upsert_table(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+        message: str | None = None,
+    ) -> "Commit":
+        """Row-level MERGE INTO: apply ``source`` changes to the branch-head
+        snapshot on ``keys`` and commit the merged table as a new version.
+        The reference's only mutation is whole-table overwrite
+        (``jobs/vdt4.py:76-77``); this gives Delta-style incremental upsert
+        on top of the same immutable-snapshot storage."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.mutations import upsert
+
+        current = self.read_table(spark, table, ref=branch, include_staged=True)
+        merged = upsert(current, source, keys, when_matched)
+        self.write_table(branch, table, merged, mode="overwrite")
+        return self.commit(
+            branch, message or f"upsert {table} on {','.join(keys)}"
+        )
+
     # -- vacuum (V15) ------------------------------------------------------
     def vacuum(self, keep_history: bool = True, dry_run: bool = False) -> list[str]:
         """Delete data directories unreachable from any branch ref.

@@ -342,3 +342,32 @@ def test_schema_check_covers_staged_appends(spark, repo):
     clash = spark.createDataFrame([(2, 99)], "id INT, val INT")
     with pytest.raises(ValueError, match="changes column types"):
         repo.write_table("main", "t", clash, mode="append")
+
+
+def test_upsert_table_update_and_insert(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "old"), (2, "keep")]))
+    repo.commit("main", "v0")
+    src = _df(spark, [(1, "new"), (3, "inserted")])
+    repo.upsert_table(spark, "main", "t", src, ["id"])
+    got = {r.id: r.val for r in repo.read_table(spark, "t", "main").collect()}
+    assert got == {1: "new", 2: "keep", 3: "inserted"}
+    # prior version untouched (time travel)
+    old = {r.id: r.val for r in repo.read_table(spark, "t", "main~1").collect()}
+    assert old == {1: "old", 2: "keep"}
+
+
+def test_upsert_ignore_mode_keeps_target_rows(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "old")]))
+    repo.commit("main", "v0")
+    src = _df(spark, [(1, "new"), (2, "inserted")])
+    repo.upsert_table(spark, "main", "t", src, ["id"], when_matched="ignore")
+    got = {r.id: r.val for r in repo.read_table(spark, "t", "main").collect()}
+    assert got == {1: "old", 2: "inserted"}
+
+
+def test_upsert_rejects_schema_mismatch(spark, repo):
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "v0")
+    bad = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(ValueError, match="schema"):
+        repo.upsert_table(spark, "main", "t", bad, ["id"])
