@@ -274,3 +274,42 @@ def test_q6_predicates_and_projection_reach_the_scan(spark):
     assert "l_extendedprice" in read[0]
     for absent in ("l_orderkey", "l_returnflag", "l_tax"):
         assert absent not in read[0], read[0]
+
+
+def test_q10_dims_broadcast_no_sort_merge(spark):
+    """SCALING.md claims customer/nation broadcast in tpch_q10 — enforce
+    it so a threshold or hint regression can't silently turn the dims
+    into fact-sized shuffles."""
+    import contextlib
+    import io as _io
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import q_tpch_q10
+
+    df = q_tpch_q10(spark, "/root/testdata/sf0.001")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_bench_headliners_resolve():
+    """Every name bench.py times must exist in the registry — a renamed
+    query must fail here, not in the driver's per-round bench run."""
+    import ast
+    import pathlib
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_queries
+
+    src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+    names = {
+        node.value
+        for node in ast.walk(ast.parse(src))
+        if isinstance(node, ast.Constant) and isinstance(node.value, str)
+    }
+    registry = set(all_queries())
+    missing = {
+        n for n in names if n.startswith(("tpch_", "dedup_", "sim_", "window_", "join_", "agg_", "text_"))
+        or n in ("flagship", "string_indexer", "sessionize", "sample_split")
+    } - registry
+    assert not missing, f"bench.py references unknown queries: {missing}"
