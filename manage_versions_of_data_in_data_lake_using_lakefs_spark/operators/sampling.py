@@ -25,8 +25,10 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
 
     The key is reduced mod P before the multiply — (A·(k mod P) + B) mod P
     equals (A·k + B) mod P, but A·k itself overflows int64 for k ≳ 8.4e9
-    while A·(k mod P) peaks at ~2.3e18, inside int64."""
-    k = key.cast("long") % F.lit(_P)
+    while A·(k mod P) peaks at ~2.3e18, inside int64. ``pmod`` (not ``%``,
+    which keeps the dividend's sign) so negative keys still land in
+    [0, buckets) instead of all falling below every split threshold."""
+    k = F.pmod(key.cast("long"), F.lit(_P))
     return ((F.lit(_A).cast("long") * k + F.lit(_B)) % F.lit(_P)) % F.lit(buckets)
 
 

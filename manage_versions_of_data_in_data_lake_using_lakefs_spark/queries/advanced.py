@@ -263,11 +263,15 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SAMPLE_SPLIT = """
+WITH h AS (  -- pmod key reduction, negative-key safe like the Spark side
+    SELECT doc_id,
+           ((1103515245::BIGINT * ((doc_id % 2147483647 + 2147483647) % 2147483647)
+             + 12345) % 2147483647) % 100 AS b
+    FROM documents
+)
 SELECT doc_id,
-       CASE WHEN ((1103515245::BIGINT * doc_id + 12345) % 2147483647) % 100 < 80 THEN 'train'
-            WHEN ((1103515245::BIGINT * doc_id + 12345) % 2147483647) % 100 < 90 THEN 'valid'
-            ELSE 'test' END AS split
-FROM documents
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+FROM h
 """
 
 
@@ -283,7 +287,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_STRATIFIED = """
 WITH h AS (
     SELECT doc_id, lang,
-           ((1103515245::BIGINT * doc_id + 12345) % 2147483647) % 100 AS b
+           ((1103515245::BIGINT * ((doc_id % 2147483647 + 2147483647) % 2147483647)
+             + 12345) % 2147483647) % 100 AS b
     FROM documents
 )
 SELECT doc_id, lang FROM h

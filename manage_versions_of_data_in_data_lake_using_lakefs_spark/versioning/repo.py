@@ -55,6 +55,13 @@ class MergeConflict(Exception):
         self.conflicts = conflicts
 
 
+class DirtyBranchError(Exception):
+    """Raised when a history-moving op (merge/revert) targets a branch with
+    uncommitted staged changes. lakeFS refuses these too: silently dropping
+    or carrying staged writes across a head move loses data either way —
+    the caller must ``commit`` or ``reset`` first."""
+
+
 class LakeRepo:
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
@@ -241,6 +248,11 @@ class LakeRepo:
                     self.get_commit(ref["head"]).tables.get(table, [])
                 )
                 staged[table] = {"files": base + [rel], "op": mode}
+            elif entry["op"] == "drop":
+                # append after a staged drop: the drop removed all prior
+                # files, so the table restarts from just the new write —
+                # leaving op='drop' would discard the append at commit
+                staged[table] = {"files": [rel], "op": "append"}
             else:
                 entry["files"].append(rel)
             atomic_write_json(self._ref_file(branch), ref)
@@ -343,6 +355,11 @@ class LakeRepo:
         target = self._resolve(to)
         with RepoLock(self.root):
             ref = self._read_ref(branch)
+            if ref["staged"]:
+                raise DirtyBranchError(
+                    f"revert on {branch}: uncommitted staged changes for "
+                    f"{sorted(ref['staged'])}; commit or reset first"
+                )
             parent = self.get_commit(ref["head"])
             c = Commit(
                 id=new_id(),
@@ -423,8 +440,15 @@ class LakeRepo:
         degrades to a *row-level* three-way merge on that primary key
         (Spark full-outer joins; both-sides-changed-same-key follows
         ``on_conflict``: 'error' | 'source' | 'dest').
-        Fast-forwards when dest is an ancestor of source.
+        Fast-forwards when dest is an ancestor of source. Refuses a dirty
+        dest branch (lakeFS semantics): moving the head would orphan or
+        silently re-target staged writes.
         """
+        if self._read_ref(dest)["staged"]:
+            raise DirtyBranchError(
+                f"merge into {dest}: uncommitted staged changes; "
+                "commit or reset first"
+            )
         src_c, dst_c = self._resolve(source), self._resolve(dest)
         base_id = self._merge_base(src_c.id, dst_c.id)
         if base_id == src_c.id:
@@ -432,7 +456,13 @@ class LakeRepo:
         if base_id == dst_c.id:
             # fast-forward
             with RepoLock(self.root):
-                atomic_write_json(self._ref_file(dest), {"head": src_c.id, "staged": {}})
+                ref = self._read_ref(dest)
+                if ref["staged"]:
+                    raise DirtyBranchError(
+                        f"merge into {dest}: staged changes appeared mid-merge"
+                    )
+                ref["head"] = src_c.id
+                atomic_write_json(self._ref_file(dest), ref)
             return src_c
         base_tables = self.get_commit(base_id).tables if base_id else {}
         merged: dict[str, list[str]] = {}
@@ -474,7 +504,11 @@ class LakeRepo:
                 meta={"merge_source": src_c.id, "row_merged": row_merges},
             )
             atomic_write_json(self._commit_file(c.id), c.to_json())
-            atomic_write_json(self._ref_file(dest), {"head": c.id, "staged": {}})
+            # carry (don't wipe) anything staged concurrently since the
+            # entry dirty-check — the merge only moves the head
+            ref = self._read_ref(dest)
+            ref["head"] = c.id
+            atomic_write_json(self._ref_file(dest), ref)
             return c
 
     def _row_merge(
@@ -624,7 +658,12 @@ class LakeRepo:
         )
 
     # -- vacuum (V15) ------------------------------------------------------
-    def vacuum(self, keep_history: bool = True, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self,
+        keep_history: bool = True,
+        dry_run: bool = False,
+        grace_seconds: float = 300.0,
+    ) -> list[str]:
         """Delete data directories unreachable from any branch ref.
 
         ``keep_history=True`` (default) keeps every file referenced by any
@@ -632,7 +671,23 @@ class LakeRepo:
         ``keep_history=False`` keeps only branch *heads* (+staged), like an
         aggressive Delta ``VACUUM RETAIN 0`` — commits stay readable as
         metadata but old snapshots lose their data files.
+
+        Runs under ``RepoLock``: the live-set scan must not race a
+        concurrent ``write_table`` whose parquet dir exists but whose
+        staged pointer isn't recorded yet (the file would look dead and
+        get deleted). ``write_table`` records the pointer under the same
+        lock, so holding it here makes scan+delete atomic vs staging —
+        and because the parquet write itself happens *before* the writer
+        takes the lock, ``grace_seconds`` additionally spares any data dir
+        modified within the window (a just-landed write racing toward its
+        staging record). Set 0 only when no writers can be active.
         """
+        with RepoLock(self.root):
+            return self._vacuum_locked(keep_history, dry_run, grace_seconds)
+
+    def _vacuum_locked(
+        self, keep_history: bool, dry_run: bool, grace_seconds: float
+    ) -> list[str]:
         live: set[str] = set()
         for br in self.branches():
             ref = self._read_ref(br)
@@ -654,13 +709,22 @@ class LakeRepo:
                 for files in self.head(br).tables.values():
                     live.update(files)
         removed: list[str] = []
+        now = time.time()
         data_root = os.path.join(self.root, "data")
         for table in os.listdir(data_root) if os.path.exists(data_root) else []:
             tdir = os.path.join(data_root, table)
             for file_id in os.listdir(tdir):
-                rel = os.path.relpath(os.path.join(tdir, file_id), self.root)
-                if rel not in live:
-                    removed.append(rel)
-                    if not dry_run:
-                        shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                full = os.path.join(tdir, file_id)
+                rel = os.path.relpath(full, self.root)
+                if rel in live:
+                    continue
+                if grace_seconds > 0:
+                    try:
+                        if now - os.path.getmtime(full) < grace_seconds:
+                            continue  # possibly an in-flight write
+                    except OSError:
+                        continue
+                removed.append(rel)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
         return sorted(removed)

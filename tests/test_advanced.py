@@ -313,3 +313,21 @@ def test_bench_headliners_resolve():
         or n in ("flagship", "string_indexer", "sessionize", "sample_split")
     } - registry
     assert not missing, f"bench.py references unknown queries: {missing}"
+
+
+def test_hash_split_negative_keys_route_correctly(spark):
+    """pmod regression: negative keys must land in [0, 100) like positive
+    ones — Spark's `%` keeps the dividend sign, which silently sent every
+    negative-key row to the first split."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_bucket, hash_split
+
+    df = spark.range(-500, 500).withColumnRenamed("id", "k")
+    buckets = df.select(hash_bucket(F.col("k")).alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    ).collect()[0]
+    assert 0 <= buckets.lo and buckets.hi < 100
+    splits = {r.split for r in hash_split(df, "k").select("split").distinct().collect()}
+    assert splits == {"train", "valid", "test"}
+    # negative keys alone must not collapse into a single split
+    neg = hash_split(df.where(F.col("k") < 0), "k")
+    assert neg.select("split").distinct().count() == 3

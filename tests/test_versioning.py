@@ -232,7 +232,7 @@ def test_vacuum_keep_history(spark, repo, tmp_path):
     # staged-then-reset write becomes orphaned
     repo.write_table("main", "t", _df(spark, [(1, "orphan")]))
     repo.reset("main")
-    removed = repo.vacuum(keep_history=True)
+    removed = repo.vacuum(keep_history=True, grace_seconds=0)
     assert len(removed) == 1  # only the orphan
     # time travel still works
     assert repo.read_table(spark, "t", "main~1").collect()[0].val == "v0"
@@ -243,7 +243,7 @@ def test_vacuum_heads_only(spark, repo):
     repo.commit("main", "v0")
     repo.write_table("main", "t", _df(spark, [(1, "v1")]))
     repo.commit("main", "v1")
-    removed = repo.vacuum(keep_history=False)
+    removed = repo.vacuum(keep_history=False, grace_seconds=0)
     assert len(removed) == 1  # v0 files gone
     assert repo.read_table(spark, "t", "main").collect()[0].val == "v1"
     with pytest.raises(Exception):
@@ -371,3 +371,53 @@ def test_upsert_rejects_schema_mismatch(spark, repo):
     bad = spark.createDataFrame([(1,)], "id INT")
     with pytest.raises(ValueError, match="schema"):
         repo.upsert_table(spark, "main", "t", bad, ["id"])
+
+
+def test_merge_refuses_dirty_dest(spark, repo):
+    """V12 data-loss guard: merging into a branch with staged writes must
+    raise (lakeFS refuses dirty-branch merges) and leave staging intact."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import DirtyBranchError
+
+    repo.write_table("main", "t", _df(spark, [(1, "base")]))
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.write_table("dev", "t", _df(spark, [(1, "dev")]))
+    repo.commit("dev", "dev change")
+    # dirty the destination
+    repo.write_table("main", "staged_tbl", _df(spark, [(9, "staged")]))
+    with pytest.raises(DirtyBranchError):
+        repo.merge(spark, "dev", "main")
+    assert "staged_tbl" in repo.status("main")  # staged write survived
+    # after committing, the merge (fast-forward) goes through
+    repo.commit("main", "keep staged")
+    repo.merge(spark, "dev", "main")
+    assert repo.read_table(spark, "t", "main").collect()[0].val == "dev"
+    assert repo.read_table(spark, "staged_tbl", "main").count() == 1
+
+
+def test_revert_refuses_dirty_branch(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import DirtyBranchError
+
+    repo.write_table("main", "t", _df(spark, [(1, "v0")]))
+    c0 = repo.commit("main", "v0")
+    repo.write_table("main", "t", _df(spark, [(1, "v1")]))
+    repo.commit("main", "v1")
+    repo.write_table("main", "t", _df(spark, [(1, "uncommitted")]))
+    with pytest.raises(DirtyBranchError):
+        repo.revert("main", c0.id)
+    assert "t" in repo.status("main")
+    repo.reset("main")
+    repo.revert("main", c0.id)
+    assert repo.read_table(spark, "t", "main").collect()[0].val == "v0"
+
+
+def test_append_after_staged_drop_keeps_append(spark, repo):
+    """Staging drop→append then committing must yield exactly the appended
+    rows (previously the lingering op='drop' threw the append away)."""
+    repo.write_table("main", "t", _df(spark, [(1, "old"), (2, "old")]))
+    repo.commit("main", "v0")
+    repo.remove_table("main", "t")
+    repo.write_table("main", "t", _df(spark, [(3, "new")]), mode="append")
+    repo.commit("main", "drop then append")
+    rows = {(r.id, r.val) for r in repo.read_table(spark, "t", "main").collect()}
+    assert rows == {(3, "new")}
