@@ -313,17 +313,44 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Pairing here is the O(n²) verify (fine for corpus slices / within LSH
-    buckets); the scale path blocks on signature prefixes first — same
-    banding idea as MinHash-LSH, one extra groupBy.
+    Candidate generation is *banded*, not all-pairs: the ``bits``-bit
+    signature splits into ``max_hamming + 1`` contiguous bit-bands, and by
+    pigeonhole any pair within the hamming budget is bit-identical on at
+    least one band — so candidates come from a self-equi-join on
+    (band index, band value), the same shuffle-key trick as MinHash-LSH.
+    Recall is exact (identical output to the O(n²) formulation, which is
+    what the DuckDB oracle still runs); cost scales with band-bucket
+    occupancy instead of n². The hamming verify runs on the carried
+    signatures — no join back to the signature table.
     """
+    n_bands = max_hamming + 1
+    band_bits = -(-bits // n_bands)  # ceil: last band may be narrower
     sig = simhash(df, text_col, id_col, bits, use_fast_hash)
-    a = sig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
-    return (
-        a.crossJoin(b)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.floor(F.col("simhash") / F.lit(float(2 ** (b * band_bits)))).cast("long")
+                    % F.lit(2**band_bits)
+                ).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("id", "simhash", F.explode(bands).alias("bv")).select(
+        "id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    left = banded.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "band", "val")
+    right = banded.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "band", "val")
+    candidates = (
+        left.join(right, on=["band", "val"])
         .where(F.col("a") < F.col("b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .select("a", "b", "ha", "hb")
+        .distinct()  # a pair may collide on several bands
+    )
+    return (
+        candidates.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("a", "b", "hamming")
     )

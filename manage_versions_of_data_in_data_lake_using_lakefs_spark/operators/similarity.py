@@ -70,6 +70,44 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path for
+    ``cosine_pairs``: candidates are pairs sharing a random-hyperplane LSH
+    bucket (one equi-join on the bucket key, no cross join), verified with
+    the exact quantized cosine inside the bucket.
+
+    Recall is the standard LSH trade: a pair split by any hyperplane lands
+    in different buckets and is not emitted (probability shrinks as cosine
+    → 1, which is exactly the near-dup regime). The DuckDB oracle mirrors
+    the same deterministic planes, so results stay bit-identical.
+    """
+    q = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("_q"),
+        F.col("_n"),
+        lsh_bucket(F.col("_q"), n_planes).alias("bucket"),
+    )
+    a = q.select(
+        F.col("id").alias("a"), F.col("_q").alias("qa"), F.col("_n").alias("na"), "bucket"
+    )
+    b = q.select(
+        F.col("id").alias("b"), F.col("_q").alias("qb"), F.col("_n").alias("nb"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_q(dot_q(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("a", "b", "cos")
+    )
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

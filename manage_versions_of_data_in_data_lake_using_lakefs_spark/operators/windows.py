@@ -68,19 +68,31 @@ def global_rank(df: DataFrame, order_by: Sequence[Column], out: str = "id") -> D
 
 
 def global_row_number_scalable(
-    df: DataFrame, order_col: str, out: str = "id", ascending: bool = True
+    df: DataFrame,
+    order_cols: str | Sequence[str],
+    out: str = "id",
+    ascending: bool = True,
 ) -> DataFrame:
-    """Scale-safe global sequential ID: range-partition by the sort key,
+    """Scale-safe global sequential ID: range-partition by the sort keys,
     number within partitions, then add each partition's cumulative offset.
 
-    ``repartitionByRange`` samples the key distribution (no single-task
-    funnel); per-partition counts are a tiny driver-side collect
-    (#partitions rows); the offset join is a broadcast. Total extra cost:
-    one count per partition — vs. the reference's all-rows-in-one-task sort.
+    ``order_cols`` must be a *total* order (include a unique tiebreaker)
+    for a deterministic, engine-independent numbering — equivalent to
+    ``ROW_NUMBER() OVER (ORDER BY cols)`` but never funnels the data
+    through one task: ``repartitionByRange`` samples the key distribution,
+    each partition numbers locally, and the per-partition offsets come
+    from a #partitions-row aggregate (its window runs single-partition,
+    but over ~dozens of count rows — metadata, not data; the range
+    exchange feeding both branches is reused, so the table shuffles once).
+    Even if sampling places range boundaries differently across runs, the
+    final ids are unchanged — numbering follows the total order, only
+    *where* a row is numbered moves.
     """
-    key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    parted = df.repartitionByRange(key).withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(key, F.monotonically_increasing_id())
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    keys = [F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols]
+    parted = df.repartitionByRange(*keys).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*keys)
     numbered = parted.withColumn("_local", F.row_number().over(w))
     offsets = (
         numbered.groupBy("_pid")
@@ -98,6 +110,6 @@ def global_row_number_scalable(
     )
     return (
         numbered.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, F.col("_local") + F.col("_offset"))
+        .withColumn(out, (F.col("_local") + F.col("_offset")).cast("long"))
         .drop("_pid", "_local", "_offset")
     )

@@ -498,11 +498,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(decimal_sum(F.col("l_quantity"), 2).alias("total_qty"))
         .where(F.col("total_qty") > F.lit(180.0))
     )
+    # no forced broadcast on customer: at TPC-H scale it is 1.5M rows × SF
+    # and a hint would bypass AQE's size check (OOM at the 100× target);
+    # AQE/size stats still pick BHJ when it actually fits
     joined = (
         orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
-        .join(
-            F.broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey"
-        )
+        .join(cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
     )
     return (
         joined.select("c_name", "o_custkey", "o_orderkey", "o_totalprice", "total_qty")
@@ -643,11 +644,11 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
 
 
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 returned-item report: 4-way join (two broadcast dims),
-    group-by on a wide composite key, exact revenue, deterministic global
-    top-20 (c_custkey tiebreak). At scale the only large shuffles are the
-    fact-side join on o_orderkey and the final aggregation; nation and
-    customer-as-dim broadcast."""
+    """TPC-H Q10 returned-item report: 4-way join, group-by on a wide
+    composite key, exact revenue, deterministic global top-20 (c_custkey
+    tiebreak). Nation (25 rows at every SF) keeps an explicit broadcast
+    hint; customer does NOT — it grows with SF, so the join strategy is
+    left to AQE/size stats (BHJ when it fits, shuffle join when not)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -659,7 +660,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
             & (F.col("o_orderdate") < F.lit("1996-07-01"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (

@@ -19,7 +19,7 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup imp
     simhash_pairs,
 )
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
-    cosine_pairs,
+    cosine_pairs_lsh,
     topk_bruteforce,
     topk_lsh,
 )
@@ -279,15 +279,36 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (the 100 TB path): candidates share a
+    random-hyperplane bucket — one equi-join, no cross join — then exact
+    quantized-cosine verify in-bucket. The oracle reimplements the same
+    deterministic bucketing (same planes), so the match is bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs_lsh(emb, threshold=0.4)
 
+
+# the hyperplane/bucket CTEs, shared with ORACLE_SIM_TOPK_LSH
+_SQL_LSH_VEC = """
+planes AS (
+    SELECT p, list_transform(range(64),
+               d -> CAST((1103515245::BIGINT * (p * 64 + d) + 12345) % 2039 - 1019 AS DOUBLE)) AS w
+    FROM (SELECT unnest(range(8)) AS p)
+),
+buckets AS (
+    SELECT qn.id,
+           CAST(SUM(CASE WHEN list_dot_product(qn.q, planes.w) >= 0
+                         THEN CAST(POWER(2.0, planes.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM qn CROSS JOIN planes GROUP BY qn.id
+),
+vec AS (SELECT qn.id, qn.q, qn.n, b.bucket FROM qn JOIN buckets b USING (id))
+"""
 
 ORACLE_DEDUP_EMBEDDING_COSINE = f"""
-WITH {_SQL_QVEC}
+WITH {_SQL_QVEC},
+{_SQL_LSH_VEC}
 SELECT a.id AS a, b.id AS b,
        list_dot_product(a.q, b.q) / (SQRT(a.n) * SQRT(b.n)) AS cos
-FROM qn a JOIN qn b ON a.id < b.id
+FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.id < b.id
 WHERE list_dot_product(a.q, b.q) / (SQRT(a.n) * SQRT(b.n)) >= 0.4
 """
 

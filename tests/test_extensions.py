@@ -131,3 +131,48 @@ def test_language_id_on_real_sentences(spark):
     df = spark.createDataFrame(rows, "doc_id INT, text STRING, expected STRING")
     out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unk"}
+
+
+def test_simhash_pairs_plan_has_no_cross_join(spark):
+    """The banded candidate generator must plan as an equi-join on
+    (band, val) — never CartesianProduct / BroadcastNestedLoop."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import simhash_pairs
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = simhash_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cosine_pairs_lsh_plan_has_no_cross_join(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_pairs_lsh
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = cosine_pairs_lsh(df, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_banded_equals_bruteforce(spark):
+    """Pigeonhole exactness: banded candidates lose no pair within the
+    hamming budget — banded output == all-pairs output."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import simhash, simhash_pairs
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    banded = {(r.a, r.b, r.hamming) for r in simhash_pairs(df, max_hamming=3).collect()}
+    sig = simhash(df)
+    a = sig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.a, r.b, r.hamming)
+        for r in a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
