@@ -3,7 +3,16 @@
 ``all_queries()`` / ``all_oracles()`` are what ``__spark_entry__.py``
 exposes to the driver. Keys without an oracle entry get the weaker
 rows-only check (non-SQL-expressible ops: versioning, streaming state,
-multimodal).
+multimodal codec).
+
+Ordering matters: the driver hash-verifies the FIRST 50 entries in
+insertion order. ``WINDOW_ORDER`` pins those 50 to cover every SURVEY.md
+§2 operator (formats S1-S9 included), all eight TPC-H queries, and the
+LLM-pipeline components — families wider than the window are packed into
+tagged multi-op queries (``queries/merged.py``) whose single-op
+constituents stay registered in the tail for direct use and pytest
+parity. Imports are deliberately *loud*: a broken family module must fail
+the whole registry, not silently shrink it.
 """
 
 from __future__ import annotations
@@ -12,75 +21,137 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import (
+    ADVANCED_ORACLES,
+    ADVANCED_QUERIES,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import (
+    EXTENSION_ORACLES,
+    EXTENSION_QUERIES,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.formats import (
+    FORMAT_ORACLES,
+    FORMAT_QUERIES,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.merged import (
+    MERGED_ORACLES,
+    MERGED_QUERIES,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.pipeline import (
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
 )
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.versioned import VERSIONED_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: the driver's verification window — every entry here MUST have an oracle.
+#: Coverage map (SURVEY.md §2 rows → entry): see COVERAGE.md.
+WINDOW_ORDER: list[str] = [
+    # flagship + §2.2 scans/projections/transforms
+    "flagship",
+    "scan_project",
+    "derived_filter",
+    "case_when",
+    "cast_columns",
+    "horizontal_mean",
+    "bucketize",
+    # §2.3 joins
+    "join_inner",
+    "join_variants",        # left/right/full/semi/anti, tagged
+    "join_broadcast",
+    # §2.4 aggregations
+    "agg_sum",              # + COUNT(DISTINCT) column
+    "string_indexer",
+    # §2.5 windows
+    "window_count",
+    "window_top1",
+    "window_mode",
+    "rank_global",          # W4 parity flavor (single-partition, as reference)
+    "rank_global_scalable", # W4 scale flavor (range-partition + offsets)
+    "window_frames",        # lead/lag + ROWS frame + RANGE frame
+    # §2.6 sorts / set ops
+    "sort_limit",
+    "set_ops",              # union/intersect/except/distinct, tagged
+    # §2.7 scalar/date functions
+    "scalar_funcs",
+    "date_funcs",
+    # SQL surface: subqueries
+    "subqueries",           # correlated EXISTS + scalar subquery
+    # §2.1 formats (S1/S2/S3/S7/S9 + JSON)
+    "csv_suite",            # S1+S2+S7 roundtrips, tagged
+    "orc_roundtrip",        # S3+S9
+    "json_extract",
+    # TPC-H suite (bench headliners)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q18",
+    # OLAP group-bys
+    "agg_multi_group",      # rollup/cube/grouping sets, tagged
+    "pivot_status",
+    # mutations / temporal
+    "upsert",
+    "join_asof",
+    "sessionize",
+    # LLM-pipeline: sampling, text, dedup, ANN, multimodal
+    "sample_suite",         # hash split + stratified, tagged
+    "text_metrics",         # lang-id/quality/tokens/fingerprint, one pass
+    "dedup_hash",           # exact + fingerprint, tagged
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",        # banded candidates, no cross join
+    "dedup_embedding_cosine",  # LSH-bucketed candidates
+    "dedup_resolution",     # connected components + survivors, tagged
+    "sim_ann",              # brute/LSH/IVF top-k, tagged
+    "multimodal_stats",
+    "feature_pipeline",
+]
+
+assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
+
+
+def _combined_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for family in (
+        RELATIONAL_QUERIES,
+        EXTENSION_QUERIES,
+        VERSIONED_QUERIES,
+        PIPELINE_QUERIES,
+        FORMAT_QUERIES,
+        ADVANCED_QUERIES,
+        MERGED_QUERIES,
+    ):
+        out.update(family)
+    return out
+
 
 def all_queries() -> dict[str, QueryFn]:
+    combined = _combined_queries()
     out: dict[str, QueryFn] = {}
-    out.update(RELATIONAL_QUERIES)
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import EXTENSION_QUERIES
-
-        out.update(EXTENSION_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.versioned import VERSIONED_QUERIES
-
-        out.update(VERSIONED_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.pipeline import PIPELINE_QUERIES
-
-        out.update(PIPELINE_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.formats import FORMAT_QUERIES
-
-        out.update(FORMAT_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import ADVANCED_QUERIES
-
-        out.update(ADVANCED_QUERIES)
-    except ImportError:
-        pass
+    for name in WINDOW_ORDER:
+        out[name] = combined.pop(name)  # KeyError = registry bug, fail loud
+    out.update(combined)  # tail: family order, verified by pytest parity
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(RELATIONAL_ORACLES)
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import EXTENSION_ORACLES
-
-        out.update(EXTENSION_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.pipeline import PIPELINE_ORACLES
-
-        out.update(PIPELINE_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.formats import FORMAT_ORACLES
-
-        out.update(FORMAT_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import ADVANCED_ORACLES
-
-        out.update(ADVANCED_ORACLES)
-    except ImportError:
-        pass
+    for family in (
+        RELATIONAL_ORACLES,
+        EXTENSION_ORACLES,
+        PIPELINE_ORACLES,
+        FORMAT_ORACLES,
+        ADVANCED_ORACLES,
+        MERGED_ORACLES,
+    ):
+        out.update(family)
     return out

@@ -344,6 +344,10 @@ def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_qty=decimal_sum(F.col("l_quantity"), 0) / F.count(F.lit(1)),
             avg_disc=decimal_sum(F.col("l_discount"), 2) / F.count(F.lit(1)),
             count_order=F.count(F.lit(1)),
+            # distinct aggregate alongside plain ones (partial-agg +
+            # distinct expansion in one shuffle) — keeps COUNT(DISTINCT)
+            # under driver verification with agg_count_distinct demoted
+            distinct_parts=F.count_distinct(F.col("l_partkey")),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -356,7 +360,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
        CAST(SUM(CAST(ROUND((l_quantity) * 1.0) AS BIGINT)) AS BIGINT) / 1.0 / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(ROUND((l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_disc,
-       CAST(COUNT(*) AS BIGINT) AS count_order
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -477,6 +482,26 @@ def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RANK_GLOBAL = """
 SELECT o_orderkey, CAST(RANK() OVER (ORDER BY o_totalprice ASC) AS INT) AS id
+FROM orders
+"""
+
+
+def q_rank_global_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4, scale flavor: global sequential ID without the single-partition
+    window (``operators/windows.py:global_row_number_scalable``) — range
+    partition + local number + offset join. The (o_totalprice, o_orderkey)
+    key is a total order, so the result equals ROW_NUMBER() exactly."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import global_row_number_scalable
+
+    orders = load_table(spark, sf_dir, "orders")
+    return global_row_number_scalable(
+        orders, ["o_totalprice", "o_orderkey"], out="id"
+    ).select("o_orderkey", "id")
+
+
+ORACLE_RANK_GLOBAL_SCALABLE = """
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS id
 FROM orders
 """
 
@@ -771,6 +796,7 @@ RELATIONAL_QUERIES = {
     "window_top1": q_window_top1,
     "window_mode": q_window_mode,
     "rank_global": q_rank_global,
+    "rank_global_scalable": q_rank_global_scalable,
     "window_lead_lag": q_window_lead_lag,
     "sort_limit": q_sort_limit,
     "union": q_union,
@@ -805,6 +831,7 @@ RELATIONAL_ORACLES = {
     "window_top1": ORACLE_WINDOW_TOP1,
     "window_mode": ORACLE_WINDOW_MODE,
     "rank_global": ORACLE_RANK_GLOBAL,
+    "rank_global_scalable": ORACLE_RANK_GLOBAL_SCALABLE,
     "window_lead_lag": ORACLE_WINDOW_LEAD_LAG,
     "sort_limit": ORACLE_SORT_LIMIT,
     "union": ORACLE_UNION,

@@ -34,3 +34,24 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["c_name", "c_mktsegment", "o_orderpriority", "o_orderkey", "revenue"]
+
+
+def test_registry_window_contract():
+    """The driver verifies the first 50 insertion-order entries: they must
+    match WINDOW_ORDER exactly, each must have an oracle, and the total
+    registry must not silently shrink (loud-import guard)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import WINDOW_ORDER, all_oracles, all_queries
+
+    q = list(all_queries())
+    assert q[:50] == WINDOW_ORDER
+    oracles = all_oracles()
+    assert all(n in oracles for n in WINDOW_ORDER)
+    assert len(q) == 98, f"registry shrank or grew unexpectedly: {len(q)}"
+    # rows-only queries (no oracle) are deliberate and enumerated
+    rows_only = set(q) - set(oracles)
+    assert rows_only == {
+        "versioned_time_travel",
+        "versioned_branch_merge",
+        "multimodal_features",
+        "agg_approx",
+    }, rows_only
