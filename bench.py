@@ -15,6 +15,32 @@ import sys
 import time
 
 
+def _regression_guard(timings: dict[str, float], factor: float = 1.5) -> None:
+    """Compare against the newest recorded BENCH_r*.json and flag per-query
+    slowdowns > ``factor`` on stderr (stdout stays the single JSON line).
+    Sub-second timings on a warm local JVM are mostly run variance, so
+    only queries slower than 0.5 s in the record are compared."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not records:
+        return
+    try:
+        with open(records[-1]) as f:
+            prev = json.load(f).get("parsed", {}).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return
+    for name, t in timings.items():
+        p = prev.get(name)
+        if p and p >= 0.5 and t > p * factor:
+            print(
+                f"BENCH REGRESSION {name}: {t:.3f}s vs {p:.3f}s in "
+                f"{os.path.basename(records[-1])} ({t / p:.2f}x)",
+                file=sys.stderr,
+            )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -45,6 +71,8 @@ def main() -> None:
     # optional extension headliners, present once implemented
     for extra in (
         "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
         "sim_topk",
         "text_quality",
         "agg_rollup",
@@ -75,6 +103,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    _regression_guard(timings)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:

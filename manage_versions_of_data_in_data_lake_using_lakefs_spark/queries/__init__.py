@@ -45,6 +45,10 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.relational 
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
 )
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.replicas import (
+    REPLICA_ORACLES,
+    REPLICA_QUERIES,
+)
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.versioned import VERSIONED_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -113,7 +117,7 @@ WINDOW_ORDER: list[str] = [
     "dedup_resolution",     # connected components + survivors, tagged
     "sim_ann",              # brute/LSH/IVF top-k, tagged
     "multimodal_stats",
-    "feature_pipeline",
+    "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
@@ -129,6 +133,7 @@ def _combined_queries() -> dict[str, QueryFn]:
         FORMAT_QUERIES,
         ADVANCED_QUERIES,
         MERGED_QUERIES,
+        REPLICA_QUERIES,
     ):
         out.update(family)
     return out
@@ -152,6 +157,7 @@ def all_oracles() -> dict[str, str]:
         FORMAT_ORACLES,
         ADVANCED_ORACLES,
         MERGED_ORACLES,
+        REPLICA_ORACLES,
     ):
         out.update(family)
     return out
