@@ -12,13 +12,13 @@ can verify them:
 - SimHash         token-hash sign sums → hamming-ball pairs
 - embedding       quantized-cosine near-dup pairs (see similarity.py)
 
-Portability note: hash functions are *affine integer hashes over
-vocabulary ids* (dense ranks), not engine hash builtins — both Spark and
-DuckDB compute identical integer arithmetic, so results are bit-exact
-cross-engine. At 100 TB the vocabulary dense_rank (a global sort) is the
-scaling bottleneck; ``use_fast_hash=True`` swaps ids for ``xxhash64`` of
-the shingle text — same plan shape, no vocab pass, Spark-only results
-(engine-specific hash; verified by invariant tests instead of the oracle).
+Portability note: shingle/token hashes are ``portable_hash`` — the first
+60 bits of md5, an algorithm both Spark and DuckDB implement identically —
+so results are bit-exact cross-engine AND the hash is a pure map-side
+expression: no vocabulary pass, no global numbering, nothing that doesn't
+scale linearly. ``use_fast_hash=True`` swaps md5 for ``xxhash64`` (~3×
+cheaper per byte) when oracle portability isn't needed; same plan shape,
+Spark-only results (verified by invariant tests instead of the oracle).
 """
 
 from __future__ import annotations
@@ -33,6 +33,21 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text impo
 _P = 2147483647  # 2^31 - 1, Mersenne prime
 _A = 1103515245
 _B = 12345
+
+
+def portable_hash(col: Column, modulus: int = _P) -> Column:
+    """Deterministic cross-engine content hash: first 60 bits of md5(x),
+    reduced mod ``modulus``. md5 is a fixed public algorithm, so Spark and
+    DuckDB produce identical values (unlike engine builtins ``xxhash64`` /
+    ``hash``), which keeps every hash-derived query oracle-checkable. A
+    pure map expression — embarrassingly parallel, no vocabulary pass.
+    SQL twin: ``PORTABLE_HASH_SQL``. 15 hex digits = 60 bits < int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(modulus)
+
+
+# DuckDB expression computing the exact same value as ``portable_hash``;
+# .format(x=<sql expr>, m=<modulus>)
+PORTABLE_HASH_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % {m})"
 
 
 def _widen(df: DataFrame, *cols: str) -> DataFrame:
@@ -136,30 +151,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingle_vocab(sh: DataFrame) -> DataFrame:
-    """Portable shingle→id map: rank of each distinct shingle in lexical
-    order. Over a distinct set, dense_rank == row_number, so the scalable
-    global numbering (range-partition + per-partition row_number + offset
-    join, ``windows.global_row_number_scalable``) produces byte-identical
-    ids to the oracle's dense_rank with NO single-partition sort — the
-    vocab can be billions of shingles at corpus scale. The fast path
-    (xxhash64) skips the vocab pass entirely.
-
-    The distinct vocab is persisted (memory-and-disk, LRU-evicted):
-    the scalable numbering reads its input from two plan branches
-    (local numbering + partition offsets) and the downstream id join is
-    a third — without the cache each branch would re-run the whole
-    shingle pipeline. The cache holds only distinct shingle strings,
-    orders of magnitude smaller than the shingle multiset.
-    """
-    from pyspark import StorageLevel
-
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import global_row_number_scalable
-
-    vocab = sh.select("shingle").distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    return global_row_number_scalable(vocab, "shingle", out="sid")
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -171,11 +162,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature, wide form: rows (id, mh0..mh{K-1}).
 
-    hash_k(s) = (a_k * sid(s) + b_k) mod P with a_k, b_k precomputed in
-    Python by the same fixed integer arithmetic the oracle uses. All K
-    min-hashes are K ``min()`` aggregates in ONE groupBy over the shingle
-    set — map-side partial mins, a single |shingles|-row shuffle, and no
-    K-fold row expansion (the explode formulation shuffles K× the data).
+    hash_k(s) = (a_k * sid(s) + b_k) mod P, where sid = ``portable_hash``
+    of the shingle text — computed inline on each row, so the whole
+    signature build is scan → map → one groupBy. All K min-hashes are K
+    ``min()`` aggregates in ONE groupBy over the shingle set — map-side
+    partial mins, a single |shingles|-row shuffle, and no K-fold row
+    expansion (the explode formulation shuffles K× the data).
     ``shingles_df`` lets the caller share one (cached) shingle set with
     the downstream exact-verify join instead of shingling twice.
     """
@@ -183,7 +175,7 @@ def minhash_signatures(
     if use_fast_hash:
         ids = sh.withColumn("sid", F.abs(F.xxhash64("shingle")) % F.lit(_P))
     else:
-        ids = sh.join(_shingle_vocab(sh), "shingle")
+        ids = sh.withColumn("sid", portable_hash(F.col("shingle")))
     aggs = []
     for k in range(num_hashes):
         a_k = (_A * (k + 1) + _B) % _P
@@ -219,9 +211,9 @@ def minhash_lsh_pairs(
     Spark executes it as intended at any scale.
     """
     rows_per_band = num_hashes // bands
-    # the shingle set feeds the vocab pass, the signature build, and both
-    # sides of the verify join — persist it (MEMORY_AND_DISK) so the raw
-    # text is tokenized/exploded once instead of once per consumer;
+    # the shingle set feeds the signature build and both sides of the
+    # verify join — persist it (MEMORY_AND_DISK) so the raw text is
+    # tokenized/exploded once instead of once per consumer;
     # measured ~1.4x end-to-end at sf0.1 and grows with consumer count
     sh = shingles(df, text_col, id_col, n)
     if persist_shingles:
@@ -284,7 +276,7 @@ def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 30,
     use_fast_hash: bool = False,
 ) -> DataFrame:
     """Per-doc SimHash over token multiset: rows (id, simhash).
@@ -292,6 +284,13 @@ def simhash(
     Token → integer hash h; bit j of the signature is the sign of
     Σ_tokens count·(2·bit_j(h)−1). Bit expansion is sequence+explode,
     sign-sums are one groupBy — two shuffles total, no UDFs.
+
+    ``bits`` defaults to 30 — the usable width of the 31-bit token hash.
+    Width matters at scale: a 16-bit signature space saturates once the
+    corpus outgrows 2^16 (pigeonhole forces spurious hamming-close pairs;
+    measured 21% of ALL pairs within radius 3 on a 5k-doc corpus), while
+    30 bits keeps the hamming ball selective and the LSH band buckets
+    small. (Production simhash dedup uses 64 bits for the same reason.)
     """
     toks = _widen(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
@@ -300,21 +299,7 @@ def simhash(
     if use_fast_hash:
         hashed = counts.withColumn("h", F.abs(F.xxhash64("tok")) % F.lit(_P))
     else:
-        from pyspark import StorageLevel
-
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import global_row_number_scalable
-
-        # scalable rank over the distinct token set (== dense_rank, no
-        # single-partition sort) — persisted for the same multi-branch
-        # reason as _shingle_vocab
-        vocab = global_row_number_scalable(
-            counts.select("tok").distinct().persist(StorageLevel.MEMORY_AND_DISK),
-            "tok",
-            out="tid",
-        )
-        hashed = counts.join(vocab, "tok").withColumn(
-            "h", (F.lit(_A) * F.col("tid") + F.lit(_B)) % F.lit(_P)
-        )
+        hashed = counts.withColumn("h", portable_hash(F.col("tok")))
     expanded = hashed.select(
         "id",
         "cnt",
@@ -322,7 +307,7 @@ def simhash(
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
     )
     # bit extraction via floor(h / 2^j) % 2 — shift-by-column isn't a thing
-    # in either engine's function surface, and 2^j ≤ 2^15 is exact in double
+    # in either engine's function surface, and 2^j ≤ 2^29 is exact in double
     bit_j = F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2
     contrib = expanded.withColumn("c", F.col("cnt") * (bit_j * 2 - 1))
     bitsums = contrib.groupBy("id", "j").agg(F.sum("c").alias("s"))
@@ -339,7 +324,7 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 30,
     max_hamming: int = 3,
     use_fast_hash: bool = False,
 ) -> DataFrame:

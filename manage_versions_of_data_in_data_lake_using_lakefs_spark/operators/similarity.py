@@ -148,24 +148,24 @@ _W_MOD = 2039
 _W_SHIFT = 1019
 
 
-def _plane_weight(p: Column, d: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1019, 1019] —
-    plain 64-bit integer arithmetic, identical in the SQL oracle
-    (A*(p*64+d) reaches ~6e11, past int32)."""
-    idx = (p * F.lit(64) + d).cast("long")
-    return (F.lit(_W_A).cast("long") * idx + F.lit(_W_B)) % F.lit(_W_MOD) - F.lit(_W_SHIFT)
+def _plane_weights(p: int, dims: int = 64) -> list[int]:
+    """Deterministic pseudo-random hyperplane components in [-1019, 1019],
+    precomputed in Python (they are compile-time constants — the same
+    affine sequence the SQL oracle generates in its ``planes`` CTE)."""
+    return [
+        (_W_A * (p * 64 + d) + _W_B) % _W_MOD - _W_SHIFT for d in range(dims)
+    ]
 
 
-def lsh_bucket(vec_q: Column, n_planes: int = _N_PLANES) -> Column:
+def lsh_bucket(vec_q: Column, n_planes: int = _N_PLANES, dims: int = 64) -> Column:
     """Sign-pattern bucket id: bit p = [dot(vec, plane_p) >= 0].
-    Exact integer dots (quantized vec × integer plane) → no float drift."""
+    Exact integer dots (quantized vec × integer plane) → no float drift.
+    Plane weights are inlined as literal arrays, so each bit costs one
+    multiply-add per element — no per-element weight arithmetic."""
     def bit(p: int) -> Column:
+        plane = F.array(*[F.lit(w).cast("long") for w in _plane_weights(p, dims)])
         dot = F.aggregate(
-            F.zip_with(
-                vec_q,
-                F.sequence(F.lit(0), F.size(vec_q) - 1),
-                lambda x, d: x * _plane_weight(F.lit(p), d),
-            ),
+            F.zip_with(vec_q, plane, lambda x, w: x * w),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )

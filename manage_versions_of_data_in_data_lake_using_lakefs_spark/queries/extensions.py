@@ -207,11 +207,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_MINHASH_LSH = f"""
 WITH {_SQL_SHINGLES},
-vocab AS (
-    SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
-    FROM (SELECT DISTINCT shingle FROM sh)
+ids AS (
+    SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS sid
+    FROM sh
 ),
-ids AS (SELECT sh.id, vocab.sid FROM sh JOIN vocab USING (shingle)),
 hashed AS (
     SELECT id, k,
            (((1103515245::BIGINT * (k + 1) + 12345) % 2147483647) * sid
@@ -242,9 +241,12 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+_SIMHASH_BITS = 30  # keep in sync with operators.dedup.simhash default
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(docs, bits=_SIMHASH_BITS, max_hamming=3)
 
 
 ORACLE_DEDUP_SIMHASH = f"""
@@ -252,18 +254,14 @@ WITH toks AS (
     SELECT doc_id AS id, unnest({_SQL_TOKS}) AS tok FROM documents
 ),
 counts AS (SELECT id, tok, COUNT(*) AS cnt FROM toks GROUP BY id, tok),
-vocab AS (
-    SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
-    FROM (SELECT DISTINCT tok FROM counts)
-),
 hashed AS (
-    SELECT c.id, c.cnt, (1103515245::BIGINT * v.tid + 12345) % 2147483647 AS h
-    FROM counts c JOIN vocab v USING (tok)
+    SELECT id, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+    FROM counts
 ),
 contrib AS (
     SELECT id, j,
            cnt * ((CAST(FLOOR(h / POWER(2.0, j)) AS BIGINT) % 2) * 2 - 1) AS c
-    FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS j)
+    FROM hashed CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS j)
 ),
 bitsums AS (SELECT id, j, SUM(c) AS s FROM contrib GROUP BY id, j),
 sigs AS (
@@ -327,11 +325,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the LSH pair CTEs, reused verbatim; the recursive closure rides on top
 _LSH_PAIR_CTES = f"""{_SQL_SHINGLES},
-vocab AS (
-    SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
-    FROM (SELECT DISTINCT shingle FROM sh)
+ids AS (
+    SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS sid
+    FROM sh
 ),
-ids AS (SELECT sh.id, vocab.sid FROM sh JOIN vocab USING (shingle)),
 hashed AS (
     SELECT id, k,
            (((1103515245::BIGINT * (k + 1) + 12345) % 2147483647) * sid
