@@ -3,3 +3,4 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo imp
     LakeRepo,
     MergeConflict,
 )
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL  # noqa: F401

@@ -55,6 +55,9 @@ class Commit:
     version: int
     tables: dict[str, list[str]]  # table -> relative data dirs/files
     meta: dict = field(default_factory=dict)
+    # logical object path -> relative stored blob (lakectl-fs parity:
+    # arbitrary files versioned alongside tables, README.md:79-99)
+    objects: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -66,6 +69,7 @@ class Commit:
             "version": self.version,
             "tables": self.tables,
             "meta": self.meta,
+            "objects": self.objects,
         }
 
     @staticmethod
@@ -79,6 +83,7 @@ class Commit:
             version=d["version"],
             tables={k: list(v) for k, v in d["tables"].items()},
             meta=d.get("meta", {}),
+            objects=dict(d.get("objects", {})),
         )
 
 

@@ -8,8 +8,8 @@ data is immutable parquet read/written by Spark executors.
 
 Capability map:
   V1/V2  init / delete repo           LakeRepo.init / delete
-  V3     list objects on branch       list_tables / head snapshot
-  V4     upload to branch             write_table (stage) + commit
+  V3     list objects on branch       list_tables / list_objects
+  V4     upload to branch             write_table / put_object (stage) + commit
   V5     remove from branch           remove_table (stage) + commit
   V6     commit                       commit (atomic ref swap)
   V7     branch create from source    create_branch — O(1), copy-on-write
@@ -82,6 +82,20 @@ class LakeRepo:
     def _data_dir(self, table: str, file_id: str) -> str:
         return os.path.join(self.root, "data", table, file_id)
 
+    def _object_blob(self, file_id: str) -> str:
+        # blobs live under data/ in their own pseudo-table dir so vacuum's
+        # data/<table>/<file_id> walk covers them with no special case
+        return os.path.join(self.root, "data", "_objects", file_id, "blob")
+
+    @staticmethod
+    def _staged_objects(ref: dict) -> dict:
+        # refs written before object support lack the key
+        return ref.setdefault("staged_objects", {})
+
+    @classmethod
+    def _is_dirty(cls, ref: dict) -> bool:
+        return bool(ref["staged"]) or bool(cls._staged_objects(ref))
+
     # -- lifecycle (V1/V2) -------------------------------------------------
     @classmethod
     def init(cls, root: str, default_branch: str = "main") -> "LakeRepo":
@@ -102,7 +116,7 @@ class LakeRepo:
         atomic_write_json(os.path.join(root, "commits", f"{cid}.json"), genesis.to_json())
         atomic_write_json(
             os.path.join(root, "refs", f"{default_branch}.json"),
-            {"head": cid, "staged": {}},
+            {"head": cid, "staged": {}, "staged_objects": {}},
         )
         atomic_write_json(
             os.path.join(root, "repo.json"),
@@ -185,7 +199,10 @@ class LakeRepo:
             if os.path.exists(self._ref_file(name)):
                 raise ValueError(f"branch exists: {name}")
             src = self._resolve(source)
-            atomic_write_json(self._ref_file(name), {"head": src.id, "staged": {}})
+            atomic_write_json(
+                self._ref_file(name),
+                {"head": src.id, "staged": {}, "staged_objects": {}},
+            )
             return src
 
     def delete_branch(self, name: str) -> None:
@@ -266,8 +283,12 @@ class LakeRepo:
             atomic_write_json(self._ref_file(branch), ref)
 
     def status(self, branch: str) -> dict:
-        """Uncommitted staged changes on a branch."""
-        return dict(self._read_ref(branch)["staged"])
+        """Uncommitted staged changes on a branch (tables + objects)."""
+        ref = self._read_ref(branch)
+        out = dict(ref["staged"])
+        for path, entry in self._staged_objects(ref).items():
+            out[f"object:{path}"] = dict(entry)
+        return out
 
     def reset(self, branch: str) -> None:
         """V8: discard uncommitted staged changes (lakectl branch reset).
@@ -275,13 +296,84 @@ class LakeRepo:
         with RepoLock(self.root):
             ref = self._read_ref(branch)
             ref["staged"] = {}
+            ref["staged_objects"] = {}
             atomic_write_json(self._ref_file(branch), ref)
+
+    # -- arbitrary objects (lakectl fs parity) -----------------------------
+    # lakeFS versions any object, not just tables (``lakectl fs upload/cat``,
+    # reference README.md:79-99): configs, schemas, model files ride the same
+    # branch/commit/merge lifecycle as the data they describe. Blobs are
+    # immutable files under data/_objects/<id>/; commits map logical path →
+    # stored blob, so branching/commit never copies bytes (same CoW economics
+    # as tables). Metadata-only ops — nothing here involves Spark.
+
+    def put_object(self, branch: str, path: str, data: bytes | str) -> str:
+        """Stage an object write (uncommitted until ``commit``): the blob
+        lands immediately; only the ref's staged pointer changes — the same
+        two-phase flow as ``write_table``."""
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        blob = self._object_blob(new_id())
+        os.makedirs(os.path.dirname(blob), exist_ok=True)
+        with open(blob, "wb") as f:
+            f.write(data)
+        rel = os.path.relpath(blob, self.root)
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            self._staged_objects(ref)[path] = {"blob": rel, "op": "put"}
+            atomic_write_json(self._ref_file(branch), ref)
+        return rel
+
+    def delete_object(self, branch: str, path: str) -> None:
+        """Stage an object delete (lakectl fs rm)."""
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            self._staged_objects(ref)[path] = {"blob": None, "op": "delete"}
+            atomic_write_json(self._ref_file(branch), ref)
+
+    def get_object(
+        self,
+        path: str,
+        ref: str = "main",
+        version_as_of: int | None = None,
+        include_staged: bool = False,
+    ) -> bytes:
+        """Read an object at a ref/version (lakectl fs cat, time-travel-able)."""
+        if include_staged and version_as_of is None and os.path.exists(self._ref_file(ref)):
+            entry = self._staged_objects(self._read_ref(ref)).get(path)
+            if entry is not None:
+                if entry["op"] == "delete":
+                    raise KeyError(f"object {path} deleted in staging on {ref}")
+                with open(os.path.join(self.root, entry["blob"]), "rb") as f:
+                    return f.read()
+        c = self._resolve(ref, version_as_of)
+        if path not in c.objects:
+            raise KeyError(f"object {path} not in snapshot {c.id[:8]} ({ref})")
+        with open(os.path.join(self.root, c.objects[path]), "rb") as f:
+            return f.read()
+
+    def list_objects(self, ref: str = "main", prefix: str = "") -> list[str]:
+        """Logical object paths in a snapshot (lakectl fs ls)."""
+        return sorted(p for p in self._resolve(ref).objects if p.startswith(prefix))
+
+    def diff_objects(self, ref_a: str, ref_b: str) -> dict[str, str]:
+        """Object-level diff: path → added|removed|changed (vs ref_a)."""
+        a, b = self._resolve(ref_a).objects, self._resolve(ref_b).objects
+        out: dict[str, str] = {}
+        for p in sorted(set(a) | set(b)):
+            if p not in b:
+                out[p] = "removed"
+            elif p not in a:
+                out[p] = "added"
+            elif a[p] != b[p]:
+                out[p] = "changed"
+        return out
 
     # -- commit (V6/V13) ---------------------------------------------------
     def commit(self, branch: str, message: str, meta: dict | None = None) -> Commit:
         with RepoLock(self.root):
             ref = self._read_ref(branch)
-            if not ref["staged"]:
+            if not self._is_dirty(ref):
                 raise ValueError("nothing staged to commit")
             parent = self.get_commit(ref["head"])
             tables = dict(parent.tables)
@@ -290,6 +382,12 @@ class LakeRepo:
                     tables.pop(table, None)
                 else:
                     tables[table] = list(entry["files"])
+            objects = dict(parent.objects)
+            for path, entry in self._staged_objects(ref).items():
+                if entry["op"] == "delete":
+                    objects.pop(path, None)
+                else:
+                    objects[path] = entry["blob"]
             c = Commit(
                 id=new_id(),
                 parents=[parent.id],
@@ -299,9 +397,13 @@ class LakeRepo:
                 version=self._next_version(),
                 tables=tables,
                 meta=meta or {},
+                objects=objects,
             )
             atomic_write_json(self._commit_file(c.id), c.to_json())
-            atomic_write_json(self._ref_file(branch), {"head": c.id, "staged": {}})
+            atomic_write_json(
+                self._ref_file(branch),
+                {"head": c.id, "staged": {}, "staged_objects": {}},
+            )
             return c
 
     # -- reads (V3/V14) ----------------------------------------------------
@@ -355,10 +457,10 @@ class LakeRepo:
         target = self._resolve(to)
         with RepoLock(self.root):
             ref = self._read_ref(branch)
-            if ref["staged"]:
+            if self._is_dirty(ref):
                 raise DirtyBranchError(
                     f"revert on {branch}: uncommitted staged changes for "
-                    f"{sorted(ref['staged'])}; commit or reset first"
+                    f"{sorted(self.status(branch))}; commit or reset first"
                 )
             parent = self.get_commit(ref["head"])
             c = Commit(
@@ -370,9 +472,13 @@ class LakeRepo:
                 version=self._next_version(),
                 tables=dict(target.tables),
                 meta={"revert_of": target.id},
+                objects=dict(target.objects),
             )
             atomic_write_json(self._commit_file(c.id), c.to_json())
-            atomic_write_json(self._ref_file(branch), {"head": c.id, "staged": {}})
+            atomic_write_json(
+                self._ref_file(branch),
+                {"head": c.id, "staged": {}, "staged_objects": {}},
+            )
             return c
 
     # -- diff (V11) --------------------------------------------------------
@@ -444,7 +550,7 @@ class LakeRepo:
         dest branch (lakeFS semantics): moving the head would orphan or
         silently re-target staged writes.
         """
-        if self._read_ref(dest)["staged"]:
+        if self._is_dirty(self._read_ref(dest)):
             raise DirtyBranchError(
                 f"merge into {dest}: uncommitted staged changes; "
                 "commit or reset first"
@@ -457,14 +563,15 @@ class LakeRepo:
             # fast-forward
             with RepoLock(self.root):
                 ref = self._read_ref(dest)
-                if ref["staged"]:
+                if self._is_dirty(ref):
                     raise DirtyBranchError(
                         f"merge into {dest}: staged changes appeared mid-merge"
                     )
                 ref["head"] = src_c.id
                 atomic_write_json(self._ref_file(dest), ref)
             return src_c
-        base_tables = self.get_commit(base_id).tables if base_id else {}
+        base_c = self.get_commit(base_id) if base_id else None
+        base_tables = base_c.tables if base_c else {}
         merged: dict[str, list[str]] = {}
         conflicts: list[str] = []
         row_merges: list[str] = []
@@ -486,6 +593,23 @@ class LakeRepo:
                 row_merges.append(t)
             else:
                 conflicts.append(t)
+        # objects: same three-way, object-granular resolution (no row merge —
+        # blobs are opaque; both-sides-changed is always a conflict)
+        base_objects = base_c.objects if base_c else {}
+        merged_objects: dict[str, str] = {}
+        for p in sorted(set(src_c.objects) | set(dst_c.objects)):
+            s, d, b = src_c.objects.get(p), dst_c.objects.get(p), base_objects.get(p)
+            if s == d:
+                if s is not None:
+                    merged_objects[p] = s
+            elif d == b:
+                if s is not None:
+                    merged_objects[p] = s
+            elif s == b:
+                if d is not None:
+                    merged_objects[p] = d
+            else:
+                conflicts.append(f"object:{p}")
         if conflicts:
             raise MergeConflict(
                 f"merge {source}→{dest}: both sides changed {conflicts}; "
@@ -502,6 +626,7 @@ class LakeRepo:
                 version=self._next_version(),
                 tables=merged,
                 meta={"merge_source": src_c.id, "row_merged": row_merges},
+                objects=merged_objects,
             )
             atomic_write_json(self._commit_file(c.id), c.to_json())
             # carry (don't wipe) anything staged concurrently since the
@@ -689,10 +814,19 @@ class LakeRepo:
         self, keep_history: bool, dry_run: bool, grace_seconds: float
     ) -> list[str]:
         live: set[str] = set()
+
+        def live_blob(rel: str | None) -> None:
+            # blobs are files inside their own data/_objects/<id>/ dir; the
+            # vacuum walk operates on those dirs
+            if rel:
+                live.add(os.path.dirname(rel))
+
         for br in self.branches():
             ref = self._read_ref(br)
             for entry in ref["staged"].values():
                 live.update(entry["files"])
+            for entry in self._staged_objects(ref).values():
+                live_blob(entry["blob"])
             if keep_history:
                 stack = [ref["head"]]
                 seen: set[str] = set()
@@ -704,10 +838,15 @@ class LakeRepo:
                     c = self.get_commit(cid)
                     for files in c.tables.values():
                         live.update(files)
+                    for blob in c.objects.values():
+                        live_blob(blob)
                     stack.extend(c.parents)
             else:
-                for files in self.head(br).tables.values():
+                head = self.head(br)
+                for files in head.tables.values():
                     live.update(files)
+                for blob in head.objects.values():
+                    live_blob(blob)
         removed: list[str] = []
         now = time.time()
         data_root = os.path.join(self.root, "data")

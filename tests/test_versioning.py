@@ -421,3 +421,144 @@ def test_append_after_staged_drop_keeps_append(spark, repo):
     repo.commit("main", "drop then append")
     rows = {(r.id, r.val) for r in repo.read_table(spark, "t", "main").collect()}
     assert rows == {(3, "new")}
+
+
+# -- arbitrary objects (lakectl fs parity: upload/cat/ls/rm on any path) ----
+
+
+def test_object_put_get_roundtrip(repo):
+    repo.put_object("main", "configs/schema.json", b'{"v": 1}')
+    # staged but uncommitted: visible only with include_staged
+    assert repo.get_object("configs/schema.json", "main", include_staged=True) == b'{"v": 1}'
+    with pytest.raises(KeyError):
+        repo.get_object("configs/schema.json", "main")
+    repo.commit("main", "add schema")
+    assert repo.get_object("configs/schema.json", "main") == b'{"v": 1}'
+    assert repo.list_objects("main") == ["configs/schema.json"]
+    assert repo.list_objects("main", prefix="other/") == []
+
+
+def test_object_time_travel_and_delete(repo):
+    repo.put_object("main", "model.txt", "weights-v0")
+    c0 = repo.commit("main", "v0")
+    repo.put_object("main", "model.txt", "weights-v1")
+    repo.commit("main", "v1")
+    assert repo.get_object("model.txt", "main") == b"weights-v1"
+    assert repo.get_object("model.txt", c0.id) == b"weights-v0"
+    assert repo.get_object("model.txt", "main", version_as_of=c0.version) == b"weights-v0"
+    repo.delete_object("main", "model.txt")
+    with pytest.raises(KeyError):
+        repo.get_object("model.txt", "main", include_staged=True)
+    repo.commit("main", "rm")
+    assert repo.list_objects("main") == []
+    # history still readable
+    assert repo.get_object("model.txt", "main~1") == b"weights-v1"
+
+
+def test_object_branch_isolation_and_merge(repo):
+    repo.put_object("main", "a.txt", "base-a")
+    repo.put_object("main", "b.txt", "base-b")
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.put_object("dev", "a.txt", "dev-a")
+    repo.put_object("dev", "c.txt", "dev-c")
+    repo.commit("dev", "dev edits")
+    assert repo.get_object("a.txt", "main") == b"base-a"  # isolation
+    repo.merge(None, "dev", "main")
+    assert repo.get_object("a.txt", "main") == b"dev-a"
+    assert repo.get_object("c.txt", "main") == b"dev-c"
+    assert repo.get_object("b.txt", "main") == b"base-b"
+    d = repo.diff_objects("main~1", "main")
+    assert d == {"a.txt": "changed", "c.txt": "added"}
+
+
+def test_object_merge_conflict_and_dirty_branch(repo):
+    repo.put_object("main", "a.txt", "base")
+    repo.commit("main", "base")
+    repo.create_branch("dev")
+    repo.put_object("dev", "a.txt", "dev")
+    repo.commit("dev", "dev")
+    repo.put_object("main", "a.txt", "main-side")
+    # dirty dest refuses merge (object staged counts as dirty)
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DirtyBranchError
+
+    with pytest.raises(DirtyBranchError):
+        repo.merge(None, "dev", "main")
+    repo.commit("main", "main edit")
+    with pytest.raises(MergeConflict) as exc:
+        repo.merge(None, "dev", "main")
+    assert "object:a.txt" in exc.value.conflicts
+
+
+def test_object_revert_and_reset(repo):
+    repo.put_object("main", "a.txt", "v0")
+    c0 = repo.commit("main", "v0")
+    repo.put_object("main", "a.txt", "v1")
+    repo.commit("main", "v1")
+    repo.put_object("main", "a.txt", "staged-junk")
+    assert "object:a.txt" in repo.status("main")
+    repo.reset("main")
+    repo.revert("main", c0.id)
+    assert repo.get_object("a.txt", "main") == b"v0"
+
+
+def test_vacuum_objects(repo):
+    repo.put_object("main", "keep.txt", "live")
+    repo.commit("main", "v0")
+    repo.put_object("main", "orphan.txt", "dead")
+    repo.reset("main")  # orphaned blob
+    removed = repo.vacuum(keep_history=True, grace_seconds=0)
+    assert len(removed) == 1 and removed[0].startswith(os.path.join("data", "_objects"))
+    assert repo.get_object("keep.txt", "main") == b"live"
+    # staged blob is live (not collected)
+    repo.put_object("main", "staged.txt", "staged")
+    assert repo.vacuum(keep_history=True, grace_seconds=0) == []
+
+
+# -- Delta-style SQL surface (VERSION AS OF / TIMESTAMP AS OF / HISTORY) ----
+
+
+def test_lakesql_version_as_of(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "v0"), (2, "v0")]))
+    c0 = repo.commit("main", "v0")
+    repo.write_table("main", "t", _df(spark, [(1, "v1")]))
+    repo.commit("main", "v1")
+    lsql = LakeSQL(spark, repo)
+    assert lsql.sql("SELECT count(*) AS n FROM t").collect()[0].n == 1
+    assert (
+        lsql.sql(f"SELECT count(*) AS n FROM t VERSION AS OF {c0.version}").collect()[0].n
+        == 2
+    )
+    assert lsql.sql(f"SELECT val FROM t@v{c0.version} WHERE id = 2").collect()[0].val == "v0"
+
+
+def test_lakesql_timestamp_as_of(spark, repo):
+    import time as _time
+    from datetime import datetime, timezone
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "v0")]))
+    repo.commit("main", "v0")
+    cut = datetime.now(timezone.utc).isoformat()
+    _time.sleep(0.05)
+    repo.write_table("main", "t", _df(spark, [(1, "v1"), (2, "v1")]))
+    repo.commit("main", "v1")
+    lsql = LakeSQL(spark, repo)
+    assert lsql.sql(f"SELECT count(*) AS n FROM t TIMESTAMP AS OF '{cut}'").collect()[0].n == 1
+
+
+def test_lakesql_describe_history(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "v0")]))
+    repo.commit("main", "add t")
+    repo.write_table("main", "u", _df(spark, [(9, "x")]))
+    repo.commit("main", "add u (t untouched)")
+    lsql = LakeSQL(spark, repo)
+    hist = lsql.sql("DESCRIBE HISTORY t").collect()
+    assert [h.message for h in hist] == ["add t"]
+    full = lsql.history().collect()
+    assert [h.operation for h in full] == ["WRITE", "WRITE", "CREATE"]
