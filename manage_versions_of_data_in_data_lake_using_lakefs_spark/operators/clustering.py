@@ -1,0 +1,128 @@
+"""Deterministic distributed k-means (Lloyd's) over quantized vectors.
+
+Trains the coarse quantizer for IVF search (``similarity.topk_ivf``):
+the stride-subset quantizer is a zero-cost placeholder; a trained one
+cuts cell-size variance, which is what bounds IVF probe cost at scale.
+
+Scale shape per iteration (the only shape that survives 100 TB):
+  1. centroids (k × dims ints — metadata-sized) broadcast to executors;
+  2. assignment is map-side: one Arrow batch matmul per partition, no
+     shuffle of the corpus;
+  3. centroid update is a two-stage aggregation: ``mapInPandas`` emits
+     per-partition partial (cell, sum-vector, count) rows — at most
+     k rows per partition — and the final merge reduces
+     #partitions × k tiny rows. The corpus is never shuffled; only
+     partials move.
+
+Determinism: vectors are quantized ints; partial sums are exact int64
+(associative — any partitioning yields identical totals); the new
+centroid is the elementwise floor-division sum // count. No RNG: init
+takes every ceil(n/k)-th vector in id order. Same inputs → bit-identical
+centroids on any cluster size, which makes IVF results reproducible —
+the same property every other operator in this engine maintains.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import with_quantized
+
+
+def _assign_cells(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid ids by exact integer-cosine argmax (ties → lowest
+    centroid id, same rule as ``topk_ivf``'s window tiebreak)."""
+    dots = M @ C.T  # B × k, exact int64
+    mn = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+    cos = dots / (mn[:, None] * cn[None, :])
+    # argmax returns the first (lowest) index on ties
+    return np.argmax(cos, axis=1)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[int]]:
+    """Train k quantized centroids; returns them as plain Python ints
+    (metadata — k × dims, the thing IVF broadcasts).
+
+    The driver-side loop is over *iterations*, not data: each round
+    collects exactly k partial-merged centroid rows. Empty cells keep
+    their previous centroid (standard Lloyd's degenerate-cell rule).
+    """
+    q = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q").alias("q")
+    )
+    n = q.count()
+    if n == 0:
+        raise ValueError("kmeans_fit: empty input")
+    k = min(k, n)
+    stride = max(1, n // k)
+    # deterministic init: the k lowest ids at `stride` spacing, in id order
+    init = (
+        q.select("id", "q")
+        .orderBy("id")
+        .where(F.col("id") % stride == 0)
+        .limit(k)
+        .collect()
+    )
+    C = np.array([r.q for r in init], dtype=np.int64)
+    dims = C.shape[1]
+
+    for _ in range(iters):
+        C_b = C  # closure capture; k × dims ints ride the task broadcast
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc_sum: dict[int, np.ndarray] = {}
+            acc_cnt: dict[int, int] = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.array(pdf["q"].to_list(), dtype=np.int64)
+                cells = _assign_cells(M, C_b)
+                for c in np.unique(cells):
+                    sel = M[cells == c]
+                    acc_sum[int(c)] = acc_sum.get(int(c), np.zeros(dims, np.int64)) + sel.sum(
+                        axis=0
+                    )
+                    acc_cnt[int(c)] = acc_cnt.get(int(c), 0) + len(sel)
+            if acc_sum:
+                yield pd.DataFrame(
+                    {
+                        "cell": list(acc_sum),
+                        "vsum": [s.tolist() for s in acc_sum.values()],
+                        "cnt": [acc_cnt[c] for c in acc_sum],
+                    }
+                )
+
+        part = q.mapInPandas(partials, "cell INT, vsum ARRAY<LONG>, cnt LONG")
+        # final merge: #partitions × k tiny rows → k rows (posexplode keeps
+        # the elementwise sum associative/exact; order restored by pos)
+        merged = (
+            part.select("cell", F.posexplode("vsum").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("vsum")
+            )
+        )
+        cnts = part.groupBy("cell").agg(F.sum("cnt").alias("cnt"))
+        rows = merged.join(cnts, "cell").collect()
+        C_new = C.copy()
+        for r in rows:
+            C_new[r.cell] = np.array(r.vsum, dtype=np.int64) // int(r.cnt)
+        C = C_new
+    return [[int(x) for x in row] for row in C]

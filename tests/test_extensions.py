@@ -201,3 +201,75 @@ def test_ngram_jaccard_stop_shingle_filter(spark):
     # a subset of candidate generation, never a cartesian blowup
     plan = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_arrow_vector_ops_match_hof_reference(spark):
+    """The Arrow-vectorized dot_q / lsh_bucket must be bit-identical to
+    the pure-Column HOF reference spellings (exact int64 arithmetic both
+    ways — the UDF is a perf path, never a semantics change)."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+        dot_q,
+        dot_q_hof,
+        lsh_bucket,
+        lsh_bucket_hof,
+        with_quantized,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = with_quantized(emb, "embedding")
+    diff = q.select(
+        (dot_q(F.col("_q"), F.col("_q")) != dot_q_hof(F.col("_q"), F.col("_q"))).alias("d"),
+        (lsh_bucket(F.col("_q")) != lsh_bucket_hof(F.col("_q"))).alias("b"),
+    )
+    assert diff.where(F.col("d") | F.col("b")).count() == 0
+
+
+def test_ivf_nprobe_recall_converges_to_bruteforce(spark):
+    """nprobe is the IVF recall knob: probing every cell must reproduce
+    exact brute-force top-k; nprobe=1 is a subset of that candidate set."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_bruteforce, topk_ivf
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    n_cells = emb.where(F.col("vec_id") % 8 == 0).count()
+    exact = {
+        (r.query_id, r.rank, r.nbr)
+        for r in topk_bruteforce(emb, queries, k=3).collect()
+    }
+    all_cells = {
+        (r.query_id, r.rank, r.nbr)
+        for r in topk_ivf(emb, queries, k=3, centroid_stride=8, nprobe=n_cells).collect()
+    }
+    assert all_cells == exact
+
+
+def test_kmeans_ivf_trainer(spark):
+    """Lloyd's iterations must (a) be deterministic, (b) not increase
+    inertia, (c) produce a quantizer topk_ivf can search with."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = kmeans_fit(emb, k=4, iters=1)
+    c1_again = kmeans_fit(emb, k=4, iters=1)
+    assert c1 == c1_again  # bit-identical across runs
+    c3 = kmeans_fit(emb, k=4, iters=3)
+    assert len(c3) == 4 and len(c3[0]) == 64
+
+    queries = emb.where(F.col("vec_id") < 4)
+    out = topk_ivf(emb, queries, k=3, centroids=c3).collect()
+    assert len(out) > 0
+    assert {r.query_id for r in out} <= {0, 1, 2, 3}
+    # ranks are 1..k per query, ordered by cosine
+    for qid in {r.query_id for r in out}:
+        rs = sorted(r.rank for r in out if r.query_id == qid)
+        assert rs == list(range(1, len(rs) + 1))
