@@ -129,3 +129,52 @@ def session_stats(
         F.min(micros).alias("start_us"),
         F.max(micros).alias("end_us"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Bucketed interval (range) join: rows of ``points`` matched to every
+    interval row with ``start <= point <= end`` — WITHOUT the broadcast
+    nested-loop / cartesian plan Spark gives a raw non-equi join.
+
+    Mechanics: both sides are binned at ``bin_width`` (integer units of the
+    compared columns). Intervals explode to one row per covered bin via
+    ``sequence``; points map to their single bin; the join is then a plain
+    *equi-join on the bin key* plus the exact range predicate as a
+    post-filter. Candidate volume is |points| + Σ(interval_len/bin_width)
+    — linear, shuffled by bin, AQE-splittable — instead of |points| × 
+    |intervals|. ``bin_width`` trades explode factor against bin
+    selectivity; pick it near the median interval length.
+
+    ``extra_keys`` prepends ordinary equi keys (shared column names) to the
+    bin key — e.g. per-user interval attachment joins on (user, bin).
+    A point lives in exactly one bin, so matches are never duplicated.
+    Only ``how='inner'`` is supported (outer variants need bin-miss
+    handling the caller can build with an anti-join).
+    """
+    if how != "inner":
+        raise NotImplementedError("interval_join: only how='inner'")
+    p_bin = F.floor(F.col(point_col) / F.lit(bin_width))
+    binned_p = points.withColumn("_bin", p_bin)
+    binned_i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bin_width)),
+                F.floor(F.col(end_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    return (
+        binned_p.join(binned_i, on=(extra_keys or []) + ["_bin"])
+        .where((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
+        .drop("_bin")
+    )

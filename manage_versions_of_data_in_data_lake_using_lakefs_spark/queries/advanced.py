@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum, decimal_sum_sql
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split, stratified_hash_sample
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import asof_join, session_stats
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    session_stats,
+)
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
 
 
@@ -198,6 +202,55 @@ WITH o AS (
 SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(us) AS start_us, MAX(us) AS end_us
 FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (big×big non-equi, the classic Spark scale
+    killer): every event that falls inside any panel user's session
+    window. Binning turns the raw inequality join — which Spark would
+    plan as a broadcast nested loop — into an equi-join on the 30-min
+    bin key plus an exact post-filter (plan-asserted in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    panel = session_stats(
+        ev.where(F.col("user_id") % 50 == 0),
+        key="user_id",
+        ts_col="ts",
+        gap=1800,
+        order_tiebreak="event_id",
+    ).select(
+        F.col("user_id").alias("panel_user"),
+        "session_idx",
+        "start_us",
+        "end_us",
+    )
+    out = interval_join(pts, panel, "us", "start_us", "end_us", bin_width=1_800_000_000)
+    return out.select("event_id", "user_id", "us", "panel_user", "session_idx")
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH o AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE user_id % 50 = 0
+), b AS (
+    SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nb
+    FROM o
+), s AS (
+    SELECT *, CAST(SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+    FROM b
+), panel AS (
+    SELECT user_id AS panel_user, session_idx,
+           MIN(us) AS start_us, MAX(us) AS end_us
+    FROM s GROUP BY user_id, session_idx
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us, p.panel_user, p.session_idx
+FROM events e JOIN panel p
+  ON epoch_us(e.ts) BETWEEN p.start_us AND p.end_us
 """
 
 
@@ -832,6 +885,7 @@ ADVANCED_QUERIES = {
     "join_range": q_join_range,
     "join_asof": q_join_asof,
     "sessionize": q_sessionize,
+    "interval_join": q_interval_join,
     "window_frame_sum": q_window_frame_sum,
     "window_range_frame": q_window_range_frame,
     "sample_split": q_sample_split,
@@ -862,6 +916,7 @@ ADVANCED_ORACLES = {
     "join_range": ORACLE_JOIN_RANGE,
     "join_asof": ORACLE_JOIN_ASOF,
     "sessionize": ORACLE_SESSIONIZE,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     "window_frame_sum": ORACLE_WINDOW_FRAME_SUM,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "sample_split": ORACLE_SAMPLE_SPLIT,

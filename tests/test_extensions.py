@@ -273,3 +273,32 @@ def test_kmeans_ivf_trainer(spark):
     for qid in {r.query_id for r in out}:
         rs = sorted(r.rank for r in out if r.query_id == qid)
         assert rs == list(range(1, len(rs) + 1))
+
+
+def test_interval_join_plan_and_semantics(spark):
+    """Bucketed range join: equi-join on bin + exact post-filter — the
+    plan must not contain a nested-loop/cartesian, and with per-key
+    non-overlapping intervals every point matches exactly once."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import interval_join, session_stats
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import q_interval_join
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    plan = (
+        q_interval_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+    # per-user session intervals: each event lands in exactly its session
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pts = ev.select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    iv = session_stats(ev, gap=1800, order_tiebreak="event_id").select(
+        "user_id", "session_idx", "start_us", "end_us"
+    )
+    out = interval_join(
+        pts, iv, "us", "start_us", "end_us",
+        bin_width=1_800_000_000, extra_keys=["user_id"],
+    )
+    assert out.count() == ev.count()  # exactly one session per event
