@@ -361,6 +361,96 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, queries, k=5, centroid_stride=64)
 
 
+def q_sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over a TRAINED coarse quantizer: two deterministic
+    Lloyd's iterations (`operators/clustering.py::kmeans_fit`) then the
+    same two-equi-join probe. The oracle replays the identical iterations
+    as SQL CTEs — exact int64 partial sums and floor-division centroid
+    updates make even the iterative training bit-reproducible."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=2)
+    queries = emb.where(F.col("vec_id") < 4)
+    return topk_ivf(emb, queries, k=3, centroids=cents)
+
+
+# Lloyd's k-means (k=4, 2 iterations, 64 dims) as SQL: assign = cosine
+# argmax (ties -> lowest cell), update = elementwise exact floor-division
+# mean; empty cells keep their previous centroid (COALESCE).
+_KM_DIMS = 64
+
+
+def _km_assign(prev: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT qn.id, qn.q, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY qn.id
+               ORDER BY list_dot_product(qn.q, c.qc)
+                        / (SQRT(qn.n) * SQRT(list_dot_product(c.qc, c.qc))) DESC,
+                        c.cell ASC) AS rc
+    FROM qn CROSS JOIN {prev} c
+)"""
+
+
+def _km_update(assign: str, prev: str, out: str) -> str:
+    # floor division via pmod so negatives round like numpy's //
+    return f"""{out}_s AS (
+    SELECT a.cell, t.d, CAST(SUM(a.q[t.d]) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT cell, q FROM {assign} WHERE rc = 1) a
+    CROSS JOIN (SELECT UNNEST(range(1, {_KM_DIMS} + 1)) AS d) t
+    GROUP BY a.cell, t.d
+),
+{out} AS (
+    SELECT p.cell, COALESCE(u.qc_new, p.qc) AS qc
+    FROM {prev} p LEFT JOIN (
+        SELECT cell,
+               list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY d) AS qc_new
+        FROM {out}_s GROUP BY cell
+    ) u USING (cell)
+)"""
+
+
+ORACLE_SIM_TOPK_IVF_TRAINED = f"""
+WITH qn0 AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qn0),
+params AS (SELECT GREATEST(1, COUNT(*) // 4) AS stride FROM qn),
+c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS cell, q AS qc
+    FROM qn WHERE id % (SELECT stride FROM params) = 0
+    ORDER BY id LIMIT 4
+),
+{_km_assign("c0", "a1")},
+{_km_update("a1", "c0", "c1")},
+{_km_assign("c1", "a2")},
+{_km_update("a2", "c1", "c2")},
+{_km_assign("c2", "a3")},
+fin AS (SELECT id, cell FROM a3 WHERE rc = 1),
+scored AS (
+    SELECT qq.id AS query_id, cc.id AS nbr,
+           list_dot_product(q1.q, q2.q) / (SQRT(q1.n) * SQRT(q2.n)) AS cos
+    FROM fin qq
+    JOIN fin cc ON qq.cell = cc.cell AND cc.id <> qq.id
+    JOIN qn q1 ON q1.id = qq.id
+    JOIN qn q2 ON q2.id = cc.id
+    WHERE qq.id < 4
+),
+ranked AS (
+    SELECT query_id, nbr, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
 # shares the quantized-vector CTE shape with queries/extensions.py
 ORACLE_SIM_TOPK_IVF = """
 WITH qv AS (
@@ -891,6 +981,7 @@ ADVANCED_QUERIES = {
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
     "sim_topk_ivf": q_sim_topk_ivf,
+    "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
 }
 
 ADVANCED_ORACLES = {
@@ -922,4 +1013,5 @@ ADVANCED_ORACLES = {
     "sample_split": ORACLE_SAMPLE_SPLIT,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
+    "sim_topk_ivf_trained": ORACLE_SIM_TOPK_IVF_TRAINED,
 }

@@ -562,3 +562,47 @@ def test_lakesql_describe_history(spark, repo):
     assert [h.message for h in hist] == ["add t"]
     full = lsql.history().collect()
     assert [h.operation for h in full] == ["WRITE", "WRITE", "CREATE"]
+
+
+# -- concurrency: RepoLock must serialize metadata mutations ----------------
+
+
+def test_concurrent_commits_and_vacuum(spark, repo):
+    """8 threads × (write + commit) racing a vacuum loop: every commit must
+    survive with a unique monotone version, and vacuum must never collect
+    a file any surviving snapshot references."""
+    import threading
+
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            for j in range(3):
+                repo.write_table("main", f"t{i}", _df(spark, [(j, f"w{i}")]))
+                repo.commit("main", f"writer {i} commit {j}")
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    def gc() -> None:
+        try:
+            for _ in range(5):
+                repo.vacuum(keep_history=True, grace_seconds=0)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    threads.append(threading.Thread(target=gc))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    log = repo.log("main", limit=1000)
+    versions = [c.version for c in log]
+    assert len(set(versions)) == len(versions)  # unique versions
+    assert versions == sorted(versions, reverse=True)  # monotone on first-parent
+    assert len(log) == 8 * 3 + 1  # every commit landed (+ genesis)
+    # every table readable at head with its final write
+    for i in range(8):
+        rows = {(r.id, r.val) for r in repo.read_table(spark, f"t{i}", "main").collect()}
+        assert rows == {(2, f"w{i}")}
