@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # whole-stage codegen emits one class per plan; long sessions that
+        # compile hundreds of plans overflow the default 240 MB JIT code
+        # cache, after which the JVM stops compiling and every subsequent
+        # query runs partly interpreted (profiled: last-in-suite queries
+        # 3-4x slower than the same query in a fresh session)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
