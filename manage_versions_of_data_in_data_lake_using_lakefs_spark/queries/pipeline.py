@@ -279,8 +279,100 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composition every
+    LLM-data pipeline runs, as ONE declarative plan:
+
+      documents → language filter (en) → quality filter (≥0.45)
+      → exact dedup (keep lowest doc_id per md5(text))
+      → MinHash-LSH near-dup removal (drop the b side of each pair)
+      → deterministic 80/10/10 hash split → per-split corpus stats.
+
+    Every stage is an already-verified operator; the oracle replays the
+    identical chain in SQL, so the hash match certifies the composition,
+    not just the parts. Near-dup survivor rule (drop every doc that
+    appears as the greater id of a pair) is deterministic and mirrored
+    exactly — transitive-closure survivor selection lives separately in
+    ``dedup_resolution``. Map-only stages fuse into the scans; the only
+    shuffles are the dedup window, the MinHash build, and the final
+    4-row aggregate."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import minhash_lsh_pairs
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import language_id, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(language_id(docs))
+    filt = scored.where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.45))
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    corpus = (
+        filt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "text", "n_tokens", "quality")
+    )
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    near_dups = pairs.select(F.col("b").alias("doc_id")).distinct()
+    survivors = corpus.join(near_dups, "doc_id", "left_anti")
+    split = hash_split(survivors, "doc_id")
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (decimal_sum(F.col("quality"), 6) / F.count(F.lit(1))).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_corpus_prep() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum_sql
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import (
+        ORACLE_TEXT_LANG_ID,
+        ORACLE_TEXT_QUALITY,
+        _LSH_PAIR_CTES,
+    )
+
+    # the shared MinHash CTE block shingles `FROM documents`; the pipeline
+    # shingles the filtered+deduped corpus instead
+    lsh_on_corpus = _LSH_PAIR_CTES.replace("FROM documents", "FROM corpus")
+    avg_q = decimal_sum_sql("quality", 6)
+    return f"""
+WITH li AS ({ORACLE_TEXT_LANG_ID}),
+q AS ({ORACLE_TEXT_QUALITY}),
+corpus0 AS (
+    SELECT d.doc_id, d.text, q.n_tokens, q.quality
+    FROM documents d JOIN li USING (doc_id) JOIN q USING (doc_id)
+    WHERE li.lang_pred = 'en' AND q.quality >= 0.45
+),
+corpus AS (
+    SELECT doc_id, text, n_tokens, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM corpus0
+    ) WHERE rn = 1
+),
+{lsh_on_corpus},
+survivors AS (
+    SELECT c.* FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT DISTINCT b FROM pairs)
+),
+tagged AS (
+    SELECT *,
+           ((1103515245::BIGINT * ((doc_id % 2147483647 + 2147483647) % 2147483647)
+             + 12345) % 2147483647) % 100 AS bkt
+    FROM survivors
+)
+SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {avg_q} / COUNT(*) AS avg_quality
+FROM tagged GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES = {
     "feature_pipeline": q_feature_pipeline,
+    "corpus_prep": q_corpus_prep,
     "multimodal_stats": q_multimodal_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -292,6 +384,7 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLES = {
     "feature_pipeline": ORACLE_FEATURE_PIPELINE,
+    "corpus_prep": _oracle_corpus_prep(),
     "multimodal_stats": ORACLE_MULTIMODAL_STATS,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,

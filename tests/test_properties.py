@@ -64,3 +64,33 @@ def test_exact_dedup_partition_counts(spark, texts):
     for t in texts:
         expected[t] = expected.get(t, 0) + 1
     assert out == expected
+
+
+@given(
+    pts=st.lists(st.integers(0, 500), min_size=1, max_size=30),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 120)), min_size=1, max_size=15
+    ),
+    bin_width=st.sampled_from([7, 50, 128]),
+)
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, pts, ivs, bin_width):
+    """Bucketed interval join == brute-force BETWEEN filter for any bin
+    width (bins are a physical plan choice, never a semantics change)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import interval_join
+
+    p = spark.createDataFrame([(i, v) for i, v in enumerate(pts)], "pid long, x long")
+    iv = spark.createDataFrame(
+        [(j, s, s + l) for j, (s, l) in enumerate(ivs)], "iid long, lo long, hi long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, "x", "lo", "hi", bin_width=bin_width).collect()
+    }
+    want = {
+        (i, j)
+        for i, v in enumerate(pts)
+        for j, (s, l) in enumerate(ivs)
+        if s <= v <= s + l
+    }
+    assert got == want
