@@ -49,7 +49,10 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.replicas im
     REPLICA_ORACLES,
     REPLICA_QUERIES,
 )
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.versioned import VERSIONED_QUERIES
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.versioned import (
+    VERSIONED_ORACLES,
+    VERSIONED_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -153,6 +156,7 @@ def all_oracles() -> dict[str, str]:
     for family in (
         RELATIONAL_ORACLES,
         EXTENSION_ORACLES,
+        VERSIONED_ORACLES,
         PIPELINE_ORACLES,
         FORMAT_ORACLES,
         ADVANCED_ORACLES,

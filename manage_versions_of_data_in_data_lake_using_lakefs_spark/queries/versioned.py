@@ -86,3 +86,38 @@ VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
 }
+
+# The *values* these demos emit are pure functions of the testdata, so
+# they CAN be oracle-checked even though the machinery under test
+# (commit DAG, snapshot isolation, merge) is not SQL-expressible: if an
+# overwrite clobbered v0, or the merge dropped/duplicated rows, the
+# counts diverge and the hash check fails. The full behavioral
+# invariants still live in tests/test_versioning.py.
+
+ORACLE_VERSIONED_TIME_TRAVEL = """
+SELECT 'v0' AS version, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_totalprice > 3000.0
+UNION ALL
+SELECT 'v1' AS version, CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+ORDER BY version
+"""
+
+# the dev branch adds +100.0 to every 10th customer's balance: the
+# row-level diff reports each such row once as 'removed' (main side) and
+# once as 'added' (dev side); the merge fast-forwards to dev, keeping
+# every customer exactly once
+ORACLE_VERSIONED_BRANCH_MERGE = """
+SELECT 'added' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT 'merged_rows', CAST(COUNT(*) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'removed', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_custkey % 10 = 0
+ORDER BY metric
+"""
+
+VERSIONED_ORACLES = {
+    "versioned_time_travel": ORACLE_VERSIONED_TIME_TRAVEL,
+    "versioned_branch_merge": ORACLE_VERSIONED_BRANCH_MERGE,
+}

@@ -584,9 +584,13 @@ def test_concurrent_commits_and_vacuum(spark, repo):
             errors.append(e)
 
     def gc() -> None:
+        # grace window on: an in-flight parquet write exists on disk before
+        # its staged pointer is recorded, and the mtime grace is what
+        # spares it (vacuum's documented contract — grace 0 is only safe
+        # with no active writers)
         try:
             for _ in range(5):
-                repo.vacuum(keep_history=True, grace_seconds=0)
+                repo.vacuum(keep_history=True, grace_seconds=60)
         except Exception as e:
             errors.append(e)
 
@@ -606,3 +610,5 @@ def test_concurrent_commits_and_vacuum(spark, repo):
     for i in range(8):
         rows = {(r.id, r.val) for r in repo.read_table(spark, f"t{i}", "main").collect()}
         assert rows == {(2, f"w{i}")}
+    # writers quiesced: a zero-grace vacuum must find nothing dead
+    assert repo.vacuum(keep_history=True, grace_seconds=0) == []
