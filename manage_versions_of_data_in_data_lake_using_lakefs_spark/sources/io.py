@@ -36,9 +36,14 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet).
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects; read nanos as long (runtime conf)
-    and surface a proper TimestampType (microsecond) column.
+    ``events.parquet``'s ``ts`` encoding has varied across driver testdata
+    generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects) and naive ``timestamp[us]`` (which Spark 4 surfaces as
+    TIMESTAMP_NTZ, breaking ``unix_micros``-based queries). Normalize both
+    to a plain TimestampType column whose ``unix_micros`` equal the stored
+    values regardless of the caller session's timezone: nanos are read as
+    long (runtime conf) and integer-divided; naive micros are read with
+    NTZ inference off, which keeps the raw micros unshifted.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -46,6 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
         ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
         if ts_field is not None and isinstance(ts_field.dataType, LongType):
