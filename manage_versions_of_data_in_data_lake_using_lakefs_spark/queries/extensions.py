@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import (
+    chunk_documents,
+    decontaminate,
+    pii_redact,
+    repetition_metrics,
+)
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
@@ -460,6 +466,160 @@ SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus preparation (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the pretokenization sharding
+    step of a training pipeline. Map+explode, chunk ids derived
+    arithmetically (partitioning-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_len", "chunk_text"
+    )
+
+
+ORACLE_TEXT_CHUNKS = f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+starts AS (
+    SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 12)) AS s
+    FROM toks WHERE len(tk) >= 1
+)
+SELECT doc_id,
+       CAST((s - 1) // 12 AS INT) AS chunk_idx,
+       CAST(len(tk[s:s + 15]) AS INT) AS chunk_len,
+       array_to_string(tk[s:s + 15], ' ') AS chunk_text
+FROM starts
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token fraction,
+    top-bigram fraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+per_doc AS (
+    SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+           CASE WHEN len(tk) > 0
+                THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                ELSE 0.0 END AS dup_token_frac
+    FROM toks
+),
+bg AS (
+    SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+          FROM toks WHERE len(tk) >= 2)
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (
+    SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+    FROM cnt GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.dup_token_frac,
+       COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM per_doc p LEFT JOIN top t USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination check: flag corpus docs sharing any 8-gram
+    with the 'benchmark' slice (every 20th doc stands in for an eval
+    suite). Benchmark shingles broadcast; the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, n=8)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+dsh AS (
+    SELECT DISTINCT doc_id, array_to_string(tk[i + 1:i + 8], ' ') AS shingle
+    FROM (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS i
+          FROM toks WHERE len(tk) >= 8)
+),
+bsh AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 20 = 0),
+hits AS (
+    SELECT DISTINCT doc_id FROM dsh
+    WHERE shingle IN (SELECT shingle FROM bsh)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with audit counts. The synthetic corpus contains no
+    PII, so the query plants deterministic emails (every 3rd doc) and long
+    digit runs (every 2nd doc) before redacting — exercising match, count,
+    and replacement on known ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" ref "),
+                    (F.col("doc_id") * 1000000 + 123456).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(planted).select(
+        "doc_id", "n_emails", "n_long_nums", "text_redacted"
+    )
+
+
+ORACLE_PII_REDACT = """
+WITH planted AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' ref ' || (doc_id * 1000000 + 123456)
+                   ELSE '' END AS text
+    FROM documents
+),
+emailless AS (
+    SELECT doc_id, text,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+               '<EMAIL>', 'g') AS text_noemail
+    FROM planted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS INT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text_noemail, '[0-9]{6,}')) AS INT)
+           AS n_long_nums,
+       regexp_replace(text_noemail, '[0-9]{6,}', '<NUM>', 'g') AS text_redacted
+FROM emailless
+"""
+
+
 EXTENSION_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -475,6 +635,10 @@ EXTENSION_QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "sim_topk": q_sim_topk,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "text_chunks": q_text_chunks,
+    "text_repetition": q_text_repetition,
+    "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
 }
 
 EXTENSION_ORACLES = {
@@ -492,4 +656,8 @@ EXTENSION_ORACLES = {
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_topk_lsh": ORACLE_SIM_TOPK_LSH,
+    "text_chunks": ORACLE_TEXT_CHUNKS,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "pii_redact": ORACLE_PII_REDACT,
 }

@@ -302,3 +302,69 @@ def test_interval_join_plan_and_semantics(spark):
         bin_width=1_800_000_000, extra_keys=["user_id"],
     )
     assert out.count() == ev.count()  # exactly one session per event
+
+
+def test_corpus_chunking_edges(spark):
+    """Window arithmetic at the boundaries: short final chunk, exact-fit
+    chunk, empty documents dropped, overlap >= chunk rejected."""
+    import pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, ""), (2, "x x x x")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    d0 = sorted((r.chunk_idx, r.chunk_len, r.chunk_text) for r in out if r.id == 0)
+    assert d0 == [(0, 4, "a b c d"), (1, 4, "c d e f"), (2, 3, "e f g"), (3, 1, "g")]
+    assert not [r for r in out if r.id == 1]
+    d2 = sorted((r.chunk_idx, r.chunk_len) for r in out if r.id == 2)
+    assert d2 == [(0, 4), (1, 2)]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_corpus_repetition_and_redaction(spark):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import pii_redact, repetition_metrics
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, ""), (2, "x x x x")], ["doc_id", "text"]
+    )
+    rep = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert rep[1].n_tokens == 0
+    assert rep[1].dup_token_frac == 0.0 and rep[1].top_bigram_frac == 0.0
+    assert rep[2].dup_token_frac == 0.75 and rep[2].top_bigram_frac == 1.0
+
+    red = pii_redact(
+        spark.createDataFrame(
+            [(0, "mail a.b@c.org x 1234567 y 12345")], ["doc_id", "text"]
+        )
+    ).collect()[0]
+    assert red.n_emails == 1 and red.n_long_nums == 1
+    assert red.text_redacted == "mail <EMAIL> x <NUM> y 12345"
+
+
+def test_decontaminate_plan_and_semantics(spark):
+    """Benchmark shingles must broadcast (no corpus shuffle for candidate
+    generation) and benchmark members must flag themselves."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import decontaminate
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    out = decontaminate(docs, bench, n=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    flags = {r.doc_id: r.contaminated for r in out.collect()}
+    assert len(flags) == docs.count()
+    # every benchmark doc with >= 8 tokens overlaps itself
+    long_bench = {
+        r.doc_id
+        for r in bench.where(
+            F.size(F.split(F.lower("text"), "[^a-z0-9]+")) >= 8
+        ).collect()
+    }
+    assert all(flags[d] for d in long_bench)
