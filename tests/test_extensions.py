@@ -368,3 +368,18 @@ def test_decontaminate_plan_and_semantics(spark):
         ).collect()
     }
     assert all(flags[d] for d in long_bench)
+
+
+def test_registry_releases_tracked_caches(spark):
+    """Persisted intermediates must not outlive their query: building the
+    next registry query releases the previous one's tracked caches."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark import runtime
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_queries
+
+    q = all_queries()
+    runtime.release_tracked()
+    df = q["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    assert runtime._LIVE, "minhash pipeline should track its persisted shingles"
+    q["scan_project"](spark, "/root/testdata/sf0.001")
+    assert not runtime._LIVE, "next query build must release prior caches"
