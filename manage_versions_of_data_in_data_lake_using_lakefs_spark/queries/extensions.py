@@ -25,7 +25,7 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup imp
     simhash_pairs,
 )
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
-    cosine_pairs_lsh,
+    cosine_pairs_ivf,
     topk_bruteforce,
     topk_lsh,
 )
@@ -283,12 +283,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs (the 100 TB path): candidates share a
-    random-hyperplane bucket — one equi-join, no cross join — then exact
-    quantized-cosine verify in-bucket. The oracle reimplements the same
-    deterministic bucketing (same planes), so the match is bit-exact."""
+    """IVF-cell-blocked near-dup pairs (the 100 TB path, SemDeDup-style
+    cluster-then-pairwise): candidates share one of their 2 nearest coarse
+    cells — broadcast centroids + equi-join on cell, no cross join — then
+    exact quantized-cosine verify. Recalls ~2/3 of the exact pair set at
+    this θ=0.4 regime where sign-LSH blocking recalls almost nothing (the
+    sign-agreement probability per plane is only ~0.65). The oracle
+    replays the same deterministic quantizer, so the match is bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_lsh(emb, threshold=0.4)
+    return cosine_pairs_ivf(emb, threshold=0.4, centroid_stride=64, nprobe=2)
 
 
 # the hyperplane/bucket CTEs, shared with ORACLE_SIM_TOPK_LSH
@@ -309,11 +312,25 @@ vec AS (SELECT qn.id, qn.q, qn.n, b.bucket FROM qn JOIN buckets b USING (id))
 
 ORACLE_DEDUP_EMBEDDING_COSINE = f"""
 WITH {_SQL_QVEC},
-{_SQL_LSH_VEC}
-SELECT a.id AS a, b.id AS b,
-       list_dot_product(a.q, b.q) / (SQRT(a.n) * SQRT(b.n)) AS cos
-FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.id < b.id
-WHERE list_dot_product(a.q, b.q) / (SQRT(a.n) * SQRT(b.n)) >= 0.4
+cents AS (SELECT id AS cid, q AS cq, n AS cn FROM qn WHERE id % 64 = 0),
+ranked AS (
+    SELECT qn.id, cents.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY qn.id
+               ORDER BY list_dot_product(qn.q, cents.cq)
+                        / (SQRT(qn.n) * SQRT(cents.cn)) DESC, cents.cid ASC
+           ) AS rc
+    FROM qn CROSS JOIN cents
+),
+assign AS (SELECT id, cid AS cell FROM ranked WHERE rc <= 2),
+cand AS (
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
+)
+SELECT cand.a, cand.b,
+       list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) AS cos
+FROM cand JOIN qn va ON cand.a = va.id JOIN qn vb ON cand.b = vb.id
+WHERE list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) >= 0.4
 """
 
 
