@@ -80,6 +80,8 @@ def main() -> None:
         "sessionize",
         "sample_split",
         "sim_topk_ivf",
+        "corpus_prep",
+        "decontaminate",
     ):
         if extra in registry:
             names.append(extra)
