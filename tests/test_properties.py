@@ -94,3 +94,54 @@ def test_interval_join_matches_bruteforce(spark, pts, ivs, bin_width):
         if s <= v <= s + l
     }
     assert got == want
+
+
+_words = st.lists(
+    st.sampled_from(["a", "b", "cc", "dd", "e1", "f2", "gg", "hh"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(words=_words, chunk=st.integers(2, 8), overlap=st.integers(0, 3))
+@settings(**_SETTINGS)
+def test_chunking_covers_and_reconstructs(spark, words, chunk, overlap):
+    """Every chunk is exactly the token-stream slice its (idx, step)
+    arithmetic claims, with contiguous chunk ids — for arbitrary streams,
+    chunk sizes, and overlaps."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if not words:
+        assert rows == []
+        return
+    # chunk k must be exactly words[k*step : k*step+chunk], ids contiguous
+    for r in rows:
+        start = r.chunk_idx * step
+        assert r.chunk_text.split(" ") == words[start : start + chunk]
+        assert r.chunk_len == len(words[start : start + chunk])
+    assert {r.chunk_idx for r in rows} == set(range(len(rows)))
+
+
+@given(words=st.lists(st.sampled_from(["x", "y", "z"]), min_size=2, max_size=30))
+@settings(**_SETTINGS)
+def test_repetition_metrics_match_python(spark, words):
+    """dup_token_frac / top_bigram_frac equal a direct Python computation."""
+    from collections import Counter
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import repetition_metrics
+
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    r = repetition_metrics(df).collect()[0]
+    assert r.n_tokens == len(words)
+    assert abs(r.dup_token_frac - (1 - len(set(words)) / len(words))) < 1e-12
+    bigrams = Counter(zip(words, words[1:]))
+    expect = max(bigrams.values()) / sum(bigrams.values())
+    assert abs(r.top_bigram_frac - expect) < 1e-12
