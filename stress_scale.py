@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Scale-stress harness: measure how the heaviest pipelines behave as the
+input grows, holding the machine fixed.
+
+The grading SF ladder tops out at sf0.1, so this script synthesizes
+larger inputs by replicating the sf0.1 tables in-plan (crossJoin with a
+small replication range — map-only, no disk writes, ids re-keyed to stay
+unique, text/vectors perturbed per replica so dedup structure is
+preserved rather than collapsed). It then times the headline pipeline
+operators at 1x / Kx and reports the *per-row* cost ratio: a bucketed,
+shuffle-sane plan should stay near 1.0 (linear scaling); a quadratic
+candidate generator or single-partition choke point shows up as a
+super-linear blowup long before a real cluster run would.
+
+Usage: python stress_scale.py [K]    (default K=8)
+Prints one JSON line: {"k": K, "ops": {name: {"t1": s, "tk": s,
+"per_row_ratio": r}}}. Results are recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def replicate_documents(docs: DataFrame, k: int) -> DataFrame:
+    """K copies with unique ids; a per-replica suffix token keeps each
+    replica's dup/near-dup structure intact instead of collapsing all
+    replicas into one giant duplicate class."""
+    reps = docs.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return docs.crossJoin(reps).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.concat(F.lit("r"), F.col("_rep"))).alias(
+            "text"
+        ),
+    )
+
+
+def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    reps = emb.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return emb.crossJoin(reps).select(
+        (F.col("vec_id") * k + F.col("_rep")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.col("_rep").cast("float") * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+
+
+def replicate_lineitem(li: DataFrame, k: int) -> DataFrame:
+    reps = li.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return li.crossJoin(reps).withColumn(
+        "l_orderkey", F.col("l_orderkey") * k + F.col("_rep")
+    )
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import (
+        decontaminate,
+        repetition_metrics,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_pairs_ivf
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import release_tracked
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.session import get_spark
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    spark = get_spark(app_name="lakegraft-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def op_minhash(d: DataFrame) -> DataFrame:
+        return minhash_lsh_pairs(d, threshold=0.5)
+
+    def op_simhash(d: DataFrame) -> DataFrame:
+        return simhash_pairs(d, max_hamming=3)
+
+    def op_repetition(d: DataFrame) -> DataFrame:
+        return repetition_metrics(d)
+
+    def op_decontaminate(d: DataFrame) -> DataFrame:
+        return decontaminate(d, d.where(F.col("doc_id") % 20 == 0), n=8)
+
+    def op_embed_ivf(e: DataFrame) -> DataFrame:
+        return cosine_pairs_ivf(e, threshold=0.4, centroid_stride=64, nprobe=2)
+
+    def op_agg(x: DataFrame) -> DataFrame:
+        return x.groupBy("l_returnflag", "l_linestatus").agg(
+            decimal_sum(F.col("l_quantity"), 0).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    cases = {
+        "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
+        "dedup_simhash": (docs, replicate_documents, op_simhash),
+        "text_repetition": (docs, replicate_documents, op_repetition),
+        "decontaminate": (docs, replicate_documents, op_decontaminate),
+        "embedding_ivf_pairs": (emb, replicate_embeddings, op_embed_ivf),
+        "agg_sum": (li, replicate_lineitem, op_agg),
+    }
+
+    def run(build, base: DataFrame) -> float:
+        release_tracked()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        build(base).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    out = {}
+    for name, (base, rep, build) in cases.items():
+        t1 = min(run(build, base) for _ in range(2))
+        tk = run(build, rep(base, k))
+        out[name] = {
+            "t1": round(t1, 3),
+            "tk": round(tk, 3),
+            "per_row_ratio": round(tk / (t1 * k), 3),
+        }
+        print(f"# {name}: 1x={t1:.2f}s {k}x={tk:.2f}s per-row {tk/(t1*k):.2f}",
+              file=sys.stderr)
+    print(json.dumps({"k": k, "sf": sf_dir, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
