@@ -57,10 +57,14 @@ def chunk_documents(
     """Explode each document into overlapping token windows.
 
     Chunk k covers tokens [1 + k*step, 1 + k*step + chunk_tokens) with
-    step = chunk_tokens - overlap; the final chunk may be short. Returns
-    (id, chunk_idx, chunk_len, chunk_text). chunk_idx is derived
-    arithmetically from the window start — not from explode ordinality —
-    so it is deterministic under any partitioning.
+    step = chunk_tokens - overlap; the final chunk may be short. Window
+    starts stop at n − overlap, so every chunk contributes at least one
+    token beyond the previous chunk's overlap — a start inside the
+    previous overlap region would emit a chunk that is a pure suffix of
+    its predecessor (zero new tokens: duplicate text injected into a
+    dedup pipeline). Returns (id, chunk_idx, chunk_len, chunk_text).
+    chunk_idx is derived arithmetically from the window start — not from
+    explode ordinality — so it is deterministic under any partitioning.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -68,7 +72,9 @@ def chunk_documents(
     base = _widen(df, id_col).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_toks")
     ).where(F.size("_toks") >= 1)
-    starts = F.sequence(F.lit(1), F.size("_toks"), F.lit(step))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks") - overlap, F.lit(1)), F.lit(step)
+    )
     exploded = base.select("id", "_toks", F.explode(starts).alias("start"))
     chunk = F.slice(F.col("_toks"), F.col("start"), chunk_tokens)
     return exploded.select(
@@ -171,7 +177,7 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     replacing, and redact emails before digit runs so an address's
     numeric local-part isn't double-redacted.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL-safe, see tokenize
     n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
     redacted = F.regexp_replace(
         F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), LONG_NUM_RE, "<NUM>"

@@ -166,6 +166,7 @@ def cosine_pairs_ivf(
     threshold: float = 0.4,
     centroid_stride: int = 64,
     nprobe: int = 2,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-cell-blocked embedding near-dup pairs — the published
     cluster-then-pairwise recipe (SemDeDup): coarse-quantize the corpus,
@@ -174,22 +175,40 @@ def cosine_pairs_ivf(
     cosine regime (sign agreement across k planes collapses as θ drops),
     at bounded candidate cost.
 
-    Scale shape: centroids are |corpus|/stride rows → broadcast;
-    assignment is a map-side broadcast join + one per-id window (the only
-    corpus shuffle); candidates are an equi-join on cell id, so volume is
-    ~|corpus| × cell_width × nprobe — linear in the corpus with the cell
-    width capped by quantizer granularity, never O(n²). Each vector
-    belongs to its ``nprobe`` nearest cells (fixed fan-out), and pairs are
-    de-duplicated before the verify join.
+    Scale shape: with k centroids, assignment is an O(n·k) broadcast
+    probe (map-side, no corpus shuffle) + one per-id window; candidates
+    are an equi-join on cell id with volume ~|corpus| × cell_width ×
+    nprobe — no corpus×corpus product anywhere. The default quantizer
+    samples every ~stride-th vector by a portable hash of the id (density-
+    robust: works for any id space, unlike an ``id % stride`` rule that
+    returns NOTHING when no id is a stride multiple), so k ≈ n/stride and
+    the implied n·k assignment cost means the default is for corpora
+    whose n/stride centroid set still broadcasts. Past that, pass
+    ``centroids=`` from ``operators.clustering.kmeans_fit`` — k fixed by
+    memory budget, assignment back to O(n·k) with constant k, cells wider
+    — or quantize hierarchically (coarse shard → per-shard quantizer).
+    Each vector belongs to its ``nprobe`` nearest cells (fixed fan-out),
+    and pairs are de-duplicated before the verify join.
     """
     q_all = _persisted(
         with_quantized(df, vec_col).select(
             F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
         )
     )
-    cents = q_all.where(F.col("id") % F.lit(centroid_stride) == 0).select(
-        F.col("id").alias("cid"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
-    )
+    if centroids is not None:
+        cents = df.sparkSession.createDataFrame(
+            [(i, c, sum(x * x for x in c)) for i, c in enumerate(centroids)],
+            "cid LONG, qc ARRAY<LONG>, nc LONG",
+        )
+    else:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+        sampled = F.pmod(
+            portable_hash(F.col("id").cast("string")), F.lit(centroid_stride)
+        )
+        cents = q_all.where(sampled == 0).select(
+            F.col("id").alias("cid"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+        )
     scored = q_all.join(F.broadcast(cents)).withColumn(
         "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
     )

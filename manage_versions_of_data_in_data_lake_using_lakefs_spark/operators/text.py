@@ -29,8 +29,15 @@ STOPWORDS = {
 
 
 def tokenize(col: Column) -> Column:
-    """lower → regex split → drop empty tokens. Array column, no shuffle."""
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+    """lower → regex split → drop empty tokens. Array column, no shuffle.
+
+    NULL-safe: NULL text tokenizes to an empty array, not NULL — without
+    the coalesce, ``F.size`` downstream returns −1 (non-ANSI) while the
+    DuckDB oracles return NULL, a silent parity break on any NULL row."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: t != F.lit(""),
+    )
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
@@ -97,8 +104,9 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting two ways: whitespace words and a BPE-ish regex of
     letter-runs / digits / punctuation pieces (the cheap proxy for "how
     many LLM tokens is this document")."""
-    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")))
-    bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), 0))
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL-safe, see tokenize
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), 0))
     return df.withColumn("n_words", ws).withColumn("n_bpe_pieces", bpe)
 
 

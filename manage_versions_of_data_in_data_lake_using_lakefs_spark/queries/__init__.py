@@ -116,7 +116,7 @@ WINDOW_ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",        # banded candidates, no cross join
-    "dedup_embedding_cosine",  # LSH-bucketed candidates
+    "dedup_embedding_cosine",  # IVF-cell-blocked candidates (SemDeDup)
     "dedup_resolution",     # connected components + survivors, tagged
     "sim_ann",              # brute/LSH/IVF top-k, tagged
     "multimodal_stats",

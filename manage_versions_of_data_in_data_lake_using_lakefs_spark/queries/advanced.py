@@ -533,7 +533,7 @@ SELECT doc_id,
        unnest(tk) AS tok
 FROM (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+           list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t <> '') AS tk
     FROM documents
 )
 """

@@ -42,7 +42,8 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import l
 # ---------------------------------------------------------------------------
 
 _SQL_TOKS = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),"
+    " t -> t <> '')"
 )
 
 _SQL_SHINGLES = f"""
@@ -139,8 +140,8 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_TOKEN_COUNT = r"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_words,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS n_bpe_pieces
+       CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS n_bpe_pieces
 FROM documents
 """
 
@@ -312,7 +313,13 @@ vec AS (SELECT qn.id, qn.q, qn.n, b.bucket FROM qn JOIN buckets b USING (id))
 
 ORACLE_DEDUP_EMBEDDING_COSINE = f"""
 WITH {_SQL_QVEC},
-cents AS (SELECT id AS cid, q AS cq, n AS cn FROM qn WHERE id % 64 = 0),
+cents AS (
+    -- portable-hash sampled ~1/64 of ids (mirrors operators/similarity.py:
+    -- density-robust, no dense-sequential-id precondition)
+    SELECT id AS cid, q AS cq, n AS cn FROM qn
+    WHERE (('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+           % 2147483647) % 64 = 0
+),
 ranked AS (
     SELECT qn.id, cents.cid,
            ROW_NUMBER() OVER (
@@ -502,7 +509,7 @@ WITH toks AS (
     SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
 ),
 starts AS (
-    SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 12)) AS s
+    SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 4, 1) + 1, 12)) AS s
     FROM toks WHERE len(tk) >= 1
 )
 SELECT doc_id,
@@ -584,7 +591,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.when(
                 F.col("doc_id") % 3 == 0,
                 F.concat(
@@ -610,7 +617,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PII_REDACT = """
 WITH planted AS (
     SELECT doc_id,
-           text
+           coalesce(text, '')
            || CASE WHEN doc_id % 3 = 0
                    THEN ' contact user' || doc_id || '@example.com'
                    ELSE '' END

@@ -22,10 +22,22 @@ from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
 
+#: direct operator users (library/notebook callers that never go through
+#: the query registry) would otherwise grow _LIVE without bound; no sane
+#: plan needs more than this many simultaneously-live persisted
+#: projections, so beyond it the oldest are released FIFO.
+_MAX_LIVE = 32
+
 
 def track(df: DataFrame) -> DataFrame:
     """Register a persisted DataFrame for end-of-query release."""
     _LIVE.append(df)
+    while len(_LIVE) > _MAX_LIVE:
+        stale = _LIVE.pop(0)
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:
+            pass
     return df
 
 

@@ -122,8 +122,12 @@ def main() -> None:
 
     out = {}
     for name, (base, rep, build) in cases.items():
+        # best-of-2 on BOTH sides: the Kx plan is a different plan shape
+        # paying its own one-time codegen/JIT; timing it cold against a
+        # warm 1x denominator would bias every ratio upward
         t1 = min(run(build, base) for _ in range(2))
-        tk = run(build, rep(base, k))
+        big = rep(base, k)
+        tk = min(run(build, big) for _ in range(2))
         out[name] = {
             "t1": round(t1, 3),
             "tk": round(tk, 3),

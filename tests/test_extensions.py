@@ -316,10 +316,11 @@ def test_corpus_chunking_edges(spark):
     )
     out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
     d0 = sorted((r.chunk_idx, r.chunk_len, r.chunk_text) for r in out if r.id == 0)
-    assert d0 == [(0, 4, "a b c d"), (1, 4, "c d e f"), (2, 3, "e f g"), (3, 1, "g")]
+    # starts stop at n - overlap: no pure-suffix trailing chunk
+    assert d0 == [(0, 4, "a b c d"), (1, 4, "c d e f"), (2, 3, "e f g")]
     assert not [r for r in out if r.id == 1]
     d2 = sorted((r.chunk_idx, r.chunk_len) for r in out if r.id == 2)
-    assert d2 == [(0, 4), (1, 2)]
+    assert d2 == [(0, 4)]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
 
