@@ -100,10 +100,34 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction (stub codec) — the
-    genuinely non-SQL op; driver records the rows-only check."""
+    """Arrow-batched mapInPandas feature extraction. The codec boundary is
+    the stub (real decoders aren't in this container), but the stub's
+    byte statistics are deterministic arithmetic — so the distributed
+    plumbing gets a full blob-arithmetic oracle (hex-encoding trick, same
+    as multimodal_frames) rather than a rows-only check."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+-- byte windows via the hex encoding (2 hex chars per byte), mirroring
+-- _decode_payload: feat_mean = sum(bytes) // len, feat_head = first 4
+-- bytes big-endian zero-padded
+WITH m AS (
+    SELECT doc_id AS media_id, 'text' AS kind,
+           upper(hex(encode(coalesce(text, '')))) AS hx
+    FROM documents
+),
+b AS (SELECT media_id, kind, hx, length(hx) // 2 AS byte_len FROM m)
+SELECT media_id, kind,
+       CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(CASE WHEN byte_len = 0 THEN 0 ELSE
+            list_sum(list_transform(range(byte_len),
+                i -> ('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2))::BIGINT))
+            // byte_len END AS BIGINT) AS feat_mean,
+       CAST(('0x' || rpad(substr(hx, 1, 8), 8, '0'))::BIGINT AS BIGINT) AS feat_head
+FROM b
+"""
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,6 +410,7 @@ PIPELINE_ORACLES = {
     "feature_pipeline": ORACLE_FEATURE_PIPELINE,
     "corpus_prep": _oracle_corpus_prep(),
     "multimodal_stats": ORACLE_MULTIMODAL_STATS,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,

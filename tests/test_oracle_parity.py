@@ -49,4 +49,4 @@ def test_registry_window_contract():
     assert len(q) == 109, f"registry shrank or grew unexpectedly: {len(q)}"
     # rows-only queries (no oracle) are deliberate and enumerated
     rows_only = set(q) - set(oracles)
-    assert rows_only == {"multimodal_features", "agg_approx"}, rows_only
+    assert rows_only == {"agg_approx"}, rows_only
