@@ -425,12 +425,24 @@ def topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = _N_PLANES,
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, then exact cosine
-    rerank within bucket. Bucket join replaces the cross join — candidate
-    volume drops ~2^n_planes-fold; recall is tunable via n_planes (fewer
-    planes → bigger buckets → higher recall and cost).
+    """Approximate top-k: candidates share an LSH bucket, then exact
+    cosine rerank. Bucket join replaces the cross join — candidate volume
+    drops ~2^n_planes-fold; recall is tunable via n_planes (fewer planes →
+    bigger buckets → higher recall and cost).
+
+    Multiprobe (``probe_bits=1``, the default): each query also probes the
+    n_planes buckets at hamming distance 1 from its own — the standard
+    multiprobe-LSH recall fix (a true neighbor split from the query by
+    exactly one hyperplane is recovered). Fan-out is (1 + n_planes)× on
+    the QUERY side only (the small broadcast side — the corpus still
+    lives in exactly one bucket, so no corpus blow-up and each
+    (query, nbr) pair appears at most once, no dedup needed).
+    ``probe_bits=0`` restores exact-bucket-only probing.
     """
+    if probe_bits not in (0, 1):
+        raise NotImplementedError("probe_bits must be 0 or 1")
     c = with_quantized(corpus, vec_col)
     # persist: project-collapse would re-expand the quantize HOF into the
     # self-dot and each of the n_planes bucket dots (interpreted, per row)
@@ -449,6 +461,14 @@ def topk_lsh(
         F.col("_n").alias("nq"),
         lsh_bucket(F.col("_q"), n_planes).alias("bucket"),
     )
+    if probe_bits == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "qq", "nq", F.explode(probes).alias("bucket")
+        )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("nbr") != F.col("query_id"))

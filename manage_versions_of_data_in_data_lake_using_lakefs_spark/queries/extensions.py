@@ -474,11 +474,18 @@ buckets AS (
     FROM qn CROSS JOIN planes GROUP BY qn.id
 ),
 vec AS (SELECT qn.id, qn.q, qn.n, b.bucket FROM qn JOIN buckets b USING (id)),
+-- multiprobe: each query probes its own bucket plus the 8 buckets at
+-- hamming distance 1 (mirrors operators/similarity.py probe_bits=1)
+qprobes AS (
+    SELECT id, q, n,
+           unnest(list_prepend(bucket, list_transform(range(8),
+               p -> xor(bucket, CAST(POWER(2.0, p) AS BIGINT))))) AS bucket
+    FROM vec WHERE id < 8
+),
 scored AS (
     SELECT q.id AS query_id, c.id AS nbr,
            list_dot_product(q.q, c.q) / (SQRT(q.n) * SQRT(c.n)) AS cos
-    FROM vec q JOIN vec c ON q.bucket = c.bucket AND c.id <> q.id
-    WHERE q.id < 8
+    FROM qprobes q JOIN vec c ON q.bucket = c.bucket AND c.id <> q.id
 ),
 ranked AS (
     SELECT query_id, nbr, cos,
