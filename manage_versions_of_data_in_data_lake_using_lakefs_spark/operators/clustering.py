@@ -66,12 +66,17 @@ def kmeans_fit(
     if n == 0:
         raise ValueError("kmeans_fit: empty input")
     k = min(k, n)
-    stride = max(1, n // k)
-    # deterministic init: the k lowest ids at `stride` spacing, in id order
+    # deterministic init: the k smallest ids by (portable_hash(id), id) —
+    # a TOTAL rule (always exactly k rows for any id space, unlike an
+    # `id % stride == 0` filter, which selects nothing when no id is a
+    # stride multiple) that spreads the picks pseudo-randomly across the
+    # corpus; a distributed top-k, no global sort. The SQL-replay oracle
+    # orders by the same portable hash.
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
     init = (
         q.select("id", "q")
-        .orderBy("id")
-        .where(F.col("id") % stride == 0)
+        .orderBy(portable_hash(F.col("id").cast("string")), "id")
         .limit(k)
         .collect()
     )

@@ -159,6 +159,30 @@ def cosine_pairs_lsh(
     )
 
 
+def _centroids_df(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Trained quantizer (operators.clustering.kmeans_fit): k × dims ints —
+    metadata-sized, created driver-side and broadcast by the callers."""
+    return df.sparkSession.createDataFrame(
+        [(i, c, sum(x * x for x in c)) for i, c in enumerate(centroids)],
+        "cid LONG, qc ARRAY<LONG>, nc LONG",
+    )
+
+
+def _sampled_centroids(q_all: DataFrame, stride: int) -> DataFrame:
+    """Default quantizer: ~1/stride of the corpus, sampled by a portable
+    hash of the id — density-robust (an ``id % stride == 0`` rule silently
+    selects NOTHING when no id happens to be a stride multiple: all-odd
+    ids, offset ids, hash-derived ids). ``q_all`` must carry (id, _q, _n).
+    For corpora small enough that the expected n/stride selection could
+    round to zero, use exact search or pass trained ``centroids=``."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+    sampled = F.pmod(portable_hash(F.col("id").cast("string")), F.lit(stride))
+    return q_all.where(sampled == 0).select(
+        F.col("id").alias("cid"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+    )
+
+
 def cosine_pairs_ivf(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -196,19 +220,9 @@ def cosine_pairs_ivf(
         )
     )
     if centroids is not None:
-        cents = df.sparkSession.createDataFrame(
-            [(i, c, sum(x * x for x in c)) for i, c in enumerate(centroids)],
-            "cid LONG, qc ARRAY<LONG>, nc LONG",
-        )
+        cents = _centroids_df(df, centroids)
     else:
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
-
-        sampled = F.pmod(
-            portable_hash(F.col("id").cast("string")), F.lit(centroid_stride)
-        )
-        cents = q_all.where(sampled == 0).select(
-            F.col("id").alias("cid"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
-        )
+        cents = _sampled_centroids(q_all, centroid_stride)
     scored = q_all.join(F.broadcast(cents)).withColumn(
         "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
     )
@@ -346,8 +360,9 @@ def topk_ivf(
     nprobe: int = 1,
     centroids: list[list[int]] | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: a deterministic subset of the corpus
-    (every ``centroid_stride``-th id) serves as the coarse quantizer; each
+    """IVF-style approximate top-k: a deterministic ~1/stride hash-sample
+    of the corpus (``_sampled_centroids`` — density-robust, no
+    dense-sequential-id precondition) serves as the coarse quantizer; each
     vector is assigned to its nearest centroid (exact integer-cosine
     argmax), queries probe their ``nprobe`` nearest cells, and the probed
     cells are reranked exactly.
@@ -365,16 +380,9 @@ def topk_ivf(
         )
     )
     if centroids is not None:
-        # trained quantizer (operators.clustering.kmeans_fit): k × dims
-        # ints — metadata-sized, created driver-side and broadcast below
-        cents = corpus.sparkSession.createDataFrame(
-            [(i, c, sum(x * x for x in c)) for i, c in enumerate(centroids)],
-            "cid LONG, qc ARRAY<LONG>, nc LONG",
-        )
+        cents = _centroids_df(corpus, centroids)
     else:
-        cents = q_all.where(F.col("id") % F.lit(centroid_stride) == 0).select(
-            F.col("id").alias("cid"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
-        )
+        cents = _sampled_centroids(q_all, centroid_stride)
     scored = q_all.join(F.broadcast(cents)).withColumn(
         "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
     )

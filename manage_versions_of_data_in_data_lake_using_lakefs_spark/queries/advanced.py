@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum, decimal_sum_sql
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import PORTABLE_HASH_SQL
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split, stratified_hash_sample
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import (
@@ -381,6 +382,13 @@ def q_sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_DIMS = 64
 
 
+#: centroid/init sampling key shared by the IVF oracles — the SQL twin
+#: of operators.dedup.portable_hash over CAST(id AS VARCHAR)
+_CENT_SAMPLE_SQL = PORTABLE_HASH_SQL.format(
+    x="CAST(id AS VARCHAR)", m=2147483647
+)
+
+
 def _km_assign(prev: str, out: str) -> str:
     return f"""{out} AS (
     SELECT qn.id, qn.q, c.cell,
@@ -420,11 +428,12 @@ WITH qn0 AS (
     FROM embeddings
 ),
 qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qn0),
-params AS (SELECT GREATEST(1, COUNT(*) // 4) AS stride FROM qn),
 c0 AS (
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS cell, q AS qc
-    FROM qn WHERE id % (SELECT stride FROM params) = 0
-    ORDER BY id LIMIT 4
+    -- init: k smallest ids by (portable_hash, id) — mirrors kmeans_fit
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY {_CENT_SAMPLE_SQL}, id) - 1
+                AS BIGINT) AS cell, q AS qc
+    FROM qn
+    ORDER BY {_CENT_SAMPLE_SQL}, id LIMIT 4
 ),
 {_km_assign("c0", "a1")},
 {_km_update("a1", "c0", "c1")},
@@ -452,7 +461,7 @@ SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 3
 
 
 # shares the quantized-vector CTE shape with queries/extensions.py
-ORACLE_SIM_TOPK_IVF = """
+ORACLE_SIM_TOPK_IVF = f"""
 WITH qv AS (
     SELECT vec_id AS id,
            list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000000.0)) AS q
@@ -461,7 +470,10 @@ WITH qv AS (
 qn AS (
     SELECT id, q, list_dot_product(q, q) AS n FROM qv
 ),
-cents AS (SELECT id AS cid, q AS qc, n AS nc FROM qn WHERE id % 64 = 0),
+cents AS (
+    -- portable-hash sampled ~1/64 of ids (mirrors _sampled_centroids)
+    SELECT id AS cid, q AS qc, n AS nc FROM qn WHERE {_CENT_SAMPLE_SQL} % 64 = 0
+),
 scored_c AS (
     SELECT qn.id, cents.cid,
            list_dot_product(qn.q, cents.qc) / (SQRT(qn.n) * SQRT(cents.nc)) AS cos_c

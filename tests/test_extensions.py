@@ -407,3 +407,66 @@ def test_cosine_pairs_ivf_plan_and_recall(spark):
     }
     assert got <= truth  # blocking never invents pairs
     assert len(got) >= 0.5 * len(truth), (len(got), len(truth))
+
+
+def test_ivf_ops_tolerate_sparse_id_spaces(spark):
+    """The quantizer must not assume dense sequential ids: with all-odd
+    ids (no multiples of any even stride), hash-sampled centroids still
+    select ~n/stride rows, kmeans_fit still initializes, and results are
+    non-empty wherever neighbors exist."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_pairs_ivf, topk_ivf
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        (F.col("vec_id") * 2 + 1).alias("vec_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, k=4, iters=1)
+    assert len(cents) == 4
+    queries = emb.limit(4)
+    assert topk_ivf(emb, queries, k=3, centroids=cents).count() > 0
+    assert topk_ivf(emb, queries, k=3, centroid_stride=8).count() > 0
+    assert cosine_pairs_ivf(emb, threshold=0.4, centroid_stride=8).count() >= 0
+
+
+def test_null_text_parity(spark, duck):
+    """NULL text must behave identically on both engines (0 tokens, 0
+    counts, '' redaction base) — the coalesce guards in tokenize /
+    token_counts / pii_redact and their oracle twins are load-bearing:
+    without them Spark's non-ANSI size() returns -1 where DuckDB returns
+    NULL, a silent hash break on any NULL row."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import pii_redact, repetition_metrics
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b a")], "doc_id long, text string"
+    )
+    tc = {r.doc_id: r for r in token_counts(df).collect()}
+    assert (tc[0].n_words, tc[0].n_bpe_pieces) == (0, 0)
+    rep = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert (rep[0].n_tokens, rep[0].dup_token_frac) == (0, 0.0)
+    red = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (red[0].n_emails, red[0].n_long_nums, red[0].text_redacted) == (0, 0, "")
+
+    # engine parity on a corpus containing the NULL row, via the real oracles
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import (
+        ORACLE_TEXT_REPETITION,
+        ORACLE_TEXT_TOKEN_COUNT,
+    )
+    from tests.oracle_utils import assert_frames_match
+
+    con = duck.cursor()
+    con.sql(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM (VALUES (0, CAST(NULL AS VARCHAR)), (1, 'a b a')) t(doc_id, text)"
+    )
+    assert_frames_match(
+        token_counts(df).select("doc_id", "n_words", "n_bpe_pieces"),
+        con.sql(ORACLE_TEXT_TOKEN_COUNT),
+        "null_token_count",
+    )
+    assert_frames_match(
+        repetition_metrics(df), con.sql(ORACLE_TEXT_REPETITION), "null_repetition"
+    )
