@@ -431,7 +431,7 @@ def test_ivf_ops_tolerate_sparse_id_spaces(spark):
     assert cosine_pairs_ivf(emb, threshold=0.4, centroid_stride=8).count() >= 0
 
 
-def test_null_text_parity(spark, duck):
+def test_null_text_parity(spark):
     """NULL text must behave identically on both engines (0 tokens, 0
     counts, '' redaction base) — the coalesce guards in tokenize /
     token_counts / pii_redact and their oracle twins are load-bearing:
@@ -457,9 +457,13 @@ def test_null_text_parity(spark, duck):
     )
     from tests.oracle_utils import assert_frames_match
 
-    con = duck.cursor()
+    # a PRIVATE DuckDB catalog: a cursor() of the shared `duck` fixture
+    # would clobber its `documents` view for every later parity test
+    import duckdb
+
+    con = duckdb.connect()
     con.sql(
-        "CREATE OR REPLACE VIEW documents AS "
+        "CREATE VIEW documents AS "
         "SELECT * FROM (VALUES (0, CAST(NULL AS VARCHAR)), (1, 'a b a')) t(doc_id, text)"
     )
     assert_frames_match(
