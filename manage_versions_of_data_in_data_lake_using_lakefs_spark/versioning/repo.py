@@ -147,11 +147,13 @@ class LakeRepo:
         """V10: current commit of a branch."""
         return self.get_commit(self._read_ref(branch)["head"])
 
-    def log(self, branch_or_cid: str, limit: int = 100) -> list[Commit]:
-        """History (first-parent walk), newest first."""
+    def log(self, branch_or_cid: str, limit: int | None = 100) -> list[Commit]:
+        """History (first-parent walk), newest first. ``limit=None`` walks
+        the full history — callers implementing at-or-before-timestamp
+        lookups or DESCRIBE HISTORY must not silently truncate."""
         cid = self._resolve(branch_or_cid).id
         out: list[Commit] = []
-        while cid and len(out) < limit:
+        while cid and (limit is None or len(out) < limit):
             c = self.get_commit(cid)
             out.append(c)
             cid = c.parents[0] if c.parents else None
@@ -325,10 +327,18 @@ class LakeRepo:
         return rel
 
     def delete_object(self, branch: str, path: str) -> None:
-        """Stage an object delete (lakectl fs rm)."""
+        """Stage an object delete (lakectl fs rm). Deleting a path that
+        exists neither committed nor staged is an error (as in lakectl) —
+        silently staging it would mark the branch dirty and let a no-op
+        'delete' produce a commit byte-identical to its parent."""
         with RepoLock(self.root):
             ref = self._read_ref(branch)
-            self._staged_objects(ref)[path] = {"blob": None, "op": "delete"}
+            staged = self._staged_objects(ref)
+            committed = self.get_commit(ref["head"]).objects
+            known_staged = path in staged and staged[path]["op"] != "delete"
+            if not known_staged and path not in committed:
+                raise KeyError(f"object {path!r} does not exist on {branch!r}")
+            staged[path] = {"blob": None, "op": "delete"}
             atomic_write_json(self._ref_file(branch), ref)
 
     def get_object(
@@ -574,7 +584,11 @@ class LakeRepo:
         base_tables = base_c.tables if base_c else {}
         merged: dict[str, list[str]] = {}
         conflicts: list[str] = []
-        row_merges: list[str] = []
+        # classify FIRST, execute row merges only after ALL conflicts
+        # (tables and objects) are known resolvable — otherwise a conflict
+        # found later aborts the merge after expensive Spark jobs have
+        # already written parquet that only vacuum would reclaim
+        row_merge_plan: list[str] = []
         for t in sorted(set(src_c.tables) | set(dst_c.tables)):
             s, d, b = src_c.tables.get(t), dst_c.tables.get(t), base_tables.get(t)
             if s == d:
@@ -587,10 +601,7 @@ class LakeRepo:
                 if d is not None:
                     merged[t] = d
             elif keys and t in keys and s is not None and d is not None:
-                merged[t] = self._row_merge(
-                    spark, t, s, d, b, keys[t], on_conflict, dest
-                )
-                row_merges.append(t)
+                row_merge_plan.append(t)
             else:
                 conflicts.append(t)
         # objects: same three-way, object-granular resolution (no row merge —
@@ -616,6 +627,13 @@ class LakeRepo:
                 "pass keys={table: [pk,...]} for row-level merge",
                 conflicts,
             )
+        row_merges: list[str] = []
+        for t in row_merge_plan:
+            merged[t] = self._row_merge(
+                spark, t, src_c.tables[t], dst_c.tables[t],
+                base_tables.get(t), keys[t], on_conflict, dest,
+            )
+            row_merges.append(t)
         with RepoLock(self.root):
             c = Commit(
                 id=new_id(),

@@ -11,10 +11,16 @@ Mechanics: time-travel clauses are recognized lexically and each pinned
 snapshot is registered as a temp view resolving through
 ``LakeRepo.read_table`` — the rewritten query then runs through plain
 ``spark.sql`` and Catalyst sees ordinary parquet scans (pruning/pushdown
-intact). This is a clause rewriter, not a SQL parser: it handles the
-Delta grammar forms (``VERSION AS OF <n>``, ``TIMESTAMP AS OF
-'<ts>'``, ``@v<n>`` suffix, ``DESCRIBE HISTORY <t>``) anywhere a table
-name may appear, which is exactly the surface Delta documents.
+intact). This is a clause rewriter, not a SQL parser, but it is careful
+where lexical rewriters classically go wrong:
+
+- **string literals are masked first** ('...' with '' escapes), so
+  ``WHERE email = 'bob@v1'`` or a literal containing ``VERSION AS OF``
+  is never rewritten or treated as a table reference;
+- **identifier matching is case-insensitive** (``FROM Events`` resolves
+  repo table ``events``), like Spark/Delta's default resolution;
+- **branch-head views register before snapshot views**, so a generated
+  ``t__v2`` snapshot can't be clobbered by a real table of that name.
 """
 
 from __future__ import annotations
@@ -27,13 +33,17 @@ from pyspark.sql import DataFrame, SparkSession
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# masked-literal placeholder: \x00<index>\x00 never appears in real SQL
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+_MASK_RE = re.compile(r"\x00(\d+)\x00")
 _VERSION_RE = re.compile(
     rf"\b(?P<table>{_IDENT})\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)", re.IGNORECASE
 )
 _TIMESTAMP_RE = re.compile(
-    rf"\b(?P<table>{_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'", re.IGNORECASE
+    rf"\b(?P<table>{_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+\x00(?P<lit>\d+)\x00",
+    re.IGNORECASE,
 )
-_AT_RE = re.compile(rf"\b(?P<table>{_IDENT})@v(?P<ver>\d+)\b")
+_AT_RE = re.compile(rf"\b(?P<table>{_IDENT})@v(?P<ver>\d+)\b", re.IGNORECASE)
 _HISTORY_RE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
@@ -56,10 +66,12 @@ class LakeSQL:
     def history(self, table: str | None = None) -> DataFrame:
         """Commit history as a DataFrame, newest first — Delta's
         ``DESCRIBE HISTORY`` schema essentials (version, timestamp,
-        operation, …). With ``table``, only commits that changed it."""
+        operation, …). With ``table``, only commits that changed it.
+        Walks the FULL first-parent chain (no silent truncation)."""
+        table = self._resolve_table(table) if table is not None else None
         rows = []
         prev_files: dict[str, list] = {}
-        commits = self.repo.log(self.branch, limit=10_000)
+        commits = self.repo.log(self.branch, limit=None)
         for c in reversed(commits):  # oldest → newest to detect per-table change
             changed = table is None or c.tables.get(table) != prev_files.get(table)
             prev_files = c.tables
@@ -82,7 +94,20 @@ class LakeSQL:
         )
 
     # -- query rewrite ------------------------------------------------------
+    def _resolve_table(self, name: str) -> str:
+        """Case-insensitive repo-table resolution (Spark identifiers are
+        case-insensitive by default); returns the stored name."""
+        by_lower = {t.lower(): t for t in self.repo.list_tables(self.branch)}
+        try:
+            return by_lower[name.lower()]
+        except KeyError:
+            raise KeyError(
+                f"table {name!r} not found on branch {self.branch!r}; "
+                f"known: {sorted(by_lower.values())}"
+            ) from None
+
     def _register_snapshot(self, table: str, version: int | None, ts: str | None) -> str:
+        table = self._resolve_table(table)
         if ts is not None:
             version = self._version_at(ts)
         view = f"{table}__v{version}"
@@ -92,13 +117,13 @@ class LakeSQL:
 
     def _version_at(self, ts: str) -> int:
         """Latest commit version at-or-before a timestamp (Delta's
-        TIMESTAMP AS OF semantics)."""
+        TIMESTAMP AS OF semantics); full-history walk."""
         t = datetime.fromisoformat(ts)
         if t.tzinfo is None:
             t = t.replace(tzinfo=timezone.utc)
         target = t.timestamp()
         best = None
-        for c in self.repo.log(self.branch, limit=10_000):
+        for c in self.repo.log(self.branch, limit=None):
             if c.timestamp <= target and (best is None or c.version > best):
                 best = c.version
         if best is None:
@@ -110,17 +135,35 @@ class LakeSQL:
         if m:
             return self.history(m.group("table"))
 
+        # 1) mask string literals: nothing inside quotes is a table
+        #    reference or a time-travel clause
+        literals: list[str] = []
+
+        def mask(m: re.Match) -> str:
+            literals.append(m.group(0))
+            return f"\x00{len(literals) - 1}\x00"
+
+        masked = _LITERAL_RE.sub(mask, query)
+
+        # 2) branch heads FIRST (scanned on the masked ORIGINAL text, so
+        #    views created by the snapshot rewrites below always win)
+        for t in self.repo.list_tables(self.branch):
+            if re.search(rf"\b{re.escape(t)}\b", masked, re.IGNORECASE):
+                self.repo.read_table(self.spark, t, ref=self.branch).createOrReplaceTempView(t)
+
+        # 3) time-travel clause rewrites (snapshot views registered now
+        #    overwrite any same-named head view)
         def sub_version(m: re.Match) -> str:
             return self._register_snapshot(m.group("table"), int(m.group("ver")), None)
 
         def sub_ts(m: re.Match) -> str:
-            return self._register_snapshot(m.group("table"), None, m.group("ts"))
+            lit = literals[int(m.group("lit"))]
+            return self._register_snapshot(m.group("table"), None, lit[1:-1].replace("''", "'"))
 
-        rewritten = _VERSION_RE.sub(sub_version, query)
+        rewritten = _VERSION_RE.sub(sub_version, masked)
         rewritten = _TIMESTAMP_RE.sub(sub_ts, rewritten)
         rewritten = _AT_RE.sub(sub_version, rewritten)
-        # plain references to repo tables resolve to branch heads
-        for t in self.repo.list_tables(self.branch):
-            if re.search(rf"\b{re.escape(t)}\b", rewritten):
-                self.repo.read_table(self.spark, t, ref=self.branch).createOrReplaceTempView(t)
+
+        # 4) restore the untouched literals
+        rewritten = _MASK_RE.sub(lambda m: literals[int(m.group(1))], rewritten)
         return self.spark.sql(rewritten)

@@ -612,3 +612,39 @@ def test_concurrent_commits_and_vacuum(spark, repo):
         assert rows == {(2, f"w{i}")}
     # writers quiesced: a zero-grace vacuum must find nothing dead
     assert repo.vacuum(keep_history=True, grace_seconds=0) == []
+
+
+def test_lakesql_literals_and_case(spark, repo):
+    """The lexical rewriter must not rewrite inside string literals, and
+    identifier matching must be case-insensitive (Spark resolution is)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "bob@v1"), (2, "x")]))
+    c0 = repo.commit("main", "v0")
+    repo.write_table("main", "t", _df(spark, [(1, "bob@v1")]))
+    repo.commit("main", "v1")
+    lsql = LakeSQL(spark, repo)
+    # 'bob@v1' inside a literal must stay a literal, not become a snapshot
+    out = lsql.sql("SELECT id FROM t WHERE val = 'bob@v1'").collect()
+    assert [r.id for r in out] == [1]
+    # a literal containing the VERSION AS OF grammar must survive untouched
+    out2 = lsql.sql("SELECT 't VERSION AS OF 1' AS s, count(*) AS n FROM t").collect()[0]
+    assert out2.s == "t VERSION AS OF 1" and out2.n == 1
+    # case-insensitive table resolution, head and snapshot
+    assert lsql.sql("SELECT count(*) AS n FROM T").collect()[0].n == 1
+    assert (
+        lsql.sql(f"SELECT count(*) AS n FROM T VERSION AS OF {c0.version}")
+        .collect()[0].n == 2
+    )
+
+
+def test_delete_object_unknown_path_raises(spark, repo):
+    """lakectl-fs parity: rm of a nonexistent path is an error, not a
+    silently-staged no-op that turns into an empty commit."""
+    import pytest
+
+    repo.put_object("main", "model.txt", b"weights")
+    repo.commit("main", "add model")
+    with pytest.raises(KeyError):
+        repo.delete_object("main", "typo.txt")
+    repo.delete_object("main", "model.txt")  # real path still deletable
