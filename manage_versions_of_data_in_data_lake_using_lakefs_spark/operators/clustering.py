@@ -34,15 +34,25 @@ from pyspark.sql import functions as F
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import with_quantized
 
 
-def _assign_cells(M: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """Nearest-centroid ids by exact integer-cosine argmax (ties → lowest
-    centroid id, same rule as ``topk_ivf``'s window tiebreak)."""
-    dots = M @ C.T  # B × k, exact int64
-    mn = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
-    cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
-    cos = dots / (mn[:, None] * cn[None, :])
-    # argmax returns the first (lowest) index on ties
-    return np.argmax(cos, axis=1)
+def _make_assign_cells():
+    """Factory so the function's qualname contains ``<locals>`` and
+    cloudpickle ships it to Python workers BY VALUE (workers don't have
+    this package importable — see similarity._make_dot_q_batch)."""
+
+    def _assign_cells(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+        """Nearest-centroid ids by exact integer-cosine argmax (ties →
+        lowest centroid id, same rule as ``topk_ivf``'s window tiebreak)."""
+        dots = M @ C.T  # B × k, exact int64
+        mn = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+        cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+        cos = dots / (mn[:, None] * cn[None, :])
+        # argmax returns the first (lowest) index on ties
+        return np.argmax(cos, axis=1)
+
+    return _assign_cells
+
+
+_assign_cells = _make_assign_cells()
 
 
 def kmeans_fit(
@@ -59,75 +69,102 @@ def kmeans_fit(
     collects exactly k partial-merged centroid rows. Empty cells keep
     their previous centroid (standard Lloyd's degenerate-cell rule).
     """
+    from pyspark import StorageLevel
+
     q = with_quantized(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_q").alias("q")
     )
-    n = q.count()
-    if n == 0:
-        raise ValueError("kmeans_fit: empty input")
-    k = min(k, n)
-    # deterministic init: the k smallest ids by (portable_hash(id), id) —
-    # a TOTAL rule (always exactly k rows for any id space, unlike an
-    # `id % stride == 0` filter, which selects nothing when no id is a
-    # stride multiple) that spreads the picks pseudo-randomly across the
-    # corpus; a distributed top-k, no global sort. The SQL-replay oracle
-    # orders by the same portable hash.
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+    # the trainer scans q (iters + 1) times — init top-k plus one
+    # assignment pass per iteration; persisting the quantized projection
+    # (one row per vector) pays for itself on the second pass
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # deterministic init: the k smallest ids by (portable_hash(id), id)
+        # — a TOTAL rule (always exactly min(k, n) rows for any id space,
+        # unlike an `id % stride == 0` filter, which selects nothing when
+        # no id is a stride multiple) that spreads the picks pseudo-
+        # randomly across the corpus; a distributed top-k, no global sort.
+        # The SQL-replay oracle orders by the same portable hash.
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
 
-    init = (
-        q.select("id", "q")
-        .orderBy(portable_hash(F.col("id").cast("string")), "id")
-        .limit(k)
-        .collect()
-    )
-    C = np.array([r.q for r in init], dtype=np.int64)
-    dims = C.shape[1]
-
-    for _ in range(iters):
-        C_b = C  # closure capture; k × dims ints ride the task broadcast
-
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc_sum: dict[int, np.ndarray] = {}
-            acc_cnt: dict[int, int] = {}
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                M = np.array(pdf["q"].to_list(), dtype=np.int64)
-                cells = _assign_cells(M, C_b)
-                for c in np.unique(cells):
-                    sel = M[cells == c]
-                    acc_sum[int(c)] = acc_sum.get(int(c), np.zeros(dims, np.int64)) + sel.sum(
-                        axis=0
-                    )
-                    acc_cnt[int(c)] = acc_cnt.get(int(c), 0) + len(sel)
-            if acc_sum:
-                yield pd.DataFrame(
-                    {
-                        "cell": list(acc_sum),
-                        "vsum": [s.tolist() for s in acc_sum.values()],
-                        "cnt": [acc_cnt[c] for c in acc_sum],
-                    }
-                )
-
-        part = q.mapInPandas(partials, "cell INT, vsum ARRAY<LONG>, cnt LONG")
-        # final merge: #partitions × k tiny rows → k rows (posexplode keeps
-        # the elementwise sum associative/exact; order restored by pos)
-        merged = (
-            part.select("cell", F.posexplode("vsum").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("v"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: s["v"],
-                ).alias("vsum")
-            )
+        init = (
+            q.select("id", "q")
+            .orderBy(portable_hash(F.col("id").cast("string")), "id")
+            .limit(k)
+            .collect()
         )
-        cnts = part.groupBy("cell").agg(F.sum("cnt").alias("cnt"))
-        rows = merged.join(cnts, "cell").collect()
-        C_new = C.copy()
-        for r in rows:
-            C_new[r.cell] = np.array(r.vsum, dtype=np.int64) // int(r.cnt)
-        C = C_new
-    return [[int(x) for x in row] for row in C]
+        if not init:
+            raise ValueError("kmeans_fit: empty input")
+        k = len(init)  # min(k, n) without a separate count() job
+        C = np.array([r.q for r in init], dtype=np.int64)
+        dims = C.shape[1]
+        # partials are ≤ #partitions × k tiny rows; below this bound the
+        # driver merges them directly (one job per iteration instead of a
+        # three-shuffle distributed merge — the local/small-cluster fast
+        # path); above it the exact int64 merge stays distributed
+        small_merge = q.rdd.getNumPartitions() * k <= 65536
+
+        for _ in range(iters):
+            C_b = C  # closure capture; k × dims ints ride the task broadcast
+
+            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                acc_sum: dict[int, np.ndarray] = {}
+                acc_cnt: dict[int, int] = {}
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    M = np.array(pdf["q"].to_list(), dtype=np.int64)
+                    cells = _assign_cells(M, C_b)
+                    for c in np.unique(cells):
+                        sel = M[cells == c]
+                        acc_sum[int(c)] = acc_sum.get(
+                            int(c), np.zeros(dims, np.int64)
+                        ) + sel.sum(axis=0)
+                        acc_cnt[int(c)] = acc_cnt.get(int(c), 0) + len(sel)
+                if acc_sum:
+                    yield pd.DataFrame(
+                        {
+                            "cell": list(acc_sum),
+                            "vsum": [s.tolist() for s in acc_sum.values()],
+                            "cnt": [acc_cnt[c] for c in acc_sum],
+                        }
+                    )
+
+            part = q.mapInPandas(partials, "cell INT, vsum ARRAY<LONG>, cnt LONG")
+            sums: dict[int, np.ndarray] = {}
+            cnts: dict[int, int] = {}
+            if small_merge:
+                # int64 sums are associative — merging partials on the
+                # driver is bit-identical to the distributed merge
+                for r in part.collect():
+                    c = int(r.cell)
+                    v = np.array(r.vsum, dtype=np.int64)
+                    sums[c] = sums.get(c, np.zeros(dims, np.int64)) + v
+                    cnts[c] = cnts.get(c, 0) + int(r.cnt)
+            else:
+                # distributed merge: #partitions × k tiny rows → k rows
+                # (posexplode keeps the elementwise sum associative/exact;
+                # order restored by pos)
+                merged = (
+                    part.select("cell", F.posexplode("vsum").alias("pos", "v"))
+                    .groupBy("cell", "pos")
+                    .agg(F.sum("v").alias("v"))
+                    .groupBy("cell")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                            lambda s: s["v"],
+                        ).alias("vsum")
+                    )
+                )
+                cnt_df = part.groupBy("cell").agg(F.sum("cnt").alias("cnt"))
+                for r in merged.join(cnt_df, "cell").collect():
+                    sums[int(r.cell)] = np.array(r.vsum, dtype=np.int64)
+                    cnts[int(r.cell)] = int(r.cnt)
+            C_new = C.copy()
+            for c, s in sums.items():
+                C_new[c] = s // cnts[c]
+            C = C_new
+        return [[int(x) for x in row] for row in C]
+    finally:
+        q.unpersist(blocking=False)

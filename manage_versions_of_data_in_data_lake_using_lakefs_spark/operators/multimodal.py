@@ -85,20 +85,30 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes, kind: str, allow_stub: bool) -> tuple[int, int]:
-    """Codec boundary. Real decoders (PIL/libav/...) are not available in
-    this container; the stub produces deterministic byte statistics so the
-    surrounding distributed plumbing stays fully testable."""
-    if not allow_stub:
-        raise NotImplementedError(
-            f"no codec available for kind={kind!r}; install decoders or "
-            "pass allow_stub=True for deterministic fake features"
-        )
-    if not payload:
-        return 0, 0
-    total = sum(payload) // len(payload)
-    head = int.from_bytes(payload[:4].ljust(4, b"\0"), "big")
-    return total, head
+def _make_decode_payload():
+    """Factory so the decode stub's qualname contains ``<locals>`` and
+    cloudpickle ships it to Python workers BY VALUE (workers don't have
+    this package importable — see similarity._make_dot_q_batch)."""
+
+    def _decode_payload(payload: bytes, kind: str, allow_stub: bool) -> tuple[int, int]:
+        """Codec boundary. Real decoders (PIL/libav/...) are not available
+        in this container; the stub produces deterministic byte statistics
+        so the surrounding distributed plumbing stays fully testable."""
+        if not allow_stub:
+            raise NotImplementedError(
+                f"no codec available for kind={kind!r}; install decoders or "
+                "pass allow_stub=True for deterministic fake features"
+            )
+        if not payload:
+            return 0, 0
+        total = sum(payload) // len(payload)
+        head = int.from_bytes(payload[:4].ljust(4, b"\0"), "big")
+        return total, head
+
+    return _decode_payload
+
+
+_decode_payload = _make_decode_payload()
 
 
 def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum, decimal_sum_sql
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import PORTABLE_HASH_SQL
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import CENT_SAMPLE_SQL, km_train_ctes
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split, stratified_hash_sample
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import (
@@ -376,49 +376,10 @@ def q_sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, queries, k=3, centroids=cents)
 
 
-# Lloyd's k-means (k=4, 2 iterations, 64 dims) as SQL: assign = cosine
-# argmax (ties -> lowest cell), update = elementwise exact floor-division
-# mean; empty cells keep their previous centroid (COALESCE).
-_KM_DIMS = 64
-
-
-#: centroid/init sampling key shared by the IVF oracles — the SQL twin
-#: of operators.dedup.portable_hash over CAST(id AS VARCHAR)
-_CENT_SAMPLE_SQL = PORTABLE_HASH_SQL.format(
-    x="CAST(id AS VARCHAR)", m=2147483647
-)
-
-
-def _km_assign(prev: str, out: str) -> str:
-    return f"""{out} AS (
-    SELECT qn.id, qn.q, c.cell,
-           ROW_NUMBER() OVER (
-               PARTITION BY qn.id
-               ORDER BY list_dot_product(qn.q, c.qc)
-                        / (SQRT(qn.n) * SQRT(list_dot_product(c.qc, c.qc))) DESC,
-                        c.cell ASC) AS rc
-    FROM qn CROSS JOIN {prev} c
-)"""
-
-
-def _km_update(assign: str, prev: str, out: str) -> str:
-    # floor division via pmod so negatives round like numpy's //
-    return f"""{out}_s AS (
-    SELECT a.cell, t.d, CAST(SUM(a.q[t.d]) AS BIGINT) AS s,
-           CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM (SELECT cell, q FROM {assign} WHERE rc = 1) a
-    CROSS JOIN (SELECT UNNEST(range(1, {_KM_DIMS} + 1)) AS d) t
-    GROUP BY a.cell, t.d
-),
-{out} AS (
-    SELECT p.cell, COALESCE(u.qc_new, p.qc) AS qc
-    FROM {prev} p LEFT JOIN (
-        SELECT cell,
-               list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY d) AS qc_new
-        FROM {out}_s GROUP BY cell
-    ) u USING (cell)
-)"""
-
+# Lloyd's k-means as SQL (shared CTE builders: queries/kmeans_sql.py —
+# assign = cosine argmax with ties -> lowest cell, update = elementwise
+# exact floor-division mean, empty cells keep their previous centroid).
+_KM_TRAIN_K4, _KM_FINAL_K4 = km_train_ctes(k=4, iters=2)
 
 ORACLE_SIM_TOPK_IVF_TRAINED = f"""
 WITH qn0 AS (
@@ -428,19 +389,8 @@ WITH qn0 AS (
     FROM embeddings
 ),
 qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qn0),
-c0 AS (
-    -- init: k smallest ids by (portable_hash, id) — mirrors kmeans_fit
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY {_CENT_SAMPLE_SQL}, id) - 1
-                AS BIGINT) AS cell, q AS qc
-    FROM qn
-    ORDER BY {_CENT_SAMPLE_SQL}, id LIMIT 4
-),
-{_km_assign("c0", "a1")},
-{_km_update("a1", "c0", "c1")},
-{_km_assign("c1", "a2")},
-{_km_update("a2", "c1", "c2")},
-{_km_assign("c2", "a3")},
-fin AS (SELECT id, cell FROM a3 WHERE rc = 1),
+{_KM_TRAIN_K4},
+fin AS (SELECT id, cell FROM {_KM_FINAL_K4} WHERE rc = 1),
 scored AS (
     SELECT qq.id AS query_id, cc.id AS nbr,
            list_dot_product(q1.q, q2.q) / (SQRT(q1.n) * SQRT(q2.n)) AS cos
@@ -472,7 +422,7 @@ qn AS (
 ),
 cents AS (
     -- portable-hash sampled ~1/64 of ids (mirrors _sampled_centroids)
-    SELECT id AS cid, q AS qc, n AS nc FROM qn WHERE {_CENT_SAMPLE_SQL} % 64 = 0
+    SELECT id AS cid, q AS qc, n AS nc FROM qn WHERE {CENT_SAMPLE_SQL} % 64 = 0
 ),
 scored_c AS (
     SELECT qn.id, cents.cid,

@@ -35,6 +35,7 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text impo
     quality_score,
     token_counts,
 )
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import km_train_ctes
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -284,13 +285,36 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell-blocked near-dup pairs (the 100 TB path, SemDeDup-style
-    cluster-then-pairwise): candidates share one of their 2 nearest coarse
-    cells — broadcast centroids + equi-join on cell, no cross join — then
-    exact quantized-cosine verify. Recalls ~2/3 of the exact pair set at
-    this θ=0.4 regime where sign-LSH blocking recalls almost nothing (the
-    sign-agreement probability per plane is only ~0.65). The oracle
-    replays the same deterministic quantizer, so the match is bit-exact."""
+    """IVF-cell-blocked near-dup pairs over a TRAINED coarse quantizer
+    (the 100 TB path, SemDeDup-style cluster-then-pairwise): two
+    deterministic Lloyd's iterations train k=8 centroids
+    (`operators/clustering.py::kmeans_fit` — metadata-sized, broadcast),
+    candidates share one of their 2 nearest cells — equi-join on cell, no
+    cross join — then exact quantized-cosine verify.
+
+    Fixed k makes the registered path O(n·k) with CONSTANT k: centroid
+    broadcast and the assignment probe stay flat as the corpus grows
+    (unlike the stride-sampled default quantizer, k ≈ n/stride, whose
+    assignment cost grows super-linearly — that flavor stays registered
+    as ``dedup_embedding_cosine_stride`` for small corpora). Recalls ~2/3
+    of the exact pair set at this θ=0.4 regime where sign-LSH blocking
+    recalls almost nothing (sign-agreement probability per plane ~0.65).
+    The oracle replays the identical Lloyd's iterations as SQL CTEs —
+    exact int64 sums and floor-division updates make even the iterative
+    training bit-reproducible."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    return cosine_pairs_ivf(emb, threshold=0.4, nprobe=2, centroids=cents)
+
+
+def q_dedup_embedding_cosine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-quantizer flavor (default ``cosine_pairs_ivf`` arguments):
+    centroids are a deterministic ~1/64 portable-hash sample of the corpus
+    itself — zero training cost, right for corpora whose n/64 centroid
+    set still broadcasts. The trained-k flavor above is the registered
+    scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_ivf(emb, threshold=0.4, centroid_stride=64, nprobe=2)
 
@@ -311,7 +335,7 @@ buckets AS (
 vec AS (SELECT qn.id, qn.q, qn.n, b.bucket FROM qn JOIN buckets b USING (id))
 """
 
-ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+ORACLE_DEDUP_EMBEDDING_COSINE_STRIDE = f"""
 WITH {_SQL_QVEC},
 cents AS (
     -- portable-hash sampled ~1/64 of ids (mirrors operators/similarity.py:
@@ -330,6 +354,32 @@ ranked AS (
     FROM qn CROSS JOIN cents
 ),
 assign AS (SELECT id, cid AS cell FROM ranked WHERE rc <= 2),
+cand AS (
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
+)
+SELECT cand.a, cand.b,
+       list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) AS cos
+FROM cand JOIN qn va ON cand.a = va.id JOIN qn vb ON cand.b = vb.id
+WHERE list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) >= 0.4
+"""
+
+
+# trained flavor: replay the exact k=8 / iters=2 Lloyd's chain
+# (queries/kmeans_sql.py), probe each vector's 2 nearest trained cells,
+# verify exact quantized cosine inside shared cells
+_KM_TRAIN_K8, _KM_FINAL_K8 = km_train_ctes(k=8, iters=2)
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+WITH qn0 AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qn0),
+{_KM_TRAIN_K8},
+assign AS (SELECT id, cell FROM {_KM_FINAL_K8} WHERE rc <= 2),
 cand AS (
     SELECT DISTINCT x.id AS a, y.id AS b
     FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
@@ -662,6 +712,7 @@ EXTENSION_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_stride": q_dedup_embedding_cosine_stride,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "sim_topk": q_sim_topk,
@@ -683,6 +734,7 @@ EXTENSION_ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_embedding_cosine_stride": ORACLE_DEDUP_EMBEDDING_COSINE_STRIDE,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "sim_topk": ORACLE_SIM_TOPK,

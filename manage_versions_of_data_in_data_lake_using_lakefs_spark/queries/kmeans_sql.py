@@ -1,0 +1,88 @@
+"""Deterministic Lloyd's k-means as DuckDB SQL CTE builders.
+
+SQL twin of ``operators/clustering.py::kmeans_fit`` — the oracle side of
+every trained-quantizer IVF query (`sim_topk_ivf_trained`,
+`dedup_embedding_cosine`). Exact int64 partial sums and floor-division
+centroid updates make the iterative training bit-reproducible, so a SQL
+replay of the same iterations yields byte-identical centroids and hence
+byte-identical IVF results.
+
+Conventions shared with the Python trainer:
+- init: the k smallest ids by (portable_hash(id), id) — cell numbering is
+  that order (``ROW_NUMBER() - 1``), matching ``kmeans_fit``'s centroid
+  index order (stable across iterations: updates are keyed by cell);
+- assignment: exact integer-cosine argmax, ties → lowest cell id
+  (numpy ``argmax`` first-index rule ↔ ``ORDER BY cos DESC, cell ASC``);
+- update: elementwise exact int64 sum then floor division (pmod spelling
+  so negatives round like numpy's ``//``); empty cells keep their
+  previous centroid (COALESCE).
+"""
+
+from __future__ import annotations
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import PORTABLE_HASH_SQL
+
+#: embedding dimensionality of the driver testdata (TESTDATA.md)
+KM_DIMS = 64
+
+#: centroid/init sampling key shared by the IVF oracles — the SQL twin
+#: of operators.dedup.portable_hash over CAST(id AS VARCHAR)
+CENT_SAMPLE_SQL = PORTABLE_HASH_SQL.format(x="CAST(id AS VARCHAR)", m=2147483647)
+
+
+def km_init(out: str, k: int) -> str:
+    """Init CTE: k centroids from a ``qn(id, q, n)`` relation."""
+    return f"""{out} AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY {CENT_SAMPLE_SQL}, id) - 1
+                AS BIGINT) AS cell, q AS qc
+    FROM qn
+    ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}
+)"""
+
+
+def km_assign(prev: str, out: str) -> str:
+    """Assignment CTE: rank centroids of ``prev`` per vector (rc = 1 is
+    the nearest cell; rc <= nprobe gives the IVF probe set)."""
+    return f"""{out} AS (
+    SELECT qn.id, qn.q, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY qn.id
+               ORDER BY list_dot_product(qn.q, c.qc)
+                        / (SQRT(qn.n) * SQRT(list_dot_product(c.qc, c.qc))) DESC,
+                        c.cell ASC) AS rc
+    FROM qn CROSS JOIN {prev} c
+)"""
+
+
+def km_update(assign: str, prev: str, out: str) -> str:
+    """Centroid-update CTE pair: exact elementwise mean of each cell."""
+    # floor division via pmod so negatives round like numpy's //
+    return f"""{out}_s AS (
+    SELECT a.cell, t.d, CAST(SUM(a.q[t.d]) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT cell, q FROM {assign} WHERE rc = 1) a
+    CROSS JOIN (SELECT UNNEST(range(1, {KM_DIMS} + 1)) AS d) t
+    GROUP BY a.cell, t.d
+),
+{out} AS (
+    SELECT p.cell, COALESCE(u.qc_new, p.qc) AS qc
+    FROM {prev} p LEFT JOIN (
+        SELECT cell,
+               list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY d) AS qc_new
+        FROM {out}_s GROUP BY cell
+    ) u USING (cell)
+)"""
+
+
+def km_train_ctes(k: int, iters: int) -> tuple[str, str]:
+    """The full training chain as one CTE string; returns (ctes,
+    final_assign_name). ``final_assign_name`` ranks ALL cells of the
+    trained centroids per vector — filter ``rc = 1`` for assignment,
+    ``rc <= nprobe`` for an IVF probe set."""
+    parts = [km_init("c0", k)]
+    for i in range(iters):
+        parts.append(km_assign(f"c{i}", f"a{i + 1}"))
+        parts.append(km_update(f"a{i + 1}", f"c{i}", f"c{i + 1}"))
+    final = f"a{iters + 1}"
+    parts.append(km_assign(f"c{iters}", final))
+    return ",\n".join(parts), final

@@ -17,7 +17,15 @@ On-disk layout under the repo root:
 All metadata writes go through ``atomic_write_json`` (tmp file + rename)
 so readers never observe torn state; ref updates take a per-repo lock to
 serialize concurrent committers (the moral equivalent of lakeFS's
-metadata server / Delta's log mutex, scoped to one writer process).
+metadata server / Delta's log mutex).
+
+**Known limit — single writer node**: ``RepoLock`` serializes any number
+of writer processes on ONE machine, which matches the deployment here (a
+Spark driver coordinates all commits; executors only write data files,
+never metadata). It is NOT a cross-machine mutex; concurrent drivers on
+different hosts raise ``DistributedWriterError`` instead of corrupting
+the refs — swapping in an object-store conditional-put or lock service
+at that one seam is the cluster-deployment path.
 """
 
 from __future__ import annotations
@@ -87,26 +95,65 @@ class Commit:
         )
 
 
+class DistributedWriterError(RuntimeError):
+    """A writer on ANOTHER host holds (or held) the repo lock.
+
+    ``RepoLock`` is an O_EXCL lock file: correct for any number of writer
+    processes on ONE node (or one coordinating driver), but NOT a
+    cross-machine mutex — O_EXCL is not atomic on NFS-style shared
+    filesystems and object stores have no lock file at all. Multi-driver
+    deployments need a real arbiter: an object-store conditional-put
+    (Delta's log protocol) or a lock service (what lakeFS's metadata
+    server provides). Rather than risk silent metadata corruption, lock
+    acquisition fails loudly when the holder's hostname differs."""
+
+
 class RepoLock:
     """Advisory lock file serializing metadata mutations within/between
-    processes on one node. Commits are rare, coarse-grained events (one per
-    batch write), so a simple O_EXCL spin-lock is adequate; a cluster
-    deployment would swap this for an object-store conditional-put, which
-    is the same protocol Delta uses for its log."""
+    processes on ONE node. Commits are rare, coarse-grained events (one per
+    batch write), so a simple O_EXCL spin-lock is adequate.
+
+    **Single-writer-node contract**: all committing processes must share
+    one local filesystem view of the repo root. The lock file records
+    ``host:pid``; contention from a different hostname raises
+    ``DistributedWriterError`` immediately (no spin-until-timeout) —
+    see that exception for the cluster-deployment story."""
 
     def __init__(self, root: str, timeout: float = 30.0):
         self.path = os.path.join(root, ".lock")
         self.timeout = timeout
         self._fd: int | None = None
 
+    def _holder(self) -> tuple[str, str] | None:
+        """(host, pid) of the current holder, None if unreadable/empty
+        (racing with the holder's write — treat as unknown, keep spinning)."""
+        try:
+            with open(self.path) as f:
+                host, _, pid = f.read().partition(":")
+        except OSError:
+            return None
+        return (host, pid) if host and pid else None
+
     def __enter__(self):
+        import socket
+
+        me = socket.gethostname()
         deadline = time.monotonic() + self.timeout
         while True:
             try:
                 self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(self._fd, str(os.getpid()).encode())
+                os.write(self._fd, f"{me}:{os.getpid()}".encode())
                 return self
             except FileExistsError:
+                holder = self._holder()
+                if holder is not None and holder[0] != me:
+                    raise DistributedWriterError(
+                        f"repo lock {self.path} is held by {holder[0]}:{holder[1]} "
+                        f"(this host: {me}). RepoLock only serializes writers on "
+                        "one node — concurrent multi-host writers need an "
+                        "external arbiter (object-store conditional-put or a "
+                        "lock service); see DistributedWriterError."
+                    )
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"could not acquire repo lock {self.path}")
                 time.sleep(0.02)

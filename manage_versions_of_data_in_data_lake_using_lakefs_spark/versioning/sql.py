@@ -14,13 +14,22 @@ snapshot is registered as a temp view resolving through
 intact). This is a clause rewriter, not a SQL parser, but it is careful
 where lexical rewriters classically go wrong:
 
-- **string literals are masked first** ('...' with '' escapes), so
+- **string literals are masked first** ('...' with doubled-'' or
+  backslash escapes, and "..." double-quoted literals — Spark's default
+  non-ANSI mode treats both quote styles as strings), so
   ``WHERE email = 'bob@v1'`` or a literal containing ``VERSION AS OF``
   is never rewritten or treated as a table reference;
 - **identifier matching is case-insensitive** (``FROM Events`` resolves
   repo table ``events``), like Spark/Delta's default resolution;
-- **branch-head views register before snapshot views**, so a generated
-  ``t__v2`` snapshot can't be clobbered by a real table of that name.
+- **temp views are scoped** to a ``lake__`` prefix (head ``lake__t``,
+  snapshot ``lake__t__vN``) and table references in the query are
+  rewritten to match — ``sql()`` never clobbers a user's own temp view
+  named ``t``, and a generated snapshot view can't collide with a real
+  table either.
+
+Known lexical limit: a *column* whose name equals a repo *table* name
+referenced in the same query would be rewritten too — the standard
+hazard of rewriting identifiers without a parse tree.
 """
 
 from __future__ import annotations
@@ -33,8 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
-# masked-literal placeholder: \x00<index>\x00 never appears in real SQL
-_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+# masked-literal placeholder: \x00<index>\x00 never appears in real SQL.
+# Covers ''-doubling AND backslash escapes inside '...', plus "..."
+# double-quoted string literals (Spark's default non-ANSI mode; users of
+# ANSI double-quoted *identifiers* should quote with backticks instead)
+_LITERAL_RE = re.compile(r"'(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
 _MASK_RE = re.compile(r"\x00(\d+)\x00")
 _VERSION_RE = re.compile(
     rf"\b(?P<table>{_IDENT})\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)", re.IGNORECASE
@@ -66,12 +78,26 @@ class LakeSQL:
     def history(self, table: str | None = None) -> DataFrame:
         """Commit history as a DataFrame, newest first — Delta's
         ``DESCRIBE HISTORY`` schema essentials (version, timestamp,
-        operation, …). With ``table``, only commits that changed it.
-        Walks the FULL first-parent chain (no silent truncation)."""
-        table = self._resolve_table(table) if table is not None else None
+        operation, …). With ``table``, only commits that changed it —
+        resolved against every table name seen ACROSS the commit walk,
+        so a table dropped from the current head keeps a queryable
+        history (Delta behaves the same way)."""
+        commits = self.repo.log(self.branch, limit=None)
+        if table is not None:
+            by_lower: dict[str, str] = {}
+            for c in commits:  # newest first: head resolution wins ties
+                for t in c.tables:
+                    by_lower.setdefault(t.lower(), t)
+            try:
+                table = by_lower[table.lower()]
+            except KeyError:
+                raise KeyError(
+                    f"table {table!r} never existed on branch "
+                    f"{self.branch!r}; known across history: "
+                    f"{sorted(by_lower.values())}"
+                ) from None
         rows = []
         prev_files: dict[str, list] = {}
-        commits = self.repo.log(self.branch, limit=None)
         for c in reversed(commits):  # oldest → newest to detect per-table change
             changed = table is None or c.tables.get(table) != prev_files.get(table)
             prev_files = c.tables
@@ -110,7 +136,7 @@ class LakeSQL:
         table = self._resolve_table(table)
         if ts is not None:
             version = self._version_at(ts)
-        view = f"{table}__v{version}"
+        view = f"lake__{table}__v{version}"
         df = self.repo.read_table(self.spark, table, ref=self.branch, version_as_of=version)
         df.createOrReplaceTempView(view)
         return view
@@ -145,14 +171,10 @@ class LakeSQL:
 
         masked = _LITERAL_RE.sub(mask, query)
 
-        # 2) branch heads FIRST (scanned on the masked ORIGINAL text, so
-        #    views created by the snapshot rewrites below always win)
-        for t in self.repo.list_tables(self.branch):
-            if re.search(rf"\b{re.escape(t)}\b", masked, re.IGNORECASE):
-                self.repo.read_table(self.spark, t, ref=self.branch).createOrReplaceTempView(t)
-
-        # 3) time-travel clause rewrites (snapshot views registered now
-        #    overwrite any same-named head view)
+        # 2) time-travel clause rewrites FIRST: each pinned snapshot
+        #    becomes a scoped `lake__<t>__vN` view; the substituted view
+        #    names contain no word-boundary match for the bare table name
+        #    (underscores are word chars), so step 3 can't re-rewrite them
         def sub_version(m: re.Match) -> str:
             return self._register_snapshot(m.group("table"), int(m.group("ver")), None)
 
@@ -163,6 +185,17 @@ class LakeSQL:
         rewritten = _VERSION_RE.sub(sub_version, masked)
         rewritten = _TIMESTAMP_RE.sub(sub_ts, rewritten)
         rewritten = _AT_RE.sub(sub_version, rewritten)
+
+        # 3) remaining bare repo-table references resolve to scoped
+        #    branch-head views `lake__<t>` — registered under the prefix
+        #    so sql() never clobbers a user's own temp view named <t>
+        for t in self.repo.list_tables(self.branch):
+            pat = re.compile(rf"\b{re.escape(t)}\b", re.IGNORECASE)
+            if pat.search(rewritten):
+                self.repo.read_table(self.spark, t, ref=self.branch).createOrReplaceTempView(
+                    f"lake__{t}"
+                )
+                rewritten = pat.sub(f"lake__{t}", rewritten)
 
         # 4) restore the untouched literals
         rewritten = _MASK_RE.sub(lambda m: literals[int(m.group(1))], rewritten)

@@ -70,6 +70,7 @@ def main() -> None:
         decontaminate,
         repetition_metrics,
     )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_pairs_ivf
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import release_tracked
@@ -96,6 +97,14 @@ def main() -> None:
         return decontaminate(d, d.where(F.col("doc_id") % 20 == 0), n=8)
 
     def op_embed_ivf(e: DataFrame) -> DataFrame:
+        # the registered flavor: trained fixed-k quantizer — O(n·k) with
+        # constant k, so per-row cost stays flat as the corpus grows
+        cents = kmeans_fit(e, k=8, iters=2)
+        return cosine_pairs_ivf(e, threshold=0.4, nprobe=2, centroids=cents)
+
+    def op_embed_ivf_stride(e: DataFrame) -> DataFrame:
+        # the stride-sampled default: k ≈ n/64, so the assignment probe
+        # grows super-linearly — kept measured to show the contrast
         return cosine_pairs_ivf(e, threshold=0.4, centroid_stride=64, nprobe=2)
 
     def op_agg(x: DataFrame) -> DataFrame:
@@ -110,6 +119,7 @@ def main() -> None:
         "text_repetition": (docs, replicate_documents, op_repetition),
         "decontaminate": (docs, replicate_documents, op_decontaminate),
         "embedding_ivf_pairs": (emb, replicate_embeddings, op_embed_ivf),
+        "embedding_ivf_pairs_stride": (emb, replicate_embeddings, op_embed_ivf_stride),
         "agg_sum": (li, replicate_lineitem, op_agg),
     }
 

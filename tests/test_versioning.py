@@ -648,3 +648,101 @@ def test_delete_object_unknown_path_raises(spark, repo):
     with pytest.raises(KeyError):
         repo.delete_object("main", "typo.txt")
     repo.delete_object("main", "model.txt")  # real path still deletable
+
+
+def test_repolock_foreign_host_raises(repo):
+    """Single-writer-node contract: a lock file written by another host
+    must fail loudly (DistributedWriterError), never spin until timeout —
+    RepoLock is not a cross-machine mutex."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import (
+        DistributedWriterError,
+        RepoLock,
+    )
+
+    lock_path = os.path.join(repo.root, ".lock")
+    with open(lock_path, "w") as f:
+        f.write("some-other-node:12345")
+    try:
+        with pytest.raises(DistributedWriterError, match="some-other-node"):
+            with RepoLock(repo.root, timeout=5.0):
+                pass
+    finally:
+        os.unlink(lock_path)
+
+
+def test_repolock_same_host_spins_then_times_out(repo):
+    """A same-host holder is normal contention: spin, then TimeoutError
+    (not DistributedWriterError)."""
+    import socket
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import RepoLock
+
+    lock_path = os.path.join(repo.root, ".lock")
+    with open(lock_path, "w") as f:
+        f.write(f"{socket.gethostname()}:99999")
+    try:
+        with pytest.raises(TimeoutError):
+            with RepoLock(repo.root, timeout=0.2):
+                pass
+    finally:
+        os.unlink(lock_path)
+
+
+def test_repolock_reentrant_after_release(repo):
+    """Acquire/release/acquire works and leaves no lock file behind."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import RepoLock
+
+    for _ in range(2):
+        with RepoLock(repo.root, timeout=5.0):
+            assert os.path.exists(os.path.join(repo.root, ".lock"))
+    assert not os.path.exists(os.path.join(repo.root, ".lock"))
+
+
+def test_lakesql_does_not_clobber_user_temp_views(spark, repo):
+    """sql() scopes its views to lake__; a user's own temp view with a
+    repo table's name must survive (and keep its own contents)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo_df = spark.range(3).selectExpr("id AS k")
+    repo.write_table("main", "events", repo_df)
+    repo.commit("main", "v0")
+    # user's own temp view named `events` with DIFFERENT contents
+    spark.range(99).selectExpr("id AS k").createOrReplaceTempView("events")
+    try:
+        lsql = LakeSQL(spark, repo)
+        out = lsql.sql("SELECT count(*) AS n FROM events").collect()[0]
+        assert out.n == 3  # repo table, not the user view
+        user = spark.sql("SELECT count(*) AS n FROM events").collect()[0]
+        assert user.n == 99  # user view untouched
+    finally:
+        spark.catalog.dropTempView("events")
+
+
+def test_lakesql_literal_escapes_not_rewritten(spark, repo):
+    """Backslash-escaped and double-quoted literals mask correctly: text
+    inside them is never treated as a table ref / time-travel clause."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.range(2).selectExpr("id AS k"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    r = lsql.sql(r"SELECT 'it\'s t VERSION AS OF 9' AS s, count(*) AS n FROM t").collect()[0]
+    assert r.s == "it's t VERSION AS OF 9" and r.n == 2
+    r2 = lsql.sql('SELECT "t@v9 isn\'t a ref" AS s, count(*) AS n FROM t').collect()[0]
+    assert r2.s == "t@v9 isn't a ref" and r2.n == 2
+
+
+def test_lakesql_history_of_dropped_table(spark, repo):
+    """DESCRIBE HISTORY of a table that was dropped from the head still
+    returns its commit history (resolved across the commit walk)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "gone", spark.range(2).selectExpr("id AS k"))
+    repo.commit("main", "add gone")
+    repo.remove_table("main", "gone")
+    repo.commit("main", "drop gone")
+    lsql = LakeSQL(spark, repo)
+    hist = lsql.sql("DESCRIBE HISTORY gone").collect()
+    assert len(hist) >= 2  # the add AND the drop both changed it
+    with pytest.raises(KeyError, match="never existed"):
+        lsql.history("nevermade")
