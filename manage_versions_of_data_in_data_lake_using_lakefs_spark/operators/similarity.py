@@ -172,13 +172,37 @@ def cosine_pairs_lsh(
     )
 
 
-def _centroids_df(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Trained quantizer (operators.clustering.kmeans_fit): k × dims ints —
-    metadata-sized, created driver-side and broadcast by the callers."""
-    return df.sparkSession.createDataFrame(
-        [(i, c, sum(x * x for x in c)) for i, c in enumerate(centroids)],
-        "cid LONG, qc ARRAY<LONG>, nc LONG",
-    )
+def _make_topn_cells(centroids: list[list[int]], nprobe: int):
+    """Factory (by-value pickling, see ``_make_dot_q_batch``): per-batch
+    top-``nprobe`` nearest trained cells for each quantized vector — one
+    Arrow ``B×d @ d×k`` int64 matmul then a stable argsort (ties → lowest
+    cell id, identical to the SQL window's ``cos DESC, cell ASC``).
+
+    Same IEEE double arithmetic as the join+window path (exact int64
+    dots < 2^53, then sqrt/multiply/divide in the same order), so results
+    are bit-identical — but as a MAP step: no centroid join, no n×k
+    intermediate rows, and no per-id window shuffle."""
+    C = np.array(centroids, dtype=np.int64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+
+    def topn(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.to_list(), dtype=np.int64)
+        dots = M @ C.T
+        mn = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+        cos = dots / (mn[:, None] * cn[None, :])
+        order = np.argsort(-cos, axis=1, kind="stable")
+        return pd.Series([row[:nprobe].tolist() for row in order])
+
+    return topn
+
+
+def topn_cells(vec_q: Column, centroids: list[list[int]], nprobe: int) -> Column:
+    """array<long> of the nprobe nearest trained-cell ids per vector."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    return pandas_udf(_make_topn_cells(centroids, nprobe), ArrayType(LongType()))(vec_q)
 
 
 def _sampled_centroids(q_all: DataFrame, stride: int) -> DataFrame:
@@ -233,20 +257,31 @@ def cosine_pairs_ivf(
         )
     )
     if centroids is not None:
-        cents = _centroids_df(df, centroids)
+        # trained quantizer: assignment is a pure MAP — each Arrow batch
+        # matmuls against the k×d centroid matrix riding the task closure;
+        # no join node, no n×k intermediate rows, no per-id window shuffle
+        assign = _persisted(
+            q_all.select(
+                "id", F.explode(topn_cells(F.col("_q"), centroids, nprobe)).alias("cell")
+            )
+        )
     else:
+        # sampled quantizer: centroids are a corpus subset (a DataFrame,
+        # not driver-side metadata), so assignment scores via broadcast
+        # join + per-id window — the small-corpus path
         cents = _sampled_centroids(q_all, centroid_stride)
-    scored = q_all.join(F.broadcast(cents)).withColumn(
-        "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
-    )
-    wc = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
-    # persisted: both sides of the candidate self-join consume the
-    # assignment; unpersisted, the broadcast-score + window would run twice
-    assign = _persisted(
-        scored.withColumn("rc", F.row_number().over(wc))
-        .where(F.col("rc") <= nprobe)
-        .select("id", F.col("cid").alias("cell"))
-    )
+        scored = q_all.join(F.broadcast(cents)).withColumn(
+            "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
+        )
+        wc = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+        # persisted: both sides of the candidate self-join consume the
+        # assignment; unpersisted, the broadcast-score + window would run
+        # twice
+        assign = _persisted(
+            scored.withColumn("rc", F.row_number().over(wc))
+            .where(F.col("rc") <= nprobe)
+            .select("id", F.col("cid").alias("cell"))
+        )
     cand = (
         assign.select(F.col("id").alias("a"), "cell")
         .join(assign.select(F.col("id").alias("b"), "cell"), on="cell")
@@ -392,37 +427,53 @@ def topk_ivf(
             F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
         )
     )
-    if centroids is not None:
-        cents = _centroids_df(corpus, centroids)
-    else:
-        cents = _sampled_centroids(q_all, centroid_stride)
-    scored = q_all.join(F.broadcast(cents)).withColumn(
-        "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
-    )
-    wc = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
-    ranked = scored.withColumn("rc", F.row_number().over(wc))
-    assigned = _persisted(
-        ranked.where(F.col("rc") == 1)
-        .select("id", "_q", "_n", F.col("cid").alias("cell"))
-    )
+    qids = queries.select(F.col(id_col).alias("id")).distinct()
     sel = [
         F.col("id").alias("query_id"),
         F.col("_q").alias("qq"),
         F.col("_n").alias("nq"),
         "cell",
     ]
-    qids = queries.select(F.col(id_col).alias("id")).distinct()
-    if nprobe <= 1:
-        qs = assigned.join(qids, "id").select(*sel)
+    if centroids is not None:
+        # trained quantizer: map-side assignment (see cosine_pairs_ivf) —
+        # cells[0] is the home cell, the full array is the query probe set
+        withcells = _persisted(
+            q_all.withColumn(
+                "cells", topn_cells(F.col("_q"), centroids, max(1, nprobe))
+            )
+        )
+        assigned = withcells.select(
+            "id", "_q", "_n", F.col("cells").getItem(0).alias("cell")
+        )
+        if nprobe <= 1:
+            qs = assigned.join(qids, "id").select(*sel)
+        else:
+            probe_cells = withcells.select("id", F.explode("cells").alias("cell"))
+            qs = (
+                assigned.drop("cell").join(qids, "id").join(probe_cells, "id").select(*sel)
+            )
     else:
-        # queries fan out to their nprobe nearest cells (rc <= nprobe);
-        # corpus vectors still live in exactly one cell (rc == 1)
-        probe_cells = ranked.where(F.col("rc") <= nprobe).select(
-            "id", F.col("cid").alias("cell")
+        cents = _sampled_centroids(q_all, centroid_stride)
+        scored = q_all.join(F.broadcast(cents)).withColumn(
+            "cos_c", cosine_q(dot_q(F.col("_q"), F.col("qc")), F.col("_n"), F.col("nc"))
         )
-        qs = (
-            assigned.drop("cell").join(qids, "id").join(probe_cells, "id").select(*sel)
+        wc = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+        ranked = scored.withColumn("rc", F.row_number().over(wc))
+        assigned = _persisted(
+            ranked.where(F.col("rc") == 1)
+            .select("id", "_q", "_n", F.col("cid").alias("cell"))
         )
+        if nprobe <= 1:
+            qs = assigned.join(qids, "id").select(*sel)
+        else:
+            # queries fan out to their nprobe nearest cells (rc <= nprobe);
+            # corpus vectors still live in exactly one cell (rc == 1)
+            probe_cells = ranked.where(F.col("rc") <= nprobe).select(
+                "id", F.col("cid").alias("cell")
+            )
+            qs = (
+                assigned.drop("cell").join(qids, "id").join(probe_cells, "id").select(*sel)
+            )
     cand = assigned.select(
         F.col("id").alias("nbr"), F.col("_q").alias("qc2"), F.col("_n").alias("nc2"), "cell"
     )

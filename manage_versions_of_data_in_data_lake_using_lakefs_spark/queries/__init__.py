@@ -93,11 +93,12 @@ WINDOW_ORDER: list[str] = [
     "csv_suite",            # S1+S2+S7 roundtrips, tagged
     "orc_roundtrip",        # S3+S9
     "json_extract",
-    # TPC-H suite (bench headliners)
+    # TPC-H suite (bench headliners; q6 — a plain filter+agg whose scan/
+    # agg shapes q1/q14 already certify — moved to the tail to free the
+    # window slot for the multimodal feature-extraction family)
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "tpch_q6",
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",
@@ -120,6 +121,7 @@ WINDOW_ORDER: list[str] = [
     "dedup_resolution",     # connected components + survivors, tagged
     "sim_ann",              # brute/LSH/IVF top-k, tagged
     "multimodal_stats",
+    "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
 ]
 
@@ -163,6 +165,13 @@ def _released(fn: QueryFn) -> QueryFn:
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """The full registry, window entries first.
+
+    Contract: callers run strict build→collect→build (build query N's
+    DataFrame, collect it, only then build N+1) — each build releases the
+    previous query's persisted intermediates (see ``runtime``). Building
+    several entries before collecting any stays correct but forfeits the
+    earlier entries' persists (recompute, not wrong answers)."""
     combined = _combined_queries()
     out: dict[str, QueryFn] = {}
     for name in WINDOW_ORDER:

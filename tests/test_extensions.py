@@ -474,3 +474,30 @@ def test_null_text_parity(spark):
     assert_frames_match(
         repetition_metrics(df), con.sql(ORACLE_TEXT_REPETITION), "null_repetition"
     )
+
+
+def test_trained_ivf_topk_recall_floor(spark):
+    """Guard the recall of the trained-IVF probe path: top-5 over the
+    sf0.01 fixture must keep >= 0.4 overlap with brute force at
+    k=8/nprobe=2 (measured 0.52 on these ~isotropic synthetic vectors —
+    ANN's worst regime; a probe-logic regression, e.g. ranking by dot
+    instead of cosine or dropping a probe cell, craters this)."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    truth = {(r.query_id, r.nbr) for r in topk_bruteforce(emb, queries, k=5).collect()}
+    cents = kmeans_fit(emb, k=8, iters=2)
+    got = {
+        (r.query_id, r.nbr)
+        for r in topk_ivf(emb, queries, k=5, centroids=cents, nprobe=2).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.4

