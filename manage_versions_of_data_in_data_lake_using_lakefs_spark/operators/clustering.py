@@ -168,3 +168,144 @@ def kmeans_fit(
         return [[int(x) for x in row] for row in C]
     finally:
         q.unpersist(blocking=False)
+
+
+def kmeans_fit_hierarchical(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_coarse: int = 4,
+    k_fine: int = 4,
+    iters: int = 2,
+) -> tuple[list[list[int]], dict[int, list[list[int]]]]:
+    """Two-level quantizer — the "past broadcastable k" scale path the
+    flat trainer's docstring promises: k_coarse shards from ``kmeans_fit``
+    then, in ONE distributed loop, an independent k_fine Lloyd's per
+    shard. Total cells K = k_coarse × k_fine with assignment work
+    n·(k_coarse + k_fine) instead of the flat n·K — at K = 10⁶
+    (k₁ = k₂ = 1000) that is 500× fewer FLOPs, and each training level
+    broadcasts only its own metadata-sized centroid set.
+
+    Per-shard training is NOT k_coarse separate jobs: each iteration is a
+    single ``mapInPandas`` pass emitting (shard, fine, sum, count)
+    partials for every shard at once — the corpus is scanned iters+1
+    times total regardless of k_coarse.
+
+    Determinism matches ``kmeans_fit`` exactly — per-shard init takes the
+    k_fine smallest (portable_hash(id), id) rows WITHIN the shard
+    (row_number window), assignment ties break to the lowest fine index
+    (stable argsort), updates are exact int64 sums with floor division,
+    empty cells keep their previous centroid — so the whole two-level
+    training replays as SQL CTEs (queries/kmeans_sql.py::km2_*).
+
+    Returns ``(coarse, fines)``: coarse is k_coarse × dims ints; fines
+    maps shard id → (≤ k_fine) × dims ints (shards smaller than k_fine
+    get one cell per vector; empty shards are absent).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topn_cells
+
+    coarse = kmeans_fit(df, vec_col, id_col, k=k_coarse, iters=iters)
+
+    qs = (
+        with_quantized(df, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("_q").alias("q"))
+        .withColumn("shard", topn_cells(F.col("q"), coarse, 1).getItem(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        w = Window.partitionBy("shard").orderBy(
+            portable_hash(F.col("id").cast("string")), F.col("id")
+        )
+        init = (
+            qs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k_fine)
+            .select("shard", "rn", "q")
+            .collect()
+        )
+        fines: dict[int, dict[int, np.ndarray]] = {}
+        for r in init:
+            fines.setdefault(int(r.shard), {})[int(r.rn) - 1] = np.array(
+                r.q, dtype=np.int64
+            )
+        if not fines:
+            raise ValueError("kmeans_fit_hierarchical: empty input")
+        dims = len(next(iter(next(iter(fines.values())).values())))
+        n_cells = sum(len(f) for f in fines.values())
+        small_merge = qs.rdd.getNumPartitions() * n_cells <= 65536
+
+        for _ in range(iters):
+            # plain nested lists ride the task closure by value
+            F_b = {s: [f[i].tolist() for i in sorted(f)] for s, f in fines.items()}
+
+            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                mats = {s: np.array(v, dtype=np.int64) for s, v in F_b.items()}
+                acc_sum: dict[tuple[int, int], np.ndarray] = {}
+                acc_cnt: dict[tuple[int, int], int] = {}
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    M = np.array(pdf["q"].to_list(), dtype=np.int64)
+                    shards = pdf["shard"].to_numpy()
+                    for s in np.unique(shards):
+                        sel = M[shards == s]
+                        C = mats[int(s)]
+                        dots = sel @ C.T
+                        mn = np.sqrt(np.einsum("ij,ij->i", sel, sel).astype(np.float64))
+                        cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+                        cells = np.argmax(dots / (mn[:, None] * cn[None, :]), axis=1)
+                        for c in np.unique(cells):
+                            grp = sel[cells == c]
+                            key = (int(s), int(c))
+                            acc_sum[key] = acc_sum.get(
+                                key, np.zeros(grp.shape[1], np.int64)
+                            ) + grp.sum(axis=0)
+                            acc_cnt[key] = acc_cnt.get(key, 0) + len(grp)
+                if acc_sum:
+                    yield pd.DataFrame(
+                        {
+                            "shard": [k[0] for k in acc_sum],
+                            "fine": [k[1] for k in acc_sum],
+                            "vsum": [s.tolist() for s in acc_sum.values()],
+                            "cnt": [acc_cnt[k] for k in acc_sum],
+                        }
+                    )
+
+            part = qs.select("q", "shard").mapInPandas(
+                partials, "shard INT, fine INT, vsum ARRAY<LONG>, cnt LONG"
+            )
+            sums: dict[tuple[int, int], np.ndarray] = {}
+            cnts: dict[tuple[int, int], int] = {}
+            if small_merge:
+                for r in part.collect():
+                    key = (int(r.shard), int(r.fine))
+                    v = np.array(r.vsum, dtype=np.int64)
+                    sums[key] = sums.get(key, np.zeros(dims, np.int64)) + v
+                    cnts[key] = cnts.get(key, 0) + int(r.cnt)
+            else:
+                merged = (
+                    part.select("shard", "fine", F.posexplode("vsum").alias("pos", "v"))
+                    .groupBy("shard", "fine", "pos")
+                    .agg(F.sum("v").alias("v"))
+                    .groupBy("shard", "fine")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                            lambda s: s["v"],
+                        ).alias("vsum")
+                    )
+                )
+                cnt_df = part.groupBy("shard", "fine").agg(F.sum("cnt").alias("cnt"))
+                for r in merged.join(cnt_df, ["shard", "fine"]).collect():
+                    sums[(int(r.shard), int(r.fine))] = np.array(r.vsum, dtype=np.int64)
+                    cnts[(int(r.shard), int(r.fine))] = int(r.cnt)
+            for (s, c), vsum in sums.items():
+                fines[s][c] = vsum // cnts[(s, c)]
+        return coarse, {
+            s: [[int(x) for x in f[i]] for i in sorted(f)] for s, f in fines.items()
+        }
+    finally:
+        qs.unpersist(blocking=False)

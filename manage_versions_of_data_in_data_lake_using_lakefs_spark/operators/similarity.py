@@ -282,6 +282,12 @@ def cosine_pairs_ivf(
             .where(F.col("rc") <= nprobe)
             .select("id", F.col("cid").alias("cell"))
         )
+    return _pairs_from_assign(q_all, assign, threshold)
+
+
+def _pairs_from_assign(q_all: DataFrame, assign: DataFrame, threshold: float) -> DataFrame:
+    """Shared IVF tail: candidates = pairs sharing a probed cell (one
+    equi-join on cell id, deduped), then exact quantized-cosine verify."""
     cand = (
         assign.select(F.col("id").alias("a"), "cell")
         .join(assign.select(F.col("id").alias("b"), "cell"), on="cell")
@@ -304,6 +310,108 @@ def cosine_pairs_ivf(
         .where(F.col("cos") >= F.lit(threshold))
         .select("a", "b", "cos")
     )
+
+
+def _make_topn_cells_hier(
+    coarse: list[list[int]],
+    fines: dict[int, list[list[int]]],
+    k_fine: int,
+    nprobe: int,
+):
+    """Factory (by-value pickling): hierarchical cell assignment — coarse
+    shard by argmax cosine against k_coarse centroids, then top-nprobe
+    FINE cells within that shard; global cell id = shard · k_fine + fine.
+    Work per vector is k_coarse + k_fine dot products instead of the flat
+    quantizer's k_coarse·k_fine — the 'past broadcastable k' recipe.
+    Tie rules identical to the flat path (stable argsort = lowest index),
+    so the SQL replay (kmeans_sql.km2_*) is bit-exact."""
+    C1 = np.array(coarse, dtype=np.int64)
+    cn1 = np.sqrt(np.einsum("ij,ij->i", C1, C1).astype(np.float64))
+    F2 = {int(s): [list(map(int, c)) for c in f] for s, f in fines.items()}
+
+    def topn(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mats = {s: np.array(f, dtype=np.int64) for s, f in F2.items()}
+        norms = {
+            s: np.sqrt(np.einsum("ij,ij->i", m, m).astype(np.float64))
+            for s, m in mats.items()
+        }
+        M = np.array(v.to_list(), dtype=np.int64)
+        mn = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+        shards = np.argmax((M @ C1.T) / (mn[:, None] * cn1[None, :]), axis=1)
+        out = [None] * len(M)
+        for s in np.unique(shards):
+            sel = shards == s
+            Cf, cf = mats[int(s)], norms[int(s)]
+            cos = (M[sel] @ Cf.T) / (mn[sel][:, None] * cf[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")
+            cells = [
+                [int(s) * k_fine + int(c) for c in row[:nprobe]] for row in order
+            ]
+            for i, idx in zip(np.flatnonzero(sel), cells):
+                out[i] = idx
+        return pd.Series(out)
+
+    return topn
+
+
+def topn_cells_hier(
+    vec_q: Column,
+    coarse: list[list[int]],
+    fines: dict[int, list[list[int]]],
+    k_fine: int,
+    nprobe: int,
+) -> Column:
+    """array<long> of global hierarchical cell ids (shard·k_fine + fine)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    return pandas_udf(
+        _make_topn_cells_hier(coarse, fines, k_fine, nprobe), ArrayType(LongType())
+    )(vec_q)
+
+
+def cosine_pairs_ivf_hier(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    k_coarse: int = 4,
+    k_fine: int = 4,
+    iters: int = 1,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF near-dup pairs over a HIERARCHICAL trained quantizer — the
+    scale path once a flat corpus-proportional k stops broadcasting:
+    K = k_coarse·k_fine cells at n·(k_coarse + k_fine) assignment work,
+    each training level holding only its own metadata-sized centroids
+    (`operators/clustering.py::kmeans_fit_hierarchical`). Candidates are
+    pairs sharing a probed fine cell (nprobe fine cells within the home
+    shard), verified with the exact quantized cosine — same one-equi-join
+    tail as the flat `cosine_pairs_ivf`. Cross-shard near-dup pairs are
+    the recall trade of any blocked method; raise k_fine/nprobe or run a
+    second pass with rotated training to tighten."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import (
+        kmeans_fit_hierarchical,
+    )
+
+    coarse, fines = kmeans_fit_hierarchical(
+        df, vec_col, id_col, k_coarse=k_coarse, k_fine=k_fine, iters=iters
+    )
+    q_all = _persisted(
+        with_quantized(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
+        )
+    )
+    assign = _persisted(
+        q_all.select(
+            "id",
+            F.explode(
+                topn_cells_hier(F.col("_q"), coarse, fines, k_fine, nprobe)
+            ).alias("cell"),
+        )
+    )
+    return _pairs_from_assign(q_all, assign, threshold)
 
 
 def topk_bruteforce(

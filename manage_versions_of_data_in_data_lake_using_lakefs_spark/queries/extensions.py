@@ -35,7 +35,7 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text impo
     quality_score,
     token_counts,
 )
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import km_train_ctes
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import km2_train_ctes, km_train_ctes
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -400,6 +400,54 @@ WHERE list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) >= 0.4
 """
 
 
+def q_dedup_embedding_cosine_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-quantizer flavor — the scale path once a flat
+    corpus-proportional k stops broadcasting: k_coarse shards, an
+    independent k_fine Lloyd's per shard trained in one distributed loop,
+    assignment = k_coarse + k_fine dots per vector (vs k_coarse·k_fine
+    flat). The oracle replays BOTH training levels as SQL CTEs: the
+    coarse chain, the shard assignment, the per-shard init (window over
+    shard), and the per-(shard, fine) updates — bit-exact like every
+    other trained path."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_pairs_ivf_hier
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_ivf_hier(
+        emb, threshold=0.4, k_coarse=4, k_fine=4, iters=1, nprobe=2
+    )
+
+
+_KM2_COARSE, _KM2_COARSE_FINAL = km_train_ctes(k=4, iters=1)
+_KM2_FINE, _KM2_FINE_FINAL = km2_train_ctes(k_fine=4, iters=1)
+
+ORACLE_DEDUP_EMBEDDING_COSINE_HIER = f"""
+WITH qn0 AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qn0),
+{_KM2_COARSE},
+qn2 AS (
+    SELECT a.id, qn.q, qn.n, a.cell AS shard
+    FROM {_KM2_COARSE_FINAL} a JOIN qn USING (id) WHERE a.rc = 1
+),
+{_KM2_FINE},
+assign AS (
+    SELECT id, shard * 4 + fine AS cell FROM {_KM2_FINE_FINAL} WHERE rc <= 2
+),
+cand AS (
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM assign x JOIN assign y ON x.cell = y.cell AND x.id < y.id
+)
+SELECT cand.a, cand.b,
+       list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) AS cos
+FROM cand JOIN qn va ON cand.a = va.id JOIN qn vb ON cand.b = vb.id
+WHERE list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) >= 0.4
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (hash-min label
     propagation, an iterative Spark loop with checkpointed lineage) over
@@ -722,6 +770,7 @@ EXTENSION_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_stride": q_dedup_embedding_cosine_stride,
+    "dedup_embedding_cosine_hier": q_dedup_embedding_cosine_hier,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "sim_topk": q_sim_topk,
@@ -744,6 +793,7 @@ EXTENSION_ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_stride": ORACLE_DEDUP_EMBEDDING_COSINE_STRIDE,
+    "dedup_embedding_cosine_hier": ORACLE_DEDUP_EMBEDDING_COSINE_HIER,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "sim_topk": ORACLE_SIM_TOPK,

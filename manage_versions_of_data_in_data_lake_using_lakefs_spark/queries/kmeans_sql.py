@@ -86,3 +86,65 @@ def km_train_ctes(k: int, iters: int) -> tuple[str, str]:
     final = f"a{iters + 1}"
     parts.append(km_assign(f"c{iters}", final))
     return ",\n".join(parts), final
+
+
+# --- hierarchical (two-level) trainer, SQL twin of
+# --- clustering.kmeans_fit_hierarchical -----------------------------------
+
+def km2_init(out: str, k_fine: int) -> str:
+    """Per-shard init CTE from ``qn2(id, q, n, shard)``: the k_fine
+    smallest (portable_hash, id) rows WITHIN each shard."""
+    return f"""{out} AS (
+    SELECT shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY {CENT_SAMPLE_SQL}, id) - 1
+                AS BIGINT) AS fine, q AS qc
+    FROM qn2
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY {CENT_SAMPLE_SQL}, id) <= {k_fine}
+)"""
+
+
+def km2_assign(prev: str, out: str) -> str:
+    """Rank ``prev``'s fine cells per vector WITHIN its shard."""
+    return f"""{out} AS (
+    SELECT qn2.id, qn2.q, qn2.shard, c.fine,
+           ROW_NUMBER() OVER (
+               PARTITION BY qn2.id
+               ORDER BY list_dot_product(qn2.q, c.qc)
+                        / (SQRT(qn2.n) * SQRT(list_dot_product(c.qc, c.qc))) DESC,
+                        c.fine ASC) AS rc
+    FROM qn2 JOIN {prev} c ON qn2.shard = c.shard
+)"""
+
+
+def km2_update(assign: str, prev: str, out: str) -> str:
+    """Per-(shard, fine) exact elementwise mean; empty cells COALESCE."""
+    return f"""{out}_s AS (
+    SELECT a.shard, a.fine, t.d, CAST(SUM(a.q[t.d]) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT shard, fine, q FROM {assign} WHERE rc = 1) a
+    CROSS JOIN (SELECT UNNEST(range(1, {KM_DIMS} + 1)) AS d) t
+    GROUP BY a.shard, a.fine, t.d
+),
+{out} AS (
+    SELECT p.shard, p.fine, COALESCE(u.qc_new, p.qc) AS qc
+    FROM {prev} p LEFT JOIN (
+        SELECT shard, fine,
+               list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY d) AS qc_new
+        FROM {out}_s GROUP BY shard, fine
+    ) u USING (shard, fine)
+)"""
+
+
+def km2_train_ctes(k_fine: int, iters: int) -> tuple[str, str]:
+    """Fine-level training chain over ``qn2``; returns (ctes,
+    final_assign_name) — filter rc <= nprobe on the final assignment and
+    compute global cell = shard * k_fine + fine."""
+    parts = [km2_init("f0", k_fine)]
+    for i in range(iters):
+        parts.append(km2_assign(f"f{i}", f"af{i + 1}"))
+        parts.append(km2_update(f"af{i + 1}", f"f{i}", f"f{i + 1}"))
+    final = f"af{iters + 1}"
+    parts.append(km2_assign(f"f{iters}", final))
+    return ",\n".join(parts), final

@@ -384,14 +384,20 @@ FROM ({X.ORACLE_DEDUP_SURVIVORS})
 
 
 # ---------------------------------------------------------------------------
-# sim_ann: brute-force + hyperplane-LSH + IVF top-k
+# sim_ann: brute-force + hyperplane-LSH + trained-IVF top-k
 # ---------------------------------------------------------------------------
 
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ANN flavors, tagged. The IVF constituent is the TRAINED-
+    quantizer flavor (round 4) so the window certifies the scale path —
+    map-side Arrow-matmul cell assignment, its two Lloyd's iterations
+    replayed in the oracle; the stride-sampled flavor stays a tail entry
+    (`sim_topk_ivf`). Brute force keeps its broadcast-query
+    nested-loop join by definition — it IS the all-pairs baseline."""
     return (
         _tag(X.q_sim_topk(spark, sf_dir), "brute")
         .unionByName(_tag(X.q_sim_topk_lsh(spark, sf_dir), "lsh"))
-        .unionByName(_tag(A.q_sim_topk_ivf(spark, sf_dir), "ivf"))
+        .unionByName(_tag(A.q_sim_topk_ivf_trained(spark, sf_dir), "ivf"))
     )
 
 
@@ -401,7 +407,7 @@ SELECT 'brute' AS variant, * FROM ({X.ORACLE_SIM_TOPK})
 UNION ALL
 SELECT 'lsh' AS variant, * FROM ({X.ORACLE_SIM_TOPK_LSH})
 UNION ALL
-SELECT 'ivf' AS variant, * FROM ({A.ORACLE_SIM_TOPK_IVF})
+SELECT 'ivf' AS variant, * FROM ({A.ORACLE_SIM_TOPK_IVF_TRAINED})
 """
 
 

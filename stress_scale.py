@@ -71,7 +71,10 @@ def main() -> None:
         repetition_metrics,
     )
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_pairs_ivf
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+        cosine_pairs_ivf,
+        cosine_pairs_ivf_hier,
+    )
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import release_tracked
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.session import get_spark
@@ -107,6 +110,15 @@ def main() -> None:
         # grows super-linearly — kept measured to show the contrast
         return cosine_pairs_ivf(e, threshold=0.4, centroid_stride=64, nprobe=2)
 
+    def op_embed_ivf_hier(e: DataFrame) -> DataFrame:
+        # hierarchical: total cells K ∝ n (constant cell width, linear
+        # candidates) at only n·(√K + √K) assignment work — the shape
+        # that survives past broadcastable flat k
+        k12 = max(4, int((e.count() // 64) ** 0.5) + 1)
+        return cosine_pairs_ivf_hier(
+            e, threshold=0.4, k_coarse=k12, k_fine=k12, iters=1, nprobe=2
+        )
+
     def op_agg(x: DataFrame) -> DataFrame:
         return x.groupBy("l_returnflag", "l_linestatus").agg(
             decimal_sum(F.col("l_quantity"), 0).alias("sum_qty"),
@@ -120,6 +132,7 @@ def main() -> None:
         "decontaminate": (docs, replicate_documents, op_decontaminate),
         "embedding_ivf_pairs": (emb, replicate_embeddings, op_embed_ivf),
         "embedding_ivf_pairs_stride": (emb, replicate_embeddings, op_embed_ivf_stride),
+        "embedding_ivf_pairs_hier": (emb, replicate_embeddings, op_embed_ivf_hier),
         "agg_sum": (li, replicate_lineitem, op_agg),
     }
 

@@ -501,3 +501,37 @@ def test_trained_ivf_topk_recall_floor(spark):
         for r in topk_ivf(emb, queries, k=5, centroids=cents, nprobe=2).collect()
     }
     assert len(got & truth) / len(truth) >= 0.4
+
+
+def test_hierarchical_ivf_pairs_semantics(spark):
+    """Hierarchical-quantizer near-dup pairs: every emitted pair is a TRUE
+    pair (exact verify — precision 1 by construction), recall keeps a
+    floor vs the exact O(n²) pair set, and results are independent of
+    input partitioning (trained centroids are deterministic)."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_ivf_hier,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        (r.a, r.b) for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    got_rows = cosine_pairs_ivf_hier(
+        emb, threshold=0.4, k_coarse=4, k_fine=4, iters=1, nprobe=2
+    ).collect()
+    got = {(r.a, r.b) for r in got_rows}
+    assert got <= exact, "hierarchical IVF emitted a non-pair"
+    assert len(got) / len(exact) >= 0.25, (len(got), len(exact))
+    # partitioning independence: same pairs from a repartitioned input
+    got2 = {
+        (r.a, r.b)
+        for r in cosine_pairs_ivf_hier(
+            emb.repartition(7), threshold=0.4, k_coarse=4, k_fine=4, iters=1, nprobe=2
+        ).collect()
+    }
+    assert got == got2

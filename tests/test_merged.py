@@ -48,17 +48,16 @@ def test_window_dedup_ann_no_allpairs_plan(spark, name):
 
 
 def test_sim_ann_only_intentional_bnlj(spark):
-    """sim_ann unions three ANN flavors. Two BroadcastNestedLoopJoins are
-    BY DESIGN and must not grow: the brute-force baseline's `nbr !=
-    query_id` join (brute force IS the all-pairs reference, broadcast
-    query side) and the stride-IVF flavor's condition-less broadcast of
-    the sampled-centroid set (printed twice: the persisted assignment
-    feeds both probe and candidate sides). The LSH flavor and the IVF
-    candidate join are equi-joins. Any NEW nested-loop/cartesian node is
-    a scale regression and fails here."""
+    """sim_ann unions three ANN flavors. Exactly ONE
+    BroadcastNestedLoopJoin is BY DESIGN and must not grow: the
+    brute-force baseline's `nbr != query_id` join (brute force IS the
+    all-pairs reference, broadcast query side). The LSH flavor joins on
+    bucket, and the trained-IVF flavor assigns cells map-side (round 4) —
+    both pure equi-join plans. Any NEW nested-loop/cartesian node is a
+    scale regression and fails here."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import all_queries
 
     df = all_queries()["sim_ann"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
