@@ -55,6 +55,46 @@ def _make_assign_cells():
 _assign_cells = _make_assign_cells()
 
 
+def _merge_partials(
+    part: DataFrame, key_cols: list[str], dims: int, small: bool
+) -> dict[tuple, tuple[np.ndarray, int]]:
+    """Merge per-partition (keys..., vsum, cnt) centroid partials into
+    exact totals keyed by the key tuple. ``small=True`` collects the
+    metadata-sized partials and merges on the driver (int64 sums are
+    associative — bit-identical to the distributed merge, one job);
+    otherwise the exact merge stays distributed (posexplode keeps the
+    elementwise sum associative, order restored by pos)."""
+    out: dict[tuple, tuple[np.ndarray, int]] = {}
+    if small:
+        for r in part.collect():
+            key = tuple(int(r[c]) for c in key_cols)
+            v = np.array(r.vsum, dtype=np.int64)
+            prev = out.get(key)
+            out[key] = (
+                (v, int(r.cnt))
+                if prev is None
+                else (prev[0] + v, prev[1] + int(r.cnt))
+            )
+        return out
+    merged = (
+        part.select(*key_cols, F.posexplode("vsum").alias("pos", "v"))
+        .groupBy(*key_cols, "pos")
+        .agg(F.sum("v").alias("v"))
+        .groupBy(*key_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("vsum")
+        )
+    )
+    cnt_df = part.groupBy(*key_cols).agg(F.sum("cnt").alias("cnt"))
+    for r in merged.join(cnt_df, key_cols).collect():
+        key = tuple(int(r[c]) for c in key_cols)
+        out[key] = (np.array(r.vsum, dtype=np.int64), int(r.cnt))
+    return out
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -131,39 +171,11 @@ def kmeans_fit(
                     )
 
             part = q.mapInPandas(partials, "cell INT, vsum ARRAY<LONG>, cnt LONG")
-            sums: dict[int, np.ndarray] = {}
-            cnts: dict[int, int] = {}
-            if small_merge:
-                # int64 sums are associative — merging partials on the
-                # driver is bit-identical to the distributed merge
-                for r in part.collect():
-                    c = int(r.cell)
-                    v = np.array(r.vsum, dtype=np.int64)
-                    sums[c] = sums.get(c, np.zeros(dims, np.int64)) + v
-                    cnts[c] = cnts.get(c, 0) + int(r.cnt)
-            else:
-                # distributed merge: #partitions × k tiny rows → k rows
-                # (posexplode keeps the elementwise sum associative/exact;
-                # order restored by pos)
-                merged = (
-                    part.select("cell", F.posexplode("vsum").alias("pos", "v"))
-                    .groupBy("cell", "pos")
-                    .agg(F.sum("v").alias("v"))
-                    .groupBy("cell")
-                    .agg(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                            lambda s: s["v"],
-                        ).alias("vsum")
-                    )
-                )
-                cnt_df = part.groupBy("cell").agg(F.sum("cnt").alias("cnt"))
-                for r in merged.join(cnt_df, "cell").collect():
-                    sums[int(r.cell)] = np.array(r.vsum, dtype=np.int64)
-                    cnts[int(r.cell)] = int(r.cnt)
             C_new = C.copy()
-            for c, s in sums.items():
-                C_new[c] = s // cnts[c]
+            for (c,), (vsum, cnt) in _merge_partials(
+                part, ["cell"], dims, small_merge
+            ).items():
+                C_new[c] = vsum // cnt
             C = C_new
         return [[int(x) for x in row] for row in C]
     finally:
@@ -252,11 +264,8 @@ def kmeans_fit_hierarchical(
                     shards = pdf["shard"].to_numpy()
                     for s in np.unique(shards):
                         sel = M[shards == s]
-                        C = mats[int(s)]
-                        dots = sel @ C.T
-                        mn = np.sqrt(np.einsum("ij,ij->i", sel, sel).astype(np.float64))
-                        cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
-                        cells = np.argmax(dots / (mn[:, None] * cn[None, :]), axis=1)
+                        # same assignment kernel as the flat trainer
+                        cells = _assign_cells(sel, mats[int(s)])
                         for c in np.unique(cells):
                             grp = sel[cells == c]
                             key = (int(s), int(c))
@@ -277,33 +286,10 @@ def kmeans_fit_hierarchical(
             part = qs.select("q", "shard").mapInPandas(
                 partials, "shard INT, fine INT, vsum ARRAY<LONG>, cnt LONG"
             )
-            sums: dict[tuple[int, int], np.ndarray] = {}
-            cnts: dict[tuple[int, int], int] = {}
-            if small_merge:
-                for r in part.collect():
-                    key = (int(r.shard), int(r.fine))
-                    v = np.array(r.vsum, dtype=np.int64)
-                    sums[key] = sums.get(key, np.zeros(dims, np.int64)) + v
-                    cnts[key] = cnts.get(key, 0) + int(r.cnt)
-            else:
-                merged = (
-                    part.select("shard", "fine", F.posexplode("vsum").alias("pos", "v"))
-                    .groupBy("shard", "fine", "pos")
-                    .agg(F.sum("v").alias("v"))
-                    .groupBy("shard", "fine")
-                    .agg(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                            lambda s: s["v"],
-                        ).alias("vsum")
-                    )
-                )
-                cnt_df = part.groupBy("shard", "fine").agg(F.sum("cnt").alias("cnt"))
-                for r in merged.join(cnt_df, ["shard", "fine"]).collect():
-                    sums[(int(r.shard), int(r.fine))] = np.array(r.vsum, dtype=np.int64)
-                    cnts[(int(r.shard), int(r.fine))] = int(r.cnt)
-            for (s, c), vsum in sums.items():
-                fines[s][c] = vsum // cnts[(s, c)]
+            for (s, c), (vsum, cnt) in _merge_partials(
+                part, ["shard", "fine"], dims, small_merge
+            ).items():
+                fines[s][c] = vsum // cnt
         return coarse, {
             s: [[int(x) for x in f[i]] for i in sorted(f)] for s, f in fines.items()
         }

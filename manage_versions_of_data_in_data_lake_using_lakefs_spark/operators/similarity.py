@@ -191,7 +191,14 @@ def _make_topn_cells(centroids: list[list[int]], nprobe: int):
         M = np.array(v.to_list(), dtype=np.int64)
         dots = M @ C.T
         mn = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
-        cos = dots / (mn[:, None] * cn[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (mn[:, None] * cn[None, :])
+        # NaN (zero-norm vector or degenerate zero centroid) must rank
+        # FIRST like Spark's and DuckDB's `ORDER BY cos DESC` (both treat
+        # NaN as greater than every double); numpy's argsort ranks NaN
+        # last, so map it to +inf — ties still break to the lowest cell
+        # id via the stable sort
+        cos = np.where(np.isnan(cos), np.inf, cos)
         order = np.argsort(-cos, axis=1, kind="stable")
         return pd.Series([row[:nprobe].tolist() for row in order])
 
@@ -327,24 +334,32 @@ def _make_topn_cells_hier(
     so the SQL replay (kmeans_sql.km2_*) is bit-exact."""
     C1 = np.array(coarse, dtype=np.int64)
     cn1 = np.sqrt(np.einsum("ij,ij->i", C1, C1).astype(np.float64))
-    F2 = {int(s): [list(map(int, c)) for c in f] for s, f in fines.items()}
+    # hoisted like C1/cn1: built ONCE per task (numpy arrays cloudpickle
+    # by value), not per Arrow batch
+    mats = {int(s): np.array(f, dtype=np.int64) for s, f in fines.items()}
+    norms = {
+        s: np.sqrt(np.einsum("ij,ij->i", m, m).astype(np.float64))
+        for s, m in mats.items()
+    }
 
     def topn(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        mats = {s: np.array(f, dtype=np.int64) for s, f in F2.items()}
-        norms = {
-            s: np.sqrt(np.einsum("ij,ij->i", m, m).astype(np.float64))
-            for s, m in mats.items()
-        }
         M = np.array(v.to_list(), dtype=np.int64)
         mn = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
-        shards = np.argmax((M @ C1.T) / (mn[:, None] * cn1[None, :]), axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            shards = np.argmax((M @ C1.T) / (mn[:, None] * cn1[None, :]), axis=1)
         out = [None] * len(M)
         for s in np.unique(shards):
             sel = shards == s
             Cf, cf = mats[int(s)], norms[int(s)]
-            cos = (M[sel] @ Cf.T) / (mn[sel][:, None] * cf[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (M[sel] @ Cf.T) / (mn[sel][:, None] * cf[None, :])
+            # NaN ranks FIRST under Spark/DuckDB `cos DESC` (see
+            # _make_topn_cells); np.argmax above already returns the
+            # first (lowest) index when NaN is present, matching the
+            # `cell ASC` tiebreak
+            cos = np.where(np.isnan(cos), np.inf, cos)
             order = np.argsort(-cos, axis=1, kind="stable")
             cells = [
                 [int(s) * k_fine + int(c) for c in row[:nprobe]] for row in order

@@ -306,10 +306,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH blocking recalls almost nothing (sign-agreement probability
     per plane ~0.65). The oracle replays the identical Lloyd's iterations
     as SQL CTEs — exact int64 sums and floor-division updates make even
-    the iterative training bit-reproducible. (At the driver's sf0.01
-    corpus, n=500 → adaptive k resolves to 8, the constant the oracle's
-    CTE chain pins; parity holds because both sides compute k the same
-    way at that scale.)"""
+    the iterative training bit-reproducible — and computes k with the
+    SAME max(8, n//64) rule in SQL (scalar-subquery LIMIT), so parity
+    holds at any corpus size, not just the driver's current n=500."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -374,10 +373,14 @@ WHERE list_dot_product(va.q, vb.q) / (SQRT(va.n) * SQRT(vb.n)) >= 0.4
 """
 
 
-# trained flavor: replay the exact k=8 / iters=2 Lloyd's chain
+# trained flavor: replay the exact adaptive-k / iters=2 Lloyd's chain
 # (queries/kmeans_sql.py), probe each vector's 2 nearest trained cells,
-# verify exact quantized cosine inside shared cells
-_KM_TRAIN_K8, _KM_FINAL_K8 = km_train_ctes(k=8, iters=2)
+# verify exact quantized cosine inside shared cells. k is computed IN
+# SQL with the same max(8, n//64) rule the Spark query uses, so parity
+# holds at any corpus size the driver throws at it, not just n=500.
+_KM_TRAIN_K8, _KM_FINAL_K8 = km_train_ctes(
+    k="SELECT GREATEST(8, COUNT(*) // 64) FROM qn", iters=2
+)
 
 ORACLE_DEDUP_EMBEDDING_COSINE = f"""
 WITH qn0 AS (

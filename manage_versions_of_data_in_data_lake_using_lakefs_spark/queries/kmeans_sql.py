@@ -30,13 +30,19 @@ KM_DIMS = 64
 CENT_SAMPLE_SQL = PORTABLE_HASH_SQL.format(x="CAST(id AS VARCHAR)", m=2147483647)
 
 
-def km_init(out: str, k: int) -> str:
-    """Init CTE: k centroids from a ``qn(id, q, n)`` relation."""
+def km_init(out: str, k: int | str) -> str:
+    """Init CTE: k centroids from a ``qn(id, q, n)`` relation. ``k`` may
+    be an int or a SQL scalar expression (e.g. a data-dependent
+    ``SELECT GREATEST(8, COUNT(*) // 64) FROM qn`` — DuckDB allows a
+    scalar subquery as LIMIT), so an oracle can replay an adaptive-k
+    trainer exactly at ANY corpus size, not just the one it was tuned
+    on."""
+    limit = f"({k})" if isinstance(k, str) else str(k)
     return f"""{out} AS (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY {CENT_SAMPLE_SQL}, id) - 1
                 AS BIGINT) AS cell, q AS qc
     FROM qn
-    ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}
+    ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {limit}
 )"""
 
 
@@ -74,7 +80,7 @@ def km_update(assign: str, prev: str, out: str) -> str:
 )"""
 
 
-def km_train_ctes(k: int, iters: int) -> tuple[str, str]:
+def km_train_ctes(k: int | str, iters: int) -> tuple[str, str]:
     """The full training chain as one CTE string; returns (ctes,
     final_assign_name). ``final_assign_name`` ranks ALL cells of the
     trained centroids per vector — filter ``rc = 1`` for assignment,

@@ -105,7 +105,15 @@ class DistributedWriterError(RuntimeError):
     deployments need a real arbiter: an object-store conditional-put
     (Delta's log protocol) or a lock service (what lakeFS's metadata
     server provides). Rather than risk silent metadata corruption, lock
-    acquisition fails loudly when the holder's hostname differs."""
+    acquisition fails loudly when the holder's hostname differs.
+
+    The hostname check is a best-effort tripwire, not an enforcement
+    mechanism: two machines that happen to share a hostname (e.g.
+    unconfigured container replicas) mounting the same network
+    filesystem bypass it — the single-writer-node CONTRACT still holds
+    and is the deployer's responsibility; conversely, a host rename
+    between writer runs can trip it spuriously (delete the stale .lock
+    after confirming no writer is alive)."""
 
 
 class RepoLock:

@@ -27,6 +27,11 @@ where lexical rewriters classically go wrong:
   named ``t``, and a generated snapshot view can't collide with a real
   table either.
 
+Backtick-quoted identifiers are handled lexically too: a backticked repo
+TABLE name resolves like a bare reference, and every other backticked
+identifier is masked before rewriting so a name like ``order-events``
+can never be corrupted by the ``events`` rewrite.
+
 Known lexical limit: a *column* whose name equals a repo *table* name
 referenced in the same query would be rewritten too — the standard
 hazard of rewriting identifiers without a parse tree.
@@ -47,6 +52,12 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 # double-quoted string literals (Spark's default non-ANSI mode; users of
 # ANSI double-quoted *identifiers* should quote with backticks instead)
 _LITERAL_RE = re.compile(r"'(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+# backtick-quoted identifiers: a backticked repo-TABLE name is normalized
+# to its bare spelling first (simple identifiers — backticks are
+# redundant), then every remaining backticked identifier is masked so the
+# bare-name rewrite can never touch text inside it (`order-events` must
+# not become `order-lake__events`)
+_BACKTICK_RE = re.compile(r"`[^`]*`")
 _MASK_RE = re.compile(r"\x00(\d+)\x00")
 _VERSION_RE = re.compile(
     rf"\b(?P<table>{_IDENT})\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)", re.IGNORECASE
@@ -170,6 +181,14 @@ class LakeSQL:
             return f"\x00{len(literals) - 1}\x00"
 
         masked = _LITERAL_RE.sub(mask, query)
+
+        # 1b) backticked identifiers: normalize `t` → t for repo tables
+        #     (so they resolve like bare refs), then mask every remaining
+        #     backticked identifier — non-table identifiers must survive
+        #     the bare-name rewrite untouched
+        for t in self.repo.list_tables(self.branch):
+            masked = re.sub(rf"`{re.escape(t)}`", t, masked, flags=re.IGNORECASE)
+        masked = _BACKTICK_RE.sub(mask, masked)
 
         # 2) time-travel clause rewrites FIRST: each pinned snapshot
         #    becomes a scoped `lake__<t>__vN` view; the substituted view

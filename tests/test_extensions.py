@@ -535,3 +535,38 @@ def test_hierarchical_ivf_pairs_semantics(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_adaptive_k_oracle_parity_beyond_tuned_size(spark, tmp_path):
+    """The registered dedup_embedding_cosine computes k = max(8, n//64)
+    on BOTH sides (Spark in Python, oracle via scalar-subquery LIMIT).
+    Pin that with a 700-row corpus — k=10, a size the driver fixture has
+    never had — so a future testdata regeneration can't silently break
+    window parity."""
+    import duckdb
+    import numpy as np
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import (
+        ORACLE_DEDUP_EMBEDDING_COSINE,
+        q_dedup_embedding_cosine,
+    )
+    from tests.oracle_utils import assert_frames_match
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64)
+    rows = []
+    for i in range(700):
+        v = base[i % 20] + rng.randn(64) * 0.45  # clustered → real pairs
+        rows.append((i, [float(x) for x in v], i % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = q_dedup_embedding_cosine(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    assert_frames_match(
+        out, con.sql(ORACLE_DEDUP_EMBEDDING_COSINE), "adaptive_k_700"
+    )

@@ -746,3 +746,25 @@ def test_lakesql_history_of_dropped_table(spark, repo):
     assert len(hist) >= 2  # the add AND the drop both changed it
     with pytest.raises(KeyError, match="never existed"):
         lsql.history("nevermade")
+
+
+def test_lakesql_backticked_identifiers(spark, repo):
+    """Backticked repo-table names resolve like bare refs; OTHER
+    backticked identifiers (e.g. a column named `order-events`) must
+    never be corrupted by the table rewrite."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table(
+        "main", "events", spark.range(4).selectExpr("id AS k", "id * 2 AS `order-events`")
+    )
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    # backticked table ref resolves to the repo table
+    assert lsql.sql("SELECT count(*) AS n FROM `events`").collect()[0].n == 4
+    # a backticked NON-table identifier containing a table name survives
+    r = lsql.sql(
+        "SELECT sum(`order-events`) AS s FROM `events`"
+    ).collect()[0]
+    assert r.s == 0 + 2 + 4 + 6
+    # and DistributedWriterError is part of the public package surface
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import DistributedWriterError  # noqa: F401
