@@ -82,6 +82,8 @@ def main() -> None:
         "sim_topk_ivf",
         "corpus_prep",
         "decontaminate",
+        "dedup_embedding_cosine_hier",
+        "multimodal_features",
     ):
         if extra in registry:
             names.append(extra)
