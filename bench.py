@@ -16,10 +16,12 @@ import time
 
 
 def _regression_guard(timings: dict[str, float], factor: float = 1.5) -> None:
-    """Compare against the newest recorded BENCH_r*.json and flag per-query
-    slowdowns > ``factor`` on stderr (stdout stays the single JSON line).
-    Sub-second timings on a warm local JVM are mostly run variance, so
-    only queries slower than 0.5 s in the record are compared."""
+    """Compare MEDIANS against the newest recorded BENCH_r*.json and flag
+    per-query slowdowns > ``factor`` on stderr (stdout stays the single
+    JSON line). Sub-second timings on a warm local JVM are mostly run
+    variance, so only queries slower than 0.5 s in the record are
+    compared. Older records carried best-of-2 minima; comparing a median
+    against a min is conservative in the right direction (flags more)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -92,19 +94,27 @@ def main() -> None:
     # not first-touch session costs
     registry[names[0]](spark, sf_dir).count()
 
-    # best-of-2: the first execution of a plan pays one-time codegen/JIT
-    # compilation; the min is the steady-state number a long-running
-    # cluster job would see
+    # median-of-n (default 3): the first execution of a plan pays one-time
+    # codegen/JIT compilation (excluded by the median as long as n >= 3),
+    # and the median — unlike the old best-of-2 min — is robust to a
+    # single lucky/unlucky run, which on a warm local JVM swings sub-
+    # second queries ±30-50%. Per-query spread (min..max over the runs)
+    # rides in the JSON so round-over-round comparisons can tell signal
+    # from noise.
+    repeats = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(repeats):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = registry[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     _regression_guard(timings)
@@ -119,6 +129,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "n_repeats": repeats,
                 "sf": sf,
             }
         ),

@@ -24,7 +24,8 @@ the same property every other operator in this engine maintains.
 
 from __future__ import annotations
 
-from typing import Iterator
+import math
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -56,7 +57,7 @@ _assign_cells = _make_assign_cells()
 
 
 def _merge_partials(
-    part: DataFrame, key_cols: list[str], dims: int, small: bool
+    part: DataFrame, key_cols: list[str], small: bool
 ) -> dict[tuple, tuple[np.ndarray, int]]:
     """Merge per-partition (keys..., vsum, cnt) centroid partials into
     exact totals keyed by the key tuple. ``small=True`` collects the
@@ -95,12 +96,35 @@ def _merge_partials(
     return out
 
 
+def adaptive_k_flat(n: int) -> int:
+    """The registered flat-quantizer k rule: k = max(8, n // 64) keeps
+    cell width (and hence IVF candidate volume per vector) constant as
+    the corpus grows — the only choice whose pair-generation cost stays
+    linear (SCALING.md). SQL twin: ``GREATEST(8, COUNT(*) // 64)``."""
+    return max(8, n // 64)
+
+
+def adaptive_k_hier(n: int) -> int:
+    """The registered hierarchical k rule: k₁ = k₂ = ⌈√(n/64)⌉ (floor 4)
+    gives K = k₁·k₂ ≈ n/64 total cells — the SAME constant ~64-vector
+    cell width as the flat rule — at n·(k₁+k₂) = O(n·√(n/64)) assignment
+    work and only √(n/64)-sized centroid broadcasts per level, which is
+    what keeps training metadata broadcastable past the flat rule's
+    horizon. SQL twin:
+    ``GREATEST(4, CAST(CEIL(SQRT(COUNT(*) / 64.0)) AS BIGINT))`` —
+    both sides compute n/64.0 → sqrt → ceil in IEEE doubles, so the
+    values agree at any corpus size."""
+    return max(4, math.ceil(math.sqrt(n / 64.0)))
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 16,
     iters: int = 5,
+    adaptive_k: Callable[[int], int] | None = None,
+    _q: DataFrame | None = None,
 ) -> list[list[int]]:
     """Train k quantized centroids; returns them as plain Python ints
     (metadata — k × dims, the thing IVF broadcasts).
@@ -108,17 +132,35 @@ def kmeans_fit(
     The driver-side loop is over *iterations*, not data: each round
     collects exactly k partial-merged centroid rows. Empty cells keep
     their previous centroid (standard Lloyd's degenerate-cell rule).
+
+    ``adaptive_k``: data-dependent k rule (e.g. ``adaptive_k_flat``).
+    The count it needs rides the SAME persisted quantized projection the
+    training passes scan — no separate input-scan job (the projection
+    must be materialized for the init top-k anyway, and int counts on a
+    cached columnar projection are ~free).
+
+    ``_q``: a pre-built (id, q) quantized projection, for callers that
+    already hold one persisted (the hierarchical trainer) — avoids a
+    second quantize+persist of the corpus. Caller keeps ownership
+    (this function does not unpersist it).
     """
     from pyspark import StorageLevel
 
-    q = with_quantized(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("_q").alias("q")
-    )
-    # the trainer scans q (iters + 1) times — init top-k plus one
-    # assignment pass per iteration; persisting the quantized projection
-    # (one row per vector) pays for itself on the second pass
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    own_q = _q is None
+    if own_q:
+        q = with_quantized(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_q").alias("q")
+        )
+        # the trainer scans q (iters + 1) times — init top-k plus one
+        # assignment pass per iteration; persisting the quantized
+        # projection (one row per vector) pays for itself on the second
+        # pass
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        q = _q
     try:
+        if adaptive_k is not None:
+            k = max(1, int(adaptive_k(q.count())))
         # deterministic init: the k smallest ids by (portable_hash(id), id)
         # — a TOTAL rule (always exactly min(k, n) rows for any id space,
         # unlike an `id % stride == 0` filter, which selects nothing when
@@ -173,23 +215,24 @@ def kmeans_fit(
             part = q.mapInPandas(partials, "cell INT, vsum ARRAY<LONG>, cnt LONG")
             C_new = C.copy()
             for (c,), (vsum, cnt) in _merge_partials(
-                part, ["cell"], dims, small_merge
+                part, ["cell"], small_merge
             ).items():
                 C_new[c] = vsum // cnt
             C = C_new
         return [[int(x) for x in row] for row in C]
     finally:
-        q.unpersist(blocking=False)
+        if own_q:
+            q.unpersist(blocking=False)
 
 
 def kmeans_fit_hierarchical(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k_coarse: int = 4,
-    k_fine: int = 4,
+    k_coarse: int | None = None,
+    k_fine: int | None = None,
     iters: int = 2,
-) -> tuple[list[list[int]], dict[int, list[list[int]]]]:
+) -> tuple[list[list[int]], dict[int, list[list[int]]], int]:
     """Two-level quantizer — the "past broadcastable k" scale path the
     flat trainer's docstring promises: k_coarse shards from ``kmeans_fit``
     then, in ONE distributed loop, an independent k_fine Lloyd's per
@@ -210,9 +253,19 @@ def kmeans_fit_hierarchical(
     empty cells keep their previous centroid — so the whole two-level
     training replays as SQL CTEs (queries/kmeans_sql.py::km2_*).
 
-    Returns ``(coarse, fines)``: coarse is k_coarse × dims ints; fines
-    maps shard id → (≤ k_fine) × dims ints (shards smaller than k_fine
-    get one cell per vector; empty shards are absent).
+    ``k_coarse``/``k_fine`` default to the CORPUS-SCALED rule
+    ``adaptive_k_hier`` — k₁ = k₂ = ⌈√(n/64)⌉ — so total cells track the
+    corpus (constant ~64-vector cell width, linear candidate volume); a
+    FIXED cell count is the measured quadratic failure mode
+    (SCALING.md's fixed-k 5.31× negative result). The count feeds off
+    the persisted quantized projection that training scans anyway — no
+    separate input-scan job. Pass explicit ints to pin either level.
+
+    Returns ``(coarse, fines, k_fine)``: coarse is k_coarse × dims ints;
+    fines maps shard id → (≤ k_fine) × dims ints (shards smaller than
+    k_fine get one cell per vector; empty shards are absent); k_fine is
+    the EFFECTIVE nominal fine width — the global-cell-id multiplier
+    (cell = shard · k_fine + fine) callers must use.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -220,12 +273,22 @@ def kmeans_fit_hierarchical(
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topn_cells
 
-    coarse = kmeans_fit(df, vec_col, id_col, k=k_coarse, iters=iters)
-
-    qs = (
+    q0 = (
         with_quantized(df, vec_col)
         .select(F.col(id_col).alias("id"), F.col("_q").alias("q"))
-        .withColumn("shard", topn_cells(F.col("q"), coarse, 1).getItem(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if k_coarse is None or k_fine is None:
+        k_auto = adaptive_k_hier(q0.count())
+        k_coarse = k_coarse if k_coarse is not None else k_auto
+        k_fine = k_fine if k_fine is not None else k_auto
+
+    # the coarse level reuses the SAME persisted projection (_q) — one
+    # quantize pass and one cache for both training levels
+    coarse = kmeans_fit(df, vec_col, id_col, k=k_coarse, iters=iters, _q=q0)
+
+    qs = (
+        q0.withColumn("shard", topn_cells(F.col("q"), coarse, 1).getItem(0))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
@@ -238,6 +301,10 @@ def kmeans_fit_hierarchical(
             .select("shard", "rn", "q")
             .collect()
         )
+        # qs (id, q, shard) is materialized by the init collect; the bare
+        # quantized projection underneath it is no longer needed — drop
+        # it so the corpus is cached once, not twice
+        q0.unpersist(blocking=False)
         fines: dict[int, dict[int, np.ndarray]] = {}
         for r in init:
             fines.setdefault(int(r.shard), {})[int(r.rn) - 1] = np.array(
@@ -245,7 +312,6 @@ def kmeans_fit_hierarchical(
             )
         if not fines:
             raise ValueError("kmeans_fit_hierarchical: empty input")
-        dims = len(next(iter(next(iter(fines.values())).values())))
         n_cells = sum(len(f) for f in fines.values())
         small_merge = qs.rdd.getNumPartitions() * n_cells <= 65536
 
@@ -287,11 +353,14 @@ def kmeans_fit_hierarchical(
                 partials, "shard INT, fine INT, vsum ARRAY<LONG>, cnt LONG"
             )
             for (s, c), (vsum, cnt) in _merge_partials(
-                part, ["shard", "fine"], dims, small_merge
+                part, ["shard", "fine"], small_merge
             ).items():
                 fines[s][c] = vsum // cnt
-        return coarse, {
-            s: [[int(x) for x in f[i]] for i in sorted(f)] for s, f in fines.items()
-        }
+        return (
+            coarse,
+            {s: [[int(x) for x in f[i]] for i in sorted(f)] for s, f in fines.items()},
+            k_fine,
+        )
     finally:
         qs.unpersist(blocking=False)
+        q0.unpersist(blocking=False)

@@ -391,8 +391,8 @@ def cosine_pairs_ivf_hier(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
-    k_coarse: int = 4,
-    k_fine: int = 4,
+    k_coarse: int | None = None,
+    k_fine: int | None = None,
     iters: int = 1,
     nprobe: int = 2,
 ) -> DataFrame:
@@ -405,12 +405,16 @@ def cosine_pairs_ivf_hier(
     shard), verified with the exact quantized cosine — same one-equi-join
     tail as the flat `cosine_pairs_ivf`. Cross-shard near-dup pairs are
     the recall trade of any blocked method; raise k_fine/nprobe or run a
-    second pass with rotated training to tighten."""
+    second pass with rotated training to tighten.
+
+    ``k_coarse``/``k_fine`` default to the corpus-scaled
+    ``adaptive_k_hier`` rule (k₁ = k₂ = ⌈√(n/64)⌉ — constant cell width,
+    linear candidate volume at any scale); pass ints to pin them."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import (
         kmeans_fit_hierarchical,
     )
 
-    coarse, fines = kmeans_fit_hierarchical(
+    coarse, fines, k_fine = kmeans_fit_hierarchical(
         df, vec_col, id_col, k_coarse=k_coarse, k_fine=k_fine, iters=iters
     )
     q_all = _persisted(
@@ -544,11 +548,16 @@ def topk_ivf(
     brute force. ``nprobe`` is the standard IVF recall/cost knob: the
     query side fans out to nprobe (query, cell) rows before the same
     equi-join; the skeleton is unchanged.
+
+    Persist policy (r5, after the r4 `_persisted(q_all)` regression):
+    cache only subtrees whose recompute crosses a shuffle or whose
+    output is narrow (the (id, cell) assignment) — NEVER the wide
+    quantized corpus when its recompute is a map-only scan+quantize.
+    That is also the only policy that survives 100 TB, where the corpus
+    cannot be cached but a scan can always be repeated.
     """
-    q_all = _persisted(
-        with_quantized(corpus, vec_col).select(
-            F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
-        )
+    q_all = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
     )
     qids = queries.select(F.col(id_col).alias("id")).distinct()
     sel = [

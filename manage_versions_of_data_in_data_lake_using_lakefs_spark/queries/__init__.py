@@ -93,15 +93,15 @@ WINDOW_ORDER: list[str] = [
     "csv_suite",            # S1+S2+S7 roundtrips, tagged
     "orc_roundtrip",        # S3+S9
     "json_extract",
-    # TPC-H suite (bench headliners; q6 — a plain filter+agg whose scan/
-    # agg shapes q1/q14 already certify — moved to the tail to free the
-    # window slot for the multimodal feature-extraction family)
+    # TPC-H suite (bench headliners; q6 and q14 — filter+agg / join+agg
+    # shapes that q1/q3/q5 already certify — rotated to the tail to free
+    # window slots for the multimodal family (r4) and the hierarchical
+    # adaptive-k quantizer (r5))
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "tpch_q10",
     "tpch_q13",
-    "tpch_q14",
     "tpch_q18",
     # OLAP group-bys
     "agg_multi_group",      # rollup/cube/grouping sets, tagged
@@ -118,6 +118,7 @@ WINDOW_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",        # banded candidates, no cross join
     "dedup_embedding_cosine",  # IVF-cell-blocked candidates (SemDeDup)
+    "dedup_embedding_cosine_hier",  # two-level adaptive-k quantizer (r5)
     "dedup_resolution",     # connected components + survivors, tagged
     "sim_ann",              # brute/LSH/IVF top-k, tagged
     "multimodal_stats",

@@ -309,11 +309,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative training bit-reproducible — and computes k with the
     SAME max(8, n//64) rule in SQL (scalar-subquery LIMIT), so parity
     holds at any corpus size, not just the driver's current n=500."""
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import adaptive_k_flat, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(8, emb.count() // 64)
-    cents = kmeans_fit(emb, k=k, iters=2)
+    # adaptive k rides the trainer's own persisted quantized projection —
+    # no separate input-scan count job at build time
+    cents = kmeans_fit(emb, iters=2, adaptive_k=adaptive_k_flat)
     return cosine_pairs_ivf(emb, threshold=0.4, nprobe=2, centroids=cents)
 
 
@@ -408,20 +409,28 @@ def q_dedup_embedding_cosine_hier(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus-proportional k stops broadcasting: k_coarse shards, an
     independent k_fine Lloyd's per shard trained in one distributed loop,
     assignment = k_coarse + k_fine dots per vector (vs k_coarse·k_fine
-    flat). The oracle replays BOTH training levels as SQL CTEs: the
-    coarse chain, the shard assignment, the per-shard init (window over
-    shard), and the per-(shard, fine) updates — bit-exact like every
-    other trained path."""
+    flat). Both levels use the CORPUS-SCALED rule k₁ = k₂ = ⌈√(n/64)⌉
+    (`clustering.adaptive_k_hier`) — total cells K ≈ n/64 keep the same
+    constant ~64-vector cell width as the flat adaptive rule, so
+    candidate volume stays linear at any corpus size (a fixed cell count
+    is the measured 5.31×-ratio quadratic failure mode, SCALING.md).
+    The oracle replays BOTH training levels as SQL CTEs — the coarse
+    chain, the shard assignment, the per-shard init (window over shard),
+    the per-(shard, fine) updates — AND computes k with the same
+    GREATEST(4, CEIL(SQRT(n/64.0))) rule in SQL, so parity holds at any
+    corpus size, bit-exact like every other trained path."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_pairs_ivf_hier
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_ivf_hier(
-        emb, threshold=0.4, k_coarse=4, k_fine=4, iters=1, nprobe=2
-    )
+    return cosine_pairs_ivf_hier(emb, threshold=0.4, iters=1, nprobe=2)
 
 
-_KM2_COARSE, _KM2_COARSE_FINAL = km_train_ctes(k=4, iters=1)
-_KM2_FINE, _KM2_FINE_FINAL = km2_train_ctes(k_fine=4, iters=1)
+# the SQL twin of clustering.adaptive_k_hier — both levels' k and the
+# global-cell-id multiplier (cell = shard·k_fine + fine) all compute it
+# from the corpus itself
+_K_HIER_SQL = "SELECT GREATEST(4, CAST(CEIL(SQRT(COUNT(*) / 64.0)) AS BIGINT)) FROM qn"
+_KM2_COARSE, _KM2_COARSE_FINAL = km_train_ctes(k=_K_HIER_SQL, iters=1)
+_KM2_FINE, _KM2_FINE_FINAL = km2_train_ctes(k_fine=_K_HIER_SQL, iters=1)
 
 ORACLE_DEDUP_EMBEDDING_COSINE_HIER = f"""
 WITH qn0 AS (
@@ -438,7 +447,8 @@ qn2 AS (
 ),
 {_KM2_FINE},
 assign AS (
-    SELECT id, shard * 4 + fine AS cell FROM {_KM2_FINE_FINAL} WHERE rc <= 2
+    SELECT id, shard * ({_K_HIER_SQL}) + fine AS cell
+    FROM {_KM2_FINE_FINAL} WHERE rc <= 2
 ),
 cand AS (
     SELECT DISTINCT x.id AS a, y.id AS b

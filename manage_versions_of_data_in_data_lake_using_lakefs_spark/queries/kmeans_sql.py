@@ -22,8 +22,14 @@ from __future__ import annotations
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import PORTABLE_HASH_SQL
 
-#: embedding dimensionality of the driver testdata (TESTDATA.md)
-KM_DIMS = 64
+#: embedding dimensionality, derived FROM THE DATA in SQL (scalar
+#: subquery over the quantized-vector CTE) — a hardcoded constant would
+#: silently break window parity if a testdata regeneration changed the
+#: embedding dims while the Python trainer (which derives dims from the
+#: first centroid row) kept working. DuckDB accepts a scalar subquery as
+#: a range() bound.
+KM_DIMS_SQL = "(SELECT MAX(len(q)) FROM qn)"
+KM2_DIMS_SQL = "(SELECT MAX(len(q)) FROM qn2)"
 
 #: centroid/init sampling key shared by the IVF oracles — the SQL twin
 #: of operators.dedup.portable_hash over CAST(id AS VARCHAR)
@@ -67,7 +73,7 @@ def km_update(assign: str, prev: str, out: str) -> str:
     SELECT a.cell, t.d, CAST(SUM(a.q[t.d]) AS BIGINT) AS s,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (SELECT cell, q FROM {assign} WHERE rc = 1) a
-    CROSS JOIN (SELECT UNNEST(range(1, {KM_DIMS} + 1)) AS d) t
+    CROSS JOIN (SELECT UNNEST(range(1, {KM_DIMS_SQL} + 1)) AS d) t
     GROUP BY a.cell, t.d
 ),
 {out} AS (
@@ -97,9 +103,12 @@ def km_train_ctes(k: int | str, iters: int) -> tuple[str, str]:
 # --- hierarchical (two-level) trainer, SQL twin of
 # --- clustering.kmeans_fit_hierarchical -----------------------------------
 
-def km2_init(out: str, k_fine: int) -> str:
+def km2_init(out: str, k_fine: int | str) -> str:
     """Per-shard init CTE from ``qn2(id, q, n, shard)``: the k_fine
-    smallest (portable_hash, id) rows WITHIN each shard."""
+    smallest (portable_hash, id) rows WITHIN each shard. ``k_fine`` may
+    be an int or a SQL scalar expression (adaptive-k replay, see
+    ``km_init``)."""
+    limit = f"({k_fine})" if isinstance(k_fine, str) else str(k_fine)
     return f"""{out} AS (
     SELECT shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard
@@ -107,7 +116,7 @@ def km2_init(out: str, k_fine: int) -> str:
                 AS BIGINT) AS fine, q AS qc
     FROM qn2
     QUALIFY ROW_NUMBER() OVER (PARTITION BY shard
-                               ORDER BY {CENT_SAMPLE_SQL}, id) <= {k_fine}
+                               ORDER BY {CENT_SAMPLE_SQL}, id) <= {limit}
 )"""
 
 
@@ -130,7 +139,7 @@ def km2_update(assign: str, prev: str, out: str) -> str:
     SELECT a.shard, a.fine, t.d, CAST(SUM(a.q[t.d]) AS BIGINT) AS s,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (SELECT shard, fine, q FROM {assign} WHERE rc = 1) a
-    CROSS JOIN (SELECT UNNEST(range(1, {KM_DIMS} + 1)) AS d) t
+    CROSS JOIN (SELECT UNNEST(range(1, {KM2_DIMS_SQL} + 1)) AS d) t
     GROUP BY a.shard, a.fine, t.d
 ),
 {out} AS (
@@ -143,7 +152,7 @@ def km2_update(assign: str, prev: str, out: str) -> str:
 )"""
 
 
-def km2_train_ctes(k_fine: int, iters: int) -> tuple[str, str]:
+def km2_train_ctes(k_fine: int | str, iters: int) -> tuple[str, str]:
     """Fine-level training chain over ``qn2``; returns (ctes,
     final_assign_name) — filter rc <= nprobe on the final assignment and
     compute global cell = shard * k_fine + fine."""

@@ -28,13 +28,19 @@ where lexical rewriters classically go wrong:
   table either.
 
 Backtick-quoted identifiers are handled lexically too: a backticked repo
-TABLE name resolves like a bare reference, and every other backticked
-identifier is masked before rewriting so a name like ``order-events``
-can never be corrupted by the ``events`` rewrite.
+TABLE name resolves like a bare reference — but ONLY in table position
+(directly after ``FROM`` or ``JOIN``), so a backticked *column* that
+happens to share a repo table's name (``SELECT `events` FROM other``)
+survives untouched; every other backticked identifier is masked before
+rewriting so a name like ``order-events`` can never be corrupted by the
+``events`` rewrite.
 
-Known lexical limit: a *column* whose name equals a repo *table* name
-referenced in the same query would be rewritten too — the standard
-hazard of rewriting identifiers without a parse tree.
+Known lexical limits: a *bare* column whose name equals a repo *table*
+name referenced in the same query would be rewritten too — the standard
+hazard of rewriting identifiers without a parse tree (backtick-quote the
+column to protect it); and a backticked table ref in a comma-separated
+FROM list (``FROM a, `events```) is treated as opaque rather than
+resolved (spell it with JOIN, or drop the redundant backticks).
 """
 
 from __future__ import annotations
@@ -183,11 +189,18 @@ class LakeSQL:
         masked = _LITERAL_RE.sub(mask, query)
 
         # 1b) backticked identifiers: normalize `t` → t for repo tables
-        #     (so they resolve like bare refs), then mask every remaining
-        #     backticked identifier — non-table identifiers must survive
-        #     the bare-name rewrite untouched
+        #     ONLY in table position (directly after FROM/JOIN) so they
+        #     resolve like bare refs, then mask every remaining backticked
+        #     identifier — a backticked COLUMN named like a repo table,
+        #     and any non-table identifier, must survive the bare-name
+        #     rewrite untouched
         for t in self.repo.list_tables(self.branch):
-            masked = re.sub(rf"`{re.escape(t)}`", t, masked, flags=re.IGNORECASE)
+            masked = re.sub(
+                rf"(\b(?:FROM|JOIN)\s+)`{re.escape(t)}`",
+                lambda m, t=t: m.group(1) + t,
+                masked,
+                flags=re.IGNORECASE,
+            )
         masked = _BACKTICK_RE.sub(mask, masked)
 
         # 2) time-travel clause rewrites FIRST: each pinned snapshot

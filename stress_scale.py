@@ -70,7 +70,7 @@ def main() -> None:
         decontaminate,
         repetition_metrics,
     )
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import adaptive_k_flat, kmeans_fit
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
         cosine_pairs_ivf,
         cosine_pairs_ivf_hier,
@@ -101,8 +101,9 @@ def main() -> None:
 
     def op_embed_ivf(e: DataFrame) -> DataFrame:
         # the registered flavor: trained quantizer with k ∝ n (constant
-        # cell width → linear candidate volume) and map-side assignment
-        cents = kmeans_fit(e, k=max(8, e.count() // 64), iters=2)
+        # cell width → linear candidate volume) and map-side assignment;
+        # the adaptive count rides the trainer's own persisted projection
+        cents = kmeans_fit(e, iters=2, adaptive_k=adaptive_k_flat)
         return cosine_pairs_ivf(e, threshold=0.4, nprobe=2, centroids=cents)
 
     def op_embed_ivf_stride(e: DataFrame) -> DataFrame:
@@ -113,11 +114,9 @@ def main() -> None:
     def op_embed_ivf_hier(e: DataFrame) -> DataFrame:
         # hierarchical: total cells K ∝ n (constant cell width, linear
         # candidates) at only n·(√K + √K) assignment work — the shape
-        # that survives past broadcastable flat k
-        k12 = max(4, int((e.count() // 64) ** 0.5) + 1)
-        return cosine_pairs_ivf_hier(
-            e, threshold=0.4, k_coarse=k12, k_fine=k12, iters=1, nprobe=2
-        )
+        # that survives past broadcastable flat k. Default k args = the
+        # registered corpus-scaled adaptive_k_hier rule.
+        return cosine_pairs_ivf_hier(e, threshold=0.4, iters=1, nprobe=2)
 
     def op_agg(x: DataFrame) -> DataFrame:
         return x.groupBy("l_returnflag", "l_linestatus").agg(

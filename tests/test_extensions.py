@@ -570,3 +570,43 @@ def test_adaptive_k_oracle_parity_beyond_tuned_size(spark, tmp_path):
     assert_frames_match(
         out, con.sql(ORACLE_DEDUP_EMBEDDING_COSINE), "adaptive_k_700"
     )
+
+
+def test_adaptive_k_hier_oracle_parity_beyond_tuned_size(spark, tmp_path):
+    """The registered dedup_embedding_cosine_hier computes
+    k₁ = k₂ = max(4, ⌈√(n/64)⌉) on BOTH sides (Spark via
+    clustering.adaptive_k_hier, oracle via GREATEST/CEIL/SQRT scalar
+    subqueries in init LIMIT, per-shard QUALIFY, and the global-cell-id
+    multiplier). Pin it with a 1700-row corpus — n/64 = 26.6 → k = 6, a
+    width above the floor that the driver fixture (n=500 → k=4) has
+    never produced — so a testdata regeneration can't silently break
+    window parity."""
+    import duckdb
+    import numpy as np
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import adaptive_k_hier
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import (
+        ORACLE_DEDUP_EMBEDDING_COSINE_HIER,
+        q_dedup_embedding_cosine_hier,
+    )
+    from tests.oracle_utils import assert_frames_match
+
+    assert adaptive_k_hier(1700) == 6  # a non-default width (driver n=500 → 4)
+    rng = np.random.RandomState(11)
+    base = rng.randn(24, 64)
+    rows = []
+    for i in range(1700):
+        v = base[i % 24] + rng.randn(64) * 0.45
+        rows.append((i, [float(x) for x in v], i % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = q_dedup_embedding_cosine_hier(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    assert_frames_match(
+        out, con.sql(ORACLE_DEDUP_EMBEDDING_COSINE_HIER), "adaptive_k_hier_1700"
+    )

@@ -31,7 +31,12 @@ import pytest
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_simhash", "dedup_embedding_cosine", "dedup_minhash_lsh"],
+    [
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_hier",
+        "dedup_minhash_lsh",
+    ],
 )
 def test_window_dedup_ann_no_allpairs_plan(spark, name):
     """The 100 TB stress gate for the window's dedup/ANN entries: every
