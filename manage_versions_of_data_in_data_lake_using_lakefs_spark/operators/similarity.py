@@ -591,9 +591,14 @@ def topk_ivf(
         )
         wc = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
         ranked = scored.withColumn("rc", F.row_number().over(wc))
-        assigned = _persisted(
-            ranked.where(F.col("rc") == 1)
-            .select("id", "_q", "_n", F.col("cid").alias("cell"))
+        # NOT persisted (r5): the stride flavor is the documented
+        # small-corpus path — recomputing the broadcast-score + window for
+        # the second consumer measured cheaper than cache materialization
+        # at every size this path is right for (interleaved A/B, n=7:
+        # median 2.27 s vs 3.14 s persisted at sf0.1). The trained path
+        # below keeps its persist — there the A/B goes the other way.
+        assigned = ranked.where(F.col("rc") == 1).select(
+            "id", "_q", "_n", F.col("cid").alias("cell")
         )
         if nprobe <= 1:
             qs = assigned.join(qids, "id").select(*sel)

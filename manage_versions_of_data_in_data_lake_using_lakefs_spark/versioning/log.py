@@ -19,13 +19,33 @@ so readers never observe torn state; ref updates take a per-repo lock to
 serialize concurrent committers (the moral equivalent of lakeFS's
 metadata server / Delta's log mutex).
 
-**Known limit — single writer node**: ``RepoLock`` serializes any number
-of writer processes on ONE machine, which matches the deployment here (a
-Spark driver coordinates all commits; executors only write data files,
-never metadata). It is NOT a cross-machine mutex; concurrent drivers on
-different hosts raise ``DistributedWriterError`` instead of corrupting
-the refs — swapping in an object-store conditional-put or lock service
-at that one seam is the cluster-deployment path.
+**Consistency model (r5)**: correctness of ref updates no longer rests
+on the lock alone — every ref publish goes through a *generation-fenced
+compare-and-swap* (``cas_replace_ref``): a ref carries a monotonically
+increasing ``gen``; a writer that read generation g may publish g+1 only
+after exclusively claiming the (branch, g+1) fence file via ``link(2)``
+— atomic on local filesystems AND on NFS (the classic NFS-safe
+exclusive-create primitive, which ``O_EXCL`` alone historically is not).
+Two writers that both read g race for one fence; the loser gets
+``CommitConflictError`` (retryable: re-read, re-apply) instead of
+silently clobbering the winner's publish. ``RepoLock`` remains the
+fast-path serializer:
+
+- same host: lock serializes writers; the CAS never conflicts.
+- cross host, default: lock acquisition raises ``DistributedWriterError``
+  (strict tripwire — no cross-host writers at all).
+- cross host, ``LAKEGRAFT_MULTIHOST=optimistic``: the lock spins like
+  same-host contention and the CAS fence arbitrates — lost races
+  surface as ``CommitConflictError``, never as lost updates.
+
+Recovery epsilon: a claimant that crashes between fence and publish
+leaves an orphaned fence; a later writer (ref gen not advanced, fence
+older than ``grace`` seconds) reclaims it. A LIVE writer stalled longer
+than ``grace`` between those two adjacent metadata writes could then be
+clobbered — the standard lease-without-storage-fencing caveat; raise
+``grace`` if your metadata filesystem can stall that long. Object-store
+deployments should map the fence claim onto conditional-put
+(If-None-Match) and inherit exactly this protocol.
 """
 
 from __future__ import annotations
@@ -95,6 +115,97 @@ class Commit:
         )
 
 
+class CommitConflictError(RuntimeError):
+    """An optimistic (generation-fenced) ref update lost to a concurrent
+    writer: someone else claimed this generation's fence or already
+    published past it. RETRYABLE — re-read the branch and re-apply the
+    mutation (staged pointers re-merge; a commit re-reads its parent).
+    Raised instead of silently clobbering the winner's publish — the
+    lost-update anomaly this protocol exists to prevent."""
+
+
+def cas_replace_ref(
+    path: str,
+    fence_dir: str,
+    branch: str,
+    expect_gen: int,
+    payload: dict,
+    grace: float = 60.0,
+) -> None:
+    """Generation-fenced compare-and-swap publish of a ref file.
+
+    Claims the (branch, expect_gen + 1) fence by ``link(2)`` — atomic
+    exclusive-create even on NFS — then ``os.replace``s the ref with
+    ``payload`` carrying ``gen = expect_gen + 1``. Claim success proves
+    no other writer ever advanced the ref past ``expect_gen`` (gens are
+    claimed monotonically and fences persist), so the replace cannot
+    clobber a newer publish. Claim failure is disambiguated by
+    re-reading the ref:
+
+    - ref gen already past the claim → ``CommitConflictError`` (lost);
+    - ref gen unchanged, fence younger than ``grace`` → a live writer is
+      mid-publish → ``CommitConflictError`` (retry shortly);
+    - ref gen unchanged, fence older than ``grace`` (or the ref file is
+      gone — a deleted/recreated branch) → orphaned claim from a crashed
+      writer: reclaim once.
+    """
+    import socket
+
+    payload = dict(payload)
+    payload["gen"] = expect_gen + 1
+    os.makedirs(fence_dir, exist_ok=True)
+    fence = os.path.join(fence_dir, f"{branch}.gen-{expect_gen + 1}")
+    for attempt in (0, 1):
+        tmp = os.path.join(fence_dir, f".claim.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(f"{socket.gethostname()}:{os.getpid()}")
+        try:
+            os.link(tmp, fence)
+            break
+        except FileExistsError:
+            try:
+                cur_gen = int(read_json(path).get("gen", 0))
+            except (OSError, ValueError):
+                cur_gen = None  # ref unreadable/deleted → fence is garbage
+            if cur_gen is not None and cur_gen > expect_gen:
+                raise CommitConflictError(
+                    f"ref {branch!r} advanced to gen {cur_gen} while this "
+                    f"writer held gen {expect_gen}; re-read and retry"
+                ) from None
+            try:
+                age = time.time() - os.stat(fence).st_mtime
+            except OSError:
+                age = grace + 1.0  # fence vanished between claim and stat
+            if attempt == 0 and (cur_gen is None or age > grace):
+                try:
+                    os.unlink(fence)  # orphaned claim: crashed mid-publish
+                except FileNotFoundError:
+                    pass
+                continue
+            raise CommitConflictError(
+                f"fence for {branch!r} gen {expect_gen + 1} is held by a "
+                "mid-publish writer; retry shortly"
+            ) from None
+        finally:
+            os.unlink(tmp)
+    # verify-after-claim: with fences alone, claim success proves the ref
+    # never advanced past expect_gen ONLY while every historical fence
+    # still exists; vacuum prunes superseded fences, so a sufficiently
+    # stale writer could claim a recycled generation. Re-reading the ref
+    # here closes that hole — on mismatch the claim is abandoned (the
+    # fence left behind is itself superseded garbage vacuum prunes).
+    try:
+        cur_gen = int(read_json(path).get("gen", 0))
+    except (OSError, ValueError):
+        cur_gen = expect_gen  # fresh branch: ref not born yet
+    if cur_gen != expect_gen:
+        raise CommitConflictError(
+            f"ref {branch!r} advanced to gen {cur_gen} before this writer's "
+            f"claim of gen {expect_gen + 1}; re-read and retry"
+        )
+    atomic_write_json(path, payload)
+
+
 class DistributedWriterError(RuntimeError):
     """A writer on ANOTHER host holds (or held) the repo lock.
 
@@ -121,11 +232,17 @@ class RepoLock:
     processes on ONE node. Commits are rare, coarse-grained events (one per
     batch write), so a simple O_EXCL spin-lock is adequate.
 
-    **Single-writer-node contract**: all committing processes must share
-    one local filesystem view of the repo root. The lock file records
-    ``host:pid``; contention from a different hostname raises
-    ``DistributedWriterError`` immediately (no spin-until-timeout) —
-    see that exception for the cluster-deployment story."""
+    **Single-writer-node contract (default)**: all committing processes
+    must share one local filesystem view of the repo root. The lock file
+    records ``host:pid``; contention from a different hostname raises
+    ``DistributedWriterError`` immediately (no spin-until-timeout).
+
+    **Optimistic multi-host mode** (``LAKEGRAFT_MULTIHOST=optimistic``):
+    cross-host contention spins like same-host contention; correctness
+    then rests on the generation-fenced CAS every ref publish goes
+    through (``cas_replace_ref``) — a cross-host race the lock failed to
+    exclude surfaces as a retryable ``CommitConflictError``, never as a
+    lost update. See the module docstring for the full model."""
 
     def __init__(self, root: str, timeout: float = 30.0):
         self.path = os.path.join(root, ".lock")
@@ -154,7 +271,11 @@ class RepoLock:
                 return self
             except FileExistsError:
                 holder = self._holder()
-                if holder is not None and holder[0] != me:
+                if (
+                    holder is not None
+                    and holder[0] != me
+                    and os.environ.get("LAKEGRAFT_MULTIHOST") != "optimistic"
+                ):
                     raise DistributedWriterError(
                         f"repo lock {self.path} is held by {holder[0]}:{holder[1]} "
                         f"(this host: {me}). RepoLock only serializes writers on "

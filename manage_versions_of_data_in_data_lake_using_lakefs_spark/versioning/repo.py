@@ -44,6 +44,7 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log impo
     Commit,
     RepoLock,
     atomic_write_json,
+    cas_replace_ref,
     new_id,
     read_json,
 )
@@ -75,6 +76,25 @@ class LakeRepo:
 
     def _ref_file(self, branch: str) -> str:
         return os.path.join(self.root, "refs", f"{branch}.json")
+
+    def _fence_dir(self) -> str:
+        return os.path.join(self.root, "refs", ".fence")
+
+    def _write_ref(self, branch: str, ref: dict) -> None:
+        """Publish a ref mutation through the generation-fenced CAS
+        (``log.cas_replace_ref``). ``ref`` must carry the ``gen`` it was
+        READ at (``_read_ref`` preserves it; pre-CAS refs default to 0) —
+        the publish claims and records gen + 1. A concurrent writer that
+        already claimed this generation surfaces as a retryable
+        ``CommitConflictError`` instead of a lost update; see
+        versioning/log.py for the full consistency model."""
+        cas_replace_ref(
+            self._ref_file(branch),
+            self._fence_dir(),
+            branch,
+            int(ref.get("gen", 0)),
+            ref,
+        )
 
     def _commit_file(self, cid: str) -> str:
         return os.path.join(self.root, "commits", f"{cid}.json")
@@ -201,9 +221,8 @@ class LakeRepo:
             if os.path.exists(self._ref_file(name)):
                 raise ValueError(f"branch exists: {name}")
             src = self._resolve(source)
-            atomic_write_json(
-                self._ref_file(name),
-                {"head": src.id, "staged": {}, "staged_objects": {}},
+            self._write_ref(
+                name, {"head": src.id, "staged": {}, "staged_objects": {}}
             )
             return src
 
@@ -211,7 +230,18 @@ class LakeRepo:
         meta = read_json(self._repo_file)
         if name == meta["default_branch"]:
             raise ValueError("cannot delete default branch")
-        os.unlink(self._ref_file(name))
+        with RepoLock(self.root):
+            os.unlink(self._ref_file(name))
+            # drop the branch's CAS fences so a future branch of the same
+            # name restarts its generation chain cleanly
+            fdir = self._fence_dir()
+            if os.path.isdir(fdir):
+                for f in os.listdir(fdir):
+                    if f.startswith(f"{name}.gen-"):
+                        try:
+                            os.unlink(os.path.join(fdir, f))
+                        except FileNotFoundError:
+                            pass
 
     # -- staging writes (V4/V5/V8) ----------------------------------------
     def write_table(
@@ -274,7 +304,7 @@ class LakeRepo:
                 staged[table] = {"files": [rel], "op": "append"}
             else:
                 entry["files"].append(rel)
-            atomic_write_json(self._ref_file(branch), ref)
+            self._write_ref(branch, ref)
         return rel
 
     def remove_table(self, branch: str, table: str) -> None:
@@ -282,7 +312,7 @@ class LakeRepo:
         with RepoLock(self.root):
             ref = self._read_ref(branch)
             ref["staged"][table] = {"files": [], "op": "drop"}
-            atomic_write_json(self._ref_file(branch), ref)
+            self._write_ref(branch, ref)
 
     def status(self, branch: str) -> dict:
         """Uncommitted staged changes on a branch (tables + objects)."""
@@ -299,7 +329,7 @@ class LakeRepo:
             ref = self._read_ref(branch)
             ref["staged"] = {}
             ref["staged_objects"] = {}
-            atomic_write_json(self._ref_file(branch), ref)
+            self._write_ref(branch, ref)
 
     # -- arbitrary objects (lakectl fs parity) -----------------------------
     # lakeFS versions any object, not just tables (``lakectl fs upload/cat``,
@@ -323,7 +353,7 @@ class LakeRepo:
         with RepoLock(self.root):
             ref = self._read_ref(branch)
             self._staged_objects(ref)[path] = {"blob": rel, "op": "put"}
-            atomic_write_json(self._ref_file(branch), ref)
+            self._write_ref(branch, ref)
         return rel
 
     def delete_object(self, branch: str, path: str) -> None:
@@ -339,7 +369,7 @@ class LakeRepo:
             if not known_staged and path not in committed:
                 raise KeyError(f"object {path!r} does not exist on {branch!r}")
             staged[path] = {"blob": None, "op": "delete"}
-            atomic_write_json(self._ref_file(branch), ref)
+            self._write_ref(branch, ref)
 
     def get_object(
         self,
@@ -410,9 +440,14 @@ class LakeRepo:
                 objects=objects,
             )
             atomic_write_json(self._commit_file(c.id), c.to_json())
-            atomic_write_json(
-                self._ref_file(branch),
-                {"head": c.id, "staged": {}, "staged_objects": {}},
+            self._write_ref(
+                branch,
+                {
+                    "head": c.id,
+                    "staged": {},
+                    "staged_objects": {},
+                    "gen": ref.get("gen", 0),
+                },
             )
             return c
 
@@ -485,9 +520,14 @@ class LakeRepo:
                 objects=dict(target.objects),
             )
             atomic_write_json(self._commit_file(c.id), c.to_json())
-            atomic_write_json(
-                self._ref_file(branch),
-                {"head": c.id, "staged": {}, "staged_objects": {}},
+            self._write_ref(
+                branch,
+                {
+                    "head": c.id,
+                    "staged": {},
+                    "staged_objects": {},
+                    "gen": ref.get("gen", 0),
+                },
             )
             return c
 
@@ -578,7 +618,7 @@ class LakeRepo:
                         f"merge into {dest}: staged changes appeared mid-merge"
                     )
                 ref["head"] = src_c.id
-                atomic_write_json(self._ref_file(dest), ref)
+                self._write_ref(dest, ref)
             return src_c
         base_c = self.get_commit(base_id) if base_id else None
         base_tables = base_c.tables if base_c else {}
@@ -651,7 +691,7 @@ class LakeRepo:
             # entry dirty-check — the merge only moves the head
             ref = self._read_ref(dest)
             ref["head"] = c.id
-            atomic_write_json(self._ref_file(dest), ref)
+            self._write_ref(dest, ref)
             return c
 
     def _row_merge(
@@ -736,7 +776,7 @@ class LakeRepo:
         with RepoLock(self.root):
             ref = self._read_ref(dest_branch)
             ref["staged"].pop(table, None)
-            atomic_write_json(self._ref_file(dest_branch), ref)
+            self._write_ref(dest_branch, ref)
         return [rel]
 
     # -- compaction --------------------------------------------------------
@@ -884,4 +924,29 @@ class LakeRepo:
                 removed.append(rel)
                 if not dry_run:
                     shutil.rmtree(full, ignore_errors=True)
+        # prune superseded CAS fences (log.cas_replace_ref): a fence for a
+        # generation the branch ref has already advanced past can never be
+        # claimed again (gens are monotone; a writer always claims
+        # current+1), so it is pure garbage once older than the grace
+        # window that covers any read→claim in flight
+        fdir = self._fence_dir()
+        if os.path.isdir(fdir):
+            gens = {
+                br: int(self._read_ref(br).get("gen", 0)) for br in self.branches()
+            }
+            for f in os.listdir(fdir):
+                branch, _, g = f.rpartition(".gen-")
+                if not branch or not g.isdigit():
+                    continue
+                stale = branch not in gens or int(g) <= gens[branch]
+                full = os.path.join(fdir, f)
+                try:
+                    aged = now - os.path.getmtime(full) >= grace_seconds
+                except OSError:
+                    continue
+                if stale and aged and not dry_run:
+                    try:
+                        os.unlink(full)
+                    except FileNotFoundError:
+                        pass
         return sorted(removed)

@@ -768,3 +768,109 @@ def test_lakesql_backticked_identifiers(spark, repo):
     assert r.s == 0 + 2 + 4 + 6
     # and DistributedWriterError is part of the public package surface
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import DistributedWriterError  # noqa: F401
+
+
+# -- optimistic cross-host arbitration (r5: generation-fenced CAS) ----------
+
+def test_cas_stale_writer_raises_conflict(repo):
+    """A writer publishing from a stale ref read (another commit advanced
+    the generation in between) must get a retryable CommitConflictError,
+    never silently clobber the winner (the lost-update anomaly)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import CommitConflictError
+
+    repo.put_object("main", "a.txt", b"1")
+    stale = repo._read_ref("main")  # generation g
+    repo.put_object("main", "b.txt", b"2")  # advances to g+1
+    with pytest.raises(CommitConflictError):
+        repo._write_ref("main", stale)
+    # retry-after-re-read is the documented recovery
+    fresh = repo._read_ref("main")
+    repo._write_ref("main", fresh)
+
+
+def test_cas_orphaned_fence_is_reclaimed(repo):
+    """A fence left by a writer that crashed between claim and publish
+    (ref generation never advanced, fence older than the grace window)
+    must be reclaimed, not deadlock the branch."""
+    import time as _time
+
+    repo.put_object("main", "a.txt", b"1")
+    g = int(repo._read_ref("main").get("gen", 0))
+    fdir = repo._fence_dir()
+    os.makedirs(fdir, exist_ok=True)
+    fence = os.path.join(fdir, f"main.gen-{g + 1}")
+    with open(fence, "w") as f:
+        f.write("dead-host:1")
+    old = _time.time() - 300
+    os.utime(fence, (old, old))
+    c = repo.commit("main", "after orphan")
+    assert repo.head("main").id == c.id
+
+
+def test_cas_live_fence_conflicts_then_clears(repo):
+    """A FRESH fence for the next generation (a mid-publish writer) makes
+    a concurrent publish raise CommitConflictError; once the fence owner
+    is gone the branch recovers."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import CommitConflictError
+
+    repo.put_object("main", "a.txt", b"1")
+    g = int(repo._read_ref("main").get("gen", 0))
+    fence = os.path.join(repo._fence_dir(), f"main.gen-{g + 1}")
+    os.makedirs(repo._fence_dir(), exist_ok=True)
+    with open(fence, "w") as f:
+        f.write("other-host:7")
+    with pytest.raises(CommitConflictError):
+        repo.commit("main", "should lose")
+    os.unlink(fence)
+    repo.commit("main", "now wins")
+
+
+def test_cas_branch_recreate_restarts_generations(repo):
+    """delete_branch drops the branch's fences so a recreated branch of
+    the same name restarts its generation chain instead of colliding
+    with fences from the previous lifetime."""
+    repo.create_branch("dev")
+    repo.put_object("dev", "x", b"1")
+    repo.commit("dev", "c1")
+    repo.delete_branch("dev")
+    repo.create_branch("dev")
+    repo.put_object("dev", "y", b"2")
+    repo.commit("dev", "c2")
+    assert repo.get_object("y", ref="dev") == b"2"
+
+
+def test_cas_vacuum_prunes_superseded_fences(repo):
+    """Superseded fences (gen <= the branch's current generation, older
+    than the grace window) are vacuum-pruned; the current chain's future
+    is unaffected."""
+    import time as _time
+
+    for i in range(3):
+        repo.put_object("main", f"f{i}", b"x")
+    repo.commit("main", "c")
+    fdir = repo._fence_dir()
+    old = _time.time() - 3600
+    for f in os.listdir(fdir):
+        os.utime(os.path.join(fdir, f), (old, old))
+    repo.vacuum(grace_seconds=60)
+    assert [f for f in os.listdir(fdir) if not f.startswith(".")] == []
+    repo.put_object("main", "more", b"y")
+    repo.commit("main", "after prune")
+
+
+def test_repolock_optimistic_multihost_spins(repo, monkeypatch):
+    """LAKEGRAFT_MULTIHOST=optimistic: a foreign-host lock holder is
+    treated as normal contention (spin → TimeoutError), with correctness
+    delegated to the CAS fence — not DistributedWriterError."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import RepoLock
+
+    monkeypatch.setenv("LAKEGRAFT_MULTIHOST", "optimistic")
+    lock_path = os.path.join(repo.root, ".lock")
+    with open(lock_path, "w") as f:
+        f.write("some-other-node:12345")
+    try:
+        with pytest.raises(TimeoutError):
+            with RepoLock(repo.root, timeout=0.2):
+                pass
+    finally:
+        os.unlink(lock_path)
