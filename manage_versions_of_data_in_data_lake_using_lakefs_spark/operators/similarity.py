@@ -574,16 +574,7 @@ def topk_ivf(
                 "cells", topn_cells(F.col("_q"), centroids, max(1, nprobe))
             )
         )
-        assigned = withcells.select(
-            "id", "_q", "_n", F.col("cells").getItem(0).alias("cell")
-        )
-        if nprobe <= 1:
-            qs = assigned.join(qids, "id").select(*sel)
-        else:
-            probe_cells = withcells.select("id", F.explode("cells").alias("cell"))
-            qs = (
-                assigned.drop("cell").join(qids, "id").join(probe_cells, "id").select(*sel)
-            )
+        return _topk_via_cells(withcells, qids, k, nprobe)
     else:
         cents = _sampled_centroids(q_all, centroid_stride)
         scored = q_all.join(F.broadcast(cents)).withColumn(
@@ -625,6 +616,85 @@ def topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr", "rank", "cos")
     )
+
+
+def _topk_via_cells(withcells: DataFrame, qids: DataFrame, k: int, nprobe: int) -> DataFrame:
+    """Shared trained-quantizer top-k tail: ``withcells`` carries
+    (id, _q, _n, cells) where cells[0] is the home cell (corpus residency)
+    and the full array the query probe set. Probe = equi-join on cell id
+    against the broadcast query fan-out; exact rerank per query. Each
+    (query, nbr) pair matches at most once — probe cells per query are
+    distinct and every nbr lives in exactly one home cell — so no dedup
+    step is needed."""
+    sel = [
+        F.col("id").alias("query_id"),
+        F.col("_q").alias("qq"),
+        F.col("_n").alias("nq"),
+        "cell",
+    ]
+    assigned = withcells.select(
+        "id", "_q", "_n", F.col("cells").getItem(0).alias("cell")
+    )
+    if nprobe <= 1:
+        qs = assigned.join(qids, "id").select(*sel)
+    else:
+        probe_cells = withcells.select("id", F.explode("cells").alias("cell"))
+        qs = assigned.drop("cell").join(qids, "id").join(probe_cells, "id").select(*sel)
+    cand = assigned.select(
+        F.col("id").alias("nbr"), F.col("_q").alias("qc2"), F.col("_n").alias("nc2"), "cell"
+    )
+    rescored = (
+        cand.join(F.broadcast(qs), on="cell")
+        .where(F.col("nbr") != F.col("query_id"))
+        .withColumn("cos", cosine_q(dot_q(F.col("qq"), F.col("qc2")), F.col("nq"), F.col("nc2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr", "rank", "cos")
+    )
+
+
+def topk_ivf_hier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_coarse: int | None = None,
+    k_fine: int | None = None,
+    iters: int = 1,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k over the HIERARCHICAL trained quantizer — the
+    search twin of ``cosine_pairs_ivf_hier``, completing the
+    past-broadcastable-k scale path for ANN (not just pair dedup):
+    assignment costs k_coarse + k_fine dots per vector (one Arrow map,
+    no join/window), corpus vectors live in their home fine cell,
+    queries probe their ``nprobe`` nearest fine cells within their home
+    shard, and probed cells rerank exactly. ``k_coarse``/``k_fine``
+    default to the corpus-scaled ``adaptive_k_hier`` rule. Same
+    deterministic tie rules as every trained path, so the two-level
+    Lloyd's chain replays bit-exactly in the SQL oracle."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import (
+        kmeans_fit_hierarchical,
+    )
+
+    coarse, fines, k_fine = kmeans_fit_hierarchical(
+        corpus, vec_col, id_col, k_coarse=k_coarse, k_fine=k_fine, iters=iters
+    )
+    q_all = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
+    )
+    qids = queries.select(F.col(id_col).alias("id")).distinct()
+    withcells = _persisted(
+        q_all.withColumn(
+            "cells",
+            topn_cells_hier(F.col("_q"), coarse, fines, k_fine, max(1, nprobe)),
+        )
+    )
+    return _topk_via_cells(withcells, qids, k, nprobe)
 
 
 def topk_lsh(

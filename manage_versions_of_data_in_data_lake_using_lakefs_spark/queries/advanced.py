@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum, decimal_sum_sql
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import CENT_SAMPLE_SQL, km_train_ctes
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
+    CENT_SAMPLE_SQL,
+    K_HIER_SQL,
+    km2_train_ctes,
+    km_train_ctes,
+)
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split, stratified_hash_sample
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import (
@@ -399,6 +404,62 @@ scored AS (
     JOIN qn q1 ON q1.id = qq.id
     JOIN qn q2 ON q2.id = cc.id
     WHERE qq.id < 4
+),
+ranked AS (
+    SELECT query_id, nbr, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, nbr, rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
+def q_sim_topk_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over the HIERARCHICAL adaptive-k quantizer
+    (`operators/similarity.py::topk_ivf_hier`) — the search twin of the
+    window's `dedup_embedding_cosine_hier`, completing the
+    past-broadcastable-k scale path for similarity SEARCH. The oracle
+    replays both training levels (adaptive k in SQL), assigns each
+    corpus vector its home fine cell, probes each query's 2 nearest fine
+    cells, and reranks exactly."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_ivf_hier
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    return topk_ivf_hier(emb, queries, k=3, iters=1, nprobe=2)
+
+
+_KM2H_COARSE, _KM2H_COARSE_FINAL = km_train_ctes(k=K_HIER_SQL, iters=1)
+_KM2H_FINE, _KM2H_FINE_FINAL = km2_train_ctes(k_fine=K_HIER_SQL, iters=1)
+
+ORACLE_SIM_TOPK_IVF_HIER = f"""
+WITH qn0 AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qn0),
+{_KM2H_COARSE},
+qn2 AS (
+    SELECT a.id, qn.q, qn.n, a.cell AS shard
+    FROM {_KM2H_COARSE_FINAL} a JOIN qn USING (id) WHERE a.rc = 1
+),
+{_KM2H_FINE},
+fin AS (
+    SELECT id, shard * ({K_HIER_SQL}) + fine AS cell, rc
+    FROM {_KM2H_FINE_FINAL} WHERE rc <= 2
+),
+home AS (SELECT id, cell FROM fin WHERE rc = 1),
+probe AS (SELECT id, cell FROM fin WHERE id < 4),
+scored AS (
+    SELECT p.id AS query_id, c.id AS nbr,
+           list_dot_product(q1.q, q2.q) / (SQRT(q1.n) * SQRT(q2.n)) AS cos
+    FROM probe p
+    JOIN home c ON p.cell = c.cell AND c.id <> p.id
+    JOIN qn q1 ON q1.id = p.id
+    JOIN qn q2 ON q2.id = c.id
 ),
 ranked AS (
     SELECT query_id, nbr, cos,
@@ -829,6 +890,197 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted to this schema (the
+    testdata lacks l_commitdate/l_receiptdate, so the 'late line'
+    predicate becomes l_shipdate > o_orderdate): counts Q1-1996 orders
+    per priority having at least one late-shipped lineitem. Spelled as a
+    correlated EXISTS through the SQL entry point — Catalyst rewrites it
+    to a left-semi join; the lineitem side carries only the two probe
+    columns into the shuffle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders_q4 o
+        WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem_q4 l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue between two nations by year and
+    direction. Two independent joins against the 25-row nation dim (both
+    broadcast, aliased to disambiguate), the fact chain shuffles only on
+    its join keys; the symmetric nation-pair filter is a pushed-down OR.
+    Year extraction is exact integer; revenue is an exact fixed-point
+    sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       {decimal_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority classes, adapted to this schema
+    (no l_shipmode; the class key becomes ship SPEED — days from order to
+    ship date, ≤30 fast): per speed class, how many high- vs low-priority
+    orders shipped in 1996. The canonical conditional-CASE aggregation
+    over a fact⋈fact join; integer day arithmetic is exact on both
+    engines (all dates are midnight timestamps)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    speed = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "FAST"
+    ).otherwise("SLOW")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.withColumn("ship_speed", speed)
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+ORACLE_TPCH_Q12 = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+            THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: the canonical OR-of-ANDs predicate
+    (three disjunctive brand/size/quantity branches, adapted to the
+    available part columns — no p_container) over a part⋈lineitem join.
+    The disjunction references both sides, so it evaluates post-join
+    while each branch's single-side conjuncts still prune; part
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.where(b1 | b2 | b3).agg(
+        decimal_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_TPCH_Q19 = f"""
+SELECT {decimal_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO-style upsert (operators/mutations.py): a deterministic
     change set — every 97th order repriced (UPDATE), every 101st re-keyed
@@ -916,11 +1168,15 @@ FROM lineitem
 
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
     "subquery_exists": q_subquery_exists,
     "subquery_scalar": q_subquery_scalar,
     "window_analytics": q_window_analytics,
@@ -944,15 +1200,20 @@ ADVANCED_QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sim_topk_ivf": q_sim_topk_ivf,
     "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
+    "sim_topk_ivf_hier": q_sim_topk_ivf_hier,
 }
 
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q4": ORACLE_TPCH_Q4,
     "tpch_q6": ORACLE_TPCH_Q6,
+    "tpch_q7": ORACLE_TPCH_Q7,
     "tpch_q10": ORACLE_TPCH_Q10,
+    "tpch_q12": ORACLE_TPCH_Q12,
     "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q18": ORACLE_TPCH_Q18,
+    "tpch_q19": ORACLE_TPCH_Q19,
     "subquery_exists": ORACLE_SUBQUERY_EXISTS,
     "subquery_scalar": ORACLE_SUBQUERY_SCALAR,
     "window_analytics": ORACLE_WINDOW_ANALYTICS,
@@ -976,4 +1237,5 @@ ADVANCED_ORACLES = {
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
     "sim_topk_ivf_trained": ORACLE_SIM_TOPK_IVF_TRAINED,
+    "sim_topk_ivf_hier": ORACLE_SIM_TOPK_IVF_HIER,
 }

@@ -35,7 +35,11 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text impo
     quality_score,
     token_counts,
 )
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import km2_train_ctes, km_train_ctes
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
+    K_HIER_SQL,
+    km2_train_ctes,
+    km_train_ctes,
+)
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -425,10 +429,10 @@ def q_dedup_embedding_cosine_hier(spark: SparkSession, sf_dir: str) -> DataFrame
     return cosine_pairs_ivf_hier(emb, threshold=0.4, iters=1, nprobe=2)
 
 
-# the SQL twin of clustering.adaptive_k_hier — both levels' k and the
-# global-cell-id multiplier (cell = shard·k_fine + fine) all compute it
-# from the corpus itself
-_K_HIER_SQL = "SELECT GREATEST(4, CAST(CEIL(SQRT(COUNT(*) / 64.0)) AS BIGINT)) FROM qn"
+# the SQL twin of clustering.adaptive_k_hier (kmeans_sql.K_HIER_SQL) —
+# both levels' k and the global-cell-id multiplier (cell = shard·k_fine
+# + fine) all compute it from the corpus itself
+_K_HIER_SQL = K_HIER_SQL
 _KM2_COARSE, _KM2_COARSE_FINAL = km_train_ctes(k=_K_HIER_SQL, iters=1)
 _KM2_FINE, _KM2_FINE_FINAL = km2_train_ctes(k_fine=_K_HIER_SQL, iters=1)
 

@@ -35,6 +35,12 @@ KM2_DIMS_SQL = "(SELECT MAX(len(q)) FROM qn2)"
 #: of operators.dedup.portable_hash over CAST(id AS VARCHAR)
 CENT_SAMPLE_SQL = PORTABLE_HASH_SQL.format(x="CAST(id AS VARCHAR)", m=2147483647)
 
+#: SQL twin of operators.clustering.adaptive_k_hier — the corpus-scaled
+#: two-level width k₁ = k₂ = max(4, ⌈√(n/64)⌉). Used as the init LIMIT,
+#: the per-shard QUALIFY bound, AND the global-cell-id multiplier, so an
+#: oracle replays the adaptive trainer exactly at any corpus size.
+K_HIER_SQL = "SELECT GREATEST(4, CAST(CEIL(SQRT(COUNT(*) / 64.0)) AS BIGINT)) FROM qn"
+
 
 def km_init(out: str, k: int | str) -> str:
     """Init CTE: k centroids from a ``qn(id, q, n)`` relation. ``k`` may

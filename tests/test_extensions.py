@@ -503,6 +503,37 @@ def test_trained_ivf_topk_recall_floor(spark):
     assert len(got & truth) / len(truth) >= 0.4
 
 
+def test_hier_ivf_topk_recall_floor_and_partition_independence(spark):
+    """Guard the hierarchical-IVF search path (`topk_ivf_hier`): top-5
+    over the sf0.01 fixture keeps a recall floor vs brute force (blocked
+    search over a sharded quantizer recalls less than flat at equal
+    nprobe — the floor is correspondingly lower), emits only true
+    corpus ids, and is partitioning-independent (trained centroids are
+    deterministic)."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf_hier,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    truth = {(r.query_id, r.nbr) for r in topk_bruteforce(emb, queries, k=5).collect()}
+    got_rows = topk_ivf_hier(emb, queries, k=5, iters=1, nprobe=2).collect()
+    got = {(r.query_id, r.nbr) for r in got_rows}
+    assert len(got & truth) / len(truth) >= 0.2, len(got & truth) / len(truth)
+    got2 = {
+        (r.query_id, r.nbr)
+        for r in topk_ivf_hier(
+            emb.repartition(7), queries, k=5, iters=1, nprobe=2
+        ).collect()
+    }
+    assert got == got2
+
+
 def test_hierarchical_ivf_pairs_semantics(spark):
     """Hierarchical-quantizer near-dup pairs: every emitted pair is a TRUE
     pair (exact verify — precision 1 by construction), recall keeps a
