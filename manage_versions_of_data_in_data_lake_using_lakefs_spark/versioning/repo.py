@@ -208,6 +208,14 @@ class LakeRepo:
         return c
 
     def _next_version(self) -> int:
+        """Monotone global version counter. Runs under the caller's
+        ``RepoLock``; under optimistic multi-host writing the counter's
+        read-modify-write can race a cross-host writer — at worst two
+        in-flight commits draw the same number, and since the CAS fence
+        aborts one of them before its ref publish, the COMMITTED
+        first-parent chain stays strictly monotone (an aborted commit
+        file may burn a number; gaps are harmless — time travel resolves
+        by walking the chain, not by arithmetic)."""
         meta = read_json(self._repo_file)
         v = meta["next_version"]
         meta["next_version"] = v + 1
