@@ -86,6 +86,8 @@ def main() -> None:
         "decontaminate",
         "dedup_embedding_cosine_hier",
         "multimodal_features",
+        "tpch_q7",
+        "sim_topk_ivf_hier",
     ):
         if extra in registry:
             names.append(extra)

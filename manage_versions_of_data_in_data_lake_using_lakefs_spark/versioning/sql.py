@@ -76,6 +76,10 @@ _AT_RE = re.compile(rf"\b(?P<table>{_IDENT})@v(?P<ver>\d+)\b", re.IGNORECASE)
 _HISTORY_RE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DETAIL_RE = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 
 
 class LakeSQL:
@@ -136,6 +140,51 @@ class LakeSQL:
             "operation STRING, message STRING, branch STRING",
         )
 
+    def show_tables(self) -> DataFrame:
+        """``SHOW TABLES`` — tables at the branch head (Delta/Spark
+        catalog spelling of ``LakeRepo.list_tables``)."""
+        rows = [(t,) for t in self.repo.list_tables(self.branch)]
+        return self.spark.createDataFrame(rows, "tableName STRING")
+
+    def detail(self, table: str) -> DataFrame:
+        """``DESCRIBE DETAIL`` essentials (Delta's schema subset that
+        makes sense here): storage format, file/byte counts of the head
+        snapshot, and the last commit that changed the table."""
+        import os as _os
+
+        table = self._resolve_table(table)
+        head = self.repo.head(self.branch)
+        num_files = 0
+        size_bytes = 0
+        for rel in head.tables[table]:
+            full = _os.path.join(self.repo.root, rel)
+            if _os.path.isdir(full):
+                for root, _dirs, files in _os.walk(full):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            num_files += 1
+                            size_bytes += _os.path.getsize(_os.path.join(root, f))
+            elif _os.path.exists(full):
+                num_files += 1
+                size_bytes += _os.path.getsize(full)
+        last = next(
+            r for r in self.history(table).collect()
+        )  # newest-first: first row is the last change
+        row = (
+            table,
+            "parquet",
+            self.branch,
+            num_files,
+            size_bytes,
+            int(last.version),
+            last.timestamp,
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "name STRING, format STRING, branch STRING, numFiles BIGINT, "
+            "sizeInBytes BIGINT, version INT, lastModified TIMESTAMP",
+        )
+
     # -- query rewrite ------------------------------------------------------
     def _resolve_table(self, name: str) -> str:
         """Case-insensitive repo-table resolution (Spark identifiers are
@@ -177,6 +226,11 @@ class LakeSQL:
         m = _HISTORY_RE.match(query)
         if m:
             return self.history(m.group("table"))
+        if _SHOW_TABLES_RE.match(query):
+            return self.show_tables()
+        m = _DETAIL_RE.match(query)
+        if m:
+            return self.detail(m.group("table"))
 
         # 1) mask string literals: nothing inside quotes is a table
         #    reference or a time-travel clause

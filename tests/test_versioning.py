@@ -874,3 +874,68 @@ def test_repolock_optimistic_multihost_spins(repo, monkeypatch):
                 pass
     finally:
         os.unlink(lock_path)
+
+
+def test_cas_threaded_no_lost_updates(repo):
+    """Concurrency stress for the fence CAS with the lock DELIBERATELY
+    bypassed (threads call _read_ref/_write_ref directly — the situation
+    optimistic multi-host mode must survive): every thread retries its
+    mutation on CommitConflictError until it lands; afterwards ALL
+    mutations must be present — a lost update would drop one silently."""
+    import threading
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import CommitConflictError
+
+    n = 8
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            for _ in range(200):
+                ref = repo._read_ref("main")
+                ref.setdefault("staged_objects", {})[f"t{i}"] = {
+                    "blob": f"fake/{i}",
+                    "op": "put",
+                }
+                try:
+                    repo._write_ref("main", ref)
+                    return
+                except CommitConflictError:
+                    continue
+            raise AssertionError(f"writer {i} starved after 200 attempts")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    staged = repo._read_ref("main")["staged_objects"]
+    assert {f"t{i}" for i in range(n)} <= set(staged), sorted(staged)
+
+
+def test_lakesql_show_tables_and_describe_detail(spark, repo):
+    """SHOW TABLES lists the branch head's tables; DESCRIBE DETAIL
+    reports the head snapshot's file/byte counts and the last commit
+    that changed the table (Delta's DESCRIBE DETAIL essentials)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "events", _df(spark, [(1, "a"), (2, "b")]))
+    repo.write_table("main", "dims", _df(spark, [(9, "z")]))
+    c1 = repo.commit("main", "v1")
+    repo.write_table("main", "dims", _df(spark, [(9, "zz")]))
+    repo.commit("main", "v2")
+    lsql = LakeSQL(spark, repo)
+
+    tables = sorted(r.tableName for r in lsql.sql("SHOW TABLES").collect())
+    assert tables == ["dims", "events"]
+
+    d = lsql.sql("DESCRIBE DETAIL events").collect()[0]
+    assert d.name == "events" and d.format == "parquet" and d.branch == "main"
+    assert d.numFiles >= 1 and d.sizeInBytes > 0
+    # events last changed in c1, not the later dims-only commit
+    assert d.version == c1.version
+    d2 = lsql.sql("describe detail DIMS").collect()[0]  # case-insensitive
+    assert d2.version == c1.version + 1
