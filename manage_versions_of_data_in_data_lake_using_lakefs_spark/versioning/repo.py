@@ -502,6 +502,32 @@ class LakeRepo:
             reader = reader.option("mergeSchema", True)
         return reader.parquet(*paths)
 
+    def restore_table(
+        self, branch: str, table: str, version: int, message: str | None = None
+    ) -> Commit:
+        """Delta ``RESTORE TABLE t TO VERSION AS OF n`` parity: stage the
+        table's file list FROM the old snapshot and commit — a pure
+        metadata operation (copy-on-write file references, zero bytes
+        rewritten, O(1) at any table size), unlike ``revert`` which moves
+        the whole repo snapshot. The restored files must survive vacuum
+        retention — with ``keep_history=False`` vacuum they may already
+        be gone (same failure mode as Delta RESTORE past VACUUM)."""
+        old = self._resolve(branch, version_as_of=version)
+        if table not in old.tables:
+            raise KeyError(
+                f"table {table!r} not in version {version} of {branch!r}"
+            )
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            ref["staged"][table] = {
+                "files": list(old.tables[table]),
+                "op": "overwrite",
+            }
+            self._write_ref(branch, ref)
+        return self.commit(
+            branch, message or f"restore {table} to version {version}"
+        )
+
     # -- history surgery (V9) ----------------------------------------------
     def revert(self, branch: str, to: str, message: str | None = None) -> Commit:
         """V9: move the branch to an old snapshot via a *new* commit whose

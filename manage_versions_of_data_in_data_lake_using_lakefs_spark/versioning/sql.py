@@ -80,6 +80,12 @@ _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _DETAIL_RE = re.compile(
     rf"^\s*DESCRIBE\s+DETAIL\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+(?P<table>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<ver>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(r"^\s*VACUUM(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$", re.IGNORECASE)
 
 
 class LakeSQL:
@@ -231,6 +237,22 @@ class LakeSQL:
         m = _DETAIL_RE.match(query)
         if m:
             return self.detail(m.group("table"))
+        m = _RESTORE_RE.match(query)
+        if m:
+            # Delta RESTORE parity: O(1) copy-on-write metadata commit
+            c = self.repo.restore_table(
+                self.branch, self._resolve_table(m.group("table")), int(m.group("ver"))
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _VACUUM_RE.match(query)
+        if m:
+            removed = self.repo.vacuum(dry_run=bool(m.group("dry")))
+            return self.spark.createDataFrame(
+                [(p,) for p in removed], "path STRING"
+            )
 
         # 1) mask string literals: nothing inside quotes is a table
         #    reference or a time-travel clause

@@ -939,3 +939,47 @@ def test_lakesql_show_tables_and_describe_detail(spark, repo):
     assert d.version == c1.version
     d2 = lsql.sql("describe detail DIMS").collect()[0]  # case-insensitive
     assert d2.version == c1.version + 1
+
+
+def test_restore_table_is_cow_metadata_only(spark, repo):
+    """RESTORE TABLE parity: restoring a table to an old version stages
+    the OLD snapshot's file list verbatim (copy-on-write — zero data
+    rewritten) and lands as a new commit; other tables are untouched and
+    history is preserved."""
+    repo.write_table("main", "events", _df(spark, [(1, "old")]))
+    repo.write_table("main", "dims", _df(spark, [(7, "d")]))
+    c1 = repo.commit("main", "v1")
+    repo.write_table("main", "events", _df(spark, [(2, "new")]))
+    repo.commit("main", "v2")
+
+    c3 = repo.restore_table("main", "events", c1.version)
+    rows = repo.read_table(spark, "events", "main").collect()
+    assert [(r.id, r.val) for r in rows] == [(1, "old")]
+    # CoW: the restored commit references c1's files verbatim
+    assert repo.head("main").tables["events"] == c1.tables["events"]
+    # other tables untouched; old version still time-travelable
+    assert repo.head("main").tables["dims"] == c1.tables["dims"]
+    assert c3.version == c1.version + 2
+    new_rows = repo.read_table(
+        spark, "events", "main", version_as_of=c1.version + 1
+    ).collect()
+    assert [(r.id, r.val) for r in new_rows] == [(2, "new")]
+
+
+def test_lakesql_restore_and_vacuum_statements(spark, repo):
+    """SQL spellings: RESTORE TABLE t TO VERSION AS OF n and
+    VACUUM [DRY RUN]."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "events", _df(spark, [(1, "a")]))
+    c1 = repo.commit("main", "v1")
+    repo.write_table("main", "events", _df(spark, [(2, "b")]))
+    repo.commit("main", "v2")
+    lsql = LakeSQL(spark, repo)
+
+    out = lsql.sql(f"RESTORE TABLE events TO VERSION AS OF {c1.version}").collect()
+    assert out[0].version == c1.version + 2
+    assert [r.id for r in lsql.sql("SELECT id FROM events").collect()] == [1]
+
+    # keep_history vacuum removes nothing here; DRY RUN returns a frame
+    assert lsql.sql("VACUUM DRY RUN").collect() == lsql.sql("VACUUM").collect()
