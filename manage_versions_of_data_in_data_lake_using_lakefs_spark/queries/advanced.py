@@ -1081,6 +1081,172 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_1's share of STANDARD-part
+    volume sold into AMERICA, by order year — the deepest join in the
+    adapted suite (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    ⋈ supplier ⋈ nation again). Every dim broadcasts (nation twice under
+    different aliases); the share is a ratio of two exact fixed-point
+    sums, so the emitted doubles are bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    n_cust = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    n_supp = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    joined = (
+        li.join(
+            F.broadcast(part.where(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (
+                decimal_sum(
+                    F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+                        F.lit(0.0)
+                    ),
+                    4,
+                )
+                / decimal_sum(volume, 4)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_TPCH_Q8 = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {decimal_sum_sql(
+           "CASE WHEN ns.n_name = 'NATION_1' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END",
+           4,
+       )} / ({decimal_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)}) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, then the
+    supplier(s) whose revenue equals the global max. The max arrives as
+    a 1-row broadcast (the DataFrame spelling of Q15's scalar subquery);
+    equality on doubles is safe because both sides derive from the SAME
+    exact fixed-point sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max"))
+    return (
+        supp.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("_max"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TPCH_Q15 = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           {decimal_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lines of one brand whose
+    quantity is below 20% of that part's average — the canonical
+    correlated-scalar-subquery-per-group shape, spelled as a join against
+    a per-part aggregate (what Catalyst's decorrelation produces anyway).
+    The per-part average is exact-sum/count, so the 0.2× threshold is
+    the same IEEE double on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (decimal_sum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#23")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(avgq, F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (decimal_sum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_TPCH_Q17 = f"""
+WITH avgq AS (
+    SELECT l_partkey AS ap_key,
+           {decimal_sum_sql('l_quantity', 2)} / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT {decimal_sum_sql('l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avgq ON l_partkey = ap_key
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO-style upsert (operators/mutations.py): a deterministic
     change set — every 97th order repriced (UPDATE), every 101st re-keyed
@@ -1171,10 +1337,13 @@ ADVANCED_QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "subquery_exists": q_subquery_exists,
@@ -1208,10 +1377,13 @@ ADVANCED_ORACLES = {
     "tpch_q4": ORACLE_TPCH_Q4,
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q7": ORACLE_TPCH_Q7,
+    "tpch_q8": ORACLE_TPCH_Q8,
     "tpch_q10": ORACLE_TPCH_Q10,
     "tpch_q12": ORACLE_TPCH_Q12,
     "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q14": ORACLE_TPCH_Q14,
+    "tpch_q15": ORACLE_TPCH_Q15,
+    "tpch_q17": ORACLE_TPCH_Q17,
     "tpch_q18": ORACLE_TPCH_Q18,
     "tpch_q19": ORACLE_TPCH_Q19,
     "subquery_exists": ORACLE_SUBQUERY_EXISTS,
