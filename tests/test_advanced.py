@@ -293,6 +293,45 @@ def test_q10_dims_broadcast_no_sort_merge(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_q8_all_dims_broadcast_no_cartesian(spark):
+    """tpch_q8's 7 joins: every dim side (part, customer-nation, region,
+    supplier, supplier-nation) must plan as BroadcastHashJoin — and the
+    symmetric nation-pair OR in q7 / 8-way chain in q8 must never fall
+    back to a product."""
+    import contextlib
+    import io as _io
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import q_tpch_q7, q_tpch_q8
+
+    for fn, min_bhj in ((q_tpch_q8, 4), (q_tpch_q7, 3)):
+        df = fn(spark, "/root/testdata/sf0.001")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (fn.__name__, plan)
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (fn.__name__, plan)
+
+
+def test_q19_disjunction_prunes_part_scan(spark):
+    """tpch_q19's OR-of-ANDs: Catalyst must still derive the single-side
+    disjunction (p_brand IN ...) for the part scan — a broadcast join
+    with the raw mixed predicate would scan every part row."""
+    import contextlib
+    import io as _io
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import q_tpch_q19
+
+    df = q_tpch_q19(spark, "/root/testdata/sf0.001")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "p_brand" in ln]
+    assert pushed, plan
+
+
 def test_bench_headliners_resolve():
     """Every name bench.py times must exist in the registry — a renamed
     query must fail here, not in the driver's per-round bench run."""
