@@ -324,6 +324,53 @@ def simhash(
     )
 
 
+def simhash_expr(text: Column, bits: int = 30) -> Column:
+    """SimHash as a PURE per-row expression — no groupBy, no shuffle:
+    token multiset counts via array HOFs over the row's own token array,
+    bit sign-sums via ``aggregate`` per bit. Bit-identical to the
+    shuffle-based ``simhash`` (same tokenizer, same portable md5 hash,
+    same sign rule; equivalence-tested), just a different cost shape:
+    O(bits · |distinct tokens|) interpreted HOF work per row instead of
+    two corpus shuffles.
+
+    Why it exists: a MAP-ONLY signature is the only formulation legal
+    inside a Structured Streaming pipeline ahead of a stateful operator
+    (chaining the two-shuffle batch aggregation into
+    ``applyInPandasWithState`` is not a supported streaming plan), and
+    it is also the right shape when signatures ride along an existing
+    map stage at 100 TB (no extra shuffle of the corpus)."""
+    toks = tokenize(text)
+    uniq = F.array_distinct(toks)
+    # (hash, multiset count) per distinct token, computed once per row
+    pairs = F.transform(
+        uniq,
+        lambda u: F.struct(
+            (F.conv(F.substring(F.md5(u), 1, 15), 16, 10).cast("long") % F.lit(_P)).alias(
+                "h"
+            ),
+            F.size(F.filter(toks, lambda t: t == u)).alias("cnt"),
+        ),
+    )
+    def _sign_sum(j: int) -> Column:
+        # closure via factory, NOT a default arg — pyspark's lambda
+        # introspection would treat `j=j` as a third lambda parameter
+        return F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + p["cnt"].cast("long")
+            * ((F.floor(p["h"] / F.lit(float(2**j))).cast("long") % 2) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        s_j = _sign_sum(j)
+        out = out + F.when(s_j > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

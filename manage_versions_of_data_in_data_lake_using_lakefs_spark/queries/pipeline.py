@@ -218,6 +218,33 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SimHash near-dup pairs (r5): documents replay through a
+    file-source stream; the map-only ``simhash_expr`` signature feeds a
+    per-(band, value) ``applyInPandasWithState`` verify — exact recall by
+    the same pigeonhole banding as the batch op, so the oracle is the
+    SAME SQL as batch ``dedup_simhash``. Cross-band duplicate emissions
+    dedup here, mirroring the batch ``.distinct()``."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        streaming_simhash_neardup,
+    )
+
+    src = tempfile.mkdtemp(prefix="lakegraft_stream_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_micros((F.lit(1700000000) + F.col("doc_id")) * 1000000).alias("ts"),
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(
+        src
+    )
+    name = f"snd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_simhash_neardup(stream, max_hamming=3), name)
+    return spark.table(name).dropDuplicates(["a", "b"])
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState gap
     sessions) drained with availableNow: gap-closed sessions emit in the
@@ -394,6 +421,15 @@ FROM tagged GROUP BY 1
 """
 
 
+def _oracle_streaming_neardup() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import ORACLE_DEDUP_SIMHASH
+
+    return ORACLE_DEDUP_SIMHASH
+
+
+_ORACLE_STREAMING_NEARDUP = _oracle_streaming_neardup()
+
+
 PIPELINE_QUERIES = {
     "feature_pipeline": q_feature_pipeline,
     "corpus_prep": q_corpus_prep,
@@ -402,6 +438,7 @@ PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_neardup": q_streaming_neardup,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_interval_join": q_streaming_interval_join,
 }
@@ -414,6 +451,9 @@ PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    # exact-recall banding makes the streaming near-dup's result set
+    # IDENTICAL to batch dedup_simhash — the oracle is reused verbatim
+    "streaming_neardup": _ORACLE_STREAMING_NEARDUP,
     "streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
 }

@@ -4,5 +4,6 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops impor
     sessionize,
     stream_events_from_dir,
     streaming_dedup,
+    streaming_simhash_neardup,
     windowed_counts,
 )

@@ -201,6 +201,129 @@ def interval_join(
     return l.join(r, cond, "inner").drop(r[on])
 
 
+_NEARDUP_SCHEMA = StructType(
+    [
+        StructField("a", LongType()),
+        StructField("b", LongType()),
+        StructField("hamming", IntegerType()),
+    ]
+)
+
+_NEARDUP_STATE = StructType(
+    [
+        StructField("ids", StringType()),   # comma-joined doc ids
+        StructField("sigs", StringType()),  # comma-joined simhash values
+    ]
+)
+
+
+def streaming_simhash_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    bits: int = 30,
+    max_hamming: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming near-duplicate detection — the streaming twin of the
+    batch ``dedup.simhash_pairs``: as documents arrive, emit every pair
+    (a < b, hamming ≤ max_hamming) between the new doc and previously
+    seen docs within the watermark horizon.
+
+    Plan shape (the same banding trick as batch, adapted to streaming's
+    one-stateful-operator constraint):
+    1. signature is the MAP-ONLY ``dedup.simhash_expr`` (bit-identical
+       to the batch shuffle formulation — the two-shuffle batch simhash
+       cannot legally precede a stateful streaming op);
+    2. each doc explodes to its ``max_hamming + 1`` (band, value) keys —
+       by pigeonhole, any pair within the hamming budget collides on at
+       least one band, so per-band state suffices for exact recall;
+    3. ``applyInPandasWithState`` keyed by (band, value) keeps the
+       bucket's (id, sig) pairs, verifies exact hamming against each
+       arrival, and evicts idle buckets past the watermark.
+
+    A pair colliding on several bands is emitted once per colliding band
+    — downstream consumers ``dropDuplicates(["a", "b"])`` (the batch op
+    pays the same ``.distinct()``). State rides as comma-joined strings:
+    per-bucket occupancy is small by construction (that is the entire
+    point of banding), and string state sidesteps per-engine array-state
+    encoding differences."""
+    n_bands = max_hamming + 1
+    band_bits = -(-bits // n_bands)
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import simhash_expr
+
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        simhash_expr(F.col(text_col), bits).alias("simhash"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.floor(F.col("simhash") / F.lit(float(2 ** (b * band_bits)))).cast(
+                        "long"
+                    )
+                    % F.lit(2**band_bits)
+                ).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "ts", "simhash", F.explode(bands).alias("bv")
+    ).select("doc_id", "ts", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    horizon_ms = 6 * 3600 * 1000  # eviction slack past the watermark
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids_s, sigs_s = state.get
+            ids = [int(x) for x in ids_s.split(",")] if ids_s else []
+            sigs = [int(x) for x in sigs_s.split(",")] if sigs_s else []
+        else:
+            ids, sigs = [], []
+        out_a, out_b, out_h = [], [], []
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+        for did, sh in zip(rows["doc_id"], rows["simhash"]):
+            did, sh = int(did), int(sh)
+            for pid, psh in zip(ids, sigs):
+                if pid == did:
+                    continue
+                h = bin(sh ^ psh).count("1")
+                if h <= max_hamming:
+                    out_a.append(min(did, pid))
+                    out_b.append(max(did, pid))
+                    out_h.append(h)
+            ids.append(did)
+            sigs.append(sh)
+        state.update(
+            (",".join(map(str, ids)), ",".join(map(str, sigs)))
+        )
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
+        if out_a:
+            yield pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    return (
+        banded.withWatermark("ts", watermark)
+        .groupBy("band", "val")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_NEARDUP_SCHEMA,
+            stateStructType=_NEARDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_into_repo(
     stream_df: DataFrame,
     repo,

@@ -641,3 +641,22 @@ def test_adaptive_k_hier_oracle_parity_beyond_tuned_size(spark, tmp_path):
     assert_frames_match(
         out, con.sql(ORACLE_DEDUP_EMBEDDING_COSINE_HIER), "adaptive_k_hier_1700"
     )
+
+
+def test_simhash_expr_equals_shuffle_simhash(spark):
+    """The map-only simhash_expr (streaming-legal, shuffle-free) must be
+    bit-identical to the two-shuffle batch simhash on every document —
+    same tokenizer, portable md5 hash, and sign rule."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import simhash, simhash_expr
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    a = {r.id: r.simhash for r in simhash(docs).collect()}
+    b = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()
+    }
+    assert a == {k: v for k, v in b.items()}

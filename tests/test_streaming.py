@@ -154,3 +154,47 @@ def test_stream_into_repo_versioned_ingest(spark, tmp_path):
     assert got.count() == events.count()
     messages = [c.message for c in repo.log("main")]
     assert any(m.startswith("stream batch") for m in messages)
+
+
+def test_streaming_simhash_neardup_matches_batch(spark, tmp_path):
+    """Streaming near-dup pairs must equal batch simhash_pairs exactly:
+    same banding, same map-only signature (simhash_expr ≡ simhash,
+    equivalence-tested separately), per-band state verify. Pairs emitted
+    once per colliding band are deduped downstream, mirroring the batch
+    op's .distinct()."""
+    import uuid as _uuid
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import simhash_pairs
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import (
+        run_to_memory,
+        streaming_simhash_neardup,
+    )
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_micros((F.lit(1700000000) + F.col("doc_id")) * 1000000).alias("ts"),
+        )
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id LONG, text STRING, ts TIMESTAMP"
+    ).parquet(src)
+    name = f"nd_{_uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_simhash_neardup(stream, max_hamming=3), name)
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in spark.table(name).dropDuplicates(["a", "b"]).collect()
+    }
+    want = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs(
+            load_table(spark, SF_CORRECT, "documents"), max_hamming=3
+        ).collect()
+    }
+    assert got == want, (len(got), len(want))
