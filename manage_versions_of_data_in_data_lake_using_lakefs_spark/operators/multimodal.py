@@ -9,11 +9,22 @@ Convention: media rows carry an opaque ``payload: binary`` plus a typed
                       sample_rate int, duration_ms int>)
 
 The Spark-side machinery (schema, Arrow-batched ``mapInPandas``, batch
-shapes, partition sizing) is real and tested; the *codec* step is stubbed
-behind ``_decode_payload`` because no image/audio libraries ship in this
-container — it raises ``NotImplementedError`` unless ``allow_stub=True``
-selects the deterministic fake decoder (byte-statistics features), which
-keeps the pipeline end-to-end runnable and testable.
+shapes, partition sizing) is real and tested. The codec layer (r5) is
+REAL for everything the Python stdlib can parse:
+
+- **BMP** (uncompressed 24/32-bit): full header parse + pixel decode —
+  ``probe_media`` reports true dimensions, ``extract_features`` computes
+  the true mean pixel byte;
+- **WAV** (PCM): fmt/data chunk walk — true sample rate, duration, and
+  mean |amplitude| for 16-bit PCM;
+- **PNG / GIF / JPEG**: real header probing (IHDR / logical screen /
+  SOF-segment walk) for dimensions.
+
+Only *compressed pixel/sample* decode (JPEG entropy decode, PNG
+unfiltering, MP3/video codecs) stays behind the documented stub
+boundary: ``_decode_payload`` raises ``NotImplementedError`` for those
+unless ``allow_stub=True`` selects the deterministic byte-statistics
+fake, which keeps those pipelines end-to-end runnable and testable.
 
 Scale notes: payloads dominate row size, so ops here must avoid shuffling
 payload bytes. Feature extraction is map-only (``mapInPandas``); the one
@@ -85,30 +96,184 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _make_probe_payload():
+    """Factory (by-value worker pickling, see similarity): REAL media
+    header probing with the Python stdlib only — no PIL/libav. Returns
+    (format, width, height, sample_rate, duration_ms) with None for
+    fields the format doesn't carry, or None when no known magic
+    matches."""
+
+    def _probe(payload: bytes):
+        p = payload or b""
+        # BMP: 'BM' + BITMAPINFOHEADER at offset 14 (LE ints)
+        if p[:2] == b"BM" and len(p) >= 26:
+            w = int.from_bytes(p[18:22], "little", signed=True)
+            h = int.from_bytes(p[22:26], "little", signed=True)
+            return ("bmp", w, abs(h), None, None)
+        # PNG: signature + IHDR (BE ints at 16/20)
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+            return (
+                "png",
+                int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"),
+                None,
+                None,
+            )
+        # GIF: logical screen descriptor (LE shorts at 6/8)
+        if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            return (
+                "gif",
+                int.from_bytes(p[6:8], "little"),
+                int.from_bytes(p[8:10], "little"),
+                None,
+                None,
+            )
+        # JPEG: walk marker segments to the first SOFn (C0-CF except
+        # C4/C8/CC), which carries height/width as BE shorts
+        if p[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = p[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(p[i + 5 : i + 7], "big")
+                    w = int.from_bytes(p[i + 7 : i + 9], "big")
+                    return ("jpeg", w, h, None, None)
+                i += 2 + seg_len
+            return ("jpeg", None, None, None, None)
+        # WAV: RIFF/WAVE chunk walk — fmt carries channels/rate/width,
+        # data size gives the duration
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i = 12
+            rate = channels = bits = None
+            data_size = None
+            while i + 8 <= len(p):
+                cid = p[i : i + 4]
+                clen = int.from_bytes(p[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(p):
+                    channels = int.from_bytes(p[i + 10 : i + 12], "little")
+                    rate = int.from_bytes(p[i + 12 : i + 16], "little")
+                    bits = int.from_bytes(p[i + 22 : i + 24], "little")
+                elif cid == b"data":
+                    data_size = clen
+                i += 8 + clen + (clen % 2)
+            dur = None
+            if rate and channels and bits and data_size is not None:
+                bytes_per_s = rate * channels * (bits // 8)
+                dur = int(data_size * 1000 // bytes_per_s) if bytes_per_s else None
+            return ("wav", None, None, rate, dur)
+        return None
+
+    return _probe
+
+
+_probe_payload = _make_probe_payload()
+
+
 def _make_decode_payload():
-    """Factory so the decode stub's qualname contains ``<locals>`` and
+    """Factory so the decoder's qualname contains ``<locals>`` and
     cloudpickle ships it to Python workers BY VALUE (workers don't have
     this package importable — see similarity._make_dot_q_batch)."""
+    probe = _make_probe_payload()
 
     def _decode_payload(payload: bytes, kind: str, allow_stub: bool) -> tuple[int, int]:
-        """Codec boundary. Real decoders (PIL/libav/...) are not available
-        in this container; the stub produces deterministic byte statistics
-        so the surrounding distributed plumbing stays fully testable."""
+        """Codec boundary. REAL decode for stdlib-parseable payloads:
+        BMP pixel bytes (mean over the raster, skipping the header) and
+        WAV 16-bit PCM (mean |amplitude|); for anything else the
+        compressed-codec stub applies (deterministic byte statistics
+        behind ``allow_stub``)."""
+        p = payload or b""
+        head = int.from_bytes(p[:4].ljust(4, b"\0"), "big")
+        meta = probe(p)
+        if meta is not None and meta[0] == "bmp" and len(p) >= 30:
+            offset = int.from_bytes(p[10:14], "little")
+            pixels = p[offset:]
+            if pixels:
+                return sum(pixels) // len(pixels), head
+        if meta is not None and meta[0] == "wav":
+            # locate the data chunk; 16-bit LE PCM mean |amplitude|
+            i = 12
+            while i + 8 <= len(p):
+                cid = p[i : i + 4]
+                clen = int.from_bytes(p[i + 4 : i + 8], "little")
+                if cid == b"data":
+                    data = p[i + 8 : i + 8 + clen]
+                    n = len(data) // 2
+                    if n:
+                        total = 0
+                        for k in range(n):
+                            v = int.from_bytes(
+                                data[2 * k : 2 * k + 2], "little", signed=True
+                            )
+                            total += v if v >= 0 else -v
+                        return total // n, head
+                i += 8 + clen + (clen % 2)
         if not allow_stub:
             raise NotImplementedError(
-                f"no codec available for kind={kind!r}; install decoders or "
-                "pass allow_stub=True for deterministic fake features"
+                f"no codec available for kind={kind!r} (stdlib decode covers "
+                "BMP/WAV only); install decoders or pass allow_stub=True for "
+                "deterministic fake features"
             )
-        if not payload:
+        if not p:
             return 0, 0
-        total = sum(payload) // len(payload)
-        head = int.from_bytes(payload[:4].ljust(4, b"\0"), "big")
-        return total, head
+        return sum(p) // len(p), head
 
     return _decode_payload
 
 
 _decode_payload = _make_decode_payload()
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("detected_format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """REAL media metadata probing (no stub): sniff each payload's magic
+    bytes and parse the format's own header — BMP/PNG/GIF dimensions,
+    JPEG SOF-segment dimensions, WAV sample rate + duration. Unknown
+    payloads probe as NULL format. Map-only ``mapInPandas``; payloads
+    never shuffle; output is narrow metadata rows — the pass a pipeline
+    runs to VALIDATE stored ``meta`` columns against the actual bytes."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, rates, durs = [], [], [], [], []
+            for p in pdf["payload"]:
+                meta = _probe_payload(bytes(p) if p is not None else b"")
+                if meta is None:
+                    meta = (None, None, None, None, None)
+                fmts.append(meta[0])
+                ws.append(meta[1])
+                hs.append(meta[2])
+                rates.append(meta[3])
+                durs.append(meta[4])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "detected_format": pd.Series(fmts, dtype="object"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "duration_ms": pd.Series(durs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(probe, schema=PROBE_SCHEMA)
 
 
 def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
@@ -224,6 +389,89 @@ def resize_media(
             yield out
 
     return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+def _make_synth_media():
+    """Factory (by-value worker pickling): deterministic REAL media files
+    from an id — even ids become valid 24-bit BMPs (width 2 + id%7,
+    height 1 + id%5, pixel bytes (id+i)%256), odd ids valid 16-bit mono
+    PCM WAVs (rate 8000·(1 + id%3), 100 + id%50 samples). Every field of
+    the emitted headers follows the published file-format layouts, so the
+    REAL probe/decode path parses them — and every parsed value is a pure
+    function of the id, which is what makes the probe oracle-checkable
+    in SQL."""
+
+    def build(media_id: int) -> tuple[str, bytes]:
+        if media_id % 2 == 0:
+            w = 2 + media_id % 7
+            h = 1 + media_id % 5
+            row = bytes((media_id + i) % 256 for i in range(3 * w))
+            pad = b"\0" * ((4 - (3 * w) % 4) % 4)
+            raster = (row + pad) * h
+            header = (
+                b"BM"
+                + (54 + len(raster)).to_bytes(4, "little")
+                + b"\0\0\0\0"
+                + (54).to_bytes(4, "little")
+            )
+            info = (
+                (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little", signed=True)
+                + h.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little")
+                + (24).to_bytes(2, "little")
+                + b"\0" * 24
+            )
+            return "image", header + info + raster
+        rate = 8000 * (1 + media_id % 3)
+        n = 100 + media_id % 50
+        data = b"".join(
+            ((media_id * 37 + k * 101) % 2000 - 1000).to_bytes(2, "little", signed=True)
+            for k in range(n)
+        )
+        fmt = (
+            b"fmt "
+            + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")   # PCM
+            + (1).to_bytes(2, "little")   # mono
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        datac = b"data" + len(data).to_bytes(4, "little") + data
+        riff = (
+            b"RIFF"
+            + (4 + len(fmt) + len(datac)).to_bytes(4, "little")
+            + b"WAVE"
+            + fmt
+            + datac
+        )
+        return "audio", riff
+
+    return build
+
+
+def synthesize_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL BMP/WAV payloads from an id column (see
+    ``_make_synth_media``) in ``MEDIA_SCHEMA`` — the fixture generator for
+    exercising the real codec path where the environment ships no media
+    files."""
+    build = _make_synth_media()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            made = [build(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": [m[0] for m in made],
+                    "payload": [m[1] for m in made],
+                    "meta": [None] * len(made),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

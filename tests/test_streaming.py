@@ -198,3 +198,80 @@ def test_streaming_simhash_neardup_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want, (len(got), len(want))
+
+
+def test_real_media_probe_and_decode(spark):
+    """The r5 REAL codec path: stdlib header probing must parse
+    hand-constructed BMP/WAV/PNG/GIF/JPEG-SOF payloads to their true
+    dimensions/rates, and extract_features must compute the TRUE pixel /
+    amplitude means for BMP/WAV (not the byte-statistics stub)."""
+    import struct
+    import zlib
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        _make_synth_media,
+        extract_features,
+        probe_media,
+        synthesize_media,
+    )
+
+    build = _make_synth_media()
+    # ground truth computed independently of the operator code
+    _, bmp = build(4)    # even -> BMP: w=6, h=5
+    _, wav = build(7)    # odd  -> WAV: rate=16000, n=107
+
+    # PNG: signature + IHDR for 321x65
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 321, 65)
+        + b"\x08\x02\x00\x00\x00"
+        + struct.pack(">I", zlib.crc32(b"IHDR" + struct.pack(">II", 321, 65)))
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 77, 33)
+    # JPEG: SOI + APP0 stub + SOF0 (h=120, w=200)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 120, 200) + b"\x03"
+    )
+
+    rows = [
+        (1, "image", bytearray(bmp)),
+        (2, "audio", bytearray(wav)),
+        (3, "image", bytearray(png)),
+        (4, "image", bytearray(gif)),
+        (5, "image", bytearray(jpeg)),
+        (6, "blob", bytearray(b"not media at all")),
+    ]
+    media = spark.createDataFrame(
+        [(i, k, bytes(p), None) for i, k, p in rows],
+        "media_id LONG, kind STRING, payload BINARY, "
+        "meta STRUCT<format: STRING, width: INT, height: INT, sample_rate: INT, duration_ms: INT>",
+    )
+    probed = {r.media_id: r for r in probe_media(media).collect()}
+    assert (probed[1].detected_format, probed[1].width, probed[1].height) == ("bmp", 6, 5)
+    assert (probed[2].detected_format, probed[2].sample_rate) == ("wav", 16000)
+    assert probed[2].duration_ms == 107 * 1000 // 16000
+    assert (probed[3].detected_format, probed[3].width, probed[3].height) == ("png", 321, 65)
+    assert (probed[4].detected_format, probed[4].width, probed[4].height) == ("gif", 77, 33)
+    assert (probed[5].detected_format, probed[5].width, probed[5].height) == ("jpeg", 200, 120)
+    assert probed[6].detected_format is None
+
+    feats = {r.media_id: r.feat_mean for r in extract_features(media).collect()}
+    # true BMP pixel mean: raster bytes after the 54-byte header
+    raster = bytes(bmp)[54:]
+    assert feats[1] == sum(raster) // len(raster)
+    # true WAV mean |amplitude| over 16-bit LE samples
+    data = bytes(wav)[44:]
+    samples = [
+        struct.unpack_from("<h", data, 2 * k)[0] for k in range(len(data) // 2)
+    ]
+    assert feats[2] == sum(abs(s) for s in samples) // len(samples)
+
+    # synthesize_media roundtrip at scale-ish: ids 0..99, all parse
+    ids = spark.range(100).selectExpr("id AS doc_id")
+    out = probe_media(synthesize_media(ids))
+    assert out.where(F.col("detected_format").isNull()).count() == 0
