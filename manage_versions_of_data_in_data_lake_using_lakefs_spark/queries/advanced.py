@@ -601,6 +601,64 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE approximate distinct counting — a K-Minimum-Values (KMV)
+    sketch over the engine-independent md5 hash, so unlike HLL
+    (`agg_approx`, engine-specific sketch → rows-only check) the
+    *approximate* answer itself is bit-reproducible and fully
+    oracle-checked: both engines hash identically, keep the k smallest
+    distinct hash values (a distributed top-k — no full sort), and apply
+    the same estimator (k−1)·(P/h₍ₖ₎) in the same IEEE order. Estimates
+    the distinct customers with orders; also reports the exact count and
+    the deterministic error ratio. The mergeable-sketch property that
+    matters at 100 TB: per-partition k-smallest sets merge by union +
+    re-truncate — exactly what the distributed orderBy().limit(k) plan
+    executes (partial TakeOrdered per partition, merge on one tiny
+    reducer)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+    k = 256
+    orders = load_table(spark, sf_dir, "orders")
+    hs = orders.select(
+        portable_hash(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    topk = hs.orderBy("h").limit(k)
+    sketch = topk.agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+    ).select(
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * (F.lit(2147483647.0) / F.col("hk").cast("double"))
+        )
+        .alias("kmv_estimate")
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return sketch.crossJoin(exact).select(
+        "kmv_estimate",
+        "exact_distinct",
+        (F.col("kmv_estimate") / F.col("exact_distinct")).alias("est_ratio"),
+    )
+
+
+ORACLE_AGG_DISTINCT_KMV = """
+WITH hs AS (
+    SELECT DISTINCT (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                     % 2147483647) AS h
+    FROM orders
+),
+tk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+sk AS (
+    SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 255.0 * (2147483647.0 / CAST(MAX(h) AS DOUBLE))
+           END AS kmv_estimate
+    FROM tk
+),
+ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct FROM orders)
+SELECT kmv_estimate, exact_distinct, kmv_estimate / exact_distinct AS est_ratio
+FROM sk CROSS JOIN ex
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical wide-aggregate scan.
     Exact fixed-point sums; averages derived from exact sums/counts in a
@@ -1355,6 +1413,7 @@ ADVANCED_QUERIES = {
     "explode_tokens": q_explode_tokens,
     "udf_vectorized": q_udf_vectorized,
     "agg_approx": q_agg_approx,
+    "agg_distinct_kmv": q_agg_distinct_kmv,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -1395,6 +1454,7 @@ ADVANCED_ORACLES = {
     "explode_tokens": ORACLE_EXPLODE_TOKENS,
     "udf_vectorized": ORACLE_UDF_VECTORIZED,
     # agg_approx: deliberately no oracle — sketches are engine-specific
+    "agg_distinct_kmv": ORACLE_AGG_DISTINCT_KMV,
     "agg_rollup": ORACLE_AGG_ROLLUP,
     "agg_cube": ORACLE_AGG_CUBE,
     "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,

@@ -393,3 +393,24 @@ def test_load_table_events_conf_scoped(spark):
     # and the events read itself still yields plain TimestampType
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     assert df.limit(1).count() >= 0
+
+
+def test_kmv_estimate_accuracy_and_exact_path(spark):
+    """The portable KMV sketch: estimator error within the theoretical
+    ~1/sqrt(k) band on the fixture, and the small-cardinality path (fewer
+    than k distinct hashes) returns the EXACT count."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import q_agg_distinct_kmv
+
+    r = q_agg_distinct_kmv(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.exact_distinct > 256, "fixture must exercise the estimator path"
+    assert 0.8 <= r.est_ratio <= 1.2, r
+
+    # small-cardinality path: distinct < k -> exact
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+    small = spark.range(100).select(portable_hash(F.col("id").cast("string")).alias("h")).distinct()
+    topk = small.orderBy("h").limit(256)
+    got = topk.agg(F.count(F.lit(1)).alias("m")).collect()[0].m
+    assert got == 100
