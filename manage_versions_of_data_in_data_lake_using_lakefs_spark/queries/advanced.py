@@ -601,6 +601,96 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions (§2.5 breadth): first/last/nth value
+    per user over event time — last_value needs the explicit
+    UNBOUNDED-to-UNBOUNDED frame (the default frame stops at CURRENT ROW,
+    a classic silent-wrong-answer trap both engines share the fix for).
+    Deterministic ordering via the (ts, event_id) tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.where(F.col("user_id") < 500)
+        .select(
+            "event_id",
+            "user_id",
+            F.first("value").over(w).alias("first_value_seen"),
+            F.last("value").over(w).alias("last_value_seen"),
+            F.nth_value("value", 2).over(w).alias("second_value_seen"),
+        )
+    )
+
+
+ORACLE_WINDOW_NAVIGATION = """
+SELECT event_id, user_id,
+       FIRST_VALUE(value) OVER w AS first_value_seen,
+       LAST_VALUE(value) OVER w AS last_value_seen,
+       NTH_VALUE(value, 2) OVER w AS second_value_seen
+FROM events
+WHERE user_id < 500
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics — the Zipf-curve pass every
+    pretraining pipeline runs before tokenizer training: global token
+    frequencies, deterministic rank (count DESC, token ASC), and the
+    cumulative corpus coverage of the top-100 head. One explode + one
+    count shuffle + one tiny window over 100 rows; the coverage fraction
+    divides two exact BIGINTs, so the doubles agree cross-engine."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    # distributed top-k FIRST (TakeOrdered — no global sort, no
+    # single-partition window over the full vocabulary), THEN the rank
+    # window over only the 100 surviving rows
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(100)
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w_rank)).crossJoin(
+        F.broadcast(total)
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        "rank",
+        "tok",
+        "cnt",
+        (F.sum("cnt").over(w_cum) / F.col("_total")).alias("cum_frac"),
+    ).orderBy("rank")
+
+
+def _oracle_corpus_vocab() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _SQL_TOKS
+
+    return f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS tok FROM documents),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS _total FROM counts),
+ranked AS (
+    SELECT tok, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS INT) AS rank
+    FROM counts QUALIFY rank <= 100
+)
+SELECT rank, tok, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       / CAST(_total AS DOUBLE) AS cum_frac
+FROM ranked CROSS JOIN total
+ORDER BY rank
+"""
+
+
+ORACLE_CORPUS_VOCAB = _oracle_corpus_vocab()
+
+
 def q_agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE approximate distinct counting — a K-Minimum-Values (KMV)
     sketch over the engine-independent md5 hash, so unlike HLL
@@ -1414,6 +1504,8 @@ ADVANCED_QUERIES = {
     "udf_vectorized": q_udf_vectorized,
     "agg_approx": q_agg_approx,
     "agg_distinct_kmv": q_agg_distinct_kmv,
+    "window_navigation": q_window_navigation,
+    "corpus_vocab": q_corpus_vocab,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -1455,6 +1547,8 @@ ADVANCED_ORACLES = {
     "udf_vectorized": ORACLE_UDF_VECTORIZED,
     # agg_approx: deliberately no oracle — sketches are engine-specific
     "agg_distinct_kmv": ORACLE_AGG_DISTINCT_KMV,
+    "window_navigation": ORACLE_WINDOW_NAVIGATION,
+    "corpus_vocab": ORACLE_CORPUS_VOCAB,
     "agg_rollup": ORACLE_AGG_ROLLUP,
     "agg_cube": ORACLE_AGG_CUBE,
     "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
