@@ -102,3 +102,26 @@ def test_multimodal_extract_closure_ships_by_value():
         "assert out == [((97 + 98) // 2, int.from_bytes(b'ab'.ljust(4, b'\\0'), "
         "'big')), (0, 0)], out\n",
     )
+
+
+def test_probe_payload_ships_by_value():
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import _probe_payload
+
+    assert "<locals>" in _probe_payload.__qualname__
+    _roundtrip_in_clean_process(
+        _probe_payload,
+        "meta = fn(b'GIF89a' + bytes([7, 0, 3, 0]))\n"
+        "assert meta == ('gif', 7, 3, None, None), meta\n",
+    )
+
+
+def test_synth_media_builder_ships_by_value():
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import _make_synth_media
+
+    build = _make_synth_media()
+    assert "<locals>" in build.__qualname__
+    _roundtrip_in_clean_process(
+        build,
+        "kind, payload = fn(4)\n"
+        "assert kind == 'image' and payload[:2] == b'BM', (kind, payload[:4])\n",
+    )
