@@ -1480,6 +1480,201 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H tail: Q9 / Q21 / Q22 adapted to the slimmed testdata schema
+# (no partsupp, no l_commitdate/l_receiptdate, no c_phone — see docstrings)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted: the testdata has no
+    partsupp, so supply cost is proxied by ``0.1 * p_retailprice *
+    l_quantity`` (keeps the part join load-bearing). Shape preserved:
+    5-table join → per-nation-per-year profit agg. part/supplier/nation
+    broadcast; the only shuffles are the lineitem⋈orders join and the
+    final 2-key agg. Single-expression double arithmetic is bit-identical
+    across engines; the multi-row sum is exact fixed-point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(decimal_sum(amount, 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_TPCH_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       {decimal_sum_sql(
+           'l_extendedprice * (1.0 - l_discount)'
+           ' - 0.1 * p_retailprice * l_quantity', 4)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted: no
+    l_commitdate/l_receiptdate in the testdata, so "late" is
+    ``l_shipdate > o_orderdate + 60 days``. The classic double
+    EXISTS / NOT EXISTS self-join pair is rewritten as ONE per-order
+    aggregation — EXISTS(other supplier) ⟺ countDistinct(supplier) > 1,
+    NOT EXISTS(other late supplier) ⟺ countDistinct(late supplier) = 1 —
+    which is what Catalyst cannot do automatically and turns two
+    lineitem self-joins (each a full shuffle of the biggest table) into
+    a single groupBy(orderkey); the DuckDB oracle runs the literal
+    correlated-EXISTS spelling to pin semantic equivalence. numwait
+    counts late LINES (Q21's COUNT(*) granularity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lines = li.join(
+        orders.where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
+    )
+    per_order = (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("nlate"),
+        )
+        .where((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .select(F.col("l_orderkey").alias("qual_okey"))
+    )
+    return (
+        lines.where(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("qual_okey"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity, adapted: no c_phone in the
+    testdata, so the country code is ``c_nationkey % 10`` (same
+    derived-column + IN-list shape). Rich idle customers: account
+    balance above the average positive balance of the code set (scalar
+    subquery → 1-row broadcast) and no RECENT orders (anti-join against
+    orders since 2000 — the testdata's order history is dense enough
+    that "no orders ever" selects nobody at small SFs, which would make
+    the parity check vacuous). The avg is exact-sum/count so the
+    threshold is the same IEEE double on both engines; the per-code
+    balance total is exact fixed-point."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("cntrycode", (F.col("c_nationkey") % 10).cast("int"))
+        .where(F.col("cntrycode").isin(1, 3, 5, 7, 9))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (decimal_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            decimal_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+ORACLE_TPCH_Q22 = f"""
+WITH cust AS (
+    SELECT *, CAST(c_nationkey % 10 AS INT) AS cntrycode
+    FROM customer
+    WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+)
+SELECT cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {decimal_sum_sql('c_acctbal', 2)} AS totacctbal
+FROM cust c1
+WHERE c_acctbal > (
+        SELECT {decimal_sum_sql('c_acctbal', 2)} / COUNT(*)
+        FROM cust WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c1.c_custkey
+                    AND o_orderdate >= '2000-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q4": q_tpch_q4,
@@ -1491,7 +1686,10 @@ ADVANCED_QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
+    "tpch_q9": q_tpch_q9,
     "tpch_q17": q_tpch_q17,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "subquery_exists": q_subquery_exists,
@@ -1534,7 +1732,10 @@ ADVANCED_ORACLES = {
     "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q15": ORACLE_TPCH_Q15,
+    "tpch_q9": ORACLE_TPCH_Q9,
     "tpch_q17": ORACLE_TPCH_Q17,
+    "tpch_q21": ORACLE_TPCH_Q21,
+    "tpch_q22": ORACLE_TPCH_Q22,
     "tpch_q18": ORACLE_TPCH_Q18,
     "tpch_q19": ORACLE_TPCH_Q19,
     "subquery_exists": ORACLE_SUBQUERY_EXISTS,

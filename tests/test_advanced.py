@@ -414,3 +414,29 @@ def test_kmv_estimate_accuracy_and_exact_path(spark):
     topk = small.orderBy("h").limit(256)
     got = topk.agg(F.count(F.lit(1)).alias("m")).collect()[0].m
     assert got == 100
+
+
+def test_q21_aggregate_rewrite_plan(spark):
+    """tpch_q21's EXISTS / NOT EXISTS pair is rewritten as one
+    per-order aggregation: the plan must contain NO lineitem
+    self-join residual (no CartesianProduct / BNLJ) and broadcast the
+    supplier⋈nation dim. The oracle pins semantic equivalence to the
+    literal correlated spelling; this pins the 100 TB shape — two
+    full-lineitem shuffle self-joins collapsing into one groupBy."""
+    import contextlib
+    import io as _io
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import (
+        q_tpch_q9,
+        q_tpch_q21,
+        q_tpch_q22,
+    )
+
+    for fn, min_bhj in ((q_tpch_q21, 1), (q_tpch_q9, 3), (q_tpch_q22, 1)):
+        df = fn(spark, "/root/testdata/sf0.001")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (fn.__name__, plan)
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
