@@ -89,6 +89,7 @@ def main() -> None:
         "dedup_embedding_cosine_hier",
         "multimodal_features",
         "tpch_q7",
+        "tpch_q2",
         "tpch_q21",
         "sim_topk_ivf_hier",
     ):

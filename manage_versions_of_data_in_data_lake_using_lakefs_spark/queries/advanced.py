@@ -1483,7 +1483,285 @@ FROM lineitem
 # ---------------------------------------------------------------------------
 # TPC-H tail: Q9 / Q21 / Q22 adapted to the slimmed testdata schema
 # (no partsupp, no l_commitdate/l_receiptdate, no c_phone — see docstrings)
+# and Q2 / Q11 / Q16 / Q20 over a deterministically DERIVED partsupp
 # ---------------------------------------------------------------------------
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata has no partsupp, so the four queries that need one
+    (Q2/Q11/Q16/Q20) run over a deterministic derivation: supplier s
+    carries part p iff ``(p_partkey*7 + s_suppkey) % 25 == 0`` — ~4
+    suppliers per part at 100 suppliers, TPC-H's real ratio. The
+    congruence is spelled as an EQUI-join (``(p*7)%25`` against
+    ``(25 - s%25)%25``), so the build is a BroadcastHashJoin of the
+    tiny supplier side against part, never a filtered cross product —
+    at 100 TB the derivation is a map over the part scan. availqty and
+    supplycost are modular-arithmetic functions of the two keys;
+    supplycost is an exact 2-decimal double (int/100+1), so every
+    downstream sum/min/equality is bit-identical across engines.
+    SQL twin: ``PARTSUPP_SQL`` (kept adjacent so the two never drift)."""
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    p = part.withColumn("_jk", (F.col("p_partkey") * 7) % 25)
+    s = supp.withColumn("_jk", (F.lit(25) - F.col("s_suppkey") % 25) % 25)
+    return p.join(F.broadcast(s), "_jk").select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            ((F.col("p_partkey") * 13 + F.col("s_suppkey") * 7) % 1000).cast(
+                "double"
+            )
+            / F.lit(100.0)
+            + F.lit(1.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+PARTSUPP_SQL = """
+partsupp AS (
+    SELECT p_partkey AS ps_partkey,
+           s_suppkey AS ps_suppkey,
+           CAST((p_partkey * 31 + s_suppkey * 17) % 9999 + 1 AS INT) AS ps_availqty,
+           CAST((p_partkey * 13 + s_suppkey * 7) % 1000 AS DOUBLE) / 100.0 + 1.0
+               AS ps_supplycost
+    FROM part JOIN supplier
+      ON (p_partkey * 7) % 25 = (25 - s_suppkey % 25) % 25
+)
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier over the derived partsupp: for
+    STANDARD parts of size ≤ 15, the EUROPE supplier(s) matching each
+    part's regional minimum supply cost. The correlated-MIN subquery is
+    spelled as a per-part min aggregate joined back (Catalyst's own
+    decorrelation); cost equality on doubles is safe because both sides
+    are the SAME derived 2-decimal value. supplier/nation/region all
+    broadcast — the only shuffles are the per-part min agg and its
+    join back to the cost rows."""
+    ps = derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rs = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(
+        F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    cost = ps.join(F.broadcast(rs), F.col("ps_suppkey") == F.col("s_suppkey"))
+    minc = cost.groupBy(F.col("ps_partkey").alias("min_pkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        cost.join(minc, F.col("ps_partkey") == F.col("min_pkey"))
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q2 = f"""
+WITH {PARTSUPP_SQL.strip()}
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM part, partsupp, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_type = 'STANDARD' AND p_size <= 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM partsupp ps2, supplier s2, nation n2, region r2
+      WHERE ps2.ps_partkey = part.p_partkey
+        AND s2.s_suppkey = ps2.ps_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: per-part inventory value held by one
+    nation's suppliers, kept when above 0.5% of that nation's total (the
+    HAVING-against-scalar-subquery shape — the total arrives as a 1-row
+    broadcast). Value = supplycost × availqty is exact at 2 decimals, so
+    both the per-part sums and the global threshold are fixed-point
+    reproducible; the 0.005 scaling is the same IEEE double product."""
+    ps = derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    inner = ps.join(
+        F.broadcast(
+            supp.join(
+                F.broadcast(nation.where(F.col("n_name") == "NATION_7")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    grouped = inner.groupBy("ps_partkey").agg(
+        decimal_sum(value, 2).alias("value")
+    )
+    total = inner.agg(
+        (decimal_sum(value, 2) * F.lit(0.005)).alias("threshold")
+    )
+    return (
+        grouped.join(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+ORACLE_TPCH_Q11 = f"""
+WITH {PARTSUPP_SQL.strip()},
+inner_ps AS (
+    SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+    FROM partsupp
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+)
+SELECT ps_partkey, {decimal_sum_sql('v', 2)} AS value
+FROM inner_ps
+GROUP BY ps_partkey
+HAVING {decimal_sum_sql('v', 2)} > (
+    SELECT {decimal_sum_sql('v', 2)} * 0.005 FROM inner_ps)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier-relationship count: distinct suppliers per
+    (brand, type, size) bucket, excluding one brand, SMALL-type parts,
+    and suppliers in deficit (the NOT IN subquery — adapted from the
+    complaint-comment filter to ``s_acctbal < 0``; suppkeys are
+    non-null so NOT IN ≡ anti-join exactly). Part broadcasts into the
+    partsupp scan; the excluded-supplier set is a broadcast anti-join;
+    the only real shuffle is the 3-key distinct-count agg."""
+    ps = derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        ps.join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#2")
+                    & (~F.col("p_type").like("SMALL%"))
+                    & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp.where(F.col("s_acctbal") < 0)),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_TPCH_Q16 = f"""
+WITH {PARTSUPP_SQL.strip()}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#2'
+  AND p_type NOT LIKE 'SMALL%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion: suppliers of red parts whose
+    stock exceeds half of what they shipped of that part in 1997. The
+    doubly-nested IN subqueries decorrelate to: per-(part, supplier)
+    1997 shipment sums (one lineitem agg), joined to the derived
+    partsupp, filtered, distinct supplier keys, semi-joined to
+    supplier. A correlated SUM over zero lineitem rows is NULL in the
+    literal spelling (row excluded) and an inner-join miss here — same
+    result. The half-quantity threshold is exact-sum × 0.5, the same
+    double on both engines."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    qty = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((decimal_sum(F.col("l_quantity"), 2) * F.lit(0.5)).alias("half_qty"))
+    )
+    cand = (
+        ps.join(
+            F.broadcast(
+                part.where(F.col("p_name").like("red%")).select("p_partkey")
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_6")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_TPCH_Q20 = f"""
+WITH {PARTSUPP_SQL.strip()}
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > 0.5 * (
+          SELECT {decimal_sum_sql('l_quantity', 2)}
+          FROM lineitem
+          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'))
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_6'
+ORDER BY s_name
+"""
 
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 product-type profit, adapted: the testdata has no
@@ -1686,8 +1964,12 @@ ADVANCED_QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
+    "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
+    "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
     "tpch_q18": q_tpch_q18,
@@ -1732,8 +2014,12 @@ ADVANCED_ORACLES = {
     "tpch_q13": ORACLE_TPCH_Q13,
     "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q15": ORACLE_TPCH_Q15,
+    "tpch_q2": ORACLE_TPCH_Q2,
     "tpch_q9": ORACLE_TPCH_Q9,
+    "tpch_q11": ORACLE_TPCH_Q11,
+    "tpch_q16": ORACLE_TPCH_Q16,
     "tpch_q17": ORACLE_TPCH_Q17,
+    "tpch_q20": ORACLE_TPCH_Q20,
     "tpch_q21": ORACLE_TPCH_Q21,
     "tpch_q22": ORACLE_TPCH_Q22,
     "tpch_q18": ORACLE_TPCH_Q18,

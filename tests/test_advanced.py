@@ -427,12 +427,24 @@ def test_q21_aggregate_rewrite_plan(spark):
     import io as _io
 
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.advanced import (
+        q_tpch_q2,
         q_tpch_q9,
+        q_tpch_q11,
+        q_tpch_q16,
+        q_tpch_q20,
         q_tpch_q21,
         q_tpch_q22,
     )
 
-    for fn, min_bhj in ((q_tpch_q21, 1), (q_tpch_q9, 3), (q_tpch_q22, 1)):
+    for fn, min_bhj in (
+        (q_tpch_q21, 1),
+        (q_tpch_q9, 3),
+        (q_tpch_q22, 1),
+        (q_tpch_q2, 2),
+        (q_tpch_q11, 2),
+        (q_tpch_q16, 2),
+        (q_tpch_q20, 2),
+    ):
         df = fn(spark, "/root/testdata/sf0.001")
         buf = _io.StringIO()
         with contextlib.redirect_stdout(buf):
