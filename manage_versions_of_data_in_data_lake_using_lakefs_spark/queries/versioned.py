@@ -82,9 +82,54 @@ def q_versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_counts.unionByName(merged_n).orderBy("metric")
 
 
+def q_versioned_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): a
+    materialized per-status revenue state built at v0 is refreshed from
+    the ROW-LEVEL DIFF to v1 (adds every 5th order back, reprices every
+    7th) — the refresh never re-reads v1's full table. The oracle
+    computes the v1 aggregate from scratch, so a hash match proves the
+    incremental path lands on exactly the full-recompute answer
+    (fixed-point state is what makes retraction exact; see module doc).
+    The reference rebuilds its gold aggregate per version
+    (``jobs/vdt2.py:40-55``) — this is the 100 TB replacement."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.incremental import (
+        agg_refresh,
+        agg_result,
+        agg_state,
+    )
+
+    repo = _fresh_repo()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v0 = orders.where(F.col("o_orderkey") % 5 != 0)
+    repo.write_table("main", "orders_gold", v0)
+    c0 = repo.commit("main", "v0: partial load")
+    v1 = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 50.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    repo.write_table("main", "orders_gold", v1)
+    c1 = repo.commit("main", "v1: backfill + repricing")
+
+    keys = ["o_orderstatus"]
+    measures = {"sum_totalprice": ("o_totalprice", 2)}
+    state0 = agg_state(
+        repo.read_table(spark, "orders_gold", "main", version_as_of=c0.version),
+        keys,
+        measures,
+    )
+    changes = repo.diff(spark, "orders_gold", c0.id, c1.id)
+    refreshed = agg_refresh(state0, changes, keys, measures)
+    return agg_result(refreshed, keys, measures).orderBy("o_orderstatus")
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
+    "versioned_incremental_agg": q_versioned_incremental_agg,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -117,7 +162,22 @@ FROM customer WHERE c_custkey % 10 = 0
 ORDER BY metric
 """
 
+# v1's aggregate computed FROM SCRATCH — a hash match against the
+# incremental refresh proves delta-application ≡ full rebuild
+ORACLE_VERSIONED_INCREMENTAL_AGG = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND((CASE WHEN o_orderkey % 7 = 0
+                                 THEN o_totalprice + 50.0
+                                 ELSE o_totalprice END) * 100.0) AS BIGINT))
+            AS BIGINT) / 100.0 AS sum_totalprice
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 VERSIONED_ORACLES = {
     "versioned_time_travel": ORACLE_VERSIONED_TIME_TRAVEL,
     "versioned_branch_merge": ORACLE_VERSIONED_BRANCH_MERGE,
+    "versioned_incremental_agg": ORACLE_VERSIONED_INCREMENTAL_AGG,
 }
