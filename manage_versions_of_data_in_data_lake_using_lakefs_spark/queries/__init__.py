@@ -78,8 +78,9 @@ WINDOW_ORDER: list[str] = [
     "window_count",
     "window_top1",
     "window_mode",
-    "rank_global",          # W4 parity flavor (single-partition, as reference)
-    "rank_global_scalable", # W4 scale flavor (range-partition + offsets)
+    "rank_global_scalable", # W4 scale flavor (range-partition + offsets;
+                            # the single-partition parity flavor
+                            # rank_global rotated to the tail in r5)
     "window_frames",        # lead/lag + ROWS frame + RANGE frame
     # §2.6 sorts / set ops
     "sort_limit",
@@ -93,16 +94,20 @@ WINDOW_ORDER: list[str] = [
     "csv_suite",            # S1+S2+S7 roundtrips, tagged
     "orc_roundtrip",        # S3+S9
     "json_extract",
-    # TPC-H suite (bench headliners; q6 and q14 — filter+agg / join+agg
-    # shapes that q1/q3/q5 already certify — rotated to the tail to free
-    # window slots for the multimodal family (r4) and the hierarchical
-    # adaptive-k quantizer (r5))
+    # TPC-H suite (bench headliners; q5/q6/q14 — join+agg / filter+agg
+    # shapes that q1/q3/q10 already certify — rotated to the tail across
+    # r4/r5 to free window slots for newer one-of-a-kind shapes: the
+    # multimodal family (r4), the hierarchical adaptive-k quantizer (r4),
+    # and in r5 the q21 EXISTS-pair aggregate rewrite + the incremental
+    # aggregate-maintenance proof)
     "tpch_q1",
     "tpch_q3",
-    "tpch_q5",
     "tpch_q10",
     "tpch_q13",
     "tpch_q18",
+    "tpch_q21",             # waiting-suppliers: EXISTS/NOT-EXISTS pair as
+                            # ONE per-order agg, oracle runs the literal
+                            # correlated spelling (r5)
     # OLAP group-bys
     "agg_multi_group",      # rollup/cube/grouping sets, tagged
     "pivot_status",
@@ -124,6 +129,7 @@ WINDOW_ORDER: list[str] = [
     "multimodal_stats",
     "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
+    "versioned_incremental_agg",  # delta-refresh ≡ full rebuild (r5)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
