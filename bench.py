@@ -91,6 +91,8 @@ def main() -> None:
         "tpch_q7",
         "tpch_q2",
         "tpch_q21",
+        "text_bm25",
+        "pack_sequences",
         "sim_topk_ivf_hier",
     ):
         if extra in registry:

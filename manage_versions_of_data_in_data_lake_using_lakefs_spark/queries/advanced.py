@@ -691,6 +691,53 @@ ORDER BY rank
 ORACLE_CORPUS_VOCAB = _oracle_corpus_vocab()
 
 
+_BM25_TERMS = ("spark", "join", "vector")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/scoring.py): top-20 documents
+    for a 3-term query. Map-only term frequencies (array HOFs over each
+    row's own tokens — the corpus never shuffles), one 1-row global
+    stats broadcast, distributed TakeOrdered. The odds-form idf keeps
+    every score a cross-engine-identical double (module doc)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.scoring import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+def _oracle_text_bm25() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.scoring import bm25_sql
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _SQL_TOKS
+
+    return bm25_sql(_BM25_TERMS, _SQL_TOKS)
+
+
+ORACLE_TEXT_BM25 = _oracle_text_bm25()
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents hash-bucketed
+    into 8 independent packing streams, sequential-fill bins of 512
+    tokens via a per-bucket window (bin = BIGINT DIV — exact at any
+    corpus size), per-bin occupancy summary. Bucketing is what keeps
+    the window parallel at 100 TB."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512, buckets=8)
+
+
+def _oracle_pack_sequences() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.packing import pack_sequences_sql
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _SQL_TOKS
+
+    return pack_sequences_sql(_SQL_TOKS, seq_len=512, buckets=8)
+
+
+ORACLE_PACK_SEQUENCES = _oracle_pack_sequences()
+
+
 def q_agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE approximate distinct counting — a K-Minimum-Values (KMV)
     sketch over the engine-independent md5 hash, so unlike HLL
@@ -1986,6 +2033,8 @@ ADVANCED_QUERIES = {
     "agg_distinct_kmv": q_agg_distinct_kmv,
     "window_navigation": q_window_navigation,
     "corpus_vocab": q_corpus_vocab,
+    "text_bm25": q_text_bm25,
+    "pack_sequences": q_pack_sequences,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -2036,6 +2085,8 @@ ADVANCED_ORACLES = {
     "agg_distinct_kmv": ORACLE_AGG_DISTINCT_KMV,
     "window_navigation": ORACLE_WINDOW_NAVIGATION,
     "corpus_vocab": ORACLE_CORPUS_VOCAB,
+    "text_bm25": ORACLE_TEXT_BM25,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "agg_rollup": ORACLE_AGG_ROLLUP,
     "agg_cube": ORACLE_AGG_CUBE,
     "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,

@@ -452,3 +452,33 @@ def test_q21_aggregate_rewrite_plan(spark):
         plan = buf.getvalue()
         assert plan.count("BroadcastHashJoin") >= min_bhj, (fn.__name__, plan)
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
+def test_bm25_and_packing_invariants(spark):
+    """BM25: a document containing a query term must outscore one with
+    none (on equal length); packing: bins conserve the corpus token
+    count and no bin starts beyond the bucket's total budget."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.packing import pack_sequences
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.scoring import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "spark join vector"), (2, "alpha beta gamma"), (3, "spark spark spark")],
+        "doc_id LONG, text STRING",
+    )
+    top = bm25_scores(docs, ["spark"], top_k=3).collect()
+    scores = {r.doc_id: r.score for r in top}
+    assert scores[3] > scores[2] == 0.0 and scores[1] > 0.0
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.01", "documents")
+    packed = pack_sequences(corpus, seq_len=512, buckets=8)
+    total_packed = packed.agg(F.sum("tokens").alias("t")).collect()[0].t
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+
+    total_docs = corpus.select(
+        F.sum(F.size(tokenize(F.col("text")))).alias("t")
+    ).collect()[0].t
+    assert total_packed == total_docs
