@@ -192,3 +192,85 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_emails", n_emails).withColumn(
         "n_long_nums", n_nums
     ).withColumn("text_redacted", redacted)
+
+
+def mix_corpus(
+    docs: DataFrame,
+    upweight_sources: list[str],
+    upweight: float = 3.0,
+    budget_frac: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data mixing: deterministic weighted downsampling of each source to
+    hit a global token budget (the "data mixture" step that sets domain
+    proportions before pretraining).
+
+    Each source s gets a token target ``budget · w_s / Σw`` (w_s =
+    ``upweight`` for listed sources, 1 otherwise; budget =
+    ``budget_frac`` × corpus tokens, so the mixture is scale-free).
+    Acceptance is per-document via ``portable_hash(id) % 1e6 <
+    rate_ppm`` with the rate floored to integer ppm — an exact integer
+    compare, so membership is bit-reproducible across engines,
+    partitionings, and reruns (re-running the mix on a grown corpus
+    keeps previously-selected documents selected wherever rates didn't
+    drop — hash sampling's consistency property).
+
+    Plan shape: one map pass for token counts, one tiny per-source agg
+    (|sources| rows → broadcast), acceptance as a map-side broadcast
+    join + filter, then the per-source summary agg. The corpus shuffles
+    exactly once (the final summary groupBy); at 100 TB the mix itself
+    is embarrassingly parallel. Returns (source, rate_ppm, kept_docs,
+    kept_tokens) ordered by source.
+    """
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+    tok = docs.select(
+        F.col(source_col).alias("src"),
+        F.col(id_col).alias("id"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+    )
+    src = tok.groupBy("src").agg(F.sum("n_tokens").alias("s_tokens"))
+    w = (
+        F.when(F.col("src").isin(*upweight_sources), F.lit(float(upweight)))
+        .otherwise(F.lit(1.0))
+        .alias("w")
+    )
+    src_w = src.select("src", "s_tokens", w)
+    totals = src_w.agg(
+        F.sum("s_tokens").alias("total_tokens"), F.sum("w").alias("sum_w")
+    )
+    rates = (
+        src_w.join(F.broadcast(totals))
+        .withColumn(
+            "target",
+            F.lit(budget_frac)
+            * F.col("total_tokens").cast("double")
+            * F.col("w")
+            / F.col("sum_w"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.floor(F.col("target") / F.col("s_tokens") * F.lit(1000000.0)),
+            ),
+        )
+        .select("src", "rate_ppm")
+    )
+    kept = tok.join(F.broadcast(rates), "src").where(
+        portable_hash(F.col("id").cast("string")) % F.lit(1000000)
+        < F.col("rate_ppm")
+    )
+    return (
+        kept.groupBy("src", "rate_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .select(
+            F.col("src").alias("source"), "rate_ppm", "kept_docs", "kept_tokens"
+        )
+        .orderBy("source")
+    )

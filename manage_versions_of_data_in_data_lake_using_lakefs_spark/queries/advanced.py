@@ -738,6 +738,62 @@ def _oracle_pack_sequences() -> str:
 ORACLE_PACK_SEQUENCES = _oracle_pack_sequences()
 
 
+_MIX_UP = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (operators/corpus.mix_corpus): sources src0-4
+    upweighted 3×, global budget 40% of corpus tokens, per-document
+    acceptance by integer-ppm hash threshold — bit-reproducible
+    membership at any partitioning. One tiny per-source agg broadcasts;
+    the corpus itself shuffles once (the summary)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.corpus import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_corpus(docs, list(_MIX_UP))
+
+
+def _oracle_corpus_mix() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import _P, PORTABLE_HASH_SQL
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _SQL_TOKS
+
+    h = PORTABLE_HASH_SQL.format(x="CAST(id AS VARCHAR)", m=_P)
+    ups = ", ".join(f"'{s}'" for s in _MIX_UP)
+    return f"""
+WITH tok AS (
+    SELECT source AS src, doc_id AS id, len({_SQL_TOKS}) AS n_tokens
+    FROM documents
+),
+src AS (
+    SELECT src, CAST(SUM(n_tokens) AS BIGINT) AS s_tokens,
+           CASE WHEN src IN ({ups}) THEN 3.0 ELSE 1.0 END AS w
+    FROM tok GROUP BY src
+),
+totals AS (
+    SELECT CAST(SUM(s_tokens) AS BIGINT) AS total_tokens,
+           SUM(w) AS sum_w
+    FROM src
+),
+rates AS (
+    SELECT src,
+           LEAST(CAST(1000000 AS BIGINT),
+                 CAST(FLOOR((0.4 * CAST(total_tokens AS DOUBLE) * w / sum_w)
+                            / s_tokens * 1000000.0) AS BIGINT)) AS rate_ppm
+    FROM src CROSS JOIN totals
+)
+SELECT src AS source, rate_ppm,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM tok JOIN rates USING (src)
+WHERE {h} % 1000000 < rate_ppm
+GROUP BY src, rate_ppm
+ORDER BY source
+"""
+
+
+ORACLE_CORPUS_MIX = _oracle_corpus_mix()
+
+
 def q_agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE approximate distinct counting — a K-Minimum-Values (KMV)
     sketch over the engine-independent md5 hash, so unlike HLL
@@ -2035,6 +2091,7 @@ ADVANCED_QUERIES = {
     "corpus_vocab": q_corpus_vocab,
     "text_bm25": q_text_bm25,
     "pack_sequences": q_pack_sequences,
+    "corpus_mix": q_corpus_mix,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -2087,6 +2144,7 @@ ADVANCED_ORACLES = {
     "corpus_vocab": ORACLE_CORPUS_VOCAB,
     "text_bm25": ORACLE_TEXT_BM25,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "corpus_mix": ORACLE_CORPUS_MIX,
     "agg_rollup": ORACLE_AGG_ROLLUP,
     "agg_cube": ORACLE_AGG_CUBE,
     "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,

@@ -3,6 +3,7 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops impor
     run_to_memory,
     sessionize,
     stream_events_from_dir,
+    stream_refresh_agg,
     streaming_dedup,
     streaming_simhash_neardup,
     windowed_counts,

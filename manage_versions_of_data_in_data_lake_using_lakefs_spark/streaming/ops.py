@@ -375,3 +375,54 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
         .start()
     )
     q.awaitTermination()
+
+
+def stream_refresh_agg(
+    changes_stream: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    measures: dict,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming materialized-view maintenance: a stream of row-level
+    change records (tagged ``__change`` ∈ {added, removed} — the same
+    shape ``LakeRepo.diff`` emits) folds into a persistent aggregate
+    state via ``operators/incremental.agg_refresh``, one micro-batch at
+    a time. Per batch the work is O(|batch| + |state|) with the batch
+    side a tiny broadcast — never a rescan of the underlying table; the
+    exact fixed-point state is what makes out-of-order retractions safe
+    (see operators/incremental.py).
+
+    The state swap is write-new-then-rename (single maintainer per view
+    — the checkpoint already enforces that for a streaming query).
+    Drains with availableNow; a live deployment drops the trigger.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.incremental import agg_refresh, agg_state
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+        else:
+            state = agg_state(batch_df.drop("__change").limit(0), keys, measures)
+        new_state = agg_refresh(state, batch_df, keys, measures)
+        nxt = state_dir + ".next"
+        new_state.write.mode("overwrite").parquet(nxt)
+        old = state_dir + ".old"
+        if _os.path.exists(state_dir):
+            _os.rename(state_dir, old)
+        _os.rename(nxt, state_dir)
+        _shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

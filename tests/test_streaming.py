@@ -275,3 +275,55 @@ def test_real_media_probe_and_decode(spark):
     ids = spark.range(100).selectExpr("id AS doc_id")
     out = probe_media(synthesize_media(ids))
     assert out.where(F.col("detected_format").isNull()).count() == 0
+
+
+def test_stream_refresh_agg_matches_batch_rebuild(spark, tmp_path):
+    """Streaming materialized-view maintenance: a change stream split
+    across micro-batches folds into persistent state that lands EXACTLY
+    on a from-scratch rebuild of the final version — batch boundaries
+    must not matter (each batch may contain partial groups, retractions
+    before additions, etc.)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.incremental import agg_result, agg_state
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import stream_refresh_agg
+
+    keys = ["o_orderstatus"]
+    measures = {"sum_price": ("o_totalprice", 2)}
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v0 = orders.where(F.col("o_orderkey") % 3 == 0)
+    v1 = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    removed = v0.exceptAll(v1).withColumn("__change", F.lit("removed"))
+    added = v1.exceptAll(v0).withColumn("__change", F.lit("added"))
+    changes = removed.unionByName(added)
+
+    state_dir = str(tmp_path / "mv_state")
+    # seed: state at v0
+    agg_state(v0, keys, measures).write.parquet(state_dir)
+
+    src = str(tmp_path / "changes")
+    changes.repartition(5).write.parquet(src)  # 5 files → several batches
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_refresh_agg(
+        stream, state_dir, keys, measures, str(tmp_path / "ckpt")
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in agg_result(
+            spark.read.parquet(state_dir), keys, measures
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in agg_result(agg_state(v1, keys, measures), keys, measures).collect()
+    )
+    assert got == want
