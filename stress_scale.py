@@ -124,6 +124,18 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
         )
 
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.packing import pack_sequences
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.scoring import bm25_scores
+
+    def op_bm25(d: DataFrame) -> DataFrame:
+        return bm25_scores(d, ["spark", "join", "vector"])
+
+    def op_pack(d: DataFrame) -> DataFrame:
+        # buckets scale with input so per-bucket windows stay bounded —
+        # the knob a real deployment turns with cluster size
+        n_buckets = max(8, 8 * k) if d is not docs else 8
+        return pack_sequences(d, seq_len=512, buckets=n_buckets)
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
         "dedup_simhash": (docs, replicate_documents, op_simhash),
@@ -133,6 +145,8 @@ def main() -> None:
         "embedding_ivf_pairs_stride": (emb, replicate_embeddings, op_embed_ivf_stride),
         "embedding_ivf_pairs_hier": (emb, replicate_embeddings, op_embed_ivf_hier),
         "agg_sum": (li, replicate_lineitem, op_agg),
+        "text_bm25": (docs, replicate_documents, op_bm25),
+        "pack_sequences": (docs, replicate_documents, op_pack),
     }
 
     def run(build, base: DataFrame) -> float:
