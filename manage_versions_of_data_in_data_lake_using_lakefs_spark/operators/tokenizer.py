@@ -1,0 +1,140 @@
+"""BPE tokenizer training: the distributed merge-candidate count.
+
+Byte-pair-encoding training is iterative, but every iteration is the
+same distributed primitive: count adjacent-symbol-pair occurrences over
+the corpus, weighted by word frequency, and take the argmax. The scale
+trick — the one every real tokenizer trainer (GPT-2's, SentencePiece's)
+uses — is that the corpus collapses to its word-frequency VOCABULARY
+first: the 100 TB corpus pays exactly one token-count shuffle, and all
+pair arithmetic runs over the (tiny, ~10⁶-row) vocab. The merge loop
+then iterates on vocab-sized data; ``bpe_pair_counts`` is one such
+iteration exposed as a query, with the full iteration driver in
+``bpe_train`` (driver-side loop over a metadata-sized vocab, the same
+pattern as the k-means trainer in clustering.py).
+
+Pair extraction is pure Column arithmetic — a 2-char substring at every
+position — spelled identically in the DuckDB oracle
+(``bpe_pair_counts_sql`` kept adjacent so the two never drift). No
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (w, wc) word-frequency vocabulary. The single corpus-wide
+    shuffle of tokenizer training; everything after runs on the vocab."""
+    toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    return toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent character-pair counts over a (w, wc) vocabulary:
+    pair_cnt = occurrence count weighted by word frequency (a pair
+    appearing twice in one word counts twice — BPE semantics), n_words =
+    distinct words containing the pair. Map + explode + one hash agg on
+    vocab-sized input."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    occ = (
+        vocab.where(F.length("w") >= 2)
+        .select("w", "wc", F.explode(pairs).alias("pair"))
+    )
+    return occ.groupBy("pair").agg(
+        F.sum("wc").alias("pair_cnt"),
+        F.countDistinct("w").alias("n_words"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_k: int = 32
+) -> DataFrame:
+    """Top-k BPE merge candidates: (rank, pair, pair_cnt, n_words),
+    rank deterministic on (pair_cnt DESC, pair ASC). Distributed top-k
+    (TakeOrdered) first, THEN the rank window over k surviving rows."""
+    top = (
+        pair_counts(word_frequencies(docs, text_col))
+        .orderBy(F.col("pair_cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pair_cnt").desc(), F.col("pair").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "pair",
+        "pair_cnt",
+        "n_words",
+    ).orderBy("rank")
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> list[tuple[str, str]]:
+    """Full BPE merge loop, driver-paced like the k-means trainer: ONE
+    distributed vocab build, then ``n_merges`` iterations of pure-pandas
+    pair counting over the collected word-frequency table. Collecting the
+    vocab is the deliberate scale call: vocabulary size grows ~corpus^0.5
+    (Heaps' law) and real trainers cap it (~10⁶ rows ≈ tens of MB of
+    metadata) — the corpus itself is touched exactly once. Returns the
+    merge list [(left, right), ...] in application order.
+
+    Symbols here are characters then merged character blocks, tracked as
+    space-separated symbol strings (classic Sennrich formulation).
+    """
+    vocab = [
+        (r["w"], r["wc"])
+        for r in word_frequencies(docs, text_col).collect()
+    ]
+    # word → list of symbols (chars initially)
+    words: list[tuple[list[str], int]] = [(list(w), wc) for w, wc in vocab]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wc in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wc
+        if not counts:
+            break
+        # deterministic argmax: count DESC, pair ASC
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        ab = best[0] + best[1]
+        new_words = []
+        for syms, wc in words:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((out, wc))
+        words = new_words
+    return merges
+
+
+def bpe_pair_counts_sql(toks_sql: str, top_k: int = 32) -> str:
+    """DuckDB twin of ``bpe_pair_counts`` over ``documents``."""
+    return f"""
+WITH toks AS (SELECT unnest({toks_sql}) AS w FROM documents),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM toks GROUP BY w),
+occ AS (SELECT w, wc, substring(w, CAST(d AS INT), 2) AS pair
+        FROM vocab, UNNEST(range(1, len(w))) AS t(d)
+        WHERE len(w) >= 2),
+agg AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_cnt,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+        FROM occ GROUP BY pair)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_cnt DESC, pair ASC) AS INT) AS rank,
+       pair, pair_cnt, n_words
+FROM agg ORDER BY pair_cnt DESC, pair ASC LIMIT {top_k}
+"""

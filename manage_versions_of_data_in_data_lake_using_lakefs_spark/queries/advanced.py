@@ -2056,6 +2056,109 @@ ORDER BY cntrycode
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding-table analytics + tokenizer training (operators/embeddings.py,
+# operators/tokenizer.py) — whole-corpus single-pass statistics
+# ---------------------------------------------------------------------------
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram/covariance upper triangle of the quantized embedding
+    corpus (PCA/whitening prep): one mapInPandas pass emits a d²-integer
+    partial per partition, one tiny groupBy merges — the corpus never
+    shuffles. All-integer associative arithmetic → bit-identical at any
+    partitioning; the cov double is a fixed-order expression the oracle
+    replays verbatim."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import gram_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_covariance(emb)
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH qv AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+el AS (SELECT id, CAST(d AS INT) AS d, q[d] AS v
+       FROM qv, UNNEST(range(1, len(q) + 1)) AS t(d)),
+g AS (SELECT a.d AS i, b.d AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS gram
+      FROM el a JOIN el b ON a.id = b.id AND a.d <= b.d GROUP BY a.d, b.d),
+s AS (SELECT d, CAST(SUM(v) AS BIGINT) AS sv FROM el GROUP BY d),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qv)
+SELECT i, j, gram,
+       (CAST(gram AS DOUBLE) - CAST(si.sv AS DOUBLE) * CAST(sj.sv AS DOUBLE)
+            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov
+FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j CROSS JOIN nn
+ORDER BY i, j
+"""
+
+
+def q_embedding_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid domain classification of every embedding →
+    (label, pred, cnt) confusion counts. Centroids are exact floor-div
+    means via per-partition integer partials (≤ k metadata rows reach
+    the driver — the k-means exception); assignment is a k-row broadcast
+    + exact integer cosine, window argmax tie-broken on pred. The
+    oracle rebuilds the identical centroids in SQL (pmod floor-div,
+    kmeans_sql.py pattern) and replays the assignment."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import centroid_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_classify(emb)
+
+
+ORACLE_EMBEDDING_CLASSIFY = """
+WITH qv AS (
+    SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+           list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000000.0)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, label, q, list_dot_product(q, q) AS n FROM qv),
+el AS (SELECT label, CAST(d AS INT) AS d, CAST(q[d] AS BIGINT) AS v
+       FROM qv, UNNEST(range(1, len(q) + 1)) AS t(d)),
+ls AS (SELECT label, d, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM el GROUP BY label, d),
+cents AS (SELECT label AS cand,
+                 list(CAST((s - (((s % cnt) + cnt) % cnt)) // cnt AS DOUBLE)
+                      ORDER BY d) AS cvec
+          FROM ls GROUP BY label),
+scores AS (
+    SELECT qn.id, qn.label, c.cand,
+           ROW_NUMBER() OVER (PARTITION BY qn.id ORDER BY
+               list_dot_product(qn.q, c.cvec)
+                 / (SQRT(qn.n) * SQRT(list_dot_product(c.cvec, c.cvec))) DESC,
+               c.cand ASC) AS r
+    FROM qn CROSS JOIN cents c
+)
+SELECT label, cand AS pred, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM scores WHERE r = 1 GROUP BY label, cand ORDER BY label, pred
+"""
+
+
+def q_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration at corpus scale: collapse the corpus
+    to its word-frequency vocabulary (the single corpus-wide shuffle),
+    count adjacent char pairs weighted by word frequency over the tiny
+    vocab, distributed top-32 merge candidates. The full driver-paced
+    merge loop is operators/tokenizer.bpe_train (pytest-verified)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs)
+
+
+def _oracle_tokenizer_bpe() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_pair_counts_sql
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _SQL_TOKS
+
+    return bpe_pair_counts_sql(_SQL_TOKS)
+
+
+ORACLE_TOKENIZER_BPE = _oracle_tokenizer_bpe()
+
+
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q4": q_tpch_q4,
@@ -2107,6 +2210,9 @@ ADVANCED_QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
     "sim_topk_ivf_hier": q_sim_topk_ivf_hier,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_classify": q_embedding_classify,
+    "tokenizer_bpe": q_tokenizer_bpe,
 }
 
 ADVANCED_ORACLES = {
@@ -2160,4 +2266,7 @@ ADVANCED_ORACLES = {
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
     "sim_topk_ivf_trained": ORACLE_SIM_TOPK_IVF_TRAINED,
     "sim_topk_ivf_hier": ORACLE_SIM_TOPK_IVF_HIER,
+    "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
+    "embedding_classify": ORACLE_EMBEDDING_CLASSIFY,
+    "tokenizer_bpe": ORACLE_TOKENIZER_BPE,
 }

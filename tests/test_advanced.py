@@ -482,3 +482,85 @@ def test_bm25_and_packing_invariants(spark):
         F.sum(F.size(tokenize(F.col("text")))).alias("t")
     ).collect()[0].t
     assert total_packed == total_docs
+
+
+def test_gram_covariance_matches_numpy(spark):
+    """The distributed Gram/cov pass equals a straight numpy computation
+    over the same quantized vectors — on a deliberately multi-partition
+    input, so partial-merge associativity is exercised."""
+    import numpy as np
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import gram_covariance
+
+    rng = [
+        (i, [round(((i * 31 + d * 7) % 13 - 6) / 7.0, 4) for d in range(5)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rng, "vec_id LONG, embedding ARRAY<FLOAT>").repartition(8)
+    out = {(r.i, r.j): (r.gram, r.cov) for r in gram_covariance(df).collect()}
+    Q = np.array(
+        [[round(float(np.float32(x)) * 1e6) for x in v] for _, v in rng], dtype=np.int64
+    )
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    n = len(rng)
+    assert len(out) == 5 * 6 // 2
+    for i in range(5):
+        for j in range(i, 5):
+            g, cov = out[(i + 1, j + 1)]
+            assert g == G[i, j]
+            expect = (float(G[i, j]) - float(s[i]) * float(s[j]) / n) / n
+            assert abs(cov - expect) < 1e-9
+
+
+def test_centroid_classify_separable_labels(spark):
+    """On linearly separable clusters the confusion matrix is diagonal,
+    and repartitioning must not change a single count (associative
+    integer partials)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import centroid_classify
+
+    rows = []
+    for i in range(30):
+        lb = i % 3
+        base = [0.0, 0.0, 0.0]
+        base[lb] = 1.0
+        base[(lb + 1) % 3] = 0.01 * (i % 5)  # within-cluster jitter
+        rows.append((i, base, lb))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    for parts in (1, 7):
+        conf = {
+            (r.label, r.pred): r.cnt
+            for r in centroid_classify(df.repartition(parts)).collect()
+        }
+        assert conf == {(0, 0): 10, (1, 1): 10, (2, 2): 10}
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """The driver-paced merge loop reproduces the classic Sennrich
+    example: repeated 'lo' / 'low' dominate, and merges apply greedily
+    left-to-right inside each word."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest")],
+        "doc_id LONG, text STRING",
+    )
+    merges = bpe_train(docs, n_merges=3)
+    assert merges[0] == ("l", "o")  # 'lo' appears in low×5 + lower×2 = 7
+    assert merges[1] == ("lo", "w")  # then 'low' merges as a block
+    assert len(merges) == 3
+
+
+def test_bpe_pair_counts_weights_by_word_frequency(spark):
+    """pair_cnt is occurrence-weighted (a pair twice in one word counts
+    twice per word occurrence) and n_words is distinct-vocab."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa banana")], "doc_id LONG, text STRING"
+    )
+    rows = {r.pair: (r.pair_cnt, r.n_words) for r in bpe_pair_counts(docs).collect()}
+    # 'aa' twice inside 'aaa', word count 2 -> 4; appears in 1 vocab word
+    assert rows["aa"] == (4, 1)
+    # 'an' twice inside 'banana' (positions 2,4), word count 1 -> 2
+    assert rows["an"] == (2, 1)
