@@ -35,6 +35,18 @@ survives untouched; every other backticked identifier is masked before
 rewriting so a name like ``order-events`` can never be corrupted by the
 ``events`` rewrite.
 
+Write-side DML completes the Delta SQL surface (r5): ``CREATE [OR
+REPLACE] TABLE t AS SELECT``, ``INSERT INTO t SELECT|VALUES``,
+``DELETE FROM t [WHERE]``, ``UPDATE t SET ... [WHERE]`` — each stages
+through ``LakeRepo.write_table`` and auto-commits one version (the
+``upsert_table`` precedent), returning a one-row (table, version,
+rows_affected) summary. Inner SELECTs/conditions run through the full
+rewriter, so time travel inside DML (``INSERT INTO t SELECT * FROM t
+VERSION AS OF 0``) works. DELETE removes rows where the condition IS
+TRUE — NULL-condition rows survive, ANSI semantics; UPDATE casts each
+assignment back to the column's existing type so the schema can't
+drift.
+
 Known lexical limits: a *bare* column whose name equals a repo *table*
 name referenced in the same query would be rewritten too — the standard
 hazard of rewriting identifiers without a parse tree (backtick-quote the
@@ -49,6 +61,7 @@ import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
 
@@ -86,6 +99,52 @@ _RESTORE_RE = re.compile(
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(r"^\s*VACUUM(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$", re.IGNORECASE)
+_CTAS_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<table>{_IDENT})\s+AS\s+"
+    r"(?P<select>SELECT\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+(?P<table>{_IDENT})\s+"
+    r"(?P<body>(?:SELECT|VALUES)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+(?P<table>{_IDENT})"
+    r"(?:\s+WHERE\s+(?P<cond>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+(?P<table>{_IDENT})\s+SET\s+(?P<sets>.*?)"
+    r"(?:\s+WHERE\s+(?P<cond>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ASSIGN_RE = re.compile(rf"^\s*(?P<col>{_IDENT})\s*=\s*(?P<expr>.+)$", re.DOTALL)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a SET list on top-level commas: literals masked first, paren
+    depth tracked — ``a = f(x, y), b = 'p,q'`` is two assignments."""
+    literals: list[str] = []
+
+    def mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = _LITERAL_RE.sub(mask, s)
+    parts, depth, cur = [], 0, []
+    for ch in masked:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [_MASK_RE.sub(lambda m: literals[int(m.group(1))], p).strip() for p in parts]
 
 
 class LakeSQL:
@@ -228,6 +287,105 @@ class LakeSQL:
             raise KeyError(f"no commit at or before {ts} on {self.branch}")
         return best
 
+    # -- DML (Delta-style SQL writes; auto-commit like upsert_table) -------
+
+    def _dml_result(self, table: str, version: int, rows: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(table, version, rows)], "table STRING, version INT, rows_affected BIGINT"
+        )
+
+    def _ctas(self, table: str, select: str, replace: bool) -> DataFrame:
+        """CREATE [OR REPLACE] TABLE t AS SELECT ... — the SELECT runs
+        through the full rewriter (time travel and repo refs work), the
+        result is staged as an overwrite and committed in one step."""
+        existing = {t.lower() for t in self.repo.list_tables(self.branch)}
+        if table.lower() in existing and not replace:
+            raise ValueError(
+                f"table {table!r} already exists on {self.branch!r}; "
+                "use CREATE OR REPLACE TABLE"
+            )
+        name = self._resolve_table(table) if table.lower() in existing else table.lower()
+        df = self.sql(select)
+        rows = df.count()
+        self.repo.write_table(self.branch, name, df, mode="overwrite")
+        c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
+        return self._dml_result(name, c.version, rows)
+
+    def _insert(self, table: str, body: str) -> DataFrame:
+        """INSERT INTO t SELECT ... | VALUES (...), ... — positional
+        column alignment with a cast to the target schema (Delta
+        semantics); append-mode schema policy enforced by write_table."""
+        name = self._resolve_table(table)
+        target = self.repo.read_table(self.spark, name, ref=self.branch, include_staged=True)
+        if body.lstrip()[:6].upper() == "VALUES":
+            src = self.spark.sql(f"SELECT * FROM {body}")
+        else:
+            src = self.sql(body)
+        fields = target.schema.fields
+        if len(src.columns) != len(fields):
+            raise ValueError(
+                f"INSERT column count {len(src.columns)} != target arity "
+                f"{len(fields)} for {name!r}"
+            )
+        aligned = src.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(src.columns, fields)
+            ]
+        )
+        rows = aligned.count()
+        self.repo.write_table(self.branch, name, aligned, mode="append")
+        c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
+        return self._dml_result(name, c.version, rows)
+
+    def _delete(self, table: str, cond: str | None) -> DataFrame:
+        """DELETE FROM t [WHERE cond] — rows where cond IS TRUE are
+        removed (NULL-condition rows survive, ANSI DELETE semantics);
+        the snapshot is rewritten and committed. The condition runs
+        through the rewriter, so subqueries on repo tables work."""
+        name = self._resolve_table(table)
+        keep_where = f"({cond}) IS NOT TRUE" if cond else "FALSE"
+        total = self.sql(f"SELECT * FROM {name}").count()
+        kept = self.sql(f"SELECT * FROM {name} WHERE {keep_where}")
+        rows = total - kept.count()
+        self.repo.write_table(self.branch, name, kept, mode="overwrite")
+        c = self.repo.commit(self.branch, f"SQL: DELETE FROM {name}")
+        return self._dml_result(name, c.version, rows)
+
+    def _update(self, table: str, sets: str, cond: str | None) -> DataFrame:
+        """UPDATE t SET c = expr, ... [WHERE cond] — rewritten as one
+        projection (CASE WHEN cond IS TRUE THEN expr ELSE c END, cast
+        back to the column's type so the table schema never drifts).
+        Generated column references are backticked, so a column named
+        like a repo table survives the lexical table rewrite."""
+        name = self._resolve_table(table)
+        target = self.repo.read_table(self.spark, name, ref=self.branch, include_staged=True)
+        assigns: dict[str, str] = {}
+        for part in _split_top_level(sets):
+            m = _ASSIGN_RE.match(part)
+            if not m:
+                raise ValueError(f"cannot parse SET assignment: {part!r}")
+            col = m.group("col")
+            resolved = {f.name.lower(): f.name for f in target.schema.fields}
+            if col.lower() not in resolved:
+                raise KeyError(f"UPDATE {name!r}: no column {col!r}")
+            assigns[resolved[col.lower()]] = m.group("expr").strip()
+        guard = f"({cond}) IS TRUE" if cond else "TRUE"
+        proj = []
+        for f in target.schema.fields:
+            if f.name in assigns:
+                proj.append(
+                    f"CAST(CASE WHEN {guard} THEN ({assigns[f.name]}) "
+                    f"ELSE `{f.name}` END AS {f.dataType.simpleString()}) AS `{f.name}`"
+                )
+            else:
+                proj.append(f"`{f.name}`")
+        rows = self.sql(f"SELECT * FROM {name} WHERE {guard}").count()
+        updated = self.sql(f"SELECT {', '.join(proj)} FROM {name}")
+        self.repo.write_table(self.branch, name, updated, mode="overwrite")
+        c = self.repo.commit(self.branch, f"SQL: UPDATE {name}")
+        return self._dml_result(name, c.version, rows)
+
     def sql(self, query: str) -> DataFrame:
         m = _HISTORY_RE.match(query)
         if m:
@@ -253,6 +411,20 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 [(p,) for p in removed], "path STRING"
             )
+        m = _CTAS_RE.match(query)
+        if m:
+            return self._ctas(
+                m.group("table"), m.group("select"), bool(m.group("replace"))
+            )
+        m = _INSERT_RE.match(query)
+        if m:
+            return self._insert(m.group("table"), m.group("body"))
+        m = _DELETE_RE.match(query)
+        if m:
+            return self._delete(m.group("table"), m.group("cond"))
+        m = _UPDATE_RE.match(query)
+        if m:
+            return self._update(m.group("table"), m.group("sets"), m.group("cond"))
 
         # 1) mask string literals: nothing inside quotes is a table
         #    reference or a time-travel clause

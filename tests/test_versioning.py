@@ -983,3 +983,110 @@ def test_lakesql_restore_and_vacuum_statements(spark, repo):
 
     # keep_history vacuum removes nothing here; DRY RUN returns a frame
     assert lsql.sql("VACUUM DRY RUN").collect() == lsql.sql("VACUUM").collect()
+
+
+# -- SQL DML (CTAS / INSERT / DELETE / UPDATE, r5) --------------------------
+
+
+def test_sql_ctas_creates_and_requires_or_replace(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a"), (2, "b")]))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo)
+    out = lsql.sql("CREATE TABLE t2 AS SELECT id, val FROM t WHERE id = 1").collect()[0]
+    assert (out.table, out.rows_affected) == ("t2", 1)
+    assert lsql.sql("SELECT count(*) AS n FROM t2").collect()[0].n == 1
+    with pytest.raises(ValueError, match="already exists"):
+        lsql.sql("CREATE TABLE t2 AS SELECT * FROM t")
+    lsql.sql("CREATE OR REPLACE TABLE t2 AS SELECT * FROM t")
+    assert lsql.sql("SELECT count(*) AS n FROM t2").collect()[0].n == 2
+
+
+def test_sql_insert_select_values_and_time_travel(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    c0 = repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    lsql.sql("INSERT INTO t VALUES (2, 'b'), (3, 'c')")
+    assert lsql.sql("SELECT count(*) AS n FROM t").collect()[0].n == 3
+    # INSERT with a time-travel SELECT body: re-append the v0 snapshot
+    lsql.sql(f"INSERT INTO t SELECT * FROM t VERSION AS OF {c0.version}")
+    rows = sorted(
+        (r.id, r.val) for r in lsql.sql("SELECT id, val FROM t").collect()
+    )
+    assert rows == [(1, "a"), (1, "a"), (2, "b"), (3, "c")]
+    # positional cast: string ids arrive as INT per target schema
+    lsql.sql("INSERT INTO t VALUES ('7', 'x')")
+    assert lsql.sql("SELECT id FROM t WHERE val = 'x'").collect()[0].id == 7
+    with pytest.raises(ValueError, match="column count"):
+        lsql.sql("INSERT INTO t VALUES (1, 'a', 'extra')")
+
+
+def test_sql_delete_null_condition_rows_survive(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 99)], "id INT, x INT")
+    repo.write_table("main", "t", df)
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    out = lsql.sql("DELETE FROM t WHERE x > 50").collect()[0]
+    assert out.rows_affected == 1
+    # ANSI: the NULL-x row is NOT deleted (condition not TRUE)
+    assert sorted(r.id for r in lsql.sql("SELECT id FROM t").collect()) == [1, 2]
+    # unconditional delete empties but keeps the schema
+    lsql.sql("DELETE FROM t")
+    kept = lsql.sql("SELECT * FROM t")
+    assert kept.count() == 0 and kept.columns == ["id", "x"]
+
+
+def test_sql_update_with_where_and_type_preservation(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a"), (2, "b")]))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    out = lsql.sql(
+        "UPDATE t SET val = concat(val, '!'), id = id + 10 WHERE id = 2"
+    ).collect()[0]
+    assert out.rows_affected == 1
+    rows = {r.id: r.val for r in lsql.sql("SELECT id, val FROM t").collect()}
+    assert rows == {1: "a", 12: "b!"}
+    # id stays INT (cast back to the column type even though id+10 is INT
+    # and a literal would widen)
+    sch = {f.name: f.dataType.simpleString() for f in lsql.sql("SELECT * FROM t").schema.fields}
+    assert sch == {"id": "int", "val": "string"}
+    with pytest.raises(KeyError, match="no column"):
+        lsql.sql("UPDATE t SET nope = 1")
+
+
+def test_sql_dml_versions_and_history(spark, repo):
+    """Every DML statement lands exactly one commit; time travel across
+    DML versions reads each intermediate state."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    v_ins = lsql.sql("INSERT INTO t VALUES (2, 'b')").collect()[0].version
+    v_del = lsql.sql("DELETE FROM t WHERE id = 1").collect()[0].version
+    assert v_del == v_ins + 1
+    assert (
+        lsql.sql(f"SELECT count(*) AS n FROM t VERSION AS OF {v_ins}").collect()[0].n
+        == 2
+    )
+    assert sorted(r.id for r in lsql.sql("SELECT id FROM t").collect()) == [2]
+    msgs = [r.message for r in lsql.sql("DESCRIBE HISTORY t").collect()]
+    assert any("INSERT INTO t" in m for m in msgs)
+    assert any("DELETE FROM t" in m for m in msgs)
+
+
+def test_sql_update_set_list_with_commas_in_literals_and_calls(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    lsql.sql("UPDATE t SET val = concat('x,y', ',', val), id = greatest(id, 0)")
+    assert lsql.sql("SELECT val FROM t").collect()[0].val == "x,y,a"
