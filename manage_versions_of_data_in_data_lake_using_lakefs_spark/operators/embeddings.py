@@ -212,3 +212,58 @@ def centroid_classify(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("label", "pred")
     )
+
+
+def jl_basis(out_dims: int = 16, in_dims: int = 64) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss basis. Signs come from a
+    fixed integer recurrence (no RNG API → identical in any engine or
+    run); Achlioptas (2003) shows ±1 entries preserve pairwise
+    distances with the same guarantee as Gaussian projections."""
+    return [
+        [
+            1 if ((j * 1315423911 + d * 2654435761) % 7) % 2 == 0 else -1
+            for d in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def _make_project_batches(basis: list[list[int]]):
+    """Factory (by-value pickling): one int64 matmul per Arrow batch."""
+
+    def _project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = np.array(basis, dtype=np.int64)  # out × in
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf["q"].to_list(), dtype=np.int64)
+            P = M @ B.T  # n × out
+            n, out = P.shape
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), out),
+                    "dim": np.tile(np.arange(1, out + 1, dtype=np.int32), n),
+                    "val": P.reshape(-1),
+                }
+            )
+
+    return _project
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dims: int = 16,
+) -> DataFrame:
+    """Project d-dim embeddings onto a deterministic ±1 JL basis →
+    (id, dim, val) rows, val exact int64 (|val| ≤ d·10⁶ — no overflow
+    at any corpus size; the basis is per-ROW work so this is map-only,
+    zero shuffle at 100 TB). The d' ≈ O(log n / ε²) sketch is the
+    standard precursor to cheaper distance computations downstream."""
+    in_dims = len(df.select(vec_col).first()[0])
+    basis = jl_basis(out_dims, in_dims)
+    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    return q.mapInPandas(
+        _make_project_batches(basis), "id LONG, dim INT, val LONG"
+    ).orderBy("id", "dim")

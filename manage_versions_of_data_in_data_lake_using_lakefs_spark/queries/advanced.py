@@ -2137,6 +2137,38 @@ FROM scores WHERE r = 1 GROUP BY label, cand ORDER BY label, pred
 """
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 projection 64 → 16 dims: map-only
+    (one int64 matmul per Arrow batch, zero shuffle at any scale),
+    deterministic basis shared with the oracle as data. The standard
+    sketch before cheaper downstream distance work."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_project(emb, out_dims=16)
+
+
+def _oracle_embedding_project() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import jl_basis
+
+    basis = jl_basis(16, 64)
+    vals = ", ".join(f"({j + 1}, {basis[j]})" for j in range(16))
+    return f"""
+WITH qv AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000000.0)) AS q
+    FROM embeddings
+),
+basis(dim, bv) AS (VALUES {vals})
+SELECT id, CAST(dim AS INT) AS dim,
+       CAST(list_dot_product(q, bv) AS BIGINT) AS val
+FROM qv CROSS JOIN basis ORDER BY id, dim
+"""
+
+
+ORACLE_EMBEDDING_PROJECT = _oracle_embedding_project()
+
+
 def q_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-training iteration at corpus scale: collapse the corpus
     to its word-frequency vocabulary (the single corpus-wide shuffle),
@@ -2211,6 +2243,7 @@ ADVANCED_QUERIES = {
     "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
     "sim_topk_ivf_hier": q_sim_topk_ivf_hier,
     "embedding_covariance": q_embedding_covariance,
+    "embedding_project": q_embedding_project,
     "embedding_classify": q_embedding_classify,
     "tokenizer_bpe": q_tokenizer_bpe,
 }
@@ -2267,6 +2300,7 @@ ADVANCED_ORACLES = {
     "sim_topk_ivf_trained": ORACLE_SIM_TOPK_IVF_TRAINED,
     "sim_topk_ivf_hier": ORACLE_SIM_TOPK_IVF_HIER,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
+    "embedding_project": ORACLE_EMBEDDING_PROJECT,
     "embedding_classify": ORACLE_EMBEDDING_CLASSIFY,
     "tokenizer_bpe": ORACLE_TOKENIZER_BPE,
 }

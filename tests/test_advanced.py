@@ -564,3 +564,31 @@ def test_bpe_pair_counts_weights_by_word_frequency(spark):
     assert rows["aa"] == (4, 1)
     # 'an' twice inside 'banana' (positions 2,4), word count 1 -> 2
     assert rows["an"] == (2, 1)
+
+
+def test_jl_projection_preserves_relative_distances(spark):
+    """JL sanity: for well-separated vs near-identical vector pairs, the
+    projected distances keep the ordering (the guarantee the sketch is
+    for), and the projection is exactly reproducible."""
+    import numpy as np
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import jl_basis, jl_project
+
+    base = [0.5] * 64
+    near = [0.5] * 63 + [0.501]
+    far = [-0.5] * 64
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    out = jl_project(df, out_dims=16).collect()
+    vecs = {}
+    for r in out:
+        vecs.setdefault(r.id, [0] * 16)[r.dim - 1] = r.val
+    v = {k: np.array(x, dtype=np.int64) for k, x in vecs.items()}
+    d_near = np.linalg.norm(v[0] - v[1])
+    d_far = np.linalg.norm(v[0] - v[2])
+    assert d_far > 10 * d_near
+    # exact against numpy on the same quantized input
+    B = np.array(jl_basis(16, 64), dtype=np.int64)
+    q0 = np.array([round(float(np.float32(x)) * 1e6) for x in base], dtype=np.int64)
+    assert (v[0] == B @ q0).all()
