@@ -94,6 +94,10 @@ def main() -> None:
         "text_bm25",
         "pack_sequences",
         "sim_topk_ivf_hier",
+        "tokenizer_bpe",
+        "embedding_covariance",
+        "embedding_classify",
+        "embedding_project",
     ):
         if extra in registry:
             names.append(extra)

@@ -136,6 +136,22 @@ def main() -> None:
         n_buckets = max(8, 8 * k) if d is not docs else 8
         return pack_sequences(d, seq_len=512, buckets=n_buckets)
 
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.embeddings import (
+        centroid_classify,
+        gram_covariance,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_pair_counts
+
+    def op_gram(e: DataFrame) -> DataFrame:
+        return gram_covariance(e)
+
+    def op_classify(e: DataFrame) -> DataFrame:
+        # label column survives replication keyed off vec_id parity
+        return centroid_classify(e.withColumn("label", (F.col("vec_id") % 10).cast("int")))
+
+    def op_bpe(d: DataFrame) -> DataFrame:
+        return bpe_pair_counts(d)
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
         "dedup_simhash": (docs, replicate_documents, op_simhash),
@@ -147,6 +163,9 @@ def main() -> None:
         "agg_sum": (li, replicate_lineitem, op_agg),
         "text_bm25": (docs, replicate_documents, op_bm25),
         "pack_sequences": (docs, replicate_documents, op_pack),
+        "embedding_covariance": (emb, replicate_embeddings, op_gram),
+        "embedding_classify": (emb, replicate_embeddings, op_classify),
+        "tokenizer_bpe": (docs, replicate_documents, op_bpe),
     }
 
     def run(build, base: DataFrame) -> float:

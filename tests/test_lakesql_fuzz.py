@@ -146,3 +146,33 @@ def test_literal_containing_backticked_table(fuzz_env):
     r = lsql.sql("SELECT '`events` FROM events' AS s, count(*) AS n FROM events").collect()
     assert r[0].s == "`events` FROM events"
     assert r[0].n == 10
+
+
+# DML SET-list splitter (r5) ----------------------------------------------
+
+_EXPR_ATOMS = st.sampled_from(
+    [
+        "1",
+        "id + 1",
+        "concat('a,b', val)",
+        "'x,y'",
+        "'it''s, fine'",
+        "greatest(id, 2, 3)",
+        "CASE WHEN id > 1 THEN 'a,b' ELSE val END",
+        "substr(val, 1, 2)",
+        "array(1, 2)[0]",
+    ]
+)
+
+
+@given(exprs=st.lists(_EXPR_ATOMS, min_size=1, max_size=5))
+@settings(deadline=None, max_examples=60)
+def test_split_top_level_roundtrips_assignments(exprs):
+    """Joining N assignments with commas and re-splitting yields exactly
+    the N assignments — commas inside literals (including ''-escaped),
+    function calls, CASE, and array indexing never split."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import _split_top_level
+
+    assigns = [f"c{i} = {e}" for i, e in enumerate(exprs)]
+    out = _split_top_level(", ".join(assigns))
+    assert out == assigns
