@@ -759,3 +759,42 @@ def topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr", "rank", "cos")
     )
+
+
+def cosine_pairs_auto(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    nprobe: int = 2,
+    iters: int = 2,
+    max_broadcast_k: int = 65536,
+) -> DataFrame:
+    """Near-dup pairs with the quantizer flavor chosen by corpus size —
+    the single entry point a 100 TB deployment calls.
+
+    While the corpus-scaled flat rule k = max(8, n/64) still broadcasts
+    (``max_broadcast_k`` default 65 536 → a 64-dim int64 centroid matrix
+    of ~32 MB, Spark's practical task-closure comfort zone), train the
+    flat adaptive-k quantizer — one level, cheapest assignment. Past
+    that horizon (n ≳ 4·10⁶ at the default stride; tens of GB of flat
+    centroids at 10⁹ vectors), switch to the two-level hierarchical
+    quantizer: same constant ~64-vector cell width, but each training
+    level only ever broadcasts √(n/64) centroids. The one extra job is
+    a count on the quantized projection both trainers persist anyway.
+    Both branches are individually oracle-verified
+    (``dedup_embedding_cosine`` / ``dedup_embedding_cosine_hier``)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import (
+        adaptive_k_flat,
+        kmeans_fit,
+    )
+
+    n = df.count()
+    if adaptive_k_flat(n) <= max_broadcast_k:
+        cents = kmeans_fit(df, vec_col, id_col, iters=iters, adaptive_k=adaptive_k_flat)
+        return cosine_pairs_ivf(
+            df, vec_col, id_col, threshold, nprobe=nprobe, centroids=cents
+        )
+    return cosine_pairs_ivf_hier(
+        df, vec_col, id_col, threshold, iters=iters, nprobe=nprobe
+    )
