@@ -35,6 +35,13 @@ survives untouched; every other backticked identifier is masked before
 rewriting so a name like ``order-events`` can never be corrupted by the
 ``events`` rewrite.
 
+Branch management is SQL too (r5): ``CREATE BRANCH dev [FROM src]``,
+``DROP BRANCH dev``, ``USE BRANCH dev`` (re-points this session),
+``SHOW BRANCHES``, ``COMMIT [MESSAGE '...']`` (publishes staged
+changes), ``MERGE BRANCH src INTO dest`` (three-way over the commit
+DAG), ``DROP TABLE t`` — the lakectl verbs a reference user runs,
+spelled as SQL statements.
+
 Write-side DML completes the Delta SQL surface (r5): ``CREATE [OR
 REPLACE] TABLE t AS SELECT``, ``INSERT INTO t SELECT|VALUES``,
 ``DELETE FROM t [WHERE]``, ``UPDATE t SET ... [WHERE]`` — each stages
@@ -120,6 +127,28 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ASSIGN_RE = re.compile(rf"^\s*(?P<col>{_IDENT})\s*=\s*(?P<expr>.+)$", re.DOTALL)
+_CREATE_BRANCH_RE = re.compile(
+    rf"^\s*CREATE\s+BRANCH\s+(?P<name>{_IDENT})(?:\s+FROM\s+(?P<src>{_IDENT}))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_BRANCH_RE = re.compile(
+    rf"^\s*DROP\s+BRANCH\s+(?P<name>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_USE_BRANCH_RE = re.compile(
+    rf"^\s*USE\s+BRANCH\s+(?P<name>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_BRANCHES_RE = re.compile(r"^\s*SHOW\s+BRANCHES\s*;?\s*$", re.IGNORECASE)
+_COMMIT_RE = re.compile(
+    r"^\s*COMMIT(?:\s+MESSAGE\s+(?P<msg>'(?:[^'\\]|''|\\.)*'))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_MERGE_BRANCH_RE = re.compile(
+    rf"^\s*MERGE\s+BRANCH\s+(?P<src>{_IDENT})\s+INTO\s+(?P<dest>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -411,6 +440,57 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 [(p,) for p in removed], "path STRING"
             )
+        m = _CREATE_BRANCH_RE.match(query)
+        if m:
+            c = self.repo.create_branch(m.group("name"), m.group("src") or self.branch)
+            return self.spark.createDataFrame(
+                [(m.group("name"), c.id)], "branch STRING, head_commit STRING"
+            )
+        m = _DROP_BRANCH_RE.match(query)
+        if m:
+            self.repo.delete_branch(m.group("name"))
+            return self.spark.createDataFrame([(m.group("name"),)], "dropped STRING")
+        m = _USE_BRANCH_RE.match(query)
+        if m:
+            name = m.group("name")
+            if name not in self.repo.branches():
+                raise KeyError(f"no branch {name!r}; known: {self.repo.branches()}")
+            self.branch = name
+            return self.spark.createDataFrame([(name,)], "branch STRING")
+        if _SHOW_BRANCHES_RE.match(query):
+            rows = [
+                (b, self.repo.head(b).id, self.repo.head(b).version)
+                for b in self.repo.branches()
+            ]
+            return self.spark.createDataFrame(
+                rows, "branch STRING, head_commit STRING, version INT"
+            )
+        m = _COMMIT_RE.match(query)
+        if m:
+            lit = m.group("msg")
+            msg = (
+                lit[1:-1].replace("''", "'").replace("\\'", "'")
+                if lit
+                else "SQL: COMMIT"
+            )
+            c = self.repo.commit(self.branch, msg)
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _MERGE_BRANCH_RE.match(query)
+        if m:
+            c = self.repo.merge(self.spark, m.group("src"), m.group("dest"))
+            return self.spark.createDataFrame(
+                [(m.group("dest"), c.version, c.id)],
+                "branch STRING, version INT, commit_id STRING",
+            )
+        m = _DROP_TABLE_RE.match(query)
+        if m:
+            name = self._resolve_table(m.group("table"))
+            self.repo.remove_table(self.branch, name)
+            c = self.repo.commit(self.branch, f"SQL: DROP TABLE {name}")
+            return self._dml_result(name, c.version, 0)
         m = _CTAS_RE.match(query)
         if m:
             return self._ctas(

@@ -1090,3 +1090,50 @@ def test_sql_update_set_list_with_commas_in_literals_and_calls(spark, repo):
     lsql = LakeSQL(spark, repo)
     lsql.sql("UPDATE t SET val = concat('x,y', ',', val), id = greatest(id, 0)")
     assert lsql.sql("SELECT val FROM t").collect()[0].val == "x,y,a"
+
+
+def test_sql_branch_management_statements(spark, repo):
+    """CREATE/USE/SHOW/DROP BRANCH, COMMIT MESSAGE, MERGE BRANCH and
+    DROP TABLE — the lakectl verbs as SQL statements."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a")]))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo)
+
+    lsql.sql("CREATE BRANCH dev FROM main")
+    assert sorted(r.branch for r in lsql.sql("SHOW BRANCHES").collect()) == [
+        "dev",
+        "main",
+    ]
+    lsql.sql("USE BRANCH dev")
+    assert lsql.branch == "dev"
+    # stage on dev via DML-free path then COMMIT with a message
+    repo.write_table("dev", "t", _df(spark, [(1, "a"), (2, "dev")]))
+    out = lsql.sql("COMMIT MESSAGE 'it''s done'").collect()[0]
+    assert out.message == "it's done"
+    # main unchanged until merge
+    assert (
+        LakeSQL(spark, repo, branch="main").sql("SELECT count(*) AS n FROM t").collect()[0].n
+        == 1
+    )
+    lsql.sql("MERGE BRANCH dev INTO main")
+    lsql.sql("USE BRANCH main")
+    assert lsql.sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+    lsql.sql("DROP TABLE t")
+    assert lsql.sql("SHOW TABLES").count() == 0
+    # an unrewritten bare name now falls through to Spark's resolver
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        lsql.sql("SELECT * FROM no_such_table").collect()
+    lsql.sql("DROP BRANCH dev")
+    assert [r.branch for r in lsql.sql("SHOW BRANCHES").collect()] == ["main"]
+
+
+def test_sql_use_branch_unknown_raises(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    lsql = LakeSQL(spark, repo)
+    with pytest.raises(KeyError, match="no branch"):
+        lsql.sql("USE BRANCH nope")
