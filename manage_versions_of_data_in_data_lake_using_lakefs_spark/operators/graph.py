@@ -77,3 +77,53 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank_ppb(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in exact parts-per-billion integer arithmetic →
+    (node, rank) with Σrank ≈ N·10⁹.
+
+    Classic PR sums floating-point contributions, whose order varies
+    with partitioning — the result is NOT reproducible run-to-run on a
+    cluster. This formulation keeps every quantity int64: ranks start at
+    10⁹ per node, a node's contribution is ``rank DIV outdeg`` (floor),
+    and the update is ``(1−d)·10⁹ + (d·Σcontrib) DIV 1`` in integer
+    percent — associative sums, bit-identical at any partitioning and
+    replayable as SQL CTEs. The ≤1-ppb-per-hop floor loss is far below
+    float PR's own convergence tolerance.
+
+    Scale shape: each iteration is the canonical Pregel message pass —
+    one join of the rank table against edges keyed on src, one groupBy
+    on dst (both AQE-splittable; pre-partition ``edges`` by src to make
+    the join exchange-free), and a ``localCheckpoint`` so the plan stays
+    flat across iterations.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    base = (100 - damping_pct) * 10_000_000  # (1-d)·1e9 in ppb
+    r = nodes.withColumn("rank", F.lit(1_000_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = ed.join(
+            r.select(F.col("node").alias("src"), "rank"), "src"
+        ).select(
+            F.col("dst").alias("node"), F.expr("rank DIV outdeg").alias("c")
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = nodes.join(s, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_pct} * coalesce(s, 0L) DIV 100")
+            ).cast("long").alias("rank"),
+        )
+        r = r.localCheckpoint()
+    return r

@@ -2169,6 +2169,56 @@ FROM qv CROSS JOIN basis ORDER BY id, dim
 ORACLE_EMBEDDING_PROJECT = _oracle_embedding_project()
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-ppb PageRank (operators/graph.pagerank_ppb) over
+    the part–supplier bipartite graph induced by lineitem (nodes
+    namespaced 2·part / 2·supp+1, edges both directions), 2 iterations,
+    top-20 by rank. Every quantity is int64 — bit-identical at any
+    partitioning — and the oracle replays both Pregel passes as CTEs."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import pagerank_ppb
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_partkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    ).distinct()
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_ppb(edges, iters=2)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+        .select(F.row_number().over(w).cast("int").alias("pos"), "node", "rank")
+        .orderBy("pos")
+    )
+
+
+def _pagerank_pass(prev_r: str, out: str) -> str:
+    return f"""s_{out} AS (
+    SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN {prev_r} r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst),
+{out} AS (
+    SELECT n.node,
+           CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN s_{out} s USING (node))"""
+
+
+ORACLE_GRAPH_PAGERANK = f"""
+WITH e0 AS (SELECT DISTINCT CAST(2 * l_partkey AS BIGINT) AS src,
+                   CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+{_pagerank_pass("r0", "r1")},
+{_pagerank_pass("r1", "r2")}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS INT) AS pos,
+       node, rank
+FROM r2 ORDER BY rank DESC, node ASC LIMIT 20
+"""
+
+
 def q_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-training iteration at corpus scale: collapse the corpus
     to its word-frequency vocabulary (the single corpus-wide shuffle),
@@ -2246,6 +2296,7 @@ ADVANCED_QUERIES = {
     "embedding_project": q_embedding_project,
     "embedding_classify": q_embedding_classify,
     "tokenizer_bpe": q_tokenizer_bpe,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ADVANCED_ORACLES = {
@@ -2303,4 +2354,5 @@ ADVANCED_ORACLES = {
     "embedding_project": ORACLE_EMBEDDING_PROJECT,
     "embedding_classify": ORACLE_EMBEDDING_CLASSIFY,
     "tokenizer_bpe": ORACLE_TOKENIZER_BPE,
+    "graph_pagerank": ORACLE_GRAPH_PAGERANK,
 }

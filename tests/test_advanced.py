@@ -613,3 +613,22 @@ def test_cosine_pairs_auto_switches_on_broadcast_horizon(spark):
     # exact verify means no false positives on either path; at 0.9 the
     # true pair set is tiny and both blockings recover it
     assert flat == hier
+
+
+def test_pagerank_ppb_properties(spark):
+    """On a star graph the hub outranks leaves; total rank mass is
+    conserved up to the documented <=1-ppb-per-hop floor loss; results
+    are identical across partitionings (integer associativity)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import pagerank_ppb
+
+    # star: hub 0 <-> leaves 1..9
+    rows = [(0, i) for i in range(1, 10)] + [(i, 0) for i in range(1, 10)]
+    for parts in (1, 5):
+        e = spark.createDataFrame(rows, "src LONG, dst LONG").repartition(parts)
+        r = {x.node: x.rank for x in pagerank_ppb(e, iters=3).collect()}
+        assert r[0] > r[1] and len(set(r[k] for k in range(1, 10))) == 1
+        total = sum(r.values())
+        assert abs(total - 10 * 1_000_000_000) < 10 * 3 * 100  # floor loss bound
+        if parts == 1:
+            first = r
+    assert first == r
