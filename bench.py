@@ -98,6 +98,7 @@ def main() -> None:
         "embedding_covariance",
         "embedding_classify",
         "embedding_project",
+        "graph_pagerank",
     ):
         if extra in registry:
             names.append(extra)

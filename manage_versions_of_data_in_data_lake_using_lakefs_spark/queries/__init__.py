@@ -74,8 +74,11 @@ WINDOW_ORDER: list[str] = [
     # §2.4 aggregations
     "agg_sum",              # + COUNT(DISTINCT) column
     "string_indexer",
-    # §2.5 windows
-    "window_count",
+    # §2.5 windows (window_count — A2's unordered-frame count-per-group —
+    # rotated to the tail in r5: window_mode runs the same
+    # count-over-partition frame and window_frames pins ROWS/RANGE; the
+    # freed slot driver-certifies the iterative-graph family via
+    # graph_pagerank, a shape nothing else in the window exercises)
     "window_top1",
     "window_mode",
     "rank_global_scalable", # W4 scale flavor (range-partition + offsets;
@@ -130,6 +133,7 @@ WINDOW_ORDER: list[str] = [
     "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
     "versioned_incremental_agg",  # delta-refresh ≡ full rebuild (r5)
+    "graph_pagerank",       # integer-ppb Pregel passes, CTE oracle (r5)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

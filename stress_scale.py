@@ -57,6 +57,19 @@ def replicate_lineitem(li: DataFrame, k: int) -> DataFrame:
     )
 
 
+def replicate_lineitem_parts(li: DataFrame, k: int) -> DataFrame:
+    """K copies that also re-key l_partkey: k× part nodes against the
+    SAME supplier set → the edge list really grows k× (a plain replica
+    would dedup back to the original graph), and the graph gets denser
+    on the supplier side — the harder direction for Pregel passes."""
+    reps = li.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return (
+        li.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") * k + F.col("_rep"))
+        .withColumn("l_partkey", F.col("l_partkey") * k + F.col("_rep"))
+    )
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,6 +165,18 @@ def main() -> None:
     def op_bpe(d: DataFrame) -> DataFrame:
         return bpe_pair_counts(d)
 
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import pagerank_ppb
+
+    def op_pagerank(x: DataFrame) -> DataFrame:
+        e0 = x.select(
+            (F.col("l_partkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        ).distinct()
+        edges = e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return pagerank_ppb(edges, iters=2)
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
         "dedup_simhash": (docs, replicate_documents, op_simhash),
@@ -166,6 +191,7 @@ def main() -> None:
         "embedding_covariance": (emb, replicate_embeddings, op_gram),
         "embedding_classify": (emb, replicate_embeddings, op_classify),
         "tokenizer_bpe": (docs, replicate_documents, op_bpe),
+        "graph_pagerank": (li, replicate_lineitem_parts, op_pagerank),
     }
 
     def run(build, base: DataFrame) -> float:
