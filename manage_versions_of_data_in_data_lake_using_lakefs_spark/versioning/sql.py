@@ -35,6 +35,11 @@ survives untouched; every other backticked identifier is masked before
 rewriting so a name like ``order-events`` can never be corrupted by the
 ``events`` rewrite.
 
+CDC: ``SELECT ... FROM TABLE_CHANGES(t, v1[, v2])`` (Delta's TVF)
+expands to the per-commit row-level diff view — insert/delete rows
+tagged ``_change_type`` + ``_commit_version``, an update appearing as a
+delete+insert pair — composable with any surrounding SQL.
+
 Branch management is SQL too (r5): ``CREATE BRANCH dev [FROM src]``,
 ``DROP BRANCH dev``, ``USE BRANCH dev`` (re-points this session),
 ``SHOW BRANCHES``, ``COMMIT [MESSAGE '...']`` (publishes staged
@@ -148,6 +153,11 @@ _MERGE_BRANCH_RE = re.compile(
 )
 _DROP_TABLE_RE = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_CHANGES_RE = re.compile(
+    rf"\bTABLE_CHANGES\s*\(\s*(?P<table>{_IDENT})\s*,\s*(?P<v1>\d+)"
+    r"(?:\s*,\s*(?P<v2>\d+))?\s*\)",
+    re.IGNORECASE,
 )
 
 
@@ -315,6 +325,58 @@ class LakeSQL:
         if best is None:
             raise KeyError(f"no commit at or before {ts} on {self.branch}")
         return best
+
+    def _register_changes(self, table: str, v_start: int, v_end: int) -> str:
+        """CDC: register a view of row-level changes in commit versions
+        [v_start, v_end] — Delta's ``table_changes`` TVF. Each commit
+        contributes its snapshot-vs-predecessor diff (two distributed
+        anti-joins, repo.diff semantics) tagged with ``_change_type``
+        ('insert' | 'delete' — an update is a delete+insert pair, as in
+        Delta without deletion vectors) and ``_commit_version``. Commits
+        that did not touch the table contribute nothing."""
+        name = self._resolve_table(table)
+
+        def snap(v: int) -> DataFrame | None:
+            if v < 0:
+                return None
+            try:
+                return self.repo.read_table(
+                    self.spark, name, ref=self.branch, version_as_of=v
+                )
+            except KeyError:
+                return None  # table absent at this version
+
+        parts: list[DataFrame] = []
+        for v in range(v_start, v_end + 1):
+            cur, prev = snap(v), snap(v - 1)
+            if cur is None and prev is None:
+                continue
+            if prev is None:
+                delta = cur.withColumn("_change_type", F.lit("insert"))
+            elif cur is None:
+                delta = prev.withColumn("_change_type", F.lit("delete"))
+            else:
+                delta = (
+                    cur.exceptAll(prev)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .unionByName(
+                        prev.exceptAll(cur).withColumn("_change_type", F.lit("delete"))
+                    )
+                )
+            parts.append(delta.withColumn("_commit_version", F.lit(v)))
+        if not parts:
+            head = self.repo.read_table(self.spark, name, ref=self.branch)
+            parts = [
+                head.withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0))
+                .limit(0)
+            ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        view = f"lake__{name}__chg_{v_start}_{v_end}"
+        out.createOrReplaceTempView(view)
+        return view
 
     # -- DML (Delta-style SQL writes; auto-commit like upsert_table) -------
 
@@ -545,6 +607,16 @@ class LakeSQL:
         rewritten = _VERSION_RE.sub(sub_version, masked)
         rewritten = _TIMESTAMP_RE.sub(sub_ts, rewritten)
         rewritten = _AT_RE.sub(sub_version, rewritten)
+        rewritten = _CHANGES_RE.sub(
+            lambda m: self._register_changes(
+                m.group("table"),
+                int(m.group("v1")),
+                int(m.group("v2"))
+                if m.group("v2")
+                else self.repo.head(self.branch).version,
+            ),
+            rewritten,
+        )
 
         # 3) remaining bare repo-table references resolve to scoped
         #    branch-head views `lake__<t>` — registered under the prefix

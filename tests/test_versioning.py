@@ -1137,3 +1137,32 @@ def test_sql_use_branch_unknown_raises(spark, repo):
     lsql = LakeSQL(spark, repo)
     with pytest.raises(KeyError, match="no branch"):
         lsql.sql("USE BRANCH nope")
+
+
+def test_sql_table_changes_cdc(spark, repo):
+    """TABLE_CHANGES(t, v1[, v2]): per-commit insert/delete rows with
+    _commit_version — Delta CDC semantics (update = delete+insert)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a"), (2, "b")]))
+    v1 = repo.commit("main", "v1").version
+    lsql = LakeSQL(spark, repo)
+    v2 = lsql.sql("UPDATE t SET val = 'B' WHERE id = 2").collect()[0].version
+    v3 = lsql.sql("INSERT INTO t VALUES (3, 'c')").collect()[0].version
+
+    rows = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in lsql.sql(f"SELECT * FROM TABLE_CHANGES(t, {v1}, {v3})").collect()
+    }
+    assert rows == {
+        (1, "a", "insert", v1),
+        (2, "b", "insert", v1),
+        (2, "b", "delete", v2),
+        (2, "B", "insert", v2),
+        (3, "c", "insert", v3),
+    }
+    # open-ended end defaults to head; composable with plain SQL on top
+    n = lsql.sql(
+        f"SELECT count(*) AS n FROM TABLE_CHANGES(t, {v2}) WHERE _change_type = 'insert'"
+    ).collect()[0].n
+    assert n == 2
