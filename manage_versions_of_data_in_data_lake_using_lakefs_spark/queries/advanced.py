@@ -2178,10 +2178,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import pagerank_ppb
 
     li = load_table(spark, sf_dir, "lineitem")
+    # no .distinct() here: pagerank_ppb dedups its edge input anyway, and
+    # the two union halves (even→odd / odd→even) can never collide, so a
+    # pre-distinct would only add a second full shuffle of the edge list
     e0 = li.select(
         (F.col("l_partkey") * 2).cast("long").alias("src"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
-    ).distinct()
+    )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank_ppb(edges, iters=2)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
