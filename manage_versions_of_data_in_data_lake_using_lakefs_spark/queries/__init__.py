@@ -103,11 +103,14 @@ WINDOW_ORDER: list[str] = [
     # multimodal family (r4), the hierarchical adaptive-k quantizer (r4),
     # and in r5 the q21 EXISTS-pair aggregate rewrite + the incremental
     # aggregate-maintenance proof)
+    # (tpch_q18 — big-agg + semi-join, shapes covered by q13's
+    # join-count distribution + subqueries' EXISTS — rotated to the tail
+    # in r5 to free a slot for the pruned-DML proof, which is a shape
+    # nothing else in the window exercises)
     "tpch_q1",
     "tpch_q3",
     "tpch_q10",
     "tpch_q13",
-    "tpch_q18",
     "tpch_q21",             # waiting-suppliers: EXISTS/NOT-EXISTS pair as
                             # ONE per-order agg, oracle runs the literal
                             # correlated spelling (r5)
@@ -133,6 +136,8 @@ WINDOW_ORDER: list[str] = [
     "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
     "versioned_incremental_agg",  # delta-refresh ≡ full rebuild (r5)
+    "versioned_delete_prune",  # file-skipping DML: pruned DELETE ≡ plain
+                               # filter + CoW file reuse pinned (r5)
     "graph_pagerank",       # integer-ppb Pregel passes, CTE oracle (r5)
 ]
 

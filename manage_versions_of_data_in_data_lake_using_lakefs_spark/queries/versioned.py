@@ -126,10 +126,57 @@ def q_versioned_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_result(refreshed, keys, measures).orderBy("o_orderstatus")
 
 
+def q_versioned_delete_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping DML (the SCALING.md "future file-pruning" item, now
+    implemented): orders land as four range-banded file groups, then a
+    selective DELETE rewrites only the band its predicate overlaps — the
+    footer min/max manifests prove the other three groups match-free, so
+    they carry into the new commit by reference (zero bytes rewritten).
+    Output: surviving-row aggregates (parity vs the oracle's plain
+    filter proves the pruned rewrite deleted exactly the right rows) and
+    the reused-group count, pinned at 3 — a regression to whole-table
+    rewrite flips it to 0 and fails the hash check."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    band_w = mx // 4 + 1
+    for b in range(4):
+        band = orders.filter(
+            (F.col("o_orderkey") >= b * band_w)
+            & (F.col("o_orderkey") < (b + 1) * band_w)
+        ).coalesce(1)
+        repo.write_table("main", "orders_t", band, mode="append")
+    repo.commit("main", "range-banded")
+    before = set(repo.current_files("main", "orders_t"))
+    thresh = band_w // 2  # inside band 0: bands 1-3 provably match-free
+    LakeSQL(spark, repo, "main").sql(
+        f"DELETE FROM orders_t WHERE o_orderkey < {thresh}"
+    )
+    # safe groups may carry as the dir itself or as part-files inside it
+    reused = sum(
+        1
+        for f in repo.current_files("main", "orders_t")
+        if any(f == b or f.startswith(b + "/") for b in before)
+    )
+    return (
+        repo.read_table(spark, "orders_t", "main")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+        )
+        .withColumn("groups_reused", F.lit(reused).cast("int"))
+    )
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
     "versioned_incremental_agg": q_versioned_incremental_agg,
+    "versioned_delete_prune": q_versioned_delete_prune,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -176,8 +223,25 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+# the pruned DELETE must remove exactly the rows a plain filter removes —
+# the file-skipping machinery (manifests, can-match evaluator, CoW file
+# reuse) is invisible to the survivors' aggregates if and only if it is
+# correct; groups_reused=3 pins that the rewrite actually skipped the
+# three non-overlapping bands
+ORACLE_VERSIONED_DELETE_PRUNE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_totalprice,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(3 AS INTEGER) AS groups_reused
+FROM orders
+WHERE o_orderkey >=
+      (SELECT (MAX(o_orderkey) // 4 + 1) // 2 FROM orders)
+"""
+
 VERSIONED_ORACLES = {
     "versioned_time_travel": ORACLE_VERSIONED_TIME_TRAVEL,
     "versioned_branch_merge": ORACLE_VERSIONED_BRANCH_MERGE,
     "versioned_incremental_agg": ORACLE_VERSIONED_INCREMENTAL_AGG,
+    "versioned_delete_prune": ORACLE_VERSIONED_DELETE_PRUNE,
 }

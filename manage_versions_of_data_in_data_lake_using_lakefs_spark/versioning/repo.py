@@ -295,6 +295,9 @@ class LakeRepo:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import write_group_stats
+
+        write_group_stats(out_dir)  # footer-derived manifest; best-effort
         rel = os.path.relpath(out_dir, self.root)
         with RepoLock(self.root):
             ref = self._read_ref(branch)
@@ -314,6 +317,36 @@ class LakeRepo:
                 entry["files"].append(rel)
             self._write_ref(branch, ref)
         return rel
+
+    def stage_table_files(
+        self, branch: str, table: str, rel_files: list[str], op: str = "overwrite"
+    ) -> None:
+        """Stage an explicit file list for a table — the metadata half of
+        a write. This is what lets a pruned DELETE/UPDATE carry untouched
+        files into the next commit by reference (copy-on-write at file
+        granularity): entries may be file-group dirs or individual
+        part-files from a previous group."""
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            ref["staged"][table] = {"files": list(rel_files), "op": op}
+            self._write_ref(branch, ref)
+
+    def current_files(
+        self, branch: str, table: str, include_staged: bool = True
+    ) -> list[str]:
+        """The table's current file entries on a branch (staged state if
+        present, else the head snapshot)."""
+        if include_staged and os.path.exists(self._ref_file(branch)):
+            ref = self._read_ref(branch)
+            entry = ref["staged"].get(table)
+            if entry is not None:
+                if entry["op"] == "drop":
+                    raise KeyError(f"table {table} dropped in staging on {branch}")
+                return list(entry["files"])
+        c = self._resolve(branch)
+        if table not in c.tables:
+            raise KeyError(f"table {table} not on branch {branch}")
+        return list(c.tables[table])
 
     def remove_table(self, branch: str, table: str) -> None:
         """V5: stage a table drop."""
@@ -471,13 +504,18 @@ class LakeRepo:
         version_as_of: int | None = None,
         include_staged: bool = False,
         merge_schema: bool = False,
+        prune_where: str | None = None,
     ) -> DataFrame:
         """Read a table snapshot. ``ref`` may be a branch, commit id, or
         ``branch~n``; ``version_as_of`` pins a global version (V14).
         ``merge_schema=True`` unions the schemas of all snapshot files
         (columns added by later appends surface as null on older rows) at
         the cost of reading every file's footer — leave off for
-        fixed-schema tables."""
+        fixed-schema tables. ``prune_where`` skips files whose footer
+        min/max stats prove no row can satisfy the condition (data
+        skipping) — the condition is NOT applied to surviving rows, so
+        callers still filter; the result is identical with or without
+        pruning, only the scanned file set shrinks."""
         if include_staged and version_as_of is None and os.path.exists(self._ref_file(ref)):
             refd = self._read_ref(ref)
             entry = refd["staged"].get(table)
@@ -485,11 +523,29 @@ class LakeRepo:
                 if entry["op"] == "drop":
                     raise KeyError(f"table {table} dropped in staging on {ref}")
                 files = entry["files"]
-                return self._read_files(spark, files, merge_schema)
+                return self._read_files(
+                    spark, self._pruned(files, prune_where), merge_schema
+                )
         c = self._resolve(ref, version_as_of)
         if table not in c.tables:
             raise KeyError(f"table {table} not in snapshot {c.id[:8]} ({ref})")
-        return self._read_files(spark, c.tables[table], merge_schema)
+        return self._read_files(
+            spark, self._pruned(c.tables[table], prune_where), merge_schema
+        )
+
+    def _pruned(self, rel_files: list[str], where: str | None) -> list[str]:
+        """File entries that may contain rows matching ``where`` (all of
+        them when pruning is off or unavailable). An all-pruned list keeps
+        one entry so the empty result still carries the table schema."""
+        if where is None:
+            return rel_files
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import prune_file_list
+
+        pruned = prune_file_list(self.root, rel_files, where)
+        if pruned is None:
+            return rel_files
+        safe, cand, _info = pruned
+        return cand if cand else rel_files[:1]
 
     def _read_files(
         self, spark: SparkSession, rel_files: list[str], merge_schema: bool = False
@@ -939,6 +995,13 @@ class LakeRepo:
                     live.update(files)
                 for blob in head.objects.values():
                     live_blob(blob)
+        # a snapshot may reference an individual part-file inside a group
+        # dir (pruned DML rewrites); the vacuum walk operates on group
+        # dirs, so a live part-file keeps its data/<table>/<id> dir alive
+        for e in list(live):
+            parts = e.split(os.sep)
+            if len(parts) > 3 and parts[0] == "data":
+                live.add(os.sep.join(parts[:3]))
         removed: list[str] = []
         now = time.time()
         data_root = os.path.join(self.root, "data")

@@ -69,6 +69,7 @@ resolved (spell it with JOIN, or drop the redundant backticks).
 
 from __future__ import annotations
 
+import os
 import re
 from datetime import datetime, timezone
 
@@ -76,6 +77,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 # masked-literal placeholder: \x00<index>\x00 never appears in real SQL.
@@ -111,6 +113,16 @@ _RESTORE_RE = re.compile(
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(r"^\s*VACUUM(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+(?P<table>{_IDENT})"
+    rf"(?:\s+ZORDER\s+BY\s+\(\s*(?P<z1>{_IDENT})\s*,\s*(?P<z2>{_IDENT})\s*\)"
+    rf"|\s+SORT\s+BY\s+\(\s*(?P<sorts>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+    r"(?:\s+INTO\s+(?P<nfiles>\d+)\s+FILES)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_STATS_RE = re.compile(
+    rf"^\s*DESCRIBE\s+STATS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<table>{_IDENT})\s+AS\s+"
     r"(?P<select>SELECT\b.*?)\s*;?\s*$",
@@ -289,6 +301,74 @@ class LakeSQL:
             "sizeInBytes BIGINT, version INT, lastModified TIMESTAMP",
         )
 
+    def _optimize(
+        self,
+        table: str,
+        zorder: tuple[str, str] | None,
+        sorts: list[str] | None,
+        nfiles: int | None,
+    ) -> DataFrame:
+        """``OPTIMIZE t [ZORDER BY (a, b) | SORT BY (a, ...)] [INTO n
+        FILES]`` — the Delta maintenance statement, routed to
+        ``LakeRepo.compact``. ZORDER interleaves two keys on a Morton
+        curve; SORT range-clusters, which is what makes the data-skipping
+        manifests selective (disjoint per-file min/max). Lands as a new
+        commit; old files stay for time travel until VACUUM."""
+        name = self._resolve_table(table)
+        if zorder:
+            zorder = (zorder[0].strip("`"), zorder[1].strip("`"))
+        c = self.repo.compact(
+            self.spark,
+            self.branch,
+            name,
+            target_files=nfiles,
+            sort_by=sorts,
+            zorder_by=zorder,
+            message=f"SQL: OPTIMIZE {name}",
+        )
+        head = self.repo.head(self.branch)
+        return self.spark.createDataFrame(
+            [(name, c.version, len(head.tables[name]))],
+            "table STRING, version INT, file_groups INT",
+        )
+
+    def describe_stats(self, table: str) -> DataFrame:
+        """``DESCRIBE STATS t`` — the data-skipping manifests as a
+        DataFrame: one row per (file, column) with min/max/null count.
+        This is the metadata the pruned DELETE/UPDATE and
+        ``read_table(prune_where=...)`` decide on; surfacing it makes
+        skipping selectivity inspectable (a table whose per-file ranges
+        all overlap won't prune — OPTIMIZE SORT BY fixes that)."""
+        name = self._resolve_table(table)
+        head = self.repo.head(self.branch)
+        rows = []
+        for rel in head.tables[name]:
+            full = os.path.join(self.repo.root, rel)
+            group_dir = os.path.dirname(full) if os.path.isfile(full) else full
+            man = stats_mod.load_group_stats(group_dir) or {"files": {}}
+            wanted = (
+                [os.path.basename(full)] if os.path.isfile(full) else None
+            )
+            for part, st in sorted(man["files"].items()):
+                if wanted is not None and part not in wanted:
+                    continue
+                for col, cs in sorted(st.get("cols", {}).items()):
+                    rows.append(
+                        (
+                            os.path.join(os.path.relpath(group_dir, self.repo.root), part),
+                            col,
+                            str(cs.get("min")),
+                            str(cs.get("max")),
+                            cs.get("nulls"),
+                            st.get("rows"),
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            "file STRING, column STRING, min STRING, max STRING, "
+            "null_count BIGINT, row_count BIGINT",
+        )
+
     # -- query rewrite ------------------------------------------------------
     def _resolve_table(self, name: str) -> str:
         """Case-insensitive repo-table resolution (Spark identifiers are
@@ -429,12 +509,49 @@ class LakeSQL:
         c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
         return self._dml_result(name, c.version, rows)
 
+    def _prune_split(self, name: str, cond: str | None):
+        """(safe, candidate, info) file split for a DML condition, or
+        None when file pruning can't help: no condition, predicate not
+        fully parseable (a conservatively-recovered predicate still
+        prunes reads safely, but DML must RE-EXECUTE the condition
+        outside the SQL rewriter, so only fully-understood ones
+        qualify), or no file proved safe (plain rewrite is equal work)."""
+        if cond is None:
+            return None
+        pred = stats_mod.parse_predicate(cond)
+        if pred is None or not stats_mod.fully_supported(pred):
+            return None
+        try:
+            files = self.repo.current_files(self.branch, name)
+        except KeyError:
+            return None
+        res = stats_mod.prune_file_list(self.repo.root, files, cond)
+        if res is None:
+            return None
+        safe, cand, info = res
+        if not safe:
+            return None
+        return safe, cand, info
+
     def _delete(self, table: str, cond: str | None) -> DataFrame:
         """DELETE FROM t [WHERE cond] — rows where cond IS TRUE are
         removed (NULL-condition rows survive, ANSI DELETE semantics);
         the snapshot is rewritten and committed. The condition runs
-        through the rewriter, so subqueries on repo tables work."""
+        through the rewriter, so subqueries on repo tables work.
+
+        With a simple condition (comparisons/BETWEEN/IN/IS NULL over
+        AND/OR), footer min/max stats prune the rewrite to only the
+        files that may hold matching rows; provably match-free files are
+        carried into the new commit by reference — zero bytes rewritten
+        for them, the Delta data-skipping cost model. Any failure in the
+        pruned path falls back to the full rewrite."""
         name = self._resolve_table(table)
+        split = self._prune_split(name, cond)
+        if split is not None:
+            try:
+                return self._delete_pruned(name, cond, *split)
+            except Exception:
+                pass  # fall back to the always-correct full rewrite
         keep_where = f"({cond}) IS NOT TRUE" if cond else "FALSE"
         total = self.sql(f"SELECT * FROM {name}").count()
         kept = self.sql(f"SELECT * FROM {name} WHERE {keep_where}")
@@ -442,6 +559,30 @@ class LakeSQL:
         self.repo.write_table(self.branch, name, kept, mode="overwrite")
         c = self.repo.commit(self.branch, f"SQL: DELETE FROM {name}")
         return self._dml_result(name, c.version, rows)
+
+    def _delete_pruned(
+        self, name: str, cond: str, safe: list, cand: list, info: dict
+    ) -> DataFrame:
+        if not cand:
+            # no file can hold a matching row: DELETE is a no-op on data;
+            # commit the (unchanged) file list so every DML lands a version
+            self.repo.stage_table_files(self.branch, name, safe)
+            c = self.repo.commit(self.branch, f"SQL: DELETE FROM {name}")
+            return self._dml_result(name, c.version, 0)
+        cand_df = self.repo._read_files(self.spark, cand)
+        kept = cand_df.filter(F.expr(f"({cond}) IS NOT TRUE"))
+        kept_n = kept.count()
+        before = info.get("candidate_rows")
+        if before is None:
+            before = cand_df.count()
+        files = list(safe)
+        if kept_n > 0:
+            files.append(
+                self.repo.write_table(self.branch, name, kept, mode="overwrite")
+            )
+        self.repo.stage_table_files(self.branch, name, files)
+        c = self.repo.commit(self.branch, f"SQL: DELETE FROM {name}")
+        return self._dml_result(name, c.version, before - kept_n)
 
     def _update(self, table: str, sets: str, cond: str | None) -> DataFrame:
         """UPDATE t SET c = expr, ... [WHERE cond] — rewritten as one
@@ -471,9 +612,35 @@ class LakeSQL:
                 )
             else:
                 proj.append(f"`{f.name}`")
+        split = self._prune_split(name, cond)
+        if split is not None:
+            try:
+                return self._update_pruned(name, guard, proj, *split)
+            except Exception:
+                pass  # SET expressions the pruned path can't run → full rewrite
         rows = self.sql(f"SELECT * FROM {name} WHERE {guard}").count()
         updated = self.sql(f"SELECT {', '.join(proj)} FROM {name}")
         self.repo.write_table(self.branch, name, updated, mode="overwrite")
+        c = self.repo.commit(self.branch, f"SQL: UPDATE {name}")
+        return self._dml_result(name, c.version, rows)
+
+    def _update_pruned(
+        self, name: str, guard: str, proj: list, safe: list, cand: list, info: dict
+    ) -> DataFrame:
+        """Rewrite only files whose stats overlap the UPDATE condition;
+        files that provably hold no matching row carry by reference.
+        Raises (→ caller falls back) when a SET expression needs the SQL
+        rewriter (e.g. a subquery on a repo table)."""
+        rows = 0
+        files = list(safe)
+        if cand:
+            cand_df = self.repo._read_files(self.spark, cand)
+            rows = cand_df.filter(F.expr(guard)).count()
+            updated = cand_df.selectExpr(*proj)
+            files.append(
+                self.repo.write_table(self.branch, name, updated, mode="overwrite")
+            )
+        self.repo.stage_table_files(self.branch, name, files)
         c = self.repo.commit(self.branch, f"SQL: UPDATE {name}")
         return self._dml_result(name, c.version, rows)
 
@@ -496,6 +663,19 @@ class LakeSQL:
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
+        m = _OPTIMIZE_RE.match(query)
+        if m:
+            return self._optimize(
+                m.group("table"),
+                (m.group("z1"), m.group("z2")) if m.group("z1") else None,
+                [s.strip(" `") for s in m.group("sorts").split(",")]
+                if m.group("sorts")
+                else None,
+                int(m.group("nfiles")) if m.group("nfiles") else None,
+            )
+        m = _DESCRIBE_STATS_RE.match(query)
+        if m:
+            return self.describe_stats(m.group("table"))
         m = _VACUUM_RE.match(query)
         if m:
             removed = self.repo.vacuum(dry_run=bool(m.group("dry")))

@@ -1,0 +1,601 @@
+"""File-level min/max statistics and predicate pruning for LakeRepo.
+
+Delta/Iceberg-style data skipping: every staged write records a per-file
+stats manifest (``_stats.json`` next to the parquet files — the leading
+underscore keeps Spark's reader from picking it up as data), built from
+the parquet FOOTERS pyarrow already wrote — no extra Spark job, no data
+scan. A conservative predicate evaluator then classifies each file for a
+given WHERE condition as *may-contain-matches* or *provably-match-free*,
+so DELETE/UPDATE rewrite only the overlapping files (the rest are carried
+into the new commit by reference — copy-on-write at file granularity,
+the same cost model as Delta without deletion vectors) and reads can skip
+files the predicate excludes.
+
+Scale shape: the manifest is KB-sized metadata per file group, evaluated
+driver-side like every other commit-metadata decision in the repo; at
+100 TB the win is proportional to clustering quality — a table compacted
+with ``sort_by``/``zorder_by`` (``LakeRepo.compact``) has near-disjoint
+per-file ranges, so a selective DELETE rewrites O(matching files), not
+O(table). Correctness never depends on the stats: every decision is an
+over-approximation (unknown → may-match), and an unparseable predicate
+disables pruning entirely.
+
+The reference's DML path (Delta via lakeFS, ``jobs/vdt4.py:39-47``)
+rewrites whole snapshots; this module is the scan/DML pruning layer the
+reference delegates to Delta's own stats. No reference code reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from decimal import Decimal
+from typing import Iterable
+
+
+STATS_NAME = "_stats.json"
+
+# ---------------------------------------------------------------------------
+# Stats collection (parquet footer reads — pyarrow, driver-side, no Spark job)
+# ---------------------------------------------------------------------------
+
+
+def _jsonable(v):
+    """Footer min/max → JSON-storable scalar, or None if the type is not
+    one we prune on (bytes, dates, timestamps, decimals, nested)."""
+    if isinstance(v, bool) or v is None:
+        return None  # booleans: equality pruning is near-worthless; skip
+    if isinstance(v, int) and not isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None  # NaN/inf bounds are not trustworthy orderings
+        return v
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def file_stats(path: str) -> dict | None:
+    """Per-column {min,max,nulls} + row count for one parquet file, from
+    its footer. Columns whose stats are absent, non-scalar, or of an
+    unsupported type are omitted (→ never pruned on). Returns None if the
+    footer can't be read."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    rows = md.num_rows
+    cols: dict[str, dict] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in bad:
+                continue  # nested leaves: not prunable as top-level cols
+            st = c.statistics
+            if st is None:
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            entry = cols.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            if nulls is None:
+                entry["nulls"] = None
+            elif entry["nulls"] is not None:
+                entry["nulls"] += nulls
+            if not st.has_min_max:
+                # all-null row group is fine (no values to bound); any
+                # other reason for missing bounds poisons the column
+                if nulls is not None and nulls == g.num_rows:
+                    continue
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            entry["min"] = lo if entry["min"] is None else min(entry["min"], lo)
+            entry["max"] = hi if entry["max"] is None else max(entry["max"], hi)
+    return {"rows": rows, "cols": cols}
+
+
+def _part_files(group_dir: str) -> list[str]:
+    """Data files under a group dir, relative to it, sorted."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(group_dir):
+        for fn in filenames:
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                continue
+            out.append(os.path.relpath(os.path.join(dirpath, fn), group_dir))
+    return sorted(out)
+
+
+def write_group_stats(group_dir: str) -> dict | None:
+    """Build + persist the stats manifest for a freshly written file
+    group. Best-effort: any failure leaves the group without a manifest
+    (pruning then treats every file as may-match)."""
+    try:
+        files: dict[str, dict] = {}
+        for rel in _part_files(group_dir):
+            st = file_stats(os.path.join(group_dir, rel))
+            if st is None:
+                return None
+            files[rel] = st
+        manifest = {"files": files}
+        tmp = os.path.join(group_dir, STATS_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(group_dir, STATS_NAME))
+        return manifest
+    except Exception:
+        return None
+
+
+def load_group_stats(group_dir: str) -> dict | None:
+    """Manifest for a group dir; falls back to computing from footers for
+    groups written before stats existed (not persisted — historical dirs
+    stay immutable)."""
+    p = os.path.join(group_dir, STATS_NAME)
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+    files: dict[str, dict] = {}
+    for rel in _part_files(group_dir):
+        st = file_stats(os.path.join(group_dir, rel))
+        if st is None:
+            return None
+        files[rel] = st
+    return {"files": files} if files else None
+
+
+# ---------------------------------------------------------------------------
+# Conservative predicate → can-this-file-match evaluator
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^']|'')*')
+      | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<bq>`[^`]+`)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op><=|>=|!=|<>|==|=|<|>)
+      | (?P<lp>\()
+      | (?P<rp>\))
+      | (?P<comma>,)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "BETWEEN", "IN", "IS", "NULL", "TRUE", "FALSE"}
+
+
+def _tokenize(cond: str) -> list[tuple[str, object]] | None:
+    toks: list[tuple[str, object]] = []
+    i = 0
+    while i < len(cond):
+        m = _TOKEN_RE.match(cond, i)
+        if not m:
+            if cond[i:].strip() == "":
+                break
+            return None
+        i = m.end()
+        if m.group("str") is not None:
+            toks.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("num") is not None:
+            t = m.group("num")
+            toks.append(("lit", float(t) if ("." in t or "e" in t.lower()) else int(t)))
+        elif m.group("bq") is not None:
+            toks.append(("ident", m.group("bq")[1:-1]))
+        elif m.group("word") is not None:
+            w = m.group("word")
+            if w.upper() in _KEYWORDS:
+                toks.append(("kw", w.upper()))
+            else:
+                toks.append(("ident", w))
+        elif m.group("op") is not None:
+            op = m.group("op")
+            toks.append(("op", {"==": "=", "<>": "!="}.get(op, op)))
+        elif m.group("lp"):
+            toks.append(("lp", "("))
+        elif m.group("rp"):
+            toks.append(("rp", ")"))
+        elif m.group("comma"):
+            toks.append(("comma", ","))
+    return toks
+
+
+class _Unknown:
+    """Sub-expression pruning can't reason about → always may-match."""
+
+    def can_match(self, stats: dict) -> bool:
+        return True
+
+
+class _Bool:
+    def __init__(self, kind: str, parts: list):
+        self.kind = kind  # "and" | "or"
+        self.parts = parts
+
+    def can_match(self, stats: dict) -> bool:
+        if self.kind == "and":
+            return all(p.can_match(stats) for p in self.parts)
+        return any(p.can_match(stats) for p in self.parts)
+
+
+def _num(v):
+    """Exact comparable for ints/floats via Decimal (avoids 2^53 float
+    collapse); strings compare as themselves."""
+    if isinstance(v, (int, float)):
+        return Decimal(str(v))
+    return v
+
+
+def _comparable(a, b) -> bool:
+    na, nb = isinstance(a, (int, float)), isinstance(b, (int, float))
+    return (na and nb) or (isinstance(a, str) and isinstance(b, str))
+
+
+class _Cmp:
+    """col <op> literal (normalized: column on the left)."""
+
+    def __init__(self, col: str, op: str, lit):
+        self.col, self.op, self.lit = col, op, lit
+
+    def can_match(self, stats: dict) -> bool:
+        ent = _col_entry(stats, self.col)
+        if ent is None:
+            return True
+        if self.lit is None:
+            return False  # `col <op> NULL` is never TRUE in SQL
+        lo, hi, nn = ent
+        if nn == 0:
+            return False  # all-null file: no comparison row is TRUE
+        if lo is None or hi is None or not _comparable(lo, self.lit):
+            return True
+        lo, hi, v = _num(lo), _num(hi), _num(self.lit)
+        if self.op == "=":
+            return lo <= v <= hi
+        if self.op == "!=":
+            return not (lo == hi == v)
+        if self.op == "<":
+            return lo < v
+        if self.op == "<=":
+            return lo <= v
+        if self.op == ">":
+            return hi > v
+        if self.op == ">=":
+            return hi >= v
+        return True
+
+
+class _Between:
+    def __init__(self, col: str, lo, hi):
+        self.col, self.lo, self.hi = col, lo, hi
+
+    def can_match(self, stats: dict) -> bool:
+        return _Bool(
+            "and", [_Cmp(self.col, ">=", self.lo), _Cmp(self.col, "<=", self.hi)]
+        ).can_match(stats)
+
+
+class _In:
+    def __init__(self, col: str, lits: list):
+        self.col, self.lits = col, lits
+
+    def can_match(self, stats: dict) -> bool:
+        return any(_Cmp(self.col, "=", v).can_match(stats) for v in self.lits)
+
+
+class _IsNull:
+    def __init__(self, col: str, negated: bool):
+        self.col, self.negated = col, negated
+
+    def can_match(self, stats: dict) -> bool:
+        rows = stats.get("rows")
+        cols = stats.get("cols", {})
+        ent = cols.get(self.col)
+        if ent is None:
+            k = {c.lower(): c for c in cols}.get(self.col.lower())
+            ent = cols.get(k) if k is not None else None
+        if ent is None or rows is None:
+            return True
+        nulls = ent.get("nulls")
+        if nulls is None:
+            return True
+        return (rows - nulls) > 0 if self.negated else nulls > 0
+
+
+def _col_entry(stats: dict, col: str):
+    """(min, max, non_null_count|None) for a column, case-insensitive;
+    None if the column has no usable stats."""
+    cols = stats.get("cols", {})
+    ent = cols.get(col)
+    if ent is None:
+        lower = {k.lower(): k for k in cols}
+        k = lower.get(col.lower())
+        if k is None:
+            return None
+        ent = cols[k]
+    rows = stats.get("rows")
+    nulls = ent.get("nulls")
+    nn = (rows - nulls) if (rows is not None and nulls is not None) else None
+    return ent.get("min"), ent.get("max"), nn
+
+
+class _Parser:
+    """Recursive descent over the token list. Primaries that don't fit
+    the supported grammar are *recovered* as `_Unknown` (skip to the next
+    AND/OR/`)` at this nesting level), so `a < 5 AND f(b) = 1` still
+    prunes on `a < 5`. A structural failure (unbalanced parens, garbage
+    tokens) aborts the whole parse → no pruning."""
+
+    def __init__(self, toks: list):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        e = self.or_expr()
+        if self.peek()[0] is not None:
+            return None  # trailing tokens we never consumed: bail out
+        return e
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == ("kw", "OR"):
+            self.take()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else _Bool("or", parts)
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while self.peek() == ("kw", "AND"):
+            self.take()
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else _Bool("and", parts)
+
+    def unary(self):
+        if self.peek() == ("kw", "NOT"):
+            self.take()
+            self.unary()  # consume the operand; NOT itself is opaque
+            return _Unknown()
+        return self.primary()
+
+    def primary(self):
+        start = self.i
+        kind, val = self.peek()
+        if kind == "lp":
+            save = self.i
+            self.take()
+            inner = self.or_expr()
+            if self.peek()[0] == "rp":
+                self.take()
+                return inner
+            self.i = save  # not a bare parenthesized boolean → recover
+            return self._recover(start)
+        e = self._comparison()
+        if e is None:
+            return self._recover(start)
+        return e
+
+    def _comparison(self):
+        kind, val = self.peek()
+        # literal <op> ident (flip) or ident <op> literal / IS / BETWEEN / IN
+        if kind == "lit":
+            save = self.i
+            self.take()
+            okind, op = self.peek()
+            if okind == "op":
+                self.take()
+                ikind, col = self.peek()
+                if ikind == "ident":
+                    self.take()
+                    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                    return _Cmp(col, flip.get(op, op), val)
+            self.i = save
+            return None
+        if kind != "ident":
+            return None
+        col = self.take()[1]
+        okind, op = self.peek()
+        if okind == "op":
+            self.take()
+            lkind, lit = self.peek()
+            if lkind == "lit":
+                self.take()
+                return _Cmp(col, op, lit)
+            if (lkind, lit) == ("kw", "NULL"):
+                self.take()
+                return _Cmp(col, op, None)
+            if lkind == "kw" and lit in ("TRUE", "FALSE"):
+                self.take()
+                return _Unknown()  # boolean cols: not collected; stay safe
+            return None
+        if (okind, op) == ("kw", "IS"):
+            self.take()
+            negated = False
+            if self.peek() == ("kw", "NOT"):
+                self.take()
+                negated = True
+            if self.peek() == ("kw", "NULL"):
+                self.take()
+                return _IsNull(col, negated)
+            return None
+        if (okind, op) == ("kw", "BETWEEN"):
+            self.take()
+            lk, lo = self.peek()
+            if lk != "lit":
+                return None
+            self.take()
+            if self.peek() != ("kw", "AND"):
+                return None
+            self.take()
+            hk, hi = self.peek()
+            if hk != "lit":
+                return None
+            self.take()
+            return _Between(col, lo, hi)
+        if (okind, op) == ("kw", "IN"):
+            self.take()
+            if self.peek()[0] != "lp":
+                return None
+            self.take()
+            lits = []
+            while True:
+                lk, lv = self.peek()
+                if lk != "lit":
+                    return None
+                self.take()
+                lits.append(lv)
+                nk, _ = self.peek()
+                if nk == "comma":
+                    self.take()
+                    continue
+                if nk == "rp":
+                    self.take()
+                    return _In(col, lits)
+                return None
+        return None
+
+    def _recover(self, start: int):
+        """Skip an unsupported primary: consume until AND/OR/`)` at this
+        level (or end). Unbalanced nesting aborts the parse."""
+        self.i = start
+        depth = 0
+        consumed = 0
+        while True:
+            kind, val = self.peek()
+            if kind is None:
+                break
+            if kind == "lp":
+                depth += 1
+            elif kind == "rp":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and (kind, val) in (("kw", "AND"), ("kw", "OR")):
+                break
+            self.take()
+            consumed += 1
+        if consumed == 0:
+            raise _ParseAbort()
+        return _Unknown()
+
+
+class _ParseAbort(Exception):
+    pass
+
+
+def parse_predicate(cond: str):
+    """Compile a WHERE condition into a can_match(stats) evaluator, or
+    None if the text can't be handled even conservatively."""
+    toks = _tokenize(cond)
+    if toks is None or not toks:
+        return None
+    try:
+        return _Parser(toks).parse()
+    except _ParseAbort:
+        return None
+
+
+def fully_supported(tree) -> bool:
+    """True when no part of the parsed predicate was recovered as opaque.
+    DML pruning requires this: a recovered subtree still prunes SAFELY,
+    but the condition may then contain constructs (subqueries, functions)
+    the pruned rewrite can't re-execute outside the SQL rewriter."""
+    if tree is None or isinstance(tree, _Unknown):
+        return False
+    if isinstance(tree, _Bool):
+        return all(fully_supported(p) for p in tree.parts)
+    return isinstance(tree, (_Cmp, _Between, _In, _IsNull))
+
+
+# ---------------------------------------------------------------------------
+# File-list pruning
+# ---------------------------------------------------------------------------
+
+
+def prune_file_list(
+    root: str, rel_entries: Iterable[str], cond: str
+) -> tuple[list[str], list[str], dict] | None:
+    """Split a snapshot's file entries into (safe, candidates, info) for
+    a WHERE condition: *safe* entries provably contain no matching row
+    and can be carried by reference; *candidates* may. Returns None when
+    pruning is unavailable (unparseable predicate).
+
+    Granularity: flat file groups split per part-file; Hive-partitioned
+    groups (``key=value`` subdirs — partition values live in paths, not
+    footers, and single-file reads would drop the partition columns) and
+    stats-less groups stay atomic: all-safe or all-candidate.
+    """
+    pred = parse_predicate(cond)
+    if pred is None:
+        return None
+    safe: list[str] = []
+    cand: list[str] = []
+    rows_cand = 0
+    rows_known = True
+    for rel in rel_entries:
+        full = os.path.join(root, rel)
+        if os.path.isfile(full):
+            # already a part-file reference (from a prior pruned rewrite)
+            st = load_group_stats(os.path.dirname(full))
+            fst = (st or {}).get("files", {}).get(os.path.basename(full))
+            if fst is None:
+                cand.append(rel)
+                rows_known = False
+            elif pred.can_match(fst):
+                cand.append(rel)
+                rows_cand += fst["rows"]
+            else:
+                safe.append(rel)
+            continue
+        st = load_group_stats(full)
+        parts = _part_files(full) if os.path.isdir(full) else []
+        partitioned = any("/" in p for p in parts)
+        if st is None or partitioned or not parts:
+            # atomic group: candidate unless every file proves safe
+            per = (st or {}).get("files", {})
+            if parts and per and all(
+                p in per and not pred.can_match(per[p]) for p in parts
+            ):
+                safe.append(rel)
+            else:
+                cand.append(rel)
+                if parts and per and all(p in per for p in parts):
+                    rows_cand += sum(per[p]["rows"] for p in parts)
+                else:
+                    rows_known = False
+            continue
+        per = st.get("files", {})
+        for p in parts:
+            prel = os.path.join(rel, p)
+            fst = per.get(p)
+            if fst is None:
+                cand.append(prel)
+                rows_known = False
+            elif pred.can_match(fst):
+                cand.append(prel)
+                rows_cand += fst["rows"]
+            else:
+                safe.append(prel)
+    info = {"candidate_rows": rows_cand if rows_known else None}
+    return safe, cand, info

@@ -1,0 +1,404 @@
+"""File-level data skipping: stats manifests, the conservative predicate
+evaluator, pruned DELETE/UPDATE rewrites, pruned reads, and vacuum safety
+for part-file references. Property test at the bottom drives random simple
+predicates through the pruned DELETE and checks bit-identical results vs
+the unpruned rewrite."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as S
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+def _clustered(spark, n=4000, files=8):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("grp"),
+        F.concat(F.lit("n_"), F.format_string("%06d", F.col("id"))).alias("name"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") * 1.5).alias("v"),
+    )
+    return df.repartitionByRange(files, F.col("k")).sortWithinPartitions("k")
+
+
+# ---------------------------------------------------------------------------
+# predicate evaluator unit tests (pure metadata, no Spark)
+# ---------------------------------------------------------------------------
+
+ST = {
+    "rows": 100,
+    "cols": {
+        "k": {"min": 10, "max": 20, "nulls": 0},
+        "name": {"min": "bbb", "max": "ddd", "nulls": 5},
+        "allnull": {"min": None, "max": None, "nulls": 100},
+    },
+}
+
+
+@pytest.mark.parametrize(
+    "cond,expected",
+    [
+        ("k < 10", False),
+        ("k < 11", True),
+        ("k <= 10", True),
+        ("k > 20", False),
+        ("k >= 20", True),
+        ("k = 15", True),
+        ("k = 21", False),
+        ("k != 15", True),
+        ("15 > k", True),
+        ("9 > k", False),
+        ("k BETWEEN 21 AND 30", False),
+        ("k BETWEEN 20 AND 30", True),
+        ("k IN (1, 2, 3)", False),
+        ("k IN (1, 2, 15)", True),
+        ("k = NULL", False),
+        ("name = 'aaa'", False),
+        ("name = 'ccc'", True),
+        ("name < 'bbb'", False),
+        ("name IS NULL", True),
+        ("k IS NULL", False),
+        ("k IS NOT NULL", True),
+        ("allnull = 5", False),
+        ("allnull IS NULL", True),
+        ("allnull IS NOT NULL", False),
+        ("k < 10 OR name = 'ccc'", True),
+        ("k < 10 OR name = 'aaa'", False),
+        ("k > 5 AND k < 10", False),
+        ("(k > 5) AND (name = 'ccc')", True),
+        ("NOT (k = 15)", True),  # NOT is opaque → conservative may-match
+        ("missing_col = 7", True),  # unknown column → may-match
+        ("k = 15 AND some_func(name) = 1", True),  # recovered subtree
+        ("k < 10 AND some_func(name) = 1", False),  # AND still prunes
+    ],
+)
+def test_predicate_can_match(cond, expected):
+    pred = S.parse_predicate(cond)
+    assert pred is not None, cond
+    assert pred.can_match(ST) is expected, cond
+
+
+def test_predicate_unparseable_returns_none():
+    assert S.parse_predicate("((((") is None
+    assert S.parse_predicate("") is None
+
+
+def test_fully_supported_flags_recovered_subtrees():
+    assert S.fully_supported(S.parse_predicate("k < 5 AND name = 'x'"))
+    assert not S.fully_supported(S.parse_predicate("k < 5 AND f(name) = 1"))
+    assert not S.fully_supported(S.parse_predicate("NOT (k = 5)"))
+    assert not S.fully_supported(
+        S.parse_predicate("k IN (SELECT k FROM t)")
+    ) or S.parse_predicate("k IN (SELECT k FROM t)") is None
+
+
+def test_big_int_bounds_compare_exactly():
+    # 2^53+1 collapses under float; Decimal comparison must not
+    st = {"rows": 1, "cols": {"k": {"min": 2**53 + 1, "max": 2**53 + 1, "nulls": 0}}}
+    assert S.parse_predicate(f"k = {2**53}").can_match(st) is False
+    assert S.parse_predicate(f"k = {2**53 + 1}").can_match(st) is True
+
+
+# ---------------------------------------------------------------------------
+# stats manifests
+# ---------------------------------------------------------------------------
+
+
+def test_write_table_persists_stats_manifest(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    (rel,) = repo.current_files("main", "t")
+    with open(os.path.join(repo.root, rel, S.STATS_NAME)) as f:
+        man = json.load(f)
+    assert len(man["files"]) == 8
+    for st in man["files"].values():
+        assert st["rows"] > 0
+        assert st["cols"]["k"]["min"] <= st["cols"]["k"]["max"]
+        assert st["cols"]["name"]["min"].startswith("n_")
+        # v has injected nulls; counts must be recorded
+        assert st["cols"]["v"]["nulls"] >= 0
+    # range clustering → per-file k ranges are disjoint
+    spans = sorted(
+        (st["cols"]["k"]["min"], st["cols"]["k"]["max"]) for st in man["files"].values()
+    )
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+
+
+def test_manifest_ignored_by_spark_reader(spark, repo):
+    repo.write_table("main", "t", _clustered(spark, n=100, files=2))
+    repo.commit("main", "base")
+    assert repo.read_table(spark, "t", "main").count() == 100
+
+
+def test_load_group_stats_computes_when_manifest_missing(spark, repo):
+    repo.write_table("main", "t", _clustered(spark, n=100, files=2))
+    repo.commit("main", "base")
+    (rel,) = repo.current_files("main", "t")
+    os.remove(os.path.join(repo.root, rel, S.STATS_NAME))
+    man = S.load_group_stats(os.path.join(repo.root, rel))
+    assert man is not None and len(man["files"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# pruned DML
+# ---------------------------------------------------------------------------
+
+
+def test_delete_pruned_carries_safe_files_by_reference(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    before = repo.current_files("main", "t")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("DELETE FROM t WHERE k < 500").collect()[0]
+    assert res.rows_affected == 500
+    after = repo.current_files("main", "t")
+    reused = [f for f in after if f.endswith(".parquet")]
+    # 8 range-clustered files: at most 2 overlap k<500, the rest reused
+    assert len(reused) >= 6
+    assert all(f.startswith(before[0]) for f in reused)
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 3500
+    assert t.agg(F.min("k")).collect()[0][0] == 500
+
+
+def test_delete_pruned_matches_full_rewrite(spark, repo):
+    df = _clustered(spark)
+    repo.write_table("main", "t", df)
+    repo.write_table("main", "u", df)
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    cond = "grp BETWEEN 10 AND 20 OR k >= 3900"
+    lsql.sql(f"DELETE FROM t WHERE {cond}")
+    # u: force the full path by making the predicate opaque to the parser
+    lsql.sql(f"DELETE FROM u WHERE ({cond}) AND abs(1) = 1")
+    a = repo.read_table(spark, "t", "main")
+    b = repo.read_table(spark, "u", "main")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_delete_no_match_is_metadata_only(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    before = repo.current_files("main", "t")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("DELETE FROM t WHERE k > 999999").collect()[0]
+    assert res.rows_affected == 0
+    after = repo.current_files("main", "t")
+    # every file proved safe → identical part-file set, nothing rewritten
+    assert sorted(os.path.basename(f) for f in after) == sorted(
+        S._part_files(os.path.join(repo.root, before[0]))
+    )
+
+
+def test_update_pruned_rewrites_only_overlap(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("UPDATE t SET name = 'HIT' WHERE k >= 3800").collect()[0]
+    assert res.rows_affected == 200
+    after = repo.current_files("main", "t")
+    assert len([f for f in after if f.endswith(".parquet")]) >= 6
+    t = repo.read_table(spark, "t", "main")
+    assert t.filter("name = 'HIT'").count() == 200
+    assert t.count() == 4000
+
+
+def test_update_with_subquery_set_falls_back(spark, repo):
+    repo.write_table("main", "t", _clustered(spark, n=200, files=2))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql(
+        "UPDATE t SET v = (SELECT MAX(k) FROM t) WHERE k < 50"
+    ).collect()[0]
+    assert res.rows_affected == 50
+    t = repo.read_table(spark, "t", "main")
+    assert t.filter("v = 199.0").count() == 50
+
+
+def test_null_condition_rows_survive_pruned_delete(spark, repo):
+    # v is null on k % 11 == 0; `v < X` is NULL there → rows survive
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("DELETE FROM t WHERE v < 300.0")
+    t = repo.read_table(spark, "t", "main")
+    # deleted: non-null v<300 → k in (1..199 minus multiples of 11)
+    assert t.filter("k < 200 AND k % 11 = 0").count() == 19  # 0,11,...,198
+    assert t.filter("k < 200 AND k % 11 != 0").count() == 0
+
+
+def test_time_travel_intact_after_pruned_dml(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    c0 = repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("DELETE FROM t WHERE k < 1000")
+    old = repo.read_table(spark, "t", "main", version_as_of=c0.version)
+    assert old.count() == 4000
+
+
+def test_vacuum_keeps_dirs_referenced_by_part_files(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("DELETE FROM t WHERE k < 1000")
+    repo.vacuum(keep_history=False, grace_seconds=0)
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 3000 and t.agg(F.min("k")).collect()[0][0] == 1000
+
+
+def test_pruned_read_skips_files(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    full = repo.read_table(spark, "t", "main")
+    pruned = repo.read_table(spark, "t", "main", prune_where="k BETWEEN 2000 AND 2100")
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert (
+        pruned.filter("k BETWEEN 2000 AND 2100").count()
+        == full.filter("k BETWEEN 2000 AND 2100").count()
+        == 101
+    )
+
+
+def test_partitioned_groups_stay_atomic(spark, repo):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    repo.write_table("main", "t", df, partition_by=["p"])
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("DELETE FROM t WHERE k < 30").collect()[0]
+    assert res.rows_affected == 30
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 270
+    assert set(t.select("p").distinct().toPandas()["p"]) == {0, 1, 2}
+
+
+def test_compact_then_selective_delete_is_cheap(spark, repo):
+    # the intended 100 TB flow: compact(sort_by=key) → pruned DML
+    repo.write_table("main", "t", _clustered(spark).repartition(16))
+    repo.commit("main", "messy")
+    repo.compact(spark, "main", "t", target_files=8, sort_by=["k"])
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("DELETE FROM t WHERE k = 1234")
+    after = repo.current_files("main", "t")
+    assert len([f for f in after if f.endswith(".parquet")]) == 7
+    assert repo.read_table(spark, "t", "main").count() == 3999
+
+
+def test_sql_optimize_sort_by_enables_skipping(spark, repo):
+    # messy layout: hash-partitioned, every file spans the full k range
+    repo.write_table("main", "t", _clustered(spark).repartition(8, "grp"))
+    repo.commit("main", "messy")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("DELETE FROM t WHERE k < 100").collect()[0]
+    assert res.rows_affected == 100
+    # overlapping ranges → nothing provably safe → full rewrite
+    assert not any(
+        f.endswith(".parquet") for f in repo.current_files("main", "t")
+    )
+    out = lsql.sql("OPTIMIZE t SORT BY (k) INTO 8 FILES").collect()[0]
+    assert out.file_groups == 1
+    lsql.sql("DELETE FROM t WHERE k < 200")
+    # now range-clustered → most part-files carried by reference
+    reused = [f for f in repo.current_files("main", "t") if f.endswith(".parquet")]
+    assert len(reused) >= 6
+    assert repo.read_table(spark, "t", "main").count() == 3800
+
+
+def test_sql_optimize_zorder_and_plain(spark, repo):
+    repo.write_table("main", "t", _clustered(spark, n=500, files=4))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    v1 = lsql.sql("OPTIMIZE t INTO 2 FILES").collect()[0]
+    assert v1.version == 2
+    assert repo.read_table(spark, "t", "main").count() == 500
+    v2 = lsql.sql("OPTIMIZE t ZORDER BY (k, grp) INTO 4 FILES").collect()[0]
+    assert v2.version == 3
+    assert repo.read_table(spark, "t", "main").count() == 500
+
+
+def test_sql_describe_stats(spark, repo):
+    repo.write_table("main", "t", _clustered(spark, n=400, files=4))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    df = lsql.sql("DESCRIBE STATS t")
+    pdf = df.toPandas()
+    assert set(pdf["column"]) == {"k", "grp", "name", "v"}
+    krows = pdf[pdf["column"] == "k"]
+    assert len(krows) == 4
+    assert krows["row_count"].sum() == 400
+    # after a pruned DELETE the reused part-files keep their stats rows
+    lsql.sql("DELETE FROM t WHERE k < 100")
+    pdf2 = lsql.sql("DESCRIBE STATS t").toPandas()
+    assert pdf2[pdf2["column"] == "k"]["row_count"].sum() == 300
+
+
+# ---------------------------------------------------------------------------
+# property test: pruned DELETE ≡ full-rewrite DELETE on random predicates
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+    _comparison = st.one_of(
+        st.tuples(
+            st.just("k"),
+            st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+            st.integers(-10, 4100),
+        ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        st.tuples(st.integers(0, 96), st.integers(0, 96)).map(
+            lambda t: f"grp BETWEEN {min(t)} AND {max(t)}"
+        ),
+        st.lists(st.integers(0, 4100), min_size=1, max_size=4).map(
+            lambda v: f"k IN ({', '.join(map(str, v))})"
+        ),
+        st.sampled_from(["v IS NULL", "v IS NOT NULL", "v < 600.0"]),
+    )
+    _predicate = st.one_of(
+        _comparison,
+        st.tuples(_comparison, st.sampled_from(["AND", "OR"]), _comparison).map(
+            lambda t: f"({t[0]}) {t[1]} ({t[2]})"
+        ),
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(cond=_predicate)
+    def test_pruned_delete_equals_full_delete(spark, tmp_path_factory, cond):
+        root = str(tmp_path_factory.mktemp("prop") / "lake")
+        repo = LakeRepo.init(root)
+        df = _clustered(spark, n=1000, files=5)
+        repo.write_table("main", "t", df)
+        repo.write_table("main", "u", df)
+        repo.commit("main", "base")
+        lsql = LakeSQL(spark, repo, "main")
+        lsql.sql(f"DELETE FROM t WHERE {cond}")
+        # identity-wrapped condition defeats the parser → full rewrite
+        lsql.sql(f"DELETE FROM u WHERE ({cond}) AND abs(1) = 1")
+        a = repo.read_table(spark, "t", "main")
+        b = repo.read_table(spark, "u", "main")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        LakeRepo.delete(root)
