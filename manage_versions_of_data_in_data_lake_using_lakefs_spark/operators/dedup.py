@@ -224,8 +224,38 @@ def minhash_lsh_pairs(
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
 
         sh = track(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    band_sig = lsh_band_index(
+        df, text_col, id_col, n, num_hashes, bands, use_fast_hash, shingles_df=sh
+    )
+    left = band_sig.select(F.col("id").alias("a"), "band", "sig")
+    right = band_sig.select(F.col("id").alias("b"), "band", "sig")
+    candidates = (
+        left.join(right, on=["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return exact_jaccard_verify(candidates, sh, threshold)
+
+
+def lsh_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    use_fast_hash: bool = False,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """The LSH index rows for a corpus: (id, band, sig) — what a
+    versioned lake persists as a TABLE and maintains incrementally.
+    Appending a new batch's index rows is enough to find every near-dup
+    pair involving the batch (band collision is a per-pair property), so
+    steady-state ingest never re-signatures the existing corpus."""
+    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, use_fast_hash, shingles_df=sh
+        df, text_col, id_col, n, num_hashes, use_fast_hash, shingles_df=shingles_df
     )
     band_structs = F.array(
         *[
@@ -242,19 +272,39 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    band_sig = sig.select("id", F.explode(band_structs).alias("bs")).select(
+    return sig.select("id", F.explode(band_structs).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    left = band_sig.select(F.col("id").alias("a"), "band", "sig")
-    right = band_sig.select(F.col("id").alias("b"), "band", "sig")
-    candidates = (
-        left.join(right, on=["band", "sig"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+
+
+def incremental_lsh_candidates(
+    old_index: DataFrame, new_index: DataFrame
+) -> DataFrame:
+    """Candidate pairs involving at least one NEW document: new×old plus
+    new×new, via band equi-joins against the stored index. old×old pairs
+    were resolved by earlier commits and are never revisited — join cost
+    scales with the batch's band rows, not the corpus. Pairs come back
+    (a, b) with a < b regardless of which side was new."""
+    old = old_index.select(F.col("id").alias("o"), "band", "sig")
+    new_l = new_index.select(F.col("id").alias("x"), "band", "sig")
+    new_r = new_index.select(F.col("id").alias("y"), "band", "sig")
+    cross = new_l.join(old, ["band", "sig"]).select(
+        F.least("x", "o").alias("a"), F.greatest("x", "o").alias("b")
     )
-    # exact verify on candidates only — reuses the cached shingle set;
-    # a pair's intersection = its a-side shingles matched into the b side
+    within = (
+        new_l.join(new_r, ["band", "sig"])
+        .where(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    return cross.union(within).distinct()
+
+
+def exact_jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification of candidate pairs against a
+    shingle set (id, shingle): candidate-driven joins, so cost scales
+    with |candidates|·|doc shingles| — never a shingle self-join."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("id").alias("a"), "shingle")
     sh_b = sh.select(F.col("id").alias("b"), "shingle")

@@ -69,3 +69,40 @@ def stratified_hash_sample(
         cond = (F.col(strata_col) == F.lit(stratum)) & (b < F.lit(pct))
         keep = cond if keep is None else keep | cond
     return df.where(keep)
+
+
+def shuffle_key(key: Column, salt: int = 0) -> Column:
+    """Full-range deterministic permutation key: an affine bijection of
+    the (salted) key mod P. Distinct keys < P map to distinct values, so
+    ordering by it is a total order — a reproducible corpus shuffle. A
+    different ``salt`` yields an unrelated permutation (fresh training
+    order per epoch without re-materializing anything)."""
+    k = F.pmod(key.cast("long") + F.lit(salt), F.lit(_P))
+    return (F.lit(_A).cast("long") * k + F.lit(_B)) % F.lit(_P)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, partitions: int | None = None, salt: int = 0
+) -> DataFrame:
+    """Global training-order randomization, the last step before a corpus
+    ships to a data loader. ``ORDER BY rand()`` is neither reproducible
+    nor rerun-stable; this orders by ``shuffle_key`` instead and realizes
+    the order with repartitionByRange + sortWithinPartitions — Spark's
+    scalable global sort (range exchange, no single reducer; at 100 TB
+    each partition sorts locally after a sampled-boundary exchange).
+    Output files read in partition order yield the permuted corpus."""
+    out = df.withColumn("_shuffle_key", shuffle_key(F.col(key_col), salt))
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, F.col("_shuffle_key")).sortWithinPartitions(
+        "_shuffle_key"
+    )
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_pct: Column) -> DataFrame:
+    """Quality-weighted downsampling: keep each row with probability
+    ``weight_pct``/100, decided by the row's own hash — deterministic,
+    map-only, rerun-stable (unlike ``df.sample``). ``weight_pct`` is any
+    integer Column in [0, 100], typically derived from a quality score,
+    so high-quality documents survive at a higher rate — the standard
+    curriculum/quality-mixing primitive."""
+    return df.where(hash_bucket(F.col(key_col)) < weight_pct)

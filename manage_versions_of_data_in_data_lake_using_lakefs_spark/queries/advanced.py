@@ -343,6 +343,76 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (training-order
+    randomization): order by an affine bijection of doc_id, realized as
+    a range exchange + local sorts — no single reducer at any scale.
+    Output: the first 20 documents of the salt=7 permutation with their
+    positions, which pins both the permutation arithmetic and the
+    global order the range exchange produces."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shuffled = deterministic_shuffle(docs, "doc_id", salt=7)
+    head = shuffled.orderBy("_shuffle_key").limit(20)
+    w = Window.orderBy("_shuffle_key")
+    return head.select(
+        "doc_id",
+        F.col("_shuffle_key").alias("shuffle_key"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = """
+WITH h AS (
+    SELECT doc_id,
+           (1103515245::BIGINT *
+              (((doc_id + 7) % 2147483647 + 2147483647) % 2147483647)
+            + 12345) % 2147483647 AS sk
+    FROM documents
+)
+SELECT doc_id, sk AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY sk) AS INTEGER) AS pos
+FROM h ORDER BY sk LIMIT 20
+"""
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: longer documents survive at a higher
+    rate (weight = clamp(n_chars/50, 10, 100) percent), decided per-row
+    by the doc's own hash — deterministic and map-only. Output: per-lang
+    kept counts + the exact surviving doc_id sum (any drift in the
+    keep decision moves it)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.least(F.lit(100), F.greatest(F.lit(10), F.expr("n_chars DIV 50")))
+    kept = weighted_sample(docs, "doc_id", pct)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = """
+WITH h AS (
+    SELECT doc_id, lang,
+           ((1103515245::BIGINT * ((doc_id % 2147483647 + 2147483647) % 2147483647)
+             + 12345) % 2147483647) % 100 AS b,
+           LEAST(100, GREATEST(10, n_chars // 50)) AS pct
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM h WHERE b < pct
+GROUP BY lang ORDER BY lang
+"""
+
+
 ORACLE_SAMPLE_STRATIFIED = """
 WITH h AS (
     SELECT doc_id, lang,
@@ -2291,6 +2361,8 @@ ADVANCED_QUERIES = {
     "window_frame_sum": q_window_frame_sum,
     "window_range_frame": q_window_range_frame,
     "sample_split": q_sample_split,
+    "corpus_shuffle": q_corpus_shuffle,
+    "sample_weighted": q_sample_weighted,
     "sample_stratified": q_sample_stratified,
     "sim_topk_ivf": q_sim_topk_ivf,
     "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
@@ -2349,6 +2421,8 @@ ADVANCED_ORACLES = {
     "window_frame_sum": ORACLE_WINDOW_FRAME_SUM,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "sample_split": ORACLE_SAMPLE_SPLIT,
+    "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+    "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
     "sim_topk_ivf_trained": ORACLE_SIM_TOPK_IVF_TRAINED,

@@ -253,6 +253,87 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance on a versioned corpus — the
+    steady-state 100 TB ingest flow: the MinHash-LSH band index lives as
+    a repo TABLE; a new batch appends only ITS index rows (one commit),
+    and dedup checks the batch against the stored index — new×old ∪
+    new×new candidates via band equi-joins, never re-signaturing or
+    re-pairing the existing corpus. Exact-Jaccard verification runs only
+    on candidate docs. Result ≡ the full-corpus pipeline restricted to
+    pairs involving a new doc (the oracle runs exactly that), which is
+    the correctness contract that makes the incremental index safe."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
+        exact_jaccard_verify,
+        incremental_lsh_candidates,
+        lsh_band_index,
+        shingles,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.versioned import _fresh_repo
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    repo = _fresh_repo()
+    repo.write_table("main", "lsh_index", lsh_band_index(old))
+    c0 = repo.commit("main", "v0: index the base corpus")
+    repo.write_table("main", "lsh_index", lsh_band_index(new), mode="append")
+    repo.commit("main", "v1: append the new batch's index rows")
+    idx0 = repo.read_table(spark, "lsh_index", "main", version_as_of=c0.version)
+    idx1 = repo.read_table(spark, "lsh_index", "main")
+    new_idx = idx1.join(idx0.select("id").distinct(), "id", "left_anti")
+    cands = incremental_lsh_candidates(idx0, new_idx)
+    # verify only on docs that appear in a candidate pair
+    cand_ids = (
+        cands.select(F.col("a").alias("doc_id"))
+        .union(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id")
+    return exact_jaccard_verify(cands, sh, threshold=0.5).orderBy("a", "b")
+
+
+# full-corpus LSH pipeline restricted to new-involving pairs: by the
+# per-pair band-collision property this IS what the incremental path
+# must produce — any over/under-reach of the index maintenance breaks it
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_SQL_SHINGLES},
+ids AS (
+    SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS sid
+    FROM sh
+),
+hashed AS (
+    SELECT id, k,
+           (((1103515245::BIGINT * (k + 1) + 12345) % 2147483647) * sid
+            + (12345::BIGINT * (k + 1)) % 2147483647) % 2147483647 AS hk
+    FROM ids CROSS JOIN (SELECT unnest(range(16)) AS k)
+),
+sig AS (SELECT id, k, MIN(hk) AS mh FROM hashed GROUP BY id, k),
+band_sig AS (
+    SELECT id, CAST(FLOOR(k / 4.0) AS INT) AS band,
+           string_agg(CAST(mh AS VARCHAR), '_' ORDER BY k) AS sig
+    FROM sig GROUP BY 1, 2
+),
+candidates AS (
+    SELECT DISTINCT l.id AS a, r.id AS b
+    FROM band_sig l JOIN band_sig r
+      ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+    WHERE l.id % 10 = 0 OR r.id % 10 = 0
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    JOIN candidates c ON c.a = a.id AND c.b = b.id
+    GROUP BY 1, 2
+)
+SELECT a, b, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.id JOIN sizes sb ON inter.b = sb.id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+ORDER BY a, b
+"""
+
+
 _SIMHASH_BITS = 30  # keep in sync with operators.dedup.simhash default
 
 
@@ -784,6 +865,7 @@ EXTENSION_QUERIES = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_stride": q_dedup_embedding_cosine_stride,
@@ -807,6 +889,7 @@ EXTENSION_ORACLES = {
     "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_stride": ORACLE_DEDUP_EMBEDDING_COSINE_STRIDE,

@@ -39,6 +39,39 @@ def test_lsh_pairs_subset_of_exact(docs):
     assert len(lsh) >= 0.8 * len(exact)  # S-curve recall on near-identical docs
 
 
+def test_incremental_lsh_equals_full_restricted_to_new(docs):
+    """Appending only the new batch's index rows finds exactly the
+    full-corpus pairs that involve a new doc — the contract that makes
+    the versioned index safe to maintain incrementally — and the
+    candidate set never contains an old×old pair (those would mean the
+    incremental path re-pays resolved work)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import (
+        exact_jaccard_verify,
+        incremental_lsh_candidates,
+        lsh_band_index,
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    cands = incremental_lsh_candidates(lsh_band_index(old), lsh_band_index(new))
+    crows = cands.collect()
+    assert all(r.a % 10 == 0 or r.b % 10 == 0 for r in crows)
+    assert all(r.a < r.b for r in crows)
+    sh = shingles(docs, "text", "doc_id")
+    inc = {
+        (r.a, r.b): r.jaccard
+        for r in exact_jaccard_verify(cands, sh, 0.5).collect()
+    }
+    full = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r.a % 10 == 0 or r.b % 10 == 0
+    }
+    assert inc == full
+
+
 def test_fast_hash_lsh_matches_portable_results(docs):
     """xxhash64 shingle ids change the signatures but not the verify stage:
     surviving pairs still satisfy jaccard >= threshold and recall holds."""

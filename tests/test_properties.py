@@ -145,3 +145,45 @@ def test_repetition_metrics_match_python(spark, words):
     bigrams = Counter(zip(words, words[1:]))
     expect = max(bigrams.values()) / sum(bigrams.values())
     assert abs(r.top_bigram_frac - expect) < 1e-12
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=30, unique=True
+    ),
+    parts=st.integers(1, 6),
+    salt=st.integers(0, 1000),
+)
+@settings(**_SETTINGS)
+def test_deterministic_shuffle_is_permutation_and_layout_stable(spark, ids, parts, salt):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    a = deterministic_shuffle(df, "k", partitions=2, salt=salt)
+    b = deterministic_shuffle(df.repartition(parts), "k", partitions=3, salt=salt)
+    order_a = [r["k"] for r in a.orderBy("_shuffle_key").collect()]
+    order_b = [r["k"] for r in b.orderBy("_shuffle_key").collect()]
+    assert order_a == order_b  # layout-independent global order
+    assert sorted(order_a) == sorted(ids)  # a permutation, nothing lost
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=30, unique=True
+    ),
+    parts=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_deterministic_and_monotone(spark, ids, parts):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    kept_60 = {r["k"] for r in weighted_sample(df, "k", F.lit(60)).collect()}
+    kept_60b = {
+        r["k"] for r in weighted_sample(df.repartition(parts), "k", F.lit(60)).collect()
+    }
+    assert kept_60 == kept_60b  # partitioning-independent
+    kept_90 = {r["k"] for r in weighted_sample(df, "k", F.lit(90)).collect()}
+    assert kept_60 <= kept_90  # raising the weight only adds rows
+    kept_0 = {r["k"] for r in weighted_sample(df, "k", F.lit(0)).collect()}
+    assert kept_0 == set()
