@@ -369,6 +369,38 @@ class LakeSQL:
             "null_count BIGINT, row_count BIGINT",
         )
 
+    _SIMPLE_SELECT_RE = re.compile(
+        r"^\s*SELECT\b.*?\bFROM\s+(?P<table>[A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b)\w+)?"
+        r"\s+WHERE\s+(?P<where>.*?)"
+        r"(?:\s+(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|QUALIFY|WINDOW)\b.*)?"
+        r"\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _auto_prune_where(self, query: str) -> dict[str, str]:
+        """{table_lower: where_text} when the query is a simple
+        single-table SELECT whose WHERE can safely file-prune that
+        table's scan. Requirements: exactly one FROM and one WHERE in
+        the whole text (no subquery reads the same view), the FROM names
+        a bare repo table, and no JOIN/comma-list. The WHERE itself goes
+        through the conservative stats evaluator, so anything it can't
+        reason about simply doesn't skip files."""
+        if len(re.findall(r"\bFROM\b", query, re.IGNORECASE)) != 1:
+            return {}
+        if len(re.findall(r"\bWHERE\b", query, re.IGNORECASE)) != 1:
+            return {}
+        if re.search(r"\bJOIN\b", query, re.IGNORECASE):
+            return {}
+        m = self._SIMPLE_SELECT_RE.match(query)
+        if not m:
+            return {}
+        table = m.group("table").lower()
+        known = {t.lower() for t in self.repo.list_tables(self.branch)}
+        if table not in known:
+            return {}
+        return {table: m.group("where").strip()}
+
     # -- query rewrite ------------------------------------------------------
     def _resolve_table(self, name: str) -> str:
         """Case-insensitive repo-table resolution (Spark identifiers are
@@ -800,13 +832,25 @@ class LakeSQL:
 
         # 3) remaining bare repo-table references resolve to scoped
         #    branch-head views `lake__<t>` — registered under the prefix
-        #    so sql() never clobbers a user's own temp view named <t>
+        #    so sql() never clobbers a user's own temp view named <t>.
+        #    For a simple single-table SELECT the view is additionally
+        #    file-pruned by the query's own WHERE (automatic data
+        #    skipping): correct because the WHERE applies directly to the
+        #    scan, and the evaluator over-approximates. Joins are
+        #    excluded (an IS NULL predicate on an outer join's
+        #    null-producing side would make skipped files ADD rows), as
+        #    is any query where the table appears more than once (a
+        #    pruned view would also feed the self-referencing subquery).
+        auto_prune = self._auto_prune_where(query)
         for t in self.repo.list_tables(self.branch):
             pat = re.compile(rf"\b{re.escape(t)}\b", re.IGNORECASE)
             if pat.search(rewritten):
-                self.repo.read_table(self.spark, t, ref=self.branch).createOrReplaceTempView(
-                    f"lake__{t}"
-                )
+                self.repo.read_table(
+                    self.spark,
+                    t,
+                    ref=self.branch,
+                    prune_where=auto_prune.get(t.lower()),
+                ).createOrReplaceTempView(f"lake__{t}")
                 rewritten = pat.sub(f"lake__{t}", rewritten)
 
         # 4) restore the untouched literals

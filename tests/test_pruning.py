@@ -298,6 +298,41 @@ def test_compact_then_selective_delete_is_cheap(spark, repo):
     assert repo.read_table(spark, "t", "main").count() == 3999
 
 
+def test_sql_select_auto_file_skipping(spark, repo):
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    df = lsql.sql("SELECT k, name FROM t WHERE k BETWEEN 1000 AND 1050")
+    assert len(df.inputFiles()) < 8  # files outside the band skipped
+    assert df.count() == 51
+    # aggregates / aliases / ORDER BY still prune
+    agg = lsql.sql(
+        "SELECT grp, COUNT(*) AS n FROM t AS x WHERE k < 500 GROUP BY grp ORDER BY grp"
+    )
+    assert len(agg.inputFiles()) < 8
+    assert agg.agg(F.sum("n")).collect()[0][0] == 500
+
+
+def test_sql_select_auto_skipping_disabled_when_unsafe(spark, repo):
+    df = _clustered(spark)
+    repo.write_table("main", "t", df)
+    repo.write_table("main", "u", df.select("k"))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    # join: both scans stay full
+    j = lsql.sql(
+        "SELECT t.k FROM t JOIN u ON t.k = u.k WHERE t.k < 100"
+    )
+    assert j.count() == 100
+    assert len([f for f in j.inputFiles()]) >= 16
+    # self-reference via subquery: scalar subquery must see ALL files
+    s = lsql.sql("SELECT COUNT(*) AS n FROM t WHERE k > (SELECT MAX(k) - 10 FROM t)")
+    assert s.collect()[0].n == 10
+    # IS NULL predicate on a single table is safe and uses null counts
+    z = lsql.sql("SELECT COUNT(*) AS n FROM t WHERE v IS NULL AND k < 400")
+    assert z.collect()[0].n == len([i for i in range(400) if i % 11 == 0])
+
+
 def test_sql_optimize_sort_by_enables_skipping(spark, repo):
     # messy layout: hash-partitioned, every file spans the full k range
     repo.write_table("main", "t", _clustered(spark).repartition(8, "grp"))
