@@ -99,6 +99,8 @@ def main() -> None:
         "embedding_classify",
         "embedding_project",
         "graph_pagerank",
+        "versioned_delete_prune",
+        "dedup_incremental",
     ):
         if extra in registry:
             names.append(extra)
