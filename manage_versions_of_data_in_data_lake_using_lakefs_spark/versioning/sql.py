@@ -123,6 +123,35 @@ _OPTIMIZE_RE = re.compile(
 _DESCRIBE_STATS_RE = re.compile(
     rf"^\s*DESCRIBE\s+STATS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_MERGE_INTO_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+(?P<table>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
+    r"\s+USING\s+(?P<src>.+?)\s+ON\s+(?P<cond>.+?)"
+    r"(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_SRC_RE = re.compile(
+    rf"^(?:(?P<ident>{_IDENT})|(?P<sub>\(.+\)))(?:\s+(?:AS\s+)?(?P<salias>\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_MATCHED_UPDATE_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+?)"
+    r"(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_MATCHED_DELETE_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+DELETE\b", re.IGNORECASE
+)
+_WHEN_NOT_MATCHED_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+)
+_EQ_PAIR_RE = re.compile(
+    r"^\s*(?P<la>\w+)\s*\.\s*(?P<lc>\w+|`[^`]+`)\s*=\s*"
+    r"(?P<ra>\w+)\s*\.\s*(?P<rc>\w+|`[^`]+`)\s*$"
+)
+_MERGE_ASSIGN_RE = re.compile(
+    r"^\s*(?P<col>(?:\w+\s*\.\s*)?(?:\w+|`[^`]+`))\s*=\s*(?P<expr>.+)$",
+    re.DOTALL,
+)
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<table>{_IDENT})\s+AS\s+"
     r"(?P<select>SELECT\b.*?)\s*;?\s*$",
@@ -368,6 +397,165 @@ class LakeSQL:
             "file STRING, column STRING, min STRING, max STRING, "
             "null_count BIGINT, row_count BIGINT",
         )
+
+    def _merge_into(
+        self, table: str, talias: str | None, src: str, cond: str, clauses: str
+    ) -> DataFrame:
+        """``MERGE INTO t [AS a] USING <table|(SELECT ...)> [AS b]
+        ON a.k = b.k [AND ...]
+        [WHEN MATCHED THEN UPDATE SET * | SET c = expr, ... | DELETE]
+        [WHEN NOT MATCHED THEN INSERT *]``
+
+        The Delta MERGE subset a lakehouse actually runs: equality-
+        conjunction ON, update/delete on match, insert-by-name on no
+        match. Declarative plan: one LEFT [ANTI] JOIN per branch over the
+        snapshot — with a small source the join broadcasts and the big
+        target streams through narrow (same shape as ``upsert_table``).
+        Like Delta, raises when several source rows hit the same target
+        row (checked as source-side duplicate join keys — one tiny agg)."""
+        name = self._resolve_table(table)
+        ta = talias or name
+        ms = _MERGE_SRC_RE.match(src.strip())
+        if not ms:
+            raise ValueError(f"cannot parse MERGE source: {src!r}")
+        if ms.group("sub"):
+            sdf = self.sql(ms.group("sub")[1:-1])
+            sa = ms.group("salias")
+            if not sa:
+                raise ValueError("a subquery MERGE source needs an alias")
+        else:
+            src_name = ms.group("ident").strip("`")
+            sdf = self.sql(f"SELECT * FROM {src_name}")
+            sa = ms.group("salias") or src_name
+        # equality-conjunction ON, sides identified by alias
+        t_keys: list[str] = []
+        s_keys: list[str] = []
+        for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+            pm = _EQ_PAIR_RE.match(part)
+            if not pm:
+                raise ValueError(
+                    f"MERGE ON must be an equality conjunction of "
+                    f"alias.col = alias.col terms; got {part.strip()!r}"
+                )
+            la, lc, ra, rc = (
+                pm.group("la"),
+                pm.group("lc").strip("`"),
+                pm.group("ra"),
+                pm.group("rc").strip("`"),
+            )
+            if la.lower() == ta.lower() and ra.lower() == sa.lower():
+                t_keys.append(lc)
+                s_keys.append(rc)
+            elif la.lower() == sa.lower() and ra.lower() == ta.lower():
+                t_keys.append(rc)
+                s_keys.append(lc)
+            else:
+                raise ValueError(
+                    f"MERGE ON term {part.strip()!r} must relate "
+                    f"{ta!r} and {sa!r}"
+                )
+        mu = _WHEN_MATCHED_UPDATE_RE.search(clauses)
+        md = _WHEN_MATCHED_DELETE_RE.search(clauses)
+        mi = _WHEN_NOT_MATCHED_RE.search(clauses)
+        if mu and md:
+            raise ValueError("MERGE supports one WHEN MATCHED action")
+        if not (mu or md or mi):
+            raise ValueError(f"no recognized MERGE clause in {clauses!r}")
+
+        target = self.repo.read_table(
+            self.spark, name, ref=self.branch, include_staged=True
+        )
+        tview, sview = "lake__merge_t", "lake__merge_s"
+        target.createOrReplaceTempView(tview)
+        sdf.createOrReplaceTempView(sview)
+        on_sql = " AND ".join(
+            f"{ta}.`{tk}` = {sa}.`{sk}`" for tk, sk in zip(t_keys, s_keys)
+        )
+        # Delta's multiple-match guard: dup source join keys = ambiguity
+        dup = self.spark.sql(
+            f"SELECT 1 FROM {sview} GROUP BY "
+            + ", ".join(f"`{k}`" for k in s_keys)
+            + " HAVING COUNT(*) > 1 LIMIT 1"
+        )
+        if dup.take(1):
+            raise ValueError(
+                "MERGE source has multiple rows per join key; a target row "
+                "would match more than one source row (Delta raises here too)"
+            )
+        matched_n = self.spark.sql(
+            f"SELECT COUNT(*) AS n FROM {tview} {ta} JOIN {sview} {sa} ON {on_sql}"
+        ).collect()[0].n
+        rows = 0
+        parts: list[str] = []
+        if md:
+            parts.append(
+                f"SELECT {ta}.* FROM {tview} {ta} "
+                f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
+            )
+            rows += matched_n
+        else:
+            if mu:
+                sets_text = mu.group("sets").strip()
+                if sets_text == "*":
+                    assigns = {f.name: f"{sa}.`{f.name}`" for f in target.schema.fields}
+                else:
+                    assigns = {}
+                    resolved = {f.name.lower(): f.name for f in target.schema.fields}
+                    for part in _split_top_level(sets_text):
+                        am = _MERGE_ASSIGN_RE.match(part)
+                        if not am:
+                            raise ValueError(f"cannot parse SET assignment: {part!r}")
+                        col = am.group("col").strip("`")
+                        qual = re.match(
+                            rf"^{re.escape(ta)}\s*\.\s*(.+)$", col, re.IGNORECASE
+                        )
+                        if qual:
+                            col = qual.group(1).strip("`")
+                        if col.lower() not in resolved:
+                            raise KeyError(f"MERGE {name!r}: no column {col!r}")
+                        assigns[resolved[col.lower()]] = am.group("expr").strip()
+                rows += matched_n
+            else:
+                assigns = {}
+            marker = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+            proj = []
+            for f in target.schema.fields:
+                if f.name in assigns:
+                    proj.append(
+                        f"CASE WHEN {marker} THEN "
+                        f"CAST(({assigns[f.name]}) AS {f.dataType.simpleString()}) "
+                        f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
+                    )
+                else:
+                    proj.append(f"{ta}.`{f.name}` AS `{f.name}`")
+            parts.append(
+                f"SELECT {', '.join(proj)} FROM {tview} {ta} "
+                f"LEFT JOIN {sview} {sa} ON {on_sql}"
+            )
+        if mi:
+            missing = [
+                f.name for f in target.schema.fields if f.name not in sdf.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"MERGE INSERT *: source lacks target columns {missing}"
+                )
+            ins_proj = ", ".join(
+                f"CAST({sa}.`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in target.schema.fields
+            )
+            parts.append(
+                f"SELECT {ins_proj} FROM {sview} {sa} "
+                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+            )
+            rows += self.spark.sql(
+                f"SELECT COUNT(*) AS n FROM {sview} {sa} "
+                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+            ).collect()[0].n
+        merged = self.spark.sql(" UNION ALL ".join(f"({p})" for p in parts))
+        self.repo.write_table(self.branch, name, merged, mode="overwrite")
+        c = self.repo.commit(self.branch, f"SQL: MERGE INTO {name}")
+        return self._dml_result(name, c.version, rows)
 
     _SIMPLE_SELECT_RE = re.compile(
         r"^\s*SELECT\b.*?\bFROM\s+(?P<table>[A-Za-z_]\w*)"
@@ -773,6 +961,15 @@ class LakeSQL:
         m = _INSERT_RE.match(query)
         if m:
             return self._insert(m.group("table"), m.group("body"))
+        m = _MERGE_INTO_RE.match(query)
+        if m:
+            return self._merge_into(
+                m.group("table"),
+                m.group("talias"),
+                m.group("src"),
+                m.group("cond"),
+                m.group("clauses"),
+            )
         m = _DELETE_RE.match(query)
         if m:
             return self._delete(m.group("table"), m.group("cond"))

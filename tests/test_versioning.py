@@ -1166,3 +1166,96 @@ def test_sql_table_changes_cdc(spark, repo):
         f"SELECT count(*) AS n FROM TABLE_CHANGES(t, {v2}) WHERE _change_type = 'insert'"
     ).collect()[0].n
     assert n == 2
+
+
+def test_sql_merge_into_upsert(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table(
+        "main", "t", spark.createDataFrame([(1, 10.0), (2, 20.0)], "id INT, v DOUBLE")
+    )
+    repo.write_table(
+        "main", "s", spark.createDataFrame([(2, 99.0), (3, 30.0)], "id INT, v DOUBLE")
+    )
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    out = lsql.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert out.rows_affected == 2  # 1 updated + 1 inserted
+    got = {r.id: r.v for r in lsql.sql("SELECT * FROM t").collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_sql_merge_into_custom_set_and_aliases(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table(
+        "main", "acct", spark.createDataFrame([(1, 100.0), (2, 200.0)], "id INT, bal DOUBLE")
+    )
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    src = spark.createDataFrame([(1, 5.0), (9, 7.0)], "id INT, delta DOUBLE")
+    src.createOrReplaceTempView("deposits")
+    out = lsql.sql(
+        "MERGE INTO acct a USING (SELECT id, delta FROM deposits) d "
+        "ON a.id = d.id "
+        "WHEN MATCHED THEN UPDATE SET bal = a.bal + d.delta"
+    ).collect()[0]
+    assert out.rows_affected == 1  # only matched updates, no insert clause
+    got = {r.id: r.bal for r in lsql.sql("SELECT * FROM acct").collect()}
+    assert got == {1: 105.0, 2: 200.0}  # id=9 ignored: no NOT MATCHED clause
+
+
+def test_sql_merge_into_delete_and_insert(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table(
+        "main", "t", spark.createDataFrame([(1, "a"), (2, "b")], "id INT, s STRING")
+    )
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    src = spark.createDataFrame([(2, "x"), (5, "e")], "id INT, s STRING")
+    src.createOrReplaceTempView("chg")
+    out = lsql.sql(
+        "MERGE INTO t USING chg ON t.id = chg.id "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert out.rows_affected == 2  # 1 deleted + 1 inserted
+    got = sorted((r.id, r.s) for r in lsql.sql("SELECT * FROM t").collect())
+    assert got == [(1, "a"), (5, "e")]
+
+
+def test_sql_merge_into_rejects_ambiguous_source(spark, repo):
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, "a")], "id INT, s STRING"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id INT, s STRING")
+    dup.createOrReplaceTempView("dupsrc")
+    with _pytest.raises(ValueError, match="multiple rows per join key"):
+        lsql.sql(
+            "MERGE INTO t USING dupsrc ON t.id = dupsrc.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_sql_merge_into_versions_like_dml(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 1)], "id INT, x INT"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    src = spark.createDataFrame([(1, 2)], "id INT, x INT")
+    src.createOrReplaceTempView("m_src")
+    lsql.sql("MERGE INTO t USING m_src ON t.id = m_src.id WHEN MATCHED THEN UPDATE SET *")
+    # pre-merge version still readable (time travel intact)
+    old = lsql.sql("SELECT x FROM t VERSION AS OF 1").collect()
+    assert [r.x for r in old] == [1]
+    assert [r.x for r in lsql.sql("SELECT x FROM t").collect()] == [2]
