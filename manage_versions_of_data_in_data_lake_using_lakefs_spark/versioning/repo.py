@@ -550,13 +550,39 @@ class LakeRepo:
     def _read_files(
         self, spark: SparkSession, rel_files: list[str], merge_schema: bool = False
     ) -> DataFrame:
-        paths = [os.path.join(self.root, f) for f in rel_files]
-        if not paths:
+        """Read a snapshot's file entries. Entries may be file-group
+        dirs, individual part-files (pruned rewrites), or Hive partition
+        SUBDIRS of a group (pruned rewrites of partitioned tables) — the
+        latter are read per-group with ``basePath`` so the path-encoded
+        partition columns stay in the schema."""
+        if not rel_files:
             raise KeyError("empty table snapshot")
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", True)
-        return reader.parquet(*paths)
+        plain: list[str] = []
+        by_group: dict[str, list[str]] = {}
+        for f in rel_files:
+            comps = f.split(os.sep)
+            if len(comps) > 3 and comps[0] == "data" and any("=" in c for c in comps[3:]):
+                by_group.setdefault(os.sep.join(comps[:3]), []).append(f)
+            else:
+                plain.append(f)
+
+        def reader():
+            r = spark.read
+            return r.option("mergeSchema", True) if merge_schema else r
+
+        dfs = []
+        if plain:
+            dfs.append(reader().parquet(*[os.path.join(self.root, f) for f in plain]))
+        for group, fs in sorted(by_group.items()):
+            dfs.append(
+                reader()
+                .option("basePath", os.path.join(self.root, group))
+                .parquet(*[os.path.join(self.root, f) for f in fs])
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=merge_schema)
+        return out
 
     def restore_table(
         self, branch: str, table: str, version: int, message: str | None = None

@@ -118,9 +118,33 @@ def _part_files(group_dir: str) -> list[str]:
     return sorted(out)
 
 
+def _partition_values(rel: str) -> dict[str, object]:
+    """Hive ``key=value`` segments of a part-file's path inside its
+    group, typed like a literal would be (int > float > string). The
+    null partition records as an all-null marker downstream."""
+    out: dict[str, object] = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+            continue
+        try:
+            out[k] = int(v)
+        except ValueError:
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = v
+    return out
+
+
 def write_group_stats(group_dir: str) -> dict | None:
     """Build + persist the stats manifest for a freshly written file
-    group. Best-effort: any failure leaves the group without a manifest
+    group. Partition values from the path ride along as exact
+    min=max=value column stats, so predicates on partition columns prune
+    too. Best-effort: any failure leaves the group without a manifest
     (pruning then treats every file as may-match)."""
     try:
         files: dict[str, dict] = {}
@@ -128,6 +152,11 @@ def write_group_stats(group_dir: str) -> dict | None:
             st = file_stats(os.path.join(group_dir, rel))
             if st is None:
                 return None
+            for k, v in _partition_values(rel).items():
+                if v is None:
+                    st["cols"][k] = {"min": None, "max": None, "nulls": st["rows"]}
+                else:
+                    st["cols"][k] = {"min": v, "max": v, "nulls": 0}
             files[rel] = st
         manifest = {"files": files}
         tmp = os.path.join(group_dir, STATS_NAME + ".tmp")
@@ -155,6 +184,11 @@ def load_group_stats(group_dir: str) -> dict | None:
         st = file_stats(os.path.join(group_dir, rel))
         if st is None:
             return None
+        for k, v in _partition_values(rel).items():
+            if v is None:
+                st["cols"][k] = {"min": None, "max": None, "nulls": st["rows"]}
+            else:
+                st["cols"][k] = {"min": v, "max": v, "nulls": 0}
         files[rel] = st
     return {"files": files} if files else None
 
@@ -568,12 +602,30 @@ def prune_file_list(
             else:
                 safe.append(rel)
             continue
+        comps = rel.split("/")
+        if len(comps) > 3 and comps[0] == "data" and os.path.isdir(full):
+            # a partition-subdir reference from a previous pruned rewrite:
+            # classify it as one unit from its group's manifest (whose
+            # file keys carry the partition segments)
+            group_full = os.path.join(root, *comps[:3])
+            sub = "/".join(comps[3:])
+            per = (load_group_stats(group_full) or {}).get("files", {})
+            pfiles = [p for p in per if os.path.dirname(p) == sub or p.startswith(sub + "/")]
+            if pfiles and all(not pred.can_match(per[p]) for p in pfiles):
+                safe.append(rel)
+            else:
+                cand.append(rel)
+                if pfiles:
+                    rows_cand += sum(per[p]["rows"] for p in pfiles)
+                else:
+                    rows_known = False
+            continue
         st = load_group_stats(full)
         parts = _part_files(full) if os.path.isdir(full) else []
         partitioned = any("/" in p for p in parts)
-        if st is None or partitioned or not parts:
-            # atomic group: candidate unless every file proves safe
-            per = (st or {}).get("files", {})
+        per = (st or {}).get("files", {})
+        if st is None or not parts:
+            # stats-less group: candidate unless every file proves safe
             if parts and per and all(
                 p in per and not pred.can_match(per[p]) for p in parts
             ):
@@ -585,7 +637,42 @@ def prune_file_list(
                 else:
                     rows_known = False
             continue
-        per = st.get("files", {})
+        if partitioned:
+            # Hive layout: the unit is a PARTITION DIR (its files share
+            # the path-encoded values; reads re-attach them via basePath,
+            # so carried-by-reference subdirs keep the partition columns)
+            by_dir: dict[str, list[str]] = {}
+            for p in parts:
+                by_dir.setdefault(os.path.dirname(p), []).append(p)
+            g_safe: list[str] = []
+            g_cand: list[str] = []
+            g_rows = 0
+            g_known = True
+            for pdir, pfiles in sorted(by_dir.items()):
+                prel = os.path.join(rel, pdir) if pdir else rel
+                have = all(p in per for p in pfiles)
+                if have and all(not pred.can_match(per[p]) for p in pfiles):
+                    g_safe.append(prel)
+                else:
+                    g_cand.append(prel)
+                    if have:
+                        g_rows += sum(per[p]["rows"] for p in pfiles)
+                    else:
+                        g_known = False
+            # all-one-way groups collapse back to the single dir entry
+            # (no reason to fragment the snapshot's file list)
+            if not g_cand:
+                safe.append(rel)
+            elif not g_safe:
+                cand.append(rel)
+                rows_cand += g_rows
+                rows_known = rows_known and g_known
+            else:
+                safe.extend(g_safe)
+                cand.extend(g_cand)
+                rows_cand += g_rows
+                rows_known = rows_known and g_known
+            continue
         for p in parts:
             prel = os.path.join(rel, p)
             fst = per.get(p)

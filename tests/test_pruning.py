@@ -272,7 +272,8 @@ def test_pruned_read_skips_files(spark, repo):
     )
 
 
-def test_partitioned_groups_stay_atomic(spark, repo):
+def test_partitioned_delete_on_data_column(spark, repo):
+    # k < 30 overlaps every partition → whole-group rewrite, still correct
     df = spark.range(0, 300).select(
         F.col("id").alias("k"), (F.col("id") % 3).alias("p")
     )
@@ -284,6 +285,44 @@ def test_partitioned_groups_stay_atomic(spark, repo):
     t = repo.read_table(spark, "t", "main")
     assert t.count() == 270
     assert set(t.select("p").distinct().toPandas()["p"]) == {0, 1, 2}
+
+
+def test_partitioned_delete_on_partition_column_carries_other_partitions(spark, repo):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    repo.write_table("main", "t", df, partition_by=["p"])
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("DELETE FROM t WHERE p = 1 AND k < 250").collect()[0]
+    assert res.rows_affected == len([i for i in range(250) if i % 3 == 1])
+    after = repo.current_files("main", "t")
+    # p=0 and p=2 partition dirs carried by reference, p=1 rewritten
+    carried = [f for f in after if "=" in f]
+    assert sorted(f.rsplit("/", 1)[-1] for f in carried) == ["p=0", "p=2"]
+    t = repo.read_table(spark, "t", "main")
+    # partition column survives the basePath read of carried subdirs
+    assert set(t.select("p").distinct().toPandas()["p"]) == {0, 1, 2}
+    assert t.count() == 300 - res.rows_affected
+    assert t.where("p = 0").count() == 100
+    # chain a second pruned DML over the carried subdir references
+    res2 = lsql.sql("DELETE FROM t WHERE p = 0").collect()[0]
+    assert res2.rows_affected == 100
+    t2 = repo.read_table(spark, "t", "main")
+    assert set(t2.select("p").distinct().toPandas()["p"]) == {1, 2}
+    assert t2.count() == 200 - len([i for i in range(250) if i % 3 == 1])
+
+
+def test_partitioned_pruned_read_on_partition_column(spark, repo):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    repo.write_table("main", "t", df, partition_by=["p"])
+    repo.commit("main", "base")
+    pr = repo.read_table(spark, "t", "main", prune_where="p = 2")
+    full = repo.read_table(spark, "t", "main")
+    assert len(pr.inputFiles()) < len(full.inputFiles())
+    assert pr.filter("p = 2").count() == 100
 
 
 def test_compact_then_selective_delete_is_cheap(spark, repo):
