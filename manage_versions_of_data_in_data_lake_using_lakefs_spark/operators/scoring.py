@@ -124,3 +124,64 @@ FROM base CROSS JOIN (
 ORDER BY score DESC, doc_id
 LIMIT {top_k}
 """
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document statistical-LM quality score: the corpus-trained
+    add-one-smoothed bigram model's average per-bigram probability, in
+    exact integer parts-per-million → (doc_id, n_bigrams, avg_ppm).
+
+    This is the classic perplexity-style quality filter (CCNet/Gopher
+    score against an LM, keep the predictable text) with one deliberate
+    twist: the score stays in INTEGER arithmetic end to end —
+    p(w2|w1) ≈ (C(w1,w2)+1)·10⁶ DIV (C(w1)+V) — so the result is
+    bit-identical at any partitioning and replayable as SQL (a float
+    log-prob sum is neither). log is monotone per term, and for
+    filter-by-threshold use the probability scale ranks the same tail.
+
+    Scale shape: bigram occurrences are built map-only from each row's
+    own token array (an indexed ``transform``, no posexplode self-join);
+    ONE groupBy counts bigrams; context counts derive from the bigram
+    table (not a second corpus pass); V and the context table join back
+    by key. The corpus shuffles once, counts tables scale with the
+    vocabulary (Heaps-law sublinear), and the final score is a per-doc
+    aggregate. Integer envelope: exact while the hottest bigram count
+    stays below ~9.2·10¹² (int64 ÷ 10⁶ ppm scale) — beyond that, drop
+    the scale a decade.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tk")
+    ).where(F.size("tk") >= 2)
+    occ = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, size(tk) - 1), (x, i) -> "
+                "struct(x AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = cc.agg(F.count(F.lit(1)).alias("vocab"))
+    scored = (
+        occ.join(bc, ["w1", "w2"])
+        .join(cc, "w1")
+        .crossJoin(vocab)  # 1-row broadcast
+        .select(
+            "id",
+            F.expr("(cb + 1) * 1000000 DIV (cw + vocab)").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(s) DIV count(1)").alias("avg_ppm"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_ppm")
+    )

@@ -786,6 +786,50 @@ def _oracle_text_bm25() -> str:
 ORACLE_TEXT_BM25 = _oracle_text_bm25()
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (operators/scoring.py): train the
+    corpus's own add-one bigram model in one shuffle, score every doc by
+    its average per-bigram probability in exact integer ppm — the
+    CCNet/Gopher perplexity-filter shape without the float log (module
+    doc explains why integer probability ranks the same tail)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.scoring import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+def _oracle_text_bigram_lm() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _SQL_TOKS
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS id, {_SQL_TOKS} AS tk FROM documents
+),
+occ AS (
+    SELECT id, tk[i + 1] AS w1, tk[i + 2] AS w2
+    FROM (SELECT id, tk, unnest(range(len(tk) - 1)) AS i
+          FROM toks WHERE len(tk) >= 2)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM occ GROUP BY 1, 2),
+cc AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM bc GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM cc),
+scored AS (
+    SELECT occ.id, ((bc.cb + 1) * 1000000) // (cc.cw + v.vocab) AS s
+    FROM occ
+    JOIN bc ON occ.w1 = bc.w1 AND occ.w2 = bc.w2
+    JOIN cc ON occ.w1 = cc.w1
+    CROSS JOIN v
+)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(s) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_ppm
+FROM scored GROUP BY id ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_BIGRAM_LM = _oracle_text_bigram_lm()
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): documents hash-bucketed
     into 8 independent packing streams, sequential-fill bins of 512
@@ -2348,6 +2392,7 @@ ADVANCED_QUERIES = {
     "window_navigation": q_window_navigation,
     "corpus_vocab": q_corpus_vocab,
     "text_bm25": q_text_bm25,
+    "text_bigram_lm": q_text_bigram_lm,
     "pack_sequences": q_pack_sequences,
     "corpus_mix": q_corpus_mix,
     "agg_rollup": q_agg_rollup,
@@ -2408,6 +2453,7 @@ ADVANCED_ORACLES = {
     "window_navigation": ORACLE_WINDOW_NAVIGATION,
     "corpus_vocab": ORACLE_CORPUS_VOCAB,
     "text_bm25": ORACLE_TEXT_BM25,
+    "text_bigram_lm": ORACLE_TEXT_BIGRAM_LM,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "corpus_mix": ORACLE_CORPUS_MIX,
     "agg_rollup": ORACLE_AGG_ROLLUP,
