@@ -35,7 +35,7 @@ _SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
-_OPS = ["write", "commit", "branch", "merge", "revert", "reset", "vacuum"]
+_OPS = ["write", "commit", "branch", "merge", "revert", "reset", "vacuum", "delete"]
 
 _op = st.tuples(st.sampled_from(_OPS), st.integers(0, 4), st.integers(0, 4))
 
@@ -128,6 +128,36 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 staged[br] = {}
             elif kind == "vacuum":
                 repo.vacuum(keep_history=True, grace_seconds=0.0)
+            elif kind == "delete":
+                # SQL DELETE auto-commits; run it only on a clean branch so
+                # it can't sweep unrelated staged tables into its commit.
+                # The three predicate shapes hit all three DML paths:
+                # stats-pruned rewrite, no-match metadata-only commit, and
+                # the parser-fallback full rewrite (`%` isn't tokenized)
+                if staged[br] or not committed[br]:
+                    continue
+                t = tables[b % len(tables)]
+                if t not in committed[br] or not committed[br][t]:
+                    continue
+                from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+                variant = (a + b) % 3
+                if variant == 0:
+                    cond = f"id <= {counter - 1}"
+                    survives = lambda r: not (r[0] <= counter - 1)
+                elif variant == 1:
+                    cond = "val = 'no-such-value'"
+                    survives = lambda r: True
+                else:
+                    cond = "id % 2 = 0"
+                    survives = lambda r: r[0] % 2 != 0
+                LakeSQL(spark, repo, br).sql(f"DELETE FROM {t} WHERE {cond}")
+                committed[br] = {
+                    **committed[br],
+                    t: frozenset(r for r in committed[br][t] if survives(r)),
+                }
+                c = repo.head(br)
+                snapshots.append((c.id, c.version, dict(committed[br])))
 
         # INVARIANT 1+2: every snapshot ever committed — including through
         # any number of vacuums/reverts/merges — reads back identically,
