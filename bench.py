@@ -101,6 +101,7 @@ def main() -> None:
         "graph_pagerank",
         "versioned_delete_prune",
         "dedup_incremental",
+        "text_bigram_lm",
     ):
         if extra in registry:
             names.append(extra)
