@@ -280,8 +280,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo.write_table("main", "lsh_index", lsh_band_index(new), mode="append")
     repo.commit("main", "v1: append the new batch's index rows")
     idx0 = repo.read_table(spark, "lsh_index", "main", version_as_of=c0.version)
-    idx1 = repo.read_table(spark, "lsh_index", "main")
-    new_idx = idx1.join(idx0.select("id").distinct(), "id", "left_anti")
+    # the appended rows ARE the file-list diff of the two commits — a
+    # metadata lookup, not an anti-join over the whole stored index
+    # (which would shuffle the 100 TB index to find the new batch)
+    base_files = set(repo.get_commit(c0.id).tables["lsh_index"])
+    added = [
+        f
+        for f in repo.head("main").tables["lsh_index"]
+        if f not in base_files
+    ]
+    new_idx = repo._read_files(spark, added)
     cands = incremental_lsh_candidates(idx0, new_idx)
     # verify only on docs that appear in a candidate pair
     cand_ids = (
