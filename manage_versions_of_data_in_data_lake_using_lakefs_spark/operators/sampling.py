@@ -72,11 +72,13 @@ def stratified_hash_sample(
 
 
 def shuffle_key(key: Column, salt: int = 0) -> Column:
-    """Full-range deterministic permutation key: an affine bijection of
-    the (salted) key mod P. Distinct keys < P map to distinct values, so
-    ordering by it is a total order — a reproducible corpus shuffle. A
-    different ``salt`` yields an unrelated permutation (fresh training
-    order per epoch without re-materializing anything)."""
+    """Deterministic permutation key: an affine bijection of the
+    (salted) key mod P. Keys that differ by a multiple of P collide, so
+    ordering must ALWAYS tie-break on the key itself (as
+    ``deterministic_shuffle`` does) — (shuffle_key, key) is a total
+    order for any int64 keys. A different ``salt`` yields an unrelated
+    permutation (fresh training order per epoch without
+    re-materializing anything)."""
     k = F.pmod(key.cast("long") + F.lit(salt), F.lit(_P))
     return (F.lit(_A).cast("long") * k + F.lit(_B)) % F.lit(_P)
 
@@ -93,9 +95,11 @@ def deterministic_shuffle(
     Output files read in partition order yield the permuted corpus."""
     out = df.withColumn("_shuffle_key", shuffle_key(F.col(key_col), salt))
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    return out.repartitionByRange(n, F.col("_shuffle_key")).sortWithinPartitions(
-        "_shuffle_key"
-    )
+    # tie-break on the key: shuffle_key collides for keys ≡ (mod P), and
+    # a tie left to physical layout would break run-to-run reproducibility
+    return out.repartitionByRange(
+        n, F.col("_shuffle_key"), F.col(key_col)
+    ).sortWithinPartitions("_shuffle_key", key_col)
 
 
 def weighted_sample(df: DataFrame, key_col: str, weight_pct: Column) -> DataFrame:

@@ -354,8 +354,8 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     shuffled = deterministic_shuffle(docs, "doc_id", salt=7)
-    head = shuffled.orderBy("_shuffle_key").limit(20)
-    w = Window.orderBy("_shuffle_key")
+    head = shuffled.orderBy("_shuffle_key", "doc_id").limit(20)
+    w = Window.orderBy("_shuffle_key", "doc_id")
     return head.select(
         "doc_id",
         F.col("_shuffle_key").alias("shuffle_key"),
@@ -372,8 +372,8 @@ WITH h AS (
     FROM documents
 )
 SELECT doc_id, sk AS shuffle_key,
-       CAST(ROW_NUMBER() OVER (ORDER BY sk) AS INTEGER) AS pos
-FROM h ORDER BY sk LIMIT 20
+       CAST(ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS INTEGER) AS pos
+FROM h ORDER BY sk, doc_id LIMIT 20
 """
 
 

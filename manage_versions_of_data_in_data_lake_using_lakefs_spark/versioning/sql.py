@@ -125,12 +125,12 @@ _DESCRIBE_STATS_RE = re.compile(
 )
 _MERGE_INTO_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+(?P<table>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
-    r"\s+USING\s+(?P<src>.+?)\s+ON\s+(?P<cond>.+?)"
-    r"(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$",
+    r"\s+USING\s+(?P<body>.+?)"
+    r"(?P<clauses>\s+WHEN\s+(?:NOT\s+)?MATCHED\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_MERGE_SRC_RE = re.compile(
-    rf"^(?:(?P<ident>{_IDENT})|(?P<sub>\(.+\)))(?:\s+(?:AS\s+)?(?P<salias>\w+))?$",
+_MERGE_ON_RE = re.compile(
+    r"^\s*(?:(?:AS\s+)?(?!ON\b)(?P<salias>\w+)\s+)?ON\s+(?P<cond>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED_UPDATE_RE = re.compile(
@@ -373,18 +373,25 @@ class LakeSQL:
         rows = []
         for rel in head.tables[name]:
             full = os.path.join(self.repo.root, rel)
-            group_dir = os.path.dirname(full) if os.path.isfile(full) else full
+            comps = rel.split(os.sep)
+            # every entry resolves against its GROUP's manifest (whose
+            # file keys carry partition segments): group dirs list all
+            # files, part-file and partition-subdir references filter
+            group_rel = os.sep.join(comps[:3]) if comps[0] == "data" else rel
+            group_dir = os.path.join(self.repo.root, group_rel)
+            sub = os.sep.join(comps[3:])
             man = stats_mod.load_group_stats(group_dir) or {"files": {}}
-            wanted = (
-                [os.path.basename(full)] if os.path.isfile(full) else None
-            )
             for part, st in sorted(man["files"].items()):
-                if wanted is not None and part not in wanted:
-                    continue
+                if sub:
+                    if os.path.isfile(full):
+                        if part != sub:
+                            continue
+                    elif not part.startswith(sub + os.sep):
+                        continue
                 for col, cs in sorted(st.get("cols", {}).items()):
                     rows.append(
                         (
-                            os.path.join(os.path.relpath(group_dir, self.repo.root), part),
+                            os.path.join(group_rel, part),
                             col,
                             str(cs.get("min")),
                             str(cs.get("max")),
@@ -399,7 +406,7 @@ class LakeSQL:
         )
 
     def _merge_into(
-        self, table: str, talias: str | None, src: str, cond: str, clauses: str
+        self, table: str, talias: str | None, body: str, clauses: str
     ) -> DataFrame:
         """``MERGE INTO t [AS a] USING <table|(SELECT ...)> [AS b]
         ON a.k = b.k [AND ...]
@@ -412,21 +419,49 @@ class LakeSQL:
         snapshot — with a small source the join broadcasts and the big
         target streams through narrow (same shape as ``upsert_table``).
         Like Delta, raises when several source rows hit the same target
-        row (checked as source-side duplicate join keys — one tiny agg)."""
+        row — checked only against source keys that actually match a
+        target row, so duplicate never-matching keys (a legal multi-row
+        insert) pass."""
         name = self._resolve_table(table)
         ta = talias or name
-        ms = _MERGE_SRC_RE.match(src.strip())
-        if not ms:
-            raise ValueError(f"cannot parse MERGE source: {src!r}")
-        if ms.group("sub"):
-            sdf = self.sql(ms.group("sub")[1:-1])
-            sa = ms.group("salias")
+        # split body = "<src> [alias] ON <cond>": a parenthesized source is
+        # scanned for its balanced close (its own JOIN ... ON must not be
+        # mistaken for the merge condition)
+        body = body.strip()
+        if body.startswith("("):
+            depth = 0
+            end = -1
+            for i, ch in enumerate(body):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise ValueError(f"unbalanced parens in MERGE source: {body!r}")
+            src_text, rest = body[: end + 1], body[end + 1 :]
+            mo = _MERGE_ON_RE.match(rest)
+            if not mo:
+                raise ValueError(f"cannot parse MERGE USING ... ON from: {rest!r}")
+            sdf = self.sql(src_text[1:-1])
+            sa = mo.group("salias")
             if not sa:
                 raise ValueError("a subquery MERGE source needs an alias")
         else:
-            src_name = ms.group("ident").strip("`")
+            mi_ = re.match(rf"^({_IDENT})(.*)$", body, re.DOTALL)
+            if not mi_:
+                raise ValueError(f"cannot parse MERGE source: {body!r}")
+            src_name = mi_.group(1).strip("`")
+            mo = _MERGE_ON_RE.match(mi_.group(2))
+            if not mo:
+                raise ValueError(
+                    f"cannot parse MERGE USING ... ON from: {mi_.group(2)!r}"
+                )
             sdf = self.sql(f"SELECT * FROM {src_name}")
-            sa = ms.group("salias") or src_name
+            sa = mo.group("salias") or src_name
+        cond = mo.group("cond")
         # equality-conjunction ON, sides identified by alias
         t_keys: list[str] = []
         s_keys: list[str] = []
@@ -471,20 +506,30 @@ class LakeSQL:
         on_sql = " AND ".join(
             f"{ta}.`{tk}` = {sa}.`{sk}`" for tk, sk in zip(t_keys, s_keys)
         )
-        # Delta's multiple-match guard: dup source join keys = ambiguity
-        dup = self.spark.sql(
-            f"SELECT 1 FROM {sview} GROUP BY "
-            + ", ".join(f"`{k}`" for k in s_keys)
-            + " HAVING COUNT(*) > 1 LIMIT 1"
-        )
-        if dup.take(1):
-            raise ValueError(
-                "MERGE source has multiple rows per join key; a target row "
-                "would match more than one source row (Delta raises here too)"
+        matched_n = 0
+        if mu or md:
+            # Delta's multiple-match guard — but only for duplicates that
+            # actually HIT a target row (duplicate never-matching keys are
+            # legal, e.g. a pure insert of two rows sharing a new key),
+            # and only when a matched action exists at all
+            key_list = ", ".join(f"`{k}`" for k in s_keys)
+            t_key_list = ", ".join(f"`{k}`" for k in t_keys)
+            dup = self.spark.sql(
+                f"SELECT 1 FROM (SELECT {key_list} FROM {sview} "
+                f"GROUP BY {key_list} HAVING COUNT(*) > 1) d "
+                f"LEFT SEMI JOIN (SELECT {t_key_list} FROM {tview}) t ON "
+                + " AND ".join(
+                    f"d.`{sk}` = t.`{tk}`" for tk, sk in zip(t_keys, s_keys)
+                )
             )
-        matched_n = self.spark.sql(
-            f"SELECT COUNT(*) AS n FROM {tview} {ta} JOIN {sview} {sa} ON {on_sql}"
-        ).collect()[0].n
+            if dup.take(1):
+                raise ValueError(
+                    "MERGE source has multiple rows per join key that match "
+                    "a target row — ambiguous (Delta raises here too)"
+                )
+            matched_n = self.spark.sql(
+                f"SELECT COUNT(*) AS n FROM {tview} {ta} JOIN {sview} {sa} ON {on_sql}"
+            ).collect()[0].n
         rows = 0
         parts: list[str] = []
         if md:
@@ -517,21 +562,26 @@ class LakeSQL:
                 rows += matched_n
             else:
                 assigns = {}
-            marker = f"{sa}.`{s_keys[0]}` IS NOT NULL"
-            proj = []
-            for f in target.schema.fields:
-                if f.name in assigns:
-                    proj.append(
-                        f"CASE WHEN {marker} THEN "
-                        f"CAST(({assigns[f.name]}) AS {f.dataType.simpleString()}) "
-                        f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
-                    )
-                else:
-                    proj.append(f"{ta}.`{f.name}` AS `{f.name}`")
-            parts.append(
-                f"SELECT {', '.join(proj)} FROM {tview} {ta} "
-                f"LEFT JOIN {sview} {sa} ON {on_sql}"
-            )
+            if not assigns:
+                # insert-only merge: the target passes through untouched —
+                # no join, so duplicate source keys can't fan target rows out
+                parts.append(f"SELECT {ta}.* FROM {tview} {ta}")
+            else:
+                marker = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+                proj = []
+                for f in target.schema.fields:
+                    if f.name in assigns:
+                        proj.append(
+                            f"CASE WHEN {marker} THEN "
+                            f"CAST(({assigns[f.name]}) AS {f.dataType.simpleString()}) "
+                            f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
+                        )
+                    else:
+                        proj.append(f"{ta}.`{f.name}` AS `{f.name}`")
+                parts.append(
+                    f"SELECT {', '.join(proj)} FROM {tview} {ta} "
+                    f"LEFT JOIN {sview} {sa} ON {on_sql}"
+                )
         if mi:
             missing = [
                 f.name for f in target.schema.fields if f.name not in sdf.columns
@@ -742,7 +792,12 @@ class LakeSQL:
         if pred is None or not stats_mod.fully_supported(pred):
             return None
         try:
-            files = self.repo.current_files(self.branch, name)
+            # include_staged=True: branch reads (and hence the full-rewrite
+            # path's SELECT, whose views are staged-aware) see uncommitted
+            # staged state, so the pruned path must start from the same
+            # file list — otherwise a DELETE's result would depend on
+            # whether its predicate parsed
+            files = self.repo.current_files(self.branch, name, include_staged=True)
         except KeyError:
             return None
         res = stats_mod.prune_file_list(self.repo.root, files, cond)
@@ -966,8 +1021,7 @@ class LakeSQL:
             return self._merge_into(
                 m.group("table"),
                 m.group("talias"),
-                m.group("src"),
-                m.group("cond"),
+                m.group("body"),
                 m.group("clauses"),
             )
         m = _DELETE_RE.match(query)
@@ -1042,10 +1096,14 @@ class LakeSQL:
         for t in self.repo.list_tables(self.branch):
             pat = re.compile(rf"\b{re.escape(t)}\b", re.IGNORECASE)
             if pat.search(rewritten):
+                # include_staged: a branch read sees its own uncommitted
+                # staged state (lakeFS semantics — and what makes every
+                # DML path, pruned or full, see the same table state)
                 self.repo.read_table(
                     self.spark,
                     t,
                     ref=self.branch,
+                    include_staged=True,
                     prune_where=auto_prune.get(t.lower()),
                 ).createOrReplaceTempView(f"lake__{t}")
                 rewritten = pat.sub(f"lake__{t}", rewritten)

@@ -120,24 +120,54 @@ def _part_files(group_dir: str) -> list[str]:
 
 def _partition_values(rel: str) -> dict[str, object]:
     """Hive ``key=value`` segments of a part-file's path inside its
-    group, typed like a literal would be (int > float > string). The
-    null partition records as an all-null marker downstream."""
+    group. Only values Spark will read back EXACTLY as the path spells
+    them are kept: canonical integers (typed int), and percent-decoded
+    strings containing no characters Spark's partition-type inference
+    would coerce (digits, '.', '-', ':' could make it a number, date, or
+    timestamp whose post-cast comparisons the raw string can't mirror).
+    Everything else yields no stats → never pruned on. The null
+    partition records as an all-null marker downstream."""
+    from urllib.parse import unquote
+
     out: dict[str, object] = {}
     for seg in rel.split("/")[:-1]:
         if "=" not in seg:
             continue
-        k, _, v = seg.partition("=")
-        if v == "__HIVE_DEFAULT_PARTITION__":
+        k, _, raw = seg.partition("=")
+        if raw == "__HIVE_DEFAULT_PARTITION__":
             out[k] = None
             continue
+        v = unquote(raw)
         try:
-            out[k] = int(v)
+            if str(int(v)) == v:
+                out[k] = int(v)
+                continue
         except ValueError:
-            try:
-                out[k] = float(v)
-            except ValueError:
-                out[k] = v
+            pass
+        if v and not any(c.isdigit() or c in ".-:" for c in v):
+            out[k] = v
     return out
+
+
+def _inject_partition_stats(st: dict, rel: str) -> None:
+    for k, v in _partition_values(rel).items():
+        if v is None:
+            st["cols"][k] = {"min": None, "max": None, "nulls": st["rows"]}
+        else:
+            st["cols"][k] = {"min": v, "max": v, "nulls": 0}
+
+
+def _collect_group_stats(group_dir: str) -> dict | None:
+    """Per-file stats for every part file of a group (footer reads +
+    path-derived partition values), or None if any footer is unreadable."""
+    files: dict[str, dict] = {}
+    for rel in _part_files(group_dir):
+        st = file_stats(os.path.join(group_dir, rel))
+        if st is None:
+            return None
+        _inject_partition_stats(st, rel)
+        files[rel] = st
+    return {"files": files} if files else None
 
 
 def write_group_stats(group_dir: str) -> dict | None:
@@ -147,18 +177,9 @@ def write_group_stats(group_dir: str) -> dict | None:
     too. Best-effort: any failure leaves the group without a manifest
     (pruning then treats every file as may-match)."""
     try:
-        files: dict[str, dict] = {}
-        for rel in _part_files(group_dir):
-            st = file_stats(os.path.join(group_dir, rel))
-            if st is None:
-                return None
-            for k, v in _partition_values(rel).items():
-                if v is None:
-                    st["cols"][k] = {"min": None, "max": None, "nulls": st["rows"]}
-                else:
-                    st["cols"][k] = {"min": v, "max": v, "nulls": 0}
-            files[rel] = st
-        manifest = {"files": files}
+        manifest = _collect_group_stats(group_dir)
+        if manifest is None:
+            return None
         tmp = os.path.join(group_dir, STATS_NAME + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -179,18 +200,7 @@ def load_group_stats(group_dir: str) -> dict | None:
                 return json.load(f)
         except (OSError, json.JSONDecodeError):
             return None
-    files: dict[str, dict] = {}
-    for rel in _part_files(group_dir):
-        st = file_stats(os.path.join(group_dir, rel))
-        if st is None:
-            return None
-        for k, v in _partition_values(rel).items():
-            if v is None:
-                st["cols"][k] = {"min": None, "max": None, "nulls": st["rows"]}
-            else:
-                st["cols"][k] = {"min": v, "max": v, "nulls": 0}
-        files[rel] = st
-    return {"files": files} if files else None
+    return _collect_group_stats(group_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +307,13 @@ class _Cmp:
             return False  # all-null file: no comparison row is TRUE
         if lo is None or hi is None or not _comparable(lo, self.lit):
             return True
+        # floating-point columns may hold NaN, which parquet footers
+        # EXCLUDE from min/max while Spark orders it greater than every
+        # value (and NaN = NaN is TRUE): any operator a NaN row could
+        # satisfy must stay may-match
+        if isinstance(lo, float) or isinstance(hi, float):
+            if self.op in (">", ">=", "!="):
+                return True
         lo, hi, v = _num(lo), _num(hi), _num(self.lit)
         if self.op == "=":
             return lo <= v <= hi
@@ -568,6 +585,18 @@ def fully_supported(tree) -> bool:
 
 
 def prune_file_list(
+    root: str, rel_entries: Iterable[str], cond: str
+) -> tuple[list[str], list[str], dict] | None:
+    """Exception-safe wrapper around :func:`_prune_file_list` — ANY
+    failure in stats loading or predicate evaluation means "pruning
+    unavailable", never a crashed DML/read."""
+    try:
+        return _prune_file_list(root, rel_entries, cond)
+    except Exception:
+        return None
+
+
+def _prune_file_list(
     root: str, rel_entries: Iterable[str], cond: str
 ) -> tuple[list[str], list[str], dict] | None:
     """Split a snapshot's file entries into (safe, candidates, info) for

@@ -187,3 +187,18 @@ def test_weighted_sample_deterministic_and_monotone(spark, ids, parts):
     assert kept_60 <= kept_90  # raising the weight only adds rows
     kept_0 = {r["k"] for r in weighted_sample(df, "k", F.lit(0)).collect()}
     assert kept_0 == set()
+
+
+def test_deterministic_shuffle_breaks_mod_p_collisions(spark):
+    """Keys ≡ (mod P) share a shuffle_key; the key tie-break must keep
+    the order total and layout-independent."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import _P, deterministic_shuffle
+
+    ids = [0, _P, 2 * _P, 5, 5 + _P]
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    orders = []
+    for parts in (1, 3, 5):
+        out = deterministic_shuffle(df.repartition(parts), "k", partitions=2)
+        orders.append([r["k"] for r in out.orderBy("_shuffle_key", "k").collect()])
+    assert orders[0] == orders[1] == orders[2]
+    assert sorted(orders[0]) == sorted(ids)

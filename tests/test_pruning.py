@@ -476,3 +476,83 @@ if HAVE_HYP:
         b = repo.read_table(spark, "u", "main")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
         LakeRepo.delete(root)
+
+
+# ---------------------------------------------------------------------------
+# soundness fixes from review: NaN floats, partition escaping, staged state
+# ---------------------------------------------------------------------------
+
+
+def test_nan_rows_survive_no_pruned_delete(spark, repo):
+    # parquet footers exclude NaN from min/max while Spark orders NaN
+    # greater than everything: files holding NaN must stay candidates
+    # for >, >=, != predicates
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)] + [(i, 0.5) for i in range(10, 20)],
+        "k INT, v DOUBLE",
+    )
+    repo.write_table("main", "t", df.repartitionByRange(3, F.col("k")))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    out = lsql.sql("DELETE FROM t WHERE v > 100.0").collect()[0]
+    # Spark: NaN > 100.0 is TRUE → exactly the NaN row is deleted
+    assert out.rows_affected == 1
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 12
+    assert t.filter("isnan(v)").count() == 0
+
+
+def test_float_lt_still_prunes(spark, repo):
+    # < and <= can never be satisfied by NaN, so float pruning stays
+    # effective for them
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("DELETE FROM t WHERE v < 300.0")
+    after = repo.current_files("main", "t")
+    assert len([f for f in after if f.endswith(".parquet")]) >= 6
+
+
+def test_partition_value_escaping_is_sound(spark, repo):
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain")], "k INT, p STRING"
+    )
+    repo.write_table("main", "t", df, partition_by=["p"])
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    # 'a:b' contains ':' → no stats recorded (Spark could type-infer) →
+    # conservative full candidacy → the delete must still remove the rows
+    out = lsql.sql("DELETE FROM t WHERE p = 'a:b'").collect()[0]
+    assert out.rows_affected == 2
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 1 and t.collect()[0].p == "plain"
+
+
+def test_dml_state_consistent_between_pruned_and_full_paths(spark, repo):
+    base = spark.createDataFrame([(i, "x") for i in range(10)], "k INT, s STRING")
+    extra = spark.createDataFrame([(100, "staged")], "k INT, s STRING")
+    for t in ("a", "b"):
+        repo.write_table("main", t, base)
+    repo.commit("main", "base")
+    # stage an uncommitted append to BOTH tables
+    repo.write_table("main", "a", extra, mode="append")
+    repo.write_table("main", "b", extra, mode="append")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("DELETE FROM a WHERE k < 5")  # parseable → pruned path
+    lsql.sql("DELETE FROM b WHERE (k < 5) AND abs(1) = 1")  # opaque → full
+    ra = sorted(r.k for r in repo.read_table(spark, "a", "main").collect())
+    rb = sorted(r.k for r in repo.read_table(spark, "b", "main").collect())
+    assert ra == rb  # same predicate, same committed result, either path
+
+
+def test_describe_stats_keeps_partition_column_after_pruned_delete(spark, repo):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    repo.write_table("main", "t", df, partition_by=["p"])
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("DELETE FROM t WHERE p = 1")
+    pdf = lsql.sql("DESCRIBE STATS t").toPandas()
+    prow = pdf[pdf["column"] == "p"]
+    assert set(prow["min"]) >= {"0", "2"}  # carried subdirs still report p

@@ -1259,3 +1259,73 @@ def test_sql_merge_into_versions_like_dml(spark, repo):
     old = lsql.sql("SELECT x FROM t VERSION AS OF 1").collect()
     assert [r.x for r in old] == [1]
     assert [r.x for r in lsql.sql("SELECT x FROM t").collect()] == [2]
+
+
+def test_sql_merge_into_duplicate_nonmatching_keys_insert(spark, repo):
+    # Delta-legal: duplicate source keys that match NO target row are a
+    # multi-row insert, not an ambiguity
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, "a")], "id INT, s STRING"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    src = spark.createDataFrame([(9, "x"), (9, "y")], "id INT, s STRING")
+    src.createOrReplaceTempView("dupnew")
+    out = lsql.sql(
+        "MERGE INTO t USING dupnew ON t.id = dupnew.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert out.rows_affected == 2
+    got = sorted((r.id, r.s) for r in lsql.sql("SELECT * FROM t").collect())
+    assert got == [(1, "a"), (9, "x"), (9, "y")]
+
+
+def test_sql_merge_into_insert_only_with_duplicate_matching_keys(spark, repo):
+    # insert-only merge never raises and never fans out matched targets
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, "a")], "id INT, s STRING"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    src = spark.createDataFrame([(1, "x"), (1, "y"), (5, "e")], "id INT, s STRING")
+    src.createOrReplaceTempView("insrc")
+    out = lsql.sql(
+        "MERGE INTO t USING insrc ON t.id = insrc.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert out.rows_affected == 1
+    got = sorted((r.id, r.s) for r in lsql.sql("SELECT * FROM t").collect())
+    assert got == [(1, "a"), (5, "e")]
+
+
+def test_sql_merge_using_subquery_with_join_on(spark, repo):
+    # the source subquery's own JOIN ... ON must not be mistaken for the
+    # merge condition
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 0.0), (2, 0.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    spark.createDataFrame([(1,), (2,)], "id INT").createOrReplaceTempView("ja")
+    spark.createDataFrame([(1, 7.5)], "id INT, v DOUBLE").createOrReplaceTempView("jb")
+    out = lsql.sql(
+        "MERGE INTO t USING "
+        "(SELECT ja.id, jb.v FROM ja JOIN jb ON ja.id = jb.id) s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *"
+    ).collect()[0]
+    assert out.rows_affected == 1
+    got = {r.id: r.v for r in lsql.sql("SELECT * FROM t").collect()}
+    assert got == {1: 7.5, 2: 0.0}
+
+
+def test_sql_select_sees_staged_state(spark, repo):
+    # lakeFS semantics: reading a branch shows its uncommitted staged data
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1,)], "id INT"))
+    repo.commit("main", "v0")
+    repo.write_table("main", "t", spark.createDataFrame([(2,)], "id INT"), mode="append")
+    lsql = LakeSQL(spark, repo)
+    assert lsql.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 2
+    # committed snapshot reads stay pinned to the commit
+    assert lsql.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 1").collect()[0].n == 1
