@@ -56,6 +56,10 @@ class MergeConflict(Exception):
         self.conflicts = conflicts
 
 
+class ConstraintViolation(Exception):
+    """A write landed rows that evaluate a CHECK constraint to FALSE."""
+
+
 class DirtyBranchError(Exception):
     """Raised when a history-moving op (merge/revert) targets a branch with
     uncommitted staged changes. lakeFS refuses these too: silently dropping
@@ -298,6 +302,7 @@ class LakeRepo:
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import write_group_stats
 
         write_group_stats(out_dir)  # footer-derived manifest; best-effort
+        self._enforce_constraints(df.sparkSession, branch, table, out_dir)
         rel = os.path.relpath(out_dir, self.root)
         with RepoLock(self.root):
             ref = self._read_ref(branch)
@@ -317,6 +322,79 @@ class LakeRepo:
                 entry["files"].append(rel)
             self._write_ref(branch, ref)
         return rel
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) -------
+    # Stored as a versioned OBJECT (`_constraints/<table>.json`), so
+    # constraints ride branching, commits, merges, diffs, and time travel
+    # through the existing object machinery — no new metadata channel.
+
+    @staticmethod
+    def _constraints_path(table: str) -> str:
+        return f"_constraints/{table}.json"
+
+    def table_constraints(
+        self, table: str, branch: str = "main", include_staged: bool = True
+    ) -> dict[str, str]:
+        """{constraint_name: check_expr} in effect for a table."""
+        import json
+
+        try:
+            raw = self.get_object(
+                self._constraints_path(table), branch, include_staged=include_staged
+            )
+        except KeyError:
+            return {}
+        return json.loads(raw)
+
+    def add_constraint(
+        self, spark: SparkSession, branch: str, table: str, name: str, expr: str
+    ) -> "Commit":
+        """ADD CONSTRAINT name CHECK (expr): like Delta, the CURRENT table
+        must already satisfy the constraint (one scan), then every future
+        write to it is validated. SQL semantics: a row violates only when
+        the expression IS FALSE (NULL passes)."""
+        import json
+
+        current = self.read_table(spark, table, ref=branch, include_staged=True)
+        bad = current.filter(F.expr(f"({expr}) IS FALSE")).take(1)
+        if bad:
+            raise ConstraintViolation(
+                f"existing rows of {table!r} violate CHECK ({expr}): {bad[0]}"
+            )
+        cons = self.table_constraints(table, branch)
+        cons[name] = expr
+        self.put_object(branch, self._constraints_path(table), json.dumps(cons))
+        return self.commit(branch, f"ADD CONSTRAINT {name} ON {table}")
+
+    def drop_constraint(self, branch: str, table: str, name: str) -> "Commit":
+        import json
+
+        cons = self.table_constraints(table, branch)
+        if name not in cons:
+            raise KeyError(f"no constraint {name!r} on {table!r}")
+        del cons[name]
+        self.put_object(branch, self._constraints_path(table), json.dumps(cons))
+        return self.commit(branch, f"DROP CONSTRAINT {name} ON {table}")
+
+    def _enforce_constraints(
+        self, spark: SparkSession, branch: str, table: str, out_dir: str
+    ) -> None:
+        """Validate freshly written files against the table's CHECK
+        constraints BEFORE they are staged. Cost: one scan of the NEW
+        files only (never the table) per constraint set — Delta's
+        enforcement cost model. A violation removes the written files
+        and raises, leaving branch state untouched."""
+        cons = self.table_constraints(table, branch)
+        if not cons:
+            return
+        written = spark.read.parquet(out_dir)
+        for cname, expr in cons.items():
+            bad = written.filter(F.expr(f"({expr}) IS FALSE")).take(1)
+            if bad:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise ConstraintViolation(
+                    f"write to {table!r} violates CHECK {cname} ({expr}): {bad[0]}"
+                )
 
     def stage_table_files(
         self, branch: str, table: str, rel_files: list[str], op: str = "overwrite"

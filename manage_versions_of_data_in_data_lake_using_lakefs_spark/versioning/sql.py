@@ -123,6 +123,20 @@ _OPTIMIZE_RE = re.compile(
 _DESCRIBE_STATS_RE = re.compile(
     rf"^\s*DESCRIBE\s+STATS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_ADD_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+CHECK\s*\(\s*(?P<expr>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CONSTRAINTS_RE = re.compile(
+    rf"^\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(?P<table>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _MERGE_INTO_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+(?P<table>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
     r"\s+USING\s+(?P<body>.+?)"
@@ -951,6 +965,36 @@ class LakeSQL:
         m = _DESCRIBE_STATS_RE.match(query)
         if m:
             return self.describe_stats(m.group("table"))
+        m = _ADD_CONSTRAINT_RE.match(query)
+        if m:
+            c = self.repo.add_constraint(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("name"),
+                m.group("expr"),
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _DROP_CONSTRAINT_RE.match(query)
+        if m:
+            c = self.repo.drop_constraint(
+                self.branch, self._resolve_table(m.group("table")), m.group("name")
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _SHOW_CONSTRAINTS_RE.match(query)
+        if m:
+            cons = self.repo.table_constraints(
+                self._resolve_table(m.group("table")), self.branch
+            )
+            return self.spark.createDataFrame(
+                sorted(cons.items()), "name STRING, check_expr STRING"
+            )
         m = _VACUUM_RE.match(query)
         if m:
             removed = self.repo.vacuum(dry_run=bool(m.group("dry")))

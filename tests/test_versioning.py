@@ -1329,3 +1329,72 @@ def test_sql_select_sees_staged_state(spark, repo):
     assert lsql.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 2
     # committed snapshot reads stay pinned to the commit
     assert lsql.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 1").collect()[0].n == 1
+
+
+def test_check_constraints_enforced_on_writes(spark, repo):
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 10.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    shown = {r.name: r.check_expr for r in lsql.sql("SHOW CONSTRAINTS t").collect()}
+    assert shown == {"v_pos": "v > 0"}
+    # violating write raises and leaves branch state untouched
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        repo.write_table(
+            "main", "t", spark.createDataFrame([(2, -5.0)], "id INT, v DOUBLE"),
+            mode="append",
+        )
+    assert repo.read_table(spark, "t", "main").count() == 1
+    # NULL passes (SQL CHECK semantics), positive passes
+    repo.write_table(
+        "main", "t", spark.createDataFrame([(3, None), (4, 2.0)], "id INT, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "ok rows")
+    assert repo.read_table(spark, "t", "main").count() == 3
+    # DML paths are covered too: UPDATE that would break the check raises
+    with _pytest.raises(ConstraintViolation):
+        lsql.sql("UPDATE t SET v = -1.0 WHERE id = 1")
+    # dropping the constraint re-opens the gate
+    lsql.sql("ALTER TABLE t DROP CONSTRAINT v_pos")
+    lsql.sql("UPDATE t SET v = -1.0 WHERE id = 1")
+    assert repo.read_table(spark, "t", "main").filter("v = -1.0").count() == 1
+
+
+def test_add_constraint_validates_existing_rows(spark, repo):
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, -1.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    with _pytest.raises(ConstraintViolation, match="existing rows"):
+        lsql.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert lsql.sql("SHOW CONSTRAINTS t").count() == 0
+
+
+def test_constraints_ride_branches(spark, repo):
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    LakeSQL(spark, repo).sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    repo.create_branch("dev")
+    # the constraint came along with the branch
+    with _pytest.raises(ConstraintViolation):
+        repo.write_table(
+            "dev", "t", spark.createDataFrame([(9, -9.0)], "id INT, v DOUBLE"),
+            mode="append",
+        )
+    # main keeps enforcing independently
+    assert repo.table_constraints("t", "dev") == {"v_pos": "v > 0"}
