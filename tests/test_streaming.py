@@ -156,6 +156,39 @@ def test_stream_into_repo_versioned_ingest(spark, tmp_path):
     assert any(m.startswith("stream batch") for m in messages)
 
 
+def test_stream_into_repo_enforces_check_constraints(spark, tmp_path):
+    """Streaming ingest goes through write_table, so a CHECK constraint
+    gates every micro-batch — the composition needs no extra code."""
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation, LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    repo.write_table(
+        "main", "m", spark.createDataFrame([(1, 5.0)], "id LONG, v DOUBLE")
+    )
+    repo.commit("main", "seed")
+    repo.add_constraint(spark, "main", "m", "v_pos", "v > 0")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(2, 7.0), (3, -1.0)], "id LONG, v DOUBLE"
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("id LONG, v DOUBLE").parquet(src)
+    )
+    with _pytest.raises(Exception) as ei:
+        stream_into_repo(
+            stream, repo, "main", "m", checkpoint_dir=str(tmp_path / "ckpt")
+        )
+    # foreachBatch wraps the error; the cause must be the constraint
+    assert "ConstraintViolation" in str(ei.value) or isinstance(
+        ei.value, ConstraintViolation
+    )
+    # the violating batch never committed
+    assert repo.read_table(spark, "m", "main").count() == 1
+
+
 def test_streaming_simhash_neardup_matches_batch(spark, tmp_path):
     """Streaming near-dup pairs must equal batch simhash_pairs exactly:
     same banding, same map-only signature (simhash_expr ≡ simhash,
