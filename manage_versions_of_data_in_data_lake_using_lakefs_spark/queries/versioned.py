@@ -172,11 +172,58 @@ def q_versioned_delete_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement, driver-checkable: a constraint is
+    added (validating the existing rows), a violating append is
+    REJECTED, a clean append lands. The surviving aggregate is a pure
+    function of the testdata if and only if the gate let exactly the
+    right writes through — a broken gate either loses the clean rows or
+    leaks the violating ones, and the hash check catches both."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    repo.write_table("main", "t", orders.where(F.col("o_totalprice") > 0.0))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)")
+    rejected = 0
+    try:  # negated prices: every row violates; the write must NOT land
+        repo.write_table(
+            "main",
+            "t",
+            orders.select(
+                "o_orderkey", (-F.col("o_totalprice")).alias("o_totalprice")
+            ).limit(50),
+            mode="append",
+        )
+    except ConstraintViolation:
+        rejected = 1
+    repo.write_table(  # clean append: the same rows shifted positive
+        "main",
+        "t",
+        orders.select(
+            (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        ),
+        mode="append",
+    )
+    repo.commit("main", "appends")
+    t = repo.read_table(spark, "t", "main")
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    ).withColumn("writes_rejected", F.lit(rejected).cast("int"))
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
     "versioned_incremental_agg": q_versioned_incremental_agg,
     "versioned_delete_prune": q_versioned_delete_prune,
+    "versioned_constraint_gate": q_versioned_constraint_gate,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -239,9 +286,26 @@ WHERE o_orderkey >=
       (SELECT (MAX(o_orderkey) // 4 + 1) // 2 FROM orders)
 """
 
+# base rows (price > 0, i.e. all of them) + the clean append, and NOT
+# the rejected negative-price batch: the gate's accept/reject decisions
+# are fully replayed by a plain filter + union
+ORACLE_VERSIONED_CONSTRAINT_GATE = """
+WITH unioned AS (
+    SELECT o_totalprice FROM orders WHERE o_totalprice > 0.0
+    UNION ALL
+    SELECT o_totalprice + 1.0 FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_price,
+       CAST(1 AS INTEGER) AS writes_rejected
+FROM unioned
+"""
+
 VERSIONED_ORACLES = {
     "versioned_time_travel": ORACLE_VERSIONED_TIME_TRAVEL,
     "versioned_branch_merge": ORACLE_VERSIONED_BRANCH_MERGE,
     "versioned_incremental_agg": ORACLE_VERSIONED_INCREMENTAL_AGG,
     "versioned_delete_prune": ORACLE_VERSIONED_DELETE_PRUNE,
+    "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
 }

@@ -263,6 +263,66 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # pruned DML: DELETE a fixed key band out of N — the stats manifests
+    # must keep the rewrite proportional to the BAND while the table
+    # grows (more bands, same band size). The full-rewrite flavor (same
+    # predicate, parser-opaque) shows the contrast.
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    li_keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_extendedprice").alias("o_totalprice"),
+    )
+    span = li_keys.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def run_band_delete(n_bands: int, pruned: bool) -> float:
+        root = _tempfile.mkdtemp(prefix="prune_stress_") + "/lake"
+        try:
+            repo = LakeRepo.init(root)
+            for b in range(n_bands):
+                repo.write_table(
+                    "main",
+                    "t",
+                    li_keys.select(
+                        (F.col("o_orderkey") + b * span).alias("o_orderkey"),
+                        "o_totalprice",
+                    ).coalesce(1),
+                    mode="append",
+                )
+            repo.commit("main", "banded")
+            cond = f"o_orderkey < {span // 2}"
+            if not pruned:
+                cond = f"({cond}) AND abs(1) = 1"  # defeats the parser
+            release_tracked()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            LakeSQL(spark, repo, "main").sql(f"DELETE FROM t WHERE {cond}")
+            return time.perf_counter() - t0
+        finally:
+            _shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+    n1 = 4
+    t1 = run_band_delete(n1, pruned=True)
+    tk = run_band_delete(n1 * k, pruned=True)
+    f1 = run_band_delete(n1, pruned=False)
+    fk = run_band_delete(n1 * k, pruned=False)
+    out["delete_prune_steady"] = {
+        "t1": round(t1, 3),
+        "tk": round(tk, 3),
+        "per_row_ratio": round(tk / (t1 * k), 3),
+    }
+    out["delete_full_rewrite"] = {
+        "t1": round(f1, 3),
+        "tk": round(fk, 3),
+        "per_row_ratio": round(fk / (f1 * k), 3),
+    }
+    print(
+        f"# delete one band of {n1}->{n1 * k}: pruned {t1:.2f}s->{tk:.2f}s "
+        f"(x{tk / t1:.2f}), full {f1:.2f}s->{fk:.2f}s (x{fk / f1:.2f})",
+        file=sys.stderr,
+    )
+
     for name, (base, rep, build) in cases.items():
         # best-of-2 on BOTH sides: the Kx plan is a different plan shape
         # paying its own one-time codegen/JIT; timing it cold against a
