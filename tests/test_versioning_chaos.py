@@ -35,7 +35,10 @@ _SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
-_OPS = ["write", "commit", "branch", "merge", "revert", "reset", "vacuum", "delete"]
+_OPS = [
+    "write", "commit", "branch", "merge", "revert", "reset", "vacuum",
+    "delete", "upsert",
+]
 
 _op = st.tuples(st.sampled_from(_OPS), st.integers(0, 4), st.integers(0, 4))
 
@@ -156,6 +159,32 @@ def test_versioning_invariants_under_chaos(spark, ops):
                     **committed[br],
                     t: frozenset(r for r in committed[br][t] if survives(r)),
                 }
+                c = repo.head(br)
+                snapshots.append((c.id, c.version, dict(committed[br])))
+            elif kind == "upsert":
+                # SQL MERGE INTO with a 2-row source: one row targets an
+                # existing id (update), one a fresh id (insert)
+                if staged[br] or not committed[br]:
+                    continue
+                t = tables[b % len(tables)]
+                if t not in committed[br] or not committed[br][t]:
+                    continue
+                from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+                hit_id = sorted(committed[br][t])[0][0]
+                counter += 1
+                rows = [(hit_id, f"m{counter}"), (counter + 10_000, f"i{counter}")]
+                spark.createDataFrame(rows, "id long, val string").createOrReplaceTempView(
+                    "chaos_src"
+                )
+                LakeSQL(spark, repo, br).sql(
+                    f"MERGE INTO {t} USING chaos_src ON {t}.id = chaos_src.id "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+                merged_rows = {r for r in committed[br][t] if r[0] != hit_id}
+                merged_rows |= set(rows)
+                committed[br] = {**committed[br], t: frozenset(merged_rows)}
                 c = repo.head(br)
                 snapshots.append((c.id, c.version, dict(committed[br])))
 
