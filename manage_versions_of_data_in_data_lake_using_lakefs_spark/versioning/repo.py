@@ -346,6 +346,17 @@ class LakeRepo:
             return {}
         return json.loads(raw)
 
+    def _require_clean_for_alter(self, branch: str, what: str) -> None:
+        """ALTER TABLE statements are metadata-only transactions (as in
+        Delta): they auto-commit, and committing would sweep unrelated
+        staged writes into the ALTER's commit under a misleading
+        message. Refuse on a dirty branch instead."""
+        if self._is_dirty(self._read_ref(branch)):
+            raise DirtyBranchError(
+                f"{what}: branch {branch!r} has uncommitted staged "
+                "changes; commit or reset first"
+            )
+
     def add_constraint(
         self, spark: SparkSession, branch: str, table: str, name: str, expr: str
     ) -> "Commit":
@@ -355,7 +366,8 @@ class LakeRepo:
         the expression IS FALSE (NULL passes)."""
         import json
 
-        current = self.read_table(spark, table, ref=branch, include_staged=True)
+        self._require_clean_for_alter(branch, f"ADD CONSTRAINT {name}")
+        current = self.read_table(spark, table, ref=branch)
         bad = current.filter(F.expr(f"({expr}) IS FALSE")).take(1)
         if bad:
             raise ConstraintViolation(
@@ -369,6 +381,7 @@ class LakeRepo:
     def drop_constraint(self, branch: str, table: str, name: str) -> "Commit":
         import json
 
+        self._require_clean_for_alter(branch, f"DROP CONSTRAINT {name}")
         cons = self.table_constraints(table, branch)
         if name not in cons:
             raise KeyError(f"no constraint {name!r} on {table!r}")
@@ -376,25 +389,65 @@ class LakeRepo:
         self.put_object(branch, self._constraints_path(table), json.dumps(cons))
         return self.commit(branch, f"DROP CONSTRAINT {name} ON {table}")
 
+    def _drop_constraints_object(self, branch: str, table: str) -> None:
+        """Remove a table's constraints object if present (staged or
+        committed) — dropping or replacing a table must not leak its
+        CHECK constraints onto a future table of the same name."""
+        try:
+            self.delete_object(branch, self._constraints_path(table))
+        except KeyError:
+            pass
+
+    @staticmethod
+    def _check_rows(df: DataFrame, cons: dict[str, str], context: str) -> None:
+        """Raise ConstraintViolation if any row of ``df`` evaluates any
+        CHECK expression to FALSE. ONE combined scan for the whole
+        constraint set (individual re-check only on a hit, for the error
+        message). A constraint whose columns don't resolve against this
+        data is skipped: per SQL CHECK semantics a missing column is
+        NULL and NULL passes — the schema-evolution append case."""
+        from pyspark.errors import AnalysisException
+
+        def violates(expr: str):
+            try:
+                return df.filter(F.expr(f"({expr}) IS FALSE")).take(1)
+            except AnalysisException:
+                return []
+
+        combined = " OR ".join(f"(({e}) IS FALSE)" for e in cons.values())
+        try:
+            hit = df.filter(F.expr(combined)).take(1)
+        except AnalysisException:
+            # some constraint references columns absent here; fall back
+            # to per-constraint checks so resolvable ones still enforce
+            hit = [1]
+        if not hit:
+            return
+        for cname, expr in cons.items():
+            bad = violates(expr)
+            if bad:
+                raise ConstraintViolation(
+                    f"{context} violating CHECK {cname} ({expr}): {bad[0]}"
+                )
+
     def _enforce_constraints(
         self, spark: SparkSession, branch: str, table: str, out_dir: str
     ) -> None:
         """Validate freshly written files against the table's CHECK
-        constraints BEFORE they are staged. Cost: one scan of the NEW
-        files only (never the table) per constraint set — Delta's
-        enforcement cost model. A violation removes the written files
-        and raises, leaving branch state untouched."""
+        constraints BEFORE they are staged. Cost: one combined scan of
+        the NEW files only (never the table) — Delta's enforcement cost
+        model. A violation removes the written files and raises, leaving
+        branch state untouched."""
         cons = self.table_constraints(table, branch)
         if not cons:
             return
-        written = spark.read.parquet(out_dir)
-        for cname, expr in cons.items():
-            bad = written.filter(F.expr(f"({expr}) IS FALSE")).take(1)
-            if bad:
-                shutil.rmtree(out_dir, ignore_errors=True)
-                raise ConstraintViolation(
-                    f"write to {table!r} violates CHECK {cname} ({expr}): {bad[0]}"
-                )
+        try:
+            self._check_rows(
+                spark.read.parquet(out_dir), cons, f"write to {table!r}"
+            )
+        except ConstraintViolation:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
 
     def stage_table_files(
         self, branch: str, table: str, rel_files: list[str], op: str = "overwrite"
@@ -427,11 +480,13 @@ class LakeRepo:
         return list(c.tables[table])
 
     def remove_table(self, branch: str, table: str) -> None:
-        """V5: stage a table drop."""
+        """V5: stage a table drop (its CHECK constraints go with it — a
+        later table of the same name starts unconstrained, as in Delta)."""
         with RepoLock(self.root):
             ref = self._read_ref(branch)
             ref["staged"][table] = {"files": [], "op": "drop"}
             self._write_ref(branch, ref)
+        self._drop_constraints_object(branch, table)
 
     def status(self, branch: str) -> dict:
         """Uncommitted staged changes on a branch (tables + objects)."""
@@ -868,6 +923,29 @@ class LakeRepo:
                 base_tables.get(t), keys[t], on_conflict, dest,
             )
             row_merges.append(t)
+        # CHECK constraints: a merge adopting source-side files must not
+        # land rows that violate the constraints ACTIVE AFTER the merge
+        # (the merged constraint objects). One scan per changed
+        # constrained table, and only when constraints exist — same
+        # write-time cost model as everywhere else. (A fast-forward
+        # adopts the source state wholesale, constraint objects
+        # included, so its own write-time enforcement already holds.)
+        import json as _json
+
+        for t, files in merged.items():
+            if files == dst_c.tables.get(t):
+                continue  # dest already holds these exact files
+            blob = merged_objects.get(self._constraints_path(t))
+            if blob is None:
+                continue
+            with open(os.path.join(self.root, blob)) as f:
+                cons = _json.loads(f.read())
+            if not cons:
+                continue
+            adopted = self._read_files(spark, files)
+            self._check_rows(
+                adopted, cons, f"merge {source}→{dest} would commit rows of {t!r}"
+            )
         with RepoLock(self.root):
             c = Commit(
                 id=new_id(),

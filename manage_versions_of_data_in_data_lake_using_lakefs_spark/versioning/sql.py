@@ -76,7 +76,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation, LakeRepo
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -762,6 +762,10 @@ class LakeSQL:
         name = self._resolve_table(table) if table.lower() in existing else table.lower()
         df = self.sql(select)
         rows = df.count()
+        if replace and table.lower() in existing:
+            # REPLACE defines a NEW table: the old one's CHECK constraints
+            # must not leak onto it (Delta REPLACE TABLE semantics)
+            self.repo._drop_constraints_object(self.branch, name)
         self.repo.write_table(self.branch, name, df, mode="overwrite")
         c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
         return self._dml_result(name, c.version, rows)
@@ -839,6 +843,8 @@ class LakeSQL:
         if split is not None:
             try:
                 return self._delete_pruned(name, cond, *split)
+            except ConstraintViolation:
+                raise  # the full rewrite would fail identically — don't pay it
             except Exception:
                 pass  # fall back to the always-correct full rewrite
         keep_where = f"({cond}) IS NOT TRUE" if cond else "FALSE"
@@ -905,6 +911,8 @@ class LakeSQL:
         if split is not None:
             try:
                 return self._update_pruned(name, guard, proj, *split)
+            except ConstraintViolation:
+                raise  # the full rewrite would fail identically — don't pay it
             except Exception:
                 pass  # SET expressions the pruned path can't run → full rewrite
         rows = self.sql(f"SELECT * FROM {name} WHERE {guard}").count()

@@ -1398,3 +1398,72 @@ def test_constraints_ride_branches(spark, repo):
         )
     # main keeps enforcing independently
     assert repo.table_constraints("t", "dev") == {"v_pos": "v > 0"}
+
+
+def test_drop_and_replace_clear_constraints(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    lsql.sql("DROP TABLE t")
+    # a recreated table of the same name starts unconstrained
+    lsql.sql("CREATE TABLE t AS SELECT -5.0 AS v")
+    assert lsql.sql("SHOW CONSTRAINTS t").count() == 0
+    assert repo.read_table(spark, "t", "main").count() == 1
+    # CREATE OR REPLACE likewise defines a NEW table
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT v_neg CHECK (v < 0)")
+    lsql.sql("CREATE OR REPLACE TABLE t AS SELECT 7.0 AS v")
+    assert lsql.sql("SHOW CONSTRAINTS t").count() == 0
+
+
+def test_merge_validates_destination_constraints(spark, repo):
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    repo.create_branch("dev")  # dev branches BEFORE the constraint exists
+    LakeSQL(spark, repo).sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    repo.write_table(
+        "dev", "t", spark.createDataFrame([(2, -9.0)], "id INT, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("dev", "legal on dev (no constraint there)")
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        repo.merge(spark, "dev", "main")
+    # main's data is untouched by the refused merge
+    assert repo.read_table(spark, "t", "main").count() == 1
+
+
+def test_alter_refuses_dirty_branch(spark, repo):
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DirtyBranchError
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    repo.write_table("main", "u", spark.createDataFrame([(9,)], "id INT"))  # staged
+    with _pytest.raises(DirtyBranchError):
+        LakeSQL(spark, repo).sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    repo.reset("main")
+    LakeSQL(spark, repo).sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+
+
+def test_constraint_on_missing_column_passes_schema_evolution(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE"))
+    repo.commit("main", "v0")
+    LakeSQL(spark, repo).sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    # schema-evolution append without column v: missing = NULL = passes
+    repo.write_table(
+        "main", "t", spark.createDataFrame([(2,)], "id INT"), mode="append"
+    )
+    repo.commit("main", "evolved append")
+    t = repo.read_table(spark, "t", "main", merge_schema=True)
+    assert t.count() == 2
