@@ -137,6 +137,10 @@ _SHOW_CONSTRAINTS_RE = re.compile(
     rf"^\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(?P<table>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE_TABLE_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<table>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _MERGE_INTO_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+(?P<table>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
     r"\s+USING\s+(?P<body>.+?)"
@@ -1002,6 +1006,21 @@ class LakeSQL:
             )
             return self.spark.createDataFrame(
                 sorted(cons.items()), "name STRING, check_expr STRING"
+            )
+        m = _DESCRIBE_TABLE_RE.match(query)
+        if m and m.group("table").lower() in {
+            t.lower() for t in self.repo.list_tables(self.branch)
+        }:
+            # DESCRIBE [TABLE] t — Spark's column listing over the
+            # branch-head snapshot (falls through to the rewriter for
+            # non-repo names, which will fail loudly as before)
+            name = self._resolve_table(m.group("table"))
+            df = self.repo.read_table(
+                self.spark, name, ref=self.branch, include_staged=True
+            )
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields],
+                "col_name STRING, data_type STRING, nullable BOOLEAN",
             )
         m = _VACUUM_RE.match(query)
         if m:

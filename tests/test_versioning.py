@@ -1467,3 +1467,19 @@ def test_constraint_on_missing_column_passes_schema_evolution(spark, repo):
     repo.commit("main", "evolved append")
     t = repo.read_table(spark, "t", "main", merge_schema=True)
     assert t.count() == 2
+
+
+def test_sql_describe_table_schema(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table(
+        "main", "t", spark.createDataFrame([(1, "a", 2.5)], "id INT, s STRING, v DOUBLE")
+    )
+    repo.commit("main", "v0")
+    lsql = LakeSQL(spark, repo)
+    rows = {(r.col_name, r.data_type) for r in lsql.sql("DESCRIBE TABLE t").collect()}
+    assert rows == {("id", "int"), ("s", "string"), ("v", "double")}
+    assert lsql.sql("DESC t").count() == 3
+    # two-word DESCRIBE forms still route to their own handlers
+    assert "version" in lsql.sql("DESCRIBE HISTORY t").columns
+    assert "file" in lsql.sql("DESCRIBE STATS t").columns
