@@ -277,6 +277,58 @@ def lsh_band_index(
     )
 
 
+def substring_dup_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+) -> DataFrame:
+    """Substring-level duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of a
+    document's n-token windows that also occur ANYWHERE else in the
+    corpus → (id, n_windows, n_dup_windows, dup_fraction). Doc-level
+    dedup misses boilerplate (headers, licenses, templates) pasted into
+    otherwise-unique documents; this is the per-doc filter signal for
+    exactly that case.
+
+    Plan: every stride-1 n-token window hashes with ``portable_hash``
+    (map-only window construction via an indexed transform over each
+    row's own token array); ONE groupBy counts global window
+    occurrences; windows join their counts back (equi-join on the hash)
+    and aggregate per doc. Cost is the n-gram pipeline's: |tokens| rows
+    through one shuffle, no self-join, no suffix array — the standard
+    scalable approximation of the paper's suffix-array dedup.
+    dup_fraction is one int/int division — the same IEEE double in any
+    engine, oracle-safe."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tk")
+    ).where(F.size("tk") >= n)
+    wins = _widen(toks, "id").select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n} + 1), "
+                f"i -> array_join(slice(tk, i, {n}), ' '))"
+            )
+        ).alias("w"),
+    ).select("id", portable_hash(F.col("w")).alias("h"))
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wins.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows") / F.col("n_windows")).alias("dup_fraction"),
+        )
+    )
+
+
 def incremental_lsh_candidates(
     old_index: DataFrame, new_index: DataFrame
 ) -> DataFrame:

@@ -342,6 +342,46 @@ ORDER BY a, b
 """
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication metrics (Lee et al. 2022 shape): the
+    fraction of each doc's 20-token windows that recur anywhere in the
+    corpus — the boilerplate/template signal doc-level dedup misses.
+    One shuffle (global window counts), no suffix array, no self-join."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import substring_dup_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        substring_dup_metrics(docs, n=20)
+        .where(F.col("n_dup_windows") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH toks AS (
+    SELECT doc_id AS id, {_SQL_TOKS} AS tk FROM documents
+),
+wins AS (
+    SELECT id,
+           ('0x' || substr(md5(array_to_string(tk[i+1:i+20], ' ')), 1, 15))::BIGINT
+               % 2147483647 AS h
+    FROM (SELECT id, tk, unnest(range(len(tk) - 19)) AS i
+          FROM toks WHERE len(tk) >= 20)
+),
+counts AS (SELECT h, COUNT(*) AS c FROM wins GROUP BY h),
+per_doc AS (
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+    FROM wins JOIN counts USING (h)
+    GROUP BY id
+)
+SELECT id AS doc_id, n_windows, n_dup_windows,
+       n_dup_windows / n_windows AS dup_fraction
+FROM per_doc WHERE n_dup_windows > 0 ORDER BY doc_id
+"""
+
+
 _SIMHASH_BITS = 30  # keep in sync with operators.dedup.simhash default
 
 
@@ -874,6 +914,7 @@ EXTENSION_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_substring": q_dedup_substring,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_stride": q_dedup_embedding_cosine_stride,
@@ -898,6 +939,7 @@ EXTENSION_ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "dedup_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_cosine_stride": ORACLE_DEDUP_EMBEDDING_COSINE_STRIDE,
