@@ -102,6 +102,7 @@ def main() -> None:
         "versioned_delete_prune",
         "dedup_incremental",
         "text_bigram_lm",
+        "dedup_substring",
     ):
         if extra in registry:
             names.append(extra)
