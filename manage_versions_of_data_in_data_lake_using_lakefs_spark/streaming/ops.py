@@ -13,6 +13,7 @@ a 100 TB ingest pipeline actually uses.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -324,6 +325,25 @@ def streaming_simhash_neardup(
     )
 
 
+def latest_stream_batch(repo, branch: str, stream_id: str) -> int | None:
+    """Highest micro-batch id this stream has already COMMITTED on the
+    branch — the repo-side half of exactly-once ingest. Walks the commit
+    log until the first commit carrying this stream's id (newest first,
+    so steady state inspects O(1) commits)."""
+    for c in repo.log(branch, limit=None):
+        meta = getattr(c, "meta", None) or {}
+        if meta.get("stream_id") == stream_id:
+            return int(meta["stream_batch_id"])
+    return None
+
+
+def is_replayed_batch(repo, branch: str, stream_id: str, batch_id: int) -> bool:
+    """True when this (stream, batch) was already committed — the
+    idempotence decision a restarted foreachBatch delivery hits."""
+    last = latest_stream_batch(repo, branch, stream_id)
+    return last is not None and batch_id <= last
+
+
 def stream_into_repo(
     stream_df: DataFrame,
     repo,
@@ -338,15 +358,31 @@ def stream_into_repo(
     commit message carries the batch id, time travel reproduces any
     prefix of the stream, and a bad batch rolls back with ``revert``.
 
+    **Exactly-once**: foreachBatch is at-least-once across restarts — a
+    crash between the repo commit and the checkpoint advance makes Spark
+    REPLAY the last batch. Each commit therefore records
+    (stream_id = checkpoint dir, batch_id) in its metadata, and a batch
+    whose id is ≤ the stream's last committed id is skipped — the same
+    idempotent-sink protocol as Delta's ``txnAppId``/``txnVersion``.
+    The check walks the log newest-first and stops at this stream's
+    previous commit, so steady state inspects O(1) commits.
+
     Drains with availableNow (bounded replay); a live deployment drops
     the trigger and keeps the same code.
     """
+    stream_id = os.path.abspath(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if is_replayed_batch(repo, branch, stream_id, batch_id):
+            return  # already committed, exactly-once skip
         repo.write_table(branch, table, batch_df, mode="append")
-        repo.commit(branch, f"{commit_prefix} {batch_id}")
+        repo.commit(
+            branch,
+            f"{commit_prefix} {batch_id}",
+            meta={"stream_id": stream_id, "stream_batch_id": batch_id},
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
