@@ -32,7 +32,7 @@ def _regression_guard(timings: dict[str, float], factor: float = 1.5) -> None:
         return
     try:
         with open(records[-1]) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
+            prev = (json.load(f).get("parsed") or {}).get("queries") or {}
     except (OSError, json.JSONDecodeError):
         return
     for name, t in timings.items():
@@ -146,8 +146,39 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    print(
-        json.dumps(
+    # The driver captures only the last ~2000 chars of stdout, so the
+    # single JSON line must stay well under that. Per-query spread (and a
+    # copy of everything on the line) goes to BENCH_LOCAL.json instead of
+    # riding on stdout — round 5's line grew past the capture window once
+    # spread was inlined and the driver recorded "parsed": null.
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "n_repeats": repeats,
+            "sf": sf,
+        }
+    )
+    if len(line) > 1800:  # still too long: keep only the slowest queries inline
+        slow = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+        )
+        line = json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": slow,
+                "n_repeats": repeats,
+                "sf": sf,
+                "truncated_to": len(slow),
+            }
+        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
@@ -156,10 +187,11 @@ def main() -> None:
                 "spread": spreads,
                 "n_repeats": repeats,
                 "sf": sf,
-            }
-        ),
-        flush=True,
-    )
+            },
+            f,
+            indent=1,
+        )
+    print(line, flush=True)
     spark.stop()
 
 

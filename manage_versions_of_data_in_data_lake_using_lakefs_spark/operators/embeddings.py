@@ -215,17 +215,23 @@ def centroid_classify(
 
 
 def jl_basis(out_dims: int = 16, in_dims: int = 64) -> list[list[int]]:
-    """Deterministic ±1 Johnson–Lindenstrauss basis. Signs come from a
-    fixed integer recurrence (no RNG API → identical in any engine or
-    run); Achlioptas (2003) shows ±1 entries preserve pairwise
-    distances with the same guarantee as Gaussian projections."""
-    return [
-        [
-            1 if ((j * 1315423911 + d * 2654435761) % 7) % 2 == 0 else -1
-            for d in range(in_dims)
-        ]
-        for j in range(out_dims)
-    ]
+    """Deterministic ±1 Johnson–Lindenstrauss basis. Signs are the low
+    bit of a splitmix64-style multiply-xor-fold of the cell index — a
+    full-avalanche mixer, so entries are ~50/50 and unpatterned, which
+    is what the Achlioptas (2003) ±1-entry distance-preservation
+    guarantee assumes (the earlier ``% 7 % 2`` recurrence was +1 with
+    probability 4/7 and strongly patterned — ADVICE r5). No RNG API →
+    identical basis in any engine or run."""
+    M = (1 << 64) - 1
+
+    def sign(j: int, d: int) -> int:
+        x = (j * in_dims + d + 0x9E3779B97F4A7C15) & M
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+        x ^= x >> 31
+        return 1 if (x & 1) == 0 else -1
+
+    return [[sign(j, d) for d in range(in_dims)] for j in range(out_dims)]
 
 
 def _make_project_batches(basis: list[list[int]]):

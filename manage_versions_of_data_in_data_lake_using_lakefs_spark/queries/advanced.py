@@ -2311,13 +2311,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_pass(prev_r: str, out: str) -> str:
+    # replays one integer-Pregel hop including the dangling-mass share:
+    # sinks (nodes with no out-edge) pass their rank uniformly as
+    # share = Σ sink-rank // N (0 on the symmetric graph here)
     return f"""s_{out} AS (
     SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS s
     FROM edges e JOIN {prev_r} r ON r.node = e.src JOIN deg d ON d.src = e.src
     GROUP BY e.dst),
+sh_{out} AS (
+    SELECT CAST(COALESCE((SELECT SUM(r.rank) FROM {prev_r} r
+                          WHERE r.node NOT IN (SELECT src FROM deg)), 0)
+                // (SELECT n_nodes FROM nn) AS BIGINT) AS share),
 {out} AS (
     SELECT n.node,
-           CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+           CAST(150000000
+                + (85 * (COALESCE(s.s, 0) + (SELECT share FROM sh_{out})))
+                  // 100 AS BIGINT) AS rank
     FROM nodes n LEFT JOIN s_{out} s USING (node))"""
 
 
@@ -2326,7 +2335,8 @@ WITH e0 AS (SELECT DISTINCT CAST(2 * l_partkey AS BIGINT) AS src,
                    CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem),
 edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
 r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
 {_pagerank_pass("r0", "r1")},
 {_pagerank_pass("r1", "r2")}

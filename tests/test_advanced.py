@@ -592,6 +592,16 @@ def test_jl_projection_preserves_relative_distances(spark):
     B = np.array(jl_basis(16, 64), dtype=np.int64)
     q0 = np.array([round(float(np.float32(x)) * 1e6) for x in base], dtype=np.int64)
     assert (v[0] == B @ q0).all()
+    # basis signs are balanced and unpatterned (Achlioptas assumption):
+    # overall within 5% of 50/50, every row within binomial range, and
+    # no two rows identical or anti-identical
+    flat_signs = B.reshape(-1)
+    assert abs(float((flat_signs == 1).mean()) - 0.5) < 0.05
+    row_pos = (B == 1).sum(axis=1)
+    assert ((row_pos >= 20) & (row_pos <= 44)).all(), row_pos
+    for i in range(len(B)):
+        for j in range(i + 1, len(B)):
+            assert not (B[i] == B[j]).all() and not (B[i] == -B[j]).all()
 
 
 def test_cosine_pairs_auto_switches_on_broadcast_horizon(spark):
@@ -629,6 +639,31 @@ def test_pagerank_ppb_properties(spark):
         assert r[0] > r[1] and len(set(r[k] for k in range(1, 10))) == 1
         total = sum(r.values())
         assert abs(total - 10 * 1_000_000_000) < 10 * 3 * 100  # floor loss bound
+        if parts == 1:
+            first = r
+    assert first == r
+
+
+def test_pagerank_ppb_directed_sinks(spark):
+    """ADVICE r5 (graph.py:122): on a general DIRECTED graph, sink nodes
+    (appearing only as dst) must get a rank row, and the mass flowing
+    into them must be redistributed, not silently dropped. Chain
+    1→2→3 with sink 3: every node ranked, total mass conserved up to
+    integer floor loss, and the sink (fed by 2) outranks the source."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.graph import pagerank_ppb
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
+    for parts in (1, 3):
+        r = {
+            x.node: x.rank
+            for x in pagerank_ppb(e.repartition(parts), iters=3).collect()
+        }
+        assert set(r) == {1, 2, 3}  # sink 3 present
+        total = sum(r.values())
+        # dangling redistribution conserves mass (floor loss only);
+        # without it the sink's absorbed mass would vanish each hop
+        assert abs(total - 3 * 1_000_000_000) < 3 * 3 * 100
+        assert r[3] > r[1]  # sink absorbs upstream mass, source has none
         if parts == 1:
             first = r
     assert first == r
