@@ -218,12 +218,70 @@ def q_versioned_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("writes_rejected", F.lit(rejected).cast("int"))
 
 
+def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution (ALTER ADD/RENAME/DROP COLUMN,
+    Delta column-mapping parity): parts land at v0, the price column is
+    renamed and a discount column added WITHOUT rewriting any file
+    (``alters_metadata_only`` pins the file list unchanged — a
+    regression to rewrite-on-ALTER flips it to 0 and fails the hash), a
+    post-rename append lands under the new physical name (the two eras
+    merge on read), then the name column is dropped. The aggregate is a
+    pure function of the testdata iff rename-merge/add-null/drop
+    semantics are exact; the time-travel column count pins that reads at
+    v0 still see the ORIGINAL schema."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+
+    repo = _fresh_repo()
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    repo.write_table("main", "parts", part)
+    c0 = repo.commit("main", "v0")
+    files0 = list(repo.current_files("main", "parts"))
+    repo.alter_rename_column(spark, "main", "parts", "p_retailprice", "price")
+    repo.alter_add_column(spark, "main", "parts", "discount_pct", "INT")
+    meta_only = 1 if repo.current_files("main", "parts") == files0 else 0
+    # new-era append: logical names (price, discount_pct) — every 10th part
+    repo.write_table(
+        "main",
+        "parts",
+        part.where(F.col("p_partkey") % 10 == 0).select(
+            (F.col("p_partkey") + 1_000_000_000).alias("p_partkey"),
+            F.col("p_name"),
+            (F.col("p_retailprice") + 1.0).alias("price"),
+            F.lit(10).cast("int").alias("discount_pct"),
+        ),
+        mode="append",
+    )
+    repo.commit("main", "new-era append")
+    repo.alter_drop_column(spark, "main", "parts", "p_name")
+    t = repo.read_table(spark, "parts", "main")
+    v0_cols = len(
+        repo.read_table(spark, "parts", "main", version_as_of=c0.version).columns
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum(F.col("price"), 2).alias("sum_price"),
+        F.count(F.when(F.col("discount_pct").isNull(), 1)).alias("null_discounts"),
+        F.count(F.when(F.col("discount_pct") == 10, 1)).alias("set_discounts"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        "null_discounts",
+        "set_discounts",
+        F.lit(len(t.columns)).cast("int").alias("final_cols"),
+        F.lit(v0_cols).cast("int").alias("v0_cols"),
+        F.lit(meta_only).cast("int").alias("alters_metadata_only"),
+    )
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
     "versioned_incremental_agg": q_versioned_incremental_agg,
     "versioned_delete_prune": q_versioned_delete_prune,
     "versioned_constraint_gate": q_versioned_constraint_gate,
+    "versioned_schema_evolution": q_versioned_schema_evolution,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -302,10 +360,35 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM unioned
 """
 
+# base parts read back with NULL discount (added column), the new-era
+# append (every 10th part, price+1, discount 10) merges under the renamed
+# column; final schema (p_partkey, price, discount_pct) = 3 cols, v0
+# time travel sees the original 3 (p_partkey, p_name, p_retailprice);
+# ALTERs rewrote zero files
+ORACLE_VERSIONED_SCHEMA_EVOLUTION = """
+WITH unioned AS (
+    SELECT p_retailprice AS price, NULL AS discount_pct FROM part
+    UNION ALL
+    SELECT p_retailprice + 1.0, 10 FROM part WHERE p_partkey % 10 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(price * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_price,
+       CAST(COUNT(CASE WHEN discount_pct IS NULL THEN 1 END) AS BIGINT)
+           AS null_discounts,
+       CAST(COUNT(CASE WHEN discount_pct = 10 THEN 1 END) AS BIGINT)
+           AS set_discounts,
+       CAST(3 AS INTEGER) AS final_cols,
+       CAST(3 AS INTEGER) AS v0_cols,
+       CAST(1 AS INTEGER) AS alters_metadata_only
+FROM unioned
+"""
+
 VERSIONED_ORACLES = {
     "versioned_time_travel": ORACLE_VERSIONED_TIME_TRAVEL,
     "versioned_branch_merge": ORACLE_VERSIONED_BRANCH_MERGE,
     "versioned_incremental_agg": ORACLE_VERSIONED_INCREMENTAL_AGG,
     "versioned_delete_prune": ORACLE_VERSIONED_DELETE_PRUNE,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
+    "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
 }

@@ -367,6 +367,16 @@ def stream_into_repo(
     The check walks the log newest-first and stops at this stream's
     previous commit, so steady state inspects O(1) commits.
 
+    The replay guard also covers the *staged* half of the crash window: a
+    crash between ``write_table`` (which durably stages the batch's files)
+    and ``commit`` leaves an uncommitted staged copy that the committed-log
+    check cannot see. Every stage is therefore tagged with this stream's
+    id (``write_table(txn=...)``), and on batch entry any staged entry for
+    this table still carrying the tag is dropped before writing — the
+    redelivered batch replaces its own leftover instead of stacking a
+    second copy on top of it. A staged entry from a *different* writer is
+    never touched (the tag is cleared when entries mix).
+
     Drains with availableNow (bounded replay); a live deployment drops
     the trigger and keeps the same code.
     """
@@ -377,7 +387,18 @@ def stream_into_repo(
             return
         if is_replayed_batch(repo, branch, stream_id, batch_id):
             return  # already committed, exactly-once skip
-        repo.write_table(branch, table, batch_df, mode="append")
+        stale = repo.staged_txn(branch, table)
+        if stale and stale.get("stream_id") == stream_id:
+            # leftover from a crash between stage and commit: drop our own
+            # staged copy so the redelivery lands exactly once
+            repo.unstage_table(branch, table)
+        repo.write_table(
+            branch,
+            table,
+            batch_df,
+            mode="append",
+            txn={"stream_id": stream_id, "stream_batch_id": batch_id},
+        )
         repo.commit(
             branch,
             f"{commit_prefix} {batch_id}",

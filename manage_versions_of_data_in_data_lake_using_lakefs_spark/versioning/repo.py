@@ -263,13 +263,32 @@ class LakeRepo:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        txn: dict | None = None,
     ) -> str:
         """Stage a table write on a branch (uncommitted until ``commit``,
         mirroring lakeFS's upload-then-commit two-phase flow,
         ``README.md:85-105``). Data lands immediately as immutable parquet;
-        only the ref's staged pointer changes."""
+        only the ref's staged pointer changes.
+
+        ``txn`` (optional) tags the staged entry with an idempotence token
+        (e.g. ``{"stream_id": ..., "stream_batch_id": ...}``) so a writer
+        that crashed between staging and commit can recognize — and drop —
+        its own leftover staged copy on redelivery (Delta's
+        ``txnAppId``/``txnVersion`` protocol, applied to the staged half).
+        The tag survives only while the entry is exclusively this
+        transaction's: appending to an entry staged by someone else clears
+        it, so cleanup can never discard another writer's staged rows."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
+        consumed = self._consumed_names(self.table_schema_map(table, ref=branch))
+        hit = [c for c in df.columns if c.lower() in consumed]
+        if hit:
+            raise ValueError(
+                f"write to {table!r} uses column name(s) {hit} that were "
+                "renamed away or dropped by ALTER TABLE; writing them would "
+                "resurface old file data under a new meaning — use the "
+                "current logical names"
+            )
         if mode == "append":
             # schema evolution policy (Delta-like): appends may ADD columns
             # (old rows read back null under merge_schema=True) but may not
@@ -313,15 +332,97 @@ class LakeRepo:
                     self.get_commit(ref["head"]).tables.get(table, [])
                 )
                 staged[table] = {"files": base + [rel], "op": mode}
+                if txn:
+                    staged[table]["txn"] = dict(txn)
             elif entry["op"] == "drop":
                 # append after a staged drop: the drop removed all prior
                 # files, so the table restarts from just the new write —
                 # leaving op='drop' would discard the append at commit
                 staged[table] = {"files": [rel], "op": "append"}
+                if txn:
+                    staged[table]["txn"] = dict(txn)
             else:
                 entry["files"].append(rel)
+                # a mixed entry (files from another writer) must not carry
+                # this txn's tag — cleanup would drop the other writer's rows
+                entry.pop("txn", None)
             self._write_ref(branch, ref)
         return rel
+
+    def staged_txn(self, branch: str, table: str) -> dict | None:
+        """The idempotence token riding a table's staged entry, if any —
+        the probe a restarted idempotent writer uses to recognize its own
+        crash leftovers (see ``write_table(txn=...)``)."""
+        if not os.path.exists(self._ref_file(branch)):
+            return None
+        entry = self._read_ref(branch)["staged"].get(table)
+        if entry and isinstance(entry.get("txn"), dict):
+            return dict(entry["txn"])
+        return None
+
+    def unstage_table(self, branch: str, table: str) -> None:
+        """Discard ONE table's uncommitted staged entry (``reset`` scoped
+        to a single table), returning it to its committed state. The data
+        files it pointed at stay on disk for ``vacuum`` to collect."""
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            if table in ref["staged"]:
+                del ref["staged"][table]
+                self._write_ref(branch, ref)
+
+    # -- staged-state snapshot/restore ---------------------------------
+    # A multi-step DML (pruned DELETE/UPDATE, CTAS REPLACE) mutates staged
+    # state in stages; if a middle step fails, the caller must put back the
+    # snapshot it started from before retrying another strategy — otherwise
+    # the fallback reads a half-mutated branch (include_staged=True) and
+    # commits silent data loss.
+
+    def staged_entry(self, branch: str, table: str) -> dict | None:
+        """Deep-copied snapshot of one table's staged entry (None = not
+        staged), for restore after a failed multi-step mutation."""
+        import copy
+
+        if not os.path.exists(self._ref_file(branch)):
+            return None
+        return copy.deepcopy(self._read_ref(branch)["staged"].get(table))
+
+    def restore_staged_entry(
+        self, branch: str, table: str, entry: dict | None
+    ) -> None:
+        """Put back a ``staged_entry`` snapshot verbatim (None = remove)."""
+        import copy
+
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            if entry is None:
+                ref["staged"].pop(table, None)
+            else:
+                ref["staged"][table] = copy.deepcopy(entry)
+            self._write_ref(branch, ref)
+
+    def staged_object_entry(self, branch: str, path: str) -> dict | None:
+        """Deep-copied snapshot of one object's staged entry (None = not
+        staged) — the object-channel twin of ``staged_entry``."""
+        import copy
+
+        if not os.path.exists(self._ref_file(branch)):
+            return None
+        return copy.deepcopy(self._staged_objects(self._read_ref(branch)).get(path))
+
+    def restore_staged_object_entry(
+        self, branch: str, path: str, entry: dict | None
+    ) -> None:
+        """Put back a ``staged_object_entry`` snapshot (None = remove)."""
+        import copy
+
+        with RepoLock(self.root):
+            ref = self._read_ref(branch)
+            objs = self._staged_objects(ref)
+            if entry is None:
+                objs.pop(path, None)
+            else:
+                objs[path] = copy.deepcopy(entry)
+            self._write_ref(branch, ref)
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) -------
     # Stored as a versioned OBJECT (`_constraints/<table>.json`), so
@@ -395,6 +496,196 @@ class LakeRepo:
         CHECK constraints onto a future table of the same name."""
         try:
             self.delete_object(branch, self._constraints_path(table))
+        except KeyError:
+            pass
+
+    # -- schema evolution (Delta column-mapping parity) --------------------
+    # ALTER TABLE ADD/RENAME/DROP COLUMN are METADATA-ONLY: no data file is
+    # rewritten (the O(1)-at-100-TB property Delta gets from column
+    # mapping). The mapping lives in a versioned OBJECT
+    # (`_schema/<table>.json`) — an ordered list of steps replayed on every
+    # read — so schema changes ride branching, merges, diffs, and time
+    # travel through the existing object machinery: a read at an old
+    # version applies the OLD mapping and sees the old schema.
+
+    @staticmethod
+    def _schema_map_path(table: str) -> str:
+        return f"_schema/{table}.json"
+
+    def table_schema_map(
+        self,
+        table: str,
+        ref: str = "main",
+        version_as_of: int | None = None,
+        include_staged: bool = True,
+    ) -> list[dict]:
+        """The table's ordered schema-evolution steps at a ref/version
+        (empty list = physical schema is the logical schema)."""
+        import json
+
+        try:
+            raw = self.get_object(
+                self._schema_map_path(table),
+                ref,
+                version_as_of=version_as_of,
+                include_staged=include_staged,
+            )
+        except KeyError:
+            return []
+        return json.loads(raw)
+
+    @staticmethod
+    def _consumed_names(steps: list[dict]) -> set[str]:
+        """Physical/former column names no longer addressable after the
+        steps — renamed-away sources and dropped columns. Reusing one
+        would make old files' data resurface under the new meaning, so
+        ALTER and write_table both reject them (Delta forbids the same)."""
+        out: set[str] = set()
+        for st in steps:
+            if st["op"] == "rename":
+                out.add(st["from"].lower())
+            elif st["op"] == "drop":
+                out.add(st["name"].lower())
+        return out
+
+    @staticmethod
+    def apply_schema_map(df: DataFrame, steps: list[dict]) -> DataFrame:
+        """Replay schema-evolution steps on a snapshot read. Steps are
+        sequential — each operates on the logical schema produced by the
+        previous one — so a rename chain a→b→c replays correctly. A
+        rename where BOTH names exist (old files carry the old name,
+        post-rename appends the new) merges via coalesce: ALTER validated
+        at step-creation time that the target name was unused, so the two
+        physical columns are disjoint eras of the same logical column."""
+        for st in steps:
+            op = st["op"]
+            if op == "rename":
+                a, b = st["from"], st["to"]
+                if a in df.columns and b in df.columns:
+                    df = df.withColumn(b, F.coalesce(F.col(b), F.col(a))).drop(a)
+                elif a in df.columns:
+                    df = df.withColumnRenamed(a, b)
+            elif op == "drop":
+                if st["name"] in df.columns:
+                    df = df.drop(st["name"])
+            elif op == "add":
+                if st["name"] not in df.columns:
+                    df = df.withColumn(st["name"], F.lit(None).cast(st["type"]))
+                else:
+                    # appends after the ADD carry the column; pin the
+                    # declared type so the logical schema never drifts
+                    df = df.withColumn(
+                        st["name"], F.col(st["name"]).cast(st["type"])
+                    )
+        return df
+
+    def _constraint_refs(self, table: str, branch: str, col: str) -> list[str]:
+        """Names of CHECK constraints whose expression mentions ``col``
+        (word-boundary match — conservative enough for identifiers)."""
+        import re as _re
+
+        cons = self.table_constraints(table, branch)
+        pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])", _re.I)
+        return [n for n, e in cons.items() if pat.search(e)]
+
+    def _put_schema_step(self, branch: str, table: str, step: dict, msg: str) -> "Commit":
+        import json
+
+        steps = self.table_schema_map(table, ref=branch)
+        steps.append(step)
+        self.put_object(branch, self._schema_map_path(table), json.dumps(steps))
+        return self.commit(branch, msg)
+
+    def alter_add_column(
+        self, spark: SparkSession, branch: str, table: str, col: str, dtype: str
+    ) -> "Commit":
+        """ALTER TABLE ADD COLUMN col TYPE — metadata-only; existing rows
+        read back NULL (Delta semantics; no DEFAULT backfill, which would
+        need per-file provenance to stay exact)."""
+        self._require_clean_for_alter(branch, f"ADD COLUMN {col}")
+        cur = self.read_table(spark, table, ref=branch)
+        steps = self.table_schema_map(table, ref=branch)
+        if col.lower() in {c.lower() for c in cur.columns}:
+            raise ValueError(f"column {col!r} already exists on {table!r}")
+        if col.lower() in self._consumed_names(steps):
+            raise ValueError(
+                f"column name {col!r} was previously renamed away or "
+                f"dropped on {table!r}; reusing it would resurface old "
+                "file data under a new meaning"
+            )
+        # validate the type string eagerly (raises on garbage)
+        cur.limit(0).select(F.lit(None).cast(dtype))
+        return self._put_schema_step(
+            branch,
+            table,
+            {"op": "add", "name": col, "type": dtype},
+            f"ALTER TABLE {table} ADD COLUMN {col} {dtype}",
+        )
+
+    def alter_rename_column(
+        self, spark: SparkSession, branch: str, table: str, old: str, new: str
+    ) -> "Commit":
+        """ALTER TABLE RENAME COLUMN old TO new — metadata-only. Blocked
+        while a CHECK constraint references the column (Delta does the
+        same): the stored expression would silently stop binding."""
+        self._require_clean_for_alter(branch, f"RENAME COLUMN {old}")
+        cur = self.read_table(spark, table, ref=branch)
+        steps = self.table_schema_map(table, ref=branch)
+        resolved = {c.lower(): c for c in cur.columns}
+        if old.lower() not in resolved:
+            raise KeyError(f"no column {old!r} on {table!r}")
+        if new.lower() in resolved:
+            raise ValueError(f"column {new!r} already exists on {table!r}")
+        if new.lower() in self._consumed_names(steps):
+            raise ValueError(
+                f"column name {new!r} was previously renamed away or "
+                f"dropped on {table!r}; reuse is forbidden"
+            )
+        refs = self._constraint_refs(table, branch, resolved[old.lower()])
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by CHECK constraint(s) "
+                f"{refs}; drop them first"
+            )
+        return self._put_schema_step(
+            branch,
+            table,
+            {"op": "rename", "from": resolved[old.lower()], "to": new},
+            f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}",
+        )
+
+    def alter_drop_column(
+        self, spark: SparkSession, branch: str, table: str, col: str
+    ) -> "Commit":
+        """ALTER TABLE DROP COLUMN col — metadata-only; the bytes stay in
+        the files (vacuum-compaction can rewrite them out later) but the
+        column vanishes from every read at this and future versions."""
+        self._require_clean_for_alter(branch, f"DROP COLUMN {col}")
+        cur = self.read_table(spark, table, ref=branch)
+        resolved = {c.lower(): c for c in cur.columns}
+        if col.lower() not in resolved:
+            raise KeyError(f"no column {col!r} on {table!r}")
+        if len(cur.columns) == 1:
+            raise ValueError(f"cannot drop the only column of {table!r}")
+        refs = self._constraint_refs(table, branch, resolved[col.lower()])
+        if refs:
+            raise ValueError(
+                f"cannot drop {col!r}: referenced by CHECK constraint(s) "
+                f"{refs}; drop them first"
+            )
+        return self._put_schema_step(
+            branch,
+            table,
+            {"op": "drop", "name": resolved[col.lower()]},
+            f"ALTER TABLE {table} DROP COLUMN {col}",
+        )
+
+    def _drop_schema_map_object(self, branch: str, table: str) -> None:
+        """Remove a table's schema-evolution object if present — dropping
+        or replacing a table must not leak its column mapping onto a
+        future table of the same name."""
+        try:
+            self.delete_object(branch, self._schema_map_path(table))
         except KeyError:
             pass
 
@@ -480,13 +771,15 @@ class LakeRepo:
         return list(c.tables[table])
 
     def remove_table(self, branch: str, table: str) -> None:
-        """V5: stage a table drop (its CHECK constraints go with it — a
-        later table of the same name starts unconstrained, as in Delta)."""
+        """V5: stage a table drop (its CHECK constraints and column
+        mapping go with it — a later table of the same name starts
+        unconstrained with its physical schema, as in Delta)."""
         with RepoLock(self.root):
             ref = self._read_ref(branch)
             ref["staged"][table] = {"files": [], "op": "drop"}
             self._write_ref(branch, ref)
         self._drop_constraints_object(branch, table)
+        self._drop_schema_map_object(branch, table)
 
     def status(self, branch: str) -> dict:
         """Uncommitted staged changes on a branch (tables + objects)."""
@@ -649,6 +942,13 @@ class LakeRepo:
         skipping) — the condition is NOT applied to surviving rows, so
         callers still filter; the result is identical with or without
         pruning, only the scanned file set shrinks."""
+        steps = self.table_schema_map(
+            table, ref=ref, version_as_of=version_as_of, include_staged=include_staged
+        )
+        # a column-mapped table may mix pre- and post-rename/add physical
+        # schemas across files, so the union schema is required for the
+        # mapping replay to see every era's columns
+        ms = merge_schema or bool(steps)
         if include_staged and version_as_of is None and os.path.exists(self._ref_file(ref)):
             refd = self._read_ref(ref)
             entry = refd["staged"].get(table)
@@ -656,15 +956,15 @@ class LakeRepo:
                 if entry["op"] == "drop":
                     raise KeyError(f"table {table} dropped in staging on {ref}")
                 files = entry["files"]
-                return self._read_files(
-                    spark, self._pruned(files, prune_where), merge_schema
-                )
+                df = self._read_files(spark, self._pruned(files, prune_where), ms)
+                return self.apply_schema_map(df, steps) if steps else df
         c = self._resolve(ref, version_as_of)
         if table not in c.tables:
             raise KeyError(f"table {table} not in snapshot {c.id[:8]} ({ref})")
-        return self._read_files(
-            spark, self._pruned(c.tables[table], prune_where), merge_schema
+        df = self._read_files(
+            spark, self._pruned(c.tables[table], prune_where), ms
         )
+        return self.apply_schema_map(df, steps) if steps else df
 
     def _pruned(self, rel_files: list[str], where: str | None) -> list[str]:
         """File entries that may contain rows matching ``where`` (all of

@@ -133,6 +133,22 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SQL_TYPE = r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+_ADD_COLUMN_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s*"
+    rf"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COLUMN_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COLUMN_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+DROP\s+COLUMNS?\s*"
+    r"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_CONSTRAINTS_RE = re.compile(
     rf"^\s*SHOW\s+CONSTRAINTS\s+(?:ON\s+)?(?P<table>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
@@ -768,8 +784,30 @@ class LakeSQL:
         rows = df.count()
         if replace and table.lower() in existing:
             # REPLACE defines a NEW table: the old one's CHECK constraints
-            # must not leak onto it (Delta REPLACE TABLE semantics)
+            # must not leak onto it (Delta REPLACE TABLE semantics). The
+            # deletion must be staged BEFORE the write so the write isn't
+            # validated against the old table's constraints — but if the
+            # write or commit then fails, the staged deletion must not
+            # linger to be swept into the next unrelated COMMIT, silently
+            # dropping the surviving table's constraints. Snapshot+restore.
+            cpath = self.repo._constraints_path(name)
+            spath = self.repo._schema_map_path(name)
+            obj_snap = self.repo.staged_object_entry(self.branch, cpath)
+            smap_snap = self.repo.staged_object_entry(self.branch, spath)
+            tbl_snap = self.repo.staged_entry(self.branch, name)
             self.repo._drop_constraints_object(self.branch, name)
+            self.repo._drop_schema_map_object(self.branch, name)
+            try:
+                self.repo.write_table(self.branch, name, df, mode="overwrite")
+                c = self.repo.commit(
+                    self.branch, f"SQL: CREATE TABLE {name} AS SELECT"
+                )
+            except Exception:
+                self.repo.restore_staged_object_entry(self.branch, cpath, obj_snap)
+                self.repo.restore_staged_object_entry(self.branch, spath, smap_snap)
+                self.repo.restore_staged_entry(self.branch, name, tbl_snap)
+                raise
+            return self._dml_result(name, c.version, rows)
         self.repo.write_table(self.branch, name, df, mode="overwrite")
         c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
         return self._dml_result(name, c.version, rows)
@@ -845,12 +883,22 @@ class LakeSQL:
         name = self._resolve_table(table)
         split = self._prune_split(name, cond)
         if split is not None:
+            # snapshot the staged entry first: the pruned path mutates
+            # staged state in two steps (write_table stages only the
+            # rewritten candidate rows, stage_table_files then restores
+            # the safe files) — a failure between them would make the
+            # include_staged fallback read a snapshot missing every
+            # safe-file row and commit silent loss
+            snap = self.repo.staged_entry(self.branch, name)
             try:
                 return self._delete_pruned(name, cond, *split)
             except ConstraintViolation:
+                self.repo.restore_staged_entry(self.branch, name, snap)
                 raise  # the full rewrite would fail identically — don't pay it
             except Exception:
-                pass  # fall back to the always-correct full rewrite
+                # fall back to the always-correct full rewrite — from the
+                # SAME staged state the pruned attempt started from
+                self.repo.restore_staged_entry(self.branch, name, snap)
         keep_where = f"({cond}) IS NOT TRUE" if cond else "FALSE"
         total = self.sql(f"SELECT * FROM {name}").count()
         kept = self.sql(f"SELECT * FROM {name} WHERE {keep_where}")
@@ -868,7 +916,12 @@ class LakeSQL:
             self.repo.stage_table_files(self.branch, name, safe)
             c = self.repo.commit(self.branch, f"SQL: DELETE FROM {name}")
             return self._dml_result(name, c.version, 0)
-        cand_df = self.repo._read_files(self.spark, cand)
+        # candidate files are read raw, so a column-mapped table needs the
+        # same schema-step replay the branch views get from read_table
+        steps = self.repo.table_schema_map(name, ref=self.branch)
+        cand_df = self.repo._read_files(self.spark, cand, merge_schema=bool(steps))
+        if steps:
+            cand_df = self.repo.apply_schema_map(cand_df, steps)
         kept = cand_df.filter(F.expr(f"({cond}) IS NOT TRUE"))
         kept_n = kept.count()
         before = info.get("candidate_rows")
@@ -913,12 +966,18 @@ class LakeSQL:
                 proj.append(f"`{f.name}`")
         split = self._prune_split(name, cond)
         if split is not None:
+            # same staged-state snapshot discipline as _delete: the pruned
+            # path's half-mutated staging must never leak into the fallback
+            snap = self.repo.staged_entry(self.branch, name)
             try:
                 return self._update_pruned(name, guard, proj, *split)
             except ConstraintViolation:
+                self.repo.restore_staged_entry(self.branch, name, snap)
                 raise  # the full rewrite would fail identically — don't pay it
             except Exception:
-                pass  # SET expressions the pruned path can't run → full rewrite
+                # SET expressions the pruned path can't run → full rewrite,
+                # from the same staged state the pruned attempt started from
+                self.repo.restore_staged_entry(self.branch, name, snap)
         rows = self.sql(f"SELECT * FROM {name} WHERE {guard}").count()
         updated = self.sql(f"SELECT {', '.join(proj)} FROM {name}")
         self.repo.write_table(self.branch, name, updated, mode="overwrite")
@@ -935,7 +994,10 @@ class LakeSQL:
         rows = 0
         files = list(safe)
         if cand:
-            cand_df = self.repo._read_files(self.spark, cand)
+            steps = self.repo.table_schema_map(name, ref=self.branch)
+            cand_df = self.repo._read_files(self.spark, cand, merge_schema=bool(steps))
+            if steps:
+                cand_df = self.repo.apply_schema_map(cand_df, steps)
             rows = cand_df.filter(F.expr(guard)).count()
             updated = cand_df.selectExpr(*proj)
             files.append(
@@ -994,6 +1056,44 @@ class LakeSQL:
         if m:
             c = self.repo.drop_constraint(
                 self.branch, self._resolve_table(m.group("table")), m.group("name")
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _ADD_COLUMN_RE.match(query)
+        if m:
+            c = self.repo.alter_add_column(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("col"),
+                m.group("type"),
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _RENAME_COLUMN_RE.match(query)
+        if m:
+            c = self.repo.alter_rename_column(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("old"),
+                m.group("new"),
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _DROP_COLUMN_RE.match(query)
+        if m:
+            c = self.repo.alter_drop_column(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("col"),
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],

@@ -556,3 +556,93 @@ def test_describe_stats_keeps_partition_column_after_pruned_delete(spark, repo):
     pdf = lsql.sql("DESCRIBE STATS t").toPandas()
     prow = pdf[pdf["column"] == "p"]
     assert set(prow["min"]) >= {"0", "2"}  # carried subdirs still report p
+
+
+def test_pruned_delete_midway_failure_falls_back_without_loss(spark, repo):
+    """ADVICE r5 (sql.py:852): if the pruned path fails AFTER write_table
+    staged only the rewritten candidate rows but BEFORE stage_table_files
+    restored the safe files, the full-rewrite fallback (include_staged)
+    used to read a snapshot missing every safe-file row and commit it —
+    silent loss. The staged-entry snapshot/restore must make the fallback
+    start from the pre-DML state."""
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+
+    real_stage = repo.stage_table_files
+    calls = {"n": 0}
+
+    def dying_stage(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated failure before safe-file restore")
+
+    repo.stage_table_files = dying_stage
+    try:
+        res = lsql.sql("DELETE FROM t WHERE k < 500").collect()[0]
+    finally:
+        repo.stage_table_files = real_stage
+    assert calls["n"] >= 1  # the pruned path ran and died mid-mutation
+    assert res.rows_affected == 500
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 3500  # all safe-file rows survived the fallback
+    assert t.agg(F.min("k")).collect()[0][0] == 500
+
+
+def test_pruned_update_midway_failure_falls_back_without_loss(spark, repo):
+    """Same staged-state discipline for UPDATE."""
+    repo.write_table("main", "t", _clustered(spark))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+
+    real_stage = repo.stage_table_files
+
+    def dying_stage(*a, **k):
+        raise RuntimeError("simulated failure before safe-file restore")
+
+    repo.stage_table_files = dying_stage
+    try:
+        res = lsql.sql("UPDATE t SET v = 0.0 WHERE k < 500").collect()[0]
+    finally:
+        repo.stage_table_files = real_stage
+    assert res.rows_affected == 500
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 4000
+    assert t.filter("v = 0.0").count() >= 500 - 46  # k<500 minus pre-null rows
+    assert t.filter("k >= 500").count() == 3500  # safe rows intact
+
+
+def test_failed_ctas_replace_restores_staged_constraint_deletion(spark, repo):
+    """ADVICE r5 (sql.py _ctas): CREATE OR REPLACE stages the old table's
+    constraints-object deletion BEFORE the write (so the new data isn't
+    validated against the old constraints); if the write then fails, the
+    staged deletion must be rolled back — not left to be swept into the
+    next unrelated COMMIT, silently dropping the survivor's constraints."""
+    repo.write_table("main", "t", spark.range(5).selectExpr("id AS k"))
+    repo.commit("main", "base")
+    repo.add_constraint(spark, "main", "t", "k_nonneg", "k >= 0")
+    lsql = LakeSQL(spark, repo, "main")
+
+    real_write = repo.write_table
+
+    def dying_write(*a, **k):
+        raise RuntimeError("simulated write failure during REPLACE")
+
+    repo.write_table = dying_write
+    try:
+        with pytest.raises(RuntimeError, match="simulated write failure"):
+            lsql.sql("CREATE OR REPLACE TABLE t AS SELECT k * 2 AS k FROM t")
+    finally:
+        repo.write_table = real_write
+    # nothing staged: the constraint-object deletion was rolled back
+    assert repo.status("main") == {}
+    # an unrelated commit cycle must not sweep away the constraints
+    repo.write_table("main", "other", spark.range(3).selectExpr("id AS x"))
+    repo.commit("main", "unrelated")
+    assert "k_nonneg" in repo.table_constraints("t", "main")
+    # and the constraint still enforces
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        repo.write_table(
+            "main", "t", spark.createDataFrame([(-1,)], "k LONG"), mode="append"
+        )

@@ -1,0 +1,185 @@
+"""Metadata-only schema evolution (Delta column-mapping parity):
+ALTER TABLE ADD/RENAME/DROP COLUMN rewrite zero data files — the mapping
+is a versioned object replayed on read, so it rides branches, merges,
+diffs, and time travel like any other versioned state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+def _base(spark, repo, rows=((1, "a", 10.0), (2, "b", 20.0))):
+    df = spark.createDataFrame(list(rows), "k LONG, name STRING, v DOUBLE")
+    repo.write_table("main", "t", df)
+    repo.commit("main", "base")
+
+
+def test_add_column_metadata_only_nulls_on_old_rows(spark, repo):
+    _base(spark, repo)
+    before = repo.current_files("main", "t")
+    repo.alter_add_column(spark, "main", "t", "score", "INT")
+    assert repo.current_files("main", "t") == before  # zero files rewritten
+    t = repo.read_table(spark, "t", "main")
+    assert t.columns == ["k", "name", "v", "score"]
+    assert t.filter("score IS NULL").count() == 2
+    # appends carry the column; declared type is pinned on read
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(3, "c", 30.0, 7)], "k LONG, name STRING, v DOUBLE, score INT"),
+        mode="append",
+    )
+    repo.commit("main", "append with score")
+    t = repo.read_table(spark, "t", "main")
+    assert t.filter("score = 7").count() == 1
+    assert dict(t.dtypes)["score"] == "int"
+
+
+def test_rename_column_merges_old_and_new_eras(spark, repo):
+    _base(spark, repo)
+    before = repo.current_files("main", "t")
+    repo.alter_rename_column(spark, "main", "t", "v", "price")
+    assert repo.current_files("main", "t") == before
+    t = repo.read_table(spark, "t", "main")
+    assert "price" in t.columns and "v" not in t.columns
+    assert {r.price for r in t.collect()} == {10.0, 20.0}
+    # post-rename appends write the new physical name; both eras merge
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(3, "c", 30.0)], "k LONG, name STRING, price DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "append new era")
+    t = repo.read_table(spark, "t", "main")
+    assert sorted(r.price for r in t.collect()) == [10.0, 20.0, 30.0]
+    # the old physical name is consumed: writing it again is rejected
+    with pytest.raises(ValueError, match="renamed away or dropped"):
+        repo.write_table(
+            "main",
+            "t",
+            spark.createDataFrame([(9, "z", 1.0)], "k LONG, name STRING, v DOUBLE"),
+            mode="append",
+        )
+
+
+def test_drop_column_and_tombstone(spark, repo):
+    _base(spark, repo)
+    repo.alter_drop_column(spark, "main", "t", "name")
+    t = repo.read_table(spark, "t", "main")
+    assert t.columns == ["k", "v"]
+    # re-adding a dropped name is forbidden (old bytes would resurface)
+    with pytest.raises(ValueError, match="renamed away or dropped"):
+        repo.alter_add_column(spark, "main", "t", "name", "STRING")
+    # dropping the only remaining... (two left; drop one more is fine)
+    repo.alter_drop_column(spark, "main", "t", "v")
+    with pytest.raises(ValueError, match="only column"):
+        repo.alter_drop_column(spark, "main", "t", "k")
+
+
+def test_time_travel_sees_old_schema(spark, repo):
+    _base(spark, repo)
+    v_before = repo.head("main").version
+    repo.alter_rename_column(spark, "main", "t", "v", "price")
+    repo.alter_add_column(spark, "main", "t", "score", "INT")
+    old = repo.read_table(spark, "t", "main", version_as_of=v_before)
+    assert old.columns == ["k", "name", "v"]
+    new = repo.read_table(spark, "t", "main")
+    assert new.columns == ["k", "name", "price", "score"]
+
+
+def test_constraint_blocks_rename_and_drop(spark, repo):
+    _base(spark, repo)
+    repo.add_constraint(spark, "main", "t", "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        repo.alter_rename_column(spark, "main", "t", "v", "price")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        repo.alter_drop_column(spark, "main", "t", "v")
+    # unreferenced columns still evolve freely
+    repo.alter_rename_column(spark, "main", "t", "name", "label")
+    assert "label" in repo.read_table(spark, "t", "main").columns
+
+
+def test_sql_alter_column_surface_and_describe(spark, repo):
+    _base(spark, repo)
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("ALTER TABLE t RENAME COLUMN v TO price")
+    lsql.sql("ALTER TABLE t ADD COLUMN score INT")
+    lsql.sql("ALTER TABLE t DROP COLUMN name")
+    desc = {r.col_name for r in lsql.sql("DESCRIBE TABLE t").collect()}
+    assert desc == {"k", "price", "score"}
+    got = lsql.sql("SELECT k, price FROM t ORDER BY k").collect()
+    assert [(r.k, r.price) for r in got] == [(1, 10.0), (2, 20.0)]
+    # SELECT at an old version sees the old schema through time travel
+    hist = lsql.sql("DESCRIBE HISTORY t").collect()
+    first_v = min(r.version for r in hist)
+    old = lsql.sql(f"SELECT * FROM t VERSION AS OF {first_v}")
+    assert old.columns == ["k", "name", "v"]
+
+
+def test_sql_dml_on_column_mapped_table(spark, repo):
+    """DELETE/UPDATE (incl. the pruned file-skipping path) bind against
+    the LOGICAL schema on a column-mapped table."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    repo.write_table("main", "t", df)
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("ALTER TABLE t RENAME COLUMN k TO key")
+    res = lsql.sql("DELETE FROM t WHERE key < 500").collect()[0]
+    assert res.rows_affected == 500
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 1500 and t.agg(F.min("key")).collect()[0][0] == 500
+    res = lsql.sql("UPDATE t SET v = 0.0 WHERE key >= 1900").collect()[0]
+    assert res.rows_affected == 100
+    assert repo.read_table(spark, "t", "main").filter("v = 0.0").count() == 100
+
+
+def test_mapping_rides_branches_and_merges(spark, repo):
+    _base(spark, repo)
+    repo.create_branch("dev", "main")
+    lsql = LakeSQL(spark, repo, "dev")
+    lsql.sql("ALTER TABLE t RENAME COLUMN v TO price")
+    # main unaffected until merge
+    assert "v" in repo.read_table(spark, "t", "main").columns
+    repo.merge(spark, "dev", "main")
+    assert "price" in repo.read_table(spark, "t", "main").columns
+
+
+def test_replace_and_drop_table_clear_mapping(spark, repo):
+    _base(spark, repo)
+    repo.alter_rename_column(spark, "main", "t", "v", "price")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("CREATE OR REPLACE TABLE t AS SELECT 1 AS v")
+    # the new table's physical column v is NOT remapped to price
+    assert repo.read_table(spark, "t", "main").columns == ["v"]
+    # DROP TABLE clears the mapping for future same-name tables
+    repo.write_table("main", "u", spark.range(3).selectExpr("id AS a"))
+    repo.commit("main", "u")
+    repo.alter_rename_column(spark, "main", "u", "a", "b")
+    lsql.sql("DROP TABLE u")
+    repo.write_table("main", "u", spark.range(3).selectExpr("id AS a"))
+    repo.commit("main", "u again")
+    assert repo.read_table(spark, "u", "main").columns == ["a"]
+
+
+def test_alter_requires_clean_branch(spark, repo):
+    _base(spark, repo)
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(9, "x", 9.0)], "k LONG, name STRING, v DOUBLE"),
+        mode="append",
+    )
+    with pytest.raises(Exception, match="staged"):
+        repo.alter_rename_column(spark, "main", "t", "v", "price")

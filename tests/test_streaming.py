@@ -409,3 +409,56 @@ def test_stream_into_repo_exactly_once_on_replay(spark, tmp_path):
     assert is_replayed_batch(repo, "main", sid, 0)
     assert not is_replayed_batch(repo, "main", sid, newest + 1)
     assert not is_replayed_batch(repo, "main", "other-stream", 0)
+
+def test_stream_into_repo_exactly_once_on_staged_crash(spark, tmp_path):
+    """The OTHER crash window: the process dies between write_table (files
+    durably staged on the branch) and commit. The committed-log guard
+    cannot see the leftover, so redelivery must drop its own stale staged
+    copy before writing — otherwise the next commit lands the batch twice
+    (ADVICE r5, streaming/ops.py:378)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,), (2,), (3,)], "id LONG").write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    import os as _os
+
+    sid = _os.path.abspath(ckpt)
+
+    # crash the first delivery AFTER staging, BEFORE commit
+    real_commit = repo.commit
+
+    def dying_commit(*a, **k):
+        raise RuntimeError("simulated crash between stage and commit")
+
+    repo.commit = dying_commit
+    stream = spark.readStream.schema("id LONG").parquet(src)
+    try:
+        stream_into_repo(stream, repo, "main", "m", checkpoint_dir=ckpt)
+    except Exception:
+        pass  # the stream dies with our injected crash
+    repo.commit = real_commit
+    # leftover staged copy exists and is tagged with this stream's id
+    assert "m" in repo.status("main")
+    tag = repo.staged_txn("main", "m")
+    assert tag is not None and tag["stream_id"] == sid
+
+    # restart: checkpoint did NOT advance (commit never ran), so Spark
+    # redelivers the same batch — it must land exactly once
+    stream2 = spark.readStream.schema("id LONG").parquet(src)
+    stream_into_repo(stream2, repo, "main", "m", checkpoint_dir=ckpt)
+    assert repo.read_table(spark, "m", "main").count() == 3
+    assert repo.status("main") == {}  # nothing left staged
+
+    # a DIFFERENT writer's staged rows are never touched by cleanup
+    spark.createDataFrame([(50,)], "id LONG").write.mode("append").parquet(src)
+    other = spark.createDataFrame([(99,)], "id LONG")
+    repo.write_table("main", "m", other, mode="append")  # untagged, user write
+    stream3 = spark.readStream.schema("id LONG").parquet(src)
+    stream_into_repo(stream3, repo, "main", "m", checkpoint_dir=ckpt)
+    got = sorted(r.id for r in repo.read_table(spark, "m", "main").collect())
+    assert got == [1, 2, 3, 50, 99]
