@@ -110,3 +110,44 @@ def weighted_sample(df: DataFrame, key_col: str, weight_pct: Column) -> DataFram
     so high-quality documents survive at a higher rate — the standard
     curriculum/quality-mixing primitive."""
     return df.where(hash_bucket(F.col(key_col)) < weight_pct)
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-flattened domain mixing at T=2 (exponent α=1/2), the
+    standard multilingual/multi-domain rebalance (mBERT/XLM-R style):
+    each domain keeps rate (n_min/n_d)^α, so the smallest domain keeps
+    everything and a domain 100× larger keeps 10% — flattening the
+    mixture toward uniform without upsampling.
+
+    α is fixed at 1/2 because ``sqrt`` is IEEE-correctly-rounded in
+    every engine (bit-identical Spark vs DuckDB), while ``pow`` with a
+    general fractional exponent is not — reproducibility of the corpus
+    beats exponent generality, and T=2 is the common published setting.
+    Steeper flattening composes by applying the op twice (α=1/4).
+
+    Scale shape: one tiny groupBy(domain) count, a 1-row min, a
+    broadcast of the per-domain thresholds back onto the corpus, then
+    the same map-only hash keep as ``weighted_sample`` — no shuffle of
+    the corpus itself and no driver collect."""
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(nmin).select(
+        "_dom",
+        F.floor(
+            F.lit(granularity)
+            * F.sqrt(F.col("_nmin").cast("double") / F.col("_n").cast("double"))
+        ).cast("long").alias("_thresh"),
+    )
+    keep = df.join(
+        F.broadcast(rates), df[domain_col] == F.col("_dom"), "inner"
+    ).drop("_dom")
+    return keep.where(
+        hash_bucket(F.col(key_col), granularity) < F.col("_thresh")
+    ).drop("_thresh")

@@ -334,6 +334,71 @@ FROM h
 """
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixing (T=2, operators/sampling.
+    temperature_resample): documents are tiered by length into a skewed
+    domain distribution, then each domain keeps rate sqrt(n_min/n_d) —
+    the smallest tier survives whole, a 4x tier keeps half. Output: per
+    domain, the total and the deterministically-kept count (pure
+    function of doc_id, partitioning-independent)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long"),
+    )
+    kept = (
+        temperature_resample(docs, "doc_id", "domain")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(kept, "domain", "left")
+        .select(
+            "domain",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
+# same length tiers, same affine hash, same floor(1e6*sqrt(nmin/n))
+# threshold — sqrt is IEEE-correctly-rounded in both engines, so the
+# kept set is bit-identical (pow with fractional exponents is not; the
+# operator pins alpha=1/2 for exactly this reason)
+ORACLE_SAMPLE_TEMPERATURE = """
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN n_chars < 200 THEN 'short'
+                WHEN n_chars < 400 THEN 'medium'
+                ELSE 'long' END AS domain
+    FROM documents
+),
+counts AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY domain),
+mn AS (SELECT MIN(n) AS nmin FROM counts),
+rates AS (
+    SELECT domain, n,
+           CAST(FLOOR(1000000 * SQRT(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
+                AS BIGINT) AS thresh
+    FROM counts, mn
+),
+kept AS (
+    SELECT dd.domain, COUNT(*) AS k
+    FROM d dd JOIN rates r USING (domain)
+    WHERE ((1103515245::BIGINT * ((doc_id % 2147483647 + 2147483647) % 2147483647)
+            + 12345) % 2147483647) % 1000000 < r.thresh
+    GROUP BY dd.domain
+)
+SELECT r.domain, r.n AS n_total, CAST(COALESCE(k.k, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k USING (domain)
+ORDER BY domain
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling — rebalance a multilingual
     corpus (keep all de, half of en, a quarter of fr, ...)."""
@@ -2416,6 +2481,7 @@ ADVANCED_QUERIES = {
     "window_frame_sum": q_window_frame_sum,
     "window_range_frame": q_window_range_frame,
     "sample_split": q_sample_split,
+    "sample_temperature": q_sample_temperature,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_weighted": q_sample_weighted,
     "sample_stratified": q_sample_stratified,
@@ -2477,6 +2543,7 @@ ADVANCED_ORACLES = {
     "window_frame_sum": ORACLE_WINDOW_FRAME_SUM,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "sample_split": ORACLE_SAMPLE_SPLIT,
+    "sample_temperature": ORACLE_SAMPLE_TEMPERATURE,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,

@@ -680,6 +680,32 @@ class LakeRepo:
             f"ALTER TABLE {table} DROP COLUMN {col}",
         )
 
+    def clone_table(self, branch: str, src: str, dst: str) -> "Commit":
+        """O(1) SHALLOW CLONE (Delta parity): ``dst`` starts as a
+        metadata pointer at ``src``'s current committed file list — zero
+        bytes copied at any table size. CHECK constraints and the
+        column-mapping object copy with it (they are part of the table's
+        logical definition). Writes to either table diverge from there
+        (immutable files = copy-on-write for free), and ``vacuum`` keeps
+        the shared files live as long as either table's history needs
+        them."""
+        import json
+
+        self._require_clean_for_alter(branch, f"CLONE {src}")
+        head = self.get_commit(self._read_ref(branch)["head"])
+        if src not in head.tables:
+            raise KeyError(f"table {src} not on {branch}")
+        if dst in head.tables:
+            raise ValueError(f"table {dst!r} already exists on {branch!r}")
+        self.stage_table_files(branch, dst, list(head.tables[src]), op="overwrite")
+        cons = self.table_constraints(src, branch, include_staged=False)
+        if cons:
+            self.put_object(branch, self._constraints_path(dst), json.dumps(cons))
+        steps = self.table_schema_map(src, ref=branch, include_staged=False)
+        if steps:
+            self.put_object(branch, self._schema_map_path(dst), json.dumps(steps))
+        return self.commit(branch, f"CLONE {src} -> {dst}")
+
     def _drop_schema_map_object(self, branch: str, table: str) -> None:
         """Remove a table's schema-evolution object if present — dropping
         or replacing a table must not leak its column mapping onto a

@@ -134,6 +134,11 @@ _DROP_CONSTRAINT_RE = re.compile(
     re.IGNORECASE,
 )
 _SQL_TYPE = r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+_CLONE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?P<dst>{_IDENT})\s+SHALLOW\s+CLONE\s+"
+    rf"(?P<src>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ADD_COLUMN_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s*"
     rf"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s*\)?\s*;?\s*$",
@@ -1056,6 +1061,15 @@ class LakeSQL:
         if m:
             c = self.repo.drop_constraint(
                 self.branch, self._resolve_table(m.group("table")), m.group("name")
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _CLONE_RE.match(query)
+        if m:
+            c = self.repo.clone_table(
+                self.branch, self._resolve_table(m.group("src")), m.group("dst").lower()
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],

@@ -667,3 +667,22 @@ def test_pagerank_ppb_directed_sinks(spark):
         if parts == 1:
             first = r
     assert first == r
+
+
+def test_temperature_resample_rates(spark):
+    """T=2 flattening: the smallest domain keeps everything, a 4x-larger
+    domain keeps ~sqrt(1/4)=50%, and the result is a pure function of
+    the key (identical across partitionings)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 8000 else "small") for i in range(10000)]
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "k LONG, dom STRING").repartition(parts)
+        out = temperature_resample(df, "k", "dom")
+        got = {r.dom: r.n for r in out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got["small"] == 2000  # nmin domain: keep-all
+        # 8000 rows at rate sqrt(2000/8000)=0.5 -> ~4000 (hash granularity noise)
+        assert abs(got["big"] - 4000) < 200
+        if parts == 1:
+            first = got
+    assert first == got

@@ -183,3 +183,45 @@ def test_alter_requires_clean_branch(spark, repo):
     )
     with pytest.raises(Exception, match="staged"):
         repo.alter_rename_column(spark, "main", "t", "v", "price")
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, repo):
+    """SHALLOW CLONE: O(1) metadata pointer at the source's files (no
+    data copied), constraints and column mapping carried, then the two
+    tables diverge copy-on-write; vacuum keeps shared files."""
+    _base(spark, repo)
+    repo.add_constraint(spark, "main", "t", "v_pos", "v > 0")
+    repo.alter_rename_column(spark, "main", "t", "name", "label")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("CREATE TABLE t2 SHALLOW CLONE t")
+    # same physical files — nothing copied
+    assert repo.current_files("main", "t2") == repo.current_files("main", "t")
+    t2 = repo.read_table(spark, "t2", "main")
+    assert t2.columns == ["k", "label", "v"]  # mapping carried
+    assert "v_pos" in repo.table_constraints("t2", "main")  # constraint carried
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        repo.write_table(
+            "main",
+            "t2",
+            spark.createDataFrame([(5, "e", -1.0)], "k LONG, label STRING, v DOUBLE"),
+            mode="append",
+        )
+    # divergence: write to clone, source unchanged
+    repo.write_table(
+        "main",
+        "t2",
+        spark.createDataFrame([(5, "e", 5.0)], "k LONG, label STRING, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "t2 grows")
+    assert repo.read_table(spark, "t2", "main").count() == 3
+    assert repo.read_table(spark, "t", "main").count() == 2
+    # vacuum must not reclaim files shared with the clone
+    repo.vacuum(keep_history=False, grace_seconds=0.0)
+    assert repo.read_table(spark, "t", "main").count() == 2
+    assert repo.read_table(spark, "t2", "main").count() == 3
+    # cloning onto an existing name is rejected
+    with pytest.raises(ValueError, match="already exists"):
+        repo.clone_table("main", "t", "t2")
