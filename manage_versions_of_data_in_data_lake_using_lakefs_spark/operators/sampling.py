@@ -145,8 +145,11 @@ def temperature_resample(
             * F.sqrt(F.col("_nmin").cast("double") / F.col("_n").cast("double"))
         ).cast("long").alias("_thresh"),
     )
+    # eqNullSafe: a NULL domain is a real (grouped) domain — a plain
+    # equi-join would silently drop its rows while its count still set
+    # n_min, collapsing every other domain's keep-rate
     keep = df.join(
-        F.broadcast(rates), df[domain_col] == F.col("_dom"), "inner"
+        F.broadcast(rates), df[domain_col].eqNullSafe(F.col("_dom")), "inner"
     ).drop("_dom")
     return keep.where(
         hash_bucket(F.col(key_col), granularity) < F.col("_thresh")

@@ -342,10 +342,30 @@ class LakeRepo:
                 if txn:
                     staged[table]["txn"] = dict(txn)
             else:
+                etxn = entry.get("txn")
+                same_writer = bool(
+                    txn and etxn and txn.get("stream_id") == etxn.get("stream_id")
+                )
+                if etxn and not same_writer:
+                    # appending onto another idempotent writer's staged
+                    # entry would strip its crash-recovery tag and turn
+                    # its exactly-once replay into silent duplication —
+                    # fail loudly instead (a tagged entry only exists
+                    # inside that writer's stage→commit window)
+                    raise ValueError(
+                        f"table {table!r} on {branch!r} has an in-flight "
+                        f"idempotent-writer staged entry ({etxn}); let the "
+                        "writer recover (or reset the branch) before "
+                        "appending"
+                    )
                 entry["files"].append(rel)
-                # a mixed entry (files from another writer) must not carry
-                # this txn's tag — cleanup would drop the other writer's rows
-                entry.pop("txn", None)
+                if same_writer:
+                    entry["txn"] = dict(txn)
+                else:
+                    # a mixed entry (files from another writer) must not
+                    # carry this txn's tag — cleanup would drop the other
+                    # writer's rows
+                    entry.pop("txn", None)
             self._write_ref(branch, ref)
         return rel
 
@@ -518,9 +538,11 @@ class LakeRepo:
         ref: str = "main",
         version_as_of: int | None = None,
         include_staged: bool = True,
-    ) -> list[dict]:
-        """The table's ordered schema-evolution steps at a ref/version
-        (empty list = physical schema is the logical schema)."""
+    ) -> dict | None:
+        """The table's schema-evolution mapping at a ref/version:
+        ``{"base": [logical column order when the first ALTER ran],
+        "steps": [ordered ALTER steps]}`` — or None when the physical
+        schema is the logical schema."""
         import json
 
         try:
@@ -531,17 +553,17 @@ class LakeRepo:
                 include_staged=include_staged,
             )
         except KeyError:
-            return []
+            return None
         return json.loads(raw)
 
     @staticmethod
-    def _consumed_names(steps: list[dict]) -> set[str]:
+    def _consumed_names(smap: dict | None) -> set[str]:
         """Physical/former column names no longer addressable after the
         steps — renamed-away sources and dropped columns. Reusing one
         would make old files' data resurface under the new meaning, so
         ALTER and write_table both reject them (Delta forbids the same)."""
         out: set[str] = set()
-        for st in steps:
+        for st in (smap or {}).get("steps", []):
             if st["op"] == "rename":
                 out.add(st["from"].lower())
             elif st["op"] == "drop":
@@ -549,15 +571,21 @@ class LakeRepo:
         return out
 
     @staticmethod
-    def apply_schema_map(df: DataFrame, steps: list[dict]) -> DataFrame:
+    def apply_schema_map(df: DataFrame, smap: dict) -> DataFrame:
         """Replay schema-evolution steps on a snapshot read. Steps are
         sequential — each operates on the logical schema produced by the
         previous one — so a rename chain a→b→c replays correctly. A
         rename where BOTH names exist (old files carry the old name,
         post-rename appends the new) merges via coalesce: ALTER validated
         at step-creation time that the target name was unused, so the two
-        physical columns are disjoint eras of the same logical column."""
-        for st in steps:
+        physical columns are disjoint eras of the same logical column.
+
+        The final select pins the LOGICAL column order (recorded base
+        order + step replay): the parquet union schema's field order
+        depends on which file's footer merges first, so without the pin
+        an era-mixed table's column order would vary run-to-run — silent
+        poison for positional consumers like INSERT INTO."""
+        for st in smap["steps"]:
             op = st["op"]
             if op == "rename":
                 a, b = st["from"], st["to"]
@@ -577,7 +605,20 @@ class LakeRepo:
                     df = df.withColumn(
                         st["name"], F.col(st["name"]).cast(st["type"])
                     )
-        return df
+        order = list(smap.get("base") or [])
+        for st in smap["steps"]:
+            if st["op"] == "rename" and st["from"] in order:
+                order[order.index(st["from"])] = st["to"]
+            elif st["op"] == "drop" and st["name"] in order:
+                order.remove(st["name"])
+            elif st["op"] == "add" and st["name"] not in order:
+                order.append(st["name"])
+        # merge-schema appends may have added columns outside the ALTER
+        # history; give them a deterministic (sorted) tail position
+        order = [c for c in order if c in df.columns] + sorted(
+            c for c in df.columns if c not in order
+        )
+        return df.select(*order)
 
     def _constraint_refs(self, table: str, branch: str, col: str) -> list[str]:
         """Names of CHECK constraints whose expression mentions ``col``
@@ -588,13 +629,29 @@ class LakeRepo:
         pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])", _re.I)
         return [n for n, e in cons.items() if pat.search(e)]
 
-    def _put_schema_step(self, branch: str, table: str, step: dict, msg: str) -> "Commit":
+    def _put_schema_step(
+        self, branch: str, table: str, base_cols: list[str], step: dict, msg: str
+    ) -> "Commit":
+        """Append one ALTER step to the mapping object and commit it.
+        ``base_cols`` (the CURRENT logical order) seeds the order pin on
+        the first ALTER. On commit failure the staged object is rolled
+        back — a lingering staged mapping would otherwise be swept into
+        the next unrelated COMMIT under a misleading message."""
         import json
 
-        steps = self.table_schema_map(table, ref=branch)
-        steps.append(step)
-        self.put_object(branch, self._schema_map_path(table), json.dumps(steps))
-        return self.commit(branch, msg)
+        spath = self._schema_map_path(table)
+        snap = self.staged_object_entry(branch, spath)
+        smap = self.table_schema_map(table, ref=branch) or {
+            "base": list(base_cols),
+            "steps": [],
+        }
+        smap["steps"].append(step)
+        self.put_object(branch, spath, json.dumps(smap))
+        try:
+            return self.commit(branch, msg)
+        except Exception:
+            self.restore_staged_object_entry(branch, spath, snap)
+            raise
 
     def alter_add_column(
         self, spark: SparkSession, branch: str, table: str, col: str, dtype: str
@@ -618,6 +675,7 @@ class LakeRepo:
         return self._put_schema_step(
             branch,
             table,
+            cur.columns,
             {"op": "add", "name": col, "type": dtype},
             f"ALTER TABLE {table} ADD COLUMN {col} {dtype}",
         )
@@ -650,6 +708,7 @@ class LakeRepo:
         return self._put_schema_step(
             branch,
             table,
+            cur.columns,
             {"op": "rename", "from": resolved[old.lower()], "to": new},
             f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}",
         )
@@ -676,6 +735,7 @@ class LakeRepo:
         return self._put_schema_step(
             branch,
             table,
+            cur.columns,
             {"op": "drop", "name": resolved[col.lower()]},
             f"ALTER TABLE {table} DROP COLUMN {col}",
         )
@@ -698,13 +758,33 @@ class LakeRepo:
         if dst in head.tables:
             raise ValueError(f"table {dst!r} already exists on {branch!r}")
         self.stage_table_files(branch, dst, list(head.tables[src]), op="overwrite")
-        cons = self.table_constraints(src, branch, include_staged=False)
-        if cons:
-            self.put_object(branch, self._constraints_path(dst), json.dumps(cons))
-        steps = self.table_schema_map(src, ref=branch, include_staged=False)
-        if steps:
-            self.put_object(branch, self._schema_map_path(dst), json.dumps(steps))
-        return self.commit(branch, f"CLONE {src} -> {dst}")
+        try:
+            cons = self.table_constraints(src, branch, include_staged=False)
+            if cons:
+                self.put_object(branch, self._constraints_path(dst), json.dumps(cons))
+            smap = self.table_schema_map(src, ref=branch, include_staged=False)
+            if smap:
+                self.put_object(branch, self._schema_map_path(dst), json.dumps(smap))
+            return self.commit(branch, f"CLONE {src} -> {dst}")
+        except Exception:
+            # roll back the staged clone so a failed CLONE can't be swept
+            # into the next unrelated COMMIT (branch was clean on entry,
+            # so removing exactly what we staged restores it)
+            self.unstage_table(branch, dst)
+            self.restore_staged_object_entry(branch, self._constraints_path(dst), None)
+            self.restore_staged_object_entry(branch, self._schema_map_path(dst), None)
+            raise
+
+    def _schema_map_of_commit(self, commit: "Commit", table: str) -> dict | None:
+        """A table's schema mapping as recorded in a specific commit's
+        object set (no branch/staged resolution — merge-side reads)."""
+        import json
+
+        blob = commit.objects.get(self._schema_map_path(table))
+        if not blob:
+            return None
+        with open(os.path.join(self.root, blob)) as f:
+            return json.loads(f.read())
 
     def _drop_schema_map_object(self, branch: str, table: str) -> None:
         """Remove a table's schema-evolution object if present — dropping
@@ -1247,6 +1327,11 @@ class LakeRepo:
             merged[t] = self._row_merge(
                 spark, t, src_c.tables[t], dst_c.tables[t],
                 base_tables.get(t), keys[t], on_conflict, dest,
+                smaps=(
+                    self._schema_map_of_commit(src_c, t),
+                    self._schema_map_of_commit(dst_c, t),
+                    self._schema_map_of_commit(base_c, t) if base_c else None,
+                ),
             )
             row_merges.append(t)
         # CHECK constraints: a merge adopting source-side files must not
@@ -1268,7 +1353,19 @@ class LakeRepo:
                 cons = _json.loads(f.read())
             if not cons:
                 continue
-            adopted = self._read_files(spark, files)
+            # a column-mapped table's constraints bind LOGICAL names: a
+            # raw physical read would make _check_rows skip them as
+            # unresolvable (NULL-passes semantics) and merge violating
+            # rows in — replay the MERGED mapping before checking
+            smap_blob = merged_objects.get(self._schema_map_path(t))
+            if smap_blob is not None:
+                with open(os.path.join(self.root, smap_blob)) as f:
+                    smap = _json.loads(f.read())
+                adopted = self.apply_schema_map(
+                    self._read_files(spark, files, merge_schema=True), smap
+                )
+            else:
+                adopted = self._read_files(spark, files)
             self._check_rows(
                 adopted, cons, f"merge {source}→{dest} would commit rows of {t!r}"
             )
@@ -1302,6 +1399,7 @@ class LakeRepo:
         pk: list[str],
         on_conflict: str,
         dest_branch: str,
+        smaps: tuple = (None, None, None),
     ) -> list[str]:
         """Row-level three-way merge, fully distributed.
 
@@ -1311,10 +1409,21 @@ class LakeRepo:
           both changed identically    → either
           both changed differently    → on_conflict policy
         Inserts/deletes fall out of the same comparison with null-extension.
+
+        ``smaps`` carries each side's schema mapping (src, dst, base):
+        a column-mapped side must be compared by its LOGICAL schema —
+        raw physical reads of era-mixed files would fingerprint
+        misaligned columns.
         """
-        src = self._read_files(spark, src_files)
-        dst = self._read_files(spark, dst_files)
-        base = self._read_files(spark, base_files) if base_files else None
+        smap_s, smap_d, smap_b = smaps
+
+        def _load(files, smap):
+            df = self._read_files(spark, files, merge_schema=bool(smap))
+            return self.apply_schema_map(df, smap) if smap else df
+
+        src = _load(src_files, smap_s)
+        dst = _load(dst_files, smap_d)
+        base = _load(base_files, smap_b) if base_files else None
         cols = src.columns
         if set(cols) != set(dst.columns):
             raise MergeConflict(f"schema mismatch on {table}", [table])

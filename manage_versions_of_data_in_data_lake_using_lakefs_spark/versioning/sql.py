@@ -787,34 +787,30 @@ class LakeSQL:
         name = self._resolve_table(table) if table.lower() in existing else table.lower()
         df = self.sql(select)
         rows = df.count()
+        # snapshot staged state up front (cheap ref reads) so ANY failed
+        # CTAS rolls back to exactly what it found — for REPLACE that
+        # covers the constraint/mapping deletions, which must be staged
+        # BEFORE the write (so the new data isn't validated against the
+        # old table's constraints) but must not linger to be swept into
+        # the next unrelated COMMIT if the write or commit fails
+        cpath = self.repo._constraints_path(name)
+        spath = self.repo._schema_map_path(name)
+        obj_snap = self.repo.staged_object_entry(self.branch, cpath)
+        smap_snap = self.repo.staged_object_entry(self.branch, spath)
+        tbl_snap = self.repo.staged_entry(self.branch, name)
         if replace and table.lower() in existing:
             # REPLACE defines a NEW table: the old one's CHECK constraints
-            # must not leak onto it (Delta REPLACE TABLE semantics). The
-            # deletion must be staged BEFORE the write so the write isn't
-            # validated against the old table's constraints — but if the
-            # write or commit then fails, the staged deletion must not
-            # linger to be swept into the next unrelated COMMIT, silently
-            # dropping the surviving table's constraints. Snapshot+restore.
-            cpath = self.repo._constraints_path(name)
-            spath = self.repo._schema_map_path(name)
-            obj_snap = self.repo.staged_object_entry(self.branch, cpath)
-            smap_snap = self.repo.staged_object_entry(self.branch, spath)
-            tbl_snap = self.repo.staged_entry(self.branch, name)
+            # and column mapping must not leak onto it (Delta semantics)
             self.repo._drop_constraints_object(self.branch, name)
             self.repo._drop_schema_map_object(self.branch, name)
-            try:
-                self.repo.write_table(self.branch, name, df, mode="overwrite")
-                c = self.repo.commit(
-                    self.branch, f"SQL: CREATE TABLE {name} AS SELECT"
-                )
-            except Exception:
-                self.repo.restore_staged_object_entry(self.branch, cpath, obj_snap)
-                self.repo.restore_staged_object_entry(self.branch, spath, smap_snap)
-                self.repo.restore_staged_entry(self.branch, name, tbl_snap)
-                raise
-            return self._dml_result(name, c.version, rows)
-        self.repo.write_table(self.branch, name, df, mode="overwrite")
-        c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
+        try:
+            self.repo.write_table(self.branch, name, df, mode="overwrite")
+            c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
+        except Exception:
+            self.repo.restore_staged_object_entry(self.branch, cpath, obj_snap)
+            self.repo.restore_staged_object_entry(self.branch, spath, smap_snap)
+            self.repo.restore_staged_entry(self.branch, name, tbl_snap)
+            raise
         return self._dml_result(name, c.version, rows)
 
     def _insert(self, table: str, body: str) -> DataFrame:

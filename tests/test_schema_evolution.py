@@ -225,3 +225,91 @@ def test_shallow_clone_zero_copy_and_divergence(spark, repo):
     # cloning onto an existing name is rejected
     with pytest.raises(ValueError, match="already exists"):
         repo.clone_table("main", "t", "t2")
+
+
+def test_merge_enforces_constraints_on_column_mapped_table(spark, repo):
+    """Review fix: merge adopting files into a branch whose table is
+    column-mapped must bind CHECK constraints by LOGICAL names — a raw
+    physical read would skip them as unresolvable and merge violating
+    rows in permanently."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    _base(spark, repo)
+    repo.create_branch("dev", "main")
+    lsql_dev = LakeSQL(spark, repo, "dev")
+    lsql_dev.sql("ALTER TABLE t RENAME COLUMN v TO price")
+    lsql_dev.sql("ALTER TABLE t ADD CONSTRAINT price_pos CHECK (price > 0)")
+    # main (no mapping there) appends a row whose logical price is -5
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(7, "bad", -5.0)], "k LONG, name STRING, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "negative v on main")
+    with pytest.raises(ConstraintViolation):
+        repo.merge(spark, "main", "dev")
+    # dev still clean: constraint holds over its current state
+    assert repo.read_table(spark, "t", "dev").filter("price <= 0").count() == 0
+
+
+def test_era_mixed_column_order_is_pinned(spark, repo):
+    """Review fix: after renaming the FIRST column and appending a
+    new-era file, the logical column order must be the recorded base
+    order with the rename applied in place — not whatever order the
+    parquet union schema happens to produce — so positional INSERT
+    stays correct."""
+    _base(spark, repo)
+    repo.alter_rename_column(spark, "main", "t", "k", "key")
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(3, "c", 30.0)], "key LONG, name STRING, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "new era")
+    t = repo.read_table(spark, "t", "main")
+    assert t.columns == ["key", "name", "v"]
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("INSERT INTO t VALUES (9, 'z', 90.0)")
+    got = {r.key: (r.name, r.v) for r in repo.read_table(spark, "t", "main").collect()}
+    assert got[9] == ("z", 90.0)  # positional alignment landed correctly
+
+
+def test_alter_commit_failure_rolls_back_staged_mapping(spark, repo):
+    """Review fix: if the ALTER's commit fails (e.g. CAS conflict), the
+    staged mapping object must not linger to be swept into the next
+    unrelated COMMIT under a misleading message."""
+    _base(spark, repo)
+    real_commit = repo.commit
+
+    def dying_commit(*a, **k):
+        raise RuntimeError("simulated commit failure")
+
+    repo.commit = dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            repo.alter_rename_column(spark, "main", "t", "v", "price")
+    finally:
+        repo.commit = real_commit
+    assert repo.status("main") == {}  # nothing staged lingers
+    repo.write_table("main", "u", spark.range(2).selectExpr("id AS x"))
+    repo.commit("main", "unrelated")
+    assert "v" in repo.read_table(spark, "t", "main").columns  # no stealth rename
+
+
+def test_clone_commit_failure_rolls_back(spark, repo):
+    _base(spark, repo)
+    real_commit = repo.commit
+
+    def dying_commit(*a, **k):
+        raise RuntimeError("simulated commit failure")
+
+    repo.commit = dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            repo.clone_table("main", "t", "t2")
+    finally:
+        repo.commit = real_commit
+    assert repo.status("main") == {}
+    assert "t2" not in repo.list_tables("main")

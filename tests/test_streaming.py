@@ -462,3 +462,19 @@ def test_stream_into_repo_exactly_once_on_staged_crash(spark, tmp_path):
     stream_into_repo(stream3, repo, "main", "m", checkpoint_dir=ckpt)
     got = sorted(r.id for r in repo.read_table(spark, "m", "main").collect())
     assert got == [1, 2, 3, 50, 99]
+
+
+def test_append_onto_inflight_stream_staged_entry_raises(spark, tmp_path):
+    """Review fix: a plain append onto a crashed stream's TAGGED staged
+    entry would strip the crash-recovery tag and turn exactly-once
+    replay into silent duplication — it must fail loudly instead."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1,)], "id LONG")
+    repo.write_table("main", "m", df, mode="append", txn={"stream_id": "s1", "stream_batch_id": 0})
+    with pytest.raises(ValueError, match="in-flight idempotent-writer"):
+        repo.write_table("main", "m", df, mode="append")
+    # the same writer may keep appending (tag retained)
+    repo.write_table("main", "m", df, mode="append", txn={"stream_id": "s1", "stream_batch_id": 0})
+    assert repo.staged_txn("main", "m")["stream_id"] == "s1"
