@@ -103,6 +103,8 @@ def main() -> None:
         "dedup_incremental",
         "text_bigram_lm",
         "dedup_substring",
+        "sample_temperature",
+        "versioned_schema_evolution",
     ):
         if extra in registry:
             names.append(extra)

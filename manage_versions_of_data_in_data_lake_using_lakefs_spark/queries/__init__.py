@@ -109,7 +109,11 @@ WINDOW_ORDER: list[str] = [
     # nothing else in the window exercises)
     "tpch_q1",
     "tpch_q3",
-    "tpch_q10",
+    # (tpch_q10 — 4-table join + agg + sort, shapes covered by tpch_q3's
+    # join/agg/sort and tpch_q13's outer-join aggregate — rotated to the
+    # tail in r6 to free a slot for the metadata-only schema-evolution
+    # proof, a column-mapping + time-travel shape nothing else in the
+    # window exercises)
     "tpch_q13",
     "tpch_q21",             # waiting-suppliers: EXISTS/NOT-EXISTS pair as
                             # ONE per-order agg, oracle runs the literal
@@ -139,6 +143,9 @@ WINDOW_ORDER: list[str] = [
     "versioned_delete_prune",  # file-skipping DML: pruned DELETE ≡ plain
                                # filter + CoW file reuse pinned (r5)
     "graph_pagerank",       # integer-ppb Pregel passes, CTE oracle (r5)
+    "versioned_schema_evolution",  # metadata-only ALTER COLUMN: rename-era
+                                   # merge + add-null + drop + time-travel
+                                   # schema, zero-rewrite pinned (r6)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
