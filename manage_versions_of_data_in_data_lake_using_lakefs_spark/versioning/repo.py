@@ -280,8 +280,8 @@ class LakeRepo:
         it, so cleanup can never discard another writer's staged rows."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
-        consumed = self._consumed_names(self.table_schema_map(table, ref=branch))
-        hit = [c for c in df.columns if c.lower() in consumed]
+        smap = self.table_schema_map(table, ref=branch)
+        hit = [c for c in df.columns if c.lower() in self._consumed_names(smap)]
         if hit:
             raise ValueError(
                 f"write to {table!r} uses column name(s) {hit} that were "
@@ -289,6 +289,13 @@ class LakeRepo:
                 "resurface old file data under a new meaning — use the "
                 "current logical names"
             )
+        gen_hit = [c for c in df.columns if c.lower() in self._generated_names(smap)]
+        if gen_hit:
+            # GENERATED columns are never stored: every read recomputes
+            # them from their expression, so persisting a copy could only
+            # go stale. Stripping here (rather than rejecting) keeps every
+            # rewrite path — DML, OPTIMIZE, merge — oblivious to them.
+            df = df.drop(*gen_hit)
         if mode == "append":
             # schema evolution policy (Delta-like): appends may ADD columns
             # (old rows read back null under merge_schema=True) but may not
@@ -571,6 +578,20 @@ class LakeRepo:
         return out
 
     @staticmethod
+    def _generated_names(smap: dict | None) -> set[str]:
+        """Live GENERATED column names: always recomputed on read, so a
+        write providing them would be silently ignored — rejected
+        loudly instead (Delta validates provided values; recompute-only
+        is the honest subset of that contract)."""
+        out: set[str] = set()
+        for st in (smap or {}).get("steps", []):
+            if st["op"] == "add_gen":
+                out.add(st["name"].lower())
+            elif st["op"] == "drop" and st["name"].lower() in out:
+                out.discard(st["name"].lower())
+        return out
+
+    @staticmethod
     def apply_schema_map(df: DataFrame, smap: dict) -> DataFrame:
         """Replay schema-evolution steps on a snapshot read. Steps are
         sequential — each operates on the logical schema produced by the
@@ -605,13 +626,20 @@ class LakeRepo:
                     df = df.withColumn(
                         st["name"], F.col(st["name"]).cast(st["type"])
                     )
+            elif op == "add_gen":
+                # GENERATED ALWAYS AS: recomputed on every read from the
+                # logical columns at this point in the step chain — never
+                # stored, so it costs zero bytes and can't go stale
+                df = df.withColumn(
+                    st["name"], F.expr(st["expr"]).cast(st["type"])
+                )
         order = list(smap.get("base") or [])
         for st in smap["steps"]:
             if st["op"] == "rename" and st["from"] in order:
                 order[order.index(st["from"])] = st["to"]
             elif st["op"] == "drop" and st["name"] in order:
                 order.remove(st["name"])
-            elif st["op"] == "add" and st["name"] not in order:
+            elif st["op"] in ("add", "add_gen") and st["name"] not in order:
                 order.append(st["name"])
         # merge-schema appends may have added columns outside the ALTER
         # history; give them a deterministic (sorted) tail position
@@ -680,6 +708,64 @@ class LakeRepo:
             f"ALTER TABLE {table} ADD COLUMN {col} {dtype}",
         )
 
+    @staticmethod
+    def _gen_refs(smap: dict | None, col: str) -> list[str]:
+        """Names of GENERATED columns whose expression mentions ``col``
+        (word-boundary match) — renaming/dropping the referenced column
+        would silently break the stored expression."""
+        import re as _re
+
+        pat = _re.compile(
+            rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])", _re.I
+        )
+        live: dict[str, str] = {}  # only gen columns not later dropped bind
+        for st in (smap or {}).get("steps", []):
+            if st["op"] == "add_gen":
+                live[st["name"].lower()] = st["name"]
+            elif st["op"] == "drop":
+                live.pop(st["name"].lower(), None)
+        return [
+            name
+            for st in (smap or {}).get("steps", [])
+            if st["op"] == "add_gen"
+            and (name := live.get(st["name"].lower()))
+            and pat.search(st["expr"])
+        ]
+
+    def alter_add_generated_column(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        col: str,
+        dtype: str,
+        expr: str,
+    ) -> "Commit":
+        """ALTER TABLE ADD COLUMN col TYPE GENERATED ALWAYS AS (expr) —
+        metadata-only; the column is recomputed from the logical schema
+        on every read (never stored), so it exists retroactively for all
+        versions at and after this ALTER and costs zero bytes."""
+        self._require_clean_for_alter(branch, f"ADD GENERATED COLUMN {col}")
+        cur = self.read_table(spark, table, ref=branch)
+        smap = self.table_schema_map(table, ref=branch)
+        if col.lower() in {c.lower() for c in cur.columns}:
+            raise ValueError(f"column {col!r} already exists on {table!r}")
+        if col.lower() in self._consumed_names(smap):
+            raise ValueError(
+                f"column name {col!r} was previously renamed away or "
+                f"dropped on {table!r}; reuse is forbidden"
+            )
+        # eager validation: the expression must resolve against the
+        # CURRENT logical schema and cast to the declared type
+        cur.limit(0).select(F.expr(expr).cast(dtype))
+        return self._put_schema_step(
+            branch,
+            table,
+            cur.columns,
+            {"op": "add_gen", "name": col, "type": dtype, "expr": expr},
+            f"ALTER TABLE {table} ADD COLUMN {col} {dtype} GENERATED ALWAYS AS ({expr})",
+        )
+
     def alter_rename_column(
         self, spark: SparkSession, branch: str, table: str, old: str, new: str
     ) -> "Commit":
@@ -704,6 +790,12 @@ class LakeRepo:
             raise ValueError(
                 f"cannot rename {old!r}: referenced by CHECK constraint(s) "
                 f"{refs}; drop them first"
+            )
+        grefs = self._gen_refs(steps, resolved[old.lower()])
+        if grefs:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by GENERATED column(s) "
+                f"{grefs}; drop them first"
             )
         return self._put_schema_step(
             branch,
@@ -731,6 +823,16 @@ class LakeRepo:
             raise ValueError(
                 f"cannot drop {col!r}: referenced by CHECK constraint(s) "
                 f"{refs}; drop them first"
+            )
+        smap = self.table_schema_map(table, ref=branch)
+        grefs = [
+            g for g in self._gen_refs(smap, resolved[col.lower()])
+            if g.lower() != col.lower()  # a gen column may drop itself
+        ]
+        if grefs:
+            raise ValueError(
+                f"cannot drop {col!r}: referenced by GENERATED column(s) "
+                f"{grefs}; drop them first"
             )
         return self._put_schema_step(
             branch,

@@ -144,6 +144,12 @@ _ADD_COLUMN_RE = re.compile(
     rf"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_ADD_GEN_COLUMN_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s*"
+    rf"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s+"
+    r"GENERATED\s+ALWAYS\s+AS\s*\(\s*(?P<expr>.+?)\s*\)\s*\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RENAME_COLUMN_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+RENAME\s+COLUMN\s+"
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
@@ -823,11 +829,17 @@ class LakeSQL:
             src = self.spark.sql(f"SELECT * FROM {body}")
         else:
             src = self.sql(body)
-        fields = target.schema.fields
+        # GENERATED columns are recomputed on read, never provided:
+        # positional alignment targets only the stored columns
+        gen = self.repo._generated_names(
+            self.repo.table_schema_map(name, ref=self.branch)
+        )
+        fields = [f for f in target.schema.fields if f.name.lower() not in gen]
         if len(src.columns) != len(fields):
             raise ValueError(
                 f"INSERT column count {len(src.columns)} != target arity "
                 f"{len(fields)} for {name!r}"
+                + (f" (GENERATED {sorted(gen)} are computed, not inserted)" if gen else "")
             )
         aligned = src.select(
             *[
@@ -954,6 +966,13 @@ class LakeSQL:
             resolved = {f.name.lower(): f.name for f in target.schema.fields}
             if col.lower() not in resolved:
                 raise KeyError(f"UPDATE {name!r}: no column {col!r}")
+            if col.lower() in self.repo._generated_names(
+                self.repo.table_schema_map(name, ref=self.branch)
+            ):
+                raise ValueError(
+                    f"UPDATE {name!r}: column {col!r} is GENERATED and "
+                    "recomputed on read; update its source columns instead"
+                )
             assigns[resolved[col.lower()]] = m.group("expr").strip()
         guard = f"({cond}) IS TRUE" if cond else "TRUE"
         proj = []
@@ -1066,6 +1085,20 @@ class LakeSQL:
         if m:
             c = self.repo.clone_table(
                 self.branch, self._resolve_table(m.group("src")), m.group("dst").lower()
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _ADD_GEN_COLUMN_RE.match(query)
+        if m:
+            c = self.repo.alter_add_generated_column(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("col"),
+                m.group("type"),
+                m.group("expr"),
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],

@@ -313,3 +313,69 @@ def test_clone_commit_failure_rolls_back(spark, repo):
         repo.commit = real_commit
     assert repo.status("main") == {}
     assert "t2" not in repo.list_tables("main")
+
+
+def test_generated_column_recomputed_on_read(spark, repo):
+    """GENERATED ALWAYS AS: metadata-only, recomputed from the logical
+    schema on every read — never stored, retroactive for old files, and
+    DML keeps it consistent by construction."""
+    _base(spark, repo)
+    before = repo.current_files("main", "t")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("ALTER TABLE t ADD COLUMN v2 DOUBLE GENERATED ALWAYS AS (v * 2)")
+    assert repo.current_files("main", "t") == before  # zero files rewritten
+    t = repo.read_table(spark, "t", "main")
+    assert t.columns == ["k", "name", "v", "v2"]
+    assert {(r.v, r.v2) for r in t.collect()} == {(10.0, 20.0), (20.0, 40.0)}
+    # appends don't provide it; a provided copy is stripped, not stored
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(3, "c", 30.0)], "k LONG, name STRING, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "append")
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame(
+            [(4, "d", 40.0, 999.0)], "k LONG, name STRING, v DOUBLE, v2 DOUBLE"
+        ),
+        mode="append",
+    )
+    repo.commit("main", "append with bogus v2")
+    got = {r.k: r.v2 for r in repo.read_table(spark, "t", "main").collect()}
+    assert got == {1: 20.0, 2: 40.0, 3: 60.0, 4: 80.0}  # 999 discarded
+    # INSERT aligns against stored columns only
+    lsql.sql("INSERT INTO t VALUES (5, 'e', 50.0)")
+    assert repo.read_table(spark, "t", "main").filter("v2 = 100.0").count() == 1
+    # UPDATE of the source column flows through; SET on the gen col errors
+    lsql.sql("UPDATE t SET v = 100.0 WHERE k = 1")
+    assert repo.read_table(spark, "t", "main").filter("k = 1").collect()[0].v2 == 200.0
+    with pytest.raises(ValueError, match="GENERATED"):
+        lsql.sql("UPDATE t SET v2 = 1.0 WHERE k = 1")
+    # time travel: versions before the ALTER don't have the column
+    hist = repo.log("main", limit=None)
+    first = hist[-1].version + 1  # version of the 'base' commit
+    old = repo.read_table(spark, "t", "main", version_as_of=first)
+    assert "v2" not in old.columns
+
+
+def test_generated_column_guards(spark, repo):
+    _base(spark, repo)
+    # bad expression rejected eagerly, nothing staged/committed
+    with pytest.raises(Exception):
+        repo.alter_add_generated_column(
+            spark, "main", "t", "bad", "DOUBLE", "no_such_col + 1"
+        )
+    assert repo.status("main") == {}
+    repo.alter_add_generated_column(spark, "main", "t", "v2", "DOUBLE", "v * 2")
+    # the referenced source can be neither renamed nor dropped
+    with pytest.raises(ValueError, match="GENERATED"):
+        repo.alter_rename_column(spark, "main", "t", "v", "price")
+    with pytest.raises(ValueError, match="GENERATED"):
+        repo.alter_drop_column(spark, "main", "t", "v")
+    # the generated column itself can be dropped; then the source moves
+    repo.alter_drop_column(spark, "main", "t", "v2")
+    repo.alter_rename_column(spark, "main", "t", "v", "price")
+    assert repo.read_table(spark, "t", "main").columns == ["k", "name", "price"]
