@@ -105,6 +105,8 @@ def main() -> None:
         "dedup_substring",
         "sample_temperature",
         "versioned_schema_evolution",
+        "sim_topk_pq",
+        "sim_topk_pq_refined",
     ):
         if extra in registry:
             names.append(extra)

@@ -1,0 +1,326 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The standard billion-scale ANN memory trick (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+d-dim vector into ``m`` subvectors, k-means each subspace independently,
+and store per vector only the ``m`` nearest-codeword ids — m bytes
+instead of 4·d, a 32× compression at d=64/m=8 — plus the exact norm for
+cosine ranking. Search never decompresses the corpus: a query's
+distance to every compressed vector is a sum of ``m`` table lookups
+(ADC — asymmetric distance computation).
+
+Engine fit (same rules as operators/clustering.py):
+- all arithmetic is exact int64 over the quantized (×1e6) vectors:
+  codebook training uses integer-L2 assignment (argmin c·c − 2x·c — no
+  division, no sqrt, no NaN edge), partial sums are associative int64,
+  centroid update is floor division — bit-identical at any
+  partitioning, replayable as DuckDB SQL CTEs (queries/kmeans_sql.py
+  ``kml2_*``);
+- training scans the corpus once per iteration for ALL m subspaces
+  (one mapInPandas emitting (subspace, cell) partials — not m separate
+  passes); only k·m codeword rows ever reach the driver;
+- encoding and ADC scoring are map-side Arrow batches with the
+  codebooks/LUTs riding the task closure (k·m·(d/m) ints — metadata);
+  ADC emits per-batch local top-k per query, so the global top-k
+  shuffle moves #partitions × k × |queries| rows, never the corpus.
+
+Ranking: approx_cos = ADC-dot / (|q| · sqrt(n_x)) with n_x the TRUE
+stored norm — int→double conversions are exact below 2^53 and
+sqrt/division are IEEE-correctly-rounded, so ranks are engine- and
+layout-independent. Ties break on the lower neighbor id.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import _persisted, with_quantized
+
+
+def _make_assign_l2():
+    """Factory (by-value cloudpickle shipping, see similarity._make_dot_q_batch)."""
+
+    def _assign_l2(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+        """Nearest codeword by exact integer L2: argmin ||x−c||² =
+        argmin (c·c − 2 x·c). Ties → lowest code (np.argmin first-index
+        rule ↔ SQL ORDER BY dist ASC, cell ASC)."""
+        d = np.einsum("ij,ij->i", C, C)[None, :] - 2 * (M @ C.T)
+        return np.argmin(d, axis=1)
+
+    return _assign_l2
+
+
+_assign_l2 = _make_assign_l2()
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[list[int]]]:
+    """Train ``m`` per-subspace codebooks of ``k`` codewords each →
+    ``codebooks[j][c]`` = list of d/m ints (driver-side metadata,
+    k·m·(d/m) = k·d ints total — the thing every later stage broadcasts).
+
+    Init mirrors the IVF trainer's total rule: the k smallest ids by
+    (portable_hash(id), id) seed EVERY subspace (their slices), so the
+    SQL oracle replays init with one shared ORDER BY."""
+    from pyspark import StorageLevel
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import _merge_partials
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+    q = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q").alias("q")
+    )
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = (
+            q.orderBy(portable_hash(F.col("id").cast("string")), "id")
+            .limit(k)
+            .collect()
+        )
+        if not init:
+            raise ValueError("pq_train: empty input")
+        k = len(init)  # min(k, n) without a separate count job
+        dims = len(init[0].q)
+        if dims % m != 0:
+            raise ValueError(f"pq_train: m={m} must divide dims={dims}")
+        sub = dims // m
+        # C[j]: k × sub int64 codebook for subspace j
+        C = [
+            np.array([r.q[j * sub : (j + 1) * sub] for r in init], dtype=np.int64)
+            for j in range(m)
+        ]
+        small_merge = q.rdd.getNumPartitions() * k * m <= 65536
+
+        for _ in range(iters):
+            C_b = [c.copy() for c in C]
+
+            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                acc_sum: dict[tuple[int, int], np.ndarray] = {}
+                acc_cnt: dict[tuple[int, int], int] = {}
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    M = np.array(pdf["q"].to_list(), dtype=np.int64)
+                    for j in range(len(C_b)):
+                        Mj = M[:, j * sub : (j + 1) * sub]
+                        cells = _assign_l2(Mj, C_b[j])
+                        for c in np.unique(cells):
+                            sel = Mj[cells == c]
+                            key = (j, int(c))
+                            acc_sum[key] = acc_sum.get(
+                                key, np.zeros(sub, np.int64)
+                            ) + sel.sum(axis=0)
+                            acc_cnt[key] = acc_cnt.get(key, 0) + len(sel)
+                if acc_sum:
+                    yield pd.DataFrame(
+                        {
+                            "j": [j for j, _ in acc_sum],
+                            "cell": [c for _, c in acc_sum],
+                            "vsum": [s.tolist() for s in acc_sum.values()],
+                            "cnt": [acc_cnt[key] for key in acc_sum],
+                        }
+                    )
+
+            part = q.mapInPandas(
+                partials, "j INT, cell INT, vsum ARRAY<LONG>, cnt LONG"
+            )
+            C_new = [c.copy() for c in C]
+            for (j, c), (vsum, cnt) in _merge_partials(
+                part, ["j", "cell"], small_merge
+            ).items():
+                C_new[j][c] = np.array(vsum, dtype=np.int64) // cnt
+            C = C_new
+        return [[[int(x) for x in row] for row in cb] for cb in C]
+    finally:
+        q.unpersist(blocking=False)
+
+
+def _make_encode_batches(codebooks: list[list[list[int]]]):
+    assign = _make_assign_l2()  # <locals> fn → ships by value with the closure
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = [np.array(cb, dtype=np.int64) for cb in codebooks]
+        sub = C[0].shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf["q"].to_list(), dtype=np.int64)
+            codes = np.stack(
+                [
+                    assign(M[:, j * sub : (j + 1) * sub], C[j])
+                    for j in range(len(C))
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "codes": [row.astype(int).tolist() for row in codes],
+                    "n": pdf["n"].to_numpy(),
+                }
+            )
+
+    return _encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Compress the corpus → (id, codes array<int> of length m, n) where
+    ``n`` is the exact quantized norm² (kept for cosine ranking). One
+    map pass, codebooks ride the closure."""
+    q = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
+    )
+    return q.mapInPandas(
+        _make_encode_batches(codebooks), "id LONG, codes ARRAY<INT>, n LONG"
+    )
+
+
+def _make_adc_batches(codebooks: list[list[list[int]]], qrows: list, topk: int):
+    def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = [np.array(cb, dtype=np.int64) for cb in codebooks]
+        m, sub = len(C), C[0].shape[1]
+        # LUT[qi][j][c] = dot(query_sub_j, codeword) — exact int64
+        luts, qmeta = [], []
+        for qid, qvec, qn in qrows:
+            qv = np.array(qvec, dtype=np.int64)
+            luts.append(
+                np.stack(
+                    [C[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)]
+                )
+            )
+            qmeta.append((qid, float(np.sqrt(qn))))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf["codes"].to_list(), dtype=np.int64)  # B × m
+            ids = pdf["id"].to_numpy()
+            nx = np.sqrt(pdf["n"].to_numpy().astype(np.float64))
+            out_q, out_nbr, out_adc, out_cos = [], [], [], []
+            cols = np.arange(m)
+            for (qid, qnorm), lut in zip(qmeta, luts):
+                adc = lut[cols, codes].sum(axis=1)  # B exact int64
+                cos = adc / (qnorm * nx)
+                keep = ids != qid
+                a, i, c = adc[keep], ids[keep], cos[keep]
+                # local top-k per query: global top-k of the union of
+                # local top-ks is the global top-k, so correctness is
+                # layout-independent; ties → lower nbr id
+                order = np.lexsort((i, -c))[:topk]
+                out_q.extend([qid] * len(order))
+                out_nbr.extend(i[order])
+                out_adc.extend(a[order])
+                out_cos.extend(c[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "nbr": out_nbr,
+                        "adc": out_adc,
+                        "approx_cos": out_cos,
+                    }
+                )
+
+    return _adc
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the PQ-compressed corpus → (query_id, rank, nbr,
+    adc). The query side collects to the driver and rides the task
+    closure as integer LUTs (the brute-force op makes the same
+    small-query-side assumption); the corpus is scanned once, never
+    decompressed, never shuffled — only per-partition local top-k rows
+    move."""
+    from pyspark.sql import Window
+
+    qrows = [
+        (r.id, r.q, r.n)
+        for r in with_quantized(queries, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n"))
+        .collect()
+    ]
+    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+    local = _persisted(
+        enc.mapInPandas(
+            _make_adc_batches(codebooks, qrows, k),
+            "query_id LONG, nbr LONG, adc LONG, approx_cos DOUBLE",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("nbr").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "nbr", "adc")
+    )
+
+
+def pq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ search, the production pattern (FAISS IndexIVFPQ +
+    refine): ADC over the compressed corpus produces a ``shortlist`` of
+    candidates per query, then ONLY those rows are re-read at full
+    precision for an exact cosine re-rank → (query_id, rank, nbr, dot).
+
+    Scale shape: stage 1 scans m-byte codes (32x less IO than raw
+    vectors, no shuffle); stage 2 touches shortlist × |queries| raw
+    rows via an equi-join on the candidate ids — at 1e9 vectors and a
+    50-candidate shortlist that's 50 rows of exact math per query
+    instead of 1e9. Recall is the shortlist's (measured 0.85 @100 /
+    0.675 @50 for top-5 on the embeddings fixture, SCALING.md) while
+    the final ordering is exact over what survives."""
+    from pyspark.sql import Window
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_q, dot_q
+
+    short = pq_topk_adc(
+        corpus, queries, codebooks, k=shortlist, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "nbr")
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("nbr"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+    )
+    qs = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_q").alias("qq"), F.col("_n").alias("nq")
+    )
+    exact = (
+        short.join(c, "nbr")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("dot", dot_q(F.col("qc"), F.col("qq")))
+        .withColumn("cos", cosine_q(F.col("dot"), F.col("nc"), F.col("nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "nbr", "dot")
+    )

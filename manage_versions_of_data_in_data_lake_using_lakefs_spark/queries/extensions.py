@@ -904,7 +904,127 @@ FROM emailless
 """
 
 
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train m=4 per-subspace
+    integer-L2 codebooks (k=8, 2 Lloyd's iterations), compress every
+    vector to 4 codes + its exact norm (32x), then ADC top-5 for the
+    first 4 queries — the corpus is scored by LUT sums without ever
+    being decompressed. The oracle replays all four subspace trainings
+    as CTE chains and scores via the PQ-reconstructed vectors (a
+    concatenated-codeword dot product ≡ the ADC LUT sum)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import pq_topk_adc, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    cbs = pq_train(emb, m=4, k=8, iters=2)
+    return pq_topk_adc(emb, queries, cbs, k=5).orderBy("query_id", "rank")
+
+
+def q_sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search (operators/pq.pq_topk_refined): ADC shortlist
+    of 50 over the compressed corpus, exact cosine re-rank of only the
+    shortlisted rows — the FAISS refine pattern. Recall becomes the
+    shortlist's (0.675 @50 on this fixture) while the final order is
+    exact; at 1e9 vectors the exact stage touches 50 rows per query."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import pq_topk_refined, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    cbs = pq_train(emb, m=4, k=8, iters=2)
+    return pq_topk_refined(emb, queries, cbs, k=5, shortlist=50).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _oracle_sim_topk_pq(m: int = 4, iters: int = 2, refine: int | None = None) -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
+        CENT_SAMPLE_SQL,
+        kml2_train_ctes,
+    )
+
+    sub = "(len(q) // 4)"  # subspace width derived from the data
+    parts, recon_cols, joins = [], [], []
+    for j in range(m):
+        lo, hi = f"({j} * {sub} + 1)", f"(({j} + 1) * {sub})"
+        parts.append(f"sub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM qn)")
+        parts.append(f"init{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM seeds)")
+        ctes, final_c, final_a = kml2_train_ctes(iters, f"sub{j}", f"init{j}", f"_{j}")
+        parts.append(ctes)
+        parts.append(
+            f"rec{j} AS (SELECT a.id, c.qc FROM (SELECT id, cell FROM {final_a} "
+            f"WHERE rc = 1) a JOIN {final_c} c USING (cell))"
+        )
+        recon_cols.append(f"r{j}.qc")
+        joins.append(f"rec{j} r{j}")
+    recon_join = joins[0] + "".join(f" JOIN {t} USING (id)" for t in joins[1:])
+    parts_sql = ",\n".join(parts)
+    recon_cols_sql = " || ".join(recon_cols)
+    tail = _PQ_REFINE_TAIL_TPL.format(n=refine) if refine else _PQ_ADC_TAIL
+    return f"""
+WITH qv0 AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qv0),
+seeds AS (SELECT id, q FROM qn ORDER BY {CENT_SAMPLE_SQL}, id LIMIT 8),
+{parts_sql},
+recon AS (SELECT r0.id, {recon_cols_sql} AS rq FROM {recon_join}),
+scored AS (
+    SELECT qv.id AS query_id, x.id AS nbr,
+           CAST(list_dot_product(qv.q, r.rq) AS BIGINT) AS adc,
+           qv.n AS nq, x.n AS nx
+    FROM (SELECT * FROM qn WHERE id < 4) qv
+    CROSS JOIN qn x JOIN recon r ON r.id = x.id
+    WHERE x.id != qv.id
+),
+ranked AS (
+    SELECT query_id, nbr, adc,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY adc / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nx AS DOUBLE))) DESC,
+                        nbr ASC) AS rank
+    FROM scored
+){tail}
+"""
+
+
+_PQ_ADC_TAIL = """
+SELECT query_id, CAST(rank AS INT) AS rank, nbr, adc
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+_PQ_REFINE_TAIL_TPL = """,
+shortlist AS (SELECT query_id, nbr FROM ranked WHERE rank <= {n}),
+exact AS (
+    SELECT s.query_id, s.nbr,
+           CAST(list_dot_product(qq.q, xx.q) AS BIGINT) AS dot,
+           qq.n AS nq, xx.n AS nx
+    FROM shortlist s
+    JOIN qn qq ON qq.id = s.query_id
+    JOIN qn xx ON xx.id = s.nbr
+),
+rr AS (
+    SELECT query_id, nbr, dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nx AS DOUBLE))) DESC,
+                        nbr ASC) AS rank
+    FROM exact
+)
+SELECT query_id, CAST(rank AS INT) AS rank, nbr, dot
+FROM rr WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
+ORACLE_SIM_TOPK_PQ = _oracle_sim_topk_pq()
+ORACLE_SIM_TOPK_PQ_REFINED = _oracle_sim_topk_pq(refine=50)
+
+
 EXTENSION_QUERIES = {
+    "sim_topk_pq": q_sim_topk_pq,
+    "sim_topk_pq_refined": q_sim_topk_pq_refined,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
@@ -930,6 +1050,8 @@ EXTENSION_QUERIES = {
 }
 
 EXTENSION_ORACLES = {
+    "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
+    "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,
     "text_lang_id": ORACLE_TEXT_LANG_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,

@@ -169,3 +169,68 @@ def km2_train_ctes(k_fine: int | str, iters: int) -> tuple[str, str]:
     final = f"af{iters + 1}"
     parts.append(km2_assign(f"f{iters}", final))
     return ",\n".join(parts), final
+
+
+# --- integer-L2 trainer (PQ codebooks), SQL twin of operators/pq.py -------
+# Same init/update conventions as km_*; assignment ranks by exact integer
+# L2 (c·c − 2 q·c ASC — no division, no sqrt, no NaN edge), matching
+# numpy argmin's first-index tie rule via `, cell ASC`. Parametrized by
+# source relation so one oracle can train m independent subspaces.
+
+
+def kml2_init(out: str, init_src: str) -> str:
+    """Init from ``init_src`` (the shared k seed rows, already sliced to
+    this subspace) — every subspace seeds from the SAME ids, so the
+    ORDER BY hash pick happens once."""
+    return f"""{out} AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY {CENT_SAMPLE_SQL}, id) - 1
+                AS BIGINT) AS cell, q AS qc
+    FROM {init_src}
+)"""
+
+
+def kml2_assign(prev: str, out: str, src: str) -> str:
+    return f"""{out} AS (
+    SELECT s.id, s.q, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.id
+               ORDER BY list_dot_product(c.qc, c.qc)
+                        - 2 * list_dot_product(s.q, c.qc) ASC,
+                        c.cell ASC) AS rc
+    FROM {src} s CROSS JOIN {prev} c
+)"""
+
+
+def kml2_update(assign: str, prev: str, out: str, src: str) -> str:
+    dims = f"(SELECT MAX(len(q)) FROM {src})"
+    return f"""{out}_s AS (
+    SELECT a.cell, t.d, CAST(SUM(a.q[t.d]) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT cell, q FROM {assign} WHERE rc = 1) a
+    CROSS JOIN (SELECT UNNEST(range(1, {dims} + 1)) AS d) t
+    GROUP BY a.cell, t.d
+),
+{out} AS (
+    SELECT p.cell, COALESCE(u.qc_new, p.qc) AS qc
+    FROM {prev} p LEFT JOIN (
+        SELECT cell,
+               list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY d) AS qc_new
+        FROM {out}_s GROUP BY cell
+    ) u USING (cell)
+)"""
+
+
+def kml2_train_ctes(
+    iters: int, src: str, init_src: str, tag: str
+) -> tuple[str, str, str]:
+    """Full per-subspace L2 chain; returns (ctes, final_centroids_name,
+    final_assign_name). ``tag`` namespaces the CTEs so m subspace chains
+    coexist in one WITH."""
+    parts = [kml2_init(f"c0{tag}", init_src)]
+    for i in range(iters):
+        parts.append(kml2_assign(f"c{i}{tag}", f"a{i + 1}{tag}", src))
+        parts.append(kml2_update(f"a{i + 1}{tag}", f"c{i}{tag}", f"c{i + 1}{tag}", src))
+    final_c = f"c{iters}{tag}"
+    final_a = f"a{iters + 1}{tag}"
+    parts.append(kml2_assign(final_c, final_a, src))
+    return ",\n".join(parts), final_c, final_a
