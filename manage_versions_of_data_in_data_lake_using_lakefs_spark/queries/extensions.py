@@ -936,13 +936,15 @@ def q_sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_sim_topk_pq(m: int = 4, iters: int = 2, refine: int | None = None) -> str:
+def _oracle_sim_topk_pq(
+    m: int = 4, k: int = 8, iters: int = 2, refine: int | None = None
+) -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
         CENT_SAMPLE_SQL,
         kml2_train_ctes,
     )
 
-    sub = "(len(q) // 4)"  # subspace width derived from the data
+    sub = f"(len(q) // {m})"  # subspace width derived from the data
     parts, recon_cols, joins = [], [], []
     for j in range(m):
         lo, hi = f"({j} * {sub} + 1)", f"(({j} + 1) * {sub})"
@@ -968,7 +970,7 @@ WITH qv0 AS (
     FROM embeddings
 ),
 qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qv0),
-seeds AS (SELECT id, q FROM qn ORDER BY {CENT_SAMPLE_SQL}, id LIMIT 8),
+seeds AS (SELECT id, q FROM qn ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}),
 {parts_sql},
 recon AS (SELECT r0.id, {recon_cols_sql} AS rq FROM {recon_join}),
 scored AS (

@@ -374,8 +374,10 @@ def stream_into_repo(
     id (``write_table(txn=...)``), and on batch entry any staged entry for
     this table still carrying the tag is dropped before writing — the
     redelivered batch replaces its own leftover instead of stacking a
-    second copy on top of it. A staged entry from a *different* writer is
-    never touched (the tag is cleared when entries mix).
+    second copy on top of it. Mixing staged entries between the stream
+    and any other writer — in either direction — fails loudly in
+    ``write_table`` instead of silently weakening this guarantee: the
+    other party must commit or reset before the stream proceeds.
 
     Drains with availableNow (bounded replay); a live deployment drops
     the trigger and keeps the same code.

@@ -276,12 +276,15 @@ class LakeRepo:
         its own leftover staged copy on redelivery (Delta's
         ``txnAppId``/``txnVersion`` protocol, applied to the staged half).
         The tag survives only while the entry is exclusively this
-        transaction's: appending to an entry staged by someone else clears
-        it, so cleanup can never discard another writer's staged rows."""
+        transaction's: mixing a tagged entry with a foreign write — in
+        either direction — raises instead of silently weakening the
+        writer's crash-recovery guarantee."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
         smap = self.table_schema_map(table, ref=branch)
-        hit = [c for c in df.columns if c.lower() in self._consumed_names(smap)]
+        consumed = self._consumed_names(smap)
+        generated = self._generated_names(smap)
+        hit = [c for c in df.columns if c.lower() in consumed]
         if hit:
             raise ValueError(
                 f"write to {table!r} uses column name(s) {hit} that were "
@@ -289,7 +292,7 @@ class LakeRepo:
                 "resurface old file data under a new meaning — use the "
                 "current logical names"
             )
-        gen_hit = [c for c in df.columns if c.lower() in self._generated_names(smap)]
+        gen_hit = [c for c in df.columns if c.lower() in generated]
         if gen_hit:
             # GENERATED columns are never stored: every read recomputes
             # them from their expression, so persisting a copy could only
@@ -353,26 +356,23 @@ class LakeRepo:
                 same_writer = bool(
                     txn and etxn and txn.get("stream_id") == etxn.get("stream_id")
                 )
-                if etxn and not same_writer:
-                    # appending onto another idempotent writer's staged
-                    # entry would strip its crash-recovery tag and turn
-                    # its exactly-once replay into silent duplication —
-                    # fail loudly instead (a tagged entry only exists
-                    # inside that writer's stage→commit window)
+                if (etxn or txn) and not same_writer:
+                    # mixing an idempotent writer's staged entry with a
+                    # foreign write — in EITHER direction — would strip
+                    # the crash-recovery tag (or write untagged rows the
+                    # recovery would then discard) and turn exactly-once
+                    # replay into silent duplication or loss. Fail
+                    # loudly: the other party must commit or reset
+                    # first. A tagged entry only exists inside a
+                    # writer's stage→commit window.
                     raise ValueError(
-                        f"table {table!r} on {branch!r} has an in-flight "
-                        f"idempotent-writer staged entry ({etxn}); let the "
-                        "writer recover (or reset the branch) before "
-                        "appending"
+                        f"table {table!r} on {branch!r} has a staged entry "
+                        f"from another writer (entry txn={etxn}, incoming "
+                        f"txn={txn}); commit or reset it before appending"
                     )
                 entry["files"].append(rel)
                 if same_writer:
                     entry["txn"] = dict(txn)
-                else:
-                    # a mixed entry (files from another writer) must not
-                    # carry this txn's tag — cleanup would drop the other
-                    # writer's rows
-                    entry.pop("txn", None)
             self._write_ref(branch, ref)
         return rel
 
@@ -561,20 +561,36 @@ class LakeRepo:
             )
         except KeyError:
             return None
-        return json.loads(raw)
+        smap = json.loads(raw)
+        if isinstance(smap, list):
+            # pre-r6 format stored the bare step list; normalize so old
+            # repos (and time-travel reads of old commits) keep working.
+            # An empty base falls back to the deterministic sorted-tail
+            # order rule in apply_schema_map.
+            smap = {"base": [], "steps": smap}
+        return smap
 
     @staticmethod
     def _consumed_names(smap: dict | None) -> set[str]:
         """Physical/former column names no longer addressable after the
         steps — renamed-away sources and dropped columns. Reusing one
         would make old files' data resurface under the new meaning, so
-        ALTER and write_table both reject them (Delta forbids the same)."""
+        ALTER and write_table both reject them (Delta forbids the same).
+        Dropping a GENERATED column does NOT consume its name: nothing
+        was ever stored under it, so re-adding (the only way to change a
+        generated expression) is safe."""
         out: set[str] = set()
+        gen: set[str] = set()
         for st in (smap or {}).get("steps", []):
             if st["op"] == "rename":
                 out.add(st["from"].lower())
+            elif st["op"] == "add_gen":
+                gen.add(st["name"].lower())
             elif st["op"] == "drop":
-                out.add(st["name"].lower())
+                if st["name"].lower() in gen:
+                    gen.discard(st["name"].lower())
+                else:
+                    out.add(st["name"].lower())
         return out
 
     @staticmethod
@@ -941,9 +957,16 @@ class LakeRepo:
         if not cons:
             return
         try:
-            self._check_rows(
-                spark.read.parquet(out_dir), cons, f"write to {table!r}"
-            )
+            df = spark.read.parquet(out_dir)
+            # constraints bind the LOGICAL schema: a raw read of the new
+            # files lacks GENERATED columns (write_table strips them),
+            # and _check_rows would skip any constraint on them as
+            # unresolvable — replay the mapping so CHECK (gen_col < x)
+            # actually fires at write time
+            smap = self.table_schema_map(table, ref=branch)
+            if smap:
+                df = self.apply_schema_map(df, smap)
+            self._check_rows(df, cons, f"write to {table!r}")
         except ConstraintViolation:
             shutil.rmtree(out_dir, ignore_errors=True)
             raise

@@ -145,9 +145,13 @@ _ADD_COLUMN_RE = re.compile(
     re.IGNORECASE,
 )
 _ADD_GEN_COLUMN_RE = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s*"
-    rf"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s+"
-    r"GENERATED\s+ALWAYS\s+AS\s*\(\s*(?P<expr>.+?)\s*\)\s*\)?\s*;?\s*$",
+    # no optional wrapping parens here: a lazy expr + optional trailing
+    # `\)?` would eat the expression's own closing paren, truncating
+    # e.g. (upper(name)) to `upper(name` — greedy expr + required final
+    # paren keeps nested calls intact
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s+"
+    rf"(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s+"
+    r"GENERATED\s+ALWAYS\s+AS\s*\(\s*(?P<expr>.+)\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _RENAME_COLUMN_RE = re.compile(

@@ -25,7 +25,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _bench_queries(path: str) -> dict[str, float]:
     with open(path) as f:
         d = json.load(f)
-    return d.get("parsed", {}).get("queries", {}) or {}
+    # "parsed" may be recorded as null (round 5's overlong stdout line)
+    return (d.get("parsed") or {}).get("queries") or {}
 
 
 def test_no_2x_regression_between_recorded_rounds():

@@ -379,3 +379,41 @@ def test_generated_column_guards(spark, repo):
     repo.alter_drop_column(spark, "main", "t", "v2")
     repo.alter_rename_column(spark, "main", "t", "v", "price")
     assert repo.read_table(spark, "t", "main").columns == ["k", "name", "price"]
+
+
+def test_generated_column_redefinition_and_constraints(spark, repo):
+    """Review fixes: (a) dropping a generated column frees its name (no
+    data ever existed under it), so the expression can be redefined;
+    (b) a CHECK constraint on a generated column actually fires at
+    write time (enforcement replays the mapping over the new files);
+    (c) the SQL form accepts nested-paren expressions."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    _base(spark, repo)
+    lsql = LakeSQL(spark, repo, "main")
+    # (c) expression ending in a function call parses intact
+    lsql.sql("ALTER TABLE t ADD COLUMN nu STRING GENERATED ALWAYS AS (upper(name))")
+    assert {r.nu for r in repo.read_table(spark, "t", "main").collect()} == {"A", "B"}
+    # (a) drop + redefine with a different expression
+    repo.alter_drop_column(spark, "main", "t", "nu")
+    lsql.sql("ALTER TABLE t ADD COLUMN nu STRING GENERATED ALWAYS AS (lower(name))")
+    assert {r.nu for r in repo.read_table(spark, "t", "main").collect()} == {"a", "b"}
+    # (b) constraint on a generated column gates writes
+    repo.alter_drop_column(spark, "main", "t", "nu")
+    repo.alter_add_generated_column(spark, "main", "t", "v2", "DOUBLE", "v * 2")
+    repo.add_constraint(spark, "main", "t", "v2_small", "v2 < 100")
+    with pytest.raises(ConstraintViolation):
+        repo.write_table(
+            "main",
+            "t",
+            spark.createDataFrame([(9, "x", 500.0)], "k LONG, name STRING, v DOUBLE"),
+            mode="append",
+        )
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(9, "x", 30.0)], "k LONG, name STRING, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "ok append")
+    assert repo.read_table(spark, "t", "main").filter("v2 = 60.0").count() == 1

@@ -454,12 +454,19 @@ def test_stream_into_repo_exactly_once_on_staged_crash(spark, tmp_path):
     assert repo.read_table(spark, "m", "main").count() == 3
     assert repo.status("main") == {}  # nothing left staged
 
-    # a DIFFERENT writer's staged rows are never touched by cleanup
+    # mixing with a DIFFERENT writer fails loudly in either direction:
+    # a user write staged on the table makes the stream's tagged append
+    # raise (instead of silently stripping crash-recovery state), and
+    # after the user commits, the stream proceeds normally
     spark.createDataFrame([(50,)], "id LONG").write.mode("append").parquet(src)
     other = spark.createDataFrame([(99,)], "id LONG")
     repo.write_table("main", "m", other, mode="append")  # untagged, user write
     stream3 = spark.readStream.schema("id LONG").parquet(src)
-    stream_into_repo(stream3, repo, "main", "m", checkpoint_dir=ckpt)
+    with pytest.raises(Exception, match="another writer"):
+        stream_into_repo(stream3, repo, "main", "m", checkpoint_dir=ckpt)
+    repo.commit("main", "user append lands first")
+    stream4 = spark.readStream.schema("id LONG").parquet(src)
+    stream_into_repo(stream4, repo, "main", "m", checkpoint_dir=ckpt)
     got = sorted(r.id for r in repo.read_table(spark, "m", "main").collect())
     assert got == [1, 2, 3, 50, 99]
 
@@ -473,7 +480,7 @@ def test_append_onto_inflight_stream_staged_entry_raises(spark, tmp_path):
     repo = LakeRepo.init(str(tmp_path / "lake"))
     df = spark.createDataFrame([(1,)], "id LONG")
     repo.write_table("main", "m", df, mode="append", txn={"stream_id": "s1", "stream_batch_id": 0})
-    with pytest.raises(ValueError, match="in-flight idempotent-writer"):
+    with pytest.raises(ValueError, match="another writer"):
         repo.write_table("main", "m", df, mode="append")
     # the same writer may keep appending (tag retained)
     repo.write_table("main", "m", df, mode="append", txn={"stream_id": "s1", "stream_batch_id": 0})
