@@ -139,6 +139,13 @@ _CLONE_RE = re.compile(
     rf"(?P<src>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+_COPY_TO_RE = re.compile(
+    rf"^\s*COPY\s+(?:\(\s*(?P<select>.+)\s*\)|(?P<table>{_IDENT}))\s+TO\s+"
+    r"'(?P<path>[^']+)'"
+    r"(?:\s+FORMAT\s+(?P<fmt>CSV|PARQUET|ORC|JSON))?"
+    r"(?P<header>\s+WITH\s+HEADER)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ADD_COLUMN_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s*"
     rf"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s*\)?\s*;?\s*$",
@@ -1084,6 +1091,32 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
+            )
+        m = _COPY_TO_RE.match(query)
+        if m:
+            # export verb (DuckDB/Snowflake COPY TO): any rewriter-visible
+            # query or branch table → external files via the io sinks
+            from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import (
+                write_csv,
+                write_orc,
+                write_parquet,
+            )
+
+            src_sql = m.group("select") or f"SELECT * FROM {m.group('table')}"
+            out = self.sql(src_sql)
+            rows = out.count()
+            fmt = (m.group("fmt") or "parquet").lower()
+            path = m.group("path")
+            if fmt == "csv":
+                write_csv(out, path, header=bool(m.group("header")))
+            elif fmt == "orc":
+                write_orc(out, path)
+            elif fmt == "json":
+                out.write.mode("overwrite").json(path)
+            else:
+                write_parquet(out, path)
+            return self.spark.createDataFrame(
+                [(path, fmt, rows)], "path STRING, format STRING, rows_copied LONG"
             )
         m = _CLONE_RE.match(query)
         if m:

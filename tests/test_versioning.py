@@ -1483,3 +1483,26 @@ def test_sql_describe_table_schema(spark, repo):
     # two-word DESCRIBE forms still route to their own handlers
     assert "version" in lsql.sql("DESCRIBE HISTORY t").columns
     assert "file" in lsql.sql("DESCRIBE STATS t").columns
+
+
+def test_sql_copy_to_exports(spark, repo, tmp_path):
+    """COPY [t | (SELECT ...)] TO 'path' [FORMAT ...] [WITH HEADER] —
+    the export verb over the existing io sinks."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table(
+        "main", "t", spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, s STRING")
+    )
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo)
+    p1 = str(tmp_path / "out_parquet")
+    r = lsql.sql(f"COPY t TO '{p1}'").collect()[0]
+    assert r.rows_copied == 2 and r.format == "parquet"
+    assert spark.read.parquet(p1).count() == 2
+    p2 = str(tmp_path / "out_csv")
+    lsql.sql(f"COPY (SELECT k FROM t WHERE k = 1) TO '{p2}' FORMAT CSV WITH HEADER")
+    back = spark.read.option("header", True).csv(p2)
+    assert back.columns == ["k"] and back.count() == 1
+    p3 = str(tmp_path / "out_json")
+    lsql.sql(f"COPY t TO '{p3}' FORMAT JSON")
+    assert spark.read.json(p3).count() == 2
