@@ -121,20 +121,29 @@ def pagerank_ppb(
     ed = _persisted(e.join(deg, "src"))
     # nodes = src ∪ dst: on a general directed graph, sink nodes appear
     # only as dst — deriving nodes from src alone would drop their rank
-    # rows entirely (and silently lose the mass sent to them)
-    nodes = _persisted(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+    # rows entirely (and silently lose the mass sent to them). deg
+    # already distinct-ified the sources, so only the dst-only remainder
+    # (the sinks) pays a new shuffle; the union of the two disjoint sets
+    # needs no dedup pass.
+    out_nodes = _persisted(deg.select(F.col("src").alias("node")))
+    sinks = _persisted(
+        e.select(F.col("dst").alias("node"))
         .distinct()
+        .join(out_nodes, "node", "left_anti")
     )
+    nodes = _persisted(out_nodes.union(sinks))
     # 1-row scalar frames for the dangling-mass redistribution: sinks
     # (no out-edges) hold rank but pass nothing, so their total rank is
     # redistributed uniformly — in exact integer arithmetic, as
     # share = Σ sink-rank DIV N, added to every node's incoming sum.
-    # On a symmetrized edge list there are no sinks and share is 0, so
-    # this costs one empty left-anti aggregate per hop and nothing else.
+    # Sink-ness is static (it depends only on the edge list), so it is
+    # detected ONCE; on a symmetrized edge list there are no sinks and
+    # the per-hop share machinery is skipped entirely — share would be
+    # identically 0, so the skip is value-identical (the oracle keeps
+    # its share CTE, which computes 0) and the hop plan stays the
+    # original join + groupBy pair.
     n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    out_nodes = deg.select(F.col("src").alias("node"))
+    has_sinks = bool(sinks.take(1))
     base = (100 - damping_pct) * 10_000_000  # (1-d)·1e9 in ppb
     r = nodes.withColumn("rank", F.lit(1_000_000_000).cast("long"))
     for i in range(iters):
@@ -144,19 +153,29 @@ def pagerank_ppb(
             F.col("dst").alias("node"), F.expr("rank DIV outdeg").alias("c")
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        dang = r.join(out_nodes, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang")
-        )
-        share = dang.crossJoin(n_df).select(
-            F.expr("dang DIV n_nodes").cast("long").alias("share")
-        )  # 1-row scalar broadcast
-        r = nodes.join(s, "node", "left").crossJoin(share).select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"{damping_pct} * (coalesce(s, 0L) + share) DIV 100")
-            ).cast("long").alias("rank"),
-        )
+        r_next = nodes.join(s, "node", "left")
+        if has_sinks:
+            dang = r.join(sinks.select("node"), "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang")
+            )
+            share = dang.crossJoin(n_df).select(
+                F.expr("dang DIV n_nodes").cast("long").alias("share")
+            )  # 1-row scalar broadcast
+            r = r_next.crossJoin(share).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * (coalesce(s, 0L) + share) DIV 100")
+                ).cast("long").alias("rank"),
+            )
+        else:
+            r = r_next.select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * coalesce(s, 0L) DIV 100")
+                ).cast("long").alias("rank"),
+            )
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iters:
             r = r.localCheckpoint()
     return r

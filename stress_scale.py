@@ -177,8 +177,21 @@ def main() -> None:
         )
         return pagerank_ppb(edges, iters=2)
 
+    def op_pq_refined(e: DataFrame) -> DataFrame:
+        # PQ two-stage search: codebook training is one corpus scan per
+        # iteration for all subspaces; ADC scans only the codes with
+        # per-batch local top-k; the exact stage touches shortlist
+        # rows per query — per-row cost should stay ~flat with corpus
+        # size (the queries side is fixed)
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import pq_topk_refined, pq_train
+
+        cbs = pq_train(e, m=4, k=8, iters=2)
+        queries = e.where(F.col("vec_id") % 997 == 0).limit(4)
+        return pq_topk_refined(e, queries, cbs, k=5, shortlist=50)
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
+        "sim_topk_pq_refined": (emb, replicate_embeddings, op_pq_refined),
         "dedup_simhash": (docs, replicate_documents, op_simhash),
         "text_repetition": (docs, replicate_documents, op_repetition),
         "decontaminate": (docs, replicate_documents, op_decontaminate),
