@@ -485,3 +485,67 @@ def stream_refresh_agg(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert_into_repo(
+    stream_df: DataFrame,
+    repo,
+    branch: str,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    when_matched: str = "update",
+    commit_prefix: str = "stream upsert batch",
+) -> None:
+    """Streaming CDC apply: every micro-batch of change rows MERGEs into
+    the versioned table on ``keys`` (row-level upsert — updates replace,
+    new keys insert) and commits one version, with the SAME exactly-once
+    protocol as ``stream_into_repo``: an already-committed batch id is
+    skipped, and a crash between staging and commit leaves a
+    txn-tagged staged overwrite that the redelivery drops before
+    re-merging from the committed head — so the replayed merge runs
+    against the same base state and lands once.
+
+    This is the Delta "streaming upsert via foreachBatch + MERGE"
+    recipe on the lake's commit DAG; each batch's cost is the
+    anti-join + rewrite of ``upsert_table``, and the stream's history is
+    time-travelable per batch."""
+    stream_id = os.path.abspath(checkpoint_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if is_replayed_batch(repo, branch, stream_id, batch_id):
+            return
+        stale = repo.staged_txn(branch, table)
+        if stale and stale.get("stream_id") == stream_id:
+            repo.unstage_table(branch, table)
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.mutations import upsert
+
+        # read AFTER dropping our stale staged copy: include_staged must
+        # see other writers' staged state (lakeFS semantics) but never
+        # our own crash leftover
+        current = repo.read_table(
+            batch_df.sparkSession, table, ref=branch, include_staged=True
+        )
+        merged = upsert(current, batch_df, keys, when_matched)
+        repo.write_table(
+            branch,
+            table,
+            merged,
+            mode="overwrite",
+            txn={"stream_id": stream_id, "stream_batch_id": batch_id},
+        )
+        repo.commit(
+            branch,
+            f"{commit_prefix} {batch_id}",
+            meta={"stream_id": stream_id, "stream_batch_id": batch_id},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -485,3 +485,53 @@ def test_append_onto_inflight_stream_staged_entry_raises(spark, tmp_path):
     # the same writer may keep appending (tag retained)
     repo.write_table("main", "m", df, mode="append", txn={"stream_id": "s1", "stream_batch_id": 0})
     assert repo.staged_txn("main", "m")["stream_id"] == "s1"
+
+
+def test_stream_upsert_into_repo_cdc_apply(spark, tmp_path):
+    """Streaming CDC upsert: change batches MERGE into the versioned
+    table exactly once — updates replace, inserts land, a crash between
+    stage and commit replays cleanly, and history time-travels."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_upsert_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    repo.write_table(
+        "main", "t", spark.createDataFrame([(1, 10), (2, 20)], "k LONG, v LONG")
+    )
+    repo.commit("main", "seed")
+    src = str(tmp_path / "changes")
+    spark.createDataFrame([(2, 99), (3, 30)], "k LONG, v LONG").write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("k LONG, v LONG").parquet(src)
+    stream_upsert_into_repo(stream, repo, "main", "t", ["k"], checkpoint_dir=ckpt)
+    got = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+
+    # crash between stage and commit on the NEXT batch, then replay
+    spark.createDataFrame([(1, 111), (4, 40)], "k LONG, v LONG").write.mode(
+        "append"
+    ).parquet(src)
+    real_commit = repo.commit
+
+    def dying_commit(*a, **kw):
+        raise RuntimeError("crash before commit")
+
+    repo.commit = dying_commit
+    stream2 = spark.readStream.schema("k LONG, v LONG").parquet(src)
+    try:
+        stream_upsert_into_repo(stream2, repo, "main", "t", ["k"], checkpoint_dir=ckpt)
+    except Exception:
+        pass
+    repo.commit = real_commit
+    assert repo.staged_txn("main", "t") is not None  # tagged leftover
+    stream3 = spark.readStream.schema("k LONG, v LONG").parquet(src)
+    stream_upsert_into_repo(stream3, repo, "main", "t", ["k"], checkpoint_dir=ckpt)
+    got = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+    assert got == {1: 111, 2: 99, 3: 30, 4: 40}
+    assert repo.status("main") == {}
+    # replaying the whole source on the same checkpoint adds nothing
+    stream4 = spark.readStream.schema("k LONG, v LONG").parquet(src)
+    stream_upsert_into_repo(stream4, repo, "main", "t", ["k"], checkpoint_dir=ckpt)
+    assert repo.read_table(spark, "t", "main").count() == 4
