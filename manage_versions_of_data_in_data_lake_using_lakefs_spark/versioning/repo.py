@@ -1678,6 +1678,7 @@ class LakeRepo:
         keep_history: bool = True,
         dry_run: bool = False,
         grace_seconds: float = 300.0,
+        retain_versions: int | None = None,
     ) -> list[str]:
         """Delete data directories unreachable from any branch ref.
 
@@ -1698,10 +1699,16 @@ class LakeRepo:
         staging record). Set 0 only when no writers can be active.
         """
         with RepoLock(self.root):
-            return self._vacuum_locked(keep_history, dry_run, grace_seconds)
+            return self._vacuum_locked(
+                keep_history, dry_run, grace_seconds, retain_versions
+            )
 
     def _vacuum_locked(
-        self, keep_history: bool, dry_run: bool, grace_seconds: float
+        self,
+        keep_history: bool,
+        dry_run: bool,
+        grace_seconds: float,
+        retain_versions: int | None = None,
     ) -> list[str]:
         live: set[str] = set()
 
@@ -1717,7 +1724,31 @@ class LakeRepo:
                 live.update(entry["files"])
             for entry in self._staged_objects(ref).values():
                 live_blob(entry["blob"])
-            if keep_history:
+            if retain_versions is not None:
+                # Delta VACUUM RETAIN parity in version units: keep data
+                # for every commit whose global version is within the
+                # newest ``retain_versions`` of this branch's head (plus
+                # the head itself); older commits stay readable as
+                # METADATA but their unshared data files are collected —
+                # time travel past the horizon raises at read, exactly
+                # like Delta after retention expiry
+                head_v = self.head(br).version
+                floor_v = head_v - retain_versions
+                stack = [ref["head"]]
+                seen: set[str] = set()
+                while stack:
+                    cid = stack.pop()
+                    if cid in seen:
+                        continue
+                    seen.add(cid)
+                    c = self.get_commit(cid)
+                    if c.version >= floor_v or cid == ref["head"]:
+                        for files in c.tables.values():
+                            live.update(files)
+                        for blob in c.objects.values():
+                            live_blob(blob)
+                    stack.extend(c.parents)
+            elif keep_history:
                 stack = [ref["head"]]
                 seen: set[str] = set()
                 while stack:

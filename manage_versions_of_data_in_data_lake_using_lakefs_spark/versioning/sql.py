@@ -112,7 +112,11 @@ _RESTORE_RE = re.compile(
     r"(?P<ver>\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
-_VACUUM_RE = re.compile(r"^\s*VACUUM(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM(?:\s+RETAIN\s+(?P<retain>\d+)\s+VERSIONS?)?"
+    r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+(?P<table>{_IDENT})"
     rf"(?:\s+ZORDER\s+BY\s+\(\s*(?P<z1>{_IDENT})\s*,\s*(?P<z2>{_IDENT})\s*\)"
@@ -1204,7 +1208,12 @@ class LakeSQL:
             )
         m = _VACUUM_RE.match(query)
         if m:
-            removed = self.repo.vacuum(dry_run=bool(m.group("dry")))
+            removed = self.repo.vacuum(
+                dry_run=bool(m.group("dry")),
+                retain_versions=(
+                    int(m.group("retain")) if m.group("retain") else None
+                ),
+            )
             return self.spark.createDataFrame(
                 [(p,) for p in removed], "path STRING"
             )
