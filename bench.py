@@ -107,6 +107,7 @@ def main() -> None:
         "versioned_schema_evolution",
         "sim_topk_pq",
         "sim_topk_pq_refined",
+        "sim_topk_ivfpq",
     ):
         if extra in registry:
             names.append(extra)

@@ -73,14 +73,23 @@ def pq_train(
     Init mirrors the IVF trainer's total rule: the k smallest ids by
     (portable_hash(id), id) seed EVERY subspace (their slices), so the
     SQL oracle replays init with one shared ORDER BY."""
+    q = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q").alias("q")
+    )
+    return _pq_train_q(q, m, k, iters)
+
+
+def _pq_train_q(
+    q: DataFrame, m: int, k: int, iters: int
+) -> list[list[list[int]]]:
+    """Codebook trainer over an already-quantized ``(id, q)`` frame —
+    the shared core of ``pq_train`` (raw vectors) and ``ivfpq_train``
+    (IVF-cell residuals)."""
     from pyspark import StorageLevel
 
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import _merge_partials
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
 
-    q = with_quantized(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("_q").alias("q")
-    )
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         init = (
@@ -324,3 +333,189 @@ def pq_topk_refined(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "nbr", "dot")
     )
+
+
+def _make_residual_batches(cents: list[list[int]]):
+    """Assign each vector to its coarse cell (exact integer-cosine
+    argmax, the IVF rule) and emit the integer residual q − centroid —
+    the PQ training/encoding input of IndexIVFPQ."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import _make_assign_cells
+
+    assign = _make_assign_cells()
+
+    def _resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = np.array(cents, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf["q"].to_list(), dtype=np.int64)
+            cells = assign(M, C)
+            R = M - C[cells]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": cells.astype(int),
+                    "q": [row.tolist() for row in R],
+                    "n": pdf["n"].to_numpy(),
+                }
+            )
+
+    return _resid
+
+
+def ivfpq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_k: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[list[list[int]], list[list[list[int]]]]:
+    """FAISS IndexIVFPQ training: a coarse IVF quantizer (the existing
+    integer-cosine Lloyd's trainer) plus PQ codebooks trained on the
+    CELL RESIDUALS q − centroid — residuals are far smaller in magnitude
+    than raw vectors, so the same code budget quantizes them much more
+    tightly (the reason the combo beats flat PQ at scale). Returns
+    (coarse_centroids, residual_codebooks) — both driver-side metadata."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+
+    cents = kmeans_fit(df, vec_col, id_col, k=coarse_k, iters=iters)
+    qn = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
+    )
+    resid = qn.mapInPandas(
+        _make_residual_batches(cents), "id LONG, cell INT, q ARRAY<LONG>, n LONG"
+    ).select("id", "q")
+    cbs = _pq_train_q(resid, m, k, iters)
+    return cents, cbs
+
+
+def _make_ivfpq_adc_batches(
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    qrows: list,
+    nprobe: int,
+    topk: int,
+):
+    def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CC = np.array(cents, dtype=np.int64)
+        C = [np.array(cb, dtype=np.int64) for cb in codebooks]
+        m, sub = len(C), C[0].shape[1]
+        cn = np.sqrt(np.einsum("ij,ij->i", CC, CC).astype(np.float64))
+        qmeta = []
+        for qid, qvec, qn_ in qrows:
+            qv = np.array(qvec, dtype=np.int64)
+            qnorm = float(np.sqrt(qn_))
+            # probe set: top-nprobe coarse cells by exact cosine
+            # (ties → lower cell id, the km_assign ORDER BY rule)
+            cos = (CC @ qv) / (qnorm * cn)
+            order = np.lexsort((np.arange(len(CC)), -cos))[:nprobe]
+            probe = set(int(c) for c in order)
+            cdot = CC @ qv  # exact int dot(q, centroid) per cell
+            lut = np.stack([C[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)])
+            qmeta.append((qid, qnorm, probe, cdot, lut))
+        cols = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["cell"].to_numpy()
+            codes = np.array(pdf["codes"].to_list(), dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            nx = np.sqrt(pdf["n"].to_numpy().astype(np.float64))
+            out = {"query_id": [], "nbr": [], "adc": [], "approx_cos": []}
+            for qid, qnorm, probe, cdot, lut in qmeta:
+                keep = np.array(
+                    [c in probe for c in cells], dtype=bool
+                ) & (ids != qid)
+                if not keep.any():
+                    continue
+                # adc = dot(q, centroid_cell) + Σ_j LUT[j][code_j]
+                # ≡ dot(q, centroid + reconstructed residual), exact int64
+                a = cdot[cells[keep]] + lut[cols, codes[keep]].sum(axis=1)
+                i = ids[keep]
+                c = a / (qnorm * nx[keep])
+                order = np.lexsort((i, -c))[:topk]
+                out["query_id"].extend([qid] * len(order))
+                out["nbr"].extend(i[order])
+                out["adc"].extend(a[order])
+                out["approx_cos"].extend(c[order])
+            if out["query_id"]:
+                yield pd.DataFrame(out)
+
+    return _adc
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IndexIVFPQ search: each query probes its ``nprobe`` nearest
+    coarse cells and ADC-scores ONLY the compressed vectors in them —
+    candidate volume is ~|corpus|·nprobe/coarse_k and the scan reads
+    m-byte codes, the double reduction that makes billion-scale ANN
+    feasible. Output (query_id, rank, nbr, adc), exact int64 adc."""
+    from pyspark.sql import Window
+
+    qrows = [
+        (r.id, r.q, r.n)
+        for r in with_quantized(queries, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n"))
+        .collect()
+    ]
+    qn = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
+    )
+    resid = qn.mapInPandas(
+        _make_residual_batches(cents), "id LONG, cell INT, q ARRAY<LONG>, n LONG"
+    )
+    enc = resid.mapInPandas(
+        _make_encode_with_cell_batches(codebooks),
+        "id LONG, cell INT, codes ARRAY<INT>, n LONG",
+    )
+    local = _persisted(
+        enc.mapInPandas(
+            _make_ivfpq_adc_batches(cents, codebooks, qrows, nprobe, k),
+            "query_id LONG, nbr LONG, adc LONG, approx_cos DOUBLE",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("nbr").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "nbr", "adc")
+    )
+
+
+def _make_encode_with_cell_batches(codebooks: list[list[list[int]]]):
+    assign = _make_assign_l2()
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = [np.array(cb, dtype=np.int64) for cb in codebooks]
+        sub = C[0].shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf["q"].to_list(), dtype=np.int64)
+            codes = np.stack(
+                [assign(M[:, j * sub : (j + 1) * sub], C[j]) for j in range(len(C))],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": [row.astype(int).tolist() for row in codes],
+                    "n": pdf["n"].to_numpy(),
+                }
+            )
+
+    return _encode

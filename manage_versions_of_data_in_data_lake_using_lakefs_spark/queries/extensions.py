@@ -936,6 +936,115 @@ def q_sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexIVFPQ (operators/pq.ivfpq_*): coarse integer-cosine IVF
+    (k=8, the existing Lloyd's trainer) + PQ codebooks trained on CELL
+    RESIDUALS, then nprobe=2 ADC search — each query scores only the
+    compressed vectors in its two nearest cells, the double reduction
+    (candidate volume × bytes) behind billion-scale ANN. The oracle
+    replays the coarse training, the residual computation, all four
+    residual-subspace trainings, and scores via
+    dot(q, centroid) + dot(q, reconstructed residual) — exactly the ADC
+    lookup-table sum."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import ivfpq_topk, ivfpq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    cents, cbs = ivfpq_train(emb, coarse_k=8, m=4, k=8, iters=2)
+    return ivfpq_topk(emb, queries, cents, cbs, k=5, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _oracle_sim_topk_ivfpq(
+    coarse_k: int = 8, m: int = 4, k: int = 8, iters: int = 2, nprobe: int = 2
+) -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
+        CENT_SAMPLE_SQL,
+        KM_DIMS_SQL,
+        km_train_ctes,
+        kml2_train_ctes,
+    )
+
+    coarse_ctes, coarse_final = km_train_ctes(coarse_k, iters)
+    final_c = f"c{iters}"  # trained coarse centroids CTE from km chain
+    sub = f"(len(q) // {m})"
+    parts, recon_cols, joins = [], [], []
+    for j in range(m):
+        lo, hi = f"({j} * {sub} + 1)", f"(({j} + 1) * {sub})"
+        parts.append(f"rsub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM resid)")
+        parts.append(f"rinit{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM rseeds)")
+        ctes, fc, fa = kml2_train_ctes(iters, f"rsub{j}", f"rinit{j}", f"_r{j}")
+        parts.append(ctes)
+        parts.append(
+            f"rrec{j} AS (SELECT a.id, c.qc FROM (SELECT id, cell FROM {fa} "
+            f"WHERE rc = 1) a JOIN {fc} c USING (cell))"
+        )
+        recon_cols.append(f"r{j}.qc")
+        joins.append(f"rrec{j} r{j}")
+    recon_join = joins[0] + "".join(f" JOIN {t} USING (id)" for t in joins[1:])
+    parts_sql = ",\n".join(parts)
+    recon_cols_sql = " || ".join(recon_cols)
+    return f"""
+WITH qv0 AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qv0),
+{coarse_ctes},
+corpus_cell AS (SELECT id, cell FROM {coarse_final} WHERE rc = 1),
+resid AS (
+    SELECT qn.id,
+           list_transform(range(1, {KM_DIMS_SQL} + 1),
+                          i -> qn.q[i] - c.qc[i]) AS q
+    FROM qn JOIN corpus_cell cc ON cc.id = qn.id
+    JOIN {final_c} c ON c.cell = cc.cell
+),
+rseeds AS (SELECT id, q FROM resid ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}),
+{parts_sql},
+recon_res AS (SELECT r0.id, {recon_cols_sql} AS rq FROM {recon_join}),
+qv AS (SELECT * FROM qn WHERE id < 4),
+probe AS (
+    SELECT qv.id, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY qv.id
+               ORDER BY list_dot_product(qv.q, c.qc)
+                        / (SQRT(qv.n) * SQRT(list_dot_product(c.qc, c.qc))) DESC,
+                        c.cell ASC) AS rc
+    FROM qv CROSS JOIN {final_c} c
+),
+scored AS (
+    SELECT qv.id AS query_id, x.id AS nbr,
+           CAST(list_dot_product(qv.q, c.qc)
+                + list_dot_product(qv.q, rr.rq) AS BIGINT) AS adc,
+           qv.n AS nq, x.n AS nx
+    FROM qv
+    JOIN probe p ON p.id = qv.id AND p.rc <= {nprobe}
+    JOIN corpus_cell cc ON cc.cell = p.cell
+    JOIN qn x ON x.id = cc.id
+    JOIN {final_c} c ON c.cell = cc.cell
+    JOIN recon_res rr ON rr.id = x.id
+    WHERE x.id != qv.id
+),
+ranked AS (
+    SELECT query_id, nbr, adc,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY adc / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nx AS DOUBLE))) DESC,
+                        nbr ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, nbr, adc
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+ORACLE_SIM_TOPK_IVFPQ = _oracle_sim_topk_ivfpq()
+
+
 def _oracle_sim_topk_pq(
     m: int = 4, k: int = 8, iters: int = 2, refine: int | None = None
 ) -> str:
@@ -1027,6 +1136,7 @@ ORACLE_SIM_TOPK_PQ_REFINED = _oracle_sim_topk_pq(refine=50)
 EXTENSION_QUERIES = {
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_pq_refined": q_sim_topk_pq_refined,
+    "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
@@ -1054,6 +1164,7 @@ EXTENSION_QUERIES = {
 EXTENSION_ORACLES = {
     "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
     "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,
+    "sim_topk_ivfpq": ORACLE_SIM_TOPK_IVFPQ,
     "text_lang_id": ORACLE_TEXT_LANG_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,

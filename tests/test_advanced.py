@@ -729,3 +729,47 @@ def test_pq_adc_recall_and_compression(spark):
     hits = sum(len(refined[q] & exact[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.6, f"PQ refined recall@5 collapsed: {hits}/{total}"
+
+
+def test_ivfpq_topk_properties(spark):
+    """IndexIVFPQ: probing all cells with residual codebooks must beat
+    (or match) flat PQ on approximation quality, results are
+    partitioning-independent, and nprobe bounds candidates."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import ivfpq_topk, ivfpq_train
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_bruteforce
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    cents, cbs = ivfpq_train(emb, coarse_k=8, m=4, k=8, iters=2)
+    assert len(cents) == 8 and len(cbs) == 4
+    exact = {}
+    for r in topk_bruteforce(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.nbr)
+    for parts in (None, 7):
+        e = emb if parts is None else emb.repartition(parts)
+        got = {}
+        for r in ivfpq_topk(e, queries, cents, cbs, k=5, nprobe=8).collect():
+            got.setdefault(r.query_id, set()).add(r.nbr)
+        if parts is None:
+            first = got
+    assert first == got  # layout-independent
+    # probing every cell = flat ADC over residual codebooks. Raw ADC
+    # recall is intrinsically weak on this near-uniform-cosine fixture
+    # (see the flat-PQ test) — the testable property is RELATIVE:
+    # residuals are smaller in magnitude than raw vectors, so the same
+    # code budget must quantize at least as tightly as flat PQ.
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import pq_topk_adc, pq_train
+
+    flat_cbs = pq_train(emb, m=4, k=8, iters=2)
+    flat = {}
+    for r in pq_topk_adc(emb, queries, flat_cbs, k=5).collect():
+        flat.setdefault(r.query_id, set()).add(r.nbr)
+    hits = sum(len(first[q] & exact[q]) for q in exact)
+    flat_hits = sum(len(flat[q] & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits >= flat_hits, f"IVFPQ {hits} < flat PQ {flat_hits} of {total}"
+    assert hits / total >= 0.05, f"IVFPQ recall collapsed: {hits}/{total}"
+    # nprobe=1 returns a subset drawn from single cells, still k-bounded
+    n1 = ivfpq_topk(emb, queries, cents, cbs, k=5, nprobe=1)
+    assert n1.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
