@@ -155,7 +155,13 @@ def _pq_train_q(
         q.unpersist(blocking=False)
 
 
-def _make_encode_batches(codebooks: list[list[list[int]]]):
+def _make_encode_batches(
+    codebooks: list[list[list[int]]], passthrough: tuple[str, ...] = ()
+):
+    """ONE encode kernel for flat PQ and IVFPQ: subspace-slice, L2-assign
+    per codebook, stack codes; ``passthrough`` columns (e.g. the IVF
+    cell id) ride along unchanged. Output column order: id,
+    *passthrough, codes, n — callers' mapInPandas schemas must match."""
     assign = _make_assign_l2()  # <locals> fn → ships by value with the closure
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,13 +178,12 @@ def _make_encode_batches(codebooks: list[list[list[int]]]):
                 ],
                 axis=1,
             )
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "codes": [row.astype(int).tolist() for row in codes],
-                    "n": pdf["n"].to_numpy(),
-                }
-            )
+            data = {"id": pdf["id"].to_numpy()}
+            for col in passthrough:
+                data[col] = pdf[col].to_numpy()
+            data["codes"] = [row.astype(int).tolist() for row in codes]
+            data["n"] = pdf["n"].to_numpy()
+            yield pd.DataFrame(data)
 
     return _encode
 
@@ -411,7 +416,7 @@ def _make_ivfpq_adc_batches(
             # (ties → lower cell id, the km_assign ORDER BY rule)
             cos = (CC @ qv) / (qnorm * cn)
             order = np.lexsort((np.arange(len(CC)), -cos))[:nprobe]
-            probe = set(int(c) for c in order)
+            probe = order.astype(np.int64)  # array for vectorized isin
             cdot = CC @ qv  # exact int dot(q, centroid) per cell
             lut = np.stack([C[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)])
             qmeta.append((qid, qnorm, probe, cdot, lut))
@@ -425,9 +430,7 @@ def _make_ivfpq_adc_batches(
             nx = np.sqrt(pdf["n"].to_numpy().astype(np.float64))
             out = {"query_id": [], "nbr": [], "adc": [], "approx_cos": []}
             for qid, qnorm, probe, cdot, lut in qmeta:
-                keep = np.array(
-                    [c in probe for c in cells], dtype=bool
-                ) & (ids != qid)
+                keep = np.isin(cells, probe) & (ids != qid)
                 if not keep.any():
                     continue
                 # adc = dot(q, centroid_cell) + Σ_j LUT[j][code_j]
@@ -476,7 +479,7 @@ def ivfpq_topk(
         _make_residual_batches(cents), "id LONG, cell INT, q ARRAY<LONG>, n LONG"
     )
     enc = resid.mapInPandas(
-        _make_encode_with_cell_batches(codebooks),
+        _make_encode_batches(codebooks, passthrough=("cell",)),
         "id LONG, cell INT, codes ARRAY<INT>, n LONG",
     )
     local = _persisted(
@@ -495,27 +498,4 @@ def ivfpq_topk(
     )
 
 
-def _make_encode_with_cell_batches(codebooks: list[list[list[int]]]):
-    assign = _make_assign_l2()
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = [np.array(cb, dtype=np.int64) for cb in codebooks]
-        sub = C[0].shape[1]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.array(pdf["q"].to_list(), dtype=np.int64)
-            codes = np.stack(
-                [assign(M[:, j * sub : (j + 1) * sub], C[j]) for j in range(len(C))],
-                axis=1,
-            )
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "cell": pdf["cell"].to_numpy(),
-                    "codes": [row.astype(int).tolist() for row in codes],
-                    "n": pdf["n"].to_numpy(),
-                }
-            )
-
-    return _encode

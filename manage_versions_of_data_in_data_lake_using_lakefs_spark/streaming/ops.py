@@ -382,6 +382,30 @@ def stream_into_repo(
     Drains with availableNow (bounded replay); a live deployment drops
     the trigger and keeps the same code.
     """
+
+    def stage_append(batch_df: DataFrame, txn: dict) -> None:
+        repo.write_table(branch, table, batch_df, mode="append", txn=txn)
+
+    _run_exactly_once_sink(
+        stream_df, repo, branch, table, checkpoint_dir, commit_prefix, stage_append
+    )
+
+
+def _run_exactly_once_sink(
+    stream_df: DataFrame,
+    repo,
+    branch: str,
+    table: str,
+    checkpoint_dir: str,
+    commit_prefix: str,
+    stage_batch,
+) -> None:
+    """ONE copy of the exactly-once crash-window protocol, shared by
+    every versioned streaming sink (append ingest, CDC upsert): skip
+    already-committed batch ids, drop this stream's own stale staged
+    leftover, run ``stage_batch(batch_df, txn)`` (which must stage via
+    ``write_table(..., txn=txn)`` so the crash-recovery tag rides the
+    staged entry), then commit with the batch id in the metadata."""
     stream_id = os.path.abspath(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -394,18 +418,9 @@ def stream_into_repo(
             # leftover from a crash between stage and commit: drop our own
             # staged copy so the redelivery lands exactly once
             repo.unstage_table(branch, table)
-        repo.write_table(
-            branch,
-            table,
-            batch_df,
-            mode="append",
-            txn={"stream_id": stream_id, "stream_batch_id": batch_id},
-        )
-        repo.commit(
-            branch,
-            f"{commit_prefix} {batch_id}",
-            meta={"stream_id": stream_id, "stream_batch_id": batch_id},
-        )
+        txn = {"stream_id": stream_id, "stream_batch_id": batch_id}
+        stage_batch(batch_df, txn)
+        repo.commit(branch, f"{commit_prefix} {batch_id}", meta=dict(txn))
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -495,57 +510,76 @@ def stream_upsert_into_repo(
     keys: list[str],
     checkpoint_dir: str,
     when_matched: str = "update",
+    seq_col: str | None = None,
     commit_prefix: str = "stream upsert batch",
 ) -> None:
     """Streaming CDC apply: every micro-batch of change rows MERGEs into
     the versioned table on ``keys`` (row-level upsert — updates replace,
-    new keys insert) and commits one version, with the SAME exactly-once
-    protocol as ``stream_into_repo``: an already-committed batch id is
-    skipped, and a crash between staging and commit leaves a
-    txn-tagged staged overwrite that the redelivery drops before
-    re-merging from the committed head — so the replayed merge runs
-    against the same base state and lands once.
+    new keys insert) and commits one version, via the shared
+    exactly-once scaffold (``_run_exactly_once_sink``): an
+    already-committed batch id is skipped, and a crash between staging
+    and commit leaves a txn-tagged staged overwrite that the redelivery
+    drops before re-merging from the committed head — so the replayed
+    merge runs against the same base state and lands once.
+
+    **Multiple change events per key in one micro-batch** (the normal
+    CDC case): pass ``seq_col`` — the batch is reduced last-wins per key
+    by (seq_col, remaining columns) before merging, so the table keeps
+    its key-uniqueness invariant deterministically. Without ``seq_col``
+    a batch holding duplicate keys RAISES rather than committing a
+    nondeterministic "current" row.
 
     This is the Delta "streaming upsert via foreachBatch + MERGE"
     recipe on the lake's commit DAG; each batch's cost is the
     anti-join + rewrite of ``upsert_table``, and the stream's history is
     time-travelable per batch."""
-    stream_id = os.path.abspath(checkpoint_dir)
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if is_replayed_batch(repo, branch, stream_id, batch_id):
-            return
-        stale = repo.staged_txn(branch, table)
-        if stale and stale.get("stream_id") == stream_id:
-            repo.unstage_table(branch, table)
+    def stage_merge(batch_df: DataFrame, txn: dict) -> None:
+        from pyspark.sql import Window as W
+
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.mutations import upsert
 
-        # read AFTER dropping our stale staged copy: include_staged must
-        # see other writers' staged state (lakeFS semantics) but never
-        # our own crash leftover
+        if seq_col is not None:
+            order = [F.col(seq_col).desc()] + [
+                F.col(c).desc()
+                for c in batch_df.columns
+                if c != seq_col and c not in keys
+            ]
+            w = W.partitionBy(*keys).orderBy(*order)
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            # the sequence column is feed metadata unless the table
+            # itself carries it
+            if seq_col not in repo.read_table(
+                batch_df.sparkSession, table, ref=branch, include_staged=True
+            ).columns:
+                batch_df = batch_df.drop(seq_col)
+        else:
+            dup = (
+                batch_df.groupBy(*keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"CDC batch for {table!r} holds multiple change rows "
+                    f"for one key {keys}; pass seq_col=... for last-wins "
+                    "reduction or pre-dedupe the feed"
+                )
+        # read AFTER the scaffold dropped our stale staged copy:
+        # include_staged must see other writers' staged state (lakeFS
+        # semantics) but never our own crash leftover
         current = repo.read_table(
             batch_df.sparkSession, table, ref=branch, include_staged=True
         )
         merged = upsert(current, batch_df, keys, when_matched)
-        repo.write_table(
-            branch,
-            table,
-            merged,
-            mode="overwrite",
-            txn={"stream_id": stream_id, "stream_batch_id": batch_id},
-        )
-        repo.commit(
-            branch,
-            f"{commit_prefix} {batch_id}",
-            meta={"stream_id": stream_id, "stream_batch_id": batch_id},
-        )
+        repo.write_table(branch, table, merged, mode="overwrite", txn=txn)
 
-    q = (
-        stream_df.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_exactly_once_sink(
+        stream_df, repo, branch, table, checkpoint_dir, commit_prefix, stage_merge
     )
-    q.awaitTermination()

@@ -337,6 +337,20 @@ class LakeRepo:
             ref = self._read_ref(branch)
             staged = ref["staged"]
             entry = staged.get(table)
+            etxn0 = (entry or {}).get("txn") if isinstance(entry, dict) else None
+            if etxn0 and not (
+                txn and txn.get("stream_id") == etxn0.get("stream_id")
+            ):
+                # ANY mode touching another idempotent writer's tagged
+                # staged entry would destroy its crash-recovery state —
+                # an overwrite silently clobbering the tag breaks that
+                # writer's exactly-once replay just as surely as an
+                # append stripping it. Fail loudly in every path.
+                raise ValueError(
+                    f"table {table!r} on {branch!r} has a staged entry "
+                    f"from another writer (entry txn={etxn0}, incoming "
+                    f"txn={txn}); commit or reset it before writing"
+                )
             if mode == "overwrite" or entry is None:
                 base = [] if mode == "overwrite" else list(
                     self.get_commit(ref["head"]).tables.get(table, [])
@@ -1724,16 +1738,26 @@ class LakeRepo:
                 live.update(entry["files"])
             for entry in self._staged_objects(ref).values():
                 live_blob(entry["blob"])
-            if retain_versions is not None:
-                # Delta VACUUM RETAIN parity in version units: keep data
-                # for every commit whose global version is within the
-                # newest ``retain_versions`` of this branch's head (plus
-                # the head itself); older commits stay readable as
-                # METADATA but their unshared data files are collected —
-                # time travel past the horizon raises at read, exactly
-                # like Delta after retention expiry
-                head_v = self.head(br).version
-                floor_v = head_v - retain_versions
+            if retain_versions is not None or keep_history:
+                # ONE commit-DAG walk with a per-commit keep predicate.
+                # keep_history: every reachable commit's data stays live
+                # (unlimited time travel). retain_versions (Delta VACUUM
+                # RETAIN parity in version units): only commits whose
+                # global version is within the newest ``retain_versions``
+                # of this branch's head (plus the head itself) keep
+                # data; older commits stay readable as METADATA but
+                # their unshared files are collected — time travel past
+                # the horizon raises at read, like Delta after
+                # retention expiry.
+                if retain_versions is not None:
+                    floor_v = self.head(br).version - retain_versions
+
+                    def keeps(c: Commit, cid: str) -> bool:
+                        return c.version >= floor_v or cid == ref["head"]
+                else:
+                    def keeps(c: Commit, cid: str) -> bool:
+                        return True
+
                 stack = [ref["head"]]
                 seen: set[str] = set()
                 while stack:
@@ -1742,25 +1766,11 @@ class LakeRepo:
                         continue
                     seen.add(cid)
                     c = self.get_commit(cid)
-                    if c.version >= floor_v or cid == ref["head"]:
+                    if keeps(c, cid):
                         for files in c.tables.values():
                             live.update(files)
                         for blob in c.objects.values():
                             live_blob(blob)
-                    stack.extend(c.parents)
-            elif keep_history:
-                stack = [ref["head"]]
-                seen: set[str] = set()
-                while stack:
-                    cid = stack.pop()
-                    if cid in seen:
-                        continue
-                    seen.add(cid)
-                    c = self.get_commit(cid)
-                    for files in c.tables.values():
-                        live.update(files)
-                    for blob in c.objects.values():
-                        live_blob(blob)
                     stack.extend(c.parents)
             else:
                 head = self.head(br)

@@ -1107,18 +1107,25 @@ class LakeSQL:
             )
 
             src_sql = m.group("select") or f"SELECT * FROM {m.group('table')}"
-            out = self.sql(src_sql)
-            rows = out.count()
-            fmt = (m.group("fmt") or "parquet").lower()
-            path = m.group("path")
-            if fmt == "csv":
-                write_csv(out, path, header=bool(m.group("header")))
-            elif fmt == "orc":
-                write_orc(out, path)
-            elif fmt == "json":
-                out.write.mode("overwrite").json(path)
-            else:
-                write_parquet(out, path)
+            out = self.sql(src_sql).persist()
+            try:
+                # persist so the count and the write observe ONE
+                # execution — an expensive (or nondeterministic) query
+                # must not run twice nor report a count from a
+                # different run than the written files
+                rows = out.count()
+                fmt = (m.group("fmt") or "parquet").lower()
+                path = m.group("path")
+                if fmt == "csv":
+                    write_csv(out, path, header=bool(m.group("header")))
+                elif fmt == "orc":
+                    write_orc(out, path)
+                elif fmt == "json":
+                    out.write.mode("overwrite").json(path)
+                else:
+                    write_parquet(out, path)
+            finally:
+                out.unpersist(blocking=False)
             return self.spark.createDataFrame(
                 [(path, fmt, rows)], "path STRING, format STRING, rows_copied LONG"
             )

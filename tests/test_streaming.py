@@ -535,3 +535,54 @@ def test_stream_upsert_into_repo_cdc_apply(spark, tmp_path):
     stream4 = spark.readStream.schema("k LONG, v LONG").parquet(src)
     stream_upsert_into_repo(stream4, repo, "main", "t", ["k"], checkpoint_dir=ckpt)
     assert repo.read_table(spark, "t", "main").count() == 4
+
+
+def test_stream_upsert_intra_batch_dedup(spark, tmp_path):
+    """Review fix: multiple change events per key in one micro-batch —
+    without seq_col the batch RAISES (no nondeterministic 'current'
+    row); with seq_col the highest sequence wins deterministically."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_upsert_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    repo.write_table("main", "t", spark.createDataFrame([(1, 10)], "k LONG, v LONG"))
+    repo.commit("main", "seed")
+    src = str(tmp_path / "changes")
+    # two events for k=2 in ONE batch (one availableNow drain)
+    spark.createDataFrame(
+        [(2, 5, 100), (2, 6, 200), (3, 30, 150)], "k LONG, v LONG, seq LONG"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k LONG, v LONG, seq LONG").parquet(src)
+    with pytest.raises(Exception, match="multiple change rows"):
+        stream_upsert_into_repo(
+            stream, repo, "main", "t", ["k"], checkpoint_dir=str(tmp_path / "c1")
+        )
+    stream2 = spark.readStream.schema("k LONG, v LONG, seq LONG").parquet(src)
+    stream_upsert_into_repo(
+        stream2, repo, "main", "t", ["k"],
+        checkpoint_dir=str(tmp_path / "c2"), seq_col="seq",
+    )
+    got = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+    assert got == {1: 10, 2: 6, 3: 30}  # seq=200 wins for k=2; seq dropped
+
+
+def test_overwrite_onto_foreign_tagged_entry_raises(spark, tmp_path):
+    """Review fix: an OVERWRITE clobbering another idempotent writer's
+    tagged staged entry would silently destroy its crash-recovery tag —
+    it must raise like the append path does."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1,)], "id LONG")
+    repo.write_table("main", "m", df, mode="append", txn={"stream_id": "sA", "stream_batch_id": 0})
+    with pytest.raises(ValueError, match="another writer"):
+        repo.write_table("main", "m", df, mode="overwrite")
+    with pytest.raises(ValueError, match="another writer"):
+        repo.write_table(
+            "main", "m", df, mode="overwrite", txn={"stream_id": "sB", "stream_batch_id": 0}
+        )
+    # same writer may overwrite its own tagged entry (upsert sink path)
+    repo.write_table(
+        "main", "m", df, mode="overwrite", txn={"stream_id": "sA", "stream_batch_id": 1}
+    )
+    assert repo.staged_txn("main", "m")["stream_batch_id"] == 1
