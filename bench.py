@@ -108,6 +108,7 @@ def main() -> None:
         "sim_topk_pq",
         "sim_topk_pq_refined",
         "sim_topk_ivfpq",
+        "scd2_dim",
     ):
         if extra in registry:
             names.append(extra)

@@ -46,3 +46,75 @@ def upsert(
         return kept.unionByName(source)
     new_rows = source.join(target.select(keys).distinct(), keys, "left_anti")
     return target.unionByName(new_rows)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version: int,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 maintenance: apply a snapshot of
+    changed/new rows at ``version``, keeping full history — the standard
+    warehouse pattern for dimensions whose past values must stay
+    queryable (``valid_to IS NULL`` = current; an as-of version v reads
+    ``valid_from <= v AND (valid_to IS NULL OR valid_to > v)``).
+
+    Semantics per change row:
+      key exists, attributes DIFFER → close the current row
+      (``valid_to`` = version) and insert a new current row
+      (``valid_from`` = version);
+      key exists, attributes equal → no-op (no spurious history rows);
+      new key → insert as current.
+    Closed history rows pass through untouched.
+
+    Plan: ONE equi-join of the current slice against the changes
+    (broadcastable for a small change set — the 100 TB dimension's
+    closed history streams through a filter and never joins), attribute
+    comparison via null-safe equality on every non-key column, then a
+    three-way union. Deterministic: pure column algebra, no RNG, no
+    driver collect."""
+    from pyspark.sql import functions as F
+
+    attrs = [c for c in changes.columns if c not in keys]
+    expected = set(keys) | set(attrs) | {from_col, to_col}
+    if set(dim.columns) != expected:
+        raise ValueError(
+            f"scd2 dim schema {sorted(dim.columns)} != keys+attrs+"
+            f"[{from_col},{to_col}] = {sorted(expected)}"
+        )
+    closed_history = dim.where(F.col(to_col).isNotNull())
+    current = dim.where(F.col(to_col).isNull())
+    ch = changes.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+        F.lit(1).alias("_chg"),  # match marker: attrs may legitimately be NULL
+    )
+    j = current.join(ch, keys, "left")
+    same = None
+    for a in attrs:
+        eq = F.col(a).eqNullSafe(F.col(f"_new_{a}"))
+        same = eq if same is None else (same & eq)
+    matched = F.col("_chg").isNotNull()
+    # rows the change set doesn't touch, or touches with equal attrs
+    untouched = j.where(~matched | same).select(*dim.columns)
+    closed = (
+        j.where(matched & ~same)
+        .select(*keys, *attrs, from_col)
+        .withColumn(to_col, F.lit(version).cast("long"))
+        .select(*dim.columns)
+    )
+    replaced_keys = j.where(matched & ~same).select(*keys)
+    new_keys = ch.join(current.select(*keys), keys, "left_anti")
+    inserts = (
+        new_keys.unionByName(
+            ch.join(replaced_keys, keys, "left_semi"), allowMissingColumns=False
+        )
+        .select(*keys, *[F.col(f"_new_{a}").alias(a) for a in attrs])
+        .withColumn(from_col, F.lit(version).cast("long"))
+        .withColumn(to_col, F.lit(None).cast("long"))
+        .select(*dim.columns)
+    )
+    return closed_history.unionByName(untouched).unionByName(closed).unionByName(inserts)

@@ -1677,6 +1677,69 @@ WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
 """
 
 
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/mutations.scd2_apply):
+    two change rounds against a customer dimension — every 10th customer
+    repriced at v2 plus a batch of brand-new keys, every 20th repriced
+    again at v3 — so the result exercises close-and-insert, no-op equal
+    rows, new-key insert, and closed-history passthrough. Output: row
+    count + exact balance sum per (valid_from, valid_to) validity slice,
+    a pure function of the testdata iff the history algebra is exact."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.mutations import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    dim = cust.withColumn("valid_from", F.lit(1).cast("long")).withColumn(
+        "valid_to", F.lit(None).cast("long")
+    )
+    changes_v2 = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .unionByName(
+            cust.where(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1_000_000_000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    dim = scd2_apply(dim, changes_v2, ["c_custkey"], version=2)
+    changes_v3 = cust.where(F.col("c_custkey") % 20 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 300.0
+    )
+    dim = scd2_apply(dim, changes_v3, ["c_custkey"], version=3)
+    return (
+        dim.groupBy("valid_from", "valid_to")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum(F.col("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("valid_from", F.col("valid_to").asc_nulls_last())
+    )
+
+
+# final validity slices, derived directly from the change-round rules:
+# untouched (1,NULL); 10th-but-not-20th closed (1,2) + current (2,NULL)
+# at +100; 20th closed (1,2) and (2,3) + current (3,NULL) at +300; new
+# keys current (2,NULL) at 0.0
+ORACLE_SCD2_DIM = """
+WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+g AS (
+    SELECT 1 AS vf, NULL AS vt, bal FROM base WHERE k % 10 <> 0
+    UNION ALL SELECT 1, 2, bal FROM base WHERE k % 10 = 0
+    UNION ALL SELECT 2, NULL, bal + 100.0 FROM base
+        WHERE k % 10 = 0 AND k % 20 <> 0
+    UNION ALL SELECT 2, 3, bal + 100.0 FROM base WHERE k % 20 = 0
+    UNION ALL SELECT 3, NULL, bal + 300.0 FROM base WHERE k % 20 = 0
+    UNION ALL SELECT 2, NULL, 0.0 FROM base WHERE k % 100 = 0
+)
+SELECT CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100.0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_bal
+FROM g GROUP BY vf, vt
+ORDER BY valid_from, valid_to NULLS LAST
+"""
+
+
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO-style upsert (operators/mutations.py): a deterministic
     change set — every 97th order repriced (UPDATE), every 101st re-keyed
@@ -2458,6 +2521,7 @@ ADVANCED_QUERIES = {
     "subquery_scalar": q_subquery_scalar,
     "window_analytics": q_window_analytics,
     "upsert": q_upsert,
+    "scd2_dim": q_scd2_dim,
     "zorder_key": q_zorder_key,
     "array_funcs": q_array_funcs,
     "explode_tokens": q_explode_tokens,
@@ -2520,6 +2584,7 @@ ADVANCED_ORACLES = {
     "subquery_scalar": ORACLE_SUBQUERY_SCALAR,
     "window_analytics": ORACLE_WINDOW_ANALYTICS,
     "upsert": ORACLE_UPSERT,
+    "scd2_dim": ORACLE_SCD2_DIM,
     "zorder_key": _zorder_oracle(),
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "explode_tokens": ORACLE_EXPLODE_TOKENS,

@@ -773,3 +773,37 @@ def test_ivfpq_topk_properties(spark):
     # nprobe=1 returns a subset drawn from single cells, still k-bounded
     n1 = ivfpq_topk(emb, queries, cents, cbs, k=5, nprobe=1)
     assert n1.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_scd2_apply_semantics(spark):
+    """SCD2: equal-attribute changes are no-ops, differing ones close
+    and reopen, new keys insert, history survives later rounds, and the
+    as-of predicate reconstructs any past state exactly."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.mutations import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", 1, None), (2, "b", 1, None)],
+        "k LONG, attr STRING, valid_from LONG, valid_to LONG",
+    )
+    # v2: k=1 unchanged (no-op), k=2 changes, k=3 new
+    ch2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k LONG, attr STRING")
+    d2 = scd2_apply(dim, ch2, ["k"], version=2)
+    rows = {(r.k, r.attr): (r.valid_from, r.valid_to) for r in d2.collect()}
+    assert rows == {
+        (1, "a"): (1, None),
+        (2, "b"): (1, 2),
+        (2, "B"): (2, None),
+        (3, "c"): (2, None),
+    }
+    # v3: k=2 changes again; closed history passes through
+    ch3 = spark.createDataFrame([(2, "BB")], "k LONG, attr STRING")
+    d3 = scd2_apply(d2, ch3, ["k"], version=3)
+    rows = {(r.k, r.attr): (r.valid_from, r.valid_to) for r in d3.collect()}
+    assert rows[(2, "b")] == (1, 2) and rows[(2, "B")] == (2, 3)
+    assert rows[(2, "BB")] == (3, None)
+    # as-of version 2 reconstructs the v2 state
+    asof2 = d3.where(
+        (F.col("valid_from") <= 2)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 2))
+    )
+    assert {(r.k, r.attr) for r in asof2.collect()} == {(1, "a"), (2, "B"), (3, "c")}
