@@ -37,14 +37,16 @@ _SETTINGS = dict(
 
 _OPS = [
     "write", "commit", "branch", "merge", "revert", "reset", "vacuum",
-    "delete", "upsert",
+    "delete", "upsert", "rename",
 ]
 
 _op = st.tuples(st.sampled_from(_OPS), st.integers(0, 4), st.integers(0, 4))
 
 
 def _rows(df) -> frozenset:
-    return frozenset((r.id, r.val) for r in df.collect())
+    # positional: ALTER RENAME may change the value column's NAME but
+    # never its position (order is pinned from the recorded base)
+    return frozenset((r[0], r[1]) for r in df.collect())
 
 
 @given(ops=st.lists(_op, min_size=3, max_size=10))
@@ -55,6 +57,10 @@ def test_versioning_invariants_under_chaos(spark, ops):
         repo = LakeRepo.init(root)
         counter = 0  # unique row payloads so snapshots are identifiable
         tables = ["ta", "tb"]
+        # live logical name of each table's value column (ALTER RENAME
+        # evolves it; all branches agree because renames only run while
+        # a single branch exists)
+        val_name = {t: "val" for t in tables}
         # model of COMMITTED branch state: branch -> {table: frozenset}
         committed: dict[str, dict[str, frozenset]] = {"main": {}}
         staged: dict[str, dict[str, frozenset]] = {"main": {}}
@@ -68,7 +74,7 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 t = tables[b % len(tables)]
                 counter += 1
                 df = spark.createDataFrame(
-                    [(counter, f"v{counter}")], "id long, val string"
+                    [(counter, f"v{counter}")], f"id long, {val_name[t]} string"
                 )
                 repo.write_table(br, t, df)
                 staged[br][t] = _rows(df)
@@ -131,6 +137,24 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 staged[br] = {}
             elif kind == "vacuum":
                 repo.vacuum(keep_history=True, grace_seconds=0.0)
+            elif kind == "rename":
+                # metadata-only ALTER RENAME on the value column; only
+                # while a single branch exists (so every branch's schema
+                # map stays identical and merges can't diverge on it),
+                # only on a clean branch (ALTER requires it), and only
+                # for committed tables
+                if len(committed) > 1 or staged[br] or not committed[br]:
+                    continue
+                t = tables[b % len(tables)]
+                if t not in committed[br]:
+                    continue
+                counter += 1
+                new = f"val{counter}"
+                repo.alter_rename_column(spark, br, t, val_name[t], new)
+                val_name[t] = new
+                c = repo.head(br)
+                # values are untouched; the ALTER commit is a snapshot too
+                snapshots.append((c.id, c.version, dict(committed[br])))
             elif kind == "delete":
                 # SQL DELETE auto-commits; run it only on a clean branch so
                 # it can't sweep unrelated staged tables into its commit.
@@ -149,7 +173,7 @@ def test_versioning_invariants_under_chaos(spark, ops):
                     cond = f"id <= {counter - 1}"
                     survives = lambda r: not (r[0] <= counter - 1)
                 elif variant == 1:
-                    cond = "val = 'no-such-value'"
+                    cond = f"{val_name[t]} = 'no-such-value'"
                     survives = lambda r: True
                 else:
                     cond = "id % 2 = 0"
@@ -174,9 +198,9 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 hit_id = sorted(committed[br][t])[0][0]
                 counter += 1
                 rows = [(hit_id, f"m{counter}"), (counter + 10_000, f"i{counter}")]
-                spark.createDataFrame(rows, "id long, val string").createOrReplaceTempView(
-                    "chaos_src"
-                )
+                spark.createDataFrame(
+                    rows, f"id long, {val_name[t]} string"
+                ).createOrReplaceTempView("chaos_src")
                 LakeSQL(spark, repo, br).sql(
                     f"MERGE INTO {t} USING chaos_src ON {t}.id = chaos_src.id "
                     "WHEN MATCHED THEN UPDATE SET * "
