@@ -904,6 +904,42 @@ FROM emailless
 """
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as one map pass (SURVEY §2.7
+    extension): transform / filter / aggregate / array_sort / slice /
+    reverse over each document's token array — the lambda-function
+    surface Spark whole-stage-codegens, mirrored 1:1 by DuckDB's
+    list_* lambdas. No UDFs, no shuffle."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokenize(F.col("text"))
+    lens = F.transform(tk, lambda t: F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(tk).cast("int").alias("n_tokens"),
+        F.size(F.filter(tk, lambda t: F.length(t) > 4)).cast("int").alias("n_long"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_lens"
+        ),
+        F.concat_ws(" ", F.slice(F.array_sort(tk), 1, 3)).alias("first3_sorted"),
+        F.concat_ws("|", F.reverse(F.array_sort(tk))).alias("rev_sorted"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> length(x) > 4)) AS INT) AS n_long,
+       CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT)
+           AS sum_lens,
+       array_to_string(list_sort(tk)[1:3], ' ') AS first3_sorted,
+       array_to_string(list_reverse(list_sort(tk)), '|') AS rev_sorted
+FROM t
+"""
+
+
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train m=4 per-subspace
     integer-L2 codebooks (k=8, 2 Lloyd's iterations), compress every
@@ -1134,6 +1170,7 @@ ORACLE_SIM_TOPK_PQ_REFINED = _oracle_sim_topk_pq(refine=50)
 
 
 EXTENSION_QUERIES = {
+    "array_funcs": q_array_funcs,
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_pq_refined": q_sim_topk_pq_refined,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -1162,6 +1199,7 @@ EXTENSION_QUERIES = {
 }
 
 EXTENSION_ORACLES = {
+    "array_funcs": ORACLE_ARRAY_FUNCS,
     "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
     "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,
     "sim_topk_ivfpq": ORACLE_SIM_TOPK_IVFPQ,
