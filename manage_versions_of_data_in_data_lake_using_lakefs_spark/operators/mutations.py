@@ -79,11 +79,22 @@ def scd2_apply(
     from pyspark.sql import functions as F
 
     attrs = [c for c in changes.columns if c not in keys]
+    if not attrs:
+        raise ValueError("scd2 changes must carry at least one non-key column")
     expected = set(keys) | set(attrs) | {from_col, to_col}
     if set(dim.columns) != expected:
         raise ValueError(
             f"scd2 dim schema {sorted(dim.columns)} != keys+attrs+"
             f"[{from_col},{to_col}] = {sorted(expected)}"
+        )
+    # duplicate keys in one change set would fan the join out and break
+    # the one-current-row-per-key invariant silently — refuse (the CDC
+    # sink's last-wins reduction is the place to resolve them)
+    dup = changes.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            f"scd2 change set holds multiple rows per key {keys}; reduce "
+            "it (e.g. last-wins by a sequence column) before applying"
         )
     closed_history = dim.where(F.col(to_col).isNotNull())
     current = dim.where(F.col(to_col).isNull())
@@ -106,13 +117,16 @@ def scd2_apply(
         .withColumn(to_col, F.lit(version).cast("long"))
         .select(*dim.columns)
     )
-    replaced_keys = j.where(matched & ~same).select(*keys)
-    new_keys = ch.join(current.select(*keys), keys, "left_anti")
+    # replacements come straight from j (it already carries _new_*);
+    # genuinely-new keys from one anti-join — no third join needed
+    replaced = j.where(matched & ~same).select(
+        *keys, *[F.col(f"_new_{a}").alias(a) for a in attrs]
+    )
+    new_rows = ch.join(current.select(*keys), keys, "left_anti").select(
+        *keys, *[F.col(f"_new_{a}").alias(a) for a in attrs]
+    )
     inserts = (
-        new_keys.unionByName(
-            ch.join(replaced_keys, keys, "left_semi"), allowMissingColumns=False
-        )
-        .select(*keys, *[F.col(f"_new_{a}").alias(a) for a in attrs])
+        new_rows.unionByName(replaced)
         .withColumn(from_col, F.lit(version).cast("long"))
         .withColumn(to_col, F.lit(None).cast("long"))
         .select(*dim.columns)

@@ -1721,7 +1721,7 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # untouched (1,NULL); 10th-but-not-20th closed (1,2) + current (2,NULL)
 # at +100; 20th closed (1,2) and (2,3) + current (3,NULL) at +300; new
 # keys current (2,NULL) at 0.0
-ORACLE_SCD2_DIM = """
+ORACLE_SCD2_DIM = f"""
 WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
 g AS (
     SELECT 1 AS vf, NULL AS vt, bal FROM base WHERE k % 10 <> 0
@@ -1734,7 +1734,7 @@ g AS (
 )
 SELECT CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(bal * 100.0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_bal
+       {decimal_sum_sql('bal', 2)} AS sum_bal
 FROM g GROUP BY vf, vt
 ORDER BY valid_from, valid_to NULLS LAST
 """

@@ -904,7 +904,7 @@ FROM emailless
 """
 
 
-def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions as one map pass (SURVEY §2.7
     extension): transform / filter / aggregate / array_sort / slice /
     reverse over each document's token array — the lambda-function
@@ -927,7 +927,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ARRAY_FUNCS = f"""
+ORACLE_ARRAY_HOF = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
 SELECT doc_id,
        CAST(len(tk) AS INT) AS n_tokens,
@@ -1170,7 +1170,7 @@ ORACLE_SIM_TOPK_PQ_REFINED = _oracle_sim_topk_pq(refine=50)
 
 
 EXTENSION_QUERIES = {
-    "array_funcs": q_array_funcs,
+    "array_hof": q_array_hof,
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_pq_refined": q_sim_topk_pq_refined,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -1199,7 +1199,7 @@ EXTENSION_QUERIES = {
 }
 
 EXTENSION_ORACLES = {
-    "array_funcs": ORACLE_ARRAY_FUNCS,
+    "array_hof": ORACLE_ARRAY_HOF,
     "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
     "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,
     "sim_topk_ivfpq": ORACLE_SIM_TOPK_IVFPQ,

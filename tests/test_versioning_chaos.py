@@ -57,10 +57,10 @@ def test_versioning_invariants_under_chaos(spark, ops):
         repo = LakeRepo.init(root)
         counter = 0  # unique row payloads so snapshots are identifiable
         tables = ["ta", "tb"]
-        # live logical name of each table's value column (ALTER RENAME
-        # evolves it; all branches agree because renames only run while
-        # a single branch exists)
-        val_name = {t: "val" for t in tables}
+        # live logical name of each table's value column PER BRANCH
+        # (ALTER RENAME evolves it; revert restores the old schema map,
+        # so the model must snapshot and restore names with commits)
+        val_name = {"main": {t: "val" for t in tables}}
         # model of COMMITTED branch state: branch -> {table: frozenset}
         committed: dict[str, dict[str, frozenset]] = {"main": {}}
         staged: dict[str, dict[str, frozenset]] = {"main": {}}
@@ -74,7 +74,7 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 t = tables[b % len(tables)]
                 counter += 1
                 df = spark.createDataFrame(
-                    [(counter, f"v{counter}")], f"id long, {val_name[t]} string"
+                    [(counter, f"v{counter}")], f"id long, {val_name[br][t]} string"
                 )
                 repo.write_table(br, t, df)
                 staged[br][t] = _rows(df)
@@ -84,7 +84,9 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 committed[br] = {**committed[br], **staged[br]}
                 staged[br] = {}
                 c = repo.commit(br, f"c{counter}")
-                snapshots.append((c.id, c.version, dict(committed[br])))
+                snapshots.append(
+                    (c.id, c.version, dict(committed[br]), dict(val_name[br]))
+                )
             elif kind == "branch":
                 if staged[br] or len(committed) >= 4:
                     continue
@@ -92,6 +94,7 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 repo.create_branch(name, source=br)
                 committed[name] = dict(committed[br])
                 staged[name] = {}
+                val_name[name] = dict(val_name[br])
             elif kind == "merge":
                 src = branches[b % len(branches)]
                 if src == br:
@@ -126,12 +129,15 @@ def test_versioning_invariants_under_chaos(spark, ops):
             elif kind == "revert":
                 if not snapshots or staged[br]:
                     continue
-                cid, _, snap = snapshots[b % len(snapshots)]
+                cid, _, snap, names = snapshots[b % len(snapshots)]
                 # revert only to commits on this branch's history
                 if cid not in {c.id for c in repo.log(br, limit=None)}:
                     continue
                 repo.revert(br, cid)
                 committed[br] = dict(snap)
+                # the schema-map object reverts with the snapshot: the
+                # model's column names must follow
+                val_name[br] = dict(names)
             elif kind == "reset":
                 repo.reset(br)
                 staged[br] = {}
@@ -150,11 +156,13 @@ def test_versioning_invariants_under_chaos(spark, ops):
                     continue
                 counter += 1
                 new = f"val{counter}"
-                repo.alter_rename_column(spark, br, t, val_name[t], new)
-                val_name[t] = new
+                repo.alter_rename_column(spark, br, t, val_name[br][t], new)
+                val_name[br][t] = new
                 c = repo.head(br)
                 # values are untouched; the ALTER commit is a snapshot too
-                snapshots.append((c.id, c.version, dict(committed[br])))
+                snapshots.append(
+                    (c.id, c.version, dict(committed[br]), dict(val_name[br]))
+                )
             elif kind == "delete":
                 # SQL DELETE auto-commits; run it only on a clean branch so
                 # it can't sweep unrelated staged tables into its commit.
@@ -173,7 +181,7 @@ def test_versioning_invariants_under_chaos(spark, ops):
                     cond = f"id <= {counter - 1}"
                     survives = lambda r: not (r[0] <= counter - 1)
                 elif variant == 1:
-                    cond = f"{val_name[t]} = 'no-such-value'"
+                    cond = f"{val_name[br][t]} = 'no-such-value'"
                     survives = lambda r: True
                 else:
                     cond = "id % 2 = 0"
@@ -184,7 +192,9 @@ def test_versioning_invariants_under_chaos(spark, ops):
                     t: frozenset(r for r in committed[br][t] if survives(r)),
                 }
                 c = repo.head(br)
-                snapshots.append((c.id, c.version, dict(committed[br])))
+                snapshots.append(
+                    (c.id, c.version, dict(committed[br]), dict(val_name[br]))
+                )
             elif kind == "upsert":
                 # SQL MERGE INTO with a 2-row source: one row targets an
                 # existing id (update), one a fresh id (insert)
@@ -199,7 +209,7 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 counter += 1
                 rows = [(hit_id, f"m{counter}"), (counter + 10_000, f"i{counter}")]
                 spark.createDataFrame(
-                    rows, f"id long, {val_name[t]} string"
+                    rows, f"id long, {val_name[br][t]} string"
                 ).createOrReplaceTempView("chaos_src")
                 LakeSQL(spark, repo, br).sql(
                     f"MERGE INTO {t} USING chaos_src ON {t}.id = chaos_src.id "
@@ -210,12 +220,14 @@ def test_versioning_invariants_under_chaos(spark, ops):
                 merged_rows |= set(rows)
                 committed[br] = {**committed[br], t: frozenset(merged_rows)}
                 c = repo.head(br)
-                snapshots.append((c.id, c.version, dict(committed[br])))
+                snapshots.append(
+                    (c.id, c.version, dict(committed[br]), dict(val_name[br]))
+                )
 
         # INVARIANT 1+2: every snapshot ever committed — including through
         # any number of vacuums/reverts/merges — reads back identically,
         # both by commit id and by pinned global version
-        for cid, version, snap in snapshots:
+        for cid, version, snap, _names in snapshots:
             for t, rows in snap.items():
                 assert _rows(repo.read_table(spark, t, cid)) == rows, (
                     f"snapshot {cid[:8]} table {t} mutated"
