@@ -417,3 +417,29 @@ def test_generated_column_redefinition_and_constraints(spark, repo):
     )
     repo.commit("main", "ok append")
     assert repo.read_table(spark, "t", "main").filter("v2 = 60.0").count() == 1
+
+
+def test_optimize_compaction_on_column_mapped_table(spark, repo):
+    """OPTIMIZE (compaction) on a renamed+generated table reads the
+    LOGICAL schema and rewrites physical files under it — data, order
+    pin, and recompute-on-read must all survive the rewrite."""
+    _base(spark, repo)
+    repo.write_table(
+        "main",
+        "t",
+        spark.createDataFrame([(3, "c", 30.0)], "k LONG, name STRING, v DOUBLE"),
+        mode="append",
+    )
+    repo.commit("main", "second file")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("ALTER TABLE t RENAME COLUMN v TO price")
+    lsql.sql("ALTER TABLE t ADD COLUMN p2 DOUBLE GENERATED ALWAYS AS (price * 2)")
+    lsql.sql("OPTIMIZE t INTO 1 FILES")
+    out = repo.read_table(spark, "t", "main")
+    assert out.columns == ["k", "name", "price", "p2"]
+    got = sorted((r.k, r.price, r.p2) for r in out.collect())
+    assert got == [(1, 10.0, 20.0), (2, 20.0, 40.0), (3, 30.0, 60.0)]
+    # time travel to the pre-ALTER version still shows the old schema
+    first_v = min(c.version for c in repo.log("main", limit=None))
+    old = repo.read_table(spark, "t", "main", version_as_of=first_v + 1)
+    assert "v" in old.columns and "price" not in old.columns
