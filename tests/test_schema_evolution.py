@@ -443,3 +443,25 @@ def test_optimize_compaction_on_column_mapped_table(spark, repo):
     first_v = min(c.version for c in repo.log("main", limit=None))
     old = repo.read_table(spark, "t", "main", version_as_of=first_v + 1)
     assert "v" in old.columns and "price" not in old.columns
+
+
+def test_sql_dispatch_hygiene_for_new_statements(spark, repo):
+    """Malformed spellings of the r6 statements must fail loudly (fall
+    through to the rewriter / raise), never silently mis-dispatch."""
+    _base(spark, repo)
+    lsql = LakeSQL(spark, repo, "main")
+    for bad in (
+        "ALTER TABLE t ADD COLUMN score",          # missing type
+        "ALTER TABLE t RENAME COLUMN v",           # missing TO
+        "ALTER TABLE t DROP",                      # missing COLUMN/CONSTRAINT
+        "CREATE TABLE t2 CLONE t",                 # missing SHALLOW
+        "COPY t TO out_parquet",                   # unquoted path
+        "VACUUM RETAIN VERSIONS",                  # missing n
+    ):
+        with pytest.raises(Exception):
+            lsql.sql(bad)
+    # and none of them left staged junk behind
+    assert repo.status("main") == {}
+    # well-formed spellings with odd spacing still dispatch
+    lsql.sql("ALTER  TABLE  t  ADD  COLUMN  s2  DOUBLE")
+    assert "s2" in repo.read_table(spark, "t", "main").columns
