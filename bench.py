@@ -109,6 +109,7 @@ def main() -> None:
         "sim_topk_pq_refined",
         "sim_topk_ivfpq",
         "scd2_dim",
+        "vector_lake_search",
     ):
         if extra in registry:
             names.append(extra)

@@ -269,13 +269,31 @@ def pq_topk_adc(
     move."""
     from pyspark.sql import Window
 
+    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+    return pq_topk_adc_encoded(enc, queries, codebooks, k, vec_col, id_col)
+
+
+def pq_topk_adc_encoded(
+    enc: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over an ALREADY-ENCODED ``(id, codes, n)`` frame — the
+    stored-index entry point: a PQ index persisted as a lake table (plus
+    its codebooks object) is searched without re-encoding the corpus,
+    and ingest batches encoded with the SAME stored codebooks append to
+    it without retraining."""
+    from pyspark.sql import Window
+
     qrows = [
         (r.id, r.q, r.n)
         for r in with_quantized(queries, vec_col)
         .select(F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n"))
         .collect()
     ]
-    enc = pq_encode(corpus, codebooks, vec_col, id_col)
     local = _persisted(
         enc.mapInPandas(
             _make_adc_batches(codebooks, qrows, k),

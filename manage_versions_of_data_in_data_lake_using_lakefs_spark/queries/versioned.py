@@ -275,6 +275,110 @@ def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_lake_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-lake pattern: a PQ index lives IN the lake — codes as
+    a versioned table, codebooks as a versioned object — so search and
+    ingest are decoupled from training. The index is built from the
+    first 400 vectors, an ingest batch (the rest) is encoded with the
+    STORED codebooks (no retraining — batch-proportional cost, the ANN
+    twin of dedup_incremental) and appended, and the query runs ADC over
+    the stored codes read back from the lake. The oracle re-derives the
+    whole thing from raw embeddings, so a hash match proves the
+    store/load roundtrip preserved the index bit-exactly AND that
+    stored-codebook encoding equals training-time encoding."""
+    import json as _json
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import (
+        pq_encode,
+        pq_topk_adc_encoded,
+        pq_train,
+    )
+
+    repo = _fresh_repo()
+    emb = load_table(spark, sf_dir, "embeddings")
+    build = emb.where(F.col("vec_id") < 400)
+    ingest = emb.where(F.col("vec_id") >= 400)
+    cbs = pq_train(build, m=4, k=8, iters=2)
+    repo.put_object("main", "_index/pq_codebooks.json", _json.dumps(cbs))
+    repo.write_table("main", "vec_codes", pq_encode(build, cbs))
+    repo.commit("main", "index build")
+    # a later session: stored codebooks, no retrain, append-only ingest
+    cbs2 = _json.loads(
+        repo.get_object("_index/pq_codebooks.json", "main")
+    )
+    repo.write_table("main", "vec_codes", pq_encode(ingest, cbs2), mode="append")
+    repo.commit("main", "ingest batch")
+    enc = repo.read_table(spark, "vec_codes", "main")
+    queries = emb.where(F.col("vec_id") < 4)
+    return pq_topk_adc_encoded(enc, queries, cbs2, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _oracle_vector_lake_search(m: int = 4, k: int = 8, iters: int = 2) -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
+        CENT_SAMPLE_SQL,
+        kml2_assign,
+        kml2_train_ctes,
+    )
+
+    sub = f"(len(q) // {m})"
+    parts, recon_cols, joins = [], [], []
+    for j in range(m):
+        lo, hi = f"({j} * {sub} + 1)", f"(({j} + 1) * {sub})"
+        # training slices come from the BUILD set only; encoding covers ALL
+        parts.append(f"tsub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM qtrain)")
+        parts.append(f"tinit{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM vseeds)")
+        ctes, fc, _fa = kml2_train_ctes(iters, f"tsub{j}", f"tinit{j}", f"_v{j}")
+        parts.append(ctes)
+        parts.append(f"esub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM qn)")
+        parts.append(kml2_assign(fc, f"enc{j}", f"esub{j}"))
+        parts.append(
+            f"vrec{j} AS (SELECT a.id, c.qc FROM (SELECT id, cell FROM enc{j} "
+            f"WHERE rc = 1) a JOIN {fc} c USING (cell))"
+        )
+        recon_cols.append(f"r{j}.qc")
+        joins.append(f"vrec{j} r{j}")
+    recon_join = joins[0] + "".join(f" JOIN {t} USING (id)" for t in joins[1:])
+    parts_sql = ",\n".join(parts)
+    recon_cols_sql = " || ".join(recon_cols)
+    return f"""
+WITH qv0 AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qv0),
+qtrain AS (SELECT id, q FROM qn WHERE id < 400),
+vseeds AS (SELECT id, q FROM qtrain ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}),
+{parts_sql},
+recon AS (SELECT r0.id, {recon_cols_sql} AS rq FROM {recon_join}),
+scored AS (
+    SELECT qv.id AS query_id, x.id AS nbr,
+           CAST(list_dot_product(qv.q, r.rq) AS BIGINT) AS adc,
+           qv.n AS nq, x.n AS nx
+    FROM (SELECT * FROM qn WHERE id < 4) qv
+    CROSS JOIN qn x JOIN recon r ON r.id = x.id
+    WHERE x.id != qv.id
+),
+ranked AS (
+    SELECT query_id, nbr, adc,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY adc / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nx AS DOUBLE))) DESC,
+                        nbr ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, nbr, adc
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+ORACLE_VECTOR_LAKE_SEARCH = _oracle_vector_lake_search()
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
@@ -282,6 +386,7 @@ VERSIONED_QUERIES = {
     "versioned_delete_prune": q_versioned_delete_prune,
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
+    "vector_lake_search": q_vector_lake_search,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -391,4 +496,5 @@ VERSIONED_ORACLES = {
     "versioned_delete_prune": ORACLE_VERSIONED_DELETE_PRUNE,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
+    "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,
 }
