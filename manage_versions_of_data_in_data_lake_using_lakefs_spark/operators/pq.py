@@ -310,6 +310,40 @@ def pq_topk_adc_encoded(
     )
 
 
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared refine tail: exact cosine re-rank of a (query_id, nbr)
+    shortlist — only shortlisted rows are re-read at full precision."""
+    from pyspark.sql import Window
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_q, dot_q
+
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("nbr"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+    )
+    qs = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_q").alias("qq"), F.col("_n").alias("nq")
+    )
+    exact = (
+        short.join(c, "nbr")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("dot", dot_q(F.col("qc"), F.col("qq")))
+        .withColumn("cos", cosine_q(F.col("dot"), F.col("nc"), F.col("nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "nbr", "dot")
+    )
+
+
 def pq_topk_refined(
     corpus: DataFrame,
     queries: DataFrame,
@@ -338,24 +372,7 @@ def pq_topk_refined(
     short = pq_topk_adc(
         corpus, queries, codebooks, k=shortlist, vec_col=vec_col, id_col=id_col
     ).select("query_id", "nbr")
-    c = with_quantized(corpus, vec_col).select(
-        F.col(id_col).alias("nbr"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
-    )
-    qs = with_quantized(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_q").alias("qq"), F.col("_n").alias("nq")
-    )
-    exact = (
-        short.join(c, "nbr")
-        .join(F.broadcast(qs), "query_id")
-        .withColumn("dot", dot_q(F.col("qc"), F.col("qq")))
-        .withColumn("cos", cosine_q(F.col("dot"), F.col("nc"), F.col("nq")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "nbr", "dot")
-    )
+    return _exact_rerank(short, corpus, queries, k, vec_col, id_col)
 
 
 def _make_residual_batches(cents: list[list[int]]):
@@ -517,3 +534,28 @@ def ivfpq_topk(
 
 
 
+
+
+def ivfpq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full production ANN stack (FAISS IndexIVFPQ + refine): probe
+    nprobe coarse cells, ADC-shortlist over their compressed codes, then
+    exact cosine re-rank of ONLY the shortlisted rows. Combines every
+    cost lever — candidate volume ×nprobe/coarse_k, scan bytes ×1/32,
+    exact math on shortlist×|queries| rows — while final ordering is
+    exact over what survives (the measured answer to raw ADC's weak
+    ordering on unstructured corpora, SCALING.md)."""
+    short = ivfpq_topk(
+        corpus, queries, cents, codebooks,
+        k=shortlist, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "nbr")
+    return _exact_rerank(short, corpus, queries, k, vec_col, id_col)

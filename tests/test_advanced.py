@@ -807,3 +807,32 @@ def test_scd2_apply_semantics(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > 2))
     )
     assert {(r.k, r.attr) for r in asof2.collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_ivfpq_refined_recall(spark):
+    """IVFPQ + refine: with generous probing and shortlist, exact
+    re-rank recovers strong recall even on the unstructured fixture
+    (the production stack's claim); results layout-independent."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import ivfpq_topk_refined, ivfpq_train
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topk_bruteforce
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    cents, cbs = ivfpq_train(emb, coarse_k=8, m=4, k=8, iters=2)
+    exact = {}
+    for r in topk_bruteforce(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.nbr)
+    for parts in (None, 7):
+        e = emb if parts is None else emb.repartition(parts)
+        got = {}
+        for r in ivfpq_topk_refined(
+            e, queries, cents, cbs, k=5, nprobe=8, shortlist=100
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.nbr)
+        if parts is None:
+            first = got
+    assert first == got
+    hits = sum(len(first[q] & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"ivfpq refined recall: {hits}/{total}"
