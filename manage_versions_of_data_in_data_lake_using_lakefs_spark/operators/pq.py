@@ -267,8 +267,6 @@ def pq_topk_adc(
     small-query-side assumption); the corpus is scanned once, never
     decompressed, never shuffled — only per-partition local top-k rows
     move."""
-    from pyspark.sql import Window
-
     enc = pq_encode(corpus, codebooks, vec_col, id_col)
     return pq_topk_adc_encoded(enc, queries, codebooks, k, vec_col, id_col)
 

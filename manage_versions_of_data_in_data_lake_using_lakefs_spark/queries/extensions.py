@@ -992,8 +992,28 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack: IVFPQ shortlist (nprobe=2, 50
+    candidates from compressed codes in probed cells) then exact cosine
+    re-rank of only the survivors — every cost lever composed, final
+    ordering exact over what survives."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import ivfpq_topk_refined, ivfpq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    cents, cbs = ivfpq_train(emb, coarse_k=8, m=4, k=8, iters=2)
+    return ivfpq_topk_refined(
+        emb, queries, cents, cbs, k=5, nprobe=2, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
 def _oracle_sim_topk_ivfpq(
-    coarse_k: int = 8, m: int = 4, k: int = 8, iters: int = 2, nprobe: int = 2
+    coarse_k: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    refine: int | None = None,
 ) -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
         CENT_SAMPLE_SQL,
@@ -1021,6 +1041,7 @@ def _oracle_sim_topk_ivfpq(
     recon_join = joins[0] + "".join(f" JOIN {t} USING (id)" for t in joins[1:])
     parts_sql = ",\n".join(parts)
     recon_cols_sql = " || ".join(recon_cols)
+    tail = _PQ_REFINE_TAIL_TPL.format(n=refine) if refine else _PQ_ADC_TAIL
     return f"""
 WITH qv0 AS (
     SELECT vec_id AS id,
@@ -1071,34 +1092,48 @@ ranked AS (
                ORDER BY adc / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nx AS DOUBLE))) DESC,
                         nbr ASC) AS rank
     FROM scored
-)
-SELECT query_id, CAST(rank AS INT) AS rank, nbr, adc
-FROM ranked WHERE rank <= 5
-ORDER BY query_id, rank
+){tail}
 """
 
 
-ORACLE_SIM_TOPK_IVFPQ = _oracle_sim_topk_ivfpq()
+# (instantiated below, after the shared tail templates are defined)
 
 
 def _oracle_sim_topk_pq(
-    m: int = 4, k: int = 8, iters: int = 2, refine: int | None = None
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    refine: int | None = None,
+    train_where: str | None = None,
 ) -> str:
+    """ONE builder for every flat-PQ oracle flavor: plain ADC, the
+    refine tail, and the vector-lake split (``train_where`` restricts
+    codebook training to a subset while encoding covers the full
+    corpus — the stored-codebook incremental-ingest semantics)."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
         CENT_SAMPLE_SQL,
+        kml2_assign,
         kml2_train_ctes,
     )
 
     sub = f"(len(q) // {m})"  # subspace width derived from the data
+    train_rel = "qtrain" if train_where else "qn"
     parts, recon_cols, joins = [], [], []
     for j in range(m):
         lo, hi = f"({j} * {sub} + 1)", f"(({j} + 1) * {sub})"
-        parts.append(f"sub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM qn)")
+        parts.append(f"sub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM {train_rel})")
         parts.append(f"init{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM seeds)")
         ctes, final_c, final_a = kml2_train_ctes(iters, f"sub{j}", f"init{j}", f"_{j}")
         parts.append(ctes)
+        if train_where:
+            # encode the FULL corpus against the subset-trained codebook
+            parts.append(f"esub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM qn)")
+            parts.append(kml2_assign(final_c, f"enc{j}", f"esub{j}"))
+            enc = f"enc{j}"
+        else:
+            enc = final_a  # training set == corpus: reuse the chain's assign
         parts.append(
-            f"rec{j} AS (SELECT a.id, c.qc FROM (SELECT id, cell FROM {final_a} "
+            f"rec{j} AS (SELECT a.id, c.qc FROM (SELECT id, cell FROM {enc} "
             f"WHERE rc = 1) a JOIN {final_c} c USING (cell))"
         )
         recon_cols.append(f"r{j}.qc")
@@ -1106,6 +1141,9 @@ def _oracle_sim_topk_pq(
     recon_join = joins[0] + "".join(f" JOIN {t} USING (id)" for t in joins[1:])
     parts_sql = ",\n".join(parts)
     recon_cols_sql = " || ".join(recon_cols)
+    train_cte = (
+        f"qtrain AS (SELECT id, q FROM qn WHERE {train_where}),\n" if train_where else ""
+    )
     tail = _PQ_REFINE_TAIL_TPL.format(n=refine) if refine else _PQ_ADC_TAIL
     return f"""
 WITH qv0 AS (
@@ -1115,7 +1153,7 @@ WITH qv0 AS (
     FROM embeddings
 ),
 qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qv0),
-seeds AS (SELECT id, q FROM qn ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}),
+{train_cte}seeds AS (SELECT id, q FROM {train_rel} ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}),
 {parts_sql},
 recon AS (SELECT r0.id, {recon_cols_sql} AS rq FROM {recon_join}),
 scored AS (
@@ -1167,6 +1205,8 @@ ORDER BY query_id, rank"""
 
 ORACLE_SIM_TOPK_PQ = _oracle_sim_topk_pq()
 ORACLE_SIM_TOPK_PQ_REFINED = _oracle_sim_topk_pq(refine=50)
+ORACLE_SIM_TOPK_IVFPQ = _oracle_sim_topk_ivfpq()
+ORACLE_SIM_TOPK_IVFPQ_REFINED = _oracle_sim_topk_ivfpq(refine=50)
 
 
 EXTENSION_QUERIES = {
@@ -1174,6 +1214,7 @@ EXTENSION_QUERIES = {
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_pq_refined": q_sim_topk_pq_refined,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
+    "sim_topk_ivfpq_refined": q_sim_topk_ivfpq_refined,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
@@ -1203,6 +1244,7 @@ EXTENSION_ORACLES = {
     "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
     "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,
     "sim_topk_ivfpq": ORACLE_SIM_TOPK_IVFPQ,
+    "sim_topk_ivfpq_refined": ORACLE_SIM_TOPK_IVFPQ_REFINED,
     "text_lang_id": ORACLE_TEXT_LANG_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,

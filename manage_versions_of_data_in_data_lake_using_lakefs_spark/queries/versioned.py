@@ -1,9 +1,12 @@
 """Driver-contract demos of the versioning layer (SURVEY.md §2.9).
 
-Not SQL-expressible (no oracle entries) → the driver records rows-only
-checks; full invariants live in tests/test_versioning.py. Each query
-builds a throwaway repo under /tmp from deterministic testdata slices, so
-row counts and schemas are stable run-to-run.
+Each query builds a throwaway repo under /tmp from deterministic
+testdata slices, so the emitted values are pure functions of the
+testdata — which is what lets every demo carry a FULL DuckDB oracle
+even though the machinery under test (commit DAG, snapshot isolation,
+merge, stored indexes) is not itself SQL-expressible: if the
+versioning layer misbehaves, the values diverge and the hash check
+fails. Behavioral invariants live in tests/test_versioning.py.
 """
 
 from __future__ import annotations
@@ -315,65 +318,15 @@ def q_vector_lake_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_vector_lake_search(m: int = 4, k: int = 8, iters: int = 2) -> str:
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
-        CENT_SAMPLE_SQL,
-        kml2_assign,
-        kml2_train_ctes,
-    )
+def _oracle_vector_lake_search() -> str:
+    """The vector-lake oracle IS the flat-PQ oracle with training
+    restricted to the build slice and encoding over the full corpus —
+    a hash match proves the stored-index roundtrip changed nothing.
+    ONE shared builder (queries/extensions._oracle_sim_topk_pq) keeps
+    every PQ-oracle flavor's arithmetic in a single place."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _oracle_sim_topk_pq
 
-    sub = f"(len(q) // {m})"
-    parts, recon_cols, joins = [], [], []
-    for j in range(m):
-        lo, hi = f"({j} * {sub} + 1)", f"(({j} + 1) * {sub})"
-        # training slices come from the BUILD set only; encoding covers ALL
-        parts.append(f"tsub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM qtrain)")
-        parts.append(f"tinit{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM vseeds)")
-        ctes, fc, _fa = kml2_train_ctes(iters, f"tsub{j}", f"tinit{j}", f"_v{j}")
-        parts.append(ctes)
-        parts.append(f"esub{j} AS (SELECT id, q[{lo}:{hi}] AS q FROM qn)")
-        parts.append(kml2_assign(fc, f"enc{j}", f"esub{j}"))
-        parts.append(
-            f"vrec{j} AS (SELECT a.id, c.qc FROM (SELECT id, cell FROM enc{j} "
-            f"WHERE rc = 1) a JOIN {fc} c USING (cell))"
-        )
-        recon_cols.append(f"r{j}.qc")
-        joins.append(f"vrec{j} r{j}")
-    recon_join = joins[0] + "".join(f" JOIN {t} USING (id)" for t in joins[1:])
-    parts_sql = ",\n".join(parts)
-    recon_cols_sql = " || ".join(recon_cols)
-    return f"""
-WITH qv0 AS (
-    SELECT vec_id AS id,
-           list_transform(embedding,
-               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-    FROM embeddings
-),
-qn AS (SELECT id, q, list_dot_product(q, q) AS n FROM qv0),
-qtrain AS (SELECT id, q FROM qn WHERE id < 400),
-vseeds AS (SELECT id, q FROM qtrain ORDER BY {CENT_SAMPLE_SQL}, id LIMIT {k}),
-{parts_sql},
-recon AS (SELECT r0.id, {recon_cols_sql} AS rq FROM {recon_join}),
-scored AS (
-    SELECT qv.id AS query_id, x.id AS nbr,
-           CAST(list_dot_product(qv.q, r.rq) AS BIGINT) AS adc,
-           qv.n AS nq, x.n AS nx
-    FROM (SELECT * FROM qn WHERE id < 4) qv
-    CROSS JOIN qn x JOIN recon r ON r.id = x.id
-    WHERE x.id != qv.id
-),
-ranked AS (
-    SELECT query_id, nbr, adc,
-           ROW_NUMBER() OVER (
-               PARTITION BY query_id
-               ORDER BY adc / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nx AS DOUBLE))) DESC,
-                        nbr ASC) AS rank
-    FROM scored
-)
-SELECT query_id, CAST(rank AS INT) AS rank, nbr, adc
-FROM ranked WHERE rank <= 5
-ORDER BY query_id, rank
-"""
+    return _oracle_sim_topk_pq(train_where="id < 400")
 
 
 ORACLE_VECTOR_LAKE_SEARCH = _oracle_vector_lake_search()
