@@ -110,6 +110,7 @@ def main() -> None:
         "sim_topk_ivfpq",
         "scd2_dim",
         "vector_lake_search",
+        "sim_topk_ivfpq_refined",
     ):
         if extra in registry:
             names.append(extra)
