@@ -111,6 +111,7 @@ def main() -> None:
         "scd2_dim",
         "vector_lake_search",
         "sim_topk_ivfpq_refined",
+        "text_heavy_hitters",
     ):
         if extra in registry:
             names.append(extra)

@@ -904,6 +904,63 @@ FROM emailless
 """
 
 
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketches.py): word
+    frequencies summarized into a 4×64 int64 sketch (bounded memory at
+    any corpus size, partial sketches merge by addition), then items
+    whose min-over-rows estimate clears the threshold — reported next
+    to the exact count, so the oracle also pins the CMS guarantee
+    est ≥ exact. Every bucket id and counter is a pure integer function
+    of the md5 portable hash — the SKETCH itself is replayed in SQL."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sketches import cms_heavy_hitters
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    hh = cms_heavy_hitters(words, "word", width=64, depth=4, threshold=900)
+    exact = words.groupBy(F.col("word").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return (
+        hh.join(exact, "item")
+        .select("item", "est", "exact")
+        .orderBy("item")
+    )
+
+
+_CMS_HASH = (
+    "((1103515245 * (({h} + {salt}) % 2147483647) + 12345) % 2147483647) % 64"
+)
+
+
+def _oracle_text_heavy_hitters(depth: int = 4, threshold: int = 900) -> str:
+    ph = "(('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647)"
+    pair_rows = "\nUNION ALL\n".join(
+        f"SELECT word, {i} AS r, {_CMS_HASH.format(h='hh', salt=i * 7919)} AS b FROM h"
+        for i in range(depth)
+    )
+    return f"""
+WITH w AS (SELECT unnest({_SQL_TOKS}) AS word FROM documents),
+h AS (SELECT word, {ph} AS hh FROM w),
+pairs AS ({pair_rows}),
+sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY r, b),
+probes AS (SELECT DISTINCT word, r, b FROM pairs),
+est AS (
+    SELECT p.word AS item, MIN(COALESCE(s.cnt, 0)) AS est
+    FROM probes p LEFT JOIN sketch s ON s.r = p.r AND s.b = p.b
+    GROUP BY p.word
+),
+exact AS (SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS exact FROM w GROUP BY word)
+SELECT e.item, CAST(e.est AS BIGINT) AS est, x.exact
+FROM est e JOIN exact x USING (item)
+WHERE e.est >= {threshold}
+ORDER BY item
+"""
+
+
+ORACLE_TEXT_HEAVY_HITTERS = _oracle_text_heavy_hitters()
+
+
 def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions as one map pass (SURVEY §2.7
     extension): transform / filter / aggregate / array_sort / slice /
@@ -1211,6 +1268,7 @@ ORACLE_SIM_TOPK_IVFPQ_REFINED = _oracle_sim_topk_ivfpq(refine=50)
 
 EXTENSION_QUERIES = {
     "array_hof": q_array_hof,
+    "text_heavy_hitters": q_text_heavy_hitters,
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_pq_refined": q_sim_topk_pq_refined,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -1241,6 +1299,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     "array_hof": ORACLE_ARRAY_HOF,
+    "text_heavy_hitters": ORACLE_TEXT_HEAVY_HITTERS,
     "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
     "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,
     "sim_topk_ivfpq": ORACLE_SIM_TOPK_IVFPQ,

@@ -836,3 +836,42 @@ def test_ivfpq_refined_recall(spark):
     hits = sum(len(first[q] & exact[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.5, f"ivfpq refined recall: {hits}/{total}"
+
+
+def test_cms_overestimate_guarantee(spark):
+    """CMS: estimates never underestimate (collisions only add), so an
+    item whose true count clears the threshold is never missed; absent
+    candidates estimate 0; results are layout-independent."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sketches import cms_heavy_hitters
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    exact = {
+        r.word: r.c
+        for r in words.groupBy("word").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # tight width forces collisions; guarantee must hold anyway
+    for parts in (None, 7):
+        w = words if parts is None else words.repartition(parts)
+        est = {
+            r.item: r.est
+            for r in cms_heavy_hitters(w, "word", width=16, depth=3, threshold=0).collect()
+        }
+        if parts is None:
+            first = est
+    assert first == est  # layout-independent sketch
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), "CMS underestimated"
+    # no false negatives at any threshold T: exact>=T implies est>=T
+    t = max(exact.values())
+    heavy_true = {k for k, v in exact.items() if v >= t}
+    heavy_est = {k for k, v in est.items() if v >= t}
+    assert heavy_true <= heavy_est
+    # absent candidates estimate 0 (left join + coalesce)
+    cand = spark.createDataFrame([("zzz-not-a-word",)], "item STRING")
+    out = cms_heavy_hitters(
+        words, "word", width=16, depth=3, threshold=0, candidates=cand
+    ).collect()
+    assert out[0].est == 0
