@@ -154,3 +154,27 @@ def temperature_resample(
     return keep.where(
         hash_bucket(F.col(key_col), granularity) < F.col("_thresh")
     ).drop("_thresh")
+
+
+def sample_k_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Keep a deterministic pseudo-random ``k`` rows per group — the
+    eval-set/few-shot-exemplar primitive (k examples per language /
+    domain / task). Rows are ranked inside each group by
+    (portable md5 hash of the key, key): a pure function of the row, so
+    the picked set is identical on any layout, any engine, any rerun —
+    ``df.sample`` and ``rand()``-ordered windows are neither. One
+    window over a group-partitioned shuffle; no collect."""
+    from pyspark.sql import Window
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

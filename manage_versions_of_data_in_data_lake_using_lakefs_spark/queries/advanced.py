@@ -399,6 +399,35 @@ ORDER BY domain
 """
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group exemplar selection (operators/sampling.
+    sample_k_per_group): 3 documents per (lang, source) cell by
+    portable-hash rank — the few-shot/eval-set primitive, identical on
+    any layout or engine (df.sample and rand() windows are neither)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "cell", F.concat_ws("/", "lang", "source")
+    )
+    return sample_k_per_group(docs, "cell", "doc_id", 3).select(
+        "cell", "doc_id"
+    ).orderBy("cell", "doc_id")
+
+
+ORACLE_SAMPLE_PER_GROUP = """
+WITH d AS (
+    SELECT concat_ws('/', lang, source) AS cell, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY concat_ws('/', lang, source)
+               ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 2147483647),
+                        doc_id) AS rn
+    FROM documents
+)
+SELECT cell, doc_id FROM d WHERE rn <= 3 ORDER BY cell, doc_id
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling — rebalance a multilingual
     corpus (keep all de, half of en, a quarter of fr, ...)."""
@@ -2546,6 +2575,7 @@ ADVANCED_QUERIES = {
     "window_range_frame": q_window_range_frame,
     "sample_split": q_sample_split,
     "sample_temperature": q_sample_temperature,
+    "sample_per_group": q_sample_per_group,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_weighted": q_sample_weighted,
     "sample_stratified": q_sample_stratified,
@@ -2609,6 +2639,7 @@ ADVANCED_ORACLES = {
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "sample_split": ORACLE_SAMPLE_SPLIT,
     "sample_temperature": ORACLE_SAMPLE_TEMPERATURE,
+    "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
