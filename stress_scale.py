@@ -189,9 +189,34 @@ def main() -> None:
         queries = e.where(F.col("vec_id") % 997 == 0).limit(4)
         return pq_topk_refined(e, queries, cbs, k=5, shortlist=50)
 
+    def op_scd2(d: DataFrame) -> DataFrame:
+        # one current-slice join vs a broadcastable change set + unions;
+        # closed history streams through a filter — per-row cost must
+        # stay flat as the dimension grows
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.mutations import scd2_apply
+
+        dim = d.select(F.col("doc_id").alias("k"), F.col("text").alias("attr")) \
+            .withColumn("valid_from", F.lit(1).cast("long")) \
+            .withColumn("valid_to", F.lit(None).cast("long"))
+        changes = d.where(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("k"), F.concat(F.col("text"), F.lit("!")).alias("attr")
+        )
+        return scd2_apply(dim, changes, ["k"], version=2)
+
+    def op_cms(d: DataFrame) -> DataFrame:
+        # sketch build collapses map-side to depth*width partials; the
+        # candidate estimate joins a broadcast sketch — both bounded
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sketches import cms_heavy_hitters
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+
+        words = d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        return cms_heavy_hitters(words, "word", width=64, depth=4, threshold=1)
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
         "sim_topk_pq_refined": (emb, replicate_embeddings, op_pq_refined),
+        "scd2_apply": (docs, replicate_documents, op_scd2),
+        "cms_heavy_hitters": (docs, replicate_documents, op_cms),
         "dedup_simhash": (docs, replicate_documents, op_simhash),
         "text_repetition": (docs, replicate_documents, op_repetition),
         "decontaminate": (docs, replicate_documents, op_decontaminate),
