@@ -15,34 +15,86 @@ import sys
 import time
 
 
-def _regression_guard(timings: dict[str, float], factor: float = 1.5) -> None:
-    """Compare steady-state minima against the newest recorded
-    BENCH_r*.json and flag per-query slowdowns > ``factor`` on stderr
-    (stdout stays the single JSON line). Sub-second timings on a warm
-    local JVM are mostly run variance, so only queries slower than 0.5 s
-    in the record are compared. Round-4's record carried medians-of-3
-    which sometimes landed on JIT-compile-storm runs; comparing today's
-    min against those flags less, which is the right direction given the
-    r4 medians were inflated."""
+def _record_timings(path: str) -> dict[str, float]:
+    """Per-query timings recorded in one BENCH_r*.json / BENCH_LOCAL.json
+    (either the driver's ``{"parsed": {...}}`` wrapper or bench.py's own
+    flat layout); {} when the record carries none ("parsed": null — the
+    round-5 stdout-truncation shape)."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if "parsed" in d:
+        d = d.get("parsed") or {}
+    return d.get("queries") or {}
+
+
+def recorded_history(here: str | None = None) -> list[tuple[str, dict[str, float]]]:
+    """(path, timings) for every bench record that actually carries
+    parsed per-query timings, oldest→newest: the driver's BENCH_r*.json
+    rounds, then the gitignored same-machine BENCH_LOCAL.json as the
+    freshest fallback. Records with "parsed": null are SKIPPED, not
+    treated as an empty baseline — round 5 recorded null and the guards
+    that read only the newest record silently compared nothing."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not records:
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        paths.append(local)
+    out = []
+    for p in paths:
+        q = _record_timings(p)
+        if q:
+            out.append((p, q))
+    return out
+
+
+def regression_offenders(
+    prev: dict[str, float],
+    cur: dict[str, float],
+    factor: float,
+    floor: float = 0.5,
+) -> dict[str, tuple[float, float]]:
+    """Shared-key queries slower than ``factor``× their recorded time,
+    ignoring sub-``floor`` baselines (warm-JVM noise dominates those).
+    Shared by the run-time stderr guard and tests/test_bench_trend.py's
+    hard CI floor."""
+    return {
+        name: (prev[name], t)
+        for name, t in cur.items()
+        if name in prev and prev[name] >= floor and t > prev[name] * factor
+    }
+
+
+def _regression_guard(timings: dict[str, float], factor: float = 1.5) -> None:
+    """Compare steady-state minima against the newest recorded round
+    WITH parsed timings (not blindly the newest file) and flag per-query
+    slowdowns > ``factor`` on stderr (stdout stays the single JSON
+    line). Sub-second timings on a warm local JVM are mostly run
+    variance, so only queries slower than 0.5 s in the record are
+    compared. Round-4's record carried medians-of-3 which sometimes
+    landed on JIT-compile-storm runs; comparing today's min against
+    those flags less, which is the right direction given the r4 medians
+    were inflated."""
+    history = recorded_history()
+    # BENCH_LOCAL.json is this very run's output file once main() has
+    # written it; as a baseline it's only meaningful when comparing
+    # against a PRIOR run, which the driver records as BENCH_r*.json —
+    # so prefer the newest driver round and use LOCAL only without one.
+    rounds = [(p, q) for p, q in history if "BENCH_r" in os.path.basename(p)]
+    source = rounds[-1] if rounds else (history[-1] if history else None)
+    if source is None:
         return
-    try:
-        with open(records[-1]) as f:
-            prev = (json.load(f).get("parsed") or {}).get("queries") or {}
-    except (OSError, json.JSONDecodeError):
-        return
-    for name, t in timings.items():
-        p = prev.get(name)
-        if p and p >= 0.5 and t > p * factor:
-            print(
-                f"BENCH REGRESSION {name}: {t:.3f}s vs {p:.3f}s in "
-                f"{os.path.basename(records[-1])} ({t / p:.2f}x)",
-                file=sys.stderr,
-            )
+    path, prev = source
+    for name, (p, t) in regression_offenders(prev, timings, factor).items():
+        print(
+            f"BENCH REGRESSION {name}: {t:.3f}s vs {p:.3f}s in "
+            f"{os.path.basename(path)} ({t / p:.2f}x)",
+            file=sys.stderr,
+        )
 
 
 def main() -> None:

@@ -13,10 +13,20 @@ hash — every bucket id, counter, and estimate is a pure integer
 function of the data, bit-identical across partitionings AND engines,
 so the sketch itself (not just its outputs) is DuckDB-oracle-checkable.
 
+Hash family: row ``r`` uses its own affine pair
+``(a_r, b_r) = (A^(r+1) mod P, (B + r·SALT) mod P)`` over the prime
+``P = 2^31 − 1`` — genuinely distinct multipliers per row (the
+classic universal family h(x) = ((a·x + b) mod P) mod width), not one
+multiplier applied to a shifted input. With a single shared
+multiplier, bucket_r(h) is a constant shift of bucket_0(h), so items
+colliding in row 0 collide in essentially every row and min-over-depth
+amplifies nothing; distinct a_r restores the per-row independence the
+CMS ε–δ bound needs.
+
 CMS guarantee: estimates only OVERESTIMATE (collisions add, never
 subtract), so ``est ≥ true`` always — an item whose true count clears
 the threshold can never be missed (no false negatives); collisions can
-only add false positives, bounded by depth independent hash rows.
+only add false positives, bounded by the depth independent hash rows.
 """
 
 from __future__ import annotations
@@ -26,37 +36,54 @@ from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
 
-_P = 2147483647
+_P = 2147483647  # Mersenne prime 2^31 - 1
 _A = 1103515245
 _B = 12345
-_SALT = 7919  # per-row salt stride (prime, well under P/depth)
+_SALT = 7919
+
+
+def row_coeffs(row: int) -> tuple[int, int]:
+    """Row ``row``'s affine pair (a_r, b_r): a_r = A^(r+1) mod P (P is
+    prime and A < P, so a_r ≠ 0), b_r = (B + r·SALT) mod P. Exposed so
+    the DuckDB oracle inlines the identical literals."""
+    return pow(_A, row + 1, _P), (_B + row * _SALT) % _P
 
 
 def _bucket(h, row: int, width: int):
-    """Row ``row``'s bucket for portable-hash value ``h`` — the same
-    affine family as operators/sampling.hash_bucket, salted per row so
-    the depth rows are independent hash functions."""
-    return (
-        (F.lit(_A) * ((h + F.lit(row * _SALT)) % F.lit(_P)) + F.lit(_B))
-        % F.lit(_P)
-    ) % F.lit(width)
+    """Row ``row``'s bucket for portable-hash value ``h`` — the
+    universal affine family ((a_r·h + b_r) mod P) mod width with
+    per-row coefficients (see module docstring)."""
+    a, b = row_coeffs(row)
+    return ((F.lit(a) * (h % F.lit(_P)) + F.lit(b)) % F.lit(_P)) % F.lit(width)
+
+
+def _pairs(df: DataFrame, col: str, width: int, depth: int) -> DataFrame:
+    """All depth (r, bucket) pairs per row in ONE scan: the per-row
+    buckets are packed into an array and posexploded, so the physical
+    plan reads the input once — not the depth-way self-union of the
+    same base frame, which re-scans the (100 TB) corpus once per
+    sketch row."""
+    keep = df.columns  # unused carried columns are pruned by Catalyst
+    buckets = F.posexplode(
+        F.array(*[_bucket(F.col("_h"), i, width) for i in range(depth)])
+    )
+    return df.select(*keep, portable_hash(F.col(col)).alias("_h")).select(
+        *keep, buckets.alias("r", "b")
+    )
 
 
 def cms_sketch(
     df: DataFrame, col: str, width: int = 64, depth: int = 4
 ) -> DataFrame:
     """Build the sketch: ≤ depth × width counter rows (r, b, cnt).
-    One shuffle of (row, bucket) pairs — at 100 TB the groupBy's
-    map-side partial aggregation collapses each partition to at most
-    depth·width rows before anything moves."""
-    base = df.select(portable_hash(F.col(col)).alias("_h"))
-    pairs = None
-    for i in range(depth):
-        p = base.select(
-            F.lit(i).alias("r"), _bucket(F.col("_h"), i, width).alias("b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    One scan, one shuffle of (row, bucket) pairs — at 100 TB the
+    groupBy's map-side partial aggregation collapses each partition to
+    at most depth·width rows before anything moves."""
+    return (
+        _pairs(df.select(col), col, width, depth)
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_heavy_hitters(
@@ -82,13 +109,7 @@ def cms_heavy_hitters(
         if candidates is not None
         else df.select(F.col(col).alias("item")).distinct()
     )
-    cand = cand.select("item", portable_hash(F.col("item")).alias("_h"))
-    probes = None
-    for i in range(depth):
-        p = cand.select(
-            "item", F.lit(i).alias("r"), _bucket(F.col("_h"), i, width).alias("b")
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = _pairs(cand.select("item"), "item", width, depth)
     est = (
         # left join: a candidate absent from the data may hit an empty
         # bucket — that row must contribute 0 (true count is 0), not

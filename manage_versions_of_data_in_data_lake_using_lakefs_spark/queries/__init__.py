@@ -108,7 +108,12 @@ WINDOW_ORDER: list[str] = [
     # in r5 to free a slot for the pruned-DML proof, which is a shape
     # nothing else in the window exercises)
     "tpch_q1",
-    "tpch_q3",
+    # (tpch_q3 — 3-table join + agg + sort, shapes covered by flagship's
+    # join/window/sort and tpch_q13's outer-join aggregate — rotated to
+    # the tail in r7 to driver-certify the registered production ANN
+    # path: sim_topk_pq_refined, the round-6 PQ family's flagship, whose
+    # ADC candidate generation + exact-refine shape nothing else in the
+    # window exercises)
     # (tpch_q10 — 4-table join + agg + sort, shapes covered by tpch_q3's
     # join/agg/sort and tpch_q13's outer-join aggregate — rotated to the
     # tail in r6 to free a slot for the metadata-only schema-evolution
@@ -146,6 +151,10 @@ WINDOW_ORDER: list[str] = [
     "versioned_schema_evolution",  # metadata-only ALTER COLUMN: rename-era
                                    # merge + add-null + drop + time-travel
                                    # schema, zero-rewrite pinned (r6)
+    "sim_topk_pq_refined",  # product-quantization ADC candidates + exact
+                            # re-rank — the registered production ANN path;
+                            # all m subspace Lloyd's trainings replayed as
+                            # SQL CTEs (r7 rotation, judge's #1 ask)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -928,15 +928,20 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CMS_HASH = (
-    "((1103515245 * (({h} + {salt}) % 2147483647) + 12345) % 2147483647) % 64"
-)
+# row r's universal affine hash ((a_r·h + b_r) mod P) mod width, with the
+# per-row (a_r, b_r) literals inlined from operators/sketches.row_coeffs —
+# genuinely distinct multipliers per row, matching the Spark sketch exactly
+_CMS_HASH = "(({a} * ({h} % 2147483647) + {b}) % 2147483647) % 64"
 
 
 def _oracle_text_heavy_hitters(depth: int = 4, threshold: int = 900) -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sketches import row_coeffs
+
     ph = "(('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647)"
     pair_rows = "\nUNION ALL\n".join(
-        f"SELECT word, {i} AS r, {_CMS_HASH.format(h='hh', salt=i * 7919)} AS b FROM h"
+        f"SELECT word, {i} AS r, "
+        f"{_CMS_HASH.format(h='hh', a=row_coeffs(i)[0], b=row_coeffs(i)[1])}"
+        f" AS b FROM h"
         for i in range(depth)
     )
     return f"""

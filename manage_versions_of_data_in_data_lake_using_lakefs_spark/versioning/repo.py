@@ -351,6 +351,19 @@ class LakeRepo:
                     f"from another writer (entry txn={etxn0}, incoming "
                     f"txn={txn}); commit or reset it before writing"
                 )
+            if mode == "overwrite" and entry is not None and txn and not etxn0:
+                # the symmetric case to the tagged-entry guard above: a
+                # TAGGED overwrite landing on an UNTAGGED foreign staged
+                # entry would silently absorb the other writer's
+                # uncommitted rows (include_staged reads see them) and
+                # commit them under the stream's message. Same rule as
+                # the append path: any tag mismatch in either direction
+                # fails loudly.
+                raise ValueError(
+                    f"table {table!r} on {branch!r} has an untagged staged "
+                    f"entry from another writer (incoming txn={txn}); "
+                    "commit or reset it before writing"
+                )
             if mode == "overwrite" or entry is None:
                 base = [] if mode == "overwrite" else list(
                     self.get_commit(ref["head"]).tables.get(table, [])

@@ -143,13 +143,60 @@ _CLONE_RE = re.compile(
     rf"(?P<src>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
-_COPY_TO_RE = re.compile(
-    rf"^\s*COPY\s+(?:\(\s*(?P<select>.+)\s*\)|(?P<table>{_IDENT}))\s+TO\s+"
-    r"'(?P<path>[^']+)'"
+_COPY_TABLE_TO_RE = re.compile(
+    rf"^\s*COPY\s+(?P<table>{_IDENT})\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+FORMAT\s+(?P<fmt>CSV|PARQUET|ORC|JSON))?"
+    r"(?P<header>\s+WITH\s+HEADER)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_COPY_SELECT_OPEN_RE = re.compile(r"^\s*COPY\s*\(", re.IGNORECASE)
+# no leading ^: this is applied via .match(query, pos), which anchors at
+# pos — an explicit ^ would additionally demand pos == 0 and never match
+_COPY_TAIL_RE = re.compile(
+    r"\s+TO\s+'(?P<path>[^']+)'"
     r"(?:\s+FORMAT\s+(?P<fmt>CSV|PARQUET|ORC|JSON))?"
     r"(?P<header>\s+WITH\s+HEADER)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_copy_select(query: str) -> tuple[str, re.Match] | None:
+    """COPY (SELECT ...) TO '<path>' [...] — the select body ends at its
+    BALANCED closing paren (single-quoted literals skipped, '' escapes
+    honored), not at the last ``) TO '`` in the statement: a greedy
+    ``(?P<select>.+)`` silently misparsed a select whose own string
+    literal contained that sequence. Returns (select_sql, tail_match)
+    or None if the statement isn't this shape."""
+    m = _COPY_SELECT_OPEN_RE.match(query)
+    if not m:
+        return None
+    i, n, depth = m.end(), len(query), 1
+    start = i
+    while i < n:
+        ch = query[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if query[j] == "'":
+                    if j + 1 < n and query[j + 1] == "'":
+                        j += 2  # '' escape inside the literal
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                return None  # unterminated literal — not this statement
+            i = j
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                tail = _COPY_TAIL_RE.match(query, i + 1)
+                if tail is None:
+                    return None
+                return query[start:i].strip(), tail
+        i += 1
+    return None
 _ADD_COLUMN_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s*"
     rf"\(?\s*(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s*\)?\s*;?\s*$",
@@ -1096,8 +1143,9 @@ class LakeSQL:
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
-        m = _COPY_TO_RE.match(query)
-        if m:
+        copy_sel = _parse_copy_select(query)
+        m = None if copy_sel else _COPY_TABLE_TO_RE.match(query)
+        if copy_sel or m:
             # export verb (DuckDB/Snowflake COPY TO): any rewriter-visible
             # query or branch table → external files via the io sinks
             from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import (
@@ -1106,7 +1154,10 @@ class LakeSQL:
                 write_parquet,
             )
 
-            src_sql = m.group("select") or f"SELECT * FROM {m.group('table')}"
+            if copy_sel:
+                src_sql, m = copy_sel
+            else:
+                src_sql = f"SELECT * FROM {m.group('table')}"
             out = self.sql(src_sql).persist()
             try:
                 # persist so the count and the write observe ONE

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_split
@@ -875,3 +876,54 @@ def test_cms_overestimate_guarantee(spark):
         words, "word", width=16, depth=3, threshold=0, candidates=cand
     ).collect()
     assert out[0].est == 0
+
+
+def test_ann_query_batch_bound(spark):
+    """VERDICT r6 #4: closure-shipped ANN query batches are explicitly
+    bounded — an oversized query frame raises a clear error naming the
+    join-based alternative instead of silently blowing up the driver
+    and every task closure."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.pq import _collect_query_batch
+
+    qdf = spark.range(10).select(
+        "id", F.array(F.lit(1).cast("long")).alias("q"), F.lit(1).cast("long").alias("n")
+    )
+    assert len(_collect_query_batch(qdf, "op", bound=10)) == 10
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        _collect_query_batch(qdf, "op", bound=9)
+
+
+def test_cms_rows_are_independent_hashes():
+    """ADVICE r6: with ONE shared multiplier over a shifted input,
+    bucket_r(h) is a constant shift of bucket_0(h) — row-0 colliders
+    collide in essentially every row and min-over-depth amplifies
+    nothing. The per-row (a_r, b_r) family must decorrelate rows: of
+    the pairs colliding in row 0, only ~1/width may also collide in
+    row 1 (we allow up to 5× the expectation; the broken scheme gives
+    ~100%)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sketches import _P, row_coeffs
+
+    width = 64
+    a0, b0 = row_coeffs(0)
+    a1, b1 = row_coeffs(1)
+    assert a0 != a1  # genuinely distinct multipliers, not shifted inputs
+
+    def bucket(h: int, a: int, b: int) -> int:
+        return ((a * (h % _P) + b) % _P) % width
+
+    # spread-out hash inputs (stand-ins for md5 portable hashes)
+    hs = [(i * 2654435761) % (1 << 60) for i in range(4000)]
+    by_b0: dict[int, list[int]] = {}
+    for h in hs:
+        by_b0.setdefault(bucket(h, a0, b0), []).append(h)
+    pairs = both = 0
+    for group in by_b0.values():
+        for i in range(len(group)):
+            for j in range(i + 1, len(group)):
+                pairs += 1
+                if bucket(group[i], a1, b1) == bucket(group[j], a1, b1):
+                    both += 1
+    assert pairs > 500  # enough row-0 colliders for the rate to mean something
+    assert both / pairs < 5.0 / width, (
+        f"row-1 re-collision rate {both / pairs:.3f} — rows not independent"
+    )

@@ -3,46 +3,71 @@
 The driver records ``BENCH_r{N}.json`` per round. Local[32] timings on a
 shared machine carry ±30-50% noise on sub-second queries, so this guard
 is deliberately generous: it compares only the shared-key subset of the
-two most recent records, ignores queries under 0.5 s in the older one,
-and fails only past a 2× slowdown — a real plan regression (a lost
-broadcast, a new shuffle, an all-pairs fallback), not machine noise.
+two most recent records THAT CARRY parsed timings, ignores queries under
+0.5 s in the older one, and fails only past a 2× slowdown — a real plan
+regression (a lost broadcast, a new shuffle, an all-pairs fallback), not
+machine noise.
 
-(bench.py itself prints a 1.5× stderr warning against the newest record
-at run time; this test is the hard CI floor over the recorded history.)
+Records with ``"parsed": null`` (round 5's overlong stdout line) are
+skipped, not treated as an empty baseline — the original
+newest-record-only logic silently compared nothing for a whole round
+when the newest record happened to be null (ADVICE/VERDICT r6).
+
+(bench.py itself prints a 1.5× stderr warning against the newest parsed
+record at run time; this test is the hard CI floor over the recorded
+history. Both share bench.regression_offenders, unit-tested below with a
+synthetic 2×-inflated record.)
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
+import sys
 
 import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-
-def _bench_queries(path: str) -> dict[str, float]:
-    with open(path) as f:
-        d = json.load(f)
-    # "parsed" may be recorded as null (round 5's overlong stdout line)
-    return (d.get("parsed") or {}).get("queries") or {}
+from bench import recorded_history, regression_offenders  # noqa: E402
 
 
 def test_no_2x_regression_between_recorded_rounds():
-    records = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
-    if len(records) < 2:
-        pytest.skip("fewer than two recorded bench rounds")
-    prev, cur = (_bench_queries(p) for p in records[-2:])
-    if not prev or not cur:
-        pytest.skip("bench records carry no parsed query timings")
-    offenders = {
-        name: (prev[name], t)
-        for name, t in cur.items()
-        if name in prev and prev[name] >= 0.5 and t > prev[name] * 2.0
-    }
-    assert not offenders, (
-        f"{os.path.basename(records[-1])} regressed >2x vs "
-        f"{os.path.basename(records[-2])} on: "
+    rounds = [
+        (p, q)
+        for p, q in recorded_history(_REPO)
+        if "BENCH_r" in os.path.basename(p)
+    ]
+    if len(rounds) < 2:
+        pytest.skip("fewer than two recorded bench rounds with parsed timings")
+    (prev_path, prev), (cur_path, cur) = rounds[-2:]
+    offenders = regression_offenders(prev, cur, factor=2.0)
+    assert offenders == {}, (
+        f"{os.path.basename(cur_path)} regressed >2x vs "
+        f"{os.path.basename(prev_path)} on: "
         + ", ".join(f"{n} {p:.2f}s -> {t:.2f}s" for n, (p, t) in offenders.items())
     )
+
+
+def test_history_skips_null_parsed_records(tmp_path):
+    """A "parsed": null round must be skipped (compare across it), never
+    read as an empty baseline that silently disables the guard."""
+    import json
+
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 1.0}}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"parsed": None}))
+    hist = recorded_history(str(tmp_path))
+    assert [os.path.basename(p) for p, _ in hist] == ["BENCH_r01.json"]
+    assert hist[0][1] == {"q": 1.0}
+
+
+def test_synthetic_2x_inflation_is_flagged():
+    """The comparator itself: a 2×-inflated record fails; sub-floor and
+    under-threshold deltas pass."""
+    prev = {"big": 2.0, "tiny": 0.1, "ok": 1.0, "gone": 3.0}
+    cur = {"big": 4.1, "tiny": 5.0, "ok": 1.9, "new": 9.0}
+    off = regression_offenders(prev, cur, factor=2.0)
+    assert off == {"big": (2.0, 4.1)}  # tiny: below 0.5s floor; ok: <2x
+    assert regression_offenders(prev, {"big": 3.9}, factor=2.0) == {}

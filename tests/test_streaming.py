@@ -586,3 +586,32 @@ def test_overwrite_onto_foreign_tagged_entry_raises(spark, tmp_path):
         "main", "m", df, mode="overwrite", txn={"stream_id": "sA", "stream_batch_id": 1}
     )
     assert repo.staged_txn("main", "m")["stream_batch_id"] == 1
+
+
+def test_tagged_overwrite_onto_untagged_staged_entry_raises(spark, tmp_path):
+    """ADVICE r6: the symmetric direction — a TAGGED overwrite (the CDC
+    upsert sink's mode) landing on an UNTAGGED foreign staged entry
+    previously passed the tag check (entry txn is None) and silently
+    absorbed the user's uncommitted staged write into the stream's
+    commit. It must fail loudly like every other mixed-writer path."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1,)], "id LONG")
+    repo.write_table("main", "m", df, mode="append")  # user's untagged stage
+    with pytest.raises(ValueError, match="untagged staged"):
+        repo.write_table(
+            "main", "m", df, mode="overwrite",
+            txn={"stream_id": "sA", "stream_batch_id": 0},
+        )
+    # the user's staged entry is untouched by the refused write
+    assert repo.read_table(spark, "m", "main", include_staged=True).count() == 1
+    # untagged overwrite over one's own untagged stage stays allowed
+    repo.write_table("main", "m", df, mode="overwrite")
+    # and after the user commits, the tagged writer proceeds normally
+    repo.commit("main", "user data")
+    repo.write_table(
+        "main", "m", df, mode="overwrite",
+        txn={"stream_id": "sA", "stream_batch_id": 0},
+    )
+    assert repo.staged_txn("main", "m")["stream_id"] == "sA"

@@ -1508,6 +1508,34 @@ def test_sql_copy_to_exports(spark, repo, tmp_path):
     assert spark.read.json(p3).count() == 2
 
 
+def test_sql_copy_to_select_with_hostile_literal(spark, repo, tmp_path):
+    """ADVICE r6: the select body ends at its BALANCED closing paren —
+    a string literal containing ``) TO '`` inside the query must not
+    shift the select/path split (the old greedy regex anchored on the
+    LAST occurrence and exported a truncated query to the wrong path)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table(
+        "main", "t",
+        spark.createDataFrame([(1, "x) TO 'y'"), (2, "plain")], "k LONG, s STRING"),
+    )
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo)
+    p = str(tmp_path / "out_hostile")
+    r = lsql.sql(
+        f"COPY (SELECT k FROM t WHERE s = 'x) TO ''y''') TO '{p}'"
+    ).collect()[0]
+    assert r.rows_copied == 1 and r.path == p
+    assert [x.k for x in spark.read.parquet(p).collect()] == [1]
+    # nested parens inside the select still balance correctly
+    p2 = str(tmp_path / "out_nested")
+    r2 = lsql.sql(
+        f"COPY (SELECT (k + (1)) AS k2 FROM t WHERE upper(s) = 'PLAIN') TO '{p2}'"
+    ).collect()[0]
+    assert r2.rows_copied == 1
+    assert [x.k2 for x in spark.read.parquet(p2).collect()] == [3]
+
+
 def test_vacuum_retain_versions(spark, repo, tmp_path):
     """VACUUM RETAIN n VERSIONS: data within the horizon (and the head)
     stays time-travelable; older snapshots keep their metadata but lose
