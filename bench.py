@@ -164,6 +164,7 @@ def main() -> None:
         "vector_lake_search",
         "sim_topk_ivfpq_refined",
         "text_heavy_hitters",
+        "classifier_quality",
     ):
         if extra in registry:
             names.append(extra)

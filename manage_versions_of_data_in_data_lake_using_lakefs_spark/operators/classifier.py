@@ -1,0 +1,193 @@
+"""Model-based quality filtering: in-engine trained logistic regression.
+
+The production corpus-curation pattern (CCNet, fastText quality filters,
+FineWeb-edu): score every document with a TRAINED classifier instead of
+a hand heuristic. The whole loop lives in the engine — feature
+extraction is a map-only pass, each full-batch gradient-descent
+iteration is ONE distributed aggregation of k partial sums, and scoring
+is another map-only pass — so the same code trains on 500 rows or 100 TB
+(the per-iteration shuffle moves exactly k numbers per partition).
+
+Engine-fit rules (the kmeans/PQ playbook, operators/clustering.py):
+
+- **Fixed-point everywhere.** Features are ppm integers (×1e6 of the
+  [0,1] real), weights are micro integers (×1e6), logits are micro. No
+  float ever enters the training loop, so results are bit-identical at
+  any partitioning AND replayable as DuckDB SQL CTEs (one CTE chain per
+  iteration — queries/extensions.py builds it).
+- **Sigmoid as an integer LUT.** σ(z) is transcendental; engines'
+  ``exp`` need not agree to the last ulp. We precompute σ at 65 nodes
+  (z = −8..8 step 0.25, ppm values, Python ``math.exp`` at build time)
+  and interpolate linearly with integer arithmetic — the SAME literal
+  table is inlined into the Spark plan and the SQL oracle, so both
+  engines evaluate the identical piecewise-linear σ̃.
+- **128-bit gradient sums.** Per-row gradient terms reach 1e12
+  (x_ppm·diff_ppm); int64 would overflow near 1e7 rows, so partial sums
+  accumulate in Spark ``decimal(38,0)`` / DuckDB ``HUGEINT`` — exact
+  128-bit integers on both engines, headroom to ~1e26 rows.
+- **Driver math is exact big-int.** Only k sums per iteration reach the
+  driver; the weight update is Python arbitrary-precision floor
+  division, mirrored in SQL by an explicit floor-division formula
+  (DuckDB ``//`` truncates toward zero; Python ``//`` floors — the
+  builder emits ``(a - ((a % b) + b) % b) / b`` so negatives agree).
+
+Weight update (all integers): with features x ∈ [0, 1e6] ppm, labels
+y ∈ {0, 1e6} ppm, weights w micro, learning rate η_ppm:
+
+    z_micro   = floor(Σ_j w_j·x_j / 1e6)            (per row)
+    diff      = σ̃_ppm(z_micro) − y_ppm              (per row)
+    S_j       = Σ_rows x_j·diff                     (128-bit exact)
+    w_j      ← clamp(w_j − floor(η_ppm·S_j / (n·1e12)), ±CLAMP_W)
+
+The clamp keeps |Σ w·x| < 2^53 so the per-row floor of the logit stays
+exact under either engine's arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import STOPWORDS, tokenize
+
+PPM = 1_000_000
+SIG_STEP = 250_000          # LUT node spacing: 0.25 in logit units
+SIG_CLAMP = 8_000_000       # logits clamp to ±8 (σ outside ≈ 0/1e6)
+CLAMP_W = 30_000_000        # |w_real| ≤ 30 keeps logits in exact-int range
+N_NODES = 2 * SIG_CLAMP // SIG_STEP + 1  # 65
+
+
+def sigmoid_lut() -> list[int]:
+    """σ ppm at the 65 LUT nodes z = −8 … 8 step 0.25 — computed ONCE
+    in Python and inlined as literals into both engines' plans, so the
+    piecewise-linear σ̃ is identical by construction."""
+    return [
+        round(PPM / (1.0 + math.exp(-(-8.0 + 0.25 * i)))) for i in range(N_NODES)
+    ]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer ppm features + weak-supervision label per document.
+
+    Features (all exact int64, map-only, the tokenize contract shared
+    with the DuckDB oracles — each scaled so its decision-relevant range
+    fills [0, 1e6]; GD on raw ratios that live in [0, 0.1] of the range
+    crawls, measured on the fixture):
+      f_bias  = 1e6
+      f_len   = min(12500·n_tok, 1e6)        (saturates at 80 tokens;
+                                              the 40-token label cut = 0.5)
+      f_stop  = min(8e6·stop_hits // n_tok, 1e6)  (8× stopword ratio;
+                                              the 4.5% label cut = 0.36)
+      f_alnum = 1e6·tok_chars // n_char      (token-char density)
+      f_tlen  = min(1e6·tok_chars // (8·n_tok), 1e6)  (mean tok len / 8)
+
+    Label (the heuristic the classifier distills — the standard
+    weak-supervision bootstrap when no human labels exist):
+      y = 1 iff n_tok ≥ 40 AND stopword ratio ≥ 4.5%   (≈ balanced on
+      the documents fixture)."""
+    toks = tokenize(F.col(text_col))
+    df = df.withColumn("_toks", toks)
+    n_tok = F.size(F.col("_toks")).cast("long")
+    n_char = F.coalesce(F.length(text_col), F.lit(0)).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = F.size(
+        F.filter(F.col("_toks"), lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    # all numerators/denominators non-negative: floor == truncate on both
+    # engines, and double-division floors are exact below 2^53
+    stop_ppm = F.when(n_tok > 0, F.floor((stop_hits * PPM) / n_tok)).otherwise(
+        F.lit(0)
+    )
+    f_stop = F.least(stop_ppm * 8, F.lit(PPM).cast("long"))
+    f_alnum = F.when(n_char > 0, F.floor((tok_chars * PPM) / n_char)).otherwise(
+        F.lit(0)
+    )
+    f_tlen = F.when(
+        n_tok > 0, F.least(F.floor((tok_chars * PPM) / (n_tok * 8)), F.lit(PPM))
+    ).otherwise(F.lit(0))
+    label = F.when((n_tok >= 40) & (stop_ppm >= 45_000), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("f_bias", F.lit(PPM).cast("long"))
+        .withColumn("f_len", F.least(n_tok * 12_500, F.lit(PPM).cast("long")).cast("long"))
+        .withColumn("f_stop", f_stop.cast("long"))
+        .withColumn("f_alnum", f_alnum.cast("long"))
+        .withColumn("f_tlen", f_tlen.cast("long"))
+        .withColumn("label", label.cast("int"))
+        .drop("_toks")
+    )
+
+
+FEATURE_COLS = ["f_bias", "f_len", "f_stop", "f_alnum", "f_tlen"]
+
+
+def sigmoid_ppm(z_micro: Column) -> Column:
+    """Piecewise-linear integer σ̃: clamp the micro logit to ±SIG_CLAMP,
+    locate its LUT segment, interpolate in exact int arithmetic. All
+    intermediate quantities are non-negative, so the floor divisions
+    agree across engines."""
+    lut = sigmoid_lut()
+    arr = F.array(*[F.lit(v).cast("long") for v in lut])
+    zc = F.least(F.greatest(z_micro, F.lit(-SIG_CLAMP)), F.lit(SIG_CLAMP))
+    off = zc + F.lit(SIG_CLAMP)  # 0 … 2·SIG_CLAMP
+    i = F.least(F.floor(off / SIG_STEP), F.lit(N_NODES - 2)).cast("int")
+    frac = off - i.cast("long") * SIG_STEP
+    lo = F.element_at(arr, i + 1)
+    hi = F.element_at(arr, i + 2)
+    return lo + F.floor((frac * (hi - lo)) / SIG_STEP).cast("long")
+
+
+def _logit_micro(w: list[int]) -> Column:
+    acc = None
+    for wj, col in zip(w, FEATURE_COLS):
+        term = F.lit(int(wj)).cast("long") * F.col(col)
+        acc = term if acc is None else acc + term
+    # |Σ w·x| ≤ 5·CLAMP_W·1e6 = 1.5e14 < 2^53 → the double-division
+    # floor is exact (margin analysis in the module docstring)
+    return F.floor(acc / F.lit(PPM)).cast("long")
+
+
+def train_logreg(
+    feats: DataFrame,
+    iters: int = 24,
+    eta_ppm: int = 2 * PPM,
+) -> list[int]:
+    """Full-batch GD over a ``quality_features`` frame → final micro
+    weights. Each iteration is ONE distributed aggregation (k 128-bit
+    sums); the update itself is exact Python big-int on the driver.
+    Deterministic: same data → same weights, any partitioning."""
+    n = feats.count()
+    if n == 0:
+        return [0] * len(FEATURE_COLS)
+    w = [0] * len(FEATURE_COLS)
+    y_ppm = F.col("label").cast("long") * PPM
+    for _ in range(iters):
+        diff = sigmoid_ppm(_logit_micro(w)) - y_ppm
+        sums = feats.select(
+            *[
+                F.sum((F.col(c) * diff).cast("decimal(38,0)")).alias(c)
+                for c in FEATURE_COLS
+            ]
+        ).collect()[0]
+        w = [
+            max(
+                -CLAMP_W,
+                min(CLAMP_W, wj - (eta_ppm * int(sums[j])) // (n * PPM * PPM)),
+            )
+            for j, wj in enumerate(w)
+        ]
+    return w
+
+
+def score_logreg(feats: DataFrame, w: list[int]) -> DataFrame:
+    """Map-only scoring pass: σ̃ ppm of the trained logit + the 0/1
+    prediction at the 0.5 boundary."""
+    score = sigmoid_ppm(_logit_micro(w))
+    return feats.withColumn("score_ppm", score).withColumn(
+        "pred", (score >= PPM // 2).cast("int")
+    )

@@ -1271,8 +1271,48 @@ ORACLE_SIM_TOPK_IVFPQ = _oracle_sim_topk_ivfpq()
 ORACLE_SIM_TOPK_IVFPQ_REFINED = _oracle_sim_topk_ivfpq(refine=50)
 
 
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py): a
+    logistic-regression quality classifier TRAINED inside the engine —
+    24 full-batch fixed-point GD iterations, each one distributed
+    aggregation of five 128-bit gradient sums — then a map-only scoring
+    pass → (doc_id, label, score_ppm, pred). The oracle replays every
+    iteration as SQL CTEs from w0 = 0 (queries/logreg_sql.py), so the
+    hash match certifies the TRAINER, not just the scores. The
+    production corpus-curation pattern (CCNet/fastText-style filters)
+    the heuristic text_quality query cannot express."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.classifier import (
+        FEATURE_COLS,
+        quality_features,
+        score_logreg,
+        train_logreg,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import _persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _persisted(
+        quality_features(docs).select("doc_id", *FEATURE_COLS, "label")
+    )
+    w = train_logreg(feats)
+    return (
+        score_logreg(feats, w)
+        .select("doc_id", "label", "score_ppm", "pred")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_classifier_quality() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.logreg_sql import oracle_classifier_quality
+
+    return oracle_classifier_quality()
+
+
+ORACLE_CLASSIFIER_QUALITY = _oracle_classifier_quality()
+
+
 EXTENSION_QUERIES = {
     "array_hof": q_array_hof,
+    "classifier_quality": q_classifier_quality,
     "text_heavy_hitters": q_text_heavy_hitters,
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_pq_refined": q_sim_topk_pq_refined,
@@ -1304,6 +1344,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     "array_hof": ORACLE_ARRAY_HOF,
+    "classifier_quality": ORACLE_CLASSIFIER_QUALITY,
     "text_heavy_hitters": ORACLE_TEXT_HEAVY_HITTERS,
     "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
     "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,
