@@ -17,14 +17,20 @@ REAL for everything the Python stdlib can parse:
   the true mean pixel byte;
 - **WAV** (PCM): fmt/data chunk walk — true sample rate, duration, and
   mean |amplitude| for 16-bit PCM;
-- **PNG / GIF / JPEG**: real header probing (IHDR / logical screen /
-  SOF-segment walk) for dimensions.
+- **PNG** (r7): FULL pixel decode — chunk walk, IDAT zlib inflate, all
+  five scanline unfilters (None/Sub/Up/Average/Paeth), PLTE palette
+  resolution — for 8-bit gray/RGB/palette/RGBA, plus the matching
+  encoder (``_make_png_codec``). Certified by a formula→encode→decode
+  oracle (queries/pipeline.py ``multimodal_png_decode``) AND
+  hand-derived spec filter vectors (tests/test_advanced.py);
+- **GIF / JPEG**: real header probing (logical screen / SOF-segment
+  walk) for dimensions.
 
-Only *compressed pixel/sample* decode (JPEG entropy decode, PNG
-unfiltering, MP3/video codecs) stays behind the documented stub
-boundary: ``_decode_payload`` raises ``NotImplementedError`` for those
-unless ``allow_stub=True`` selects the deterministic byte-statistics
-fake, which keeps those pipelines end-to-end runnable and testable.
+Only *entropy-coded* decode (JPEG huffman/DCT, MP3/video codecs) stays
+behind the documented stub boundary — there is no stdlib path to it:
+``_decode_payload`` raises ``NotImplementedError`` for those unless
+``allow_stub=True`` selects the deterministic byte-statistics fake,
+which keeps those pipelines end-to-end runnable and testable.
 
 Scale notes: payloads dominate row size, so ops here must avoid shuffling
 payload bytes. Feature extraction is map-only (``mapInPandas``); the one
@@ -176,17 +182,159 @@ def _make_probe_payload():
 _probe_payload = _make_probe_payload()
 
 
+def _make_png_codec():
+    """Factory (by-value worker pickling): a REAL stdlib PNG codec —
+    zlib DEFLATE for the pixel stream plus the five PNG scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) implemented both ways.
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette+PLTE) and
+    6 (RGBA), non-interlaced — the ubiquitous subset. JPEG entropy
+    decode stays out of scope (no stdlib path).
+
+    Returns (encode_png, decode_png): encode applies filter ``y % 5``
+    to row y (so every filter type is exercised in every fixture file)
+    and emits spec-layout chunks with real CRCs; decode walks chunks,
+    concatenates IDAT, inflates, UNfilters, and resolves PLTE indices
+    to RGB — the inverse path through genuinely different code."""
+    import struct
+    import zlib
+
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + tag
+            + data
+            + zlib.crc32(tag + data).to_bytes(4, "big")
+        )
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    _BPP = {0: 1, 2: 3, 3: 1, 6: 4}
+
+    def encode_png(
+        rows: list[bytes], width: int, color_type: int, palette: bytes | None = None
+    ) -> bytes:
+        """``rows``: h raw scanlines of width·bpp channel bytes."""
+        bpp = _BPP[color_type]
+        stride = width * bpp
+        out = bytearray()
+        prev = bytes(stride)
+        for y, row in enumerate(rows):
+            ft = y % 5
+            out.append(ft)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                x = row[i]
+                if ft == 0:
+                    f = x
+                elif ft == 1:
+                    f = (x - a) % 256
+                elif ft == 2:
+                    f = (x - b) % 256
+                elif ft == 3:
+                    f = (x - (a + b) // 2) % 256
+                else:
+                    f = (x - _paeth(a, b, c)) % 256
+                out.append(f)
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", width, len(rows), 8, color_type, 0, 0, 0)
+        png = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        if color_type == 3:
+            png += _chunk(b"PLTE", palette or b"")
+        return png + _chunk(b"IDAT", zlib.compress(bytes(out), 6)) + _chunk(b"IEND", b"")
+
+    def decode_png(p: bytes) -> tuple[int, int, int, list[bytes]]:
+        """→ (width, height, color_type, unfiltered scanlines) with
+        palette indices resolved to RGB triples (so every output byte is
+        a channel value). Raises on non-8-bit or interlaced input."""
+        if p[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG signature")
+        i = 8
+        idat = bytearray()
+        plte = b""
+        width = height = ct = None
+        while i + 12 <= len(p):
+            ln = int.from_bytes(p[i : i + 4], "big")
+            tag = p[i + 4 : i + 8]
+            data = p[i + 8 : i + 8 + ln]
+            if tag == b"IHDR":
+                width = int.from_bytes(data[0:4], "big")
+                height = int.from_bytes(data[4:8], "big")
+                if data[8] != 8:
+                    raise NotImplementedError("only 8-bit PNG supported")
+                ct = data[9]
+                if ct not in _BPP:
+                    raise NotImplementedError(f"PNG color type {ct}")
+                if data[12] != 0:
+                    raise NotImplementedError("interlaced PNG")
+            elif tag == b"PLTE":
+                plte = data
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            i += 12 + ln
+        bpp = _BPP[ct]
+        stride = width * bpp
+        raw = zlib.decompress(bytes(idat))
+        rows: list[bytes] = []
+        prev = bytes(stride)
+        pos = 0
+        for _y in range(height):
+            ft = raw[pos]
+            pos += 1
+            cur = bytearray(raw[pos : pos + stride])
+            pos += stride
+            for i2 in range(stride):
+                a = cur[i2 - bpp] if i2 >= bpp else 0
+                b = prev[i2]
+                c = prev[i2 - bpp] if i2 >= bpp else 0
+                if ft == 0:
+                    v = cur[i2]
+                elif ft == 1:
+                    v = (cur[i2] + a) % 256
+                elif ft == 2:
+                    v = (cur[i2] + b) % 256
+                elif ft == 3:
+                    v = (cur[i2] + (a + b) // 2) % 256
+                elif ft == 4:
+                    v = (cur[i2] + _paeth(a, b, c)) % 256
+                else:
+                    raise ValueError(f"bad filter type {ft}")
+                cur[i2] = v
+            prev = bytes(cur)
+            if ct == 3:
+                rows.append(
+                    b"".join(plte[3 * idx : 3 * idx + 3] for idx in prev)
+                )
+            else:
+                rows.append(prev)
+        return width, height, ct, rows
+
+    return encode_png, decode_png
+
+
 def _make_decode_payload():
     """Factory so the decoder's qualname contains ``<locals>`` and
     cloudpickle ships it to Python workers BY VALUE (workers don't have
     this package importable — see similarity._make_dot_q_batch)."""
     probe = _make_probe_payload()
+    _, _png_decode = _make_png_codec()  # factory-time: ships by value
 
     def _decode_payload(payload: bytes, kind: str, allow_stub: bool) -> tuple[int, int]:
         """Codec boundary. REAL decode for stdlib-parseable payloads:
-        BMP pixel bytes (mean over the raster, skipping the header) and
-        WAV 16-bit PCM (mean |amplitude|); for anything else the
-        compressed-codec stub applies (deterministic byte statistics
+        BMP pixel bytes (mean over the raster, skipping the header),
+        WAV 16-bit PCM (mean |amplitude|), and PNG decoded channel
+        bytes (r7 — inflate + unfilter + palette); for anything else
+        the entropy-codec stub applies (deterministic byte statistics
         behind ``allow_stub``)."""
         p = payload or b""
         head = int.from_bytes(p[:4].ljust(4, b"\0"), "big")
@@ -214,11 +362,21 @@ def _make_decode_payload():
                             total += v if v >= 0 else -v
                         return total // n, head
                 i += 8 + clen + (clen % 2)
+        if meta is not None and meta[0] == "png":
+            # r7: full stdlib PNG pixel decode (inflate + unfilter +
+            # palette) — mean decoded channel byte as the feature
+            try:
+                _, _, _, rows = _png_decode(p)
+            except Exception:  # malformed/unsupported → stub boundary below
+                rows = []
+            flat = b"".join(rows)
+            if flat:
+                return sum(flat) // len(flat), head
         if not allow_stub:
             raise NotImplementedError(
                 f"no codec available for kind={kind!r} (stdlib decode covers "
-                "BMP/WAV only); install decoders or pass allow_stub=True for "
-                "deterministic fake features"
+                "BMP/WAV/PNG only); install decoders or pass allow_stub=True "
+                "for deterministic fake features"
             )
         if not p:
             return 0, 0
@@ -472,6 +630,121 @@ def synthesize_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _make_synth_png():
+    """Deterministic valid PNG per id — dimensions, color type, palette
+    and every pixel are pure integer functions of the id, so the decoded
+    channel statistics are oracle-checkable as plain SQL arithmetic:
+
+      w = 2 + id % 6,  h = 1 + id % 4,  color type by id % 3:
+      0 → gray    v(x,y)    = (id + 7x + 13y) % 256
+      1 → RGB     r,g,b     = (id+7x+13y), (3id+11x+5y), (5id+x+17y) % 256
+      2 → palette idx(x,y)  = (x + y + id) % 16 over a 16-entry PLTE with
+                  plte[j]   = ((37j+id), (59j+2id), (83j+3id)) % 256
+
+    Row y is written with filter y % 5 — all five scanline filters (and
+    the real zlib roundtrip) sit between these formulas and the decoded
+    bytes."""
+    encode_png, _ = _make_png_codec()
+
+    def build(i: int) -> bytes:
+        w = 2 + i % 6
+        h = 1 + i % 4
+        mode = i % 3
+        if mode == 0:
+            rows = [
+                bytes((i + 7 * x + 13 * y) % 256 for x in range(w))
+                for y in range(h)
+            ]
+            return encode_png(rows, w, 0)
+        if mode == 1:
+            rows = [
+                bytes(
+                    v
+                    for x in range(w)
+                    for v in (
+                        (i + 7 * x + 13 * y) % 256,
+                        (3 * i + 11 * x + 5 * y) % 256,
+                        (5 * i + x + 17 * y) % 256,
+                    )
+                )
+                for y in range(h)
+            ]
+            return encode_png(rows, w, 2)
+        plte = bytes(
+            v
+            for j in range(16)
+            for v in ((37 * j + i) % 256, (59 * j + 2 * i) % 256, (83 * j + 3 * i) % 256)
+        )
+        rows = [
+            bytes((x + y + i) % 16 for x in range(w)) for y in range(h)
+        ]
+        return encode_png(rows, w, 3, plte)
+
+    return build
+
+
+def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG payloads (gray/RGB/palette, all five
+    scanline filters) in ``MEDIA_SCHEMA`` — the fixture generator for the
+    full PNG decode path."""
+    build = _make_synth_png()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": ["image"] * len(pdf),
+                    "payload": [build(int(i)) for i in pdf[id_col]],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("n_channel_bytes", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """REAL PNG pixel decode (inflate + unfilter + palette resolution)
+    → per-image channel statistics. Map-only ``mapInPandas``: payloads
+    never shuffle, output is 8 narrow columns per image. The stats
+    (count/sum/min/max over every decoded channel byte) are exactly the
+    aggregates a SQL oracle can recompute from the fixture's pixel
+    formulas — certifying the decoder against ground truth."""
+    _, decode_png = _make_png_codec()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in PNG_STATS_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ct, rows = decode_png(bytes(p))
+                flat = b"".join(rows)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["color_type"].append(ct)
+                out["n_channel_bytes"].append(len(flat))
+                out["px_sum"].append(sum(flat))
+                out["px_min"].append(min(flat))
+                out["px_max"].append(max(flat))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=PNG_STATS_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

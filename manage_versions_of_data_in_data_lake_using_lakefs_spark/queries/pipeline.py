@@ -451,6 +451,62 @@ FROM documents
 """
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL PNG pixel decode (r7 — the codec boundary the earlier rounds
+    stubbed): deterministic VALID PNGs (gray / RGB / palette by id % 3,
+    row y filtered with scanline filter y % 5) are synthesized from each
+    doc_id, then decoded back DISTRIBUTED — chunk walk, IDAT zlib
+    inflate, all five unfilters, PLTE resolution — and reduced to
+    per-image channel statistics. Every pixel is a pure integer function
+    of (id, x, y), so the oracle recomputes the identical stats from the
+    formulas alone: the hash match certifies the decoder (and the real
+    zlib + filter roundtrip standing between formula and bytes) against
+    ground truth. Only JPEG entropy decode remains out of scope."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        decode_png_stats,
+        synthesize_png_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png_stats(synthesize_png_media(ids)).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_PNG_DECODE = """
+WITH imgs AS (
+  SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h,
+         CAST(doc_id % 3 AS INT) AS mode
+  FROM documents),
+xs AS (SELECT x.range AS x FROM range(8) x),
+ys AS (SELECT y.range AS y FROM range(4) y),
+cs AS (SELECT c.range AS c FROM range(3) c),
+px AS (
+  SELECT i.doc_id, i.w, i.h, i.mode, xs.x, ys.y, cs.c
+  FROM imgs i
+  JOIN xs ON xs.x < i.w
+  JOIN ys ON ys.y < i.h
+  JOIN cs ON i.mode <> 0 OR cs.c = 0),
+vals AS (
+  SELECT doc_id, w, h, mode,
+    CASE
+      WHEN mode = 0 THEN (doc_id + 7*x + 13*y) % 256
+      WHEN mode = 1 THEN CASE c WHEN 0 THEN (doc_id + 7*x + 13*y) % 256
+                                WHEN 1 THEN (3*doc_id + 11*x + 5*y) % 256
+                                ELSE (5*doc_id + x + 17*y) % 256 END
+      ELSE CASE c WHEN 0 THEN (37*((x + y + doc_id) % 16) + doc_id) % 256
+                  WHEN 1 THEN (59*((x + y + doc_id) % 16) + 2*doc_id) % 256
+                  ELSE (83*((x + y + doc_id) % 16) + 3*doc_id) % 256 END
+    END AS v
+  FROM px)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE mode WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END AS INT) AS color_type,
+       CAST(COUNT(*) AS BIGINT) AS n_channel_bytes,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM vals GROUP BY doc_id, w, h, mode
+ORDER BY media_id
+"""
+
+
 def _oracle_streaming_neardup() -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import ORACLE_DEDUP_SIMHASH
 
@@ -467,6 +523,7 @@ PIPELINE_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_probe": q_multimodal_probe,
+    "multimodal_png_decode": q_multimodal_png_decode,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
     "streaming_neardup": q_streaming_neardup,
@@ -481,6 +538,7 @@ PIPELINE_ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_probe": ORACLE_MULTIMODAL_PROBE,
+    "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     # exact-recall banding makes the streaming near-dup's result set

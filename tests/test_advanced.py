@@ -878,6 +878,104 @@ def test_cms_overestimate_guarantee(spark):
     assert out[0].est == 0
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big") + tag + data
+        + zlib.crc32(tag + data).to_bytes(4, "big")
+    )
+
+
+def _png_file(w: int, h: int, ct: int, raw: bytes, plte: bytes = b"") -> bytes:
+    import struct
+    import zlib
+
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    )
+    if ct == 3:
+        png += _png_chunk(b"PLTE", plte)
+    return png + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_unfilter_against_spec_vectors():
+    """The unfilter path checked against HAND-DERIVED filtered bytes
+    (computed from the RFC 2083 filter definitions, not with the
+    repo's encoder) — a filter/unfilter pair that is wrong in a
+    mutually-consistent way would pass every roundtrip test but fails
+    here."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import _make_png_codec
+
+    _, decode_png = _make_png_codec()
+    # gray 3x4, one row per filter type 1-4 (worked by hand)
+    raw = bytes(
+        [1, 0x0A, 0x0A, 0x0A]      # Sub:     [10,20,30]
+        + [2, 0x1E, 0x1E, 0x1E]    # Up:      [40,50,60]
+        + [3, 0xF1, 0x49, 0xB7]    # Average: [5,100,7]
+        + [4, 0xC3, 0x39, 0x01]    # Paeth:   [200,1,2]
+    )
+    w, h, ct, rows = decode_png(_png_file(3, 4, 0, raw))
+    assert (w, h, ct) == (3, 4, 0)
+    assert [list(r) for r in rows] == [
+        [10, 20, 30], [40, 50, 60], [5, 100, 7], [200, 1, 2],
+    ]
+    # RGB 2x2 — bpp=3 offsets for Sub's `a` and Paeth's neighbors
+    raw_rgb = bytes(
+        [1, 1, 2, 3, 9, 18, 27]                       # Sub
+        + [4, 0x63, 0x6C, 0x75, 0x1E, 0x1E, 0x1E]     # Paeth
+    )
+    w, h, ct, rows = decode_png(_png_file(2, 2, 2, raw_rgb))
+    assert (w, h, ct) == (2, 2, 2)
+    assert [list(r) for r in rows] == [
+        [1, 2, 3, 10, 20, 30], [100, 110, 120, 130, 140, 150],
+    ]
+    # palette: indices resolve through PLTE to RGB triples
+    plte = bytes(v for j in range(4) for v in (10 * j, 10 * j + 1, 10 * j + 2))
+    w, h, ct, rows = decode_png(_png_file(2, 1, 3, bytes([0, 3, 1]), plte))
+    assert (w, h, ct) == (2, 1, 3)
+    assert list(rows[0]) == [30, 31, 32, 10, 11, 12]
+
+
+def test_png_features_real_without_stub(spark):
+    """PNG is no longer behind the stub boundary: extract_features with
+    allow_stub=False decodes real pixels (mean decoded channel byte),
+    deterministically across partitionings."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        extract_features,
+        synthesize_png_media,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import _make_png_codec
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import _make_synth_png
+
+    ids = spark.range(20).select(F.col("id").alias("doc_id"))
+    media = synthesize_png_media(ids)
+    rows = extract_features(media, allow_stub=False).orderBy("media_id").collect()
+    assert len(rows) == 20
+    # cross-check one image against a local decode
+    build, (_, decode) = _make_synth_png(), _make_png_codec()
+    flat = b"".join(decode(build(7))[3])
+    assert [r.feat_mean for r in rows if r.media_id == 7] == [sum(flat) // len(flat)]
+    again = extract_features(media.repartition(7), allow_stub=False)
+    assert [tuple(r) for r in again.orderBy("media_id").collect()] == [
+        tuple(r) for r in rows
+    ]
+
+
+def test_png_codec_roundtrip_rgba():
+    """Encoder↔decoder roundtrip for RGBA (color type 6 — not covered
+    by the oracle fixture) across all five filters."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import _make_png_codec
+
+    encode_png, decode_png = _make_png_codec()
+    rows = [
+        bytes((17 * y + 5 * i) % 256 for i in range(3 * 4)) for y in range(6)
+    ]
+    w, h, ct, back = decode_png(encode_png(rows, 3, 6))
+    assert (w, h, ct) == (3, 6, 6)
+    assert back == rows
+
+
 def test_classifier_learns_and_is_layout_independent(spark):
     """The trained quality classifier must (a) beat both trivial
     predictors on its training labels — the distillation actually
