@@ -165,6 +165,8 @@ def main() -> None:
         "sim_topk_ivfpq_refined",
         "text_heavy_hitters",
         "classifier_quality",
+        "quantiles_scalable",
+        "multimodal_png_decode",
     ):
         if extra in registry:
             names.append(extra)

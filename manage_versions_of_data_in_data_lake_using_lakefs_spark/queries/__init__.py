@@ -107,7 +107,13 @@ WINDOW_ORDER: list[str] = [
     # join-count distribution + subqueries' EXISTS — rotated to the tail
     # in r5 to free a slot for the pruned-DML proof, which is a shape
     # nothing else in the window exercises)
-    "tpch_q1",
+    # (tpch_q1 — wide multi-aggregate pricing summary, shapes covered by
+    # agg_sum's exact-decimal aggregates + case_when + agg_multi_group —
+    # rotated to the tail in r7 to driver-certify the round's flagship:
+    # the in-engine trained quality classifier, whose 24-iteration
+    # fixed-point GD + SQL-replayed trainer is a shape nothing else in
+    # the window exercises; q1 stays a bench headliner and keeps its
+    # full oracle in the tail)
     # (tpch_q3 — 3-table join + agg + sort, shapes covered by flagship's
     # join/window/sort and tpch_q13's outer-join aggregate — rotated to
     # the tail in r7 to driver-certify the registered production ANN
@@ -155,6 +161,10 @@ WINDOW_ORDER: list[str] = [
                             # re-rank — the registered production ANN path;
                             # all m subspace Lloyd's trainings replayed as
                             # SQL CTEs (r7 rotation, judge's #1 ask)
+    "classifier_quality",   # in-engine TRAINED quality classifier: 24
+                            # fixed-point logistic-GD iterations, each a
+                            # distributed 128-bit aggregation, the whole
+                            # trainer replayed as SQL CTEs (r7 flagship)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

@@ -2525,8 +2525,37 @@ def _oracle_tokenizer_bpe() -> str:
 ORACLE_TOKENIZER_BPE = _oracle_tokenizer_bpe()
 
 
+def q_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles at 100 TB scale (operators/aggregates.py
+    ``exact_rank_select``): iterative histogram bisection finds the true
+    ⌊(n−1)p⌋-th order statistics in 3 one-scan rounds — no global sort,
+    no per-group value gather (the ``percentile`` A3 flavor OOMs at
+    scale; ``approxQuantile`` is approximate). The oracle is the
+    DECLARATIVE SPEC itself — a rank select over a full sort — so the
+    hash match proves the distributed selection algorithm exact."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import exact_rank_select
+
+    li = load_table(spark, sf_dir, "lineitem")
+    res = exact_rank_select(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+    return spark.createDataFrame(res, "p DOUBLE, q DOUBLE").orderBy("p")
+
+
+ORACLE_QUANTILES_SCALABLE = """
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rk
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT COUNT(*) AS n FROM s),
+ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p)
+SELECT ps.p AS p, s.v AS q
+FROM ps CROSS JOIN n JOIN s ON s.rk = CAST(floor((n.n - 1) * ps.p) AS BIGINT)
+ORDER BY p
+"""
+
+
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "quantiles_scalable": q_quantiles_scalable,
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -2591,6 +2620,7 @@ ADVANCED_QUERIES = {
 
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
+    "quantiles_scalable": ORACLE_QUANTILES_SCALABLE,
     "tpch_q4": ORACLE_TPCH_Q4,
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q7": ORACLE_TPCH_Q7,

@@ -899,6 +899,24 @@ def _png_file(w: int, h: int, ct: int, raw: bytes, plte: bytes = b"") -> bytes:
     return png + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
 
 
+def test_exact_rank_select_edges(spark):
+    """Histogram-bisection selection: endpoints, heavy ties, negative
+    values, and partitioning independence."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import exact_rank_select
+
+    data = [(float(v),) for v in [5] * 100 + [-1] * 3 + [9] * 7]
+    df = spark.createDataFrame(data, "x double")
+    res = dict(exact_rank_select(df, "x", [0.0, 0.5, 1.0]))
+    # n=110: rank 0 → -1, rank floor(109*0.5)=54 → 5, rank 109 → 9
+    assert res == {0.0: -1.0, 0.5: 5.0, 1.0: 9.0}
+    assert res == dict(exact_rank_select(df.repartition(7), "x", [0.0, 0.5, 1.0]))
+    # all-equal column terminates immediately (lo == hi after min/max)
+    one = spark.createDataFrame([(2.5,)] * 9, "x double")
+    assert dict(exact_rank_select(one, "x", [0.3])) == {0.3: 2.5}
+    # empty input
+    assert exact_rank_select(one.where(F.col("x") > 99), "x", [0.5]) == [(0.5, None)]
+
+
 def test_png_unfilter_against_spec_vectors():
     """The unfilter path checked against HAND-DERIVED filtered bytes
     (computed from the RFC 2083 filter definitions, not with the
