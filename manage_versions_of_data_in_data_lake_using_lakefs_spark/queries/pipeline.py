@@ -451,6 +451,51 @@ FROM documents
 """
 
 
+def q_streaming_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline-train / online-serve (r7): the quality classifier trains
+    on the BATCH corpus (24 distributed fixed-point GD iterations,
+    operators/classifier.py), then its final weights ride the STREAMING
+    plan as literals — each micro-batch is scored by a pure map pass
+    (feature extraction + LUT σ̃), no streaming state at all. The stream
+    replays the same corpus through a file source, so the oracle is the
+    SAME CTE program that certifies batch classifier_quality — parity
+    proves train-side and serve-side agree bit-exactly across the
+    batch/stream boundary."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.classifier import (
+        FEATURE_COLS,
+        quality_features,
+        score_logreg,
+        train_logreg,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import _persisted
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import run_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _persisted(
+        quality_features(docs).select("doc_id", *FEATURE_COLS, "label")
+    )
+    w = train_logreg(feats)
+    src = tempfile.mkdtemp(prefix="lakegraft_stream_src_")
+    shutil.rmtree(src, ignore_errors=True)
+    docs.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    scored = score_logreg(
+        quality_features(stream).select("doc_id", *FEATURE_COLS, "label"), w
+    )
+    name = f"sclf_{uuid.uuid4().hex[:8]}"
+    run_to_memory(scored.select("doc_id", "label", "score_ppm", "pred"), name)
+    return spark.table(name).orderBy("doc_id")
+
+
+def _oracle_streaming_classifier() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.logreg_sql import oracle_classifier_quality
+
+    return oracle_classifier_quality()
+
+
+ORACLE_STREAMING_CLASSIFIER = _oracle_streaming_classifier()
+
+
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL PNG pixel decode (r7 — the codec boundary the earlier rounds
     stubbed): deterministic VALID PNGs (gray / RGB / palette by id % 3,
@@ -524,6 +569,7 @@ PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_probe": q_multimodal_probe,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "streaming_classifier": q_streaming_classifier,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
     "streaming_neardup": q_streaming_neardup,
@@ -539,6 +585,7 @@ PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_probe": ORACLE_MULTIMODAL_PROBE,
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
+    "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     # exact-recall banding makes the streaming near-dup's result set
