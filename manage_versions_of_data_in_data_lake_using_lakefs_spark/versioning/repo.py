@@ -264,6 +264,7 @@ class LakeRepo:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         txn: dict | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> str:
         """Stage a table write on a branch (uncommitted until ``commit``,
         mirroring lakeFS's upload-then-commit two-phase flow,
@@ -328,9 +329,18 @@ class LakeRepo:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import write_group_stats
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import (
+            add_bloom_stats,
+            write_group_stats,
+        )
 
         write_group_stats(out_dir)  # footer-derived manifest; best-effort
+        if bloom_cols:
+            # opt-in per-file bloom indexes: point-lookup DML/reads on
+            # these (typically unclustered) columns can then skip files
+            # min/max ranges cannot exclude. Build reads the column once
+            # at write time; probes are manifest metadata.
+            add_bloom_stats(out_dir, bloom_cols)
         self._enforce_constraints(df.sparkSession, branch, table, out_dir)
         rel = os.path.relpath(out_dir, self.root)
         with RepoLock(self.root):

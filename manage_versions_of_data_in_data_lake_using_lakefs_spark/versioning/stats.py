@@ -16,7 +16,10 @@ driver-side like every other commit-metadata decision in the repo; at
 100 TB the win is proportional to clustering quality — a table compacted
 with ``sort_by``/``zorder_by`` (``LakeRepo.compact``) has near-disjoint
 per-file ranges, so a selective DELETE rewrites O(matching files), not
-O(table). Correctness never depends on the stats: every decision is an
+O(table). For point lookups on UNCLUSTERED columns — where ranges can
+never exclude anything — opt-in per-file bloom indexes (r7, see the
+bloom section below) restore file skipping at 1 KiB of manifest
+metadata per file per column. Correctness never depends on the stats: every decision is an
 over-approximation (unknown → may-match), and an unparseable predicate
 disables pruning entirely.
 
@@ -204,6 +207,127 @@ def load_group_stats(group_dir: str) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# Optional per-file bloom indexes (r7): equality/IN pruning beyond min/max
+# ---------------------------------------------------------------------------
+#
+# Min/max zonemaps only skip files when the table is clustered on the
+# probed column; a point lookup on an UNCLUSTERED key scans everything.
+# An opt-in per-(file, column) bloom filter fixes that: 1 KiB of bits
+# per file answers "does this file possibly contain v?" with zero false
+# negatives, so `WHERE k = v` DML/reads rewrite/scan only the files
+# whose bloom fires — Parquet/Iceberg bloom-index semantics at the
+# manifest level. Opt-in (``write_table(bloom_cols=...)`` /
+# ``add_bloom_stats``) because the build must READ the column (pyarrow,
+# driver-side, file-local — unlike the footer-only default stats path);
+# at 100 TB the build cost rides the write, the probe cost is metadata.
+# Correctness never depends on it: any malformed/absent/unsupported
+# bloom is simply "may match", and floats never use blooms (canonical
+# form is only defined for ints and strings).
+
+BLOOM_M = 8192  # bits (1 KiB) per file per column
+BLOOM_K = 4
+
+
+def _bloom_canon(v) -> bytes | None:
+    """Canonical probe bytes: defined for ints and strings only (floats
+    and others → None → bloom bypassed). int 5 and string '5' share a
+    canonical form on purpose — cross-type equality stays conservative."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    return None
+
+
+def _bloom_positions(canon: bytes, m: int = BLOOM_M) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(canon).digest()
+    return [int.from_bytes(d[4 * i : 4 * i + 4], "big") % m for i in range(BLOOM_K)]
+
+
+def build_file_bloom(path: str, col: str) -> dict | None:
+    """Bloom over one parquet file's non-null values of ``col`` — or
+    None when the column is absent or of an unsupported type (the file
+    then simply has no bloom and stays may-match)."""
+    import base64
+
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(path).read(columns=[col])
+    except Exception:
+        return None
+    bits = bytearray(BLOOM_M // 8)
+    for v in t.column(0).to_pylist():
+        if v is None:
+            continue
+        c = _bloom_canon(v)
+        if c is None:
+            return None  # unsupported value type → no bloom for this file
+        for pos in _bloom_positions(c):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": BLOOM_M, "k": BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def add_bloom_stats(group_dir: str, cols: Iterable[str]) -> bool:
+    """Augment a freshly written group's persisted manifest with
+    per-file blooms for ``cols``. Only groups that already carry a
+    manifest are touched (historical dirs stay immutable); best-effort
+    like the rest of the stats layer."""
+    p = os.path.join(group_dir, STATS_NAME)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            manifest = json.load(f)
+        for rel, fst in manifest.get("files", {}).items():
+            blooms = fst.setdefault("bloom", {})
+            for col in cols:
+                b = build_file_bloom(os.path.join(group_dir, rel), col)
+                if b is not None:
+                    blooms[col] = b
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, p)
+        return True
+    except Exception:
+        return False
+
+
+def _bloom_may_contain(bloom: dict, lit) -> bool:
+    """False ONLY when the bloom proves absence; anything unexpected
+    (bad shape, unsupported literal) is may-contain."""
+    import base64
+
+    c = _bloom_canon(lit)
+    if c is None:
+        return True
+    try:
+        if bloom.get("k") != BLOOM_K:
+            return True
+        m = bloom["m"]
+        bits = base64.b64decode(bloom["b64"])
+        if m != len(bits) * 8:
+            return True
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(c, m))
+    except Exception:
+        return True
+
+
+def _col_bloom(stats: dict, col: str) -> dict | None:
+    blooms = stats.get("bloom", {})
+    b = blooms.get(col)
+    if b is None:
+        k = {c.lower(): c for c in blooms}.get(col.lower())
+        b = blooms.get(k) if k is not None else None
+    return b
+
+
+# ---------------------------------------------------------------------------
 # Conservative predicate → can-this-file-match evaluator
 # ---------------------------------------------------------------------------
 
@@ -297,6 +421,13 @@ class _Cmp:
         self.col, self.op, self.lit = col, op, lit
 
     def can_match(self, stats: dict) -> bool:
+        if self.op == "=" and self.lit is not None:
+            # bloom proof of absence beats min/max (works on UNCLUSTERED
+            # columns where the range always overlaps); zero false
+            # negatives by construction, so still an over-approximation
+            b = _col_bloom(stats, self.col)
+            if b is not None and not _bloom_may_contain(b, self.lit):
+                return False
         ent = _col_entry(stats, self.col)
         if ent is None:
             return True

@@ -212,8 +212,47 @@ def main() -> None:
         words = d.select(F.explode(tokenize(F.col("text"))).alias("word"))
         return cms_heavy_hitters(words, "word", width=64, depth=4, threshold=1)
 
+    def op_classifier(d: DataFrame) -> DataFrame:
+        # each GD iteration is one distributed 5-sum aggregation over the
+        # persisted ppm-feature projection; per-row cost must stay flat
+        # (iteration count fixed at 8 for wall-time sanity — the ratio is
+        # iteration-count invariant)
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.classifier import (
+            FEATURE_COLS,
+            quality_features,
+            score_logreg,
+            train_logreg,
+        )
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import _persisted
+
+        feats = _persisted(quality_features(d).select("doc_id", *FEATURE_COLS, "label"))
+        w = train_logreg(feats, iters=8)
+        return score_logreg(feats, w).select("doc_id", "score_ppm", "pred")
+
+    def op_quantiles(x: DataFrame) -> DataFrame:
+        # 3 bisection rounds, each ONE scan emitting <= probs*1024
+        # counters; the count/min-max passes ride the same persisted
+        # column — per-row cost must stay flat
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import exact_rank_select
+
+        res = exact_rank_select(x, "l_extendedprice", [0.25, 0.5, 0.9])
+        return spark.createDataFrame(res, "p DOUBLE, q DOUBLE")
+
+    def op_png(d: DataFrame) -> DataFrame:
+        # synthesize + full decode, both map-only Arrow passes — payload
+        # bytes never shuffle, so this is the pure Python-codec cost
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+            decode_png_stats,
+            synthesize_png_media,
+        )
+
+        return decode_png_stats(synthesize_png_media(d.select("doc_id")))
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
+        "classifier_train_score": (docs, replicate_documents, op_classifier),
+        "quantiles_scalable": (li, replicate_lineitem, op_quantiles),
+        "multimodal_png_decode": (docs, replicate_documents, op_png),
         "sim_topk_pq_refined": (emb, replicate_embeddings, op_pq_refined),
         "scd2_apply": (docs, replicate_documents, op_scd2),
         "cms_heavy_hitters": (docs, replicate_documents, op_cms),

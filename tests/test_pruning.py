@@ -646,3 +646,96 @@ def test_failed_ctas_replace_restores_staged_constraint_deletion(spark, repo):
         repo.write_table(
             "main", "t", spark.createDataFrame([(-1,)], "k LONG"), mode="append"
         )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter file skipping (r7): point lookups on UNCLUSTERED columns
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_membership_no_false_negatives(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "f.parquet")
+    ks = list(range(0, 3000, 3))
+    pq.write_table(
+        pa.table({"k": ks, "s": [f"v{v}" for v in ks], "f": [v * 0.5 for v in ks]}),
+        path,
+    )
+    bk = S.build_file_bloom(path, "k")
+    bs = S.build_file_bloom(path, "s")
+    assert bk and bs
+    # zero false negatives, ever
+    assert all(S._bloom_may_contain(bk, v) for v in ks)
+    assert all(S._bloom_may_contain(bs, f"v{v}") for v in ks)
+    # absent values: overwhelmingly excluded (deterministic hash — the
+    # exact count is stable; assert a loose floor)
+    absent = [v for v in range(1, 3000, 3)]
+    excluded = sum(0 if S._bloom_may_contain(bk, v) else 1 for v in absent)
+    assert excluded / len(absent) > 0.95
+    # float columns build no bloom; float literals bypass any bloom
+    assert S.build_file_bloom(path, "f") is None
+    assert S._bloom_may_contain(bk, 2.5)
+
+
+def test_bloom_evaluator_integration():
+    """_Cmp consults the bloom for '=' (and IN via _Cmp): absence proof
+    wins even when min/max overlap; malformed blooms are may-match."""
+    import base64
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "f.parquet")
+        pq.write_table(pa.table({"k": [10, 500, 990]}), path)
+        bloom = S.build_file_bloom(path, "k")
+    st = {
+        "rows": 3,
+        "cols": {"k": {"min": 10, "max": 990, "nulls": 0}},
+        "bloom": {"k": bloom},
+    }
+    assert S.parse_predicate("k = 500").can_match(st)
+    assert not S.parse_predicate("k = 501").can_match(st)  # in range, not in bloom
+    assert not S.parse_predicate("k IN (499, 501)").can_match(st)
+    assert S.parse_predicate("k IN (499, 990)").can_match(st)
+    # inequality never consults the bloom
+    assert S.parse_predicate("k != 501").can_match(st)
+    assert S.parse_predicate("k < 100").can_match(st)
+    # malformed bloom → may-match
+    bad = dict(st, bloom={"k": {"m": 64, "k": 4, "b64": base64.b64encode(b"x").decode()}})
+    assert S.parse_predicate("k = 501").can_match(bad)
+
+
+def test_bloom_point_delete_skips_unclustered_files(spark, repo):
+    """The headline win: hash-distributed keys make every file's min/max
+    span the whole domain (range pruning skips NOTHING), yet a bloomed
+    point DELETE rewrites only the file(s) whose bloom fires."""
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    repo.write_table(
+        "main", "t", df.repartition(8, F.col("k")), bloom_cols=["k"]
+    )
+    repo.commit("main", "base")
+    before = repo.current_files("main", "t")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("DELETE FROM t WHERE k = 1234").collect()[0]
+    assert res.rows_affected == 1
+    after = repo.current_files("main", "t")
+    reused = [f for f in after if f.endswith(".parquet")]
+    # 8 hash-partitioned files; without blooms min/max reuses nothing —
+    # with them at least 6 of 8 are carried by reference (bloom false
+    # positives are the only reason fewer than 7 would be)
+    assert len(reused) >= 6
+    assert all(f.startswith(before[0]) for f in reused)
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 3999 and t.where("k = 1234").count() == 0
+    # sanity: without blooms the same layout reuses nothing
+    repo.write_table("main", "u", df.repartition(8, F.col("k")))
+    repo.commit("main", "u base")
+    lsql.sql("DELETE FROM u WHERE k = 1234")
+    after_u = repo.current_files("main", "u")
+    assert not [f for f in after_u if f.endswith(".parquet")]
