@@ -83,6 +83,65 @@ def asof_join(
     return out
 
 
+def resample_locf(
+    df: DataFrame,
+    on: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward
+    (r7) — the gap-filling pass every time-series/sensor training
+    pipeline runs before windowed feature extraction.
+
+    Per key: grid points at every multiple of ``step_seconds`` inside
+    [min(ts), max(ts)] (integer-micro arithmetic, so grid membership is
+    engine-exact), each carrying the value of the latest observation at
+    or before it. Observations at identical (key, ts) are reduced with
+    ``max`` first so the carried value is deterministic.
+
+    Scale shape: one per-key min/max aggregate, a ``sequence``+explode
+    grid (rows ∝ span/step, distributed like any other rows — size the
+    step so per-key grids stay sane), then the union+window as-of
+    pattern — one shuffle on the key, no range join, no broadcast.
+    Output: (on, grid_us, value_col) — grid_us in microseconds."""
+    us = int(step_seconds) * 1_000_000
+    obs = (
+        df.select(
+            F.col(on),
+            F.unix_micros(F.col(ts_col)).alias("_ous"),
+            F.col(value_col),
+        )
+        .groupBy(on, "_ous")
+        .agg(F.max(value_col).alias(value_col))
+    )
+    bounds = obs.groupBy(on).agg(
+        F.min("_ous").alias("_lo"), F.max("_ous").alias("_hi")
+    )
+    # integer `div`, not float floor: epoch micros (~1.7e15) sit close
+    # enough to 2^53 that a double-division floor's safety margin thins
+    grid = (
+        bounds.select(
+            F.col(on),
+            F.expr(f"((_lo + {us - 1}) div {us}) * {us}").alias("_s"),
+            F.expr(f"(_hi div {us}) * {us}").alias("_e"),
+        )
+        .where(F.col("_s") <= F.col("_e"))  # span < step → no grid point
+        .select(
+            F.col(on),
+            F.explode(F.sequence(F.col("_s"), F.col("_e"), F.lit(us))).alias(
+                "grid_us"
+            ),
+        )
+    )
+    out = asof_join(
+        grid, obs, on=on, left_ts="grid_us", right_ts="_ous", right_cols=[value_col]
+    )
+    return out.select(
+        F.col(on), F.col("grid_us"), F.col(f"{value_col}_matched").alias(value_col)
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str = "user_id",

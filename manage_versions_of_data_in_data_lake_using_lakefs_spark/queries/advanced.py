@@ -2525,6 +2525,42 @@ def _oracle_tokenizer_bpe() -> str:
 ORACLE_TOKENIZER_BPE = _oracle_tokenizer_bpe()
 
 
+_RESAMPLE_US = 6 * 3600 * 1_000_000  # 6-hour grid
+
+
+def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with LOCF gap-fill (r7,
+    operators/temporal.resample_locf): per user, a 6-hour grid across
+    the user's event span, each point carrying the latest observation at
+    or before it — the union+window as-of pattern, one shuffle, no range
+    join. The oracle is DuckDB's native ASOF JOIN over an identically
+    generated integer-micro grid."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import resample_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_locf(ev, "user_id", "ts", "value", 6 * 3600).orderBy(
+        "user_id", "grid_us"
+    )
+
+
+ORACLE_RESAMPLE_EVENTS = f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS ous, MAX(value) AS value
+  FROM events GROUP BY user_id, epoch_us(ts)),
+b AS (SELECT user_id, MIN(ous) AS lo, MAX(ous) AS hi FROM obs GROUP BY user_id),
+g0 AS (SELECT user_id,
+              ((lo + {_RESAMPLE_US - 1}) // {_RESAMPLE_US}) * {_RESAMPLE_US} AS s,
+              (hi // {_RESAMPLE_US}) * {_RESAMPLE_US} AS e
+       FROM b),
+grid AS (SELECT user_id, unnest(range(s, e + 1, {_RESAMPLE_US})) AS grid_us
+         FROM g0 WHERE s <= e)
+SELECT g.user_id, g.grid_us, o.value
+FROM grid g ASOF JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_us >= o.ous
+ORDER BY g.user_id, g.grid_us
+"""
+
+
 def q_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantiles at 100 TB scale (operators/aggregates.py
     ``exact_rank_select``): iterative histogram bisection finds the true
@@ -2556,6 +2592,7 @@ ORDER BY p
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "quantiles_scalable": q_quantiles_scalable,
+    "resample_events": q_resample_events,
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -2621,6 +2658,7 @@ ADVANCED_QUERIES = {
 ADVANCED_ORACLES = {
     "tpch_q1": ORACLE_TPCH_Q1,
     "quantiles_scalable": ORACLE_QUANTILES_SCALABLE,
+    "resample_events": ORACLE_RESAMPLE_EVENTS,
     "tpch_q4": ORACLE_TPCH_Q4,
     "tpch_q6": ORACLE_TPCH_Q6,
     "tpch_q7": ORACLE_TPCH_Q7,

@@ -899,6 +899,34 @@ def _png_file(w: int, h: int, ct: int, raw: bytes, plte: bytes = b"") -> bytes:
     return png + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
 
 
+def test_resample_locf_edges(spark):
+    """Grid boundaries, LOCF carry, span<step keys, and (key, ts) tie
+    reduction."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import resample_locf
+
+    rows = [
+        (1, 0, 1.0),        # key 1: obs at 0s and 100s, 60s grid → [0, 60]
+        (1, 100_000_000, 2.0),
+        (2, 30_000_000, 9.0),   # key 2: span < step → no grid point
+        (3, 0, 5.0),        # key 3: tie at ts 0 → max wins
+        (3, 0, 7.0),
+        (3, 60_000_000, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, us LONG, value DOUBLE").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    got = {
+        (r.user_id, r.grid_us): r.value
+        for r in resample_locf(df, "user_id", "ts", "value", 60).collect()
+    }
+    assert got == {
+        (1, 0): 1.0,
+        (1, 60_000_000): 1.0,  # carried: obs at 100s is after the point
+        (3, 0): 7.0,           # tie reduced deterministically
+        (3, 60_000_000): 4.0,
+    }
+
+
 def test_exact_rank_select_edges(spark):
     """Histogram-bisection selection: endpoints, heavy ties, negative
     values, and partitioning independence."""
