@@ -170,20 +170,36 @@ WINDOW_ORDER: list[str] = [
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)
 
 
-def _combined_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
-    for family in (
-        RELATIONAL_QUERIES,
-        EXTENSION_QUERIES,
-        VERSIONED_QUERIES,
-        PIPELINE_QUERIES,
-        FORMAT_QUERIES,
-        ADVANCED_QUERIES,
-        MERGED_QUERIES,
-        REPLICA_QUERIES,
-    ):
+def _merge_families(families: tuple[dict, ...], kind: str) -> dict:
+    """Merge family dicts, refusing silent shadowing: ``dict.update`` with
+    a duplicate key would let a new query vanish behind an old same-name
+    one (a real round-6 near-miss, caught only by review). Cross-family
+    key collisions fail loudly instead."""
+    out: dict = {}
+    for family in families:
+        dupes = out.keys() & family.keys()
+        if dupes:
+            raise AssertionError(
+                f"registry {kind} name collision across families: {sorted(dupes)}"
+            )
         out.update(family)
     return out
+
+
+def _combined_queries() -> dict[str, QueryFn]:
+    return _merge_families(
+        (
+            RELATIONAL_QUERIES,
+            EXTENSION_QUERIES,
+            VERSIONED_QUERIES,
+            PIPELINE_QUERIES,
+            FORMAT_QUERIES,
+            ADVANCED_QUERIES,
+            MERGED_QUERIES,
+            REPLICA_QUERIES,
+        ),
+        "query",
+    )
 
 
 def _released(fn: QueryFn) -> QueryFn:
@@ -223,16 +239,16 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for family in (
-        RELATIONAL_ORACLES,
-        EXTENSION_ORACLES,
-        VERSIONED_ORACLES,
-        PIPELINE_ORACLES,
-        FORMAT_ORACLES,
-        ADVANCED_ORACLES,
-        MERGED_ORACLES,
-        REPLICA_ORACLES,
-    ):
-        out.update(family)
-    return out
+    return _merge_families(
+        (
+            RELATIONAL_ORACLES,
+            EXTENSION_ORACLES,
+            VERSIONED_ORACLES,
+            PIPELINE_ORACLES,
+            FORMAT_ORACLES,
+            ADVANCED_ORACLES,
+            MERGED_ORACLES,
+            REPLICA_ORACLES,
+        ),
+        "oracle",
+    )

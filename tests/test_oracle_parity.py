@@ -50,3 +50,15 @@ def test_registry_window_contract():
     # rows-only queries (no oracle) are deliberate and enumerated
     rows_only = set(q) - set(oracles)
     assert rows_only == {"agg_approx"}, rows_only
+
+
+def test_registry_collision_fails_loudly():
+    """A duplicate key across family dicts must raise, not silently shadow
+    (dict.update order decided the winner before; a round-6 near-miss)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries import _merge_families
+
+    with pytest.raises(AssertionError, match="name collision.*dup_key"):
+        _merge_families(({"dup_key": 1, "a": 2}, {"dup_key": 3}), "query")
+    # disjoint families still merge in order
+    merged = _merge_families(({"a": 1}, {"b": 2}), "query")
+    assert merged == {"a": 1, "b": 2}
