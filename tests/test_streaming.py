@@ -615,3 +615,118 @@ def test_tagged_overwrite_onto_untagged_staged_entry_raises(spark, tmp_path):
         txn={"stream_id": "sA", "stream_batch_id": 0},
     )
     assert repo.staged_txn("main", "m")["stream_id"] == "sA"
+
+
+# --- hypothesis chaos: CDC upsert exactly-once under adversarial crashes ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CHAOS_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# one step = (keys changed this batch, failure injected around delivery)
+#   ok            — clean delivery
+#   stage_crash   — process dies between write_table (staged) and commit;
+#                   redelivery must replace the tagged leftover, not stack
+#   ckpt_rollback — process dies between commit and checkpoint advance
+#                   (simulated by restoring the pre-run checkpoint), so
+#                   Spark redelivers the SAME batch id; the committed-log
+#                   guard must skip it
+_chaos_step = st.tuples(
+    st.sets(st.integers(0, 5), min_size=1, max_size=3),
+    st.sampled_from(["ok", "stage_crash", "ckpt_rollback"]),
+)
+
+
+@given(steps=st.lists(_chaos_step, min_size=1, max_size=3))
+@settings(**_CHAOS_SETTINGS)
+def test_stream_upsert_exactly_once_under_chaos(spark, tmp_path_factory, steps):
+    """VERDICT r6 #6: adversarial interleavings of the two crash windows
+    the exactly-once protocol must close. Whatever the sequence of clean
+    deliveries, stage-then-crash replays, and commit-then-checkpoint-loss
+    replays, the table's row multiset equals applying each change batch's
+    MERGE exactly once in order, nothing stays staged, and the commit log
+    carries each (stream, batch id) at most once."""
+    import os
+    import tempfile
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_upsert_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    root = tempfile.mkdtemp(prefix="lake-upsert-chaos-")
+    try:
+        repo = LakeRepo.init(os.path.join(root, "lake"))
+        repo.write_table(
+            "main", "t", spark.createDataFrame([(1, 10), (2, 20)], "k LONG, v LONG")
+        )
+        repo.commit("main", "seed")
+        expected = {1: 10, 2: 20}
+        src = os.path.join(root, "changes")
+        ckpt = os.path.join(root, "ckpt")
+        ckpt_bak = os.path.join(root, "ckpt_bak")
+        counter = 100
+
+        def run_sink():
+            stream = spark.readStream.schema("k LONG, v LONG").parquet(src)
+            stream_upsert_into_repo(
+                stream, repo, "main", "t", ["k"], checkpoint_dir=ckpt
+            )
+
+        for keys, mode in steps:
+            batch = [(int(k), counter + i) for i, k in enumerate(sorted(keys))]
+            counter += 10
+            spark.createDataFrame(batch, "k LONG, v LONG").write.mode(
+                "append"
+            ).parquet(src)
+            for k, v in batch:
+                expected[k] = v
+
+            if mode == "stage_crash":
+                real_commit = repo.commit
+
+                def dying_commit(*a, **kw):
+                    raise RuntimeError("chaos: crash between stage and commit")
+
+                repo.commit = dying_commit
+                try:
+                    with pytest.raises(Exception):
+                        run_sink()
+                finally:
+                    repo.commit = real_commit
+                # durable tagged leftover — the window under test is open
+                assert repo.staged_txn("main", "t") is not None
+                run_sink()  # redelivery replaces the leftover exactly once
+            elif mode == "ckpt_rollback":
+                shutil.rmtree(ckpt_bak, ignore_errors=True)
+                if os.path.exists(ckpt):
+                    shutil.copytree(ckpt, ckpt_bak)
+                run_sink()  # commits AND advances the checkpoint
+                # roll the checkpoint back to before this delivery: Spark
+                # will redeliver the same files under the same batch id
+                shutil.rmtree(ckpt, ignore_errors=True)
+                if os.path.exists(ckpt_bak):
+                    shutil.copytree(ckpt_bak, ckpt)
+                    run_sink()  # must be skipped by the committed-log guard
+                # (first-ever batch has no checkpoint to restore: skip replay)
+            else:
+                run_sink()
+
+            got = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+            assert got == expected, f"after {mode}: {got} != {expected}"
+            assert repo.status("main") == {}, "staged leftover survived"
+
+        # exactly-once commit log: this stream committed each batch id once
+        stream_id = os.path.abspath(ckpt)
+        seen_ids = [
+            c.meta["stream_batch_id"]
+            for c in repo.log("main", limit=None)
+            if c.meta.get("stream_id") == stream_id
+        ]
+        assert len(seen_ids) == len(set(seen_ids)), f"duplicate batch commit: {seen_ids}"
+        assert len(seen_ids) == len(steps), (seen_ids, steps)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
