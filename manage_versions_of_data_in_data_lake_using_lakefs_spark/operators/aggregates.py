@@ -102,11 +102,19 @@ def exact_rank_select(
     )
     vals = vals.persist()
     try:
-        n = vals.count()
+        # one job for count+min+max (a separate count would be a second
+        # full pass over the just-persisted column)
+        row = vals.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        n = int(row.n)
         if n == 0:
             return [(float(p), None) for p in probs]
-        row = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
-        # per-prob state: current [lo, hi] window + rank within it
+        # per-prob state: current [lo, hi] window + rank within it.
+        # Duplicate probs share one state entry but the return below is
+        # positionally aligned with the probs argument.
         state: dict[float, list[int]] = {
             float(p): [int(row.lo), int(row.hi), math.floor((n - 1) * p)]
             for p in probs
@@ -123,12 +131,15 @@ def exact_rank_select(
             # one scan: per active rank, this row's bucket (or null when
             # outside the rank's window) — explode keeps the plan to a
             # single pass over the persisted long column
+            # integer `div`, not float floor: (v-lo) is non-negative here
+            # so truncation == floor, and the bucket index stays exact
+            # even when the first-round span exceeds 2^53
             arms = [
                 F.when(
                     F.col("v").between(F.lit(lo), F.lit(hi)),
                     F.struct(
                         F.lit(i).alias("s"),
-                        F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).alias("b"),
+                        F.expr(f"(v - {lo}) div {w}").alias("b"),
                     ),
                 )
                 for (i, lo, hi, w) in specs
@@ -154,7 +165,7 @@ def exact_rank_select(
                         st[2] -= cum
                         break
                     cum += c
-        return [(p, state[p][0] / float(scale)) for p in order]
+        return [(float(p), state[float(p)][0] / float(scale)) for p in probs]
     finally:
         vals.unpersist(blocking=False)
 

@@ -118,13 +118,16 @@ def resample_locf(
     bounds = obs.groupBy(on).agg(
         F.min("_ous").alias("_lo"), F.max("_ous").alias("_hi")
     )
-    # integer `div`, not float floor: epoch micros (~1.7e15) sit close
-    # enough to 2^53 that a double-division floor's safety margin thins
+    # integer pmod arithmetic, not float floor (epoch micros ~1.7e15 sit
+    # close enough to 2^53 that a double floor's margin thins) and not
+    # `div` (truncates toward zero, wrong ceil/floor for pre-1970
+    # negative micros): lo + pmod(-lo, us) is the smallest multiple
+    # >= lo, hi - pmod(hi, us) the largest <= hi, for any sign
     grid = (
         bounds.select(
             F.col(on),
-            F.expr(f"((_lo + {us - 1}) div {us}) * {us}").alias("_s"),
-            F.expr(f"(_hi div {us}) * {us}").alias("_e"),
+            F.expr(f"_lo + pmod(-_lo, {us})").alias("_s"),
+            F.expr(f"_hi - pmod(_hi, {us})").alias("_e"),
         )
         .where(F.col("_s") <= F.col("_e"))  # span < step → no grid point
         .select(

@@ -2549,8 +2549,10 @@ WITH obs AS (
   FROM events GROUP BY user_id, epoch_us(ts)),
 b AS (SELECT user_id, MIN(ous) AS lo, MAX(ous) AS hi FROM obs GROUP BY user_id),
 g0 AS (SELECT user_id,
-              ((lo + {_RESAMPLE_US - 1}) // {_RESAMPLE_US}) * {_RESAMPLE_US} AS s,
-              (hi // {_RESAMPLE_US}) * {_RESAMPLE_US} AS e
+              -- sign-safe ceil/floor to a multiple (positive modulus),
+              -- matching the engine's pmod arithmetic for pre-1970 micros
+              lo + ((((-lo) % {_RESAMPLE_US}) + {_RESAMPLE_US}) % {_RESAMPLE_US}) AS s,
+              hi - (((hi % {_RESAMPLE_US}) + {_RESAMPLE_US}) % {_RESAMPLE_US}) AS e
        FROM b),
 grid AS (SELECT user_id, unnest(range(s, e + 1, {_RESAMPLE_US})) AS grid_us
          FROM g0 WHERE s <= e)

@@ -230,8 +230,11 @@ BLOOM_K = 4
 
 def _bloom_canon(v) -> bytes | None:
     """Canonical probe bytes: defined for ints and strings only (floats
-    and others → None → bloom bypassed). int 5 and string '5' share a
-    canonical form on purpose — cross-type equality stays conservative."""
+    and others → None → bloom bypassed). Cross-type equality (int col
+    probed with a string literal or vice versa) never reaches the bloom:
+    _Cmp.can_match gates the probe on literal type == column type, since
+    Spark's PromoteStrings coercion can equate values whose canonical
+    bytes differ (5 vs '05')."""
     if isinstance(v, bool) or v is None:
         return None
     if isinstance(v, int):
@@ -248,20 +251,11 @@ def _bloom_positions(canon: bytes, m: int = BLOOM_M) -> list[int]:
     return [int.from_bytes(d[4 * i : 4 * i + 4], "big") % m for i in range(BLOOM_K)]
 
 
-def build_file_bloom(path: str, col: str) -> dict | None:
-    """Bloom over one parquet file's non-null values of ``col`` — or
-    None when the column is absent or of an unsupported type (the file
-    then simply has no bloom and stays may-match)."""
+def _bloom_from_values(values) -> dict | None:
     import base64
 
-    try:
-        import pyarrow.parquet as pq
-
-        t = pq.ParquetFile(path).read(columns=[col])
-    except Exception:
-        return None
     bits = bytearray(BLOOM_M // 8)
-    for v in t.column(0).to_pylist():
+    for v in values:
         if v is None:
             continue
         c = _bloom_canon(v)
@@ -270,6 +264,34 @@ def build_file_bloom(path: str, col: str) -> dict | None:
         for pos in _bloom_positions(c):
             bits[pos >> 3] |= 1 << (pos & 7)
     return {"m": BLOOM_M, "k": BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def build_file_blooms(path: str, cols: list[str]) -> dict[str, dict]:
+    """Blooms over one parquet file's non-null values for every column
+    in ``cols``, read in ONE pass over the file. Columns that are absent
+    or hold an unsupported type are simply missing from the result (the
+    file then has no bloom for them and stays may-match)."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        if not present:
+            return {}
+        t = pf.read(columns=present)
+    except Exception:
+        return {}
+    out: dict[str, dict] = {}
+    for c in present:
+        b = _bloom_from_values(t.column(c).to_pylist())
+        if b is not None:
+            out[c] = b
+    return out
+
+
+def build_file_bloom(path: str, col: str) -> dict | None:
+    """Single-column convenience wrapper over :func:`build_file_blooms`."""
+    return build_file_blooms(path, [col]).get(col)
 
 
 def add_bloom_stats(group_dir: str, cols: Iterable[str]) -> bool:
@@ -283,12 +305,12 @@ def add_bloom_stats(group_dir: str, cols: Iterable[str]) -> bool:
     try:
         with open(p) as f:
             manifest = json.load(f)
+        want = list(cols)
         for rel, fst in manifest.get("files", {}).items():
-            blooms = fst.setdefault("bloom", {})
-            for col in cols:
-                b = build_file_bloom(os.path.join(group_dir, rel), col)
-                if b is not None:
-                    blooms[col] = b
+            # one parquet open + one read covers every requested column
+            built = build_file_blooms(os.path.join(group_dir, rel), want)
+            if built:
+                fst.setdefault("bloom", {}).update(built)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -423,11 +445,21 @@ class _Cmp:
     def can_match(self, stats: dict) -> bool:
         if self.op == "=" and self.lit is not None:
             # bloom proof of absence beats min/max (works on UNCLUSTERED
-            # columns where the range always overlaps); zero false
-            # negatives by construction, so still an over-approximation
-            b = _col_bloom(stats, self.col)
-            if b is not None and not _bloom_may_contain(b, self.lit):
-                return False
+            # columns where the range always overlaps) — but ONLY when the
+            # literal's type matches the column's: Spark's PromoteStrings
+            # coercion makes `int_col = '05'` TRUE for 5 while the canon
+            # bytes differ (b'05' vs b'5'), so a cross-type probe could
+            # prove absence of a value the engine would match. Same-type
+            # equality is coercion-free, so zero false negatives hold.
+            ent0 = _col_entry(stats, self.col)
+            lo0 = ent0[0] if ent0 is not None else None
+            same_type = (
+                type(lo0) is int and type(self.lit) is int
+            ) or (isinstance(lo0, str) and isinstance(self.lit, str))
+            if same_type:
+                b = _col_bloom(stats, self.col)
+                if b is not None and not _bloom_may_contain(b, self.lit):
+                    return False
         ent = _col_entry(stats, self.col)
         if ent is None:
             return True

@@ -927,6 +927,36 @@ def test_resample_locf_edges(spark):
     }
 
 
+def test_resample_locf_negative_micros(spark):
+    """Pre-1970 timestamps (negative epoch micros): `div` truncates
+    toward zero, so the old ceil/floor emitted a grid shifted past
+    max(ts) and missing min(ts). The pmod arithmetic must keep every
+    grid point inside [min(ts), max(ts)] for any sign."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import resample_locf
+
+    rows = [
+        (1, -300_000_000, 1.0),   # -300s: exactly on the 60s grid
+        (1, -100_000_000, 2.0),   # -100s
+        (2, -90_000_000, 3.0),    # key 2 straddles zero: [-90s, 30s]
+        (2, 30_000_000, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, us LONG, value DOUBLE").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    got = {
+        (r.user_id, r.grid_us): r.value
+        for r in resample_locf(df, "user_id", "ts", "value", 60).collect()
+    }
+    assert got == {
+        (1, -300_000_000): 1.0,
+        (1, -240_000_000): 1.0,
+        (1, -180_000_000): 1.0,
+        (1, -120_000_000): 1.0,  # largest multiple <= -100s
+        (2, -60_000_000): 3.0,
+        (2, 0): 3.0,
+    }
+
+
 def test_exact_rank_select_edges(spark):
     """Histogram-bisection selection: endpoints, heavy ties, negative
     values, and partitioning independence."""
@@ -943,6 +973,17 @@ def test_exact_rank_select_edges(spark):
     assert dict(exact_rank_select(one, "x", [0.3])) == {0.3: 2.5}
     # empty input
     assert exact_rank_select(one.where(F.col("x") > 99), "x", [0.5]) == [(0.5, None)]
+    # duplicate probs stay positionally aligned (dict-keyed state must
+    # not collapse the returned list)
+    assert exact_rank_select(df, "x", [0.5, 0.5, 0.0]) == [
+        (0.5, 5.0), (0.5, 5.0), (0.0, -1.0)
+    ]
+    # first-round span beyond 2^53: bucket assignment must use integer
+    # div (a double floor misplaces boundary-adjacent values)
+    big = spark.createDataFrame(
+        [(float(-(2**60)),), (0.0,), (float(2**60),)], "x double"
+    )
+    assert dict(exact_rank_select(big, "x", [0.5], decimals=0)) == {0.5: 0.0}
 
 
 def test_png_unfilter_against_spec_vectors():

@@ -739,3 +739,60 @@ def test_bloom_point_delete_skips_unclustered_files(spark, repo):
     lsql.sql("DELETE FROM u WHERE k = 1234")
     after_u = repo.current_files("main", "u")
     assert not [f for f in after_u if f.endswith(".parquet")]
+
+def test_bloom_cross_type_probe_stays_may_match(spark, repo):
+    """Spark's PromoteStrings coercion makes `int_col = '05'` TRUE for 5,
+    but '05' and 5 canonicalize to different bloom bytes — so a probe whose
+    literal type differs from the column's must bypass the bloom entirely,
+    or pruning proves absence of a row the engine would match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ipath = os.path.join(d, "i.parquet")
+        spath = os.path.join(d, "s.parquet")
+        pq.write_table(pa.table({"k": [5, 700]}), ipath)
+        pq.write_table(pa.table({"k": [" 5", "x"]}), spath)
+        ib = S.build_file_bloom(ipath, "k")
+        sb = S.build_file_bloom(spath, "k")
+    ist = {"rows": 2, "cols": {"k": {"min": 5, "max": 700, "nulls": 0}},
+           "bloom": {"k": ib}}
+    sst = {"rows": 2, "cols": {"k": {"min": " 5", "max": "x", "nulls": 0}},
+           "bloom": {"k": sb}}
+    # cross-type probes: may-match both ways (coercion could equate them)
+    assert S.parse_predicate("k = '05'").can_match(ist)
+    assert S.parse_predicate("k = 5").can_match(sst)
+    # same-type probes still prove absence
+    assert not S.parse_predicate("k = 6").can_match(ist)
+    assert not S.parse_predicate("k = '5'").can_match(sst)
+
+    # end-to-end: the confirmed repro — DELETE with a non-canonical string
+    # literal on a bloomed int column must still delete the coerced match
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    repo.write_table("main", "xt", df.repartition(4, F.col("k")), bloom_cols=["k"])
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo, "main")
+    res = lsql.sql("DELETE FROM xt WHERE k = '05'").collect()[0]
+    assert res.rows_affected == 1
+    t = repo.read_table(spark, "xt", "main")
+    assert t.count() == 49 and t.where("k = 5").count() == 0
+
+
+def test_bloom_multi_column_single_pass(tmp_path):
+    """build_file_blooms reads the file once for all columns and matches
+    the single-column builder bit-for-bit; absent/unsupported columns are
+    simply missing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "m.parquet")
+    ks = list(range(100))
+    pq.write_table(
+        pa.table({"a": ks, "b": [f"v{v}" for v in ks], "f": [v * 0.5 for v in ks]}),
+        path,
+    )
+    out = S.build_file_blooms(path, ["a", "b", "f", "missing"])
+    assert set(out) == {"a", "b"}  # float unsupported, missing absent
+    assert out["a"] == S.build_file_bloom(path, "a")
+    assert out["b"] == S.build_file_bloom(path, "b")
