@@ -93,6 +93,16 @@ def bpe_train(
         (r["w"], r["wc"])
         for r in word_frequencies(docs, text_col).collect()
     ]
+    return bpe_train_from_vocab(vocab, n_merges)
+
+
+def bpe_train_from_vocab(
+    vocab: list[tuple[str, int]], n_merges: int = 8
+) -> list[tuple[str, str]]:
+    """The merge loop of :func:`bpe_train` over an already-collected
+    (word, count) vocabulary — lets a caller that has the vocab in hand
+    (e.g. derived from a per-doc word-count frame) train without a
+    second corpus scan."""
     # word → list of symbols (chars initially)
     words: list[tuple[list[str], int]] = [(list(w), wc) for w, wc in vocab]
     merges: list[tuple[str, str]] = []
@@ -121,6 +131,85 @@ def bpe_train(
             new_words.append((out, wc))
         words = new_words
     return merges
+
+
+def bpe_word_symbols(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    out: str = "s",
+) -> DataFrame:
+    """ENCODE: apply a trained merge list to every word, distributed.
+
+    Each word becomes a '|'-sentineled space-joined symbol string
+    ("abc" → "|a| |b| |c|"); each merge (a, b) is ONE literal
+    string-replace of "|a| |b|" → "|ab|". Literal replace is greedy
+    left-to-right non-overlapping in both Spark and DuckDB — exactly the
+    scan order of :func:`bpe_train_from_vocab`'s application loop, so
+    chained replaces reproduce the trainer's final symbolization
+    bit-for-bit (and the oracle can replay it verbatim). Sentinels make
+    matches symbol-exact: "|a| |b|" cannot fire inside "|xa| |b|"
+    because every symbol is fully wrapped. '|' never collides with
+    token text (tokenize yields [a-z0-9]+ only).
+
+    Pure Column expressions, no UDFs: at 100 TB this runs over the
+    VOCABULARY (not the corpus) and the word→symbols mapping broadcasts
+    back onto corpus rows."""
+    s = F.rtrim(F.regexp_replace(F.col(word_col), "(.)", "|$1| "))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"|{a}| |{b}|"), F.lit(f"|{a}{b}|"))
+    return words.withColumn(out, s)
+
+
+def bpe_encode_sql(toks_sql: str, n_merges: int = 8) -> str:
+    """DuckDB twin of the full train→encode pipeline over ``documents``:
+    replays every training iteration (pair count → deterministic argmax
+    → sentinel replace) as chained CTEs from the raw corpus, then scores
+    per-doc token counts off the final symbolization. A hash match
+    certifies the driver-paced trainer AND the distributed encode in one
+    shot — the same replay discipline as the Lloyd's/logreg oracles."""
+    parts = [
+        f"toks AS (SELECT doc_id, unnest({toks_sql}) AS w FROM documents)",
+        "dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM toks GROUP BY doc_id, w)",
+        "vocab AS (SELECT w, CAST(SUM(c) AS BIGINT) AS wc FROM dw GROUP BY w)",
+        "v0 AS (SELECT w, wc,"
+        " rtrim(regexp_replace(w, '(.)', '|\\1| ', 'g')) AS s FROM vocab)",
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f"x{t} AS (SELECT wc, string_split(s, ' ') AS syms FROM v{t})"
+        )
+        parts.append(
+            f"p{t} AS (SELECT syms[CAST(j AS INT)] AS sa,"
+            f" syms[CAST(j AS INT) + 1] AS sb, SUM(wc) AS cnt"
+            f" FROM x{t}, UNNEST(range(1, len(syms))) AS u(j) GROUP BY 1, 2)"
+        )
+        # argmax tiebreak on the RAW symbols (sentinel-stripped), matching
+        # bpe_train_from_vocab's tuple compare exactly
+        parts.append(
+            f"m{t} AS (SELECT replace(sa, '|', '') AS a,"
+            f" replace(sb, '|', '') AS b"
+            f" FROM p{t} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"v{t + 1} AS (SELECT w, wc,"
+            f" replace(s, '|' || a || '| |' || b || '|',"
+            f" '|' || a || b || '|') AS s FROM v{t}, m{t})"
+        )
+    parts.append(
+        f"enc AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT)"
+        f" AS n_syms FROM v{n_merges})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_words,
+       CAST(SUM(d.c * e.n_syms) AS BIGINT) AS n_bpe_tokens
+FROM dw d JOIN enc e USING (w)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
 
 
 def bpe_pair_counts_sql(toks_sql: str, top_k: int = 32) -> str:

@@ -2525,6 +2525,64 @@ def _oracle_tokenizer_bpe() -> str:
 ORACLE_TOKENIZER_BPE = _oracle_tokenizer_bpe()
 
 
+def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer ENCODE at corpus scale (r7) — the production
+    tokenization pass every training pipeline runs between cleaning and
+    packing, closing the tokenizer story (train existed since r5; this
+    applies the trained merges).
+
+    Shape: ONE corpus shuffle builds the per-doc word counts; the
+    vocabulary (bounded metadata, Heaps' law) trains 8 merges
+    driver-paced; the merge chain is then applied to the VOCAB as pure
+    literal-replace Column expressions and the word→token-count mapping
+    broadcasts back onto the per-doc counts — the corpus is never
+    scanned twice and no UDF touches the hot path. Output: per-doc
+    (n_words, n_bpe_tokens). The oracle replays the ENTIRE training loop
+    and the encode as chained CTEs from the raw corpus."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import (
+        bpe_train_from_vocab,
+        bpe_word_symbols,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = track(
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    vocab = [
+        (r["w"], int(r["wc"]))
+        for r in dw.groupBy("w").agg(F.sum("c").alias("wc")).collect()
+    ]
+    merges = bpe_train_from_vocab(vocab, n_merges=8)
+    words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
+    enc = bpe_word_symbols(words, merges).select(
+        "w", F.size(F.split(F.col("s"), " ")).cast("long").alias("n_syms")
+    )
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_syms")).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_tokenizer_bpe_encode() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_encode_sql
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import _SQL_TOKS
+
+    return bpe_encode_sql(_SQL_TOKS, n_merges=8)
+
+
+ORACLE_TOKENIZER_BPE_ENCODE = _oracle_tokenizer_bpe_encode()
+
+
 _RESAMPLE_US = 6 * 3600 * 1_000_000  # 6-hour grid
 
 
@@ -2654,6 +2712,7 @@ ADVANCED_QUERIES = {
     "embedding_project": q_embedding_project,
     "embedding_classify": q_embedding_classify,
     "tokenizer_bpe": q_tokenizer_bpe,
+    "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
     "graph_pagerank": q_graph_pagerank,
 }
 
@@ -2720,5 +2779,6 @@ ADVANCED_ORACLES = {
     "embedding_project": ORACLE_EMBEDDING_PROJECT,
     "embedding_classify": ORACLE_EMBEDDING_CLASSIFY,
     "tokenizer_bpe": ORACLE_TOKENIZER_BPE,
+    "tokenizer_bpe_encode": ORACLE_TOKENIZER_BPE_ENCODE,
     "graph_pagerank": ORACLE_GRAPH_PAGERANK,
 }

@@ -552,6 +552,42 @@ def test_bpe_train_learns_expected_merges(spark):
     assert len(merges) == 3
 
 
+def test_bpe_word_symbols_matches_trainer_application(spark):
+    """The distributed encode (chained literal replaces over sentineled
+    strings) must reproduce the trainer's own Python application loop
+    exactly — including overlapping runs ('aaa' under (a,a)) and merged-
+    block follow-ups ('lo'+'w')."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import (
+        bpe_train_from_vocab,
+        bpe_word_symbols,
+    )
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 3), ("aaa", 4), ("aaaa", 1)]
+    merges = bpe_train_from_vocab(vocab, n_merges=4)
+
+    # python reference application (the trainer's loop, re-run per word)
+    def ref(w):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
+    got = {
+        r.w: r.s.replace("|", "").split(" ")
+        for r in bpe_word_symbols(words, merges).collect()
+    }
+    assert got == {w: ref(w) for w, _ in vocab}
+
+
 def test_bpe_pair_counts_weights_by_word_frequency(spark):
     """pair_cnt is occurrence-weighted (a pair twice in one word counts
     twice per word occurrence) and n_words is distinct-vocab."""
