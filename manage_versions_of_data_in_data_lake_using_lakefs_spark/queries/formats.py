@@ -16,7 +16,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import load_table, read_csv, read_orc, write_csv, write_orc
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.sources.io import (
+    load_table,
+    read_csv,
+    read_json,
+    read_orc,
+    write_csv,
+    write_json,
+    write_orc,
+)
 
 
 def _tmp(prefix: str) -> str:
@@ -73,6 +81,25 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ORC_ROUNDTRIP = "SELECT * FROM orders"
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → explicit-schema JSON scan (r7). Timestamps are
+    written/parsed at microsecond precision (Spark's default JSON format
+    truncates to millis); doubles survive via shortest-roundtrip
+    representations, same as the CSV path. Explicit schema on the read
+    skips the inference double-scan a production pipeline can't afford."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp("json")
+    write_json(orders, path)
+    # the writer's own schema drives the read: JSON is not self-describing
+    # (inference widens numerics and can't distinguish TIMESTAMP from
+    # TIMESTAMP_NTZ — o_orderdate's flavor depends on the session's
+    # parquet NTZ inference), so the roundtrip contract is schema-in=out
+    return read_json(spark, path, schema=orders.schema)
+
+
+ORACLE_JSON_ROUNDTRIP = "SELECT * FROM orders"
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column surface: extract a field from the events props JSON.
     ``get_json_object`` is the Spark-native path (no UDF)."""
@@ -93,6 +120,7 @@ FORMAT_QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "csv_infer_roundtrip": q_csv_infer_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
     "json_extract": q_json_extract,
 }
 
@@ -100,5 +128,6 @@ FORMAT_ORACLES = {
     "csv_roundtrip": ORACLE_CSV_ROUNDTRIP,
     "csv_infer_roundtrip": ORACLE_CSV_INFER_ROUNDTRIP,
     "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
+    "json_roundtrip": ORACLE_JSON_ROUNDTRIP,
     "json_extract": ORACLE_JSON_EXTRACT,
 }

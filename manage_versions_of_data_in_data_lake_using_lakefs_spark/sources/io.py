@@ -109,6 +109,37 @@ def read_csv(
     return reader.csv(path)
 
 
+#: microsecond-precision timestamp formats for JSON IO — Spark's defaults
+#: write milliseconds, silently truncating micro-precision timestamps.
+#: TIMESTAMP carries an offset (XXX); TIMESTAMP_NTZ has none by definition.
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_JSON_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _json_ts_opts(rw):
+    return rw.option("timestampFormat", _JSON_TS_FMT).option(
+        "timestampNTZFormat", _JSON_NTZ_FMT
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, *, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines scan. Explicit ``schema`` avoids the inference
+    double-scan (and its numeric widening; inference also can't tell
+    TIMESTAMP from TIMESTAMP_NTZ — pass the writer's schema back);
+    timestamps parse at microsecond precision to match the writer."""
+    reader = _json_ts_opts(spark.read)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, Spark-standard)."""
+    _json_ts_opts(df.write.mode(mode)).json(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
