@@ -167,6 +167,9 @@ def main() -> None:
         "classifier_quality",
         "quantiles_scalable",
         "multimodal_png_decode",
+        "resample_events",
+        "tokenizer_bpe_encode",
+        "json_roundtrip",
     ):
         if extra in registry:
             names.append(extra)

@@ -50,6 +50,18 @@ def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
     )
 
 
+def replicate_events(ev: DataFrame, k: int) -> DataFrame:
+    """K copies with re-keyed users: k× key groups of the ORIGINAL span
+    each — the grid row count grows k× with the input, which is the
+    resample scaling story (grid ∝ keys × span/step)."""
+    reps = ev.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return ev.crossJoin(reps).select(
+        (F.col("user_id") * k + F.col("_rep")).alias("user_id"),
+        "ts",
+        "value",
+    )
+
+
 def replicate_lineitem(li: DataFrame, k: int) -> DataFrame:
     reps = li.sparkSession.range(k).select(F.col("id").alias("_rep"))
     return li.crossJoin(reps).withColumn(
@@ -248,8 +260,54 @@ def main() -> None:
 
         return decode_png_stats(synthesize_png_media(d.select("doc_id")))
 
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def op_resample(x: DataFrame) -> DataFrame:
+        # one key shuffle: bounds agg + grid explode + union-window asof;
+        # per-row cost must stay flat as keys (and so grid rows) grow k×
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import resample_locf
+
+        return resample_locf(x, "user_id", "ts", "value", 6 * 3600)
+
+    def op_bpe_encode(d: DataFrame) -> DataFrame:
+        # corpus → per-doc word counts (one shuffle); vocab collect is
+        # bounded metadata; encode runs over the VOCAB and broadcasts
+        # back — per-row cost must stay flat even though replication
+        # grows the vocab ~k× (suffix tokens are new words)
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import (
+            bpe_train_from_vocab,
+            bpe_word_symbols,
+        )
+
+        dw = (
+            d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        vocab = [
+            (r["w"], int(r["wc"]))
+            for r in dw.groupBy("w").agg(F.sum("c").alias("wc")).collect()
+        ]
+        merges = bpe_train_from_vocab(vocab, n_merges=8)
+        words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
+        enc = bpe_word_symbols(words, merges).select(
+            "w", F.size(F.split(F.col("s"), " ")).cast("long").alias("n_syms")
+        )
+        return (
+            dw.join(F.broadcast(enc), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n_words"),
+                F.sum(F.col("c") * F.col("n_syms")).alias("n_bpe_tokens"),
+            )
+        )
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
+        "resample_locf": (ev, replicate_events, op_resample),
+        "tokenizer_bpe_encode": (docs, replicate_documents, op_bpe_encode),
         "classifier_train_score": (docs, replicate_documents, op_classifier),
         "quantiles_scalable": (li, replicate_lineitem, op_quantiles),
         "multimodal_png_decode": (docs, replicate_documents, op_png),
@@ -279,6 +337,17 @@ def main() -> None:
         return time.perf_counter() - t0
 
     out = {}
+
+    # optional case filter: `stress_scale.py K name1 name2 ...` runs only
+    # the named cases (fast re-measure of a single family). The two
+    # special sections carry their own names.
+    _special = {"dedup_incremental_steady", "delete_prune_steady", "delete_full_rewrite"}
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(cases) - _special
+        if unknown:
+            raise SystemExit(f"unknown stress cases: {sorted(unknown)}")
+        cases = {n: c for n, c in cases.items() if n in only}
 
     # steady-state incremental dedup: the LSH index is ALREADY STORED
     # (written untimed, as it would be in the lake), the ingest batch is
@@ -327,18 +396,19 @@ def main() -> None:
         finally:
             _shutil.rmtree(idx_dir, ignore_errors=True)
 
-    t1 = run_incremental(docs.select("doc_id", "text"))
-    tk = run_incremental(replicate_documents(docs, k))
-    out["dedup_incremental_steady"] = {
-        "t1": round(t1, 3),
-        "tk": round(tk, 3),
-        "per_row_ratio": round(tk / (t1 * k), 3),
-    }
-    print(
-        f"# dedup_incremental_steady (fixed batch): 1x={t1:.2f}s {k}x={tk:.2f}s "
-        f"corpus-growth mult {tk/t1:.2f} (per-row {tk/(t1*k):.2f})",
-        file=sys.stderr,
-    )
+    if not only or "dedup_incremental_steady" in only:
+        t1 = run_incremental(docs.select("doc_id", "text"))
+        tk = run_incremental(replicate_documents(docs, k))
+        out["dedup_incremental_steady"] = {
+            "t1": round(t1, 3),
+            "tk": round(tk, 3),
+            "per_row_ratio": round(tk / (t1 * k), 3),
+        }
+        print(
+            f"# dedup_incremental_steady (fixed batch): 1x={t1:.2f}s {k}x={tk:.2f}s "
+            f"corpus-growth mult {tk/t1:.2f} (per-row {tk/(t1*k):.2f})",
+            file=sys.stderr,
+        )
 
     # pruned DML: DELETE a fixed key band out of N — the stats manifests
     # must keep the rewrite proportional to the BAND while the table
@@ -379,26 +449,27 @@ def main() -> None:
         finally:
             _shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
-    n1 = 4
-    t1 = run_band_delete(n1, pruned=True)
-    tk = run_band_delete(n1 * k, pruned=True)
-    f1 = run_band_delete(n1, pruned=False)
-    fk = run_band_delete(n1 * k, pruned=False)
-    out["delete_prune_steady"] = {
-        "t1": round(t1, 3),
-        "tk": round(tk, 3),
-        "per_row_ratio": round(tk / (t1 * k), 3),
-    }
-    out["delete_full_rewrite"] = {
-        "t1": round(f1, 3),
-        "tk": round(fk, 3),
-        "per_row_ratio": round(fk / (f1 * k), 3),
-    }
-    print(
-        f"# delete one band of {n1}->{n1 * k}: pruned {t1:.2f}s->{tk:.2f}s "
-        f"(x{tk / t1:.2f}), full {f1:.2f}s->{fk:.2f}s (x{fk / f1:.2f})",
-        file=sys.stderr,
-    )
+    if not only or {"delete_prune_steady", "delete_full_rewrite"} & only:
+        n1 = 4
+        t1 = run_band_delete(n1, pruned=True)
+        tk = run_band_delete(n1 * k, pruned=True)
+        f1 = run_band_delete(n1, pruned=False)
+        fk = run_band_delete(n1 * k, pruned=False)
+        out["delete_prune_steady"] = {
+            "t1": round(t1, 3),
+            "tk": round(tk, 3),
+            "per_row_ratio": round(tk / (t1 * k), 3),
+        }
+        out["delete_full_rewrite"] = {
+            "t1": round(f1, 3),
+            "tk": round(fk, 3),
+            "per_row_ratio": round(fk / (f1 * k), 3),
+        }
+        print(
+            f"# delete one band of {n1}->{n1 * k}: pruned {t1:.2f}s->{tk:.2f}s "
+            f"(x{tk / t1:.2f}), full {f1:.2f}s->{fk:.2f}s (x{fk / f1:.2f})",
+            file=sys.stderr,
+        )
 
     for name, (base, rep, build) in cases.items():
         # best-of-2 on BOTH sides: the Kx plan is a different plan shape
