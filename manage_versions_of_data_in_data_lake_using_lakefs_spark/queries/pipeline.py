@@ -218,6 +218,46 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_streaming_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned lake as a streaming SOURCE (r7,
+    streaming/source.py): documents land in a repo over TWO append
+    commits; a Structured Streaming query tails the table with commit
+    versions as offsets and drains both microbatches into a memory sink.
+    Exactly-once delivery across the commit history means the drained
+    stream equals the final table — so the oracle is plain batch SQL
+    over the same rows."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    root = tempfile.mkdtemp(prefix="lakegraft_lake_src_") + "/lake"
+    repo = LakeRepo.init(root)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    repo.write_table("main", "docs", docs.where(F.col("doc_id") % 2 == 0))
+    repo.commit("main", "even half")
+    repo.write_table(
+        "main", "docs", docs.where(F.col("doc_id") % 2 == 1), mode="append"
+    )
+    repo.commit("main", "odd half")
+    name = f"lsrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, root, "docs")
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("doc_id")
+
+
+ORACLE_STREAMING_LAKE_SOURCE = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SimHash near-dup pairs (r5): documents replay through a
     file-source stream; the map-only ``simhash_expr`` signature feeds a
@@ -572,6 +612,7 @@ PIPELINE_QUERIES = {
     "streaming_classifier": q_streaming_classifier,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_lake_source": q_streaming_lake_source,
     "streaming_neardup": q_streaming_neardup,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_interval_join": q_streaming_interval_join,
@@ -588,6 +629,7 @@ PIPELINE_ORACLES = {
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_lake_source": ORACLE_STREAMING_LAKE_SOURCE,
     # exact-recall banding makes the streaming near-dup's result set
     # IDENTICAL to batch dedup_simhash — the oracle is reused verbatim
     "streaming_neardup": _ORACLE_STREAMING_NEARDUP,

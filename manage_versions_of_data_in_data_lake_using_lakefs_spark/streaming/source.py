@@ -1,0 +1,258 @@
+"""The versioned lake as a Structured Streaming SOURCE.
+
+Completes the streaming loop: the engine already streams INTO the lake
+exactly-once (``streaming/ops.py``); this module lets a downstream
+pipeline tail a lake table *out* — the Delta-streaming-source pattern
+(reference's lakeFS+Delta stack gets this from the Delta connector;
+here it is a native Spark 4 Python DataSource).
+
+Design:
+
+- **Offsets are commit versions.** ``latestOffset`` reads the branch
+  head's global version; a microbatch covers versions ``(start, end]``.
+  Offsets live in the query checkpoint, so a restarted query resumes at
+  the exact commit it left off — combined with the deterministic
+  per-version file lists this gives exactly-once delivery into any of
+  the repo's exactly-once sinks.
+- **A microbatch's rows are the files ADDED in its versions** (the
+  append-only reading of a table history). A version that *removes*
+  files (overwrite/DELETE/compaction) is not representable as an append
+  stream: the reader raises unless ``ignorechanges=true``, in which
+  case removed files are skipped and only additions flow (Delta's
+  ``ignoreChanges`` contract — downstream must tolerate it).
+- **Partitions ship plain file paths**; executors read them with
+  pyarrow only — no engine imports ever reach worker processes. All
+  classes are built inside a factory so cloudpickle ships them BY VALUE
+  (the repo package is not importable from Spark's spawned python
+  runner/worker processes — same rule as every worker function in this
+  codebase, pinned by tests/test_worker_pickling.py). Engine imports
+  happen only in driver-side reader methods, bootstrapped via the
+  ``package_root`` option.
+
+Guard boundaries (loud, not silent): column-mapped tables (ALTER
+RENAME/ADD history) and Hive-partitioned layouts raise — their replay
+logic lives in the batch reader and is out of scope for the tailer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the package directory's parent — what sys.path needs for imports
+_PACKAGE_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+def make_lake_stream_source():
+    """Build the DataSource class. Factory-scoped so cloudpickle ships
+    the class (and EVERY helper it closes over, including the arrow→DDL
+    mapper) by value — a module-level helper would pickle as a reference
+    to this package and fail to import in Spark's python runner."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    _arrow_to_ddl = {
+        "int8": "tinyint",
+        "int16": "smallint",
+        "int32": "int",
+        "int64": "bigint",
+        "float": "float",
+        "double": "double",
+        "bool": "boolean",
+        "string": "string",
+        "large_string": "string",
+        "binary": "binary",
+        "large_binary": "binary",
+        "date32[day]": "date",
+    }
+
+    def _arrow_field_ddl(t) -> str:
+        """pyarrow type → Spark DDL type for the source's declared schema.
+        Timestamps map by tz-awareness (naive parquet micros surface as
+        TIMESTAMP_NTZ in Spark 4, matching the batch reader's inference)."""
+        import pyarrow as pa
+
+        s = str(t)
+        if s in _arrow_to_ddl:
+            return _arrow_to_ddl[s]
+        if pa.types.is_timestamp(t):
+            return "timestamp" if t.tz is not None else "timestamp_ntz"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"array<{_arrow_field_ddl(t.value_type)}>"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        raise NotImplementedError(
+            f"lake stream source: unsupported column type {s}"
+        )
+
+    def _open_repo(opts):
+        import importlib
+        import sys as _sys
+
+        pkg_root = opts.get("package_root") or "."
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        mod = importlib.import_module(
+            "manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo"
+        )
+        return mod.LakeRepo(opts["root"])
+
+    def _table_files(repo, branch, table, version):
+        """The table's committed file entries at a global version —
+        expanded to individual parquet paths (relative). Empty when the
+        table (or the version) does not exist yet."""
+        try:
+            c = repo._resolve(branch, version_as_of=version)
+        except (KeyError, ValueError, IndexError):
+            return []
+        entries = c.tables.get(table)
+        if entries is None:
+            return []
+        out = []
+        for e in entries:
+            if any("=" in part for part in e.split(os.sep)):
+                raise NotImplementedError(
+                    "lake stream source: Hive-partitioned layouts are not "
+                    "streamable (partition columns are path-encoded); read "
+                    "the table in batch instead"
+                )
+            full = os.path.join(repo.root, e)
+            if os.path.isdir(full):
+                for fn in sorted(os.listdir(full)):
+                    if fn.endswith(".parquet"):
+                        out.append(os.path.join(e, fn))
+            elif e.endswith(".parquet"):
+                out.append(e)
+        return out
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str, fields: list[str]):
+            self.path = path
+            self.fields = fields
+
+    class _LakeStreamReader(DataSourceStreamReader):
+        def __init__(self, options, schema):
+            self.opts = dict(options)
+            self.fields = list(schema.fieldNames())
+
+        # -- driver-side (python runner process; engine imports OK after
+        #    the package_root bootstrap) --------------------------------
+        def initialOffset(self) -> dict:
+            return {"version": int(self.opts.get("starting_version", -1))}
+
+        def latestOffset(self) -> dict:
+            repo = _open_repo(self.opts)
+            return {"version": repo.head(self.opts["branch"]).version}
+
+        def partitions(self, start: dict, end: dict):
+            repo = _open_repo(self.opts)
+            branch, table = self.opts["branch"], self.opts["table"]
+            if repo.table_schema_map(table, ref=branch, include_staged=False):
+                raise NotImplementedError(
+                    "lake stream source: column-mapped tables (ALTER "
+                    "RENAME/ADD history) are not streamable; read in batch"
+                )
+            ignore = str(self.opts.get("ignorechanges", "")).lower() == "true"
+            parts: list[_FilePartition] = []
+            prev = set(_table_files(repo, branch, table, start["version"]))
+            for v in range(start["version"] + 1, end["version"] + 1):
+                cur = set(_table_files(repo, branch, table, v))
+                if cur == prev:
+                    continue  # commit did not touch this table
+                removed = prev - cur
+                if removed and not ignore:
+                    raise ValueError(
+                        f"lake stream source: version {v} removed "
+                        f"{len(removed)} file(s) from {table} (overwrite/"
+                        f"DELETE/compaction); the append-only stream cannot "
+                        f"represent it — set ignorechanges=true to skip "
+                        f"removals and stream additions only"
+                    )
+                for rel in sorted(cur - prev):
+                    parts.append(
+                        _FilePartition(
+                            os.path.join(repo.root, rel), self.fields
+                        )
+                    )
+                prev = cur
+            return parts
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        # -- executor-side: pyarrow + stdlib ONLY ----------------------
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(partition.path, columns=partition.fields)
+            cols = [t.column(f).to_pylist() for f in partition.fields]
+            for row in zip(*cols):
+                yield row
+
+    class LakeStreamSource(DataSource):
+        """format("lakegraft_stream"): options root, branch, table,
+        [starting_version, ignorechanges, package_root]."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "lakegraft_stream"
+
+        def schema(self) -> str:
+            import pyarrow.parquet as pq
+
+            repo = _open_repo(self.options)
+            files = _table_files(
+                repo,
+                self.options["branch"],
+                self.options["table"],
+                repo.head(self.options["branch"]).version,
+            )
+            if not files:
+                raise ValueError(
+                    "lake stream source: table has no committed files to "
+                    "derive a schema from; pass an explicit .schema(...)"
+                )
+            sch = pq.ParquetFile(os.path.join(repo.root, files[0])).schema_arrow
+            return ", ".join(
+                f"{f.name} {_arrow_field_ddl(f.type)}" for f in sch
+            )
+
+        def streamReader(self, schema):
+            return _LakeStreamReader(self.options, schema)
+
+    return LakeStreamSource
+
+
+def register_lake_stream_source(spark: SparkSession) -> None:
+    """Idempotent registration of the ``lakegraft_stream`` format."""
+    spark.dataSource.register(make_lake_stream_source())
+
+
+def stream_table_from_repo(
+    spark: SparkSession,
+    repo_root: str,
+    table: str,
+    branch: str = "main",
+    *,
+    starting_version: int = -1,
+    ignore_changes: bool = False,
+) -> DataFrame:
+    """Tail a lake table as a stream: every commit's appended rows become
+    a microbatch, offsets = commit versions (checkpoint-resumable)."""
+    register_lake_stream_source(spark)
+    reader = (
+        spark.readStream.format("lakegraft_stream")
+        .option("root", repo_root)
+        .option("branch", branch)
+        .option("table", table)
+        .option("starting_version", starting_version)
+        .option("package_root", _PACKAGE_ROOT)
+    )
+    if ignore_changes:
+        reader = reader.option("ignorechanges", "true")
+    return reader.load()

@@ -730,3 +730,114 @@ def test_stream_upsert_exactly_once_under_chaos(spark, tmp_path_factory, steps):
         assert len(seen_ids) == len(steps), (seen_ids, steps)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# lake as a streaming SOURCE (r7): offsets = commit versions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def source_repo(spark, tmp_path):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _drain_to_memory(spark, repo, table, **kw):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    name = f"lsrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, table, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted((r.k, r.v) for r in spark.table(name).collect())
+
+
+def test_lake_stream_source_reads_all_commits(spark, source_repo):
+    """Every commit's appended rows arrive exactly once; commits that
+    don't touch the table contribute nothing."""
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    repo.write_table("main", "other", _kv(spark, 90, 95))
+    repo.commit("main", "unrelated")
+    repo.write_table("main", "t", _kv(spark, 10, 15), mode="append")
+    repo.commit("main", "v2")
+    got = _drain_to_memory(spark, repo, "t")
+    assert got == [(i, 2 * i) for i in range(15)]
+
+
+def test_lake_stream_source_checkpoint_resume_exactly_once(spark, source_repo, tmp_path):
+    """A checkpointed query resumes at the exact commit version it left
+    off: no duplicates, no gaps (the exactly-once read half of the
+    existing exactly-once sinks)."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            stream_table_from_repo(spark, repo.root, "t")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    repo.write_table("main", "t", _kv(spark, 10, 13), mode="append")
+    repo.commit("main", "v2")
+    drain()
+    drain()  # idempotent: nothing new
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, 2 * i) for i in range(13)]
+
+
+def test_lake_stream_source_rejects_non_append_unless_opted_in(spark, source_repo):
+    """An overwrite (file removal) cannot be represented as an append
+    stream: loud failure by default; ignore_changes streams additions."""
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    repo.write_table("main", "t", _kv(spark, 50, 55))  # overwrite
+    repo.commit("main", "v2-overwrite")
+    with pytest.raises(Exception, match="removed|STREAM_FAILED"):
+        _drain_to_memory(spark, repo, "t")
+    got = _drain_to_memory(spark, repo, "t", ignore_changes=True)
+    assert got == [(i, 2 * i) for i in range(10)] + [
+        (i, 2 * i) for i in range(50, 55)
+    ]
+
+
+def test_lake_stream_source_guards(spark, source_repo):
+    """Column-mapped tables raise (schema-map replay is batch-only);
+    starting_version skips history."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 5))
+    c1 = repo.commit("main", "v1")
+    repo.write_table("main", "t", _kv(spark, 5, 8), mode="append")
+    repo.commit("main", "v2")
+    got = _drain_to_memory(spark, repo, "t", starting_version=c1.version)
+    assert got == [(i, 2 * i) for i in range(5, 8)]  # only post-v1 commits
+    LakeSQL(spark, repo, "main").sql("ALTER TABLE t RENAME COLUMN v TO w")
+    with pytest.raises(Exception, match="column-mapped|STREAM_FAILED"):
+        _drain_to_memory(spark, repo, "t")
