@@ -841,3 +841,37 @@ def test_lake_stream_source_guards(spark, source_repo):
     LakeSQL(spark, repo, "main").sql("ALTER TABLE t RENAME COLUMN v TO w")
     with pytest.raises(Exception, match="column-mapped|STREAM_FAILED"):
         _drain_to_memory(spark, repo, "t")
+
+
+def test_lake_to_lake_streaming_pipeline(spark, source_repo, tmp_path):
+    """The full loop: tail table A (commit-version offsets) → transform →
+    exactly-once versioned ingest into table B. After each drain B equals
+    the batch transform of A's history; draining with nothing new is a
+    no-op (no duplicate commits, no duplicate rows)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo = source_repo
+    ck = str(tmp_path / "ck")
+    repo.write_table("main", "a", _kv(spark, 0, 10))
+    repo.commit("main", "a v1")
+
+    def drain():
+        s = stream_table_from_repo(spark, repo.root, "a").where(
+            F.col("k") % 2 == 0
+        ).withColumn("v3", F.col("v") * 3)
+        stream_into_repo(s, repo, "main", "b", ck)
+
+    drain()
+    got = sorted(
+        (r.k, r.v3) for r in repo.read_table(spark, "b", "main").collect()
+    )
+    assert got == [(i, 6 * i) for i in range(0, 10, 2)]
+    repo.write_table("main", "a", _kv(spark, 10, 16), mode="append")
+    repo.commit("main", "a v2")
+    drain()
+    drain()  # nothing new: must not duplicate
+    got = sorted(
+        (r.k, r.v3) for r in repo.read_table(spark, "b", "main").collect()
+    )
+    assert got == [(i, 6 * i) for i in range(0, 16, 2)]
