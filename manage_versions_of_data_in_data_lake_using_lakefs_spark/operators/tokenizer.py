@@ -161,6 +161,47 @@ def bpe_word_symbols(
     return words.withColumn(out, s)
 
 
+def bpe_encode_doc_counts(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Full train→encode pipeline: per-doc (n_words, n_bpe_tokens).
+
+    ONE corpus shuffle builds the per-doc word counts; the vocabulary
+    (bounded metadata, Heaps' law) is derived from them and trains the
+    merges driver-paced; the merge chain applies to the VOCAB as pure
+    Column expressions and the word→token-count mapping broadcasts back
+    onto the per-doc counts — the corpus is never scanned twice and no
+    UDF touches the hot path. The single definition is shared by the
+    registry query and the stress harness so the measured plan IS the
+    registered plan."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+    spark = docs.sparkSession
+    dw = track(
+        docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    vocab = [
+        (r["w"], int(r["wc"]))
+        for r in dw.groupBy("w").agg(F.sum("c").alias("wc")).collect()
+    ]
+    merges = bpe_train_from_vocab(vocab, n_merges=n_merges)
+    words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
+    enc = bpe_word_symbols(words, merges).select(
+        "w", F.size(F.split(F.col("s"), " ")).cast("long").alias("n_syms")
+    )
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_syms")).alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bpe_encode_sql(toks_sql: str, n_merges: int = 8) -> str:
     """DuckDB twin of the full train→encode pipeline over ``documents``:
     replays every training iteration (pair count → deterministic argmax
@@ -170,35 +211,44 @@ def bpe_encode_sql(toks_sql: str, n_merges: int = 8) -> str:
     shot — the same replay discipline as the Lloyd's/logreg oracles."""
     parts = [
         f"toks AS (SELECT doc_id, unnest({toks_sql}) AS w FROM documents)",
-        "dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c"
+        "dw AS MATERIALIZED (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c"
         " FROM toks GROUP BY doc_id, w)",
-        "vocab AS (SELECT w, CAST(SUM(c) AS BIGINT) AS wc FROM dw GROUP BY w)",
-        "v0 AS (SELECT w, wc,"
+        "vocab AS MATERIALIZED (SELECT w, CAST(SUM(c) AS BIGINT) AS wc FROM dw GROUP BY w)",
+        "v0 AS MATERIALIZED (SELECT w, wc,"
         " rtrim(regexp_replace(w, '(.)', '|\\1| ', 'g')) AS s FROM vocab)",
     ]
     for t in range(n_merges):
         parts.append(
-            f"x{t} AS (SELECT wc, string_split(s, ' ') AS syms FROM v{t})"
+            f"x{t} AS MATERIALIZED (SELECT wc, string_split(s, ' ') AS syms FROM v{t})"
         )
         parts.append(
-            f"p{t} AS (SELECT syms[CAST(j AS INT)] AS sa,"
+            f"p{t} AS MATERIALIZED (SELECT syms[CAST(j AS INT)] AS sa,"
             f" syms[CAST(j AS INT) + 1] AS sb, SUM(wc) AS cnt"
             f" FROM x{t}, UNNEST(range(1, len(syms))) AS u(j) GROUP BY 1, 2)"
         )
         # argmax tiebreak on the RAW symbols (sentinel-stripped), matching
-        # bpe_train_from_vocab's tuple compare exactly
+        # bpe_train_from_vocab's tuple compare exactly. When pairs are
+        # exhausted before n_merges (the trainer's `if not counts: break`),
+        # the empty-symbol sentinel row keeps m{t} at exactly one row —
+        # its replace pattern '|| ||' cannot occur (symbols are non-empty),
+        # so the remaining iterations are no-ops instead of the cross join
+        # annihilating the vocabulary
         parts.append(
-            f"m{t} AS (SELECT replace(sa, '|', '') AS a,"
+            f"m{t} AS MATERIALIZED (SELECT replace(sa, '|', '') AS a,"
             f" replace(sb, '|', '') AS b"
             f" FROM p{t} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
         )
         parts.append(
-            f"v{t + 1} AS (SELECT w, wc,"
+            f"mm{t} AS MATERIALIZED (SELECT a, b FROM m{t} UNION ALL"
+            f" SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM m{t}))"
+        )
+        parts.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT w, wc,"
             f" replace(s, '|' || a || '| |' || b || '|',"
-            f" '|' || a || b || '|') AS s FROM v{t}, m{t})"
+            f" '|' || a || b || '|') AS s FROM v{t}, mm{t})"
         )
     parts.append(
-        f"enc AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT)"
+        f"enc AS MATERIALIZED (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT)"
         f" AS n_syms FROM v{n_merges})"
     )
     return (

@@ -2539,38 +2539,10 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned twice and no UDF touches the hot path. Output: per-doc
     (n_words, n_bpe_tokens). The oracle replays the ENTIRE training loop
     and the encode as chained CTEs from the raw corpus."""
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import (
-        bpe_train_from_vocab,
-        bpe_word_symbols,
-    )
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_encode_doc_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    dw = track(
-        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    vocab = [
-        (r["w"], int(r["wc"]))
-        for r in dw.groupBy("w").agg(F.sum("c").alias("wc")).collect()
-    ]
-    merges = bpe_train_from_vocab(vocab, n_merges=8)
-    words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
-    enc = bpe_word_symbols(words, merges).select(
-        "w", F.size(F.split(F.col("s"), " ")).cast("long").alias("n_syms")
-    )
-    return (
-        dw.join(F.broadcast(enc), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.sum(F.col("c") * F.col("n_syms")).alias("n_bpe_tokens"),
-        )
-        .orderBy("doc_id")
-    )
+    return bpe_encode_doc_counts(docs, n_merges=8).orderBy("doc_id")
 
 
 def _oracle_tokenizer_bpe_encode() -> str:

@@ -102,17 +102,12 @@ def make_lake_stream_source():
         )
         return mod.LakeRepo(opts["root"])
 
-    def _table_files(repo, branch, table, version):
-        """The table's committed file entries at a global version —
-        expanded to individual parquet paths (relative). Empty when the
-        table (or the version) does not exist yet."""
-        try:
-            c = repo._resolve(branch, version_as_of=version)
-        except (KeyError, ValueError, IndexError):
-            return []
-        entries = c.tables.get(table)
-        if entries is None:
-            return []
+    def _expand_entries(root, entries):
+        """Commit entries → individual parquet paths (relative). Raises
+        on Hive-partitioned layouts: pruned-rewrite entries carry k=v
+        path components directly, and a partition_by group dir contains
+        k=v SUBDIRS — both path-encode columns the bare-file reader
+        cannot reconstruct."""
         out = []
         for e in entries:
             if any("=" in part for part in e.split(os.sep)):
@@ -121,14 +116,42 @@ def make_lake_stream_source():
                     "streamable (partition columns are path-encoded); read "
                     "the table in batch instead"
                 )
-            full = os.path.join(repo.root, e)
+            full = os.path.join(root, e)
             if os.path.isdir(full):
                 for fn in sorted(os.listdir(full)):
+                    if os.path.isdir(os.path.join(full, fn)):
+                        if "=" in fn:
+                            raise NotImplementedError(
+                                "lake stream source: Hive-partitioned "
+                                "layouts are not streamable (partition "
+                                "columns are path-encoded); read the table "
+                                "in batch instead"
+                            )
+                        raise NotImplementedError(
+                            f"lake stream source: unrecognized nested layout "
+                            f"under {e} ({fn}); read the table in batch"
+                        )
                     if fn.endswith(".parquet"):
                         out.append(os.path.join(e, fn))
             elif e.endswith(".parquet"):
                 out.append(e)
         return out
+
+    def _commit_chain(repo, branch, start_v, end_v):
+        """Commits on the branch's FIRST-PARENT line with version in
+        (start_v, end_v], oldest first. Walking the chain (not raw
+        version integers) is what makes multi-branch repos safe: the
+        global version counter is shared across branches (and aborted
+        commits burn numbers), so versions absent from this line simply
+        never appear — they are other branches' history, not deletions."""
+        chain = []
+        c = repo.head(branch)
+        while c is not None and c.version > start_v:
+            if c.version <= end_v:
+                chain.append(c)
+            c = repo.get_commit(c.parents[0]) if c.parents else None
+        chain.reverse()
+        return chain
 
     class _FilePartition(InputPartition):
         def __init__(self, path: str, fields: list[str]):
@@ -159,15 +182,25 @@ def make_lake_stream_source():
                 )
             ignore = str(self.opts.get("ignorechanges", "")).lower() == "true"
             parts: list[_FilePartition] = []
-            prev = set(_table_files(repo, branch, table, start["version"]))
-            for v in range(start["version"] + 1, end["version"] + 1):
-                cur = set(_table_files(repo, branch, table, v))
-                if cur == prev:
+            # one walk of the first-parent chain; each commit diffs
+            # against its OWN parent's entries (O(chain), not
+            # O(chain²) re-resolves from head)
+            for c in _commit_chain(
+                repo, branch, start["version"], end["version"]
+            ):
+                parent = (
+                    repo.get_commit(c.parents[0]) if c.parents else None
+                )
+                prev_entries = parent.tables.get(table, []) if parent else []
+                cur_entries = c.tables.get(table, [])
+                if cur_entries == prev_entries:
                     continue  # commit did not touch this table
+                prev = set(_expand_entries(repo.root, prev_entries))
+                cur = set(_expand_entries(repo.root, cur_entries))
                 removed = prev - cur
                 if removed and not ignore:
                     raise ValueError(
-                        f"lake stream source: version {v} removed "
+                        f"lake stream source: version {c.version} removed "
                         f"{len(removed)} file(s) from {table} (overwrite/"
                         f"DELETE/compaction); the append-only stream cannot "
                         f"represent it — set ignorechanges=true to skip "
@@ -179,7 +212,6 @@ def make_lake_stream_source():
                             os.path.join(repo.root, rel), self.fields
                         )
                     )
-                prev = cur
             return parts
 
         def commit(self, end: dict) -> None:
@@ -189,7 +221,19 @@ def make_lake_stream_source():
         def read(self, partition):
             import pyarrow.parquet as pq
 
-            t = pq.read_table(partition.path, columns=partition.fields)
+            pf = pq.ParquetFile(partition.path)
+            names = set(pf.schema_arrow.names)
+            extra = names - set(partition.fields)
+            if extra:
+                # a file carrying columns the stream schema lacks would be
+                # silently truncated; fail loudly like the other guards
+                raise ValueError(
+                    f"lake stream source: {partition.path} carries columns "
+                    f"{sorted(extra)} absent from the stream schema "
+                    f"{partition.fields} (schema-evolving append?); pass a "
+                    f"full explicit schema or read in batch"
+                )
+            t = pf.read(columns=partition.fields)
             cols = [t.column(f).to_pylist() for f in partition.fields]
             for row in zip(*cols):
                 yield row
@@ -206,18 +250,26 @@ def make_lake_stream_source():
             import pyarrow.parquet as pq
 
             repo = _open_repo(self.options)
-            files = _table_files(
-                repo,
-                self.options["branch"],
-                self.options["table"],
-                repo.head(self.options["branch"]).version,
-            )
+            head = repo.head(self.options["branch"])
+            entries = head.tables.get(self.options["table"], [])
+            files = _expand_entries(repo.root, entries)
             if not files:
                 raise ValueError(
                     "lake stream source: table has no committed files to "
                     "derive a schema from; pass an explicit .schema(...)"
                 )
+            # first AND last file (snapshot order ≈ write order): a
+            # schema-evolving append history (appends may ADD columns)
+            # would otherwise silently pin the oldest file's columns
             sch = pq.ParquetFile(os.path.join(repo.root, files[0])).schema_arrow
+            last = pq.ParquetFile(os.path.join(repo.root, files[-1])).schema_arrow
+            if [f.name for f in sch] != [f.name for f in last]:
+                raise NotImplementedError(
+                    "lake stream source: the snapshot mixes physical "
+                    "schemas (schema-evolving appends); the stream needs "
+                    "one uniform schema — read in batch with "
+                    "merge_schema=True instead"
+                )
             return ", ".join(
                 f"{f.name} {_arrow_field_ddl(f.type)}" for f in sch
             )

@@ -270,39 +270,12 @@ def main() -> None:
         return resample_locf(x, "user_id", "ts", "value", 6 * 3600)
 
     def op_bpe_encode(d: DataFrame) -> DataFrame:
-        # corpus → per-doc word counts (one shuffle); vocab collect is
-        # bounded metadata; encode runs over the VOCAB and broadcasts
-        # back — per-row cost must stay flat even though replication
-        # grows the vocab ~k× (suffix tokens are new words)
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import (
-            bpe_train_from_vocab,
-            bpe_word_symbols,
-        )
+        # the registry query's exact pipeline (shared definition): per-row
+        # cost must stay flat even though replication grows the vocab ~k×
+        # (suffix tokens are new words)
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.tokenizer import bpe_encode_doc_counts
 
-        dw = (
-            d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
-            .groupBy("doc_id", "w")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .persist()
-        )
-        vocab = [
-            (r["w"], int(r["wc"]))
-            for r in dw.groupBy("w").agg(F.sum("c").alias("wc")).collect()
-        ]
-        merges = bpe_train_from_vocab(vocab, n_merges=8)
-        words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
-        enc = bpe_word_symbols(words, merges).select(
-            "w", F.size(F.split(F.col("s"), " ")).cast("long").alias("n_syms")
-        )
-        return (
-            dw.join(F.broadcast(enc), "w")
-            .groupBy("doc_id")
-            .agg(
-                F.sum("c").alias("n_words"),
-                F.sum(F.col("c") * F.col("n_syms")).alias("n_bpe_tokens"),
-            )
-        )
+        return bpe_encode_doc_counts(d, n_merges=8)
 
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
@@ -449,25 +422,31 @@ def main() -> None:
         finally:
             _shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
-    if not only or {"delete_prune_steady", "delete_full_rewrite"} & only:
-        n1 = 4
+    n1 = 4
+    if not only or "delete_prune_steady" in only:
         t1 = run_band_delete(n1, pruned=True)
         tk = run_band_delete(n1 * k, pruned=True)
-        f1 = run_band_delete(n1, pruned=False)
-        fk = run_band_delete(n1 * k, pruned=False)
         out["delete_prune_steady"] = {
             "t1": round(t1, 3),
             "tk": round(tk, 3),
             "per_row_ratio": round(tk / (t1 * k), 3),
         }
+        print(
+            f"# delete one band of {n1}->{n1 * k}: pruned "
+            f"{t1:.2f}s->{tk:.2f}s (x{tk / t1:.2f})",
+            file=sys.stderr,
+        )
+    if not only or "delete_full_rewrite" in only:
+        f1 = run_band_delete(n1, pruned=False)
+        fk = run_band_delete(n1 * k, pruned=False)
         out["delete_full_rewrite"] = {
             "t1": round(f1, 3),
             "tk": round(fk, 3),
             "per_row_ratio": round(fk / (f1 * k), 3),
         }
         print(
-            f"# delete one band of {n1}->{n1 * k}: pruned {t1:.2f}s->{tk:.2f}s "
-            f"(x{tk / t1:.2f}), full {f1:.2f}s->{fk:.2f}s (x{fk / f1:.2f})",
+            f"# delete one band of {n1}->{n1 * k}: full "
+            f"{f1:.2f}s->{fk:.2f}s (x{fk / f1:.2f})",
             file=sys.stderr,
         )
 

@@ -875,3 +875,35 @@ def test_lake_to_lake_streaming_pipeline(spark, source_repo, tmp_path):
         (r.k, r.v3) for r in repo.read_table(spark, "b", "main").collect()
     )
     assert got == [(i, 6 * i) for i in range(0, 16, 2)]
+
+
+def test_lake_stream_source_multibranch_version_gaps(spark, source_repo):
+    """The global version counter is shared across branches, so versions
+    missing from the streamed branch's first-parent line are other
+    branches' history — NOT table wipes. A side-branch commit between two
+    main-branch appends must neither fail the stream nor duplicate rows."""
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "t v1")
+    repo.create_branch("side", "main")
+    repo.write_table("side", "x", _kv(spark, 90, 95))
+    repo.commit("side", "burn a version off-branch")
+    repo.write_table("main", "t", _kv(spark, 10, 15), mode="append")
+    repo.commit("main", "t v2")
+    got = _drain_to_memory(spark, repo, "t")
+    assert got == [(i, 2 * i) for i in range(15)]
+    # same under ignore_changes (the old version-integer walk re-delivered
+    # everything after the gap)
+    got = _drain_to_memory(spark, repo, "t", ignore_changes=True)
+    assert got == [(i, 2 * i) for i in range(15)]
+
+
+def test_lake_stream_source_rejects_partitioned_tables(spark, source_repo):
+    """partition_by writes path-encode columns into k=v subdirs the bare
+    file reader cannot reconstruct — loud failure, never an empty stream."""
+    repo = source_repo
+    df = _kv(spark, 0, 10).withColumn("p", F.col("k") % 2)
+    repo.write_table("main", "t", df, partition_by=["p"])
+    repo.commit("main", "partitioned")
+    with pytest.raises(Exception, match="[Pp]artition|STREAM_FAILED"):
+        _drain_to_memory(spark, repo, "t")
