@@ -96,7 +96,12 @@ WINDOW_ORDER: list[str] = [
     # §2.1 formats (S1/S2/S3/S7/S9 + JSON)
     "csv_suite",            # S1+S2+S7 roundtrips, tagged
     "orc_roundtrip",        # S3+S9
-    "json_extract",
+    # (json_extract — one scalar get_json_object projection, a shape
+    # scalar_funcs' expression battery already certifies — rotated to
+    # the tail in r7 to driver-certify the round's flagship streaming
+    # capability below; it keeps its full oracle in the tail, and the
+    # JSON format surface stays window-certified via json_roundtrip's
+    # tail oracle + csv_suite's roundtrip discipline)
     # TPC-H suite (bench headliners; q5/q6/q14 — join+agg / filter+agg
     # shapes that q1/q3/q10 already certify — rotated to the tail across
     # r4/r5 to free window slots for newer one-of-a-kind shapes: the
@@ -165,6 +170,10 @@ WINDOW_ORDER: list[str] = [
                             # fixed-point logistic-GD iterations, each a
                             # distributed 128-bit aggregation, the whole
                             # trainer replayed as SQL CTEs (r7 flagship)
+    "streaming_lake_source",  # the lake as a Structured Streaming SOURCE:
+                              # commit-version offsets, per-version new-file
+                              # microbatches, two-commit drain ≡ batch SQL
+                              # (r7 flagship; Spark 4 Python DataSource)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

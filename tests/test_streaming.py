@@ -707,11 +707,18 @@ def test_stream_upsert_exactly_once_under_chaos(spark, tmp_path_factory, steps):
                 run_sink()  # commits AND advances the checkpoint
                 # roll the checkpoint back to before this delivery: Spark
                 # will redeliver the same files under the same batch id
-                shutil.rmtree(ckpt, ignore_errors=True)
                 if os.path.exists(ckpt_bak):
+                    shutil.rmtree(ckpt, ignore_errors=True)
                     shutil.copytree(ckpt_bak, ckpt)
                     run_sink()  # must be skipped by the committed-log guard
-                # (first-ever batch has no checkpoint to restore: skip replay)
+                # (first-ever batch has no pre-delivery checkpoint to
+                # restore: skip the replay AND keep the live checkpoint —
+                # deleting it outright models a different failure, "lost
+                # checkpoint under the same stream id", which the
+                # txnAppId-style protocol deliberately does not support:
+                # a fresh checkpoint re-brackets ALL source files as batch
+                # 0 and the committed-log guard rightly skips them, same
+                # as Delta's documented txnAppId/checkpoint contract)
             else:
                 run_sink()
 
