@@ -314,7 +314,12 @@ def main() -> None:
     # optional case filter: `stress_scale.py K name1 name2 ...` runs only
     # the named cases (fast re-measure of a single family). The two
     # special sections carry their own names.
-    _special = {"dedup_incremental_steady", "delete_prune_steady", "delete_full_rewrite"}
+    _special = {
+        "dedup_incremental_steady",
+        "delete_prune_steady",
+        "delete_full_rewrite",
+        "stream_source_catchup",
+    }
     only = set(sys.argv[2:])
     if only:
         unknown = only - set(cases) - _special
@@ -368,6 +373,59 @@ def main() -> None:
             return best
         finally:
             _shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # streaming-source catch-up drain: a checkpointless availableNow drain
+    # over a table built from N commits (fixed rows per commit, so rows
+    # grow with commits). The claim under test: partitions() planning is
+    # one first-parent chain walk (O(commits), each commit diffed against
+    # its own parent) and drain time tracks ROWS — per-commit ratio must
+    # stay ~flat, with no quadratic re-resolve signature.
+    def run_source_catchup(n_commits: int) -> float:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+        root = _tempfile.mkdtemp(prefix="stream_src_stress_") + "/lake"
+        try:
+            repo = LakeRepo.init(root)
+            rows_per = 20_000
+            for i in range(n_commits):
+                repo.write_table(
+                    "main",
+                    "t",
+                    spark.range(i * rows_per, (i + 1) * rows_per).select(
+                        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                    ),
+                    mode="append" if i else "overwrite",
+                )
+                repo.commit("main", f"batch {i}")
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q = (
+                    stream_table_from_repo(spark, root, "t")
+                    .writeStream.format("noop")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                best = min(best, time.perf_counter() - t0)
+            return best
+        finally:
+            _shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+    if not only or "stream_source_catchup" in only:
+        t1 = run_source_catchup(4)
+        tk = run_source_catchup(4 * k)
+        out["stream_source_catchup"] = {
+            "t1": round(t1, 3),
+            "tk": round(tk, 3),
+            "per_row_ratio": round(tk / (t1 * k), 3),
+        }
+        print(
+            f"# stream_source_catchup: 4 commits {t1:.2f}s -> {4 * k} commits "
+            f"{tk:.2f}s (per-commit ratio {tk / (t1 * k):.2f})",
+            file=sys.stderr,
+        )
 
     if not only or "dedup_incremental_steady" in only:
         t1 = run_incremental(docs.select("doc_id", "text"))
