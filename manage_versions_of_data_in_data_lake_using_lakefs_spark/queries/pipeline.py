@@ -258,6 +258,59 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_streaming_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC streaming read (r7, streaming/source.py mode=cdc): documents
+    land over two appends, then a pruned SQL DELETE removes a slice — a
+    history the append-only stream cannot represent. The drained change
+    feed (insert/delete rows tagged with commit versions), FOLDED
+    (inserts minus deletes per row), must equal the table at head, so
+    the oracle is plain batch SQL over the surviving rows. This pins the
+    multiset-correctness contract of the file-granularity CDF."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    root = tempfile.mkdtemp(prefix="lakegraft_lake_cdc_") + "/lake"
+    repo = LakeRepo.init(root)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    repo.write_table("main", "docs", docs.where(F.col("doc_id") % 2 == 0))
+    repo.commit("main", "even half")
+    repo.write_table(
+        "main", "docs", docs.where(F.col("doc_id") % 2 == 1), mode="append"
+    )
+    repo.commit("main", "odd half")
+    LakeSQL(spark, repo, "main").sql("DELETE FROM docs WHERE doc_id % 3 = 0")
+    name = f"lcdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, root, "docs", cdc=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("doc_id", "text_len")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .where(F.col("net") > 0)
+        .select("doc_id", "text_len")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_STREAMING_LAKE_CDC = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id
+"""
+
+
 def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SimHash near-dup pairs (r5): documents replay through a
     file-source stream; the map-only ``simhash_expr`` signature feeds a
@@ -613,6 +666,7 @@ PIPELINE_QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
     "streaming_lake_source": q_streaming_lake_source,
+    "streaming_lake_cdc": q_streaming_lake_cdc,
     "streaming_neardup": q_streaming_neardup,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_interval_join": q_streaming_interval_join,
@@ -630,6 +684,7 @@ PIPELINE_ORACLES = {
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_lake_source": ORACLE_STREAMING_LAKE_SOURCE,
+    "streaming_lake_cdc": ORACLE_STREAMING_LAKE_CDC,
     # exact-recall banding makes the streaming near-dup's result set
     # IDENTICAL to batch dedup_simhash — the oracle is reused verbatim
     "streaming_neardup": _ORACLE_STREAMING_NEARDUP,

