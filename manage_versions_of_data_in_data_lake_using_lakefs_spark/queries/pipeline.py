@@ -3,6 +3,7 @@ and Structured Streaming surfaced through the driver contract."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -249,6 +250,9 @@ def q_streaming_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the memory sink holds every row now; the temp lake (a full copy of
+    # the documents table) must not accumulate across bench/oracle runs
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
     return spark.table(name).orderBy("doc_id")
 
 
@@ -291,6 +295,7 @@ def q_streaming_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("doc_id", "text_len")

@@ -172,9 +172,22 @@ def make_lake_stream_source():
             self.opts = dict(options)
             self.cdc = str(self.opts.get("mode", "")).lower() == "cdc"
             names = list(schema.fieldNames())
-            # in CDC mode the last two fields are the meta columns the
-            # source itself appends; the data files carry the rest
-            self.fields = names[:-2] if self.cdc else names
+            if self.cdc:
+                # the source appends the meta columns LAST; validate the
+                # contract so a user-supplied explicit schema of bare
+                # data columns fails loudly instead of silently losing
+                # its last two real columns
+                if names[-2:] != ["_change_type", "_commit_version"]:
+                    raise ValueError(
+                        "lake stream source (mode=cdc): the schema's last "
+                        "two fields must be `_change_type string, "
+                        "_commit_version bigint` (the source appends "
+                        f"them); got {names[-2:]} — append them to your "
+                        "explicit schema or omit .schema() entirely"
+                    )
+                self.fields = names[:-2]
+            else:
+                self.fields = names
 
         # -- driver-side (python runner process; engine imports OK after
         #    the package_root bootstrap) --------------------------------
@@ -295,9 +308,20 @@ def make_lake_stream_source():
             import pyarrow.parquet as pq
 
             repo = _open_repo(self.options)
-            head = repo.head(self.options["branch"])
-            entries = head.tables.get(self.options["table"], [])
-            files = _expand_entries(repo.root, entries)
+            cdc = str(self.options.get("mode", "")).lower() == "cdc"
+            c = repo.head(self.options["branch"])
+            files: list[str] = []
+            while c is not None:
+                files = _expand_entries(
+                    repo.root, c.tables.get(self.options["table"], [])
+                )
+                if files or not cdc:
+                    # append mode pins the HEAD snapshot's schema; CDC
+                    # walks back to the last version that had files — a
+                    # DELETE-emptied head is exactly what a change feed
+                    # must still be able to describe
+                    break
+                c = repo.get_commit(c.parents[0]) if c.parents else None
             if not files:
                 raise ValueError(
                     "lake stream source: table has no committed files to "

@@ -960,10 +960,17 @@ def test_lake_stream_source_cdc_folds_to_head(spark, source_repo, tmp_path):
         (r.k, r.v) for r in repo.read_table(spark, "t", "main").collect()
     )
     assert got == want == [(i, 2 * i) for i in range(100, 104)]
-    # the delete commit's rows are visible at their version
-    del_rows = {
-        r.k for r in feed.where(
-            (F.col("_change_type") == "delete") & (F.col("_commit_version") == 3)
-        ).collect()
-    }
-    assert all(k % 3 == 0 or True for k in del_rows) and del_rows  # non-empty
+    # the DELETE commit (first delete-bearing version): its net removals
+    # must be exactly the predicate's keys — delete rows carry every row
+    # of the rewritten files, inserts re-add the survivors
+    delv = min(
+        r._commit_version
+        for r in feed.where(F.col("_change_type") == "delete")
+        .select("_commit_version")
+        .distinct()
+        .collect()
+    )
+    at_v = feed.where(F.col("_commit_version") == delv).collect()
+    dels = {r.k for r in at_v if r._change_type == "delete"}
+    ins = {r.k for r in at_v if r._change_type == "insert"}
+    assert dels - ins == {k for k in range(16) if k % 3 == 0}
