@@ -125,3 +125,41 @@ def test_synth_media_builder_ships_by_value():
         "kind, payload = fn(4)\n"
         "assert kind == 'image' and payload[:2] == b'BM', (kind, payload[:4])\n",
     )
+
+
+def test_lake_stream_source_class_ships_by_value(tmp_path):
+    """The Spark 4 Python DataSource class (and every helper it closes
+    over) must unpickle in a process that cannot import the package —
+    Spark's python runner/worker processes are exactly that. A
+    module-level helper captured by the factory class would pickle as a
+    module reference and die at unpickle (a real r7 regression, caught
+    only by the /tmp driver run). Exercises the executor-side read()
+    end-to-end on a real parquet file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import make_lake_stream_source
+
+    cls = make_lake_stream_source()
+    assert "<locals>" in cls.__qualname__
+    pfile = str(tmp_path / "part.parquet")
+    pq.write_table(pa.table({"k": [1, 2], "v": [10, 20]}), pfile)
+
+    # ship the class + a tiny driver that instantiates the reader and
+    # runs read() on a partition (pyarrow-only executor path)
+    def probe():
+        import types
+
+        src = cls(options={"mode": "cdc"})
+        schema = types.SimpleNamespace(
+            fieldNames=lambda: ["k", "v", "_change_type", "_commit_version"]
+        )
+        reader = src.streamReader(schema)
+        part = types.SimpleNamespace(
+            path=pfile, fields=reader.fields, change_type="insert", version=7
+        )
+        rows = list(reader.read(part))
+        assert rows == [(1, 10, "insert", 7), (2, 20, "insert", 7)], rows
+        return "ok"
+
+    _roundtrip_in_clean_process(probe, "assert fn() == 'ok'\n")
