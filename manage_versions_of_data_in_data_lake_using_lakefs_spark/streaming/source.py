@@ -107,12 +107,18 @@ def make_lake_stream_source():
         )
         return mod.LakeRepo(opts["root"])
 
-    def _expand_entries(root, entries):
+    def _expand_entries(root, entries, missing=None):
         """Commit entries → individual parquet paths (relative). Raises
         on Hive-partitioned layouts: pruned-rewrite entries carry k=v
         path components directly, and a partition_by group dir contains
         k=v SUBDIRS — both path-encode columns the bare-file reader
-        cannot reconstruct."""
+        cannot reconstruct.
+
+        An entry whose backing dir/file is GONE (vacuumed history) is a
+        hard error — silently skipping it would drain an incomplete
+        stream with no signal. Pass ``missing`` (a list) to collect such
+        entries instead of raising (used for the diff's parent side,
+        where the caller decides)."""
         out = []
         for e in entries:
             if any("=" in part for part in e.split(os.sep)):
@@ -138,8 +144,17 @@ def make_lake_stream_source():
                         )
                     if fn.endswith(".parquet"):
                         out.append(os.path.join(e, fn))
-            elif e.endswith(".parquet"):
+            elif e.endswith(".parquet") and os.path.exists(full):
                 out.append(e)
+            elif missing is not None:
+                missing.append(e)
+            else:
+                raise FileNotFoundError(
+                    f"lake stream source: commit entry {e} has no backing "
+                    f"files on disk — the history this stream still needs "
+                    f"was likely vacuumed; keep retention >= stream lag, "
+                    f"or restart the stream from a live version"
+                )
         return out
 
     def _commit_chain(repo, branch, start_v, end_v):
@@ -221,10 +236,24 @@ def make_lake_stream_source():
                 cur_entries = c.tables.get(table, [])
                 if cur_entries == prev_entries:
                     continue  # commit did not touch this table
-                prev = set(_expand_entries(repo.root, prev_entries))
+                # the parent side tolerates vacuumed entries at the DIFF
+                # level (we may only need their names); the current side
+                # is strict — its rows are about to be read
+                miss_prev: list[str] = []
+                prev = set(
+                    _expand_entries(repo.root, prev_entries, miss_prev)
+                )
                 cur = set(_expand_entries(repo.root, cur_entries))
                 removed = prev - cur
                 if self.cdc:
+                    if miss_prev:
+                        raise FileNotFoundError(
+                            f"lake stream source (mode=cdc): version "
+                            f"{c.version} removed entries whose files were "
+                            f"vacuumed ({miss_prev[:3]}...); their delete "
+                            f"rows are unrecoverable — keep retention >= "
+                            f"stream lag or restart past this version"
+                        )
                     # CDC mode: removals become 'delete' rows (removed
                     # files persist on disk until vacuum), additions
                     # 'insert' rows — FILE-granularity CDF: a rewrite
@@ -250,7 +279,7 @@ def make_lake_stream_source():
                             )
                         )
                     continue
-                if removed and not ignore:
+                if (removed or miss_prev) and not ignore:
                     raise ValueError(
                         f"lake stream source: version {c.version} removed "
                         f"{len(removed)} file(s) from {table} (overwrite/"

@@ -974,3 +974,29 @@ def test_lake_stream_source_cdc_folds_to_head(spark, source_repo, tmp_path):
     dels = {r.k for r in at_v if r._change_type == "delete"}
     ins = {r.k for r in at_v if r._change_type == "insert"}
     assert dels - ins == {k for k in range(16) if k % 3 == 0}
+
+
+def test_lake_stream_source_vacuum_hazard_is_loud(spark, source_repo, tmp_path):
+    """Vacuuming history a checkpointed stream has not yet read must fail
+    that stream's next drain loudly (missing file), never yield partial
+    silent data — the Delta retention-vs-stream-lag hazard, pinned."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 5))
+    repo.commit("main", "v1")
+    # overwrite makes v1's files unreachable from the head snapshot
+    repo.write_table("main", "t", _kv(spark, 5, 9))
+    repo.commit("main", "v2")
+    removed = repo.vacuum(keep_history=False, grace_seconds=0.0)
+    assert removed, "vacuum removed nothing; fixture broken"
+    ck = str(tmp_path / "ck")
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", cdc=True)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="No such file|does not exist|FileNotFound|STREAM_FAILED"):
+        q.awaitTermination()
