@@ -247,12 +247,17 @@ def make_lake_stream_source():
                 removed = prev - cur
                 if self.cdc:
                     if miss_prev:
+                        shown = ", ".join(miss_prev[:3]) + (
+                            ", ..." if len(miss_prev) > 3 else ""
+                        )
                         raise FileNotFoundError(
                             f"lake stream source (mode=cdc): version "
-                            f"{c.version} removed entries whose files were "
-                            f"vacuumed ({miss_prev[:3]}...); their delete "
-                            f"rows are unrecoverable — keep retention >= "
-                            f"stream lag or restart past this version"
+                            f"{c.version} removed {len(miss_prev)} "
+                            f"entr{'y' if len(miss_prev) == 1 else 'ies'} "
+                            f"whose files were vacuumed ({shown}); their "
+                            f"delete rows are unrecoverable — keep "
+                            f"retention >= stream lag or restart past "
+                            f"this version"
                         )
                     # CDC mode: removals become 'delete' rows (removed
                     # files persist on disk until vacuum), additions
@@ -280,13 +285,20 @@ def make_lake_stream_source():
                         )
                     continue
                 if (removed or miss_prev) and not ignore:
+                    vac = (
+                        f" ({len(miss_prev)} already vacuumed — mode=cdc "
+                        f"cannot recover their delete rows either)"
+                        if miss_prev
+                        else " — or mode=cdc to stream delete+insert "
+                        "change rows"
+                    )
                     raise ValueError(
                         f"lake stream source: version {c.version} removed "
-                        f"{len(removed)} file(s) from {table} (overwrite/"
-                        f"DELETE/compaction); the append-only stream cannot "
+                        f"{len(removed) + len(miss_prev)} file(s)/"
+                        f"entr(ies) from {table} (overwrite/DELETE/"
+                        f"compaction); the append-only stream cannot "
                         f"represent it — set ignorechanges=true to skip "
-                        f"removals and stream additions only, or mode=cdc "
-                        f"to stream delete+insert change rows"
+                        f"removals and stream additions only{vac}"
                     )
                 for rel in sorted(cur - prev):
                     parts.append(
@@ -341,8 +353,12 @@ def make_lake_stream_source():
             c = repo.head(self.options["branch"])
             files: list[str] = []
             while c is not None:
+                # tolerate vacuumed entries here (collector) — schema
+                # inference just needs ONE live file; if the whole walk
+                # comes up empty the actionable remedy is an explicit
+                # .schema(...), not a vacuum complaint
                 files = _expand_entries(
-                    repo.root, c.tables.get(self.options["table"], [])
+                    repo.root, c.tables.get(self.options["table"], []), []
                 )
                 if files or not cdc:
                     # append mode pins the HEAD snapshot's schema; CDC
@@ -353,8 +369,9 @@ def make_lake_stream_source():
                 c = repo.get_commit(c.parents[0]) if c.parents else None
             if not files:
                 raise ValueError(
-                    "lake stream source: table has no committed files to "
-                    "derive a schema from; pass an explicit .schema(...)"
+                    "lake stream source: table has no committed files on "
+                    "disk to derive a schema from (never written, or its "
+                    "history was vacuumed); pass an explicit .schema(...)"
                 )
             # first AND last file (snapshot order ≈ write order): a
             # schema-evolving append history (appends may ADD columns)
