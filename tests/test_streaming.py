@@ -1000,3 +1000,82 @@ def test_lake_stream_source_vacuum_hazard_is_loud(spark, source_repo, tmp_path):
     )
     with pytest.raises(Exception, match="No such file|does not exist|FileNotFound|STREAM_FAILED"):
         q.awaitTermination()
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(["append", "overwrite", "delete"]),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_CHAOS_SETTINGS)
+def test_lake_stream_cdc_chaos_fold_equals_head(spark, tmp_path_factory, ops):
+    """Property: for ANY commit history of appends / overwrites / SQL
+    DELETEs, the CDC stream drained from scratch and folded (inserts
+    minus deletes per row) equals the table at head. This is the
+    multiset-correctness contract of the file-granularity change feed,
+    checked over op-streams rather than one hand-picked history."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    root = str(tmp_path_factory.mktemp("cdc_chaos") / "lake")
+    repo = LakeRepo.init(root)
+    nxt = 0
+
+    def fresh(n):
+        nonlocal nxt
+        lo, nxt = nxt, nxt + n
+        return _kv(spark, lo, lo + n)
+
+    repo.write_table("main", "t", fresh(6))
+    repo.commit("main", "seed")
+    for i, op in enumerate(ops):
+        if op == "append":
+            repo.write_table("main", "t", fresh(4), mode="append")
+            repo.commit("main", f"append {i}")
+        elif op == "overwrite":
+            repo.write_table("main", "t", fresh(5))
+            repo.commit("main", f"overwrite {i}")
+        else:
+            # auto-commits (possibly metadata-only when nothing matches)
+            LakeSQL(spark, repo, "main").sql("DELETE FROM t WHERE k % 2 = 0")
+
+    name = f"cdcx_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, root, "t", cdc=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    folded = (
+        spark.table(name)
+        .groupBy("k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .where(F.col("net") > 0)
+    )
+    got = sorted((r.k, r.v) for r in folded.collect())
+    want = sorted(
+        (r.k, r.v) for r in repo.read_table(spark, "t", "main").collect()
+    )
+    assert got == want, f"ops={ops}: folded CDC {got} != head {want}"
+    # fold nets are 0/1 everywhere (unique keys): no row double-counted
+    bad = (
+        spark.table(name)
+        .groupBy("k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .where(~F.col("net").isin(0, 1))
+        .count()
+    )
+    assert bad == 0
