@@ -25,18 +25,31 @@ Design:
   rows (removed files persist until vacuum), non-append commits fully
   representable. File-granularity CDF — multiset-correct to fold,
   not row-minimal (see ``stream_table_from_repo``).
-- **Partitions ship plain file paths**; executors read them with
-  pyarrow only — no engine imports ever reach worker processes. All
-  classes are built inside a factory so cloudpickle ships them BY VALUE
-  (the repo package is not importable from Spark's spawned python
-  runner/worker processes — same rule as every worker function in this
-  codebase, pinned by tests/test_worker_pickling.py). Engine imports
-  happen only in driver-side reader methods, bootstrapped via the
-  ``package_root`` option.
+- **Column-mapped tables stream (r8).** The batch reader's ALTER
+  RENAME/ADD/DROP replay is re-derived here per FILE: each logical
+  column resolves through its era-ordered alias chain (a→b→c), absent
+  columns (pre-ADD era files) surface as null, dropped/renamed-away
+  physical names are ignorable. The replay plan ships inside each
+  partition as plain tuples, so executors stay pyarrow-only. GENERATED
+  columns still raise — their expressions need Spark, batch-only.
+- **Hive-partitioned layouts stream (r8).** ``k=v`` path components
+  become partition-column constants appended after the data columns
+  (Spark's partition-discovery convention); types are inferred from
+  the path values (int→bigint→double→date→string, the Spark order
+  restricted to path-representable types).
+- **Partitions ship plain file paths + replay tuples**; executors read
+  them with pyarrow only — no engine imports ever reach worker
+  processes. All classes are built inside a factory so cloudpickle
+  ships them BY VALUE (the repo package is not importable from Spark's
+  spawned python runner/worker processes — same rule as every worker
+  function in this codebase, pinned by tests/test_worker_pickling.py).
+  Engine imports happen only in driver-side reader methods,
+  bootstrapped via the ``package_root`` option.
 
-Guard boundaries (loud, not silent): column-mapped tables (ALTER
-RENAME/ADD history) and Hive-partitioned layouts raise — their replay
-logic lives in the batch reader and is out of scope for the tailer.
+Remaining guard boundaries (loud, not silent): GENERATED columns
+(Spark-expression replay is batch-only) and a stream-schema column
+renamed/dropped MID-stream (Delta fails such streams too — restart
+with a fresh schema).
 """
 
 from __future__ import annotations
@@ -49,6 +62,9 @@ from pyspark.sql import DataFrame, SparkSession
 _PACKAGE_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+
+#: Hive's path encoding of a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 def make_lake_stream_source():
     """Build the DataSource class. Factory-scoped so cloudpickle ships
@@ -107,12 +123,66 @@ def make_lake_stream_source():
         )
         return mod.LakeRepo(opts["root"])
 
+    def _norm_smap(smap):
+        """Normalize a schema-evolution mapping: pre-r6 repos stored the
+        bare step list (mirrors LakeRepo.table_schema_map)."""
+        if smap is None:
+            return None
+        if isinstance(smap, list):
+            return {"base": [], "steps": smap}
+        return smap
+
+    def _alias_chains(smap):
+        """Replay ALTER steps into per-file resolution structures:
+        ``chains`` maps each final logical name created/renamed by the
+        steps to its era-ordered physical names (oldest→newest);
+        ``consumed`` is every physical name no longer addressable
+        (renamed-away sources, dropped columns and their whole era
+        chain); ``declared`` pins the DDL type of ADDed columns (the
+        batch reader casts to it — mirrored here so pre-ADD nulls and
+        post-ADD values agree). GENERATED columns raise: their stored
+        expressions need Spark evaluation, which is batch-only."""
+        chains: dict[str, list[str]] = {}
+        consumed: set[str] = set()
+        declared: dict[str, str] = {}
+        for st in (smap or {}).get("steps", []):
+            op = st["op"]
+            if op == "rename":
+                chains[st["to"]] = chains.pop(st["from"], [st["from"]]) + [
+                    st["to"]
+                ]
+                consumed.add(st["from"])
+                if st["from"] in declared:
+                    declared[st["to"]] = declared.pop(st["from"])
+            elif op == "add":
+                chains.setdefault(st["name"], [st["name"]])
+                declared[st["name"]] = st["type"]
+            elif op == "drop":
+                consumed.update(chains.pop(st["name"], [st["name"]]))
+                declared.pop(st["name"], None)
+            elif op == "add_gen":
+                raise NotImplementedError(
+                    "lake stream source: tables with GENERATED columns "
+                    "are not streamable (their expressions need Spark "
+                    "evaluation); DROP the generated column or read in "
+                    "batch"
+                )
+        return chains, consumed, declared
+
+    def _split_partvals(rel):
+        """``k=v`` path components of a relative file path, in path
+        order — the Hive partition values the file's rows carry."""
+        return tuple(
+            tuple(part.split("=", 1))
+            for part in rel.split(os.sep)
+            if "=" in part
+        )
+
     def _expand_entries(root, entries, missing=None):
-        """Commit entries → individual parquet paths (relative). Raises
-        on Hive-partitioned layouts: pruned-rewrite entries carry k=v
-        path components directly, and a partition_by group dir contains
-        k=v SUBDIRS — both path-encode columns the bare-file reader
-        cannot reconstruct.
+        """Commit entries → ``(relative file path, partition values)``
+        pairs. Entries may be file-group dirs, individual part-files
+        (pruned rewrites), or Hive ``k=v`` partition trees (both as
+        subdirs of a group and path-encoded in pruned-rewrite entries).
 
         An entry whose backing dir/file is GONE (vacuumed history) is a
         hard error — silently skipping it would drain an incomplete
@@ -120,32 +190,29 @@ def make_lake_stream_source():
         entries instead of raising (used for the diff's parent side,
         where the caller decides)."""
         out = []
+
+        def walk(rel):
+            full = os.path.join(root, rel)
+            for fn in sorted(os.listdir(full)):
+                sub = os.path.join(rel, fn)
+                if os.path.isdir(os.path.join(root, sub)):
+                    if "=" in fn:
+                        walk(sub)  # Hive partition subtree
+                    else:
+                        raise NotImplementedError(
+                            f"lake stream source: unrecognized nested "
+                            f"layout under {rel} ({fn}); read the table "
+                            f"in batch"
+                        )
+                elif fn.endswith(".parquet"):
+                    out.append((sub, _split_partvals(sub)))
+
         for e in entries:
-            if any("=" in part for part in e.split(os.sep)):
-                raise NotImplementedError(
-                    "lake stream source: Hive-partitioned layouts are not "
-                    "streamable (partition columns are path-encoded); read "
-                    "the table in batch instead"
-                )
             full = os.path.join(root, e)
             if os.path.isdir(full):
-                for fn in sorted(os.listdir(full)):
-                    if os.path.isdir(os.path.join(full, fn)):
-                        if "=" in fn:
-                            raise NotImplementedError(
-                                "lake stream source: Hive-partitioned "
-                                "layouts are not streamable (partition "
-                                "columns are path-encoded); read the table "
-                                "in batch instead"
-                            )
-                        raise NotImplementedError(
-                            f"lake stream source: unrecognized nested layout "
-                            f"under {e} ({fn}); read the table in batch"
-                        )
-                    if fn.endswith(".parquet"):
-                        out.append(os.path.join(e, fn))
+                walk(e)
             elif e.endswith(".parquet") and os.path.exists(full):
-                out.append(e)
+                out.append((e, _split_partvals(e)))
             elif missing is not None:
                 missing.append(e)
             else:
@@ -156,6 +223,72 @@ def make_lake_stream_source():
                     f"or restart the stream from a live version"
                 )
         return out
+
+    def _partition_keys(files):
+        """The ordered partition-column names shared by every file, or
+        () for unpartitioned layouts. Mixed layouts (some files
+        partitioned, some not, or differing key orders) raise — one
+        snapshot must path-encode one consistent scheme."""
+        keys = None
+        for _rel, pv in files:
+            ks = tuple(k for k, _ in pv)
+            if keys is None:
+                keys = ks
+            elif ks != keys:
+                raise NotImplementedError(
+                    f"lake stream source: inconsistent Hive partition "
+                    f"layouts in one snapshot ({keys} vs {ks}); read the "
+                    f"table in batch"
+                )
+        return keys or ()
+
+    def _infer_part_ddl(raws):
+        """Partition-column type from its path-encoded values — Spark's
+        partition-discovery inference order restricted to the types a
+        path can carry: int → bigint → double → date → string."""
+        import datetime
+        from urllib.parse import unquote
+
+        live = [unquote(v) for v in raws if v != _HIVE_NULL]
+        if not live:
+            return "string"
+
+        def all_parse(f):
+            try:
+                for v in live:
+                    f(v)
+                return True
+            except ValueError:
+                return False
+
+        if all_parse(int):
+            return (
+                "int"
+                if all(-(2**31) <= int(v) < 2**31 for v in live)
+                else "bigint"
+            )
+        if all_parse(float):
+            return "double"
+        if all_parse(datetime.date.fromisoformat):
+            return "date"
+        return "string"
+
+    def _parse_part(raw, ddl):
+        """One path-encoded partition value → a typed Python constant
+        matching the stream's declared DDL for that column."""
+        import datetime
+        from urllib.parse import unquote
+
+        if raw == _HIVE_NULL:
+            return None
+        v = unquote(raw)
+        if ddl in ("tinyint", "smallint", "int", "bigint"):
+            return int(v)
+        if ddl in ("float", "double"):
+            return float(v)
+        if ddl == "date":
+            return datetime.date.fromisoformat(v)
+        return v
 
     def _commit_chain(repo, branch, start_v, end_v):
         """Commits on the branch's FIRST-PARENT line with version in
@@ -174,9 +307,15 @@ def make_lake_stream_source():
         return chain
 
     class _FilePartition(InputPartition):
-        def __init__(self, path, fields, change_type=None, version=None):
+        def __init__(self, path, colspec, allowed, change_type=None, version=None):
             self.path = path
-            self.fields = fields
+            #: per output column: (logical name, era-ordered alias tuple
+            #: to resolve against the file's physical columns, constant)
+            #: — aliases None means "emit the constant" (partition value)
+            self.colspec = colspec
+            #: physical names legal in this file beyond the resolved
+            #: ones (dropped/renamed-away eras); anything else raises
+            self.allowed = allowed
             # CDC mode only: rows from this file are tagged
             # (_change_type, _commit_version)
             self.change_type = change_type
@@ -187,6 +326,10 @@ def make_lake_stream_source():
             self.opts = dict(options)
             self.cdc = str(self.opts.get("mode", "")).lower() == "cdc"
             names = list(schema.fieldNames())
+            #: declared DDL per field — partition constants parse to it
+            self.ddl = {
+                f.name: f.dataType.simpleString() for f in schema.fields
+            }
             if self.cdc:
                 # the source appends the meta columns LAST; validate the
                 # contract so a user-supplied explicit schema of bare
@@ -213,15 +356,48 @@ def make_lake_stream_source():
             repo = _open_repo(self.opts)
             return {"version": repo.head(self.opts["branch"]).version}
 
+        def _plan_file(self, filepv, chains, consumed):
+            """The replay plan for one file: resolve each stream field
+            through its alias chain (or to its path-encoded partition
+            constant) and pin the set of legal extra physical names."""
+            rel, pv = filepv
+            pdict = dict(pv)
+            spec = []
+            for L in self.fields:
+                if L in pdict:
+                    spec.append((L, None, _parse_part(pdict[L], self.ddl[L])))
+                else:
+                    spec.append((L, tuple(chains.get(L, (L,))), None))
+            allowed = frozenset(
+                consumed | {p for a in spec if a[1] for p in a[1]}
+            )
+            return tuple(spec), allowed
+
         def partitions(self, start: dict, end: dict):
             repo = _open_repo(self.opts)
             branch, table = self.opts["branch"], self.opts["table"]
-            if repo.table_schema_map(table, ref=branch, include_staged=False):
-                raise NotImplementedError(
-                    "lake stream source: column-mapped tables (ALTER "
-                    "RENAME/ADD history) are not streamable; read in batch"
-                )
             ignore = str(self.opts.get("ignorechanges", "")).lower() == "true"
+            # the column mapping at the CURRENT branch head, applied
+            # retroactively to every era's files — exactly the batch
+            # read-at-head semantics (and Delta's field-id mapping). A
+            # commit's own older map would strand pre-ALTER files: the
+            # stream schema speaks post-ALTER names.
+            chains, consumed, _decl = _alias_chains(
+                _norm_smap(
+                    repo.table_schema_map(
+                        table, ref=branch, include_staged=False
+                    )
+                )
+            )
+            drift = [L for L in self.fields if L in consumed]
+            if drift:
+                raise ValueError(
+                    f"lake stream source: stream-schema column(s) {drift} "
+                    f"were renamed or dropped AFTER this stream's schema "
+                    f"was pinned; a pinned stream cannot follow ALTERs — "
+                    f"restart the stream (fresh checkpoint) to pick up "
+                    f"the new schema"
+                )
             parts: list[_FilePartition] = []
             # one walk of the first-parent chain; each commit diffs
             # against its OWN parent's entries (O(chain), not
@@ -265,24 +441,23 @@ def make_lake_stream_source():
                     # emits delete+insert for every row of the rewritten
                     # files (like Delta CDF without change files), so the
                     # feed is multiset-correct to fold, not row-minimal
-                    for rel in sorted(removed):
-                        parts.append(
-                            _FilePartition(
-                                os.path.join(repo.root, rel),
-                                self.fields,
-                                "delete",
-                                c.version,
+                    for tag, group in (
+                        ("delete", sorted(removed)),
+                        ("insert", sorted(cur - prev)),
+                    ):
+                        for fpv in group:
+                            spec, allowed = self._plan_file(
+                                fpv, chains, consumed
                             )
-                        )
-                    for rel in sorted(cur - prev):
-                        parts.append(
-                            _FilePartition(
-                                os.path.join(repo.root, rel),
-                                self.fields,
-                                "insert",
-                                c.version,
+                            parts.append(
+                                _FilePartition(
+                                    os.path.join(repo.root, fpv[0]),
+                                    spec,
+                                    allowed,
+                                    tag,
+                                    c.version,
+                                )
                             )
-                        )
                     continue
                 if (removed or miss_prev) and not ignore:
                     vac = (
@@ -300,10 +475,11 @@ def make_lake_stream_source():
                         f"represent it — set ignorechanges=true to skip "
                         f"removals and stream additions only{vac}"
                     )
-                for rel in sorted(cur - prev):
+                for fpv in sorted(cur - prev):
+                    spec, allowed = self._plan_file(fpv, chains, consumed)
                     parts.append(
                         _FilePartition(
-                            os.path.join(repo.root, rel), self.fields
+                            os.path.join(repo.root, fpv[0]), spec, allowed
                         )
                     )
             return parts
@@ -317,18 +493,41 @@ def make_lake_stream_source():
 
             pf = pq.ParquetFile(partition.path)
             names = set(pf.schema_arrow.names)
-            extra = names - set(partition.fields)
+            extra = names - partition.allowed
             if extra:
-                # a file carrying columns the stream schema lacks would be
-                # silently truncated; fail loudly like the other guards
+                # a file carrying columns the stream plan knows nothing
+                # about would be silently truncated; fail loudly like the
+                # other guards (Delta fails mid-stream schema widening too)
                 raise ValueError(
                     f"lake stream source: {partition.path} carries columns "
                     f"{sorted(extra)} absent from the stream schema "
-                    f"{partition.fields} (schema-evolving append?); pass a "
-                    f"full explicit schema or read in batch"
+                    f"(schema-evolving append after the stream started?); "
+                    f"restart the stream to pick up the new schema, or "
+                    f"read in batch"
                 )
-            t = pf.read(columns=partition.fields)
-            cols = [t.column(f).to_pylist() for f in partition.fields]
+            # resolve each output column: newest era alias present in
+            # THIS file wins; none present → null column (pre-ADD era);
+            # aliases None → path-encoded partition constant
+            read_cols: list[str] = []
+            plan = []  # ('f', read_cols index) | ('c', constant)
+            for _L, aliases, const in partition.colspec:
+                if aliases is None:
+                    plan.append(("c", const))
+                    continue
+                hit = next(
+                    (a for a in reversed(aliases) if a in names), None
+                )
+                if hit is None:
+                    plan.append(("c", None))
+                else:
+                    plan.append(("f", len(read_cols)))
+                    read_cols.append(hit)
+            t = pf.read(columns=read_cols)
+            n = t.num_rows
+            cols = [
+                t.column(v).to_pylist() if kind == "f" else [v] * n
+                for kind, v in plan
+            ]
             if partition.change_type is None:
                 for row in zip(*cols):
                     yield row
@@ -339,7 +538,7 @@ def make_lake_stream_source():
 
     class LakeStreamSource(DataSource):
         """format("lakegraft_stream"): options root, branch, table,
-        [starting_version, ignorechanges, package_root]."""
+        [starting_version, ignorechanges, mode=cdc, package_root]."""
 
         @classmethod
         def name(cls) -> str:
@@ -349,16 +548,22 @@ def make_lake_stream_source():
             import pyarrow.parquet as pq
 
             repo = _open_repo(self.options)
+            table = self.options["table"]
             cdc = str(self.options.get("mode", "")).lower() == "cdc"
+            smap = _norm_smap(
+                repo.table_schema_map(
+                    table, ref=self.options["branch"], include_staged=False
+                )
+            )
             c = repo.head(self.options["branch"])
-            files: list[str] = []
+            files: list[tuple] = []
             while c is not None:
                 # tolerate vacuumed entries here (collector) — schema
                 # inference just needs ONE live file; if the whole walk
                 # comes up empty the actionable remedy is an explicit
                 # .schema(...), not a vacuum complaint
                 files = _expand_entries(
-                    repo.root, c.tables.get(self.options["table"], []), []
+                    repo.root, c.tables.get(table, []), []
                 )
                 if files or not cdc:
                     # append mode pins the HEAD snapshot's schema; CDC
@@ -373,22 +578,91 @@ def make_lake_stream_source():
                     "disk to derive a schema from (never written, or its "
                     "history was vacuumed); pass an explicit .schema(...)"
                 )
-            # first AND last file (snapshot order ≈ write order): a
-            # schema-evolving append history (appends may ADD columns)
-            # would otherwise silently pin the oldest file's columns
-            sch = pq.ParquetFile(os.path.join(repo.root, files[0])).schema_arrow
-            last = pq.ParquetFile(os.path.join(repo.root, files[-1])).schema_arrow
-            if [f.name for f in sch] != [f.name for f in last]:
-                raise NotImplementedError(
-                    "lake stream source: the snapshot mixes physical "
-                    "schemas (schema-evolving appends); the stream needs "
-                    "one uniform schema — read in batch with "
-                    "merge_schema=True instead"
+            part_keys = _partition_keys(files)
+            part_raws: dict[str, list[str]] = {k: [] for k in part_keys}
+            for _rel, pv in files:
+                for k, v in pv:
+                    part_raws[k].append(v)
+            if smap:
+                touched = {
+                    n
+                    for st in smap["steps"]
+                    for n in (st.get("name"), st.get("from"), st.get("to"))
+                    if n
+                }
+                clash = [k for k in part_keys if k in touched]
+                if clash:
+                    raise NotImplementedError(
+                        f"lake stream source: partition column(s) {clash} "
+                        f"appear in ALTER TABLE history; path-encoded "
+                        f"columns cannot be replayed — read in batch"
+                    )
+                chains, consumed, declared = _alias_chains(smap)
+                # resolve each logical column's type from file footers,
+                # newest file first (newest era's physical type wins —
+                # append type changes are blocked, so eras agree anyway)
+                seen_phys: dict[str, object] = {}
+                for rel, _pv in reversed(files):
+                    sch = pq.ParquetFile(
+                        os.path.join(repo.root, rel)
+                    ).schema_arrow
+                    for f in sch:
+                        seen_phys.setdefault(f.name, f.type)
+                phys_to_logical = {
+                    p: L for L, ps in chains.items() for p in ps
+                }
+                types: dict[str, str] = {}
+                for p, t in seen_phys.items():
+                    if p in consumed:
+                        continue
+                    L = phys_to_logical.get(p, p)
+                    types.setdefault(L, _arrow_field_ddl(t))
+                # ADDed columns: the declared DDL wins (the batch reader
+                # casts to it; files older than the ADD lack it entirely)
+                types.update(declared)
+                # logical order: recorded base order + step replay, then
+                # a deterministic sorted tail — mirrors apply_schema_map
+                order = list(smap.get("base") or [])
+                for st in smap["steps"]:
+                    op = st["op"]
+                    if op == "rename" and st["from"] in order:
+                        order[order.index(st["from"])] = st["to"]
+                    elif op == "drop" and st["name"] in order:
+                        order.remove(st["name"])
+                    elif op == "add" and st["name"] not in order:
+                        order.append(st["name"])
+                cols = [cn for cn in order if cn in types] + sorted(
+                    cn for cn in types if cn not in order
                 )
-            ddl = ", ".join(
-                f"{f.name} {_arrow_field_ddl(f.type)}" for f in sch
-            )
-            if str(self.options.get("mode", "")).lower() == "cdc":
+                ddl = ", ".join(f"{cn} {types[cn]}" for cn in cols)
+            else:
+                # no ALTER history: one uniform physical schema required.
+                # first AND last file (snapshot order ≈ write order): a
+                # schema-evolving append history (merge-schema appends
+                # may ADD columns) would otherwise silently pin the
+                # oldest file's columns
+                root = repo.root
+                sch = pq.ParquetFile(
+                    os.path.join(root, files[0][0])
+                ).schema_arrow
+                last = pq.ParquetFile(
+                    os.path.join(root, files[-1][0])
+                ).schema_arrow
+                if [f.name for f in sch] != [f.name for f in last]:
+                    raise NotImplementedError(
+                        "lake stream source: the snapshot mixes physical "
+                        "schemas (schema-evolving appends); the stream "
+                        "needs one uniform schema — read in batch with "
+                        "merge_schema=True instead"
+                    )
+                ddl = ", ".join(
+                    f"{f.name} {_arrow_field_ddl(f.type)}" for f in sch
+                )
+            for k in part_keys:
+                # partition columns append AFTER the data columns —
+                # Spark's own partition-discovery convention
+                ddl += f", {k} {_infer_part_ddl(part_raws[k])}"
+            if cdc:
                 ddl += ", _change_type string, _commit_version bigint"
             return ddl
 
@@ -415,6 +689,8 @@ def stream_table_from_repo(
 ) -> DataFrame:
     """Tail a lake table as a stream: every commit's appended rows become
     a microbatch, offsets = commit versions (checkpoint-resumable).
+    Column-mapped (ALTER RENAME/ADD/DROP history) and Hive-partitioned
+    tables stream natively (r8); GENERATED columns are batch-only.
 
     ``cdc=True`` streams the CHANGE FEED instead: every row is tagged
     (_change_type ∈ insert|delete, _commit_version), removals emit their

@@ -1264,6 +1264,18 @@ class LakeRepo:
             comps = f.split(os.sep)
             if len(comps) > 3 and comps[0] == "data" and any("=" in c for c in comps[3:]):
                 by_group.setdefault(os.sep.join(comps[:3]), []).append(f)
+                continue
+            full = os.path.join(self.root, f)
+            if os.path.isdir(full) and any(
+                "=" in fn and os.path.isdir(os.path.join(full, fn))
+                for fn in os.listdir(full)
+            ):
+                # a whole partitioned file group: reading several such
+                # groups in ONE spark.read.parquet call trips
+                # CONFLICTING_DIRECTORY_STRUCTURES (multiple discovery
+                # roots); per-group basePath reads keep the path-encoded
+                # partition columns AND compose across commits
+                by_group.setdefault(f, []).append(f)
             else:
                 plain.append(f)
 

@@ -834,8 +834,8 @@ def test_lake_stream_source_rejects_non_append_unless_opted_in(spark, source_rep
 
 
 def test_lake_stream_source_guards(spark, source_repo):
-    """Column-mapped tables raise (schema-map replay is batch-only);
-    starting_version skips history."""
+    """starting_version skips history; GENERATED columns raise (their
+    expressions need Spark evaluation — batch-only)."""
     repo = source_repo
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
 
@@ -845,9 +845,219 @@ def test_lake_stream_source_guards(spark, source_repo):
     repo.commit("main", "v2")
     got = _drain_to_memory(spark, repo, "t", starting_version=c1.version)
     assert got == [(i, 2 * i) for i in range(5, 8)]  # only post-v1 commits
-    LakeSQL(spark, repo, "main").sql("ALTER TABLE t RENAME COLUMN v TO w")
-    with pytest.raises(Exception, match="column-mapped|STREAM_FAILED"):
+    repo.alter_add_generated_column(spark, "main", "t", "v9", "bigint", "v * 9")
+    with pytest.raises(Exception, match="GENERATED|STREAM_FAILED"):
         _drain_to_memory(spark, repo, "t")
+
+
+def _drain_rows(spark, repo, table, **kw):
+    """Drain a lake stream to a memory sink, returning collected Rows."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    name = f"lsrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, table, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_lake_stream_source_renamed_table(spark, source_repo):
+    """ALTER RENAME then stream (r8): the pinned schema speaks the
+    post-rename name; pre-rename era files resolve through the alias
+    chain — bit-for-bit the batch read-at-head replay."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 5))
+    repo.commit("main", "v1: k,v era")
+    LakeSQL(spark, repo, "main").sql("ALTER TABLE t RENAME COLUMN v TO w")
+    repo.write_table(
+        "main",
+        "t",
+        _kv(spark, 5, 9).withColumnRenamed("v", "w"),
+        mode="append",
+    )
+    repo.commit("main", "v2: k,w era")
+    df = _drain_rows(spark, repo, "t")
+    assert df.columns == ["k", "w"]
+    got = sorted((r.k, r.w) for r in df.collect())
+    assert got == [(i, 2 * i) for i in range(9)]
+    # batch agrees (the authority for replay semantics)
+    batch = sorted(
+        (r.k, r.w) for r in repo.read_table(spark, "t", "main").collect()
+    )
+    assert got == batch
+
+
+def test_lake_stream_source_added_column(spark, source_repo):
+    """ALTER ADD then stream (r8): pre-ADD era files surface the new
+    column as null; post-ADD appends carry real values."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 4))
+    repo.commit("main", "v1")
+    LakeSQL(spark, repo, "main").sql("ALTER TABLE t ADD COLUMN tag STRING")
+    repo.write_table(
+        "main",
+        "t",
+        _kv(spark, 4, 7).withColumn("tag", F.lit("new")),
+        mode="append",
+    )
+    repo.commit("main", "v2")
+    df = _drain_rows(spark, repo, "t")
+    assert df.columns == ["k", "v", "tag"]
+    got = sorted((r.k, r.v, r.tag) for r in df.collect())
+    assert got == [(i, 2 * i, None) for i in range(4)] + [
+        (i, 2 * i, "new") for i in range(4, 7)
+    ]
+
+
+def test_lake_stream_source_dropped_column(spark, source_repo):
+    """ALTER DROP then stream (r8): the dropped column leaves the
+    schema; old era files still carrying it physically are legal."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 4))
+    repo.commit("main", "v1")
+    LakeSQL(spark, repo, "main").sql("ALTER TABLE t DROP COLUMN v")
+    repo.write_table(
+        "main", "t", _kv(spark, 4, 6).drop("v"), mode="append"
+    )
+    repo.commit("main", "v2")
+    df = _drain_rows(spark, repo, "t")
+    assert df.columns == ["k"]
+    assert sorted(r.k for r in df.collect()) == list(range(6))
+
+
+def test_lake_stream_source_rename_chain_and_cdc(spark, source_repo):
+    """A two-step rename chain (v→x→w) replays through BOTH eras, and
+    mode=cdc resolves removed old-era files through the same chain."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    sql = LakeSQL(spark, repo, "main")
+    repo.write_table("main", "t", _kv(spark, 0, 6))
+    repo.commit("main", "v1")
+    sql.sql("ALTER TABLE t RENAME COLUMN v TO x")
+    sql.sql("ALTER TABLE t RENAME COLUMN x TO w")
+    repo.write_table(
+        "main",
+        "t",
+        _kv(spark, 6, 8).withColumnRenamed("v", "w"),
+        mode="append",
+    )
+    repo.commit("main", "v2")
+    sql.sql("DELETE FROM t WHERE k % 3 = 0")
+    feed = _drain_rows(spark, repo, "t", cdc=True)
+    assert feed.columns == ["k", "w", "_change_type", "_commit_version"]
+    folded = sorted(
+        (r.k, r.w)
+        for r in feed.groupBy("k", "w")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .where(F.col("net") > 0)
+        .collect()
+    )
+    assert folded == [(i, 2 * i) for i in range(8) if i % 3 != 0]
+
+
+def test_lake_stream_source_midstream_rename_fails_pinned_stream(
+    spark, source_repo
+):
+    """A column renamed AFTER the stream's schema was pinned fails the
+    stream loudly (Delta's contract): a pinned schema cannot follow
+    ALTERs — restart with a fresh checkpoint. Pinning the pre-rename
+    schema explicitly reproduces exactly the long-running-query state."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        _PACKAGE_ROOT,
+        register_lake_stream_source,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 4))
+    repo.commit("main", "v1")
+    LakeSQL(spark, repo, "main").sql("ALTER TABLE t RENAME COLUMN v TO vv")
+    repo.write_table(
+        "main",
+        "t",
+        _kv(spark, 4, 6).withColumnRenamed("v", "vv"),
+        mode="append",
+    )
+    repo.commit("main", "v2 post-rename")
+    register_lake_stream_source(spark)
+    stream = (
+        spark.readStream.format("lakegraft_stream")
+        .schema("k bigint, v bigint")  # the PRE-rename pinned schema
+        .option("root", repo.root)
+        .option("branch", "main")
+        .option("table", "t")
+        .option("starting_version", -1)
+        .option("package_root", _PACKAGE_ROOT)
+        .load()
+    )
+    name = f"lsrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="renamed or dropped AFTER|STREAM_FAILED"):
+        q.awaitTermination()
+
+
+def test_lake_stream_source_partitioned(spark, source_repo):
+    """Hive-partitioned layouts stream (r8): k=v path components come
+    back as typed partition-column constants, appended after the data
+    columns exactly like Spark's batch partition discovery."""
+    repo = source_repo
+    df = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 3).cast("int").alias("p"),
+    )
+    repo.write_table("main", "t", df.where("p < 2"), partition_by=["p"])
+    repo.commit("main", "v1")
+    repo.write_table(
+        "main", "t", df.where("p = 2"), mode="append", partition_by=["p"]
+    )
+    repo.commit("main", "v2")
+    out = _drain_rows(spark, repo, "t")
+    assert out.columns == ["k", "v", "p"]
+    got = sorted((r.k, r.v, r.p) for r in out.collect())
+    assert got == [(i, 2 * i, i % 3) for i in range(12)]
+    # batch read agrees on values (partition-discovery authority)
+    batch = sorted(
+        (r.k, r.v, int(r.p))
+        for r in repo.read_table(spark, "t", "main").collect()
+    )
+    assert got == batch
+
+
+def test_lake_stream_source_partitioned_string_and_null(spark, source_repo):
+    """String partition values (URL-encoded paths) and the Hive NULL
+    sentinel round-trip through the stream."""
+    repo = source_repo
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x=y"), (3, None)], "k long, cat string"
+    )
+    repo.write_table("main", "t", df, partition_by=["cat"])
+    repo.commit("main", "v1")
+    out = _drain_rows(spark, repo, "t")
+    assert out.columns == ["k", "cat"]
+    got = sorted((r.k, r.cat) for r in out.collect())
+    assert got == [(1, "a b"), (2, "x=y"), (3, None)]
 
 
 def test_lake_to_lake_streaming_pipeline(spark, source_repo, tmp_path):
@@ -905,14 +1115,17 @@ def test_lake_stream_source_multibranch_version_gaps(spark, source_repo):
     assert got == [(i, 2 * i) for i in range(15)]
 
 
-def test_lake_stream_source_rejects_partitioned_tables(spark, source_repo):
-    """partition_by writes path-encode columns into k=v subdirs the bare
-    file reader cannot reconstruct — loud failure, never an empty stream."""
+def test_lake_stream_source_rejects_mixed_partition_layouts(spark, source_repo):
+    """One snapshot mixing partitioned and unpartitioned file groups has
+    no single path-encoding scheme — loud failure, never a wrong stream.
+    (Uniformly partitioned tables stream since r8.)"""
     repo = source_repo
-    df = _kv(spark, 0, 10).withColumn("p", F.col("k") % 2)
-    repo.write_table("main", "t", df, partition_by=["p"])
-    repo.commit("main", "partitioned")
-    with pytest.raises(Exception, match="[Pp]artition|STREAM_FAILED"):
+    df = _kv(spark, 0, 10).withColumn("p", (F.col("k") % 2).cast("int"))
+    repo.write_table("main", "t", df.where("k < 5"), partition_by=["p"])
+    repo.commit("main", "partitioned half")
+    repo.write_table("main", "t", df.where("k >= 5"), mode="append")
+    repo.commit("main", "flat half")
+    with pytest.raises(Exception, match="inconsistent|STREAM_FAILED"):
         _drain_to_memory(spark, repo, "t")
 
 
