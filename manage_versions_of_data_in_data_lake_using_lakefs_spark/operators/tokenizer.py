@@ -26,6 +26,46 @@ from pyspark.sql import functions as F
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
 
 
+#: hard bound on collected word-frequency vocabularies. The docstring
+#: Heaps'-law argument (~10⁶ rows for clean prose) does NOT hold for a
+#: 100 TB web corpus, whose "word" set (typos, URLs, numbers) reaches
+#: 10⁸⁺ — real trainers truncate by min-count/top-k BEFORE collecting
+#: (SentencePiece does both). The merge loop is O(vocab · n_merges)
+#: driver-side, so an unbounded collect is a driver blowup, not merely
+#: a slow path — same guard class as pq.py's MAX_QUERY_BATCH.
+MAX_VOCAB_COLLECT = 2_000_000
+
+
+def collect_vocab(
+    vocab_df: DataFrame,
+    *,
+    min_count: int = 1,
+    max_vocab: int | None = None,
+    bound: int | None = None,
+) -> list[tuple[str, int]]:
+    """Collect a (w, wc) vocabulary for driver-paced training, refusing
+    silently unbounded collects. ``min_count`` (frequency floor) and
+    ``max_vocab`` (deterministic top-k on wc DESC, w ASC) truncate on
+    the DISTRIBUTED side, so the driver only ever sees bounded metadata;
+    ``limit(bound+1)`` keeps the overflow probe itself cheap."""
+    bound = MAX_VOCAB_COLLECT if bound is None else bound
+    if min_count > 1:
+        vocab_df = vocab_df.where(F.col("wc") >= min_count)
+    if max_vocab is not None:
+        vocab_df = vocab_df.orderBy(
+            F.col("wc").desc(), F.col("w").asc()
+        ).limit(max_vocab)
+    rows = vocab_df.limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise ValueError(
+            f"BPE vocabulary exceeds MAX_VOCAB_COLLECT={bound} rows; "
+            "truncate distributed-side before training — min_count=N "
+            "drops rare noise words, max_vocab=K keeps the K most "
+            "frequent (real tokenizer trainers do both)"
+        )
+    return [(r["w"], int(r["wc"])) for r in rows]
+
+
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → (w, wc) word-frequency vocabulary. The single corpus-wide
     shuffle of tokenizer training; everything after runs on the vocab."""
@@ -76,23 +116,29 @@ def bpe_pair_counts(
 
 
 def bpe_train(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    *,
+    min_count: int = 1,
+    max_vocab: int | None = None,
 ) -> list[tuple[str, str]]:
     """Full BPE merge loop, driver-paced like the k-means trainer: ONE
-    distributed vocab build, then ``n_merges`` iterations of pure-pandas
-    pair counting over the collected word-frequency table. Collecting the
-    vocab is the deliberate scale call: vocabulary size grows ~corpus^0.5
-    (Heaps' law) and real trainers cap it (~10⁶ rows ≈ tens of MB of
-    metadata) — the corpus itself is touched exactly once. Returns the
-    merge list [(left, right), ...] in application order.
+    distributed vocab build, then ``n_merges`` iterations of pure-python
+    pair counting over the collected word-frequency table. The collect
+    is bounded (``MAX_VOCAB_COLLECT``, loud on overflow) and
+    ``min_count``/``max_vocab`` truncate distributed-side first — the
+    corpus itself is touched exactly once either way. Returns the merge
+    list [(left, right), ...] in application order.
 
     Symbols here are characters then merged character blocks, tracked as
     space-separated symbol strings (classic Sennrich formulation).
     """
-    vocab = [
-        (r["w"], r["wc"])
-        for r in word_frequencies(docs, text_col).collect()
-    ]
+    vocab = collect_vocab(
+        word_frequencies(docs, text_col),
+        min_count=min_count,
+        max_vocab=max_vocab,
+    )
     return bpe_train_from_vocab(vocab, n_merges)
 
 
@@ -183,10 +229,7 @@ def bpe_encode_doc_counts(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    vocab = [
-        (r["w"], int(r["wc"]))
-        for r in dw.groupBy("w").agg(F.sum("c").alias("wc")).collect()
-    ]
+    vocab = collect_vocab(dw.groupBy("w").agg(F.sum("c").alias("wc")))
     merges = bpe_train_from_vocab(vocab, n_merges=n_merges)
     words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
     enc = bpe_word_symbols(words, merges).select(

@@ -617,6 +617,37 @@ def test_tagged_overwrite_onto_untagged_staged_entry_raises(spark, tmp_path):
     assert repo.staged_txn("main", "m")["stream_id"] == "sA"
 
 
+def test_tagged_create_onto_untagged_staged_create_raises(spark, tmp_path):
+    """VERDICT r7 #5: the CREATE-path interaction pinned by name. A
+    table that exists ONLY as a user's untagged staged create must
+    reject a tagged create in BOTH modes — a tagged append would ride
+    on the foreign uncommitted rows (and commit them under the stream's
+    message), a tagged overwrite would absorb-and-replace them. Same
+    branch as the committed-table cases, now exercised for creates."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    repo = LakeRepo.init(str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1,)], "id LONG")
+    repo.write_table("main", "m", df)  # untagged staged CREATE (no commit)
+    for mode in ("append", "overwrite"):
+        with pytest.raises(ValueError, match="another writer|untagged staged"):
+            repo.write_table(
+                "main", "m", df, mode=mode,
+                txn={"stream_id": "sA", "stream_batch_id": 0},
+            )
+    # the refused writes left the user's staged create intact
+    assert repo.read_table(spark, "m", "main", include_staged=True).count() == 1
+    assert repo.staged_txn("main", "m") is None
+    # the reverse direction on creates: untagged write onto a TAGGED
+    # staged create fails too (covered for committed tables above)
+    repo2 = LakeRepo.init(str(tmp_path / "lake2"))
+    repo2.write_table(
+        "main", "m", df, txn={"stream_id": "sA", "stream_batch_id": 0}
+    )
+    with pytest.raises(ValueError, match="another writer"):
+        repo2.write_table("main", "m", df, mode="append")
+
+
 # --- hypothesis chaos: CDC upsert exactly-once under adversarial crashes ---
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
