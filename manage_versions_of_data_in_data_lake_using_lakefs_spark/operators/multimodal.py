@@ -282,41 +282,92 @@ def _make_png_codec():
             elif tag == b"IEND":
                 break
             i += 12 + ln
+        import numpy as np
+
         bpp = _BPP[ct]
         stride = width * bpp
         raw = zlib.decompress(bytes(idat))
         rows: list[bytes] = []
         prev = bytes(stride)
+        pal = (
+            np.frombuffer(plte.ljust(768, b"\0"), dtype=np.uint8).reshape(-1, 3)
+            if ct == 3
+            else None
+        )
         pos = 0
         for _y in range(height):
             ft = raw[pos]
             pos += 1
-            cur = bytearray(raw[pos : pos + stride])
+            cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
             pos += stride
-            for i2 in range(stride):
-                a = cur[i2 - bpp] if i2 >= bpp else 0
-                b = prev[i2]
-                c = prev[i2 - bpp] if i2 >= bpp else 0
-                if ft == 0:
-                    v = cur[i2]
-                elif ft == 1:
-                    v = (cur[i2] + a) % 256
-                elif ft == 2:
-                    v = (cur[i2] + b) % 256
-                elif ft == 3:
-                    v = (cur[i2] + (a + b) // 2) % 256
-                elif ft == 4:
-                    v = (cur[i2] + _paeth(a, b, c)) % 256
+            # None/Up/Sub unfilter as whole-scanline numpy (r8, VERDICT
+            # r7 #7): Up is modular add against the previous row (uint8
+            # wraps), Sub is x_k = Σ raw mod 256 per channel lane — a
+            # cumsum. Average/Paeth are sequential recurrences along the
+            # row (x[i-bpp] feeds x[i] through a floor/branch) — those
+            # stay per-byte, with the previous row pre-materialized as
+            # bytes for O(1) int indexing.
+            if ft == 0:
+                line = cur.tobytes()
+            elif ft == 2:
+                line = (
+                    cur + np.frombuffer(prev, dtype=np.uint8)
+                ).tobytes()
+            elif ft == 1:
+                line = (
+                    np.cumsum(
+                        cur.reshape(width, bpp), axis=0, dtype=np.int64
+                    )
+                    % 256
+                ).astype(np.uint8).tobytes()
+            elif ft in (3, 4):
+                out = bytearray(cur.tobytes())
+                pb = prev
+                # first pixel: a = c = 0, so both predictors collapse to
+                # the b (Up) term — splitting it off drops the per-byte
+                # bounds branch from the hot loop
+                if ft == 3:
+                    for i2 in range(bpp):
+                        out[i2] = (out[i2] + pb[i2] // 2) % 256
+                    for i2 in range(bpp, stride):
+                        out[i2] = (
+                            out[i2] + (out[i2 - bpp] + pb[i2]) // 2
+                        ) % 256
                 else:
-                    raise ValueError(f"bad filter type {ft}")
-                cur[i2] = v
-            prev = bytes(cur)
+                    for i2 in range(bpp):
+                        out[i2] = (out[i2] + pb[i2]) % 256
+                    # Paeth inlined (|p−a| = |b−c| etc. — one fewer temp
+                    # per byte and no function call in the hot loop)
+                    for i2 in range(bpp, stride):
+                        a = out[i2 - bpp]
+                        b = pb[i2]
+                        c = pb[i2 - bpp]
+                        pa = b - c
+                        if pa < 0:
+                            pa = -pa
+                        pbv = a - c
+                        if pbv < 0:
+                            pbv = -pbv
+                        pc = a + b - 2 * c
+                        if pc < 0:
+                            pc = -pc
+                        if pa <= pbv and pa <= pc:
+                            pred = a
+                        elif pbv <= pc:
+                            pred = b
+                        else:
+                            pred = c
+                        out[i2] = (out[i2] + pred) % 256
+                line = bytes(out)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            prev = line
             if ct == 3:
                 rows.append(
-                    b"".join(plte[3 * idx : 3 * idx + 3] for idx in prev)
+                    pal[np.frombuffer(line, dtype=np.uint8)].tobytes()
                 )
             else:
-                rows.append(prev)
+                rows.append(line)
         return width, height, ct, rows
 
     return encode_png, decode_png
