@@ -148,7 +148,12 @@ WINDOW_ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",        # banded candidates, no cross join
-    "dedup_embedding_cosine",  # IVF-cell-blocked candidates (SemDeDup)
+    # (dedup_embedding_cosine — flat IVF-cell-blocked near-dup — rotated
+    # to the tail in r8: its cell-equi-join shape is certified in-window
+    # by dedup_embedding_cosine_hier (the two-level refinement of the
+    # SAME plan) and by sim_ann's ivf tag; the freed slot driver-certifies
+    # the round's flagship streaming capability below. Full oracle kept
+    # in the tail.)
     "dedup_embedding_cosine_hier",  # two-level adaptive-k quantizer (r5)
     "dedup_resolution",     # connected components + survivors, tagged
     "sim_ann",              # brute/LSH/IVF top-k, tagged
@@ -174,6 +179,11 @@ WINDOW_ORDER: list[str] = [
                               # commit-version offsets, per-version new-file
                               # microbatches, two-commit drain ≡ batch SQL
                               # (r7 flagship; Spark 4 Python DataSource)
+    "streaming_lake_evolved",  # r8 flagship: streaming a schema-EVOLVED,
+                               # Hive-PARTITIONED table — per-era alias-chain
+                               # replay of ALTER RENAME/ADD + typed
+                               # path-encoded partition constants, drain ≡
+                               # batch read-at-head (VERDICT r7 #1 + #3)
 ]
 
 assert len(WINDOW_ORDER) == 50, len(WINDOW_ORDER)

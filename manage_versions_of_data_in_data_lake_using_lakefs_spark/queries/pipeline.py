@@ -316,6 +316,124 @@ FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id
 """
 
 
+def q_streaming_lake_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming a schema-evolved AND Hive-partitioned table (r8,
+    streaming/source.py): documents land partitioned by ``bucket`` over
+    an append history that crosses ALTER RENAME (text_len→n_chars) and
+    ALTER ADD (flag) — so the drained stream must replay the column
+    mapping per era (pre-rename files resolve through the alias chain,
+    pre-ADD files surface flag as null) and re-attach the path-encoded
+    partition column as a typed constant. Exactly-once delivery means
+    the drain equals the batch read at head, so the oracle is plain SQL
+    reconstructing both eras."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    root = tempfile.mkdtemp(prefix="lakegraft_lake_evo_") + "/lake"
+    repo = LakeRepo.init(root)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        (F.col("doc_id") % 4).cast("int").alias("bucket"),
+    )
+    repo.write_table(
+        "main",
+        "docs",
+        docs.where(F.col("doc_id") % 2 == 0),
+        partition_by=["bucket"],
+    )
+    repo.commit("main", "era 1: (doc_id, text_len) partitioned")
+    sql = LakeSQL(spark, repo, "main")
+    sql.sql("ALTER TABLE docs RENAME COLUMN text_len TO n_chars")
+    sql.sql("ALTER TABLE docs ADD COLUMN flag STRING")
+    repo.write_table(
+        "main",
+        "docs",
+        docs.where(F.col("doc_id") % 2 == 1)
+        .withColumnRenamed("text_len", "n_chars")
+        .withColumn("flag", F.lit("new")),
+        mode="append",
+        partition_by=["bucket"],
+    )
+    repo.commit("main", "era 2: (doc_id, n_chars, flag) partitioned")
+    name = f"levo_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, root, "docs")
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    return spark.table(name).orderBy("doc_id")
+
+
+ORACLE_STREAMING_LAKE_EVOLVED = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS flag,
+       CAST(doc_id % 4 AS INT) AS bucket
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       'new' AS flag,
+       CAST(doc_id % 4 AS INT) AS bucket
+FROM documents WHERE doc_id % 2 = 1
+ORDER BY doc_id
+"""
+
+
+def q_streaming_lake_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming a Hive-partitioned table with a stable schema (r8):
+    the pure path-encoding shape, without column mapping — k=v path
+    components come back as typed partition constants appended after
+    the data columns, across two partitioned commits."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    root = tempfile.mkdtemp(prefix="lakegraft_lake_part_") + "/lake"
+    repo = LakeRepo.init(root)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        (F.col("doc_id") % 3).cast("int").alias("bucket"),
+    )
+    repo.write_table(
+        "main",
+        "docs",
+        docs.where(F.col("doc_id") % 2 == 0),
+        partition_by=["bucket"],
+    )
+    repo.commit("main", "even half")
+    repo.write_table(
+        "main",
+        "docs",
+        docs.where(F.col("doc_id") % 2 == 1),
+        mode="append",
+        partition_by=["bucket"],
+    )
+    repo.commit("main", "odd half")
+    name = f"lpar_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, root, "docs")
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    return spark.table(name).orderBy("doc_id")
+
+
+ORACLE_STREAMING_LAKE_PARTITIONED = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+       CAST(doc_id % 3 AS INT) AS bucket
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SimHash near-dup pairs (r5): documents replay through a
     file-source stream; the map-only ``simhash_expr`` signature feeds a
@@ -672,6 +790,8 @@ PIPELINE_QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_lake_source": q_streaming_lake_source,
     "streaming_lake_cdc": q_streaming_lake_cdc,
+    "streaming_lake_evolved": q_streaming_lake_evolved,
+    "streaming_lake_partitioned": q_streaming_lake_partitioned,
     "streaming_neardup": q_streaming_neardup,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_interval_join": q_streaming_interval_join,
@@ -690,6 +810,8 @@ PIPELINE_ORACLES = {
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_lake_source": ORACLE_STREAMING_LAKE_SOURCE,
     "streaming_lake_cdc": ORACLE_STREAMING_LAKE_CDC,
+    "streaming_lake_evolved": ORACLE_STREAMING_LAKE_EVOLVED,
+    "streaming_lake_partitioned": ORACLE_STREAMING_LAKE_PARTITIONED,
     # exact-recall banding makes the streaming near-dup's result set
     # IDENTICAL to batch dedup_simhash — the oracle is reused verbatim
     "streaming_neardup": _ORACLE_STREAMING_NEARDUP,
