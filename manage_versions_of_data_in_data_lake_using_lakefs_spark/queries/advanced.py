@@ -2621,6 +2621,42 @@ ORDER BY p
 """
 
 
+def q_fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join on customer names (entity-resolution
+    shape): Ed-Join prefix-filtered q-gram blocking + exact bounded
+    levenshtein verify — never a cross join. The oracle is the literal
+    quadratic spelling; the exact verify step makes the blocking
+    invisible, so a hash match certifies the whole candidate pipeline
+    (operators/fuzzy.py)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.fuzzy import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit_distance_pairs(cust, "c_name", "c_custkey", max_dist=1, q=3)
+
+
+def _fuzzy_oracle() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.fuzzy import edit_distance_pairs_sql
+
+    return edit_distance_pairs_sql("customer", "c_name", "c_custkey", max_dist=1)
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key outlier detection: lower-median + MAD rank-select
+    windows, flag |v − med| > 3·MAD (operators/anomaly.py). Every
+    reported number is an actual data value picked at a deterministic
+    rank, so the float outputs are bit-exact against the oracle."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_anomalies(ev)
+
+
+def _anomaly_oracle() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies_sql
+
+    return mad_anomalies_sql("events")
+
+
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "quantiles_scalable": q_quantiles_scalable,
@@ -2686,6 +2722,8 @@ ADVANCED_QUERIES = {
     "tokenizer_bpe": q_tokenizer_bpe,
     "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
     "graph_pagerank": q_graph_pagerank,
+    "fuzzy_join_editdist": q_fuzzy_join_editdist,
+    "anomaly_mad": q_anomaly_mad,
 }
 
 ADVANCED_ORACLES = {
@@ -2753,4 +2791,6 @@ ADVANCED_ORACLES = {
     "tokenizer_bpe": ORACLE_TOKENIZER_BPE,
     "tokenizer_bpe_encode": ORACLE_TOKENIZER_BPE_ENCODE,
     "graph_pagerank": ORACLE_GRAPH_PAGERANK,
+    "fuzzy_join_editdist": _fuzzy_oracle(),
+    "anomaly_mad": _anomaly_oracle(),
 }
