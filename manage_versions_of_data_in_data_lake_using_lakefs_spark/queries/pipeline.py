@@ -768,6 +768,48 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV sample decode (r8 — the audio analogue of the r7 PNG
+    decode): deterministic VALID mono 16-bit PCM WAVs are synthesized
+    from each odd doc_id (sample k = (id·37 + k·101) % 2000 − 1000, a
+    pure integer function), then decoded back DISTRIBUTED — RIFF chunk
+    walk + vectorized int16 reinterpret — and reduced to per-file signal
+    statistics (energy, amplitude range, zero crossings). The oracle
+    recomputes identical statistics from the sample formula alone, so a
+    hash match certifies the decoder against ground truth."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        decode_wav_stats,
+        synthesize_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_media(ids).where(F.col("kind") == "audio")
+    return decode_wav_stats(media).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_WAV_DECODE = """
+WITH a AS (
+  SELECT doc_id AS id, 100 + doc_id % 50 AS n, 8000 * (1 + doc_id % 3) AS rate
+  FROM documents WHERE doc_id % 2 = 1),
+s AS (SELECT id, n, rate, unnest(range(n)) AS k FROM a),
+v AS (SELECT id, n, rate, k, (id * 37 + k * 101) % 2000 - 1000 AS x FROM s),
+l AS (SELECT id, n, rate, k, x,
+             lag(x) OVER (PARTITION BY id ORDER BY k) AS px
+      FROM v)
+SELECT id AS media_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(x) AS BIGINT) AS s_sum,
+       CAST(SUM(x * x) AS BIGINT) AS s_sumsq,
+       CAST(MIN(x) AS INT) AS s_min,
+       CAST(MAX(x) AS INT) AS s_max,
+       CAST(COUNT(*) FILTER (WHERE px IS NOT NULL AND px * x < 0) AS BIGINT)
+           AS zero_crossings
+FROM l GROUP BY id, rate, n
+ORDER BY media_id
+"""
+
+
 def _oracle_streaming_neardup() -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import ORACLE_DEDUP_SIMHASH
 
@@ -785,6 +827,7 @@ PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_probe": q_multimodal_probe,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
     "streaming_classifier": q_streaming_classifier,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
@@ -805,6 +848,7 @@ PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_probe": ORACLE_MULTIMODAL_PROBE,
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
+    "multimodal_wav_decode": ORACLE_MULTIMODAL_WAV_DECODE,
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,

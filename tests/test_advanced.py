@@ -1136,6 +1136,62 @@ def test_png_codec_roundtrip_rgba():
     assert back == rows
 
 
+def test_wav_decode_matches_local_reference(spark):
+    """decode_wav_stats parses the fixture WAVs distributed and must
+    match a local pure-python decode of the same payloads, at any
+    partitioning."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        _make_synth_media,
+        decode_wav_stats,
+        synthesize_media,
+    )
+
+    ids = spark.range(1, 40).select(F.col("id").alias("doc_id"))
+    media = synthesize_media(ids).where(F.col("kind") == "audio")
+    rows = {r.media_id: r for r in decode_wav_stats(media.repartition(5)).collect()}
+    build = _make_synth_media()
+    import struct
+
+    for mid in range(1, 40, 2):
+        kind, payload = build(mid)
+        assert kind == "audio"
+        n = (len(payload) - 44) // 2
+        xs = struct.unpack(f"<{n}h", payload[44:])
+        r = rows[mid]
+        assert (r.n_samples, r.s_sum, r.s_min, r.s_max) == (
+            n, sum(xs), min(xs), max(xs)
+        )
+        assert r.s_sumsq == sum(x * x for x in xs)
+        assert r.zero_crossings == sum(
+            1 for a, b in zip(xs, xs[1:]) if a * b < 0
+        )
+
+
+def test_wav_decode_rejects_unsupported_encodings():
+    """The decode boundary is loud: stereo or non-PCM payloads raise
+    NotImplementedError naming the limitation, truncated payloads raise
+    ValueError — never a silent wrong answer."""
+    import pytest as _pytest
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        _make_synth_media,
+        _make_wav_decoder,
+    )
+
+    decode = _make_wav_decoder()
+    _, good = _make_synth_media()(3)
+    # flip the channel count in the fmt chunk (offset 22 in the canonical
+    # 44-byte header) to stereo
+    stereo = bytearray(good)
+    stereo[22] = 2
+    with _pytest.raises(NotImplementedError, match="mono 16-bit PCM"):
+        decode(bytes(stereo))
+    with _pytest.raises(ValueError):
+        decode(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        decode(b"not a wav")
+
+
 def test_classifier_learns_and_is_layout_independent(spark):
     """The trained quality classifier must (a) beat both trivial
     predictors on its training labels — the distillation actually
