@@ -714,3 +714,83 @@ def stream_table_from_repo(
     if ignore_changes:
         reader = reader.option("ignorechanges", "true")
     return reader.load()
+
+
+def _progress_end_version(progress) -> int | None:
+    """Committed end-offset version from a StreamingQuery progress dict.
+    The Python DataSource surfaces the offset dict as its *repr* string
+    (``"{'version': 1}"`` — single quotes, not JSON), so parse with
+    ``ast.literal_eval`` and fall back to JSON for safety."""
+    import ast
+    import json
+
+    if not progress:
+        return None
+    sources = progress.get("sources") or []
+    if not sources:
+        return None
+    eo = sources[0].get("endOffset")
+    if isinstance(eo, str):
+        for parse in (ast.literal_eval, json.loads):
+            try:
+                eo = parse(eo)
+                break
+            except (ValueError, SyntaxError):
+                continue
+    if isinstance(eo, dict) and "version" in eo:
+        return int(eo["version"])
+    return None
+
+
+def drain_stream_to_head(
+    query,
+    repo_root: str,
+    branch: str = "main",
+    *,
+    timeout_s: float = 120.0,
+    poll_s: float = 0.2,
+) -> int:
+    """``Trigger.AvailableNow`` semantics for the lake stream source.
+
+    Spark's Python DataSource API does not honor ``Trigger.AvailableNow``
+    (it silently falls back to a single microbatch), so catch-up-then-stop
+    needs a driver-side drain loop — the documented r7 gap. The contract
+    matches AvailableNow's: pin the branch head version AT CALL TIME, let
+    the already-started ``query`` process microbatches until its
+    *committed* end offset reaches that version, then stop it. Commits
+    landing after the call are deliberately not waited for — that is what
+    makes this terminate under concurrent writers, where the naive
+    ``processAllAvailable()`` (wait until latestOffset stops moving)
+    never would.
+
+    Returns the pinned version the stream was drained to. Raises the
+    query's own exception if it fails mid-drain, and ``TimeoutError``
+    after ``timeout_s`` (slow trigger intervals: raise the timeout, not
+    the poll rate).
+    """
+    import importlib
+    import time
+
+    repo_mod = importlib.import_module(
+        "manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo"
+    )
+    target = repo_mod.LakeRepo(repo_root).head(branch).version
+    deadline = time.monotonic() + timeout_s
+    while True:
+        exc = query.exception()
+        if exc is not None:
+            raise exc
+        v = _progress_end_version(query.lastProgress)
+        if v is not None and v >= target:
+            query.stop()
+            return target
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"drain_stream_to_head: stream did not reach version "
+                f"{target} on branch {branch!r} within {timeout_s}s "
+                f"(last committed: {v}); raise timeout_s if the trigger "
+                f"interval is slow, or check the query's progress"
+            )
+        time.sleep(poll_s)
+
+

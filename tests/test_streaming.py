@@ -817,6 +817,46 @@ def test_lake_stream_source_reads_all_commits(spark, source_repo):
     assert got == [(i, 2 * i) for i in range(15)]
 
 
+def test_drain_stream_to_head_available_now_semantics(spark, source_repo):
+    """drain_stream_to_head = Trigger.AvailableNow for the Python
+    DataSource (which silently ignores the real trigger): a continuously
+    triggered query is driven until its committed offset reaches the
+    branch head pinned AT CALL TIME, then stopped — commits after the
+    drain are NOT delivered."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        drain_stream_to_head,
+        stream_table_from_repo,
+    )
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    repo.write_table("main", "t", _kv(spark, 10, 15), mode="append")
+    c2 = repo.commit("main", "v2")
+
+    name = f"drain_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, "t")
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        drained_to = drain_stream_to_head(q, repo.root, timeout_s=60)
+        assert drained_to == c2.version
+        assert not q.isActive
+        got = sorted((r.k, r.v) for r in spark.table(name).collect())
+        assert got == [(i, 2 * i) for i in range(15)]
+        # post-drain commits stay undelivered (the stream is stopped)
+        repo.write_table("main", "t", _kv(spark, 15, 20), mode="append")
+        repo.commit("main", "v3")
+        assert sorted((r.k, r.v) for r in spark.table(name).collect()) == got
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def test_lake_stream_source_checkpoint_resume_exactly_once(spark, source_repo, tmp_path):
     """A checkpointed query resumes at the exact commit version it left
     off: no duplicates, no gaps (the exactly-once read half of the
