@@ -115,6 +115,107 @@ class Commit:
         )
 
 
+# ---------------------------------------------------------------------------
+# manifest spill: bounded commit metadata at any table size
+# ---------------------------------------------------------------------------
+#
+# A commit JSON stores the FULL table→entries snapshot (what makes head
+# resolution O(1)); naively that means every commit re-serializes every
+# table's whole entry list — at 100 TB (thousands of append dirs +
+# pruned-DML part-file entries per table) commit metadata writes become
+# O(total files) each, the exact failure mode Delta's checkpoint/delta-log
+# split exists to avoid. The spill keeps the snapshot-per-commit model but
+# bounds the inline cost: an entry list longer than
+# ``MANIFEST_SPILL_THRESHOLD`` is stored once as a content-addressed
+# manifest file (``manifests/<sha>.json``) and the commit holds a pointer
+# entry ``{"manifest": rel, "n": k}`` plus an inline tail of recent
+# appends. Consequences:
+#
+# - unchanged tables cost ONE pointer line per commit, shared by every
+#   commit at that snapshot (content addressing dedups across branches,
+#   reverts, and merges for free);
+# - appends extend the inline tail (O(delta) metadata per commit); when
+#   the tail itself exceeds the threshold the list folds into a fresh
+#   manifest — amortized O(n/threshold) entries written per commit;
+# - rewrites fold immediately (the list no longer extends the parent's).
+#
+# Expansion happens in exactly one place — ``LakeRepo.get_commit`` — so
+# every consumer (diff, vacuum walk, streaming source, SQL surface) keeps
+# seeing plain entry lists. Only the raw-JSON writers/readers here and
+# the vacuum's manifest-pruning scan ever see pointer entries.
+
+MANIFEST_DIR = "manifests"
+MANIFEST_SPILL_THRESHOLD = 32
+
+
+def is_manifest_ptr(entry) -> bool:
+    return isinstance(entry, dict) and "manifest" in entry
+
+
+def write_manifest(root: str, entries: list) -> dict:
+    """Store ``entries`` as a content-addressed manifest, returning the
+    pointer entry. Idempotent: an existing manifest with the same content
+    hash is reused (same-snapshot commits share one file)."""
+    import hashlib
+
+    payload = json.dumps(entries, sort_keys=True, separators=(",", ":"))
+    h = hashlib.sha256(payload.encode()).hexdigest()[:32]
+    rel = f"{MANIFEST_DIR}/{h}.json"
+    path = os.path.join(root, rel)
+    if not os.path.exists(path):
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+        atomic_write_json(path, {"entries": entries})
+    return {"manifest": rel, "n": len(entries)}
+
+
+def expand_entries(root: str, entries: list, cache: dict | None = None) -> list[str]:
+    """Resolve manifest pointers back to the plain entry list. A missing
+    manifest file is metadata corruption (vacuum never prunes referenced
+    manifests) and raises loudly."""
+    if not any(is_manifest_ptr(e) for e in entries):
+        return list(entries)
+    out: list[str] = []
+    for e in entries:
+        if not is_manifest_ptr(e):
+            out.append(e)
+            continue
+        rel = e["manifest"]
+        sub = cache.get(rel) if cache is not None else None
+        if sub is None:
+            try:
+                sub = read_json(os.path.join(root, rel))["entries"]
+            except OSError as exc:
+                raise FileNotFoundError(
+                    f"commit references manifest {rel} which is missing on "
+                    f"disk — metadata corruption (manifests are only pruned "
+                    f"when no commit references them)"
+                ) from exc
+            if cache is not None:
+                cache[rel] = sub
+        out.extend(sub)
+    return out
+
+
+def spill_entries(
+    root: str, entries: list[str], parent_raw: list | None, cache: dict | None = None
+) -> list:
+    """JSON form for one table's (expanded) entry list: inline below the
+    threshold; otherwise extend the parent's manifest pointer with an
+    inline tail, folding into a fresh manifest when the tail outgrows the
+    threshold or the list no longer extends the parent's."""
+    if len(entries) <= MANIFEST_SPILL_THRESHOLD:
+        return list(entries)
+    if parent_raw and is_manifest_ptr(parent_raw[0]):
+        ptr = parent_raw[0]
+        covered = expand_entries(root, [ptr], cache)
+        k = len(covered)
+        if entries[:k] == covered:
+            tail = entries[k:]
+            if len(tail) <= MANIFEST_SPILL_THRESHOLD:
+                return [ptr, *tail]
+    return [write_manifest(root, list(entries))]
+
+
 class CommitConflictError(RuntimeError):
     """An optimistic (generation-fenced) ref update lost to a concurrent
     writer: someone else claimed this generation's fence or already

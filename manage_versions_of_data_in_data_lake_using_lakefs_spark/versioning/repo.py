@@ -41,12 +41,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import (
+    MANIFEST_DIR,
     Commit,
     RepoLock,
     atomic_write_json,
     cas_replace_ref,
+    expand_entries,
+    is_manifest_ptr,
     new_id,
     read_json,
+    spill_entries,
 )
 
 
@@ -72,6 +76,8 @@ class LakeRepo:
         self.root = os.path.abspath(root)
         if not os.path.exists(self._repo_file):
             raise FileNotFoundError(f"not a lake repo: {root} (run LakeRepo.init)")
+        # content-addressed manifest bodies are immutable → cache freely
+        self._manifest_cache: dict[str, list] = {}
 
     # -- paths -------------------------------------------------------------
     @property
@@ -165,7 +171,33 @@ class LakeRepo:
         return read_json(path)
 
     def get_commit(self, cid: str) -> Commit:
-        return Commit.from_json(read_json(self._commit_file(cid)))
+        c = Commit.from_json(read_json(self._commit_file(cid)))
+        # the ONE manifest-expansion point: every consumer sees plain
+        # entry lists (see log.py's manifest-spill block)
+        c.tables = {
+            t: expand_entries(self.root, v, self._manifest_cache)
+            for t, v in c.tables.items()
+        }
+        return c
+
+    def _write_commit(self, c: Commit) -> None:
+        """Serialize a commit with large entry lists spilled to shared
+        content-addressed manifests (bounded metadata per commit); the
+        in-memory object keeps plain expanded lists."""
+        payload = c.to_json()
+        parent_raw: dict = {}
+        if c.parents:
+            try:
+                parent_raw = read_json(self._commit_file(c.parents[0])).get(
+                    "tables", {}
+                )
+            except OSError:
+                parent_raw = {}
+        payload["tables"] = {
+            t: spill_entries(self.root, v, parent_raw.get(t), self._manifest_cache)
+            for t, v in c.tables.items()
+        }
+        atomic_write_json(self._commit_file(c.id), payload)
 
     def head(self, branch: str) -> Commit:
         """V10: current commit of a branch."""
@@ -1174,7 +1206,7 @@ class LakeRepo:
                 meta=meta or {},
                 objects=objects,
             )
-            atomic_write_json(self._commit_file(c.id), c.to_json())
+            self._write_commit(c)
             self._write_ref(
                 branch,
                 {
@@ -1348,7 +1380,7 @@ class LakeRepo:
                 meta={"revert_of": target.id},
                 objects=dict(target.objects),
             )
-            atomic_write_json(self._commit_file(c.id), c.to_json())
+            self._write_commit(c)
             self._write_ref(
                 branch,
                 {
@@ -1555,7 +1587,7 @@ class LakeRepo:
                 meta={"merge_source": src_c.id, "row_merged": row_merges},
                 objects=merged_objects,
             )
-            atomic_write_json(self._commit_file(c.id), c.to_json())
+            self._write_commit(c)
             # carry (don't wipe) anything staged concurrently since the
             # entry dirty-check — the merge only moves the head
             ref = self._read_ref(dest)
@@ -1839,6 +1871,45 @@ class LakeRepo:
                 removed.append(rel)
                 if not dry_run:
                     shutil.rmtree(full, ignore_errors=True)
+        # prune manifests no RAW commit JSON references (content-addressed
+        # spill files, log.py). Keyed off EVERY commit file on disk — not
+        # just ref-reachable ones — because unreachable commits stay
+        # readable as metadata and must never lose their manifests. The
+        # grace window spares a manifest just written by a racing commit
+        # whose JSON hasn't landed yet.
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            referenced: set[str] = set()
+            cdir = os.path.join(self.root, "commits")
+            for fn in os.listdir(cdir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    raw = read_json(os.path.join(cdir, fn))
+                except (OSError, ValueError):
+                    continue
+                for entries in raw.get("tables", {}).values():
+                    for e in entries:
+                        if is_manifest_ptr(e):
+                            referenced.add(e["manifest"])
+            for fn in os.listdir(mdir):
+                rel = f"{MANIFEST_DIR}/{fn}"
+                if rel in referenced:
+                    continue
+                full = os.path.join(mdir, fn)
+                if grace_seconds > 0:
+                    try:
+                        if now - os.path.getmtime(full) < grace_seconds:
+                            continue
+                    except OSError:
+                        continue
+                removed.append(rel)
+                if not dry_run:
+                    try:
+                        os.unlink(full)
+                    except FileNotFoundError:
+                        pass
+                self._manifest_cache.pop(rel, None)
         # prune superseded CAS fences (log.cas_replace_ref): a fence for a
         # generation the branch ref has already advanced past can never be
         # claimed again (gens are monotone; a writer always claims
