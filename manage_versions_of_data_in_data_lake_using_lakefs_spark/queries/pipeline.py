@@ -722,7 +722,8 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     of (id, x, y), so the oracle recomputes the identical stats from the
     formulas alone: the hash match certifies the decoder (and the real
     zlib + filter roundtrip standing between formula and bytes) against
-    ground truth. Only JPEG entropy decode remains out of scope."""
+    ground truth. (JPEG entropy decode followed in r8 —
+    ``multimodal_jpeg_decode``.)"""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
         decode_png_stats,
         synthesize_png_media,
@@ -810,6 +811,63 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG entropy decode (r8 — the boundary r7 left:
+    "JPEG entropy decode documented-out"): deterministic VALID T.81
+    baseline files (grayscale / 4:4:4 by id parity, 2 blocks per
+    component exercising DC prediction, interleaved MCUs, ZRL and EOB
+    paths, per-id quant tables) are synthesized from each doc_id, then
+    decoded back DISTRIBUTED — marker walk, canonical Huffman, byte
+    unstuffing, zigzag, DC differential, dequantization — to exact
+    integer coefficient statistics. Every embedded coefficient is a pure
+    integer function of (id, comp, block, u, v), so the oracle recomputes
+    identical statistics from the formulas alone: a hash match certifies
+    the entire entropy-decode chain against ground truth. (The IDCT to
+    pixels is certified by basis invariants in tests/test_jpeg.py —
+    float pixel sums are not portable SQL.)"""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+        decode_jpeg_stats,
+        synthesize_jpeg_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_stats(synthesize_jpeg_media(ids)).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_JPEG_DECODE = """
+WITH imgs AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nc
+  FROM documents),
+cs AS (SELECT unnest(range(3)) AS comp),
+bs AS (SELECT unnest(range(2)) AS b),
+uv AS (
+  SELECT u.range AS u, v.range AS v
+  FROM range(8) u CROSS JOIN range(8) v
+  WHERE u.range + v.range <= 2 OR (u.range = 7 AND v.range = 7)),
+cells AS (
+  SELECT i.id, i.nc, uv.u, uv.v,
+         (CASE WHEN uv.u + uv.v <= 2
+               THEN (i.id + 3 * cs.comp + 5 * bs.b + 7 * uv.u + 11 * uv.v) % 9 - 4
+               ELSE (i.id + cs.comp) % 3 - 1 END)
+         * (1 + (uv.u + uv.v + i.id) % 3) AS dq
+  FROM imgs i
+  JOIN cs ON cs.comp < i.nc
+  CROSS JOIN bs
+  CROSS JOIN uv)
+SELECT id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(nc AS INT) AS n_components,
+       CAST(COUNT(*) FILTER (WHERE dq <> 0) AS BIGINT) AS n_nonzero,
+       CAST(SUM(dq) AS BIGINT) AS coef_sum,
+       CAST(SUM(abs(dq)) AS BIGINT) AS coef_abs_sum,
+       CAST(SUM(dq) FILTER (WHERE u = 0 AND v = 0) AS BIGINT) AS dc_sum
+FROM cells GROUP BY id, nc
+ORDER BY media_id
+"""
+
+
 def _oracle_streaming_neardup() -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import ORACLE_DEDUP_SIMHASH
 
@@ -828,6 +886,7 @@ PIPELINE_QUERIES = {
     "multimodal_probe": q_multimodal_probe,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "streaming_classifier": q_streaming_classifier,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
@@ -849,6 +908,7 @@ PIPELINE_ORACLES = {
     "multimodal_probe": ORACLE_MULTIMODAL_PROBE,
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
     "multimodal_wav_decode": ORACLE_MULTIMODAL_WAV_DECODE,
+    "multimodal_jpeg_decode": ORACLE_MULTIMODAL_JPEG_DECODE,
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
