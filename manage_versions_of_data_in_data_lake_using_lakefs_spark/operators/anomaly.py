@@ -55,7 +55,10 @@ def mad_anomalies(
     Returns (id, key, value, med, mad) for the flagged rows — med/mad are
     the per-key lower medians described in the module docstring.
     """
-    base = events.select(
+    # NULL values carry no outlier signal and Spark/DuckDB disagree on
+    # their ORDER BY placement (NULLS FIRST vs LAST) — exclude them up
+    # front so the rank selects stay bit-identical across engines
+    base = events.where(F.col(val_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key"), F.col(val_col).alias("v")
     )
     med = _lower_median(base, "key", "v", "id", "med")
@@ -86,6 +89,7 @@ def mad_anomalies_sql(
     return f"""
 WITH base AS (
     SELECT {id_col} AS id, {key_col} AS key, {val_col} AS v FROM {table}
+    WHERE {val_col} IS NOT NULL
 ),
 med AS (
     SELECT key, v AS med FROM (

@@ -103,7 +103,9 @@ def _make_jpeg_codec():
                 b = self.data[self.pos]
                 self.pos += 1
                 if b == 0xFF:
-                    nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                    if self.pos >= len(self.data):
+                        raise ValueError("JPEG: entropy segment truncated")
+                    nxt = self.data[self.pos]
                     if nxt == 0x00:
                         self.pos += 1  # stuffed byte
                     else:

@@ -123,15 +123,6 @@ def make_lake_stream_source():
         )
         return mod.LakeRepo(opts["root"])
 
-    def _norm_smap(smap):
-        """Normalize a schema-evolution mapping: pre-r6 repos stored the
-        bare step list (mirrors LakeRepo.table_schema_map)."""
-        if smap is None:
-            return None
-        if isinstance(smap, list):
-            return {"base": [], "steps": smap}
-        return smap
-
     def _alias_chains(smap):
         """Replay ALTER steps into per-file resolution structures:
         ``chains`` maps each final logical name created/renamed by the
@@ -145,9 +136,14 @@ def make_lake_stream_source():
         chains: dict[str, list[str]] = {}
         consumed: set[str] = set()
         declared: dict[str, str] = {}
+        gens: set[str] = set()  # LIVE generated columns (add_gen minus drop)
         for st in (smap or {}).get("steps", []):
             op = st["op"]
             if op == "rename":
+                if st["from"] in gens:
+                    gens.discard(st["from"])
+                    gens.add(st["to"])
+                    continue  # nothing stored under either name
                 chains[st["to"]] = chains.pop(st["from"], [st["from"]]) + [
                     st["to"]
                 ]
@@ -158,15 +154,21 @@ def make_lake_stream_source():
                 chains.setdefault(st["name"], [st["name"]])
                 declared[st["name"]] = st["type"]
             elif op == "drop":
+                if st["name"] in gens:
+                    gens.discard(st["name"])  # never stored: nothing to
+                    continue                  # consume (batch rule too)
                 consumed.update(chains.pop(st["name"], [st["name"]]))
                 declared.pop(st["name"], None)
             elif op == "add_gen":
-                raise NotImplementedError(
-                    "lake stream source: tables with GENERATED columns "
-                    "are not streamable (their expressions need Spark "
-                    "evaluation); DROP the generated column or read in "
-                    "batch"
-                )
+                gens.add(st["name"])
+        if gens:
+            # only LIVE generated columns block streaming — ones added
+            # and later dropped never stored anything and are invisible
+            raise NotImplementedError(
+                f"lake stream source: table has live GENERATED column(s) "
+                f"{sorted(gens)} (their expressions need Spark "
+                f"evaluation); DROP them or read in batch"
+            )
         return chains, consumed, declared
 
     def _split_partvals(rel):
@@ -242,40 +244,59 @@ def make_lake_stream_source():
                 )
         return keys or ()
 
+    # STRICT lexical gates, deliberately narrower than Python's parsers:
+    # int("1_2") / float("inf") / unicode digits all succeed in Python
+    # but Spark's partition discovery (Java parsing) rejects them, so a
+    # permissive parse would make the stream type/value-diverge from the
+    # batch read of the same tree. ASCII-only, no underscores/inf/nan.
+    import re as _re
+
+    _INT_RE = _re.compile(r"[+-]?[0-9]+\Z", _re.ASCII)
+    _FLOAT_RE = _re.compile(
+        r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\Z", _re.ASCII
+    )
+    _DATE_RE = _re.compile(r"[0-9]{4}-[0-9]{2}-[0-9]{2}\Z", _re.ASCII)
+
     def _infer_part_ddl(raws):
         """Partition-column type from its path-encoded values — Spark's
         partition-discovery inference order restricted to the types a
-        path can carry: int → bigint → double → date → string."""
+        path can carry: int → bigint → double → date → string. Values
+        must pass the strict lexical gates above; anything else stays a
+        string (exactly what Spark's own discovery would do)."""
         import datetime
         from urllib.parse import unquote
 
         live = [unquote(v) for v in raws if v != _HIVE_NULL]
         if not live:
             return "string"
-
-        def all_parse(f):
-            try:
-                for v in live:
-                    f(v)
-                return True
-            except ValueError:
-                return False
-
-        if all_parse(int):
+        if all(_INT_RE.match(v) for v in live):
             return (
                 "int"
                 if all(-(2**31) <= int(v) < 2**31 for v in live)
                 else "bigint"
             )
-        if all_parse(float):
+        if all(_FLOAT_RE.match(v) for v in live):
             return "double"
-        if all_parse(datetime.date.fromisoformat):
+
+        def is_date(v):
+            if not _DATE_RE.match(v):
+                return False
+            try:
+                datetime.date.fromisoformat(v)
+                return True
+            except ValueError:
+                return False
+
+        if all(is_date(v) for v in live):
             return "date"
         return "string"
 
     def _parse_part(raw, ddl):
         """One path-encoded partition value → a typed Python constant
-        matching the stream's declared DDL for that column."""
+        matching the stream's declared DDL for that column. Same strict
+        gates as inference: a value the declared type can't represent
+        raises instead of Python-coercing to a different value than the
+        batch read would produce."""
         import datetime
         from urllib.parse import unquote
 
@@ -283,8 +304,18 @@ def make_lake_stream_source():
             return None
         v = unquote(raw)
         if ddl in ("tinyint", "smallint", "int", "bigint"):
+            if not _INT_RE.match(v):
+                raise ValueError(
+                    f"lake stream source: partition value {v!r} is not a "
+                    f"valid {ddl} literal"
+                )
             return int(v)
         if ddl in ("float", "double"):
+            if not _FLOAT_RE.match(v):
+                raise ValueError(
+                    f"lake stream source: partition value {v!r} is not a "
+                    f"valid {ddl} literal"
+                )
             return float(v)
         if ddl == "date":
             return datetime.date.fromisoformat(v)
@@ -356,18 +387,33 @@ def make_lake_stream_source():
             repo = _open_repo(self.opts)
             return {"version": repo.head(self.opts["branch"]).version}
 
-        def _plan_file(self, filepv, chains, consumed):
+        def _plan_file(self, filepv, chains, consumed, declared):
             """The replay plan for one file: resolve each stream field
             through its alias chain (or to its path-encoded partition
-            constant) and pin the set of legal extra physical names."""
+            constant) and pin the set of legal extra physical names.
+            Each spec entry carries whether a missing physical column is
+            LEGITIMATE (only later-ADDed columns may be absent — pre-ADD
+            era files); anything else missing fails loudly at read
+            instead of silently streaming nulls (a flat file appended
+            into a partitioned table, or a foreign file)."""
             rel, pv = filepv
             pdict = dict(pv)
+            stray = sorted(k for k in pdict if k not in self.fields)
+            if stray:
+                raise ValueError(
+                    f"lake stream source: {rel} path-encodes partition "
+                    f"column(s) {stray} absent from the stream schema "
+                    f"(layout changed after the stream started?); restart "
+                    f"the stream or read in batch"
+                )
             spec = []
             for L in self.fields:
                 if L in pdict:
-                    spec.append((L, None, _parse_part(pdict[L], self.ddl[L])))
+                    spec.append((L, None, _parse_part(pdict[L], self.ddl[L]), True))
                 else:
-                    spec.append((L, tuple(chains.get(L, (L,))), None))
+                    spec.append(
+                        (L, tuple(chains.get(L, (L,))), None, L in declared)
+                    )
             allowed = frozenset(
                 consumed | {p for a in spec if a[1] for p in a[1]}
             )
@@ -382,12 +428,8 @@ def make_lake_stream_source():
             # read-at-head semantics (and Delta's field-id mapping). A
             # commit's own older map would strand pre-ALTER files: the
             # stream schema speaks post-ALTER names.
-            chains, consumed, _decl = _alias_chains(
-                _norm_smap(
-                    repo.table_schema_map(
-                        table, ref=branch, include_staged=False
-                    )
-                )
+            chains, consumed, declared = _alias_chains(
+                repo.table_schema_map(table, ref=branch, include_staged=False)
             )
             drift = [L for L in self.fields if L in consumed]
             if drift:
@@ -447,7 +489,7 @@ def make_lake_stream_source():
                     ):
                         for fpv in group:
                             spec, allowed = self._plan_file(
-                                fpv, chains, consumed
+                                fpv, chains, consumed, declared
                             )
                             parts.append(
                                 _FilePartition(
@@ -476,7 +518,7 @@ def make_lake_stream_source():
                         f"removals and stream additions only{vac}"
                     )
                 for fpv in sorted(cur - prev):
-                    spec, allowed = self._plan_file(fpv, chains, consumed)
+                    spec, allowed = self._plan_file(fpv, chains, consumed, declared)
                     parts.append(
                         _FilePartition(
                             os.path.join(repo.root, fpv[0]), spec, allowed
@@ -506,11 +548,14 @@ def make_lake_stream_source():
                     f"read in batch"
                 )
             # resolve each output column: newest era alias present in
-            # THIS file wins; none present → null column (pre-ADD era);
+            # THIS file wins; none present → null column, legal ONLY for
+            # later-ADDed columns (pre-ADD era files) — anything else
+            # missing is a layout break (flat file in a partitioned
+            # table, foreign file) and must not stream silent nulls;
             # aliases None → path-encoded partition constant
             read_cols: list[str] = []
             plan = []  # ('f', read_cols index) | ('c', constant)
-            for _L, aliases, const in partition.colspec:
+            for L, aliases, const, absent_ok in partition.colspec:
                 if aliases is None:
                     plan.append(("c", const))
                     continue
@@ -518,6 +563,14 @@ def make_lake_stream_source():
                     (a for a in reversed(aliases) if a in names), None
                 )
                 if hit is None:
+                    if not absent_ok:
+                        raise ValueError(
+                            f"lake stream source: {partition.path} has no "
+                            f"column for stream field {L!r} (aliases "
+                            f"{list(aliases)}) and it is not a later-ADDed "
+                            f"column — mixed partition layouts or a "
+                            f"foreign file; read the table in batch"
+                        )
                     plan.append(("c", None))
                 else:
                     plan.append(("f", len(read_cols)))
@@ -550,10 +603,8 @@ def make_lake_stream_source():
             repo = _open_repo(self.options)
             table = self.options["table"]
             cdc = str(self.options.get("mode", "")).lower() == "cdc"
-            smap = _norm_smap(
-                repo.table_schema_map(
-                    table, ref=self.options["branch"], include_staged=False
-                )
+            smap = repo.table_schema_map(
+                table, ref=self.options["branch"], include_staged=False
             )
             c = repo.head(self.options["branch"])
             files: list[tuple] = []
@@ -600,7 +651,24 @@ def make_lake_stream_source():
                 chains, consumed, declared = _alias_chains(smap)
                 # resolve each logical column's type from file footers,
                 # newest file first (newest era's physical type wins —
-                # append type changes are blocked, so eras agree anyway)
+                # append type changes are blocked, so eras agree anyway).
+                # With a recorded base order the needed logical set is
+                # known up front, so STOP opening footers once every
+                # column has a type — O(eras), not O(total files), at
+                # stream start (pre-r6 maps with no base fall back to
+                # the full walk: the sorted-tail rule needs every name)
+                needed: set[str] | None = None
+                if smap.get("base"):
+                    need_order = list(smap["base"])
+                    for st in smap["steps"]:
+                        op = st["op"]
+                        if op == "rename" and st["from"] in need_order:
+                            need_order[need_order.index(st["from"])] = st["to"]
+                        elif op == "drop" and st["name"] in need_order:
+                            need_order.remove(st["name"])
+                        elif op == "add" and st["name"] not in need_order:
+                            need_order.append(st["name"])
+                    needed = set(need_order) | set(declared)
                 seen_phys: dict[str, object] = {}
                 for rel, _pv in reversed(files):
                     sch = pq.ParquetFile(
@@ -608,6 +676,12 @@ def make_lake_stream_source():
                     ).schema_arrow
                     for f in sch:
                         seen_phys.setdefault(f.name, f.type)
+                    if needed is not None and all(
+                        L in declared
+                        or any(p in seen_phys for p in chains.get(L, (L,)))
+                        for L in needed
+                    ):
+                        break
                 phys_to_logical = {
                     p: L for L, ps in chains.items() for p in ps
                 }

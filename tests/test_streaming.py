@@ -921,6 +921,21 @@ def test_lake_stream_source_guards(spark, source_repo):
         _drain_to_memory(spark, repo, "t")
 
 
+def test_lake_stream_source_gen_column_added_then_dropped_streams(spark, source_repo):
+    """Only LIVE generated columns block streaming: add_gen followed by
+    DROP leaves nothing stored and nothing to replay — the table must
+    stream (r8 review fix: the guard used to fire on any add_gen in
+    history, making the table permanently unstreamable)."""
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 6))
+    repo.commit("main", "v1")
+    repo.alter_add_generated_column(spark, "main", "t", "v9", "bigint", "v * 9")
+    repo.alter_drop_column(spark, "main", "t", "v9")
+    repo.write_table("main", "t", _kv(spark, 6, 9), mode="append")
+    repo.commit("main", "v2")
+    assert _drain_to_memory(spark, repo, "t") == [(i, 2 * i) for i in range(9)]
+
+
 def _drain_rows(spark, repo, table, **kw):
     """Drain a lake stream to a memory sink, returning collected Rows."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
@@ -1198,6 +1213,64 @@ def test_lake_stream_source_rejects_mixed_partition_layouts(spark, source_repo):
     repo.commit("main", "flat half")
     with pytest.raises(Exception, match="inconsistent|STREAM_FAILED"):
         _drain_to_memory(spark, repo, "t")
+
+
+def test_lake_stream_source_explicit_schema_layout_break_is_loud(spark, source_repo):
+    """An explicit .schema(...) bypasses inference (where the mixed-layout
+    guard lives); the READ-side guard must still refuse to stream silent
+    nulls for a partition column some files don't path-encode (r8 review
+    fix)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        _PACKAGE_ROOT,
+        register_lake_stream_source,
+    )
+
+    repo = source_repo
+    df = _kv(spark, 0, 10).withColumn("p", (F.col("k") % 2).cast("int"))
+    repo.write_table("main", "t", df.where("k < 5"), partition_by=["p"])
+    repo.commit("main", "partitioned half")
+    repo.write_table("main", "t", df.where("k >= 5").drop("p"), mode="append")
+    repo.commit("main", "flat half")
+    register_lake_stream_source(spark)
+    name = f"mix_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lakegraft_stream")
+        .schema("k bigint, v bigint, p int")
+        .option("root", repo.root)
+        .option("branch", "main")
+        .option("table", "t")
+        .option("starting_version", -1)
+        .option("package_root", _PACKAGE_ROOT)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="no column for stream field|STREAM_FAILED"):
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_lake_stream_source_partition_values_python_only_literals(spark, source_repo):
+    """Path values Python would happily parse as numbers ("1_2", "inf",
+    "+5"-style) must stay STRINGS, matching Spark's stricter batch
+    partition discovery (r8 review fix: lexical gates, not Python
+    parsers)."""
+    repo = source_repo
+    df = spark.createDataFrame(
+        [(1, "1_2"), (2, "inf"), (3, "nan")], "k long, cat string"
+    )
+    repo.write_table("main", "t", df, partition_by=["cat"])
+    repo.commit("main", "v1")
+    out = _drain_rows(spark, repo, "t")
+    assert dict(out.dtypes)["cat"] == "string"
+    got = sorted((r.k, r.cat) for r in out.collect())
+    batch = sorted(
+        (r.k, r.cat) for r in repo.read_table(spark, "t", "main").collect()
+    )
+    assert got == batch == [(1, "1_2"), (2, "inf"), (3, "nan")]
 
 
 def test_lake_stream_source_cdc_folds_to_head(spark, source_repo, tmp_path):
