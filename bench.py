@@ -170,6 +170,10 @@ def main() -> None:
         "resample_events",
         "tokenizer_bpe_encode",
         "json_roundtrip",
+        "fuzzy_join_editdist",
+        "anomaly_mad",
+        "multimodal_wav_decode",
+        "multimodal_jpeg_decode",
     ):
         if extra in registry:
             names.append(extra)

@@ -145,7 +145,15 @@ WINDOW_ORDER: list[str] = [
     "sample_suite",         # hash split + stratified, tagged
     "text_metrics",         # lang-id/quality/tokens/fingerprint, one pass
     "dedup_hash",           # exact + fingerprint, tagged
-    "dedup_ngram_jaccard",
+    # (dedup_ngram_jaccard — shingle equi-join + Jaccard — rotated to the
+    # tail in r8: its exact shape runs INSIDE dedup_minhash_lsh's oracle
+    # (the inter/sizes CTEs verify candidates with the same shingle
+    # join), so the window slot goes to the round's new one-of-a-kind
+    # shape below: the prefix-filtered edit-distance join. Full oracle
+    # kept in the tail.)
+    "fuzzy_join_editdist",  # Ed-Join prefix filter + bounded-levenshtein
+                            # exact verify — blocked string-similarity
+                            # join, oracle is the quadratic spelling (r8)
     "dedup_minhash_lsh",
     "dedup_simhash",        # banded candidates, no cross join
     # (dedup_embedding_cosine — flat IVF-cell-blocked near-dup — rotated
@@ -157,7 +165,14 @@ WINDOW_ORDER: list[str] = [
     "dedup_embedding_cosine_hier",  # two-level adaptive-k quantizer (r5)
     "dedup_resolution",     # connected components + survivors, tagged
     "sim_ann",              # brute/LSH/IVF top-k, tagged
-    "multimodal_stats",
+    # (multimodal_stats — payload-size groupBy per kind — rotated to the
+    # tail in r8: a groupBy-sum shape agg_sum already certifies; the
+    # freed slot driver-certifies the round's codec flagship below.
+    # Full oracle kept in the tail.)
+    "multimodal_jpeg_decode",  # FULL baseline JPEG entropy decode —
+                               # canonical Huffman, byte unstuffing,
+                               # zigzag, DC prediction, dequant — exact
+                               # embedded-coefficient oracle (r8)
     "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
     "versioned_incremental_agg",  # delta-refresh ≡ full rebuild (r5)

@@ -2644,17 +2644,22 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-key outlier detection: lower-median + MAD rank-select
     windows, flag |v − med| > 3·MAD (operators/anomaly.py). Every
     reported number is an actual data value picked at a deterministic
-    rank, so the float outputs are bit-exact against the oracle."""
+    rank, so the float outputs are bit-exact against the oracle. Keyed
+    on user_id — the high-cardinality shape whose per-key windows stay
+    small at any table size (a low-cardinality key like event_type
+    would funnel each giant group through one window partition; for a
+    single giant key use the histogram-bisection exact quantiles
+    instead)."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies
 
     ev = load_table(spark, sf_dir, "events")
-    return mad_anomalies(ev)
+    return mad_anomalies(ev, key_col="user_id")
 
 
 def _anomaly_oracle() -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies_sql
 
-    return mad_anomalies_sql("events")
+    return mad_anomalies_sql("events", key_col="user_id")
 
 
 ADVANCED_QUERIES = {

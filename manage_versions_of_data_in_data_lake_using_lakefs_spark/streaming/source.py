@@ -454,6 +454,16 @@ def make_lake_stream_source():
                 cur_entries = c.tables.get(table, [])
                 if cur_entries == prev_entries:
                     continue  # commit did not touch this table
+                if c.meta.get("data_change") is False:
+                    # the writer asserts this commit is a pure
+                    # REARRANGEMENT of its parent's rows (OPTIMIZE /
+                    # compaction) — Delta's dataChange contract: append
+                    # streams skip it instead of failing on its file
+                    # removals, and the CDC feed emits nothing (the
+                    # multiset is unchanged). Later commits diff against
+                    # the compacted snapshot, so only genuinely new rows
+                    # flow.
+                    continue
                 # the parent side tolerates vacuumed entries at the DIFF
                 # level (we may only need their names); the current side
                 # is strict — its rows are about to be read

@@ -1713,7 +1713,23 @@ class LakeRepo:
         (repartitionByRange + sortWithinPartitions) so parquet min/max
         stats prune row groups for key-predicated scans. Old files stay
         referenced by prior commits (time travel intact) until ``vacuum``.
+
+        The commit carries ``meta["data_change"] = False`` — the writer's
+        assertion that the rows are a pure REARRANGEMENT of the parent
+        snapshot (true by construction here: the input is the branch-head
+        read). The streaming source skips such commits instead of failing
+        the append stream on their file removals (Delta's ``dataChange``
+        contract), so OPTIMIZE never breaks downstream tails. Refuses a
+        dirty branch: ``commit`` sweeps ALL staged entries, and unrelated
+        staged writes must not ride a commit flagged as changing nothing.
         """
+        if self._is_dirty(self._read_ref(branch)):
+            raise DirtyBranchError(
+                f"compact on {branch}: uncommitted staged changes for "
+                f"{sorted(self.status(branch))}; commit or reset first — "
+                f"a data_change=false commit must contain only the "
+                f"rearrangement"
+            )
         df = self.read_table(spark, table, ref=branch)
         n = target_files or spark.sparkContext.defaultParallelism
         if zorder_by:
@@ -1727,7 +1743,11 @@ class LakeRepo:
             # coalesce: narrow, no shuffle — pure file-count reduction
             df = df.coalesce(n)
         self.write_table(branch, table, df, mode="overwrite")
-        return self.commit(branch, message or f"compact {table} -> {n} files")
+        return self.commit(
+            branch,
+            message or f"compact {table} -> {n} files",
+            meta={"data_change": False, "compacted_table": table},
+        )
 
     def upsert_table(
         self,

@@ -62,6 +62,22 @@ def replicate_events(ev: DataFrame, k: int) -> DataFrame:
     )
 
 
+def replicate_customer(cust: DataFrame, k: int) -> DataFrame:
+    """K copies with re-keyed ids and a TWO-character replica suffix on
+    the name ("r00".."r77"): any cross-replica name pair differs in ≥2
+    positions, so the edit-distance-1 join's TRUE pair set grows k×
+    (within-replica only) — a single-char suffix would make every
+    cross-replica twin a distance-1 match and grow the output k²,
+    measuring output size instead of plan scaling."""
+    reps = cust.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return cust.crossJoin(reps).select(
+        (F.col("c_custkey") * k + F.col("_rep")).alias("c_custkey"),
+        F.concat(
+            F.col("c_name"), F.lit(" r"), F.col("_rep"), F.col("_rep")
+        ).alias("c_name"),
+    )
+
+
 def replicate_lineitem(li: DataFrame, k: int) -> DataFrame:
     reps = li.sparkSession.range(k).select(F.col("id").alias("_rep"))
     return li.crossJoin(reps).withColumn(
@@ -277,8 +293,51 @@ def main() -> None:
 
         return bpe_encode_doc_counts(d, n_merges=8)
 
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def op_fuzzy(c: DataFrame) -> DataFrame:
+        # prefix-filtered candidates + bounded levenshtein; true pairs
+        # grow k× by construction (see replicate_customer) — per-row
+        # cost must stay near-flat if the rarest-first prefixes keep
+        # the candidate join from fanning out on hot grams
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.fuzzy import edit_distance_pairs
+
+        return edit_distance_pairs(c, "c_name", "c_custkey", max_dist=1, q=3)
+
+    def op_anomaly(x: DataFrame) -> DataFrame:
+        # two rank-select window passes keyed on user_id; replication
+        # re-keys users so groups stay original-sized and only their
+        # COUNT grows k× — the shape that must scale flat
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies
+
+        return mad_anomalies(x, key_col="user_id", id_col="user_id")
+
+    def op_wav(d: DataFrame) -> DataFrame:
+        # synthesize + sample decode, both map-only Arrow passes
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+            decode_wav_stats,
+            synthesize_media,
+        )
+
+        return decode_wav_stats(
+            synthesize_media(d.select("doc_id")).where(F.col("kind") == "audio")
+        )
+
+    def op_jpeg(d: DataFrame) -> DataFrame:
+        # synthesize + entropy decode, map-only — pure Python-codec cost
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+            decode_jpeg_stats,
+            synthesize_jpeg_media,
+        )
+
+        return decode_jpeg_stats(synthesize_jpeg_media(d.select("doc_id")))
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
+        "fuzzy_join_editdist": (cust, replicate_customer, op_fuzzy),
+        "anomaly_mad": (ev, replicate_events, op_anomaly),
+        "multimodal_wav_decode": (docs, replicate_documents, op_wav),
+        "multimodal_jpeg_decode": (docs, replicate_documents, op_jpeg),
         "resample_locf": (ev, replicate_events, op_resample),
         "tokenizer_bpe_encode": (docs, replicate_documents, op_bpe_encode),
         "classifier_train_score": (docs, replicate_documents, op_classifier),

@@ -1273,6 +1273,82 @@ def test_lake_stream_source_partition_values_python_only_literals(spark, source_
     assert got == batch == [(1, "1_2"), (2, "inf"), (3, "nan")]
 
 
+def test_lake_stream_source_survives_compaction(spark, source_repo, tmp_path):
+    """OPTIMIZE/compact commits carry data_change=false (a pure
+    rearrangement of the parent's rows); the append stream SKIPS them —
+    Delta's dataChange contract — instead of failing on their file
+    removals. No duplicates, no gaps, across a checkpointed resume."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(4))
+    repo.commit("main", "v1")
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            stream_table_from_repo(spark, repo.root, "t")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    c = repo.compact(spark, "main", "t", target_files=1)
+    assert c.meta["data_change"] is False
+    repo.write_table("main", "t", _kv(spark, 10, 13), mode="append")
+    repo.commit("main", "v3")
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, 2 * i) for i in range(13)]
+    # a FRESH stream from -1 reads the pre-compaction files (still on
+    # disk until vacuum) plus later appends — full table, no duplicates
+    fresh = _drain_to_memory(spark, repo, "t")
+    assert fresh == [(i, 2 * i) for i in range(13)]
+
+
+def test_lake_stream_source_cdc_skips_compaction(spark, source_repo):
+    """The CDC feed emits NOTHING for a data_change=false version (the
+    row multiset is unchanged) — folding the feed still equals head."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 8).repartition(3))
+    repo.commit("main", "v1")
+    c = repo.compact(spark, "main", "t", target_files=1)
+    repo.write_table("main", "t", _kv(spark, 8, 10), mode="append")
+    repo.commit("main", "v3")
+    name = f"cdcc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", cdc=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    assert not [r for r in rows if r._commit_version == c.version]
+    assert all(r._change_type == "insert" for r in rows)
+    assert sorted((r.k, r.v) for r in rows) == [(i, 2 * i) for i in range(10)]
+
+
+def test_compact_refuses_dirty_branch(spark, source_repo):
+    """compact commits ALL staged entries; unrelated staged writes must
+    not ride a commit flagged as changing nothing."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DirtyBranchError
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 5))
+    repo.commit("main", "v1")
+    repo.write_table("main", "u", _kv(spark, 0, 3))  # staged, uncommitted
+    with pytest.raises(DirtyBranchError, match="data_change"):
+        repo.compact(spark, "main", "t", target_files=1)
+
+
 def test_lake_stream_source_cdc_folds_to_head(spark, source_repo, tmp_path):
     """CDC mode: the drained change feed, folded (inserts minus deletes
     per row), equals the table at head — across appends, a pruned DELETE,
