@@ -172,6 +172,8 @@ def main() -> None:
         "json_roundtrip",
         "fuzzy_join_editdist",
         "anomaly_mad",
+        "funnel_conversion",
+        "cohort_retention",
         "multimodal_wav_decode",
         "multimodal_jpeg_decode",
     ):

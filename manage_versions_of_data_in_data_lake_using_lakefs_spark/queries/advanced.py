@@ -2662,6 +2662,40 @@ def _anomaly_oracle() -> str:
     return mad_anomalies_sql("events", key_col="user_id")
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event lake (operators/funnel.py): users
+    whose first view precedes a click precedes a purchase — k−1 chained
+    per-user min aggregations, all shuffles on the high-cardinality user
+    key. Strict ordering semantics; integer-microsecond arithmetic keeps
+    both engines bit-identical."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.funnel import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+def _funnel_oracle() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.funnel import funnel_conversion_sql
+
+    return funnel_conversion_sql("events", ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/funnel.py): cohort =
+    integer day of first event, offsets in positive-integer week
+    divisions — exact in both engines."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def _retention_oracle() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.funnel import cohort_retention_sql
+
+    return cohort_retention_sql("events")
+
+
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "quantiles_scalable": q_quantiles_scalable,
@@ -2729,6 +2763,8 @@ ADVANCED_QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "fuzzy_join_editdist": q_fuzzy_join_editdist,
     "anomaly_mad": q_anomaly_mad,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }
 
 ADVANCED_ORACLES = {
@@ -2798,4 +2834,6 @@ ADVANCED_ORACLES = {
     "graph_pagerank": ORACLE_GRAPH_PAGERANK,
     "fuzzy_join_editdist": _fuzzy_oracle(),
     "anomaly_mad": _anomaly_oracle(),
+    "funnel_conversion": _funnel_oracle(),
+    "cohort_retention": _retention_oracle(),
 }
