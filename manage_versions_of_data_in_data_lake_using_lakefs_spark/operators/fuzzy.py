@@ -68,26 +68,111 @@ def _gram_tokens(text, q: int):
     )
 
 
+def _deletion_variants(text, k: int):
+    """All strings reachable from ``text`` by deleting ≤ k characters
+    (k ∈ {1, 2}), de-duplicated, as a map-side array expression."""
+    ln = F.length(text)
+    one = F.transform(
+        F.sequence(F.lit(1), ln),
+        lambda i: F.concat(text.substr(F.lit(1), i - 1), text.substr(i + 1, ln)),
+    )
+    out = F.concat(F.array(text), one)
+    if k >= 2:
+        two = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(ln - 1, F.lit(0))),
+                lambda i: F.transform(
+                    F.sequence(i + 1, ln),
+                    lambda j: F.concat(
+                        text.substr(F.lit(1), i - 1),
+                        text.substr(i + 1, j - i - 1),
+                        text.substr(j + 1, ln),
+                    ),
+                ),
+            )
+        )
+        out = F.concat(out, two)
+    return F.array_distinct(out)
+
+
+def _symdel_candidates(s: DataFrame, k: int) -> DataFrame:
+    """Candidate pairs via symmetric deletion (SymSpell, public):
+    ed(a,b) ≤ k ⟹ deleting ≤ k characters from EACH reaches a common
+    string (delete a's side of every substituted/deleted alignment
+    position, b's side of every substituted/inserted one). Variants are
+    hashed so only 16-byte keys shuffle. Buckets are near-singleton on
+    key-like data — no frequency pass, no window, two shuffles total —
+    which is why this beats the prefix filter wherever it is applicable
+    (k ≤ 2, bounded length: variant count is C(len, k))."""
+    v = s.select(
+        "id", F.explode(_deletion_variants(F.col("t"), k)).alias("var")
+    ).select("id", F.md5("var").alias("h"))
+    return (
+        v.alias("a")
+        .join(v.alias("b"), "h")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+#: strings longer than this use the prefix-filter path even in auto mode
+#: (C(len, 2) deletion variants per string outgrow the q-gram token count)
+SYMDEL_MAX_LEN = 64
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_dist: int = 1,
     q: int = 3,
+    method: str = "auto",
 ) -> DataFrame:
     """All id pairs (a < b) whose strings are within ``max_dist`` edits.
 
     Returns (a, b, dist) — exact Levenshtein distance, ≤ ``max_dist``.
-    Candidate generation is the prefix-filtered q-gram equi-join described
-    in the module docstring; at no point does the plan form a cross join.
+    Candidate generation never forms a cross join; the final exact filter
+    makes whichever blocking ran invisible in the result.
+
+    ``method``:
+    - ``"symdel"`` — symmetric-deletion blocking (k ≤ 2 only). The right
+      choice for short key-like strings: candidate buckets are
+      near-singleton even on adversarial shared-prefix namespaces where
+      q-gram frequencies collapse (measured on ``Customer#0...``: the
+      prefix filter's (k·q+1)-th rarest token can be shared by a third
+      of the corpus — a single 50M-pair join bucket — while symdel stays
+      ~1:1 candidates:true-pairs).
+    - ``"prefix"`` — the Ed-Join prefix filter (module docstring): any k,
+      any length; cost grows with gram-frequency skew.
+    - ``"auto"`` — one cheap max-length aggregation picks: symdel when
+      k ≤ 2 and every string fits ``SYMDEL_MAX_LEN``, else prefix.
     """
-    k, prefix_len = max_dist, max_dist * q + 1
+    k = max_dist
     s = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(text_col).alias("t"),
         F.length(text_col).alias("len"),
     )
+    if method == "auto":
+        if k <= 2:
+            max_len = s.agg(F.max("len")).first()[0] or 0
+            method = "symdel" if max_len <= SYMDEL_MAX_LEN else "prefix"
+        else:
+            method = "prefix"
+    if method == "symdel":
+        if k > 2:
+            raise ValueError("symdel supports max_dist <= 2; use method='prefix'")
+        return _verify(_symdel_candidates(s, k), s, k)
+    if method != "prefix":
+        raise ValueError(f"unknown method {method!r}: auto | symdel | prefix")
+    return _verify(_prefix_candidates(s, k, q), s, k)
 
+
+def _prefix_candidates(s: DataFrame, k: int, q: int) -> DataFrame:
+    """Ed-Join prefix-filtered candidates (module docstring steps 1-3)
+    plus the short-string length-band block."""
+    prefix_len = k * q + 1
     toks = (
         s.withColumn("tok", F.explode(_gram_tokens(F.col("t"), q)))
         .select("id", "len", F.col("tok.gram").alias("gram"), F.col("tok.copy").alias("copy"))
@@ -128,7 +213,13 @@ def edit_distance_pairs(
         .distinct()
     )
 
-    cand = cand_long.unionByName(cand_short).distinct()
+    return cand_long.unionByName(cand_short).distinct()
+
+
+def _verify(cand: DataFrame, s: DataFrame, k: int) -> DataFrame:
+    """Exact filter: re-attach both strings, apply the length bound and
+    the k-banded levenshtein (early-exit above k). Whatever blocking
+    produced ``cand``, only true ≤ k pairs survive."""
     sa = s.select(F.col("id").alias("a"), F.col("t").alias("ta"), F.col("len").alias("la"))
     sb = s.select(F.col("id").alias("b"), F.col("t").alias("tb"), F.col("len").alias("lb"))
     return (

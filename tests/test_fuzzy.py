@@ -17,9 +17,9 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.fuzzy imp
 from conftest import SF_SMOKE
 
 
-def _pairs(spark, rows, max_dist=1, q=3):
+def _pairs(spark, rows, max_dist=1, q=3, method="auto"):
     df = spark.createDataFrame(rows, "id LONG, t STRING")
-    out = edit_distance_pairs(df, "t", "id", max_dist=max_dist, q=q)
+    out = edit_distance_pairs(df, "t", "id", max_dist=max_dist, q=q, method=method)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -98,6 +98,33 @@ def test_fuzzy_customer_parity_smoke(spark):
     got = _pairs(spark, rows)
     assert got == _brute(rows, 1)
     assert len(got) > 0  # non-vacuous
+
+
+def test_fuzzy_both_methods_agree_with_brute(spark):
+    """symdel and prefix are different blockings over the same exact
+    verify — both must match brute force on the same corpus, k=1 and
+    k=2."""
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000011"),
+        (3, "Xustomer#000000001"),
+        (4, "abc"), (5, "abd"), (6, "abcd"), (7, "zzz"),
+        (8, "hello world"), (9, "hella warld"),
+    ]
+    for k in (1, 2):
+        expect = _brute(rows, k)
+        assert _pairs(spark, rows, max_dist=k, method="symdel") == expect
+        assert _pairs(spark, rows, max_dist=k, method="prefix") == expect
+
+
+def test_fuzzy_auto_routes_long_strings_to_prefix(spark):
+    """auto must not explode C(len,2) deletion variants on long text:
+    strings past SYMDEL_MAX_LEN flip the whole call to the prefix path,
+    which remains exact."""
+    long_a = "x" * 80 + "abcdefgh"
+    long_b = "x" * 80 + "abcdefgi"
+    rows = [(1, long_a), (2, long_b), (3, "short"), (4, "shore")]
+    assert _pairs(spark, rows) == _brute(rows, 1)
 
 
 def test_mad_single_and_even_groups(spark):
