@@ -1310,9 +1310,54 @@ def _oracle_classifier_quality() -> str:
 ORACLE_CLASSIFIER_QUALITY = _oracle_classifier_quality()
 
 
+def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the stopword feature as a univariate detector of
+    the quality label (operators/evaluation.py): Mann-Whitney rank AUC
+    with tie halving, computed WITHOUT a global row sort — one hash
+    aggregation to distinct scores, one window over the score domain
+    only, decimal(38,0) pair sums. The feature-diagnostic pass a
+    curation pipeline runs before committing to a trained filter."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.classifier import quality_features
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select("f_stop", "label")
+    return binary_auc(feats, "f_stop", "label")
+
+
+def q_classifier_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold confusion matrix + precision/recall/F1 (ppm, integer
+    division) for the same univariate detector at 0.36·PPM·8 — one
+    aggregation pass (operators/evaluation.py)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.classifier import quality_features
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import confusion_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select("f_stop", "label")
+    return confusion_metrics(feats, "f_stop", "label", 360000)
+
+
+def _oracle_classifier_eval_auc() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import binary_auc_sql
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.logreg_sql import _feats_cte
+
+    return binary_auc_sql("feats", "f_stop", "label", extra_ctes=_feats_cte() + ",\n")
+
+
+def _oracle_classifier_eval_confusion() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import confusion_metrics_sql
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.logreg_sql import _feats_cte
+
+    return confusion_metrics_sql(
+        "feats", "f_stop", "label", 360000, extra_ctes=_feats_cte() + ",\n"
+    )
+
+
 EXTENSION_QUERIES = {
     "array_hof": q_array_hof,
     "classifier_quality": q_classifier_quality,
+    "classifier_eval_auc": q_classifier_eval_auc,
+    "classifier_eval_confusion": q_classifier_eval_confusion,
     "text_heavy_hitters": q_text_heavy_hitters,
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_pq_refined": q_sim_topk_pq_refined,
@@ -1345,6 +1390,8 @@ EXTENSION_QUERIES = {
 EXTENSION_ORACLES = {
     "array_hof": ORACLE_ARRAY_HOF,
     "classifier_quality": ORACLE_CLASSIFIER_QUALITY,
+    "classifier_eval_auc": _oracle_classifier_eval_auc(),
+    "classifier_eval_confusion": _oracle_classifier_eval_confusion(),
     "text_heavy_hitters": ORACLE_TEXT_HEAVY_HITTERS,
     "sim_topk_pq": ORACLE_SIM_TOPK_PQ,
     "sim_topk_pq_refined": ORACLE_SIM_TOPK_PQ_REFINED,

@@ -1,0 +1,40 @@
+"""Evaluation metrics (round 8): edges the registered oracle pair can't
+see — tie handling in the rank AUC, degenerate separations, threshold
+boundary inclusivity."""
+
+from __future__ import annotations
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import (
+    binary_auc,
+    confusion_metrics,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "s LONG, label INT")
+
+
+def test_auc_perfect_and_inverted_and_random(spark):
+    perfect = _df(spark, [(10, 1), (11, 1), (1, 0), (2, 0)])
+    assert binary_auc(perfect, "s", "label").first().auc_ppm == 1_000_000
+    inverted = _df(spark, [(1, 1), (2, 1), (10, 0), (11, 0)])
+    assert binary_auc(inverted, "s", "label").first().auc_ppm == 0
+    # all scores identical → every pair ties → AUC exactly 1/2
+    flat = _df(spark, [(5, 1), (5, 1), (5, 0), (5, 0), (5, 0)])
+    r = binary_auc(flat, "s", "label").first()
+    assert (r.n_pos, r.n_neg, r.auc_ppm) == (2, 3, 500_000)
+
+
+def test_auc_ties_count_half(spark):
+    # pos scores [2, 1], neg [1]: pairs (2>1)=1, (1==1)=0.5 → AUC=0.75
+    df = _df(spark, [(2, 1), (1, 1), (1, 0)])
+    assert binary_auc(df, "s", "label").first().auc_ppm == 750_000
+
+
+def test_confusion_threshold_is_inclusive(spark):
+    df = _df(spark, [(10, 1), (9, 1), (10, 0), (0, 0)])
+    r = confusion_metrics(df, "s", "label", 10).first()
+    # score >= 10 predicts positive: tp=1 (10,1), fn=1 (9,1), fp=1 (10,0), tn=1
+    assert (r.tp, r.fp, r.tn, r.fn) == (1, 1, 1, 1)
+    assert r.precision_ppm == 500_000 and r.recall_ppm == 500_000
+    assert r.f1_ppm == 500_000
