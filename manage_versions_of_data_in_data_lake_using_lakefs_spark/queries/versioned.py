@@ -332,6 +332,45 @@ def _oracle_vector_lake_search() -> str:
 ORACLE_VECTOR_LAKE_SEARCH = _oracle_vector_lake_search()
 
 
+def q_versioned_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query answering (r8): COUNT(*)/COUNT(col)/MIN/MAX
+    over a committed table answered from the footer-stats manifests with
+    ZERO data-file reads — the Delta/Iceberg dashboard-probe
+    optimization (tests/test_meta_agg.py proves the no-scan property by
+    deleting the parquet files and asking again). Two separate appends
+    so the answer aggregates across file groups; the oracle scans the
+    same rows from raw parquet."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    repo.write_table("main", "li_gold", li.where(F.col("l_orderkey") % 2 == 0))
+    repo.commit("main", "even half")
+    repo.write_table(
+        "main", "li_gold", li.where(F.col("l_orderkey") % 2 == 1), mode="append"
+    )
+    repo.commit("main", "odd half")
+    return LakeSQL(spark, repo, "main").sql(
+        "SELECT COUNT(*) AS n, COUNT(l_partkey) AS n_pk, "
+        "MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok, "
+        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price "
+        "FROM li_gold"
+    )
+
+
+ORACLE_VERSIONED_META_AGG = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(l_partkey) AS BIGINT) AS n_pk,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_ok,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+"""
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
@@ -340,6 +379,7 @@ VERSIONED_QUERIES = {
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
     "vector_lake_search": q_vector_lake_search,
+    "versioned_meta_agg": q_versioned_meta_agg,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -450,4 +490,5 @@ VERSIONED_ORACLES = {
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,
+    "versioned_meta_agg": ORACLE_VERSIONED_META_AGG,
 }

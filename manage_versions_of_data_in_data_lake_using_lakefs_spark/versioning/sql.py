@@ -723,6 +723,88 @@ class LakeSQL:
         re.IGNORECASE | re.DOTALL,
     )
 
+    _META_AGG_RE = re.compile(
+        rf"^\s*SELECT\s+(?P<aggs>[^;]+?)\s+FROM\s+(?P<table>{_IDENT})\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _META_ITEM_RE = re.compile(
+        r"^\s*(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|[A-Za-z_]\w*)\s*\)"
+        r"\s*(?:AS\s+(?P<alias>\w+))?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _metadata_agg(self, query: str) -> DataFrame | None:
+        """Answer ``SELECT COUNT(*)/COUNT(c)/MIN(c)/MAX(c) FROM t`` from
+        the stats manifests alone — ZERO data-file reads (the
+        Delta/Iceberg metadata-query optimization). Strictly conservative:
+        any doubt (missing manifests, stats-less or string-bounded
+        columns, ALTER history mapping logical names away from the
+        physical stats, a WHERE/GROUP BY, anything unparsed) returns
+        None and the normal scan path runs. COUNT(col) uses exact footer
+        null counts; MIN/MAX decline on string stats because parquet
+        footers may truncate string bounds (safe to prune on, not to
+        report). Sees the same staged-inclusive state as scans."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
+
+        m = self._META_AGG_RE.match(query)
+        if not m:
+            return None
+        if re.search(r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|JOIN|UNION)\b", query, re.I):
+            return None
+        try:
+            table = self._resolve_table(m.group("table").strip("`"))
+        except KeyError:
+            return None
+        if self.repo.table_schema_map(table, ref=self.branch) is not None:
+            return None  # stats speak PHYSICAL names; evolved tables scan
+        items: list[tuple[str, str]] = []
+        names: list[str] = []
+        for part in m.group("aggs").split(","):
+            im = self._META_ITEM_RE.match(part)
+            if not im:
+                return None
+            fn, arg = im.group("fn").lower(), im.group("arg").strip()
+            items.append((fn, arg))
+            names.append(
+                im.group("alias")
+                or (f"{fn}(1)" if arg == "*" and fn == "count" else f"{fn}({arg})")
+            )
+        try:
+            entries = self.repo.current_files(self.branch, table)
+        except KeyError:
+            return None
+        values = stats_mod.metadata_aggregate(self.repo.root, entries, items)
+        if values is None:
+            return None
+        # result types should match what the scan path would produce:
+        # counts are BIGINT; MIN/MAX carry the column's own type, read
+        # from one footer via the normal plan. If even the footers are
+        # unreachable the values still stand (they come from manifests)
+        # — fall back to the JSON value's natural type, widened
+        # (int→bigint, float→double).
+        try:
+            schema = self.repo.read_table(self.spark, table, ref=self.branch).schema
+            by_name = {f.name.lower(): f.dataType.simpleString() for f in schema.fields}
+        except Exception:
+            by_name = {}
+        cols = []
+        for (fn, arg), name, v in zip(items, names, values):
+            if fn == "count":
+                cols.append(F.lit(v).cast("bigint").alias(name))
+                continue
+            dtype = by_name.get(arg.lower())
+            if dtype is None:
+                if isinstance(v, bool) or v is None:
+                    dtype = "boolean" if isinstance(v, bool) else None
+                elif isinstance(v, int):
+                    dtype = "bigint"
+                elif isinstance(v, float):
+                    dtype = "double"
+                if dtype is None:
+                    return None
+            cols.append(F.lit(v).cast(dtype).alias(name))
+        return self.spark.range(1).select(*cols)
+
     def _auto_prune_where(self, query: str) -> dict[str, str]:
         """{table_lower: where_text} when the query is a simple
         single-table SELECT whose WHERE can safely file-prune that
@@ -1348,6 +1430,10 @@ class LakeSQL:
         m = _UPDATE_RE.match(query)
         if m:
             return self._update(m.group("table"), m.group("sets"), m.group("cond"))
+
+        meta = self._metadata_agg(query)
+        if meta is not None:
+            return meta
 
         # 1) mask string literals: nothing inside quotes is a table
         #    reference or a time-travel clause
