@@ -240,3 +240,77 @@ def interval_join(
         .where((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
         .drop("_bin")
     )
+
+
+def resample_ohlc(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Time-bucket downsampling to OHLC bars: per (key, bucket) the
+    first/last/max/min value plus the row count — the finance-style
+    complement to ``resample_locf`` (which fills gaps; this one
+    summarizes). ONE hash aggregation: open/close ride ``min_by`` /
+    ``max_by`` over the total order (µs, id) — no window, no per-bucket
+    sort, so the plan is a single shuffle on (key, bucket) with map-side
+    partial aggregation, the shape that survives any table size. The
+    (ts, id) tiebreak makes same-microsecond events deterministic.
+    The DuckDB oracle spells the same semantics as rank-selects
+    (arg_min there can't order by a composite) — divergent spellings,
+    identical answers, which is exactly what the hash check certifies.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    b = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("bucket"),
+        F.struct(us.alias("us"), F.col(id_col).alias("id")).alias("ord"),
+        F.col(val_col).alias("v"),
+    )
+    return (
+        b.groupBy("key", "bucket")
+        .agg(
+            F.min_by("v", "ord").alias("open"),
+            F.max_by("v", "ord").alias("close"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("key").alias(key_col), "bucket", "open", "close", "high", "low", "n_events"
+        )
+    )
+
+
+def resample_ohlc_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    bucket_us: int,
+) -> str:
+    """DuckDB twin of ``resample_ohlc`` (kept adjacent): rank-select
+    spelling of the same (µs, id)-ordered first/last semantics."""
+    return f"""
+WITH b AS (
+    SELECT {key_col} AS key,
+           epoch_us({ts_col}) // {bucket_us} AS bucket,
+           epoch_us({ts_col}) AS us, {id_col} AS id, {val_col} AS v
+    FROM {table}
+),
+r AS (
+    SELECT key, bucket, v,
+           row_number() OVER (PARTITION BY key, bucket ORDER BY us, id) AS ra,
+           row_number() OVER (PARTITION BY key, bucket ORDER BY us DESC, id DESC) AS rd
+    FROM b
+)
+SELECT key AS {key_col}, bucket,
+       MAX(CASE WHEN ra = 1 THEN v END) AS open,
+       MAX(CASE WHEN rd = 1 THEN v END) AS close,
+       MAX(v) AS high, MIN(v) AS low,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r GROUP BY key, bucket
+"""

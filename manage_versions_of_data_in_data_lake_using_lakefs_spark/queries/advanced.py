@@ -2696,6 +2696,26 @@ def _retention_oracle() -> str:
     return cohort_retention_sql("events")
 
 
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling of the event stream to 6-hour bars per user
+    (operators/temporal.resample_ohlc): one hash aggregation, open/close
+    via min_by/max_by over the total (µs, event_id) order. The oracle
+    spells the same semantics as rank-selects — divergent plans, one
+    answer."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import resample_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ohlc(ev, "user_id", "ts", "value", "event_id", 21_600_000_000)
+
+
+def _ohlc_oracle() -> str:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import resample_ohlc_sql
+
+    return resample_ohlc_sql(
+        "events", "user_id", "ts", "value", "event_id", 21_600_000_000
+    )
+
+
 ADVANCED_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "quantiles_scalable": q_quantiles_scalable,
@@ -2765,6 +2785,7 @@ ADVANCED_QUERIES = {
     "anomaly_mad": q_anomaly_mad,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "resample_ohlc": q_resample_ohlc,
 }
 
 ADVANCED_ORACLES = {
@@ -2836,4 +2857,5 @@ ADVANCED_ORACLES = {
     "anomaly_mad": _anomaly_oracle(),
     "funnel_conversion": _funnel_oracle(),
     "cohort_retention": _retention_oracle(),
+    "resample_ohlc": _ohlc_oracle(),
 }
