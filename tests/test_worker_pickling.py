@@ -150,13 +150,30 @@ def test_lake_stream_source_class_ships_by_value(tmp_path):
     def probe():
         import types
 
+        def field(n, t):
+            return types.SimpleNamespace(
+                name=n, dataType=types.SimpleNamespace(simpleString=lambda t=t: t)
+            )
+
         src = cls(options={"mode": "cdc"})
         schema = types.SimpleNamespace(
-            fieldNames=lambda: ["k", "v", "_change_type", "_commit_version"]
+            fieldNames=lambda: ["k", "v", "_change_type", "_commit_version"],
+            fields=[
+                field("k", "bigint"),
+                field("v", "bigint"),
+                field("_change_type", "string"),
+                field("_commit_version", "bigint"),
+            ],
         )
         reader = src.streamReader(schema)
+        # the plan shape partitions() ships: (logical, alias chain,
+        # partition constant, absent_ok) per stream field
         part = types.SimpleNamespace(
-            path=pfile, fields=reader.fields, change_type="insert", version=7
+            path=pfile,
+            colspec=(("k", ("k",), None, False), ("v", ("v",), None, False)),
+            allowed=frozenset({"k", "v"}),
+            change_type="insert",
+            version=7,
         )
         rows = list(reader.read(part))
         assert rows == [(1, 10, "insert", 7), (2, 20, "insert", 7)], rows
