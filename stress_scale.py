@@ -332,10 +332,54 @@ def main() -> None:
 
         return decode_jpeg_stats(synthesize_jpeg_media(d.select("doc_id")))
 
+    ev_full = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+    def replicate_events_full(e: DataFrame, k: int) -> DataFrame:
+        reps = e.sparkSession.range(k).select(F.col("id").alias("_rep"))
+        return e.crossJoin(reps).select(
+            (F.col("user_id") * k + F.col("_rep")).alias("user_id"),
+            "event_type", "ts",
+            (F.col("event_id") * k + F.col("_rep")).alias("event_id"),
+            "value",
+        )
+
+    def op_funnel(x: DataFrame) -> DataFrame:
+        # chained per-user min aggregations; users grow k×, per-user
+        # series stay original-sized — flat per-row cost expected
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.funnel import funnel_conversion
+
+        return funnel_conversion(x, ["view", "click", "purchase"])
+
+    def op_retention(x: DataFrame) -> DataFrame:
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.funnel import cohort_retention
+
+        return cohort_retention(x)
+
+    def op_ohlc(x: DataFrame) -> DataFrame:
+        # one hash aggregation; (key, bucket) groups grow k× in count
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.temporal import resample_ohlc
+
+        return resample_ohlc(x, "user_id", "ts", "value", "event_id", 21_600_000_000)
+
+    def op_auc(d: DataFrame) -> DataFrame:
+        # hash-agg to distinct scores + a window over the score domain
+        # ONLY — the domain is ppm-bounded, so the window input stays
+        # constant as the data grows: ratio should drop well below 1
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.classifier import quality_features
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import binary_auc
+
+        return binary_auc(quality_features(d).select("f_stop", "label"), "f_stop", "label")
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
         "fuzzy_join_editdist": (cust, replicate_customer, op_fuzzy),
         "anomaly_mad": (ev, replicate_events, op_anomaly),
+        "funnel_conversion": (ev_full, replicate_events_full, op_funnel),
+        "cohort_retention": (ev_full, replicate_events_full, op_retention),
+        "resample_ohlc": (ev_full, replicate_events_full, op_ohlc),
+        "classifier_eval_auc": (docs, replicate_documents, op_auc),
         "multimodal_wav_decode": (docs, replicate_documents, op_wav),
         "multimodal_jpeg_decode": (docs, replicate_documents, op_jpeg),
         "resample_locf": (ev, replicate_events, op_resample),
