@@ -29,7 +29,11 @@ _PPM = 1_000_000
 
 
 def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
-    """One row: (n_pos, n_neg, auc_ppm) — exact rank-based ROC-AUC."""
+    """One row: (n_pos, n_neg, auc_ppm) — exact rank-based ROC-AUC.
+    NULL scores carry no ranking signal and Spark/DuckDB disagree on
+    their ORDER BY placement — excluded up front (same rule as
+    operators/anomaly.py)."""
+    df = df.where(F.col(score_col).isNotNull())
     per_score = df.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.col(label_col).cast("long")).alias("np"),
         F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("nn"),
@@ -72,7 +76,7 @@ WITH {extra_ctes}per_score AS (
     SELECT {score_col} AS s,
            CAST(SUM({label_col}) AS HUGEINT) AS np,
            CAST(SUM(1 - {label_col}) AS HUGEINT) AS nn
-    FROM {table_expr} GROUP BY 1
+    FROM {table_expr} WHERE {score_col} IS NOT NULL GROUP BY 1
 ),
 u AS (
     SELECT np, nn,

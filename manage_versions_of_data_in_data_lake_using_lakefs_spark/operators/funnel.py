@@ -73,12 +73,14 @@ def funnel_conversion_sql(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> str:
-    """DuckDB twin of ``funnel_conversion`` (kept adjacent)."""
+    """DuckDB twin of ``funnel_conversion`` (kept adjacent). Step names
+    are SQL-escaped — they are data values, not identifiers."""
+    esc = [s.replace("'", "''") for s in steps]
     ctes = [
         f"s1 AS (SELECT {user_col} AS u, MIN(epoch_us({ts_col})) AS entry "
-        f"FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY 1)"
+        f"FROM {table} WHERE {type_col} = '{esc[0]}' GROUP BY 1)"
     ]
-    for i, step in enumerate(steps[1:], start=2):
+    for i, step in enumerate(esc[1:], start=2):
         ctes.append(
             f"s{i} AS (SELECT e.{user_col} AS u, MIN(epoch_us(e.{ts_col})) AS entry "
             f"FROM {table} e JOIN s{i - 1} p ON e.{user_col} = p.u "
@@ -88,7 +90,7 @@ def funnel_conversion_sql(
     selects = [
         f"SELECT CAST({i} AS INT) AS step, '{step}' AS step_name, "
         f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
-        for i, step in enumerate(steps, start=1)
+        for i, step in enumerate(esc, start=1)
     ]
     return (
         "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -318,6 +318,13 @@ def make_lake_stream_source():
                 )
             return float(v)
         if ddl == "date":
+            # strict gate first: Python 3.11's fromisoformat also accepts
+            # compact/week forms ('20240101') Spark's discovery rejects
+            if not _DATE_RE.match(v):
+                raise ValueError(
+                    f"lake stream source: partition value {v!r} is not a "
+                    f"valid date literal (yyyy-mm-dd)"
+                )
             return datetime.date.fromisoformat(v)
         return v
 
@@ -667,18 +674,21 @@ def make_lake_stream_source():
                 # column has a type — O(eras), not O(total files), at
                 # stream start (pre-r6 maps with no base fall back to
                 # the full walk: the sorted-tail rule needs every name)
-                needed: set[str] | None = None
-                if smap.get("base"):
-                    need_order = list(smap["base"])
+                def _replay_order(base: list[str]) -> list[str]:
+                    order = list(base)
                     for st in smap["steps"]:
                         op = st["op"]
-                        if op == "rename" and st["from"] in need_order:
-                            need_order[need_order.index(st["from"])] = st["to"]
-                        elif op == "drop" and st["name"] in need_order:
-                            need_order.remove(st["name"])
-                        elif op == "add" and st["name"] not in need_order:
-                            need_order.append(st["name"])
-                    needed = set(need_order) | set(declared)
+                        if op == "rename" and st["from"] in order:
+                            order[order.index(st["from"])] = st["to"]
+                        elif op == "drop" and st["name"] in order:
+                            order.remove(st["name"])
+                        elif op == "add" and st["name"] not in order:
+                            order.append(st["name"])
+                    return order
+
+                needed: set[str] | None = None
+                if smap.get("base"):
+                    needed = set(_replay_order(smap["base"])) | set(declared)
                 seen_phys: dict[str, object] = {}
                 for rel, _pv in reversed(files):
                     sch = pq.ParquetFile(
@@ -706,15 +716,7 @@ def make_lake_stream_source():
                 types.update(declared)
                 # logical order: recorded base order + step replay, then
                 # a deterministic sorted tail — mirrors apply_schema_map
-                order = list(smap.get("base") or [])
-                for st in smap["steps"]:
-                    op = st["op"]
-                    if op == "rename" and st["from"] in order:
-                        order[order.index(st["from"])] = st["to"]
-                    elif op == "drop" and st["name"] in order:
-                        order.remove(st["name"])
-                    elif op == "add" and st["name"] not in order:
-                        order.append(st["name"])
+                order = _replay_order(smap.get("base") or [])
                 cols = [cn for cn in order if cn in types] + sorted(
                     cn for cn in types if cn not in order
                 )

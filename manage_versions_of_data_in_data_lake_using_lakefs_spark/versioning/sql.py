@@ -778,15 +778,12 @@ class LakeSQL:
             return None
         # result types should match what the scan path would produce:
         # counts are BIGINT; MIN/MAX carry the column's own type, read
-        # from one footer via the normal plan. If even the footers are
-        # unreachable the values still stand (they come from manifests)
-        # — fall back to the JSON value's natural type, widened
-        # (int→bigint, float→double).
-        try:
-            schema = self.repo.read_table(self.spark, table, ref=self.branch).schema
-            by_name = {f.name.lower(): f.dataType.simpleString() for f in schema.fields}
-        except Exception:
-            by_name = {}
+        # from ONE parquet footer (building the full batch reader here
+        # would re-pay the O(files) listing the fast path exists to
+        # avoid). If even that footer is unreachable the values still
+        # stand (they come from manifests) — fall back to the JSON
+        # value's natural type, widened (int→bigint, float→double).
+        by_name = self._one_footer_types(entries)
         cols = []
         for (fn, arg), name, v in zip(items, names, values):
             if fn == "count":
@@ -804,6 +801,46 @@ class LakeSQL:
                     return None
             cols.append(F.lit(v).cast(dtype).alias(name))
         return self.spark.range(1).select(*cols)
+
+    def _one_footer_types(self, entries: list[str]) -> dict[str, str]:
+        """Column→Spark-DDL types from the first reachable parquet
+        footer of a snapshot. Only called for non-evolved tables (one
+        uniform physical schema), so one footer speaks for all files.
+        Best-effort: {} on any failure (callers widen from values)."""
+        import pyarrow.parquet as pq
+
+        _ARROW_DDL = {
+            "int8": "tinyint", "int16": "smallint", "int32": "int",
+            "int64": "bigint", "float": "float", "double": "double",
+            "bool": "boolean", "string": "string", "large_string": "string",
+            "date32[day]": "date",
+        }
+        try:
+            first = os.path.join(self.repo.root, entries[0])
+            if os.path.isdir(first):
+                parts = sorted(
+                    os.path.join(dp, fn)
+                    for dp, _d, fns in os.walk(first)
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                )
+                first = parts[0]
+            out = {}
+            for f in pq.ParquetFile(first).schema_arrow:
+                s = str(f.type)
+                if s in _ARROW_DDL:
+                    out[f.name.lower()] = _ARROW_DDL[s]
+                elif s.startswith("timestamp"):
+                    out[f.name.lower()] = (
+                        "timestamp" if getattr(f.type, "tz", None) else "timestamp_ntz"
+                    )
+                elif s.startswith("decimal"):
+                    out[f.name.lower()] = (
+                        f"decimal({f.type.precision},{f.type.scale})"
+                    )
+            return out
+        except (OSError, IndexError, ValueError):
+            return {}
 
     def _auto_prune_where(self, query: str) -> dict[str, str]:
         """{table_lower: where_text} when the query is a simple
