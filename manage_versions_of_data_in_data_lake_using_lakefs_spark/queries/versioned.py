@@ -371,6 +371,41 @@ FROM lineitem
 """
 
 
+def q_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (r8 — Delta's DV model): a row-level
+    delete that rewrites ZERO files — matching (file, position) pairs
+    land in a hidden companion table and every read anti-joins them
+    away (repo.delete_where_dv). Output: surviving-row aggregates
+    (parity vs the oracle's plain filter proves the vector deletes
+    exactly the right rows) plus a files_untouched flag pinned at 1 —
+    any regression to a rewrite flips it to 0 and fails the hash."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+
+    repo = _fresh_repo()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    repo.write_table("main", "orders_t", orders.repartition(4))
+    repo.commit("main", "base")
+    before = set(repo.current_files("main", "orders_t"))
+    repo.delete_where_dv(spark, "main", "orders_t", "o_orderkey % 10 < 3")
+    untouched = int(set(repo.current_files("main", "orders_t")) == before)
+    return repo.read_table(spark, "orders_t", "main").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.lit(untouched).cast("int").alias("files_untouched"),
+    )
+
+
+ORACLE_VERSIONED_DV_DELETE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_totalprice,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(1 AS INTEGER) AS files_untouched
+FROM orders WHERE NOT (o_orderkey % 10 < 3)
+"""
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
@@ -380,6 +415,7 @@ VERSIONED_QUERIES = {
     "versioned_schema_evolution": q_versioned_schema_evolution,
     "vector_lake_search": q_vector_lake_search,
     "versioned_meta_agg": q_versioned_meta_agg,
+    "versioned_dv_delete": q_versioned_dv_delete,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -491,4 +527,5 @@ VERSIONED_ORACLES = {
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,
     "versioned_meta_agg": ORACLE_VERSIONED_META_AGG,
+    "versioned_dv_delete": ORACLE_VERSIONED_DV_DELETE,
 }

@@ -344,8 +344,45 @@ def make_lake_stream_source():
         chain.reverse()
         return chain
 
+    def _dv_positions(root, dv_entries, cap=2_000_000):
+        """file_rel → frozenset of deleted row positions, read from the
+        DV companion table's parquet (driver-side pyarrow — DV commits
+        are metadata-sized by design; the loud cap catches a vector that
+        outgrew the driver, where the remedy is OPTIMIZE to materialize
+        the deletions)."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        n = 0
+        for rel, _pv in _expand_entries(root, dv_entries):
+            t = pq.ParquetFile(os.path.join(root, rel)).read(
+                columns=["file", "pos"]
+            )
+            files = t.column("file").to_pylist()
+            poss = t.column("pos").to_pylist()
+            n += len(poss)
+            if n > cap:
+                raise ValueError(
+                    f"lake stream source: deletion vector exceeds {cap} "
+                    f"positions — too large to thread through the change "
+                    f"feed; OPTIMIZE the table to materialize the "
+                    f"deletions, then restart the stream past it"
+                )
+            for f, p in zip(files, poss):
+                out.setdefault(f, set()).add(int(p))
+        return {k: frozenset(v) for k, v in out.items()}
+
     class _FilePartition(InputPartition):
-        def __init__(self, path, colspec, allowed, change_type=None, version=None):
+        def __init__(
+            self,
+            path,
+            colspec,
+            allowed,
+            change_type=None,
+            version=None,
+            include_pos=None,
+            exclude_pos=None,
+        ):
             self.path = path
             #: per output column: (logical name, era-ordered alias tuple
             #: to resolve against the file's physical columns, constant)
@@ -358,6 +395,11 @@ def make_lake_stream_source():
             # (_change_type, _commit_version)
             self.change_type = change_type
             self.version = version
+            #: deletion-vector row selection (CDC): emit ONLY these file
+            #: positions (a DV-delete's rows) / emit all EXCEPT these
+            #: (rows a parent-snapshot DV had already deleted)
+            self.include_pos = include_pos
+            self.exclude_pos = exclude_pos
 
     class _LakeStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema):
@@ -459,7 +501,13 @@ def make_lake_stream_source():
                 )
                 prev_entries = parent.tables.get(table, []) if parent else []
                 cur_entries = c.tables.get(table, [])
-                if cur_entries == prev_entries:
+                # deletion-vector companion (repo.DV_PREFIX + table): a
+                # commit may delete rows by ONLY touching the vector
+                dvt = "__dv__" + table
+                dv_prev_entries = parent.tables.get(dvt, []) if parent else []
+                dv_cur_entries = c.tables.get(dvt, [])
+                dv_changed = dv_cur_entries != dv_prev_entries
+                if cur_entries == prev_entries and not dv_changed:
                     continue  # commit did not touch this table
                 if c.meta.get("data_change") is False:
                     # the writer asserts this commit is a pure
@@ -499,10 +547,26 @@ def make_lake_stream_source():
                     # 'insert' rows — FILE-granularity CDF: a rewrite
                     # emits delete+insert for every row of the rewritten
                     # files (like Delta CDF without change files), so the
-                    # feed is multiset-correct to fold, not row-minimal
-                    for tag, group in (
-                        ("delete", sorted(removed)),
-                        ("insert", sorted(cur - prev)),
+                    # feed is multiset-correct to fold, not row-minimal.
+                    # Deletion vectors thread through as row positions:
+                    # a removed file's delete rows EXCLUDE positions its
+                    # parent-snapshot DV had already deleted (else the
+                    # fold double-deletes them), an added file's inserts
+                    # exclude the current DV, and a DV-only commit emits
+                    # delete rows at exactly the newly vectored positions.
+                    dv_prev_pos = (
+                        _dv_positions(repo.root, dv_prev_entries)
+                        if dv_prev_entries and (removed or dv_changed)
+                        else {}
+                    )
+                    dv_cur_pos = (
+                        _dv_positions(repo.root, dv_cur_entries)
+                        if dv_cur_entries and dv_changed
+                        else dv_prev_pos
+                    )
+                    for tag, group, dvpos in (
+                        ("delete", sorted(removed), dv_prev_pos),
+                        ("insert", sorted(cur - prev), dv_cur_pos),
                     ):
                         for fpv in group:
                             spec, allowed = self._plan_file(
@@ -515,9 +579,51 @@ def make_lake_stream_source():
                                     allowed,
                                     tag,
                                     c.version,
+                                    exclude_pos=dvpos.get(fpv[0]),
+                                )
+                            )
+                    if dv_changed:
+                        for rel_pv in sorted(prev & cur):
+                            rel = rel_pv[0]
+                            newly = frozenset(
+                                dv_cur_pos.get(rel, frozenset())
+                                - dv_prev_pos.get(rel, frozenset())
+                            )
+                            undeleted = dv_prev_pos.get(
+                                rel, frozenset()
+                            ) - dv_cur_pos.get(rel, frozenset())
+                            if undeleted:
+                                raise ValueError(
+                                    f"lake stream source (mode=cdc): version "
+                                    f"{c.version} REMOVED deletion-vector "
+                                    f"positions for surviving file {rel} "
+                                    f"(un-delete) — not representable as a "
+                                    f"change feed; restart past this version"
+                                )
+                            if not newly:
+                                continue
+                            spec, allowed = self._plan_file(
+                                rel_pv, chains, consumed, declared
+                            )
+                            parts.append(
+                                _FilePartition(
+                                    os.path.join(repo.root, rel),
+                                    spec,
+                                    allowed,
+                                    "delete",
+                                    c.version,
+                                    include_pos=newly,
                                 )
                             )
                     continue
+                if dv_changed and not ignore:
+                    raise ValueError(
+                        f"lake stream source: version {c.version} changed "
+                        f"the deletion vector of {table} (row-level "
+                        f"DELETE); the append-only stream cannot represent "
+                        f"it — set ignorechanges=true to skip deletions, "
+                        f"or mode=cdc to stream the delete rows"
+                    )
                 if (removed or miss_prev) and not ignore:
                     vac = (
                         f" ({len(miss_prev)} already vacuumed — mode=cdc "
@@ -598,13 +704,21 @@ def make_lake_stream_source():
                 t.column(v).to_pylist() if kind == "f" else [v] * n
                 for kind, v in plan
             ]
-            if partition.change_type is None:
-                for row in zip(*cols):
-                    yield row
-            else:
-                tag = (partition.change_type, partition.version)
-                for row in zip(*cols):
-                    yield row + tag
+            inc = getattr(partition, "include_pos", None)
+            exc = getattr(partition, "exclude_pos", None)
+            tag = (
+                (partition.change_type, partition.version)
+                if partition.change_type is not None
+                else None
+            )
+            # pyarrow reads the file in order, so enumerate() IS the
+            # parquet row index the deletion vectors speak
+            for i, row in enumerate(zip(*cols)):
+                if inc is not None and i not in inc:
+                    continue
+                if exc is not None and i in exc:
+                    continue
+                yield row + tag if tag is not None else row
 
     class LakeStreamSource(DataSource):
         """format("lakegraft_stream"): options root, branch, table,

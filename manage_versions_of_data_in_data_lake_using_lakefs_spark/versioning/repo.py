@@ -71,6 +71,13 @@ class DirtyBranchError(Exception):
     the caller must ``commit`` or ``reset`` first."""
 
 
+#: hidden companion-table prefix for deletion vectors: `__dv__<table>`
+#: holds (file string, pos long) rows — positions deleted from the named
+#: physical file. Riding the ordinary snapshot machinery is what makes
+#: DVs branch/merge/time-travel/vacuum/manifest-spill correct for free.
+DV_PREFIX = "__dv__"
+
+
 class LakeRepo:
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
@@ -297,6 +304,7 @@ class LakeRepo:
         partition_by: list[str] | None = None,
         txn: dict | None = None,
         bloom_cols: list[str] | None = None,
+        _internal: bool = False,
     ) -> str:
         """Stage a table write on a branch (uncommitted until ``commit``,
         mirroring lakeFS's upload-then-commit two-phase flow,
@@ -314,6 +322,11 @@ class LakeRepo:
         writer's crash-recovery guarantee."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
+        if table.startswith(DV_PREFIX) and not _internal:
+            raise ValueError(
+                f"table names starting with {DV_PREFIX!r} are reserved for "
+                f"deletion vectors (delete_where_dv)"
+            )
         smap = self.table_schema_map(table, ref=branch)
         consumed = self._consumed_names(smap)
         generated = self._generated_names(smap)
@@ -442,6 +455,14 @@ class LakeRepo:
                 entry["files"].append(rel)
                 if same_writer:
                     entry["txn"] = dict(txn)
+            if not _internal and mode == "overwrite":
+                # an overwrite replaces every row, so any deletion vector
+                # over the old files is obsolete — drop it in the same
+                # staged unit (compaction/DML rewrites route through here
+                # too, after reading the DV-applied table)
+                dvt = DV_PREFIX + table
+                if dvt in staged or dvt in self.get_commit(ref["head"]).tables:
+                    staged[dvt] = {"files": [], "op": "drop"}
             self._write_ref(branch, ref)
         return rel
 
@@ -1077,6 +1098,9 @@ class LakeRepo:
         with RepoLock(self.root):
             ref = self._read_ref(branch)
             ref["staged"][table] = {"files": [], "op": "drop"}
+            dvt = DV_PREFIX + table
+            if dvt in ref["staged"] or dvt in self.get_commit(ref["head"]).tables:
+                ref["staged"][dvt] = {"files": [], "op": "drop"}
             self._write_ref(branch, ref)
         self._drop_constraints_object(branch, table)
         self._drop_schema_map_object(branch, table)
@@ -1220,7 +1244,9 @@ class LakeRepo:
 
     # -- reads (V3/V14) ----------------------------------------------------
     def list_tables(self, ref: str = "main") -> list[str]:
-        return sorted(self._resolve(ref).tables)
+        return sorted(
+            t for t in self._resolve(ref).tables if not t.startswith(DV_PREFIX)
+        )
 
     def read_table(
         self,
@@ -1249,6 +1275,7 @@ class LakeRepo:
         # schemas across files, so the union schema is required for the
         # mapping replay to see every era's columns
         ms = merge_schema or bool(steps)
+        dv = self._dv_entries_for(table, ref, version_as_of, include_staged)
         if include_staged and version_as_of is None and os.path.exists(self._ref_file(ref)):
             refd = self._read_ref(ref)
             entry = refd["staged"].get(table)
@@ -1256,15 +1283,119 @@ class LakeRepo:
                 if entry["op"] == "drop":
                     raise KeyError(f"table {table} dropped in staging on {ref}")
                 files = entry["files"]
-                df = self._read_files(spark, self._pruned(files, prune_where), ms)
+                df = self._read_files(
+                    spark, self._pruned(files, prune_where), ms, with_lineage=bool(dv)
+                )
+                df = self._apply_dv(spark, df, dv) if dv else df
                 return self.apply_schema_map(df, steps) if steps else df
         c = self._resolve(ref, version_as_of)
         if table not in c.tables:
             raise KeyError(f"table {table} not in snapshot {c.id[:8]} ({ref})")
         df = self._read_files(
-            spark, self._pruned(c.tables[table], prune_where), ms
+            spark, self._pruned(c.tables[table], prune_where), ms, with_lineage=bool(dv)
         )
+        df = self._apply_dv(spark, df, dv) if dv else df
         return self.apply_schema_map(df, steps) if steps else df
+
+    def _dv_entries_for(
+        self, table: str, ref: str, version_as_of: int | None, include_staged: bool
+    ) -> list[str] | None:
+        """The deletion-vector entries that apply to a read of ``table``
+        at the same (ref, version, staged) coordinates — layered exactly
+        like the table lookup itself."""
+        dvt = DV_PREFIX + table
+        if table.startswith(DV_PREFIX):
+            return None  # the DV table itself is read raw
+        if (
+            include_staged
+            and version_as_of is None
+            and os.path.exists(self._ref_file(ref))
+        ):
+            entry = self._read_ref(ref)["staged"].get(dvt)
+            if entry is not None:
+                if entry["op"] == "drop" or not entry["files"]:
+                    return None
+                return list(entry["files"])
+        try:
+            c = self._resolve(ref, version_as_of)
+        except (KeyError, FileNotFoundError):
+            return None
+        ent = c.tables.get(dvt)
+        return list(ent) if ent else None
+
+    def _apply_dv(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        dv_entries: list[str],
+        keep_lineage: bool = False,
+    ) -> DataFrame:
+        """Filter out deletion-vectored rows: one anti-join of the
+        lineage-tagged scan against the (file, pos) DV rows — Delta's
+        deletion-vector read semantics. Shuffle-free when the DV side
+        broadcasts (typical: a few positions per file); never rewrites
+        data."""
+        dv = self._read_files(spark, dv_entries)
+        prefix = "file:" + self.root + os.sep
+        anti = dv.select(
+            F.concat(F.lit(prefix), F.col("file")).alias("__lg_fp"),
+            F.col("pos").alias("__lg_ri"),
+        )
+        out = df.join(anti, ["__lg_fp", "__lg_ri"], "left_anti")
+        return out if keep_lineage else out.drop("__lg_fp", "__lg_ri")
+
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        cond: str,
+        message: str | None = None,
+    ) -> "Commit":
+        """Metadata-sized DELETE via a deletion vector (Delta's DV
+        model): instead of rewriting every stats-positive file, record
+        the matching rows' (file, position) pairs as a hidden companion
+        table ``__dv__<table>`` and let every read anti-join them away.
+        The rewrite amplification of a point delete drops from one file
+        to a handful of DV rows; ``OPTIMIZE``/overwrite later
+        materializes the deletions and drops the vector. Time travel,
+        branches, merges, vacuum, and manifest spill all work unchanged
+        because the vector rides the ordinary snapshot machinery.
+
+        Second deletes APPEND to the vector (rows already deleted are
+        excluded from the match scan, so the vector never duplicates).
+        Requires a clean branch (the auto-commit must contain only the
+        DV append) and a non-ALTERed table (``cond`` binds the physical
+        schema); use the rewriting ``DELETE FROM`` for those."""
+        if self._is_dirty(self._read_ref(branch)):
+            raise DirtyBranchError(
+                f"delete_where_dv on {branch}: uncommitted staged changes "
+                f"for {sorted(self.status(branch))}; commit or reset first"
+            )
+        if self.table_schema_map(table, ref=branch) is not None:
+            raise NotImplementedError(
+                f"delete_where_dv: {table!r} has ALTER TABLE history (the "
+                f"condition would bind logical names to physical files); "
+                f"use the rewriting DELETE FROM path"
+            )
+        entries = self.current_files(branch, table, include_staged=False)
+        df = self._read_files(spark, entries, with_lineage=True)
+        dv0 = self._dv_entries_for(table, branch, None, True)
+        if dv0:
+            df = self._apply_dv(spark, df, dv0, keep_lineage=True)
+        prefix = "file:" + self.root + os.sep
+        matches = df.where(cond).select(
+            F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
+            F.col("__lg_ri").cast("long").alias("pos"),
+        )
+        self.write_table(
+            branch, DV_PREFIX + table, matches, mode="append", _internal=True
+        )
+        return self.commit(
+            branch,
+            message or f"DV DELETE FROM {table} WHERE {cond}",
+            meta={"dv_delete": {"table": table, "where": cond}},
+        )
 
     def _pruned(self, rel_files: list[str], where: str | None) -> list[str]:
         """File entries that may contain rows matching ``where`` (all of
@@ -1281,7 +1412,11 @@ class LakeRepo:
         return cand if cand else rel_files[:1]
 
     def _read_files(
-        self, spark: SparkSession, rel_files: list[str], merge_schema: bool = False
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        merge_schema: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Read a snapshot's file entries. Entries may be file-group
         dirs, individual part-files (pruned rewrites), or Hive partition
@@ -1315,14 +1450,30 @@ class LakeRepo:
             r = spark.read
             return r.option("mergeSchema", True) if merge_schema else r
 
+        def lineage(d: DataFrame) -> DataFrame:
+            # physical provenance columns for deletion-vector math:
+            # selected per SCAN (the `_metadata` pseudo-column resolves
+            # only directly above a file source, not through a union)
+            if not with_lineage:
+                return d
+            return d.select(
+                "*",
+                F.col("_metadata.file_path").alias("__lg_fp"),
+                F.col("_metadata.row_index").alias("__lg_ri"),
+            )
+
         dfs = []
         if plain:
-            dfs.append(reader().parquet(*[os.path.join(self.root, f) for f in plain]))
+            dfs.append(
+                lineage(reader().parquet(*[os.path.join(self.root, f) for f in plain]))
+            )
         for group, fs in sorted(by_group.items()):
             dfs.append(
-                reader()
-                .option("basePath", os.path.join(self.root, group))
-                .parquet(*[os.path.join(self.root, f) for f in fs])
+                lineage(
+                    reader()
+                    .option("basePath", os.path.join(self.root, group))
+                    .parquet(*[os.path.join(self.root, f) for f in fs])
+                )
             )
         out = dfs[0]
         for d in dfs[1:]:

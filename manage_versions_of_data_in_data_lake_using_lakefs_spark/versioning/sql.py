@@ -757,6 +757,12 @@ class LakeSQL:
             return None
         if self.repo.table_schema_map(table, ref=self.branch) is not None:
             return None  # stats speak PHYSICAL names; evolved tables scan
+        try:
+            # a live deletion vector makes footer stats over-counts
+            self.repo.current_files(self.branch, f"__dv__{table}")
+            return None
+        except KeyError:
+            pass
         items: list[tuple[str, str]] = []
         names: list[str] = []
         for part in m.group("aggs").split(","):

@@ -1,0 +1,178 @@
+"""Deletion vectors (round 8): metadata-sized row-level DELETE.
+
+delete_where_dv records (file, position) pairs in a hidden companion
+table instead of rewriting stats-positive files; reads anti-join them
+away. These tests pin: zero files rewritten, exact read parity with a
+plain filter, time travel, append-only vector growth, the
+overwrite/OPTIMIZE materialization rule, snapshot hygiene (hidden from
+list_tables/SQL, reserved names guarded, vacuum-safe), the
+metadata-aggregate decline, and the streaming contract in both modes —
+including the fold-correctness case where a DV delete precedes a full
+overwrite (deletes must not double-count).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
+    DV_PREFIX,
+    DirtyBranchError,
+    LakeRepo,
+)
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_dv_delete_rewrites_nothing_and_reads_exactly(spark, repo):
+    repo.write_table("main", "t", _kv(spark, 0, 100).repartition(4))
+    c1 = repo.commit("main", "v1")
+    before = set(repo.current_files("main", "t"))
+    repo.delete_where_dv(spark, "main", "t", "k % 10 = 0")
+    assert set(repo.current_files("main", "t")) == before  # zero rewrites
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == [i for i in range(100) if i % 10]
+    # pre-delete snapshot intact
+    assert repo.read_table(spark, "t", "main", version_as_of=c1.version).count() == 100
+    # second delete appends to the vector; already-deleted rows not re-added
+    repo.delete_where_dv(spark, "main", "t", "k % 7 = 0")
+    got2 = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got2 == [i for i in range(100) if i % 10 and i % 7]
+    # the vector never duplicates: 10 rows for k%10, then only the 13
+    # multiples of 7 not already deleted (0 and 70 are excluded)
+    dv = repo._read_files(spark, repo.current_files("main", DV_PREFIX + "t"))
+    assert dv.count() == dv.distinct().count() == 23
+
+
+def test_dv_hidden_from_surfaces_and_guarded(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 30))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k < 10")
+    assert repo.list_tables("main") == ["t"]
+    sql = LakeSQL(spark, repo, "main")
+    # SQL reads apply the vector; metadata aggregates DECLINE (footer
+    # stats over-count) and the scan path gives the true answer
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 20
+    assert sql.sql("SELECT MIN(k) AS m FROM t").first().m == 10
+    with pytest.raises(ValueError, match="reserved"):
+        repo.write_table("main", "__dv__x", _kv(spark, 0, 3))
+    repo.write_table("main", "u", _kv(spark, 0, 3))  # dirty branch
+    with pytest.raises(DirtyBranchError):
+        repo.delete_where_dv(spark, "main", "t", "k = 11")
+
+
+def test_dv_overwrite_and_drop_materialize_away(spark, repo):
+    repo.write_table("main", "t", _kv(spark, 0, 40).repartition(2))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k >= 30")
+    # OPTIMIZE reads the DV-applied table and clears the vector
+    repo.compact(spark, "main", "t", target_files=1)
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
+    assert repo.read_table(spark, "t", "main").count() == 30
+    # drop clears too
+    repo.delete_where_dv(spark, "main", "t", "k = 0")
+    repo.remove_table("main", "t")
+    repo.commit("main", "dropped")
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
+
+
+def test_dv_rejects_evolved_tables(spark, repo):
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    repo.alter_rename_column(spark, "main", "t", "v", "vv")
+    with pytest.raises(NotImplementedError, match="ALTER"):
+        repo.delete_where_dv(spark, "main", "t", "k = 1")
+
+
+def test_dv_vacuum_keeps_vector_files(spark, repo):
+    repo.write_table("main", "t", _kv(spark, 0, 20))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k < 5")
+    removed = repo.vacuum(keep_history=True, grace_seconds=0)
+    assert removed == []
+    assert sorted(r.k for r in repo.read_table(spark, "t", "main").collect()) == list(
+        range(5, 20)
+    )
+
+
+def test_dv_append_stream_raises_unless_ignored(spark, repo):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k < 3")
+
+    def drain(**kw):
+        name = f"dv_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_table_from_repo(spark, repo.root, "t", **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.k for r in spark.table(name).collect())
+
+    with pytest.raises(Exception, match="deletion vector|STREAM_FAILED"):
+        drain()
+    # ignoreChanges: deletions skipped, additions flow (over-delivery,
+    # the documented contract)
+    assert drain(ignore_changes=True) == list(range(10))
+
+
+def test_dv_cdc_folds_to_head_across_overwrite(spark, repo):
+    """The double-delete regression case: insert 0..19, DV-delete 5 rows,
+    then OVERWRITE the table. The overwrite's delete rows must exclude
+    the already-vectored positions or the fold goes negative."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.commit("main", "v1")
+    c_dv = repo.delete_where_dv(spark, "main", "t", "k < 5")
+    repo.write_table("main", "t", _kv(spark, 100, 104))
+    repo.commit("main", "overwrite")
+
+    name = f"dvc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", cdc=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # the DV commit emits exactly the vectored rows as deletes
+    dv_deletes = sorted(
+        r.k for r in rows if r._commit_version == c_dv.version
+    )
+    assert dv_deletes == [0, 1, 2, 3, 4]
+    assert all(
+        r._change_type == "delete" for r in rows if r._commit_version == c_dv.version
+    )
+    # fold: inserts minus deletes per row == head
+    from collections import Counter
+
+    fold = Counter()
+    for r in rows:
+        fold[(r.k, r.v)] += 1 if r._change_type == "insert" else -1
+    alive = sorted(k for (k, _v), n in fold.items() if n > 0)
+    assert all(n in (0, 1) for n in fold.values()), fold
+    head = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert alive == head == [100, 101, 102, 103]
