@@ -469,7 +469,14 @@ def make_lake_stream_source():
             return tuple(spec), allowed
 
         def partitions(self, start: dict, end: dict):
+            import importlib
+
             repo = _open_repo(self.opts)
+            # single source of truth for the companion-table prefix
+            # (driver-side: _open_repo just bootstrapped the package)
+            dv_prefix = importlib.import_module(
+                type(repo).__module__
+            ).DV_PREFIX
             branch, table = self.opts["branch"], self.opts["table"]
             ignore = str(self.opts.get("ignorechanges", "")).lower() == "true"
             # the column mapping at the CURRENT branch head, applied
@@ -501,9 +508,9 @@ def make_lake_stream_source():
                 )
                 prev_entries = parent.tables.get(table, []) if parent else []
                 cur_entries = c.tables.get(table, [])
-                # deletion-vector companion (repo.DV_PREFIX + table): a
-                # commit may delete rows by ONLY touching the vector
-                dvt = "__dv__" + table
+                # deletion-vector companion: a commit may delete rows by
+                # ONLY touching the vector
+                dvt = dv_prefix + table
                 dv_prev_entries = parent.tables.get(dvt, []) if parent else []
                 dv_cur_entries = c.tables.get(dvt, [])
                 dv_changed = dv_cur_entries != dv_prev_entries
@@ -559,11 +566,18 @@ def make_lake_stream_source():
                         if dv_prev_entries and (removed or dv_changed)
                         else {}
                     )
-                    dv_cur_pos = (
-                        _dv_positions(repo.root, dv_cur_entries)
-                        if dv_cur_entries and dv_changed
-                        else dv_prev_pos
-                    )
+                    if dv_changed:
+                        # a dropped vector (dv_cur empty) must yield {}
+                        # here, NOT the parent's positions — otherwise
+                        # the un-delete guard below can't see surviving
+                        # files whose deletions were silently revoked
+                        dv_cur_pos = (
+                            _dv_positions(repo.root, dv_cur_entries)
+                            if dv_cur_entries
+                            else {}
+                        )
+                    else:
+                        dv_cur_pos = dv_prev_pos
                     for tag, group, dvpos in (
                         ("delete", sorted(removed), dv_prev_pos),
                         ("insert", sorted(cur - prev), dv_cur_pos),

@@ -1275,53 +1275,54 @@ class LakeRepo:
         # schemas across files, so the union schema is required for the
         # mapping replay to see every era's columns
         ms = merge_schema or bool(steps)
-        dv = self._dv_entries_for(table, ref, version_as_of, include_staged)
+        dvt = DV_PREFIX + table
+        is_dv_table = table.startswith(DV_PREFIX)  # the vector reads raw
+
+        def staged_dv(refd) -> tuple[bool, list[str] | None]:
+            """(decided, entries): a staged vector entry overrides the
+            committed one — layered exactly like the table lookup."""
+            if is_dv_table:
+                return True, None
+            entry = refd["staged"].get(dvt)
+            if entry is None:
+                return False, None
+            if entry["op"] == "drop" or not entry["files"]:
+                return True, None
+            return True, list(entry["files"])
+
+        def committed_dv(c: Commit) -> list[str] | None:
+            if is_dv_table:
+                return None
+            ent = c.tables.get(dvt)
+            return list(ent) if ent else None
+
         if include_staged and version_as_of is None and os.path.exists(self._ref_file(ref)):
             refd = self._read_ref(ref)
             entry = refd["staged"].get(table)
             if entry is not None:
                 if entry["op"] == "drop":
                     raise KeyError(f"table {table} dropped in staging on {ref}")
+                decided, dv = staged_dv(refd)
+                if not decided:
+                    dv = committed_dv(self.get_commit(refd["head"]))
                 files = entry["files"]
                 df = self._read_files(
                     spark, self._pruned(files, prune_where), ms, with_lineage=bool(dv)
                 )
                 df = self._apply_dv(spark, df, dv) if dv else df
                 return self.apply_schema_map(df, steps) if steps else df
+            decided, dv_staged = staged_dv(refd)
+        else:
+            decided, dv_staged = False, None
         c = self._resolve(ref, version_as_of)
         if table not in c.tables:
             raise KeyError(f"table {table} not in snapshot {c.id[:8]} ({ref})")
+        dv = dv_staged if decided else committed_dv(c)
         df = self._read_files(
             spark, self._pruned(c.tables[table], prune_where), ms, with_lineage=bool(dv)
         )
         df = self._apply_dv(spark, df, dv) if dv else df
         return self.apply_schema_map(df, steps) if steps else df
-
-    def _dv_entries_for(
-        self, table: str, ref: str, version_as_of: int | None, include_staged: bool
-    ) -> list[str] | None:
-        """The deletion-vector entries that apply to a read of ``table``
-        at the same (ref, version, staged) coordinates — layered exactly
-        like the table lookup itself."""
-        dvt = DV_PREFIX + table
-        if table.startswith(DV_PREFIX):
-            return None  # the DV table itself is read raw
-        if (
-            include_staged
-            and version_as_of is None
-            and os.path.exists(self._ref_file(ref))
-        ):
-            entry = self._read_ref(ref)["staged"].get(dvt)
-            if entry is not None:
-                if entry["op"] == "drop" or not entry["files"]:
-                    return None
-                return list(entry["files"])
-        try:
-            c = self._resolve(ref, version_as_of)
-        except (KeyError, FileNotFoundError):
-            return None
-        ent = c.tables.get(dvt)
-        return list(ent) if ent else None
 
     def _apply_dv(
         self,
@@ -1380,7 +1381,9 @@ class LakeRepo:
             )
         entries = self.current_files(branch, table, include_staged=False)
         df = self._read_files(spark, entries, with_lineage=True)
-        dv0 = self._dv_entries_for(table, branch, None, True)
+        # the branch is clean (checked above), so the committed head's
+        # vector is the whole story
+        dv0 = self.head(branch).tables.get(DV_PREFIX + table)
         if dv0:
             df = self._apply_dv(spark, df, dv0, keep_lineage=True)
         prefix = "file:" + self.root + os.sep
@@ -1388,6 +1391,11 @@ class LakeRepo:
             F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
             F.col("__lg_ri").cast("long").alias("pos"),
         )
+        if matches.isEmpty():
+            # a DELETE that matched nothing is a no-op: committing an
+            # empty vector append would still break append-mode streams
+            # and disqualify metadata aggregates forever
+            return self.head(branch)
         self.write_table(
             branch, DV_PREFIX + table, matches, mode="append", _internal=True
         )
@@ -1501,6 +1509,17 @@ class LakeRepo:
                 "files": list(old.tables[table]),
                 "op": "overwrite",
             }
+            # the deletion vector is PART of the table's state at that
+            # version: restore it alongside the files (or drop a live
+            # one the old version didn't have) — otherwise a restore
+            # either silently keeps later deletions or resurrects rows
+            # the restored version had deleted
+            dvt = DV_PREFIX + table
+            old_dv = old.tables.get(dvt)
+            if old_dv:
+                ref["staged"][dvt] = {"files": list(old_dv), "op": "overwrite"}
+            elif dvt in ref["staged"] or dvt in self.get_commit(ref["head"]).tables:
+                ref["staged"][dvt] = {"files": [], "op": "drop"}
             self._write_ref(branch, ref)
         return self.commit(
             branch, message or f"restore {table} to version {version}"
@@ -1681,6 +1700,7 @@ class LakeRepo:
             )
         row_merges: list[str] = []
         for t in row_merge_plan:
+            dvt = DV_PREFIX + t
             merged[t] = self._row_merge(
                 spark, t, src_c.tables[t], dst_c.tables[t],
                 base_tables.get(t), keys[t], on_conflict, dest,
@@ -1689,7 +1709,15 @@ class LakeRepo:
                     self._schema_map_of_commit(dst_c, t),
                     self._schema_map_of_commit(base_c, t) if base_c else None,
                 ),
+                dvs=(
+                    src_c.tables.get(dvt),
+                    dst_c.tables.get(dvt),
+                    base_tables.get(dvt) if base_c else None,
+                ),
             )
+            # the rewrite MATERIALIZED both sides' deletions; any
+            # table-level-merged vector would misapply to the new files
+            merged.pop(dvt, None)
             row_merges.append(t)
         # CHECK constraints: a merge adopting source-side files must not
         # land rows that violate the constraints ACTIVE AFTER the merge
@@ -1757,6 +1785,7 @@ class LakeRepo:
         on_conflict: str,
         dest_branch: str,
         smaps: tuple = (None, None, None),
+        dvs: tuple = (None, None, None),
     ) -> list[str]:
         """Row-level three-way merge, fully distributed.
 
@@ -1773,14 +1802,22 @@ class LakeRepo:
         misaligned columns.
         """
         smap_s, smap_d, smap_b = smaps
+        dv_s, dv_d, dv_b = dvs
 
-        def _load(files, smap):
-            df = self._read_files(spark, files, merge_schema=bool(smap))
+        def _load(files, smap, dv):
+            # each side's deletion vector applies to ITS snapshot: a raw
+            # read would classify DV-deleted rows as live and merge them
+            # back in
+            df = self._read_files(
+                spark, files, merge_schema=bool(smap), with_lineage=bool(dv)
+            )
+            if dv:
+                df = self._apply_dv(spark, df, dv)
             return self.apply_schema_map(df, smap) if smap else df
 
-        src = _load(src_files, smap_s)
-        dst = _load(dst_files, smap_d)
-        base = _load(base_files, smap_b) if base_files else None
+        src = _load(src_files, smap_s, dv_s)
+        dst = _load(dst_files, smap_d, dv_d)
+        base = _load(base_files, smap_b, dv_b) if base_files else None
         cols = src.columns
         if set(cols) != set(dst.columns):
             raise MergeConflict(f"schema mismatch on {table}", [table])
@@ -1837,9 +1874,12 @@ class LakeRepo:
         )
         rel = self.write_table(dest_branch, table, merged_df, mode="overwrite")
         # un-stage: the merge commit will reference the files directly
+        # (including the DV drop write_table's overwrite staged — the
+        # caller prunes the vector from the merged snapshot itself)
         with RepoLock(self.root):
             ref = self._read_ref(dest_branch)
             ref["staged"].pop(table, None)
+            ref["staged"].pop(DV_PREFIX + table, None)
             self._write_ref(dest_branch, ref)
         return [rel]
 

@@ -76,7 +76,11 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation, LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
+    DV_PREFIX,
+    ConstraintViolation,
+    LakeRepo,
+)
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -759,7 +763,7 @@ class LakeSQL:
             return None  # stats speak PHYSICAL names; evolved tables scan
         try:
             # a live deletion vector makes footer stats over-counts
-            self.repo.current_files(self.branch, f"__dv__{table}")
+            self.repo.current_files(self.branch, DV_PREFIX + table)
             return None
         except KeyError:
             pass
@@ -1048,6 +1052,18 @@ class LakeSQL:
         qualify), or no file proved safe (plain rewrite is equal work)."""
         if cond is None:
             return None
+        try:
+            # a live deletion vector disqualifies the pruned path: it
+            # reads candidate files RAW and carries safe files by
+            # reference while its overwrite drops the vector — both
+            # would resurrect DV-deleted rows. The full-rewrite path
+            # reads through read_table (vector applied) and its
+            # overwrite MATERIALIZES the deletions — correct, and the
+            # natural point where the vector retires.
+            self.repo.current_files(self.branch, DV_PREFIX + name)
+            return None
+        except KeyError:
+            pass
         pred = stats_mod.parse_predicate(cond)
         if pred is None or not stats_mod.fully_supported(pred):
             return None

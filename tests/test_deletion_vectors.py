@@ -176,3 +176,97 @@ def test_dv_cdc_folds_to_head_across_overwrite(spark, repo):
     assert all(n in (0, 1) for n in fold.values()), fold
     head = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
     assert alive == head == [100, 101, 102, 103]
+
+
+def test_dv_pruned_dml_falls_back_to_full_rewrite(spark, repo):
+    """Review-reproduced bug: the pruned DELETE read candidates raw and
+    its overwrite dropped the vector, resurrecting DV-deleted rows. A
+    live vector now disqualifies the pruned path — the full rewrite
+    reads DV-applied and materializes the deletions."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).coalesce(1), mode="append")
+    repo.write_table("main", "t", _kv(spark, 100, 110).coalesce(1), mode="append")
+    repo.commit("main", "two bands")
+    repo.delete_where_dv(spark, "main", "t", "k = 0")
+    LakeSQL(spark, repo, "main").sql("DELETE FROM t WHERE k = 105")
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert 0 not in got and 105 not in got
+    assert got == [i for i in range(1, 10)] + [i for i in range(100, 110) if i != 105]
+    # the rewrite materialized the vector away
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
+    # UPDATE path takes the same fallback
+    repo.delete_where_dv(spark, "main", "t", "k = 1")
+    LakeSQL(spark, repo, "main").sql("UPDATE t SET v = 0 WHERE k = 106")
+    got2 = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+    assert 1 not in got2 and got2[106] == 0
+
+
+def test_dv_restore_table_restores_the_vector_too(spark, repo):
+    """Review-reproduced bug: RESTORE staged only the file list. Both
+    directions: restoring to a pre-vector version must undelete, and
+    restoring to a vectored version must re-apply its deletions."""
+    repo.write_table("main", "t", _kv(spark, 0, 20))
+    c1 = repo.commit("main", "v1")
+    c2 = repo.delete_where_dv(spark, "main", "t", "k < 5")
+    repo.restore_table("main", "t", c1.version)
+    assert repo.read_table(spark, "t", "main").count() == 20
+    repo.restore_table("main", "t", c2.version)
+    assert sorted(r.k for r in repo.read_table(spark, "t", "main").collect()) == list(
+        range(5, 20)
+    )
+
+
+def test_dv_row_merge_does_not_resurrect(spark, repo):
+    """Review-reproduced bug: the row-level merge read all three sides
+    raw and left a stale staged vector drop behind."""
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "base")
+    repo.delete_where_dv(spark, "main", "t", "k = 0")
+    repo.create_branch("dev", "main")
+    repo.write_table(
+        "dev", "t",
+        _kv(spark, 0, 10).where("k <> 0").unionByName(_kv(spark, 50, 52)),
+    )
+    repo.commit("dev", "dev adds 50,51")
+    repo.write_table(
+        "main", "t",
+        _kv(spark, 0, 10).where("k <> 0").withColumn("v", F.col("k") * 3),
+    )
+    repo.commit("main", "main reprices")
+    repo.merge(spark, "dev", "main", keys={"t": ["k"]}, on_conflict="dest")
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert 0 not in got
+    assert got == list(range(1, 10)) + [50, 51]
+    assert not repo.status("main"), repo.status("main")  # no stale staged
+
+
+def test_dv_noop_delete_commits_nothing(spark, repo):
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    c1 = repo.commit("main", "v1")
+    c = repo.delete_where_dv(spark, "main", "t", "k = 999999")
+    assert c.id == c1.id  # unchanged head, no vector born
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
+
+
+def test_dv_cdc_raises_on_undelete(spark, repo):
+    """A restore to a pre-vector version revokes deletions on surviving
+    files — not representable as a change feed; must be loud."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    c1 = repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k < 3")
+    repo.restore_table("main", "t", c1.version)  # un-delete
+    name = f"undel_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", cdc=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="un-delete|STREAM_FAILED"):
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
