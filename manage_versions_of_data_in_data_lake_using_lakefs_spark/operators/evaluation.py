@@ -27,17 +27,47 @@ from pyspark.sql import functions as F
 
 _PPM = 1_000_000
 
+#: ceiling on the distinct-score domain the unpartitioned prefix-sum
+#: window may collapse onto one task — 2× the ppm-integer domain, so
+#: every score column the engine itself produces passes with headroom
+MAX_SCORE_DOMAIN = 2 * _PPM + 1
 
-def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_distinct_scores: int | None = MAX_SCORE_DOMAIN,
+) -> DataFrame:
     """One row: (n_pos, n_neg, auc_ppm) — exact rank-based ROC-AUC.
     NULL scores carry no ranking signal and Spark/DuckDB disagree on
     their ORDER BY placement — excluded up front (same rule as
-    operators/anomaly.py)."""
+    operators/anomaly.py).
+
+    The prefix-sum window runs over the DISTINCT SCORES, unpartitioned —
+    safe only while the score domain is bounded (the engine's own
+    classifier emits ppm integers: ≤ 10⁶ + 1 values at any table size).
+    Raw float scores make the domain approach |data| and collapse the
+    window onto one task, so the domain is counted FIRST (one extra
+    aggregation pass, run eagerly) and an over-cap column raises with a
+    remediation hint. ``max_distinct_scores=None`` skips the guard for
+    callers that know their domain (saves the extra pass)."""
     df = df.where(F.col(score_col).isNotNull())
     per_score = df.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.col(label_col).cast("long")).alias("np"),
         F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("nn"),
     )
+    if max_distinct_scores is not None:
+        n_domain = per_score.limit(max_distinct_scores + 1).count()
+        if n_domain > max_distinct_scores:
+            raise ValueError(
+                f"binary_auc: {score_col!r} has more than "
+                f"{max_distinct_scores} distinct values — the rank "
+                f"prefix-sum window would collapse onto one task. "
+                f"Quantize the scores first (e.g. cast to ppm integers: "
+                f"CAST({score_col} * {_PPM} AS BIGINT)), or pass "
+                f"max_distinct_scores=None if the domain is known-bounded."
+            )
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     u2 = per_score.select(
         (

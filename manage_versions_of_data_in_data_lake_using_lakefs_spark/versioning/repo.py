@@ -1660,20 +1660,82 @@ class LakeRepo:
         # found later aborts the merge after expensive Spark jobs have
         # already written parquet that only vacuum would reclaim
         row_merge_plan: list[str] = []
-        for t in sorted(set(src_c.tables) | set(dst_c.tables)):
+        # (table, src-vector entries, dst-vector entries) pairs whose
+        # deletion vectors must be unioned into a fresh vector table
+        dv_union_plan: list[tuple[str, list[str], list[str]]] = []
+        all_names = set(src_c.tables) | set(dst_c.tables)
+        for t in sorted(n for n in all_names if not n.startswith(DV_PREFIX)):
+            # a table and its hidden __dv__<t> deletion vector are ONE
+            # unit: classifying them independently lets a merge adopt
+            # side A's rewritten files together with side B's vector —
+            # whose (file, pos) references point at the replaced files,
+            # so the anti-join matches nothing and B's DV-deleted rows
+            # silently resurrect (plus a stale vector lingers, keeping
+            # metadata aggregates and pruned DML disqualified forever)
+            dvt = DV_PREFIX + t
             s, d, b = src_c.tables.get(t), dst_c.tables.get(t), base_tables.get(t)
-            if s == d:
-                if s is not None:
+            sv, dv_, bv = (
+                src_c.tables.get(dvt),
+                dst_c.tables.get(dvt),
+                base_tables.get(dvt),
+            )
+            s_touched = s != b or sv != bv
+            d_touched = d != b or dv_ != bv
+
+            def adopt(files, vec):
+                if files is not None:
+                    merged[t] = files
+                    if vec is not None:
+                        merged[dvt] = vec
+
+            if not s_touched:  # source never touched the unit
+                adopt(d, dv_)
+            elif not d_touched:  # dest never touched the unit
+                adopt(s, sv)
+            elif s == d:  # identical files on both sides
+                if sv == dv_:
+                    adopt(s, sv)
+                elif sv is not None and dv_ is not None:
+                    # both sides DV-deleted over the same files: the
+                    # union of the two vectors is well-defined — no
+                    # conflict, and never surface the hidden name
                     merged[t] = s
-            elif d == b:  # only source changed (or dest untouched)
-                if s is not None:
-                    merged[t] = s
-            elif s == b:  # only dest changed
-                if d is not None:
-                    merged[t] = d
+                    dv_union_plan.append((t, sv, dv_))
+                else:
+                    # one side DROPPED its vector (un-delete via
+                    # restore) while the other changed it — opposing
+                    # intents, surfaced under the parent table's name
+                    conflicts.append(t)
             elif keys and t in keys and s is not None and d is not None:
+                # row merge reads each side DV-applied and materializes
+                # all deletions into the rewritten files
                 row_merge_plan.append(t)
+            elif s != b and d == b and b is not None and set(b) <= set(s):
+                # source APPENDED files (every base file survives) while
+                # dest only changed the vector: every vector reference
+                # still resolves against the merged file list
+                if sv == bv:  # source left its vector alone
+                    adopt(s, dv_)
+                elif sv is not None and dv_ is not None:
+                    merged[t] = s
+                    dv_union_plan.append((t, sv, dv_))
+                else:
+                    conflicts.append(t)
+            elif d != b and s == b and b is not None and set(b) <= set(d):
+                # mirror case: dest appended, source changed the vector
+                if dv_ == bv:
+                    adopt(d, sv)
+                elif sv is not None and dv_ is not None:
+                    merged[t] = d
+                    dv_union_plan.append((t, sv, dv_))
+                else:
+                    conflicts.append(t)
             else:
+                # a file rewrite (compact / overwrite / pruned DML) on
+                # one side vs a unit change on the other: adopting the
+                # rewritten files with the other side's vector would
+                # resurrect its DV-deleted rows — conflict, resolvable
+                # by keys= (the row merge materializes both deletions)
                 conflicts.append(t)
         # objects: same three-way, object-granular resolution (no row merge —
         # blobs are opaque; both-sides-changed is always a conflict)
@@ -1698,6 +1760,22 @@ class LakeRepo:
                 "pass keys={table: [pk,...]} for row-level merge",
                 conflicts,
             )
+        for t, sv, dv_ in dv_union_plan:
+            # both sides DV-deleted rows of the same file set: the merged
+            # vector is the distinct union of (file, pos) pairs, written
+            # as a fresh vector table (metadata-sized — a few rows/file)
+            dvt = DV_PREFIX + t
+            union = (
+                self._read_files(spark, sv)
+                .unionByName(self._read_files(spark, dv_))
+                .distinct()
+            )
+            rel = self.write_table(dest, dvt, union, mode="overwrite", _internal=True)
+            with RepoLock(self.root):
+                ref = self._read_ref(dest)
+                ref["staged"].pop(dvt, None)
+                self._write_ref(dest, ref)
+            merged[dvt] = [rel]
         row_merges: list[str] = []
         for t in row_merge_plan:
             dvt = DV_PREFIX + t
@@ -1729,8 +1807,12 @@ class LakeRepo:
         import json as _json
 
         for t, files in merged.items():
-            if files == dst_c.tables.get(t):
-                continue  # dest already holds these exact files
+            if t.startswith(DV_PREFIX):
+                continue  # hidden vector tables carry no constraints
+            if files == dst_c.tables.get(t) and merged.get(
+                DV_PREFIX + t
+            ) == dst_c.tables.get(DV_PREFIX + t):
+                continue  # dest already holds these exact files + vector
             blob = merged_objects.get(self._constraints_path(t))
             if blob is None:
                 continue
@@ -1738,6 +1820,18 @@ class LakeRepo:
                 cons = _json.loads(f.read())
             if not cons:
                 continue
+            # the adopted snapshot's deletion vector must apply BEFORE
+            # the check — rows already DV-deleted are not being merged
+            # in and must not spuriously violate a constraint
+            dv_ent = merged.get(DV_PREFIX + t)
+            adopted = self._read_files(
+                spark,
+                files,
+                merge_schema=merged_objects.get(self._schema_map_path(t)) is not None,
+                with_lineage=bool(dv_ent),
+            )
+            if dv_ent:
+                adopted = self._apply_dv(spark, adopted, dv_ent)
             # a column-mapped table's constraints bind LOGICAL names: a
             # raw physical read would make _check_rows skip them as
             # unresolvable (NULL-passes semantics) and merge violating
@@ -1746,11 +1840,7 @@ class LakeRepo:
             if smap_blob is not None:
                 with open(os.path.join(self.root, smap_blob)) as f:
                     smap = _json.loads(f.read())
-                adopted = self.apply_schema_map(
-                    self._read_files(spark, files, merge_schema=True), smap
-                )
-            else:
-                adopted = self._read_files(spark, files)
+                adopted = self.apply_schema_map(adopted, smap)
             self._check_rows(
                 adopted, cons, f"merge {source}→{dest} would commit rows of {t!r}"
             )

@@ -241,6 +241,105 @@ def test_dv_row_merge_does_not_resurrect(spark, repo):
     assert not repo.status("main"), repo.status("main")  # no stale staged
 
 
+def test_dv_merge_rewrite_vs_vector_conflicts_then_keys_resolve(spark, repo):
+    """Advisor-reproduced HIGH bug: table-level merge classified t and
+    __dv__t independently, so compact-on-dev + DV-delete-on-main merged
+    dev's rewritten files WITH main's vector — whose (file, pos) refs
+    point at the replaced files, resurrecting the deleted rows and
+    leaving a stale vector. Must conflict under the PARENT table's name;
+    keys= resolves via row merge, materializing the deletions."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import MergeConflict
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.commit("main", "base")
+    repo.create_branch("dev", "main")
+    repo.delete_where_dv(spark, "main", "t", "k < 3")
+    repo.compact(spark, "dev", "t", target_files=1)
+    with pytest.raises(MergeConflict) as ei:
+        repo.merge(spark, "dev", "main")
+    assert "'t'" in str(ei.value) and DV_PREFIX not in str(ei.value)
+    repo.merge(spark, "dev", "main", keys={"t": ["k"]})
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(3, 10))
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables  # no stale vector
+
+
+def test_dv_merge_both_sides_delete_unions_vectors(spark, repo):
+    """Both branches DV-delete different rows of the same (unchanged)
+    file set: well-defined — the merged vector is the distinct union;
+    no conflict, and the hidden name never surfaces."""
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.commit("main", "base")
+    repo.create_branch("dev", "main")
+    repo.delete_where_dv(spark, "main", "t", "k = 1 OR k = 3")
+    repo.delete_where_dv(spark, "dev", "t", "k = 3 OR k = 5")  # overlap on 3
+    repo.merge(spark, "dev", "main")
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == [0, 2, 4, 6, 7, 8, 9]
+    dv = repo._read_files(spark, repo.current_files("main", DV_PREFIX + "t"))
+    assert dv.count() == dv.distinct().count() == 3  # deduped on (file,pos)
+
+
+def test_dv_merge_append_plus_vector_auto_resolves(spark, repo):
+    """Append on one side + DV-delete on the other is safe by design:
+    every base file survives the append, so every vector reference
+    still resolves in the merged snapshot."""
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.commit("main", "base")
+    repo.create_branch("dev", "main")
+    repo.delete_where_dv(spark, "main", "t", "k < 3")
+    repo.write_table("dev", "t", _kv(spark, 50, 53), mode="append")
+    repo.commit("dev", "append")
+    repo.merge(spark, "dev", "main")
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(3, 10)) + [50, 51, 52]
+    # and the mirror direction: vector change rides INTO an appended dest
+    repo.create_branch("dev2", "main")
+    repo.delete_where_dv(spark, "dev2", "t", "k = 9")
+    repo.write_table("main", "t", _kv(spark, 60, 62), mode="append")
+    repo.commit("main", "append2")
+    repo.merge(spark, "dev2", "main")
+    got2 = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got2 == list(range(3, 9)) + [50, 51, 52, 60, 61]
+
+
+def test_dv_merge_undelete_vs_delete_conflicts(spark, repo):
+    """Restore-to-pre-vector (un-delete) on one side vs a further DV
+    delete on the other: opposing intents — conflict, surfaced under
+    the parent table's name."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import MergeConflict
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    c1 = repo.commit("main", "base")
+    repo.delete_where_dv(spark, "main", "t", "k = 0")
+    repo.create_branch("dev", "main")
+    repo.delete_where_dv(spark, "dev", "t", "k = 5")
+    repo.restore_table("main", "t", c1.version)
+    with pytest.raises(MergeConflict) as ei:
+        repo.merge(spark, "dev", "main")
+    assert DV_PREFIX not in str(ei.value)
+
+
+def test_dv_merge_constraint_check_applies_adopted_vector(spark, repo):
+    """Advisor LOW: the merge-time CHECK scan read adopted files raw, so
+    already-DV-deleted rows could spuriously violate a constraint active
+    after the merge and abort a valid merge."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.commit("main", "base")
+    repo.create_branch("dev", "main")
+    repo.write_table("dev", "t", _kv(spark, 100, 102), mode="append")
+    repo.commit("dev", "append")
+    repo.delete_where_dv(spark, "dev", "t", "k >= 8 AND k < 100")
+    LakeSQL(spark, repo, "dev").sql(
+        "ALTER TABLE t ADD CONSTRAINT band CHECK (k < 8 OR k >= 100)"
+    )
+    repo.merge(spark, "dev", "main")  # must not false-positive on 8,9
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(8)) + [100, 101]
+
+
 def test_dv_noop_delete_commits_nothing(spark, repo):
     repo.write_table("main", "t", _kv(spark, 0, 10))
     c1 = repo.commit("main", "v1")

@@ -31,6 +31,20 @@ def test_auc_ties_count_half(spark):
     assert binary_auc(df, "s", "label").first().auc_ppm == 750_000
 
 
+def test_auc_score_domain_guard(spark):
+    """An unbounded score column (raw floats) would collapse the
+    distinct-score prefix-sum window onto one task — the guard raises
+    loudly with a quantize hint BEFORE any window runs."""
+    import pytest
+
+    wide = _df(spark, [(i, i % 2) for i in range(40)])
+    with pytest.raises(ValueError, match="[Qq]uantize"):
+        binary_auc(wide, "s", "label", max_distinct_scores=10)
+    # at the cap exactly: fine; and None disables the guard entirely
+    assert binary_auc(wide, "s", "label", max_distinct_scores=40).first().n_pos == 20
+    assert binary_auc(wide, "s", "label", max_distinct_scores=None).first().n_neg == 20
+
+
 def test_confusion_threshold_is_inclusive(spark):
     df = _df(spark, [(10, 1), (9, 1), (10, 0), (0, 0)])
     r = confusion_metrics(df, "s", "label", 10).first()
