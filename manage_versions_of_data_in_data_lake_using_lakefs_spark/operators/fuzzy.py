@@ -145,8 +145,17 @@ def edit_distance_pairs(
       ~1:1 candidates:true-pairs).
     - ``"prefix"`` — the Ed-Join prefix filter (module docstring): any k,
       any length; cost grows with gram-frequency skew.
-    - ``"auto"`` — one cheap max-length aggregation picks: symdel when
-      k ≤ 2 and every string fits ``SYMDEL_MAX_LEN``, else prefix.
+    - ``"auto"`` — per-ROW hybrid, no probe scan (r9; the previous auto
+      spent a standalone max-length pass deciding): strings of length
+      ≤ ``SYMDEL_MAX_LEN``+k block via symdel, strings > ``SYMDEL_MAX_LEN``
+      via the prefix filter, candidates unioned then deduped. Complete
+      because a within-k pair's lengths differ by ≤ k: either both ends
+      fit the symdel band, or both exceed ``SYMDEL_MAX_LEN`` and the
+      prefix side meets them. On a uniformly short corpus the prefix
+      branch filters to empty (a column-pruned no-op stage), so auto now
+      costs the symdel plan alone — at 100 TB there is no longer a
+      serial decide-then-run barrier, though callers who know their key
+      shape can still pass ``method=`` to drop the empty branch.
     """
     k = max_dist
     s = df.select(
@@ -156,10 +165,15 @@ def edit_distance_pairs(
     )
     if method == "auto":
         if k <= 2:
-            max_len = s.agg(F.max("len")).first()[0] or 0
-            method = "symdel" if max_len <= SYMDEL_MAX_LEN else "prefix"
-        else:
-            method = "prefix"
+            lo = s.where(F.col("len") <= SYMDEL_MAX_LEN + k)
+            hi = s.where(F.col("len") > SYMDEL_MAX_LEN)
+            cands = (
+                _symdel_candidates(lo, k)
+                .unionByName(_prefix_candidates(hi, k, q))
+                .distinct()
+            )
+            return _verify(cands, s, k)
+        method = "prefix"
     if method == "symdel":
         if k > 2:
             raise ValueError("symdel supports max_dist <= 2; use method='prefix'")

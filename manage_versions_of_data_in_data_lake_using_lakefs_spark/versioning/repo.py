@@ -1366,26 +1366,27 @@ class LakeRepo:
         Second deletes APPEND to the vector (rows already deleted are
         excluded from the match scan, so the vector never duplicates).
         Requires a clean branch (the auto-commit must contain only the
-        DV append) and a non-ALTERed table (``cond`` binds the physical
-        schema); use the rewriting ``DELETE FROM`` for those."""
+        DV append). ALTERed tables work: ``cond`` binds the LOGICAL
+        schema via the same rename-replay the read path uses — the
+        lineage columns ride through the replay untouched, so the
+        recorded (file, pos) pairs stay physical."""
         if self._is_dirty(self._read_ref(branch)):
             raise DirtyBranchError(
                 f"delete_where_dv on {branch}: uncommitted staged changes "
                 f"for {sorted(self.status(branch))}; commit or reset first"
             )
-        if self.table_schema_map(table, ref=branch) is not None:
-            raise NotImplementedError(
-                f"delete_where_dv: {table!r} has ALTER TABLE history (the "
-                f"condition would bind logical names to physical files); "
-                f"use the rewriting DELETE FROM path"
-            )
+        smap = self.table_schema_map(table, ref=branch)
         entries = self.current_files(branch, table, include_staged=False)
-        df = self._read_files(spark, entries, with_lineage=True)
+        df = self._read_files(
+            spark, entries, merge_schema=bool(smap), with_lineage=True
+        )
         # the branch is clean (checked above), so the committed head's
         # vector is the whole story
         dv0 = self.head(branch).tables.get(DV_PREFIX + table)
         if dv0:
             df = self._apply_dv(spark, df, dv0, keep_lineage=True)
+        if smap:
+            df = self.apply_schema_map(df, smap)
         prefix = "file:" + self.root + os.sep
         matches = df.where(cond).select(
             F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),

@@ -762,11 +762,9 @@ class LakeSQL:
         if self.repo.table_schema_map(table, ref=self.branch) is not None:
             return None  # stats speak PHYSICAL names; evolved tables scan
         try:
-            # a live deletion vector makes footer stats over-counts
-            self.repo.current_files(self.branch, DV_PREFIX + table)
-            return None
+            dv_entries = self.repo.current_files(self.branch, DV_PREFIX + table)
         except KeyError:
-            pass
+            dv_entries = None
         items: list[tuple[str, str]] = []
         names: list[str] = []
         for part in m.group("aggs").split(","):
@@ -779,6 +777,25 @@ class LakeSQL:
                 im.group("alias")
                 or (f"{fn}(1)" if arg == "*" and fn == "count" else f"{fn}({arg})")
             )
+        dv_count = 0
+        if dv_entries is not None:
+            # a live deletion vector makes footer stats over-counts.
+            # COUNT(*) stays pure metadata: the vector never holds
+            # duplicate (file, pos) pairs (delete_where_dv excludes
+            # already-deleted rows; the merge union dedups), so the
+            # exact answer is footer rows − vector cardinality — and
+            # the vector is itself a stats-covered table, so ITS count
+            # comes from manifests too. MIN/MAX (the extremum may be a
+            # deleted row) and COUNT(col) (deleted rows' null-ness is
+            # unknowable from positions) legitimately need the scan.
+            if any(fn != "count" or arg != "*" for fn, arg in items):
+                return None
+            dv_vals = stats_mod.metadata_aggregate(
+                self.repo.root, dv_entries, [("count", "*")]
+            )
+            if dv_vals is None:
+                return None
+            dv_count = dv_vals[0]
         try:
             entries = self.repo.current_files(self.branch, table)
         except KeyError:
@@ -786,6 +803,8 @@ class LakeSQL:
         values = stats_mod.metadata_aggregate(self.repo.root, entries, items)
         if values is None:
             return None
+        if dv_count:
+            values = [v - dv_count for v in values]
         # result types should match what the scan path would produce:
         # counts are BIGINT; MIN/MAX carry the column's own type, read
         # from ONE parquet footer (building the full batch reader here

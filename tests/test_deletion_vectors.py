@@ -91,12 +91,35 @@ def test_dv_overwrite_and_drop_materialize_away(spark, repo):
     assert DV_PREFIX + "t" not in repo._resolve("main").tables
 
 
-def test_dv_rejects_evolved_tables(spark, repo):
-    repo.write_table("main", "t", _kv(spark, 0, 10))
-    repo.commit("main", "v1")
+def test_dv_on_evolved_tables_binds_logical_names(spark, repo):
+    """r9: an ALTERed table no longer loses the zero-rewrite DELETE —
+    the condition binds the LOGICAL schema via the same rename-replay
+    the read path uses, while recorded positions stay physical."""
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    c1 = repo.commit("main", "v1")
     repo.alter_rename_column(spark, "main", "t", "v", "vv")
-    with pytest.raises(NotImplementedError, match="ALTER"):
-        repo.delete_where_dv(spark, "main", "t", "k = 1")
+    before = set(repo.current_files("main", "t"))
+    repo.delete_where_dv(spark, "main", "t", "vv >= 14")  # logical name
+    assert set(repo.current_files("main", "t")) == before  # zero rewrites
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(7))
+    # era-mixed: append under the NEW name, delete across both eras
+    repo.write_table(
+        "main", "t",
+        spark.range(20, 24).select(F.col("id").alias("k"), (F.col("id") * 2).alias("vv")),
+        mode="append",
+    )
+    repo.commit("main", "new-era append")
+    repo.delete_where_dv(spark, "main", "t", "k = 2 OR k = 21")
+    got2 = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got2 == [0, 1, 3, 4, 5, 6, 20, 22, 23]
+    # time travel unaffected
+    assert repo.read_table(spark, "t", "main", version_as_of=c1.version).count() == 10
+    # the condition can even reference a GENERATED column
+    repo.alter_add_generated_column(spark, "main", "t", "k3", "bigint", "k * 3")
+    repo.delete_where_dv(spark, "main", "t", "k3 = 9")
+    got3 = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got3 == [0, 1, 4, 5, 6, 20, 22, 23]
 
 
 def test_dv_vacuum_keeps_vector_files(spark, repo):

@@ -127,6 +127,22 @@ def test_fuzzy_auto_routes_long_strings_to_prefix(spark):
     assert _pairs(spark, rows) == _brute(rows, 1)
 
 
+def test_fuzzy_auto_hybrid_covers_boundary_pairs(spark):
+    """r9 scan-free auto: pairs straddling SYMDEL_MAX_LEN must not fall
+    between the two blocking sets — (64,65) rides symdel (both ≤ L+k),
+    (65,66) rides prefix (both > L), and overlap dedups."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.fuzzy import SYMDEL_MAX_LEN
+
+    L = SYMDEL_MAX_LEN
+    rows = [
+        (1, "y" * L), (2, "y" * (L + 1)), (3, "y" * (L + 2)),
+        (4, "z" * (L - 1) + "ab"), (5, "z" * (L - 1) + "ac"),  # len L+1 twins
+        (6, "unrelated"),
+    ]
+    got = _pairs(spark, rows, max_dist=1)
+    assert got == _brute(rows, 1) == {(1, 2): 1, (2, 3): 1, (4, 5): 1}
+
+
 def test_mad_single_and_even_groups(spark):
     """Lower-median discipline: a 1-row group flags nothing (ad=0, mad=0);
     an even-count group takes rank n/2 under (value, id) order."""
@@ -147,3 +163,38 @@ def test_mad_all_equal_group_flags_nothing(spark):
         [(i, "k", 7.0) for i in range(6)], "event_id LONG, event_type STRING, value DOUBLE"
     )
     assert mad_anomalies(ev).count() == 0
+
+
+def test_mad_giant_key_bisection_matches_window_path(spark):
+    """r9: a constant (or dominant) key auto-routes through the IEEE-bit
+    histogram bisection instead of a one-task window — identical rows,
+    medians, and MADs as the window spelling, including negatives,
+    fractional doubles, and a mixed giant+normal keyset."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, "giant", rnd.uniform(-50, 50)) for i in range(400)]
+    rows += [(1000 + i, "giant", 900.0 + i) for i in range(3)]  # outliers
+    rows += [(2000 + i, "small", float(i)) for i in range(9)]
+    rows += [(3000, "small", 1e6)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, event_type STRING, value DOUBLE"
+    ).repartition(8)
+    ref = {
+        r.event_id: (r.med, r.mad)
+        for r in mad_anomalies(ev, giant_key_rows=None).collect()
+    }
+    got = {
+        r.event_id: (r.med, r.mad)
+        for r in mad_anomalies(ev, giant_key_rows=100).collect()
+    }
+    assert got == ref and any(k >= 1000 for k in got) and 3000 in got
+    # the degenerate single-key shape the advisor called out: EVERY row
+    # in one group — the window path's worst case, bisection's home turf
+    one = spark.createDataFrame(
+        [(i, "k", float(i % 37) / 8) for i in range(500)] + [(999, "k", 4000.25)],
+        "event_id LONG, event_type STRING, value DOUBLE",
+    )
+    r1 = {r.event_id: (r.med, r.mad) for r in mad_anomalies(one, giant_key_rows=50).collect()}
+    r2 = {r.event_id: (r.med, r.mad) for r in mad_anomalies(one, giant_key_rows=None).collect()}
+    assert r1 == r2 == {999: r2[999]}

@@ -88,6 +88,40 @@ def test_meta_agg_sees_staged_state(spark, repo):
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 15
 
 
+def test_meta_agg_dv_count_is_pure_metadata(spark, repo):
+    """COUNT(*) on a DV'd table = footer rows − vector cardinality, both
+    from manifests — proven by gutting the DATA files (the vector's own
+    parquet survives under its hidden table dir, also unread). MIN/MAX
+    and COUNT(col) keep declining: the extremum / null-ness of a deleted
+    row isn't knowable from (file, pos) positions."""
+    repo.write_table("main", "t", _df(spark, 0, 50).repartition(2))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k % 5 = 0")  # 10 rows out
+    sql = LakeSQL(spark, repo, "main")
+    # matches the anti-joined read while data exists
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 40
+    assert repo.read_table(spark, "t", "main").count() == 40
+    # second delete appends to the vector; subtraction stays exact
+    repo.delete_where_dv(spark, "main", "t", "k = 1 OR k = 2")
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 38
+    # the no-scan proof: gut ONLY t's data files, keep every manifest
+    # and the vector table's parquet
+    n = 0
+    for dirpath, _dirs, files in os.walk(os.path.join(repo.root, "data")):
+        if "__dv__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, fn))
+                n += 1
+    assert n > 0
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 38
+    with pytest.raises(Exception):  # MIN/MAX on a DV'd table must scan
+        sql.sql("SELECT MIN(k) AS m FROM t").collect()
+    with pytest.raises(Exception):  # COUNT(col) too
+        sql.sql("SELECT COUNT(maybe) AS m FROM t").collect()
+
+
 def test_meta_agg_declines_on_evolved_tables(spark, repo):
     """Stats manifests speak physical names; after a rename the logical
     query must scan (and still be right)."""

@@ -1057,6 +1057,48 @@ def test_lake_stream_source_rename_chain_and_cdc(spark, source_repo):
     assert folded == [(i, 2 * i) for i in range(8) if i % 3 != 0]
 
 
+def test_lake_stream_source_cdc_dv_on_evolved_table(spark, source_repo):
+    """r9: delete_where_dv now works on ALTERed tables — the CDC feed
+    must emit the vectored positions as delete rows with the LOGICAL
+    schema, exact across both eras, and fold to head."""
+    repo = source_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    sql = LakeSQL(spark, repo, "main")
+    repo.write_table("main", "t", _kv(spark, 0, 6).coalesce(1))
+    repo.commit("main", "v1")
+    sql.sql("ALTER TABLE t RENAME COLUMN v TO w")
+    repo.write_table(
+        "main", "t",
+        _kv(spark, 6, 9).withColumnRenamed("v", "w").coalesce(1),
+        mode="append",
+    )
+    repo.commit("main", "v2")
+    # DV-delete across both eras, by the logical name
+    c_dv = repo.delete_where_dv(spark, "main", "t", "w = 4 OR w = 14")  # k=2,7
+    feed = _drain_rows(spark, repo, "t", cdc=True)
+    assert feed.columns == ["k", "w", "_change_type", "_commit_version"]
+    dv_rows = sorted(
+        (r.k, r._change_type)
+        for r in feed.collect()
+        if r._commit_version == c_dv.version
+    )
+    assert dv_rows == [(2, "delete"), (7, "delete")]
+    folded = sorted(
+        r.k
+        for r in feed.groupBy("k", "w")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .where(F.col("net") > 0)
+        .collect()
+    )
+    head = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert folded == head == [0, 1, 3, 4, 5, 6, 8]
+
+
 def test_lake_stream_source_midstream_rename_fails_pinned_stream(
     spark, source_repo
 ):
