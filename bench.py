@@ -176,6 +176,7 @@ def main() -> None:
         "cohort_retention",
         "multimodal_wav_decode",
         "multimodal_jpeg_decode",
+        "multimodal_jpeg_420",
     ):
         if extra in registry:
             names.append(extra)

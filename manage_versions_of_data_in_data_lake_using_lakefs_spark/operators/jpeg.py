@@ -13,19 +13,29 @@ the published interchange format (ITU-T T.81 / ISO 10918-1):
   removal; per-block DC category + EXTEND differential prediction per
   component, AC run/size symbols with EOB and ZRL; interleaved MCUs for
   multi-component scans, raster blocks for single-component scans;
-- dequantization (coef × table, exact ints) and the separable 2-D
-  inverse DCT (numpy float64 basis product) + level shift for pixels.
+- sampling factors (r9): arbitrary Hi×Vi per component — 4:2:0, 4:2:2,
+  4:4:4 — with per-MCU block interleave order per T.81 A.2.3, ceiling
+  MCU grids for non-multiple-of-8 dimensions (edge blocks decoded then
+  cropped on the pixel path), and DRI/RSTn restart intervals
+  (bit-reader realignment + DC predictor reset every Ri MCUs);
+- dequantization (coef × table, exact ints), the separable 2-D inverse
+  DCT (numpy float64 basis product) + level shift, and a pixel
+  assembler (``decode_jpeg_pixels``) that crops each component plane to
+  its own resolution, nearest-neighbor-upsamples chroma, and applies
+  the JFIF YCbCr→RGB matrix.
 
 Honest boundaries (loud, never silent): progressive (SOF2) and
-arithmetic coding raise NotImplementedError, as do subsampled chroma
-(sampling factors ≠ 1:1 — 4:2:0 upsampling) and restart markers. The
-fixture encoder (`encode_jpeg`) writes REAL baseline files from chosen
-quantized coefficients — every byte follows T.81 — so the decoder's
-integer coefficient output is checkable against the exact values the
-encoder embedded: the oracle certifies the whole bitstream → Huffman →
-zigzag → DC-prediction → dequant chain with no float in sight. The
-IDCT is certified separately by basis-function invariants
-(tests/test_jpeg.py) since float pixel sums are not portable SQL.
+arithmetic coding raise NotImplementedError, as do 16-bit quant tables
+and non-integer chroma upsampling ratios. The fixture encoder
+(`encode_jpeg`) writes REAL baseline files from chosen quantized
+coefficients — every byte follows T.81, including subsampled MCU
+interleave and restart markers — so the decoder's integer coefficient
+output is checkable against the exact values the encoder embedded: the
+oracle certifies the whole bitstream → Huffman → zigzag → DC-prediction
+→ dequant chain with no float in sight. The IDCT and the pixel
+assembler are certified separately by basis-function and flat-field
+invariants (tests/test_jpeg.py) since float pixel sums are not
+portable SQL.
 
 Scale shape: map-only ``mapInPandas`` — payloads never shuffle, one
 narrow stats row out per image (same plan as the PNG decoder).
@@ -62,7 +72,8 @@ _ZIGZAG = [
 
 
 def _make_jpeg_codec():
-    """Factory returning ``(encode_jpeg, decode_jpeg, idct_block)``."""
+    """Factory returning ``(encode_jpeg, decode_jpeg, idct_block,
+    decode_jpeg_pixels)``."""
     ZZ = list(_ZIGZAG)
 
     # -- bit IO -------------------------------------------------------------
@@ -89,6 +100,12 @@ def _make_jpeg_codec():
                 self.put(1, 1)
             return bytes(self.out)
 
+        def restart(self, m: int) -> None:
+            """Byte-align (1-padding) and emit RSTm (T.81 F.1.2.3 / E.1.4)."""
+            while self.nbits:
+                self.put(1, 1)
+            self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     class _BitReader:
         def __init__(self, data: bytes):
             self.data = data
@@ -109,9 +126,10 @@ def _make_jpeg_codec():
                     if nxt == 0x00:
                         self.pos += 1  # stuffed byte
                     else:
-                        raise NotImplementedError(
-                            f"JPEG: marker 0xFF{nxt:02X} inside the entropy "
-                            "segment (restart markers unsupported)"
+                        raise ValueError(
+                            f"JPEG: unexpected marker 0xFF{nxt:02X} inside "
+                            "the entropy segment (corrupt stream, or a "
+                            "restart marker off its declared interval)"
                         )
                 self.acc = b
                 self.nbits = 8
@@ -123,6 +141,27 @@ def _make_jpeg_codec():
             for _ in range(n):
                 v = (v << 1) | self.bit()
             return v
+
+        def restart(self, m: int) -> None:
+            """Consume an expected RSTm at a restart boundary: drop the
+            partial byte (encoder 1-padded it) and verify the marker's
+            modulo-8 sequence number (T.81 E.1.4)."""
+            self.nbits = 0
+            if (
+                self.pos + 2 > len(self.data)
+                or self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + (m & 7)
+            ):
+                found = (
+                    self.data[self.pos : self.pos + 2].hex()
+                    if self.pos + 2 <= len(self.data)
+                    else "EOF"
+                )
+                raise ValueError(
+                    f"JPEG: expected RST{m & 7} at byte {self.pos} of the "
+                    f"entropy segment, found {found}"
+                )
+            self.pos += 2
 
     def _extend(r: int, s: int) -> int:
         """T.81 EXTEND: map the s-bit magnitude field to a signed value."""
@@ -181,35 +220,62 @@ def _make_jpeg_codec():
     def _seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
+    def _ceil_div(a: int, b: int) -> int:
+        return -(-a // b)
+
     def encode_jpeg(
-        comps: list[list[list[int]]], w: int, h: int, quant: list[int]
+        comps: list[list[list[int]]],
+        w: int,
+        h: int,
+        quant: list[int],
+        sampling: list[tuple[int, int]] | None = None,
+        restart_interval: int = 0,
     ) -> bytes:
         """REAL baseline JPEG from QUANTIZED coefficient blocks.
 
         ``comps[c][b]`` is block ``b`` of component ``c`` as 64 ints in
-        natural (row-major) order; blocks are raster-ordered, dimensions
-        multiples of 8, all components full resolution (1:1 sampling).
-        ``quant`` is the shared 64-entry table in natural order.
+        natural (row-major) order, in SCAN order: raster for a single
+        component, MCU-interleaved (per T.81 A.2.3 — vi rows × hi cols
+        of blocks per component per MCU) for multi-component images.
+        ``sampling`` gives (Hi, Vi) per component (default 1:1); any
+        dimensions (ceiling MCU grids pad the edges); ``restart_interval``
+        emits DRI + RSTn every that many MCUs. ``quant`` is the shared
+        64-entry table in natural order.
         """
         ncomp = len(comps)
         if ncomp not in (1, 3):
             raise ValueError("encode_jpeg: 1 or 3 components")
-        if w % 8 or h % 8:
-            raise ValueError("encode_jpeg: dimensions must be multiples of 8")
-        bw, bh = w // 8, h // 8
-        for c in comps:
-            if len(c) != bw * bh:
-                raise ValueError("encode_jpeg: wrong block count")
+        samp = list(sampling) if sampling else [(1, 1)] * ncomp
+        if len(samp) != ncomp or any(
+            not (1 <= hi <= 4 and 1 <= vi <= 4) for hi, vi in samp
+        ):
+            raise ValueError("encode_jpeg: sampling factors must be 1..4 per comp")
+        hmax = max(hi for hi, _ in samp)
+        vmax = max(vi for _, vi in samp)
+        if ncomp == 1:
+            nmcu = _ceil_div(w, 8) * _ceil_div(h, 8)
+            per_mcu = [1]
+        else:
+            nmcu = _ceil_div(w, 8 * hmax) * _ceil_div(h, 8 * vmax)
+            per_mcu = [hi * vi for hi, vi in samp]
+        for ci, c in enumerate(comps):
+            if len(c) != nmcu * per_mcu[ci]:
+                raise ValueError(
+                    f"encode_jpeg: component {ci} has {len(c)} blocks, "
+                    f"expected {nmcu * per_mcu[ci]} ({nmcu} MCUs × {per_mcu[ci]})"
+                )
 
         out = bytearray(b"\xff\xd8")  # SOI
         out += _seg(0xDB, bytes([0x00]) + bytes(quant[ZZ[i]] for i in range(64)))
         sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
         sof.append(ncomp)
         for ci in range(ncomp):
-            sof += bytes([ci + 1, 0x11, 0])
+            sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
         out += _seg(0xC0, bytes(sof))
         out += _seg(0xC4, bytes([0x00] + _DC_BITS) + bytes(_DC_VALS))
         out += _seg(0xC4, bytes([0x10] + _AC_BITS) + bytes(_AC_VALS))
+        if restart_interval:
+            out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
         sos = bytearray([ncomp])
         for ci in range(ncomp):
             sos += bytes([ci + 1, 0x00])
@@ -246,30 +312,38 @@ def _make_jpeg_codec():
             if run:
                 put_sym(_AC_ENC, 0x00)  # EOB
 
-        if ncomp == 1:
-            for block in comps[0]:
-                put_block(0, block)
-        else:  # interleaved MCUs, 1:1 sampling → one block per comp per MCU
-            for b in range(bw * bh):
-                for ci in range(ncomp):
-                    put_block(ci, comps[ci][b])
+        nxt = [0] * ncomp  # next block index per component
+        rst = 0
+        for m in range(nmcu):
+            if restart_interval and m and m % restart_interval == 0:
+                bwr.restart(rst)
+                rst += 1
+                pred[:] = [0] * ncomp
+            for ci in range(ncomp):
+                for _ in range(per_mcu[ci]):
+                    put_block(ci, comps[ci][nxt[ci]])
+                    nxt[ci] += 1
         out += bwr.flush()
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
-    def decode_jpeg(p: bytes):
+    def decode_jpeg(p: bytes, return_info: bool = False):
         """Entropy-decode a baseline JPEG to DEQUANTIZED integer blocks:
         returns ``(w, h, ncomp, comps)`` with ``comps[c][b]`` a 64-int
-        list in natural order (coefficient × quant value, exact)."""
+        list in natural order (coefficient × quant value, exact), blocks
+        in scan order. With ``return_info=True`` a fifth element carries
+        the MCU geometry ({sampling, hmax, vmax, mcux, mcuy}) for pixel
+        assembly."""
         if p[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload (no SOI)")
         i = 2
         quants: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
-        comps_spec: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+        comps_spec: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
         scan = None
         scan_tables: list[tuple[int, int]] = []
+        restart_interval = 0
         while i + 4 <= len(p):
             if p[i] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {i}")
@@ -305,20 +379,26 @@ def _make_jpeg_codec():
                 nc = body[5]
                 for ci in range(nc):
                     cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
-                        raise NotImplementedError(
-                            f"JPEG: subsampled component (sampling 0x{samp:02X}) "
-                            "— only 1:1 (4:4:4 / grayscale) is supported"
+                    hi, vi = samp >> 4, samp & 0x0F
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                        raise ValueError(
+                            f"JPEG: illegal sampling factors {hi}x{vi} "
+                            f"(T.81 allows 1..4)"
                         )
-                    comps_spec.append((cid, samp, tq))
+                    comps_spec.append((cid, hi, vi, tq))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     f"JPEG: SOF{marker - 0xC0} (non-baseline process) unsupported"
                 )
             elif marker == 0xDD:
-                raise NotImplementedError("JPEG: restart intervals unsupported")
+                restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:
                 ns = body[0]
+                if len(comps_spec) > 1 and ns != len(comps_spec):
+                    raise NotImplementedError(
+                        "JPEG: partial-component (non-interleaved multi-"
+                        "scan) sequential files unsupported"
+                    )
                 for ci in range(ns):
                     _cid, tt = body[1 + 2 * ci : 3 + 2 * ci]
                     scan_tables.append((tt >> 4, tt & 0x0F))
@@ -327,13 +407,18 @@ def _make_jpeg_codec():
             i += 2 + seg_len
         if w is None or scan is None:
             raise ValueError("JPEG: missing SOF0/SOS")
-        if w % 8 or h % 8:
-            raise NotImplementedError(
-                "JPEG: non-multiple-of-8 dimensions (edge-block padding) "
-                "unsupported"
-            )
         ncomp = len(comps_spec)
-        bw, bh = w // 8, h // 8
+        hmax = max(c[1] for c in comps_spec)
+        vmax = max(c[2] for c in comps_spec)
+        if ncomp == 1:
+            # single-component scan: MCU = one data unit, raster over the
+            # component's own ceiling block grid (T.81 A.2.2)
+            mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
+            per_mcu = [1]
+        else:
+            mcux = _ceil_div(w, 8 * hmax)
+            mcuy = _ceil_div(h, 8 * vmax)
+            per_mcu = [hi * vi for _, hi, vi, _ in comps_spec]
         br = _BitReader(scan)
         pred = [0] * ncomp
         comps: list[list[list[int]]] = [[] for _ in range(ncomp)]
@@ -341,7 +426,7 @@ def _make_jpeg_codec():
         def read_block(ci: int) -> list[int]:
             dc_tbl = huff[(0, scan_tables[ci][0])]
             ac_tbl = huff[(1, scan_tables[ci][1])]
-            q = quants[comps_spec[ci][2]]
+            q = quants[comps_spec[ci][3]]
             coefs = [0] * 64
             s = _read_code(br, dc_tbl)
             pred[ci] += _extend(br.bits(s), s)
@@ -363,14 +448,25 @@ def _make_jpeg_codec():
                 zz += 1
             return coefs
 
-        if ncomp == 1:
-            for _ in range(bw * bh):
-                comps[0].append(read_block(0))
-        else:
-            for _ in range(bw * bh):
-                for ci in range(ncomp):
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.restart(rst)
+                rst += 1
+                pred[:] = [0] * ncomp
+            for ci in range(ncomp):
+                for _ in range(per_mcu[ci]):
                     comps[ci].append(read_block(ci))
-        return w, h, ncomp, comps
+        if not return_info:
+            return w, h, ncomp, comps
+        info = {
+            "sampling": [(hi, vi) for _, hi, vi, _ in comps_spec],
+            "hmax": hmax,
+            "vmax": vmax,
+            "mcux": mcux,
+            "mcuy": mcuy,
+        }
+        return w, h, ncomp, comps, info
 
     def idct_block(coefs):
         """2-D inverse DCT of one 64-coef block (natural order) → 8×8
@@ -383,7 +479,62 @@ def _make_jpeg_codec():
         y = np.asarray(coefs, dtype=np.float64).reshape(8, 8)
         return basis.T @ y @ basis
 
-    return encode_jpeg, decode_jpeg, idct_block
+    def decode_jpeg_pixels(p: bytes):
+        """Full pixel decode: entropy → IDCT + level shift → per-component
+        plane assembly (MCU geometry) → crop each plane to ITS resolution
+        (ceil(w·Hi/Hmax) × ceil(h·Vi/Vmax), T.81 A.1.1) → nearest-neighbor
+        chroma upsample → final crop to (h, w) → JFIF YCbCr→RGB. Returns a
+        uint8 array of shape (h, w) for grayscale or (h, w, 3) for color."""
+        import numpy as np
+
+        w, h, ncomp, comps, info = decode_jpeg(p, return_info=True)
+        hmax, vmax = info["hmax"], info["vmax"]
+        planes = []
+        for ci, (hi, vi) in enumerate(info["sampling"]):
+            if ncomp == 1:
+                bwc, bhc = info["mcux"], info["mcuy"]
+            else:
+                bwc, bhc = info["mcux"] * hi, info["mcuy"] * vi
+            plane = np.zeros((bhc * 8, bwc * 8))
+            for b, coefs in enumerate(comps[ci]):
+                if ncomp == 1:
+                    by, bx = divmod(b, bwc)
+                else:
+                    mcu, k = divmod(b, hi * vi)
+                    my, mx = divmod(mcu, info["mcux"])
+                    sy, sx = divmod(k, hi)
+                    by, bx = my * vi + sy, mx * hi + sx
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct_block(coefs) + 128
+                )
+            # component resolution, THEN upsample, THEN final image crop —
+            # the edge-block padding never leaks into visible pixels
+            cw, ch = _ceil_div(w * hi, hmax), _ceil_div(h * vi, vmax)
+            plane = plane[:ch, :cw]
+            ry, rx = vmax // vi, hmax // hi
+            if vmax % vi or hmax % hi:
+                raise NotImplementedError(
+                    f"JPEG: non-integer upsampling ratio {hmax}/{hi} or "
+                    f"{vmax}/{vi} (fractional-sampling files are vanishingly "
+                    f"rare; decode with a native library)"
+                )
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            planes.append(plane[:h, :w])
+        if ncomp == 1:
+            return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        y, cb, cr = planes
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+    return encode_jpeg, decode_jpeg, idct_block, decode_jpeg_pixels
 
 
 JPEG_STATS_SCHEMA = StructType(
@@ -413,7 +564,7 @@ def _make_synth_jpeg():
       where u + v ≤ 2, plus c(7,7) = (id + comp) % 3 − 1 (forcing ZRL
       runs); zero elsewhere (forcing EOB).
     """
-    encode_jpeg, _, _ = _make_jpeg_codec()
+    encode_jpeg, _, _, _ = _make_jpeg_codec()
 
     def build(i: int) -> bytes:
         ncomp = 1 if i % 2 == 0 else 3
@@ -435,13 +586,62 @@ def _make_synth_jpeg():
     return build
 
 
-def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _make_synth_jpeg420():
+    """Deterministic 4:2:0 chroma-subsampled baseline JPEG per id — the
+    r9 fixture family for the shapes every real web-crawl image has and
+    the r8 fixtures lacked: subsampled MCU interleave, NON-multiple-of-8
+    (and non-multiple-of-16) dimensions via ceiling MCU grids, and
+    restart markers. All REAL T.81 bytes; the embedded quantized
+    coefficients stay pure integer functions of the id so the same SQL
+    oracle discipline certifies the whole chain:
+
+      3 components, Y 2×2 / Cb,Cr 1×1 (4:2:0); w = 17 + id % 16,
+      h = 9 + id % 14 (odd dims; MCU grid 2 × ceil(h/16));
+      restart interval id % 3 (0 = none, else RSTn every 1-2 MCUs);
+      quant q(u,v) = 1 + (u + v + id) % 3;
+      coef c(id,comp,b,u,v) = (id + 3·comp + 5·b + 7·u + 11·v) % 9 − 4
+      where u + v ≤ 2, plus c(7,7) = (id + comp) % 3 − 1; b is the
+      component's SCAN-order block index (Y: 4·nmcu blocks, chroma:
+      nmcu each).
+    """
+    encode_jpeg, _, _, _ = _make_jpeg_codec()
+    samp = [(2, 2), (1, 1), (1, 1)]
+
+    def build(i: int) -> bytes:
+        w, h = 17 + i % 16, 9 + i % 14
+        nmcu = 2 * (2 if h > 16 else 1)  # mcux is 2 for every w in 17..32
+        quant = [1 + (u + v + i) % 3 for u in range(8) for v in range(8)]
+        comps = []
+        for comp in range(3):
+            nblk = 4 * nmcu if comp == 0 else nmcu
+            blocks = []
+            for b in range(nblk):
+                blk = [0] * 64
+                for u in range(8):
+                    for v in range(8):
+                        if u + v <= 2:
+                            blk[u * 8 + v] = (i + 3 * comp + 5 * b + 7 * u + 11 * v) % 9 - 4
+                blk[63] = (i + comp) % 3 - 1
+                blocks.append(blk)
+            comps.append(blocks)
+        return encode_jpeg(
+            comps, w, h, quant, sampling=samp, restart_interval=i % 3
+        )
+
+    return build
+
+
+def synthesize_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id", flavor: str = "444"
+) -> DataFrame:
     """Deterministic REAL baseline JPEGs from an id column (see
-    ``_make_synth_jpeg``) — the fixture generator for the real codec
-    path where the environment ships no media files."""
+    ``_make_synth_jpeg`` / ``_make_synth_jpeg420``) — the fixture
+    generators for the real codec path where the environment ships no
+    media files. ``flavor``: "444" (r8 grayscale/4:4:4 family) or
+    "420" (r9 subsampled / odd-dimension / restart family)."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import MEDIA_SCHEMA
 
-    build = _make_synth_jpeg()
+    build = _make_synth_jpeg420() if flavor == "420" else _make_synth_jpeg()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -463,7 +663,7 @@ def decode_jpeg_stats(media: DataFrame) -> DataFrame:
     integer coefficient statistics. Map-only ``mapInPandas``: payloads
     never shuffle; the exact-int outputs are what lets a SQL oracle
     certify the whole entropy chain against the embedded ground truth."""
-    _, decode_jpeg, _ = _make_jpeg_codec()
+    _, decode_jpeg, _, _ = _make_jpeg_codec()
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -155,7 +155,12 @@ WINDOW_ORDER: list[str] = [
                             # exact verify — blocked string-similarity
                             # join, oracle is the quadratic spelling (r8)
     "dedup_minhash_lsh",
-    "dedup_simhash",        # banded candidates, no cross join
+    # (dedup_simhash — hamming-banded near-dup candidates — rotated to
+    # the tail in r9: its banded-equi-join-then-exact-verify shape is
+    # certified in-window by dedup_minhash_lsh and by sim_ann's lsh tag;
+    # the freed slot driver-certifies deletion vectors below — r8's
+    # flagship storage feature, previously tail-only (VERDICT r8 ask #5).
+    # Full oracle kept in the tail.)
     # (dedup_embedding_cosine — flat IVF-cell-blocked near-dup — rotated
     # to the tail in r8: its cell-equi-join shape is certified in-window
     # by dedup_embedding_cosine_hier (the two-level refinement of the
@@ -169,15 +174,25 @@ WINDOW_ORDER: list[str] = [
     # tail in r8: a groupBy-sum shape agg_sum already certifies; the
     # freed slot driver-certifies the round's codec flagship below.
     # Full oracle kept in the tail.)
-    "multimodal_jpeg_decode",  # FULL baseline JPEG entropy decode —
-                               # canonical Huffman, byte unstuffing,
-                               # zigzag, DC prediction, dequant — exact
-                               # embedded-coefficient oracle (r8)
+    # (multimodal_jpeg_decode — grayscale/4:4:4 baseline entropy decode —
+    # rotated to the tail in r9: multimodal_jpeg_420 runs the IDENTICAL
+    # entropy chain (canonical Huffman, unstuffing, zigzag, DC
+    # prediction, dequant) through a strictly richer MCU structure.
+    # Full oracle kept in the tail.)
+    "multimodal_jpeg_420",  # r9 flagship: 4:2:0 chroma-subsampled baseline
+                            # JPEG — sampling-factor MCU interleave, ceiling
+                            # grids for odd dimensions, DRI/RSTn restart
+                            # realignment + DC predictor resets — exact
+                            # embedded-coefficient oracle (VERDICT r8 ask #1)
     "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
     "versioned_incremental_agg",  # delta-refresh ≡ full rebuild (r5)
     "versioned_delete_prune",  # file-skipping DML: pruned DELETE ≡ plain
                                # filter + CoW file reuse pinned (r5)
+    "versioned_dv_delete",  # deletion vectors: row-level DELETE with ZERO
+                            # file rewrites — (file, pos) companion table,
+                            # lineage anti-join read — r8's flagship storage
+                            # feature, window-certified in r9 (VERDICT ask #5)
     "graph_pagerank",       # integer-ppb Pregel passes, CTE oracle (r5)
     "versioned_schema_evolution",  # metadata-only ALTER COLUMN: rename-era
                                    # merge + add-null + drop + time-travel

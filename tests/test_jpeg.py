@@ -29,7 +29,7 @@ def test_roundtrip_random_coefficients(codec):
     """encode→decode is exact for arbitrary quantized coefficients across
     component counts, block grids, magnitudes up to category 10, and the
     ZRL/EOB paths random sparsity exercises."""
-    enc, dec, _ = codec
+    enc, dec, _, _ = codec
     rng = np.random.RandomState(7)
     for trial in range(20):
         ncomp = 1 if trial % 2 else 3
@@ -54,7 +54,7 @@ def test_roundtrip_random_coefficients(codec):
 def test_huffman_canonical_matches_annex_k(codec):
     """The decoder's canonical code construction reproduces the published
     code assignment for the T.81 Annex K luminance DC table."""
-    enc, dec, _ = codec
+    enc, dec, _, _ = codec
     # reach the factory-internal builder through a crafted DHT: re-encode
     # a tiny image, then decode a hand-built payload is overkill — instead
     # drive the builder via a fixture image and assert known codes by
@@ -82,7 +82,7 @@ def test_huffman_canonical_matches_annex_k(codec):
 def test_idct_against_direct_reference(codec):
     """Separable IDCT ≡ the O(n^4) textbook double sum; DC-only blocks
     are flat at DC/8."""
-    _, _, idct = codec
+    _, _, idct, _ = codec
     assert np.allclose(idct([80] + [0] * 63), 10.0)
 
     def ref(coefs):
@@ -107,7 +107,7 @@ def test_idct_against_direct_reference(codec):
 
 
 def test_guards_raise_loudly(codec):
-    enc, dec, _ = codec
+    enc, dec, _, _ = codec
     good = _make_synth_jpeg()(4)
 
     def patch_marker(payload: bytes, old: int, new: int) -> bytes:
@@ -118,21 +118,102 @@ def test_guards_raise_loudly(codec):
         dec(patch_marker(good, 0xC0, 0xC2))  # progressive SOF2
     with pytest.raises(ValueError, match="SOI"):
         dec(b"\x89PNG")
-    # subsampled component: flip the sampling byte in SOF0
+    # illegal sampling factor (0 is outside T.81's 1..4)
     i = good.index(bytes([0xFF, 0xC0]))
     sub = bytearray(good)
-    sub[i + 11] = 0x22  # first component 2x2 sampling
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[i + 11] = 0x02  # first component Hi=0
+    with pytest.raises(ValueError, match="sampling"):
         dec(bytes(sub))
     # truncated entropy segment
     with pytest.raises(ValueError, match="truncated|Huffman"):
         dec(good[: len(good) - 6])
 
 
+def _rand_blocks(rng, n):
+    blocks = []
+    for _ in range(n):
+        blk = [0] * 64
+        for _ in range(rng.randint(0, 16)):
+            blk[rng.randint(0, 64)] = int(rng.randint(-500, 500))
+        blocks.append(blk)
+    return blocks
+
+
+def test_roundtrip_420_odd_dims_and_restarts(codec):
+    """r9: encode→decode is exact for 4:2:0 / 4:2:2 sampling, ceiling MCU
+    grids on odd dimensions, and restart intervals — the DC predictor
+    reset and bit realignment at every RSTn included."""
+    enc, dec, _, _ = codec
+    rng = np.random.RandomState(11)
+    cases = [
+        # (w, h, sampling, restart_interval)
+        (20, 14, [(2, 2), (1, 1), (1, 1)], 0),   # 4:2:0, odd dims
+        (33, 17, [(2, 2), (1, 1), (1, 1)], 1),   # RST after every MCU
+        (48, 32, [(2, 2), (1, 1), (1, 1)], 3),   # interval not dividing nmcu
+        (24, 16, [(2, 1), (1, 1), (1, 1)], 2),   # 4:2:2
+        (19, 9, None, 0),                         # 4:4:4 odd dims
+    ]
+    for w, h, samp, ri in cases:
+        s = samp or [(1, 1)] * 3
+        hmax = max(x for x, _ in s)
+        vmax = max(y for _, y in s)
+        nmcu = -(-w // (8 * hmax)) * (-(-h // (8 * vmax)))
+        quant = [1 + (k % 7) for k in range(64)]
+        comps = [_rand_blocks(rng, nmcu * hi * vi) for hi, vi in s]
+        w2, h2, nc2, out = dec(enc(comps, w, h, quant, sampling=samp, restart_interval=ri))
+        assert (w2, h2, nc2) == (w, h, 3)
+        for c in range(3):
+            assert len(out[c]) == len(comps[c])
+            for b in range(len(out[c])):
+                assert out[c][b] == [comps[c][b][k] * quant[k] for k in range(64)]
+    # grayscale odd dims: raster blocks over the ceiling grid
+    comps = [_rand_blocks(rng, 3 * 2)]  # 17x10 → 3x2 blocks
+    w2, h2, nc2, out = dec(enc(comps, 17, 10, [1] * 64))
+    assert (w2, h2, nc2) == (17, 10, 1) and len(out[0]) == 6
+
+
+def test_restart_marker_sequence_enforced(codec):
+    """A restart marker with the wrong modulo-8 sequence number (dropped
+    marker / corrupt stream) fails loudly, never silently misaligns."""
+    enc, dec, _, _ = codec
+    rng = np.random.RandomState(5)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    comps = [_rand_blocks(rng, 4 * hi * vi) for hi, vi in samp]
+    good = enc(comps, 32, 32, [1] * 64, sampling=samp, restart_interval=1)
+    i = good.index(b"\xff\xd0")  # first RST0 → RST5
+    bad = good[:i + 1] + b"\xd5" + good[i + 2 :]
+    with pytest.raises(ValueError, match="RST"):
+        dec(bad)
+
+
+def test_pixels_420_flat_field_and_crop(codec):
+    """DC-only 4:2:0 planes decode to an exactly flat RGB field (the
+    JFIF matrix on constant YCbCr), cropped to the odd image size, and
+    nearest-neighbor upsampling leaves constant chroma constant."""
+    enc, dec, idct, pixels = codec
+    w, h = 21, 13  # one 16x16-MCU grid of 2x1
+    samp = [(2, 2), (1, 1), (1, 1)]
+    nmcu = 2 * 1
+    # Y DC=16 → plane 130; Cb DC=-32 → 124; Cr DC=48 → 134
+    def dc_blocks(n, d):
+        return [[d] + [0] * 63 for _ in range(n)]
+
+    comps = [dc_blocks(nmcu * 4, 16), dc_blocks(nmcu, -32), dc_blocks(nmcu, 48)]
+    img = pixels(enc(comps, w, h, [1] * 64, sampling=samp))
+    assert img.shape == (h, w, 3)
+    r = round(130 + 1.402 * (134 - 128))          # 138
+    g = round(130 - 0.344136 * (124 - 128) - 0.714136 * (134 - 128))  # 127
+    b = round(130 + 1.772 * (124 - 128))          # 123
+    assert (img[..., 0] == r).all() and (img[..., 1] == g).all() and (img[..., 2] == b).all()
+    # grayscale odd-dim crop
+    gimg = pixels(enc([dc_blocks(6, 8)], 17, 10, [1] * 64))
+    assert gimg.shape == (10, 17) and (gimg == 129).all()
+
+
 def test_pixel_assembly_level_shift(codec):
     """decode → IDCT + 128 level shift reproduces a flat gray image from
     a DC-only fixture exactly."""
-    enc, dec, idct = codec
+    enc, dec, idct, _ = codec
     # DC quantized value 16, quant 1 → dequant 16 → IDCT flat 2 → pixel 130
     blk = [0] * 64
     blk[0] = 16
