@@ -406,6 +406,110 @@ FROM orders WHERE NOT (o_orderkey % 10 < 3)
 """
 
 
+def q_versioned_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector UPDATE (r9 — the DV story's second half): a
+    row-level update that rewrites ZERO existing files — matched
+    positions join the vector, updated images append as one new file,
+    both in ONE commit (repo.update_where_dv). Parity vs the oracle's
+    CASE arithmetic proves exactly the right rows changed by exactly
+    the right amounts; files_kept pins that every pre-update file is
+    still referenced (append-only file-set growth)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+
+    repo = _fresh_repo()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    repo.write_table("main", "orders_t", orders.repartition(4))
+    repo.commit("main", "base")
+    before = set(repo.current_files("main", "orders_t"))
+    repo.update_where_dv(
+        spark, "main", "orders_t", "o_orderkey % 10 < 3",
+        {"o_totalprice": "o_totalprice + 7.5"},
+    )
+    kept = int(before <= set(repo.current_files("main", "orders_t")))
+    return repo.read_table(spark, "orders_t", "main").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+        F.sum((F.col("o_orderkey") % 10 < 3).cast("long")).alias("n_updated"),
+        F.lit(kept).cast("int").alias("files_kept"),
+    )
+
+
+ORACLE_VERSIONED_DV_UPDATE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND((CASE WHEN o_orderkey % 10 < 3
+                                 THEN o_totalprice + 7.5
+                                 ELSE o_totalprice END) * 100.0) AS BIGINT))
+            AS BIGINT) / 100.0 AS sum_totalprice,
+       CAST(SUM(CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updated,
+       CAST(1 AS INTEGER) AS files_kept
+FROM orders
+"""
+
+
+def q_versioned_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch change-data-feed (r9 — Delta's ``table_changes`` relation):
+    four commits (base write, append, DV delete, DV update) replayed as
+    one change DataFrame, aggregated per (commit step, change type).
+    Parity vs the oracle's per-step CASE arithmetic certifies the whole
+    feed: file-diff inserts, vector-position deletes, and the update's
+    delete+insert pair with the pre/post images."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import table_changes
+
+    repo = _fresh_repo()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    repo.write_table("main", "t", orders.where(F.col("o_orderkey") % 4 == 0))
+    c1 = repo.commit("main", "base")
+    repo.write_table(
+        "main", "t", orders.where(F.col("o_orderkey") % 4 == 1), mode="append"
+    )
+    repo.commit("main", "append")
+    repo.delete_where_dv(spark, "main", "t", "o_orderkey % 20 = 0")
+    repo.update_where_dv(
+        spark, "main", "t", "o_orderkey % 20 = 1",
+        {"o_totalprice": "o_totalprice + 1.0"},
+    )
+    feed = table_changes(repo, spark, "t", c1.version)
+    return (
+        feed.groupBy(
+            (F.col("_commit_version") - F.lit(c1.version)).cast("int").alias("step"),
+            F.col("_change_type").alias("change"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("step", "change")
+    )
+
+
+ORACLE_VERSIONED_TABLE_CHANGES = """
+WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+SELECT CAST(0 AS INT) AS step, 'insert' AS change,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(p * 100.0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM o WHERE k % 4 = 0
+UNION ALL
+SELECT 1, 'insert', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(p * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+FROM o WHERE k % 4 = 1
+UNION ALL
+SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(p * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+FROM o WHERE k % 20 = 0
+UNION ALL
+SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(p * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+FROM o WHERE k % 20 = 1
+UNION ALL
+SELECT 3, 'insert', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND((p + 1.0) * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+FROM o WHERE k % 20 = 1
+ORDER BY step, change
+"""
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
@@ -416,6 +520,8 @@ VERSIONED_QUERIES = {
     "vector_lake_search": q_vector_lake_search,
     "versioned_meta_agg": q_versioned_meta_agg,
     "versioned_dv_delete": q_versioned_dv_delete,
+    "versioned_dv_update": q_versioned_dv_update,
+    "versioned_table_changes": q_versioned_table_changes,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -528,4 +634,6 @@ VERSIONED_ORACLES = {
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,
     "versioned_meta_agg": ORACLE_VERSIONED_META_AGG,
     "versioned_dv_delete": ORACLE_VERSIONED_DV_DELETE,
+    "versioned_dv_update": ORACLE_VERSIONED_DV_UPDATE,
+    "versioned_table_changes": ORACLE_VERSIONED_TABLE_CHANGES,
 }

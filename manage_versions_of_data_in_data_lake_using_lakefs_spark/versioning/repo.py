@@ -1406,6 +1406,100 @@ class LakeRepo:
             meta={"dv_delete": {"table": table, "where": cond}},
         )
 
+    def update_where_dv(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        cond: str,
+        set_exprs: dict[str, str],
+        message: str | None = None,
+    ) -> "Commit":
+        """Row-level UPDATE with ZERO existing-file rewrites (Delta's DV
+        update): the matching rows' (file, position) pairs join the
+        deletion vector and their UPDATED images append as a new file —
+        both staged into ONE commit, so readers atomically flip from the
+        old rows to the new. A point update of one row in a 1 GB file
+        costs a DV row + a one-row file instead of the 1 GB rewrite.
+
+        ``set_exprs`` maps column → SQL expression, evaluated against
+        the matching row's LOGICAL schema (``cond`` too — ALTERed tables
+        bind through the rename-replay map, like ``delete_where_dv``).
+        GENERATED columns are recomputed on read and cannot be SET.
+        The CDC feed needs no new machinery: the commit is a vector
+        append (delete rows at exactly the updated positions) plus a
+        file addition (insert rows of the new images) — the standard
+        delete+insert change pair. Requires a clean branch."""
+        if self._is_dirty(self._read_ref(branch)):
+            raise DirtyBranchError(
+                f"update_where_dv on {branch}: uncommitted staged changes "
+                f"for {sorted(self.status(branch))}; commit or reset first"
+            )
+        smap = self.table_schema_map(table, ref=branch)
+        gen = self._generated_names(smap)
+        bad = {c for c in set_exprs if c.lower() in gen}
+        if bad:
+            raise ValueError(
+                f"update_where_dv: {sorted(bad)} are GENERATED columns "
+                f"(recomputed on every read, never stored) — change the "
+                f"generating expression via ALTER instead"
+            )
+        entries = self.current_files(branch, table, include_staged=False)
+        df = self._read_files(
+            spark, entries, merge_schema=bool(smap), with_lineage=True
+        )
+        dv0 = self.head(branch).tables.get(DV_PREFIX + table)
+        if dv0:
+            df = self._apply_dv(spark, df, dv0, keep_lineage=True)
+        if smap:
+            df = self.apply_schema_map(df, smap)
+        matched = df.where(cond)
+        if matched.isEmpty():
+            return self.head(branch)  # no-op: don't birth a vector
+        unknown = set(set_exprs) - {
+            c for c in df.columns if not c.startswith("__lg_")
+        }
+        if unknown:
+            raise ValueError(
+                f"update_where_dv: SET targets {sorted(unknown)} not in "
+                f"{table!r}'s schema"
+            )
+        prefix = "file:" + self.root + os.sep
+        positions = matched.select(
+            F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
+            F.col("__lg_ri").cast("long").alias("pos"),
+        )
+        # updated images: stored logical columns only (generated columns
+        # recompute from these on read; lineage never persists)
+        out_cols = [
+            c
+            for c in df.columns
+            if not c.startswith("__lg_") and c.lower() not in gen
+        ]
+        images = matched.select(
+            *[
+                F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in out_cols
+            ]
+        )
+        self.write_table(
+            branch, DV_PREFIX + table, positions, mode="append", _internal=True
+        )
+        try:
+            self.write_table(branch, table, images, mode="append")
+        except Exception:
+            # never leave half an update staged: the vector append
+            # without its images is a plain delete
+            self.reset(branch)
+            raise
+        return self.commit(
+            branch,
+            message or f"DV UPDATE {table} SET {sorted(set_exprs)} WHERE {cond}",
+            meta={"dv_update": {"table": table, "where": cond}},
+        )
+
     def _pruned(self, rel_files: list[str], where: str | None) -> list[str]:
         """File entries that may contain rows matching ``where`` (all of
         them when pruning is off or unavailable). An all-pruned list keeps

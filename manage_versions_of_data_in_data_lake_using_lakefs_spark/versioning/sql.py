@@ -938,7 +938,16 @@ class LakeSQL:
         anti-joins, repo.diff semantics) tagged with ``_change_type``
         ('insert' | 'delete' — an update is a delete+insert pair, as in
         Delta without deletion vectors) and ``_commit_version``. Commits
-        that did not touch the table contribute nothing."""
+        that did not touch the table contribute nothing.
+
+        This spelling is ROW-MINIMAL (a rewrite emits only the net
+        change) at the cost of two full-snapshot scans per version — the
+        right trade for small audit ranges. Incremental ETL over long
+        ranges wants ``versioning.changes.table_changes`` (r9): the
+        file-granularity feed that scans only each commit's CHANGED
+        files, reads deletion-vector commits as position lists, and
+        skips ``data_change=false`` rearrangements — multiset-correct to
+        fold, not row-minimal."""
         name = self._resolve_table(table)
 
         def snap(v: int) -> DataFrame | None:

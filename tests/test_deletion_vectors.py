@@ -363,6 +363,79 @@ def test_dv_merge_constraint_check_applies_adopted_vector(spark, repo):
     assert got == list(range(8)) + [100, 101]
 
 
+def test_dv_update_rewrites_nothing_and_reads_exactly(spark, repo):
+    """r9 update_where_dv: matched positions join the vector, updated
+    images append — existing files untouched, one atomic commit."""
+    repo.write_table("main", "t", _kv(spark, 0, 40).repartition(2))
+    c1 = repo.commit("main", "v1")
+    before = set(repo.current_files("main", "t"))
+    repo.update_where_dv(spark, "main", "t", "k % 10 = 3", {"v": "v + 1000"})
+    after = set(repo.current_files("main", "t"))
+    assert before < after and len(after - before) == 1  # append-only
+    got = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+    assert len(got) == 40
+    assert all(got[k] == 2 * k + (1000 if k % 10 == 3 else 0) for k in range(40))
+    # time travel pre-update intact
+    old = {r.k: r.v for r in repo.read_table(spark, "t", "main", version_as_of=c1.version).collect()}
+    assert all(old[k] == 2 * k for k in range(40))
+    # a second update may hit already-updated rows (their new images)
+    repo.update_where_dv(spark, "main", "t", "k = 3", {"v": "v * 2"})
+    got2 = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+    assert got2[3] == (6 + 1000) * 2 and len(got2) == 40
+    # vector holds one position per updated row occurrence, no dups
+    dv = repo._read_files(spark, repo.current_files("main", DV_PREFIX + "t"))
+    assert dv.count() == dv.distinct().count() == 5
+
+
+def test_dv_update_evolved_and_generated_guard(spark, repo):
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "v1")
+    repo.alter_rename_column(spark, "main", "t", "v", "vv")
+    repo.alter_add_generated_column(spark, "main", "t", "k2", "bigint", "k * 2")
+    with pytest.raises(ValueError, match="GENERATED"):
+        repo.update_where_dv(spark, "main", "t", "k = 1", {"k2": "0"})
+    with pytest.raises(ValueError, match="not in"):
+        repo.update_where_dv(spark, "main", "t", "k = 1", {"nope": "0"})
+    repo.update_where_dv(spark, "main", "t", "k2 = 8", {"vv": "vv + 7"})  # k=4
+    got = {r.k: (r.vv, r.k2) for r in repo.read_table(spark, "t", "main").collect()}
+    assert got[4] == (15, 8) and got[3] == (6, 6) and len(got) == 10
+
+
+def test_dv_update_noop_and_cdc_fold(spark, repo):
+    import uuid
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).coalesce(1))
+    c1 = repo.commit("main", "v1")
+    assert repo.update_where_dv(spark, "main", "t", "k = 99", {"v": "0"}).id == c1.id
+    c_up = repo.update_where_dv(spark, "main", "t", "k < 2", {"v": "v + 5"})
+    name = f"dvu_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", cdc=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    up = sorted(
+        (r.k, r.v, r._change_type) for r in rows if r._commit_version == c_up.version
+    )
+    assert up == [
+        (0, 0, "delete"), (0, 5, "insert"),
+        (1, 2, "delete"), (1, 7, "insert"),
+    ]
+    from collections import Counter
+
+    fold = Counter()
+    for r in rows:
+        fold[(r.k, r.v)] += 1 if r._change_type == "insert" else -1
+    alive = sorted(kv for kv, n in fold.items() if n > 0)
+    head = sorted((r.k, r.v) for r in repo.read_table(spark, "t", "main").collect())
+    assert alive == head
+
+
 def test_dv_noop_delete_commits_nothing(spark, repo):
     repo.write_table("main", "t", _kv(spark, 0, 10))
     c1 = repo.commit("main", "v1")
