@@ -84,7 +84,8 @@ def _giant_medians(
         state = {
             k: [lo, hi, (counts[k] - 1) // 2] for k, (lo, hi) in rng.items()
         }
-        order = sorted(state)
+        # NULL sorts first; sorted() would TypeError on None vs str
+        order = sorted(state, key=lambda k: (k is not None, k))
         while True:
             specs = [
                 (i, k, st[0], st[1], (st[1] - st[0] + buckets) // buckets)
@@ -95,7 +96,7 @@ def _giant_medians(
                 break
             arms = [
                 F.when(
-                    (F.col("k") == F.lit(k))
+                    (F.col("k").isNull() if k is None else F.col("k") == F.lit(k))
                     & F.col("m").between(F.lit(lo), F.lit(hi)),
                     F.struct(
                         F.lit(i).alias("s"),
@@ -168,8 +169,15 @@ def mad_anomalies(
     the counting pass when the key cardinality is known-high)."""
     # NULL values carry no outlier signal and Spark/DuckDB disagree on
     # their ORDER BY placement (NULLS FIRST vs LAST) — exclude them up
-    # front so the rank selects stay bit-identical across engines
-    base = events.where(F.col(val_col).isNotNull()).select(
+    # front so the rank selects stay bit-identical across engines.
+    # NULL KEYS are excluded too: the med/mad join-back drops them in
+    # both engines (NULL never equi-joins), so they can never flag —
+    # and filtering here keeps the giant-key isin() routing two-valued
+    # (a NULL key in an isin list silently NULLs every other row's
+    # predicate) and spares a NULL-giant the one-task window
+    base = events.where(
+        F.col(val_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key"), F.col(val_col).alias("v")
     )
     giants: dict = {}

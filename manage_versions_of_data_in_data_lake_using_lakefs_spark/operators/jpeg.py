@@ -488,6 +488,12 @@ def _make_jpeg_codec():
         import numpy as np
 
         w, h, ncomp, comps, info = decode_jpeg(p, return_info=True)
+        if ncomp not in (1, 3):
+            raise NotImplementedError(
+                f"JPEG: pixel assembly for {ncomp}-component images "
+                f"(CMYK/YCCK) unsupported — only grayscale and YCbCr; "
+                f"the coefficient decode (decode_jpeg) still works"
+            )
         hmax, vmax = info["hmax"], info["vmax"]
         planes = []
         for ci, (hi, vi) in enumerate(info["sampling"]):

@@ -2627,11 +2627,17 @@ def q_fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein verify — never a cross join. The oracle is the literal
     quadratic spelling; the exact verify step makes the blocking
     invisible, so a hash match certifies the whole candidate pipeline
-    (operators/fuzzy.py)."""
+    (operators/fuzzy.py). method="symdel" is passed explicitly: customer
+    names are known-short keys, so the caller skips the scan-free auto
+    hybrid's empty prefix branch (~7% fixed stage cost measured at
+    sf0.1) — the documented contract for known-shape corpora; auto
+    stays the default for unknown ones."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.fuzzy import edit_distance_pairs
 
     cust = load_table(spark, sf_dir, "customer")
-    return edit_distance_pairs(cust, "c_name", "c_custkey", max_dist=1, q=3)
+    return edit_distance_pairs(
+        cust, "c_name", "c_custkey", max_dist=1, q=3, method="symdel"
+    )
 
 
 def _fuzzy_oracle() -> str:
@@ -2646,14 +2652,13 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported number is an actual data value picked at a deterministic
     rank, so the float outputs are bit-exact against the oracle. Keyed
     on user_id — the high-cardinality shape whose per-key windows stay
-    small at any table size (a low-cardinality key like event_type
-    would funnel each giant group through one window partition; for a
-    single giant key use the histogram-bisection exact quantiles
-    instead)."""
+    small at any table size, so the giant-key auto-detection (r9:
+    low-cardinality keys route through IEEE-bit histogram bisection
+    automatically) is disabled to skip its counting pass."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies
 
     ev = load_table(spark, sf_dir, "events")
-    return mad_anomalies(ev, key_col="user_id")
+    return mad_anomalies(ev, key_col="user_id", giant_key_rows=None)
 
 
 def _anomaly_oracle() -> str:

@@ -1453,9 +1453,8 @@ class LakeRepo:
             df = self._apply_dv(spark, df, dv0, keep_lineage=True)
         if smap:
             df = self.apply_schema_map(df, smap)
-        matched = df.where(cond)
-        if matched.isEmpty():
-            return self.head(branch)  # no-op: don't birth a vector
+        # validate BEFORE the empty-match early return: a typo'd SET
+        # column must raise even when the predicate matches nothing
         unknown = set(set_exprs) - {
             c for c in df.columns if not c.startswith("__lg_")
         }
@@ -1464,6 +1463,9 @@ class LakeRepo:
                 f"update_where_dv: SET targets {sorted(unknown)} not in "
                 f"{table!r}'s schema"
             )
+        matched = df.where(cond)
+        if matched.isEmpty():
+            return self.head(branch)  # no-op: don't birth a vector
         prefix = "file:" + self.root + os.sep
         positions = matched.select(
             F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
@@ -1796,6 +1798,11 @@ class LakeRepo:
                     # conflict, and never surface the hidden name
                     merged[t] = s
                     dv_union_plan.append((t, sv, dv_))
+                elif keys and t in keys and s is not None:
+                    # drop-vs-change still row-merges on a PK: each side
+                    # reads DV-applied, so un-delete vs delete resolves
+                    # per row under the on_conflict policy
+                    row_merge_plan.append(t)
                 else:
                     # one side DROPPED its vector (un-delete via
                     # restore) while the other changed it — opposing
@@ -1814,6 +1821,8 @@ class LakeRepo:
                 elif sv is not None and dv_ is not None:
                     merged[t] = s
                     dv_union_plan.append((t, sv, dv_))
+                elif keys and t in keys and d is not None:
+                    row_merge_plan.append(t)
                 else:
                     conflicts.append(t)
             elif d != b and s == b and b is not None and set(b) <= set(d):
@@ -1823,6 +1832,8 @@ class LakeRepo:
                 elif sv is not None and dv_ is not None:
                     merged[t] = d
                     dv_union_plan.append((t, sv, dv_))
+                elif keys and t in keys and s is not None:
+                    row_merge_plan.append(t)
                 else:
                     conflicts.append(t)
             else:

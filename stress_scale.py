@@ -310,7 +310,7 @@ def main() -> None:
         # COUNT grows k× — the shape that must scale flat
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies
 
-        return mad_anomalies(x, key_col="user_id", id_col="user_id")
+        return mad_anomalies(x, key_col="user_id", id_col="user_id", giant_key_rows=None)
 
     def op_wav(d: DataFrame) -> DataFrame:
         # synthesize + sample decode, both map-only Arrow passes

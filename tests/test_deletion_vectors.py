@@ -329,7 +329,9 @@ def test_dv_merge_append_plus_vector_auto_resolves(spark, repo):
 def test_dv_merge_undelete_vs_delete_conflicts(spark, repo):
     """Restore-to-pre-vector (un-delete) on one side vs a further DV
     delete on the other: opposing intents — conflict, surfaced under
-    the parent table's name."""
+    the parent table's name; and the advertised keys= remediation must
+    actually work (review-found dead end: the conflict branch preceded
+    the row-merge branch)."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import MergeConflict
 
     repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
@@ -341,6 +343,12 @@ def test_dv_merge_undelete_vs_delete_conflicts(spark, repo):
     with pytest.raises(MergeConflict) as ei:
         repo.merge(spark, "dev", "main")
     assert DV_PREFIX not in str(ei.value)
+    # keys= resolves: per-row three-way, source's delete of 5 rides in,
+    # dest's un-delete of 0 wins over the base state
+    repo.merge(spark, "dev", "main", keys={"t": ["k"]})
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
 
 
 def test_dv_merge_constraint_check_applies_adopted_vector(spark, repo):

@@ -165,6 +165,21 @@ def test_mad_all_equal_group_flags_nothing(spark):
     assert mad_anomalies(ev).count() == 0
 
 
+def test_mad_null_keys_never_flag_and_never_poison_routing(spark):
+    """Review-found: a NULL giant key in isin() three-valued logic would
+    silently drop every OTHER key's anomalies. NULL-key rows can never
+    flag (the stats join drops them in both engines) — pinned across
+    both routing modes, with NULL as the dominant key."""
+    rows = [(i, None, float(i % 5)) for i in range(200)]
+    rows += [(500 + i, "real", float(i)) for i in range(9)] + [(600, "real", 1e5)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, event_type STRING, value DOUBLE"
+    )
+    for gkr in (None, 50):
+        got = {r.event_id for r in mad_anomalies(ev, giant_key_rows=gkr).collect()}
+        assert got == {600}, (gkr, got)
+
+
 def test_mad_giant_key_bisection_matches_window_path(spark):
     """r9: a constant (or dominant) key auto-routes through the IEEE-bit
     histogram bisection instead of a one-task window — identical rows,
