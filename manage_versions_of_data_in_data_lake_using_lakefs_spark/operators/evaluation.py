@@ -44,42 +44,80 @@ def binary_auc(
     their ORDER BY placement — excluded up front (same rule as
     operators/anomaly.py).
 
-    The prefix-sum window runs over the DISTINCT SCORES, unpartitioned —
-    safe only while the score domain is bounded (the engine's own
-    classifier emits ppm integers: ≤ 10⁶ + 1 values at any table size).
-    Raw float scores make the domain approach |data| and collapse the
-    window onto one task, so the domain is counted FIRST (one extra
-    aggregation pass, run eagerly) and an over-cap column raises with a
-    remediation hint. ``max_distinct_scores=None`` skips the guard for
-    callers that know their domain (saves the extra pass)."""
+    The one-window prefix sum over the DISTINCT SCORES is the fast path
+    while the score domain is bounded (the engine's own classifier
+    emits ppm integers: ≤ 10⁶ + 1 values at any table size). Raw float
+    scores make the domain approach |data| and would collapse that
+    window onto one task — so the domain is counted first (one extra
+    aggregation pass, run eagerly) and an over-cap column AUTOMATICALLY
+    reroutes through a range-partitioned prefix sum (the
+    ``global_row_number_scalable`` pattern: range-partition the distinct
+    scores, local prefix sums, per-partition offsets from a
+    #partitions-row aggregate) — exact for ANY score domain, never a
+    single-task window. ``max_distinct_scores=None`` skips the counting
+    pass and trusts the one-window path (callers with known-bounded
+    domains)."""
     df = df.where(F.col(score_col).isNotNull())
     per_score = df.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.col(label_col).cast("long")).alias("np"),
         F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("nn"),
     )
+    use_scalable = False
     if max_distinct_scores is not None:
         n_domain = per_score.limit(max_distinct_scores + 1).count()
-        if n_domain > max_distinct_scores:
-            raise ValueError(
-                f"binary_auc: {score_col!r} has more than "
-                f"{max_distinct_scores} distinct values — the rank "
-                f"prefix-sum window would collapse onto one task. "
-                f"Quantize the scores first (e.g. cast to ppm integers: "
-                f"CAST({score_col} * {_PPM} AS BIGINT)), or pass "
-                f"max_distinct_scores=None if the domain is known-bounded."
+        use_scalable = n_domain > max_distinct_scores
+    if use_scalable:
+        parted = per_score.repartitionByRange(F.col("s").asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = parted.withColumn(
+            "_cum_local", F.coalesce(F.sum("nn").over(w_local), F.lit(0))
+        )
+        offsets = (
+            parted.groupBy("_pid")
+            .agg(F.sum("nn").cast("decimal(38,0)").alias("_n"))
+            .withColumn(
+                "_offset",
+                F.coalesce(
+                    F.sum("_n").over(
+                        Window.orderBy("_pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ),
             )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    u2 = per_score.select(
-        (
-            F.col("np").cast("decimal(38,0)")
-            * (
-                F.lit(2) * F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("decimal(38,0)")
-                + F.col("nn").cast("decimal(38,0)")
-            )
-        ).alias("u2"),
-        "np",
-        "nn",
-    )
+            .select("_pid", "_offset")
+        )
+        cum = local.join(F.broadcast(offsets), "_pid").withColumn(
+            "_cum", F.col("_cum_local").cast("decimal(38,0)") + F.col("_offset")
+        )
+        u2 = cum.select(
+            (
+                F.col("np").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("_cum") + F.col("nn").cast("decimal(38,0)"))
+            ).alias("u2"),
+            "np",
+            "nn",
+        )
+    else:
+        w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        u2 = per_score.select(
+            (
+                F.col("np").cast("decimal(38,0)")
+                * (
+                    F.lit(2) * F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("decimal(38,0)")
+                    + F.col("nn").cast("decimal(38,0)")
+                )
+            ).alias("u2"),
+            "np",
+            "nn",
+        )
     totals = u2.agg(
         F.sum("np").cast("decimal(38,0)").alias("nps"),
         F.sum("nn").cast("decimal(38,0)").alias("nns"),

@@ -372,8 +372,50 @@ def main() -> None:
 
         return binary_auc(quality_features(d).select("f_stop", "label"), "f_stop", "label")
 
+    def op_jpeg_420(d: DataFrame) -> DataFrame:
+        # r9: subsampled MCU interleave + restart markers + odd dims —
+        # map-only like the 4:4:4 flavor, ~3-6x the blocks per image
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+            decode_jpeg_stats,
+            synthesize_jpeg_media,
+        )
+
+        return decode_jpeg_stats(
+            synthesize_jpeg_media(d.select("doc_id"), flavor="420")
+        )
+
+    def op_anomaly_giant(x: DataFrame) -> DataFrame:
+        # r9: a CONSTANT key forces every row through the giant-key
+        # IEEE-bit bisection (threshold 1 row) — each round is one
+        # linear scan producing ≤buckets counters, rounds bounded by
+        # 64/log2(buckets), so per-row cost must stay flat where the
+        # one-task window spelling would blow up super-linearly
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.anomaly import mad_anomalies
+
+        return mad_anomalies(
+            x.withColumn("event_type", F.lit("all")),
+            key_col="event_type",
+            id_col="user_id",
+            giant_key_rows=1,
+        )
+
+    def op_auc_scalable(x: DataFrame) -> DataFrame:
+        # r9: RAW continuous scores (domain ≈ |data|) — the over-cap
+        # route: range-partitioned prefix sum over the distinct scores,
+        # never a single-task window; per-row cost must stay flat
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import binary_auc
+
+        scored = x.select(
+            (F.col("value") + F.col("user_id") / 7.0).alias("s"),
+            (F.col("user_id") % 2).cast("int").alias("label"),
+        )
+        return binary_auc(scored, "s", "label", max_distinct_scores=1000)
+
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
+        "multimodal_jpeg_420": (docs, replicate_documents, op_jpeg_420),
+        "anomaly_mad_giant": (ev, replicate_events, op_anomaly_giant),
+        "auc_scalable": (ev, replicate_events, op_auc_scalable),
         "fuzzy_join_editdist": (cust, replicate_customer, op_fuzzy),
         "anomaly_mad": (ev, replicate_events, op_anomaly),
         "funnel_conversion": (ev_full, replicate_events_full, op_funnel),

@@ -31,18 +31,29 @@ def test_auc_ties_count_half(spark):
     assert binary_auc(df, "s", "label").first().auc_ppm == 750_000
 
 
-def test_auc_score_domain_guard(spark):
+def test_auc_over_cap_routes_scalable_and_matches(spark):
     """An unbounded score column (raw floats) would collapse the
-    distinct-score prefix-sum window onto one task — the guard raises
-    loudly with a quantize hint BEFORE any window runs."""
-    import pytest
+    distinct-score prefix-sum window onto one task — over the cap the
+    computation reroutes through the range-partitioned prefix sum,
+    bit-identical to the one-window spelling at any partitioning."""
+    import random
 
-    wide = _df(spark, [(i, i % 2) for i in range(40)])
-    with pytest.raises(ValueError, match="[Qq]uantize"):
-        binary_auc(wide, "s", "label", max_distinct_scores=10)
-    # at the cap exactly: fine; and None disables the guard entirely
-    assert binary_auc(wide, "s", "label", max_distinct_scores=40).first().n_pos == 20
-    assert binary_auc(wide, "s", "label", max_distinct_scores=None).first().n_neg == 20
+    rnd = random.Random(13)
+    rows = [(rnd.randint(0, 10**9), i % 3 == 0) for i in range(500)]
+    wide = spark.createDataFrame(
+        [(s, int(l)) for s, l in rows], "s LONG, label INT"
+    ).repartition(7)
+    one_window = binary_auc(wide, "s", "label", max_distinct_scores=None).first()
+    scalable = binary_auc(wide, "s", "label", max_distinct_scores=10).first()
+    assert tuple(scalable) == tuple(one_window)
+    # ties + duplicates across the range boundaries
+    tied = _df(spark, [(i % 7, i % 2) for i in range(300)]).repartition(5)
+    a = binary_auc(tied, "s", "label", max_distinct_scores=2).first()
+    b = binary_auc(tied, "s", "label", max_distinct_scores=None).first()
+    assert tuple(a) == tuple(b)
+    # at the cap exactly: the fast path still runs
+    wide40 = _df(spark, [(i, i % 2) for i in range(40)])
+    assert binary_auc(wide40, "s", "label", max_distinct_scores=40).first().n_pos == 20
 
 
 def test_confusion_threshold_is_inclusive(spark):
