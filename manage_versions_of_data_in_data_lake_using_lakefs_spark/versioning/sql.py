@@ -311,6 +311,11 @@ _CHANGES_RE = re.compile(
     r"(?:\s*,\s*(?P<v2>\d+))?\s*\)",
     re.IGNORECASE,
 )
+_CHANGES_FEED_RE = re.compile(
+    rf"\bTABLE_CHANGES_FEED\s*\(\s*(?P<table>{_IDENT})\s*,\s*(?P<v1>\d+)"
+    r"(?:\s*,\s*(?P<v2>\d+))?\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -992,6 +997,22 @@ class LakeSQL:
         out.createOrReplaceTempView(view)
         return view
 
+    def _register_changes_feed(self, table: str, v_start: int, v_end: int) -> str:
+        """``TABLE_CHANGES_FEED(t, v1[, v2])`` — the scale spelling of the
+        change TVF: ``versioning.changes.table_changes`` (file-granularity
+        diffs scanning only changed files, DV commits as position lists,
+        data_change=false skipped; multiset-correct to fold, not
+        row-minimal — see _register_changes for the trade)."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import table_changes
+
+        name = self._resolve_table(table)
+        out = table_changes(
+            self.repo, self.spark, name, v_start, v_end, ref=self.branch
+        )
+        view = f"lake__{name}__feed_{v_start}_{v_end}"
+        out.createOrReplaceTempView(view)
+        return view
+
     # -- DML (Delta-style SQL writes; auto-commit like upsert_table) -------
 
     def _dml_result(self, table: str, version: int, rows: int) -> DataFrame:
@@ -1561,6 +1582,16 @@ class LakeSQL:
         rewritten = _VERSION_RE.sub(sub_version, masked)
         rewritten = _TIMESTAMP_RE.sub(sub_ts, rewritten)
         rewritten = _AT_RE.sub(sub_version, rewritten)
+        rewritten = _CHANGES_FEED_RE.sub(
+            lambda m: self._register_changes_feed(
+                m.group("table"),
+                int(m.group("v1")),
+                int(m.group("v2"))
+                if m.group("v2")
+                else self.repo.head(self.branch).version,
+            ),
+            rewritten,
+        )
         rewritten = _CHANGES_RE.sub(
             lambda m: self._register_changes(
                 m.group("table"),
