@@ -84,8 +84,10 @@ def _giant_medians(
         state = {
             k: [lo, hi, (counts[k] - 1) // 2] for k, (lo, hi) in rng.items()
         }
-        # NULL sorts first; sorted() would TypeError on None vs str
-        order = sorted(state, key=lambda k: (k is not None, k))
+        # callers pre-filter NULL keys (mad_anomalies drops them up
+        # front — they can never flag); a None here is a caller bug
+        assert all(k is not None for k in state), "NULL key reached bisection"
+        order = sorted(state)
         while True:
             specs = [
                 (i, k, st[0], st[1], (st[1] - st[0] + buckets) // buckets)
@@ -96,7 +98,7 @@ def _giant_medians(
                 break
             arms = [
                 F.when(
-                    (F.col("k").isNull() if k is None else F.col("k") == F.lit(k))
+                    (F.col("k") == F.lit(k))
                     & F.col("m").between(F.lit(lo), F.lit(hi)),
                     F.struct(
                         F.lit(i).alias("s"),

@@ -67,36 +67,10 @@ def binary_auc(
         n_domain = per_score.limit(max_distinct_scores + 1).count()
         use_scalable = n_domain > max_distinct_scores
     if use_scalable:
-        parted = per_score.repartitionByRange(F.col("s").asc()).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        w_local = (
-            Window.partitionBy("_pid")
-            .orderBy("s")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        local = parted.withColumn(
-            "_cum_local", F.coalesce(F.sum("nn").over(w_local), F.lit(0))
-        )
-        offsets = (
-            parted.groupBy("_pid")
-            .agg(F.sum("nn").cast("decimal(38,0)").alias("_n"))
-            .withColumn(
-                "_offset",
-                F.coalesce(
-                    F.sum("_n").over(
-                        Window.orderBy("_pid").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0).cast("decimal(38,0)"),
-                ),
-            )
-            .select("_pid", "_offset")
-        )
-        cum = local.join(F.broadcast(offsets), "_pid").withColumn(
-            "_cum", F.col("_cum_local").cast("decimal(38,0)") + F.col("_offset")
-        )
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import ranged_prefix_sum
+
+        # distinct scores ⇒ unique order keys, the helper's contract
+        cum = ranged_prefix_sum(per_score, "s", "nn", "_cum")
         u2 = cum.select(
             (
                 F.col("np").cast("decimal(38,0)")

@@ -113,3 +113,53 @@ def global_row_number_scalable(
         .withColumn(out, (F.col("_local") + F.col("_offset")).cast("long"))
         .drop("_pid", "_local", "_offset")
     )
+
+
+def ranged_prefix_sum(
+    df: DataFrame, order_col: str, val_col: str, out: str
+) -> DataFrame:
+    """Exact running sum of ``val_col`` over rows STRICTLY BEFORE each
+    row under ``order_col`` — the prefix-sum sibling of
+    ``global_row_number_scalable``, same scaffolding and the same
+    invariant (the range exchange feeds both the local window and the
+    offsets aggregate, so both see identical partition boundaries; the
+    offsets window runs single-partition over #partitions COUNT rows —
+    metadata, not data). ``order_col`` values must be DISTINCT per row:
+    with duplicates split across a range boundary, "strictly before"
+    would depend on which partition a row landed in. The result column
+    is decimal(38,0) — prefix totals outgrow int64 long before the
+    inputs do."""
+    parted = df.repartitionByRange(F.col(order_col).asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parted.withColumn(
+        "_cum_local", F.coalesce(F.sum(val_col).over(w_local), F.lit(0))
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.sum(val_col).cast("decimal(38,0)").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out, F.col("_cum_local").cast("decimal(38,0)") + F.col("_offset")
+        )
+        .drop("_pid", "_cum_local", "_offset")
+    )

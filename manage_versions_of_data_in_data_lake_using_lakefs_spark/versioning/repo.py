@@ -1812,7 +1812,13 @@ class LakeRepo:
                 # row merge reads each side DV-applied and materializes
                 # all deletions into the rewritten files
                 row_merge_plan.append(t)
-            elif s != b and d == b and b is not None and set(b) <= set(s):
+            elif (
+                s is not None
+                and s != b
+                and d == b
+                and b is not None
+                and set(b) <= set(s)
+            ):
                 # source APPENDED files (every base file survives) while
                 # dest only changed the vector: every vector reference
                 # still resolves against the merged file list
@@ -1825,7 +1831,13 @@ class LakeRepo:
                     row_merge_plan.append(t)
                 else:
                     conflicts.append(t)
-            elif d != b and s == b and b is not None and set(b) <= set(d):
+            elif (
+                d is not None
+                and d != b
+                and s == b
+                and b is not None
+                and set(b) <= set(d)
+            ):
                 # mirror case: dest appended, source changed the vector
                 if dv_ == bv:
                     adopt(d, sv)

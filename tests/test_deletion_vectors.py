@@ -351,6 +351,23 @@ def test_dv_merge_undelete_vs_delete_conflicts(spark, repo):
     assert DV_PREFIX + "t" not in repo._resolve("main").tables
 
 
+def test_dv_merge_drop_vs_vector_is_clean_conflict(spark, repo):
+    """Review-found crash: one side DROPS the table while the other
+    DV-deletes rows — the append-containment check evaluated set(None).
+    Must be a clean MergeConflict under the parent name, not TypeError."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import MergeConflict
+
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.commit("main", "base")
+    repo.create_branch("dev", "main")
+    repo.remove_table("dev", "t")
+    repo.commit("dev", "drop t")
+    repo.delete_where_dv(spark, "main", "t", "k = 3")
+    with pytest.raises(MergeConflict) as ei:
+        repo.merge(spark, "dev", "main")
+    assert "'t'" in str(ei.value) and DV_PREFIX not in str(ei.value)
+
+
 def test_dv_merge_constraint_check_applies_adopted_vector(spark, repo):
     """Advisor LOW: the merge-time CHECK scan read adopted files raw, so
     already-DV-deleted rows could spuriously violate a constraint active
