@@ -510,6 +510,59 @@ ORDER BY step, change
 """
 
 
+def q_versioned_push_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo federation (r9 — the lakeFS workflow the reference exists
+    for): a populated repo pushes its branch into a SECOND repo root
+    (commit DAG + manifests + data groups + deletion vector, content
+    before refs), and every read below runs against the DESTINATION —
+    head state AND time travel into pushed history. Value parity vs the
+    oracle's plain filters proves the transport is bit-faithful
+    (incremental/fast-forward mechanics are pinned in
+    tests/test_sync.py)."""
+    import tempfile
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sync import push
+
+    repo = _fresh_repo()
+    dest_root = tempfile.mkdtemp(prefix="lakegraft_dest_")
+    shutil.rmtree(dest_root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    repo.write_table("main", "t", orders.repartition(2))
+    c1 = repo.commit("main", "base")
+    repo.delete_where_dv(spark, "main", "t", "o_orderkey % 5 = 0")
+    push(repo, dest_root, "main")
+    dest = LakeRepo(dest_root)
+
+    def agg(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+        ).select(F.lit(tag).alias("state"), "n_rows", "sum_totalprice")
+
+    head = agg(dest.read_table(spark, "t", "main"), "head")
+    past = agg(
+        dest.read_table(spark, "t", "main", version_as_of=c1.version), "v1"
+    )
+    return head.unionByName(past).orderBy("state")
+
+
+ORACLE_VERSIONED_PUSH_PULL = """
+SELECT 'head' AS state,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_totalprice
+FROM orders WHERE o_orderkey % 5 <> 0
+UNION ALL
+SELECT 'v1',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0
+FROM orders
+ORDER BY state
+"""
+
+
 VERSIONED_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
@@ -522,6 +575,7 @@ VERSIONED_QUERIES = {
     "versioned_dv_delete": q_versioned_dv_delete,
     "versioned_dv_update": q_versioned_dv_update,
     "versioned_table_changes": q_versioned_table_changes,
+    "versioned_push_pull": q_versioned_push_pull,
 }
 
 # The *values* these demos emit are pure functions of the testdata, so
@@ -636,4 +690,5 @@ VERSIONED_ORACLES = {
     "versioned_dv_delete": ORACLE_VERSIONED_DV_DELETE,
     "versioned_dv_update": ORACLE_VERSIONED_DV_UPDATE,
     "versioned_table_changes": ORACLE_VERSIONED_TABLE_CHANGES,
+    "versioned_push_pull": ORACLE_VERSIONED_PUSH_PULL,
 }

@@ -1,0 +1,229 @@
+"""Repo-to-repo sync: push / fetch over shared or remote-mounted storage.
+
+The reference's defining workflow is lakeFS *federation*: a data lake
+whose versions move between environments (`lakectl` against a remote
+server). This is the native equivalent for the JSON-commit-DAG engine:
+``push`` transports a branch's history — commit files, spilled entry
+manifests, data file groups, object blobs — into another repo root,
+and ``fetch`` is the same transfer pulled inward under any local branch
+name (pull = fetch + the ordinary ``merge``).
+
+Git-shaped semantics, enforced:
+
+- **Content, then refs.** Every commit/manifest/data/object file is
+  copied BEFORE the destination ref moves (and ref publish goes through
+  the destination's RepoLock), so a crashed push never leaves a ref
+  pointing at missing history — at worst orphaned content that the
+  destination's vacuum reclaims.
+- **Fast-forward only.** The destination ref may move only if it is a
+  new branch, an ancestor of the pushed head, already equal, or a
+  pristine genesis (freshly-init'd repo bootstrap). Anything else
+  raises ``PushRejected`` — fetch into a side branch and merge with the
+  engine's own three-way machinery, then push the result.
+- **Incremental by construction.** The DAG walk stops at commit ids the
+  destination already has; data file groups and content-addressed
+  manifests are immutable, so an existing path is never re-copied. A
+  re-push after a partial crash just fills the holes.
+- **Vacuumed history is a hard error**: pushing a commit whose files
+  were GC'd would publish unreadable history.
+
+Scale shape: pure metadata + file transport — no Spark jobs, no reads
+of row data. Cost is proportional to the NEW commits' new file groups
+(copy-on-write file sharing means an append-only branch pushes only
+its appended groups). On object stores the same walk maps onto
+server-side copies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import (
+    atomic_write_json,
+    is_manifest_ptr,
+    read_json,
+)
+
+
+class PushRejected(Exception):
+    """Destination ref moved in a way fast-forward can't cover."""
+
+
+def _raw_commit(root: str, cid: str) -> dict:
+    return read_json(os.path.join(root, "commits", f"{cid}.json"))
+
+
+def _copy_path(src_root: str, dest_root: str, rel: str, missing: list[str]) -> None:
+    """Copy one relative file/dir, skipping existing (immutable) paths."""
+    s, d = os.path.join(src_root, rel), os.path.join(dest_root, rel)
+    if os.path.exists(d):
+        return
+    if os.path.isdir(s):
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        shutil.copytree(s, d, dirs_exist_ok=True)
+    elif os.path.isfile(s):
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        shutil.copy2(s, d)
+        # a part-file entry (pruned rewrite): carry the group's stats
+        # sidecar so the destination prunes/meta-aggregates identically
+        side = os.path.join(os.path.dirname(s), "_stats.json")
+        dside = os.path.join(os.path.dirname(d), "_stats.json")
+        if os.path.isfile(side) and not os.path.exists(dside):
+            shutil.copy2(side, dside)
+    else:
+        missing.append(rel)
+
+
+def _is_pristine_genesis(root: str, cid: str) -> bool:
+    try:
+        raw = _raw_commit(root, cid)
+    except OSError:
+        return False
+    return not raw.get("parents") and not raw.get("tables") and not raw.get(
+        "objects"
+    )
+
+
+def _is_ancestor(src_root: str, ancestor: str, head: str) -> bool:
+    """BFS over ALL parents (merge commits included) in the source DAG."""
+    seen, frontier = set(), [head]
+    while frontier:
+        cid = frontier.pop()
+        if cid == ancestor:
+            return True
+        if cid in seen:
+            continue
+        seen.add(cid)
+        try:
+            frontier.extend(_raw_commit(src_root, cid).get("parents", []))
+        except OSError:
+            continue  # truncated history on src: ancestor not on this line
+    return False
+
+
+def push(
+    src,
+    dest_root: str,
+    branch: str = "main",
+    dest_branch: str | None = None,
+    create: bool = True,
+) -> dict:
+    """Transport ``branch``'s history from ``src`` (a LakeRepo) into the
+    repo at ``dest_root``; returns transfer counts. Fast-forward-only
+    (see module docstring). ``create=True`` initializes a missing
+    destination repo."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import RepoLock
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    dest_branch = dest_branch or branch
+    if not os.path.exists(os.path.join(dest_root, "repo.json")):
+        if not create:
+            raise FileNotFoundError(f"no repo at {dest_root} (create=False)")
+        LakeRepo.init(dest_root)
+    dest = LakeRepo(dest_root)
+    src_head = src._read_ref(branch)["head"]
+
+    dest_ref_path = os.path.join(dest_root, "refs", f"{dest_branch}.json")
+    old_head = None
+    if os.path.exists(dest_ref_path):
+        old_head = read_json(dest_ref_path)["head"]
+        if old_head == src_head:
+            return {"commits": 0, "paths": 0, "head": src_head}
+        if not (
+            _is_ancestor(src.root, old_head, src_head)
+            or _is_pristine_genesis(dest_root, old_head)
+        ):
+            raise PushRejected(
+                f"push {branch} -> {dest_root}:{dest_branch}: destination "
+                f"head {old_head[:8]} is not an ancestor of {src_head[:8]} "
+                f"(non-fast-forward); fetch into a side branch, merge with "
+                f"the engine's merge(), and push the result"
+            )
+
+    # collect the missing sub-DAG (all parents — merges push both lines)
+    to_copy: list[str] = []
+    seen: set[str] = set()
+    frontier = [src_head]
+    while frontier:
+        cid = frontier.pop()
+        if cid in seen or os.path.exists(
+            os.path.join(dest_root, "commits", f"{cid}.json")
+        ):
+            continue
+        seen.add(cid)
+        to_copy.append(cid)
+        frontier.extend(_raw_commit(src.root, cid).get("parents", []))
+
+    n_paths = 0
+    missing: list[str] = []
+    max_version = 0
+    for cid in to_copy:
+        raw = _raw_commit(src.root, cid)
+        max_version = max(max_version, int(raw.get("version", 0)))
+        for entries in raw.get("tables", {}).values():
+            for e in entries:
+                if is_manifest_ptr(e):
+                    _copy_path(src.root, dest_root, e["manifest"], missing)
+                    n_paths += 1
+        # data entries from the EXPANDED view (manifest pointers resolved)
+        expanded = src.get_commit(cid)
+        for entries in expanded.tables.values():
+            for rel in entries:
+                _copy_path(src.root, dest_root, rel, missing)
+                n_paths += 1
+        for blob in expanded.objects.values():
+            _copy_path(src.root, dest_root, blob, missing)
+            n_paths += 1
+    if missing:
+        shown = ", ".join(missing[:3]) + (", ..." if len(missing) > 3 else "")
+        raise FileNotFoundError(
+            f"push {branch}: {len(missing)} referenced path(s) missing on "
+            f"the source ({shown}) — vacuumed history cannot be pushed; "
+            f"push a shallower ref or re-create the data"
+        )
+    # commit files LAST within content (their presence is the dedup
+    # marker for future incremental pushes — written only once their
+    # data is fully on the destination)
+    for cid in reversed(to_copy):  # parents-first
+        atomic_write_json(
+            os.path.join(dest_root, "commits", f"{cid}.json"),
+            _raw_commit(src.root, cid),
+        )
+    with RepoLock(dest.root):
+        # keep the destination's version counter ahead of imported history
+        meta = read_json(os.path.join(dest_root, "repo.json"))
+        if meta["next_version"] <= max_version:
+            meta["next_version"] = max_version + 1
+            atomic_write_json(os.path.join(dest_root, "repo.json"), meta)
+        cur = (
+            read_json(dest_ref_path)["head"]
+            if os.path.exists(dest_ref_path)
+            else None
+        )
+        if cur not in (old_head, src_head, None):
+            raise PushRejected(
+                f"push {branch}: destination ref moved concurrently "
+                f"({old_head and old_head[:8]} -> {cur[:8]}); retry"
+            )
+        atomic_write_json(
+            dest_ref_path, {"head": src_head, "staged": {}, "staged_objects": {}}
+        )
+    return {"commits": len(to_copy), "paths": n_paths, "head": src_head}
+
+
+def fetch(
+    dest,
+    src_root: str,
+    branch: str = "main",
+    as_branch: str | None = None,
+) -> dict:
+    """Pull ``branch`` of the repo at ``src_root`` into ``dest`` (a
+    LakeRepo) under ``as_branch`` (default: same name). The same
+    fast-forward rules apply to the LOCAL ref being updated; fetch into
+    a side branch (``as_branch='origin_main'``) and ``merge()`` for the
+    divergent case — that IS pull."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    src = LakeRepo(src_root)
+    return push(src, dest.root, branch=branch, dest_branch=as_branch or branch)

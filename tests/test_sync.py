@@ -1,0 +1,142 @@
+"""Repo-to-repo push/fetch (r9): git-shaped federation over repo roots.
+
+Pins: full-fidelity first push (reads, time travel, deletion vectors,
+objects/constraints all survive), incremental second push (only the
+delta copies), fast-forward enforcement + the fetch-merge-push loop for
+divergence, version-counter advancement on the destination, vacuumed-
+source loudness, and crash-ordering (content before refs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sync import PushRejected, fetch, push
+
+
+@pytest.fixture()
+def src(tmp_path):
+    return LakeRepo.init(str(tmp_path / "src"))
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _count_files(root):
+    return sum(len(fs) for _, _, fs in os.walk(root))
+
+
+def test_push_full_fidelity_then_incremental(spark, src, tmp_path):
+    dest_root = str(tmp_path / "dest")
+    src.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    c1 = src.commit("main", "v1")
+    src.delete_where_dv(spark, "main", "t", "k < 3")
+    stats = push(src, dest_root, "main")
+    assert stats["commits"] >= 2 and stats["head"] == src.head("main").id
+
+    dest = LakeRepo(dest_root)
+    got = sorted(r.k for r in dest.read_table(spark, "t", "main").collect())
+    assert got == list(range(3, 20))  # deletion vector survived transport
+    # time travel into pushed history
+    assert dest.read_table(spark, "t", "main", version_as_of=c1.version).count() == 20
+
+    # incremental: a second push copies only the delta
+    before = _count_files(dest_root)
+    src.write_table("main", "t", _kv(spark, 100, 103).coalesce(1), mode="append")
+    src.commit("main", "append")
+    stats2 = push(src, dest_root, "main")
+    assert stats2["commits"] == 1
+    after = _count_files(dest_root)
+    assert 0 < after - before <= 8  # one commit json + one small file group
+    dest2 = LakeRepo(dest_root)
+    assert dest2.read_table(spark, "t", "main").count() == 17 + 3
+    # idempotent re-push is a no-op
+    assert push(src, dest_root, "main")["commits"] == 0
+
+
+def test_push_carries_objects_and_merge_history(spark, src, tmp_path):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    dest_root = str(tmp_path / "dest")
+    src.write_table("main", "t", _kv(spark, 0, 10))
+    src.commit("main", "base")
+    LakeSQL(spark, src, "main").sql("ALTER TABLE t ADD CONSTRAINT pos CHECK (k >= 0)")
+    src.create_branch("dev", "main")
+    src.write_table("dev", "t", _kv(spark, 50, 52), mode="append")
+    src.commit("dev", "dev adds")
+    src.write_table("main", "u", _kv(spark, 0, 2))
+    src.commit("main", "unrelated")
+    src.merge(spark, "dev", "main")  # real merge commit (two parents)
+    push(src, dest_root, "main")
+    dest = LakeRepo(dest_root)
+    assert sorted(r.k for r in dest.read_table(spark, "t", "main").collect()) == (
+        list(range(10)) + [50, 51]
+    )
+    assert dest.table_constraints("t", "main") == {"pos": "k >= 0"}
+    # both parents of the merge commit made it across
+    head = dest.head("main")
+    assert len(head.parents) == 2
+    for p in head.parents:
+        assert dest.get_commit(p) is not None
+
+
+def test_push_rejects_divergence_and_pull_resolves(spark, src, tmp_path):
+    dest_root = str(tmp_path / "dest")
+    src.write_table("main", "t", _kv(spark, 0, 6))
+    src.commit("main", "base")
+    push(src, dest_root, "main")
+    # destination diverges (its own commit)
+    dest = LakeRepo(dest_root)
+    dest.write_table("main", "t", _kv(spark, 0, 6).withColumn("v", F.col("k") * 3))
+    dest.commit("main", "dest reprice")
+    # source also diverges
+    src.write_table("main", "t", _kv(spark, 0, 7))
+    src.commit("main", "src extends")
+    with pytest.raises(PushRejected, match="fast-forward"):
+        push(src, dest_root, "main")
+    # pull = fetch into a side branch + engine merge, then push back
+    fetch(dest, src.root, "main", as_branch="origin_main")
+    assert dest.read_table(spark, "t", "origin_main").count() == 7
+    dest.merge(spark, "origin_main", "main", keys={"t": ["k"]}, on_conflict="dest")
+    merged = {r.k: r.v for r in dest.read_table(spark, "t", "main").collect()}
+    assert merged[0] == 0 and merged[5] == 15 and merged[6] == 12  # dest wins 0-5
+    # the merge commit's second parent IS src's head, so pushing the
+    # merged result back is a legitimate fast-forward — round trip done
+    push(dest, src.root, "main", create=False)
+    back = {r.k: r.v for r in src.read_table(spark, "t", "main").collect()}
+    assert back == merged
+
+
+def test_push_advances_version_counter_and_locks_ref(spark, src, tmp_path):
+    dest_root = str(tmp_path / "dest")
+    src.write_table("main", "t", _kv(spark, 0, 4))
+    src.commit("main", "v1")
+    push(src, dest_root, "main")
+    dest = LakeRepo(dest_root)
+    v_pushed = dest.head("main").version
+    dest.write_table("main", "t", _kv(spark, 4, 6), mode="append")
+    c = dest.commit("main", "local after pull")
+    assert c.version > v_pushed  # counter advanced past imported history
+    assert dest.read_table(spark, "t", "main").count() == 6
+
+
+def test_push_vacuumed_source_is_loud(spark, src, tmp_path):
+    dest_root = str(tmp_path / "dest")
+    src.write_table("main", "t", _kv(spark, 0, 5))
+    src.commit("main", "v1")
+    src.write_table("main", "t", _kv(spark, 5, 9))
+    src.commit("main", "overwrite")
+    src.vacuum(keep_history=False, grace_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        push(src, dest_root, "main")
+    # the failed push left no ref on the destination branch... the repo
+    # may exist (created) but its main still points at its own genesis
+    dest = LakeRepo(dest_root)
+    assert dest.list_tables("main") == []
