@@ -519,7 +519,6 @@ def q_versioned_push_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's plain filters proves the transport is bit-faithful
     (incremental/fast-forward mechanics are pinned in
     tests/test_sync.py)."""
-    import tempfile
 
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sync import push

@@ -55,22 +55,39 @@ def _raw_commit(root: str, cid: str) -> dict:
 
 
 def _copy_path(src_root: str, dest_root: str, rel: str, missing: list[str]) -> None:
-    """Copy one relative file/dir, skipping existing (immutable) paths."""
+    """Copy one relative file/dir, skipping existing (immutable) paths.
+
+    Every copy publishes atomically — stage into a temp sibling, then
+    one ``os.replace``/``os.rename`` — so a crash mid-transfer can never
+    leave a PARTIAL path whose existence a re-push would mistake for a
+    completed copy (a half-copied parquet dir silently reads as fewer
+    rows; there is no error to catch later)."""
     s, d = os.path.join(src_root, rel), os.path.join(dest_root, rel)
     if os.path.exists(d):
         return
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    tmp = f"{d}.pushing.{os.getpid()}"
     if os.path.isdir(s):
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        shutil.copytree(s, d, dirs_exist_ok=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(s, tmp)
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            # lost a race to a concurrent push of the same immutable dir
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(d):
+                raise
     elif os.path.isfile(s):
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        shutil.copy2(s, d)
+        shutil.copy2(s, tmp)
+        os.replace(tmp, d)
         # a part-file entry (pruned rewrite): carry the group's stats
         # sidecar so the destination prunes/meta-aggregates identically
         side = os.path.join(os.path.dirname(s), "_stats.json")
         dside = os.path.join(os.path.dirname(d), "_stats.json")
         if os.path.isfile(side) and not os.path.exists(dside):
-            shutil.copy2(side, dside)
+            tside = f"{dside}.pushing.{os.getpid()}"
+            shutil.copy2(side, tside)
+            os.replace(tside, dside)
     else:
         missing.append(rel)
 
@@ -126,8 +143,19 @@ def push(
 
     dest_ref_path = os.path.join(dest_root, "refs", f"{dest_branch}.json")
     old_head = None
+    old_ref: dict = {"staged": {}, "staged_objects": {}}
     if os.path.exists(dest_ref_path):
-        old_head = read_json(dest_ref_path)["head"]
+        old_ref = read_json(dest_ref_path)
+        old_head = old_ref["head"]
+        if old_ref.get("staged") or old_ref.get("staged_objects"):
+            # the engine's discipline everywhere (merge, ALTER, compact):
+            # never move a dirty ref — the staged pointers would be
+            # silently dropped and their data vacuumed later
+            raise PushRejected(
+                f"push {branch} -> {dest_root}:{dest_branch}: destination "
+                f"branch has uncommitted staged changes; commit or reset "
+                f"there first"
+            )
         if old_head == src_head:
             return {"commits": 0, "paths": 0, "head": src_head}
         if not (
@@ -142,24 +170,21 @@ def push(
             )
 
     # collect the missing sub-DAG (all parents — merges push both lines)
-    to_copy: list[str] = []
-    seen: set[str] = set()
+    raws: dict[str, dict] = {}
     frontier = [src_head]
     while frontier:
         cid = frontier.pop()
-        if cid in seen or os.path.exists(
+        if cid in raws or os.path.exists(
             os.path.join(dest_root, "commits", f"{cid}.json")
         ):
             continue
-        seen.add(cid)
-        to_copy.append(cid)
-        frontier.extend(_raw_commit(src.root, cid).get("parents", []))
+        raws[cid] = _raw_commit(src.root, cid)
+        frontier.extend(raws[cid].get("parents", []))
 
     n_paths = 0
     missing: list[str] = []
     max_version = 0
-    for cid in to_copy:
-        raw = _raw_commit(src.root, cid)
+    for cid, raw in raws.items():
         max_version = max(max_version, int(raw.get("version", 0)))
         for entries in raw.get("tables", {}).values():
             for e in entries:
@@ -183,12 +208,34 @@ def push(
             f"push a shallower ref or re-create the data"
         )
     # commit files LAST within content (their presence is the dedup
-    # marker for future incremental pushes — written only once their
-    # data is fully on the destination)
-    for cid in reversed(to_copy):  # parents-first
+    # marker for future incremental pushes) and in TOPOLOGICAL
+    # ancestors-first order: the dedup walk stops at any existing commit
+    # WITHOUT re-checking its ancestors, so every crash prefix must be
+    # ancestor-closed — a reversed DFS preorder is NOT (a merge DAG can
+    # write a child before its parent), which a brute-force crash
+    # simulation turned into permanently unhealable missing-parent
+    # history during review
+    done: set[str] = set()
+    order: list[str] = []
+
+    def _visit(cid: str) -> None:
+        stack = [(cid, False)]
+        while stack:
+            c, expanded_flag = stack.pop()
+            if c in done or c not in raws:
+                continue
+            if expanded_flag:
+                done.add(c)
+                order.append(c)
+                continue
+            stack.append((c, True))
+            for p in raws[c].get("parents", []):
+                stack.append((p, False))
+
+    _visit(src_head)
+    for cid in order:
         atomic_write_json(
-            os.path.join(dest_root, "commits", f"{cid}.json"),
-            _raw_commit(src.root, cid),
+            os.path.join(dest_root, "commits", f"{cid}.json"), raws[cid]
         )
     with RepoLock(dest.root):
         # keep the destination's version counter ahead of imported history
@@ -196,20 +243,25 @@ def push(
         if meta["next_version"] <= max_version:
             meta["next_version"] = max_version + 1
             atomic_write_json(os.path.join(dest_root, "repo.json"), meta)
-        cur = (
-            read_json(dest_ref_path)["head"]
-            if os.path.exists(dest_ref_path)
-            else None
-        )
-        if cur not in (old_head, src_head, None):
-            raise PushRejected(
-                f"push {branch}: destination ref moved concurrently "
-                f"({old_head and old_head[:8]} -> {cur[:8]}); retry"
-            )
-        atomic_write_json(
-            dest_ref_path, {"head": src_head, "staged": {}, "staged_objects": {}}
-        )
-    return {"commits": len(to_copy), "paths": n_paths, "head": src_head}
+        if os.path.exists(dest_ref_path):
+            cur_ref = read_json(dest_ref_path)
+            if cur_ref["head"] not in (old_head, src_head):
+                raise PushRejected(
+                    f"push {branch}: destination ref moved concurrently "
+                    f"({old_head and old_head[:8]} -> "
+                    f"{cur_ref['head'][:8]}); retry"
+                )
+        else:
+            cur_ref = {"staged": {}, "staged_objects": {}}
+        # publish through the destination's generation-fenced CAS
+        # (dest._write_ref), carrying the gen the ref was read at — a
+        # plain overwrite would reset gen to 0 under live fences and
+        # deadlock the destination's next commit for a grace period
+        cur_ref["head"] = src_head
+        cur_ref.setdefault("staged", {})
+        cur_ref.setdefault("staged_objects", {})
+        dest._write_ref(dest_branch, cur_ref)
+    return {"commits": len(raws), "paths": n_paths, "head": src_head}
 
 
 def fetch(

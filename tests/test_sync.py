@@ -127,6 +127,95 @@ def test_push_advances_version_counter_and_locks_ref(spark, src, tmp_path):
     assert dest.read_table(spark, "t", "main").count() == 6
 
 
+def test_push_crash_prefixes_are_ancestor_closed(spark, src, tmp_path, monkeypatch):
+    """Review-found: reversed DFS preorder wrote a merge DAG's child
+    commits before their parents, so a crash could publish a commit
+    whose ancestors never arrive — and the commit-presence dedup made
+    the hole permanent. Inject a crash at EVERY commit-write index and
+    assert the destination's commit set is always ancestor-closed, then
+    prove the re-push heals to a fully readable history."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import sync as sync_mod
+
+    # a real merge DAG: main and dev diverge, then merge
+    src.write_table("main", "t", _kv(spark, 0, 4))
+    src.commit("main", "base")
+    src.create_branch("dev", "main")
+    src.write_table("dev", "t", _kv(spark, 10, 12), mode="append")
+    src.commit("dev", "dev adds")
+    src.write_table("main", "u", _kv(spark, 0, 2))
+    src.commit("main", "main adds u")
+    src.merge(spark, "dev", "main")
+
+    real_write = sync_mod.atomic_write_json
+
+    def closure_ok(dest_root):
+        cdir = os.path.join(dest_root, "commits")
+        present = {f[:-5] for f in os.listdir(cdir)} if os.path.isdir(cdir) else set()
+        for cid in present:
+            from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import read_json
+
+            for p in read_json(os.path.join(cdir, f"{cid}.json"))["parents"]:
+                if p not in present:
+                    return False
+        return True
+
+    for crash_at in range(1, 8):
+        dest_root = str(tmp_path / f"dest_{crash_at}")
+        state = {"writes": 0}
+
+        def bomb(path, payload, _n=crash_at, _s=state):
+            if "commits" in os.path.basename(os.path.dirname(path)):
+                _s["writes"] += 1
+                if _s["writes"] == _n:
+                    raise OSError("injected crash")
+            real_write(path, payload)
+
+        monkeypatch.setattr(sync_mod, "atomic_write_json", bomb)
+        try:
+            push(src, dest_root, "main")
+        except OSError:
+            pass
+        monkeypatch.setattr(sync_mod, "atomic_write_json", real_write)
+        assert closure_ok(dest_root), f"hole after crash at write {crash_at}"
+        # the re-push heals whatever was missing
+        push(src, dest_root, "main")
+        dest = LakeRepo(dest_root)
+        assert sorted(r.k for r in dest.read_table(spark, "t", "main").collect()) == [
+            0, 1, 2, 3, 10, 11,
+        ]
+        assert len(dest.log("main", limit=None)) >= 4
+
+
+def test_push_refuses_dirty_dest_and_preserves_gen(spark, src, tmp_path):
+    """Review-found pair: a push must neither discard the destination's
+    staged work nor reset its ref generation (a plain overwrite under
+    live CAS fences deadlocks the destination's next commit for the
+    grace window)."""
+    dest_root = str(tmp_path / "dest")
+    src.write_table("main", "t", _kv(spark, 0, 4))
+    src.commit("main", "base")
+    push(src, dest_root, "main")
+    dest = LakeRepo(dest_root)
+    # dirty destination: staged-but-uncommitted write
+    src.write_table("main", "t", _kv(spark, 4, 6), mode="append")
+    src.commit("main", "more")
+    dest.write_table("main", "side", _kv(spark, 0, 2))
+    with pytest.raises(PushRejected, match="staged"):
+        push(src, dest_root, "main")
+    dest.commit("main", "keep staged work")  # commits fine, nothing lost
+    assert dest.read_table(spark, "side", "main").count() == 2
+    # dest has now committed (gen advanced, fresh fences) and diverged;
+    # fetch+merge then push back — and the destination must be able to
+    # commit IMMEDIATELY after receiving a push (gen carried forward)
+    fetch(dest, src.root, "main", as_branch="origin_main")
+    dest.merge(spark, "origin_main", "main")
+    push(dest, src.root, "main", create=False)
+    src.write_table("main", "t", _kv(spark, 100, 101), mode="append")
+    c = src.commit("main", "immediate post-push commit")  # no CommitConflictError
+    assert c is not None
+    assert src.read_table(spark, "t", "main").count() == 7
+
+
 def test_push_vacuumed_source_is_loud(spark, src, tmp_path):
     dest_root = str(tmp_path / "dest")
     src.write_table("main", "t", _kv(spark, 0, 5))
