@@ -1392,7 +1392,8 @@ class LakeRepo:
             F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
             F.col("__lg_ri").cast("long").alias("pos"),
         )
-        if matches.isEmpty():
+        n = matches.count()
+        if n == 0:
             # a DELETE that matched nothing is a no-op: committing an
             # empty vector append would still break append-mode streams
             # and disqualify metadata aggregates forever
@@ -1403,7 +1404,7 @@ class LakeRepo:
         return self.commit(
             branch,
             message or f"DV DELETE FROM {table} WHERE {cond}",
-            meta={"dv_delete": {"table": table, "where": cond}},
+            meta={"dv_delete": {"table": table, "where": cond, "rows": n}},
         )
 
     def update_where_dv(
@@ -1464,7 +1465,8 @@ class LakeRepo:
                 f"{table!r}'s schema"
             )
         matched = df.where(cond)
-        if matched.isEmpty():
+        n = matched.count()
+        if n == 0:
             return self.head(branch)  # no-op: don't birth a vector
         prefix = "file:" + self.root + os.sep
         positions = matched.select(
@@ -1499,7 +1501,7 @@ class LakeRepo:
         return self.commit(
             branch,
             message or f"DV UPDATE {table} SET {sorted(set_exprs)} WHERE {cond}",
-            meta={"dv_update": {"table": table, "where": cond}},
+            meta={"dv_update": {"table": table, "where": cond, "rows": n}},
         )
 
     def _pruned(self, rel_files: list[str], where: str | None) -> list[str]:

@@ -351,10 +351,23 @@ class LakeSQL:
     >>> lsql.sql("DESCRIBE HISTORY events")
     """
 
-    def __init__(self, spark: SparkSession, repo: LakeRepo, branch: str = "main"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        repo: LakeRepo,
+        branch: str = "main",
+        dv_writes: bool = False,
+    ):
         self.spark = spark
         self.repo = repo
         self.branch = branch
+        #: Delta's ``enableDeletionVectors`` analogue: with ``dv_writes``
+        #: on, conditioned DELETE/UPDATE statements route through the
+        #: zero-rewrite deletion-vector paths (delete_where_dv /
+        #: update_where_dv) and fall back to the rewriting spellings on
+        #: anything those decline (dirty branch, subqueries in the
+        #: condition) — same results, different write amplification
+        self.dv_writes = dv_writes
 
     # -- history (DESCRIBE HISTORY parity) ---------------------------------
     def history(self, table: str | None = None) -> DataFrame:
@@ -1146,6 +1159,14 @@ class LakeSQL:
         for them, the Delta data-skipping cost model. Any failure in the
         pruned path falls back to the full rewrite."""
         name = self._resolve_table(table)
+        if self.dv_writes and cond is not None:
+            out = self._try_dv_dml(
+                name, lambda: self.repo.delete_where_dv(
+                    self.spark, self.branch, name, cond
+                ), "dv_delete",
+            )
+            if out is not None:
+                return out
         split = self._prune_split(name, cond)
         if split is not None:
             # snapshot the staged entry first: the pruned path mutates
@@ -1170,6 +1191,33 @@ class LakeSQL:
         rows = total - kept.count()
         self.repo.write_table(self.branch, name, kept, mode="overwrite")
         c = self.repo.commit(self.branch, f"SQL: DELETE FROM {name}")
+        return self._dml_result(name, c.version, rows)
+
+    def _try_dv_dml(self, name: str, op, meta_key: str) -> DataFrame | None:
+        """Run a deletion-vector DML; None means "fall back to the
+        rewrite path". Declines: dirty branch (the DV paths refuse it —
+        the auto-commit must contain only the vector change) and any
+        analysis failure (a condition with subqueries can't bind the
+        raw lineage read). A failure AFTER staging is reset — the branch
+        was provably clean at entry, so reset loses nothing — otherwise
+        the half-staged vector would ride the fallback's commit."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DirtyBranchError
+
+        before = self.repo.head(self.branch).version
+        try:
+            c = op()
+        except DirtyBranchError:
+            return None  # nothing staged yet; rewrite path handles dirty
+        except (NotImplementedError, ValueError):
+            raise  # real user errors (bad SET targets) must surface
+        except Exception:
+            self.repo.reset(self.branch)
+            return None
+        rows = (
+            int(c.meta.get(meta_key, {}).get("rows", 0))
+            if c.version != before
+            else 0
+        )
         return self._dml_result(name, c.version, rows)
 
     def _delete_pruned(
@@ -1226,6 +1274,17 @@ class LakeSQL:
                     "recomputed on read; update its source columns instead"
                 )
             assigns[resolved[col.lower()]] = m.group("expr").strip()
+        if self.dv_writes and cond is not None:
+            # conditioned UPDATE → vector-append + image-append commit
+            # (a condition-less UPDATE touches every row: the rewrite IS
+            # the cheaper spelling there, so it keeps that path)
+            out = self._try_dv_dml(
+                name, lambda: self.repo.update_where_dv(
+                    self.spark, self.branch, name, cond, assigns
+                ), "dv_update",
+            )
+            if out is not None:
+                return out
         guard = f"({cond}) IS TRUE" if cond else "TRUE"
         proj = []
         for f in target.schema.fields:

@@ -461,6 +461,45 @@ def test_dv_update_noop_and_cdc_fold(spark, repo):
     assert alive == head
 
 
+def test_dv_writes_sql_mode_routes_and_falls_back(spark, repo):
+    """r9: LakeSQL(dv_writes=True) — Delta's enableDeletionVectors
+    analogue. Conditioned DELETE/UPDATE route through the zero-rewrite
+    vector paths (files untouched, row counts surfaced); subquery
+    conditions and dirty branches fall back to the rewriting spellings
+    with identical results."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 30).repartition(2))
+    repo.write_table("main", "ids", _kv(spark, 25, 28).select("k"))
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    before = set(repo.current_files("main", "t"))
+    r = sql.sql("DELETE FROM t WHERE k < 3").first()
+    assert r.rows_affected == 3
+    assert set(repo.current_files("main", "t")) == before  # vector, no rewrite
+    r2 = sql.sql("UPDATE t SET v = v + 100 WHERE k = 5").first()
+    assert r2.rows_affected == 1
+    assert before < set(repo.current_files("main", "t"))  # append-only growth
+    got = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
+    assert 0 not in got and got[5] == 110 and len(got) == 27
+    # no-op DELETE: no version, zero rows
+    head_v = repo.head("main").version
+    r3 = sql.sql("DELETE FROM t WHERE k = 999").first()
+    assert r3.rows_affected == 0 and r3.version == head_v
+    # subquery condition: the raw lineage read can't bind it → clean
+    # fallback to the rewriting DELETE, which materializes the vector
+    r4 = sql.sql("DELETE FROM t WHERE k IN (SELECT k FROM ids)").first()
+    assert r4.rows_affected == 3
+    got2 = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got2 == [k for k in range(3, 30) if k not in (25, 26, 27)]
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables  # rewrite retired it
+    # dirty branch: DV path declines, rewrite path still works
+    repo.write_table("main", "u", _kv(spark, 0, 2))
+    r5 = sql.sql("DELETE FROM t WHERE k = 4").first()
+    assert r5.rows_affected == 1
+    assert sorted(x.k for x in repo.read_table(spark, "u", "main").collect()) == [0, 1]
+
+
 def test_dv_noop_delete_commits_nothing(spark, repo):
     repo.write_table("main", "t", _kv(spark, 0, 10))
     c1 = repo.commit("main", "v1")
