@@ -1388,19 +1388,24 @@ class LakeRepo:
         if smap:
             df = self.apply_schema_map(df, smap)
         prefix = "file:" + self.root + os.sep
+        # persist: the count (for the no-op gate + commit metadata) and
+        # the vector write must not each re-run the full match scan
         matches = df.where(cond).select(
             F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
             F.col("__lg_ri").cast("long").alias("pos"),
-        )
-        n = matches.count()
-        if n == 0:
-            # a DELETE that matched nothing is a no-op: committing an
-            # empty vector append would still break append-mode streams
-            # and disqualify metadata aggregates forever
-            return self.head(branch)
-        self.write_table(
-            branch, DV_PREFIX + table, matches, mode="append", _internal=True
-        )
+        ).persist()
+        try:
+            n = matches.count()
+            if n == 0:
+                # a DELETE that matched nothing is a no-op: committing an
+                # empty vector append would still break append-mode streams
+                # and disqualify metadata aggregates forever
+                return self.head(branch)
+            self.write_table(
+                branch, DV_PREFIX + table, matches, mode="append", _internal=True
+            )
+        finally:
+            matches.unpersist(blocking=False)
         return self.commit(
             branch,
             message or f"DV DELETE FROM {table} WHERE {cond}",
@@ -1464,40 +1469,47 @@ class LakeRepo:
                 f"update_where_dv: SET targets {sorted(unknown)} not in "
                 f"{table!r}'s schema"
             )
-        matched = df.where(cond)
-        n = matched.count()
-        if n == 0:
-            return self.head(branch)  # no-op: don't birth a vector
-        prefix = "file:" + self.root + os.sep
-        positions = matched.select(
-            F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
-            F.col("__lg_ri").cast("long").alias("pos"),
-        )
-        # updated images: stored logical columns only (generated columns
-        # recompute from these on read; lineage never persists)
-        out_cols = [
-            c
-            for c in df.columns
-            if not c.startswith("__lg_") and c.lower() not in gen
-        ]
-        images = matched.select(
-            *[
-                F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in out_cols
-            ]
-        )
-        self.write_table(
-            branch, DV_PREFIX + table, positions, mode="append", _internal=True
-        )
+        # persist: the matched frame feeds THREE evaluations (no-op
+        # count, position write, image write) — without it each one
+        # re-runs the full match scan
+        matched = df.where(cond).persist()
         try:
-            self.write_table(branch, table, images, mode="append")
-        except Exception:
-            # never leave half an update staged: the vector append
-            # without its images is a plain delete
-            self.reset(branch)
-            raise
+            n = matched.count()
+            if n == 0:
+                return self.head(branch)  # no-op: don't birth a vector
+            prefix = "file:" + self.root + os.sep
+            positions = matched.select(
+                F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias("file"),
+                F.col("__lg_ri").cast("long").alias("pos"),
+            )
+            # updated images: stored logical columns only (generated
+            # columns recompute from these on read; lineage never
+            # persists)
+            out_cols = [
+                c
+                for c in df.columns
+                if not c.startswith("__lg_") and c.lower() not in gen
+            ]
+            images = matched.select(
+                *[
+                    F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in out_cols
+                ]
+            )
+            self.write_table(
+                branch, DV_PREFIX + table, positions, mode="append", _internal=True
+            )
+            try:
+                self.write_table(branch, table, images, mode="append")
+            except Exception:
+                # never leave half an update staged: the vector append
+                # without its images is a plain delete
+                self.reset(branch)
+                raise
+        finally:
+            matched.unpersist(blocking=False)
         return self.commit(
             branch,
             message or f"DV UPDATE {table} SET {sorted(set_exprs)} WHERE {cond}",

@@ -79,6 +79,7 @@ from pyspark.sql import functions as F
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
     DV_PREFIX,
     ConstraintViolation,
+    DirtyBranchError,
     LakeRepo,
 )
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
@@ -1159,11 +1160,11 @@ class LakeSQL:
         for them, the Delta data-skipping cost model. Any failure in the
         pruned path falls back to the full rewrite."""
         name = self._resolve_table(table)
-        if self.dv_writes and cond is not None:
+        if self.dv_writes and cond is not None and self._dv_routable(cond):
             out = self._try_dv_dml(
                 name, lambda: self.repo.delete_where_dv(
                     self.spark, self.branch, name, cond
-                ), "dv_delete",
+                ), "dv_delete", "DELETE FROM",
             )
             if out is not None:
                 return out
@@ -1193,31 +1194,56 @@ class LakeSQL:
         c = self.repo.commit(self.branch, f"SQL: DELETE FROM {name}")
         return self._dml_result(name, c.version, rows)
 
-    def _try_dv_dml(self, name: str, op, meta_key: str) -> DataFrame | None:
-        """Run a deletion-vector DML; None means "fall back to the
-        rewrite path". Declines: dirty branch (the DV paths refuse it —
-        the auto-commit must contain only the vector change) and any
-        analysis failure (a condition with subqueries can't bind the
-        raw lineage read). A failure AFTER staging is reset — the branch
-        was provably clean at entry, so reset loses nothing — otherwise
-        the half-staged vector would ride the fallback's commit."""
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DirtyBranchError
+    @staticmethod
+    def _dv_routable(*texts: str | None) -> bool:
+        """A DV DML binds its texts on a RAW lineage read, where any
+        subquery's table names resolve against the SPARK SESSION CATALOG
+        instead of the repo rewriter — a user temp view named like a
+        repo table would silently change which rows match (the rewriter
+        scopes its own views under lake__ precisely to coexist with
+        user views). Any embedded SELECT therefore disqualifies the DV
+        route up front; plain column expressions can't reach foreign
+        tables."""
+        return not any(
+            t is not None and re.search(r"\bSELECT\b", t, re.IGNORECASE)
+            for t in texts
+        )
 
+    def _try_dv_dml(self, name: str, op, meta_key: str, stmt: str) -> DataFrame | None:
+        """Run a deletion-vector DML; None means "fall back to the
+        rewrite path". Declines on a dirty branch (the DV paths refuse
+        it — the auto-commit must contain only the vector change; at
+        that point nothing is staged, so the rewrite path proceeds from
+        untouched state). A failure AFTER staging is reset — the branch
+        was provably clean, so reset loses nothing — otherwise the
+        half-staged vector would ride the fallback's commit.
+        ConstraintViolation re-raises after the reset: the full rewrite
+        would fail identically — don't pay it (the pruned paths'
+        convention). A no-op match still lands a version over the
+        unchanged file list, preserving the every-DML-commits invariant
+        the rewrite paths guarantee."""
         before = self.repo.head(self.branch).version
         try:
             c = op()
         except DirtyBranchError:
             return None  # nothing staged yet; rewrite path handles dirty
-        except (NotImplementedError, ValueError):
+        except ValueError:
             raise  # real user errors (bad SET targets) must surface
+        except ConstraintViolation:
+            self.repo.reset(self.branch)
+            raise
         except Exception:
             self.repo.reset(self.branch)
             return None
-        rows = (
-            int(c.meta.get(meta_key, {}).get("rows", 0))
-            if c.version != before
-            else 0
-        )
+        if c.version == before:
+            # matched nothing: the vector stays unborn, but every DML
+            # lands a version (same rule as _delete_pruned's no-op)
+            self.repo.stage_table_files(
+                self.branch, name, self.repo.current_files(self.branch, name)
+            )
+            c = self.repo.commit(self.branch, f"SQL: {stmt} {name}")
+            return self._dml_result(name, c.version, 0)
+        rows = int(c.meta.get(meta_key, {}).get("rows", 0))
         return self._dml_result(name, c.version, rows)
 
     def _delete_pruned(
@@ -1274,14 +1300,18 @@ class LakeSQL:
                     "recomputed on read; update its source columns instead"
                 )
             assigns[resolved[col.lower()]] = m.group("expr").strip()
-        if self.dv_writes and cond is not None:
+        if (
+            self.dv_writes
+            and cond is not None
+            and self._dv_routable(cond, *assigns.values())
+        ):
             # conditioned UPDATE → vector-append + image-append commit
             # (a condition-less UPDATE touches every row: the rewrite IS
             # the cheaper spelling there, so it keeps that path)
             out = self._try_dv_dml(
                 name, lambda: self.repo.update_where_dv(
                     self.spark, self.branch, name, cond, assigns
-                ), "dv_update",
+                ), "dv_update", "UPDATE",
             )
             if out is not None:
                 return out

@@ -482,10 +482,12 @@ def test_dv_writes_sql_mode_routes_and_falls_back(spark, repo):
     assert before < set(repo.current_files("main", "t"))  # append-only growth
     got = {r.k: r.v for r in repo.read_table(spark, "t", "main").collect()}
     assert 0 not in got and got[5] == 110 and len(got) == 27
-    # no-op DELETE: no version, zero rows
+    # no-op DELETE: zero rows but STILL a version (every DML commits —
+    # the rewrite paths' invariant, kept across dv routing), and no
+    # vector is born for it
     head_v = repo.head("main").version
     r3 = sql.sql("DELETE FROM t WHERE k = 999").first()
-    assert r3.rows_affected == 0 and r3.version == head_v
+    assert r3.rows_affected == 0 and r3.version == head_v + 1
     # subquery condition: the raw lineage read can't bind it → clean
     # fallback to the rewriting DELETE, which materializes the vector
     r4 = sql.sql("DELETE FROM t WHERE k IN (SELECT k FROM ids)").first()
