@@ -85,8 +85,11 @@ def _giant_medians(
             k: [lo, hi, (counts[k] - 1) // 2] for k, (lo, hi) in rng.items()
         }
         # callers pre-filter NULL keys (mad_anomalies drops them up
-        # front — they can never flag); a None here is a caller bug
-        assert all(k is not None for k in state), "NULL key reached bisection"
+        # front — they can never flag); a None here is a caller bug.
+        # An explicit raise, not assert: the isin() routing downstream
+        # three-value-poisons on NULL keys, and `python -O` strips asserts
+        if any(k is None for k in state):
+            raise ValueError("NULL key reached _giant_medians bisection")
         order = sorted(state)
         while True:
             specs = [

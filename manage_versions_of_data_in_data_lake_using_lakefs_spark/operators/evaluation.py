@@ -64,7 +64,15 @@ def binary_auc(
     )
     use_scalable = False
     if max_distinct_scores is not None:
-        n_domain = per_score.limit(max_distinct_scores + 1).count()
+        # the guard must run eagerly (the plan SHAPE branches on it), but
+        # a bare limit().count() on a grouped frame does NOT short-circuit
+        # the shuffle — it would re-execute the caller's upstream pipeline
+        # a second time when the result is consumed. Persisting the
+        # grouped frame makes the guard's job double as the cache
+        # materialization: upstream runs ONCE, and both the prefix-sum
+        # plan and the totals read |score domain| cached rows
+        per_score = per_score.persist()
+        n_domain = per_score.count()
         use_scalable = n_domain > max_distinct_scores
     if use_scalable:
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import ranged_prefix_sum

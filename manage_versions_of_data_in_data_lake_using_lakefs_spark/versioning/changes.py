@@ -172,9 +172,17 @@ def table_changes(
             survive = sorted(prev & cur)
             prev_pos = dv_df(dv_prev) if dv_prev else None
             cur_pos = dv_df(dv_cur) if dv_cur else None
-            if survive and prev_pos is not None:
-                surv_paths = [prefix + f for f in survive]
-                revoked = prev_pos.where(F.col("__lg_fp").isin(surv_paths))
+            # vector file groups are immutable, so entry-set containment
+            # proves no positions were removed — the common pure-append
+            # case (delete_where_dv / update_where_dv) skips the eager
+            # revocation probe job entirely
+            if survive and prev_pos is not None and not set(dv_prev) <= set(dv_cur):
+                surv_df = spark.createDataFrame(
+                    [(prefix + f,) for f in survive], schema="__lg_fp string"
+                )
+                revoked = prev_pos.join(
+                    F.broadcast(surv_df), "__lg_fp", "left_semi"
+                )
                 if cur_pos is not None:
                     revoked = revoked.join(
                         cur_pos, ["__lg_fp", "__lg_ri"], "left_anti"

@@ -251,6 +251,17 @@ def push(
                     f"({old_head and old_head[:8]} -> "
                     f"{cur_ref['head'][:8]}); retry"
                 )
+            # re-check dirtiness INSIDE the lock: staged entries added
+            # during the (long) content-copy phase would otherwise ride
+            # the moved head — a staged append folded against the old
+            # head could later commit a file list that drops the pushed
+            # commit's files for that table
+            if cur_ref.get("staged") or cur_ref.get("staged_objects"):
+                raise PushRejected(
+                    f"push {branch} -> {dest_root}:{dest_branch}: "
+                    f"destination branch gained uncommitted staged changes "
+                    f"during the transfer; commit or reset there and retry"
+                )
         else:
             cur_ref = {"staged": {}, "staged_objects": {}}
         # publish through the destination's generation-fenced CAS
