@@ -630,6 +630,53 @@ class LakeSQL:
         target = self.repo.read_table(
             self.spark, name, ref=self.branch, include_staged=True
         )
+        # SET assignments parse up front (the deletion-vector route needs
+        # them before any view exists); a typo'd SET column raises here
+        # regardless of which execution path runs
+        assigns: dict[str, str] | None = None
+        if mu:
+            sets_text = mu.group("sets").strip()
+            if sets_text == "*":
+                assigns = {f.name: f"{sa}.`{f.name}`" for f in target.schema.fields}
+            else:
+                assigns = {}
+                resolved = {f.name.lower(): f.name for f in target.schema.fields}
+                for part in _split_top_level(sets_text):
+                    am = _MERGE_ASSIGN_RE.match(part)
+                    if not am:
+                        raise ValueError(f"cannot parse SET assignment: {part!r}")
+                    col = am.group("col").strip("`")
+                    qual = re.match(
+                        rf"^{re.escape(ta)}\s*\.\s*(.+)$", col, re.IGNORECASE
+                    )
+                    if qual:
+                        col = qual.group(1).strip("`")
+                    if col.lower() not in resolved:
+                        raise KeyError(f"MERGE {name!r}: no column {col!r}")
+                    assigns[resolved[col.lower()]] = am.group("expr").strip()
+        if (
+            self.dv_writes
+            # only the SET expressions can smuggle a subquery — the ON
+            # condition is already constrained to alias.col equality
+            # pairs and the USING source was rewriter-resolved above
+            and self._dv_routable(*(assigns.values() if assigns else ()))
+            # generated columns recompute on read; the rewrite path owns
+            # that discipline — decline rather than risk storing them
+            and not self.repo._generated_names(
+                self.repo.table_schema_map(name, ref=self.branch)
+            )
+        ):
+            out = self._try_dv_dml(
+                name,
+                lambda: self._merge_dv_op(
+                    name, ta, sa, sdf, t_keys, s_keys,
+                    delete=md is not None, assigns=assigns,
+                    insert=mi is not None,
+                ),
+                "dv_merge", "MERGE INTO",
+            )
+            if out is not None:
+                return out
         tview, sview = "lake__merge_t", "lake__merge_s"
         target.createOrReplaceTempView(tview)
         sdf.createOrReplaceTempView(sview)
@@ -670,25 +717,6 @@ class LakeSQL:
             rows += matched_n
         else:
             if mu:
-                sets_text = mu.group("sets").strip()
-                if sets_text == "*":
-                    assigns = {f.name: f"{sa}.`{f.name}`" for f in target.schema.fields}
-                else:
-                    assigns = {}
-                    resolved = {f.name.lower(): f.name for f in target.schema.fields}
-                    for part in _split_top_level(sets_text):
-                        am = _MERGE_ASSIGN_RE.match(part)
-                        if not am:
-                            raise ValueError(f"cannot parse SET assignment: {part!r}")
-                        col = am.group("col").strip("`")
-                        qual = re.match(
-                            rf"^{re.escape(ta)}\s*\.\s*(.+)$", col, re.IGNORECASE
-                        )
-                        if qual:
-                            col = qual.group(1).strip("`")
-                        if col.lower() not in resolved:
-                            raise KeyError(f"MERGE {name!r}: no column {col!r}")
-                        assigns[resolved[col.lower()]] = am.group("expr").strip()
                 rows += matched_n
             else:
                 assigns = {}
@@ -1245,6 +1273,159 @@ class LakeSQL:
             return self._dml_result(name, c.version, 0)
         rows = int(c.meta.get(meta_key, {}).get("rows", 0))
         return self._dml_result(name, c.version, rows)
+
+    def _merge_dv_op(
+        self,
+        name: str,
+        ta: str,
+        sa: str,
+        sdf: DataFrame,
+        t_keys: list[str],
+        s_keys: list[str],
+        delete: bool,
+        assigns: dict[str, str] | None,
+        insert: bool,
+    ):
+        """Deletion-vector MERGE executor (Delta's DV-enabled MERGE):
+        WHEN-MATCHED rows become (file, pos) vector positions — plus,
+        for UPDATE, their rewritten images — and NOT-MATCHED inserts
+        append, ALL in one commit with ZERO existing-file rewrites. An
+        upsert touching a handful of rows in a huge table costs a few
+        vector rows + one small appended file instead of a full snapshot
+        rewrite. CDC needs no new machinery: vector append + file
+        append is the standard delete+insert change pair, identical in
+        shape to ``update_where_dv``.
+
+        Called through ``_try_dv_dml`` so the fallback discipline (clean
+        branch required, reset on failure, ValueError surfaces, no-op
+        still lands a version) is shared with DELETE/UPDATE routing.
+        Returns the unchanged head for a no-op."""
+        repo, spark, branch = self.repo, self.spark, self.branch
+        if repo._is_dirty(repo._read_ref(branch)):
+            raise DirtyBranchError(
+                f"MERGE INTO {name} (dv): uncommitted staged changes; "
+                f"the rewrite path handles dirty branches"
+            )
+        smap = repo.table_schema_map(name, ref=branch)
+        entries = repo.current_files(branch, name, include_staged=False)
+        df = repo._read_files(
+            spark, entries, merge_schema=bool(smap), with_lineage=True
+        )
+        dv0 = repo.head(branch).tables.get(DV_PREFIX + name)
+        if dv0:
+            df = repo._apply_dv(spark, df, dv0, keep_lineage=True)
+        if smap:
+            df = repo.apply_schema_map(df, smap)
+        tview, sview = "lake__mdv_t", "lake__mdv_s"
+        df.createOrReplaceTempView(tview)
+        sdf.createOrReplaceTempView(sview)
+        on_sql = " AND ".join(
+            f"{ta}.`{tk}` = {sa}.`{sk}`" for tk, sk in zip(t_keys, s_keys)
+        )
+        stored = [c for c in df.columns if not c.startswith("__lg_")]
+        matched = None
+        inserts = None
+        n_matched = 0
+        n_ins = 0
+        try:
+            if delete or assigns is not None:
+                # Delta's multiple-match guard — same rule as the rewrite
+                # path: only duplicate source keys that HIT a target row
+                key_list = ", ".join(f"`{k}`" for k in s_keys)
+                t_key_list = ", ".join(f"`{k}`" for k in t_keys)
+                dup = spark.sql(
+                    f"SELECT 1 FROM (SELECT {key_list} FROM {sview} "
+                    f"GROUP BY {key_list} HAVING COUNT(*) > 1) d "
+                    f"LEFT SEMI JOIN (SELECT {t_key_list} FROM {tview}) t ON "
+                    + " AND ".join(
+                        f"d.`{sk}` = t.`{tk}`"
+                        for tk, sk in zip(t_keys, s_keys)
+                    )
+                )
+                if dup.take(1):
+                    raise ValueError(
+                        "MERGE source has multiple rows per join key that "
+                        "match a target row — ambiguous (Delta raises here "
+                        "too)"
+                    )
+                proj = [
+                    f"{ta}.`__lg_fp` AS __lg_fp",
+                    f"{ta}.`__lg_ri` AS __lg_ri",
+                ]
+                if assigns is not None:
+                    for c in stored:
+                        if c in assigns:
+                            proj.append(
+                                f"CAST(({assigns[c]}) AS "
+                                f"{df.schema[c].dataType.simpleString()}) "
+                                f"AS `{c}`"
+                            )
+                        else:
+                            proj.append(f"{ta}.`{c}` AS `{c}`")
+                # persist: the matched frame feeds the no-op count, the
+                # position write, and (UPDATE) the image write
+                matched = spark.sql(
+                    f"SELECT {', '.join(proj)} FROM {tview} {ta} "
+                    f"JOIN {sview} {sa} ON {on_sql}"
+                ).persist()
+                n_matched = matched.count()
+            if insert:
+                missing = [c for c in stored if c not in sdf.columns]
+                if missing:
+                    raise ValueError(
+                        f"MERGE INSERT *: source lacks target columns "
+                        f"{missing}"
+                    )
+                ins_proj = ", ".join(
+                    f"CAST({sa}.`{c}` AS "
+                    f"{df.schema[c].dataType.simpleString()}) AS `{c}`"
+                    for c in stored
+                )
+                inserts = spark.sql(
+                    f"SELECT {ins_proj} FROM {sview} {sa} "
+                    f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+                ).persist()
+                n_ins = inserts.count()
+            if n_matched == 0 and n_ins == 0:
+                return repo.head(branch)  # no-op: caller lands the version
+            if n_matched:
+                prefix = "file:" + repo.root + os.sep
+                positions = matched.select(
+                    F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias(
+                        "file"
+                    ),
+                    F.col("__lg_ri").cast("long").alias("pos"),
+                )
+                repo.write_table(
+                    branch, DV_PREFIX + name, positions,
+                    mode="append", _internal=True,
+                )
+            appended = None
+            if assigns is not None and n_matched:
+                appended = matched.drop("__lg_fp", "__lg_ri")
+            if inserts is not None and n_ins:
+                appended = (
+                    inserts if appended is None
+                    else appended.unionByName(inserts)
+                )
+            if appended is not None:
+                try:
+                    repo.write_table(branch, name, appended, mode="append")
+                except Exception:
+                    # never leave half a merge staged: a vector append
+                    # without its images/inserts is a plain delete
+                    repo.reset(branch)
+                    raise
+        finally:
+            if matched is not None:
+                matched.unpersist(blocking=False)
+            if inserts is not None:
+                inserts.unpersist(blocking=False)
+        return repo.commit(
+            branch,
+            f"SQL: MERGE INTO {name}",
+            meta={"dv_merge": {"table": name, "rows": n_matched + n_ins}},
+        )
 
     def _delete_pruned(
         self, name: str, cond: str, safe: list, cand: list, info: dict

@@ -531,3 +531,153 @@ def test_dv_cdc_raises_on_undelete(spark, repo):
         q.awaitTermination()
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_dv_merge_into_routes_update_insert_one_commit(spark, repo):
+    """r10: MERGE INTO under dv_writes — WHEN-MATCHED rows become vector
+    positions + updated images, NOT-MATCHED inserts append; ONE commit,
+    zero existing-file rewrites; reads and time travel bit-identical to
+    the rewrite path run on a sibling branch."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 40).repartition(4))
+    src = spark.range(35, 45).select(
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+    )
+    repo.write_table("main", "s", src)
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    head0 = repo.head("main").version
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    before = set(repo.current_files("main", "t"))
+    r = LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt).first()
+    assert r.rows_affected == 10  # 5 matched (35..39) + 5 inserted (40..44)
+    assert repo.head("main").version == head0 + 1  # ONE atomic commit
+    after = set(repo.current_files("main", "t"))
+    # zero existing-file rewrites: every old group survives, exactly one
+    # new group appended (updated images + inserts together)
+    assert before < after and len(after - before) == 1
+    assert repo.current_files("main", DV_PREFIX + "t")  # vector born
+    # bit-for-bit parity with the rewrite path
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt)
+    got_dv = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "main").collect()
+    )
+    got_rw = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "rw").collect()
+    )
+    assert got_dv == got_rw and len(got_dv) == 45
+    # time travel: the pre-merge snapshot is untouched
+    assert (
+        repo.read_table(spark, "t", "main", version_as_of=head0).count() == 40
+    )
+
+
+def test_dv_merge_into_matched_delete_and_cdc(spark, repo):
+    """Matched DELETE routes to a pure vector append; the batch CDF sees
+    the merge commit as the standard delete+insert change pair."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import table_changes
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(15, 25).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("v")
+        ),
+    )
+    base = repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    before = set(repo.current_files("main", "t"))
+    r = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE"
+    ).first()
+    assert r.rows_affected == 5  # 15..19
+    assert set(repo.current_files("main", "t")) == before  # vector only
+    assert sorted(
+        x.k for x in repo.read_table(spark, "t", "main").collect()
+    ) == list(range(15))
+    # upsert on top: CDF over both merge commits folds deletes+inserts
+    sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + t.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    feed = table_changes(repo, spark, "t", base.version + 1).collect()
+    by = {}
+    for row in feed:
+        by.setdefault(row._change_type, []).append(row.k)
+    assert sorted(by["delete"]) == list(range(15, 20))  # matched DELETEs
+    assert sorted(by["insert"]) == list(range(15, 25))  # upsert inserts
+    got = {x.k: x.v for x in repo.read_table(spark, "t", "main").collect()}
+    assert len(got) == 25 and got[16] == 23 and got[3] == 6
+
+
+def test_dv_merge_into_fallbacks_and_guards(spark, repo):
+    """Subquery SET expressions, dirty branches, and generated columns
+    decline the DV route (rewrite path answers identically); the
+    multiple-match guard and no-op versioning behave as in the rewrite
+    path; insert-only merges append without birthing a vector."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(8, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    # insert-only: pure append, no vector, no rewrite of old groups
+    before = set(repo.current_files("main", "t"))
+    r = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert r.rows_affected == 2  # 10, 11
+    assert before < set(repo.current_files("main", "t"))
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
+    # no-op merge still lands a version (every-DML-commits invariant)
+    head_v = repo.head("main").version
+    r2 = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert r2.rows_affected == 0 and r2.version == head_v + 1
+    # multiple-match guard raises through the DV route too
+    repo.write_table(
+        "main", "dup",
+        spark.createDataFrame([(5, 1), (5, 2)], "k long, v long"),
+    )
+    repo.commit("main", "dup src")
+    with pytest.raises(ValueError, match="multiple rows per join key"):
+        sql.sql(
+            "MERGE INTO t USING dup ON t.k = dup.k "
+            "WHEN MATCHED THEN UPDATE SET v = dup.v"
+        )
+    # subquery in SET: DV route is gated off (session-catalog capture
+    # hazard); the rewriting path still answers (session temp view —
+    # repo-table subqueries in MERGE SET are out of scope either way)
+    spark.createDataFrame([(55,)], "x long").createOrReplaceTempView(
+        "lake_test_aux"
+    )
+    r3 = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN "
+        "UPDATE SET v = (SELECT MAX(x) FROM lake_test_aux)"
+    ).first()
+    assert r3.rows_affected == 4  # 8..11 all match now
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables  # rewrite ran
+    got = {x.k: x.v for x in repo.read_table(spark, "t", "main").collect()}
+    assert got[8] == got[11] == 55
+    # dirty branch: DV route declines, rewrite handles staged state
+    repo.write_table("main", "u", _kv(spark, 0, 2))
+    r4 = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE"
+    ).first()
+    assert r4.rows_affected == 4
+    assert sorted(
+        x.k for x in repo.read_table(spark, "t", "main").collect()
+    ) == list(range(8))
