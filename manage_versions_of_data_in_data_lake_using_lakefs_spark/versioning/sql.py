@@ -806,8 +806,7 @@ class LakeSQL:
             table = self._resolve_table(m.group("table").strip("`"))
         except KeyError:
             return None
-        if self.repo.table_schema_map(table, ref=self.branch) is not None:
-            return None  # stats speak PHYSICAL names; evolved tables scan
+        evolved = self.repo.table_schema_map(table, ref=self.branch) is not None
         try:
             dv_entries = self.repo.current_files(self.branch, DV_PREFIX + table)
         except KeyError:
@@ -824,6 +823,13 @@ class LakeSQL:
                 im.group("alias")
                 or (f"{fn}(1)" if arg == "*" and fn == "count" else f"{fn}({arg})")
             )
+        if evolved and any(fn != "count" or arg != "*" for fn, arg in items):
+            # stats manifests speak PHYSICAL column names, so any
+            # column-addressed item (MIN/MAX/COUNT(col)) must scan on a
+            # schema-evolved table — but COUNT(*) needs only per-file
+            # row counts, which rename replay / ADD-null / DROP cannot
+            # change (no schema step moves rows), so it stays metadata
+            return None
         dv_count = 0
         if dv_entries is not None:
             # a live deletion vector makes footer stats over-counts.

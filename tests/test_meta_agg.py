@@ -122,14 +122,34 @@ def test_meta_agg_dv_count_is_pure_metadata(spark, repo):
         sql.sql("SELECT COUNT(maybe) AS m FROM t").collect()
 
 
-def test_meta_agg_declines_on_evolved_tables(spark, repo):
-    """Stats manifests speak physical names; after a rename the logical
-    query must scan (and still be right)."""
-    repo.write_table("main", "t", _df(spark, 0, 10))
+def test_meta_agg_evolved_tables_count_star_only(spark, repo):
+    """Stats manifests speak physical names, so column-addressed items
+    (MIN/MAX/COUNT(col)) must scan after a rename — but COUNT(*) needs
+    only per-file row counts, which rename replay cannot change: it
+    stays pure metadata, DV subtraction included (r10)."""
+    repo.write_table("main", "t", _df(spark, 0, 10).repartition(2))
     repo.commit("main", "v1")
     repo.alter_rename_column(spark, "main", "t", "k", "kk")
     sql = LakeSQL(spark, repo, "main")
     assert sql.sql("SELECT COUNT(*) AS n, MAX(kk) AS m FROM t").first().m == 9
-    _gut_data_files(repo)
+    # DV delete on the EVOLVED table: the condition binds logical names;
+    # COUNT(*) = footer rows − vector cardinality, both from manifests
+    repo.delete_where_dv(spark, "main", "t", "kk < 3")
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 7
+    assert repo.read_table(spark, "t", "main").count() == 7  # scan agrees
+    # the no-scan proof: gut ONLY t's data files, keep the vector parquet
+    n = 0
+    for dirpath, _dirs, files in os.walk(os.path.join(repo.root, "data")):
+        if "__dv__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, fn))
+                n += 1
+    assert n > 0
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 7
+    # column-addressed items still decline to the (now impossible) scan
     with pytest.raises(Exception):
-        sql.sql("SELECT COUNT(*) AS n FROM t").collect()
+        sql.sql("SELECT MAX(kk) AS m FROM t").collect()
+    with pytest.raises(Exception):
+        sql.sql("SELECT COUNT(*) AS n, MAX(kk) AS m FROM t").collect()
