@@ -85,6 +85,14 @@ class LakeRepo:
             raise FileNotFoundError(f"not a lake repo: {root} (run LakeRepo.init)")
         # content-addressed manifest bodies are immutable → cache freely
         self._manifest_cache: dict[str, list] = {}
+        #: opt-in auto-materialization threshold for deletion vectors
+        #: (Delta's auto-PURGE analogue): when set (e.g. 0.5), every DV
+        #: DML commit is followed by a data_change=false compaction of
+        #: any part file whose vectored share exceeds it, so the vector
+        #: stays bounded under sustained point DML. None = vectors only
+        #: retire on explicit purge_deletion_vectors / OPTIMIZE /
+        #: overwrite.
+        self.dv_materialize_fraction: float | None = None
 
     # -- paths -------------------------------------------------------------
     @property
@@ -1406,11 +1414,13 @@ class LakeRepo:
             )
         finally:
             matches.unpersist(blocking=False)
-        return self.commit(
+        c = self.commit(
             branch,
             message or f"DV DELETE FROM {table} WHERE {cond}",
             meta={"dv_delete": {"table": table, "where": cond, "rows": n}},
         )
+        self._maybe_materialize_dv(spark, branch, table)
+        return c
 
     def update_where_dv(
         self,
@@ -1510,11 +1520,145 @@ class LakeRepo:
                 raise
         finally:
             matched.unpersist(blocking=False)
-        return self.commit(
+        c = self.commit(
             branch,
             message or f"DV UPDATE {table} SET {sorted(set_exprs)} WHERE {cond}",
             meta={"dv_update": {"table": table, "where": cond, "rows": n}},
         )
+        self._maybe_materialize_dv(spark, branch, table)
+        return c
+
+    def purge_deletion_vectors(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        min_fraction: float = 0.0,
+        message: str | None = None,
+    ) -> "Commit":
+        """Materialize deletion-vector positions into rewritten files —
+        Delta's ``REORG TABLE ... APPLY (PURGE)`` analogue. Every part
+        file whose vectored-position share EXCEEDS ``min_fraction`` is
+        rewritten without its deleted rows (one new file group for all
+        of them together); those positions leave the vector, and a
+        vector drained empty is dropped outright. Untouched part files
+        are carried into the new commit by reference — zero bytes
+        rewritten for them.
+
+        The commit carries ``data_change=False``: the visible row
+        multiset is unchanged by construction (pure rearrangement), so
+        append-mode streams skip it and the batch CDF emits nothing for
+        it — exactly the ``compact`` contract. Requires a clean branch;
+        returns the unchanged head when nothing crosses the threshold.
+
+        ``min_fraction=0.0`` (the explicit-PURGE spelling) rewrites
+        every vectored file. A per-file footer-row count that cannot be
+        read conservatively skips that file when a threshold is set."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import _files_of
+
+        if self._is_dirty(self._read_ref(branch)):
+            raise DirtyBranchError(
+                f"purge_deletion_vectors on {branch}: uncommitted staged "
+                f"changes for {sorted(self.status(branch))}; commit or "
+                f"reset first — a data_change=false commit must contain "
+                f"only the rearrangement"
+            )
+        head = self.head(branch)
+        dvt = DV_PREFIX + table
+        dv_entries = head.tables.get(dvt)
+        if not dv_entries:
+            return head
+        dv = self._read_files(spark, dv_entries)
+        counts = {
+            r["file"]: int(r["n"])
+            for r in dv.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        sel: list[str] = []
+        for rel, n in sorted(counts.items()):
+            if min_fraction <= 0:
+                sel.append(rel)
+                continue
+            st = stats_mod.file_stats(os.path.join(self.root, rel))
+            rows = None if st is None else st.get("rows")
+            if rows is not None and n > min_fraction * rows:
+                sel.append(rel)
+        if not sel:
+            return head
+        sel_set = set(sel)
+        # carried entries: a group dir none of whose files are selected
+        # rides whole; a touched group decomposes into its surviving
+        # part files (the pruned-DML copy-on-write convention)
+        carried: list[str] = []
+        for e in head.tables[table]:
+            files = _files_of(self.root, [e])
+            if not (set(files) & sel_set):
+                carried.append(e)
+            else:
+                carried.extend(f for f in files if f not in sel_set)
+        smap = self.table_schema_map(table, ref=branch)
+        df = self._read_files(
+            spark, sorted(sel_set), merge_schema=bool(smap), with_lineage=True
+        )
+        prefix = "file:" + self.root + os.sep
+        sel_df = spark.createDataFrame(
+            [(f,) for f in sorted(sel_set)], "file string"
+        )
+        anti = dv.join(F.broadcast(sel_df), "file", "left_semi").select(
+            F.concat(F.lit(prefix), F.col("file")).alias("__lg_fp"),
+            F.col("pos").alias("__lg_ri"),
+        )
+        kept = df.join(anti, ["__lg_fp", "__lg_ri"], "left_anti").drop(
+            "__lg_fp", "__lg_ri"
+        )
+        if smap:
+            kept = self.apply_schema_map(kept, smap)
+        remaining = dv.join(F.broadcast(sel_df), "file", "left_anti")
+        try:
+            files = list(carried)
+            if kept.limit(1).count():
+                files.append(self.write_table(branch, table, kept, mode="overwrite"))
+            self.stage_table_files(branch, table, files)
+            if remaining.limit(1).count():
+                self.write_table(
+                    branch, dvt, remaining, mode="overwrite", _internal=True
+                )
+            else:
+                self.stage_table_files(branch, dvt, [], op="drop")
+        except Exception:
+            # never leave half a purge staged: a re-filed table without
+            # its vector shrink (or vice versa) double-counts deletions
+            self.reset(branch)
+            raise
+        return self.commit(
+            branch,
+            message or f"PURGE deletion vector of {table} ({len(sel)} files)",
+            meta={
+                "data_change": False,
+                "dv_purge": {"table": table, "files": len(sel)},
+            },
+        )
+
+    def _maybe_materialize_dv(
+        self, spark: SparkSession, branch: str, table: str
+    ) -> None:
+        """Best-effort auto-materialization after a DV DML commit: when
+        ``dv_materialize_fraction`` is set on this repo, over-threshold
+        files compact in a trailing data_change=false commit so a hot
+        table's vector cannot grow without bound. Failures reset the
+        branch and are swallowed — the DML commit already landed;
+        compaction is advisory (Delta's auto-compaction posture)."""
+        if self.dv_materialize_fraction is None:
+            return
+        try:
+            self.purge_deletion_vectors(
+                spark, branch, table, min_fraction=self.dv_materialize_fraction
+            )
+        except Exception:
+            try:
+                self.reset(branch)
+            except Exception:
+                pass
 
     def _pruned(self, rel_files: list[str], where: str | None) -> list[str]:
         """File entries that may contain rows matching ``where`` (all of

@@ -129,6 +129,11 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+INTO\s+(?P<nfiles>\d+)\s+FILES)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_REORG_PURGE_RE = re.compile(
+    rf"^\s*REORG\s+TABLE\s+(?P<table>{_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DESCRIBE_STATS_RE = re.compile(
     rf"^\s*DESCRIBE\s+STATS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
@@ -1427,11 +1432,13 @@ class LakeSQL:
                 matched.unpersist(blocking=False)
             if inserts is not None:
                 inserts.unpersist(blocking=False)
-        return repo.commit(
+        c = repo.commit(
             branch,
             f"SQL: MERGE INTO {name}",
             meta={"dv_merge": {"table": name, "rows": n_matched + n_ins}},
         )
+        repo._maybe_materialize_dv(spark, branch, name)
+        return c
 
     def _delete_pruned(
         self, name: str, cond: str, safe: list, cand: list, info: dict
@@ -1583,6 +1590,17 @@ class LakeSQL:
                 if m.group("sorts")
                 else None,
                 int(m.group("nfiles")) if m.group("nfiles") else None,
+            )
+        m = _REORG_PURGE_RE.match(query)
+        if m:
+            # Delta's REORG TABLE ... APPLY (PURGE): materialize deletion
+            # vectors into rewritten files (data_change=false commit)
+            c = self.repo.purge_deletion_vectors(
+                self.spark, self.branch, self._resolve_table(m.group("table"))
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
             )
         m = _DESCRIBE_STATS_RE.match(query)
         if m:

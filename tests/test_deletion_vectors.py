@@ -681,3 +681,102 @@ def test_dv_merge_into_fallbacks_and_guards(spark, repo):
     assert sorted(
         x.k for x in repo.read_table(spark, "t", "main").collect()
     ) == list(range(8))
+
+
+def test_dv_purge_materializes_and_drops_vector(spark, repo):
+    """r10: explicit PURGE (Delta's REORG ... APPLY (PURGE) analogue) —
+    vectored files rewrite without their deleted rows, the drained
+    vector drops, reads are unchanged, time travel still applies the
+    old vector, and the data_change=false commit is invisible to the
+    batch CDF."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import table_changes
+
+    repo.write_table("main", "t", _kv(spark, 0, 100).repartition(4))
+    repo.commit("main", "v1")
+    c_del = repo.delete_where_dv(spark, "main", "t", "k % 2 = 0")
+    before = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    c = repo.purge_deletion_vectors(spark, "main", "t")
+    assert c.meta.get("data_change") is False
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables  # vector gone
+    after = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert after == before == list(range(1, 100, 2))
+    # time travel to the pre-purge version still applies the vector
+    tt = repo.read_table(spark, "t", "main", version_as_of=c_del.version)
+    assert tt.count() == 50
+    # second purge: nothing vectored → unchanged head, no commit
+    assert repo.purge_deletion_vectors(spark, "main", "t").id == c.id
+    # the CDF sees the DV delete but NOT the purge rearrangement
+    feed = table_changes(repo, spark, "t", c_del.version).collect()
+    assert sorted(r.k for r in feed) == list(range(0, 100, 2))
+    assert {r._change_type for r in feed} == {"delete"}
+
+
+def test_dv_auto_materialize_bounds_vector_under_point_dml(spark, repo):
+    """r10: with dv_materialize_fraction set, sustained point DML keeps
+    the committed vector bounded — files whose vectored share crosses
+    the threshold compact in trailing data_change=false commits — and
+    the change feed still shows exactly the deleted rows."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import table_changes
+
+    repo.dv_materialize_fraction = 0.4
+    repo.write_table("main", "t", _kv(spark, 0, 100).repartition(2))
+    c0 = repo.commit("main", "v1")
+    for lo in range(0, 60, 10):
+        repo.delete_where_dv(
+            spark, "main", "t", f"k >= {lo} AND k < {lo + 10}"
+        )
+    # reads unchanged throughout
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(60, 100))
+    # the committed vector is bounded: deleting 60% of the table left at
+    # most the threshold share per file un-materialized
+    dvt = DV_PREFIX + "t"
+    head = repo._resolve("main")
+    if dvt in head.tables:
+        n = repo._read_files(spark, head.tables[dvt]).count()
+        assert n <= 40  # without purging it would be 60
+    # purge commits happened (more versions than the 6 DML commits)...
+    assert repo.head("main").version > c0.version + 6
+    # ...but the CDF over the whole range emits exactly the 60 deletes
+    feed = table_changes(repo, spark, "t", c0.version + 1).collect()
+    assert sorted(r.k for r in feed) == list(range(60))
+    assert {r._change_type for r in feed} == {"delete"}
+
+
+def test_dv_purge_threshold_and_evolved_tables(spark, repo):
+    """Thresholded purge rewrites ONLY over-threshold files (the rest
+    carry by reference), and purge binds schema-evolved tables through
+    the same rename-replay as the DV DML paths."""
+    repo.write_table("main", "t", _kv(spark, 0, 50).repartition(1))
+    repo.write_table("main", "t", _kv(spark, 50, 60).repartition(1), mode="append")
+    repo.commit("main", "v1")
+    repo.alter_rename_column(spark, "main", "t", "k", "kk")
+    # 6 of 10 rows vectored in the second file; 5 of 50 in the first
+    repo.delete_where_dv(spark, "main", "t", "kk >= 54")
+    repo.delete_where_dv(spark, "main", "t", "kk < 5")
+    before_files = set(repo.current_files("main", "t"))
+    c = repo.purge_deletion_vectors(spark, "main", "t", min_fraction=0.5)
+    assert c.meta["dv_purge"]["files"] == 1  # only the 60% file rewrote
+    # the under-threshold file's positions remain vectored
+    dv = repo._read_files(
+        spark, repo.current_files("main", DV_PREFIX + "t")
+    )
+    assert dv.count() == 5
+    got = sorted(r.kk for r in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(5, 54))
+    # the untouched group rode by reference (still among current files)
+    assert any(e in before_files for e in repo.current_files("main", "t"))
+
+
+def test_dv_reorg_purge_sql_spelling(spark, repo):
+    """Delta-parity SQL: REORG TABLE t APPLY (PURGE)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k < 4")
+    sql = LakeSQL(spark, repo, "main")
+    r = sql.sql("REORG TABLE t APPLY (PURGE)").first()
+    assert r.version == repo.head("main").version
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 16
