@@ -24,13 +24,22 @@ the published interchange format (ITU-T T.81 / ISO 10918-1):
   its own resolution, nearest-neighbor-upsamples chroma, and applies
   the JFIF YCbCr→RGB matrix.
 
-Honest boundaries (loud, never silent): progressive (SOF2) and
-arithmetic coding raise NotImplementedError, as do 16-bit quant tables
-and non-integer chroma upsampling ratios. The fixture encoder
-(`encode_jpeg`) writes REAL baseline files from chosen quantized
-coefficients — every byte follows T.81, including subsampled MCU
-interleave and restart markers — so the decoder's integer coefficient
-output is checkable against the exact values the encoder embedded: the
+- progressive (SOF2, r10): multi-scan successive approximation per
+  T.81 Annex G — interleaved/non-interleaved DC first + refinement
+  scans, spectral-selection AC first scans with EOBn run decoding, AC
+  refinement scans (zero-history run placement, correction bits,
+  cross-block EOB-run state), restart resets per scan — accumulated
+  into per-component padded block grids and flattened to the SAME scan
+  order as baseline, so IDCT/pixel assembly downstream is shared.
+
+Honest boundaries (loud, never silent): arithmetic coding, lossless,
+and hierarchical processes raise NotImplementedError, as do 16-bit
+quant tables and non-integer chroma upsampling ratios. The fixture
+encoders (`encode_jpeg`, `encode_jpeg_progressive`) write REAL files
+from chosen quantized coefficients — every byte follows T.81,
+including subsampled MCU interleave, restart markers, and the full
+progressive scan script — so the decoder's integer coefficient output
+is checkable against the exact values the encoder embedded: the
 oracle certifies the whole bitstream → Huffman → zigzag → DC-prediction
 → dequant chain with no float in sight. The IDCT and the pixel
 assembler are certified separately by basis-function and flat-field
@@ -327,13 +336,262 @@ def _make_jpeg_codec():
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
+    # progressive AC table: EOBn symbols (r<<4, r<15) join run/size + ZRL
+    _ACP_SYMS = [
+        (run << 4) | size for run in range(16) for size in range(0, 11)
+    ]
+    _ACP_BITS, _ACP_VALS, _ACP_ENC = _flat_table(_ACP_SYMS)
+
+    def encode_jpeg_progressive(
+        comps: list[list[list[int]]],
+        w: int,
+        h: int,
+        quant: list[int],
+        sampling: list[tuple[int, int]] | None = None,
+        restart_interval: int = 0,
+    ) -> bytes:
+        """REAL progressive (SOF2, Huffman) JPEG from QUANTIZED
+        coefficient blocks — the fixture twin of ``encode_jpeg`` with the
+        same block layout contract, emitting a full successive-
+        approximation scan script so every progressive decode path is
+        exercised:
+
+          1. DC first (interleaved), Al=1   — point-transformed diffs
+          2. per component: AC first Ss=1..5, Al=1 and Ss=6..63, Al=1
+             (spectral selection; EOBn runs across blocks)
+          3. DC refinement, Ah=1→Al=0       — one raw bit per block
+          4. per component: AC refinement per band, Ah=1→Al=0
+             (zero-history runs, correction bits, EOB-run buffering)
+
+        Restart markers (every ``restart_interval`` MCUs / blocks per
+        scan) reset the DC predictors and the EOB run. Reconstruction is
+        exact: first scans carry ``|v| >> 1`` (toward-zero point
+        transform), refinements restore the low bit, so the decoder's
+        dequantized output equals ``encode_jpeg``'s for the same blocks.
+        """
+        ncomp = len(comps)
+        if ncomp not in (1, 3):
+            raise ValueError("encode_jpeg_progressive: 1 or 3 components")
+        samp = list(sampling) if sampling else [(1, 1)] * ncomp
+        hmax = max(hi for hi, _ in samp)
+        vmax = max(vi for _, vi in samp)
+        if ncomp == 1:
+            samp = [(1, 1)]
+            hmax = vmax = 1
+            mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
+        else:
+            mcux = _ceil_div(w, 8 * hmax)
+            mcuy = _ceil_div(h, 8 * vmax)
+        pad_bw = [mcux * hi for hi, _ in samp]
+        nat_bw = [_ceil_div(_ceil_div(w * hi, hmax), 8) for hi, _ in samp]
+        nat_bh = [_ceil_div(_ceil_div(h * vi, vmax), 8) for _, vi in samp]
+        # scan-order input → per-component padded block grids
+        grids: list[list[list[int]]] = []
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            g = [[0] * 64 for _ in range(pad_bw[ci] * mcuy * vi)]
+            if ncomp == 1:
+                g = list(comps[0])
+            else:
+                b = 0
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for sy in range(vi):
+                        for sx in range(hi):
+                            g[(my * vi + sy) * pad_bw[ci] + (mx * hi + sx)] = (
+                                comps[ci][b]
+                            )
+                            b += 1
+                if b != len(comps[ci]):
+                    raise ValueError(
+                        f"encode_jpeg_progressive: component {ci} has "
+                        f"{len(comps[ci])} blocks, expected {b}"
+                    )
+            grids.append(g)
+
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0x00]) + bytes(quant[ZZ[i]] for i in range(64)))
+        sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        sof.append(ncomp)
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+        out += _seg(0xC2, bytes(sof))  # SOF2: progressive, Huffman
+        out += _seg(0xC4, bytes([0x00] + _DC_BITS) + bytes(_DC_VALS))
+        out += _seg(0xC4, bytes([0x10] + _ACP_BITS) + bytes(_ACP_VALS))
+        if restart_interval:
+            out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+        all_c = list(range(ncomp))
+        script: list[tuple[list[int], int, int, int, int]] = [
+            (all_c, 0, 0, 0, 1)
+        ]
+        for ci in all_c:
+            script.append(([ci], 1, 5, 0, 1))
+            script.append(([ci], 6, 63, 0, 1))
+        script.append((all_c, 0, 0, 1, 0))
+        for ci in all_c:
+            script.append(([ci], 1, 5, 1, 0))
+            script.append(([ci], 6, 63, 1, 0))
+
+        for sc_idx, Ss, Se, Ah, Al in script:
+            sos = bytearray([len(sc_idx)])
+            for ci in sc_idx:
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([Ss, Se, (Ah << 4) | Al])
+            out += _seg(0xDA, bytes(sos))
+            bwr = _BitWriter()
+            pred = {ci: 0 for ci in sc_idx}
+            eobrun = 0
+            bebuf: list[int] = []  # correction bits pending with eobrun
+
+            def put_sym(enc, sym):
+                code, n = enc[sym]
+                bwr.put(code, n)
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    put_sym(_ACP_ENC, nbits << 4)
+                    if nbits:
+                        bwr.put(eobrun & ((1 << nbits) - 1), nbits)
+                    eobrun = 0
+                    for bit in bebuf:
+                        bwr.put(bit, 1)
+                    bebuf.clear()
+
+            def dc_first(ci, blk):
+                t = blk[0] >> Al  # arithmetic shift (T.81 DC point transform)
+                diff = t - pred[ci]
+                pred[ci] = t
+                s = _category(diff)
+                put_sym(_DC_ENC, s)
+                if s:
+                    bwr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+            def dc_refine(_ci, blk):
+                bwr.put((blk[0] >> Al) & 1, 1)
+
+            def ac_first(_ci, blk):
+                nonlocal eobrun
+                r = 0
+                for k in range(Ss, Se + 1):
+                    v = blk[ZZ[k]]
+                    t = abs(v) >> Al  # toward-zero point transform
+                    if t == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        put_sym(_ACP_ENC, 0xF0)
+                        r -= 16
+                    s = t.bit_length()
+                    put_sym(_ACP_ENC, (r << 4) | s)
+                    tv = t if v > 0 else -t
+                    bwr.put(tv if tv > 0 else tv + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+
+            def ac_refine(_ci, blk):
+                nonlocal eobrun
+                absv = [abs(blk[ZZ[k]]) >> Al for k in range(Ss, Se + 1)]
+                eob = Ss - 1  # last NEWLY-nonzero index (none yet)
+                for k in range(Ss, Se + 1):
+                    if absv[k - Ss] == 1:
+                        eob = k
+                r = 0
+                brb: list[int] = []  # this block's pending correction bits
+                for k in range(Ss, Se + 1):
+                    t = absv[k - Ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        emit_eobrun()
+                        put_sym(_ACP_ENC, 0xF0)
+                        r -= 16
+                        for bit in brb:
+                            bwr.put(bit, 1)
+                        brb = []
+                    if t > 1:  # already nonzero: correction bit only
+                        brb.append(t & 1)
+                        continue
+                    emit_eobrun()
+                    put_sym(_ACP_ENC, (r << 4) | 1)
+                    bwr.put(1 if blk[ZZ[k]] > 0 else 0, 1)
+                    for bit in brb:
+                        bwr.put(bit, 1)
+                    brb = []
+                    r = 0
+                if r > 0 or brb:
+                    eobrun += 1
+                    bebuf.extend(brb)
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+
+            if Ss == 0:
+                op = dc_first if Ah == 0 else dc_refine
+            else:
+                op = ac_first if Ah == 0 else ac_refine
+
+            interleaved = len(sc_idx) > 1
+            if interleaved:
+                total = mcux * mcuy
+            else:
+                ci0 = sc_idx[0]
+                total = nat_bw[ci0] * nat_bh[ci0]
+            rst = 0
+            for m in range(total):
+                if restart_interval and m and m % restart_interval == 0:
+                    emit_eobrun()
+                    bwr.restart(rst)
+                    rst += 1
+                    pred.update({ci: 0 for ci in sc_idx})
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    for ci in sc_idx:
+                        hi, vi = samp[ci]
+                        for sy in range(vi):
+                            for sx in range(hi):
+                                op(
+                                    ci,
+                                    grids[ci][
+                                        (my * vi + sy) * pad_bw[ci]
+                                        + (mx * hi + sx)
+                                    ],
+                                )
+                else:
+                    ci = sc_idx[0]
+                    by, bx = divmod(m, nat_bw[ci])
+                    op(ci, grids[ci][by * pad_bw[ci] + bx])
+            emit_eobrun()
+            out += bwr.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
     def decode_jpeg(p: bytes, return_info: bool = False):
-        """Entropy-decode a baseline JPEG to DEQUANTIZED integer blocks:
-        returns ``(w, h, ncomp, comps)`` with ``comps[c][b]`` a 64-int
-        list in natural order (coefficient × quant value, exact), blocks
-        in scan order. With ``return_info=True`` a fifth element carries
-        the MCU geometry ({sampling, hmax, vmax, mcux, mcuy}) for pixel
-        assembly."""
+        """Entropy-decode a baseline (SOF0) or progressive (SOF2) JPEG to
+        DEQUANTIZED integer blocks: returns ``(w, h, ncomp, comps)`` with
+        ``comps[c][b]`` a 64-int list in natural order (coefficient ×
+        quant value, exact), blocks in scan order. With
+        ``return_info=True`` a fifth element carries the MCU geometry
+        ({sampling, hmax, vmax, mcux, mcuy}) for pixel assembly.
+
+        Progressive decoding (T.81 Annex G, Huffman): scans accumulate
+        QUANTIZED coefficients per component on the padded MCU block
+        grid — DC first/refinement (point transform ``<< Al`` / bit
+        ``|= 1 << Al``), AC first scans with spectral selection and EOBn
+        run decoding, AC refinement scans with zero-history run
+        placement + correction bits for already-nonzero coefficients —
+        then dequantizes and flattens to the SAME scan order the
+        baseline path emits, so the IDCT/pixel assembler downstream is
+        shared unchanged. Restart markers reset the DC predictors / EOB
+        run per scan. Non-interleaved scans raster over the component's
+        OWN ceiling block grid (T.81 A.2.2); interleaved DC scans walk
+        MCUs."""
         if p[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload (no SOI)")
         i = 2
@@ -344,6 +602,170 @@ def _make_jpeg_codec():
         scan = None
         scan_tables: list[tuple[int, int]] = []
         restart_interval = 0
+        progressive = False
+        geo = None  # progressive geometry, built at the first SOS
+        pcoef: list[list[list[int]]] = []  # [ci][padded-grid idx][64] quantized
+        saw_scan = False
+
+        def _prog_geometry():
+            ncomp = len(comps_spec)
+            if ncomp == 1:
+                samp_l = [(1, 1)]
+                hmax = vmax = 1
+                mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
+            else:
+                samp_l = [(hi, vi) for _, hi, vi, _ in comps_spec]
+                hmax = max(hi for hi, _ in samp_l)
+                vmax = max(vi for _, vi in samp_l)
+                mcux = _ceil_div(w, 8 * hmax)
+                mcuy = _ceil_div(h, 8 * vmax)
+            pad_bw = [mcux * hi for hi, _ in samp_l]
+            pad_bh = [mcuy * vi for _, vi in samp_l]
+            # non-interleaved scans cover the component's OWN grid, which
+            # may be narrower than the padded interleaved grid
+            nat_bw = [
+                _ceil_div(_ceil_div(w * hi, hmax), 8) for hi, _ in samp_l
+            ]
+            nat_bh = [
+                _ceil_div(_ceil_div(h * vi, vmax), 8) for _, vi in samp_l
+            ]
+            return {
+                "samp": samp_l, "hmax": hmax, "vmax": vmax,
+                "mcux": mcux, "mcuy": mcuy,
+                "pad_bw": pad_bw, "pad_bh": pad_bh,
+                "nat_bw": nat_bw, "nat_bh": nat_bh,
+            }
+
+        def _prog_scan(sc_idx, sc_dc, sc_ac, Ss, Se, Ah, Al, data, ri):
+            """Decode one progressive scan's entropy data into pcoef."""
+            br = _BitReader(data)
+            pred = {ci: 0 for ci in sc_idx}
+            eobrun = 0
+
+            def dc_first(ci, blk):
+                s = _read_code(br, huff[(0, sc_dc[ci])])
+                pred[ci] += _extend(br.bits(s), s)
+                blk[0] = pred[ci] << Al
+
+            def dc_refine(_ci, blk):
+                if br.bit():
+                    blk[0] |= 1 << Al
+
+            def ac_first(ci, blk):
+                nonlocal eobrun
+                if eobrun:
+                    eobrun -= 1
+                    return
+                tbl = huff[(1, sc_ac[ci])]
+                k = Ss
+                while k <= Se:
+                    sym = _read_code(br, tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("JPEG: AC run past band end")
+                    blk[ZZ[k]] = _extend(br.bits(s), s) << Al
+                    k += 1
+
+            def ac_refine(ci, blk):
+                # T.81 G.1.2.3 / the classic decode_mcu_AC_refine shape:
+                # runs count ZERO-HISTORY positions only; every nonzero
+                # coefficient passed over reads one correction bit
+                nonlocal eobrun
+                tbl = huff[(1, sc_ac[ci])]
+                p1, m1 = 1 << Al, -(1 << Al)
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        sym = _read_code(br, tbl)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break  # rest of block handled below
+                            val = 0  # ZRL: 16 zero-history skips
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG: AC refinement size must be 1"
+                                )
+                            val = p1 if br.bit() else m1
+                        while k <= Se:
+                            nat = ZZ[k]
+                            if blk[nat] != 0:
+                                if br.bit() and (blk[nat] & p1) == 0:
+                                    blk[nat] += p1 if blk[nat] >= 0 else m1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val:
+                            if k > Se:
+                                raise ValueError(
+                                    "JPEG: refinement run past band end"
+                                )
+                            blk[ZZ[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= Se:
+                        nat = ZZ[k]
+                        if blk[nat] != 0:
+                            if br.bit() and (blk[nat] & p1) == 0:
+                                blk[nat] += p1 if blk[nat] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError("JPEG: progressive DC scan needs Se=0")
+                op = dc_first if Ah == 0 else dc_refine
+            else:
+                if len(sc_idx) != 1:
+                    raise ValueError(
+                        "JPEG: progressive AC scans are single-component"
+                    )
+                op = ac_first if Ah == 0 else ac_refine
+
+            interleaved = len(sc_idx) > 1
+            if interleaved:
+                total = geo["mcux"] * geo["mcuy"]
+            else:
+                ci0 = sc_idx[0]
+                total = geo["nat_bw"][ci0] * geo["nat_bh"][ci0]
+            rst = 0
+            for m in range(total):
+                if ri and m and m % ri == 0:
+                    br.restart(rst)
+                    rst += 1
+                    pred.update({ci: 0 for ci in sc_idx})
+                    eobrun = 0
+                if interleaved:
+                    my, mx = divmod(m, geo["mcux"])
+                    for ci in sc_idx:
+                        hi, vi = geo["samp"][ci]
+                        for sy in range(vi):
+                            for sx in range(hi):
+                                idx = (my * vi + sy) * geo["pad_bw"][ci] + (
+                                    mx * hi + sx
+                                )
+                                op(ci, pcoef[ci][idx])
+                else:
+                    ci = sc_idx[0]
+                    by, bx = divmod(m, geo["nat_bw"][ci])
+                    op(ci, pcoef[ci][by * geo["pad_bw"][ci] + bx])
+            return br.pos
+
         while i + 4 <= len(p):
             if p[i] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {i}")
@@ -373,7 +795,8 @@ def _make_jpeg_codec():
                     vals = list(body[j + 17 : j + 17 + n])
                     huff[(tc, th)] = _build_decode_table(bits, vals)
                     j += 17 + n
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                progressive = marker == 0xC2
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 nc = body[5]
@@ -386,25 +809,104 @@ def _make_jpeg_codec():
                             f"(T.81 allows 1..4)"
                         )
                     comps_spec.append((cid, hi, vi, tq))
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"JPEG: SOF{marker - 0xC0} (non-baseline process) unsupported"
+                    f"JPEG: SOF{marker - 0xC0} (unsupported process — "
+                    f"baseline SOF0 and progressive-Huffman SOF2 decode)"
                 )
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:
+                if not progressive:
+                    ns = body[0]
+                    if len(comps_spec) > 1 and ns != len(comps_spec):
+                        raise NotImplementedError(
+                            "JPEG: partial-component (non-interleaved multi-"
+                            "scan) sequential files unsupported"
+                        )
+                    for ci in range(ns):
+                        _cid, tt = body[1 + 2 * ci : 3 + 2 * ci]
+                        scan_tables.append((tt >> 4, tt & 0x0F))
+                    scan = p[i + 2 + seg_len :]
+                    break
+                if geo is None:
+                    geo = _prog_geometry()
+                    pcoef = [
+                        [[0] * 64 for _ in range(geo["pad_bw"][ci] * geo["pad_bh"][ci])]
+                        for ci in range(len(comps_spec))
+                    ]
                 ns = body[0]
-                if len(comps_spec) > 1 and ns != len(comps_spec):
-                    raise NotImplementedError(
-                        "JPEG: partial-component (non-interleaved multi-"
-                        "scan) sequential files unsupported"
-                    )
-                for ci in range(ns):
-                    _cid, tt = body[1 + 2 * ci : 3 + 2 * ci]
-                    scan_tables.append((tt >> 4, tt & 0x0F))
-                scan = p[i + 2 + seg_len :]
-                break
+                sc_idx: list[int] = []
+                sc_dc: dict[int, int] = {}
+                sc_ac: dict[int, int] = {}
+                for c in range(ns):
+                    cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    matches = [
+                        ix for ix, cs in enumerate(comps_spec) if cs[0] == cid
+                    ]
+                    if not matches:
+                        raise ValueError(
+                            f"JPEG: SOS names unknown component id {cid}"
+                        )
+                    sc_idx.append(matches[0])
+                    sc_dc[matches[0]] = tt >> 4
+                    sc_ac[matches[0]] = tt & 0x0F
+                Ss, Se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+                start = i + 2 + seg_len
+                consumed = _prog_scan(
+                    sc_idx, sc_dc, sc_ac, Ss, Se, aa >> 4, aa & 0x0F,
+                    p[start:], restart_interval,
+                )
+                saw_scan = True
+                # realign to the next marker: the reader stops inside the
+                # last entropy byte; pad bits and stray RSTs may follow
+                j = start + consumed
+                while j + 1 < len(p):
+                    if p[j] == 0xFF:
+                        nxt = p[j + 1]
+                        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                i = j
+                continue
             i += 2 + seg_len
+        if progressive:
+            if w is None or not saw_scan:
+                raise ValueError("JPEG: missing SOF2/SOS")
+            ncomp = len(comps_spec)
+            comps = [[] for _ in range(ncomp)]
+            for ci in range(ncomp):
+                q = quants[comps_spec[ci][3]]
+                pcoef[ci] = [
+                    [c * q[k] for k, c in enumerate(blk)] for blk in pcoef[ci]
+                ]
+            if ncomp == 1:
+                comps[0] = pcoef[0]
+            else:
+                for m in range(geo["mcux"] * geo["mcuy"]):
+                    my, mx = divmod(m, geo["mcux"])
+                    for ci in range(ncomp):
+                        hi, vi = geo["samp"][ci]
+                        for sy in range(vi):
+                            for sx in range(hi):
+                                comps[ci].append(
+                                    pcoef[ci][
+                                        (my * vi + sy) * geo["pad_bw"][ci]
+                                        + (mx * hi + sx)
+                                    ]
+                                )
+            if not return_info:
+                return w, h, ncomp, comps
+            info = {
+                "sampling": geo["samp"],
+                "hmax": geo["hmax"],
+                "vmax": geo["vmax"],
+                "mcux": geo["mcux"],
+                "mcuy": geo["mcuy"],
+            }
+            return w, h, ncomp, comps, info
         if w is None or scan is None:
             raise ValueError("JPEG: missing SOF0/SOS")
         ncomp = len(comps_spec)
@@ -540,7 +1042,13 @@ def _make_jpeg_codec():
         )
         return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
-    return encode_jpeg, decode_jpeg, idct_block, decode_jpeg_pixels
+    return (
+        encode_jpeg,
+        decode_jpeg,
+        idct_block,
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
 
 
 JPEG_STATS_SCHEMA = StructType(
@@ -570,7 +1078,7 @@ def _make_synth_jpeg():
       where u + v ≤ 2, plus c(7,7) = (id + comp) % 3 − 1 (forcing ZRL
       runs); zero elsewhere (forcing EOB).
     """
-    encode_jpeg, _, _, _ = _make_jpeg_codec()
+    encode_jpeg, _, _, _, _ = _make_jpeg_codec()
 
     def build(i: int) -> bytes:
         ncomp = 1 if i % 2 == 0 else 3
@@ -610,7 +1118,7 @@ def _make_synth_jpeg420():
       component's SCAN-order block index (Y: 4·nmcu blocks, chroma:
       nmcu each).
     """
-    encode_jpeg, _, _, _ = _make_jpeg_codec()
+    encode_jpeg, _, _, _, _ = _make_jpeg_codec()
     samp = [(2, 2), (1, 1), (1, 1)]
 
     def build(i: int) -> bytes:
@@ -637,17 +1145,70 @@ def _make_synth_jpeg420():
     return build
 
 
+def _make_synth_jpeg_prog():
+    """Deterministic PROGRESSIVE (SOF2) JPEG per id — the r10 fixture
+    family closing the progressive half of the web-crawl mix. All REAL
+    T.81 bytes through the full successive-approximation scan script
+    (DC first Al=1 → per-component spectral AC bands Al=1 → DC
+    refinement → per-band AC refinement; see
+    ``encode_jpeg_progressive``), with restart markers inside every
+    scan. The embedded quantized coefficients stay pure integer
+    functions of the id, and successive approximation reconstructs them
+    EXACTLY, so the same SQL-oracle discipline certifies the multi-scan
+    accumulation chain:
+
+      grayscale if id % 2 = 0 else 3-component 4:4:4 (1×1 sampling, so
+      every padded block is scan-covered and the formulas see all of
+      them); w = 17 + id % 16, h = 9 + id % 14 (odd dims, ceiling
+      grids); restart interval id % 3; quant q(u,v) = 1 + (u+v+id) % 3;
+      coef c(id,comp,b,u,v) = (id + 3·comp + 5·b + 7·u + 11·v) % 9 − 4
+      where u + v ≤ 2, plus c(7,7) = (id + comp) % 3 − 1 (exercising
+      long EOB runs in the 6..63 band — |c| ≤ 1 vanishes at Al=1, so
+      every such coefficient arrives via AC REFINEMENT's newly-nonzero
+      path behind a ZRL run); b = raster block index.
+    """
+    codec = _make_jpeg_codec()
+    encode_prog = codec[4]
+
+    def build(i: int) -> bytes:
+        ncomp = 1 if i % 2 == 0 else 3
+        w, h = 17 + i % 16, 9 + i % 14
+        nblk = -(-w // 8) * (-(-h // 8))
+        quant = [1 + (u + v + i) % 3 for u in range(8) for v in range(8)]
+        comps = []
+        for comp in range(ncomp):
+            blocks = []
+            for b in range(nblk):
+                blk = [0] * 64
+                for u in range(8):
+                    for v in range(8):
+                        if u + v <= 2:
+                            blk[u * 8 + v] = (i + 3 * comp + 5 * b + 7 * u + 11 * v) % 9 - 4
+                blk[63] = (i + comp) % 3 - 1
+                blocks.append(blk)
+            comps.append(blocks)
+        return encode_prog(comps, w, h, quant, restart_interval=i % 3)
+
+    return build
+
+
 def synthesize_jpeg_media(
     ids: DataFrame, id_col: str = "doc_id", flavor: str = "444"
 ) -> DataFrame:
-    """Deterministic REAL baseline JPEGs from an id column (see
-    ``_make_synth_jpeg`` / ``_make_synth_jpeg420``) — the fixture
-    generators for the real codec path where the environment ships no
-    media files. ``flavor``: "444" (r8 grayscale/4:4:4 family) or
-    "420" (r9 subsampled / odd-dimension / restart family)."""
+    """Deterministic REAL JPEGs from an id column (see
+    ``_make_synth_jpeg`` / ``_make_synth_jpeg420`` /
+    ``_make_synth_jpeg_prog``) — the fixture generators for the real
+    codec path where the environment ships no media files. ``flavor``:
+    "444" (r8 grayscale/4:4:4 baseline family), "420" (r9 subsampled /
+    odd-dimension / restart family), or "prog" (r10 progressive SOF2
+    successive-approximation family)."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import MEDIA_SCHEMA
 
-    build = _make_synth_jpeg420() if flavor == "420" else _make_synth_jpeg()
+    build = {
+        "420": _make_synth_jpeg420,
+        "prog": _make_synth_jpeg_prog,
+        "444": _make_synth_jpeg,
+    }[flavor]()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -669,7 +1230,7 @@ def decode_jpeg_stats(media: DataFrame) -> DataFrame:
     integer coefficient statistics. Map-only ``mapInPandas``: payloads
     never shuffle; the exact-int outputs are what lets a SQL oracle
     certify the whole entropy chain against the embedded ground truth."""
-    _, decode_jpeg, _, _ = _make_jpeg_codec()
+    _, decode_jpeg, _, _, _ = _make_jpeg_codec()
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

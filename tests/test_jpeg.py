@@ -29,7 +29,7 @@ def test_roundtrip_random_coefficients(codec):
     """encode→decode is exact for arbitrary quantized coefficients across
     component counts, block grids, magnitudes up to category 10, and the
     ZRL/EOB paths random sparsity exercises."""
-    enc, dec, _, _ = codec
+    enc, dec, _, _, _ = codec
     rng = np.random.RandomState(7)
     for trial in range(20):
         ncomp = 1 if trial % 2 else 3
@@ -54,7 +54,7 @@ def test_roundtrip_random_coefficients(codec):
 def test_huffman_canonical_matches_annex_k(codec):
     """The decoder's canonical code construction reproduces the published
     code assignment for the T.81 Annex K luminance DC table."""
-    enc, dec, _, _ = codec
+    enc, dec, _, _, _ = codec
     # reach the factory-internal builder through a crafted DHT: re-encode
     # a tiny image, then decode a hand-built payload is overkill — instead
     # drive the builder via a fixture image and assert known codes by
@@ -82,7 +82,7 @@ def test_huffman_canonical_matches_annex_k(codec):
 def test_idct_against_direct_reference(codec):
     """Separable IDCT ≡ the O(n^4) textbook double sum; DC-only blocks
     are flat at DC/8."""
-    _, _, idct, _ = codec
+    _, _, idct, _, _ = codec
     assert np.allclose(idct([80] + [0] * 63), 10.0)
 
     def ref(coefs):
@@ -107,15 +107,21 @@ def test_idct_against_direct_reference(codec):
 
 
 def test_guards_raise_loudly(codec):
-    enc, dec, _, _ = codec
+    enc, dec, _, _, _ = codec
     good = _make_synth_jpeg()(4)
 
     def patch_marker(payload: bytes, old: int, new: int) -> bytes:
         i = payload.index(bytes([0xFF, old]))
         return payload[:i + 1] + bytes([new]) + payload[i + 2 :]
 
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        dec(patch_marker(good, 0xC0, 0xC2))  # progressive SOF2
+    with pytest.raises(NotImplementedError, match="unsupported process"):
+        dec(patch_marker(good, 0xC0, 0xC3))  # lossless SOF3
+    with pytest.raises(NotImplementedError, match="unsupported process"):
+        dec(patch_marker(good, 0xC0, 0xCA))  # arithmetic progressive SOF10
+    # SOF2 itself decodes since r10 — but a baseline-shaped scan under a
+    # progressive frame is structurally invalid and must stay loud
+    with pytest.raises(ValueError, match="Se=0|single-component"):
+        dec(patch_marker(good, 0xC0, 0xC2))
     with pytest.raises(ValueError, match="SOI"):
         dec(b"\x89PNG")
     # illegal sampling factor (0 is outside T.81's 1..4)
@@ -143,7 +149,7 @@ def test_roundtrip_420_odd_dims_and_restarts(codec):
     """r9: encode→decode is exact for 4:2:0 / 4:2:2 sampling, ceiling MCU
     grids on odd dimensions, and restart intervals — the DC predictor
     reset and bit realignment at every RSTn included."""
-    enc, dec, _, _ = codec
+    enc, dec, _, _, _ = codec
     rng = np.random.RandomState(11)
     cases = [
         # (w, h, sampling, restart_interval)
@@ -175,7 +181,7 @@ def test_roundtrip_420_odd_dims_and_restarts(codec):
 def test_restart_marker_sequence_enforced(codec):
     """A restart marker with the wrong modulo-8 sequence number (dropped
     marker / corrupt stream) fails loudly, never silently misaligns."""
-    enc, dec, _, _ = codec
+    enc, dec, _, _, _ = codec
     rng = np.random.RandomState(5)
     samp = [(2, 2), (1, 1), (1, 1)]
     comps = [_rand_blocks(rng, 4 * hi * vi) for hi, vi in samp]
@@ -190,7 +196,7 @@ def test_pixels_420_flat_field_and_crop(codec):
     """DC-only 4:2:0 planes decode to an exactly flat RGB field (the
     JFIF matrix on constant YCbCr), cropped to the odd image size, and
     nearest-neighbor upsampling leaves constant chroma constant."""
-    enc, dec, idct, pixels = codec
+    enc, dec, idct, pixels, _ = codec
     w, h = 21, 13  # one 16x16-MCU grid of 2x1
     samp = [(2, 2), (1, 1), (1, 1)]
     nmcu = 2 * 1
@@ -213,7 +219,7 @@ def test_pixels_420_flat_field_and_crop(codec):
 def test_pixel_assembly_level_shift(codec):
     """decode → IDCT + 128 level shift reproduces a flat gray image from
     a DC-only fixture exactly."""
-    enc, dec, idct, _ = codec
+    enc, dec, idct, _, _ = codec
     # DC quantized value 16, quant 1 → dequant 16 → IDCT flat 2 → pixel 130
     blk = [0] * 64
     blk[0] = 16
@@ -240,3 +246,84 @@ def test_distributed_decode_layout_independent(spark):
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 30 and all(r.width == 16 and r.height == 8 for r in a)
+
+
+def test_progressive_roundtrip_exact(codec):
+    """r10: progressive encode→decode is EXACT for arbitrary quantized
+    coefficients — the full successive-approximation scan script (DC
+    first/refine, spectral AC bands, AC refinement with EOB-run
+    correction-bit buffering) reconstructs every value bit-for-bit,
+    across grayscale/color, odd dimensions, and restart intervals."""
+    _, dec, _, _, enc_prog = codec
+    rng = np.random.RandomState(3)
+    for trial in range(16):
+        ncomp = 1 if trial % 2 else 3
+        w, h, ri = 9 + trial % 30, 8 + trial % 23, trial % 4
+        n = -(-w // 8) * (-(-h // 8))
+        quant = [1 + (k % 5) for k in range(64)]
+        comps = [_rand_blocks(rng, n) for _ in range(ncomp)]
+        w2, h2, nc2, out = dec(enc_prog(comps, w, h, quant, restart_interval=ri))
+        assert (w2, h2, nc2) == (w, h, ncomp)
+        for c in range(ncomp):
+            for b in range(n):
+                assert out[c][b] == [comps[c][b][k] * quant[k] for k in range(64)]
+
+
+def test_progressive_420_and_padding_semantics(codec):
+    """Progressive + 4:2:0: interleaved DC scans walk MCUs while AC scans
+    raster the component's OWN ceiling grid (T.81 A.2.2) — so on aligned
+    dimensions the roundtrip is exact, and on odd dimensions the padded
+    edge blocks (outside the component grid) legitimately carry DC only.
+    The pixel assembler runs unchanged on progressive streams (padding
+    never reaches visible pixels)."""
+    _, dec, _, pixels, enc_prog = codec
+    rng = np.random.RandomState(4)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    for w, h, ri in [(32, 32, 0), (48, 16, 1), (16, 48, 2)]:
+        nmcu = (w // 16) * (h // 16)
+        quant = [1 + (k % 7) for k in range(64)]
+        comps = [_rand_blocks(rng, nmcu * hi * vi) for hi, vi in samp]
+        p = enc_prog(comps, w, h, quant, sampling=samp, restart_interval=ri)
+        w2, h2, nc2, out = dec(p)
+        assert (w2, h2, nc2) == (w, h, 3)
+        for c in range(3):
+            for b in range(len(comps[c])):
+                assert out[c][b] == [comps[c][b][k] * quant[k] for k in range(64)]
+        assert pixels(p).shape == (h, w, 3)
+    # odd dims: Y nat grid 3x2 inside the 4x2 padded grid
+    comps = [_rand_blocks(rng, 2 * hi * vi) for hi, vi in samp]
+    p = enc_prog(comps, 17, 9, [1] * 64, sampling=samp, restart_interval=1)
+    _, _, _, out = dec(p)
+    for b in range(len(comps[0])):
+        mcu, k = divmod(b, 4)
+        my, mx = divmod(mcu, 2)
+        sy, sx = divmod(k, 2)
+        by, bx = my * 2 + sy, mx * 2 + sx
+        exp = list(comps[0][b])
+        if bx >= 3 or by >= 2:  # padding block: DC rides the MCU scan, AC doesn't
+            exp = [comps[0][b][0]] + [0] * 63
+        assert out[0][b] == exp
+    assert pixels(p).shape == (9, 17, 3)
+
+
+def test_progressive_eob_run_and_refinement_paths(codec):
+    """The adversarial shapes: high-band coefficients of |c| <= 1 vanish
+    at Al=1, so the whole 6..63 band of the first scan is one long EOBn
+    run and every such coefficient arrives via the AC-REFINEMENT
+    newly-nonzero path behind ZRL runs; already-nonzero neighbors get
+    correction bits buffered across the run."""
+    _, dec, _, _, enc_prog = codec
+    n = 8
+    comps = [[]]
+    for b in range(n):
+        blk = [0] * 64
+        blk[1] = 3          # low band: survives the Al=1 first scan
+        if b % 2 == 0:
+            blk[63] = -1    # high band, |c|=1: refinement-only
+        if b % 3 == 0:
+            blk[28] = 1     # mid-position refinement-only insert
+        comps[0].append(blk)
+    p = enc_prog(comps, 32, 16, [1] * 64)
+    _, _, _, out = dec(p)
+    for b in range(n):
+        assert out[0][b] == comps[0][b], b
