@@ -177,6 +177,7 @@ def main() -> None:
         "multimodal_wav_decode",
         "multimodal_jpeg_decode",
         "multimodal_jpeg_420",
+        "multimodal_jpeg_prog",
     ):
         if extra in registry:
             names.append(extra)

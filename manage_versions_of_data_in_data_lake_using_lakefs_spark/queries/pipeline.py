@@ -712,6 +712,25 @@ def _oracle_streaming_classifier() -> str:
 ORACLE_STREAMING_CLASSIFIER = _oracle_streaming_classifier()
 
 
+def _codec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id column feeding a synthesize→decode codec pair, spread to
+    full parallelism FIRST. The codec work is CPU-bound Python inside
+    mapInPandas, but the id projection of a small parquet collapses to
+    one input split (maxPartitionBytes is a BYTE heuristic) — a one-task
+    decode of the whole corpus. Repartitioning 8-byte ids is a
+    negligible shuffle that buys every-core codec parallelism; the
+    payloads themselves are still born and reduced inside the SAME task,
+    never shuffled (the module's design rule). At real scale the input
+    arrives in many splits already and this is a cheap no-op safeguard.
+
+    Only the JPEG family uses it: measured at sf0.1, the sub-millisecond
+    PNG/WAV codecs lose more to the shuffle + 32-task scheduling than
+    the decode costs (0.96 s -> 1.39 s), while the JPEG queries drop
+    ~12.5 s -> ~2.5 s. Spread work that is worth spreading."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return ids.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL PNG pixel decode (r7 — the codec boundary the earlier rounds
     stubbed): deterministic VALID PNGs (gray / RGB / palette by id % 3,
@@ -830,7 +849,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg_media,
     )
 
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = _codec_ids(spark, sf_dir)
     return decode_jpeg_stats(synthesize_jpeg_media(ids)).orderBy("media_id")
 
 
@@ -888,7 +907,7 @@ def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg_media,
     )
 
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = _codec_ids(spark, sf_dir)
     return decode_jpeg_stats(synthesize_jpeg_media(ids, flavor="420")).orderBy(
         "media_id"
     )
@@ -957,7 +976,7 @@ def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg_media,
     )
 
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = _codec_ids(spark, sf_dir)
     return decode_jpeg_stats(synthesize_jpeg_media(ids, flavor="prog")).orderBy(
         "media_id"
     )
