@@ -62,19 +62,46 @@ def binary_auc(
         F.sum(F.col(label_col).cast("long")).alias("np"),
         F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("nn"),
     )
-    use_scalable = False
     if max_distinct_scores is not None:
         # the guard must run eagerly (the plan SHAPE branches on it), but
         # a bare limit().count() on a grouped frame does NOT short-circuit
         # the shuffle — it would re-execute the caller's upstream pipeline
         # a second time when the result is consumed. Persisting the
         # grouped frame makes the guard's job double as the cache
-        # materialization: upstream runs ONCE, and both the prefix-sum
-        # plan and the totals read |score domain| cached rows
+        # materialization: upstream runs ONCE, and the whole computation
+        # finishes eagerly inside try/finally so the cache entry is
+        # RELEASED before returning (a lazy return would either leak one
+        # cache entry per call or recompute upstream twice). The final
+        # division runs driver-side on exact Python ints — same
+        # truncation semantics as the lazy path's decimal `div`.
         per_score = per_score.persist()
-        n_domain = per_score.count()
-        use_scalable = n_domain > max_distinct_scores
-    if use_scalable:
+        try:
+            n_domain = per_score.count()
+            totals = _auc_totals(
+                per_score, scalable=n_domain > max_distinct_scores
+            )
+            row = totals.collect()[0]
+        finally:
+            per_score.unpersist(blocking=False)
+        nps = int(row["nps"]) if row["nps"] is not None else 0
+        nns = int(row["nns"]) if row["nns"] is not None else 0
+        auc = (
+            (int(row["u2s"]) * _PPM) // (2 * nps * nns)
+            if nps and nns
+            else None
+        )
+        spark = df.sparkSession
+        return spark.range(1).select(
+            F.lit(nps).cast("long").alias("n_pos"),
+            F.lit(nns).cast("long").alias("n_neg"),
+            F.lit(auc).cast("long").alias("auc_ppm"),
+        )
+    return _auc_result(per_score, scalable=False)
+
+
+def _auc_totals(per_score: DataFrame, scalable: bool) -> DataFrame:
+    """(nps, nns, u2s) decimal totals over the grouped per-score frame."""
+    if scalable:
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import ranged_prefix_sum
 
         # distinct scores ⇒ unique order keys, the helper's contract
@@ -100,11 +127,16 @@ def binary_auc(
             "np",
             "nn",
         )
-    totals = u2.agg(
+    return u2.agg(
         F.sum("np").cast("decimal(38,0)").alias("nps"),
         F.sum("nn").cast("decimal(38,0)").alias("nns"),
         F.sum("u2").alias("u2s"),
     )
+
+
+def _auc_result(per_score: DataFrame, scalable: bool) -> DataFrame:
+    """Lazy (n_pos, n_neg, auc_ppm) plan over the grouped frame."""
+    totals = _auc_totals(per_score, scalable)
     # `div` (integral division) on decimals — truncation semantics match
     # DuckDB's `//`; a float or decimal `/` would ROUND the quotient
     return totals.select(

@@ -1625,19 +1625,24 @@ class LakeRepo:
                 )
             else:
                 self.stage_table_files(branch, dvt, [], op="drop")
+            # the commit sits INSIDE the guard: a commit-time failure
+            # (ref CAS contention, IO) must not leave the rearrangement
+            # staged, or a later ordinary commit would fold it in
+            # WITHOUT data_change=false and the change feed would emit
+            # a delete+insert pair for every rewritten-but-unchanged row
+            return self.commit(
+                branch,
+                message or f"PURGE deletion vector of {table} ({len(sel)} files)",
+                meta={
+                    "data_change": False,
+                    "dv_purge": {"table": table, "files": len(sel)},
+                },
+            )
         except Exception:
             # never leave half a purge staged: a re-filed table without
             # its vector shrink (or vice versa) double-counts deletions
             self.reset(branch)
             raise
-        return self.commit(
-            branch,
-            message or f"PURGE deletion vector of {table} ({len(sel)} files)",
-            meta={
-                "data_change": False,
-                "dv_purge": {"table": table, "files": len(sel)},
-            },
-        )
 
     def _maybe_materialize_dv(
         self, spark: SparkSession, branch: str, table: str

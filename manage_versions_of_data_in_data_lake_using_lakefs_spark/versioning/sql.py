@@ -690,25 +690,8 @@ class LakeSQL:
         )
         matched_n = 0
         if mu or md:
-            # Delta's multiple-match guard — but only for duplicates that
-            # actually HIT a target row (duplicate never-matching keys are
-            # legal, e.g. a pure insert of two rows sharing a new key),
-            # and only when a matched action exists at all
-            key_list = ", ".join(f"`{k}`" for k in s_keys)
-            t_key_list = ", ".join(f"`{k}`" for k in t_keys)
-            dup = self.spark.sql(
-                f"SELECT 1 FROM (SELECT {key_list} FROM {sview} "
-                f"GROUP BY {key_list} HAVING COUNT(*) > 1) d "
-                f"LEFT SEMI JOIN (SELECT {t_key_list} FROM {tview}) t ON "
-                + " AND ".join(
-                    f"d.`{sk}` = t.`{tk}`" for tk, sk in zip(t_keys, s_keys)
-                )
-            )
-            if dup.take(1):
-                raise ValueError(
-                    "MERGE source has multiple rows per join key that match "
-                    "a target row — ambiguous (Delta raises here too)"
-                )
+            # only when a matched action exists at all
+            self._merge_dup_guard(tview, sview, t_keys, s_keys)
             matched_n = self.spark.sql(
                 f"SELECT COUNT(*) AS n FROM {tview} {ta} JOIN {sview} {sa} ON {on_sql}"
             ).collect()[0].n
@@ -870,7 +853,14 @@ class LakeSQL:
         # avoid). If even that footer is unreachable the values still
         # stand (they come from manifests) — fall back to the JSON
         # value's natural type, widened (int→bigint, float→double).
-        by_name = self._one_footer_types(entries)
+        # counts carry their own BIGINT type — a COUNT-only query (the
+        # only shape evolved tables reach, and common on plain ones)
+        # must not pay even the single footer open this read costs
+        by_name = (
+            {}
+            if all(fn == "count" for fn, _ in items)
+            else self._one_footer_types(entries)
+        )
         cols = []
         for (fn, arg), name, v in zip(items, names, values):
             if fn == "count":
@@ -892,8 +882,10 @@ class LakeSQL:
     def _one_footer_types(self, entries: list[str]) -> dict[str, str]:
         """Column→Spark-DDL types from the first reachable parquet
         footer of a snapshot. Only called for non-evolved tables (one
-        uniform physical schema), so one footer speaks for all files.
-        Best-effort: {} on any failure (callers widen from values)."""
+        uniform physical schema — COUNT-only queries, the sole shape
+        evolved tables reach, skip it), so one footer speaks for all
+        files. Best-effort: {} on any failure (callers widen from
+        values)."""
         import pyarrow.parquet as pq
 
         _ARROW_DDL = {
@@ -1285,6 +1277,30 @@ class LakeSQL:
         rows = int(c.meta.get(meta_key, {}).get("rows", 0))
         return self._dml_result(name, c.version, rows)
 
+    def _merge_dup_guard(
+        self, tview: str, sview: str, t_keys: list[str], s_keys: list[str]
+    ) -> None:
+        """Delta's multiple-match guard, shared by the rewrite and DV
+        MERGE paths (one definition so the matching rule can never
+        diverge between them): raise on duplicate source keys that
+        actually HIT a target row — duplicate never-matching keys are
+        legal (a multi-row insert sharing a new key)."""
+        key_list = ", ".join(f"`{k}`" for k in s_keys)
+        t_key_list = ", ".join(f"`{k}`" for k in t_keys)
+        dup = self.spark.sql(
+            f"SELECT 1 FROM (SELECT {key_list} FROM {sview} "
+            f"GROUP BY {key_list} HAVING COUNT(*) > 1) d "
+            f"LEFT SEMI JOIN (SELECT {t_key_list} FROM {tview}) t ON "
+            + " AND ".join(
+                f"d.`{sk}` = t.`{tk}`" for tk, sk in zip(t_keys, s_keys)
+            )
+        )
+        if dup.take(1):
+            raise ValueError(
+                "MERGE source has multiple rows per join key that match "
+                "a target row — ambiguous (Delta raises here too)"
+            )
+
     def _merge_dv_op(
         self,
         name: str,
@@ -1340,25 +1356,7 @@ class LakeSQL:
         n_ins = 0
         try:
             if delete or assigns is not None:
-                # Delta's multiple-match guard — same rule as the rewrite
-                # path: only duplicate source keys that HIT a target row
-                key_list = ", ".join(f"`{k}`" for k in s_keys)
-                t_key_list = ", ".join(f"`{k}`" for k in t_keys)
-                dup = spark.sql(
-                    f"SELECT 1 FROM (SELECT {key_list} FROM {sview} "
-                    f"GROUP BY {key_list} HAVING COUNT(*) > 1) d "
-                    f"LEFT SEMI JOIN (SELECT {t_key_list} FROM {tview}) t ON "
-                    + " AND ".join(
-                        f"d.`{sk}` = t.`{tk}`"
-                        for tk, sk in zip(t_keys, s_keys)
-                    )
-                )
-                if dup.take(1):
-                    raise ValueError(
-                        "MERGE source has multiple rows per join key that "
-                        "match a target row — ambiguous (Delta raises here "
-                        "too)"
-                    )
+                self._merge_dup_guard(tview, sview, t_keys, s_keys)
                 proj = [
                     f"{ta}.`__lg_fp` AS __lg_fp",
                     f"{ta}.`__lg_ri` AS __lg_ri",

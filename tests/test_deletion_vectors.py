@@ -780,3 +780,28 @@ def test_dv_reorg_purge_sql_spelling(spark, repo):
     assert r.version == repo.head("main").version
     assert DV_PREFIX + "t" not in repo._resolve("main").tables
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 16
+
+
+def test_dv_purge_commit_failure_leaves_branch_clean(spark, repo, monkeypatch):
+    """Review-found (r10): a commit-time failure inside purge must reset
+    the staged rearrangement — otherwise a later ordinary commit folds
+    the rewrite in WITHOUT data_change=false and the change feed emits a
+    delete+insert pair for every rewritten-but-unchanged row."""
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k < 4")
+    head = repo.head("main")
+    monkeypatch.setattr(
+        repo, "commit",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("injected commit crash")),
+    )
+    with pytest.raises(OSError, match="injected"):
+        repo.purge_deletion_vectors(spark, "main", "t")
+    monkeypatch.undo()
+    # nothing staged, head unmoved, reads exact; a retry then succeeds
+    assert not repo.status("main")
+    assert repo.head("main").id == head.id
+    assert repo.read_table(spark, "t", "main").count() == 16
+    c = repo.purge_deletion_vectors(spark, "main", "t")
+    assert c.meta.get("data_change") is False
+    assert repo.read_table(spark, "t", "main").count() == 16

@@ -27,11 +27,15 @@ def _df(spark, lo, hi):
     )
 
 
-def _gut_data_files(repo):
+def _gut_data_files(repo, keep_dv=False):
     """Delete every parquet data file but keep the stats manifests — any
-    query that actually scans will now fail loudly."""
+    query that actually scans will now fail loudly. ``keep_dv`` spares
+    the hidden deletion-vector tables' parquet (itself metadata-sized),
+    for proving DV-aware aggregates never touch row data."""
     n = 0
     for dirpath, _dirs, files in os.walk(os.path.join(repo.root, "data")):
+        if keep_dv and "__dv__" in dirpath:
+            continue
         for fn in files:
             if fn.endswith(".parquet"):
                 os.unlink(os.path.join(dirpath, fn))
@@ -106,15 +110,7 @@ def test_meta_agg_dv_count_is_pure_metadata(spark, repo):
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 38
     # the no-scan proof: gut ONLY t's data files, keep every manifest
     # and the vector table's parquet
-    n = 0
-    for dirpath, _dirs, files in os.walk(os.path.join(repo.root, "data")):
-        if "__dv__" in dirpath:
-            continue
-        for fn in files:
-            if fn.endswith(".parquet"):
-                os.unlink(os.path.join(dirpath, fn))
-                n += 1
-    assert n > 0
+    _gut_data_files(repo, keep_dv=True)
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 38
     with pytest.raises(Exception):  # MIN/MAX on a DV'd table must scan
         sql.sql("SELECT MIN(k) AS m FROM t").collect()
@@ -138,15 +134,7 @@ def test_meta_agg_evolved_tables_count_star_only(spark, repo):
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 7
     assert repo.read_table(spark, "t", "main").count() == 7  # scan agrees
     # the no-scan proof: gut ONLY t's data files, keep the vector parquet
-    n = 0
-    for dirpath, _dirs, files in os.walk(os.path.join(repo.root, "data")):
-        if "__dv__" in dirpath:
-            continue
-        for fn in files:
-            if fn.endswith(".parquet"):
-                os.unlink(os.path.join(dirpath, fn))
-                n += 1
-    assert n > 0
+    _gut_data_files(repo, keep_dv=True)
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 7
     # column-addressed items still decline to the (now impossible) scan
     with pytest.raises(Exception):
