@@ -384,6 +384,19 @@ def main() -> None:
             synthesize_jpeg_media(d.select("doc_id"), flavor="420")
         )
 
+    def op_jpeg_prog(d: DataFrame) -> DataFrame:
+        # r10: PROGRESSIVE (SOF2) decode — ~14 scans re-walk each block
+        # (successive approximation), still map-only; per-row cost must
+        # stay flat as the corpus replicates
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+            decode_jpeg_stats,
+            synthesize_jpeg_media,
+        )
+
+        return decode_jpeg_stats(
+            synthesize_jpeg_media(d.select("doc_id"), flavor="prog")
+        )
+
     def op_anomaly_giant(x: DataFrame) -> DataFrame:
         # r9: a CONSTANT key forces every row through the giant-key
         # IEEE-bit bisection (threshold 1 row) — each round is one
@@ -414,6 +427,7 @@ def main() -> None:
     cases = {
         "dedup_minhash_lsh": (docs, replicate_documents, op_minhash),
         "multimodal_jpeg_420": (docs, replicate_documents, op_jpeg_420),
+        "multimodal_jpeg_prog": (docs, replicate_documents, op_jpeg_prog),
         "anomaly_mad_giant": (ev, replicate_events, op_anomaly_giant),
         "auc_scalable": (ev, replicate_events, op_auc_scalable),
         "fuzzy_join_editdist": (cust, replicate_customer, op_fuzzy),

@@ -805,3 +805,80 @@ def test_dv_purge_commit_failure_leaves_branch_clean(spark, repo, monkeypatch):
     c = repo.purge_deletion_vectors(spark, "main", "t")
     assert c.meta.get("data_change") is False
     assert repo.read_table(spark, "t", "main").count() == 16
+
+
+@pytest.mark.parametrize(
+    "clauses",
+    [
+        "WHEN MATCHED THEN UPDATE SET v = s.v + t.v",
+        "WHEN MATCHED THEN UPDATE SET *",
+        "WHEN MATCHED THEN DELETE",
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+        "WHEN MATCHED THEN UPDATE SET v = s.v - 1 WHEN NOT MATCHED THEN INSERT *",
+        "WHEN NOT MATCHED THEN INSERT *",
+    ],
+)
+def test_dv_merge_parity_matrix(spark, repo, clauses):
+    """Every MERGE action combination answers bit-identically through the
+    deletion-vector route and the rewrite route (run on sibling branches
+    of the same base), and the DV route never rewrites an existing
+    file."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 30).repartition(3))
+    repo.write_table(
+        "main", "s",
+        spark.range(20, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    stmt = f"MERGE INTO t AS t USING s AS s ON t.k = s.k {clauses}"
+    before = set(repo.current_files("main", "t"))
+    LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt)
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt)
+    assert before <= set(repo.current_files("main", "t"))  # append-only
+    got_dv = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "main").collect()
+    )
+    got_rw = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "rw").collect()
+    )
+    assert got_dv == got_rw
+
+
+def test_dv_merge_on_evolved_table_binds_logical_names(spark, repo):
+    """The DV MERGE route replays the rename map like delete/update_where_dv:
+    a MERGE against the LOGICAL column names works on an ALTERed table and
+    matches the rewrite route."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 12).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(8, 16).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("vv")
+        ),
+    )
+    repo.commit("main", "base")
+    repo.alter_rename_column(spark, "main", "t", "v", "vv")
+    repo.create_branch("rw", "main")
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET vv = s.vv "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    before = set(repo.current_files("main", "t"))
+    LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt)
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt)
+    assert before <= set(repo.current_files("main", "t"))
+    assert DV_PREFIX + "t" in repo._resolve("main").tables
+    got_dv = sorted(
+        (x.k, x.vv) for x in repo.read_table(spark, "t", "main").collect()
+    )
+    got_rw = sorted(
+        (x.k, x.vv) for x in repo.read_table(spark, "t", "rw").collect()
+    )
+    assert got_dv == got_rw
+    assert got_dv[-1] == (15, 1500)
