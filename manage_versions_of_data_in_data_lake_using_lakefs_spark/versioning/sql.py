@@ -251,12 +251,13 @@ _MERGE_ON_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED_UPDATE_RE = re.compile(
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+?)"
-    r"(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
+    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+UPDATE\s+SET\s+"
+    r"(?P<sets>.+?)(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED_DELETE_RE = re.compile(
-    r"WHEN\s+MATCHED\s+THEN\s+DELETE\b", re.IGNORECASE
+    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+DELETE\b",
+    re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NOT_MATCHED_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
@@ -545,12 +546,13 @@ class LakeSQL:
     ) -> DataFrame:
         """``MERGE INTO t [AS a] USING <table|(SELECT ...)> [AS b]
         ON a.k = b.k [AND ...]
-        [WHEN MATCHED THEN UPDATE SET * | SET c = expr, ... | DELETE]
+        [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT *]``
 
         The Delta MERGE subset a lakehouse actually runs: equality-
-        conjunction ON, update/delete on match, insert-by-name on no
-        match. Declarative plan: one LEFT [ANTI] JOIN per branch over the
+        conjunction ON, update/delete on match (optionally gated by a
+        clause condition — matched rows failing it pass through
+        untouched, Delta's semantics), insert-by-name on no match. Declarative plan: one LEFT [ANTI] JOIN per branch over the
         snapshot — with a small source the join broadcasts and the big
         target streams through narrow (same shape as ``upsert_table``).
         Like Delta, raises when several source rows hit the same target
@@ -631,6 +633,9 @@ class LakeSQL:
             raise ValueError("MERGE supports one WHEN MATCHED action")
         if not (mu or md or mi):
             raise ValueError(f"no recognized MERGE clause in {clauses!r}")
+        # Delta's conditional matched clause: WHEN MATCHED AND <cond> —
+        # matched rows failing the condition pass through untouched
+        mcond = (mu and mu.group("cond")) or (md and md.group("cond")) or None
 
         target = self.repo.read_table(
             self.spark, name, ref=self.branch, include_staged=True
@@ -661,10 +666,11 @@ class LakeSQL:
                     assigns[resolved[col.lower()]] = am.group("expr").strip()
         if (
             self.dv_writes
-            # only the SET expressions can smuggle a subquery — the ON
-            # condition is already constrained to alias.col equality
-            # pairs and the USING source was rewriter-resolved above
-            and self._dv_routable(*(assigns.values() if assigns else ()))
+            # only the SET expressions and the matched-clause condition
+            # can smuggle a subquery — the ON condition is already
+            # constrained to alias.col equality pairs and the USING
+            # source was rewriter-resolved above
+            and self._dv_routable(mcond, *(assigns.values() if assigns else ()))
             # generated columns recompute on read; the rewrite path owns
             # that discipline — decline rather than risk storing them
             and not self.repo._generated_names(
@@ -676,7 +682,7 @@ class LakeSQL:
                 lambda: self._merge_dv_op(
                     name, ta, sa, sdf, t_keys, s_keys,
                     delete=md is not None, assigns=assigns,
-                    insert=mi is not None,
+                    insert=mi is not None, mcond=mcond,
                 ),
                 "dv_merge", "MERGE INTO",
             )
@@ -690,18 +696,33 @@ class LakeSQL:
         )
         matched_n = 0
         if mu or md:
-            # only when a matched action exists at all
+            # only when a matched action exists at all; the guard stays
+            # UNconditioned (Delta errors on ambiguous matches even when
+            # the clause condition would filter one of them out)
             self._merge_dup_guard(tview, sview, t_keys, s_keys)
+            where_c = f" WHERE ({mcond}) IS TRUE" if mcond else ""
             matched_n = self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {tview} {ta} JOIN {sview} {sa} ON {on_sql}"
+                f"SELECT COUNT(*) AS n FROM {tview} {ta} JOIN {sview} {sa} "
+                f"ON {on_sql}{where_c}"
             ).collect()[0].n
         rows = 0
         parts: list[str] = []
         if md:
-            parts.append(
-                f"SELECT {ta}.* FROM {tview} {ta} "
-                f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
-            )
+            if mcond:
+                # conditioned delete keeps matched-but-condition-false
+                # rows; the dup guard bounds the LEFT JOIN at one source
+                # row per target row, so no fan-out
+                marker = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+                parts.append(
+                    f"SELECT {ta}.* FROM {tview} {ta} "
+                    f"LEFT JOIN {sview} {sa} ON {on_sql} "
+                    f"WHERE NOT ({marker} AND ({mcond}) IS TRUE)"
+                )
+            else:
+                parts.append(
+                    f"SELECT {ta}.* FROM {tview} {ta} "
+                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
+                )
             rows += matched_n
         else:
             if mu:
@@ -714,6 +735,8 @@ class LakeSQL:
                 parts.append(f"SELECT {ta}.* FROM {tview} {ta}")
             else:
                 marker = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+                if mcond:
+                    marker = f"({marker} AND ({mcond}) IS TRUE)"
                 proj = []
                 for f in target.schema.fields:
                     if f.name in assigns:
@@ -1312,6 +1335,7 @@ class LakeSQL:
         delete: bool,
         assigns: dict[str, str] | None,
         insert: bool,
+        mcond: str | None = None,
     ):
         """Deletion-vector MERGE executor (Delta's DV-enabled MERGE):
         WHEN-MATCHED rows become (file, pos) vector positions — plus,
@@ -1372,10 +1396,13 @@ class LakeSQL:
                         else:
                             proj.append(f"{ta}.`{c}` AS `{c}`")
                 # persist: the matched frame feeds the no-op count, the
-                # position write, and (UPDATE) the image write
+                # position write, and (UPDATE) the image write. A
+                # conditioned clause narrows it — matched rows failing
+                # the condition keep their original images untouched
+                where_c = f" WHERE ({mcond}) IS TRUE" if mcond else ""
                 matched = spark.sql(
                     f"SELECT {', '.join(proj)} FROM {tview} {ta} "
-                    f"JOIN {sview} {sa} ON {on_sql}"
+                    f"JOIN {sview} {sa} ON {on_sql}{where_c}"
                 ).persist()
                 n_matched = matched.count()
             if insert:

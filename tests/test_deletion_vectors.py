@@ -882,3 +882,48 @@ def test_dv_merge_on_evolved_table_binds_logical_names(spark, repo):
     )
     assert got_dv == got_rw
     assert got_dv[-1] == (15, 1500)
+
+
+def test_merge_when_matched_and_condition(spark, repo):
+    """r10: Delta's conditional matched clause — WHEN MATCHED AND <cond>
+    THEN UPDATE/DELETE touches only matched rows satisfying the
+    condition; the rest pass through. Identical through the DV route and
+    the rewrite route, and rows_affected counts only the acted-on rows."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(10, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    # update only matched rows where the source value beats 3x target
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > t.v * 2 THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    r = LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt).first()
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt)
+    # matched rows 10..19: s.v = 5k, t.v = 2k -> 5k > 4k always true for k>0
+    # (k=10..19 all true) -> 10 updates + 10 inserts (20..29)
+    assert r.rows_affected == 20
+    got_dv = sorted((x.k, x.v) for x in repo.read_table(spark, "t", "main").collect())
+    got_rw = sorted((x.k, x.v) for x in repo.read_table(spark, "t", "rw").collect())
+    assert got_dv == got_rw and len(got_dv) == 30
+
+    # conditional DELETE: only even matched keys leave, odd matched stay
+    stmt2 = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND t.k % 2 = 0 THEN DELETE"
+    )
+    r2 = LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt2).first()
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt2)
+    assert r2.rows_affected == 10  # 10,12,...,28
+    got_dv2 = sorted(x.k for x in repo.read_table(spark, "t", "main").collect())
+    got_rw2 = sorted(x.k for x in repo.read_table(spark, "t", "rw").collect())
+    assert got_dv2 == got_rw2
+    assert got_dv2 == list(range(10)) + list(range(11, 30, 2))
