@@ -262,6 +262,11 @@ _WHEN_MATCHED_DELETE_RE = re.compile(
 _WHEN_NOT_MATCHED_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
 )
+_WHEN_NOT_MATCHED_BY_SOURCE_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(?P<cond>.+?)\s+)?"
+    r"THEN\s+DELETE\b",
+    re.IGNORECASE | re.DOTALL,
+)
 _EQ_PAIR_RE = re.compile(
     r"^\s*(?P<la>\w+)\s*\.\s*(?P<lc>\w+|`[^`]+`)\s*=\s*"
     r"(?P<ra>\w+)\s*\.\s*(?P<rc>\w+|`[^`]+`)\s*$"
@@ -547,12 +552,15 @@ class LakeSQL:
         """``MERGE INTO t [AS a] USING <table|(SELECT ...)> [AS b]
         ON a.k = b.k [AND ...]
         [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]
-        [WHEN NOT MATCHED THEN INSERT *]``
+        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]``
 
         The Delta MERGE subset a lakehouse actually runs: equality-
         conjunction ON, update/delete on match (optionally gated by a
         clause condition — matched rows failing it pass through
-        untouched, Delta's semantics), insert-by-name on no match. Declarative plan: one LEFT [ANTI] JOIN per branch over the
+        untouched, Delta's semantics), insert-by-name on no match, and
+        the Delta-2.4 sync clause deleting target rows absent from the
+        source (its condition sees target columns only). Declarative plan: one LEFT [ANTI] JOIN per branch over the
         snapshot — with a small source the join broadcasts and the big
         target streams through narrow (same shape as ``upsert_table``).
         Like Delta, raises when several source rows hit the same target
@@ -626,16 +634,26 @@ class LakeSQL:
                     f"MERGE ON term {part.strip()!r} must relate "
                     f"{ta!r} and {sa!r}"
                 )
-        mu = _WHEN_MATCHED_UPDATE_RE.search(clauses)
-        md = _WHEN_MATCHED_DELETE_RE.search(clauses)
-        mi = _WHEN_NOT_MATCHED_RE.search(clauses)
+        mbs = _WHEN_NOT_MATCHED_BY_SOURCE_RE.search(clauses)
+        # strip the BY-SOURCE clause before matching the others: its
+        # "WHEN NOT MATCHED" prefix would otherwise confuse lookaheads
+        m_clauses = clauses
+        if mbs:
+            m_clauses = clauses[: mbs.start()] + " " + clauses[mbs.end():]
+        mu = _WHEN_MATCHED_UPDATE_RE.search(m_clauses)
+        md = _WHEN_MATCHED_DELETE_RE.search(m_clauses)
+        mi = _WHEN_NOT_MATCHED_RE.search(m_clauses)
         if mu and md:
             raise ValueError("MERGE supports one WHEN MATCHED action")
-        if not (mu or md or mi):
+        if not (mu or md or mi or mbs):
             raise ValueError(f"no recognized MERGE clause in {clauses!r}")
         # Delta's conditional matched clause: WHEN MATCHED AND <cond> —
         # matched rows failing the condition pass through untouched
         mcond = (mu and mu.group("cond")) or (md and md.group("cond")) or None
+        # Delta 2.4's sync clause: WHEN NOT MATCHED BY SOURCE [AND c]
+        # THEN DELETE — target rows with no source match (and passing c,
+        # which can reference TARGET columns only) are removed
+        bscond = mbs.group("cond") if mbs else None
 
         target = self.repo.read_table(
             self.spark, name, ref=self.branch, include_staged=True
@@ -670,7 +688,9 @@ class LakeSQL:
             # can smuggle a subquery — the ON condition is already
             # constrained to alias.col equality pairs and the USING
             # source was rewriter-resolved above
-            and self._dv_routable(mcond, *(assigns.values() if assigns else ()))
+            and self._dv_routable(
+                mcond, bscond, *(assigns.values() if assigns else ())
+            )
             # generated columns recompute on read; the rewrite path owns
             # that discipline — decline rather than risk storing them
             and not self.repo._generated_names(
@@ -683,6 +703,7 @@ class LakeSQL:
                     name, ta, sa, sdf, t_keys, s_keys,
                     delete=md is not None, assigns=assigns,
                     insert=mi is not None, mcond=mcond,
+                    by_source=mbs is not None, bscond=bscond,
                 ),
                 "dv_merge", "MERGE INTO",
             )
@@ -706,17 +727,33 @@ class LakeSQL:
                 f"ON {on_sql}{where_c}"
             ).collect()[0].n
         rows = 0
+        bs_n = 0
+        bs_pred = None
+        if mbs:
+            where_bs = f" WHERE ({bscond}) IS TRUE" if bscond else ""
+            bs_n = self.spark.sql(
+                f"SELECT COUNT(*) AS n FROM {tview} {ta} "
+                f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}{where_bs}"
+            ).collect()[0].n
+            rows += bs_n
+            bs_pred = f"({bscond}) IS TRUE" if bscond else "TRUE"
         parts: list[str] = []
+        marker_raw = f"{sa}.`{s_keys[0]}` IS NOT NULL"
         if md:
-            if mcond:
-                # conditioned delete keeps matched-but-condition-false
-                # rows; the dup guard bounds the LEFT JOIN at one source
-                # row per target row, so no fan-out
-                marker = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+            if mcond or mbs:
+                # conditioned / by-source delete keeps the survivors via
+                # one LEFT JOIN; the dup guard (which runs for every
+                # matched action) bounds it at one source row per target
+                # row, so no fan-out
+                matched_pred = f"({mcond}) IS TRUE" if mcond else "TRUE"
+                drop = (
+                    f"CASE WHEN {marker_raw} THEN {matched_pred} "
+                    f"ELSE {bs_pred or 'FALSE'} END"
+                )
                 parts.append(
                     f"SELECT {ta}.* FROM {tview} {ta} "
                     f"LEFT JOIN {sview} {sa} ON {on_sql} "
-                    f"WHERE NOT ({marker} AND ({mcond}) IS TRUE)"
+                    f"WHERE NOT ({drop})"
                 )
             else:
                 parts.append(
@@ -730,11 +767,29 @@ class LakeSQL:
             else:
                 assigns = {}
             if not assigns:
-                # insert-only merge: the target passes through untouched —
-                # no join, so duplicate source keys can't fan target rows out
-                parts.append(f"SELECT {ta}.* FROM {tview} {ta}")
+                if mbs:
+                    # by-source delete with no matched action: matched
+                    # rows all survive, unmatched survive unless the
+                    # condition fires. Semi/anti spelling — no LEFT JOIN,
+                    # so duplicate source keys can't fan target rows out
+                    # and no dup guard is needed (Delta only raises when
+                    # multiple matches would MODIFY a row)
+                    parts.append(
+                        f"SELECT {ta}.* FROM {tview} {ta} "
+                        f"LEFT SEMI JOIN {sview} {sa} ON {on_sql}"
+                    )
+                    parts.append(
+                        f"SELECT {ta}.* FROM {tview} {ta} "
+                        f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
+                        f"WHERE NOT ({bs_pred})"
+                    )
+                else:
+                    # insert-only merge: the target passes through
+                    # untouched — no join, so duplicate source keys
+                    # can't fan target rows out
+                    parts.append(f"SELECT {ta}.* FROM {tview} {ta}")
             else:
-                marker = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+                marker = marker_raw
                 if mcond:
                     marker = f"({marker} AND ({mcond}) IS TRUE)"
                 proj = []
@@ -747,9 +802,12 @@ class LakeSQL:
                         )
                     else:
                         proj.append(f"{ta}.`{f.name}` AS `{f.name}`")
+                upd_where = (
+                    f" WHERE {marker_raw} OR NOT ({bs_pred})" if mbs else ""
+                )
                 parts.append(
                     f"SELECT {', '.join(proj)} FROM {tview} {ta} "
-                    f"LEFT JOIN {sview} {sa} ON {on_sql}"
+                    f"LEFT JOIN {sview} {sa} ON {on_sql}{upd_where}"
                 )
         if mi:
             missing = [
@@ -1336,6 +1394,8 @@ class LakeSQL:
         assigns: dict[str, str] | None,
         insert: bool,
         mcond: str | None = None,
+        by_source: bool = False,
+        bscond: str | None = None,
     ):
         """Deletion-vector MERGE executor (Delta's DV-enabled MERGE):
         WHEN-MATCHED rows become (file, pos) vector positions — plus,
@@ -1376,9 +1436,22 @@ class LakeSQL:
         stored = [c for c in df.columns if not c.startswith("__lg_")]
         matched = None
         inserts = None
+        bs = None
         n_matched = 0
         n_ins = 0
+        n_bs = 0
         try:
+            if by_source:
+                # NOT MATCHED BY SOURCE DELETE: unmatched target rows'
+                # positions go straight to the vector — an anti-join
+                # can't fan out, so no dup guard is needed for it
+                where_bs = f" WHERE ({bscond}) IS TRUE" if bscond else ""
+                bs = spark.sql(
+                    f"SELECT {ta}.`__lg_fp` AS __lg_fp, "
+                    f"{ta}.`__lg_ri` AS __lg_ri FROM {tview} {ta} "
+                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}{where_bs}"
+                ).persist()
+                n_bs = bs.count()
             if delete or assigns is not None:
                 self._merge_dup_guard(tview, sview, t_keys, s_keys)
                 proj = [
@@ -1422,11 +1495,18 @@ class LakeSQL:
                     f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
                 ).persist()
                 n_ins = inserts.count()
-            if n_matched == 0 and n_ins == 0:
+            if n_matched == 0 and n_ins == 0 and n_bs == 0:
                 return repo.head(branch)  # no-op: caller lands the version
-            if n_matched:
+            if n_matched or n_bs:
                 prefix = "file:" + repo.root + os.sep
-                positions = matched.select(
+                pos_src = None
+                if n_matched:
+                    pos_src = matched.select("__lg_fp", "__lg_ri")
+                if n_bs:
+                    pos_src = (
+                        bs if pos_src is None else pos_src.unionByName(bs)
+                    )
+                positions = pos_src.select(
                     F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias(
                         "file"
                     ),
@@ -1457,10 +1537,16 @@ class LakeSQL:
                 matched.unpersist(blocking=False)
             if inserts is not None:
                 inserts.unpersist(blocking=False)
+            if bs is not None:
+                bs.unpersist(blocking=False)
         c = repo.commit(
             branch,
             f"SQL: MERGE INTO {name}",
-            meta={"dv_merge": {"table": name, "rows": n_matched + n_ins}},
+            meta={
+                "dv_merge": {
+                    "table": name, "rows": n_matched + n_ins + n_bs,
+                }
+            },
         )
         repo._maybe_materialize_dv(spark, branch, name)
         return c

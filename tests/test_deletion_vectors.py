@@ -927,3 +927,60 @@ def test_merge_when_matched_and_condition(spark, repo):
     got_rw2 = sorted(x.k for x in repo.read_table(spark, "t", "rw").collect())
     assert got_dv2 == got_rw2
     assert got_dv2 == list(range(10)) + list(range(11, 30, 2))
+
+
+@pytest.mark.parametrize(
+    "clauses, expect",
+    [
+        # full dimension sync: upsert + drop rows gone from the source
+        (
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            lambda: sorted((k, k * 9) for k in range(10, 25)),
+        ),
+        # bs-only prune
+        (
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            lambda: sorted((k, k * 2) for k in range(10, 20)),
+        ),
+        # conditioned bs: keep small unmatched keys
+        (
+            "WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE",
+            lambda: sorted((k, k * 2) for k in range(5, 20)),
+        ),
+        # matched delete + bs delete together (intersection survives none)
+        (
+            "WHEN MATCHED AND t.k % 2 = 0 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            lambda: sorted((k, k * 2) for k in range(11, 20, 2)),
+        ),
+    ],
+)
+def test_merge_not_matched_by_source(spark, repo, clauses, expect):
+    """r10: Delta 2.4's WHEN NOT MATCHED BY SOURCE THEN DELETE — the
+    dimension-sync clause — identical through the DV route and the
+    rewrite route, composed with every other clause shape."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(10, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 9).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    stmt = f"MERGE INTO t AS t USING s AS s ON t.k = s.k {clauses}"
+    before = set(repo.current_files("main", "t"))
+    LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt)
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt)
+    assert before <= set(repo.current_files("main", "t"))  # zero rewrites
+    got_dv = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "main").collect()
+    )
+    got_rw = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "rw").collect()
+    )
+    assert got_dv == got_rw == expect()
