@@ -146,6 +146,7 @@ def table_changes(
         )
 
     parts: list[DataFrame] = []
+    probes: list[DataFrame] = []  # revocation checks, batched to ONE job
     dvt = DV_PREFIX + table
     for cc in chain:
         parent = repo.get_commit(cc.parents[0]) if cc.parents else None
@@ -187,13 +188,14 @@ def table_changes(
                     revoked = revoked.join(
                         cur_pos, ["__lg_fp", "__lg_ri"], "left_anti"
                     )
-                if revoked.limit(1).count():
-                    raise ValueError(
-                        f"table_changes: version {cc.version} REMOVED "
-                        f"deletion-vector positions for surviving files of "
-                        f"{table!r} (un-delete via restore) — not "
-                        f"representable as a change feed; split the range"
+                # deferred: a long range with many restore-shaped commits
+                # would otherwise pay one driver-paced job per commit —
+                # the union below makes the whole range ONE probe job
+                probes.append(
+                    revoked.select(
+                        F.lit(cc.version).cast("long").alias("_v")
                     )
+                )
             if survive and cur_pos is not None:
                 newly = cur_pos
                 if prev_pos is not None:
@@ -201,6 +203,18 @@ def table_changes(
                 parts.append(
                     tagged(survive, cc.version, "delete", only_dv=newly)
                 )
+    if probes:
+        probe = probes[0]
+        for p in probes[1:]:
+            probe = probe.unionByName(p)
+        hit = probe.limit(1).collect()
+        if hit:
+            raise ValueError(
+                f"table_changes: version {hit[0]['_v']} REMOVED "
+                f"deletion-vector positions for surviving files of "
+                f"{table!r} (un-delete via restore) — not representable "
+                f"as a change feed; split the range"
+            )
     if not parts:
         # empty feed with the right schema: head read minus rows
         base = repo.read_table(spark, table, ref).limit(0)
