@@ -83,8 +83,10 @@ def binary_auc(
             row = totals.collect()[0]
         finally:
             per_score.unpersist(blocking=False)
-        nps = int(row["nps"]) if row["nps"] is not None else 0
-        nns = int(row["nns"]) if row["nns"] is not None else 0
+        # empty input: SUM over zero rows is NULL — keep NULL (not 0) so
+        # this path agrees with the lazy path and the DuckDB twin
+        nps = int(row["nps"]) if row["nps"] is not None else None
+        nns = int(row["nns"]) if row["nns"] is not None else None
         auc = (
             (int(row["u2s"]) * _PPM) // (2 * nps * nns)
             if nps and nns
@@ -96,7 +98,7 @@ def binary_auc(
             F.lit(nns).cast("long").alias("n_neg"),
             F.lit(auc).cast("long").alias("auc_ppm"),
         )
-    return _auc_result(per_score, scalable=False)
+    return _auc_result(per_score)
 
 
 def _auc_totals(per_score: DataFrame, scalable: bool) -> DataFrame:
@@ -134,9 +136,12 @@ def _auc_totals(per_score: DataFrame, scalable: bool) -> DataFrame:
     )
 
 
-def _auc_result(per_score: DataFrame, scalable: bool) -> DataFrame:
-    """Lazy (n_pos, n_neg, auc_ppm) plan over the grouped frame."""
-    totals = _auc_totals(per_score, scalable)
+def _auc_result(per_score: DataFrame) -> DataFrame:
+    """Lazy (n_pos, n_neg, auc_ppm) plan over the grouped frame — only
+    the guard-skipping (known-bounded-domain) path uses it, so it is
+    always the one-window flavor; the scalable flavor is consumed
+    eagerly inside ``binary_auc``."""
+    totals = _auc_totals(per_score, scalable=False)
     # `div` (integral division) on decimals — truncation semantics match
     # DuckDB's `//`; a float or decimal `/` would ROUND the quotient
     return totals.select(

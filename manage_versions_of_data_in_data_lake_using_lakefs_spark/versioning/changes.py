@@ -207,10 +207,12 @@ def table_changes(
         probe = probes[0]
         for p in probes[1:]:
             probe = probe.unionByName(p)
-        hit = probe.limit(1).collect()
-        if hit:
+        # MIN keeps the error deterministic: "split the range" must name
+        # the FIRST offending version, or the user iterates blindly
+        hit = probe.agg(F.min("_v").alias("_v")).collect()[0]["_v"]
+        if hit is not None:
             raise ValueError(
-                f"table_changes: version {hit[0]['_v']} REMOVED "
+                f"table_changes: version {hit} REMOVED "
                 f"deletion-vector positions for surviving files of "
                 f"{table!r} (un-delete via restore) — not representable "
                 f"as a change feed; split the range"

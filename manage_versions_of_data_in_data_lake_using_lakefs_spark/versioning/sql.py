@@ -250,20 +250,26 @@ _MERGE_ON_RE = re.compile(
     r"^\s*(?:(?:AS\s+)?(?!ON\b)(?P<salias>\w+)\s+)?ON\s+(?P<cond>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# clause conditions may not cross a WHEN boundary — a lazy .+? would
+# otherwise swallow a FOLLOWING clause into the condition text whenever
+# its own THEN keyword doesn't immediately satisfy the pattern
+_NO_WHEN = r"(?:(?!\bWHEN\b).)+?"
 _WHEN_MATCHED_UPDATE_RE = re.compile(
-    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+UPDATE\s+SET\s+"
-    r"(?P<sets>.+?)(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
+    rf"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?THEN\s+UPDATE\s+SET\s+"
+    r"(?P<sets>.+?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED_DELETE_RE = re.compile(
-    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+DELETE\b",
+    rf"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?THEN\s+DELETE\b",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NOT_MATCHED_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+    rf"WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?"
+    r"THEN\s+INSERT\s+\*",
+    re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NOT_MATCHED_BY_SOURCE_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(?P<cond>.+?)\s+)?"
+    rf"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?"
     r"THEN\s+DELETE\b",
     re.IGNORECASE | re.DOTALL,
 )
@@ -552,8 +558,11 @@ class LakeSQL:
         """``MERGE INTO t [AS a] USING <table|(SELECT ...)> [AS b]
         ON a.k = b.k [AND ...]
         [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]
-        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED [AND cond] THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]``
+        — one clause of each kind; anything left unconsumed (a second
+        BY-SOURCE clause, a BY-SOURCE UPDATE, ...) raises instead of
+        silently changing semantics.
 
         The Delta MERGE subset a lakehouse actually runs: equality-
         conjunction ON, update/delete on match (optionally gated by a
@@ -647,9 +656,26 @@ class LakeSQL:
             raise ValueError("MERGE supports one WHEN MATCHED action")
         if not (mu or md or mi or mbs):
             raise ValueError(f"no recognized MERGE clause in {clauses!r}")
+        # every clause must be CONSUMED by exactly one pattern — a
+        # leftover WHEN (a second BY-SOURCE clause, a BY-SOURCE UPDATE,
+        # a second matched clause, ...) silently changing semantics is
+        # the review-found failure mode this check closes
+        leftover = m_clauses
+        for m in sorted((x for x in (mu, md, mi) if x), key=lambda x: -x.start()):
+            leftover = leftover[: m.start()] + " " + leftover[m.end():]
+        if re.search(r"\bWHEN\b", leftover, re.IGNORECASE):
+            raise ValueError(
+                f"MERGE: unsupported or duplicate clause(s) left unparsed: "
+                f"{leftover.strip()!r} — supported: one WHEN MATCHED "
+                f"[AND c] THEN UPDATE/DELETE, WHEN NOT MATCHED [AND c] "
+                f"THEN INSERT *, one WHEN NOT MATCHED BY SOURCE [AND c] "
+                f"THEN DELETE"
+            )
         # Delta's conditional matched clause: WHEN MATCHED AND <cond> —
         # matched rows failing the condition pass through untouched
         mcond = (mu and mu.group("cond")) or (md and md.group("cond")) or None
+        # conditional insert: only source rows passing <cond> insert
+        icond = mi.group("cond") if mi else None
         # Delta 2.4's sync clause: WHEN NOT MATCHED BY SOURCE [AND c]
         # THEN DELETE — target rows with no source match (and passing c,
         # which can reference TARGET columns only) are removed
@@ -689,7 +715,7 @@ class LakeSQL:
             # constrained to alias.col equality pairs and the USING
             # source was rewriter-resolved above
             and self._dv_routable(
-                mcond, bscond, *(assigns.values() if assigns else ())
+                mcond, bscond, icond, *(assigns.values() if assigns else ())
             )
             # generated columns recompute on read; the rewrite path owns
             # that discipline — decline rather than risk storing them
@@ -702,7 +728,7 @@ class LakeSQL:
                 lambda: self._merge_dv_op(
                     name, ta, sa, sdf, t_keys, s_keys,
                     delete=md is not None, assigns=assigns,
-                    insert=mi is not None, mcond=mcond,
+                    insert=mi is not None, mcond=mcond, icond=icond,
                     by_source=mbs is not None, bscond=bscond,
                 ),
                 "dv_merge", "MERGE INTO",
@@ -821,13 +847,14 @@ class LakeSQL:
                 f"CAST({sa}.`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
                 for f in target.schema.fields
             )
+            where_i = f" WHERE ({icond}) IS TRUE" if icond else ""
             parts.append(
                 f"SELECT {ins_proj} FROM {sview} {sa} "
-                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}{where_i}"
             )
             rows += self.spark.sql(
                 f"SELECT COUNT(*) AS n FROM {sview} {sa} "
-                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}{where_i}"
             ).collect()[0].n
         merged = self.spark.sql(" UNION ALL ".join(f"({p})" for p in parts))
         self.repo.write_table(self.branch, name, merged, mode="overwrite")
@@ -1394,6 +1421,7 @@ class LakeSQL:
         assigns: dict[str, str] | None,
         insert: bool,
         mcond: str | None = None,
+        icond: str | None = None,
         by_source: bool = False,
         bscond: str | None = None,
     ):
@@ -1490,9 +1518,10 @@ class LakeSQL:
                     f"{df.schema[c].dataType.simpleString()}) AS `{c}`"
                     for c in stored
                 )
+                where_i = f" WHERE ({icond}) IS TRUE" if icond else ""
                 inserts = spark.sql(
                     f"SELECT {ins_proj} FROM {sview} {sa} "
-                    f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+                    f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}{where_i}"
                 ).persist()
                 n_ins = inserts.count()
             if n_matched == 0 and n_ins == 0 and n_bs == 0:

@@ -984,3 +984,53 @@ def test_merge_not_matched_by_source(spark, repo, clauses, expect):
         (x.k, x.v) for x in repo.read_table(spark, "t", "rw").collect()
     )
     assert got_dv == got_rw == expect()
+
+
+def test_merge_unconsumed_clauses_raise_and_cond_insert_works(spark, repo):
+    """Review-found (r10): clause text the parser doesn't consume must
+    raise, never silently change semantics — a second BY-SOURCE clause,
+    a BY-SOURCE UPDATE, and clause-order tricks all fail loudly; and the
+    conditional insert (WHEN NOT MATCHED AND c) actually filters."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(10, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 9).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    for dv in (True, False):
+        sql = LakeSQL(spark, repo, "main" if dv else "rw", dv_writes=dv)
+        with pytest.raises(ValueError, match="unparsed|unsupported"):
+            sql.sql(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN DELETE "
+                "WHEN NOT MATCHED BY SOURCE AND t.k > 6 THEN DELETE"
+            )
+        with pytest.raises(ValueError, match="unparsed|unsupported"):
+            sql.sql(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = s.v "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
+            )
+        with pytest.raises(ValueError, match="unparsed|unsupported|parse"):
+            sql.sql(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE AND t.v = 1 THEN UPDATE SET v = 0 "
+                "WHEN MATCHED THEN DELETE"
+            )
+    # conditional INSERT: only source rows passing the condition insert
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.k < 22 THEN INSERT *"
+    )
+    r = LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt).first()
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt)
+    assert r.rows_affected == 12  # 10 updates + inserts 20, 21
+    got_dv = sorted(x.k for x in repo.read_table(spark, "t", "main").collect())
+    got_rw = sorted(x.k for x in repo.read_table(spark, "t", "rw").collect())
+    assert got_dv == got_rw == list(range(22))

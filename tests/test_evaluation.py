@@ -63,3 +63,17 @@ def test_confusion_threshold_is_inclusive(spark):
     assert (r.tp, r.fp, r.tn, r.fn) == (1, 1, 1, 1)
     assert r.precision_ppm == 500_000 and r.recall_ppm == 500_000
     assert r.f1_ppm == 500_000
+
+
+def test_auc_empty_input_is_null_on_both_paths(spark):
+    """Review-found (r10): SUM over zero rows is NULL — the eager
+    (guarded) path must agree with the lazy path and the SQL twin
+    instead of coercing to 0."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.evaluation import binary_auc
+
+    empty = spark.range(0).selectExpr(
+        "CAST(id AS double) AS s", "CAST(id % 2 AS int) AS label"
+    )
+    guarded = binary_auc(empty, "s", "label").first()
+    lazy = binary_auc(empty, "s", "label", max_distinct_scores=None).first()
+    assert tuple(guarded) == tuple(lazy) == (None, None, None)
