@@ -974,7 +974,18 @@ class LakeRepo:
         if dst in head.tables:
             raise ValueError(f"table {dst!r} already exists on {branch!r}")
         self.stage_table_files(branch, dst, list(head.tables[src]), op="overwrite")
+        dv_src = head.tables.get(DV_PREFIX + src)
         try:
+            if dv_src:
+                # the deletion vector is part of the table's VISIBLE
+                # state: cloning the file list without it resurrects
+                # every vectored row (the r8 bypass-read_table bug
+                # class). The companion clones by reference too — later
+                # DV DML on either table APPENDS its own groups, so the
+                # clones diverge without touching the shared ones.
+                self.stage_table_files(
+                    branch, DV_PREFIX + dst, list(dv_src), op="overwrite"
+                )
             cons = self.table_constraints(src, branch, include_staged=False)
             if cons:
                 self.put_object(branch, self._constraints_path(dst), json.dumps(cons))
@@ -987,6 +998,8 @@ class LakeRepo:
             # into the next unrelated COMMIT (branch was clean on entry,
             # so removing exactly what we staged restores it)
             self.unstage_table(branch, dst)
+            if dv_src:
+                self.unstage_table(branch, DV_PREFIX + dst)
             self.restore_staged_object_entry(branch, self._constraints_path(dst), None)
             self.restore_staged_object_entry(branch, self._schema_map_path(dst), None)
             raise

@@ -1034,3 +1034,35 @@ def test_merge_unconsumed_clauses_raise_and_cond_insert_works(spark, repo):
     got_dv = sorted(x.k for x in repo.read_table(spark, "t", "main").collect())
     got_rw = sorted(x.k for x in repo.read_table(spark, "t", "rw").collect())
     assert got_dv == got_rw == list(range(22))
+
+
+def test_dv_shallow_clone_carries_vector(spark, repo):
+    """r10 review-class bug (found by probing the bypass-read_table bug
+    class): SHALLOW CLONE of a vectored table must clone the companion
+    too — a file-list-only clone resurrects every deleted row. Clones
+    then diverge: DV DML on either side never affects the other, and
+    purging the clone leaves the source's vector intact."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.commit("main", "v1")
+    repo.delete_where_dv(spark, "main", "t", "k < 5")
+    sql = LakeSQL(spark, repo, "main")
+    sql.sql("CREATE TABLE t2 SHALLOW CLONE t")
+    assert repo.read_table(spark, "t2", "main").count() == 15  # not 20
+    assert DV_PREFIX + "t2" in repo._resolve("main").tables
+    # divergence: each side's later DV DML is its own
+    repo.delete_where_dv(spark, "main", "t2", "k >= 18")
+    repo.delete_where_dv(spark, "main", "t", "k = 10")
+    assert sorted(r.k for r in repo.read_table(spark, "t2", "main").collect()) == (
+        list(range(5, 18))
+    )
+    assert sorted(r.k for r in repo.read_table(spark, "t", "main").collect()) == (
+        [k for k in range(5, 20) if k != 10]
+    )
+    # purge the clone: source vector untouched
+    repo.purge_deletion_vectors(spark, "main", "t2")
+    assert DV_PREFIX + "t2" not in repo._resolve("main").tables
+    assert DV_PREFIX + "t" in repo._resolve("main").tables
+    assert repo.read_table(spark, "t2", "main").count() == 13
+    assert repo.read_table(spark, "t", "main").count() == 14
