@@ -250,29 +250,55 @@ _MERGE_ON_RE = re.compile(
     r"^\s*(?:(?:AS\s+)?(?!ON\b)(?P<salias>\w+)\s+)?ON\s+(?P<cond>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-# clause conditions may not cross a WHEN boundary — a lazy .+? would
-# otherwise swallow a FOLLOWING clause into the condition text whenever
-# its own THEN keyword doesn't immediately satisfy the pattern
-_NO_WHEN = r"(?:(?!\bWHEN\b).)+?"
+# MERGE clauses are split at top-level `WHEN [NOT] MATCHED` boundaries
+# (string literals masked first; a `CASE WHEN <expr>` inside a clause
+# condition is never a boundary because no expression follows WHEN with
+# the MATCHED keyword) and each segment must then FULLY match exactly
+# one anchored pattern — trailing garbage, a duplicate clause, or an
+# unsupported clause shape raises instead of silently changing
+# semantics (both review-found failure modes of lazier spellings).
+_CLAUSE_BOUNDARY_RE = re.compile(
+    r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE
+)
 _WHEN_MATCHED_UPDATE_RE = re.compile(
-    rf"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?THEN\s+UPDATE\s+SET\s+"
-    r"(?P<sets>.+?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
+    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+UPDATE\s+SET\s+"
+    r"(?P<sets>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED_DELETE_RE = re.compile(
-    rf"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?THEN\s+DELETE\b",
+    r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+DELETE\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NOT_MATCHED_RE = re.compile(
-    rf"WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?"
-    r"THEN\s+INSERT\s+\*",
+    r"WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+INSERT\s+\*\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NOT_MATCHED_BY_SOURCE_RE = re.compile(
-    rf"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(?P<cond>{_NO_WHEN})\s+)?"
-    r"THEN\s+DELETE\b",
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(?P<cond>.+?)\s+)?"
+    r"THEN\s+DELETE\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_merge_clauses(clauses: str) -> list[str]:
+    """Split a MERGE clause tail into its top-level WHEN segments.
+    Literals are masked so a string containing 'WHEN MATCHED' can't
+    start a clause; segments come back with literals restored."""
+    literals: list[str] = []
+
+    def mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = _LITERAL_RE.sub(mask, clauses)
+    starts = [m.start() for m in _CLAUSE_BOUNDARY_RE.finditer(masked)]
+    if not starts or masked[: starts[0]].strip():
+        raise ValueError(f"no recognized MERGE clause in {clauses!r}")
+    segs = []
+    for a, b in zip(starts, starts[1:] + [len(masked)]):
+        seg = _MASK_RE.sub(lambda m: literals[int(m.group(1))], masked[a:b])
+        segs.append(seg.strip())
+    return segs
 _EQ_PAIR_RE = re.compile(
     r"^\s*(?P<la>\w+)\s*\.\s*(?P<lc>\w+|`[^`]+`)\s*=\s*"
     r"(?P<ra>\w+)\s*\.\s*(?P<rc>\w+|`[^`]+`)\s*$"
@@ -643,34 +669,32 @@ class LakeSQL:
                     f"MERGE ON term {part.strip()!r} must relate "
                     f"{ta!r} and {sa!r}"
                 )
-        mbs = _WHEN_NOT_MATCHED_BY_SOURCE_RE.search(clauses)
-        # strip the BY-SOURCE clause before matching the others: its
-        # "WHEN NOT MATCHED" prefix would otherwise confuse lookaheads
-        m_clauses = clauses
-        if mbs:
-            m_clauses = clauses[: mbs.start()] + " " + clauses[mbs.end():]
-        mu = _WHEN_MATCHED_UPDATE_RE.search(m_clauses)
-        md = _WHEN_MATCHED_DELETE_RE.search(m_clauses)
-        mi = _WHEN_NOT_MATCHED_RE.search(m_clauses)
+        slots: dict[str, re.Match | None] = {
+            "mu": None, "md": None, "mi": None, "mbs": None,
+        }
+        for seg in _split_merge_clauses(clauses):
+            for slot, rx in (
+                ("mbs", _WHEN_NOT_MATCHED_BY_SOURCE_RE),
+                ("mu", _WHEN_MATCHED_UPDATE_RE),
+                ("md", _WHEN_MATCHED_DELETE_RE),
+                ("mi", _WHEN_NOT_MATCHED_RE),
+            ):
+                m = rx.fullmatch(seg)
+                if m:
+                    if slots[slot] is not None:
+                        raise ValueError(f"MERGE: duplicate clause {seg!r}")
+                    slots[slot] = m
+                    break
+            else:
+                raise ValueError(
+                    f"MERGE: unsupported clause {seg!r} — supported: one "
+                    f"WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE, one "
+                    f"WHEN NOT MATCHED [AND c] THEN INSERT *, one WHEN "
+                    f"NOT MATCHED BY SOURCE [AND c] THEN DELETE"
+                )
+        mu, md, mi, mbs = slots["mu"], slots["md"], slots["mi"], slots["mbs"]
         if mu and md:
             raise ValueError("MERGE supports one WHEN MATCHED action")
-        if not (mu or md or mi or mbs):
-            raise ValueError(f"no recognized MERGE clause in {clauses!r}")
-        # every clause must be CONSUMED by exactly one pattern — a
-        # leftover WHEN (a second BY-SOURCE clause, a BY-SOURCE UPDATE,
-        # a second matched clause, ...) silently changing semantics is
-        # the review-found failure mode this check closes
-        leftover = m_clauses
-        for m in sorted((x for x in (mu, md, mi) if x), key=lambda x: -x.start()):
-            leftover = leftover[: m.start()] + " " + leftover[m.end():]
-        if re.search(r"\bWHEN\b", leftover, re.IGNORECASE):
-            raise ValueError(
-                f"MERGE: unsupported or duplicate clause(s) left unparsed: "
-                f"{leftover.strip()!r} — supported: one WHEN MATCHED "
-                f"[AND c] THEN UPDATE/DELETE, WHEN NOT MATCHED [AND c] "
-                f"THEN INSERT *, one WHEN NOT MATCHED BY SOURCE [AND c] "
-                f"THEN DELETE"
-            )
         # Delta's conditional matched clause: WHEN MATCHED AND <cond> —
         # matched rows failing the condition pass through untouched
         mcond = (mu and mu.group("cond")) or (md and md.group("cond")) or None

@@ -1004,19 +1004,19 @@ def test_merge_unconsumed_clauses_raise_and_cond_insert_works(spark, repo):
     repo.create_branch("rw", "main")
     for dv in (True, False):
         sql = LakeSQL(spark, repo, "main" if dv else "rw", dv_writes=dv)
-        with pytest.raises(ValueError, match="unparsed|unsupported"):
+        with pytest.raises(ValueError, match="duplicate"):
             sql.sql(
                 "MERGE INTO t USING s ON t.k = s.k "
                 "WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN DELETE "
                 "WHEN NOT MATCHED BY SOURCE AND t.k > 6 THEN DELETE"
             )
-        with pytest.raises(ValueError, match="unparsed|unsupported"):
+        with pytest.raises(ValueError, match="unsupported"):
             sql.sql(
                 "MERGE INTO t USING s ON t.k = s.k "
                 "WHEN MATCHED THEN UPDATE SET v = s.v "
                 "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
             )
-        with pytest.raises(ValueError, match="unparsed|unsupported|parse"):
+        with pytest.raises(ValueError, match="unsupported|parse"):
             sql.sql(
                 "MERGE INTO t USING s ON t.k = s.k "
                 "WHEN NOT MATCHED BY SOURCE AND t.v = 1 THEN UPDATE SET v = 0 "
@@ -1066,3 +1066,49 @@ def test_dv_shallow_clone_carries_vector(spark, repo):
     assert DV_PREFIX + "t" in repo._resolve("main").tables
     assert repo.read_table(spark, "t2", "main").count() == 13
     assert repo.read_table(spark, "t", "main").count() == 14
+
+
+def test_merge_clause_parser_hardening(spark, repo):
+    """Third-review findings: CASE WHEN inside a clause condition parses
+    (the boundary is WHEN [NOT] MATCHED, never a bare WHEN), trailing
+    garbage after a consumed clause raises, and a string literal
+    containing 'WHEN MATCHED' rides through."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(5, 15).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    # CASE WHEN in the matched condition
+    r = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND CASE WHEN s.v > t.v THEN true ELSE false END "
+        "THEN UPDATE SET v = s.v"
+    ).first()
+    assert r.rows_affected == 5  # s.v = 3k > t.v = 2k for k=5..9
+    got = {x.k: x.v for x in repo.read_table(spark, "t", "main").collect()}
+    assert got[7] == 21 and got[3] == 6
+    # trailing garbage after a consumed clause is loud, not silent
+    with pytest.raises(ValueError, match="unsupported"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE WHERE t.v > 0"
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT * EXCEPT (v)"
+        )
+    # a literal containing 'WHEN MATCHED' is not a clause boundary
+    repo.reset("main")
+    r2 = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND CAST(t.v AS STRING) <> 'WHEN MATCHED THEN DELETE' "
+        "THEN UPDATE SET v = t.v + 1000"
+    ).first()
+    assert r2.rows_affected == 5
