@@ -2277,6 +2277,7 @@ class LakeRepo:
         sort_by: list[str] | None = None,
         zorder_by: tuple[str, str] | None = None,
         message: str | None = None,
+        where: str | None = None,
     ) -> "Commit":
         """Rewrite a table into a compact layout, as a new commit.
 
@@ -2288,6 +2289,18 @@ class LakeRepo:
         (repartitionByRange + sortWithinPartitions) so parquet min/max
         stats prune row groups for key-predicated scans. Old files stay
         referenced by prior commits (time travel intact) until ``vacuum``.
+
+        ``where`` (Delta's ``OPTIMIZE t WHERE ...``) scopes the rewrite
+        AT 100 TB: only file entries whose footer/partition stats MAY
+        hold matching rows are rewritten — every provably-unmatching
+        entry carries into the new commit by reference, so compacting
+        yesterday's hot partition never touches the cold years. The
+        predicate only SELECTS files; every row of a selected file is
+        kept (a pure rearrangement) — except rows the table's deletion
+        vector already hides, which materialize away for the selected
+        files (their positions leave the vector, exactly the
+        ``purge_deletion_vectors`` rule). An unparseable predicate
+        conservatively selects everything.
 
         The commit carries ``meta["data_change"] = False`` — the writer's
         assertion that the rows are a pure REARRANGEMENT of the parent
@@ -2305,24 +2318,93 @@ class LakeRepo:
                 f"a data_change=false commit must contain only the "
                 f"rearrangement"
             )
-        df = self.read_table(spark, table, ref=branch)
         n = target_files or spark.sparkContext.defaultParallelism
-        if zorder_by:
-            from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.layout import zorder_cluster
 
-            df = zorder_cluster(df, zorder_by[0], zorder_by[1], n)
-        elif sort_by:
-            cols = [F.col(c) for c in sort_by]
-            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-        else:
+        def _cluster(df: DataFrame) -> DataFrame:
+            if zorder_by:
+                from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.layout import zorder_cluster
+
+                return zorder_cluster(df, zorder_by[0], zorder_by[1], n)
+            if sort_by:
+                cols = [F.col(c) for c in sort_by]
+                return df.repartitionByRange(n, *cols).sortWithinPartitions(
+                    *cols
+                )
             # coalesce: narrow, no shuffle — pure file-count reduction
-            df = df.coalesce(n)
-        self.write_table(branch, table, df, mode="overwrite")
-        return self.commit(
-            branch,
-            message or f"compact {table} -> {n} files",
-            meta={"data_change": False, "compacted_table": table},
+            return df.coalesce(n)
+
+        if where is None:
+            df = _cluster(self.read_table(spark, table, ref=branch))
+            self.write_table(branch, table, df, mode="overwrite")
+            return self.commit(
+                branch,
+                message or f"compact {table} -> {n} files",
+                meta={"data_change": False, "compacted_table": table},
+            )
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import _files_of
+
+        head = self.head(branch)
+        entries = list(head.tables.get(table) or ())
+        if not entries:
+            raise KeyError(f"table {table} not on branch {branch}")
+        res = stats_mod.prune_file_list(self.root, entries, where)
+        if res is None:
+            safe, cand = [], entries  # unparseable: compact everything
+        else:
+            safe, cand, _info = res
+        if not cand:
+            return head  # nothing may match: no-op, no commit
+        smap = self.table_schema_map(table, ref=branch)
+        df = self._read_files(
+            spark, cand, merge_schema=bool(smap), with_lineage=True
         )
+        dvt = DV_PREFIX + table
+        dv0 = head.tables.get(dvt)
+        if dv0:
+            df = self._apply_dv(spark, df, dv0, keep_lineage=True)
+        df = df.drop("__lg_fp", "__lg_ri")
+        if smap:
+            df = self.apply_schema_map(df, smap)
+        out = _cluster(df)
+        try:
+            files = list(safe)
+            if out.limit(1).count():
+                files.append(
+                    self.write_table(branch, table, out, mode="overwrite")
+                )
+            self.stage_table_files(branch, table, files)
+            if dv0:
+                # positions on the rewritten files materialized away;
+                # positions on carried files stay vectored
+                cand_files = _files_of(self.root, cand)
+                cand_df = spark.createDataFrame(
+                    [(f,) for f in sorted(cand_files)], "file string"
+                )
+                dv = self._read_files(spark, dv0)
+                remaining = dv.join(F.broadcast(cand_df), "file", "left_anti")
+                if remaining.limit(1).count():
+                    self.write_table(
+                        branch, dvt, remaining, mode="overwrite",
+                        _internal=True,
+                    )
+                else:
+                    self.stage_table_files(branch, dvt, [], op="drop")
+            # commit INSIDE the guard — a commit-time failure must not
+            # leave the rearrangement staged (purge_deletion_vectors'
+            # review-found rule)
+            return self.commit(
+                branch,
+                message or f"compact {table} where {where}",
+                meta={
+                    "data_change": False,
+                    "compacted_table": table,
+                    "compact_where": where,
+                },
+            )
+        except Exception:
+            self.reset(branch)
+            raise
 
     def upsert_table(
         self,

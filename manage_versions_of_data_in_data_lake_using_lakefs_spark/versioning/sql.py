@@ -124,10 +124,11 @@ _VACUUM_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+(?P<table>{_IDENT})"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     rf"(?:\s+ZORDER\s+BY\s+\(\s*(?P<z1>{_IDENT})\s*,\s*(?P<z2>{_IDENT})\s*\)"
     rf"|\s+SORT\s+BY\s+\(\s*(?P<sorts>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
     r"(?:\s+INTO\s+(?P<nfiles>\d+)\s+FILES)?\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _REORG_PURGE_RE = re.compile(
     rf"^\s*REORG\s+TABLE\s+(?P<table>{_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)"
@@ -509,13 +510,16 @@ class LakeSQL:
         zorder: tuple[str, str] | None,
         sorts: list[str] | None,
         nfiles: int | None,
+        where: str | None = None,
     ) -> DataFrame:
-        """``OPTIMIZE t [ZORDER BY (a, b) | SORT BY (a, ...)] [INTO n
-        FILES]`` — the Delta maintenance statement, routed to
-        ``LakeRepo.compact``. ZORDER interleaves two keys on a Morton
+        """``OPTIMIZE t [WHERE cond] [ZORDER BY (a, b) | SORT BY (a,
+        ...)] [INTO n FILES]`` — the Delta maintenance statement, routed
+        to ``LakeRepo.compact``. ZORDER interleaves two keys on a Morton
         curve; SORT range-clusters, which is what makes the data-skipping
-        manifests selective (disjoint per-file min/max). Lands as a new
-        commit; old files stay for time travel until VACUUM."""
+        manifests selective (disjoint per-file min/max); WHERE scopes the
+        rewrite to the file entries that may hold matching rows (compact
+        the hot partition, carry the cold ones by reference). Lands as a
+        new commit; old files stay for time travel until VACUUM."""
         name = self._resolve_table(table)
         if zorder:
             zorder = (zorder[0].strip("`"), zorder[1].strip("`"))
@@ -527,6 +531,7 @@ class LakeSQL:
             sort_by=sorts,
             zorder_by=zorder,
             message=f"SQL: OPTIMIZE {name}",
+            where=where,
         )
         head = self.repo.head(self.branch)
         return self.spark.createDataFrame(
@@ -1754,6 +1759,7 @@ class LakeSQL:
                 if m.group("sorts")
                 else None,
                 int(m.group("nfiles")) if m.group("nfiles") else None,
+                where=m.group("where"),
             )
         m = _REORG_PURGE_RE.match(query)
         if m:

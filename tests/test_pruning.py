@@ -796,3 +796,93 @@ def test_bloom_multi_column_single_pass(tmp_path):
     assert set(out) == {"a", "b"}  # float unsupported, missing absent
     assert out["a"] == S.build_file_bloom(path, "a")
     assert out["b"] == S.build_file_bloom(path, "b")
+
+
+def test_optimize_where_scopes_the_rewrite(spark, repo):
+    """r10: OPTIMIZE ... WHERE rewrites only the file entries whose
+    stats may match — cold entries carry by reference, the commit is a
+    data_change=false rearrangement, reads are unchanged, and the batch
+    CDF emits nothing for it."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.changes import table_changes
+
+    # four range-banded single-file appends: provably disjoint k ranges
+    df = spark.range(0, 4000).select(
+        F.col("k") if "k" in [] else F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    for b in range(4):
+        band = df.where(
+            (F.col("k") >= b * 1000) & (F.col("k") < (b + 1) * 1000)
+        ).coalesce(1)
+        repo.write_table("main", "t", band, mode="append")
+    base = repo.commit("main", "banded")
+    before = set(repo.current_files("main", "t"))
+    c = repo.compact(spark, "main", "t", target_files=1, where="k < 500")
+    assert c.meta.get("data_change") is False
+    after = set(repo.current_files("main", "t"))
+    # three cold bands carried by reference (as dirs or their part
+    # files); band 0 replaced by one new group
+    carried = [
+        f
+        for f in after
+        if any(f == b or f.startswith(b + "/") for b in before)
+    ]
+    fresh = [f for f in after if f not in carried]
+    assert len(carried) == 3 and len(fresh) == 1
+    assert repo.read_table(spark, "t", "main").count() == 4000
+    assert (
+        sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+        == list(range(4000))
+    )
+    # the CDF over the optimize commit is empty
+    feed = table_changes(repo, spark, "t", c.version, c.version).collect()
+    assert feed == []
+    # nothing-may-match predicate: no-op, no commit
+    assert repo.compact(spark, "main", "t", where="k > 100000").id == c.id
+
+
+def test_optimize_where_materializes_vector_for_selected_files(spark, repo):
+    """OPTIMIZE WHERE on a vectored table: positions on the rewritten
+    files materialize away; positions on carried files stay vectored;
+    reads identical throughout."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DV_PREFIX
+
+    for b in range(2):
+        band = (
+            spark.range(b * 100, (b + 1) * 100)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+        repo.write_table("main", "t", band, mode="append")
+    repo.commit("main", "banded")
+    repo.delete_where_dv(spark, "main", "t", "k IN (5, 150)")
+    got0 = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    repo.compact(spark, "main", "t", target_files=1, where="k < 100")
+    assert (
+        sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+        == got0
+    )
+    dv = repo._read_files(
+        spark, repo.current_files("main", DV_PREFIX + "t")
+    ).collect()
+    assert len(dv) == 1 and dv[0]["pos"] == 50  # only k=150's position left
+    # purging the rest clears the vector; reads still identical
+    repo.purge_deletion_vectors(spark, "main", "t")
+    assert (
+        sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+        == got0
+    )
+
+
+def test_sql_optimize_where_with_sort(spark, repo):
+    """The SQL spelling composes WHERE with SORT BY and INTO n FILES."""
+    df = _clustered(spark, n=2000, files=4)
+    repo.write_table("main", "t", df)
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main")
+    r = sql.sql(
+        "OPTIMIZE t WHERE k < 500 SORT BY (k) INTO 1 FILES"
+    ).first()
+    assert r.version == repo.head("main").version
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 2000
+    assert sql.sql("SELECT MIN(k) AS m FROM t").first().m == 0
