@@ -1626,34 +1626,67 @@ class LakeRepo:
         )
         if smap:
             kept = self.apply_schema_map(kept, smap)
-        remaining = dv.join(F.broadcast(sel_df), "file", "left_anti")
+        return self._commit_rearrangement(
+            spark,
+            branch,
+            table,
+            carried,
+            kept,
+            sorted(sel_set),
+            message or f"PURGE deletion vector of {table} ({len(sel)} files)",
+            {
+                "data_change": False,
+                "dv_purge": {"table": table, "files": len(sel)},
+            },
+        )
+
+    def _commit_rearrangement(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        carried: list[str],
+        rewritten: DataFrame,
+        materialized_files: list[str],
+        message: str,
+        meta: dict,
+    ) -> "Commit":
+        """Shared tail of the file-scoped rearrangements (DV purge,
+        ``compact(where=...)``): stage ``carried`` entries plus the
+        ``rewritten`` rows — an empty rewrite with no carried entries
+        still writes one schema-bearing (empty) group, or the table
+        would commit with an empty file list and break every later read
+        — shrink the deletion vector by ``materialized_files``'
+        positions, and commit ``data_change=false`` INSIDE the
+        reset-on-failure guard (a commit-time failure must never leave
+        the rearrangement staged to ride a later data-change commit)."""
+        dvt = DV_PREFIX + table
+        dv0 = self.head(branch).tables.get(dvt)
         try:
             files = list(carried)
-            if kept.limit(1).count():
-                files.append(self.write_table(branch, table, kept, mode="overwrite"))
-            self.stage_table_files(branch, table, files)
-            if remaining.limit(1).count():
-                self.write_table(
-                    branch, dvt, remaining, mode="overwrite", _internal=True
+            if rewritten.limit(1).count() or not files:
+                files.append(
+                    self.write_table(branch, table, rewritten, mode="overwrite")
                 )
-            else:
-                self.stage_table_files(branch, dvt, [], op="drop")
-            # the commit sits INSIDE the guard: a commit-time failure
-            # (ref CAS contention, IO) must not leave the rearrangement
-            # staged, or a later ordinary commit would fold it in
-            # WITHOUT data_change=false and the change feed would emit
-            # a delete+insert pair for every rewritten-but-unchanged row
-            return self.commit(
-                branch,
-                message or f"PURGE deletion vector of {table} ({len(sel)} files)",
-                meta={
-                    "data_change": False,
-                    "dv_purge": {"table": table, "files": len(sel)},
-                },
-            )
+            self.stage_table_files(branch, table, files)
+            if dv0:
+                drop_df = spark.createDataFrame(
+                    [(f,) for f in sorted(materialized_files)], "file string"
+                )
+                dv = self._read_files(spark, dv0)
+                remaining = dv.join(F.broadcast(drop_df), "file", "left_anti")
+                if remaining.limit(1).count():
+                    self.write_table(
+                        branch, dvt, remaining, mode="overwrite", _internal=True
+                    )
+                else:
+                    self.stage_table_files(branch, dvt, [], op="drop")
+            return self.commit(branch, message, meta=meta)
         except Exception:
-            # never leave half a purge staged: a re-filed table without
-            # its vector shrink (or vice versa) double-counts deletions
+            # never leave half a rearrangement staged: a re-filed table
+            # without its vector shrink (or vice versa) double-counts
+            # deletions, and an unflagged later commit would feed the
+            # CDF rows that never changed
             self.reset(branch)
             raise
 
@@ -2300,7 +2333,8 @@ class LakeRepo:
         vector already hides, which materialize away for the selected
         files (their positions leave the vector, exactly the
         ``purge_deletion_vectors`` rule). An unparseable predicate
-        conservatively selects everything.
+        RAISES: a scoped maintenance command silently becoming a
+        full-table rewrite is the one failure mode worse than an error.
 
         The commit carries ``meta["data_change"] = False`` — the writer's
         assertion that the rows are a pure REARRANGEMENT of the parent
@@ -2348,63 +2382,53 @@ class LakeRepo:
         entries = list(head.tables.get(table) or ())
         if not entries:
             raise KeyError(f"table {table} not on branch {branch}")
+        # an explicitly SCOPED maintenance command must never silently
+        # become the most expensive possible operation — a typo'd,
+        # unsupported, or partially-opaque predicate raises instead of
+        # quietly rewriting (and DV-materializing) the whole 100 TB
+        # table (conservative may-match is right for READS, wrong here)
+        pred = stats_mod.parse_predicate(where)
+        if pred is None or not stats_mod.fully_supported(pred):
+            raise ValueError(
+                f"compact: WHERE predicate {where!r} is not prunable "
+                f"(unsupported expression shape, or a malformed trailing "
+                f"clause was folded into it) — use simple "
+                f"comparison/BETWEEN/IN/IS NULL predicates over AND/OR, "
+                f"or run OPTIMIZE without WHERE to compact everything"
+            )
         res = stats_mod.prune_file_list(self.root, entries, where)
         if res is None:
-            safe, cand = [], entries  # unparseable: compact everything
-        else:
-            safe, cand, _info = res
+            raise ValueError(
+                f"compact: stats unavailable to evaluate WHERE {where!r}"
+            )
+        safe, cand, _info = res
         if not cand:
             return head  # nothing may match: no-op, no commit
         smap = self.table_schema_map(table, ref=branch)
+        dv0 = head.tables.get(DV_PREFIX + table)
         df = self._read_files(
-            spark, cand, merge_schema=bool(smap), with_lineage=True
+            spark, cand, merge_schema=bool(smap), with_lineage=bool(dv0)
         )
-        dvt = DV_PREFIX + table
-        dv0 = head.tables.get(dvt)
         if dv0:
-            df = self._apply_dv(spark, df, dv0, keep_lineage=True)
-        df = df.drop("__lg_fp", "__lg_ri")
+            # positions on the rewritten files materialize away (the
+            # purge rule); positions on carried files stay vectored
+            df = self._apply_dv(spark, df, dv0)
         if smap:
             df = self.apply_schema_map(df, smap)
-        out = _cluster(df)
-        try:
-            files = list(safe)
-            if out.limit(1).count():
-                files.append(
-                    self.write_table(branch, table, out, mode="overwrite")
-                )
-            self.stage_table_files(branch, table, files)
-            if dv0:
-                # positions on the rewritten files materialized away;
-                # positions on carried files stay vectored
-                cand_files = _files_of(self.root, cand)
-                cand_df = spark.createDataFrame(
-                    [(f,) for f in sorted(cand_files)], "file string"
-                )
-                dv = self._read_files(spark, dv0)
-                remaining = dv.join(F.broadcast(cand_df), "file", "left_anti")
-                if remaining.limit(1).count():
-                    self.write_table(
-                        branch, dvt, remaining, mode="overwrite",
-                        _internal=True,
-                    )
-                else:
-                    self.stage_table_files(branch, dvt, [], op="drop")
-            # commit INSIDE the guard — a commit-time failure must not
-            # leave the rearrangement staged (purge_deletion_vectors'
-            # review-found rule)
-            return self.commit(
-                branch,
-                message or f"compact {table} where {where}",
-                meta={
-                    "data_change": False,
-                    "compacted_table": table,
-                    "compact_where": where,
-                },
-            )
-        except Exception:
-            self.reset(branch)
-            raise
+        return self._commit_rearrangement(
+            spark,
+            branch,
+            table,
+            safe,
+            _cluster(df),
+            _files_of(self.root, cand),
+            message or f"compact {table} where {where}",
+            {
+                "data_change": False,
+                "compacted_table": table,
+                "compact_where": where,
+            },
+        )
 
     def upsert_table(
         self,

@@ -807,8 +807,7 @@ def test_optimize_where_scopes_the_rewrite(spark, repo):
 
     # four range-banded single-file appends: provably disjoint k ranges
     df = spark.range(0, 4000).select(
-        F.col("k") if "k" in [] else F.col("id").alias("k"),
-        (F.col("id") * 2).alias("v"),
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     )
     for b in range(4):
         band = df.where(
@@ -886,3 +885,44 @@ def test_sql_optimize_where_with_sort(spark, repo):
     assert r.version == repo.head("main").version
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 2000
     assert sql.sql("SELECT MIN(k) AS m FROM t").first().m == 0
+
+
+def test_optimize_where_guards(spark, repo):
+    """Fourth-review findings: an unparseable / malformed-trailing-clause
+    WHERE raises instead of silently rewriting the whole table; and a
+    fully-vectored selection still commits a readable (0-row) table,
+    never an empty file list."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DV_PREFIX
+
+    repo.write_table(
+        "main", "t",
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1),
+    )
+    repo.commit("main", "base")
+    # unsupported expression shape
+    with pytest.raises(ValueError, match="not prunable"):
+        repo.compact(spark, "main", "t", where="abs(k) = 1")
+    # malformed trailing clause swallowed into the regex's WHERE group
+    sql = LakeSQL(spark, repo, "main")
+    with pytest.raises(ValueError, match="not prunable"):
+        sql.sql("OPTIMIZE t WHERE k < 5 SORT BY k")  # missing parens
+    assert not repo.status("main")  # nothing staged by the failures
+    # hide EVERY row, then compact the (fully-vectored) file
+    repo.delete_where_dv(spark, "main", "t", "k >= 0")
+    assert repo.read_table(spark, "t", "main").count() == 0
+    c = repo.compact(spark, "main", "t", where="k < 100")
+    assert c.meta.get("data_change") is False
+    assert repo.read_table(spark, "t", "main").count() == 0  # still readable
+    assert DV_PREFIX + "t" not in repo._resolve("main").tables
+    # and the table accepts new appends afterwards
+    repo.write_table(
+        "main", "t",
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        mode="append",
+    )
+    repo.commit("main", "refill")
+    assert repo.read_table(spark, "t", "main").count() == 3
