@@ -279,6 +279,11 @@ _WHEN_NOT_MATCHED_BY_SOURCE_RE = re.compile(
     r"THEN\s+DELETE\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_WHEN_NOT_MATCHED_BY_SOURCE_UPD_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(?P<cond>.+?)\s+)?"
+    r"THEN\s+UPDATE\s+SET\s+(?P<sets>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_merge_clauses(clauses: str) -> list[str]:
@@ -590,17 +595,17 @@ class LakeSQL:
         ON a.k = b.k [AND ...]
         [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]
         [WHEN NOT MATCHED [AND cond] THEN INSERT *]
-        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]``
-        — one clause of each kind; anything left unconsumed (a second
-        BY-SOURCE clause, a BY-SOURCE UPDATE, ...) raises instead of
-        silently changing semantics.
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...]``
+        — one clause of each kind (one BY-SOURCE action); anything left
+        unconsumed raises instead of silently changing semantics.
 
         The Delta MERGE subset a lakehouse actually runs: equality-
         conjunction ON, update/delete on match (optionally gated by a
         clause condition — matched rows failing it pass through
         untouched, Delta's semantics), insert-by-name on no match, and
-        the Delta-2.4 sync clause deleting target rows absent from the
-        source (its condition sees target columns only). Declarative plan: one LEFT [ANTI] JOIN per branch over the
+        the Delta-2.4 sync clauses deleting or updating target rows
+        absent from the source (condition and SET expressions see
+        target columns only, enforced). Declarative plan: one LEFT [ANTI] JOIN per branch over the
         snapshot — with a small source the join broadcasts and the big
         target streams through narrow (same shape as ``upsert_table``).
         Like Delta, raises when several source rows hit the same target
@@ -675,11 +680,12 @@ class LakeSQL:
                     f"{ta!r} and {sa!r}"
                 )
         slots: dict[str, re.Match | None] = {
-            "mu": None, "md": None, "mi": None, "mbs": None,
+            "mu": None, "md": None, "mi": None, "mbs": None, "mbsu": None,
         }
         for seg in _split_merge_clauses(clauses):
             for slot, rx in (
                 ("mbs", _WHEN_NOT_MATCHED_BY_SOURCE_RE),
+                ("mbsu", _WHEN_NOT_MATCHED_BY_SOURCE_UPD_RE),
                 ("mu", _WHEN_MATCHED_UPDATE_RE),
                 ("md", _WHEN_MATCHED_DELETE_RE),
                 ("mi", _WHEN_NOT_MATCHED_RE),
@@ -695,24 +701,51 @@ class LakeSQL:
                     f"MERGE: unsupported clause {seg!r} — supported: one "
                     f"WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE, one "
                     f"WHEN NOT MATCHED [AND c] THEN INSERT *, one WHEN "
-                    f"NOT MATCHED BY SOURCE [AND c] THEN DELETE"
+                    f"NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET "
+                    f"...|DELETE"
                 )
-        mu, md, mi, mbs = slots["mu"], slots["md"], slots["mi"], slots["mbs"]
+        mu, md, mi = slots["mu"], slots["md"], slots["mi"]
+        mbs, mbsu = slots["mbs"], slots["mbsu"]
         if mu and md:
             raise ValueError("MERGE supports one WHEN MATCHED action")
+        if mbs and mbsu:
+            raise ValueError(
+                "MERGE supports one WHEN NOT MATCHED BY SOURCE action"
+            )
         # Delta's conditional matched clause: WHEN MATCHED AND <cond> —
         # matched rows failing the condition pass through untouched
         mcond = (mu and mu.group("cond")) or (md and md.group("cond")) or None
         # conditional insert: only source rows passing <cond> insert
         icond = mi.group("cond") if mi else None
-        # Delta 2.4's sync clause: WHEN NOT MATCHED BY SOURCE [AND c]
-        # THEN DELETE — target rows with no source match (and passing c,
-        # which can reference TARGET columns only) are removed
-        bscond = mbs.group("cond") if mbs else None
+        # Delta 2.4's sync clauses: WHEN NOT MATCHED BY SOURCE [AND c]
+        # THEN DELETE | UPDATE SET ... — target rows with no source
+        # match; condition and SET expressions see TARGET columns only
+        # (the row has no source match), enforced lexically below
+        bs_any = mbs or mbsu
+        bscond = bs_any.group("cond") if bs_any else None
 
         target = self.repo.read_table(
             self.spark, name, ref=self.branch, include_staged=True
         )
+        resolved = {f.name.lower(): f.name for f in target.schema.fields}
+
+        def _parse_assigns(sets_text: str) -> dict[str, str]:
+            out: dict[str, str] = {}
+            for part in _split_top_level(sets_text):
+                am = _MERGE_ASSIGN_RE.match(part)
+                if not am:
+                    raise ValueError(f"cannot parse SET assignment: {part!r}")
+                col = am.group("col").strip("`")
+                qual = re.match(
+                    rf"^{re.escape(ta)}\s*\.\s*(.+)$", col, re.IGNORECASE
+                )
+                if qual:
+                    col = qual.group(1).strip("`")
+                if col.lower() not in resolved:
+                    raise KeyError(f"MERGE {name!r}: no column {col!r}")
+                out[resolved[col.lower()]] = am.group("expr").strip()
+            return out
+
         # SET assignments parse up front (the deletion-vector route needs
         # them before any view exists); a typo'd SET column raises here
         # regardless of which execution path runs
@@ -722,29 +755,35 @@ class LakeSQL:
             if sets_text == "*":
                 assigns = {f.name: f"{sa}.`{f.name}`" for f in target.schema.fields}
             else:
-                assigns = {}
-                resolved = {f.name.lower(): f.name for f in target.schema.fields}
-                for part in _split_top_level(sets_text):
-                    am = _MERGE_ASSIGN_RE.match(part)
-                    if not am:
-                        raise ValueError(f"cannot parse SET assignment: {part!r}")
-                    col = am.group("col").strip("`")
-                    qual = re.match(
-                        rf"^{re.escape(ta)}\s*\.\s*(.+)$", col, re.IGNORECASE
-                    )
-                    if qual:
-                        col = qual.group(1).strip("`")
-                    if col.lower() not in resolved:
-                        raise KeyError(f"MERGE {name!r}: no column {col!r}")
-                    assigns[resolved[col.lower()]] = am.group("expr").strip()
+                assigns = _parse_assigns(sets_text)
+        bs_assigns: dict[str, str] | None = None
+        if mbsu:
+            sets_text = mbsu.group("sets").strip()
+            if sets_text == "*":
+                raise ValueError(
+                    "MERGE BY SOURCE UPDATE: SET * needs a source row — "
+                    "name target columns explicitly"
+                )
+            bs_assigns = _parse_assigns(sets_text)
+        for txt in [bscond, *(bs_assigns.values() if bs_assigns else ())]:
+            if txt and re.search(
+                rf"\b{re.escape(sa)}\s*\.", txt, re.IGNORECASE
+            ):
+                raise ValueError(
+                    f"MERGE BY SOURCE clauses see TARGET columns only "
+                    f"(the row has no source match) — found a reference "
+                    f"to {sa!r} in {txt!r}"
+                )
         if (
             self.dv_writes
-            # only the SET expressions and the matched-clause condition
-            # can smuggle a subquery — the ON condition is already
+            # only the SET expressions and the clause conditions can
+            # smuggle a subquery — the ON condition is already
             # constrained to alias.col equality pairs and the USING
             # source was rewriter-resolved above
             and self._dv_routable(
-                mcond, bscond, icond, *(assigns.values() if assigns else ())
+                mcond, bscond, icond,
+                *(assigns.values() if assigns else ()),
+                *(bs_assigns.values() if bs_assigns else ()),
             )
             # generated columns recompute on read; the rewrite path owns
             # that discipline — decline rather than risk storing them
@@ -759,6 +798,7 @@ class LakeSQL:
                     delete=md is not None, assigns=assigns,
                     insert=mi is not None, mcond=mcond, icond=icond,
                     by_source=mbs is not None, bscond=bscond,
+                    bs_assigns=bs_assigns,
                 ),
                 "dv_merge", "MERGE INTO",
             )
@@ -784,7 +824,7 @@ class LakeSQL:
         rows = 0
         bs_n = 0
         bs_pred = None
-        if mbs:
+        if mbs or mbsu:
             where_bs = f" WHERE ({bscond}) IS TRUE" if bscond else ""
             bs_n = self.spark.sql(
                 f"SELECT COUNT(*) AS n FROM {tview} {ta} "
@@ -794,19 +834,54 @@ class LakeSQL:
             bs_pred = f"({bscond}) IS TRUE" if bscond else "TRUE"
         parts: list[str] = []
         marker_raw = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+
+        def _proj(matched_assigns, upd_marker, bs_in_scope=True):
+            """CASE projection: matched assigns under ``upd_marker``,
+            by-source assigns (mbsu) on unmatched rows passing the
+            clause condition. ``bs_in_scope=False`` builds the anti-join
+            flavor where no source alias exists (unmatched rows only)."""
+            cols = []
+            for f in target.schema.fields:
+                branches = []
+                if matched_assigns and f.name in matched_assigns:
+                    branches.append(
+                        f"WHEN {upd_marker} THEN CAST(("
+                        f"{matched_assigns[f.name]}) AS "
+                        f"{f.dataType.simpleString()})"
+                    )
+                if bs_assigns and f.name in bs_assigns:
+                    gate = (
+                        f"(NOT {marker_raw}) AND {bs_pred}"
+                        if bs_in_scope
+                        else bs_pred
+                    )
+                    branches.append(
+                        f"WHEN {gate} THEN CAST(({bs_assigns[f.name]}) AS "
+                        f"{f.dataType.simpleString()})"
+                    )
+                if branches:
+                    cols.append(
+                        f"CASE {' '.join(branches)} ELSE {ta}.`{f.name}` "
+                        f"END AS `{f.name}`"
+                    )
+                else:
+                    cols.append(f"{ta}.`{f.name}` AS `{f.name}`")
+            return ", ".join(cols)
+
         if md:
-            if mcond or mbs:
-                # conditioned / by-source delete keeps the survivors via
+            if mcond or mbs or mbsu:
+                # conditioned / by-source variants keep the survivors via
                 # one LEFT JOIN; the dup guard (which runs for every
                 # matched action) bounds it at one source row per target
                 # row, so no fan-out
                 matched_pred = f"({mcond}) IS TRUE" if mcond else "TRUE"
                 drop = (
                     f"CASE WHEN {marker_raw} THEN {matched_pred} "
-                    f"ELSE {bs_pred or 'FALSE'} END"
+                    f"ELSE {bs_pred if mbs else 'FALSE'} END"
                 )
+                sel = _proj(None, "FALSE") if mbsu else f"{ta}.*"
                 parts.append(
-                    f"SELECT {ta}.* FROM {tview} {ta} "
+                    f"SELECT {sel} FROM {tview} {ta} "
                     f"LEFT JOIN {sview} {sa} ON {on_sql} "
                     f"WHERE NOT ({drop})"
                 )
@@ -822,22 +897,30 @@ class LakeSQL:
             else:
                 assigns = {}
             if not assigns:
-                if mbs:
-                    # by-source delete with no matched action: matched
-                    # rows all survive, unmatched survive unless the
-                    # condition fires. Semi/anti spelling — no LEFT JOIN,
-                    # so duplicate source keys can't fan target rows out
-                    # and no dup guard is needed (Delta only raises when
-                    # multiple matches would MODIFY a row)
+                if mbs or mbsu:
+                    # by-source action with no matched action: matched
+                    # rows pass through a semi join untouched, unmatched
+                    # rows delete or update through the anti join.
+                    # Semi/anti spelling — no LEFT JOIN, so duplicate
+                    # source keys can't fan target rows out and no dup
+                    # guard is needed (Delta only raises when multiple
+                    # matches would MODIFY a row)
                     parts.append(
                         f"SELECT {ta}.* FROM {tview} {ta} "
                         f"LEFT SEMI JOIN {sview} {sa} ON {on_sql}"
                     )
-                    parts.append(
-                        f"SELECT {ta}.* FROM {tview} {ta} "
-                        f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
-                        f"WHERE NOT ({bs_pred})"
-                    )
+                    if mbs:
+                        parts.append(
+                            f"SELECT {ta}.* FROM {tview} {ta} "
+                            f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
+                            f"WHERE NOT ({bs_pred})"
+                        )
+                    else:
+                        parts.append(
+                            f"SELECT {_proj(None, 'FALSE', bs_in_scope=False)} "
+                            f"FROM {tview} {ta} "
+                            f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
+                        )
                 else:
                     # insert-only merge: the target passes through
                     # untouched — no join, so duplicate source keys
@@ -847,21 +930,11 @@ class LakeSQL:
                 marker = marker_raw
                 if mcond:
                     marker = f"({marker} AND ({mcond}) IS TRUE)"
-                proj = []
-                for f in target.schema.fields:
-                    if f.name in assigns:
-                        proj.append(
-                            f"CASE WHEN {marker} THEN "
-                            f"CAST(({assigns[f.name]}) AS {f.dataType.simpleString()}) "
-                            f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
-                        )
-                    else:
-                        proj.append(f"{ta}.`{f.name}` AS `{f.name}`")
                 upd_where = (
                     f" WHERE {marker_raw} OR NOT ({bs_pred})" if mbs else ""
                 )
                 parts.append(
-                    f"SELECT {', '.join(proj)} FROM {tview} {ta} "
+                    f"SELECT {_proj(assigns, marker)} FROM {tview} {ta} "
                     f"LEFT JOIN {sview} {sa} ON {on_sql}{upd_where}"
                 )
         if mi:
@@ -1453,6 +1526,7 @@ class LakeSQL:
         icond: str | None = None,
         by_source: bool = False,
         bscond: str | None = None,
+        bs_assigns: dict[str, str] | None = None,
     ):
         """Deletion-vector MERGE executor (Delta's DV-enabled MERGE):
         WHEN-MATCHED rows become (file, pos) vector positions — plus,
@@ -1498,14 +1572,29 @@ class LakeSQL:
         n_ins = 0
         n_bs = 0
         try:
-            if by_source:
-                # NOT MATCHED BY SOURCE DELETE: unmatched target rows'
-                # positions go straight to the vector — an anti-join
-                # can't fan out, so no dup guard is needed for it
+            if by_source or bs_assigns is not None:
+                # NOT MATCHED BY SOURCE DELETE/UPDATE: unmatched target
+                # rows' positions go to the vector (UPDATE also appends
+                # their rewritten images, computed from TARGET columns
+                # only — the anti join has no source alias in scope) —
+                # an anti-join can't fan out, so no dup guard here
                 where_bs = f" WHERE ({bscond}) IS TRUE" if bscond else ""
+                bs_cols = [
+                    f"{ta}.`__lg_fp` AS __lg_fp",
+                    f"{ta}.`__lg_ri` AS __lg_ri",
+                ]
+                if bs_assigns is not None:
+                    for c in stored:
+                        if c in bs_assigns:
+                            bs_cols.append(
+                                f"CAST(({bs_assigns[c]}) AS "
+                                f"{df.schema[c].dataType.simpleString()}) "
+                                f"AS `{c}`"
+                            )
+                        else:
+                            bs_cols.append(f"{ta}.`{c}` AS `{c}`")
                 bs = spark.sql(
-                    f"SELECT {ta}.`__lg_fp` AS __lg_fp, "
-                    f"{ta}.`__lg_ri` AS __lg_ri FROM {tview} {ta} "
+                    f"SELECT {', '.join(bs_cols)} FROM {tview} {ta} "
                     f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}{where_bs}"
                 ).persist()
                 n_bs = bs.count()
@@ -1561,8 +1650,11 @@ class LakeSQL:
                 if n_matched:
                     pos_src = matched.select("__lg_fp", "__lg_ri")
                 if n_bs:
+                    bs_pos = bs.select("__lg_fp", "__lg_ri")
                     pos_src = (
-                        bs if pos_src is None else pos_src.unionByName(bs)
+                        bs_pos
+                        if pos_src is None
+                        else pos_src.unionByName(bs_pos)
                     )
                 positions = pos_src.select(
                     F.expr(f"substring(__lg_fp, {len(prefix) + 1})").alias(
@@ -1577,6 +1669,12 @@ class LakeSQL:
             appended = None
             if assigns is not None and n_matched:
                 appended = matched.drop("__lg_fp", "__lg_ri")
+            if bs_assigns is not None and n_bs:
+                bs_img = bs.drop("__lg_fp", "__lg_ri")
+                appended = (
+                    bs_img if appended is None
+                    else appended.unionByName(bs_img)
+                )
             if inserts is not None and n_ins:
                 appended = (
                     inserts if appended is None

@@ -1010,17 +1010,17 @@ def test_merge_unconsumed_clauses_raise_and_cond_insert_works(spark, repo):
                 "WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN DELETE "
                 "WHEN NOT MATCHED BY SOURCE AND t.k > 6 THEN DELETE"
             )
+        # a not-matched DELETE is nonsensical (there is no target row)
         with pytest.raises(ValueError, match="unsupported"):
             sql.sql(
                 "MERGE INTO t USING s ON t.k = s.k "
                 "WHEN MATCHED THEN UPDATE SET v = s.v "
-                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
+                "WHEN NOT MATCHED THEN DELETE"
             )
-        with pytest.raises(ValueError, match="unsupported|parse"):
+        with pytest.raises(ValueError, match="unsupported"):
             sql.sql(
                 "MERGE INTO t USING s ON t.k = s.k "
-                "WHEN NOT MATCHED BY SOURCE AND t.v = 1 THEN UPDATE SET v = 0 "
-                "WHEN MATCHED THEN DELETE"
+                "WHEN MATCHED THEN UPSERT SET v = s.v"
             )
     # conditional INSERT: only source rows passing the condition insert
     stmt = (
@@ -1112,3 +1112,103 @@ def test_merge_clause_parser_hardening(spark, repo):
         "THEN UPDATE SET v = t.v + 1000"
     ).first()
     assert r2.rows_affected == 5
+
+
+@pytest.mark.parametrize(
+    "clauses, expect",
+    [
+        # bs-update only: unmatched rows flagged, matched untouched
+        (
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1",
+            lambda: sorted(
+                [(k, -1) for k in range(10)]
+                + [(k, k * 2) for k in range(10, 20)]
+            ),
+        ),
+        # conditioned bs-update
+        (
+            "WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN UPDATE SET v = 0",
+            lambda: sorted(
+                [(k, 0) for k in range(5)]
+                + [(k, k * 2) for k in range(5, 20)]
+            ),
+        ),
+        # full SCD-style sync: matched refresh, unmatched tombstone, insert
+        (
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1",
+            lambda: sorted(
+                [(k, -1) for k in range(10)]
+                + [(k, k * 9) for k in range(10, 25)]
+            ),
+        ),
+        # matched delete + bs-update
+        (
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 100",
+            lambda: sorted([(k, k * 2 + 100) for k in range(10)]),
+        ),
+    ],
+)
+def test_merge_by_source_update(spark, repo, clauses, expect):
+    """r10: WHEN NOT MATCHED BY SOURCE THEN UPDATE (the other Delta-2.4
+    sync action) — identical through the DV route (positions + images
+    append) and the rewrite route, composed with every clause shape."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(10, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 9).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    stmt = f"MERGE INTO t AS t USING s AS s ON t.k = s.k {clauses}"
+    before = set(repo.current_files("main", "t"))
+    LakeSQL(spark, repo, "main", dv_writes=True).sql(stmt)
+    LakeSQL(spark, repo, "rw", dv_writes=False).sql(stmt)
+    assert before <= set(repo.current_files("main", "t"))  # zero rewrites
+    got_dv = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "main").collect()
+    )
+    got_rw = sorted(
+        (x.k, x.v) for x in repo.read_table(spark, "t", "rw").collect()
+    )
+    assert got_dv == got_rw == expect()
+
+
+def test_merge_by_source_update_guards(spark, repo):
+    """BY-SOURCE UPDATE guard rails: SET * is rejected (no source row),
+    source-alias references in the condition or SET raise, and both
+    BY-SOURCE actions together raise."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 10))
+    repo.write_table("main", "s", _kv(spark, 5, 15))
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    with pytest.raises(ValueError, match="SET \\*"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="TARGET columns only"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(ValueError, match="TARGET columns only"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="one WHEN NOT MATCHED BY SOURCE"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
+        )
+    assert not repo.status("main")  # nothing staged by any failure
