@@ -765,15 +765,15 @@ class LakeSQL:
                     "name target columns explicitly"
                 )
             bs_assigns = _parse_assigns(sets_text)
-        for txt in [bscond, *(bs_assigns.values() if bs_assigns else ())]:
-            if txt and re.search(
-                rf"\b{re.escape(sa)}\s*\.", txt, re.IGNORECASE
-            ):
-                raise ValueError(
-                    f"MERGE BY SOURCE clauses see TARGET columns only "
-                    f"(the row has no source match) — found a reference "
-                    f"to {sa!r} in {txt!r}"
-                )
+        # BY-SOURCE conditions and SET expressions are enforced
+        # target-only BY SCOPE, not lexically: every place they evaluate
+        # (the bs_n count, the rewrite route's anti-join part, the DV
+        # route's anti-join frame) excludes the source alias, so a
+        # source reference — however quoted — is a loud analysis error
+        # on every route, and an unqualified name shared with the source
+        # is never ambiguous (review r10 #5: the lexical guard had both
+        # false negatives via backticks and false positives via string
+        # literals)
         if (
             self.dv_writes
             # only the SET expressions and the clause conditions can
@@ -834,56 +834,64 @@ class LakeSQL:
             bs_pred = f"({bscond}) IS TRUE" if bscond else "TRUE"
         parts: list[str] = []
         marker_raw = f"{sa}.`{s_keys[0]}` IS NOT NULL"
+        has_bs = bool(mbs or mbsu)
 
-        def _proj(matched_assigns, upd_marker, bs_in_scope=True):
-            """CASE projection: matched assigns under ``upd_marker``,
-            by-source assigns (mbsu) on unmatched rows passing the
-            clause condition. ``bs_in_scope=False`` builds the anti-join
-            flavor where no source alias exists (unmatched rows only)."""
+        def _proj(matched_assigns, upd_marker):
+            """CASE projection over a MATCHED-rows join scope: matched
+            assigns apply under ``upd_marker``, everything else passes
+            through."""
             cols = []
             for f in target.schema.fields:
-                branches = []
                 if matched_assigns and f.name in matched_assigns:
-                    branches.append(
-                        f"WHEN {upd_marker} THEN CAST(("
-                        f"{matched_assigns[f.name]}) AS "
-                        f"{f.dataType.simpleString()})"
-                    )
-                if bs_assigns and f.name in bs_assigns:
-                    gate = (
-                        f"(NOT {marker_raw}) AND {bs_pred}"
-                        if bs_in_scope
-                        else bs_pred
-                    )
-                    branches.append(
-                        f"WHEN {gate} THEN CAST(({bs_assigns[f.name]}) AS "
-                        f"{f.dataType.simpleString()})"
-                    )
-                if branches:
                     cols.append(
-                        f"CASE {' '.join(branches)} ELSE {ta}.`{f.name}` "
-                        f"END AS `{f.name}`"
+                        f"CASE WHEN {upd_marker} THEN CAST(("
+                        f"{matched_assigns[f.name]}) AS "
+                        f"{f.dataType.simpleString()}) "
+                        f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
                     )
                 else:
                     cols.append(f"{ta}.`{f.name}` AS `{f.name}`")
             return ", ".join(cols)
 
+        def _bs_proj():
+            """CASE projection over the ANTI-JOIN scope (unmatched rows;
+            the source alias does not exist here — BY-SOURCE conditions
+            and SET expressions therefore resolve against TARGET columns
+            only, by construction, on this route exactly as on the DV
+            route and the bs_n count: a source reference is a loud
+            analysis error everywhere, a shared unqualified name is
+            never ambiguous)."""
+            cols = []
+            for f in target.schema.fields:
+                if bs_assigns and f.name in bs_assigns:
+                    cols.append(
+                        f"CASE WHEN {bs_pred} THEN CAST(("
+                        f"{bs_assigns[f.name]}) AS "
+                        f"{f.dataType.simpleString()}) "
+                        f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
+                    )
+                else:
+                    cols.append(f"{ta}.`{f.name}` AS `{f.name}`")
+            return ", ".join(cols)
+
+        # PART 1a: the matched rows' fate. With a by-source clause in
+        # play, these spellings cover MATCHED rows only (WHERE marker) —
+        # unmatched rows are handled uniformly in part 1b's anti join.
         if md:
-            if mcond or mbs or mbsu:
-                # conditioned / by-source variants keep the survivors via
-                # one LEFT JOIN; the dup guard (which runs for every
-                # matched action) bounds it at one source row per target
-                # row, so no fan-out
-                matched_pred = f"({mcond}) IS TRUE" if mcond else "TRUE"
-                drop = (
-                    f"CASE WHEN {marker_raw} THEN {matched_pred} "
-                    f"ELSE {bs_pred if mbs else 'FALSE'} END"
-                )
-                sel = _proj(None, "FALSE") if mbsu else f"{ta}.*"
+            matched_pred = f"({mcond}) IS TRUE" if mcond else "TRUE"
+            if has_bs:
+                # matched survivors only; dup guard bounds the LEFT JOIN
                 parts.append(
-                    f"SELECT {sel} FROM {tview} {ta} "
+                    f"SELECT {ta}.* FROM {tview} {ta} "
                     f"LEFT JOIN {sview} {sa} ON {on_sql} "
-                    f"WHERE NOT ({drop})"
+                    f"WHERE {marker_raw} AND NOT {matched_pred}"
+                )
+            elif mcond:
+                # matched survivors + all unmatched rows in one join
+                parts.append(
+                    f"SELECT {ta}.* FROM {tview} {ta} "
+                    f"LEFT JOIN {sview} {sa} ON {on_sql} "
+                    f"WHERE NOT ({marker_raw} AND {matched_pred})"
                 )
             else:
                 parts.append(
@@ -896,46 +904,40 @@ class LakeSQL:
                 rows += matched_n
             else:
                 assigns = {}
-            if not assigns:
-                if mbs or mbsu:
-                    # by-source action with no matched action: matched
-                    # rows pass through a semi join untouched, unmatched
-                    # rows delete or update through the anti join.
-                    # Semi/anti spelling — no LEFT JOIN, so duplicate
-                    # source keys can't fan target rows out and no dup
-                    # guard is needed (Delta only raises when multiple
-                    # matches would MODIFY a row)
-                    parts.append(
-                        f"SELECT {ta}.* FROM {tview} {ta} "
-                        f"LEFT SEMI JOIN {sview} {sa} ON {on_sql}"
-                    )
-                    if mbs:
-                        parts.append(
-                            f"SELECT {ta}.* FROM {tview} {ta} "
-                            f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
-                            f"WHERE NOT ({bs_pred})"
-                        )
-                    else:
-                        parts.append(
-                            f"SELECT {_proj(None, 'FALSE', bs_in_scope=False)} "
-                            f"FROM {tview} {ta} "
-                            f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
-                        )
-                else:
-                    # insert-only merge: the target passes through
-                    # untouched — no join, so duplicate source keys
-                    # can't fan target rows out
-                    parts.append(f"SELECT {ta}.* FROM {tview} {ta}")
-            else:
+            if assigns:
                 marker = marker_raw
                 if mcond:
                     marker = f"({marker} AND ({mcond}) IS TRUE)"
-                upd_where = (
-                    f" WHERE {marker_raw} OR NOT ({bs_pred})" if mbs else ""
-                )
+                scope = f" WHERE {marker_raw}" if has_bs else ""
                 parts.append(
                     f"SELECT {_proj(assigns, marker)} FROM {tview} {ta} "
-                    f"LEFT JOIN {sview} {sa} ON {on_sql}{upd_where}"
+                    f"LEFT JOIN {sview} {sa} ON {on_sql}{scope}"
+                )
+            elif has_bs:
+                # no matched action: matched rows pass through a semi
+                # join untouched — no LEFT JOIN, so duplicate source
+                # keys can't fan target rows out and no dup guard is
+                # needed (Delta only raises when multiple matches would
+                # MODIFY a row)
+                parts.append(
+                    f"SELECT {ta}.* FROM {tview} {ta} "
+                    f"LEFT SEMI JOIN {sview} {sa} ON {on_sql}"
+                )
+            else:
+                # insert-only merge: the target passes through untouched
+                parts.append(f"SELECT {ta}.* FROM {tview} {ta}")
+        # PART 1b: the unmatched rows' fate, always in anti-join scope
+        if has_bs:
+            if mbs:
+                parts.append(
+                    f"SELECT {ta}.* FROM {tview} {ta} "
+                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
+                    f"WHERE NOT ({bs_pred})"
+                )
+            else:
+                parts.append(
+                    f"SELECT {_bs_proj()} FROM {tview} {ta} "
+                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
                 )
         if mi:
             missing = [

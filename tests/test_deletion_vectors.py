@@ -1195,16 +1195,31 @@ def test_merge_by_source_update_guards(spark, repo):
             "MERGE INTO t USING s ON t.k = s.k "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
-    with pytest.raises(ValueError, match="TARGET columns only"):
-        sql.sql(
-            "MERGE INTO t USING s ON t.k = s.k "
-            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"
-        )
-    with pytest.raises(ValueError, match="TARGET columns only"):
-        sql.sql(
-            "MERGE INTO t USING s ON t.k = s.k "
-            "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE"
-        )
+    # source references are excluded BY SCOPE (the anti join has no
+    # source alias), so any spelling — plain, backticked — fails loudly
+    # on every route instead of silently reading NULLs
+    for bad in (
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v",
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = `s`.`v`",
+        "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE",
+    ):
+        with pytest.raises(Exception, match="resolve|RESOLUTION|RESOLVED"):
+            sql.sql(f"MERGE INTO t USING s ON t.k = s.k {bad}")
+        repo.reset("main")
+    # ...while a string literal CONTAINING the alias-dot text is fine,
+    # and an unqualified column shared with the source resolves to the
+    # TARGET in by-source scope on both routes
+    repo.alter_add_column(spark, "main", "t", "note", "string")
+    r = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND v < 4 THEN UPDATE "
+        "SET note = 'obsolete, see s. 4'"
+    ).first()
+    assert r.rows_affected == 2  # k=0,1 (v=0,2)
+    got = {
+        x.k: x.note for x in repo.read_table(spark, "t", "main").collect()
+    }
+    assert got[0] == "obsolete, see s. 4" and got[4] is None
     with pytest.raises(ValueError, match="one WHEN NOT MATCHED BY SOURCE"):
         sql.sql(
             "MERGE INTO t USING s ON t.k = s.k "
