@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+import warnings
 from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,6 +94,15 @@ class LakeRepo:
         #: retire on explicit purge_deletion_vectors / OPTIMIZE /
         #: overwrite.
         self.dv_materialize_fraction: float | None = None
+        #: breadcrumbs from the last auto-materialization attempt (the
+        #: trailing best-effort purge after a DV DML when
+        #: ``dv_materialize_fraction`` is set): the swallowed exception,
+        #: if any, and the trailing data_change=false commit, if one
+        #: landed — so callers can both observe a persistently failing
+        #: auto-purge and learn the actual branch head (the DML methods
+        #: return the DML commit; see their docstrings).
+        self.last_maintenance_error: Exception | None = None
+        self.last_maintenance_commit: "Commit | None" = None
 
     # -- paths -------------------------------------------------------------
     @property
@@ -1390,7 +1400,13 @@ class LakeRepo:
         DV append). ALTERed tables work: ``cond`` binds the LOGICAL
         schema via the same rename-replay the read path uses — the
         lineage columns ride through the replay untouched, so the
-        recorded (file, pos) pairs stay physical."""
+        recorded (file, pos) pairs stay physical.
+
+        Returns the DML commit. When ``dv_materialize_fraction`` is
+        set, a trailing data_change=false rearrangement commit may land
+        AFTER it (see ``_maybe_materialize_dv``), so the returned
+        version can be one behind ``head()`` — the trailing commit, if
+        any, is in ``last_maintenance_commit``."""
         if self._is_dirty(self._read_ref(branch)):
             raise DirtyBranchError(
                 f"delete_where_dv on {branch}: uncommitted staged changes "
@@ -1458,7 +1474,12 @@ class LakeRepo:
         The CDC feed needs no new machinery: the commit is a vector
         append (delete rows at exactly the updated positions) plus a
         file addition (insert rows of the new images) — the standard
-        delete+insert change pair. Requires a clean branch."""
+        delete+insert change pair. Requires a clean branch.
+
+        Returns the DML commit; under ``dv_materialize_fraction`` a
+        trailing data_change=false commit may follow it (recorded in
+        ``last_maintenance_commit``), so compare against that rather
+        than expecting the returned version to equal ``head()``."""
         if self._is_dirty(self._read_ref(branch)):
             raise DirtyBranchError(
                 f"update_where_dv on {branch}: uncommitted staged changes "
@@ -1696,16 +1717,42 @@ class LakeRepo:
         """Best-effort auto-materialization after a DV DML commit: when
         ``dv_materialize_fraction`` is set on this repo, over-threshold
         files compact in a trailing data_change=false commit so a hot
-        table's vector cannot grow without bound. Failures reset the
-        branch and are swallowed — the DML commit already landed;
-        compaction is advisory (Delta's auto-compaction posture)."""
+        table's vector cannot grow without bound. Failures are swallowed
+        — the DML commit already landed; compaction is advisory (Delta's
+        auto-compaction posture) — but OBSERVABLY: a ``RuntimeWarning``
+        fires and the exception lands in ``last_maintenance_error``, so
+        a persistently failing auto-purge cannot silently regress a hot
+        table to unbounded vectors. ``DirtyBranchError`` comes from
+        purge's clean-branch gate, which runs BEFORE anything is staged
+        — it must NOT reset (that would discard whatever a CONCURRENT
+        writer had just staged on the branch; mirrors ``_try_dv_dml``'s
+        discipline). For other failures the branch was clean when purge
+        began and ``_commit_rearrangement`` already resets its own
+        staging, so the extra reset here is a harmless backstop.
+        The trailing commit, when one lands, is recorded in
+        ``last_maintenance_commit``."""
         if self.dv_materialize_fraction is None:
             return
+        self.last_maintenance_error = None
+        self.last_maintenance_commit = None
+        before = self._read_ref(branch).get("head")
         try:
-            self.purge_deletion_vectors(
+            c = self.purge_deletion_vectors(
                 spark, branch, table, min_fraction=self.dv_materialize_fraction
             )
-        except Exception:
+            if c.id != before:
+                self.last_maintenance_commit = c
+        except DirtyBranchError as e:
+            self.last_maintenance_error = e
+            warnings.warn(
+                f"auto-materialize of {table!r} skipped (branch busy): {e}",
+                RuntimeWarning,
+            )
+        except Exception as e:
+            self.last_maintenance_error = e
+            warnings.warn(
+                f"auto-materialize of {table!r} failed: {e}", RuntimeWarning
+            )
             try:
                 self.reset(branch)
             except Exception:

@@ -252,14 +252,22 @@ _MERGE_ON_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 # MERGE clauses are split at top-level `WHEN [NOT] MATCHED` boundaries
-# (string literals masked first; a `CASE WHEN <expr>` inside a clause
-# condition is never a boundary because no expression follows WHEN with
-# the MATCHED keyword) and each segment must then FULLY match exactly
-# one anchored pattern — trailing garbage, a duplicate clause, or an
-# unsupported clause shape raises instead of silently changing
-# semantics (both review-found failure modes of lazier spellings).
+# (string literals masked first) and each segment must then FULLY match
+# exactly one anchored pattern — trailing garbage or an unsupported
+# clause shape raises instead of silently changing semantics (both
+# review-found failure modes of lazier spellings). The lookahead
+# disarms most `CASE WHEN matched ...` expressions over a column
+# literally named "matched": a boundary must be followed by AND, by
+# BY SOURCE, or by THEN + a merge ACTION keyword, so `WHEN matched
+# THEN 1` is not a boundary. Residual limitation (documented): `CASE
+# WHEN matched AND ...` still splits — the segment then fails the
+# anchored fullmatch and the statement is rejected LOUDLY with
+# "unsupported clause" (never a silent semantic change); backtick the
+# column or alias it to sidestep.
 _CLAUSE_BOUNDARY_RE = re.compile(
-    r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE
+    r"\bWHEN\s+(?:NOT\s+)?MATCHED\b"
+    r"(?=\s+(?:BY\s+SOURCE\b|AND\b|THEN\s+(?:UPDATE|DELETE|INSERT)\b))",
+    re.IGNORECASE,
 )
 _WHEN_MATCHED_UPDATE_RE = re.compile(
     r"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+UPDATE\s+SET\s+"
@@ -299,7 +307,10 @@ def _split_merge_clauses(clauses: str) -> list[str]:
     masked = _LITERAL_RE.sub(mask, clauses)
     starts = [m.start() for m in _CLAUSE_BOUNDARY_RE.finditer(masked)]
     if not starts or masked[: starts[0]].strip():
-        raise ValueError(f"no recognized MERGE clause in {clauses!r}")
+        raise ValueError(
+            f"MERGE: unsupported clause text (no recognized WHEN "
+            f"[NOT] MATCHED boundary) in {clauses!r}"
+        )
     segs = []
     for a, b in zip(starts, starts[1:] + [len(masked)]):
         seg = _MASK_RE.sub(lambda m: literals[int(m.group(1))], masked[a:b])
@@ -1543,7 +1554,10 @@ class LakeSQL:
         Called through ``_try_dv_dml`` so the fallback discipline (clean
         branch required, reset on failure, ValueError surfaces, no-op
         still lands a version) is shared with DELETE/UPDATE routing.
-        Returns the unchanged head for a no-op."""
+        Returns the unchanged head for a no-op. Like the other DV DML
+        paths, returns the DML commit itself — under
+        ``dv_materialize_fraction`` a trailing data_change=false commit
+        may follow (``repo.last_maintenance_commit``)."""
         repo, spark, branch = self.repo, self.spark, self.branch
         if repo._is_dirty(repo._read_ref(branch)):
             raise DirtyBranchError(

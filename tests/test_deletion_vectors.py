@@ -1227,3 +1227,102 @@ def test_merge_by_source_update_guards(spark, repo):
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
         )
     assert not repo.status("main")  # nothing staged by any failure
+
+
+def test_dv_auto_materialize_failure_is_observable(spark, repo, monkeypatch):
+    """ADVICE r10 + verdict #5: a failing auto-purge must warn and leave
+    a breadcrumb (``last_maintenance_error``) — never silently regress a
+    hot table to unbounded vectors — while the DML commit itself is
+    unaffected."""
+    repo.dv_materialize_fraction = 0.1
+    repo.write_table("main", "t", _kv(spark, 0, 40).repartition(1))
+    repo.commit("main", "v1")
+    boom = RuntimeError("injected purge failure")
+
+    def failing_purge(self, *a, **k):
+        raise boom
+
+    monkeypatch.setattr(LakeRepo, "purge_deletion_vectors", failing_purge)
+    with pytest.warns(RuntimeWarning, match="auto-materialize.*failed"):
+        c = repo.delete_where_dv(spark, "main", "t", "k < 5")
+    assert repo.last_maintenance_error is boom
+    assert repo.last_maintenance_commit is None
+    assert repo.head("main").id == c.id  # the DML landed, nothing after
+    got = sorted(r.k for r in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(5, 40))
+
+
+def test_dv_auto_materialize_dirty_skip_preserves_concurrent_staging(
+    spark, repo, monkeypatch
+):
+    """ADVICE r10: DirtyBranchError comes from purge's clean-branch gate
+    BEFORE purge stages anything — the auto-materialize hook must NOT
+    reset then, or it discards what a CONCURRENT writer just staged."""
+    repo.dv_materialize_fraction = 0.1
+    repo.write_table("main", "t", _kv(spark, 0, 40).repartition(1))
+    repo.commit("main", "v1")
+    orig = LakeRepo.purge_deletion_vectors
+
+    def racing_purge(self, *a, **k):
+        # a concurrent writer stages between the DML commit and the
+        # trailing auto-purge; the gate must skip WITHOUT resetting
+        self.write_table("main", "other", _kv(spark, 0, 3))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(LakeRepo, "purge_deletion_vectors", racing_purge)
+    with pytest.warns(RuntimeWarning, match="skipped"):
+        repo.delete_where_dv(spark, "main", "t", "k < 5")
+    assert isinstance(repo.last_maintenance_error, DirtyBranchError)
+    # the concurrent writer's staging SURVIVED the skipped purge
+    assert "other" in repo.status("main")
+
+
+def test_dv_auto_materialize_records_trailing_commit(spark, repo):
+    """ADVICE r10: the DML methods return the DML commit; when the
+    trailing rearrangement lands, it is observable via
+    ``last_maintenance_commit`` (and is one version past the DML)."""
+    repo.dv_materialize_fraction = 0.1
+    repo.write_table("main", "t", _kv(spark, 0, 40).repartition(1))
+    repo.commit("main", "v1")
+    c = repo.delete_where_dv(spark, "main", "t", "k < 30")
+    trail = repo.last_maintenance_commit
+    assert trail is not None and trail.version == c.version + 1
+    assert repo.head("main").id == trail.id
+    assert trail.meta.get("data_change") is False
+    # a DML whose trailing purge is a no-op records no trailing commit
+    repo.dv_materialize_fraction = 0.99
+    repo.delete_where_dv(spark, "main", "t", "k = 31")
+    assert repo.last_maintenance_commit is None
+    assert repo.last_maintenance_error is None
+
+
+def test_merge_set_case_when_over_matched_named_column(spark, repo):
+    """ADVICE r10: a column literally named 'matched' inside a SET CASE
+    expression must not split the clause — the boundary regex requires
+    AND / BY SOURCE / THEN+action after WHEN MATCHED."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table(
+        "main", "t",
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2 == 0).alias("matched"),
+            F.lit(0).cast("int").alias("f"),
+        ),
+    )
+    repo.write_table(
+        "main", "s", spark.range(5, 15).select(F.col("id").alias("k"))
+    )
+    repo.commit("main", "base")
+    for dv in (True, False):
+        sql = LakeSQL(spark, repo, "main", dv_writes=dv)
+        r = sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET "
+            "f = CASE WHEN matched THEN 1 ELSE 0 END"
+        ).first()
+        assert r.rows_affected == 5
+        got = {x.k: x.f for x in repo.read_table(spark, "t", "main").collect()}
+        assert got == {k: (1 if k >= 5 and k % 2 == 0 else 0) for k in range(10)}
+        # reset the acted-on values for the second route's pass
+        sql.sql("UPDATE t SET f = 0")
