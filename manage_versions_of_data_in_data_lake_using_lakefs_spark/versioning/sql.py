@@ -279,7 +279,9 @@ _WHEN_MATCHED_DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NOT_MATCHED_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+INSERT\s+\*\s*$",
+    r"WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+INSERT\s+"
+    r"(?:(?P<star>\*)|\(\s*(?P<cols>[^)]+?)\s*\)\s*VALUES\s*\("
+    r"(?P<vals>.+)\))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NOT_MATCHED_BY_SOURCE_RE = re.compile(
@@ -402,6 +404,22 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [_MASK_RE.sub(lambda m: literals[int(m.group(1))], p).strip() for p in parts]
+
+
+def _first_match_sel(conds: list[str | None]) -> str:
+    """First-match-wins 1-based clause selector over ordered MERGE
+    clause conditions (Delta's multi-clause rule: clauses of a kind are
+    evaluated in order; the first whose condition passes acts on the
+    row). Yields the 1-based index of the first TRUE condition (an
+    unconditional clause always matches) or 0 when none does. Shared by
+    the rewrite and DV routes so clause selection can never diverge."""
+    whens = " ".join(
+        f"WHEN TRUE THEN {i + 1}"
+        if c is None
+        else f"WHEN ({c}) IS TRUE THEN {i + 1}"
+        for i, c in enumerate(conds)
+    )
+    return f"CASE {whens} ELSE 0 END"
 
 
 class LakeSQL:
@@ -690,50 +708,58 @@ class LakeSQL:
                     f"MERGE ON term {part.strip()!r} must relate "
                     f"{ta!r} and {sa!r}"
                 )
-        slots: dict[str, re.Match | None] = {
-            "mu": None, "md": None, "mi": None, "mbs": None, "mbsu": None,
-        }
+        # Clauses collect IN ORDER per kind (Delta r11 semantics: several
+        # clauses of a kind are legal, evaluated in order — the FIRST
+        # clause whose condition passes acts on the row; every clause
+        # except the last of its kind must carry a condition, or the
+        # unconditional earlier clause would shadow the rest).
+        m_raw: list[tuple[str | None, str, re.Match]] = []   # matched
+        i_raw: list[tuple[str | None, re.Match]] = []        # not matched
+        bs_raw: list[tuple[str | None, str, re.Match]] = []  # by source
         for seg in _split_merge_clauses(clauses):
-            for slot, rx in (
-                ("mbs", _WHEN_NOT_MATCHED_BY_SOURCE_RE),
-                ("mbsu", _WHEN_NOT_MATCHED_BY_SOURCE_UPD_RE),
+            for kind, rx in (
+                ("bsd", _WHEN_NOT_MATCHED_BY_SOURCE_RE),
+                ("bsu", _WHEN_NOT_MATCHED_BY_SOURCE_UPD_RE),
                 ("mu", _WHEN_MATCHED_UPDATE_RE),
                 ("md", _WHEN_MATCHED_DELETE_RE),
                 ("mi", _WHEN_NOT_MATCHED_RE),
             ):
                 m = rx.fullmatch(seg)
                 if m:
-                    if slots[slot] is not None:
-                        raise ValueError(f"MERGE: duplicate clause {seg!r}")
-                    slots[slot] = m
+                    cond = m.group("cond")
+                    if kind in ("mu", "md"):
+                        m_raw.append(
+                            (cond, "update" if kind == "mu" else "delete", m)
+                        )
+                    elif kind == "mi":
+                        i_raw.append((cond, m))
+                    else:
+                        bs_raw.append(
+                            (cond, "update" if kind == "bsu" else "delete", m)
+                        )
                     break
             else:
                 raise ValueError(
-                    f"MERGE: unsupported clause {seg!r} — supported: one "
-                    f"WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE, one "
-                    f"WHEN NOT MATCHED [AND c] THEN INSERT *, one WHEN "
-                    f"NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET "
-                    f"...|DELETE"
+                    f"MERGE: unsupported clause {seg!r} — supported: WHEN "
+                    f"MATCHED [AND c] THEN UPDATE SET ...|DELETE, WHEN NOT "
+                    f"MATCHED [AND c] THEN INSERT *|(cols) VALUES (...), "
+                    f"WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET "
+                    f"...|DELETE — several of a kind allowed, evaluated "
+                    f"in order"
                 )
-        mu, md, mi = slots["mu"], slots["md"], slots["mi"]
-        mbs, mbsu = slots["mbs"], slots["mbsu"]
-        if mu and md:
-            raise ValueError("MERGE supports one WHEN MATCHED action")
-        if mbs and mbsu:
-            raise ValueError(
-                "MERGE supports one WHEN NOT MATCHED BY SOURCE action"
-            )
-        # Delta's conditional matched clause: WHEN MATCHED AND <cond> —
-        # matched rows failing the condition pass through untouched
-        mcond = (mu and mu.group("cond")) or (md and md.group("cond")) or None
-        # conditional insert: only source rows passing <cond> insert
-        icond = mi.group("cond") if mi else None
-        # Delta 2.4's sync clauses: WHEN NOT MATCHED BY SOURCE [AND c]
-        # THEN DELETE | UPDATE SET ... — target rows with no source
-        # match; condition and SET expressions see TARGET columns only
-        # (the row has no source match), enforced lexically below
-        bs_any = mbs or mbsu
-        bscond = bs_any.group("cond") if bs_any else None
+        for label, entries in (
+            ("WHEN MATCHED", [c for c, _a, _m in m_raw]),
+            ("WHEN NOT MATCHED", [c for c, _m in i_raw]),
+            ("WHEN NOT MATCHED BY SOURCE", [c for c, _a, _m in bs_raw]),
+        ):
+            for cond in entries[:-1]:
+                if cond is None:
+                    raise ValueError(
+                        f"MERGE: with multiple {label} clauses, all but "
+                        f"the last must have a condition (Delta's ordered-"
+                        f"evaluation rule — an unconditional earlier "
+                        f"clause would shadow the rest)"
+                    )
 
         target = self.repo.read_table(
             self.spark, name, ref=self.branch, include_staged=True
@@ -757,45 +783,110 @@ class LakeSQL:
                 out[resolved[col.lower()]] = am.group("expr").strip()
             return out
 
-        # SET assignments parse up front (the deletion-vector route needs
-        # them before any view exists); a typo'd SET column raises here
-        # regardless of which execution path runs
-        assigns: dict[str, str] | None = None
-        if mu:
-            sets_text = mu.group("sets").strip()
-            if sets_text == "*":
-                assigns = {f.name: f"{sa}.`{f.name}`" for f in target.schema.fields}
+        # SET assignments and INSERT column lists parse up front (the
+        # deletion-vector route needs them before any view exists); a
+        # typo'd SET/INSERT column raises here regardless of which
+        # execution path runs. Clause lists carry (cond, action,
+        # col->expr) in statement order.
+        m_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
+        for cond, action, m in m_raw:
+            if action == "update":
+                sets_text = m.group("sets").strip()
+                if sets_text == "*":
+                    assigns = {
+                        f.name: f"{sa}.`{f.name}`"
+                        for f in target.schema.fields
+                    }
+                else:
+                    assigns = _parse_assigns(sets_text)
+                m_clauses.append((cond, "update", assigns))
             else:
-                assigns = _parse_assigns(sets_text)
-        bs_assigns: dict[str, str] | None = None
-        if mbsu:
-            sets_text = mbsu.group("sets").strip()
-            if sets_text == "*":
-                raise ValueError(
-                    "MERGE BY SOURCE UPDATE: SET * needs a source row — "
-                    "name target columns explicitly"
-                )
-            bs_assigns = _parse_assigns(sets_text)
+                m_clauses.append((cond, "delete", None))
+        bs_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
+        for cond, action, m in bs_raw:
+            if action == "update":
+                sets_text = m.group("sets").strip()
+                if sets_text == "*":
+                    raise ValueError(
+                        "MERGE BY SOURCE UPDATE: SET * needs a source row "
+                        "— name target columns explicitly"
+                    )
+                bs_clauses.append((cond, "update", _parse_assigns(sets_text)))
+            else:
+                bs_clauses.append((cond, "delete", None))
+        # insert exprs evaluate in SOURCE scope (the anti join of source
+        # against target); unnamed target columns insert as NULL
+        # (Delta's explicit-column INSERT rule)
+        i_clauses: list[tuple[str | None, dict[str, str]]] = []
+        for cond, m in i_raw:
+            if m.group("star"):
+                missing = [
+                    f.name
+                    for f in target.schema.fields
+                    if f.name not in sdf.columns
+                ]
+                if missing:
+                    raise ValueError(
+                        f"MERGE INSERT *: source lacks target columns "
+                        f"{missing}"
+                    )
+                exprs = {
+                    f.name: f"{sa}.`{f.name}`" for f in target.schema.fields
+                }
+            else:
+                cols = [
+                    c.strip() for c in _split_top_level(m.group("cols"))
+                ]
+                vals = _split_top_level(m.group("vals"))
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"MERGE INSERT: {len(cols)} columns but "
+                        f"{len(vals)} VALUES expressions"
+                    )
+                named: dict[str, str] = {}
+                for c, v in zip(cols, vals):
+                    col = c.strip("`")
+                    qual = re.match(
+                        rf"^{re.escape(ta)}\s*\.\s*(.+)$", col, re.IGNORECASE
+                    )
+                    if qual:
+                        col = qual.group(1).strip("`")
+                    if col.lower() not in resolved:
+                        raise KeyError(f"MERGE {name!r}: no column {col!r}")
+                    rc = resolved[col.lower()]
+                    if rc in named:
+                        raise ValueError(
+                            f"MERGE INSERT: duplicate column {rc!r}"
+                        )
+                    named[rc] = v
+                exprs = {
+                    f.name: named.get(f.name, "NULL")
+                    for f in target.schema.fields
+                }
+            i_clauses.append((cond, exprs))
         # BY-SOURCE conditions and SET expressions are enforced
         # target-only BY SCOPE, not lexically: every place they evaluate
-        # (the bs_n count, the rewrite route's anti-join part, the DV
-        # route's anti-join frame) excludes the source alias, so a
-        # source reference — however quoted — is a loud analysis error
-        # on every route, and an unqualified name shared with the source
-        # is never ambiguous (review r10 #5: the lexical guard had both
-        # false negatives via backticks and false positives via string
-        # literals)
+        # (the rewrite route's anti-join part, the DV route's anti-join
+        # frame) excludes the source alias, so a source reference —
+        # however quoted — is a loud analysis error on every route, and
+        # an unqualified name shared with the source is never ambiguous
+        # (review r10 #5: the lexical guard had both false negatives via
+        # backticks and false positives via string literals)
+        dv_texts: list[str | None] = []
+        for cond, _action, asg in m_clauses + bs_clauses:
+            dv_texts.append(cond)
+            if asg:
+                dv_texts.extend(asg.values())
+        for cond, exprs in i_clauses:
+            dv_texts.append(cond)
+            dv_texts.extend(exprs.values())
         if (
             self.dv_writes
-            # only the SET expressions and the clause conditions can
-            # smuggle a subquery — the ON condition is already
+            # only the SET/INSERT expressions and the clause conditions
+            # can smuggle a subquery — the ON condition is already
             # constrained to alias.col equality pairs and the USING
             # source was rewriter-resolved above
-            and self._dv_routable(
-                mcond, bscond, icond,
-                *(assigns.values() if assigns else ()),
-                *(bs_assigns.values() if bs_assigns else ()),
-            )
+            and self._dv_routable(*dv_texts)
             # generated columns recompute on read; the rewrite path owns
             # that discipline — decline rather than risk storing them
             and not self.repo._generated_names(
@@ -806,10 +897,8 @@ class LakeSQL:
                 name,
                 lambda: self._merge_dv_op(
                     name, ta, sa, sdf, t_keys, s_keys,
-                    delete=md is not None, assigns=assigns,
-                    insert=mi is not None, mcond=mcond, icond=icond,
-                    by_source=mbs is not None, bscond=bscond,
-                    bs_assigns=bs_assigns,
+                    m_clauses=m_clauses, i_clauses=i_clauses,
+                    bs_clauses=bs_clauses,
                 ),
                 "dv_merge", "MERGE INTO",
             )
@@ -821,160 +910,150 @@ class LakeSQL:
         on_sql = " AND ".join(
             f"{ta}.`{tk}` = {sa}.`{sk}`" for tk, sk in zip(t_keys, s_keys)
         )
-        matched_n = 0
-        if mu or md:
-            # only when a matched action exists at all; the guard stays
-            # UNconditioned (Delta errors on ambiguous matches even when
-            # the clause condition would filter one of them out)
-            self._merge_dup_guard(tview, sview, t_keys, s_keys)
-            where_c = f" WHERE ({mcond}) IS TRUE" if mcond else ""
-            matched_n = self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {tview} {ta} JOIN {sview} {sa} "
-                f"ON {on_sql}{where_c}"
-            ).collect()[0].n
-        rows = 0
-        bs_n = 0
-        bs_pred = None
-        if mbs or mbsu:
-            where_bs = f" WHERE ({bscond}) IS TRUE" if bscond else ""
-            bs_n = self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {tview} {ta} "
-                f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}{where_bs}"
-            ).collect()[0].n
-            rows += bs_n
-            bs_pred = f"({bscond}) IS TRUE" if bscond else "TRUE"
-        parts: list[str] = []
         marker_raw = f"{sa}.`{s_keys[0]}` IS NOT NULL"
-        has_bs = bool(mbs or mbsu)
+        has_bs = bool(bs_clauses)
+        tcols = [f.name for f in target.schema.fields]
+        types = {
+            f.name: f.dataType.simpleString() for f in target.schema.fields
+        }
 
-        def _proj(matched_assigns, upd_marker):
-            """CASE projection over a MATCHED-rows join scope: matched
-            assigns apply under ``upd_marker``, everything else passes
-            through."""
+        def _clause_proj(sel: str, clause_list) -> str:
+            """Per-column projection over a first-match-wins clause
+            selector: update clause i's assignment applies when the
+            selector yields i+1, everything else rides the target value
+            through (rows a DELETE clause claimed are filtered out by
+            their fate tag, so their projected values never surface)."""
             cols = []
-            for f in target.schema.fields:
-                if matched_assigns and f.name in matched_assigns:
+            for c in tcols:
+                branches = [
+                    f"WHEN {i + 1} THEN CAST(({asg[c]}) AS {types[c]})"
+                    for i, (_cond, action, asg) in enumerate(clause_list)
+                    if action == "update" and asg and c in asg
+                ]
+                if branches:
                     cols.append(
-                        f"CASE WHEN {upd_marker} THEN CAST(("
-                        f"{matched_assigns[f.name]}) AS "
-                        f"{f.dataType.simpleString()}) "
-                        f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
+                        f"CASE ({sel}) " + " ".join(branches)
+                        + f" ELSE {ta}.`{c}` END AS `{c}`"
                     )
                 else:
-                    cols.append(f"{ta}.`{f.name}` AS `{f.name}`")
+                    cols.append(f"{ta}.`{c}` AS `{c}`")
             return ", ".join(cols)
 
-        def _bs_proj():
-            """CASE projection over the ANTI-JOIN scope (unmatched rows;
-            the source alias does not exist here — BY-SOURCE conditions
-            and SET expressions therefore resolve against TARGET columns
-            only, by construction, on this route exactly as on the DV
-            route and the bs_n count: a source reference is a loud
-            analysis error everywhere, a shared unqualified name is
-            never ambiguous)."""
-            cols = []
-            for f in target.schema.fields:
-                if bs_assigns and f.name in bs_assigns:
-                    cols.append(
-                        f"CASE WHEN {bs_pred} THEN CAST(("
-                        f"{bs_assigns[f.name]}) AS "
-                        f"{f.dataType.simpleString()}) "
-                        f"ELSE {ta}.`{f.name}` END AS `{f.name}`"
-                    )
-                else:
-                    cols.append(f"{ta}.`{f.name}` AS `{f.name}`")
-            return ", ".join(cols)
-
-        # PART 1a: the matched rows' fate. With a by-source clause in
-        # play, these spellings cover MATCHED rows only (WHERE marker) —
-        # unmatched rows are handled uniformly in part 1b's anti join.
-        if md:
-            matched_pred = f"({mcond}) IS TRUE" if mcond else "TRUE"
-            if has_bs:
-                # matched survivors only; dup guard bounds the LEFT JOIN
-                parts.append(
-                    f"SELECT {ta}.* FROM {tview} {ta} "
-                    f"LEFT JOIN {sview} {sa} ON {on_sql} "
-                    f"WHERE {marker_raw} AND NOT {matched_pred}"
-                )
-            elif mcond:
-                # matched survivors + all unmatched rows in one join
-                parts.append(
-                    f"SELECT {ta}.* FROM {tview} {ta} "
-                    f"LEFT JOIN {sview} {sa} ON {on_sql} "
-                    f"WHERE NOT ({marker_raw} AND {matched_pred})"
-                )
-            else:
-                parts.append(
-                    f"SELECT {ta}.* FROM {tview} {ta} "
-                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
-                )
-            rows += matched_n
-        else:
-            if mu:
-                rows += matched_n
-            else:
-                assigns = {}
-            if assigns:
-                marker = marker_raw
-                if mcond:
-                    marker = f"({marker} AND ({mcond}) IS TRUE)"
-                scope = f" WHERE {marker_raw}" if has_bs else ""
-                parts.append(
-                    f"SELECT {_proj(assigns, marker)} FROM {tview} {ta} "
-                    f"LEFT JOIN {sview} {sa} ON {on_sql}{scope}"
-                )
-            elif has_bs:
-                # no matched action: matched rows pass through a semi
-                # join untouched — no LEFT JOIN, so duplicate source
-                # keys can't fan target rows out and no dup guard is
-                # needed (Delta only raises when multiple matches would
-                # MODIFY a row)
-                parts.append(
-                    f"SELECT {ta}.* FROM {tview} {ta} "
-                    f"LEFT SEMI JOIN {sview} {sa} ON {on_sql}"
-                )
-            else:
-                # insert-only merge: the target passes through untouched
-                parts.append(f"SELECT {ta}.* FROM {tview} {ta}")
-        # PART 1b: the unmatched rows' fate, always in anti-join scope
-        if has_bs:
-            if mbs:
-                parts.append(
-                    f"SELECT {ta}.* FROM {tview} {ta} "
-                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
-                    f"WHERE NOT ({bs_pred})"
-                )
-            else:
-                parts.append(
-                    f"SELECT {_bs_proj()} FROM {tview} {ta} "
-                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
-                )
-        if mi:
-            missing = [
-                f.name for f in target.schema.fields if f.name not in sdf.columns
+        def _fate(sel: str, clause_list, del_tag: str, upd_tag: str) -> str:
+            """Row-fate tag from the clause selector: 'pass' when no
+            clause claimed the row, the delete tag when a DELETE clause
+            did, else the update tag. The tagged union is counted ONCE
+            (one groupBy over the persisted frame) instead of the three
+            eager COUNT jobs the r10 route ran — each of which re-ran
+            the join against the source."""
+            del_idx = [
+                str(i + 1)
+                for i, (_c, action, _a) in enumerate(clause_list)
+                if action == "delete"
             ]
-            if missing:
-                raise ValueError(
-                    f"MERGE INSERT *: source lacks target columns {missing}"
-                )
-            ins_proj = ", ".join(
-                f"CAST({sa}.`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
-                for f in target.schema.fields
+            del_branch = (
+                f"WHEN ({sel}) IN ({', '.join(del_idx)}) THEN '{del_tag}' "
+                if del_idx
+                else ""
             )
-            where_i = f" WHERE ({icond}) IS TRUE" if icond else ""
+            return (
+                f"CASE WHEN ({sel}) = 0 THEN 'pass' "
+                + del_branch
+                + f"ELSE '{upd_tag}' END"
+            )
+
+        passthrough = ", ".join(f"{ta}.`{c}` AS `{c}`" for c in tcols)
+        parts: list[str] = []
+        # PART 1a: the matched rows' fate. With a by-source clause in
+        # play, this covers MATCHED rows only (WHERE marker) — unmatched
+        # rows are handled uniformly in part 1b's anti join. Without one,
+        # unmatched target rows ride through the same LEFT JOIN with
+        # selector 0 ('pass').
+        if m_clauses:
+            # the guard stays UNconditioned (Delta errors on ambiguous
+            # matches even when the clause conditions would filter one
+            # of them out); it also bounds the LEFT JOIN's fan-out
+            self._merge_dup_guard(tview, sview, t_keys, s_keys)
+            msel = _first_match_sel([c for c, _a, _x in m_clauses])
+            mcl = f"CASE WHEN {marker_raw} THEN ({msel}) ELSE 0 END"
+            scope = f" WHERE {marker_raw}" if has_bs else ""
             parts.append(
-                f"SELECT {ins_proj} FROM {sview} {sa} "
-                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}{where_i}"
+                f"SELECT {_clause_proj(mcl, m_clauses)}, "
+                f"{_fate(mcl, m_clauses, 'del', 'upd')} AS __lg_fate "
+                f"FROM {tview} {ta} LEFT JOIN {sview} {sa} "
+                f"ON {on_sql}{scope}"
             )
-            rows += self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {sview} {sa} "
-                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}{where_i}"
-            ).collect()[0].n
-        merged = self.spark.sql(" UNION ALL ".join(f"({p})" for p in parts))
-        self.repo.write_table(self.branch, name, merged, mode="overwrite")
+        elif has_bs:
+            # no matched action: matched rows pass through a semi join
+            # untouched — no LEFT JOIN, so duplicate source keys can't
+            # fan target rows out and no dup guard is needed (Delta only
+            # raises when multiple matches would MODIFY a row)
+            parts.append(
+                f"SELECT {passthrough}, 'pass' AS __lg_fate "
+                f"FROM {tview} {ta} "
+                f"LEFT SEMI JOIN {sview} {sa} ON {on_sql}"
+            )
+        else:
+            # insert-only merge: the target passes through untouched
+            parts.append(
+                f"SELECT {passthrough}, 'pass' AS __lg_fate "
+                f"FROM {tview} {ta}"
+            )
+        # PART 1b: the unmatched rows' fate, always in anti-join scope —
+        # the source alias does not exist there, so BY-SOURCE conditions
+        # and SET expressions resolve against TARGET columns only, by
+        # construction, exactly as on the DV route: a source reference
+        # is a loud analysis error everywhere, a shared unqualified name
+        # is never ambiguous.
+        if has_bs:
+            bsel = _first_match_sel([c for c, _a, _x in bs_clauses])
+            parts.append(
+                f"SELECT {_clause_proj(f'({bsel})', bs_clauses)}, "
+                f"{_fate(bsel, bs_clauses, 'bsdel', 'bsupd')} AS __lg_fate "
+                f"FROM {tview} {ta} "
+                f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
+            )
+        # PART 2: inserts, in source-anti-target scope; the first insert
+        # clause whose condition passes provides the row's expressions,
+        # source rows matching no clause don't insert.
+        if i_clauses:
+            isel = _first_match_sel([c for c, _e in i_clauses])
+            icols = []
+            for c in tcols:
+                branches = " ".join(
+                    f"WHEN {i + 1} THEN CAST(({exprs[c]}) AS {types[c]})"
+                    for i, (_cond, exprs) in enumerate(i_clauses)
+                )
+                icols.append(f"CASE ({isel}) {branches} END AS `{c}`")
+            parts.append(
+                f"SELECT {', '.join(icols)}, 'ins' AS __lg_fate "
+                f"FROM {sview} {sa} "
+                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql} "
+                f"WHERE ({isel}) > 0"
+            )
+        # ONE source-scan pass: the tagged union is persisted, counted
+        # once, and the same cached frame feeds the write — the r10
+        # route ran up to three eager COUNT jobs first, each re-running
+        # the join (the _merge_dv_op persist discipline, applied here).
+        staged = self.spark.sql(
+            " UNION ALL ".join(f"({p})" for p in parts)
+        ).persist()
+        try:
+            counts = {
+                r["__lg_fate"]: r["n"]
+                for r in staged.groupBy("__lg_fate")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            rows = sum(n for f, n in counts.items() if f != "pass")
+            merged = staged.where(
+                ~F.col("__lg_fate").isin("del", "bsdel")
+            ).drop("__lg_fate")
+            self.repo.write_table(self.branch, name, merged, mode="overwrite")
+        finally:
+            staged.unpersist(blocking=False)
         c = self.repo.commit(self.branch, f"SQL: MERGE INTO {name}")
-        return self._dml_result(name, c.version, rows)
+        return self._dml_result(name, c.version, int(rows))
 
     _SIMPLE_SELECT_RE = re.compile(
         r"^\s*SELECT\b.*?\bFROM\s+(?P<table>[A-Za-z_]\w*)"
@@ -1532,14 +1611,9 @@ class LakeSQL:
         sdf: DataFrame,
         t_keys: list[str],
         s_keys: list[str],
-        delete: bool,
-        assigns: dict[str, str] | None,
-        insert: bool,
-        mcond: str | None = None,
-        icond: str | None = None,
-        by_source: bool = False,
-        bscond: str | None = None,
-        bs_assigns: dict[str, str] | None = None,
+        m_clauses: list[tuple[str | None, str, dict[str, str] | None]],
+        i_clauses: list[tuple[str | None, dict[str, str]]],
+        bs_clauses: list[tuple[str | None, str, dict[str, str] | None]],
     ):
         """Deletion-vector MERGE executor (Delta's DV-enabled MERGE):
         WHEN-MATCHED rows become (file, pos) vector positions — plus,
@@ -1581,81 +1655,117 @@ class LakeSQL:
             f"{ta}.`{tk}` = {sa}.`{sk}`" for tk, sk in zip(t_keys, s_keys)
         )
         stored = [c for c in df.columns if not c.startswith("__lg_")]
+        types = {c: df.schema[c].dataType.simpleString() for c in stored}
+
+        def _proj_cols(sel: str, clause_list) -> list[str]:
+            # first-match-wins per-column projection (the rewrite
+            # route's _clause_proj, over the lineage read's columns);
+            # delete-claimed rows project the untouched target values,
+            # which the image filter below discards
+            cols = []
+            for c in stored:
+                branches = [
+                    f"WHEN {i + 1} THEN CAST(({asg[c]}) AS {types[c]})"
+                    for i, (_cond, action, asg) in enumerate(clause_list)
+                    if action == "update" and asg and c in asg
+                ]
+                if branches:
+                    cols.append(
+                        f"CASE ({sel}) " + " ".join(branches)
+                        + f" ELSE {ta}.`{c}` END AS `{c}`"
+                    )
+                else:
+                    cols.append(f"{ta}.`{c}` AS `{c}`")
+            return cols
+
         matched = None
         inserts = None
         bs = None
         n_matched = 0
         n_ins = 0
         n_bs = 0
+        n_m_img = 0
+        n_bs_img = 0
+        m_upd = [
+            i + 1
+            for i, (_c, action, _a) in enumerate(m_clauses)
+            if action == "update"
+        ]
+        bs_upd = [
+            i + 1
+            for i, (_c, action, _a) in enumerate(bs_clauses)
+            if action == "update"
+        ]
         try:
-            if by_source or bs_assigns is not None:
+            if bs_clauses:
                 # NOT MATCHED BY SOURCE DELETE/UPDATE: unmatched target
-                # rows' positions go to the vector (UPDATE also appends
-                # their rewritten images, computed from TARGET columns
-                # only — the anti join has no source alias in scope) —
-                # an anti-join can't fan out, so no dup guard here
-                where_bs = f" WHERE ({bscond}) IS TRUE" if bscond else ""
+                # rows claimed by a clause go to the vector (UPDATE
+                # clauses also append their rewritten images, computed
+                # from TARGET columns only — the anti join has no source
+                # alias in scope) — an anti-join can't fan out, so no
+                # dup guard here. __lg_cl records the winning clause.
+                bsel = _first_match_sel([c for c, _a, _x in bs_clauses])
                 bs_cols = [
                     f"{ta}.`__lg_fp` AS __lg_fp",
                     f"{ta}.`__lg_ri` AS __lg_ri",
+                    f"({bsel}) AS __lg_cl",
+                    *_proj_cols(f"({bsel})", bs_clauses),
                 ]
-                if bs_assigns is not None:
-                    for c in stored:
-                        if c in bs_assigns:
-                            bs_cols.append(
-                                f"CAST(({bs_assigns[c]}) AS "
-                                f"{df.schema[c].dataType.simpleString()}) "
-                                f"AS `{c}`"
-                            )
-                        else:
-                            bs_cols.append(f"{ta}.`{c}` AS `{c}`")
                 bs = spark.sql(
                     f"SELECT {', '.join(bs_cols)} FROM {tview} {ta} "
-                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}{where_bs}"
+                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
+                    f"WHERE ({bsel}) > 0"
                 ).persist()
-                n_bs = bs.count()
-            if delete or assigns is not None:
+                # per-clause counts in ONE job: the total feeds the
+                # no-op gate; the update-clause share gates the image
+                # append (all-DELETE claims must not append empty files)
+                bs_by_cl = {
+                    int(r["__lg_cl"]): int(r["n"])
+                    for r in bs.groupBy("__lg_cl")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_bs = sum(bs_by_cl.values())
+                n_bs_img = sum(bs_by_cl.get(i, 0) for i in bs_upd)
+            if m_clauses:
                 self._merge_dup_guard(tview, sview, t_keys, s_keys)
+                msel = _first_match_sel([c for c, _a, _x in m_clauses])
+                # persist: the matched frame feeds the no-op count, the
+                # position write, and (UPDATE clauses) the image write.
+                # Rows claimed by no clause keep their original images
+                # untouched (selector 0, filtered here).
                 proj = [
                     f"{ta}.`__lg_fp` AS __lg_fp",
                     f"{ta}.`__lg_ri` AS __lg_ri",
+                    f"({msel}) AS __lg_cl",
+                    *_proj_cols(f"({msel})", m_clauses),
                 ]
-                if assigns is not None:
-                    for c in stored:
-                        if c in assigns:
-                            proj.append(
-                                f"CAST(({assigns[c]}) AS "
-                                f"{df.schema[c].dataType.simpleString()}) "
-                                f"AS `{c}`"
-                            )
-                        else:
-                            proj.append(f"{ta}.`{c}` AS `{c}`")
-                # persist: the matched frame feeds the no-op count, the
-                # position write, and (UPDATE) the image write. A
-                # conditioned clause narrows it — matched rows failing
-                # the condition keep their original images untouched
-                where_c = f" WHERE ({mcond}) IS TRUE" if mcond else ""
                 matched = spark.sql(
                     f"SELECT {', '.join(proj)} FROM {tview} {ta} "
-                    f"JOIN {sview} {sa} ON {on_sql}{where_c}"
+                    f"JOIN {sview} {sa} ON {on_sql} WHERE ({msel}) > 0"
                 ).persist()
-                n_matched = matched.count()
-            if insert:
-                missing = [c for c in stored if c not in sdf.columns]
-                if missing:
-                    raise ValueError(
-                        f"MERGE INSERT *: source lacks target columns "
-                        f"{missing}"
+                m_by_cl = {
+                    int(r["__lg_cl"]): int(r["n"])
+                    for r in matched.groupBy("__lg_cl")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_matched = sum(m_by_cl.values())
+                n_m_img = sum(m_by_cl.get(i, 0) for i in m_upd)
+            if i_clauses:
+                isel = _first_match_sel([c for c, _e in i_clauses])
+                icols = []
+                for c in stored:
+                    branches = " ".join(
+                        f"WHEN {i + 1} THEN CAST(({exprs[c]}) AS "
+                        f"{types[c]})"
+                        for i, (_cond, exprs) in enumerate(i_clauses)
                     )
-                ins_proj = ", ".join(
-                    f"CAST({sa}.`{c}` AS "
-                    f"{df.schema[c].dataType.simpleString()}) AS `{c}`"
-                    for c in stored
-                )
-                where_i = f" WHERE ({icond}) IS TRUE" if icond else ""
+                    icols.append(f"CASE ({isel}) {branches} END AS `{c}`")
                 inserts = spark.sql(
-                    f"SELECT {ins_proj} FROM {sview} {sa} "
-                    f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}{where_i}"
+                    f"SELECT {', '.join(icols)} FROM {sview} {sa} "
+                    f"LEFT ANTI JOIN {tview} {ta} ON {on_sql} "
+                    f"WHERE ({isel}) > 0"
                 ).persist()
                 n_ins = inserts.count()
             if n_matched == 0 and n_ins == 0 and n_bs == 0:
@@ -1683,10 +1793,14 @@ class LakeSQL:
                     mode="append", _internal=True,
                 )
             appended = None
-            if assigns is not None and n_matched:
-                appended = matched.drop("__lg_fp", "__lg_ri")
-            if bs_assigns is not None and n_bs:
-                bs_img = bs.drop("__lg_fp", "__lg_ri")
+            if m_upd and n_m_img:
+                appended = matched.where(
+                    F.col("__lg_cl").isin(m_upd)
+                ).drop("__lg_fp", "__lg_ri", "__lg_cl")
+            if bs_upd and n_bs_img:
+                bs_img = bs.where(F.col("__lg_cl").isin(bs_upd)).drop(
+                    "__lg_fp", "__lg_ri", "__lg_cl"
+                )
                 appended = (
                     bs_img if appended is None
                     else appended.unionByName(bs_img)

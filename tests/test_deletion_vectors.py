@@ -816,6 +816,22 @@ def test_dv_purge_commit_failure_leaves_branch_clean(spark, repo, monkeypatch):
         "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
         "WHEN MATCHED THEN UPDATE SET v = s.v - 1 WHEN NOT MATCHED THEN INSERT *",
         "WHEN NOT MATCHED THEN INSERT *",
+        # r11: multiple clauses of a kind, ordered, first match wins
+        "WHEN MATCHED AND t.k % 3 = 0 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED AND t.k % 3 = 1 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = 0",
+        "WHEN MATCHED AND s.v > 150 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *",
+        # r11: explicit-column INSERT + several insert clauses
+        "WHEN NOT MATCHED AND s.k < 35 THEN INSERT (k, v) VALUES (s.k, s.v * 2) "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+        # the kitchen sink: every kind multi-clause at once
+        "WHEN MATCHED AND t.k < 25 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.k < 33 THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1",
     ],
 )
 def test_dv_merge_parity_matrix(spark, repo, clauses):
@@ -1004,11 +1020,19 @@ def test_merge_unconsumed_clauses_raise_and_cond_insert_works(spark, repo):
     repo.create_branch("rw", "main")
     for dv in (True, False):
         sql = LakeSQL(spark, repo, "main" if dv else "rw", dv_writes=dv)
-        with pytest.raises(ValueError, match="duplicate"):
+        # r11: multiple clauses of a kind are legal (ordered, first
+        # match wins) — but an unconditional clause must come LAST
+        with pytest.raises(ValueError, match="all but the last"):
             sql.sql(
                 "MERGE INTO t USING s ON t.k = s.k "
-                "WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN DELETE "
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE "
                 "WHEN NOT MATCHED BY SOURCE AND t.k > 6 THEN DELETE"
+            )
+        with pytest.raises(ValueError, match="all but the last"):
+            sql.sql(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN MATCHED AND t.k > 6 THEN UPDATE SET v = s.v"
             )
         # a not-matched DELETE is nonsensical (there is no target row)
         with pytest.raises(ValueError, match="unsupported"):
@@ -1182,8 +1206,8 @@ def test_merge_by_source_update(spark, repo, clauses, expect):
 
 def test_merge_by_source_update_guards(spark, repo):
     """BY-SOURCE UPDATE guard rails: SET * is rejected (no source row),
-    source-alias references in the condition or SET raise, and both
-    BY-SOURCE actions together raise."""
+    source-alias references in the condition or SET raise; both
+    BY-SOURCE actions together are legal ordered clauses since r11."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
 
     repo.write_table("main", "t", _kv(spark, 0, 10))
@@ -1220,13 +1244,18 @@ def test_merge_by_source_update_guards(spark, repo):
         x.k: x.note for x in repo.read_table(spark, "t", "main").collect()
     }
     assert got[0] == "obsolete, see s. 4" and got[4] is None
-    with pytest.raises(ValueError, match="one WHEN NOT MATCHED BY SOURCE"):
-        sql.sql(
-            "MERGE INTO t USING s ON t.k = s.k "
-            "WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN DELETE "
-            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
-        )
     assert not repo.status("main")  # nothing staged by any failure
+    # r11: BOTH by-source actions together are now legal as ordered
+    # clauses — first match wins: k<2 deletes, other unmatched update
+    r2 = sql.sql(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
+    ).first()
+    assert r2.rows_affected == 5  # 2 deletes (k=0,1) + 3 updates (k=2,3,4)
+    got2 = {x.k: x.v for x in repo.read_table(spark, "t", "main").collect()}
+    assert sorted(got2) == list(range(2, 10))
+    assert got2[2] == got2[4] == 0 and got2[7] == 14
 
 
 def test_dv_auto_materialize_failure_is_observable(spark, repo, monkeypatch):
@@ -1326,3 +1355,106 @@ def test_merge_set_case_when_over_matched_named_column(spark, repo):
         assert got == {k: (1 if k >= 5 and k % 2 == 0 else 0) for k in range(10)}
         # reset the acted-on values for the second route's pass
         sql.sql("UPDATE t SET f = 0")
+
+
+def test_merge_multi_clause_first_match_wins(spark, repo):
+    """r11 (verdict #1): multiple MERGE clauses of a kind are evaluated
+    in statement order — the FIRST clause whose condition passes acts on
+    the row (Delta's documented rule) — with pinned absolute values on
+    BOTH routes (parity alone could mask both routes being wrong the
+    same way)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(10, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    # ordered matched clauses: k%2=0 -> v=s.v (wins over the k<16 update
+    # for 10,12,14), k<16 -> DELETE (11,13,15), else v=-t.v (17,19 —
+    # and 16,18 take clause 1). Insert clauses: k>=25 -> v=s.v+1
+    # (25..29), else v=s.v-1 (20..24).
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND t.k % 2 = 0 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED AND t.k < 16 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = -t.v "
+        "WHEN NOT MATCHED AND s.k >= 25 THEN INSERT (k, v) VALUES (s.k, s.v + 1) "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v - 1)"
+    )
+    expect = {}
+    for k in range(20):
+        if 10 <= k < 20:  # matched
+            if k % 2 == 0:
+                expect[k] = 10 * k
+            elif k < 16:
+                continue  # deleted
+            else:
+                expect[k] = -2 * k
+        else:
+            expect[k] = 2 * k  # untouched below the match range
+    for k in range(20, 30):  # unmatched source rows insert
+        expect[k] = 10 * k + (1 if k >= 25 else -1)
+    for dv, branch in ((True, "main"), (False, "rw")):
+        r = LakeSQL(spark, repo, branch, dv_writes=dv).sql(stmt).first()
+        # 5 updates (10,12,14,16,18) + 3 deletes (11,13,15) + 2 updates
+        # (17,19) + 10 inserts = 20
+        assert r.rows_affected == 20
+        got = {
+            x.k: x.v for x in repo.read_table(spark, "t", branch).collect()
+        }
+        assert got == expect, f"route dv={dv}"
+
+
+def test_merge_insert_explicit_columns(spark, repo):
+    """r11 (verdict #7): INSERT (cols) VALUES (exprs) — named target
+    columns take the expressions (source scope), unnamed columns insert
+    NULL; count mismatches, unknown and duplicate columns raise."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table(
+        "main", "t",
+        spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.lit("keep").alias("tag"),
+        ),
+    )
+    repo.write_table("main", "s", _kv(spark, 3, 8))
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, concat('new-', s.k))"
+    )
+    for dv, branch in ((True, "main"), (False, "rw")):
+        r = LakeSQL(spark, repo, branch, dv_writes=dv).sql(stmt).first()
+        assert r.rows_affected == 3  # k = 5, 6, 7
+        got = {
+            x.k: (x.v, x.tag)
+            for x in repo.read_table(spark, "t", branch).collect()
+        }
+        assert got[6] == (None, "new-6"), f"route dv={dv}"  # v unnamed -> NULL
+        assert got[2] == (4, "keep")
+        assert len(got) == 8
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    with pytest.raises(ValueError, match="columns but"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
+        )
+    with pytest.raises(KeyError, match="no column"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (nope) VALUES (s.k)"
+        )
+    with pytest.raises(ValueError, match="duplicate column"):
+        sql.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.k)"
+        )
+    assert not repo.status("main")
