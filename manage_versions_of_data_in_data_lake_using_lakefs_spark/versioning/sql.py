@@ -412,7 +412,16 @@ def _first_match_sel(conds: list[str | None]) -> str:
     evaluated in order; the first whose condition passes acts on the
     row). Yields the 1-based index of the first TRUE condition (an
     unconditional clause always matches) or 0 when none does. Shared by
-    the rewrite and DV routes so clause selection can never diverge."""
+    the rewrite and DV routes so clause selection can never diverge.
+
+    Both routes project it exactly ONCE per row as a lateral column
+    alias ``__lg_cl`` and make every other expression (per-column
+    projections, fate tags, filters) reference the ALIAS — the clause
+    conditions are therefore evaluated once per row, so even a
+    non-deterministic condition (``rand()``) cannot pick one winning
+    clause for a row's fate and a different one for its values, and the
+    generated SQL stays O(columns + clauses), not O(columns x
+    clauses x |condition|)."""
     whens = " ".join(
         f"WHEN TRUE THEN {i + 1}"
         if c is None
@@ -420,6 +429,62 @@ def _first_match_sel(conds: list[str | None]) -> str:
         for i, c in enumerate(conds)
     )
     return f"CASE {whens} ELSE 0 END"
+
+
+def _clause_proj_cols(clause_list, cols, types, ta) -> list[str]:
+    """Per-column first-match-wins projection over the precomputed
+    ``__lg_cl`` clause index: update clause i's assignment applies when
+    the index is i+1, everything else rides the target value through
+    (rows a DELETE clause claimed are filtered out downstream, so their
+    projected values never surface). ONE definition shared by the
+    rewrite and DV routes — like ``_first_match_sel`` — so the merge
+    projection semantics can never diverge between them."""
+    out = []
+    for c in cols:
+        branches = [
+            f"WHEN {i + 1} THEN CAST(({asg[c]}) AS {types[c]})"
+            for i, (_cond, action, asg) in enumerate(clause_list)
+            if action == "update" and asg and c in asg
+        ]
+        if branches:
+            out.append(
+                "CASE (__lg_cl) " + " ".join(branches)
+                + f" ELSE {ta}.`{c}` END AS `{c}`"
+            )
+        else:
+            out.append(f"{ta}.`{c}` AS `{c}`")
+    return out
+
+
+def _insert_proj_cols(i_clauses, cols, types) -> list[str]:
+    """Per-column projection for insert clauses over ``__lg_cl`` (the
+    first NOT-MATCHED clause whose condition passed): shared by both
+    routes."""
+    out = []
+    for c in cols:
+        branches = " ".join(
+            f"WHEN {i + 1} THEN CAST(({exprs[c]}) AS {types[c]})"
+            for i, (_cond, exprs) in enumerate(i_clauses)
+        )
+        out.append(f"CASE (__lg_cl) {branches} END AS `{c}`")
+    return out
+
+
+def _fate_expr(clause_list, del_tag: str, upd_tag: str) -> str:
+    """Row-fate tag from the precomputed ``__lg_cl`` index: 'pass' when
+    no clause claimed the row, ``del_tag`` when a DELETE clause did,
+    else ``upd_tag``."""
+    del_idx = [
+        str(i + 1)
+        for i, (_c, action, _a) in enumerate(clause_list)
+        if action == "delete"
+    ]
+    del_branch = (
+        f"WHEN __lg_cl IN ({', '.join(del_idx)}) THEN '{del_tag}' "
+        if del_idx
+        else ""
+    )
+    return f"CASE WHEN __lg_cl = 0 THEN 'pass' {del_branch}ELSE '{upd_tag}' END"
 
 
 class LakeSQL:
@@ -622,25 +687,32 @@ class LakeSQL:
     ) -> DataFrame:
         """``MERGE INTO t [AS a] USING <table|(SELECT ...)> [AS b]
         ON a.k = b.k [AND ...]
-        [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]
-        [WHEN NOT MATCHED [AND cond] THEN INSERT *]
-        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...]``
-        — one clause of each kind (one BY-SOURCE action); anything left
+        [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]...
+        [WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)]...
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...]...``
+        — SEVERAL clauses of each kind are legal (Delta's full 2.4
+        grammar): they evaluate in statement order, the first clause
+        whose condition passes acts on the row, and all but the last
+        clause of a kind must carry a condition. Anything left
         unconsumed raises instead of silently changing semantics.
 
-        The Delta MERGE subset a lakehouse actually runs: equality-
-        conjunction ON, update/delete on match (optionally gated by a
-        clause condition — matched rows failing it pass through
-        untouched, Delta's semantics), insert-by-name on no match, and
-        the Delta-2.4 sync clauses deleting or updating target rows
+        The Delta MERGE surface a lakehouse actually runs: equality-
+        conjunction ON, ordered update/delete clauses on match
+        (matched rows claimed by no clause pass through untouched),
+        ordered insert clauses on no match — ``INSERT *`` by name or
+        explicit ``(cols) VALUES (exprs)`` with unnamed columns NULL —
+        and the Delta-2.4 sync clauses deleting or updating target rows
         absent from the source (condition and SET expressions see
-        target columns only, enforced). Declarative plan: one LEFT [ANTI] JOIN per branch over the
-        snapshot — with a small source the join broadcasts and the big
-        target streams through narrow (same shape as ``upsert_table``).
-        Like Delta, raises when several source rows hit the same target
-        row — checked only against source keys that actually match a
-        target row, so duplicate never-matching keys (a legal multi-row
-        insert) pass."""
+        target columns only, enforced BY SCOPE). Declarative plan: one
+        LEFT [ANTI] JOIN per branch over the snapshot — with a small
+        source the join broadcasts and the big target streams through
+        narrow (same shape as ``upsert_table``); the clause selector is
+        computed once per row as a lateral column alias and the tagged
+        union is persisted and counted in ONE pass. Like Delta, raises
+        when several source rows hit the same target row — checked only
+        against source keys that actually match a target row, so
+        duplicate never-matching keys (a legal multi-row insert)
+        pass."""
         name = self._resolve_table(table)
         ta = talias or name
         # split body = "<src> [alias] ON <cond>": a parenthesized source is
@@ -681,6 +753,16 @@ class LakeSQL:
             sdf = self.sql(f"SELECT * FROM {src_name}")
             sa = mo.group("salias") or src_name
         cond = mo.group("cond")
+        # the lateral __lg_cl clause-index alias (and the DV route's
+        # lineage columns) live in the reserved __lg_ namespace; a
+        # source column there would shadow the alias at resolution time
+        # and silently change clause selection — refuse up front
+        bad_src = [c for c in sdf.columns if c.startswith("__lg_")]
+        if bad_src:
+            raise ValueError(
+                f"MERGE source columns {bad_src} use the reserved "
+                f"__lg_ prefix — rename them in the USING subquery"
+            )
         # equality-conjunction ON, sides identified by alias
         t_keys: list[str] = []
         s_keys: list[str] = []
@@ -916,54 +998,16 @@ class LakeSQL:
         types = {
             f.name: f.dataType.simpleString() for f in target.schema.fields
         }
-
-        def _clause_proj(sel: str, clause_list) -> str:
-            """Per-column projection over a first-match-wins clause
-            selector: update clause i's assignment applies when the
-            selector yields i+1, everything else rides the target value
-            through (rows a DELETE clause claimed are filtered out by
-            their fate tag, so their projected values never surface)."""
-            cols = []
-            for c in tcols:
-                branches = [
-                    f"WHEN {i + 1} THEN CAST(({asg[c]}) AS {types[c]})"
-                    for i, (_cond, action, asg) in enumerate(clause_list)
-                    if action == "update" and asg and c in asg
-                ]
-                if branches:
-                    cols.append(
-                        f"CASE ({sel}) " + " ".join(branches)
-                        + f" ELSE {ta}.`{c}` END AS `{c}`"
-                    )
-                else:
-                    cols.append(f"{ta}.`{c}` AS `{c}`")
-            return ", ".join(cols)
-
-        def _fate(sel: str, clause_list, del_tag: str, upd_tag: str) -> str:
-            """Row-fate tag from the clause selector: 'pass' when no
-            clause claimed the row, the delete tag when a DELETE clause
-            did, else the update tag. The tagged union is counted ONCE
-            (one groupBy over the persisted frame) instead of the three
-            eager COUNT jobs the r10 route ran — each of which re-ran
-            the join against the source."""
-            del_idx = [
-                str(i + 1)
-                for i, (_c, action, _a) in enumerate(clause_list)
-                if action == "delete"
-            ]
-            del_branch = (
-                f"WHEN ({sel}) IN ({', '.join(del_idx)}) THEN '{del_tag}' "
-                if del_idx
-                else ""
-            )
-            return (
-                f"CASE WHEN ({sel}) = 0 THEN 'pass' "
-                + del_branch
-                + f"ELSE '{upd_tag}' END"
-            )
-
+        out_cols = ", ".join(f"`{c}`" for c in tcols)
         passthrough = ", ".join(f"{ta}.`{c}` AS `{c}`" for c in tcols)
         parts: list[str] = []
+        # Each part computes the clause selector ONCE per row as the
+        # lateral column alias __lg_cl; projections and fate tags in the
+        # same inner SELECT reference the alias, and the outer SELECT
+        # keeps only the target columns + fate. The tagged union is
+        # persisted and counted ONCE (one groupBy) instead of the three
+        # eager COUNT jobs the r10 route ran — each of which re-ran the
+        # join against the source.
         # PART 1a: the matched rows' fate. With a by-source clause in
         # play, this covers MATCHED rows only (WHERE marker) — unmatched
         # rows are handled uniformly in part 1b's anti join. Without one,
@@ -977,11 +1021,16 @@ class LakeSQL:
             msel = _first_match_sel([c for c, _a, _x in m_clauses])
             mcl = f"CASE WHEN {marker_raw} THEN ({msel}) ELSE 0 END"
             scope = f" WHERE {marker_raw}" if has_bs else ""
-            parts.append(
-                f"SELECT {_clause_proj(mcl, m_clauses)}, "
-                f"{_fate(mcl, m_clauses, 'del', 'upd')} AS __lg_fate "
+            inner = (
+                f"SELECT ({mcl}) AS __lg_cl, "
+                f"{', '.join(_clause_proj_cols(m_clauses, tcols, types, ta))} "
                 f"FROM {tview} {ta} LEFT JOIN {sview} {sa} "
                 f"ON {on_sql}{scope}"
+            )
+            parts.append(
+                f"SELECT {out_cols}, "
+                f"{_fate_expr(m_clauses, 'del', 'upd')} AS __lg_fate "
+                f"FROM ({inner})"
             )
         elif has_bs:
             # no matched action: matched rows pass through a semi join
@@ -1007,29 +1056,31 @@ class LakeSQL:
         # is never ambiguous.
         if has_bs:
             bsel = _first_match_sel([c for c, _a, _x in bs_clauses])
-            parts.append(
-                f"SELECT {_clause_proj(f'({bsel})', bs_clauses)}, "
-                f"{_fate(bsel, bs_clauses, 'bsdel', 'bsupd')} AS __lg_fate "
+            inner = (
+                f"SELECT ({bsel}) AS __lg_cl, "
+                f"{', '.join(_clause_proj_cols(bs_clauses, tcols, types, ta))} "
                 f"FROM {tview} {ta} "
                 f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
+            )
+            parts.append(
+                f"SELECT {out_cols}, "
+                f"{_fate_expr(bs_clauses, 'bsdel', 'bsupd')} AS __lg_fate "
+                f"FROM ({inner})"
             )
         # PART 2: inserts, in source-anti-target scope; the first insert
         # clause whose condition passes provides the row's expressions,
         # source rows matching no clause don't insert.
         if i_clauses:
             isel = _first_match_sel([c for c, _e in i_clauses])
-            icols = []
-            for c in tcols:
-                branches = " ".join(
-                    f"WHEN {i + 1} THEN CAST(({exprs[c]}) AS {types[c]})"
-                    for i, (_cond, exprs) in enumerate(i_clauses)
-                )
-                icols.append(f"CASE ({isel}) {branches} END AS `{c}`")
-            parts.append(
-                f"SELECT {', '.join(icols)}, 'ins' AS __lg_fate "
+            inner = (
+                f"SELECT ({isel}) AS __lg_cl, "
+                f"{', '.join(_insert_proj_cols(i_clauses, tcols, types))} "
                 f"FROM {sview} {sa} "
-                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql} "
-                f"WHERE ({isel}) > 0"
+                f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+            )
+            parts.append(
+                f"SELECT {out_cols}, 'ins' AS __lg_fate "
+                f"FROM ({inner}) WHERE __lg_cl > 0"
             )
         # ONE source-scan pass: the tagged union is persisted, counted
         # once, and the same cached frame feeds the write — the r10
@@ -1656,28 +1707,6 @@ class LakeSQL:
         )
         stored = [c for c in df.columns if not c.startswith("__lg_")]
         types = {c: df.schema[c].dataType.simpleString() for c in stored}
-
-        def _proj_cols(sel: str, clause_list) -> list[str]:
-            # first-match-wins per-column projection (the rewrite
-            # route's _clause_proj, over the lineage read's columns);
-            # delete-claimed rows project the untouched target values,
-            # which the image filter below discards
-            cols = []
-            for c in stored:
-                branches = [
-                    f"WHEN {i + 1} THEN CAST(({asg[c]}) AS {types[c]})"
-                    for i, (_cond, action, asg) in enumerate(clause_list)
-                    if action == "update" and asg and c in asg
-                ]
-                if branches:
-                    cols.append(
-                        f"CASE ({sel}) " + " ".join(branches)
-                        + f" ELSE {ta}.`{c}` END AS `{c}`"
-                    )
-                else:
-                    cols.append(f"{ta}.`{c}` AS `{c}`")
-            return cols
-
         matched = None
         inserts = None
         bs = None
@@ -1706,15 +1735,16 @@ class LakeSQL:
                 # dup guard here. __lg_cl records the winning clause.
                 bsel = _first_match_sel([c for c, _a, _x in bs_clauses])
                 bs_cols = [
+                    f"({bsel}) AS __lg_cl",
                     f"{ta}.`__lg_fp` AS __lg_fp",
                     f"{ta}.`__lg_ri` AS __lg_ri",
-                    f"({bsel}) AS __lg_cl",
-                    *_proj_cols(f"({bsel})", bs_clauses),
+                    *_clause_proj_cols(bs_clauses, stored, types, ta),
                 ]
                 bs = spark.sql(
+                    f"SELECT * FROM ("
                     f"SELECT {', '.join(bs_cols)} FROM {tview} {ta} "
-                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql} "
-                    f"WHERE ({bsel}) > 0"
+                    f"LEFT ANTI JOIN {sview} {sa} ON {on_sql}"
+                    f") WHERE __lg_cl > 0"
                 ).persist()
                 # per-clause counts in ONE job: the total feeds the
                 # no-op gate; the update-clause share gates the image
@@ -1733,16 +1763,19 @@ class LakeSQL:
                 # persist: the matched frame feeds the no-op count, the
                 # position write, and (UPDATE clauses) the image write.
                 # Rows claimed by no clause keep their original images
-                # untouched (selector 0, filtered here).
+                # untouched (selector 0, filtered in the outer SELECT —
+                # the lateral __lg_cl alias is computed once per row).
                 proj = [
+                    f"({msel}) AS __lg_cl",
                     f"{ta}.`__lg_fp` AS __lg_fp",
                     f"{ta}.`__lg_ri` AS __lg_ri",
-                    f"({msel}) AS __lg_cl",
-                    *_proj_cols(f"({msel})", m_clauses),
+                    *_clause_proj_cols(m_clauses, stored, types, ta),
                 ]
                 matched = spark.sql(
+                    f"SELECT * FROM ("
                     f"SELECT {', '.join(proj)} FROM {tview} {ta} "
-                    f"JOIN {sview} {sa} ON {on_sql} WHERE ({msel}) > 0"
+                    f"JOIN {sview} {sa} ON {on_sql}"
+                    f") WHERE __lg_cl > 0"
                 ).persist()
                 m_by_cl = {
                     int(r["__lg_cl"]): int(r["n"])
@@ -1754,18 +1787,16 @@ class LakeSQL:
                 n_m_img = sum(m_by_cl.get(i, 0) for i in m_upd)
             if i_clauses:
                 isel = _first_match_sel([c for c, _e in i_clauses])
-                icols = []
-                for c in stored:
-                    branches = " ".join(
-                        f"WHEN {i + 1} THEN CAST(({exprs[c]}) AS "
-                        f"{types[c]})"
-                        for i, (_cond, exprs) in enumerate(i_clauses)
-                    )
-                    icols.append(f"CASE ({isel}) {branches} END AS `{c}`")
+                icols = [
+                    f"({isel}) AS __lg_cl",
+                    *_insert_proj_cols(i_clauses, stored, types),
+                ]
+                stored_sel = ", ".join(f"`{c}`" for c in stored)
                 inserts = spark.sql(
+                    f"SELECT {stored_sel} FROM ("
                     f"SELECT {', '.join(icols)} FROM {sview} {sa} "
-                    f"LEFT ANTI JOIN {tview} {ta} ON {on_sql} "
-                    f"WHERE ({isel}) > 0"
+                    f"LEFT ANTI JOIN {tview} {ta} ON {on_sql}"
+                    f") WHERE __lg_cl > 0"
                 ).persist()
                 n_ins = inserts.count()
             if n_matched == 0 and n_ins == 0 and n_bs == 0:

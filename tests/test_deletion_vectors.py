@@ -1458,3 +1458,31 @@ def test_merge_insert_explicit_columns(spark, repo):
             "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.k)"
         )
     assert not repo.status("main")
+
+
+def test_merge_nondeterministic_condition_single_evaluation(spark, repo):
+    """Review r11: clause conditions evaluate ONCE per row (the lateral
+    __lg_cl alias) — a nondeterministic condition must not pick one
+    clause for a row's fate and a different one for its values. With
+    `rand() < 0.5 THEN DELETE / ELSE UPDATE SET v = 0`, every surviving
+    matched row must show v = 0 (never a stale original), and deletes +
+    updates must exactly cover the matched set."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 200).repartition(4))
+    repo.write_table(
+        "main", "s", spark.range(0, 200).select(F.col("id").alias("k"))
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND rand() < 0.5 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = 0"
+    )
+    for dv, branch in ((True, "main"), (False, "rw")):
+        r = LakeSQL(spark, repo, branch, dv_writes=dv).sql(stmt).first()
+        assert r.rows_affected == 200  # every matched row is claimed
+        rows = repo.read_table(spark, "t", branch).collect()
+        assert all(x.v == 0 for x in rows), f"stale values on dv={dv}"
+        assert len(rows) + (200 - len(rows)) == 200
