@@ -94,83 +94,164 @@ def _make_jpeg_codec():
             self.nbits = 0
 
         def put(self, value: int, n: int) -> None:
-            for i in range(n - 1, -1, -1):
-                self.acc = (self.acc << 1) | ((value >> i) & 1)
-                self.nbits += 1
-                if self.nbits == 8:
-                    self.out.append(self.acc)
-                    if self.acc == 0xFF:  # byte stuffing
-                        self.out.append(0x00)
-                    self.acc = 0
-                    self.nbits = 0
+            # bulk append (r11): shift the whole field in at once and
+            # drain full bytes — the old per-bit loop was the encoder's
+            # hot path
+            acc = (self.acc << n) | (value & ((1 << n) - 1))
+            nbits = self.nbits + n
+            out = self.out
+            while nbits >= 8:
+                nbits -= 8
+                b = (acc >> nbits) & 0xFF
+                out.append(b)
+                if b == 0xFF:  # byte stuffing
+                    out.append(0x00)
+            self.acc = acc & ((1 << nbits) - 1)
+            self.nbits = nbits
+
+        def _align(self) -> None:
+            if self.nbits:  # pad with 1s (T.81 F.1.2.3)
+                self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
 
         def flush(self) -> bytes:
-            while self.nbits:  # pad with 1s (T.81 F.1.2.3)
-                self.put(1, 1)
+            self._align()
             return bytes(self.out)
 
         def restart(self, m: int) -> None:
             """Byte-align (1-padding) and emit RSTm (T.81 F.1.2.3 / E.1.4)."""
-            while self.nbits:
-                self.put(1, 1)
+            self._align()
             self.out += bytes([0xFF, 0xD0 + (m & 7)])
 
     class _BitReader:
+        """Bulk-refill bit reader over the entropy-coded segment.
+
+        r11 performance redesign (the per-byte/per-bit Python loop was
+        the decoder's ~0.9 ms/image floor): the constructor scans the
+        tail ONCE with C-speed ``bytes.find`` to locate the entropy
+        end (the first 0xFF followed by neither a stuffed 0x00 nor an
+        RSTn), splits at restart markers — remembering each marker's
+        modulo-8 number for ``restart()`` to verify — and UNSTUFFS each
+        restart segment with one ``bytes.replace(b'\\xff\\x00',
+        b'\\xff')``. Reads then run on plain bytes: the accumulator
+        refills a byte at a time (no per-bit calls, no stuffing checks
+        in the hot path) and ``peek16``/``take`` let Huffman symbols
+        resolve in ONE flat-table probe (see ``_read_code``) instead of
+        up to 16 per-bit dict probes. Numpy buys nothing here — Huffman
+        decoding is sequential per stream — so the levers are C-speed
+        preprocessing + table lookup, per the r10 verdict's alternative.
+
+        Truncation accounting: ``peek16`` may legitimately cross the
+        segment end (virtual 1-padding, T.81 F.1.2.3); an error fires
+        only when pad bits are CONSUMED (``_fed_pad > _nbits``), which
+        is exactly the old reader's needs-a-byte-beyond-end condition.
+        """
+
         def __init__(self, data: bytes):
             self.data = data
-            self.pos = 0
-            self.acc = 0
-            self.nbits = 0
+            end = len(data)
+            rst_at: list[tuple[int, int]] = []  # (byte pos, marker & 7)
+            j = 0
+            while True:
+                j = data.find(b"\xff", j)
+                if j < 0:
+                    break
+                if j + 1 >= len(data):
+                    end = j  # trailing lone 0xFF: no more entropy data
+                    break
+                nxt = data[j + 1]
+                if nxt == 0x00:
+                    j += 2  # stuffed byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    rst_at.append((j, nxt - 0xD0))
+                    j += 2
+                else:
+                    end = j  # a real marker terminates the entropy data
+                    break
+            #: where the next marker begins — the scan's consumed count
+            self.pos = end
+            self._markers = [m for _, m in rst_at]
+            self._segs: list[bytes] = []
+            prev = 0
+            for p_, _m in rst_at:
+                self._segs.append(data[prev:p_].replace(b"\xff\x00", b"\xff"))
+                prev = p_ + 2
+            self._segs.append(data[prev:end].replace(b"\xff\x00", b"\xff"))
+            self._seg_i = 0
+            self._cur = self._segs[0]
+            self._bpos = 0  # byte position within the current segment
+            self._acc = 0
+            self._nbits = 0
+            self._fed_pad = 0
+
+        def _refill(self, need: int) -> None:
+            cur, bpos, ln = self._cur, self._bpos, len(self._cur)
+            acc, nb = self._acc, self._nbits
+            while nb < need:
+                if bpos < ln:
+                    acc = (acc << 8) | cur[bpos]
+                    bpos += 1
+                else:
+                    acc = (acc << 8) | 0xFF  # virtual 1-padding
+                    self._fed_pad += 8
+                nb += 8
+            self._bpos, self._acc, self._nbits = bpos, acc, nb
 
         def bit(self) -> int:
-            if not self.nbits:
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG: entropy segment truncated")
-                b = self.data[self.pos]
-                self.pos += 1
-                if b == 0xFF:
-                    if self.pos >= len(self.data):
-                        raise ValueError("JPEG: entropy segment truncated")
-                    nxt = self.data[self.pos]
-                    if nxt == 0x00:
-                        self.pos += 1  # stuffed byte
-                    else:
-                        raise ValueError(
-                            f"JPEG: unexpected marker 0xFF{nxt:02X} inside "
-                            "the entropy segment (corrupt stream, or a "
-                            "restart marker off its declared interval)"
-                        )
-                self.acc = b
-                self.nbits = 8
-            self.nbits -= 1
-            return (self.acc >> self.nbits) & 1
+            if self._nbits < 1:
+                self._refill(1)
+            self._nbits -= 1
+            v = (self._acc >> self._nbits) & 1
+            self._acc &= (1 << self._nbits) - 1
+            if self._fed_pad > self._nbits:
+                raise ValueError("JPEG: entropy segment truncated")
+            return v
 
         def bits(self, n: int) -> int:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | self.bit()
+            if n == 0:
+                return 0
+            if self._nbits < n:
+                self._refill(n)
+            self._nbits -= n
+            v = (self._acc >> self._nbits) & ((1 << n) - 1)
+            self._acc &= (1 << self._nbits) - 1
+            if self._fed_pad > self._nbits:
+                raise ValueError("JPEG: entropy segment truncated")
             return v
 
         def restart(self, m: int) -> None:
-            """Consume an expected RSTm at a restart boundary: drop the
-            partial byte (encoder 1-padded it) and verify the marker's
-            modulo-8 sequence number (T.81 E.1.4)."""
-            self.nbits = 0
-            if (
-                self.pos + 2 > len(self.data)
-                or self.data[self.pos] != 0xFF
-                or self.data[self.pos + 1] != 0xD0 + (m & 7)
-            ):
-                found = (
-                    self.data[self.pos : self.pos + 2].hex()
-                    if self.pos + 2 <= len(self.data)
-                    else "EOF"
-                )
+            """Advance past an expected RSTm: drop the current byte's
+            pad bits (encoder 1-padded to the boundary) and verify the
+            marker's modulo-8 sequence number (T.81 E.1.4). Whole
+            unread bytes before the marker mean the stream is off its
+            declared interval — loud, like the pre-r11 reader."""
+            if self._seg_i >= len(self._markers):
                 raise ValueError(
-                    f"JPEG: expected RST{m & 7} at byte {self.pos} of the "
-                    f"entropy segment, found {found}"
+                    f"JPEG: expected RST{m & 7} in the entropy segment, "
+                    f"found none (stream ends or next marker is not a "
+                    f"restart)"
                 )
-            self.pos += 2
+            got = self._markers[self._seg_i]
+            if got != (m & 7):
+                raise ValueError(
+                    f"JPEG: expected RST{m & 7} at a restart boundary of "
+                    f"the entropy segment, found RST{got} (dropped or "
+                    f"reordered marker)"
+                )
+            # of the remaining accumulator bits, the most recently fed
+            # min(nbits, fed_pad) are pad; the rest are unread REAL bits
+            remaining_real = self._nbits - min(self._nbits, self._fed_pad)
+            unread = 8 * len(self._cur) - (8 * self._bpos - remaining_real)
+            if unread >= 8:
+                raise ValueError(
+                    f"JPEG: RST{m & 7} arrived {unread // 8} byte(s) early "
+                    f"(restart marker off its declared interval)"
+                )
+            self._seg_i += 1
+            self._cur = self._segs[self._seg_i]
+            self._bpos = 0
+            self._acc = 0
+            self._nbits = 0
+            self._fed_pad = 0
 
     def _extend(r: int, s: int) -> int:
         """T.81 EXTEND: map the s-bit magnitude field to a signed value."""
@@ -187,25 +268,52 @@ def _make_jpeg_codec():
 
     # -- canonical Huffman ----------------------------------------------------
 
-    def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
-        """(length, code) -> symbol, canonical assignment (T.81 C.2)."""
-        table, code, k = {}, 0, 0
+    # decode LUTs cache by table content: images in a corpus overwhelmingly
+    # share Huffman tables (Annex K's, or one encoder's), so the 65536-entry
+    # fill amortizes to once per executor instead of once per image
+    _lut_cache: dict = {}
+
+    def _build_decode_table(bits: list[int], vals: list[int]) -> list[int]:
+        """Flat 16-bit-prefix decode table, canonical assignment (T.81
+        C.2): entry = (symbol << 5) | code_length for every 16-bit
+        sequence starting with that code, 0 for invalid prefixes. One
+        ``peek16`` + one list probe decodes any symbol (codes are ≤16
+        bits), replacing the per-bit canonical walk — the decoder's
+        hottest loop."""
+        key = (tuple(bits), tuple(vals))
+        hit = _lut_cache.get(key)
+        if hit is not None:
+            return hit
+        lut = [0] * 65536
+        code, k = 0, 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                table[(length, code)] = vals[k]
+                packed = (vals[k] << 5) | length
+                lo = code << (16 - length)
+                lut[lo : lo + (1 << (16 - length))] = [packed] * (
+                    1 << (16 - length)
+                )
                 code += 1
                 k += 1
             code <<= 1
-        return table
+        _lut_cache[key] = lut
+        return lut
 
-    def _read_code(br: _BitReader, table: dict) -> int:
-        length, code = 0, 0
-        while length < 16:
-            code = (code << 1) | br.bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("JPEG: invalid Huffman code in entropy segment")
+    def _read_code(br: _BitReader, table: list[int]) -> int:
+        # the decoder's hottest call: peek 16 bits, ONE table probe,
+        # consume the code's length — inlined against the reader's
+        # fields (each avoided method call is ~15% of a symbol decode)
+        if br._nbits < 16:
+            br._refill(16)
+        v = table[(br._acc >> (br._nbits - 16)) & 0xFFFF]
+        if v == 0:
+            raise ValueError("JPEG: invalid Huffman code in entropy segment")
+        nb = br._nbits - (v & 31)
+        br._nbits = nb
+        br._acc &= (1 << nb) - 1
+        if br._fed_pad > nb:
+            raise ValueError("JPEG: entropy segment truncated")
+        return v >> 5
 
     # fixture encode tables: every symbol gets an 8-bit canonical code
     # (legal DHT — compression is not the fixture's job; generality is the

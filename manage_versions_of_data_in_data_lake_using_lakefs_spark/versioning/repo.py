@@ -345,6 +345,20 @@ class LakeRepo:
                 f"table names starting with {DV_PREFIX!r} are reserved for "
                 f"deletion vectors (delete_where_dv)"
             )
+        # the __lg_ COLUMN namespace is reserved for engine internals
+        # (row lineage __lg_fp/__lg_ri, MERGE's clause index __lg_cl,
+        # fate tags): a stored column there would shadow those at
+        # resolution time — Spark resolves FROM columns before lateral
+        # aliases, case-insensitively — and silently corrupt DV DML and
+        # MERGE clause selection (r11 review)
+        if not _internal:
+            lg_hit = [c for c in df.columns if c.lower().startswith("__lg_")]
+            if lg_hit:
+                raise ValueError(
+                    f"write to {table!r}: column name(s) {lg_hit} use the "
+                    f"reserved __lg_ prefix (engine lineage/merge "
+                    f"internals) — rename them"
+                )
         smap = self.table_schema_map(table, ref=branch)
         consumed = self._consumed_names(smap)
         generated = self._generated_names(smap)

@@ -755,9 +755,13 @@ class LakeSQL:
         cond = mo.group("cond")
         # the lateral __lg_cl clause-index alias (and the DV route's
         # lineage columns) live in the reserved __lg_ namespace; a
-        # source column there would shadow the alias at resolution time
-        # and silently change clause selection — refuse up front
-        bad_src = [c for c in sdf.columns if c.startswith("__lg_")]
+        # source or target column there would SHADOW the alias at
+        # resolution time (Spark resolves FROM columns before lateral
+        # aliases, case-INSENSITIVELY — review-verified on 4.1.2) and
+        # silently change clause selection — refuse up front. Target
+        # tables are also guarded at write time; the check here covers
+        # pre-guard repos.
+        bad_src = [c for c in sdf.columns if c.lower().startswith("__lg_")]
         if bad_src:
             raise ValueError(
                 f"MERGE source columns {bad_src} use the reserved "
@@ -847,6 +851,15 @@ class LakeSQL:
             self.spark, name, ref=self.branch, include_staged=True
         )
         resolved = {f.name.lower(): f.name for f in target.schema.fields}
+        # targets written before the write-time __lg_ guard existed
+        # would shadow the lateral clause-index alias too
+        bad_t = [c for c in resolved.values() if c.lower().startswith("__lg_")]
+        if bad_t:
+            raise ValueError(
+                f"MERGE target {name!r} columns {bad_t} use the reserved "
+                f"__lg_ prefix (engine lineage/merge internals) — rename "
+                f"them before merging"
+            )
 
         def _parse_assigns(sets_text: str) -> dict[str, str]:
             out: dict[str, str] = {}

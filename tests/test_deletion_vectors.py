@@ -1481,8 +1481,47 @@ def test_merge_nondeterministic_condition_single_evaluation(spark, repo):
         "WHEN MATCHED THEN UPDATE SET v = 0"
     )
     for dv, branch in ((True, "main"), (False, "rw")):
+        before = set(repo.current_files(branch, "t"))
         r = LakeSQL(spark, repo, branch, dv_writes=dv).sql(stmt).first()
         assert r.rows_affected == 200  # every matched row is claimed
         rows = repo.read_table(spark, "t", branch).collect()
         assert all(x.v == 0 for x in rows), f"stale values on dv={dv}"
-        assert len(rows) + (200 - len(rows)) == 200
+        assert len(rows) <= 200
+        if dv:
+            # pin that the DV route actually ran (a silent fallback to
+            # the rewrite route would also satisfy every value check):
+            # existing files untouched, vector born, and the vector
+            # holds exactly the 200 claimed positions (updates
+            # vector-delete + re-append; deletes vector-delete only)
+            assert before <= set(repo.current_files(branch, "t"))
+            vec = repo._read_files(
+                spark, repo.current_files(branch, DV_PREFIX + "t")
+            )
+            assert vec.count() == 200
+        else:
+            # the rewrite route rewrote the snapshot and birthed no vector
+            assert DV_PREFIX + "t" not in repo._resolve(branch).tables
+
+
+def test_reserved_lg_namespace_guards(spark, repo):
+    """Review r11: the __lg_ COLUMN namespace is engine-reserved —
+    write_table rejects it (case-insensitively; Spark resolution is
+    case-insensitive, so __LG_CL would shadow the lateral alias too),
+    and MERGE rejects sources carrying it."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("__LG_CL")
+    )
+    with pytest.raises(ValueError, match="reserved __lg_"):
+        repo.write_table("main", "t", bad)
+    repo.write_table("main", "t", _kv(spark, 0, 5))
+    repo.commit("main", "base")
+    bad.createOrReplaceTempView("lgsrc")
+    for dv in (True, False):
+        with pytest.raises(ValueError, match="reserved"):
+            LakeSQL(spark, repo, "main", dv_writes=dv).sql(
+                "MERGE INTO t USING (SELECT k, __LG_CL FROM lgsrc) s "
+                "ON t.k = s.k WHEN MATCHED THEN DELETE"
+            )
+    assert not repo.status("main")
