@@ -296,7 +296,12 @@ def _make_jpeg_codec():
                 code += 1
                 k += 1
             code <<= 1
-        _lut_cache[key] = lut
+        # bounded: per-image optimized-Huffman corpora (mozjpeg) would
+        # otherwise retain ~0.5 MB per distinct table forever in a
+        # long-lived executor — beyond the cap, tables build uncached
+        # (the fill is a few ms, amortized per IMAGE not per symbol)
+        if len(_lut_cache) < 64:
+            _lut_cache[key] = lut
         return lut
 
     def _read_code(br: _BitReader, table: list[int]) -> int:
@@ -704,7 +709,7 @@ def _make_jpeg_codec():
             raise ValueError("not a JPEG payload (no SOI)")
         i = 2
         quants: dict[int, list[int]] = {}
-        huff: dict[tuple[int, int], dict] = {}
+        huff: dict[tuple[int, int], list[int]] = {}  # (tc, th) -> 16-bit LUT
         w = h = None
         comps_spec: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
         scan = None
@@ -966,18 +971,11 @@ def _make_jpeg_codec():
                     p[start:], restart_interval,
                 )
                 saw_scan = True
-                # realign to the next marker: the reader stops inside the
-                # last entropy byte; pad bits and stray RSTs may follow
-                j = start + consumed
-                while j + 1 < len(p):
-                    if p[j] == 0xFF:
-                        nxt = p[j + 1]
-                        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                            j += 2
-                            continue
-                        break
-                    j += 1
-                i = j
+                # the reader's consumed count already points at the first
+                # real marker after the entropy data (its constructor
+                # scanned past stuffed bytes and RSTs) — jump straight
+                # there
+                i = start + consumed
                 continue
             i += 2 + seg_len
         if progressive:

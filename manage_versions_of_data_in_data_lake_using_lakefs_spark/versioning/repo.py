@@ -1390,6 +1390,25 @@ class LakeRepo:
         out = df.join(anti, ["__lg_fp", "__lg_ri"], "left_anti")
         return out if keep_lineage else out.drop("__lg_fp", "__lg_ri")
 
+    def _check_lg_columns(self, table: str, df: DataFrame) -> None:
+        """DV DML guard for tables written before the write-time __lg_
+        reservation existed: a STORED column in the engine's lineage
+        namespace would be silently dropped from re-appended images (the
+        out-column filters can't tell it from the lineage columns the
+        read added) — refuse loudly instead (r11 review)."""
+        bad = [
+            c
+            for c in df.columns
+            if c.lower().startswith("__lg_")
+            and c not in ("__lg_fp", "__lg_ri")
+        ]
+        if bad:
+            raise ValueError(
+                f"{table!r} stores column(s) {bad} in the reserved __lg_ "
+                f"namespace (engine lineage internals) — rename them "
+                f"before running deletion-vector DML"
+            )
+
     def delete_where_dv(
         self,
         spark: SparkSession,
@@ -1431,6 +1450,7 @@ class LakeRepo:
         df = self._read_files(
             spark, entries, merge_schema=bool(smap), with_lineage=True
         )
+        self._check_lg_columns(table, df)
         # the branch is clean (checked above), so the committed head's
         # vector is the whole story
         dv0 = self.head(branch).tables.get(DV_PREFIX + table)
@@ -1512,6 +1532,7 @@ class LakeRepo:
         df = self._read_files(
             spark, entries, merge_schema=bool(smap), with_lineage=True
         )
+        self._check_lg_columns(table, df)
         dv0 = self.head(branch).tables.get(DV_PREFIX + table)
         if dv0:
             df = self._apply_dv(spark, df, dv0, keep_lineage=True)

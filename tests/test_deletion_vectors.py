@@ -1525,3 +1525,18 @@ def test_reserved_lg_namespace_guards(spark, repo):
                 "ON t.k = s.k WHEN MATCHED THEN DELETE"
             )
     assert not repo.status("main")
+    # a PRE-GUARD repo (simulated via _internal) storing a __lg_ column:
+    # MERGE refuses on the target side, and the DV DML paths refuse
+    # instead of silently dropping the column from re-appended images
+    repo.write_table("main", "old", bad, _internal=True)
+    repo.write_table("main", "s2", _kv(spark, 0, 3))
+    repo.commit("main", "legacy")
+    with pytest.raises(ValueError, match="reserved"):
+        LakeSQL(spark, repo, "main").sql(
+            "MERGE INTO old USING s2 ON old.k = s2.k WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        repo.update_where_dv(spark, "main", "old", "k = 1", {"k": "k + 10"})
+    with pytest.raises(ValueError, match="reserved"):
+        repo.delete_where_dv(spark, "main", "old", "k = 1")
+    assert not repo.status("main")
