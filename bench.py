@@ -178,6 +178,8 @@ def main() -> None:
         "multimodal_jpeg_decode",
         "multimodal_jpeg_420",
         "multimodal_jpeg_prog",
+        "multimodal_jpeg_suite",
+        "versioned_dv_merge",
     ):
         if extra in registry:
             names.append(extra)

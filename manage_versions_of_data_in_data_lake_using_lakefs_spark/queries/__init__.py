@@ -187,17 +187,19 @@ WINDOW_ORDER: list[str] = [
     # entropy chain (canonical Huffman, unstuffing, zigzag, DC
     # prediction, dequant) through a strictly richer MCU structure.
     # Full oracle kept in the tail.)
-    "multimodal_jpeg_420",  # r9 flagship: 4:2:0 chroma-subsampled baseline
-                            # JPEG — sampling-factor MCU interleave, ceiling
-                            # grids for odd dimensions, DRI/RSTn restart
-                            # realignment + DC predictor resets — exact
-                            # embedded-coefficient oracle (VERDICT r8 ask #1)
-    "multimodal_jpeg_prog",  # r10 flagship: PROGRESSIVE (SOF2) JPEG —
-                             # successive-approximation scan script, DC/AC
-                             # spectral selection, EOBn runs, AC-refinement
-                             # zero-history placement + correction bits,
-                             # restarts per scan — exact embedded-
-                             # coefficient oracle (VERDICT r9 ask #1)
+    # (multimodal_jpeg_420 + multimodal_jpeg_prog — merged in r11 into
+    # the tagged multimodal_jpeg_suite below (VERDICT r10 ask #4): the
+    # two chains overlap on the Huffman entropy core but neither
+    # contains the other, so the suite keeps BOTH on the driver hash
+    # while freeing one slot for versioned_dv_merge. Standalone
+    # queries + oracles kept in the tail.)
+    "multimodal_jpeg_suite",  # r11: 4:2:0-baseline AND progressive (SOF2)
+                              # JPEG decode in one codec-tagged union —
+                              # sampling-factor MCU interleave, ceiling
+                              # grids, DRI/RSTn, successive-approximation
+                              # scan script, EOBn runs, AC-refinement
+                              # zero-history placement — exact embedded-
+                              # coefficient oracles for both flavors
     "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
     "versioned_incremental_agg",  # delta-refresh ≡ full rebuild (r5)
@@ -211,6 +213,12 @@ WINDOW_ORDER: list[str] = [
                             # commit, zero existing-file rewrites — r9's
                             # flagship write path, window-certified in r10
                             # (VERDICT r9 ask #5)
+    "versioned_dv_merge",   # DV MERGE: matched positions -> vector, updated
+                            # images + inserts ride ONE appended file, one
+                            # commit, zero existing-file rewrites — r10's
+                            # flagship write path, window-certified in r11
+                            # (VERDICT r10 ask #4); multi-clause first-
+                            # match-wins grammar exercised by the suite
     "graph_pagerank",       # integer-ppb Pregel passes, CTE oracle (r5)
     "versioned_schema_evolution",  # metadata-only ALTER COLUMN: rename-era
                                    # merge + add-null + drop + time-travel

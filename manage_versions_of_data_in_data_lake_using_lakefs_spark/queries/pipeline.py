@@ -1022,6 +1022,49 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined JPEG decode certification, tagged per codec flavor (r11
+    window rotation, VERDICT r10 ask #4): the 4:2:0 chroma-subsampled
+    BASELINE chain (sampling-factor MCU interleave, ceiling grids,
+    DRI/RSTn) and the PROGRESSIVE (SOF2) chain (successive-approximation
+    scan script, spectral selection, EOBn runs, zero-history refinement)
+    run over the same id corpus and union under a ``codec`` tag. The two
+    chains overlap on the Huffman entropy core but neither contains the
+    other — 420 alone certifies the subsampled interleave, prog alone
+    the multi-scan accumulation — so the merged query keeps BOTH on the
+    driver hash while freeing one window slot for ``versioned_dv_merge``
+    (the r10 flagship write path). The standalone queries stay in the
+    tail with their own oracles."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+        decode_jpeg_stats,
+        synthesize_jpeg_media,
+    )
+
+    ids = _codec_ids(spark, sf_dir)
+    b420 = decode_jpeg_stats(
+        synthesize_jpeg_media(ids, flavor="420")
+    ).withColumn("codec", F.lit("420"))
+    prog = decode_jpeg_stats(
+        synthesize_jpeg_media(ids, flavor="prog")
+    ).withColumn("codec", F.lit("prog"))
+    return b420.unionByName(prog).orderBy("codec", "media_id")
+
+
+def _oracle_multimodal_jpeg_suite() -> str:
+    # the constituents' oracles verbatim, tagged and re-sorted — built
+    # from the same strings so the suite can never drift from them
+    b420 = ORACLE_MULTIMODAL_JPEG_420.rsplit("ORDER BY", 1)[0]
+    prog = ORACLE_MULTIMODAL_JPEG_PROG.rsplit("ORDER BY", 1)[0]
+    return (
+        f"SELECT '420' AS codec, * FROM ({b420}) AS t420 "
+        f"UNION ALL SELECT 'prog' AS codec, * FROM ({prog}) AS tprog "
+        f"ORDER BY codec, media_id"
+    )
+
+
+ORACLE_MULTIMODAL_JPEG_SUITE = _oracle_multimodal_jpeg_suite()
+
+
 def _oracle_streaming_neardup() -> str:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.extensions import ORACLE_DEDUP_SIMHASH
 
@@ -1043,6 +1086,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
+    "multimodal_jpeg_suite": q_multimodal_jpeg_suite,
     "streaming_classifier": q_streaming_classifier,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
@@ -1067,6 +1111,7 @@ PIPELINE_ORACLES = {
     "multimodal_jpeg_decode": ORACLE_MULTIMODAL_JPEG_DECODE,
     "multimodal_jpeg_420": ORACLE_MULTIMODAL_JPEG_420,
     "multimodal_jpeg_prog": ORACLE_MULTIMODAL_JPEG_PROG,
+    "multimodal_jpeg_suite": ORACLE_MULTIMODAL_JPEG_SUITE,
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
