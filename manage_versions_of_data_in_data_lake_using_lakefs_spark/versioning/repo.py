@@ -786,6 +786,37 @@ class LakeRepo:
         )
         return df.select(*order)
 
+    @staticmethod
+    def _era_column_names(smap: dict | None, col: str) -> list[str] | None:
+        """Physical names a LIVE logical column may be stored under
+        across a table's schema-evolution eras: the rename chain walked
+        backward from the head name, newest first (r11 — lets metadata
+        COUNT(col) answer on evolved tables). Returns None when the
+        column's lineage is not rename-only: an ADD step casts stored
+        values on read (a lossy cast could null them — footer null
+        counts can't see that), GENERATED columns are never stored, and
+        a drop/reuse means the name's history is not one column. Files
+        from eras before the column existed simply contain none of the
+        returned names (the column reads all-NULL there)."""
+        names = [col]
+        cur = col.lower()
+        for st in reversed((smap or {}).get("steps", [])):
+            op = st["op"]
+            if op == "rename":
+                if st["to"].lower() == cur:
+                    names.append(st["from"])
+                    cur = st["from"].lower()
+                elif st["from"].lower() == cur:
+                    # the tracked name was consumed by a rename INTO
+                    # something else — a live column can't reach here
+                    # unless the name was somehow reused; decline
+                    return None
+            elif op in ("add", "add_gen", "drop") and (
+                st["name"].lower() == cur
+            ):
+                return None
+        return names
+
     def _constraint_refs(self, table: str, branch: str, col: str) -> list[str]:
         """Names of CHECK constraints whose expression mentions ``col``
         (word-boundary match — conservative enough for identifiers)."""

@@ -1160,7 +1160,8 @@ class LakeSQL:
             table = self._resolve_table(m.group("table").strip("`"))
         except KeyError:
             return None
-        evolved = self.repo.table_schema_map(table, ref=self.branch) is not None
+        smap = self.repo.table_schema_map(table, ref=self.branch)
+        evolved = smap is not None
         try:
             dv_entries = self.repo.current_files(self.branch, DV_PREFIX + table)
         except KeyError:
@@ -1177,13 +1178,27 @@ class LakeSQL:
                 im.group("alias")
                 or (f"{fn}(1)" if arg == "*" and fn == "count" else f"{fn}({arg})")
             )
+        aliases: dict[str, list[str]] | None = None
         if evolved and any(fn != "count" or arg != "*" for fn, arg in items):
-            # stats manifests speak PHYSICAL column names, so any
-            # column-addressed item (MIN/MAX/COUNT(col)) must scan on a
-            # schema-evolved table — but COUNT(*) needs only per-file
-            # row counts, which rename replay / ADD-null / DROP cannot
-            # change (no schema step moves rows), so it stays metadata
-            return None
+            # stats manifests speak PHYSICAL column names. COUNT(*)
+            # needs only per-file row counts, which rename replay /
+            # ADD-null / DROP cannot change. COUNT(col) (r11, VERDICT
+            # r10 #6) resolves when the column's lineage is RENAME-ONLY:
+            # its per-era physical names probe each file's recorded name
+            # list — rows − nulls under whichever era name the file
+            # carries; files predating the column contribute zero. Any
+            # add/add_gen/drop in the lineage, and MIN/MAX (footer
+            # bounds can't replay casts), still scan.
+            if any(fn != "count" for fn, _arg in items):
+                return None
+            aliases = {}
+            for _fn, arg in items:
+                if arg == "*":
+                    continue
+                chain = self.repo._era_column_names(smap, arg)
+                if chain is None:
+                    return None
+                aliases[arg] = chain
         dv_count = 0
         if dv_entries is not None:
             # a live deletion vector makes footer stats over-counts.
@@ -1207,7 +1222,9 @@ class LakeSQL:
             entries = self.repo.current_files(self.branch, table)
         except KeyError:
             return None
-        values = stats_mod.metadata_aggregate(self.repo.root, entries, items)
+        values = stats_mod.metadata_aggregate(
+            self.repo.root, entries, items, aliases=aliases
+        )
         if values is None:
             return None
         if dv_count:

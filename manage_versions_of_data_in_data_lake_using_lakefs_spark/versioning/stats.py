@@ -107,7 +107,25 @@ def file_stats(path: str) -> dict | None:
                 continue
             entry["min"] = lo if entry["min"] is None else min(entry["min"], lo)
             entry["max"] = hi if entry["max"] is None else max(entry["max"], hi)
-    return {"rows": rows, "cols": cols}
+    # the file's top-level column NAME list, independent of stats
+    # quality (r11): schema-evolved metadata aggregates need to tell "a
+    # file from an era before this column existed" (reads as all-NULL →
+    # contributes zero to COUNT(col)) apart from "the column is there
+    # but its stats were stripped" (must decline). Manifests persisted
+    # before this key simply decline those items — conservative.
+    try:
+        names = sorted(
+            {
+                md.schema.column(i).path.split(".", 1)[0]
+                for i in range(md.num_columns)
+            }
+        )
+    except Exception:
+        names = None
+    out = {"rows": rows, "cols": cols}
+    if names is not None:
+        out["names"] = names
+    return out
 
 
 def _part_files(group_dir: str) -> list[str]:
@@ -158,6 +176,8 @@ def _inject_partition_stats(st: dict, rel: str) -> None:
             st["cols"][k] = {"min": None, "max": None, "nulls": st["rows"]}
         else:
             st["cols"][k] = {"min": v, "max": v, "nulls": 0}
+        if "names" in st and k not in st["names"]:
+            st["names"].append(k)
 
 
 def _collect_group_stats(group_dir: str) -> dict | None:
@@ -748,7 +768,10 @@ def fully_supported(tree) -> bool:
 
 
 def metadata_aggregate(
-    root: str, rel_entries: Iterable[str], items: list[tuple[str, str]]
+    root: str,
+    rel_entries: Iterable[str],
+    items: list[tuple[str, str]],
+    aliases: dict[str, list[str]] | None = None,
 ) -> list | None:
     """Answer COUNT(*) / COUNT(col) / MIN(col) / MAX(col) from stats
     manifests alone — zero data-file reads. ``items`` is a list of
@@ -763,6 +786,14 @@ def metadata_aggregate(
       not to report as the exact extremum);
     - all-null files contribute to counts but not bounds; an all-null
       column answers MIN/MAX as SQL NULL.
+
+    ``aliases`` (r11, schema-evolved tables) maps a probed column to its
+    per-era PHYSICAL names, newest first: each file is probed under the
+    first alias its recorded name list contains; a file containing NONE
+    of them predates the column (it reads all-NULL there) and
+    contributes zero to COUNT(col). Files whose manifests predate the
+    name list decline unless an alias has stats directly — absence
+    would be indistinguishable from stripped stats.
 
     At 100 TB this turns the most common dashboard probes into pure
     metadata reads (Delta/Iceberg answer COUNT(*) the same way).
@@ -789,10 +820,41 @@ def metadata_aggregate(
             continue
         acc = None
         total = 0
+        found_any = not (aliases and arg in aliases)
         for st in per_file:
             if st["rows"] == 0:
                 continue
-            ent = st["cols"].get(arg)
+            probe = arg
+            if aliases and arg in aliases:
+                # match case-insensitively (Spark resolution is), but
+                # probe the stats under the file's OWN spelling
+                names = st.get("names")
+                if names is not None:
+                    low = {n.lower(): n for n in names}
+                    probe = next(
+                        (
+                            low[a.lower()]
+                            for a in aliases[arg]
+                            if a.lower() in low
+                        ),
+                        None,
+                    )
+                    if probe is None:
+                        continue  # era predates the column: all NULL here
+                else:
+                    lowc = {n.lower(): n for n in st["cols"]}
+                    probe = next(
+                        (
+                            lowc[a.lower()]
+                            for a in aliases[arg]
+                            if a.lower() in lowc
+                        ),
+                        None,
+                    )
+                    if probe is None:
+                        return None  # legacy manifest: absence ambiguous
+                found_any = True
+            ent = st["cols"].get(probe)
             if ent is None:
                 return None  # column lacks stats in this file — no exact answer
             if fn == "count":
@@ -814,6 +876,11 @@ def metadata_aggregate(
                 acc = v
             else:
                 acc = min(acc, v) if fn == "min" else max(acc, v)
+        if not found_any:
+            # no file carries ANY era name: for a real rename-lineage
+            # column at least one era's files store it — this is a typo
+            # (the scan path raises) or pathological; never answer 0
+            return None
         out.append(total if fn == "count" else acc)
     return out
 

@@ -141,3 +141,73 @@ def test_meta_agg_evolved_tables_count_star_only(spark, repo):
         sql.sql("SELECT MAX(kk) AS m FROM t").collect()
     with pytest.raises(Exception):
         sql.sql("SELECT COUNT(*) AS n, MAX(kk) AS m FROM t").collect()
+
+
+def test_meta_agg_evolved_count_col_rename_only(spark, repo):
+    """r11 (VERDICT r10 #6): COUNT(col) on a schema-evolved table answers
+    from manifests when the column's lineage is rename-only — per-era
+    physical names probe each file's recorded name list, files predating
+    the column contribute zero — proven by gutting the data files.
+    ADD-lineage columns and MIN/MAX still scan; manifests without the
+    r11 per-file name list answer only what their cols entries prove."""
+    import json
+
+    repo.write_table("main", "t", _df(spark, 0, 30).repartition(2))
+    repo.commit("main", "v1")
+    repo.alter_rename_column(spark, "main", "t", "k", "kk")
+    # era-mixed: this append stores the NEW name kk, plus a merge-schema
+    # column `bonus` the older files lack entirely
+    repo.write_table(
+        "main", "t",
+        _df(spark, 30, 40)
+        .withColumnRenamed("k", "kk")
+        .withColumn("bonus", F.col("kk") * 3),
+        mode="append",
+    )
+    repo.commit("main", "v2")
+    repo.alter_add_column(spark, "main", "t", "extra", "int")
+    sql = LakeSQL(spark, repo, "main")
+    q = (
+        "SELECT COUNT(*) AS n, COUNT(maybe) AS nm, COUNT(kk) AS nk, "
+        "COUNT(bonus) AS nb FROM t"
+    )
+    got = sql.sql(q).first()
+    ref = (
+        repo.read_table(spark, "t", "main")
+        .agg(F.count(F.lit(1)), F.count("maybe"), F.count("kk"), F.count("bonus"))
+        .first()
+    )
+    assert tuple(got) == tuple(ref) == (40, 14, 40, 10)
+    # the no-scan proof: COUNT(col) across a rename (kk: old files store
+    # k, the append stores kk), an untouched column (maybe), and an
+    # append-introduced column absent from older eras (bonus)
+    _gut_data_files(repo)
+    assert tuple(sql.sql(q).first()) == (40, 14, 40, 10)
+    # case-insensitive addressing (Spark resolution is)
+    assert sql.sql("SELECT COUNT(MAYBE) AS nm FROM t").first().nm == 14
+    # ADD-lineage columns decline: the read-time cast isn't in footers
+    with pytest.raises(Exception):
+        sql.sql("SELECT COUNT(extra) AS ne FROM t").collect()
+    # MIN/MAX on evolved tables still decline
+    with pytest.raises(Exception):
+        sql.sql("SELECT MIN(kk) AS m FROM t").collect()
+    # a typo'd column must fall to the scan (which raises), never 0
+    with pytest.raises(Exception):
+        sql.sql("SELECT COUNT(nope) AS x FROM t").collect()
+    # legacy manifests (pre-r11, no per-file name list): a column absent
+    # from a file is indistinguishable from stripped stats — bonus
+    # declines; kk still answers (every era has stats under SOME alias)
+    for dirpath, _d, files in os.walk(os.path.join(repo.root, "data")):
+        for fn in files:
+            if fn == "_stats.json":
+                p = os.path.join(dirpath, fn)
+                with open(p) as f:
+                    man = json.load(f)
+                for st in man.get("files", {}).values():
+                    st.pop("names", None)
+                with open(p, "w") as f:
+                    json.dump(man, f)
+    assert sql.sql("SELECT COUNT(kk) AS nk FROM t").first().nk == 40
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 40
+    with pytest.raises(Exception):
+        sql.sql("SELECT COUNT(bonus) AS nb FROM t").collect()
