@@ -811,9 +811,13 @@ class LakeRepo:
                     # something else — a live column can't reach here
                     # unless the name was somehow reused; decline
                     return None
-            elif op in ("add", "add_gen", "drop") and (
-                st["name"].lower() == cur
-            ):
+            elif op in ("add", "add_gen", "drop"):
+                if st["name"].lower() == cur:
+                    return None
+            else:
+                # an unrecognized step kind could affect stored values
+                # (e.g. a future read-time cast) — decline rather than
+                # pretend the lineage is rename-only
                 return None
         return names
 

@@ -171,13 +171,23 @@ def _partition_values(rel: str) -> dict[str, object]:
 
 
 def _inject_partition_stats(st: dict, rel: str) -> None:
+    # EVERY partition key in the path joins the name list, including
+    # keys whose value _partition_values declines as unrepresentable:
+    # the name list must say "this file HAS the column" so a
+    # metadata aggregate probing it finds the name, misses the stats,
+    # and DECLINES — omitting it would read as "era predates the
+    # column" and silently contribute zero (r11 review)
+    if "names" in st:
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k = seg.partition("=")[0]
+                if k not in st["names"]:
+                    st["names"].append(k)
     for k, v in _partition_values(rel).items():
         if v is None:
             st["cols"][k] = {"min": None, "max": None, "nulls": st["rows"]}
         else:
             st["cols"][k] = {"min": v, "max": v, "nulls": 0}
-        if "names" in st and k not in st["names"]:
-            st["names"].append(k)
 
 
 def _collect_group_stats(group_dir: str) -> dict | None:
@@ -820,39 +830,29 @@ def metadata_aggregate(
             continue
         acc = None
         total = 0
-        found_any = not (aliases and arg in aliases)
+        aliased = bool(aliases and arg in aliases)
+        low_aliases = [a.lower() for a in aliases[arg]] if aliased else []
+        found_any = not aliased
         for st in per_file:
             if st["rows"] == 0:
                 continue
             probe = arg
-            if aliases and arg in aliases:
+            if aliased:
                 # match case-insensitively (Spark resolution is), but
-                # probe the stats under the file's OWN spelling
+                # probe the stats under the file's OWN spelling; a miss
+                # on the recorded name list means the era predates the
+                # column (all NULL here), a miss on a legacy manifest
+                # (no name list) is ambiguous and declines
                 names = st.get("names")
-                if names is not None:
-                    low = {n.lower(): n for n in names}
-                    probe = next(
-                        (
-                            low[a.lower()]
-                            for a in aliases[arg]
-                            if a.lower() in low
-                        ),
-                        None,
-                    )
-                    if probe is None:
-                        continue  # era predates the column: all NULL here
-                else:
-                    lowc = {n.lower(): n for n in st["cols"]}
-                    probe = next(
-                        (
-                            lowc[a.lower()]
-                            for a in aliases[arg]
-                            if a.lower() in lowc
-                        ),
-                        None,
-                    )
-                    if probe is None:
-                        return None  # legacy manifest: absence ambiguous
+                pool = names if names is not None else st["cols"]
+                lowered = {n.lower(): n for n in pool}
+                probe = next(
+                    (lowered[a] for a in low_aliases if a in lowered), None
+                )
+                if probe is None:
+                    if names is not None:
+                        continue
+                    return None
                 found_any = True
             ent = st["cols"].get(probe)
             if ent is None:

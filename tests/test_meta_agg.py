@@ -211,3 +211,30 @@ def test_meta_agg_evolved_count_col_rename_only(spark, repo):
     assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 40
     with pytest.raises(Exception):
         sql.sql("SELECT COUNT(bonus) AS nb FROM t").collect()
+
+
+def test_meta_agg_evolved_count_partition_col_declines_not_undercounts(
+    spark, repo
+):
+    """r11 review: on an evolved table, COUNT(partition_col) where some
+    partition VALUE is one the path-stats decline as unrepresentable
+    (digits/dashes in a string) must fall to the scan — the name list
+    records the key even without stats, so the probe finds the name,
+    misses the stats, and declines instead of counting that file as
+    zero."""
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 10, "b").otherwise("a-1").alias("cat"),
+    )
+    repo.write_table("main", "t", df, partition_by=["cat"])
+    repo.commit("main", "v1")
+    repo.alter_rename_column(spark, "main", "t", "k", "kk")
+    sql = LakeSQL(spark, repo, "main")
+    # while data exists the scan answers exactly
+    assert sql.sql("SELECT COUNT(cat) AS n FROM t").first().n == 20
+    _gut_data_files(repo)
+    # COUNT(*) stays metadata; COUNT(cat) must now fail loudly (scan
+    # path, files gone) rather than answer 10
+    assert sql.sql("SELECT COUNT(*) AS n FROM t").first().n == 20
+    with pytest.raises(Exception):
+        sql.sql("SELECT COUNT(cat) AS n FROM t").collect()
