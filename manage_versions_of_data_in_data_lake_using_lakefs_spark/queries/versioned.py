@@ -11,6 +11,7 @@ fails. Behavioral invariants live in tests/test_versioning.py.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -681,7 +682,61 @@ ORDER BY state
 """
 
 
+def q_versioned_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO (r11 — Databricks' idempotent bulk load, the standard
+    landing-zone ingestion statement): two landed parquet batches load
+    into a versioned table; the statement re-runs between batches and
+    after both, proving exactly-once ingestion under loader retries
+    (already-loaded files skip, no duplicate rows, no empty commits).
+    Value parity vs the oracle's plain SELECT proves the loaded rows
+    are exactly the landed ones; the pins certify the idempotence
+    arithmetic (skip counts, zero re-inserted rows)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    land = tempfile.mkdtemp(prefix="lakegraft_land_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.where(F.col("o_orderkey") % 3 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "batch1"))
+    sql = LakeSQL(spark, repo, "main")
+    r1 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    r_retry = sql.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET"
+    ).first()
+    orders.where(F.col("o_orderkey") % 3 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "batch2"))
+    r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    idempotent = int(
+        r_retry.num_inserted_rows == 0
+        and r_retry.num_loaded_files == 0
+        and r_retry.num_skipped_files == r1.num_loaded_files
+        and r2.num_skipped_files == r1.num_loaded_files
+    )
+    return repo.read_table(spark, "t", "main").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+        F.min("o_orderkey").alias("min_key"),
+        F.lit(idempotent).cast("int").alias("idempotent"),
+    )
+
+
+ORACLE_VERSIONED_COPY_INTO = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_totalprice,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(1 AS INTEGER) AS idempotent
+FROM orders WHERE o_orderkey % 3 < 2
+"""
+
+
 VERSIONED_QUERIES = {
+    "versioned_copy_into": q_versioned_copy_into,
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_branch_merge": q_versioned_branch_merge,
     "versioned_incremental_agg": q_versioned_incremental_agg,
@@ -813,4 +868,5 @@ VERSIONED_ORACLES = {
     "versioned_dv_purge": ORACLE_VERSIONED_DV_PURGE,
     "versioned_table_changes": ORACLE_VERSIONED_TABLE_CHANGES,
     "versioned_push_pull": ORACLE_VERSIONED_PUSH_PULL,
+    "versioned_copy_into": ORACLE_VERSIONED_COPY_INTO,
 }

@@ -149,6 +149,14 @@ _DROP_CONSTRAINT_RE = re.compile(
     re.IGNORECASE,
 )
 _SQL_TYPE = r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+_COPY_INTO_RE = re.compile(
+    rf"^\s*COPY\s+INTO\s+(?P<table>{_IDENT})\s+FROM\s+"
+    r"'(?P<src>[^']+)'\s+FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)\b"
+    r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<fopts>[^)]*)\s*\))?"
+    r"(?:\s+COPY_OPTIONS\s*\(\s*(?P<copts>[^)]*)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPT_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _CLONE_RE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?P<dst>{_IDENT})\s+SHALLOW\s+CLONE\s+"
     rf"(?P<src>{_IDENT})\s*;?\s*$",
@@ -636,6 +644,138 @@ class LakeSQL:
         return self.spark.createDataFrame(
             [(name, c.version, len(head.tables[name]))],
             "table STRING, version INT, file_groups INT",
+        )
+
+    def _copy_into(
+        self,
+        table: str,
+        src: str,
+        fmt: str,
+        fopts: dict[str, str],
+        copts: dict[str, str],
+    ) -> DataFrame:
+        """``COPY INTO t FROM '<path|glob|dir>' FILEFORMAT = PARQUET|CSV|
+        JSON [FORMAT_OPTIONS('k'='v', ...)] [COPY_OPTIONS('force'=
+        'true')]`` — Databricks' idempotent bulk load, the standard
+        landing-zone → lakehouse ingestion statement. Files already
+        loaded into the table are SKIPPED on re-run (exactly-once
+        ingestion even when the loader itself retries): the loaded set
+        rides a hidden versioned object (``_copyinto/<t>.json``), so it
+        branches, merges, pushes, and time-travels with the table —
+        re-running on an old branch sees that branch's loaded set.
+
+        Strict postures: a previously loaded file whose size/mtime
+        CHANGED raises (the landing-zone contract is immutable files;
+        silently skipping would hide data, silently reloading would
+        duplicate it) — ``'force'='true'`` reloads everything matched
+        and re-records it. When the target exists, source columns align
+        BY NAME (case-insensitive) and cast to the target's types;
+        missing or extra columns raise. A first COPY INTO an unknown
+        table creates it with the source schema. Scale shape: one
+        distributed read over only the NEW files + one append — cost
+        proportional to the delta, never the table."""
+        import glob as globmod
+        import json
+
+        try:
+            name = self._resolve_table(table)
+        except KeyError:
+            name = table.strip("`").lower()
+        # enumerate concrete files: globs expand, directories walk
+        # (hidden/underscore files skipped, Spark's listing convention)
+        paths: list[str] = []
+        for hit in sorted(globmod.glob(src, recursive=True)) or []:
+            if os.path.isdir(hit):
+                for dp, _dn, fns in os.walk(hit):
+                    paths.extend(
+                        os.path.join(dp, fn)
+                        for fn in sorted(fns)
+                        if not fn.startswith(("_", "."))
+                    )
+            elif os.path.isfile(hit):
+                paths.append(hit)
+        if not paths:
+            raise FileNotFoundError(f"COPY INTO: no files match {src!r}")
+        force = copts.get("force", "").lower() == "true"
+        reg_path = f"_copyinto/{name}.json"
+        try:
+            reg = json.loads(
+                self.repo.get_object(reg_path, self.branch, include_staged=True)
+            )
+        except KeyError:
+            reg = {"files": {}}
+        loaded = reg["files"]
+        new: list[str] = []
+        skipped = 0
+        for p in paths:
+            st = os.stat(p)
+            sig = [st.st_size, st.st_mtime_ns]
+            prev = loaded.get(p)
+            if prev is not None and not force:
+                if prev != sig:
+                    raise ValueError(
+                        f"COPY INTO {name!r}: previously loaded file {p!r} "
+                        f"has CHANGED (size/mtime differ) — landing-zone "
+                        f"files must be immutable; re-land under a new "
+                        f"name, or COPY_OPTIONS('force'='true') to reload "
+                        f"everything matched"
+                    )
+                skipped += 1
+                continue
+            loaded[p] = sig
+            new.append(p)
+        if not new:
+            return self.spark.createDataFrame(
+                [(0, 0, skipped)],
+                "num_inserted_rows LONG, num_loaded_files INT, "
+                "num_skipped_files INT",
+            )
+        reader = self.spark.read
+        for k, v in fopts.items():
+            reader = reader.option(k, v)
+        if fmt == "csv" and "header" not in {k.lower() for k in fopts}:
+            reader = reader.option("header", "true")
+        df = reader.format(fmt).load(new)
+        exists = name in {t.lower() for t in self.repo.list_tables(self.branch)}
+        if exists:
+            target = self.repo.read_table(
+                self.spark, name, ref=self.branch, include_staged=True
+            )
+            have = {c.lower(): c for c in df.columns}
+            missing = [
+                f.name for f in target.schema.fields if f.name.lower() not in have
+            ]
+            extra = sorted(
+                set(have) - {f.name.lower() for f in target.schema.fields}
+            )
+            if missing or extra:
+                raise ValueError(
+                    f"COPY INTO {name!r}: source columns must match the "
+                    f"target BY NAME — missing {missing}, extra {extra}"
+                )
+            df = df.select(
+                *[
+                    F.col(have[f.name.lower()])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+        df = df.persist()
+        try:
+            rows = df.count()
+            self.repo.write_table(self.branch, name, df, mode="append")
+            self.repo.put_object(self.branch, reg_path, json.dumps(reg))
+            self.repo.commit(
+                self.branch,
+                f"SQL: COPY INTO {name} ({len(new)} files, {rows} rows)",
+            )
+        finally:
+            df.unpersist(blocking=False)
+        return self.spark.createDataFrame(
+            [(rows, len(new), skipped)],
+            "num_inserted_rows LONG, num_loaded_files INT, "
+            "num_skipped_files INT",
         )
 
     def describe_stats(self, table: str) -> DataFrame:
@@ -2122,6 +2262,15 @@ class LakeSQL:
                 out.unpersist(blocking=False)
             return self.spark.createDataFrame(
                 [(path, fmt, rows)], "path STRING, format STRING, rows_copied LONG"
+            )
+        m = _COPY_INTO_RE.match(query)
+        if m:
+            return self._copy_into(
+                m.group("table"),
+                m.group("src"),
+                m.group("fmt").lower(),
+                dict(_OPT_PAIR_RE.findall(m.group("fopts") or "")),
+                dict(_OPT_PAIR_RE.findall(m.group("copts") or "")),
             )
         m = _CLONE_RE.match(query)
         if m:

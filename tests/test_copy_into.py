@@ -1,0 +1,119 @@
+"""COPY INTO (r11): Databricks' idempotent bulk load — exactly-once file
+ingestion into a versioned table, with the loaded-file set riding a
+hidden versioned object (branch/time-travel/push consistent)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+def _land(spark, path, lo, hi):
+    spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_copy_into_idempotent_and_incremental(spark, repo, tmp_path):
+    land = str(tmp_path / "landing")
+    _land(spark, os.path.join(land, "batch1"), 0, 10)
+    sql = LakeSQL(spark, repo, "main")
+    r = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r.num_inserted_rows == 10 and r.num_loaded_files >= 1
+    assert r.num_skipped_files == 0
+    v1 = repo.head("main").version
+    # re-run: every file skips, NO new commit (exactly-once under retry)
+    r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r2.num_inserted_rows == 0 and r2.num_loaded_files == 0
+    assert r2.num_skipped_files == r.num_loaded_files
+    assert repo.head("main").version == v1
+    # a new landed batch loads ONLY its own rows
+    _land(spark, os.path.join(land, "batch2"), 10, 15)
+    r3 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r3.num_inserted_rows == 5 and r3.num_skipped_files >= 1
+    got = sorted(x.k for x in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(15))
+    # the loaded set is branch state: a branch cut BEFORE batch2 only
+    # knows batch1, so COPY INTO there loads batch2 independently
+    repo.create_branch("b", "main")
+    assert sorted(
+        x.k for x in repo.read_table(spark, "t", "b").collect()
+    ) == list(range(15))
+
+
+def test_copy_into_changed_file_raises_force_reloads(spark, repo, tmp_path):
+    land = str(tmp_path / "landing")
+    _land(spark, os.path.join(land, "batch1"), 0, 5)
+    sql = LakeSQL(spark, repo, "main")
+    sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+    # mutate a landed file IN PLACE (same path, new mtime — the
+    # landing-zone contract violation; a rewrite under a NEW name is
+    # just a new file and loads normally)
+    part = next(
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(land)
+        for fn in sorted(fns)
+        if fn.endswith(".parquet")
+    )
+    ns = time.time_ns()
+    os.utime(part, ns=(ns, ns))
+    with pytest.raises(ValueError, match="CHANGED"):
+        sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+    # force reloads everything matched (documented duplication)
+    r = sql.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+        f"COPY_OPTIONS ('force' = 'true')"
+    ).first()
+    assert r.num_inserted_rows == 5
+    assert repo.read_table(spark, "t", "main").count() == 10
+    # after force re-records, a plain re-run skips again
+    r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r2.num_inserted_rows == 0
+
+
+def test_copy_into_csv_schema_alignment_and_guards(spark, repo, tmp_path):
+    land = str(tmp_path / "csv")
+    spark.range(0, 6).select(
+        (F.col("id") * 3).alias("v"), F.col("id").alias("k")  # reordered
+    ).coalesce(1).write.mode("overwrite").option("header", True).csv(land)
+    repo.write_table(
+        "main", "t",
+        spark.range(0, 0).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("v")
+        ),
+    )
+    repo.commit("main", "schema")
+    sql = LakeSQL(spark, repo, "main")
+    r = sql.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = CSV "
+        f"FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')"
+    ).first()
+    assert r.num_inserted_rows == 6
+    got = {x.k: x.v for x in repo.read_table(spark, "t", "main").collect()}
+    assert got == {k: 3 * k for k in range(6)}  # by-name, not positional
+    # the cast pinned the target's INT type despite CSV inference
+    assert dict(repo.read_table(spark, "t", "main").dtypes)["v"] == "int"
+    # extra/missing columns raise
+    land2 = str(tmp_path / "csv2")
+    spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("v"), F.col("id").alias("z")
+    ).coalesce(1).write.mode("overwrite").option("header", True).csv(land2)
+    with pytest.raises(ValueError, match="BY NAME"):
+        sql.sql(
+            f"COPY INTO t FROM '{land2}' FILEFORMAT = CSV "
+            f"FORMAT_OPTIONS ('header' = 'true')"
+        )
+    with pytest.raises(FileNotFoundError):
+        sql.sql(f"COPY INTO t FROM '{tmp_path}/nope' FILEFORMAT = PARQUET")
+    assert not repo.status("main")
