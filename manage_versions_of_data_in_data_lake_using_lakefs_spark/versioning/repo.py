@@ -821,6 +821,45 @@ class LakeRepo:
                 return None
         return names
 
+    def _union_copyinto_blobs(
+        self, path: str, s_rel: str | None, d_rel: str | None, b_rel: str | None
+    ) -> str | None:
+        """COPY INTO loaded-file registries are union-able maps of
+        IMMUTABLE landed files, so both-sides-changed need not conflict
+        (r11 review — object conflicts otherwise have no resolution
+        path): merged = base ∪ src ∪ dst. The same landed path with
+        DIFFERENT signatures on the two sides is the immutability
+        violation COPY INTO itself raises on — that stays a real
+        conflict (returns None), as does a side that deleted the
+        registry outright (a DROP racing a load is genuinely
+        ambiguous). Returns the merged blob's stored rel path."""
+        import json
+
+        if not path.startswith("_copyinto/") or s_rel is None or d_rel is None:
+            return None
+
+        def load(rel: str | None) -> dict:
+            if rel is None:
+                return {"files": {}}
+            with open(os.path.join(self.root, rel)) as f:
+                return json.loads(f.read())
+
+        try:
+            srcm, dstm, basem = load(s_rel), load(d_rel), load(b_rel)
+        except Exception:
+            return None
+        out = dict(basem.get("files", {}))
+        for m in (srcm, dstm):
+            for k, sig in m.get("files", {}).items():
+                if k in out and out[k] != sig:
+                    return None  # same landed path, different bytes
+                out[k] = sig
+        blob = self._object_blob(new_id())
+        os.makedirs(os.path.dirname(blob), exist_ok=True)
+        with open(blob, "w") as f:
+            json.dump({"files": out}, f)
+        return os.path.relpath(blob, self.root)
+
     def _constraint_refs(self, table: str, branch: str, col: str) -> list[str]:
         """Names of CHECK constraints whose expression mentions ``col``
         (word-boundary match — conservative enough for identifiers)."""
@@ -1084,6 +1123,20 @@ class LakeRepo:
             pass
 
     @staticmethod
+    def _copyinto_path(table: str) -> str:
+        return f"_copyinto/{table}.json"
+
+    def _drop_copyinto_object(self, branch: str, table: str) -> None:
+        """Remove a table's COPY INTO loaded-file registry if present —
+        a dropped/replaced table's successor must start with an empty
+        loaded set, or a drop-and-reload would silently load nothing
+        (r11 review)."""
+        try:
+            self.delete_object(branch, self._copyinto_path(table))
+        except KeyError:
+            pass
+
+    @staticmethod
     def _check_rows(df: DataFrame, cons: dict[str, str], context: str) -> None:
         """Raise ConstraintViolation if any row of ``df`` evaluates any
         CHECK expression to FALSE. ONE combined scan for the whole
@@ -1184,6 +1237,7 @@ class LakeRepo:
             self._write_ref(branch, ref)
         self._drop_constraints_object(branch, table)
         self._drop_schema_map_object(branch, table)
+        self._drop_copyinto_object(branch, table)
 
     def status(self, branch: str) -> dict:
         """Uncommitted staged changes on a branch (tables + objects)."""
@@ -2197,7 +2251,11 @@ class LakeRepo:
                 if d is not None:
                     merged_objects[p] = d
             else:
-                conflicts.append(f"object:{p}")
+                union = self._union_copyinto_blobs(p, s, d, b)
+                if union is not None:
+                    merged_objects[p] = union
+                else:
+                    conflicts.append(f"object:{p}")
         if conflicts:
             raise MergeConflict(
                 f"merge {source}→{dest}: both sides changed {conflicts}; "

@@ -671,9 +671,15 @@ class LakeSQL:
         and re-records it. When the target exists, source columns align
         BY NAME (case-insensitive) and cast to the target's types;
         missing or extra columns raise. A first COPY INTO an unknown
-        table creates it with the source schema. Scale shape: one
-        distributed read over only the NEW files + one append — cost
-        proportional to the delta, never the table."""
+        table creates it with the source schema. Format options pass
+        straight to the Spark reader with Spark's own defaults (CSV
+        header defaults FALSE, like Databricks COPY INTO — pass
+        FORMAT_OPTIONS('header'='true') for headered files). DROP TABLE
+        clears the registry (a successor table starts unloaded), and
+        merges UNION two branches' registries (immutable landed files —
+        only a same-path-different-bytes clash conflicts). Scale shape:
+        one distributed read over only the NEW files + one append —
+        cost proportional to the delta, never the table."""
         import glob as globmod
         import json
 
@@ -681,23 +687,40 @@ class LakeSQL:
             name = self._resolve_table(table)
         except KeyError:
             name = table.strip("`").lower()
-        # enumerate concrete files: globs expand, directories walk
-        # (hidden/underscore files skipped, Spark's listing convention)
+        # enumerate concrete files: globs expand, directories walk.
+        # Hidden/underscore names are skipped EVERYWHERE — files, walked
+        # directories (a crashed writer's _temporary/ holds partial task
+        # files a real Spark read would never see), and direct glob hits
+        # (so '/land/*' never tries to parse _SUCCESS) — Spark's listing
+        # convention.
+        def _visible(n: str) -> bool:
+            return not os.path.basename(n).startswith(("_", "."))
+
         paths: list[str] = []
         for hit in sorted(globmod.glob(src, recursive=True)) or []:
             if os.path.isdir(hit):
-                for dp, _dn, fns in os.walk(hit):
+                if not _visible(hit) and hit != src.rstrip("/"):
+                    continue
+                for dp, dn, fns in os.walk(hit):
+                    dn[:] = sorted(d for d in dn if _visible(d))
                     paths.extend(
                         os.path.join(dp, fn)
                         for fn in sorted(fns)
-                        if not fn.startswith(("_", "."))
+                        if _visible(fn)
                     )
-            elif os.path.isfile(hit):
+            elif os.path.isfile(hit) and _visible(hit):
                 paths.append(hit)
         if not paths:
             raise FileNotFoundError(f"COPY INTO: no files match {src!r}")
+        copts = {k.lower(): v for k, v in copts.items()}
+        unknown = set(copts) - {"force"}
+        if unknown:
+            raise ValueError(
+                f"COPY INTO: unknown COPY_OPTIONS {sorted(unknown)} — "
+                f"supported: 'force'"
+            )
         force = copts.get("force", "").lower() == "true"
-        reg_path = f"_copyinto/{name}.json"
+        reg_path = self.repo._copyinto_path(name)
         try:
             reg = json.loads(
                 self.repo.get_object(reg_path, self.branch, include_staged=True)
@@ -733,14 +756,17 @@ class LakeSQL:
         reader = self.spark.read
         for k, v in fopts.items():
             reader = reader.option(k, v)
-        if fmt == "csv" and "header" not in {k.lower() for k in fopts}:
-            reader = reader.option("header", "true")
         df = reader.format(fmt).load(new)
-        exists = name in {t.lower() for t in self.repo.list_tables(self.branch)}
-        if exists:
+        # staged-inclusive, case-robust existence probe: the BY-NAME
+        # alignment below must fire for mixed-case and staged-only
+        # targets too (r11 review)
+        try:
             target = self.repo.read_table(
                 self.spark, name, ref=self.branch, include_staged=True
             )
+        except KeyError:
+            target = None
+        if target is not None:
             have = {c.lower(): c for c in df.columns}
             missing = [
                 f.name for f in target.schema.fields if f.name.lower() not in have

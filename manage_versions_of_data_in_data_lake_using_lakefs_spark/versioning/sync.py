@@ -100,6 +100,10 @@ class ObjectStoreCopyBackend(CopyBackend):
         self.client.copy_object(src, dst)
 
     def transfer_tree(self, src: str, dst: str) -> None:
+        # create the root even when the prefix lists no objects: the
+        # caller renames the temp tree unconditionally, and an EMPTY
+        # source dir must publish like the shutil backend does
+        os.makedirs(dst, exist_ok=True)
         for key in self.client.list_keys(src):
             rel = os.path.relpath(key, src)
             self.client.copy_object(key, os.path.join(dst, rel))

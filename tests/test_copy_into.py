@@ -39,17 +39,72 @@ def test_copy_into_idempotent_and_incremental(spark, repo, tmp_path):
     assert r2.num_skipped_files == r.num_loaded_files
     assert repo.head("main").version == v1
     # a new landed batch loads ONLY its own rows
+    # a branch cut BEFORE batch2 exists: its loaded set knows batch1 only
+    repo.create_branch("b", "main")
     _land(spark, os.path.join(land, "batch2"), 10, 15)
     r3 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
     assert r3.num_inserted_rows == 5 and r3.num_skipped_files >= 1
     got = sorted(x.k for x in repo.read_table(spark, "t", "main").collect())
     assert got == list(range(15))
-    # the loaded set is branch state: a branch cut BEFORE batch2 only
-    # knows batch1, so COPY INTO there loads batch2 independently
-    repo.create_branch("b", "main")
+    # the loaded set is BRANCH state: COPY INTO on b loads batch2
+    # independently (b's registry never saw it) and skips batch1
+    rb = LakeSQL(spark, repo, "b").sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET"
+    ).first()
+    assert rb.num_inserted_rows == 5 and rb.num_skipped_files >= 1
     assert sorted(
         x.k for x in repo.read_table(spark, "t", "b").collect()
     ) == list(range(15))
+    # a writer crash's _temporary droppings and _SUCCESS markers are
+    # invisible — to the directory walk AND to a bare glob
+    os.makedirs(os.path.join(land, "batch2", "_temporary", "0"), exist_ok=True)
+    with open(
+        os.path.join(land, "batch2", "_temporary", "0", "part-junk.parquet"),
+        "wb",
+    ) as f:
+        f.write(b"not parquet")
+    r4 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r4.num_inserted_rows == 0 and r4.num_loaded_files == 0
+    r5 = sql.sql(
+        f"COPY INTO t FROM '{os.path.join(land, 'batch1', '*')}' "
+        f"FILEFORMAT = PARQUET"
+    ).first()
+    assert r5.num_loaded_files == 0  # _SUCCESS not matched, parts skipped
+    # unknown COPY_OPTIONS are loud, not silently ignored
+    with pytest.raises(ValueError, match="unknown COPY_OPTIONS"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"COPY_OPTIONS ('fore' = 'true')"
+        )
+    # DROP TABLE clears the registry: a drop-and-reload really loads
+    sql.sql("DROP TABLE t")
+    r6 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r6.num_inserted_rows == 15 and r6.num_skipped_files == 0
+    assert repo.read_table(spark, "t", "main").count() == 15
+
+
+def test_copy_into_registries_union_across_merge(spark, repo, tmp_path):
+    """r11 review: two branches' loaded sets are union-able maps of
+    immutable files — merging them must not conflict; a same-path
+    different-bytes clash still does."""
+    land = str(tmp_path / "landing")
+    _land(spark, os.path.join(land, "batch1"), 0, 5)
+    sql = LakeSQL(spark, repo, "main")
+    sql.sql(f"COPY INTO t FROM '{land}/batch1' FILEFORMAT = PARQUET")
+    repo.create_branch("b", "main")
+    _land(spark, os.path.join(land, "batch2"), 5, 8)
+    _land(spark, os.path.join(land, "batch3"), 8, 12)
+    sql.sql(f"COPY INTO t FROM '{land}/batch2' FILEFORMAT = PARQUET")
+    LakeSQL(spark, repo, "b").sql(
+        f"COPY INTO t FROM '{land}/batch3' FILEFORMAT = PARQUET"
+    )
+    repo.merge(spark, "b", "main", keys={"t": ["k"]})
+    assert sorted(
+        x.k for x in repo.read_table(spark, "t", "main").collect()
+    ) == list(range(12))
+    # the merged registry knows BOTH sides' files: nothing reloads
+    r = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r.num_inserted_rows == 0 and r.num_skipped_files == 3
 
 
 def test_copy_into_changed_file_raises_force_reloads(spark, repo, tmp_path):
