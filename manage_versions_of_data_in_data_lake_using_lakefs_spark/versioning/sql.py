@@ -250,7 +250,8 @@ _DESCRIBE_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _MERGE_INTO_RE = re.compile(
-    rf"^\s*MERGE\s+INTO\s+(?P<table>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
+    rf"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
+    rf"(?P<table>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
     r"\s+USING\s+(?P<body>.+?)"
     r"(?P<clauses>\s+WHEN\s+(?:NOT\s+)?MATCHED\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -341,6 +342,7 @@ _CTAS_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+INTO\s+(?P<table>{_IDENT})\s+"
+    r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s+)?"
     r"(?P<body>(?:SELECT|VALUES)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -849,7 +851,12 @@ class LakeSQL:
         )
 
     def _merge_into(
-        self, table: str, talias: str | None, body: str, clauses: str
+        self,
+        table: str,
+        talias: str | None,
+        body: str,
+        clauses: str,
+        evolve: bool = False,
     ) -> DataFrame:
         """``MERGE INTO t [AS a] USING <table|(SELECT ...)> [AS b]
         ON a.k = b.k [AND ...]
@@ -1016,6 +1023,30 @@ class LakeSQL:
         target = self.repo.read_table(
             self.spark, name, ref=self.branch, include_staged=True
         )
+        # MERGE WITH SCHEMA EVOLUTION (Delta 3.x spelling of automerge):
+        # source columns absent from the target JOIN the target schema —
+        # the rewrite route overwrites the whole snapshot, so the
+        # extended view (existing rows read the new columns as NULL)
+        # makes every downstream scope — pass-through, SET/INSERT *
+        # expansion, BY-SOURCE projections — uniform. SET * then updates
+        # only source-named columns and INSERT * fills target-only
+        # columns with NULL (Delta's automerge table); without
+        # evolution, both keep the strict all-columns contract.
+        new_fields = []
+        if evolve:
+            tlower = {f.name.lower() for f in target.schema.fields}
+            new_fields = [
+                f for f in sdf.schema.fields if f.name.lower() not in tlower
+            ]
+            if new_fields:
+                target = target.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in new_fields
+                    ],
+                )
+        src_lower = {c.lower() for c in sdf.columns}
         resolved = {f.name.lower(): f.name for f in target.schema.fields}
         # targets written before the write-time __lg_ guard existed
         # would shadow the lateral clause-index alias too
@@ -1057,6 +1088,12 @@ class LakeSQL:
                     assigns = {
                         f.name: f"{sa}.`{f.name}`"
                         for f in target.schema.fields
+                        # with evolution, SET * updates only the
+                        # source-named columns (target-only columns keep
+                        # their values); without it, the strict contract
+                        # stands — a source lacking a target column is a
+                        # loud analysis error
+                        if not evolve or f.name.lower() in src_lower
                     }
                 else:
                     assigns = _parse_assigns(sets_text)
@@ -1081,19 +1118,31 @@ class LakeSQL:
         i_clauses: list[tuple[str | None, dict[str, str]]] = []
         for cond, m in i_raw:
             if m.group("star"):
-                missing = [
-                    f.name
-                    for f in target.schema.fields
-                    if f.name not in sdf.columns
-                ]
-                if missing:
-                    raise ValueError(
-                        f"MERGE INSERT *: source lacks target columns "
-                        f"{missing}"
-                    )
-                exprs = {
-                    f.name: f"{sa}.`{f.name}`" for f in target.schema.fields
-                }
+                if evolve:
+                    # automerge: target-only columns insert as NULL
+                    exprs = {
+                        f.name: (
+                            f"{sa}.`{f.name}`"
+                            if f.name.lower() in src_lower
+                            else "NULL"
+                        )
+                        for f in target.schema.fields
+                    }
+                else:
+                    missing = [
+                        f.name
+                        for f in target.schema.fields
+                        if f.name not in sdf.columns
+                    ]
+                    if missing:
+                        raise ValueError(
+                            f"MERGE INSERT *: source lacks target columns "
+                            f"{missing}"
+                        )
+                    exprs = {
+                        f.name: f"{sa}.`{f.name}`"
+                        for f in target.schema.fields
+                    }
             else:
                 cols = [
                     c.strip() for c in _split_top_level(m.group("cols"))
@@ -1143,6 +1192,11 @@ class LakeSQL:
             dv_texts.extend(exprs.values())
         if (
             self.dv_writes
+            # an actually-evolving merge changes the STORED schema —
+            # the rewrite route owns that (it overwrites the snapshot
+            # with the extended schema); a WITH SCHEMA EVOLUTION whose
+            # source adds no columns routes normally
+            and not new_fields
             # only the SET/INSERT expressions and the clause conditions
             # can smuggle a subquery — the ON condition is already
             # constrained to alias.col equality pairs and the USING
@@ -1653,10 +1707,15 @@ class LakeSQL:
             raise
         return self._dml_result(name, c.version, rows)
 
-    def _insert(self, table: str, body: str) -> DataFrame:
-        """INSERT INTO t SELECT ... | VALUES (...), ... — positional
-        column alignment with a cast to the target schema (Delta
-        semantics); append-mode schema policy enforced by write_table."""
+    def _insert(
+        self, table: str, body: str, cols: str | None = None
+    ) -> DataFrame:
+        """``INSERT INTO t [(c1, c2, ...)] SELECT ... | VALUES (...),
+        ...`` — positional column alignment with a cast to the target
+        schema (Delta semantics); with an explicit column list (r11),
+        the provided values align positionally to the NAMED columns and
+        every unnamed stored column inserts NULL. Append-mode schema
+        policy enforced by write_table."""
         name = self._resolve_table(table)
         target = self.repo.read_table(self.spark, name, ref=self.branch, include_staged=True)
         if body.lstrip()[:6].upper() == "VALUES":
@@ -1669,18 +1728,51 @@ class LakeSQL:
             self.repo.table_schema_map(name, ref=self.branch)
         )
         fields = [f for f in target.schema.fields if f.name.lower() not in gen]
-        if len(src.columns) != len(fields):
-            raise ValueError(
-                f"INSERT column count {len(src.columns)} != target arity "
-                f"{len(fields)} for {name!r}"
-                + (f" (GENERATED {sorted(gen)} are computed, not inserted)" if gen else "")
+        if cols is not None:
+            resolved = {f.name.lower(): f for f in fields}
+            named: list = []
+            for c in _split_top_level(cols):
+                key = c.strip().strip("`").lower()
+                if key not in resolved:
+                    raise KeyError(
+                        f"INSERT {name!r}: no insertable column {c.strip()!r}"
+                        + (
+                            f" (GENERATED {sorted(gen)} are computed)"
+                            if key in gen
+                            else ""
+                        )
+                    )
+                f = resolved[key]
+                if f in named:
+                    raise ValueError(f"INSERT: duplicate column {f.name!r}")
+                named.append(f)
+            if len(src.columns) != len(named):
+                raise ValueError(
+                    f"INSERT column list names {len(named)} columns but "
+                    f"{len(src.columns)} values are provided for {name!r}"
+                )
+            by_field = dict(zip((f.name for f in named), src.columns))
+            aligned = src.select(
+                *[
+                    F.col(by_field[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in by_field
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ]
             )
-        aligned = src.select(
-            *[
-                F.col(c).cast(f.dataType).alias(f.name)
-                for c, f in zip(src.columns, fields)
-            ]
-        )
+        else:
+            if len(src.columns) != len(fields):
+                raise ValueError(
+                    f"INSERT column count {len(src.columns)} != target arity "
+                    f"{len(fields)} for {name!r}"
+                    + (f" (GENERATED {sorted(gen)} are computed, not inserted)" if gen else "")
+                )
+            aligned = src.select(
+                *[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(src.columns, fields)
+                ]
+            )
         rows = aligned.count()
         self.repo.write_table(self.branch, name, aligned, mode="append")
         c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
@@ -2451,7 +2543,7 @@ class LakeSQL:
             )
         m = _INSERT_RE.match(query)
         if m:
-            return self._insert(m.group("table"), m.group("body"))
+            return self._insert(m.group("table"), m.group("body"), m.group("cols"))
         m = _MERGE_INTO_RE.match(query)
         if m:
             return self._merge_into(
@@ -2459,6 +2551,7 @@ class LakeSQL:
                 m.group("talias"),
                 m.group("body"),
                 m.group("clauses"),
+                evolve=m.group("evolve") is not None,
             )
         m = _DELETE_RE.match(query)
         if m:

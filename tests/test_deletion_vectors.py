@@ -1540,3 +1540,129 @@ def test_reserved_lg_namespace_guards(spark, repo):
     with pytest.raises(ValueError, match="reserved"):
         repo.delete_where_dv(spark, "main", "old", "k = 1")
     assert not repo.status("main")
+
+
+def test_merge_with_schema_evolution(spark, repo):
+    """r11: MERGE WITH SCHEMA EVOLUTION (Delta 3.x automerge) — source
+    columns absent from the target join the schema: existing rows read
+    NULL, INSERT * fills target-only columns with NULL, SET * updates
+    only source-named columns. Without the keyword the strict contract
+    stands. An actually-evolving merge declines the DV route (the
+    rewrite owns stored-schema changes) but still answers identically
+    under dv_writes=True via the fallback."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(5, 15).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7).alias("v"),
+            F.concat(F.lit("tag-"), F.col("id")).alias("note"),  # NEW column
+        ),
+    )
+    repo.commit("main", "base")
+    repo.create_branch("rw", "main")
+    stmt = (
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    for dv, branch in ((True, "main"), (False, "rw")):
+        r = LakeSQL(spark, repo, branch, dv_writes=dv).sql(stmt).first()
+        assert r.rows_affected == 10  # 5 updates + 5 inserts
+        got = {
+            x.k: (x.v, x.note)
+            for x in repo.read_table(spark, "t", branch).collect()
+        }
+        assert len(got) == 15
+        assert got[2] == (4, None), f"dv={dv}"      # untouched, NULL note
+        assert got[7] == (49, "tag-7")              # updated + evolved
+        assert got[12] == (84, "tag-12")            # inserted
+        # the evolving merge never birthed a vector (rewrite fallback)
+        assert DV_PREFIX + "t" not in repo._resolve(branch).tables
+    # WITHOUT the keyword, the same INSERT * still ignores the extra
+    # source column and SET * demands all target columns exist — the
+    # evolved target now has `note`, which s also has, so plain SET *
+    # works and `note` persists through a second, NON-evolving merge
+    repo.write_table(
+        "main", "s2", spark.range(20, 22).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v"),
+            F.concat(F.lit("tag-"), F.col("id")).alias("note"),
+            F.lit(1).alias("ignored_extra"),
+        ),
+    )
+    repo.commit("main", "s2")
+    r2 = LakeSQL(spark, repo, "main").sql(
+        "MERGE INTO t USING s2 ON t.k = s2.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert r2.rows_affected == 2
+    got2 = {x.k: x.note for x in repo.read_table(spark, "t", "main").collect()}
+    assert got2[20] == "tag-20" and "ignored_extra" not in (
+        repo.read_table(spark, "t", "main").columns
+    )
+
+
+def test_merge_schema_evolution_explicit_new_column(spark, repo):
+    """Evolution also admits explicitly NAMED new columns in SET and
+    INSERT (cols) — and a WITH SCHEMA EVOLUTION merge whose source adds
+    nothing routes through the DV path normally."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 6))
+    repo.write_table(
+        "main", "s",
+        spark.range(3, 9).select(
+            F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("nm")
+        ),
+    )
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    r = sql.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET nm = s.nm "
+        "WHEN NOT MATCHED THEN INSERT (k, nm) VALUES (s.k, s.nm)"
+    ).first()
+    assert r.rows_affected == 6
+    got = {x.k: (x.v, x.nm) for x in repo.read_table(spark, "t", "main").collect()}
+    assert got[1] == (2, None) and got[4] == (8, "n4") and got[7] == (None, "n7")
+    # same-schema source under WITH SCHEMA EVOLUTION: DV route runs
+    before = set(repo.current_files("main", "t"))
+    r2 = sql.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING "
+        "(SELECT k, concat('z', k) AS nm FROM s) s2 ON t.k = s2.k "
+        "WHEN MATCHED THEN UPDATE SET nm = s2.nm"
+    ).first()
+    assert r2.rows_affected == 6
+    assert before <= set(repo.current_files("main", "t"))  # zero rewrites
+    assert DV_PREFIX + "t" in repo._resolve("main").tables
+
+
+def test_insert_into_explicit_column_list(spark, repo):
+    """r11: INSERT INTO t (cols) VALUES/SELECT — named columns take the
+    values positionally, unnamed stored columns insert NULL; unknown,
+    duplicate, and arity-mismatched lists raise."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table(
+        "main", "t",
+        spark.range(0, 3).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit("x").alias("tag"),
+        ),
+    )
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main")
+    r = sql.sql("INSERT INTO t (tag, k) VALUES ('y', 10), ('z', 11)").first()
+    assert r.rows_affected == 2
+    got = {x.k: (x.v, x.tag) for x in repo.read_table(spark, "t", "main").collect()}
+    assert got[10] == (None, "y") and got[11] == (None, "z") and got[1] == (2, "x")
+    r2 = sql.sql("INSERT INTO t (k, v) SELECT 20, 40").first()
+    assert r2.rows_affected == 1
+    with pytest.raises(KeyError, match="no insertable column"):
+        sql.sql("INSERT INTO t (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="duplicate column"):
+        sql.sql("INSERT INTO t (k, k) VALUES (1, 2)")
+    with pytest.raises(ValueError, match="names 2 columns but"):
+        sql.sql("INSERT INTO t (k, v) VALUES (1)")
