@@ -341,8 +341,8 @@ _CTAS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+INTO\s+(?P<table>{_IDENT})\s+"
-    r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s+)?"
+    rf"^\s*INSERT\s+INTO\s+(?P<table>{_IDENT})\s*"
+    r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
     r"(?P<body>(?:SELECT|VALUES)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1035,8 +1035,53 @@ class LakeSQL:
         new_fields = []
         if evolve:
             tlower = {f.name.lower() for f in target.schema.fields}
-            new_fields = [
+            candidates = [
                 f for f in sdf.schema.fields if f.name.lower() not in tlower
+            ]
+            if len({f.name.lower() for f in candidates}) != len(candidates):
+                raise ValueError(
+                    "MERGE WITH SCHEMA EVOLUTION: source has new columns "
+                    "differing only in case — the stored schema would be "
+                    "ambiguous under Spark's case-insensitive resolution"
+                )
+            # Delta evolves only columns the merge actually REFERENCES:
+            # every new column under a SET * / INSERT * star expansion,
+            # plus any new column explicitly named as a SET target or in
+            # an INSERT column list. A delete-only (or
+            # old-columns-only) merge leaves the schema — and the DV
+            # route eligibility — untouched even when the source
+            # carries extra columns (r11 review).
+            star_used = any(
+                a == "update" and m.group("sets").strip() == "*"
+                for _c, a, m in m_raw
+            ) or any(m.group("star") for _c, m in i_raw)
+            named: set[str] = set()
+            if not star_used:
+                for _c, a, m in m_raw + bs_raw:
+                    if a != "update":
+                        continue
+                    for part in _split_top_level(m.group("sets")):
+                        am = _MERGE_ASSIGN_RE.match(part)
+                        if am:
+                            col = am.group("col").strip("`")
+                            qual = re.match(
+                                rf"^{re.escape(ta)}\s*\.\s*(.+)$",
+                                col,
+                                re.IGNORECASE,
+                            )
+                            if qual:
+                                col = qual.group(1).strip("`")
+                            named.add(col.lower())
+                for _c, m in i_raw:
+                    if not m.group("star"):
+                        named.update(
+                            c.strip().strip("`").lower()
+                            for c in _split_top_level(m.group("cols"))
+                        )
+            new_fields = [
+                f
+                for f in candidates
+                if star_used or f.name.lower() in named
             ]
             if new_fields:
                 target = target.select(
@@ -1129,10 +1174,12 @@ class LakeSQL:
                         for f in target.schema.fields
                     }
                 else:
+                    # case-insensitive, like Spark's own resolution (and
+                    # the evolve branch above)
                     missing = [
                         f.name
                         for f in target.schema.fields
-                        if f.name not in sdf.columns
+                        if f.name.lower() not in src_lower
                     ]
                     if missing:
                         raise ValueError(
@@ -1751,6 +1798,10 @@ class LakeSQL:
                     f"INSERT column list names {len(named)} columns but "
                     f"{len(src.columns)} values are provided for {name!r}"
                 )
+            # rename POSITIONALLY first (toDF): alignment must not care
+            # that the source repeats a column name (SELECT a, a) — a
+            # by-name mapping would hit an ambiguous-reference error
+            src = src.toDF(*[f"__ins{i}" for i in range(len(src.columns))])
             by_field = dict(zip((f.name for f in named), src.columns))
             aligned = src.select(
                 *[
@@ -1767,6 +1818,7 @@ class LakeSQL:
                     f"{len(fields)} for {name!r}"
                     + (f" (GENERATED {sorted(gen)} are computed, not inserted)" if gen else "")
                 )
+            src = src.toDF(*[f"__ins{i}" for i in range(len(src.columns))])
             aligned = src.select(
                 *[
                     F.col(c).cast(f.dataType).alias(f.name)

@@ -1666,3 +1666,65 @@ def test_insert_into_explicit_column_list(spark, repo):
         sql.sql("INSERT INTO t (k, k) VALUES (1, 2)")
     with pytest.raises(ValueError, match="names 2 columns but"):
         sql.sql("INSERT INTO t (k, v) VALUES (1)")
+
+
+def test_merge_schema_evolution_only_referenced_columns(spark, repo):
+    """r11 review (Delta semantics): evolution admits only columns the
+    merge REFERENCES — a delete-only merge with an extra source column
+    leaves the schema untouched AND stays DV-routable; case-colliding
+    new source columns raise."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 10).repartition(2))
+    repo.write_table(
+        "main", "s",
+        spark.range(0, 4).select(
+            F.col("id").alias("k"), F.lit("x").alias("audit")
+        ),
+    )
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main", dv_writes=True)
+    before = set(repo.current_files("main", "t"))
+    r = sql.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE"
+    ).first()
+    assert r.rows_affected == 4
+    assert repo.read_table(spark, "t", "main").columns == ["k", "v"]  # no audit
+    assert before <= set(repo.current_files("main", "t"))  # DV route ran
+    assert DV_PREFIX + "t" in repo._resolve("main").tables
+    # explicitly REFERENCING the new column evolves it
+    r2 = sql.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 6 THEN UPDATE SET audit = 'old'"
+    ).first()
+    assert r2.rows_affected == 2  # k=4,5 (0-3 deleted above)
+    got = {x.k: x.audit for x in repo.read_table(spark, "t", "main").collect()}
+    assert got[4] == "old" and got[8] is None
+    # two new source columns differing only in case: loud
+    spark.range(2).select(
+        F.col("id").alias("k"), F.lit(1).alias("Zz"), F.lit(2).alias("ZZ")
+    ).createOrReplaceTempView("casey")
+    with pytest.raises(ValueError, match="case"):
+        sql.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO t USING "
+            "(SELECT * FROM casey) c ON t.k = c.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_insert_no_space_spellings_and_duplicate_source_names(spark, repo):
+    """r11 review: INSERT INTO t(k,v)VALUES(...) — the no-whitespace
+    spelling — parses, and a source that repeats a column name aligns
+    positionally instead of dying on an ambiguous reference."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo.write_table("main", "t", _kv(spark, 0, 2))
+    repo.commit("main", "base")
+    sql = LakeSQL(spark, repo, "main")
+    assert sql.sql("INSERT INTO t(k,v)VALUES(7,14)").first().rows_affected == 1
+    assert sql.sql(
+        "INSERT INTO t (k, v) SELECT k, k FROM t@v1 WHERE k = 0"
+    ).first().rows_affected == 1
+    got = sorted((x.k, x.v) for x in repo.read_table(spark, "t", "main").collect())
+    assert got == [(0, 0), (0, 0), (1, 2), (7, 14)]
