@@ -262,6 +262,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_streaming_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxFilesPerTrigger rate limiting on the lake stream source (r11,
+    streaming/source.py): documents land over two append commits written
+    as 4 + 3 files; the tailing stream is capped at 3 files per
+    microbatch, so the catch-up is consumed as several small batches
+    whose offsets land MID-commit ({'version': v, 'fidx': n} = first n
+    of the commit's sorted new-file list). Exactly-once delivery across
+    every slice boundary means the drained sink still equals the batch
+    table — the streaming_lake_source contract, now under rate limiting
+    (Spark's maxFilesPerTrigger semantics, re-derived for commit-version
+    offsets)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        drain_stream_to_head,
+        stream_table_from_repo,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+
+    root = tempfile.mkdtemp(prefix="lakegraft_lake_cap_") + "/lake"
+    repo = LakeRepo.init(root)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    repo.write_table(
+        "main", "docs", docs.where(F.col("doc_id") % 2 == 0).repartition(4)
+    )
+    repo.commit("main", "even half, 4 files")
+    repo.write_table(
+        "main",
+        "docs",
+        docs.where(F.col("doc_id") % 2 == 1).repartition(3),
+        mode="append",
+    )
+    repo.commit("main", "odd half, 3 files")
+    name = f"lcap_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(spark, root, "docs", max_files_per_trigger=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        drain_stream_to_head(q, root, timeout_s=180)
+    finally:
+        if q.isActive:
+            q.stop()
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    return spark.table(name).orderBy("doc_id")
+
+
+# capped delivery is still exactly-once ⇒ same oracle as the uncapped
+# stream: the drained sink is the full table
+ORACLE_STREAMING_RATE_LIMITED = ORACLE_STREAMING_LAKE_SOURCE
+
+
 def q_streaming_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC streaming read (r7, streaming/source.py mode=cdc): documents
     land over two appends, then a pruned SQL DELETE removes a slice — a
@@ -1091,6 +1146,7 @@ PIPELINE_QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_dedup": q_streaming_dedup,
     "streaming_lake_source": q_streaming_lake_source,
+    "streaming_rate_limited": q_streaming_rate_limited,
     "streaming_lake_cdc": q_streaming_lake_cdc,
     "streaming_lake_evolved": q_streaming_lake_evolved,
     "streaming_lake_partitioned": q_streaming_lake_partitioned,
@@ -1116,6 +1172,7 @@ PIPELINE_ORACLES = {
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_lake_source": ORACLE_STREAMING_LAKE_SOURCE,
+    "streaming_rate_limited": ORACLE_STREAMING_RATE_LIMITED,
     "streaming_lake_cdc": ORACLE_STREAMING_LAKE_CDC,
     "streaming_lake_evolved": ORACLE_STREAMING_LAKE_EVOLVED,
     "streaming_lake_partitioned": ORACLE_STREAMING_LAKE_PARTITIONED,

@@ -401,10 +401,53 @@ def make_lake_stream_source():
             self.include_pos = include_pos
             self.exclude_pos = exclude_pos
 
+    def _append_new_files(repo, table, dv_prefix, c, parent):
+        """The APPEND path's per-commit contribution: sorted new
+        (rel, pv) tuples, or None when the commit contributes nothing
+        (table untouched, or a data_change=false rearrangement). The
+        SAME construction partitions() uses inline — the rate limiter's
+        per-version counts and partitions' slicing must agree exactly,
+        or a capped stream would drop or duplicate files."""
+        prev_entries = parent.tables.get(table, []) if parent else []
+        cur_entries = c.tables.get(table, [])
+        dvt = dv_prefix + table
+        dv_changed = (
+            parent.tables.get(dvt, []) if parent else []
+        ) != c.tables.get(dvt, [])
+        if cur_entries == prev_entries and not dv_changed:
+            return None
+        if c.meta.get("data_change") is False:
+            return None
+        miss: list = []
+        prev = set(_expand_entries(repo.root, prev_entries, miss))
+        cur = set(_expand_entries(repo.root, cur_entries))
+        return sorted(cur - prev)
+
     class _LakeStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema):
             self.opts = dict(options)
             self.cdc = str(self.opts.get("mode", "")).lower() == "cdc"
+            self.cap = int(self.opts.get("maxfilespertrigger", 0) or 0)
+            if self.cap and self.cdc:
+                raise ValueError(
+                    "lake stream source: maxFilesPerTrigger is not "
+                    "supported with mode=cdc — a commit's delete+insert "
+                    "change rows must land in one microbatch to fold "
+                    "atomically; cap the APPEND stream or widen the "
+                    "trigger interval instead"
+                )
+            #: last planned/committed end offset, tracked so latestOffset
+            #: can bound the next microbatch (the Python DataSource API
+            #: has no admission-control hook). Set by partitions (every
+            #: planned batch) and commit; latestOffset itself seeds it
+            #: from starting_version when still None — on a FRESH stream
+            #: the engine calls latestOffset BEFORE initialOffset, and on
+            #: a RESTART it replays partitions() of the offset log's last
+            #: batch before planning new ones (the same engine contract
+            #: pyspark's _SimpleStreamReaderWrapper.partitions documents
+            #: and depends on), so the seed is only ever used when
+            #: starting_version IS the true start.
+            self._pos: dict | None = None
             names = list(schema.fieldNames())
             #: declared DDL per field — partition constants parse to it
             self.ddl = {
@@ -430,11 +473,55 @@ def make_lake_stream_source():
         # -- driver-side (python runner process; engine imports OK after
         #    the package_root bootstrap) --------------------------------
         def initialOffset(self) -> dict:
-            return {"version": int(self.opts.get("starting_version", -1))}
+            off = {"version": int(self.opts.get("starting_version", -1))}
+            self._pos = dict(off)
+            return off
 
         def latestOffset(self) -> dict:
             repo = _open_repo(self.opts)
-            return {"version": repo.head(self.opts["branch"]).version}
+            head_v = repo.head(self.opts["branch"]).version
+            if not self.cap:
+                return {"version": head_v}
+            if self._pos is None:
+                # fresh stream: the engine calls latestOffset BEFORE
+                # initialOffset, so seed the position ourselves (a
+                # restarted stream never lands here — its partitions()
+                # WAL replay set _pos first)
+                self._pos = {
+                    "version": int(self.opts.get("starting_version", -1))
+                }
+            import importlib
+
+            dv_prefix = importlib.import_module(
+                type(repo).__module__
+            ).DV_PREFIX
+            branch, table = self.opts["branch"], self.opts["table"]
+            sv = self._pos["version"]
+            sf = self._pos.get("fidx")
+            budget = self.cap
+            # a partially consumed start version is walked INCLUSIVELY
+            end: dict = dict(self._pos)
+            for c in _commit_chain(
+                repo, branch, sv - 1 if sf is not None else sv, head_v
+            ):
+                if sf is not None and c.version < sv:
+                    continue
+                files = _append_new_files(repo, table, dv_prefix, c, None
+                    if not c.parents else repo.get_commit(c.parents[0]))
+                if files is None:
+                    end = {"version": c.version}
+                    continue
+                skip = sf if (sf is not None and c.version == sv) else 0
+                pending = len(files) - skip
+                if pending <= budget:
+                    budget -= pending
+                    end = {"version": c.version}
+                    if budget == 0 and c.version < head_v:
+                        break
+                else:
+                    end = {"version": c.version, "fidx": skip + budget}
+                    break
+            return end
 
         def _plan_file(self, filepv, chains, consumed, declared):
             """The replay plan for one file: resolve each stream field
@@ -471,6 +558,16 @@ def make_lake_stream_source():
         def partitions(self, start: dict, end: dict):
             import importlib
 
+            self._pos = dict(end)  # feeds the next trigger's rate limit
+            s_fidx = start.get("fidx")
+            e_fidx = end.get("fidx")
+            if self.cdc and (s_fidx is not None or e_fidx is not None):
+                raise ValueError(
+                    "lake stream source (mode=cdc): this checkpoint "
+                    "carries file-sliced offsets from a capped APPEND "
+                    "stream — mode cannot change mid-stream; restart "
+                    "with a fresh checkpoint"
+                )
             repo = _open_repo(self.opts)
             # single source of truth for the companion-table prefix
             # (driver-side: _open_repo just bootstrapped the package)
@@ -501,8 +598,14 @@ def make_lake_stream_source():
             # against its OWN parent's entries (O(chain), not
             # O(chain²) re-resolves from head)
             for c in _commit_chain(
-                repo, branch, start["version"], end["version"]
+                repo,
+                branch,
+                # a partially consumed start version re-enters the walk
+                start["version"] - 1 if s_fidx is not None else start["version"],
+                end["version"],
             ):
+                if s_fidx is not None and c.version < start["version"]:
+                    continue
                 parent = (
                     repo.get_commit(c.parents[0]) if c.parents else None
                 )
@@ -654,7 +757,24 @@ def make_lake_stream_source():
                         f"represent it — set ignorechanges=true to skip "
                         f"removals and stream additions only{vac}"
                     )
-                for fpv in sorted(cur - prev):
+                new_files = sorted(cur - prev)
+                # rate-limited offsets slice a version's new-file list
+                # (same sorted construction the limiter counted)
+                lo = (
+                    s_fidx
+                    if s_fidx is not None and c.version == start["version"]
+                    else 0
+                )
+                hi = (
+                    e_fidx - lo
+                    if e_fidx is not None and c.version == end["version"]
+                    else None
+                )
+                if lo:
+                    new_files = new_files[lo:]
+                if hi is not None:
+                    new_files = new_files[:hi]
+                for fpv in new_files:
                     spec, allowed = self._plan_file(fpv, chains, consumed, declared)
                     parts.append(
                         _FilePartition(
@@ -664,7 +784,7 @@ def make_lake_stream_source():
             return parts
 
         def commit(self, end: dict) -> None:
-            pass
+            self._pos = dict(end)
 
         # -- executor-side: pyarrow + stdlib ONLY ----------------------
         def read(self, partition):
@@ -900,6 +1020,7 @@ def stream_table_from_repo(
     starting_version: int = -1,
     ignore_changes: bool = False,
     cdc: bool = False,
+    max_files_per_trigger: int = 0,
 ) -> DataFrame:
     """Tail a lake table as a stream: every commit's appended rows become
     a microbatch, offsets = commit versions (checkpoint-resumable).
@@ -913,7 +1034,15 @@ def stream_table_from_repo(
     granularity — a rewrite emits delete+insert for each row of the
     rewritten files — so it is multiset-correct to fold (inserts minus
     deletes per row ≡ the table at the drained version) but not
-    row-minimal like the batch TABLE_CHANGES TVF's exceptAll diff."""
+    row-minimal like the batch TABLE_CHANGES TVF's exceptAll diff.
+
+    ``max_files_per_trigger`` (append mode only) bounds each microbatch
+    to at most N source files — Spark's ``maxFilesPerTrigger`` rate
+    limit, so a long catch-up (or a backfilled table) is consumed as
+    many small batches instead of one giant one. Offsets may then land
+    MID-commit (``{"version": v, "fidx": n}`` = the first n files of
+    v's sorted new-file list are consumed), and the cap holds across
+    checkpointed restarts."""
     register_lake_stream_source(spark)
     reader = (
         spark.readStream.format("lakegraft_stream")
@@ -927,6 +1056,8 @@ def stream_table_from_repo(
         reader = reader.option("mode", "cdc")
     if ignore_changes:
         reader = reader.option("ignorechanges", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return reader.load()
 
 
@@ -952,7 +1083,11 @@ def _progress_end_version(progress) -> int | None:
             except (ValueError, SyntaxError):
                 continue
     if isinstance(eo, dict) and "version" in eo:
-        return int(eo["version"])
+        v = int(eo["version"])
+        # a rate-limited (maxFilesPerTrigger) offset mid-version carries
+        # fidx: that version is NOT fully consumed yet — callers like
+        # drain_stream_to_head must not treat it as reached
+        return v - 1 if eo.get("fidx") is not None else v
     return None
 
 

@@ -1352,6 +1352,165 @@ def test_lake_stream_source_survives_compaction(spark, source_repo, tmp_path):
     assert fresh == [(i, 2 * i) for i in range(13)]
 
 
+def _committed_offsets(ck):
+    """Parse the checkpoint's offset WAL: one committed end-offset dict
+    per microbatch, batch order. The Python DataSource serializes its
+    offset as the dict repr — ast.literal_eval, not json (r8 lesson)."""
+    import ast
+    import json
+    import os
+
+    out = []
+    odir = os.path.join(ck, "offsets")
+    for name in sorted(
+        (n for n in os.listdir(odir) if n.isdigit()), key=int
+    ):
+        with open(os.path.join(odir, name)) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        # v1 header, metadata json, then one offset line per source
+        for ln in lines[2:]:
+            try:
+                out.append(ast.literal_eval(ln))
+            except (ValueError, SyntaxError):
+                out.append(json.loads(ln))
+    return out
+
+
+def test_lake_stream_source_max_files_per_trigger_paces_catchup(
+    spark, source_repo, tmp_path
+):
+    """maxFilesPerTrigger bounds every microbatch to N source files, so
+    a long catch-up is consumed as many small batches: offsets may land
+    MID-commit ({'version': v, 'fidx': n} = first n of v's sorted
+    new-file list), data_change=false compaction commits contribute
+    nothing to the budget, and drain_stream_to_head keeps draining while
+    the head version is only partially consumed (fidx present)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        drain_stream_to_head,
+        stream_table_from_repo,
+    )
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 9).repartition(3))
+    repo.commit("main", "v1")  # 3 files
+    repo.write_table("main", "other", _kv(spark, 90, 95))
+    repo.commit("main", "unrelated")
+    repo.compact(spark, "main", "t", target_files=1)  # data_change=false
+    repo.write_table("main", "t", _kv(spark, 9, 13).repartition(2), mode="append")
+    repo.commit("main", "v2")  # 2 files
+    repo.write_table("main", "t", _kv(spark, 13, 25).repartition(4), mode="append")
+    repo.commit("main", "v3")  # 4 files — must slice at cap=2
+
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", max_files_per_trigger=2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        drain_stream_to_head(q, repo.root, timeout_s=120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, 2 * i) for i in range(25)]
+    offsets = _committed_offsets(ck)
+    # 9 countable files at cap 2 → at least ceil(9/2) committed batches
+    assert len(offsets) >= 5, offsets
+    # the 4-file v3 commit cannot fit one batch: some offset is mid-commit
+    assert any("fidx" in o for o in offsets), offsets
+    # compaction never counted: no offset slices INTO the compacted file
+    compact_v = next(
+        c.version
+        for c in repo.log("main", limit=None)
+        if c.meta.get("data_change") is False
+    )
+    assert not any(
+        o.get("fidx") is not None and o["version"] == compact_v for o in offsets
+    ), offsets
+
+
+def test_lake_stream_source_capped_restart_resumes_mid_commit(
+    spark, source_repo, tmp_path
+):
+    """A checkpointed restart whose committed offset is MID-commit
+    ({'version': v, 'fidx': n}) resumes at exactly file n of v's sorted
+    new-file list: no duplicates, no gaps across the slice boundary, and
+    the cap HOLDS across restarts (the engine replays partitions() of
+    the offset log's last batch before planning new ones, which restores
+    the reader's position). The Python DataSource falls back to
+    single-batch on availableNow, so each run = one capped batch."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        stream_table_from_repo,
+    )
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(5))
+    repo.commit("main", "v1")  # 5 files
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            stream_table_from_repo(spark, repo.root, "t", max_files_per_trigger=2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # fresh stream: capped → first 2 of 5 files
+    first = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert 0 < len(first) < 20, first
+    offsets = _committed_offsets(ck)
+    assert offsets and offsets[0].get("fidx") == 2, offsets
+    run_once()  # restart: STILL capped — files[2:4]
+    offsets = _committed_offsets(ck)
+    assert offsets[-1].get("fidx") == 4, offsets
+    second = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert len(first) < len(second) < 20, (len(first), len(second))
+    run_once()  # files[4:] — commit fully consumed, fidx gone
+    offsets = _committed_offsets(ck)
+    assert offsets[-1] == {"version": 1}, offsets
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, 2 * i) for i in range(20)]
+    run_once()  # idempotent: nothing new
+    assert sorted(
+        (r.k, r.v) for r in spark.read.parquet(sink).collect()
+    ) == got
+
+
+def test_lake_stream_source_cdc_rejects_max_files_per_trigger(
+    spark, source_repo
+):
+    """A commit's delete+insert change rows must land in one microbatch
+    to fold atomically — capping the CDC feed is refused loudly."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        stream_table_from_repo,
+    )
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 5))
+    repo.commit("main", "v1")
+    name = f"cdcap_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(
+            spark, repo.root, "t", cdc=True, max_files_per_trigger=2
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="maxFilesPerTrigger|STREAM_FAILED"):
+        q.awaitTermination()
+
+
 def test_lake_stream_source_cdc_skips_compaction(spark, source_repo):
     """The CDC feed emits NOTHING for a data_change=false version (the
     row multiset is unchanged) — folding the feed still equals head."""
