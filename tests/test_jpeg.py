@@ -114,7 +114,9 @@ def test_guards_raise_loudly(codec):
         i = payload.index(bytes([0xFF, old]))
         return payload[:i + 1] + bytes([new]) + payload[i + 2 :]
 
-    with pytest.raises(NotImplementedError, match="unsupported process"):
+    # SOF3/SOF9 decode in operators/jpeg_arith.py since r11 — this
+    # decoder redirects loudly instead of claiming them unsupported
+    with pytest.raises(NotImplementedError, match="jpeg_arith"):
         dec(patch_marker(good, 0xC0, 0xC3))  # lossless SOF3
     with pytest.raises(NotImplementedError, match="unsupported process"):
         dec(patch_marker(good, 0xC0, 0xCA))  # arithmetic progressive SOF10

@@ -1485,6 +1485,116 @@ def test_lake_stream_source_capped_restart_resumes_mid_commit(
     ) == got
 
 
+def test_lake_stream_source_max_bytes_per_trigger_paces_catchup(
+    spark, source_repo, tmp_path
+):
+    """maxBytesPerTrigger bounds every microbatch by cumulative source
+    file SIZE (Delta's soft-max admission: at least one file per batch,
+    the last admitted file may overshoot). With a budget of ~1 file's
+    size, a 5-file catch-up takes ~5 batches with mid-commit offsets;
+    the drained result still equals the batch table exactly."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        drain_stream_to_head,
+        stream_table_from_repo,
+    )
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 20).repartition(5))
+    repo.commit("main", "v1")  # 5 files
+    repo.write_table("main", "t", _kv(spark, 20, 28).repartition(2), mode="append")
+    repo.commit("main", "v2")  # 2 files
+    # budget = 1 byte: every file overshoots, so admission is exactly
+    # one file per batch — the soft-max floor, deterministic regardless
+    # of parquet size jitter
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    q = (
+        stream_table_from_repo(spark, repo.root, "t", max_bytes_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        drain_stream_to_head(q, repo.root, timeout_s=120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, 2 * i) for i in range(28)]
+    offsets = _committed_offsets(ck)
+    # 7 files at a 1-byte soft budget → one file per batch
+    assert len(offsets) >= 7, offsets
+    assert any("fidx" in o for o in offsets), offsets
+
+
+def test_lake_stream_source_byte_and_file_caps_compose(
+    spark, source_repo, tmp_path
+):
+    """When both limits are set a batch ends at whichever is hit first:
+    with a generous byte budget and file cap 2, batches stay 2 files
+    (the hard cap); the stream still drains to the exact table."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        drain_stream_to_head,
+        stream_table_from_repo,
+    )
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 12).repartition(4))
+    repo.commit("main", "v1")  # 4 files
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    q = (
+        stream_table_from_repo(
+            spark,
+            repo.root,
+            "t",
+            max_files_per_trigger=2,
+            max_bytes_per_trigger=1 << 30,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        drain_stream_to_head(q, repo.root, timeout_s=120)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, 2 * i) for i in range(12)]
+    offsets = _committed_offsets(ck)
+    # 4 files, hard cap 2 → at least 2 committed batches, one mid-commit
+    assert len(offsets) >= 2, offsets
+    assert any("fidx" in o for o in offsets), offsets
+
+
+def test_lake_stream_source_cdc_rejects_max_bytes_per_trigger(
+    spark, source_repo
+):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        stream_table_from_repo,
+    )
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 5))
+    repo.commit("main", "v1")
+    name = f"cdbcap_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_table_from_repo(
+            spark, repo.root, "t", cdc=True, max_bytes_per_trigger=10
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="maxBytesPerTrigger|STREAM_FAILED"):
+        q.awaitTermination()
+
+
 def test_lake_stream_source_cdc_rejects_max_files_per_trigger(
     spark, source_repo
 ):
