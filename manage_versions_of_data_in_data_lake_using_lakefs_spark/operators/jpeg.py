@@ -32,11 +32,11 @@ the published interchange format (ITU-T T.81 / ISO 10918-1):
   into per-component padded block grids and flattened to the SAME scan
   order as baseline, so IDCT/pixel assembly downstream is shared.
 
-Honest boundaries (loud, never silent): sequential-arithmetic (SOF9)
-and lossless (SOF3) files decode in ``operators/jpeg_arith.py`` (r11);
-the remaining processes (progressive-arithmetic, hierarchical) raise
-NotImplementedError, as do 16-bit quant tables and non-integer chroma
-upsampling ratios. The fixture
+Honest boundaries (loud, never silent): arithmetic (SOF9 sequential,
+SOF10 progressive) and lossless (SOF3) files decode in
+``operators/jpeg_arith.py`` (r11); the remaining processes
+(hierarchical, 12-bit) raise NotImplementedError, as do 16-bit quant
+tables and non-integer chroma upsampling ratios. The fixture
 encoders (`encode_jpeg`, `encode_jpeg_progressive`) write REAL files
 from chosen quantized coefficients — every byte follows T.81,
 including subsampled MCU interleave, restart markers, and the full
@@ -924,17 +924,17 @@ def _make_jpeg_codec():
                             f"(T.81 allows 1..4)"
                         )
                     comps_spec.append((cid, hi, vi, tq))
-            elif marker in (0xC3, 0xC9):
+            elif marker in (0xC3, 0xC9, 0xCA):
                 raise NotImplementedError(
                     f"JPEG: SOF{marker - 0xC0} — decoded by "
                     f"operators/jpeg_arith.py ("
                     f"{'decode_jpeg_lossless' if marker == 0xC3 else 'decode_jpeg_arith'})"
                 )
-            elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     f"JPEG: SOF{marker - 0xC0} (unsupported process — "
                     f"baseline SOF0 and progressive-Huffman SOF2 decode "
-                    f"here; SOF9/SOF3 in operators/jpeg_arith.py)"
+                    f"here; SOF9/SOF10/SOF3 in operators/jpeg_arith.py)"
                 )
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")

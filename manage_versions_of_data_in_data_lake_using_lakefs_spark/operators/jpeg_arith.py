@@ -34,7 +34,19 @@ Arithmetic sequential DCT (SOF9, T.81 Annexes D + F):
 - sampling is 1x1 only (grayscale / 4:4:4): the entropy layer is
   orthogonal to MCU geometry, and the subsampled interleave is already
   certified end-to-end on the Huffman path (operators/jpeg.py). A
-  subsampled SOF9 file raises loudly.
+  subsampled SOF9/SOF10 file raises loudly.
+
+Arithmetic progressive DCT (SOF10, T.81 Annex G + the QM models):
+
+- the full successive-approximation scan script: DC first scans code
+  shifted-domain diffs through the sequential DC model; DC refinements
+  are one fixed-bin decision per block; AC first scans run the F.1.4
+  AC model over the spectral band with values << Al; AC refinement
+  scans code correction bits at state 3(k-1)+2 for previously-nonzero
+  coefficients and newly-nonzero arrivals (fixed-bin signs) behind
+  zero-run decisions, with EOB decisions only beyond the previous
+  stage's end-of-block index. Statistics and the coder reset per scan
+  and per restart segment.
 
 Lossless predictive (SOF3, T.81 Annex H):
 
@@ -46,10 +58,10 @@ Lossless predictive (SOF3, T.81 Annex H):
   diff=-32768 special case decodes with zero extra bits), interleaved
   one-sample-per-component MCUs for multi-component scans.
 
-Honest boundaries (loud, never silent): progressive-arithmetic (SOF10),
-lossless-arithmetic (SOF11) and the hierarchical processes still raise
-NotImplementedError, as do subsampled SOF9 scans, point transforms
-(Pt != 0) and precisions other than 8 bits. The Table D.3 constants are
+Honest boundaries (loud, never silent): lossless-arithmetic (SOF11)
+and the hierarchical processes still raise NotImplementedError, as do
+subsampled SOF9/SOF10 scans, point transforms (Pt != 0) and precisions
+other than 8 bits. The Table D.3 constants are
 transcribed from the standard and certified here by encoder/decoder
 symmetry plus a differential oracle against the already-certified
 Huffman codec (the same quantized coefficients encoded both ways must
@@ -362,28 +374,31 @@ def _make_jpeg_ext_codec():
         v += 1
         return (-v if sign else v), new_ctx
 
-    def _enc_ac_block(enc, stats, fixed, block, kx):
-        """Encode the 63 AC coefficients of one block (natural order)
-        per Figure F.5; ``fixed`` is the one-entry non-adapting sign
-        bin."""
-        ke = 63
-        while ke > 0 and block[ZZ[ke]] == 0:
+    def _enc_ac_block(enc, stats, fixed, block, kx, ss=1, se=63, al=0):
+        """Encode the AC coefficients of one block in the spectral band
+        ``ss..se`` at point transform ``al`` per Figures F.5/G.8 —
+        sequential scans are the (1, 63, 0) case; progressive AC-first
+        scans pass their band and Al. ``fixed`` is the one-entry
+        non-adapting sign bin."""
+        ke = se
+        while ke >= ss and (abs(block[ZZ[ke]]) >> al) == 0:
             ke -= 1
-        k = 1
+        k = ss
         while k <= ke:
             st = 3 * (k - 1)
             enc.encode(stats, st, 0)  # not EOB
-            while block[ZZ[k]] == 0:
+            while (abs(block[ZZ[k]]) >> al) == 0:
                 enc.encode(stats, st + 1, 0)
                 st += 3
                 k += 1
             enc.encode(stats, st + 1, 1)
-            v = block[ZZ[k]]
-            if v > 0:
+            raw = block[ZZ[k]]
+            if raw > 0:
                 enc.encode(fixed, 0, 0)
+                v = raw >> al
             else:
-                v = -v
                 enc.encode(fixed, 0, 1)
+                v = (-raw) >> al
             st += 2
             m = 0
             v -= 1
@@ -404,21 +419,22 @@ def _make_jpeg_ext_codec():
             while m := m >> 1:
                 enc.encode(stats, st, 1 if (m & v) else 0)
             k += 1
-        if k <= 63:
+        if k <= se:
             enc.encode(stats, 3 * (k - 1), 1)  # EOB
 
-    def _dec_ac_block(dec, stats, fixed, block, kx):
-        """Decode 63 AC coefficients into ``block`` (natural order)."""
-        k = 1
-        while k <= 63:
+    def _dec_ac_block(dec, stats, fixed, block, kx, ss=1, se=63, al=0):
+        """Decode one block's AC band ``ss..se`` at point transform
+        ``al`` into ``block`` (natural order, values << al)."""
+        k = ss
+        while k <= se:
             st = 3 * (k - 1)
             if dec.decode(stats, st):
                 return  # EOB
             while dec.decode(stats, st + 1) == 0:
                 st += 3
                 k += 1
-                if k > 63:
-                    raise ValueError("JPEG arith: AC run past block end")
+                if k > se:
+                    raise ValueError("JPEG arith: AC run past band end")
             sign = dec.decode(fixed, 0)
             st += 2
             m = dec.decode(stats, st)
@@ -439,7 +455,74 @@ def _make_jpeg_ext_codec():
                 if dec.decode(stats, st):
                     v |= m
             v += 1
-            block[ZZ[k]] = -v if sign else v
+            block[ZZ[k]] = (-v if sign else v) << al
+            k += 1
+
+    def _enc_ac_refine_block(enc, stats, fixed, block, ss, se, ah, al):
+        """Encode one block's AC successive-approximation refinement
+        per Figure G.10: previous-stage-nonzero coefficients get a
+        correction bit at st+2, newly-nonzero ones the st+1 decision
+        plus a fixed-bin sign; EOB decisions only beyond the previous
+        stage's end-of-block index kex."""
+        ke = se
+        while ke >= ss and (abs(block[ZZ[ke]]) >> al) == 0:
+            ke -= 1
+        kex = ke
+        while kex >= ss and (abs(block[ZZ[kex]]) >> ah) == 0:
+            kex -= 1
+        k = ss
+        while k <= ke:
+            st = 3 * (k - 1)
+            if k > kex:
+                enc.encode(stats, st, 0)  # not EOB yet
+            while True:
+                raw = block[ZZ[k]]
+                av = (-raw if raw < 0 else raw) >> al
+                if av:
+                    if av >> 1:  # previously nonzero: correction bit
+                        enc.encode(stats, st + 2, av & 1)
+                    else:  # newly nonzero at this stage
+                        enc.encode(stats, st + 1, 1)
+                        enc.encode(fixed, 0, 1 if raw < 0 else 0)
+                    break
+                enc.encode(stats, st + 1, 0)
+                st += 3
+                k += 1
+            k += 1
+        if k <= se:
+            enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+    def _dec_ac_refine_block(dec, stats, fixed, block, ss, se, al):
+        """Decode one block's AC refinement scan into ``block`` (which
+        holds the previous stages' values): correction bits extend
+        existing magnitudes toward their true value, newly-nonzero
+        coefficients arrive as ±(1 << al)."""
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = se
+        while kex >= ss and block[ZZ[kex]] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex:
+                if dec.decode(stats, st):
+                    return  # EOB
+            while True:
+                cur = block[ZZ[k]]
+                if cur:
+                    if dec.decode(stats, st + 2):
+                        block[ZZ[k]] = cur + (p1 if cur > 0 else m1)
+                    break
+                if dec.decode(stats, st + 1):
+                    block[ZZ[k]] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise ValueError(
+                        "JPEG arith: AC refinement run past band end"
+                    )
             k += 1
 
     def _seg(marker: int, payload: bytes) -> bytes:
@@ -514,6 +597,103 @@ def _make_jpeg_ext_codec():
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
+    def encode_jpeg_arith_progressive(
+        comps: list[list[list[int]]],
+        width: int,
+        height: int,
+        quant: list[int],
+        restart_interval: int = 0,
+    ) -> bytes:
+        """REAL SOF10 (arithmetic PROGRESSIVE DCT) JPEG bytes from
+        QUANTIZED coefficient blocks (raster order, 1x1 sampling) —
+        the fixture twin of jpeg.py's ``encode_jpeg_progressive`` with
+        the same scan script, re-coded through the QM models of Annex G:
+
+          1. DC first (interleaved), Al=1  — shifted-domain diffs
+          2. per component: AC first Ss=1..5 / 6..63, Al=1
+          3. DC refinement (fixed bin, one decision per block)
+          4. per component: AC refinement per band, Ah=1→Al=0
+             (correction bits, newly-nonzero fixed-bin signs)
+
+        Successive approximation reconstructs exactly; restart markers
+        reset the coder + every statistics area per scan segment."""
+        ncomp = len(comps)
+        L, U, KX = 0, 1, 5
+        nblk = _ceil_div(width, 8) * _ceil_div(height, 8)
+        if any(len(c) != nblk for c in comps):
+            raise ValueError(
+                "JPEG arith prog: 1x1 sampling needs ceil-grid block counts"
+            )
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, b"\x00" + bytes(quant[ZZ[k]] for k in range(64)))
+        sof = bytearray([8, height >> 8, height & 0xFF,
+                         width >> 8, width & 0xFF, ncomp])
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, 0x11, 0])
+        out += _seg(0xCA, bytes(sof))  # SOF10: arithmetic progressive
+        out += _seg(0xCC, bytes([0x00, (U << 4) | L, 0x10, KX]))
+        if restart_interval:
+            out += _seg(0xDD, bytes([restart_interval >> 8,
+                                     restart_interval & 0xFF]))
+
+        all_c = list(range(ncomp))
+        script: list[tuple[list[int], int, int, int, int]] = [
+            (all_c, 0, 0, 0, 1)
+        ]
+        for ci in all_c:
+            script.append(([ci], 1, 5, 0, 1))
+            script.append(([ci], 6, 63, 0, 1))
+        script.append((all_c, 0, 0, 1, 0))
+        for ci in all_c:
+            script.append(([ci], 1, 5, 1, 0))
+            script.append(([ci], 6, 63, 1, 0))
+
+        for sc_idx, Ss, Se, Ah, Al in script:
+            sos = bytearray([len(sc_idx)])
+            for ci in sc_idx:
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([Ss, Se, (Ah << 4) | Al])
+            out += _seg(0xDA, bytes(sos))
+
+            def fresh():
+                return (
+                    _QMEncoder(),
+                    bytearray(64),
+                    bytearray(256),
+                    bytearray([FIXED]),
+                    [0] * len(sc_idx),
+                    [0] * len(sc_idx),
+                )
+
+            enc, dst, ast, fixed, last, ctx = fresh()
+            rst = 0
+            for m in range(nblk):
+                if restart_interval and m and m % restart_interval == 0:
+                    enc.flush()
+                    out += enc.stuffed()
+                    out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    enc, dst, ast, fixed, last, ctx = fresh()
+                for j, ci in enumerate(sc_idx):
+                    blk = comps[ci][m]
+                    if Ss == 0 and Ah == 0:  # DC first (shifted domain)
+                        v = blk[0] >> Al
+                        diff = v - last[j]
+                        last[j] = v
+                        ctx[j] = _enc_dc(enc, dst, ctx[j], diff, L, U)
+                    elif Ss == 0:  # DC refinement: one fixed-bin bit
+                        enc.encode(fixed, 0, (blk[0] >> Al) & 1)
+                    elif Ah == 0:  # AC first over the band
+                        _enc_ac_block(enc, ast, fixed, blk, KX, Ss, Se, Al)
+                    else:  # AC refinement
+                        _enc_ac_refine_block(
+                            enc, ast, fixed, blk, Ss, Se, Ah, Al
+                        )
+            enc.flush()
+            out += enc.stuffed()
+        out += b"\xff\xd9"
+        return bytes(out)
+
     def _entropy_segments(p: bytes, start: int):
         """Split entropy data from ``start`` into (raw_segment, marker,
         marker_pos) triples: a segment ends at the first 0xFF followed
@@ -532,10 +712,11 @@ def _make_jpeg_ext_codec():
         raise ValueError("JPEG arith: entropy data ran past EOI")
 
     def decode_jpeg_arith(p: bytes):
-        """Entropy-decode an SOF9 (arithmetic sequential DCT, 1x1
-        sampling) JPEG to (width, height, ncomp, comps) with comps =
-        DEQUANTIZED 64-coef blocks in raster order per component — the
-        same output contract as ``operators/jpeg.py::decode_jpeg``."""
+        """Entropy-decode an SOF9 (arithmetic sequential DCT) or SOF10
+        (arithmetic PROGRESSIVE DCT) JPEG — 1x1 sampling — to (width,
+        height, ncomp, comps) with comps = DEQUANTIZED 64-coef blocks in
+        raster order per component — the same output contract as
+        ``operators/jpeg.py::decode_jpeg``."""
         if p[:2] != b"\xff\xd8":
             raise ValueError("JPEG: missing SOI")
         i = 2
@@ -547,6 +728,58 @@ def _make_jpeg_ext_codec():
         restart_interval = 0
         scan_cond: list[tuple[int, int]] = []
         scan_at = None
+        progressive = False
+        grids: list[list[list[int]]] | None = None
+        saw_scan = False
+
+        def _prog_scan(sc_idx, sc_td, sc_ta, Ss, Se, Ah, Al, start):
+            """Decode one progressive scan into ``grids``; returns the
+            position of the marker terminating its entropy data."""
+            nblk = _ceil_div(w, 8) * _ceil_div(h, 8)
+            segs = _entropy_segments(p, start)
+            seg, end_marker, mp = next(segs)
+            dec = _QMDecoder(seg)
+            dst: dict[int, bytearray] = {}
+            ast: dict[int, bytearray] = {}
+            fixed = bytearray([FIXED])
+            last = {ci: 0 for ci in sc_idx}
+            ctx = {ci: 0 for ci in sc_idx}
+            for m in range(nblk):
+                if restart_interval and m and m % restart_interval == 0:
+                    if not (0xD0 <= end_marker <= 0xD7):
+                        raise ValueError(
+                            f"JPEG arith: expected RSTn, "
+                            f"got FF{end_marker:02X}"
+                        )
+                    seg, end_marker, mp = next(segs)
+                    dec = _QMDecoder(seg)
+                    dst.clear()
+                    ast.clear()
+                    fixed = bytearray([FIXED])
+                    last = {ci: 0 for ci in sc_idx}
+                    ctx = {ci: 0 for ci in sc_idx}
+                for ci in sc_idx:
+                    blk = grids[ci][m]
+                    if Ss == 0 and Ah == 0:  # DC first
+                        L, U = cond_dc.get(sc_td[ci], (0, 1))
+                        d = dst.setdefault(sc_td[ci], bytearray(64))
+                        diff, ctx[ci] = _dec_dc(dec, d, ctx[ci], L, U)
+                        last[ci] += diff
+                        blk[0] = last[ci] << Al
+                    elif Ss == 0:  # DC refinement
+                        if dec.decode(fixed, 0):
+                            blk[0] |= 1 << Al
+                    elif Ah == 0:  # AC first
+                        kx = cond_ac.get(sc_ta[ci], 5)
+                        a = ast.setdefault(sc_ta[ci], bytearray(256))
+                        _dec_ac_block(dec, a, fixed, blk, kx, Ss, Se, Al)
+                    else:  # AC refinement
+                        a = ast.setdefault(sc_ta[ci], bytearray(256))
+                        _dec_ac_refine_block(
+                            dec, a, fixed, blk, Ss, Se, Al
+                        )
+            return mp
+
         while i + 4 <= len(p):
             if p[i] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {i}")
@@ -567,7 +800,8 @@ def _make_jpeg_ext_codec():
                         tbl[ZZ[k]] = body[j + k]
                     quants[tq] = tbl
                     j += 64
-            elif marker == 0xC9:
+            elif marker in (0xC9, 0xCA):
+                progressive = marker == 0xCA
                 if body[0] != 8:
                     raise NotImplementedError(
                         "JPEG arith: only 8-bit precision supported"
@@ -579,9 +813,9 @@ def _make_jpeg_ext_codec():
                     cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                     if samp != 0x11:
                         raise NotImplementedError(
-                            "JPEG arith: subsampled SOF9 scans unsupported "
-                            "(1x1 only; the subsampled interleave is "
-                            "certified on the Huffman path)"
+                            "JPEG arith: subsampled SOF9/SOF10 scans "
+                            "unsupported (1x1 only; the subsampled "
+                            "interleave is certified on the Huffman path)"
                         )
                     comps_spec.append((cid, tq))
             elif marker in (0xC0, 0xC2):
@@ -589,11 +823,11 @@ def _make_jpeg_ext_codec():
                     "JPEG arith: Huffman SOF — use operators/jpeg.py"
                 )
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                            0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"JPEG arith: SOF{marker - 0xC0} unsupported (SOF9 "
-                    f"sequential-arithmetic decodes here; SOF3 lossless "
-                    f"via decode_jpeg_lossless)"
+                    f"JPEG arith: SOF{marker - 0xC0} unsupported (SOF9/"
+                    f"SOF10 arithmetic decode here; SOF3 lossless via "
+                    f"decode_jpeg_lossless)"
                 )
             elif marker == 0xCC:
                 j = 0
@@ -608,6 +842,47 @@ def _make_jpeg_ext_codec():
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:
+                if progressive:
+                    if w is None:
+                        raise ValueError("JPEG arith: SOS before SOF10")
+                    if grids is None:
+                        nb = _ceil_div(w, 8) * _ceil_div(h, 8)
+                        grids = [
+                            [[0] * 64 for _ in range(nb)]
+                            for _ in range(len(comps_spec))
+                        ]
+                    ns = body[0]
+                    sc_idx: list[int] = []
+                    sc_td: dict[int, int] = {}
+                    sc_ta: dict[int, int] = {}
+                    for c in range(ns):
+                        cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                        matches = [
+                            ix
+                            for ix, cs in enumerate(comps_spec)
+                            if cs[0] == cid
+                        ]
+                        if not matches:
+                            raise ValueError(
+                                f"JPEG arith: SOS names unknown "
+                                f"component id {cid}"
+                            )
+                        sc_idx.append(matches[0])
+                        sc_td[matches[0]] = tt >> 4
+                        sc_ta[matches[0]] = tt & 0x0F
+                    Ss, Se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+                    if Ss != 0 and len(sc_idx) != 1:
+                        raise ValueError(
+                            "JPEG arith: progressive AC scans are "
+                            "single-component (T.81 B.2.3)"
+                        )
+                    mp = _prog_scan(
+                        sc_idx, sc_td, sc_ta, Ss, Se,
+                        aa >> 4, aa & 0x0F, i + 2 + seg_len,
+                    )
+                    saw_scan = True
+                    i = mp
+                    continue
                 ns = body[0]
                 if ns != len(comps_spec):
                     raise NotImplementedError(
@@ -619,6 +894,20 @@ def _make_jpeg_ext_codec():
                 scan_at = i + 2 + seg_len
                 break
             i += 2 + seg_len
+        if progressive:
+            if w is None or not saw_scan:
+                raise ValueError("JPEG arith: missing SOF10/SOS")
+            ncomp = len(comps_spec)
+            out_comps: list[list[list[int]]] = []
+            for ci in range(ncomp):
+                q = quants[comps_spec[ci][1]]
+                out_comps.append(
+                    [
+                        [c * q[k] for k, c in enumerate(blk)]
+                        for blk in grids[ci]
+                    ]
+                )
+            return w, h, ncomp, out_comps
         if w is None or scan_at is None:
             raise ValueError("JPEG arith: missing SOF9/SOS")
         ncomp = len(comps_spec)
@@ -931,6 +1220,7 @@ def _make_jpeg_ext_codec():
         decode_jpeg_arith,
         encode_jpeg_lossless,
         decode_jpeg_lossless,
+        encode_jpeg_arith_progressive,
     )
 
 
@@ -951,7 +1241,40 @@ def _make_synth_jpeg_arith():
       block index. Magnitudes reach 4, so the X1/X2 magnitude ladders,
       the magnitude-bit states, both DC sign branches and the L/U
       conditioning categories are all exercised."""
-    enc, _, _, _ = _make_jpeg_ext_codec()
+    enc, _, _, _, _ = _make_jpeg_ext_codec()
+
+    def build(i: int) -> bytes:
+        ncomp = 1 if i % 2 == 0 else 3
+        w, h = 17 + i % 16, 9 + i % 14
+        nblk = -(-w // 8) * (-(-h // 8))
+        quant = [1 + (u + v + i) % 3 for u in range(8) for v in range(8)]
+        comps = []
+        for comp in range(ncomp):
+            blocks = []
+            for b in range(nblk):
+                blk = [0] * 64
+                for u in range(8):
+                    for v in range(8):
+                        if u + v <= 2:
+                            blk[u * 8 + v] = (i + 3 * comp + 5 * b + 7 * u + 11 * v) % 9 - 4
+                blk[63] = (i + comp) % 3 - 1
+                blocks.append(blk)
+            comps.append(blocks)
+        return enc(comps, w, h, quant, restart_interval=i % 3)
+
+    return build
+
+
+def _make_synth_jpeg_arith_prog():
+    """Deterministic SOF10 (arithmetic PROGRESSIVE) JPEG per id — the
+    same content family and dimensions as the SOF9 fixture (and the
+    Huffman progressive one), so the oracle formulas carry over
+    verbatim; the scan script covers DC first/refine, both AC bands
+    first + refine, restarts inside every scan. The |c| ≤ 1 high-band
+    coefficients vanish at Al=1 and arrive via AC refinement's
+    newly-nonzero path — the hardest decode path is on the hash."""
+    codec = _make_jpeg_ext_codec()
+    enc = codec[4]
 
     def build(i: int) -> bytes:
         ncomp = 1 if i % 2 == 0 else 3
@@ -983,7 +1306,7 @@ def _make_synth_jpeg_lossless():
       ids); sample v(id,c,x,y) = (id + 7·c + 13·x + 29·y + (x·y) % 7)
       % 256 — the x·y cross term makes planes non-separable so a
       predictor/neighbour bug cannot cancel in the sums."""
-    _, _, enc, _ = _make_jpeg_ext_codec()
+    _, _, enc, _, _ = _make_jpeg_ext_codec()
 
     def build(i: int) -> bytes:
         ncomp = 1 if i % 2 == 0 else 3
@@ -1007,11 +1330,13 @@ def synthesize_jpeg_ext_media(
 ) -> DataFrame:
     """Deterministic REAL SOF9/SOF3 JPEGs from an id column (see
     ``_make_synth_jpeg_arith`` / ``_make_synth_jpeg_lossless``).
-    ``flavor``: "arith" (sequential arithmetic) or "lossless"."""
+    ``flavor``: "arith" (sequential arithmetic), "arith_prog"
+    (progressive arithmetic), or "lossless"."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import MEDIA_SCHEMA
 
     build = {
         "arith": _make_synth_jpeg_arith,
+        "arith_prog": _make_synth_jpeg_arith_prog,
         "lossless": _make_synth_jpeg_lossless,
     }[flavor]()
 
@@ -1036,7 +1361,7 @@ def decode_jpeg_arith_stats(media: DataFrame) -> DataFrame:
     carries over). Map-only ``mapInPandas``; payloads never shuffle."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import JPEG_STATS_SCHEMA
 
-    _, decode, _, _ = _make_jpeg_ext_codec()
+    _, decode, _, _, _ = _make_jpeg_ext_codec()
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1079,7 +1404,7 @@ def decode_jpeg_lossless_stats(media: DataFrame) -> DataFrame:
     ``px_wsum`` weights each sample by 1 + (x + 2y + 3c) % 5, so the
     checksum is position- and component-sensitive (a transposed plane
     or swapped component cannot pass). Map-only ``mapInPandas``."""
-    _, _, _, decode = _make_jpeg_ext_codec()
+    _, _, _, decode, _ = _make_jpeg_ext_codec()
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1109,6 +1109,33 @@ def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_JPEG_ARITH = ORACLE_MULTIMODAL_JPEG_PROG
 
 
+def q_multimodal_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL arithmetic-coded PROGRESSIVE (SOF10) JPEG decode (r11 —
+    the fourth and last DCT process class): the full Annex G
+    successive-approximation scan script (DC first/refine, spectral AC
+    bands first/refine, restarts inside every scan) re-coded through
+    the QM models — DC refinements ride the fixed bin, AC refinements
+    code correction bits at st+2 and newly-nonzero arrivals behind
+    zero-run decisions. Fixture content matches the Huffman progressive
+    family, so |c| ≤ 1 high-band coefficients vanish at Al=1 and every
+    one arrives via AC refinement's newly-nonzero path; the oracle
+    recomputes the statistics from the embedded formulas alone, and the
+    differential pytest oracle pins arithmetic-progressive ==
+    Huffman-progressive == sequential on identical blocks."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
+        decode_jpeg_arith_stats,
+        synthesize_jpeg_ext_media,
+    )
+
+    ids = _codec_ids(spark, sf_dir)
+    return decode_jpeg_arith_stats(
+        synthesize_jpeg_ext_media(ids, flavor="arith_prog")
+    ).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_JPEG_ARITH_PROG = ORACLE_MULTIMODAL_JPEG_PROG
+
+
 def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless (SOF3) JPEG decode (r11 — closes the predictive
     process next to SOF9): deterministic VALID T.81 lossless files
@@ -1227,6 +1254,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
     "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
+    "multimodal_jpeg_arith_prog": q_multimodal_jpeg_arith_prog,
     "multimodal_jpeg_lossless": q_multimodal_jpeg_lossless,
     "multimodal_jpeg_suite": q_multimodal_jpeg_suite,
     "streaming_classifier": q_streaming_classifier,
@@ -1255,6 +1283,7 @@ PIPELINE_ORACLES = {
     "multimodal_jpeg_420": ORACLE_MULTIMODAL_JPEG_420,
     "multimodal_jpeg_prog": ORACLE_MULTIMODAL_JPEG_PROG,
     "multimodal_jpeg_arith": ORACLE_MULTIMODAL_JPEG_ARITH,
+    "multimodal_jpeg_arith_prog": ORACLE_MULTIMODAL_JPEG_ARITH_PROG,
     "multimodal_jpeg_lossless": ORACLE_MULTIMODAL_JPEG_LOSSLESS,
     "multimodal_jpeg_suite": ORACLE_MULTIMODAL_JPEG_SUITE,
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,

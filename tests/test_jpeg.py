@@ -114,12 +114,14 @@ def test_guards_raise_loudly(codec):
         i = payload.index(bytes([0xFF, old]))
         return payload[:i + 1] + bytes([new]) + payload[i + 2 :]
 
-    # SOF3/SOF9 decode in operators/jpeg_arith.py since r11 — this
-    # decoder redirects loudly instead of claiming them unsupported
+    # SOF3/SOF9/SOF10 decode in operators/jpeg_arith.py since r11 —
+    # this decoder redirects loudly instead of claiming them unsupported
     with pytest.raises(NotImplementedError, match="jpeg_arith"):
         dec(patch_marker(good, 0xC0, 0xC3))  # lossless SOF3
-    with pytest.raises(NotImplementedError, match="unsupported process"):
+    with pytest.raises(NotImplementedError, match="jpeg_arith"):
         dec(patch_marker(good, 0xC0, 0xCA))  # arithmetic progressive SOF10
+    with pytest.raises(NotImplementedError, match="unsupported process"):
+        dec(patch_marker(good, 0xC0, 0xC7))  # differential lossless SOF7
     # SOF2 itself decodes since r10 — but a baseline-shaped scan under a
     # progressive frame is structurally invalid and must stay loud
     with pytest.raises(ValueError, match="Se=0|single-component"):

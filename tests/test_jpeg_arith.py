@@ -47,7 +47,7 @@ def test_arith_roundtrip_random_coefficients(codec):
     """encode→decode is exact for arbitrary quantized coefficients
     across component counts, non-8-aligned dimensions, restart
     intervals, and magnitudes through several X1/X2 ladder rungs."""
-    enc, dec, _, _ = codec
+    enc, dec, _, _, _ = codec
     rng = random.Random(11)
     for trial in range(25):
         ncomp = 1 if trial % 2 else 3
@@ -73,7 +73,7 @@ def test_arith_differential_vs_huffman_codec(codec):
     driver oracle, so agreement here certifies the QM coder + F.1.4
     statistical models end-to-end, independent of the fixture shape."""
     enc_h, dec_h, *_ = _make_jpeg_codec()
-    enc_a, dec_a, _, _ = codec
+    enc_a, dec_a, _, _, _ = codec
     rng = random.Random(7)
     for trial in range(15):
         ncomp = 1 if trial % 2 else 3
@@ -91,7 +91,7 @@ def test_arith_adaptation_compresses(codec):
     Huffman encoding of the same content — the signature that Table
     D.3 state adaptation is actually running, not just roundtripping."""
     enc_h, _, *_ = _make_jpeg_codec()
-    enc_a, _, _, _ = codec
+    enc_a, _, _, _, _ = codec
     quant = [1] * 64
     comps = [[[0] * 64 for _ in range(48)]]
     for b in range(48):
@@ -104,7 +104,7 @@ def test_arith_adaptation_compresses(codec):
 def test_arith_fixture_family_decodes(codec):
     """Every fixture id decodes to exactly the formula the SQL oracle
     recomputes (spot-check of the registered query's ground truth)."""
-    _, dec, _, _ = codec
+    _, dec, _, _, _ = codec
     build = _make_synth_jpeg_arith()
     for i in range(12):
         w, h, nc, comps = dec(build(i))
@@ -127,7 +127,7 @@ def test_arith_fixture_family_decodes(codec):
 
 
 def test_arith_guards(codec):
-    enc, dec, _, _ = codec
+    enc, dec, _, _, _ = codec
     good = _make_synth_jpeg_arith()(5)
     with pytest.raises(ValueError, match="SOI"):
         dec(b"\x89PNG")
@@ -160,10 +160,70 @@ def test_arith_guards(codec):
     assert flipped > 0
 
 
+def test_arith_progressive_roundtrip(codec):
+    """SOF10 encode→decode is exact across component counts, odd
+    dimensions, restart intervals and random sparsity — every scan
+    kind in the script (DC first/refine, AC band first/refine) runs."""
+    _, dec, _, _, enc_p = codec
+    rng = random.Random(19)
+    for trial in range(15):
+        ncomp = 1 if trial % 2 else 3
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        nblk = -(-w // 8) * (-(-h // 8))
+        quant = [1 + (k % 5) for k in range(64)]
+        comps = _random_blocks(rng, ncomp, nblk)
+        ri = rng.choice([0, 0, 1, 2, 3])
+        got = dec(enc_p(comps, w, h, quant, restart_interval=ri))
+        assert got == (
+            w,
+            h,
+            ncomp,
+            [
+                [[blk[k] * quant[k] for k in range(64)] for blk in c]
+                for c in comps
+            ],
+        )
+
+
+def test_arith_progressive_differential_vs_huffman_progressive(codec):
+    """Identical blocks through the certified Huffman PROGRESSIVE codec
+    and the SOF10 arithmetic-progressive codec decode identically (and
+    equal the sequential decodes) — certifying the Annex G QM models
+    against ground truth independent of the fixture shape."""
+    huff = _make_jpeg_codec()
+    dec_h, enc_hp = huff[1], huff[4]
+    enc_a, dec_a, _, _, enc_p = codec
+    rng = random.Random(23)
+    for trial in range(8):
+        ncomp = 1 if trial % 2 else 3
+        w, h = rng.randint(8, 32), rng.randint(8, 24)
+        nblk = -(-w // 8) * (-(-h // 8))
+        quant = [rng.randint(1, 4) for _ in range(64)]
+        comps = _random_blocks(rng, ncomp, nblk, -100, 100)
+        r_hp = dec_h(enc_hp(comps, w, h, quant))
+        r_ap = dec_a(enc_p(comps, w, h, quant))
+        r_as = dec_a(enc_a(comps, w, h, quant))
+        assert r_hp == r_ap == r_as
+
+
+def test_arith_progressive_fixture_family_decodes(codec):
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
+        _make_synth_jpeg_arith_prog,
+    )
+
+    _, dec, _, _, _ = codec
+    seq = _make_synth_jpeg_arith()
+    prog = _make_synth_jpeg_arith_prog()
+    for i in range(10):
+        # same content family: the progressive decode must equal the
+        # sequential decode of the same id
+        assert dec(prog(i)) == dec(seq(i))
+
+
 def test_lossless_roundtrip_all_predictors(codec):
     """Exact roundtrip for every H.1 predictor, both component counts,
     awkward dimensions (1-wide, 1-tall), and random 8-bit content."""
-    _, _, enc, dec = codec
+    _, _, enc, dec, _ = codec
     rng = random.Random(3)
     shapes = [(1, 9), (9, 1), (5, 4), (16, 11), (2, 2)]
     for pred in range(1, 8):
@@ -180,7 +240,7 @@ def test_lossless_roundtrip_all_predictors(codec):
 def test_lossless_extreme_values_roundtrip(codec):
     """All-0, all-255, and checkerboard planes roundtrip exactly —
     the diffs swing the SSSS category range both ways."""
-    _, _, enc, dec = codec
+    _, _, enc, dec, _ = codec
     w, h = 8, 6
     for plane in (
         [0] * (w * h),
@@ -193,7 +253,7 @@ def test_lossless_extreme_values_roundtrip(codec):
 
 
 def test_lossless_fixture_family_decodes(codec):
-    _, _, _, dec = codec
+    _, _, _, dec, _ = codec
     build = _make_synth_jpeg_lossless()
     for i in range(15):
         w, h, nc, planes = dec(build(i))
@@ -208,7 +268,7 @@ def test_lossless_fixture_family_decodes(codec):
 
 
 def test_lossless_guards(codec):
-    _, _, enc, dec = codec
+    _, _, enc, dec, _ = codec
     good = _make_synth_jpeg_lossless()(4)
     with pytest.raises(ValueError, match="bad predictor"):
         enc([[0] * 4], 2, 2, predictor=8)
