@@ -921,7 +921,6 @@ def _make_jpeg_ext_codec():
         fixed = bytearray([FIXED])
         last_dc = [0] * ncomp
         dc_ctx = [0] * ncomp
-        done = 0
         for m in range(nblk):
             if restart_interval and m and m % restart_interval == 0:
                 if not (0xD0 <= end_marker <= 0xD7):
@@ -948,9 +947,9 @@ def _make_jpeg_ext_codec():
                 _dec_ac_block(dec, ast, fixed, blk, kx)
                 q = quants[comps_spec[ci][1]]
                 comps[ci].append([c * q[k] for k, c in enumerate(blk)])
-            done += 1
-        if done != nblk:
-            raise ValueError("JPEG arith: truncated scan")
+        # truncation cannot reach here silently: _entropy_segments
+        # raises on data running past EOI and the RSTn check above
+        # catches missing restart segments
         return w, h, ncomp, comps
 
     # ---- SOF3: lossless predictive -------------------------------------
@@ -1227,10 +1226,11 @@ def _make_jpeg_ext_codec():
 # ---- fixtures + DataFrame plumbing -------------------------------------
 
 
-def _make_synth_jpeg_arith():
-    """Deterministic SOF9 (arithmetic sequential) JPEG per id — the
-    same content family as the r10 progressive fixture so the oracle
-    formulas carry over verbatim:
+def _make_synth_arith_content():
+    """The shared id→(comps, w, h, quant, ri) content formula both
+    arithmetic fixtures (SOF9 and SOF10) encode — ONE copy, because the
+    registered SQL oracles recompute exactly these formulas and the two
+    flavors must never drift apart:
 
       grayscale if id % 2 = 0 else 3-component 4:4:4; w = 17 + id % 16,
       h = 9 + id % 14 (odd dims, ceiling grids); restart interval
@@ -1240,10 +1240,10 @@ def _make_synth_jpeg_arith():
       the k>Kx high-spectrum AC states and long zero runs); b = raster
       block index. Magnitudes reach 4, so the X1/X2 magnitude ladders,
       the magnitude-bit states, both DC sign branches and the L/U
-      conditioning categories are all exercised."""
-    enc, _, _, _, _ = _make_jpeg_ext_codec()
+      conditioning categories are all exercised. Built inside a factory
+      so fixture closures stay self-contained for by-value pickling."""
 
-    def build(i: int) -> bytes:
+    def content(i: int):
         ncomp = 1 if i % 2 == 0 else 3
         w, h = 17 + i % 16, 9 + i % 14
         nblk = -(-w // 8) * (-(-h // 8))
@@ -1260,40 +1260,38 @@ def _make_synth_jpeg_arith():
                 blk[63] = (i + comp) % 3 - 1
                 blocks.append(blk)
             comps.append(blocks)
-        return enc(comps, w, h, quant, restart_interval=i % 3)
+        return comps, w, h, quant, i % 3
+
+    return content
+
+
+def _make_synth_jpeg_arith():
+    """Deterministic SOF9 (arithmetic sequential) JPEG per id — the
+    ``_make_synth_arith_content`` family (same content as the r10
+    progressive fixture, so the oracle formulas carry over verbatim)."""
+    enc = _make_jpeg_ext_codec()[0]
+    content = _make_synth_arith_content()
+
+    def build(i: int) -> bytes:
+        comps, w, h, quant, ri = content(i)
+        return enc(comps, w, h, quant, restart_interval=ri)
 
     return build
 
 
 def _make_synth_jpeg_arith_prog():
     """Deterministic SOF10 (arithmetic PROGRESSIVE) JPEG per id — the
-    same content family and dimensions as the SOF9 fixture (and the
-    Huffman progressive one), so the oracle formulas carry over
-    verbatim; the scan script covers DC first/refine, both AC bands
-    first + refine, restarts inside every scan. The |c| ≤ 1 high-band
-    coefficients vanish at Al=1 and arrive via AC refinement's
-    newly-nonzero path — the hardest decode path is on the hash."""
-    codec = _make_jpeg_ext_codec()
-    enc = codec[4]
+    ``_make_synth_arith_content`` family through the progressive scan
+    script (DC first/refine, both AC bands first + refine, restarts
+    inside every scan). The |c| ≤ 1 high-band coefficients vanish at
+    Al=1 and arrive via AC refinement's newly-nonzero path — the
+    hardest decode path is on the hash."""
+    enc = _make_jpeg_ext_codec()[4]
+    content = _make_synth_arith_content()
 
     def build(i: int) -> bytes:
-        ncomp = 1 if i % 2 == 0 else 3
-        w, h = 17 + i % 16, 9 + i % 14
-        nblk = -(-w // 8) * (-(-h // 8))
-        quant = [1 + (u + v + i) % 3 for u in range(8) for v in range(8)]
-        comps = []
-        for comp in range(ncomp):
-            blocks = []
-            for b in range(nblk):
-                blk = [0] * 64
-                for u in range(8):
-                    for v in range(8):
-                        if u + v <= 2:
-                            blk[u * 8 + v] = (i + 3 * comp + 5 * b + 7 * u + 11 * v) % 9 - 4
-                blk[63] = (i + comp) % 3 - 1
-                blocks.append(blk)
-            comps.append(blocks)
-        return enc(comps, w, h, quant, restart_interval=i % 3)
+        comps, w, h, quant, ri = content(i)
+        return enc(comps, w, h, quant, restart_interval=ri)
 
     return build
 

@@ -523,19 +523,12 @@ def make_lake_stream_source():
                 stopped = False
                 for idx in range(skip, len(files)):
                     # the file cap is HARD; the byte cap is SOFT (Delta's
-                    # maxBytesPerTrigger admission: a batch always takes
-                    # at least one file, and the last admitted file may
-                    # overshoot the budget)
-                    size = (
-                        os.path.getsize(
-                            os.path.join(repo.root, files[idx][0])
-                        )
-                        if self.bcap
-                        else 0
-                    )
+                    # maxBytesPerTrigger admission: files are taken while
+                    # the budget is not yet MET, so the last admitted
+                    # file may overshoot it)
                     if admitted and (
                         (self.cap and admitted >= self.cap)
-                        or (self.bcap and used_bytes + size > self.bcap)
+                        or (self.bcap and used_bytes >= self.bcap)
                     ):
                         # idx files of this version consumed so far; 0
                         # means none — the previous end stands
@@ -544,7 +537,10 @@ def make_lake_stream_source():
                         stopped = True
                         break
                     admitted += 1
-                    used_bytes += size
+                    if self.bcap:
+                        used_bytes += os.path.getsize(
+                            os.path.join(repo.root, files[idx][0])
+                        )
                 if stopped:
                     break
                 end = {"version": c.version}

@@ -848,12 +848,29 @@ class LakeRepo:
             srcm, dstm, basem = load(s_rel), load(d_rel), load(b_rel)
         except Exception:
             return None
-        out = dict(basem.get("files", {}))
-        for m in (srcm, dstm):
-            for k, sig in m.get("files", {}).items():
-                if k in out and out[k] != sig:
-                    return None  # same landed path, different bytes
-                out[k] = sig
+        # true three-way per key: a ONE-sided signature update (the
+        # documented force-reload flow) resolves to the side that
+        # changed; only both-sides-changed-differently conflicts. A
+        # side DELETING a landed entry never happens through COPY INTO
+        # (drops clear the whole registry, handled above) — stay
+        # conservative and conflict on that shape.
+        bf = basem.get("files", {})
+        sf = srcm.get("files", {})
+        df = dstm.get("files", {})
+        out = {}
+        for k in set(bf) | set(sf) | set(df):
+            bv, sv, dv = bf.get(k), sf.get(k), df.get(k)
+            if sv == dv:
+                v = sv
+            elif dv == bv:
+                v = sv
+            elif sv == bv:
+                v = dv
+            else:
+                return None  # same landed path, different bytes, both sides
+            if v is None:
+                return None  # one side dropped an entry — not a COPY INTO shape
+            out[k] = v
         blob = self._object_blob(new_id())
         os.makedirs(os.path.dirname(blob), exist_ok=True)
         with open(blob, "w") as f:
@@ -2416,10 +2433,14 @@ class LakeRepo:
 
         def fp(df: DataFrame, tag: str) -> DataFrame:
             # one row per PK with a content fingerprint; PK duplicates are
-            # fingerprinted order-insensitively via sum of row hashes
+            # fingerprinted order-insensitively via sum of row hashes —
+            # summed in DECIMAL: two identical near-2^63 xxhash64 values
+            # overflow an ANSI long sum (crashed any merge of a table
+            # with duplicate PKs; caught by the r11 force-reload test)
             h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
             return df.groupBy(*pk).agg(
-                F.sum(h).alias(f"_h_{tag}"), F.count(F.lit(1)).alias(f"_n_{tag}")
+                F.sum(h.cast("decimal(20,0)")).alias(f"_h_{tag}"),
+                F.count(F.lit(1)).alias(f"_n_{tag}"),
             )
 
         s_fp, d_fp = fp(src, "s"), fp(dst, "d")

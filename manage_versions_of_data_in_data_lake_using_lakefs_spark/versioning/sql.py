@@ -698,10 +698,37 @@ class LakeSQL:
         def _visible(n: str) -> bool:
             return not os.path.basename(n).startswith(("_", "."))
 
+        # hidden components must be rejected EVERYWHERE below the
+        # pattern's literal prefix, including ones a recursive glob
+        # matched directly (src='/land/**/*.parquet' can hit
+        # '_temporary/0/part.parquet' — a crashed writer's partial file
+        # that a basename-only check would load and then permanently
+        # record as correctly loaded). Components inside the literal
+        # prefix are the user explicitly naming a location — admitted,
+        # like Spark reading an explicitly named path.
+        segs = src.split(os.sep)
+        n_fixed = next(
+            (
+                k
+                for k, s in enumerate(segs)
+                if any(ch in s for ch in "*?[")
+            ),
+            len(segs),
+        )
+        fixed_prefix = os.sep.join(segs[:n_fixed])
+
+        def _hit_visible(hit: str) -> bool:
+            rel = os.path.relpath(hit, fixed_prefix) if fixed_prefix else hit
+            return all(
+                not part.startswith(("_", "."))
+                for part in rel.split(os.sep)
+                if part not in ("", ".", "..")
+            )
+
         paths: list[str] = []
         for hit in sorted(globmod.glob(src, recursive=True)) or []:
             if os.path.isdir(hit):
-                if not _visible(hit) and hit != src.rstrip("/"):
+                if not _hit_visible(hit) and hit != src.rstrip("/"):
                     continue
                 for dp, dn, fns in os.walk(hit):
                     dn[:] = sorted(d for d in dn if _visible(d))
@@ -710,7 +737,7 @@ class LakeSQL:
                         for fn in sorted(fns)
                         if _visible(fn)
                     )
-            elif os.path.isfile(hit) and _visible(hit):
+            elif os.path.isfile(hit) and _hit_visible(hit):
                 paths.append(hit)
         if not paths:
             raise FileNotFoundError(f"COPY INTO: no files match {src!r}")

@@ -83,6 +83,70 @@ def test_copy_into_idempotent_and_incremental(spark, repo, tmp_path):
     assert repo.read_table(spark, "t", "main").count() == 15
 
 
+def test_copy_into_recursive_glob_skips_hidden_dirs(spark, repo, tmp_path):
+    """r11 review: a recursive glob whose wildcard spans a hidden
+    directory must NOT load the files under it (a crashed writer's
+    _temporary partials would otherwise load and be permanently
+    recorded as correct) — while hidden components inside the
+    pattern's LITERAL prefix stay admitted (the user explicitly named
+    that location)."""
+    land = str(tmp_path / "landing")
+    _land(spark, os.path.join(land, "batch1"), 0, 5)
+    junkdir = os.path.join(land, "_temporary", "0")
+    os.makedirs(junkdir, exist_ok=True)
+    # REAL parquet junk: if it were admitted it would load cleanly and
+    # poison the table, not just error
+    _land(spark, os.path.join(junkdir, "oops"), 100, 105)
+    sql = LakeSQL(spark, repo, "main")
+    r = sql.sql(
+        f"COPY INTO t FROM '{land}/**/*.parquet' FILEFORMAT = PARQUET"
+    ).first()
+    assert r.num_inserted_rows == 5
+    got = sorted(x.k for x in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(5))
+    # explicitly naming the hidden dir in the literal prefix admits it
+    r2 = sql.sql(
+        f"COPY INTO t2 FROM '{junkdir}/oops' FILEFORMAT = PARQUET"
+    ).first()
+    assert r2.num_inserted_rows == 5
+
+
+def test_copy_into_force_reload_merges_with_sibling_load(spark, repo, tmp_path):
+    """r11 review: a ONE-sided signature update (the documented force
+    reload) must merge cleanly with a sibling branch that loaded new
+    batches but never touched that path — three-way, not
+    base-vs-each-side."""
+    land = str(tmp_path / "landing")
+    _land(spark, os.path.join(land, "batch1"), 0, 5)
+    sql = LakeSQL(spark, repo, "main")
+    sql.sql(f"COPY INTO t FROM '{land}/batch1' FILEFORMAT = PARQUET")
+    repo.create_branch("b", "main")
+    # branch b loads a NEW batch (its registry differs from base)
+    _land(spark, os.path.join(land, "batch2"), 5, 9)
+    LakeSQL(spark, repo, "b").sql(
+        f"COPY INTO t FROM '{land}/batch2' FILEFORMAT = PARQUET"
+    )
+    # main force-reloads batch1 in place (same path, new signature)
+    part = next(
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(os.path.join(land, "batch1"))
+        for fn in sorted(fns)
+        if fn.endswith(".parquet")
+    )
+    ns = time.time_ns()
+    os.utime(part, ns=(ns, ns))
+    sql.sql(
+        f"COPY INTO t FROM '{land}/batch1' FILEFORMAT = PARQUET "
+        f"COPY_OPTIONS ('force' = 'true')"
+    )
+    # merge: b never touched batch1's path — src's new signature wins
+    repo.merge(spark, "b", "main", keys={"t": ["k"]})
+    # the merged registry carries the FORCED signature (no reload) and
+    # b's batch2 entry (no reload)
+    r = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r.num_inserted_rows == 0 and r.num_skipped_files == 2
+
+
 def test_copy_into_registries_union_across_merge(spark, repo, tmp_path):
     """r11 review: two branches' loaded sets are union-able maps of
     immutable files — merging them must not conflict; a same-path

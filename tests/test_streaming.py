@@ -1529,6 +1529,58 @@ def test_lake_stream_source_max_bytes_per_trigger_paces_catchup(
     assert any("fidx" in o for o in offsets), offsets
 
 
+def test_lake_stream_source_byte_cap_delta_admission(
+    spark, source_repo, tmp_path
+):
+    """r11 review: admission follows Delta's semantics exactly — files
+    are taken while the budget is not yet MET (the last admitted file
+    may overshoot), not stopped ahead of the file that would cross it.
+    With 3 files and budget = size(file0) + 1, the first batch must
+    admit exactly TWO files (file1 overshoots; file2 waits)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import (
+        drain_stream_to_head,
+        stream_table_from_repo,
+    )
+
+    import os
+
+    repo = source_repo
+    repo.write_table("main", "t", _kv(spark, 0, 12).repartition(3))
+    repo.commit("main", "v1")  # 3 files
+    entries = repo.head("main").tables["t"]
+    sizes = []
+    for rel in sorted(
+        os.path.join(dp, fn)
+        for e in entries
+        for dp, _dn, fns in os.walk(os.path.join(repo.root, e))
+        for fn in sorted(fns)
+        if not fn.startswith((".", "_"))
+    ):
+        sizes.append(os.path.getsize(rel))
+    assert len(sizes) == 3
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    q = (
+        stream_table_from_repo(
+            spark, repo.root, "t", max_bytes_per_trigger=sizes[0] + 1
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        drain_stream_to_head(q, repo.root, timeout_s=120)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, 2 * i) for i in range(12)]
+    offsets = _committed_offsets(ck)
+    # first batch = exactly two files (a mid-commit fidx=2 offset)
+    assert any(o.get("fidx") == 2 for o in offsets), offsets
+
+
 def test_lake_stream_source_byte_and_file_caps_compose(
     spark, source_repo, tmp_path
 ):
