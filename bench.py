@@ -180,6 +180,10 @@ def main() -> None:
         "multimodal_jpeg_prog",
         "multimodal_jpeg_suite",
         "versioned_dv_merge",
+        "multimodal_jpeg_arith",
+        "multimodal_jpeg_arith_prog",
+        "multimodal_jpeg_lossless",
+        "versioned_copy_into",
     ):
         if extra in registry:
             names.append(extra)

@@ -146,7 +146,14 @@ WINDOW_ORDER: list[str] = [
     "agg_multi_group",      # rollup/cube/grouping sets, tagged
     "pivot_status",
     # mutations / temporal
-    "upsert",
+    # (upsert — plain MERGE-shaped row merge via broadcast anti-join +
+    # union — rotated to the tail in r11: versioned_dv_merge below
+    # window-certifies the strictly richer MERGE semantics (matched
+    # UPDATE/DELETE through deletion vectors, conditional multi-clause
+    # first-match-wins grammar, one-commit atomicity), and the
+    # anti-join/union write shape is pinned by join_variants' anti tag +
+    # set_ops. The freed slot driver-certifies the r11 flagship codec
+    # below. Full oracle kept in the tail.)
     "join_asof",
     "sessionize",
     # LLM-pipeline: sampling, text, dedup, ANN, multimodal
@@ -200,7 +207,27 @@ WINDOW_ORDER: list[str] = [
                               # scan script, EOBn runs, AC-refinement
                               # zero-history placement — exact embedded-
                               # coefficient oracles for both flavors
-    "multimodal_features",  # Arrow mapInPandas extract, blob-arith oracle
+    "multimodal_jpeg_arith",  # r11 flagship codec: SOF9 sequential-
+                              # ARITHMETIC decode — QM conditional-
+                              # exchange coder over the Table D.3 state
+                              # machine, F.1.4 DC/AC models, DAC
+                              # conditioning, restart re-init; a shape
+                              # nothing else in the window exercises
+                              # (SOF10/SOF3 + the Huffman differential
+                              # certification live in the tail + pytest)
+    # (multimodal_features — Arrow mapInPandas payload extract with a
+    # blob-arithmetic oracle — rotated to the tail in r11: the
+    # map-only mapInPandas-over-MEDIA_SCHEMA plumbing and blob
+    # arithmetic are certified in-window by the strictly richer codec
+    # queries (multimodal_jpeg_suite + multimodal_jpeg_arith decode the
+    # payloads those stats only measure). Full oracle kept in the
+    # tail. The freed slot driver-certifies COPY INTO below.)
+    "versioned_copy_into",  # r11 flagship ingestion: idempotent COPY
+                            # INTO — loaded-set registry rides the
+                            # versioned object machinery, re-runs skip,
+                            # new batches load incrementally; a
+                            # versioned-write shape nothing else in the
+                            # window exercises
     "vdt4_replica",         # E2E versioned feature pipeline (jobs/vdt4.py)
     "versioned_incremental_agg",  # delta-refresh ≡ full rebuild (r5)
     "versioned_delete_prune",  # file-skipping DML: pruned DELETE ≡ plain

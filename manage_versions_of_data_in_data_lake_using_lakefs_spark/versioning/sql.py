@@ -113,8 +113,9 @@ _DETAIL_RE = re.compile(
     rf"^\s*DESCRIBE\s+DETAIL\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _RESTORE_RE = re.compile(
-    rf"^\s*RESTORE\s+TABLE\s+(?P<table>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
-    r"(?P<ver>\d+)\s*;?\s*$",
+    rf"^\s*RESTORE\s+TABLE\s+(?P<table>{_IDENT})\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
@@ -2368,9 +2369,16 @@ class LakeSQL:
             return self.detail(m.group("table"))
         m = _RESTORE_RE.match(query)
         if m:
-            # Delta RESTORE parity: O(1) copy-on-write metadata commit
+            # Delta RESTORE parity: O(1) copy-on-write metadata commit;
+            # TIMESTAMP AS OF resolves through the same at-or-before
+            # walk the read path uses
+            ver = (
+                int(m.group("ver"))
+                if m.group("ver") is not None
+                else self._version_at(m.group("ts"))
+            )
             c = self.repo.restore_table(
-                self.branch, self._resolve_table(m.group("table")), int(m.group("ver"))
+                self.branch, self._resolve_table(m.group("table")), ver
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],

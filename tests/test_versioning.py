@@ -981,6 +981,24 @@ def test_lakesql_restore_and_vacuum_statements(spark, repo):
     assert out[0].version == c1.version + 2
     assert [r.id for r in lsql.sql("SELECT id FROM events").collect()] == [1]
 
+    # RESTORE ... TO TIMESTAMP AS OF (r11): resolves at-or-before like
+    # the read path's TIMESTAMP AS OF, then the same CoW restore
+    from datetime import datetime, timezone
+
+    ts2 = datetime.fromtimestamp(
+        next(
+            c.timestamp
+            for c in repo.log("main", limit=None)
+            if c.version == c1.version + 1
+        ),
+        tz=timezone.utc,
+    ).isoformat()
+    out2 = lsql.sql(f"RESTORE TABLE events TO TIMESTAMP AS OF '{ts2}'").collect()
+    assert sorted(
+        r.id for r in lsql.sql("SELECT id FROM events").collect()
+    ) == [2]
+    assert out2[0].version == out[0].version + 1
+
     # keep_history vacuum removes nothing here; DRY RUN returns a frame
     assert lsql.sql("VACUUM DRY RUN").collect() == lsql.sql("VACUUM").collect()
 
