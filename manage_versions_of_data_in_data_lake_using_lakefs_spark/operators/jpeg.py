@@ -34,9 +34,10 @@ the published interchange format (ITU-T T.81 / ISO 10918-1):
 
 Honest boundaries (loud, never silent): arithmetic (SOF9 sequential,
 SOF10 progressive) and lossless (SOF3) files decode in
-``operators/jpeg_arith.py`` (r11); the remaining processes
-(hierarchical, 12-bit) raise NotImplementedError, as do 16-bit quant
-tables and non-integer chroma upsampling ratios. The fixture
+``operators/jpeg_arith.py`` (r11); SOF1 (extended sequential) and
+16-bit (Pq=1) quant tables decode here (r11); the remaining processes
+(hierarchical, 12-bit precision) raise NotImplementedError, as do
+non-integer chroma upsampling ratios. The fixture
 encoders (`encode_jpeg`, `encode_jpeg_progressive`) write REAL files
 from chosen quantized coefficients — every byte follows T.81,
 including subsampled MCU interleave, restart markers, and the full
@@ -354,6 +355,7 @@ def _make_jpeg_codec():
         quant: list[int],
         sampling: list[tuple[int, int]] | None = None,
         restart_interval: int = 0,
+        wide_quant: bool = False,
     ) -> bytes:
         """REAL baseline JPEG from QUANTIZED coefficient blocks.
 
@@ -364,7 +366,8 @@ def _make_jpeg_codec():
         ``sampling`` gives (Hi, Vi) per component (default 1:1); any
         dimensions (ceiling MCU grids pad the edges); ``restart_interval``
         emits DRI + RSTn every that many MCUs. ``quant`` is the shared
-        64-entry table in natural order.
+        64-entry table in natural order; ``wide_quant`` (or any entry
+        over 255) emits it as a 16-bit (Pq=1) DQT.
         """
         ncomp = len(comps)
         if ncomp not in (1, 3):
@@ -390,7 +393,18 @@ def _make_jpeg_codec():
                 )
 
         out = bytearray(b"\xff\xd8")  # SOI
-        out += _seg(0xDB, bytes([0x00]) + bytes(quant[ZZ[i]] for i in range(64)))
+        if wide_quant or any(q > 255 for q in quant):
+            out += _seg(
+                0xDB,
+                bytes([0x10])
+                + b"".join(
+                    quant[ZZ[i]].to_bytes(2, "big") for i in range(64)
+                ),
+            )
+        else:
+            out += _seg(
+                0xDB, bytes([0x00]) + bytes(quant[ZZ[i]] for i in range(64))
+            )
         sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
         sof.append(ncomp)
         for ci in range(ncomp):
@@ -894,13 +908,18 @@ def _make_jpeg_codec():
                 while j < len(body):
                     pq, tq = body[j] >> 4, body[j] & 0x0F
                     j += 1
-                    if pq:
-                        raise NotImplementedError("JPEG: 16-bit DQT unsupported")
                     tbl = [0] * 64
-                    for k in range(64):
-                        tbl[ZZ[k]] = body[j + k]
+                    if pq:  # 16-bit (Pq=1) table, big-endian entries
+                        for k in range(64):
+                            tbl[ZZ[k]] = int.from_bytes(
+                                body[j + 2 * k : j + 2 * k + 2], "big"
+                            )
+                        j += 128
+                    else:
+                        for k in range(64):
+                            tbl[ZZ[k]] = body[j + k]
+                        j += 64
                     quants[tq] = tbl
-                    j += 64
             elif marker == 0xC4:
                 j = 0
                 while j < len(body):
@@ -910,8 +929,16 @@ def _make_jpeg_codec():
                     vals = list(body[j + 17 : j + 17 + n])
                     huff[(tc, th)] = _build_decode_table(bits, vals)
                     j += 17 + n
-            elif marker in (0xC0, 0xC2):
+            elif marker in (0xC0, 0xC1, 0xC2):
+                # SOF1 (extended sequential, Huffman) decodes identically
+                # to SOF0 at 8-bit precision — it only widens the legal
+                # table-id/precision envelope (T.81 table B.2)
                 progressive = marker == 0xC2
+                if body[0] != 8:
+                    raise NotImplementedError(
+                        f"JPEG: {body[0]}-bit sample precision unsupported "
+                        f"(8-bit only)"
+                    )
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 nc = body[5]
@@ -930,7 +957,7 @@ def _make_jpeg_codec():
                     f"operators/jpeg_arith.py ("
                     f"{'decode_jpeg_lossless' if marker == 0xC3 else 'decode_jpeg_arith'})"
                 )
-            elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     f"JPEG: SOF{marker - 0xC0} (unsupported process — "
                     f"baseline SOF0 and progressive-Huffman SOF2 decode "

@@ -793,13 +793,18 @@ def _make_jpeg_ext_codec():
                 while j < len(body):
                     pq, tq = body[j] >> 4, body[j] & 0x0F
                     j += 1
-                    if pq:
-                        raise NotImplementedError("JPEG: 16-bit DQT unsupported")
                     tbl = [0] * 64
-                    for k in range(64):
-                        tbl[ZZ[k]] = body[j + k]
+                    if pq:  # 16-bit (Pq=1) table, big-endian entries
+                        for k in range(64):
+                            tbl[ZZ[k]] = int.from_bytes(
+                                body[j + 2 * k : j + 2 * k + 2], "big"
+                            )
+                        j += 128
+                    else:
+                        for k in range(64):
+                            tbl[ZZ[k]] = body[j + k]
+                        j += 64
                     quants[tq] = tbl
-                    j += 64
             elif marker in (0xC9, 0xCA):
                 progressive = marker == 0xCA
                 if body[0] != 8:

@@ -106,6 +106,37 @@ def test_idct_against_direct_reference(codec):
     assert np.allclose(idct(coefs), ref(coefs), atol=1e-9)
 
 
+def test_sof1_and_wide_quant_decode(codec):
+    """r11: SOF1 (extended sequential) decodes identically to SOF0 at
+    8-bit precision, and a 16-bit (Pq=1) DQT roundtrips exactly —
+    including quant values over 255, which an 8-bit table can't carry.
+    12-bit sample precision stays a loud refusal."""
+    enc, dec, _, _, _ = codec
+    quant = [1 + (k % 5) * 100 for k in range(64)]  # values up to 401
+    comps = [[[0] * 64 for _ in range(2)]]
+    comps[0][0][0] = 7
+    comps[0][1][9] = -3
+    p = enc(comps, 16, 8, quant)
+    assert p[6] == 0x10  # Pq=1 emitted automatically for wide tables
+    w, h, nc, out = dec(p)
+    assert (w, h, nc) == (16, 8, 1)
+    assert out[0][0][0] == 7 * quant[0]
+    assert out[0][1][9] == -3 * quant[9]
+    # explicit wide_quant with narrow values roundtrips too
+    narrow = [1 + (k % 5) for k in range(64)]
+    p2 = enc(comps, 16, 8, narrow, wide_quant=True)
+    assert dec(p2) == dec(enc(comps, 16, 8, narrow))
+    # SOF1: same bytes, extended-sequential marker
+    i = p2.index(bytes([0xFF, 0xC0]))
+    sof1 = p2[: i + 1] + bytes([0xC1]) + p2[i + 2 :]
+    assert dec(sof1) == dec(p2)
+    # 12-bit precision refuses loudly (patch the SOF precision byte)
+    twelve = bytearray(p2)
+    twelve[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        dec(bytes(twelve))
+
+
 def test_guards_raise_loudly(codec):
     enc, dec, _, _, _ = codec
     good = _make_synth_jpeg()(4)
