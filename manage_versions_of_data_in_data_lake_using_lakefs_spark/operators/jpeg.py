@@ -34,10 +34,11 @@ the published interchange format (ITU-T T.81 / ISO 10918-1):
 
 Honest boundaries (loud, never silent): arithmetic (SOF9 sequential,
 SOF10 progressive) and lossless (SOF3) files decode in
-``operators/jpeg_arith.py`` (r11); SOF1 (extended sequential) and
-16-bit (Pq=1) quant tables decode here (r11); the remaining processes
-(hierarchical, 12-bit precision) raise NotImplementedError, as do
-non-integer chroma upsampling ratios. The fixture
+``operators/jpeg_arith.py`` (r11); SOF1 (extended sequential), 16-bit
+(Pq=1) quant tables, and 12-bit precision COEFFICIENT decode land here
+(r11 — the entropy layer is precision-independent; the uint8 pixel
+assembler refuses 12-bit on its own). Hierarchical processes and
+non-integer chroma upsampling ratios raise NotImplementedError. The fixture
 encoders (`encode_jpeg`, `encode_jpeg_progressive`) write REAL files
 from chosen quantized coefficients — every byte follows T.81,
 including subsampled MCU interleave, restart markers, and the full
@@ -356,6 +357,7 @@ def _make_jpeg_codec():
         sampling: list[tuple[int, int]] | None = None,
         restart_interval: int = 0,
         wide_quant: bool = False,
+        precision: int = 8,
     ) -> bytes:
         """REAL baseline JPEG from QUANTIZED coefficient blocks.
 
@@ -405,11 +407,16 @@ def _make_jpeg_codec():
             out += _seg(
                 0xDB, bytes([0x00]) + bytes(quant[ZZ[i]] for i in range(64))
             )
-        sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        if precision not in (8, 12):
+            raise ValueError("encode_jpeg: precision must be 8 or 12")
+        sof = (
+            bytearray([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        )
         sof.append(ncomp)
         for ci in range(ncomp):
             sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
-        out += _seg(0xC0, bytes(sof))
+        # 12-bit is the EXTENDED process: spell it SOF1 (T.81 table B.2)
+        out += _seg(0xC0 if precision == 8 else 0xC1, bytes(sof))
         out += _seg(0xC4, bytes([0x00] + _DC_BITS) + bytes(_DC_VALS))
         out += _seg(0xC4, bytes([0x10] + _AC_BITS) + bytes(_AC_VALS))
         if restart_interval:
@@ -732,6 +739,7 @@ def _make_jpeg_codec():
         scan_tables: list[tuple[int, int]] = []
         restart_interval = 0
         progressive = False
+        precision = 8
         geo = None  # progressive geometry, built at the first SOS
         pcoef: list[list[list[int]]] = []  # [ci][padded-grid idx][64] quantized
         saw_scan = False
@@ -931,14 +939,18 @@ def _make_jpeg_codec():
                     j += 17 + n
             elif marker in (0xC0, 0xC1, 0xC2):
                 # SOF1 (extended sequential, Huffman) decodes identically
-                # to SOF0 at 8-bit precision — it only widens the legal
-                # table-id/precision envelope (T.81 table B.2)
+                # to SOF0 — it only widens the legal table-id/precision
+                # envelope (T.81 table B.2). 12-bit precision changes
+                # NOTHING on the coefficient path (the entropy layer is
+                # table-driven and EXTEND is size-generic); only the
+                # pixel assembler is 8-bit, and it refuses on its own.
                 progressive = marker == 0xC2
-                if body[0] != 8:
+                if body[0] not in (8, 12):
                     raise NotImplementedError(
                         f"JPEG: {body[0]}-bit sample precision unsupported "
-                        f"(8-bit only)"
+                        f"(8- and 12-bit decode)"
                     )
+                precision = body[0]
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 nc = body[5]
@@ -1047,6 +1059,7 @@ def _make_jpeg_codec():
                 "vmax": geo["vmax"],
                 "mcux": geo["mcux"],
                 "mcuy": geo["mcuy"],
+                "precision": precision,
             }
             return w, h, ncomp, comps, info
         if w is None or scan is None:
@@ -1109,6 +1122,7 @@ def _make_jpeg_codec():
             "vmax": vmax,
             "mcux": mcux,
             "mcuy": mcuy,
+            "precision": precision,
         }
         return w, h, ncomp, comps, info
 
@@ -1137,6 +1151,12 @@ def _make_jpeg_codec():
                 f"JPEG: pixel assembly for {ncomp}-component images "
                 f"(CMYK/YCCK) unsupported — only grayscale and YCbCr; "
                 f"the coefficient decode (decode_jpeg) still works"
+            )
+        if info.get("precision", 8) != 8:
+            raise NotImplementedError(
+                f"JPEG: pixel assembly for {info['precision']}-bit "
+                f"precision unsupported (uint8 level shift/clamp); the "
+                f"coefficient decode (decode_jpeg) still works"
             )
         hmax, vmax = info["hmax"], info["vmax"]
         planes = []

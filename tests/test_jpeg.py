@@ -130,11 +130,22 @@ def test_sof1_and_wide_quant_decode(codec):
     i = p2.index(bytes([0xFF, 0xC0]))
     sof1 = p2[: i + 1] + bytes([0xC1]) + p2[i + 2 :]
     assert dec(sof1) == dec(p2)
-    # 12-bit precision refuses loudly (patch the SOF precision byte)
-    twelve = bytearray(p2)
-    twelve[i + 4] = 12
+    # 12-bit precision (r11): the COEFFICIENT decode is precision-
+    # independent — an encoded 12-bit (SOF1, wide-quant) file decodes
+    # to the same exact dequantized coefficients
+    _, _, _, pixels, _ = codec
+    p12 = enc(comps, 16, 8, quant, precision=12)
+    assert p12.index(bytes([0xFF, 0xC1])) > 0  # extended process marker
+    assert dec(p12) == dec(p)
+    # ... while the 8-bit pixel assembler refuses loudly
     with pytest.raises(NotImplementedError, match="12-bit"):
-        dec(bytes(twelve))
+        pixels(p12)
+    # other precisions refuse loudly (patch the SOF precision byte)
+    i12 = p12.index(bytes([0xFF, 0xC1]))
+    ten = bytearray(p12)
+    ten[i12 + 4] = 10
+    with pytest.raises(NotImplementedError, match="10-bit"):
+        dec(bytes(ten))
 
 
 def test_guards_raise_loudly(codec):
