@@ -183,6 +183,7 @@ def main() -> None:
         "multimodal_jpeg_arith",
         "multimodal_jpeg_arith_prog",
         "multimodal_jpeg_lossless",
+        "multimodal_jpeg_mixed",
         "versioned_copy_into",
     ):
         if extra in registry:

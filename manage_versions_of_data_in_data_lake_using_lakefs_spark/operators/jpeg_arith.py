@@ -1387,6 +1387,69 @@ def decode_jpeg_arith_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(stats, schema=JPEG_STATS_SCHEMA)
 
 
+def decode_jpeg_auto_stats(media: DataFrame) -> DataFrame:
+    """Format-ROUTING JPEG coefficient decode: one map-only pass over a
+    heterogeneous corpus — each payload's SOF marker picks the decoder
+    (SOF0/1/2 → the Huffman codec, SOF9/10 → the arithmetic codec;
+    SOF3 lossless raises here because its sample-domain stats live in a
+    different row shape — use ``decode_jpeg_lossless_stats``). This is
+    the entry point a real crawl needs: web images arrive with mixed
+    processes, and the router keeps them in ONE ``mapInPandas`` stage
+    instead of a per-flavor split + union. Same stats row shape as
+    ``operators/jpeg.py::decode_jpeg_stats``."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+        JPEG_STATS_SCHEMA,
+        _make_jpeg_codec,
+    )
+
+    decode_huff = _make_jpeg_codec()[1]
+    decode_arith = _make_jpeg_ext_codec()[1]
+
+    def pick(p: bytes):
+        # walk the marker stream to the frame header; route on it
+        if p[:2] != b"\xff\xd8":
+            raise ValueError("JPEG: missing SOI")
+        i = 2
+        while i + 4 <= len(p):
+            if p[i] != 0xFF:
+                raise ValueError(f"JPEG: expected marker at {i}")
+            m = p[i + 1]
+            if m in (0xC0, 0xC1, 0xC2):
+                return decode_huff
+            if m in (0xC9, 0xCA):
+                return decode_arith
+            if m == 0xC3:
+                raise NotImplementedError(
+                    "JPEG auto: SOF3 lossless emits sample stats, not "
+                    "coefficient stats — use decode_jpeg_lossless_stats"
+                )
+            if m == 0xD9 or m == 0xDA:
+                break
+            i += 2 + int.from_bytes(p[i + 2 : i + 4], "big")
+        raise ValueError("JPEG auto: no SOF marker before SOS/EOI")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in JPEG_STATS_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                w, h, nc, comps = pick(raw)(raw)
+                flat = [v for c in comps for blk in c for v in blk]
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_components"].append(nc)
+                out["n_nonzero"].append(sum(1 for v in flat if v))
+                out["coef_sum"].append(sum(flat))
+                out["coef_abs_sum"].append(sum(abs(v) for v in flat))
+                out["dc_sum"].append(
+                    sum(c[b][0] for c in comps for b in range(len(c)))
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=JPEG_STATS_SCHEMA)
+
+
 LOSSLESS_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -1136,6 +1136,58 @@ def q_multimodal_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_JPEG_ARITH_PROG = ORACLE_MULTIMODAL_JPEG_PROG
 
 
+def q_multimodal_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-ROUTING decode over a heterogeneous JPEG corpus (r11):
+    each doc_id gets ONE of five processes by id % 5 (baseline 4:4:4,
+    baseline 4:2:0 subsampled+restarts, progressive Huffman, sequential
+    arithmetic, progressive arithmetic), the five synthesized frames
+    union into one corpus, and a SINGLE ``mapInPandas`` stage routes
+    each payload to the right decoder off its SOF marker — the entry
+    point a real crawl needs (mixed processes in one scan, no
+    per-flavor split). The oracle unions the five flavors' formula
+    programs filtered to their residue classes, so the hash certifies
+    BOTH the routing and every decode chain at once."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import synthesize_jpeg_media
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
+        decode_jpeg_auto_stats,
+        synthesize_jpeg_ext_media,
+    )
+
+    ids = _codec_ids(spark, sf_dir)
+    parts = []
+    for r, flavor, synth in (
+        (0, "444", synthesize_jpeg_media),
+        (1, "420", synthesize_jpeg_media),
+        (2, "prog", synthesize_jpeg_media),
+        (3, "arith", synthesize_jpeg_ext_media),
+        (4, "arith_prog", synthesize_jpeg_ext_media),
+    ):
+        parts.append(
+            synth(ids.where(F.col("doc_id") % 5 == r), flavor=flavor)
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    return decode_jpeg_auto_stats(corpus).orderBy("media_id")
+
+
+def _oracle_multimodal_jpeg_mixed() -> str:
+    # the constituents' oracles verbatim, residue-filtered — built from
+    # the same strings so the mixed oracle can never drift from them
+    b444 = ORACLE_MULTIMODAL_JPEG_DECODE.rsplit("ORDER BY", 1)[0]
+    b420 = ORACLE_MULTIMODAL_JPEG_420.rsplit("ORDER BY", 1)[0]
+    prog = ORACLE_MULTIMODAL_JPEG_PROG.rsplit("ORDER BY", 1)[0]
+    sel = []
+    for r, body in ((0, b444), (1, b420), (2, prog), (3, prog), (4, prog)):
+        sel.append(
+            f"SELECT * FROM ({body}) AS t{r} WHERE media_id % 5 = {r}"
+        )
+    return " UNION ALL ".join(sel) + " ORDER BY media_id"
+
+
+ORACLE_MULTIMODAL_JPEG_MIXED = _oracle_multimodal_jpeg_mixed()
+
+
 def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless (SOF3) JPEG decode (r11 — closes the predictive
     process next to SOF9): deterministic VALID T.81 lossless files
@@ -1255,6 +1307,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
     "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
     "multimodal_jpeg_arith_prog": q_multimodal_jpeg_arith_prog,
+    "multimodal_jpeg_mixed": q_multimodal_jpeg_mixed,
     "multimodal_jpeg_lossless": q_multimodal_jpeg_lossless,
     "multimodal_jpeg_suite": q_multimodal_jpeg_suite,
     "streaming_classifier": q_streaming_classifier,
@@ -1284,6 +1337,7 @@ PIPELINE_ORACLES = {
     "multimodal_jpeg_prog": ORACLE_MULTIMODAL_JPEG_PROG,
     "multimodal_jpeg_arith": ORACLE_MULTIMODAL_JPEG_ARITH,
     "multimodal_jpeg_arith_prog": ORACLE_MULTIMODAL_JPEG_ARITH_PROG,
+    "multimodal_jpeg_mixed": ORACLE_MULTIMODAL_JPEG_MIXED,
     "multimodal_jpeg_lossless": ORACLE_MULTIMODAL_JPEG_LOSSLESS,
     "multimodal_jpeg_suite": ORACLE_MULTIMODAL_JPEG_SUITE,
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,

