@@ -396,6 +396,14 @@ def _make_jpeg_codec():
 
         out = bytearray(b"\xff\xd8")  # SOI
         if wide_quant or any(q > 255 for q in quant):
+            # T.81 B.2.4.1: 16-bit (Pq=1) tables are legal only with
+            # 12-bit sample data — refuse a non-conformant combination
+            # instead of emitting bytes a strict decoder rejects
+            if precision != 12:
+                raise ValueError(
+                    "encode_jpeg: 16-bit quantization tables (wide_quant "
+                    "or entries > 255) require precision=12 (T.81 B.2.4.1)"
+                )
             out += _seg(
                 0xDB,
                 bytes([0x10])
@@ -907,6 +915,9 @@ def _make_jpeg_codec():
             if p[i] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {i}")
             marker = p[i + 1]
+            if marker == 0xFF:  # fill byte (T.81 B.1.1.2): realign
+                i += 1
+                continue
             if marker == 0xD9:
                 break
             seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
@@ -918,6 +929,10 @@ def _make_jpeg_codec():
                     j += 1
                     tbl = [0] * 64
                     if pq:  # 16-bit (Pq=1) table, big-endian entries
+                        if j + 128 > len(body):
+                            raise ValueError(
+                                "JPEG: truncated 16-bit DQT segment"
+                            )
                         for k in range(64):
                             tbl[ZZ[k]] = int.from_bytes(
                                 body[j + 2 * k : j + 2 * k + 2], "big"
@@ -972,8 +987,8 @@ def _make_jpeg_codec():
             elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     f"JPEG: SOF{marker - 0xC0} (unsupported process — "
-                    f"baseline SOF0 and progressive-Huffman SOF2 decode "
-                    f"here; SOF9/SOF10/SOF3 in operators/jpeg_arith.py)"
+                    f"SOF0/SOF1/SOF2 Huffman decode here; SOF9/SOF10/SOF3 "
+                    f"in operators/jpeg_arith.py)"
                 )
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")
@@ -1386,19 +1401,21 @@ def synthesize_jpeg_media(
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_jpeg_stats(media: DataFrame) -> DataFrame:
-    """REAL JPEG entropy decode (marker walk, canonical Huffman, byte
-    unstuffing, zigzag, DC prediction, dequantization) → per-image
-    integer coefficient statistics. Map-only ``mapInPandas``: payloads
-    never shuffle; the exact-int outputs are what lets a SQL oracle
-    certify the whole entropy chain against the embedded ground truth."""
-    _, decode_jpeg, _, _, _ = _make_jpeg_codec()
+def make_coef_stats(decode):
+    """The ONE copy of the coefficient-stats reduction: a mapInPandas
+    generator turning (media_id, payload) rows into JPEG_STATS_SCHEMA
+    rows through ``decode`` (any callable with decode_jpeg's output
+    contract). Shared by the Huffman, arithmetic, and format-routing
+    stats entry points so the reduction can never drift between them
+    (r11 review). ``decode`` and the field list ride the closure —
+    self-contained for by-value pickling."""
+    fields = [f.name for f in JPEG_STATS_SCHEMA.fields]
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k.name: [] for k in JPEG_STATS_SCHEMA.fields}
+            out = {k: [] for k in fields}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, nc, comps = decode_jpeg(bytes(p))
+                w, h, nc, comps = decode(bytes(p))
                 flat = [v for c in comps for blk in c for v in blk]
                 out["media_id"].append(int(mid))
                 out["width"].append(w)
@@ -1407,7 +1424,21 @@ def decode_jpeg_stats(media: DataFrame) -> DataFrame:
                 out["n_nonzero"].append(sum(1 for v in flat if v))
                 out["coef_sum"].append(sum(flat))
                 out["coef_abs_sum"].append(sum(abs(v) for v in flat))
-                out["dc_sum"].append(sum(c[b][0] for c in comps for b in range(len(c))))
+                out["dc_sum"].append(
+                    sum(c[b][0] for c in comps for b in range(len(c)))
+                )
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(stats, schema=JPEG_STATS_SCHEMA)
+    return stats
+
+
+def decode_jpeg_stats(media: DataFrame) -> DataFrame:
+    """REAL JPEG entropy decode (marker walk, canonical Huffman, byte
+    unstuffing, zigzag, DC prediction, dequantization) → per-image
+    integer coefficient statistics. Map-only ``mapInPandas``: payloads
+    never shuffle; the exact-int outputs are what lets a SQL oracle
+    certify the whole entropy chain against the embedded ground truth."""
+    _, decode_jpeg, _, _, _ = _make_jpeg_codec()
+    return media.mapInPandas(
+        make_coef_stats(decode_jpeg), schema=JPEG_STATS_SCHEMA
+    )

@@ -784,6 +784,9 @@ def _make_jpeg_ext_codec():
             if p[i] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {i}")
             marker = p[i + 1]
+            if marker == 0xFF:  # fill byte (T.81 B.1.1.2): realign
+                i += 1
+                continue
             if marker == 0xD9:
                 break
             seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
@@ -795,6 +798,10 @@ def _make_jpeg_ext_codec():
                     j += 1
                     tbl = [0] * 64
                     if pq:  # 16-bit (Pq=1) table, big-endian entries
+                        if j + 128 > len(body):
+                            raise ValueError(
+                                "JPEG: truncated 16-bit DQT segment"
+                            )
                         for k in range(64):
                             tbl[ZZ[k]] = int.from_bytes(
                                 body[j + 2 * k : j + 2 * k + 2], "big"
@@ -1122,6 +1129,9 @@ def _make_jpeg_ext_codec():
             if p[i] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {i}")
             marker = p[i + 1]
+            if marker == 0xFF:  # fill byte (T.81 B.1.1.2): realign
+                i += 1
+                continue
             if marker == 0xD9:
                 break
             seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
@@ -1358,96 +1368,87 @@ def synthesize_jpeg_ext_media(
 
 
 def decode_jpeg_arith_stats(media: DataFrame) -> DataFrame:
-    """REAL SOF9 arithmetic entropy decode → per-image integer
+    """REAL SOF9/SOF10 arithmetic entropy decode → per-image integer
     coefficient statistics (same row shape as
     ``operators/jpeg.py::decode_jpeg_stats`` so the oracle discipline
     carries over). Map-only ``mapInPandas``; payloads never shuffle."""
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import JPEG_STATS_SCHEMA
-
-    _, decode, _, _, _ = _make_jpeg_ext_codec()
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k.name: [] for k in JPEG_STATS_SCHEMA.fields}
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, nc, comps = decode(bytes(p))
-                flat = [v for c in comps for blk in c for v in blk]
-                out["media_id"].append(int(mid))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_components"].append(nc)
-                out["n_nonzero"].append(sum(1 for v in flat if v))
-                out["coef_sum"].append(sum(flat))
-                out["coef_abs_sum"].append(sum(abs(v) for v in flat))
-                out["dc_sum"].append(
-                    sum(c[b][0] for c in comps for b in range(len(c)))
-                )
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(stats, schema=JPEG_STATS_SCHEMA)
-
-
-def decode_jpeg_auto_stats(media: DataFrame) -> DataFrame:
-    """Format-ROUTING JPEG coefficient decode: one map-only pass over a
-    heterogeneous corpus — each payload's SOF marker picks the decoder
-    (SOF0/1/2 → the Huffman codec, SOF9/10 → the arithmetic codec;
-    SOF3 lossless raises here because its sample-domain stats live in a
-    different row shape — use ``decode_jpeg_lossless_stats``). This is
-    the entry point a real crawl needs: web images arrive with mixed
-    processes, and the router keeps them in ONE ``mapInPandas`` stage
-    instead of a per-flavor split + union. Same stats row shape as
-    ``operators/jpeg.py::decode_jpeg_stats``."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
         JPEG_STATS_SCHEMA,
-        _make_jpeg_codec,
+        make_coef_stats,
     )
+
+    _, decode, _, _, _ = _make_jpeg_ext_codec()
+    return media.mapInPandas(
+        make_coef_stats(decode), schema=JPEG_STATS_SCHEMA
+    )
+
+
+def _make_jpeg_router():
+    """Factory for the format-routing coefficient decoder: ``decode(p)``
+    walks the marker stream to the frame header and dispatches on it —
+    SOF0/1/2 → the Huffman codec, SOF9/10 → the arithmetic codec, SOF3
+    raises a redirect to the lossless stats path, and every OTHER SOF
+    (differential, hierarchical, SOF11) is handed to the Huffman
+    decoder so its informative per-SOF refusal surfaces instead of a
+    generic 'no SOF found'. T.81 B.1.1.2 fill bytes (0xFF padding
+    before a marker) and standalone TEM/RSTn markers are skipped, not
+    misparsed as length-bearing segments (r11 review)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import _make_jpeg_codec
 
     decode_huff = _make_jpeg_codec()[1]
     decode_arith = _make_jpeg_ext_codec()[1]
 
-    def pick(p: bytes):
-        # walk the marker stream to the frame header; route on it
+    def decode(p: bytes):
         if p[:2] != b"\xff\xd8":
             raise ValueError("JPEG: missing SOI")
         i = 2
-        while i + 4 <= len(p):
+        while i + 2 <= len(p):
             if p[i] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {i}")
             m = p[i + 1]
+            if m == 0xFF:  # fill byte (B.1.1.2): realign on the next
+                i += 1
+                continue
             if m in (0xC0, 0xC1, 0xC2):
-                return decode_huff
+                return decode_huff(p)
             if m in (0xC9, 0xCA):
-                return decode_arith
+                return decode_arith(p)
             if m == 0xC3:
                 raise NotImplementedError(
                     "JPEG auto: SOF3 lossless emits sample stats, not "
                     "coefficient stats — use decode_jpeg_lossless_stats"
                 )
+            if m in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+                return decode_huff(p)  # its per-SOF refusal is the error
             if m == 0xD9 or m == 0xDA:
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM/RSTn: standalone
+                i += 2
+                continue
+            if i + 4 > len(p):
                 break
             i += 2 + int.from_bytes(p[i + 2 : i + 4], "big")
         raise ValueError("JPEG auto: no SOF marker before SOS/EOI")
 
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k.name: [] for k in JPEG_STATS_SCHEMA.fields}
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(p)
-                w, h, nc, comps = pick(raw)(raw)
-                flat = [v for c in comps for blk in c for v in blk]
-                out["media_id"].append(int(mid))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_components"].append(nc)
-                out["n_nonzero"].append(sum(1 for v in flat if v))
-                out["coef_sum"].append(sum(flat))
-                out["coef_abs_sum"].append(sum(abs(v) for v in flat))
-                out["dc_sum"].append(
-                    sum(c[b][0] for c in comps for b in range(len(c)))
-                )
-            yield pd.DataFrame(out)
+    return decode
 
-    return media.mapInPandas(stats, schema=JPEG_STATS_SCHEMA)
+
+def decode_jpeg_auto_stats(media: DataFrame) -> DataFrame:
+    """Format-ROUTING JPEG coefficient decode: one map-only pass over a
+    heterogeneous corpus — each payload's SOF marker picks the decoder
+    (see ``_make_jpeg_router``). This is the entry point a real crawl
+    needs: web images arrive with mixed processes, and the router keeps
+    them in ONE ``mapInPandas`` stage instead of a per-flavor split +
+    union. Same stats row shape as
+    ``operators/jpeg.py::decode_jpeg_stats``."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+        JPEG_STATS_SCHEMA,
+        make_coef_stats,
+    )
+
+    return media.mapInPandas(
+        make_coef_stats(_make_jpeg_router()), schema=JPEG_STATS_SCHEMA
+    )
 
 
 LOSSLESS_STATS_SCHEMA = StructType(

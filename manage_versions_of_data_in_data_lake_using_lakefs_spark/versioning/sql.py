@@ -1646,14 +1646,21 @@ class LakeSQL:
 
     def _version_at(self, ts: str) -> int:
         """Latest commit version at-or-before a timestamp (Delta's
-        TIMESTAMP AS OF semantics); full-history walk."""
+        TIMESTAMP AS OF semantics); full-history walk. Compared at
+        MICROSECOND granularity — the precision ISO-8601 carries — so a
+        timestamp copied back from a rendered commit time (which rounds
+        the raw float to microseconds) still matches its own commit:
+        raw-float comparison excluded it whenever rounding landed below
+        (~38% of commits; caught by the r11 review + a flaky test)."""
         t = datetime.fromisoformat(ts)
         if t.tzinfo is None:
             t = t.replace(tzinfo=timezone.utc)
-        target = t.timestamp()
+        target = round(t.timestamp() * 1_000_000)
         best = None
         for c in self.repo.log(self.branch, limit=None):
-            if c.timestamp <= target and (best is None or c.version > best):
+            if round(c.timestamp * 1_000_000) <= target and (
+                best is None or c.version > best
+            ):
                 best = c.version
         if best is None:
             raise KeyError(f"no commit at or before {ts} on {self.branch}")

@@ -111,38 +111,47 @@ def test_sof1_and_wide_quant_decode(codec):
     8-bit precision, and a 16-bit (Pq=1) DQT roundtrips exactly —
     including quant values over 255, which an 8-bit table can't carry.
     12-bit sample precision stays a loud refusal."""
-    enc, dec, _, _, _ = codec
-    quant = [1 + (k % 5) * 100 for k in range(64)]  # values up to 401
+    enc, dec, _, pixels, _ = codec
     comps = [[[0] * 64 for _ in range(2)]]
     comps[0][0][0] = 7
     comps[0][1][9] = -3
-    p = enc(comps, 16, 8, quant)
+    # 12-bit + 16-bit DQT (the T.81-conformant pairing, B.2.4.1):
+    # quant values over 255 force Pq=1 and require precision=12
+    quant = [1 + (k % 5) * 100 for k in range(64)]  # values up to 401
+    p = enc(comps, 16, 8, quant, precision=12)
     assert p[6] == 0x10  # Pq=1 emitted automatically for wide tables
+    assert p.index(bytes([0xFF, 0xC1])) > 0  # extended process marker
     w, h, nc, out = dec(p)
     assert (w, h, nc) == (16, 8, 1)
     assert out[0][0][0] == 7 * quant[0]
     assert out[0][1][9] == -3 * quant[9]
-    # explicit wide_quant with narrow values roundtrips too
+    # a wide table at 8-bit precision is NON-conformant — refused, not
+    # silently emitted as bytes a strict decoder would reject
+    with pytest.raises(ValueError, match="precision=12"):
+        enc(comps, 16, 8, quant)
     narrow = [1 + (k % 5) for k in range(64)]
-    p2 = enc(comps, 16, 8, narrow, wide_quant=True)
-    assert dec(p2) == dec(enc(comps, 16, 8, narrow))
-    # SOF1: same bytes, extended-sequential marker
-    i = p2.index(bytes([0xFF, 0xC0]))
-    sof1 = p2[: i + 1] + bytes([0xC1]) + p2[i + 2 :]
-    assert dec(sof1) == dec(p2)
-    # 12-bit precision (r11): the COEFFICIENT decode is precision-
-    # independent — an encoded 12-bit (SOF1, wide-quant) file decodes
-    # to the same exact dequantized coefficients
-    _, _, _, pixels, _ = codec
-    p12 = enc(comps, 16, 8, quant, precision=12)
-    assert p12.index(bytes([0xFF, 0xC1])) > 0  # extended process marker
-    assert dec(p12) == dec(p)
-    # ... while the 8-bit pixel assembler refuses loudly
+    with pytest.raises(ValueError, match="precision=12"):
+        enc(comps, 16, 8, narrow, wide_quant=True)
+    # explicit wide_quant at 12-bit with narrow values decodes equal to
+    # the plain 8-bit table encoding of the same blocks
+    p2 = enc(comps, 16, 8, narrow, wide_quant=True, precision=12)
+    p8 = enc(comps, 16, 8, narrow)
+    assert dec(p2) == dec(p8)
+    # a truncated Pq=1 DQT is loud, never zero-filled
+    dqt_end = 4 + 2 + 129  # SOI + marker + (len, Pq/Tq, 128 bytes)
+    trunc = p2[: dqt_end - 10] + p2[dqt_end:]
+    with pytest.raises(ValueError, match="truncated 16-bit DQT|marker"):
+        dec(trunc)
+    # SOF1 at 8-bit: same bytes as SOF0, extended-sequential marker
+    i = p8.index(bytes([0xFF, 0xC0]))
+    sof1 = p8[: i + 1] + bytes([0xC1]) + p8[i + 2 :]
+    assert dec(sof1) == dec(p8)
+    # the 8-bit pixel assembler refuses 12-bit loudly
     with pytest.raises(NotImplementedError, match="12-bit"):
-        pixels(p12)
+        pixels(p)
     # other precisions refuse loudly (patch the SOF precision byte)
-    i12 = p12.index(bytes([0xFF, 0xC1]))
-    ten = bytearray(p12)
+    i12 = p.index(bytes([0xFF, 0xC1]))
+    ten = bytearray(p)
     ten[i12 + 4] = 10
     with pytest.raises(NotImplementedError, match="10-bit"):
         dec(bytes(ten))

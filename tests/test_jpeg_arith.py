@@ -292,20 +292,43 @@ def test_lossless_guards(codec):
 
 
 def test_auto_router_picks_by_sof(codec):
-    """The format router walks markers to the SOF and picks the right
-    decoder; SOF3 redirects to the lossless stats path; junk refuses."""
+    """The format router (the actual pick-and-decode callable) routes
+    every supported SOF to the right decoder, skips T.81 fill bytes and
+    standalone markers, redirects SOF3, surfaces the informative
+    per-SOF refusal for hierarchical processes, and refuses junk."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import _make_jpeg_codec
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
-        decode_jpeg_auto_stats,  # noqa: F401 — plumbing import
+        _make_jpeg_router,
+        _make_synth_jpeg_lossless,
     )
-    # the routing core is certified end-to-end by the registered
-    # multimodal_jpeg_mixed oracle; here pin the loud boundaries via
-    # the same marker-walk logic on raw payloads
-    _, dec_a, _, _, enc_p = codec
-    seq = _make_synth_jpeg_arith()(3)
-    prog = enc_p(
-        [[[1] + [0] * 63]], 8, 8, [1] * 64
-    )
-    assert dec_a(seq) is not None and dec_a(prog) is not None
+
+    route = _make_jpeg_router()
+    dec_h = _make_jpeg_codec()[1]
+    _, dec_a, _, _, _ = codec
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import _make_synth_jpeg
+
+    huff = _make_synth_jpeg()(4)
+    arith = _make_synth_jpeg_arith()(4)
+    assert route(huff) == dec_h(huff)
+    assert route(arith) == dec_a(arith)
+    # a fill byte before the SOF marker (T.81 B.1.1.2) is skipped, not
+    # misparsed as a length-bearing segment
+    i = huff.index(bytes([0xFF, 0xC0]))
+    padded = huff[:i] + b"\xff" + huff[i:]
+    assert route(padded) == dec_h(huff)
+    # SOF3 redirects to the lossless stats path by name
+    with pytest.raises(NotImplementedError, match="lossless"):
+        route(_make_synth_jpeg_lossless()(2))
+    # hierarchical SOF surfaces the Huffman decoder's informative
+    # per-SOF refusal, not a generic 'no SOF found'
+    hier = huff[: i + 1] + bytes([0xC5]) + huff[i + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        route(hier)
+    # junk refuses loudly
+    with pytest.raises(ValueError, match="SOI"):
+        route(b"\x89PNG")
+    with pytest.raises(ValueError, match="no SOF"):
+        route(b"\xff\xd8\xff\xd9")
 
 
 def test_spark_auto_stats_mixed_corpus(spark):
