@@ -596,6 +596,97 @@ class LakeRepo:
             return {}
         return json.loads(raw)
 
+    @staticmethod
+    def _tblprops_path(table: str) -> str:
+        return f"_tblprops/{table}.json"
+
+    def table_properties(
+        self, table: str, branch: str = "main", include_staged: bool = True
+    ) -> dict[str, str]:
+        """{key: value} table properties in effect (Delta's
+        TBLPROPERTIES) — an ordinary versioned object, so properties
+        ride branches, merges, clones, pushes, and time travel like
+        CHECK constraints do."""
+        import json
+
+        try:
+            raw = self.get_object(
+                self._tblprops_path(table), branch, include_staged=include_staged
+            )
+        except KeyError:
+            return {}
+        return json.loads(raw)
+
+    def set_table_properties(
+        self, branch: str, table: str, props: dict[str, str]
+    ) -> "Commit":
+        """ALTER TABLE t SET TBLPROPERTIES: upsert the given keys in a
+        metadata-only commit (clean-branch gated like every ALTER)."""
+        import json
+
+        self._require_clean_for_alter(branch, "SET TBLPROPERTIES")
+        self._require_table(branch, table)
+        cur = self.table_properties(table, branch)
+        cur.update({str(k): str(v) for k, v in props.items()})
+        self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
+        return self.commit(
+            branch, f"SET TBLPROPERTIES ({', '.join(sorted(props))}) ON {table}"
+        )
+
+    def unset_table_properties(
+        self,
+        branch: str,
+        table: str,
+        keys: list[str],
+        if_exists: bool = False,
+    ) -> "Commit":
+        """ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS]: remove keys;
+        missing keys raise unless ``if_exists`` (Delta semantics)."""
+        import json
+
+        self._require_clean_for_alter(branch, "UNSET TBLPROPERTIES")
+        self._require_table(branch, table)
+        cur = self.table_properties(table, branch)
+        missing = [k for k in keys if k not in cur]
+        if missing and not if_exists:
+            raise KeyError(
+                f"no TBLPROPERTIES {missing} on {table!r} (use IF EXISTS)"
+            )
+        for k in keys:
+            cur.pop(k, None)
+        if cur:
+            self.put_object(
+                branch, self._tblprops_path(table), json.dumps(cur)
+            )
+        else:
+            self._drop_tblprops_object(branch, table)
+            # dropping the object is itself a staged change to commit
+            if not self._is_dirty(self._read_ref(branch)):
+                # nothing staged (object absent already): no-op commit
+                # would be confusing — but IF EXISTS on an empty set is
+                # legal, so commit only when something actually changed
+                return self.head(branch)
+        return self.commit(
+            branch, f"UNSET TBLPROPERTIES ({', '.join(sorted(keys))}) ON {table}"
+        )
+
+    def _require_table(self, branch: str, table: str) -> None:
+        ref = self._read_ref(branch)
+        head = self.get_commit(ref["head"]) if ref.get("head") else None
+        known = set(head.tables) if head else set()
+        known |= set(ref.get("staged", {}))
+        if table not in known:
+            raise KeyError(f"table {table!r} not found on branch {branch!r}")
+
+    def _drop_tblprops_object(self, branch: str, table: str) -> None:
+        """Remove a table's properties object if present — dropping or
+        replacing a table must not leak its properties onto a future
+        table of the same name (mirrors CHECK constraints)."""
+        try:
+            self.delete_object(branch, self._tblprops_path(table))
+        except KeyError:
+            pass
+
     def _require_clean_for_alter(self, branch: str, what: str) -> None:
         """ALTER TABLE statements are metadata-only transactions (as in
         Delta): they auto-commit, and committing would sweep unrelated
@@ -1107,6 +1198,11 @@ class LakeRepo:
             smap = self.table_schema_map(src, ref=branch, include_staged=False)
             if smap:
                 self.put_object(branch, self._schema_map_path(dst), json.dumps(smap))
+            props = self.table_properties(src, branch, include_staged=False)
+            if props:
+                self.put_object(
+                    branch, self._tblprops_path(dst), json.dumps(props)
+                )
             return self.commit(branch, f"CLONE {src} -> {dst}")
         except Exception:
             # roll back the staged clone so a failed CLONE can't be swept
@@ -1117,6 +1213,7 @@ class LakeRepo:
                 self.unstage_table(branch, DV_PREFIX + dst)
             self.restore_staged_object_entry(branch, self._constraints_path(dst), None)
             self.restore_staged_object_entry(branch, self._schema_map_path(dst), None)
+            self.restore_staged_object_entry(branch, self._tblprops_path(dst), None)
             raise
 
     def _schema_map_of_commit(self, commit: "Commit", table: str) -> dict | None:
@@ -1255,6 +1352,7 @@ class LakeRepo:
         self._drop_constraints_object(branch, table)
         self._drop_schema_map_object(branch, table)
         self._drop_copyinto_object(branch, table)
+        self._drop_tblprops_object(branch, table)
 
     def status(self, branch: str) -> dict:
         """Uncommitted staged changes on a branch (tables + objects)."""

@@ -139,6 +139,59 @@ _REORG_PURGE_RE = re.compile(
 _DESCRIBE_STATS_RE = re.compile(
     rf"^\s*DESCRIBE\s+STATS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_SET_TBLPROPS_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+    r"\(\s*(?P<pairs>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_TBLPROPS_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+    r"(?P<ifex>IF\s+EXISTS\s*)?\(\s*(?P<keys>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_TBLPROPS_RE = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<table>{_IDENT})"
+    r"(?:\s*\(\s*'(?P<key>[^']+)'\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PROP_PAIR_RE = re.compile(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*(,|$)")
+_PROP_KEY_RE = re.compile(r"\s*'([^']+)'\s*(,|$)")
+
+
+def _parse_prop_pairs(text: str) -> dict[str, str]:
+    """'k' = 'v' [, ...] — the whole list must parse (loud on stray
+    text, dangling commas, unquoted tokens)."""
+    out: dict[str, str] = {}
+    i = 0
+    while i < len(text):
+        m = _PROP_PAIR_RE.match(text, i)
+        if not m:
+            raise ValueError(
+                f"TBLPROPERTIES: malformed pair list at {text[i:]!r} "
+                f"(expected 'key' = 'value', comma-separated)"
+            )
+        out[m.group(1)] = m.group(2)
+        i = m.end()
+    if not out:
+        raise ValueError("TBLPROPERTIES: empty property list")
+    return out
+
+
+def _parse_prop_keys(text: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(text):
+        m = _PROP_KEY_RE.match(text, i)
+        if not m:
+            raise ValueError(
+                f"TBLPROPERTIES: malformed key list at {text[i:]!r} "
+                f"(expected 'key', comma-separated)"
+            )
+        out.append(m.group(1))
+        i = m.end()
+    if not out:
+        raise ValueError("TBLPROPERTIES: empty key list")
+    return out
 _ADD_CONSTRAINT_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+CONSTRAINT\s+"
     r"(?P<name>\w+)\s+CHECK\s*\(\s*(?P<expr>.+?)\s*\)\s*;?\s*$",
@@ -521,8 +574,23 @@ class LakeSQL:
         #: zero-rewrite deletion-vector paths (delete_where_dv /
         #: update_where_dv) and fall back to the rewriting spellings on
         #: anything those decline (dirty branch, subqueries in the
-        #: condition) — same results, different write amplification
+        #: condition) — same results, different write amplification.
+        #: Per-table override: the Delta-named TBLPROPERTY
+        #: ``delta.enableDeletionVectors`` ('true'/'false') wins over
+        #: this session default when set (see ``_dv_enabled``).
         self.dv_writes = dv_writes
+
+    def _dv_enabled(self, table: str) -> bool:
+        """Whether DML on ``table`` routes through deletion vectors:
+        the table's ``delta.enableDeletionVectors`` property when set
+        (Delta's canonical switch), else the session ``dv_writes``
+        default."""
+        prop = self.repo.table_properties(table, self.branch).get(
+            "delta.enableDeletionVectors"
+        )
+        if prop is not None:
+            return prop.strip().lower() == "true"
+        return self.dv_writes
 
     # -- history (DESCRIBE HISTORY parity) ---------------------------------
     def history(self, table: str | None = None) -> DataFrame:
@@ -1266,7 +1334,7 @@ class LakeSQL:
             dv_texts.append(cond)
             dv_texts.extend(exprs.values())
         if (
-            self.dv_writes
+            self._dv_enabled(name)
             # an actually-evolving merge changes the STORED schema —
             # the rewrite route owns that (it overwrites the snapshot
             # with the extended schema); a WITH SCHEMA EVOLUTION whose
@@ -1919,7 +1987,7 @@ class LakeSQL:
         for them, the Delta data-skipping cost model. Any failure in the
         pruned path falls back to the full rewrite."""
         name = self._resolve_table(table)
-        if self.dv_writes and cond is not None and self._dv_routable(cond):
+        if self._dv_enabled(name) and cond is not None and self._dv_routable(cond):
             out = self._try_dv_dml(
                 name, lambda: self.repo.delete_where_dv(
                     self.spark, self.branch, name, cond
@@ -2298,7 +2366,7 @@ class LakeSQL:
                 )
             assigns[resolved[col.lower()]] = m.group("expr").strip()
         if (
-            self.dv_writes
+            self._dv_enabled(name)
             and cond is not None
             and self._dv_routable(cond, *assigns.values())
         ):
@@ -2416,6 +2484,43 @@ class LakeSQL:
         m = _DESCRIBE_STATS_RE.match(query)
         if m:
             return self.describe_stats(m.group("table"))
+        m = _SET_TBLPROPS_RE.match(query)
+        if m:
+            c = self.repo.set_table_properties(
+                self.branch,
+                self._resolve_table(m.group("table")),
+                _parse_prop_pairs(m.group("pairs")),
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _UNSET_TBLPROPS_RE.match(query)
+        if m:
+            c = self.repo.unset_table_properties(
+                self.branch,
+                self._resolve_table(m.group("table")),
+                _parse_prop_keys(m.group("keys")),
+                if_exists=bool(m.group("ifex")),
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _SHOW_TBLPROPS_RE.match(query)
+        if m:
+            props = self.repo.table_properties(
+                self._resolve_table(m.group("table")), self.branch
+            )
+            key = m.group("key")
+            rows = (
+                [(key, props.get(key))]
+                if key is not None
+                else sorted(props.items())
+            )
+            return self.spark.createDataFrame(
+                rows, "key STRING, value STRING"
+            )
         m = _ADD_CONSTRAINT_RE.match(query)
         if m:
             c = self.repo.add_constraint(

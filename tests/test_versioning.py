@@ -966,6 +966,76 @@ def test_restore_table_is_cow_metadata_only(spark, repo):
     assert [(r.id, r.val) for r in new_rows] == [(2, "new")]
 
 
+def test_tblproperties_set_show_unset_and_dv_routing(spark, repo):
+    """TBLPROPERTIES (r11): SET/SHOW/UNSET roundtrip as metadata-only
+    commits; the Delta-named delta.enableDeletionVectors property
+    routes DML through deletion vectors per TABLE — overriding the
+    session dv_writes default in both directions; properties ride
+    clones and die with DROP TABLE."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeSQL
+
+    repo.write_table("main", "t", _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    repo.commit("main", "base")
+    lsql = LakeSQL(spark, repo)  # session default: dv_writes=False
+
+    out = lsql.sql(
+        "ALTER TABLE t SET TBLPROPERTIES ("
+        "'delta.enableDeletionVectors' = 'true', 'owner' = 'pipeline')"
+    ).collect()
+    assert out[0].version == repo.head("main").version
+    got = {r.key: r.value for r in lsql.sql("SHOW TBLPROPERTIES t").collect()}
+    assert got == {
+        "delta.enableDeletionVectors": "true",
+        "owner": "pipeline",
+    }
+    one = lsql.sql("SHOW TBLPROPERTIES t ('owner')").collect()
+    assert [(r.key, r.value) for r in one] == [("owner", "pipeline")]
+
+    # DML now routes through the DV path DESPITE dv_writes=False:
+    # the data files are kept, a vector companion appears
+    files_before = repo.head("main").tables["t"]
+    lsql.sql("DELETE FROM t WHERE id = 2")
+    head = repo.head("main")
+    assert head.tables["t"] == files_before  # zero rewrites
+    assert any(k.endswith("t") and k != "t" for k in head.tables)  # vector
+    assert sorted(
+        r.id for r in lsql.sql("SELECT id FROM t").collect()
+    ) == [1, 3]
+
+    # the property wins in the OTHER direction too: 'false' disables
+    # DV routing even when the session default is on
+    repo.write_table("main", "u", _df(spark, [(1, "x"), (2, "y")]))
+    repo.commit("main", "u0")
+    dv_sql = LakeSQL(spark, repo, dv_writes=True)
+    dv_sql.sql(
+        "ALTER TABLE u SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'false')"
+    )
+    u_files = repo.head("main").tables["u"]
+    dv_sql.sql("DELETE FROM u WHERE id = 1")
+    head = repo.head("main")
+    assert head.tables["u"] != u_files  # rewrite path: files replaced
+    assert not any(k != "u" and k.endswith("u") for k in head.tables)
+
+    # properties ride SHALLOW CLONE and die with DROP TABLE
+    lsql.sql("CREATE TABLE t2 SHALLOW CLONE t")
+    assert repo.table_properties("t2", "main")["owner"] == "pipeline"
+    lsql.sql("DROP TABLE t2")
+    assert repo.table_properties("t2", "main") == {}
+
+    # UNSET: missing keys are loud without IF EXISTS, silent with
+    with pytest.raises(KeyError, match="IF EXISTS"):
+        lsql.sql("ALTER TABLE t UNSET TBLPROPERTIES ('nope')")
+    lsql.sql("ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('nope', 'owner')")
+    got = {r.key: r.value for r in lsql.sql("SHOW TBLPROPERTIES t").collect()}
+    assert got == {"delta.enableDeletionVectors": "true"}
+
+    # malformed lists and unknown tables are loud
+    with pytest.raises(ValueError, match="malformed"):
+        lsql.sql("ALTER TABLE t SET TBLPROPERTIES (owner = 'x')")
+    with pytest.raises(KeyError, match="not found"):
+        lsql.sql("ALTER TABLE ghost SET TBLPROPERTIES ('a' = 'b')")
+
+
 def test_lakesql_restore_and_vacuum_statements(spark, repo):
     """SQL spellings: RESTORE TABLE t TO VERSION AS OF n and
     VACUUM [DRY RUN]."""
