@@ -652,29 +652,36 @@ class LakeRepo:
             raise KeyError(
                 f"no TBLPROPERTIES {missing} on {table!r} (use IF EXISTS)"
             )
-        for k in keys:
-            cur.pop(k, None)
+        removed = [k for k in keys if k in cur]
+        if not removed:
+            # IF EXISTS with nothing to remove: no state change, no
+            # spurious commit — return the unchanged head
+            return self.head(branch)
+        for k in removed:
+            del cur[k]
         if cur:
             self.put_object(
                 branch, self._tblprops_path(table), json.dumps(cur)
             )
         else:
             self._drop_tblprops_object(branch, table)
-            # dropping the object is itself a staged change to commit
-            if not self._is_dirty(self._read_ref(branch)):
-                # nothing staged (object absent already): no-op commit
-                # would be confusing — but IF EXISTS on an empty set is
-                # legal, so commit only when something actually changed
-                return self.head(branch)
         return self.commit(
-            branch, f"UNSET TBLPROPERTIES ({', '.join(sorted(keys))}) ON {table}"
+            branch,
+            f"UNSET TBLPROPERTIES ({', '.join(sorted(removed))}) ON {table}",
         )
 
     def _require_table(self, branch: str, table: str) -> None:
+        # ALTERs run on a clean branch (enforced by the callers), so the
+        # committed head is the complete table universe; hidden deletion
+        # vector companions are not user tables and take no properties
+        if table.startswith(DV_PREFIX):
+            raise KeyError(
+                f"{table!r} is a hidden deletion-vector companion, not a "
+                f"user table"
+            )
         ref = self._read_ref(branch)
         head = self.get_commit(ref["head"]) if ref.get("head") else None
         known = set(head.tables) if head else set()
-        known |= set(ref.get("staged", {}))
         if table not in known:
             raise KeyError(f"table {table!r} not found on branch {branch!r}")
 

@@ -160,7 +160,8 @@ _PROP_KEY_RE = re.compile(r"\s*'([^']+)'\s*(,|$)")
 
 def _parse_prop_pairs(text: str) -> dict[str, str]:
     """'k' = 'v' [, ...] — the whole list must parse (loud on stray
-    text, dangling commas, unquoted tokens)."""
+    text, dangling commas, unquoted tokens, duplicate keys — Spark's
+    parser rejects all of these too)."""
     out: dict[str, str] = {}
     i = 0
     while i < len(text):
@@ -170,8 +171,14 @@ def _parse_prop_pairs(text: str) -> dict[str, str]:
                 f"TBLPROPERTIES: malformed pair list at {text[i:]!r} "
                 f"(expected 'key' = 'value', comma-separated)"
             )
+        if m.group(1) in out:
+            raise ValueError(
+                f"TBLPROPERTIES: duplicate key {m.group(1)!r}"
+            )
         out[m.group(1)] = m.group(2)
         i = m.end()
+        if m.group(3) == "," and i >= len(text):
+            raise ValueError("TBLPROPERTIES: dangling trailing comma")
     if not out:
         raise ValueError("TBLPROPERTIES: empty property list")
     return out
@@ -187,8 +194,14 @@ def _parse_prop_keys(text: str) -> list[str]:
                 f"TBLPROPERTIES: malformed key list at {text[i:]!r} "
                 f"(expected 'key', comma-separated)"
             )
+        if m.group(1) in out:
+            raise ValueError(
+                f"TBLPROPERTIES: duplicate key {m.group(1)!r}"
+            )
         out.append(m.group(1))
         i = m.end()
+        if m.group(2) == "," and i >= len(text):
+            raise ValueError("TBLPROPERTIES: dangling trailing comma")
     if not out:
         raise ValueError("TBLPROPERTIES: empty key list")
     return out
@@ -1334,12 +1347,12 @@ class LakeSQL:
             dv_texts.append(cond)
             dv_texts.extend(exprs.values())
         if (
-            self._dv_enabled(name)
             # an actually-evolving merge changes the STORED schema —
             # the rewrite route owns that (it overwrites the snapshot
             # with the extended schema); a WITH SCHEMA EVOLUTION whose
             # source adds no columns routes normally
-            and not new_fields
+            not new_fields
+            and self._dv_enabled(name)
             # only the SET/INSERT expressions and the clause conditions
             # can smuggle a subquery — the ON condition is already
             # constrained to alias.col equality pairs and the USING
@@ -1839,20 +1852,25 @@ class LakeSQL:
         # the next unrelated COMMIT if the write or commit fails
         cpath = self.repo._constraints_path(name)
         spath = self.repo._schema_map_path(name)
+        ppath = self.repo._tblprops_path(name)
         obj_snap = self.repo.staged_object_entry(self.branch, cpath)
         smap_snap = self.repo.staged_object_entry(self.branch, spath)
+        props_snap = self.repo.staged_object_entry(self.branch, ppath)
         tbl_snap = self.repo.staged_entry(self.branch, name)
         if replace and table.lower() in existing:
-            # REPLACE defines a NEW table: the old one's CHECK constraints
-            # and column mapping must not leak onto it (Delta semantics)
+            # REPLACE defines a NEW table: the old one's CHECK
+            # constraints, column mapping, and TBLPROPERTIES must not
+            # leak onto it (Delta semantics)
             self.repo._drop_constraints_object(self.branch, name)
             self.repo._drop_schema_map_object(self.branch, name)
+            self.repo._drop_tblprops_object(self.branch, name)
         try:
             self.repo.write_table(self.branch, name, df, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
         except Exception:
             self.repo.restore_staged_object_entry(self.branch, cpath, obj_snap)
             self.repo.restore_staged_object_entry(self.branch, spath, smap_snap)
+            self.repo.restore_staged_object_entry(self.branch, ppath, props_snap)
             self.repo.restore_staged_entry(self.branch, name, tbl_snap)
             raise
         return self._dml_result(name, c.version, rows)
@@ -1987,7 +2005,7 @@ class LakeSQL:
         for them, the Delta data-skipping cost model. Any failure in the
         pruned path falls back to the full rewrite."""
         name = self._resolve_table(table)
-        if self._dv_enabled(name) and cond is not None and self._dv_routable(cond):
+        if cond is not None and self._dv_enabled(name) and self._dv_routable(cond):
             out = self._try_dv_dml(
                 name, lambda: self.repo.delete_where_dv(
                     self.spark, self.branch, name, cond
@@ -2366,8 +2384,8 @@ class LakeSQL:
                 )
             assigns[resolved[col.lower()]] = m.group("expr").strip()
         if (
-            self._dv_enabled(name)
-            and cond is not None
+            cond is not None
+            and self._dv_enabled(name)
             and self._dv_routable(cond, *assigns.values())
         ):
             # conditioned UPDATE → vector-append + image-append commit
@@ -2513,10 +2531,16 @@ class LakeSQL:
                 self._resolve_table(m.group("table")), self.branch
             )
             key = m.group("key")
+            if key is not None and key not in props:
+                # loud, like this engine's other lookups (Spark prints
+                # a 'does not have property' row; a NULL value would be
+                # indistinguishable from a present-but-empty property)
+                raise KeyError(
+                    f"table does not have property {key!r}; set it with "
+                    f"ALTER TABLE ... SET TBLPROPERTIES"
+                )
             rows = (
-                [(key, props.get(key))]
-                if key is not None
-                else sorted(props.items())
+                [(key, props[key])] if key is not None else sorted(props.items())
             )
             return self.spark.createDataFrame(
                 rows, "key STRING, value STRING"

@@ -1029,11 +1029,28 @@ def test_tblproperties_set_show_unset_and_dv_routing(spark, repo):
     got = {r.key: r.value for r in lsql.sql("SHOW TBLPROPERTIES t").collect()}
     assert got == {"delta.enableDeletionVectors": "true"}
 
-    # malformed lists and unknown tables are loud
+    # IF EXISTS with nothing to remove: NO spurious commit
+    v = repo.head("main").version
+    lsql.sql("ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    assert repo.head("main").version == v
+
+    # malformed lists, duplicates, dangling commas, unknown tables and
+    # missing SHOW keys are loud (Spark parser parity)
     with pytest.raises(ValueError, match="malformed"):
         lsql.sql("ALTER TABLE t SET TBLPROPERTIES (owner = 'x')")
+    with pytest.raises(ValueError, match="duplicate key"):
+        lsql.sql("ALTER TABLE t SET TBLPROPERTIES ('a'='1', 'a'='2')")
+    with pytest.raises(ValueError, match="trailing comma"):
+        lsql.sql("ALTER TABLE t SET TBLPROPERTIES ('a'='1',)")
     with pytest.raises(KeyError, match="not found"):
         lsql.sql("ALTER TABLE ghost SET TBLPROPERTIES ('a' = 'b')")
+    with pytest.raises(KeyError, match="does not have property"):
+        lsql.sql("SHOW TBLPROPERTIES t ('onwer')")
+
+    # CREATE OR REPLACE defines a NEW table: properties do not leak
+    lsql.sql("CREATE OR REPLACE TABLE t AS SELECT 1 AS id, 'z' AS val")
+    assert repo.table_properties("t", "main") == {}
+    assert lsql.sql("SHOW TBLPROPERTIES t").collect() == []
 
 
 def test_lakesql_restore_and_vacuum_statements(spark, repo):
