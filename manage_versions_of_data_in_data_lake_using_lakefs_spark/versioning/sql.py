@@ -1729,19 +1729,21 @@ class LakeSQL:
         """Latest commit version at-or-before a timestamp (Delta's
         TIMESTAMP AS OF semantics); full-history walk. Compared at
         MICROSECOND granularity — the precision ISO-8601 carries — so a
-        timestamp copied back from a rendered commit time (which rounds
-        the raw float to microseconds) still matches its own commit:
-        raw-float comparison excluded it whenever rounding landed below
-        (~38% of commits; caught by the r11 review + a flaky test)."""
+        timestamp copied back from a rendered commit time still matches
+        its own commit. Each side converts through
+        ``datetime.fromtimestamp`` (CPython's exact µs rounding — the
+        SAME rounding every rendering uses); multiplying the raw float
+        seconds by 1e6 instead carries ~0.1µs of float error at current
+        epochs and disagreed with the rendering near .5µs boundaries
+        (~12% of commits — the residual flake after the r11 review's
+        first fix)."""
         t = datetime.fromisoformat(ts)
         if t.tzinfo is None:
             t = t.replace(tzinfo=timezone.utc)
-        target = round(t.timestamp() * 1_000_000)
         best = None
         for c in self.repo.log(self.branch, limit=None):
-            if round(c.timestamp * 1_000_000) <= target and (
-                best is None or c.version > best
-            ):
+            ct = datetime.fromtimestamp(c.timestamp, tz=timezone.utc)
+            if ct <= t and (best is None or c.version > best):
                 best = c.version
         if best is None:
             raise KeyError(f"no commit at or before {ts} on {self.branch}")
