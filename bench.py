@@ -184,6 +184,7 @@ def main() -> None:
         "multimodal_jpeg_arith_prog",
         "multimodal_jpeg_lossless",
         "multimodal_jpeg_mixed",
+        "multimodal_jpeg_hier",
         "versioned_copy_into",
     ):
         if extra in registry:

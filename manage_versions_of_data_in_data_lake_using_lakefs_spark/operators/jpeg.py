@@ -37,8 +37,10 @@ SOF10 progressive) and lossless (SOF3) files decode in
 ``operators/jpeg_arith.py`` (r11); SOF1 (extended sequential), 16-bit
 (Pq=1) quant tables, and 12-bit precision COEFFICIENT decode land here
 (r11 — the entropy layer is precision-independent; the uint8 pixel
-assembler refuses 12-bit on its own). Hierarchical processes and
-non-integer chroma upsampling ratios raise NotImplementedError. The fixture
+assembler refuses 12-bit on its own); hierarchical (DHP) pyramids
+decode in ``operators/jpeg_hier.py`` — this decoder REDIRECTS loudly
+on DHP rather than silently decoding only the first frame.
+Non-integer chroma upsampling ratios raise NotImplementedError. The fixture
 encoders (`encode_jpeg`, `encode_jpeg_progressive`) write REAL files
 from chosen quantized coefficients — every byte follows T.81,
 including subsampled MCU interleave, restart markers, and the full
@@ -989,6 +991,13 @@ def _make_jpeg_codec():
                     f"JPEG: SOF{marker - 0xC0} (unsupported process — "
                     f"SOF0/SOF1/SOF2 Huffman decode here; SOF9/SOF10/SOF3 "
                     f"in operators/jpeg_arith.py)"
+                )
+            elif marker == 0xDE:
+                # silently decoding just the first frame of a pyramid
+                # would be a WRONG partial image, not an error
+                raise NotImplementedError(
+                    "JPEG: hierarchical (DHP) stream — use "
+                    "operators/jpeg_hier.py (decode_jpeg_hier)"
                 )
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")

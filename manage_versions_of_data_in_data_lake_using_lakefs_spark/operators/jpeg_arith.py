@@ -59,7 +59,9 @@ Lossless predictive (SOF3, T.81 Annex H):
   one-sample-per-component MCUs for multi-component scans.
 
 Honest boundaries (loud, never silent): lossless-arithmetic (SOF11)
-and the hierarchical processes still raise NotImplementedError, as do
+and the ARITHMETIC hierarchical frames (SOF13-15) still raise
+NotImplementedError (Huffman hierarchical decodes in
+``operators/jpeg_hier.py``; DHP streams redirect loudly here), as do
 subsampled SOF9/SOF10 scans, point transforms (Pt != 0) and precisions
 other than 8 bits. The Table D.3 constants are
 transcribed from the standard and certified here by encoder/decoder
@@ -851,6 +853,11 @@ def _make_jpeg_ext_codec():
                     else:
                         cond_ac[tb] = val
                     j += 2
+            elif marker == 0xDE:
+                raise NotImplementedError(
+                    "JPEG arith: hierarchical (DHP) stream — use "
+                    "operators/jpeg_hier.py (decode_jpeg_hier)"
+                )
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:
@@ -1417,6 +1424,12 @@ def _make_jpeg_router():
                 raise NotImplementedError(
                     "JPEG auto: SOF3 lossless emits sample stats, not "
                     "coefficient stats — use decode_jpeg_lossless_stats"
+                )
+            if m == 0xDE:
+                raise NotImplementedError(
+                    "JPEG auto: hierarchical (DHP) streams emit sample "
+                    "stats, not coefficient stats — use "
+                    "operators/jpeg_hier.py (decode_jpeg_hier_stats)"
                 )
             if m in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
                 return decode_huff(p)  # its per-SOF refusal is the error

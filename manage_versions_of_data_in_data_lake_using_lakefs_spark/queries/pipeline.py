@@ -1241,6 +1241,84 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hierarchical (T.81 Annex J) JPEG decode (r11 — the LAST
+    JPEG process family): deterministic two-level pyramids (SOF0 half
+    resolution → EXP reference expansion → SOF5 differential full
+    resolution) are synthesized from each doc_id and decoded back
+    DISTRIBUTED — DHP/EXP marker handling, differential DC without
+    prediction, (a+b+1)>>1 H-then-V expansion, reference accumulation.
+    Every block is DC-only with dequantized DC a multiple of 8, so the
+    IDCT is EXACT and the oracle replays the ENTIRE pyramid — including
+    the expansion filter — as integer SQL (parity CASEs + shifts +
+    edge-replicating least()). General-coefficient streams are
+    certified by roundtrip against the shared reconstruction pipeline
+    in tests/test_jpeg_hier.py."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_hier import (
+        decode_jpeg_hier_stats,
+        synthesize_jpeg_hier_media,
+    )
+
+    ids = _codec_ids(spark, sf_dir)
+    return decode_jpeg_hier_stats(synthesize_jpeg_hier_media(ids)).orderBy(
+        "media_id"
+    )
+
+
+ORACLE_MULTIMODAL_JPEG_HIER = """
+WITH imgs AS (
+  SELECT doc_id AS id,
+         10 + doc_id % 12 AS w,
+         6 + doc_id % 9 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nc
+  FROM documents),
+dims AS (SELECT *, (w + 1) // 2 AS hw, (h + 1) // 2 AS hh FROM imgs),
+cs AS (SELECT unnest(range(3)) AS c),
+xs AS (SELECT unnest(range(22)) AS x),
+ys AS (SELECT unnest(range(15)) AS y),
+-- horizontal expansion pass at each half-res row: wide(x, hy)
+wide AS (
+  SELECT d.id, d.w, d.h, d.nc, d.hh, cc.c, xs.x, hy.y AS hy,
+    CASE WHEN xs.x % 2 = 0 THEN
+      128 + (d.id + 5 * cc.c + 11 * ((xs.x // 2) // 8)
+             + 17 * ((hy.y) // 8)) % 120 - 60
+    ELSE (
+      (128 + (d.id + 5 * cc.c + 11 * ((xs.x // 2) // 8)
+              + 17 * ((hy.y) // 8)) % 120 - 60)
+      + (128 + (d.id + 5 * cc.c
+              + 11 * ((least(xs.x // 2 + 1, d.hw - 1)) // 8)
+              + 17 * ((hy.y) // 8)) % 120 - 60)
+      + 1) >> 1
+    END AS wv
+  FROM dims d
+  JOIN cs cc ON cc.c < d.nc
+  JOIN xs ON xs.x < d.w
+  JOIN ys hy ON hy.y < d.hh),
+-- vertical pass + the SOF5 differential frame's per-block delta
+vals AS (
+  SELECT w1.id, w1.w, w1.h, w1.nc, w1.c, w1.x, ys.y,
+    CASE WHEN ys.y % 2 = 0 THEN w1.wv
+         ELSE (w1.wv + w2.wv + 1) >> 1 END
+    + ((w1.id + 3 * w1.c + 7 * (w1.x // 8) + 13 * (ys.y // 8)) % 9 - 4)
+      AS v
+  FROM wide w1
+  JOIN ys ON ys.y < w1.h AND w1.hy = ys.y // 2
+  JOIN wide w2 ON w2.id = w1.id AND w2.c = w1.c AND w2.x = w1.x
+              AND w2.hy = least(ys.y // 2 + 1, w1.hh - 1))
+SELECT id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nc AS INT) AS n_components,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * (1 + (x + 2 * y + 3 * c) % 5)) AS BIGINT) AS px_wsum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM vals GROUP BY id, w, h, nc
+ORDER BY media_id
+"""
+
+
 def q_multimodal_jpeg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined JPEG decode certification, tagged per codec flavor (r11
     window rotation, VERDICT r10 ask #4): the 4:2:0 chroma-subsampled
@@ -1308,6 +1386,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
     "multimodal_jpeg_arith_prog": q_multimodal_jpeg_arith_prog,
     "multimodal_jpeg_mixed": q_multimodal_jpeg_mixed,
+    "multimodal_jpeg_hier": q_multimodal_jpeg_hier,
     "multimodal_jpeg_lossless": q_multimodal_jpeg_lossless,
     "multimodal_jpeg_suite": q_multimodal_jpeg_suite,
     "streaming_classifier": q_streaming_classifier,
@@ -1338,6 +1417,7 @@ PIPELINE_ORACLES = {
     "multimodal_jpeg_arith": ORACLE_MULTIMODAL_JPEG_ARITH,
     "multimodal_jpeg_arith_prog": ORACLE_MULTIMODAL_JPEG_ARITH_PROG,
     "multimodal_jpeg_mixed": ORACLE_MULTIMODAL_JPEG_MIXED,
+    "multimodal_jpeg_hier": ORACLE_MULTIMODAL_JPEG_HIER,
     "multimodal_jpeg_lossless": ORACLE_MULTIMODAL_JPEG_LOSSLESS,
     "multimodal_jpeg_suite": ORACLE_MULTIMODAL_JPEG_SUITE,
     "streaming_classifier": ORACLE_STREAMING_CLASSIFIER,
