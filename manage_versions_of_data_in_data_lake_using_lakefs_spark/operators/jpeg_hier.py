@@ -428,6 +428,11 @@ def _make_jpeg_hier_codec():
                         )
                 dhp = (w, h, nc)
                 refs = [None] * nc
+            elif marker == 0xDD:
+                if int.from_bytes(body[0:2], "big"):
+                    raise NotImplementedError(
+                        "JPEG hier: restart intervals unsupported"
+                    )
             elif marker == 0xDF:  # EXP
                 if body[0] != 0x11:
                     raise NotImplementedError(
@@ -533,7 +538,14 @@ def _make_jpeg_hier_codec():
                                 "JPEG hier: differential frame before "
                                 "any reference"
                             )
-                        if pending_exp or ref.shape != (fh, fw):
+                        if ref.shape != (fh, fw) and not pending_exp:
+                            raise ValueError(
+                                "JPEG hier: differential frame dims "
+                                f"{fw}x{fh} differ from the reference's "
+                                f"{ref.shape[1]}x{ref.shape[0]} without a "
+                                "preceding EXP marker (T.81 Annex J)"
+                            )
+                        if pending_exp:
                             ref = _expand(ref, fw, fh)
                         refs[ci] = ref + add
                 pending_exp = False

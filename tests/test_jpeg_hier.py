@@ -90,20 +90,11 @@ def test_expansion_filter_reference(codec):
     enc, dec, recon = codec
     rng = random.Random(3)
     # reach the internal filter through reconstruct: a 'full' frame at
-    # (hw, hh) then a zero 'diff' frame at (w, h) → output IS expand()
+    # (hw, hh) then a zero 'diff' frame at (w, h) → the output IS
+    # expand(half plane), compared against a scalar H-then-V
+    # reimplementation of the (a+b+1)>>1 kernel with edge replication
     for w, h in ((9, 7), (10, 8), (2, 2), (15, 3)):
         hw, hh = -(-w // 2), -(-h // 2)
-        vals = [
-            [rng.randint(0, 255) for _ in range(hw)] for _ in range(hh)
-        ]
-        # DC-only frame: block-constant won't represent arbitrary vals,
-        # so go through numpy by building the frame from 1x1-block tiles
-        # is impossible — instead verify via recon on a 8x-scaled grid:
-        # use a (hw, hh) frame whose per-block DC sets each 8x8 tile,
-        # cropped to (hw, hh) — every PIXEL of the half plane is then
-        # free only per block; so instead check the filter directly on
-        # the assembled half plane by comparing recon output against a
-        # scalar reimplementation of H-then-V on that plane.
         bw, bh = -(-hw // 8), -(-hh // 8)
         frame = [[[0] * 64 for _ in range(bw * bh)]]
         for b in range(bw * bh):
@@ -181,6 +172,16 @@ def test_guards(codec):
     prog = good[: i + 1] + bytes([0xC6]) + good[i + 2 :]
     with pytest.raises(NotImplementedError, match="SOF6"):
         dec(prog)
+    # a dimension-doubling differential frame WITHOUT its mandatory EXP
+    # marker is rejected, not silently expanded (T.81 Annex J)
+    iexp = good.index(bytes([0xFF, 0xDF]))
+    noexp = good[:iexp] + good[iexp + 5 :]  # drop the EXP segment
+    with pytest.raises(ValueError, match="without a preceding EXP"):
+        dec(noexp)
+    # restart intervals refuse loudly (not a misleading bit-reader error)
+    dri = good[:2] + bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x02]) + good[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        dec(dri)
     # truncated entropy data is loud
     with pytest.raises(ValueError, match="ran dry|missing DHP"):
         dec(good[:-12])
