@@ -1374,6 +1374,47 @@ def synthesize_jpeg_ext_media(
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_mixed_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL JPEGs of FIVE processes from one id column in
+    ONE map pass — flavor by id % 5: baseline 4:4:4, baseline 4:2:0,
+    progressive Huffman, sequential arithmetic, progressive arithmetic.
+    Byte-identical to routing each residue class through its per-flavor
+    synthesizer (the builders are shared), but with a single input scan
+    and a single ``mapInPandas`` stage instead of five branch scans and
+    a union — the shape the registered mixed-corpus query wants."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+        _make_synth_jpeg,
+        _make_synth_jpeg420,
+        _make_synth_jpeg_prog,
+    )
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import MEDIA_SCHEMA
+
+    builders = [
+        _make_synth_jpeg(),
+        _make_synth_jpeg420(),
+        _make_synth_jpeg_prog(),
+        _make_synth_jpeg_arith(),
+        _make_synth_jpeg_arith_prog(),
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        builders[int(i) % 5](int(i)) for i in pdf[id_col]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def decode_jpeg_arith_stats(media: DataFrame) -> DataFrame:
     """REAL SOF9/SOF10 arithmetic entropy decode → per-image integer
     coefficient statistics (same row shape as

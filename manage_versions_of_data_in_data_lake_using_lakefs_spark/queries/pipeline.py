@@ -1144,31 +1144,21 @@ def q_multimodal_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     union into one corpus, and a SINGLE ``mapInPandas`` stage routes
     each payload to the right decoder off its SOF marker — the entry
     point a real crawl needs (mixed processes in one scan, no
-    per-flavor split). The oracle unions the five flavors' formula
-    programs filtered to their residue classes, so the hash certifies
-    BOTH the routing and every decode chain at once."""
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import synthesize_jpeg_media
+    per-flavor split). Synthesis is likewise ONE map pass picking the
+    flavor per id (r11 plan fix: the first spelling ran five branch
+    scans + a union — 160 tasks of scheduling overhead at sf0.1). The
+    oracle unions the five flavors' formula programs filtered to their
+    residue classes, so the hash certifies BOTH the routing and every
+    decode chain at once."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
         decode_jpeg_auto_stats,
-        synthesize_jpeg_ext_media,
+        synthesize_jpeg_mixed_media,
     )
 
     ids = _codec_ids(spark, sf_dir)
-    parts = []
-    for r, flavor, synth in (
-        (0, "444", synthesize_jpeg_media),
-        (1, "420", synthesize_jpeg_media),
-        (2, "prog", synthesize_jpeg_media),
-        (3, "arith", synthesize_jpeg_ext_media),
-        (4, "arith_prog", synthesize_jpeg_ext_media),
-    ):
-        parts.append(
-            synth(ids.where(F.col("doc_id") % 5 == r), flavor=flavor)
-        )
-    corpus = parts[0]
-    for p in parts[1:]:
-        corpus = corpus.unionByName(p)
-    return decode_jpeg_auto_stats(corpus).orderBy("media_id")
+    return decode_jpeg_auto_stats(
+        synthesize_jpeg_mixed_media(ids)
+    ).orderBy("media_id")
 
 
 def _oracle_multimodal_jpeg_mixed() -> str:
