@@ -254,10 +254,12 @@ WINDOW_ORDER: list[str] = [
                             # re-rank — the registered production ANN path;
                             # all m subspace Lloyd's trainings replayed as
                             # SQL CTEs (r7 rotation, judge's #1 ask)
-    "classifier_quality",   # in-engine TRAINED quality classifier: 24
-                            # fixed-point logistic-GD iterations, each a
-                            # distributed 128-bit aggregation, the whole
-                            # trainer replayed as SQL CTEs (r7 flagship)
+    "classifier_quality",   # in-engine TRAINED quality classifier: 6
+                            # fixed-point Newton/IRLS iterations (r12,
+                            # was 24 GD), each a distributed 128-bit
+                            # 20-sum aggregation + exact big-int adjugate
+                            # solve, the whole trainer replayed as SQL
+                            # CTEs (r7 flagship)
     "streaming_lake_source",  # the lake as a Structured Streaming SOURCE:
                               # commit-version offsets, per-version new-file
                               # microbatches, two-commit drain ≡ batch SQL

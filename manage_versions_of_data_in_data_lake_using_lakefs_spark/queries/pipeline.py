@@ -724,8 +724,9 @@ FROM documents
 
 def q_streaming_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline-train / online-serve (r7): the quality classifier trains
-    on the BATCH corpus (24 distributed fixed-point GD iterations,
-    operators/classifier.py), then its final weights ride the STREAMING
+    on the BATCH corpus (6 distributed fixed-point Newton/IRLS
+    iterations, operators/classifier.py — r12, was 24 GD passes), then
+    its final weights ride the STREAMING
     plan as literals — each micro-batch is scored by a pure map pass
     (feature extraction + LUT σ̃), no streaming state at all. The stream
     replays the same corpus through a file source, so the oracle is the
@@ -736,7 +737,7 @@ def q_streaming_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FEATURE_COLS,
         quality_features,
         score_logreg,
-        train_logreg,
+        train_logreg_newton,
     )
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import _persisted
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming import run_to_memory
@@ -745,7 +746,7 @@ def q_streaming_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _persisted(
         quality_features(docs).select("doc_id", *FEATURE_COLS, "label")
     )
-    w = train_logreg(feats)
+    w = train_logreg_newton(feats)
     src = tempfile.mkdtemp(prefix="lakegraft_stream_src_")
     shutil.rmtree(src, ignore_errors=True)
     docs.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
@@ -759,9 +760,11 @@ def q_streaming_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_streaming_classifier() -> str:
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.logreg_sql import oracle_classifier_quality
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.logreg_sql import (
+        oracle_classifier_quality_newton,
+    )
 
-    return oracle_classifier_quality()
+    return oracle_classifier_quality_newton()
 
 
 ORACLE_STREAMING_CLASSIFIER = _oracle_streaming_classifier()
