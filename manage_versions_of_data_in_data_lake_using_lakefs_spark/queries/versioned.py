@@ -11,6 +11,7 @@ fails. Behavioral invariants live in tests/test_versioning.py.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -25,6 +26,11 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import L
 def _fresh_repo() -> LakeRepo:
     root = tempfile.mkdtemp(prefix="lakegraft_demo_")
     shutil.rmtree(root, ignore_errors=True)
+    # the returned DataFrames read the repo lazily (the caller collects
+    # after we return), so the scratch repo can only be reclaimed at
+    # process exit — without this, repeated bench/correctness runs
+    # accumulate table copies in /tmp (ADVICE r11)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return LakeRepo.init(root)
 
 
@@ -696,27 +702,33 @@ def q_versioned_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     repo = _fresh_repo()
     land = tempfile.mkdtemp(prefix="lakegraft_land_")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    orders.where(F.col("o_orderkey") % 3 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(land, "batch1"))
-    sql = LakeSQL(spark, repo, "main")
-    r1 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
-    r_retry = sql.sql(
-        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET"
-    ).first()
-    orders.where(F.col("o_orderkey") % 3 == 1).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(land, "batch2"))
-    r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
-    idempotent = int(
-        r_retry.num_inserted_rows == 0
-        and r_retry.num_loaded_files == 0
-        and r_retry.num_skipped_files == r1.num_loaded_files
-        and r2.num_skipped_files == r1.num_loaded_files
-    )
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        orders.where(F.col("o_orderkey") % 3 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(land, "batch1"))
+        sql = LakeSQL(spark, repo, "main")
+        r1 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+        r_retry = sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET"
+        ).first()
+        orders.where(F.col("o_orderkey") % 3 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(land, "batch2"))
+        r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+        idempotent = int(
+            r_retry.num_inserted_rows == 0
+            and r_retry.num_loaded_files == 0
+            and r_retry.num_skipped_files == r1.num_loaded_files
+            and r2.num_skipped_files == r1.num_loaded_files
+        )
+    finally:
+        # COPY INTO copied the landed files into the repo eagerly (every
+        # statement above ran via .first()), so unlike the repo root the
+        # landing dir is reclaimable right here (ADVICE r11)
+        shutil.rmtree(land, ignore_errors=True)
     return repo.read_table(spark, "t", "main").agg(
         F.count(F.lit(1)).alias("n_rows"),
         decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),

@@ -455,6 +455,12 @@ def make_lake_stream_source():
             #: and depends on), so the seed is only ever used when
             #: starting_version IS the true start.
             self._pos: dict | None = None
+            #: byte-cap admission stat cache (ADVICE r11): committed
+            #: data files are immutable, so each is os.stat'ed at most
+            #: once per stream lifetime instead of once per
+            #: latestOffset poll — an idling stream at a deep backlog
+            #: otherwise repeats O(pending files) syscalls every trigger
+            self._sizes: dict[str, int] = {}
             names = list(schema.fieldNames())
             #: declared DDL per field — partition constants parse to it
             self.ddl = {
@@ -538,9 +544,14 @@ def make_lake_stream_source():
                         break
                     admitted += 1
                     if self.bcap:
-                        used_bytes += os.path.getsize(
-                            os.path.join(repo.root, files[idx][0])
-                        )
+                        rel = files[idx][0]
+                        size = self._sizes.get(rel)
+                        if size is None:
+                            size = os.path.getsize(
+                                os.path.join(repo.root, rel)
+                            )
+                            self._sizes[rel] = size
+                        used_bytes += size
                 if stopped:
                     break
                 end = {"version": c.version}

@@ -139,6 +139,12 @@ _REORG_PURGE_RE = re.compile(
 _DESCRIBE_STATS_RE = re.compile(
     rf"^\s*DESCRIBE\s+STATS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_ANALYZE_RE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+(?P<table>{_IDENT})\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+(?P<noscan>NOSCAN))?(?:\s+FOR\s+(?:(?P<allcols>ALL\s+COLUMNS)|"
+    r"COLUMNS\s+(?P<cols>[\w`]+(?:\s*,\s*[\w`]+)*)))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SET_TBLPROPS_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+SET\s+TBLPROPERTIES\s*"
     r"\(\s*(?P<pairs>.+?)\s*\)\s*;?\s*$",
@@ -151,11 +157,18 @@ _UNSET_TBLPROPS_RE = re.compile(
 )
 _SHOW_TBLPROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<table>{_IDENT})"
-    r"(?:\s*\(\s*'(?P<key>[^']+)'\s*\))?\s*;?\s*$",
+    r"(?:\s*\(\s*'(?P<key>(?:[^']|'')+)'\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
-_PROP_PAIR_RE = re.compile(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*(,|$)")
-_PROP_KEY_RE = re.compile(r"\s*'([^']+)'\s*(,|$)")
+# ''-doubled quote escapes inside keys/values, per Spark's string
+# literal grammar (ADVICE r11: 'it''s' was rejected as malformed)
+_PROP_PAIR_RE = re.compile(r"\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*(,|$)")
+_PROP_KEY_RE = re.compile(r"\s*'((?:[^']|'')+)'\s*(,|$)")
+
+
+def _unq(s: str) -> str:
+    """Undo the '' escape of a parsed single-quoted literal."""
+    return s.replace("''", "'")
 
 
 def _parse_prop_pairs(text: str) -> dict[str, str]:
@@ -171,11 +184,10 @@ def _parse_prop_pairs(text: str) -> dict[str, str]:
                 f"TBLPROPERTIES: malformed pair list at {text[i:]!r} "
                 f"(expected 'key' = 'value', comma-separated)"
             )
-        if m.group(1) in out:
-            raise ValueError(
-                f"TBLPROPERTIES: duplicate key {m.group(1)!r}"
-            )
-        out[m.group(1)] = m.group(2)
+        key = _unq(m.group(1))
+        if key in out:
+            raise ValueError(f"TBLPROPERTIES: duplicate key {key!r}")
+        out[key] = _unq(m.group(2))
         i = m.end()
         if m.group(3) == "," and i >= len(text):
             raise ValueError("TBLPROPERTIES: dangling trailing comma")
@@ -194,11 +206,10 @@ def _parse_prop_keys(text: str) -> list[str]:
                 f"TBLPROPERTIES: malformed key list at {text[i:]!r} "
                 f"(expected 'key', comma-separated)"
             )
-        if m.group(1) in out:
-            raise ValueError(
-                f"TBLPROPERTIES: duplicate key {m.group(1)!r}"
-            )
-        out.append(m.group(1))
+        key = _unq(m.group(1))
+        if key in out:
+            raise ValueError(f"TBLPROPERTIES: duplicate key {key!r}")
+        out.append(key)
         i = m.end()
         if m.group(2) == "," and i >= len(text):
             raise ValueError("TBLPROPERTIES: dangling trailing comma")
@@ -957,6 +968,157 @@ class LakeSQL:
             rows,
             "file STRING, column STRING, min STRING, max STRING, "
             "null_count BIGINT, row_count BIGINT",
+        )
+
+    def analyze_table(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        all_columns: bool = False,
+        noscan: bool = False,
+    ) -> DataFrame:
+        """``ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN | FOR COLUMNS
+        c, ... | FOR ALL COLUMNS]`` (VERDICT r11 #4 — the standard
+        spelling over the stats that already exist).
+
+        Answered from the data-skipping manifests whenever they can
+        answer EXACTLY — zero data-file reads on clean lineages — with
+        the `_metadata_agg` declines (missing manifests, string bounds,
+        evolved lineages, live deletion vectors) falling back to a real
+        scan, which is what ANALYZE means anyway; each column row
+        reports which path produced it. The table form returns
+        ``(statistic, value)`` rows (num_files, size_bytes, and — unless
+        NOSCAN, matching Spark's size-only contract — row_count); the
+        column forms return one row per column with min/max/null_count/
+        row_count, the aggregation of what DESCRIBE STATS lists
+        per-file."""
+        name = self._resolve_table(table)
+        entries = self.repo.current_files(self.branch, name)
+        try:
+            dv_entries = self.repo.current_files(self.branch, DV_PREFIX + name)
+        except KeyError:
+            dv_entries = None
+        dv_count = 0
+        if dv_entries is not None:
+            dv_vals = stats_mod.metadata_aggregate(
+                self.repo.root, dv_entries, [("count", "*")]
+            )
+            # an unanswerable DV table forces the scan path everywhere
+            dv_count = -1 if dv_vals is None else dv_vals[0]
+        evolved = self.repo.table_schema_map(name, ref=self.branch) is not None
+
+        def file_footprint() -> tuple[int, int]:
+            n, size = 0, 0
+            for rel in entries:
+                full = os.path.join(self.repo.root, rel)
+                if os.path.isfile(full):
+                    n += 1
+                    size += os.path.getsize(full)
+                else:
+                    for dirpath, _dirs, fnames in os.walk(full):
+                        for fn in sorted(fnames):
+                            if fn.startswith((".", "_")):
+                                continue
+                            n += 1
+                            size += os.path.getsize(
+                                os.path.join(dirpath, fn)
+                            )
+            return n, size
+
+        df = None  # lazy: only built when a scan fallback is needed
+
+        def scan() -> DataFrame:
+            nonlocal df
+            if df is None:
+                df = self.repo.read_table(self.spark, name, self.branch)
+            return df
+
+        if columns is None and not all_columns:
+            n_files, size = file_footprint()
+            rows = [("num_files", str(n_files)), ("size_bytes", str(size))]
+            if not noscan:
+                vals = (
+                    stats_mod.metadata_aggregate(
+                        self.repo.root, entries, [("count", "*")]
+                    )
+                    if dv_count >= 0
+                    else None
+                )
+                n_rows = (
+                    vals[0] - dv_count
+                    if vals is not None
+                    else scan().count()
+                )
+                rows.append(("row_count", str(n_rows)))
+            return self.spark.createDataFrame(
+                rows, "statistic STRING, value STRING"
+            )
+
+        if noscan:
+            raise ValueError(
+                "ANALYZE TABLE: NOSCAN cannot combine with FOR COLUMNS "
+                "(column statistics require stats manifests or a scan)"
+            )
+        cols = (
+            [f.name for f in scan().schema.fields]
+            if all_columns
+            else list(columns or [])
+        )
+        out_rows = []
+        scan_cols: list[str] = []
+        for col in cols:
+            vals = (
+                stats_mod.metadata_aggregate(
+                    self.repo.root,
+                    entries,
+                    [("min", col), ("max", col), ("count", col), ("count", "*")],
+                )
+                if not evolved and dv_count == 0
+                else None
+            )
+            if vals is None:
+                scan_cols.append(col)
+                continue
+            mn, mx, nn, total = vals
+            out_rows.append(
+                (
+                    col,
+                    None if mn is None else str(mn),
+                    None if mx is None else str(mx),
+                    total - nn,
+                    total,
+                    "manifests",
+                )
+            )
+        if scan_cols:
+            aggs = [F.count(F.lit(1)).alias("_rows")]
+            for i, col in enumerate(scan_cols):
+                aggs.extend(
+                    [
+                        F.min(col).alias(f"_mn{i}"),
+                        F.max(col).alias(f"_mx{i}"),
+                        F.count(col).alias(f"_nn{i}"),
+                    ]
+                )
+            r = scan().select(*aggs).collect()[0]
+            for i, col in enumerate(scan_cols):
+                mn, mx = r[f"_mn{i}"], r[f"_mx{i}"]
+                out_rows.append(
+                    (
+                        col,
+                        None if mn is None else str(mn),
+                        None if mx is None else str(mx),
+                        int(r["_rows"]) - int(r[f"_nn{i}"]),
+                        int(r["_rows"]),
+                        "scan",
+                    )
+                )
+        order = {c: i for i, c in enumerate(cols)}
+        out_rows.sort(key=lambda t: order[t[0]])
+        return self.spark.createDataFrame(
+            out_rows,
+            "column STRING, min STRING, max STRING, null_count BIGINT, "
+            "row_count BIGINT, source STRING",
         )
 
     def _merge_into(
@@ -2504,6 +2666,19 @@ class LakeSQL:
         m = _DESCRIBE_STATS_RE.match(query)
         if m:
             return self.describe_stats(m.group("table"))
+        m = _ANALYZE_RE.match(query)
+        if m:
+            cols = m.group("cols")
+            return self.analyze_table(
+                m.group("table"),
+                columns=(
+                    [c.strip().strip("`") for c in cols.split(",")]
+                    if cols
+                    else None
+                ),
+                all_columns=bool(m.group("allcols")),
+                noscan=bool(m.group("noscan")),
+            )
         m = _SET_TBLPROPS_RE.match(query)
         if m:
             c = self.repo.set_table_properties(
@@ -2533,17 +2708,23 @@ class LakeSQL:
                 self._resolve_table(m.group("table")), self.branch
             )
             key = m.group("key")
+            if key is not None:
+                key = _unq(key)
             if key is not None and key not in props:
-                # loud, like this engine's other lookups (Spark prints
-                # a 'does not have property' row; a NULL value would be
-                # indistinguishable from a present-but-empty property)
-                raise KeyError(
-                    f"table does not have property {key!r}; set it with "
-                    f"ALTER TABLE ... SET TBLPROPERTIES"
+                # Spark-parity non-failing row (ADVICE r11: ported Delta
+                # scripts probe optional properties and expect the probe
+                # itself to succeed); the message text distinguishes the
+                # absent case from a present-but-empty value
+                table = m.group("table")
+                rows = [
+                    (key, f"Table {table} does not have property: {key}")
+                ]
+            else:
+                rows = (
+                    [(key, props[key])]
+                    if key is not None
+                    else sorted(props.items())
                 )
-            rows = (
-                [(key, props[key])] if key is not None else sorted(props.items())
-            )
             return self.spark.createDataFrame(
                 rows, "key STRING, value STRING"
             )

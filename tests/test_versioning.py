@@ -1034,8 +1034,8 @@ def test_tblproperties_set_show_unset_and_dv_routing(spark, repo):
     lsql.sql("ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('nope')")
     assert repo.head("main").version == v
 
-    # malformed lists, duplicates, dangling commas, unknown tables and
-    # missing SHOW keys are loud (Spark parser parity)
+    # malformed lists, duplicates, dangling commas and unknown tables
+    # are loud (Spark parser parity)
     with pytest.raises(ValueError, match="malformed"):
         lsql.sql("ALTER TABLE t SET TBLPROPERTIES (owner = 'x')")
     with pytest.raises(ValueError, match="duplicate key"):
@@ -1044,8 +1044,21 @@ def test_tblproperties_set_show_unset_and_dv_routing(spark, repo):
         lsql.sql("ALTER TABLE t SET TBLPROPERTIES ('a'='1',)")
     with pytest.raises(KeyError, match="not found"):
         lsql.sql("ALTER TABLE ghost SET TBLPROPERTIES ('a' = 'b')")
-    with pytest.raises(KeyError, match="does not have property"):
-        lsql.sql("SHOW TBLPROPERTIES t ('onwer')")
+    # a missing SHOW key is NOT an error — Spark/Delta return a
+    # non-failing message row so scripts can probe optional properties
+    # (ADVICE r11); the message distinguishes absent from empty
+    [probe] = lsql.sql("SHOW TBLPROPERTIES t ('onwer')").collect()
+    assert probe.key == "onwer"
+    assert "does not have property: onwer" in probe.value
+
+    # ''-escaped quotes in keys/values parse and round-trip unescaped
+    # (Spark literal grammar; ADVICE r11)
+    lsql.sql("ALTER TABLE t SET TBLPROPERTIES ('it''s' = 'a ''quoted'' v')")
+    assert repo.table_properties("t", "main")["it's"] == "a 'quoted' v"
+    [got] = lsql.sql("SHOW TBLPROPERTIES t ('it''s')").collect()
+    assert (got.key, got.value) == ("it's", "a 'quoted' v")
+    lsql.sql("ALTER TABLE t UNSET TBLPROPERTIES ('it''s')")
+    assert "it's" not in repo.table_properties("t", "main")
 
     # CREATE OR REPLACE defines a NEW table: properties do not leak
     lsql.sql("CREATE OR REPLACE TABLE t AS SELECT 1 AS id, 'z' AS val")
