@@ -457,10 +457,13 @@ def make_lake_stream_source():
             self._pos: dict | None = None
             #: byte-cap admission stat cache (ADVICE r11): committed
             #: data files are immutable, so each is os.stat'ed at most
-            #: once per stream lifetime instead of once per
-            #: latestOffset poll — an idling stream at a deep backlog
-            #: otherwise repeats O(pending files) syscalls every trigger
-            self._sizes: dict[str, int] = {}
+            #: once while its commit version is pending instead of once
+            #: per latestOffset poll — an idling stream at a deep
+            #: backlog otherwise repeats O(pending files) syscalls
+            #: every trigger. Keyed per commit version so commit()
+            #: can evict consumed versions, bounding the cache to the
+            #: pending window rather than the table's full history.
+            self._sizes: dict[int, dict[str, int]] = {}
             names = list(schema.fieldNames())
             #: declared DDL per field — partition constants parse to it
             self.ddl = {
@@ -545,12 +548,13 @@ def make_lake_stream_source():
                     admitted += 1
                     if self.bcap:
                         rel = files[idx][0]
-                        size = self._sizes.get(rel)
+                        vsizes = self._sizes.setdefault(c.version, {})
+                        size = vsizes.get(rel)
                         if size is None:
                             size = os.path.getsize(
                                 os.path.join(repo.root, rel)
                             )
-                            self._sizes[rel] = size
+                            vsizes[rel] = size
                         used_bytes += size
                 if stopped:
                     break
@@ -824,6 +828,16 @@ def make_lake_stream_source():
 
         def commit(self, end: dict) -> None:
             self._pos = dict(end)
+            if self._sizes:
+                # versions at or below the committed position can never
+                # be re-admitted (a partially consumed version — fidx
+                # set — still has pending files, keep its entries)
+                v = end["version"]
+                fully = end.get("fidx") is None
+                for ver in [
+                    k for k in self._sizes if k < v or (fully and k == v)
+                ]:
+                    del self._sizes[ver]
 
         # -- executor-side: pyarrow + stdlib ONLY ----------------------
         def read(self, partition):

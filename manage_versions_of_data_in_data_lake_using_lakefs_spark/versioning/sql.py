@@ -991,21 +991,26 @@ class LakeSQL:
         NOSCAN, matching Spark's size-only contract — row_count); the
         column forms return one row per column with min/max/null_count/
         row_count, the aggregation of what DESCRIBE STATS lists
-        per-file."""
+        per-file — explicit FOR COLUMNS in the given order, FOR ALL
+        COLUMNS sorted by name (deterministic across both the manifest
+        and scan enumeration paths)."""
         name = self._resolve_table(table)
         entries = self.repo.current_files(self.branch, name)
-        try:
-            dv_entries = self.repo.current_files(self.branch, DV_PREFIX + name)
-        except KeyError:
-            dv_entries = None
-        dv_count = 0
-        if dv_entries is not None:
+
+        def dv_cardinality() -> int:
+            """Live-DV row count, or −1 when unanswerable (which forces
+            the scan path everywhere). Computed only by the branches
+            that consume it — NOSCAN stays stat-syscalls-only."""
+            try:
+                dv_entries = self.repo.current_files(
+                    self.branch, DV_PREFIX + name
+                )
+            except KeyError:
+                return 0
             dv_vals = stats_mod.metadata_aggregate(
                 self.repo.root, dv_entries, [("count", "*")]
             )
-            # an unanswerable DV table forces the scan path everywhere
-            dv_count = -1 if dv_vals is None else dv_vals[0]
-        evolved = self.repo.table_schema_map(name, ref=self.branch) is not None
+            return -1 if dv_vals is None else dv_vals[0]
 
         def file_footprint() -> tuple[int, int]:
             n, size = 0, 0
@@ -1037,6 +1042,7 @@ class LakeSQL:
             n_files, size = file_footprint()
             rows = [("num_files", str(n_files)), ("size_bytes", str(size))]
             if not noscan:
+                dv_count = dv_cardinality()
                 vals = (
                     stats_mod.metadata_aggregate(
                         self.repo.root, entries, [("count", "*")]
@@ -1059,11 +1065,33 @@ class LakeSQL:
                 "ANALYZE TABLE: NOSCAN cannot combine with FOR COLUMNS "
                 "(column statistics require stats manifests or a scan)"
             )
-        cols = (
-            [f.name for f in scan().schema.fields]
-            if all_columns
-            else list(columns or [])
+        # one manifest pass for the whole column loop (and the ALL
+        # COLUMNS enumeration); None on evolved lineages / live DVs /
+        # stats-less groups, which all take the scan path
+        evolved = self.repo.table_schema_map(name, ref=self.branch) is not None
+        per_file = (
+            stats_mod.collect_per_file_stats(self.repo.root, entries)
+            if not evolved and dv_cardinality() == 0
+            else None
         )
+        if all_columns:
+            # the manifests' recorded name lists enumerate the schema
+            # without touching a data file — but only when EVERY record
+            # carries one (st["cols"] is no substitute: it drops nested
+            # columns and stats-poisoned columns, which would silently
+            # lose their output rows); legacy manifests decline to the
+            # schema read. ALL COLUMNS output is sorted by name so both
+            # paths return the same deterministic order.
+            if per_file and all(st.get("names") for st in per_file):
+                seen: dict[str, None] = {}
+                for st in per_file:
+                    for n in st["names"]:
+                        seen.setdefault(n)
+                cols = sorted(seen)
+            else:
+                cols = sorted(f.name for f in scan().schema.fields)
+        else:
+            cols = list(columns or [])
         out_rows = []
         scan_cols: list[str] = []
         for col in cols:
@@ -1072,8 +1100,9 @@ class LakeSQL:
                     self.repo.root,
                     entries,
                     [("min", col), ("max", col), ("count", col), ("count", "*")],
+                    per_file=per_file,
                 )
-                if not evolved and dv_count == 0
+                if per_file is not None
                 else None
             )
             if vals is None:

@@ -777,11 +777,35 @@ def fully_supported(tree) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def collect_per_file_stats(
+    root: str, rel_entries: Iterable[str]
+) -> list[dict] | None:
+    """The per-file stats records of a snapshot's entries — group
+    manifests expanded, loose files footer-read, partition constants
+    injected — or None when any group lacks usable stats."""
+    per_file: list[dict] = []
+    for rel in rel_entries:
+        full = os.path.join(root, rel)
+        if os.path.isdir(full):
+            manifest = load_group_stats(full)
+            if not manifest or not manifest.get("files"):
+                return None
+            per_file.extend(manifest["files"].values())
+        else:
+            st = file_stats(full)
+            if st is None:
+                return None
+            _inject_partition_stats(st, rel)
+            per_file.append(st)
+    return per_file
+
+
 def metadata_aggregate(
     root: str,
     rel_entries: Iterable[str],
     items: list[tuple[str, str]],
     aliases: dict[str, list[str]] | None = None,
+    per_file: list[dict] | None = None,
 ) -> list | None:
     """Answer COUNT(*) / COUNT(col) / MIN(col) / MAX(col) from stats
     manifests alone — zero data-file reads. ``items`` is a list of
@@ -807,21 +831,15 @@ def metadata_aggregate(
 
     At 100 TB this turns the most common dashboard probes into pure
     metadata reads (Delta/Iceberg answer COUNT(*) the same way).
+
+    ``per_file`` lets a caller issuing SEVERAL aggregate calls over the
+    same snapshot (ANALYZE TABLE's per-column loop) load the manifests
+    ONCE via ``collect_per_file_stats`` instead of once per call.
     """
-    per_file: list[dict] = []
-    for rel in rel_entries:
-        full = os.path.join(root, rel)
-        if os.path.isdir(full):
-            manifest = load_group_stats(full)
-            if not manifest or not manifest.get("files"):
-                return None
-            per_file.extend(manifest["files"].values())
-        else:
-            st = file_stats(full)
-            if st is None:
-                return None
-            _inject_partition_stats(st, rel)
-            per_file.append(st)
+    if per_file is None:
+        per_file = collect_per_file_stats(root, rel_entries)
+        if per_file is None:
+            return None
 
     out: list = []
     for fn, arg in items:
