@@ -670,6 +670,199 @@ class LakeRepo:
             f"UNSET TBLPROPERTIES ({', '.join(sorted(removed))}) ON {table}",
         )
 
+    # -- column metadata: DEFAULT values + IDENTITY columns (r12) ---------
+    # Stored as one versioned object per table (the constraints /
+    # tblprops discipline), so defaults and identity high-water marks
+    # ride branches, merges, clones, pushes, and time travel. Shape:
+    #   {"defaults": {col_lower: expr_sql},
+    #    "identity": {col_lower: {"start": int, "step": int,
+    #                             "hwm": int | None}}}
+    # ``hwm`` is the LAST allocated value (None before any allocation);
+    # an identity write stages the bumped object so the data append and
+    # the mark land in ONE commit — a failed write rolls both back.
+
+    @staticmethod
+    def _colmeta_path(table: str) -> str:
+        return f"_colmeta/{table}.json"
+
+    def column_metadata(
+        self, table: str, branch: str = "main", include_staged: bool = True
+    ) -> dict:
+        import json
+
+        try:
+            raw = self.get_object(
+                self._colmeta_path(table), branch, include_staged=include_staged
+            )
+        except KeyError:
+            return {"defaults": {}, "identity": {}}
+        return json.loads(raw)
+
+    def _drop_colmeta_object(self, branch: str, table: str) -> None:
+        """Mirror of ``_drop_tblprops_object``: a successor table of the
+        same name must not inherit defaults or an identity mark."""
+        try:
+            self.delete_object(branch, self._colmeta_path(table))
+        except KeyError:
+            pass
+
+    def alter_set_default(
+        self, spark: SparkSession, branch: str, table: str, col: str, expr: str
+    ) -> "Commit":
+        """ALTER TABLE t ALTER COLUMN c SET DEFAULT expr — the default
+        applies at WRITE time (INSERT / COPY INTO / MERGE INSERT paths
+        that omit the column); existing rows are untouched (Delta
+        semantics). The expression must be self-contained (literals /
+        deterministic functions, no column references): it is validated
+        against a ZERO-column frame, because insert paths evaluate it in
+        scopes where no target row exists."""
+        import json
+
+        self._require_clean_for_alter(branch, f"SET DEFAULT ON {col}")
+        self._require_table(branch, table)
+        cur = self.read_table(spark, table, ref=branch)
+        resolved = {c.lower(): c for c in cur.columns}
+        if col.lower() not in resolved:
+            raise KeyError(f"no column {col!r} on {table!r}")
+        meta = self.column_metadata(table, branch)
+        if col.lower() in meta["identity"]:
+            raise ValueError(
+                f"column {col!r} is GENERATED ALWAYS AS IDENTITY — it "
+                "cannot also carry a DEFAULT"
+            )
+        if col.lower() in self._generated_names(
+            self.table_schema_map(table, ref=branch)
+        ):
+            raise ValueError(
+                f"column {col!r} is GENERATED — it is computed on read, "
+                "a DEFAULT would never apply"
+            )
+        dtype = dict(
+            (f.name.lower(), f.dataType) for f in cur.schema.fields
+        )[col.lower()]
+        # zero-column frame: any column reference in the expression is
+        # a loud analysis error here instead of a surprise at insert
+        spark.range(1).select().select(F.expr(expr).cast(dtype))
+        meta["defaults"][col.lower()] = expr
+        self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
+        return self.commit(
+            branch, f"ALTER TABLE {table} ALTER COLUMN {col} SET DEFAULT"
+        )
+
+    def alter_drop_default(
+        self, branch: str, table: str, col: str
+    ) -> "Commit":
+        import json
+
+        self._require_clean_for_alter(branch, f"DROP DEFAULT ON {col}")
+        self._require_table(branch, table)
+        meta = self.column_metadata(table, branch)
+        if col.lower() not in meta["defaults"]:
+            raise KeyError(f"column {col!r} on {table!r} has no DEFAULT")
+        del meta["defaults"][col.lower()]
+        self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
+        return self.commit(
+            branch, f"ALTER TABLE {table} ALTER COLUMN {col} DROP DEFAULT"
+        )
+
+    def alter_add_identity_column(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        col: str,
+        dtype: str,
+        start: int = 1,
+        step: int = 1,
+    ) -> "Commit":
+        """ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS
+        IDENTITY [(START WITH s [INCREMENT BY k])] — a STORED column
+        whose values the engine allocates monotonically at write time
+        (INSERT / COPY INTO / MERGE INSERT). Delta only allows identity
+        at CREATE TABLE; this engine's CREATE is CTAS-shaped, so the
+        ALTER spelling stands in, with the ADD-column era semantics:
+        rows written BEFORE the ALTER read the column as NULL (the
+        add-null era), rows after carry allocated values. Allocation is
+        per-write-batch: n rows take the half-open arithmetic range
+        after the high-water mark in one exact bump — cost O(1)
+        metadata plus numbering the batch, never table-proportional."""
+        import json
+
+        if step == 0:
+            raise ValueError("IDENTITY INCREMENT BY must be non-zero")
+        if dtype.strip().lower() not in ("bigint", "long", "int", "integer"):
+            raise ValueError(
+                f"IDENTITY column {col!r} must be an integer type "
+                f"(BIGINT/INT); got {dtype!r}"
+            )
+        self._require_clean_for_alter(branch, f"ADD IDENTITY COLUMN {col}")
+        meta = self.column_metadata(table, branch)
+        if col.lower() in meta["defaults"]:
+            raise ValueError(
+                f"column {col!r} carries a DEFAULT — it cannot also be "
+                "GENERATED ALWAYS AS IDENTITY"
+            )
+        cur = self.read_table(spark, table, ref=branch)
+        steps = self.table_schema_map(table, ref=branch)
+        if col.lower() in {c.lower() for c in cur.columns}:
+            raise ValueError(f"column {col!r} already exists on {table!r}")
+        if col.lower() in self._consumed_names(steps):
+            raise ValueError(
+                f"column name {col!r} was previously renamed away or "
+                f"dropped on {table!r}; reuse is forbidden"
+            )
+        cur.limit(0).select(F.lit(None).cast(dtype))
+        # stage the identity registration FIRST, then append the plain
+        # ADD schema step — its commit sweeps both objects atomically
+        # (the add-null era machinery owns existence: pre-ALTER files
+        # read NULL, exactly the documented semantics)
+        meta["identity"][col.lower()] = {
+            "start": int(start),
+            "step": int(step),
+            "hwm": None,
+        }
+        snap = self.staged_object_entry(branch, self._colmeta_path(table))
+        self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
+        try:
+            return self._put_schema_step(
+                branch,
+                table,
+                cur.columns,
+                {"op": "add", "name": col, "type": dtype},
+                f"ALTER TABLE {table} ADD COLUMN {col} {dtype} "
+                f"GENERATED ALWAYS AS IDENTITY",
+            )
+        except Exception:
+            self.restore_staged_object_entry(
+                branch, self._colmeta_path(table), snap
+            )
+            raise
+
+    def identity_columns(self, table: str, branch: str = "main") -> dict:
+        """{col_lower: {"start", "step", "hwm"}} for a table's identity
+        columns (staged-inclusive, like the write paths that consult
+        it)."""
+        return self.column_metadata(table, branch)["identity"]
+
+    def allocate_identity(
+        self, branch: str, table: str, col: str, n: int
+    ) -> int:
+        """Reserve ``n`` identity values for ``col``: returns the FIRST
+        value; the caller assigns first, first+step, …, first+step·(n−1)
+        and commits — the bumped high-water mark is STAGED here so the
+        data append and the mark land atomically in that commit."""
+        import json
+
+        meta = self.column_metadata(table, branch)
+        ent = meta["identity"][col.lower()]
+        first = (
+            ent["start"] if ent["hwm"] is None else ent["hwm"] + ent["step"]
+        )
+        if n > 0:
+            ent["hwm"] = first + ent["step"] * (n - 1)
+            self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
+        return first
+
     def _require_table(self, branch: str, table: str) -> None:
         # ALTERs run on a clean branch (enforced by the callers), so the
         # committed head is the complete table universe; hidden deletion
@@ -1360,6 +1553,7 @@ class LakeRepo:
         self._drop_schema_map_object(branch, table)
         self._drop_copyinto_object(branch, table)
         self._drop_tblprops_object(branch, table)
+        self._drop_colmeta_object(branch, table)
 
     def status(self, branch: str) -> dict:
         """Uncommitted staged changes on a branch (tables + objects)."""

@@ -309,6 +309,24 @@ _ADD_GEN_COLUMN_RE = re.compile(
     r"GENERATED\s+ALWAYS\s+AS\s*\(\s*(?P<expr>.+)\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ADD_IDENTITY_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s+"
+    rf"(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s+"
+    r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)"
+    r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SET_DEFAULT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+SET\s+DEFAULT\s+(?P<expr>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_DEFAULT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+DROP\s+DEFAULT\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RENAME_COLUMN_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+RENAME\s+COLUMN\s+"
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
@@ -888,10 +906,24 @@ class LakeSQL:
             )
         except KeyError:
             target = None
+        ids: dict = {}
         if target is not None:
+            meta = self.repo.column_metadata(name, self.branch)
+            ids, defaults = meta["identity"], meta["defaults"]
             have = {c.lower(): c for c in df.columns}
+            clash = sorted(set(have) & set(ids))
+            if clash:
+                raise ValueError(
+                    f"COPY INTO {name!r}: columns {clash} are GENERATED "
+                    "ALWAYS AS IDENTITY — the engine allocates them; "
+                    "remove them from the landed files"
+                )
             missing = [
-                f.name for f in target.schema.fields if f.name.lower() not in have
+                f.name
+                for f in target.schema.fields
+                if f.name.lower() not in have
+                and f.name.lower() not in ids
+                and f.name.lower() not in defaults
             ]
             extra = sorted(
                 set(have) - {f.name.lower() for f in target.schema.fields}
@@ -899,27 +931,36 @@ class LakeSQL:
             if missing or extra:
                 raise ValueError(
                     f"COPY INTO {name!r}: source columns must match the "
-                    f"target BY NAME — missing {missing}, extra {extra}"
+                    f"target BY NAME — missing {missing}, extra {extra} "
+                    f"(columns with a DEFAULT or IDENTITY may be omitted)"
                 )
             df = df.select(
                 *[
                     F.col(have[f.name.lower()])
                     .cast(f.dataType)
                     .alias(f.name)
+                    if f.name.lower() in have
+                    else self._default_expr(defaults, f)
                     for f in target.schema.fields
+                    if f.name.lower() not in ids
                 ]
             )
-        df = df.persist()
+        cached = df.persist()
         try:
-            rows = df.count()
-            self.repo.write_table(self.branch, name, df, mode="append")
+            rows = cached.count()
+            out = cached
+            if ids:
+                out = self._fill_identity(
+                    name, cached, list(target.schema.fields), ids, rows
+                )
+            self.repo.write_table(self.branch, name, out, mode="append")
             self.repo.put_object(self.branch, reg_path, json.dumps(reg))
             self.repo.commit(
                 self.branch,
                 f"SQL: COPY INTO {name} ({len(new)} files, {rows} rows)",
             )
         finally:
-            df.unpersist(blocking=False)
+            cached.unpersist(blocking=False)
         return self.spark.createDataFrame(
             [(rows, len(new), skipped)],
             "num_inserted_rows LONG, num_loaded_files INT, "
@@ -1393,6 +1434,11 @@ class LakeSQL:
                 )
         src_lower = {c.lower() for c in sdf.columns}
         resolved = {f.name.lower(): f.name for f in target.schema.fields}
+        # IDENTITY columns (r12): never SET, never in an INSERT list —
+        # inserted rows get engine-allocated values after the union;
+        # DEFAULT values substitute for NULL on unnamed INSERT columns
+        _cm = self.repo.column_metadata(name, self.branch)
+        id_cols, col_defaults = _cm["identity"], _cm["defaults"]
         # targets written before the write-time __lg_ guard existed
         # would shadow the lateral clause-index alias too
         bad_t = [c for c in resolved.values() if c.lower().startswith("__lg_")]
@@ -1417,6 +1463,11 @@ class LakeSQL:
                     col = qual.group(1).strip("`")
                 if col.lower() not in resolved:
                     raise KeyError(f"MERGE {name!r}: no column {col!r}")
+                if col.lower() in id_cols:
+                    raise ValueError(
+                        f"MERGE {name!r}: column {col!r} is GENERATED "
+                        "ALWAYS AS IDENTITY — it cannot be SET"
+                    )
                 out[resolved[col.lower()]] = am.group("expr").strip()
             return out
 
@@ -1437,8 +1488,11 @@ class LakeSQL:
                         # source-named columns (target-only columns keep
                         # their values); without it, the strict contract
                         # stands — a source lacking a target column is a
-                        # loud analysis error
-                        if not evolve or f.name.lower() in src_lower
+                        # loud analysis error. IDENTITY columns are
+                        # excluded either way: matched rows keep their
+                        # allocated values (they are never assignable)
+                        if (not evolve or f.name.lower() in src_lower)
+                        and f.name.lower() not in id_cols
                     }
                 else:
                     assigns = _parse_assigns(sets_text)
@@ -1464,22 +1518,28 @@ class LakeSQL:
         for cond, m in i_raw:
             if m.group("star"):
                 if evolve:
-                    # automerge: target-only columns insert as NULL
+                    # automerge: target-only columns insert their
+                    # DEFAULT when declared (r12), else NULL; IDENTITY
+                    # columns are engine-allocated after the union
                     exprs = {
                         f.name: (
-                            f"{sa}.`{f.name}`"
+                            "NULL"
+                            if f.name.lower() in id_cols
+                            else f"{sa}.`{f.name}`"
                             if f.name.lower() in src_lower
-                            else "NULL"
+                            else col_defaults.get(f.name.lower(), "NULL")
                         )
                         for f in target.schema.fields
                     }
                 else:
                     # case-insensitive, like Spark's own resolution (and
-                    # the evolve branch above)
+                    # the evolve branch above); IDENTITY columns are
+                    # never expected from the source
                     missing = [
                         f.name
                         for f in target.schema.fields
                         if f.name.lower() not in src_lower
+                        and f.name.lower() not in id_cols
                     ]
                     if missing:
                         raise ValueError(
@@ -1487,7 +1547,11 @@ class LakeSQL:
                             f"{missing}"
                         )
                     exprs = {
-                        f.name: f"{sa}.`{f.name}`"
+                        f.name: (
+                            "NULL"
+                            if f.name.lower() in id_cols
+                            else f"{sa}.`{f.name}`"
+                        )
                         for f in target.schema.fields
                     }
             else:
@@ -1510,14 +1574,27 @@ class LakeSQL:
                         col = qual.group(1).strip("`")
                     if col.lower() not in resolved:
                         raise KeyError(f"MERGE {name!r}: no column {col!r}")
+                    if col.lower() in id_cols:
+                        raise ValueError(
+                            f"MERGE INSERT: column {col!r} is GENERATED "
+                            "ALWAYS AS IDENTITY — the engine allocates it"
+                        )
                     rc = resolved[col.lower()]
                     if rc in named:
                         raise ValueError(
                             f"MERGE INSERT: duplicate column {rc!r}"
                         )
                     named[rc] = v
+                # unnamed columns insert their DEFAULT when declared
+                # (r12), else NULL; identity stays NULL here and is
+                # allocated after the union
                 exprs = {
-                    f.name: named.get(f.name, "NULL")
+                    f.name: named.get(
+                        f.name,
+                        "NULL"
+                        if f.name.lower() in id_cols
+                        else col_defaults.get(f.name.lower(), "NULL"),
+                    )
                     for f in target.schema.fields
                 }
             i_clauses.append((cond, exprs))
@@ -1554,6 +1631,9 @@ class LakeSQL:
             and not self.repo._generated_names(
                 self.repo.table_schema_map(name, ref=self.branch)
             )
+            # identity allocation happens on the rewrite route's staged
+            # union (r12) — the DV route would insert NULLs
+            and not (id_cols and i_clauses)
         ):
             out = self._try_dv_dml(
                 name,
@@ -1677,9 +1757,31 @@ class LakeSQL:
                 .collect()
             }
             rows = sum(n for f, n in counts.items() if f != "pass")
-            merged = staged.where(
-                ~F.col("__lg_fate").isin("del", "bsdel")
-            ).drop("__lg_fate")
+            n_ins = int(counts.get("ins", 0))
+            if id_cols and n_ins:
+                # allocate identity values for the inserted rows only
+                # (r12): pass/update rows carry their existing values
+                # through the union untouched; the insert part projected
+                # NULL, replaced here by the numbered allocation — cost
+                # ∝ inserted rows
+                keep = staged.where(
+                    ~F.col("__lg_fate").isin("del", "bsdel", "ins")
+                ).drop("__lg_fate")
+                ins = staged.where(F.col("__lg_fate") == "ins").drop(
+                    "__lg_fate"
+                )
+                filled = self._fill_identity(
+                    name,
+                    ins.drop(*[resolved[c] for c in id_cols]),
+                    list(target.schema.fields),
+                    id_cols,
+                    n_ins,
+                )
+                merged = keep.unionByName(filled)
+            else:
+                merged = staged.where(
+                    ~F.col("__lg_fate").isin("del", "bsdel")
+                ).drop("__lg_fate")
             self.repo.write_table(self.branch, name, merged, mode="overwrite")
         finally:
             staged.unpersist(blocking=False)
@@ -2046,9 +2148,11 @@ class LakeSQL:
         cpath = self.repo._constraints_path(name)
         spath = self.repo._schema_map_path(name)
         ppath = self.repo._tblprops_path(name)
+        mpath = self.repo._colmeta_path(name)
         obj_snap = self.repo.staged_object_entry(self.branch, cpath)
         smap_snap = self.repo.staged_object_entry(self.branch, spath)
         props_snap = self.repo.staged_object_entry(self.branch, ppath)
+        meta_snap = self.repo.staged_object_entry(self.branch, mpath)
         tbl_snap = self.repo.staged_entry(self.branch, name)
         if replace and table.lower() in existing:
             # REPLACE defines a NEW table: the old one's CHECK
@@ -2057,6 +2161,7 @@ class LakeSQL:
             self.repo._drop_constraints_object(self.branch, name)
             self.repo._drop_schema_map_object(self.branch, name)
             self.repo._drop_tblprops_object(self.branch, name)
+            self.repo._drop_colmeta_object(self.branch, name)
         try:
             self.repo.write_table(self.branch, name, df, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
@@ -2064,9 +2169,55 @@ class LakeSQL:
             self.repo.restore_staged_object_entry(self.branch, cpath, obj_snap)
             self.repo.restore_staged_object_entry(self.branch, spath, smap_snap)
             self.repo.restore_staged_object_entry(self.branch, ppath, props_snap)
+            self.repo.restore_staged_object_entry(self.branch, mpath, meta_snap)
             self.repo.restore_staged_entry(self.branch, name, tbl_snap)
             raise
         return self._dml_result(name, c.version, rows)
+
+    def _default_expr(
+        self, defaults: dict[str, str], field
+    ):
+        """The fill expression for an omitted stored column: its
+        DEFAULT when one is declared (r12, validated self-contained at
+        ALTER time), else NULL — both cast to the column type."""
+        e = defaults.get(field.name.lower())
+        base = F.expr(e) if e is not None else F.lit(None)
+        return base.cast(field.dataType).alias(field.name)
+
+    def _fill_identity(
+        self, name: str, df: DataFrame, store_fields, ids: dict, n: int
+    ) -> DataFrame:
+        """Append the identity columns to a frame carrying the other
+        stored columns (r12): reserve ``n`` values per identity column
+        (one exact high-water-mark bump, staged into the caller's
+        commit), number the batch with the scale-safe range-partition
+        row numbering, and emit ``store_fields`` order. Numbering
+        follows the total order of the non-identity columns, so the
+        assignment is deterministic up to indistinguishable duplicate
+        rows — cost ∝ the batch, never the table."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import global_row_number_scalable
+
+        order_cols = [
+            f.name for f in store_fields if f.name.lower() not in ids
+        ]
+        if not order_cols:
+            raise ValueError(
+                f"{name!r}: a table whose stored columns are ALL identity "
+                "columns has no deterministic assignment order"
+            )
+        out = global_row_number_scalable(df, order_cols, out="__lg_idrow")
+        by_lower = {f.name.lower(): f for f in store_fields}
+        for col_l, ent in sorted(ids.items()):
+            first = self.repo.allocate_identity(self.branch, name, col_l, n)
+            f = by_lower[col_l]
+            out = out.withColumn(
+                f.name,
+                (
+                    F.lit(first)
+                    + (F.col("__lg_idrow") - 1) * F.lit(ent["step"])
+                ).cast(f.dataType),
+            )
+        return out.select(*[f.name for f in store_fields])
 
     def _insert(
         self, table: str, body: str, cols: str | None = None
@@ -2075,20 +2226,30 @@ class LakeSQL:
         ...`` — positional column alignment with a cast to the target
         schema (Delta semantics); with an explicit column list (r11),
         the provided values align positionally to the NAMED columns and
-        every unnamed stored column inserts NULL. Append-mode schema
-        policy enforced by write_table."""
+        every unnamed stored column inserts its DEFAULT when declared
+        (r12) else NULL. IDENTITY columns are never provided — the
+        engine allocates them (r12). Append-mode schema policy enforced
+        by write_table."""
         name = self._resolve_table(table)
         target = self.repo.read_table(self.spark, name, ref=self.branch, include_staged=True)
         if body.lstrip()[:6].upper() == "VALUES":
             src = self.spark.sql(f"SELECT * FROM {body}")
         else:
             src = self.sql(body)
-        # GENERATED columns are recomputed on read, never provided:
-        # positional alignment targets only the stored columns
+        # GENERATED columns are recomputed on read, never provided;
+        # IDENTITY columns are engine-allocated, never provided:
+        # positional alignment targets only the remaining stored columns
         gen = self.repo._generated_names(
             self.repo.table_schema_map(name, ref=self.branch)
         )
-        fields = [f for f in target.schema.fields if f.name.lower() not in gen]
+        meta = self.repo.column_metadata(name, self.branch)
+        ids, defaults = meta["identity"], meta["defaults"]
+        store_fields = [
+            f for f in target.schema.fields if f.name.lower() not in gen
+        ]
+        fields = [
+            f for f in store_fields if f.name.lower() not in ids
+        ]
         if cols is not None:
             resolved = {f.name.lower(): f for f in fields}
             named: list = []
@@ -2100,6 +2261,12 @@ class LakeSQL:
                         + (
                             f" (GENERATED {sorted(gen)} are computed)"
                             if key in gen
+                            else ""
+                        )
+                        + (
+                            " (GENERATED ALWAYS AS IDENTITY — the engine "
+                            "allocates it)"
+                            if key in ids
                             else ""
                         )
                     )
@@ -2121,7 +2288,7 @@ class LakeSQL:
                 *[
                     F.col(by_field[f.name]).cast(f.dataType).alias(f.name)
                     if f.name in by_field
-                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    else self._default_expr(defaults, f)
                     for f in fields
                 ]
             )
@@ -2131,6 +2298,12 @@ class LakeSQL:
                     f"INSERT column count {len(src.columns)} != target arity "
                     f"{len(fields)} for {name!r}"
                     + (f" (GENERATED {sorted(gen)} are computed, not inserted)" if gen else "")
+                    + (
+                        f" (IDENTITY {sorted(ids)} are engine-allocated, "
+                        "not inserted)"
+                        if ids
+                        else ""
+                    )
                 )
             src = src.toDF(*[f"__ins{i}" for i in range(len(src.columns))])
             aligned = src.select(
@@ -2140,6 +2313,8 @@ class LakeSQL:
                 ]
             )
         rows = aligned.count()
+        if ids:
+            aligned = self._fill_identity(name, aligned, store_fields, ids, rows)
         self.repo.write_table(self.branch, name, aligned, mode="append")
         c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
         return self._dml_result(name, c.version, rows)
@@ -2575,6 +2750,12 @@ class LakeSQL:
                     f"UPDATE {name!r}: column {col!r} is GENERATED and "
                     "recomputed on read; update its source columns instead"
                 )
+            if col.lower() in self.repo.identity_columns(name, self.branch):
+                raise ValueError(
+                    f"UPDATE {name!r}: column {col!r} is GENERATED ALWAYS "
+                    "AS IDENTITY — its values are engine-allocated and "
+                    "immutable"
+                )
             assigns[resolved[col.lower()]] = m.group("expr").strip()
         if (
             cond is not None
@@ -2829,6 +3010,45 @@ class LakeSQL:
         if m:
             c = self.repo.clone_table(
                 self.branch, self._resolve_table(m.group("src")), m.group("dst").lower()
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _ADD_IDENTITY_RE.match(query)
+        if m:
+            c = self.repo.alter_add_identity_column(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("col"),
+                m.group("type"),
+                start=int(m.group("start") or 1),
+                step=int(m.group("step") or 1),
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _SET_DEFAULT_RE.match(query)
+        if m:
+            c = self.repo.alter_set_default(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("col"),
+                m.group("expr"),
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _DROP_DEFAULT_RE.match(query)
+        if m:
+            c = self.repo.alter_drop_default(
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("col"),
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],
