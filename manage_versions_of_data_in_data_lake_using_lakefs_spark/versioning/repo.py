@@ -78,6 +78,12 @@ class DirtyBranchError(Exception):
 #: DVs branch/merge/time-travel/vacuum/manifest-spill correct for free.
 DV_PREFIX = "__dv__"
 
+#: value ranges for identity-column allocation overflow guards (r12)
+_IDENTITY_BOUNDS = {
+    "int": (-(2**31), 2**31 - 1),
+    "bigint": (-(2**63), 2**63 - 1),
+}
+
 
 class LakeRepo:
     def __init__(self, root: str):
@@ -698,6 +704,35 @@ class LakeRepo:
             return {"defaults": {}, "identity": {}}
         return json.loads(raw)
 
+    def _stage_colmeta_retirement(
+        self,
+        branch: str,
+        table: str,
+        col_lower: str,
+        rename_to: str | None = None,
+    ):
+        """Stage the colmeta follow-through of a DROP (remove the
+        column's default/identity entries) or RENAME (carry them to the
+        new name) — returns False when the column had no metadata
+        (nothing staged), else the pre-staging snapshot for rollback.
+        The caller commits via its schema step, sweeping this in."""
+        import json
+
+        meta = self.column_metadata(table, branch)
+        if (
+            col_lower not in meta["defaults"]
+            and col_lower not in meta["identity"]
+        ):
+            return False
+        for section in ("defaults", "identity"):
+            if col_lower in meta[section]:
+                ent = meta[section].pop(col_lower)
+                if rename_to is not None:
+                    meta[section][rename_to.lower()] = ent
+        snap = self.staged_object_entry(branch, self._colmeta_path(table))
+        self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
+        return snap
+
     def _drop_colmeta_object(self, branch: str, table: str) -> None:
         """Mirror of ``_drop_tblprops_object``: a successor table of the
         same name must not inherit defaults or an identity mark."""
@@ -790,10 +825,16 @@ class LakeRepo:
 
         if step == 0:
             raise ValueError("IDENTITY INCREMENT BY must be non-zero")
-        if dtype.strip().lower() not in ("bigint", "long", "int", "integer"):
+        low = dtype.strip().lower()
+        if low not in ("bigint", "long", "int", "integer"):
             raise ValueError(
                 f"IDENTITY column {col!r} must be an integer type "
                 f"(BIGINT/INT); got {dtype!r}"
+            )
+        lo, hi = _IDENTITY_BOUNDS["int" if low in ("int", "integer") else "bigint"]
+        if not (lo <= int(start) <= hi):
+            raise ValueError(
+                f"IDENTITY START WITH {start} outside the {dtype} range"
             )
         self._require_clean_for_alter(branch, f"ADD IDENTITY COLUMN {col}")
         meta = self.column_metadata(table, branch)
@@ -820,6 +861,7 @@ class LakeRepo:
             "start": int(start),
             "step": int(step),
             "hwm": None,
+            "type": "int" if low in ("int", "integer") else "bigint",
         }
         snap = self.staged_object_entry(branch, self._colmeta_path(table))
         self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
@@ -859,7 +901,17 @@ class LakeRepo:
             ent["start"] if ent["hwm"] is None else ent["hwm"] + ent["step"]
         )
         if n > 0:
-            ent["hwm"] = first + ent["step"] * (n - 1)
+            last = first + ent["step"] * (n - 1)
+            lo, hi = _IDENTITY_BOUNDS[ent.get("type", "bigint")]
+            if not (lo <= first <= hi and lo <= last <= hi):
+                # loud, BEFORE staging: a silent cast would wrap or null
+                # the allocated values (r12 review)
+                raise ValueError(
+                    f"IDENTITY {col!r} on {table!r}: allocating {n} values "
+                    f"({first}…{last}) overflows the column's "
+                    f"{ent.get('type', 'bigint')} range"
+                )
+            ent["hwm"] = last
             self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
         return first
 
@@ -1168,6 +1220,100 @@ class LakeRepo:
             json.dump({"files": out}, f)
         return os.path.relpath(blob, self.root)
 
+    def _merge_colmeta_blobs(
+        self, path: str, s_rel: str | None, d_rel: str | None, b_rel: str | None
+    ) -> str | None:
+        """Three-way resolution for `_colmeta/` objects (r12 review —
+        without one, two branches that both insert into an identity
+        table could never merge). Defaults resolve per key exactly like
+        the COPY INTO registry (one-sided change wins, both-sides-
+        different conflicts, a one-sided DROP DEFAULT removes the key).
+        Identity entries must agree on everything but the high-water
+        mark; the merged hwm is the FURTHEST-ADVANCED of the two sides
+        (max for positive step, min for negative), so future
+        allocations never reuse either side's range. Values the two
+        branches allocated independently BEFORE the merge can overlap —
+        the merge keeps the rows as committed (renumbering would break
+        external references); identity uniqueness is per branch
+        lineage, the documented branch-semantics tradeoff."""
+        import json
+
+        if not path.startswith("_colmeta/") or s_rel is None or d_rel is None:
+            return None
+
+        def load(rel: str | None) -> dict:
+            if rel is None:
+                return {"defaults": {}, "identity": {}}
+            with open(os.path.join(self.root, rel)) as f:
+                return json.loads(f.read())
+
+        try:
+            srcm, dstm, basem = load(s_rel), load(d_rel), load(b_rel)
+        except Exception:
+            return None
+        out: dict = {"defaults": {}, "identity": {}}
+        for k in (
+            set(basem["defaults"]) | set(srcm["defaults"]) | set(dstm["defaults"])
+        ):
+            bv = basem["defaults"].get(k)
+            sv = srcm["defaults"].get(k)
+            dv = dstm["defaults"].get(k)
+            if sv == dv:
+                v = sv
+            elif dv == bv:
+                v = sv
+            elif sv == bv:
+                v = dv
+            else:
+                return None  # both sides set different defaults
+            if v is not None:
+                out["defaults"][k] = v
+        for k in (
+            set(basem["identity"]) | set(srcm["identity"]) | set(dstm["identity"])
+        ):
+            bv = basem["identity"].get(k)
+            sv = srcm["identity"].get(k)
+            dv = dstm["identity"].get(k)
+            # the standard three-way first: unchanged/one-sided shapes
+            # (including a one-sided drop of the registration)
+            if sv == dv:
+                v = sv
+            elif dv == bv:
+                v = sv
+            elif sv == bv:
+                v = dv
+            elif sv is not None and dv is not None:
+                # both sides advanced: configs must agree, marks merge
+                # to the furthest-advanced so future allocations never
+                # reuse either side's range
+                cfg_s = {a: x for a, x in sv.items() if a != "hwm"}
+                cfg_d = {a: x for a, x in dv.items() if a != "hwm"}
+                if cfg_s != cfg_d:
+                    return None
+                hs, hd = sv.get("hwm"), dv.get("hwm")
+                if hs is None:
+                    hwm = hd
+                elif hd is None:
+                    hwm = hs
+                else:
+                    hwm = (
+                        max(hs, hd)
+                        if cfg_s.get("step", 1) > 0
+                        else min(hs, hd)
+                    )
+                v = {**cfg_s, "hwm": hwm}
+            else:
+                # one side dropped the registration, the other advanced
+                # it — genuinely ambiguous
+                return None
+            if v is not None:
+                out["identity"][k] = v
+        blob = self._object_blob(new_id())
+        os.makedirs(os.path.dirname(blob), exist_ok=True)
+        with open(blob, "w") as f:
+            json.dump(out, f)
+        return os.path.relpath(blob, self.root)
+
     def _constraint_refs(self, table: str, branch: str, col: str) -> list[str]:
         """Names of CHECK constraints whose expression mentions ``col``
         (word-boundary match — conservative enough for identifiers)."""
@@ -1317,13 +1463,26 @@ class LakeRepo:
                 f"cannot rename {old!r}: referenced by GENERATED column(s) "
                 f"{grefs}; drop them first"
             )
-        return self._put_schema_step(
-            branch,
-            table,
-            cur.columns,
-            {"op": "rename", "from": resolved[old.lower()], "to": new},
-            f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}",
+        # a DEFAULT or identity registration follows the column to its
+        # new name (r12 review: leaving it keyed under the old name
+        # silently detached the default and orphaned the identity)
+        snap = self._stage_colmeta_retirement(
+            branch, table, old.lower(), rename_to=new
         )
+        try:
+            return self._put_schema_step(
+                branch,
+                table,
+                cur.columns,
+                {"op": "rename", "from": resolved[old.lower()], "to": new},
+                f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}",
+            )
+        except Exception:
+            if snap is not False:
+                self.restore_staged_object_entry(
+                    branch, self._colmeta_path(table), snap
+                )
+            raise
 
     def alter_drop_column(
         self, spark: SparkSession, branch: str, table: str, col: str
@@ -1354,13 +1513,25 @@ class LakeRepo:
                 f"cannot drop {col!r}: referenced by GENERATED column(s) "
                 f"{grefs}; drop them first"
             )
-        return self._put_schema_step(
-            branch,
-            table,
-            cur.columns,
-            {"op": "drop", "name": resolved[col.lower()]},
-            f"ALTER TABLE {table} DROP COLUMN {col}",
-        )
+        # dropping a column retires its DEFAULT and identity
+        # registration with it (r12 review: an orphaned identity entry
+        # would crash every later insert path); staged first so the
+        # schema step's commit sweeps both atomically
+        snap = self._stage_colmeta_retirement(branch, table, col.lower())
+        try:
+            return self._put_schema_step(
+                branch,
+                table,
+                cur.columns,
+                {"op": "drop", "name": resolved[col.lower()]},
+                f"ALTER TABLE {table} DROP COLUMN {col}",
+            )
+        except Exception:
+            if snap is not False:
+                self.restore_staged_object_entry(
+                    branch, self._colmeta_path(table), snap
+                )
+            raise
 
     def clone_table(self, branch: str, src: str, dst: str) -> "Commit":
         """O(1) SHALLOW CLONE (Delta parity): ``dst`` starts as a
@@ -1403,6 +1574,14 @@ class LakeRepo:
                 self.put_object(
                     branch, self._tblprops_path(dst), json.dumps(props)
                 )
+            cmeta = self.column_metadata(src, branch, include_staged=False)
+            if cmeta["defaults"] or cmeta["identity"]:
+                # DEFAULT/identity metadata is part of the table's
+                # logical definition too (r12 review); the clone
+                # continues allocation from the same high-water mark
+                self.put_object(
+                    branch, self._colmeta_path(dst), json.dumps(cmeta)
+                )
             return self.commit(branch, f"CLONE {src} -> {dst}")
         except Exception:
             # roll back the staged clone so a failed CLONE can't be swept
@@ -1414,6 +1593,7 @@ class LakeRepo:
             self.restore_staged_object_entry(branch, self._constraints_path(dst), None)
             self.restore_staged_object_entry(branch, self._schema_map_path(dst), None)
             self.restore_staged_object_entry(branch, self._tblprops_path(dst), None)
+            self.restore_staged_object_entry(branch, self._colmeta_path(dst), None)
             raise
 
     def _schema_map_of_commit(self, commit: "Commit", table: str) -> dict | None:
@@ -2568,6 +2748,8 @@ class LakeRepo:
                     merged_objects[p] = d
             else:
                 union = self._union_copyinto_blobs(p, s, d, b)
+                if union is None:
+                    union = self._merge_colmeta_blobs(p, s, d, b)
                 if union is not None:
                     merged_objects[p] = union
                 else:

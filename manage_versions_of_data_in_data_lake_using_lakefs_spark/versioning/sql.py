@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -313,8 +314,11 @@ _ADD_IDENTITY_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s+"
     rf"(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s+"
     r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
-    r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)"
-    r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?\s*;?\s*$",
+    # START WITH and INCREMENT BY are independently optional (Delta's
+    # grammar): (START WITH s), (INCREMENT BY k), or both — never ()
+    r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+)"
+    r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?"
+    r"|INCREMENT\s+BY\s+(?P<step2>-?\d+))\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _SET_DEFAULT_RE = re.compile(
@@ -948,17 +952,18 @@ class LakeSQL:
         cached = df.persist()
         try:
             rows = cached.count()
-            out = cached
-            if ids:
-                out = self._fill_identity(
-                    name, cached, list(target.schema.fields), ids, rows
+            with self._colmeta_rollback(name):
+                out = cached
+                if ids:
+                    out = self._fill_identity(
+                        name, cached, list(target.schema.fields), ids, rows
+                    )
+                self.repo.write_table(self.branch, name, out, mode="append")
+                self.repo.put_object(self.branch, reg_path, json.dumps(reg))
+                self.repo.commit(
+                    self.branch,
+                    f"SQL: COPY INTO {name} ({len(new)} files, {rows} rows)",
                 )
-            self.repo.write_table(self.branch, name, out, mode="append")
-            self.repo.put_object(self.branch, reg_path, json.dumps(reg))
-            self.repo.commit(
-                self.branch,
-                f"SQL: COPY INTO {name} ({len(new)} files, {rows} rows)",
-            )
         finally:
             cached.unpersist(blocking=False)
         return self.spark.createDataFrame(
@@ -1517,6 +1522,18 @@ class LakeSQL:
         i_clauses: list[tuple[str | None, dict[str, str]]] = []
         for cond, m in i_raw:
             if m.group("star"):
+                id_clash = sorted(set(id_cols) & src_lower)
+                if id_clash:
+                    # the other paths (INSERT lists, COPY INTO) refuse a
+                    # user-provided identity column loudly; silently
+                    # discarding the source's values here would renumber
+                    # rows behind the user's back (r12 review)
+                    raise ValueError(
+                        f"MERGE INSERT *: source columns {id_clash} are "
+                        "GENERATED ALWAYS AS IDENTITY on the target — "
+                        "the engine allocates them; drop them from the "
+                        "USING source"
+                    )
                 if evolve:
                     # automerge: target-only columns insert their
                     # DEFAULT when declared (r12), else NULL; IDENTITY
@@ -1763,25 +1780,33 @@ class LakeSQL:
                 # (r12): pass/update rows carry their existing values
                 # through the union untouched; the insert part projected
                 # NULL, replaced here by the numbered allocation — cost
-                # ∝ inserted rows
+                # ∝ inserted rows. The staged high-water bump rolls
+                # back with a failed write/commit.
                 keep = staged.where(
                     ~F.col("__lg_fate").isin("del", "bsdel", "ins")
                 ).drop("__lg_fate")
                 ins = staged.where(F.col("__lg_fate") == "ins").drop(
                     "__lg_fate"
                 )
-                filled = self._fill_identity(
-                    name,
-                    ins.drop(*[resolved[c] for c in id_cols]),
-                    list(target.schema.fields),
-                    id_cols,
-                    n_ins,
-                )
-                merged = keep.unionByName(filled)
-            else:
-                merged = staged.where(
-                    ~F.col("__lg_fate").isin("del", "bsdel")
-                ).drop("__lg_fate")
+                with self._colmeta_rollback(name):
+                    filled = self._fill_identity(
+                        name,
+                        ins.drop(*[resolved[c] for c in id_cols]),
+                        list(target.schema.fields),
+                        id_cols,
+                        n_ins,
+                    )
+                    merged = keep.unionByName(filled)
+                    self.repo.write_table(
+                        self.branch, name, merged, mode="overwrite"
+                    )
+                    c = self.repo.commit(
+                        self.branch, f"SQL: MERGE INTO {name}"
+                    )
+                return self._dml_result(name, c.version, int(rows))
+            merged = staged.where(
+                ~F.col("__lg_fate").isin("del", "bsdel")
+            ).drop("__lg_fate")
             self.repo.write_table(self.branch, name, merged, mode="overwrite")
         finally:
             staged.unpersist(blocking=False)
@@ -2184,6 +2209,21 @@ class LakeSQL:
         base = F.expr(e) if e is not None else F.lit(None)
         return base.cast(field.dataType).alias(field.name)
 
+    @contextmanager
+    def _colmeta_rollback(self, name: str):
+        """Roll the staged colmeta object (the identity high-water-mark
+        bump `_fill_identity` stages) back if the wrapped write/commit
+        fails — a dangling staged bump would dirty the branch and be
+        swept into the next unrelated commit (r12 review). Enter BEFORE
+        `_fill_identity`, exit after the commit."""
+        mpath = self.repo._colmeta_path(name)
+        snap = self.repo.staged_object_entry(self.branch, mpath)
+        try:
+            yield
+        except Exception:
+            self.repo.restore_staged_object_entry(self.branch, mpath, snap)
+            raise
+
     def _fill_identity(
         self, name: str, df: DataFrame, store_fields, ids: dict, n: int
     ) -> DataFrame:
@@ -2312,11 +2352,28 @@ class LakeSQL:
                     for c, f in zip(src.columns, fields)
                 ]
             )
-        rows = aligned.count()
-        if ids:
-            aligned = self._fill_identity(name, aligned, store_fields, ids, rows)
-        self.repo.write_table(self.branch, name, aligned, mode="append")
-        c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
+        if not ids:
+            rows = aligned.count()
+            self.repo.write_table(self.branch, name, aligned, mode="append")
+            c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
+            return self._dml_result(name, c.version, rows)
+        # identity path: PIN the frame before counting — the reserved
+        # range must cover exactly the rows the write lands, and an
+        # unpersisted nondeterministic source re-executing for the
+        # write could land a different row count (r12 review); the
+        # staged high-water bump rolls back if the write or commit
+        # fails, keeping the branch clean
+        cached = aligned.persist()
+        try:
+            rows = cached.count()
+            with self._colmeta_rollback(name):
+                filled = self._fill_identity(
+                    name, cached, store_fields, ids, rows
+                )
+                self.repo.write_table(self.branch, name, filled, mode="append")
+                c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
+        finally:
+            cached.unpersist(blocking=False)
         return self._dml_result(name, c.version, rows)
 
     def _prune_split(self, name: str, cond: str | None):
@@ -2734,6 +2791,7 @@ class LakeSQL:
         like a repo table survives the lexical table rewrite."""
         name = self._resolve_table(table)
         target = self.repo.read_table(self.spark, name, ref=self.branch, include_staged=True)
+        id_cols = self.repo.identity_columns(name, self.branch)
         assigns: dict[str, str] = {}
         for part in _split_top_level(sets):
             m = _ASSIGN_RE.match(part)
@@ -2750,7 +2808,7 @@ class LakeSQL:
                     f"UPDATE {name!r}: column {col!r} is GENERATED and "
                     "recomputed on read; update its source columns instead"
                 )
-            if col.lower() in self.repo.identity_columns(name, self.branch):
+            if col.lower() in id_cols:
                 raise ValueError(
                     f"UPDATE {name!r}: column {col!r} is GENERATED ALWAYS "
                     "AS IDENTITY — its values are engine-allocated and "
@@ -3024,7 +3082,7 @@ class LakeSQL:
                 m.group("col"),
                 m.group("type"),
                 start=int(m.group("start") or 1),
-                step=int(m.group("step") or 1),
+                step=int(m.group("step") or m.group("step2") or 1),
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],

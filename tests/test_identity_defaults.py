@@ -204,3 +204,89 @@ def test_identity_conflicts_and_replace_hygiene(spark, repo, lsql):
     assert meta == {"defaults": {}, "identity": {}}
     lsql.sql("INSERT INTO t VALUES (10, 'p')")  # full arity again
     assert _rows(spark, repo) == [(9, "n"), (10, "p")]
+
+
+def test_identity_survives_drop_rename_clone_and_merge(spark, repo, lsql):
+    """r12 review batch: DROP COLUMN retires the registration (inserts
+    keep working), RENAME carries it (and a DEFAULT) to the new name,
+    SHALLOW CLONE copies the metadata and continues allocation, and two
+    branches that both inserted can MERGE (hwm resolves to the
+    furthest-advanced mark)."""
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1, 'a') AS v(k, s)")
+    lsql.sql("ALTER TABLE t ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY")
+    lsql.sql("ALTER TABLE t ALTER COLUMN s SET DEFAULT 'd'")
+    lsql.sql("INSERT INTO t (k) VALUES (2)")  # rid = 1
+
+    # rename: identity + default follow the column
+    lsql.sql("ALTER TABLE t RENAME COLUMN rid TO row_id")
+    lsql.sql("ALTER TABLE t RENAME COLUMN s TO txt")
+    meta = repo.column_metadata("t", "main")
+    assert "row_id" in meta["identity"] and "rid" not in meta["identity"]
+    assert meta["defaults"] == {"txt": "'d'"}
+    lsql.sql("INSERT INTO t (k) VALUES (3)")  # continues at 2
+    got = {r.k: (r.txt, r.row_id) for r in repo.read_table(spark, "t", "main").collect()}
+    assert got[3] == ("d", 2)
+
+    # clone: metadata copies, allocation continues from the same mark
+    lsql.sql("CREATE TABLE c SHALLOW CLONE t")
+    csql = LakeSQL(spark, repo, "main")
+    csql.sql("INSERT INTO c (k) VALUES (100)")
+    cgot = {r.k: r.row_id for r in repo.read_table(spark, "c", "main").collect()}
+    assert cgot[100] == 3
+
+    # branch merge: both sides insert; hwm resolves to the max
+    repo.create_branch("feat", "main")
+    fsql = LakeSQL(spark, repo, "feat")
+    fsql.sql("INSERT INTO t (k) VALUES (50)")   # feat rid 3
+    fsql.sql("INSERT INTO t (k) VALUES (51)")   # feat rid 4
+    lsql.sql("INSERT INTO t (k) VALUES (60)")   # main rid 3
+    repo.merge(spark, "feat", "main", keys={"t": ["k"]})
+    assert repo.column_metadata("t", "main")["identity"]["row_id"]["hwm"] == 4
+    lsql.sql("INSERT INTO t (k) VALUES (70)")   # continues past both
+    got = {r.k: r.row_id for r in repo.read_table(spark, "t", "main").collect()}
+    assert got[70] == 5
+
+    # drop: registration retires, inserts keep working
+    lsql.sql("ALTER TABLE t DROP COLUMN row_id")
+    assert repo.column_metadata("t", "main")["identity"] == {}
+    lsql.sql("INSERT INTO t (k) VALUES (80)")
+    assert 80 in {r.k for r in repo.read_table(spark, "t", "main").collect()}
+
+
+def test_identity_overflow_spellings_and_insert_star(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1, 'a') AS v(k, s)")
+    # INCREMENT BY without START WITH parses (independently optional)
+    lsql.sql(
+        "ALTER TABLE t ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(INCREMENT BY 5)"
+    )
+    lsql.sql("INSERT INTO t (k, s) VALUES (2, 'b'), (3, 'c')")
+    vals = sorted(
+        r.rid for r in repo.read_table(spark, "t", "main").collect() if r.rid
+    )
+    assert vals == [1, 6]
+
+    # INT columns refuse allocation past the type range, loudly
+    lsql.sql("CREATE TABLE o AS SELECT 1 AS k")
+    lsql.sql(
+        "ALTER TABLE o ADD COLUMN rid INT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 2147483646)"
+    )
+    lsql.sql("INSERT INTO o (k) VALUES (2), (3)")  # 2147483646, ...647
+    with pytest.raises(ValueError, match="overflows"):
+        lsql.sql("INSERT INTO o (k) VALUES (4)")
+    # the failed allocation leaves the branch clean (staged bump rolled
+    # back): an ALTER is accepted immediately
+    lsql.sql("ALTER TABLE o ALTER COLUMN k SET DEFAULT 0")
+    with pytest.raises(ValueError, match="outside"):
+        lsql.sql(
+            "ALTER TABLE o ADD COLUMN r2 INT GENERATED ALWAYS AS IDENTITY "
+            "(START WITH 9999999999)"
+        )
+
+    # MERGE INSERT * refuses a source that carries the identity column
+    with pytest.raises(ValueError, match="IDENTITY"):
+        lsql.sql(
+            "MERGE INTO t USING (SELECT 9 AS k, 'z' AS s, 99 AS rid) AS m "
+            "ON t.k = m.k WHEN NOT MATCHED THEN INSERT *"
+        )
