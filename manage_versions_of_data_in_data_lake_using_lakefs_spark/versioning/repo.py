@@ -902,6 +902,9 @@ class LakeRepo:
         )
         if n > 0:
             last = first + ent["step"] * (n - 1)
+            # "type" is recorded by alter_add_identity_column since the
+            # feature first shipped — no released lineage carries an
+            # entry without it; the bigint default is belt-and-braces
             lo, hi = _IDENTITY_BOUNDS[ent.get("type", "bigint")]
             if not (lo <= first <= hi and lo <= last <= hi):
                 # loud, BEFORE staging: a silent cast would wrap or null
@@ -1245,7 +1248,14 @@ class LakeRepo:
             if rel is None:
                 return {"defaults": {}, "identity": {}}
             with open(os.path.join(self.root, rel)) as f:
-                return json.loads(f.read())
+                raw = json.loads(f.read())
+            # normalize shape defensively (the _union_copyinto_blobs
+            # discipline): a malformed blob resolves to a conflict
+            # below, never a KeyError out of merge()
+            return {
+                "defaults": raw.get("defaults", {}),
+                "identity": raw.get("identity", {}),
+            }
 
         try:
             srcm, dstm, basem = load(s_rel), load(d_rel), load(b_rel)

@@ -952,7 +952,7 @@ class LakeSQL:
         cached = df.persist()
         try:
             rows = cached.count()
-            with self._colmeta_rollback(name):
+            with self._colmeta_rollback(name, extra_paths=(reg_path,)):
                 out = cached
                 if ids:
                     out = self._fill_identity(
@@ -2210,18 +2210,27 @@ class LakeSQL:
         return base.cast(field.dataType).alias(field.name)
 
     @contextmanager
-    def _colmeta_rollback(self, name: str):
-        """Roll the staged colmeta object (the identity high-water-mark
-        bump `_fill_identity` stages) back if the wrapped write/commit
-        fails — a dangling staged bump would dirty the branch and be
-        swept into the next unrelated commit (r12 review). Enter BEFORE
-        `_fill_identity`, exit after the commit."""
-        mpath = self.repo._colmeta_path(name)
-        snap = self.repo.staged_object_entry(self.branch, mpath)
+    def _colmeta_rollback(self, name: str, extra_paths: tuple = ()):
+        """All-or-nothing rollback for an identity-allocating write: if
+        the wrapped write/commit fails, restore the staged colmeta
+        object (the high-water-mark bump `_fill_identity` stages), the
+        staged TABLE entry, and any extra staged objects (COPY INTO's
+        registry) to their pre-entry snapshots. Restoring only the hwm
+        would leave staged data files carrying allocated values the
+        rolled-back mark will hand out again — duplicate identities on
+        the retry (r12 review). Enter BEFORE `_fill_identity`, exit
+        after the commit."""
+        paths = (self.repo._colmeta_path(name),) + tuple(extra_paths)
+        snaps = [
+            (p, self.repo.staged_object_entry(self.branch, p)) for p in paths
+        ]
+        tbl_snap = self.repo.staged_entry(self.branch, name)
         try:
             yield
         except Exception:
-            self.repo.restore_staged_object_entry(self.branch, mpath, snap)
+            for p, s in snaps:
+                self.repo.restore_staged_object_entry(self.branch, p, s)
+            self.repo.restore_staged_entry(self.branch, name, tbl_snap)
             raise
 
     def _fill_identity(
@@ -2792,18 +2801,19 @@ class LakeSQL:
         name = self._resolve_table(table)
         target = self.repo.read_table(self.spark, name, ref=self.branch, include_staged=True)
         id_cols = self.repo.identity_columns(name, self.branch)
+        gen_cols = self.repo._generated_names(
+            self.repo.table_schema_map(name, ref=self.branch)
+        )
+        resolved = {f.name.lower(): f.name for f in target.schema.fields}
         assigns: dict[str, str] = {}
         for part in _split_top_level(sets):
             m = _ASSIGN_RE.match(part)
             if not m:
                 raise ValueError(f"cannot parse SET assignment: {part!r}")
             col = m.group("col")
-            resolved = {f.name.lower(): f.name for f in target.schema.fields}
             if col.lower() not in resolved:
                 raise KeyError(f"UPDATE {name!r}: no column {col!r}")
-            if col.lower() in self.repo._generated_names(
-                self.repo.table_schema_map(name, ref=self.branch)
-            ):
+            if col.lower() in gen_cols:
                 raise ValueError(
                     f"UPDATE {name!r}: column {col!r} is GENERATED and "
                     "recomputed on read; update its source columns instead"

@@ -290,3 +290,23 @@ def test_identity_overflow_spellings_and_insert_star(spark, repo, lsql):
             "MERGE INTO t USING (SELECT 9 AS k, 'z' AS s, 99 AS rid) AS m "
             "ON t.k = m.k WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_identity_failed_write_rolls_back_everything(spark, repo, lsql):
+    """r12 review: a failed identity write restores the staged colmeta
+    bump AND the staged table entry — otherwise the retry would
+    re-allocate the same values onto data the next commit sweeps in,
+    landing duplicate identities."""
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1, 'a') AS v(k, s)")
+    lsql.sql("ALTER TABLE t ADD COLUMN rid BIGINT GENERATED ALWAYS AS IDENTITY")
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT pos CHECK (k > 0)")
+    lsql.sql("INSERT INTO t (k, s) VALUES (2, 'b')")  # rid 1
+    with pytest.raises(Exception, match="pos|onstraint"):
+        lsql.sql("INSERT INTO t (k, s) VALUES (-5, 'bad')")
+    # branch clean: ALTER accepted immediately; hwm unchanged; retry of
+    # a GOOD insert continues at 2 with exactly one new row
+    lsql.sql("ALTER TABLE t ALTER COLUMN s SET DEFAULT 'd'")
+    assert repo.column_metadata("t", "main")["identity"]["rid"]["hwm"] == 1
+    lsql.sql("INSERT INTO t (k) VALUES (3)")
+    got = _rows(spark, repo)
+    assert got == [(1, "a", None), (2, "b", 1), (3, "d", 2)]
