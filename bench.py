@@ -5,6 +5,14 @@
 Prints exactly ONE JSON line on stdout:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 All Spark logs go to stderr.
+
+TREND ANALYSIS READS BENCH_LOCAL.json, NOT THE DRIVER FILES: the
+driver's BENCH_r{N}.json captures stdout truncated to ~2000 chars, so
+the recorded line keeps only the ~30 slowest queries — BENCH_LOCAL.json
+(written by every run, rotated to BENCH_LOCAL_prev.json first) carries
+the full per-query spread. recorded_history() orders them
+driver-rounds → prev-local → local, and tests/test_bench_trend.py
+compares the two freshest full records (VERDICT r11 #8).
 """
 
 from __future__ import annotations
@@ -41,9 +49,10 @@ def recorded_history(here: str | None = None) -> list[tuple[str, dict[str, float
 
     here = here or os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    local = os.path.join(here, "BENCH_LOCAL.json")
-    if os.path.exists(local):
-        paths.append(local)
+    for name in ("BENCH_LOCAL_prev.json", "BENCH_LOCAL.json"):
+        local = os.path.join(here, name)
+        if os.path.exists(local):
+            paths.append(local)
     out = []
     for p in paths:
         q = _record_timings(p)
@@ -263,6 +272,17 @@ def main() -> None:
         )
         n_keep -= 5
     here = os.path.dirname(os.path.abspath(__file__))
+    # rotate: keep the previous full record so the trend guard always
+    # has TWO full-coverage records to compare (the driver's BENCH_r*
+    # files are stdout-truncated to the slowest ~30)
+    local_path = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local_path):
+        try:
+            os.replace(
+                local_path, os.path.join(here, "BENCH_LOCAL_prev.json")
+            )
+        except OSError:
+            pass
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(
             {

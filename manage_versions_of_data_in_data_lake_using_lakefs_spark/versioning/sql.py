@@ -231,10 +231,13 @@ _SQL_TYPE = r"\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
 _COPY_INTO_RE = re.compile(
     rf"^\s*COPY\s+INTO\s+(?P<table>{_IDENT})\s+FROM\s+"
     r"'(?P<src>[^']+)'\s+FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)\b"
+    r"(?:\s+FILES\s*=\s*\(\s*(?P<files>[^)]*)\s*\))?"
+    r"(?:\s+PATTERN\s*=\s*'(?P<pattern>[^']+)')?"
     r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<fopts>[^)]*)\s*\))?"
     r"(?:\s+COPY_OPTIONS\s*\(\s*(?P<copts>[^)]*)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_QUOTED_ITEM_RE = re.compile(r"'([^']*)'")
 _OPT_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _CLONE_RE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?P<dst>{_IDENT})\s+SHALLOW\s+CLONE\s+"
@@ -770,11 +773,25 @@ class LakeSQL:
         fmt: str,
         fopts: dict[str, str],
         copts: dict[str, str],
+        files: list[str] | None = None,
+        pattern: str | None = None,
     ) -> DataFrame:
         """``COPY INTO t FROM '<path|glob|dir>' FILEFORMAT = PARQUET|CSV|
-        JSON [FORMAT_OPTIONS('k'='v', ...)] [COPY_OPTIONS('force'=
-        'true')]`` — Databricks' idempotent bulk load, the standard
-        landing-zone → lakehouse ingestion statement. Files already
+        JSON [FILES = ('rel1', 'rel2', ...)] [PATTERN = '<glob>']
+        [FORMAT_OPTIONS('k'='v', ...)] [COPY_OPTIONS('force'='true')]``
+        — Databricks' idempotent bulk load, the standard landing-zone →
+        lakehouse ingestion statement.
+
+        ``FILES`` (r12, VERDICT r11 #6) names an explicit list of paths
+        RELATIVE to the FROM directory — each must exist and carry no
+        hidden/underscore components (a listed ``_temporary`` partial
+        would otherwise be recorded as loaded forever); ``PATTERN`` is a
+        glob matched relative to the FROM directory, with the same
+        hidden-component skipping as the path-glob spelling. The two
+        are mutually exclusive (Databricks' rule), and both compose
+        with the idempotence registry exactly like the plain form:
+        selection chooses the CANDIDATES, the loaded-set decides what
+        is new. Files already
         loaded into the table are SKIPPED on re-run (exactly-once
         ingestion even when the loader itself retries): the loaded set
         rides a hidden versioned object (``_copyinto/<t>.json``), so it
@@ -840,20 +857,72 @@ class LakeSQL:
                 if part not in ("", ".", "..")
             )
 
+        if files is not None and pattern is not None:
+            raise ValueError(
+                "COPY INTO: FILES and PATTERN are mutually exclusive "
+                "(Databricks' rule) — name files OR give a glob"
+            )
+        if (files is not None or pattern is not None) and any(
+            ch in src for ch in "*?["
+        ):
+            raise ValueError(
+                "COPY INTO: with FILES/PATTERN the FROM path must be a "
+                f"literal directory, not a glob ({src!r})"
+            )
         paths: list[str] = []
-        for hit in sorted(globmod.glob(src, recursive=True)) or []:
-            if os.path.isdir(hit):
-                if not _hit_visible(hit) and hit != src.rstrip("/"):
-                    continue
-                for dp, dn, fns in os.walk(hit):
-                    dn[:] = sorted(d for d in dn if _visible(d))
-                    paths.extend(
-                        os.path.join(dp, fn)
-                        for fn in sorted(fns)
-                        if _visible(fn)
+        if files is not None:
+            if not files:
+                raise ValueError("COPY INTO: FILES = () names no files")
+            for rel in files:
+                bad = [
+                    part
+                    for part in rel.split(os.sep)
+                    if part not in ("", ".") and part.startswith(("_", "."))
+                ]
+                if bad or ".." in rel.split(os.sep):
+                    raise ValueError(
+                        f"COPY INTO: FILES entry {rel!r} has hidden or "
+                        f"relative components {bad or ['..']} — loading "
+                        "one would record a non-data file as loaded "
+                        "forever"
                     )
-            elif os.path.isfile(hit) and _hit_visible(hit):
-                paths.append(hit)
+                full = os.path.join(src, rel)
+                if not os.path.isfile(full):
+                    raise FileNotFoundError(
+                        f"COPY INTO: FILES entry {rel!r} not found under "
+                        f"{src!r}"
+                    )
+                paths.append(full)
+            paths.sort()
+        elif pattern is not None:
+            for hit in sorted(
+                globmod.glob(os.path.join(src, pattern), recursive=True)
+            ):
+                if os.path.isfile(hit) and all(
+                    not part.startswith(("_", "."))
+                    for part in os.path.relpath(hit, src).split(os.sep)
+                    if part not in ("", ".", "..")
+                ):
+                    paths.append(hit)
+            if not paths:
+                raise FileNotFoundError(
+                    f"COPY INTO: PATTERN {pattern!r} matches no files "
+                    f"under {src!r}"
+                )
+        else:
+            for hit in sorted(globmod.glob(src, recursive=True)) or []:
+                if os.path.isdir(hit):
+                    if not _hit_visible(hit) and hit != src.rstrip("/"):
+                        continue
+                    for dp, dn, fns in os.walk(hit):
+                        dn[:] = sorted(d for d in dn if _visible(d))
+                        paths.extend(
+                            os.path.join(dp, fn)
+                            for fn in sorted(fns)
+                            if _visible(fn)
+                        )
+                elif os.path.isfile(hit) and _hit_visible(hit):
+                    paths.append(hit)
         if not paths:
             raise FileNotFoundError(f"COPY INTO: no files match {src!r}")
         copts = {k.lower(): v for k, v in copts.items()}
@@ -3073,6 +3142,12 @@ class LakeSQL:
                 m.group("fmt").lower(),
                 dict(_OPT_PAIR_RE.findall(m.group("fopts") or "")),
                 dict(_OPT_PAIR_RE.findall(m.group("copts") or "")),
+                files=(
+                    _QUOTED_ITEM_RE.findall(m.group("files"))
+                    if m.group("files") is not None
+                    else None
+                ),
+                pattern=m.group("pattern"),
             )
         m = _CLONE_RE.match(query)
         if m:

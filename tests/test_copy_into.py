@@ -236,3 +236,72 @@ def test_copy_into_csv_schema_alignment_and_guards(spark, repo, tmp_path):
     with pytest.raises(FileNotFoundError):
         sql.sql(f"COPY INTO t FROM '{tmp_path}/nope' FILEFORMAT = PARQUET")
     assert not repo.status("main")
+
+
+def test_copy_into_files_and_pattern_spellings(spark, repo, tmp_path):
+    """r12 (VERDICT r11 #6): FILES = (...) names explicit relative
+    paths, PATTERN = '<glob>' matches relative to the FROM directory;
+    both compose with the idempotence registry and both keep the
+    hidden-file discipline."""
+    land = str(tmp_path / "landing")
+    _land(spark, os.path.join(land, "b1"), 0, 10)
+    _land(spark, os.path.join(land, "b2"), 10, 15)
+    sql = LakeSQL(spark, repo, "main")
+    b1_file = next(
+        f for f in sorted(os.listdir(os.path.join(land, "b1")))
+        if f.endswith(".parquet")
+    )
+
+    # FILES loads exactly the named file
+    r = sql.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+        f"FILES = ('b1/{b1_file}')"
+    ).first()
+    assert (r.num_inserted_rows, r.num_loaded_files) == (10, 1)
+    # idempotence interplay: a broader selection skips the loaded file
+    r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r2.num_inserted_rows == 5 and r2.num_skipped_files == 1
+    # FILES re-selection of the loaded file skips it too
+    r3 = sql.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+        f"FILES = ('b1/{b1_file}')"
+    ).first()
+    assert (r3.num_loaded_files, r3.num_skipped_files) == (0, 1)
+
+    # PATTERN: glob relative to FROM; hidden files never match
+    _land(spark, os.path.join(land, "b3"), 15, 18)
+    open(os.path.join(land, "b3", "_garbage.parquet"), "w").write("x")
+    r4 = sql.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+        f"PATTERN = 'b3/*.parquet'"
+    ).first()
+    assert (r4.num_inserted_rows, r4.num_loaded_files) == (3, 1)
+    got = sorted(x.k for x in repo.read_table(spark, "t", "main").collect())
+    assert got == list(range(18))
+
+    # loud contracts
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"FILES = ('b1/{b1_file}') PATTERN = '*.parquet'"
+        )
+    with pytest.raises(ValueError, match="literal directory"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}/*' FILEFORMAT = PARQUET "
+            f"PATTERN = '*.parquet'"
+        )
+    with pytest.raises(FileNotFoundError, match="not found"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"FILES = ('b1/nope.parquet')"
+        )
+    with pytest.raises(ValueError, match="hidden"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"FILES = ('b3/_garbage.parquet')"
+        )
+    with pytest.raises(FileNotFoundError, match="matches no files"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"PATTERN = 'zzz/*.parquet'"
+        )
