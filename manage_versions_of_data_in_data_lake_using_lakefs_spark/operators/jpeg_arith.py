@@ -31,10 +31,12 @@ Arithmetic sequential DCT (SOF9, T.81 Annexes D + F):
   through the non-adapting fixed bin. DAC segments parsed (defaults
   L=0, U=1, Kx=5); DRI/RSTn restart intervals reset the coder and all
   statistics per F.1.4.4.3.
-- sampling is 1x1 only (grayscale / 4:4:4): the entropy layer is
-  orthogonal to MCU geometry, and the subsampled interleave is already
-  certified end-to-end on the Huffman path (operators/jpeg.py). A
-  subsampled SOF9/SOF10 file raises loudly.
+- any 1..4 sampling factors (r12, VERDICT r11 #5): the entropy layer
+  is orthogonal to MCU geometry, so the MCU interleave / natural-grid
+  walkers mirror the Huffman path's certified ones
+  (operators/jpeg.py) — 4:2:0 web-crawl shapes decode on both SOF9
+  and SOF10, differential-certified against the Huffman codec over
+  randomized dimensions, samplings and restart intervals.
 
 Arithmetic progressive DCT (SOF10, T.81 Annex G + the QM models):
 
@@ -62,8 +64,7 @@ Honest boundaries (loud, never silent): lossless-arithmetic (SOF11)
 and the ARITHMETIC hierarchical frames (SOF13-15) still raise
 NotImplementedError (Huffman hierarchical decodes in
 ``operators/jpeg_hier.py``; DHP streams redirect loudly here), as do
-subsampled SOF9/SOF10 scans, point transforms (Pt != 0) and precisions
-other than 8 bits. The Table D.3 constants are
+point transforms (Pt != 0) and precisions other than 8 bits. The Table D.3 constants are
 transcribed from the standard and certified here by encoder/decoder
 symmetry plus a differential oracle against the already-certified
 Huffman codec (the same quantized coefficients encoded both ways must
@@ -542,13 +543,38 @@ def _make_jpeg_ext_codec():
         height: int,
         quant: list[int],
         restart_interval: int = 0,
+        sampling: list[tuple[int, int]] | None = None,
     ) -> bytes:
         """REAL SOF9 (arithmetic sequential DCT) JPEG bytes from chosen
-        QUANTIZED coefficient blocks (natural order, raster block order
-        per component, 1x1 sampling). Same contract as
-        ``operators/jpeg.py::encode_jpeg`` minus subsampling, so the
-        differential test can feed both encoders identical blocks."""
+        QUANTIZED coefficient blocks (natural order, SCAN order per
+        component — MCU-interleaved for multi-component with
+        ``sampling`` (Hi, Vi) factors, r12). Same block-layout contract
+        as ``operators/jpeg.py::encode_jpeg``, so the differential test
+        can feed both encoders identical blocks."""
         ncomp = len(comps)
+        samp = list(sampling) if sampling else [(1, 1)] * ncomp
+        if len(samp) != ncomp or any(
+            not (1 <= hi <= 4 and 1 <= vi <= 4) for hi, vi in samp
+        ):
+            raise ValueError(
+                "JPEG arith: sampling factors must be 1..4 per comp"
+            )
+        hmax = max(hi for hi, _ in samp)
+        vmax = max(vi for _, vi in samp)
+        if ncomp == 1:
+            samp = [(1, 1)]
+            nmcu = _ceil_div(width, 8) * _ceil_div(height, 8)
+            per_mcu = [1]
+        else:
+            nmcu = _ceil_div(width, 8 * hmax) * _ceil_div(height, 8 * vmax)
+            per_mcu = [hi * vi for hi, vi in samp]
+        for ci, c in enumerate(comps):
+            if len(c) != nmcu * per_mcu[ci]:
+                raise ValueError(
+                    f"JPEG arith: component {ci} has {len(c)} blocks, "
+                    f"expected {nmcu * per_mcu[ci]} "
+                    f"({nmcu} MCUs x {per_mcu[ci]})"
+                )
         L, U, KX = 0, 1, 5
         out = bytearray(b"\xff\xd8")  # SOI
         zzq = bytes(quant[ZZ[k]] for k in range(64))
@@ -556,7 +582,7 @@ def _make_jpeg_ext_codec():
         sof = bytearray([8, height >> 8, height & 0xFF,
                          width >> 8, width & 0xFF, ncomp])
         for ci in range(ncomp):
-            sof += bytes([ci + 1, 0x11, 0])
+            sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
         out += _seg(0xC9, bytes(sof))  # SOF9: arithmetic sequential
         # DAC: DC conditioning (Tc=0,Tb=0): U<<4 | L; AC (Tc=1,Tb=0): Kx
         out += _seg(0xCC, bytes([0x00, (U << 4) | L, 0x10, KX]))
@@ -569,17 +595,14 @@ def _make_jpeg_ext_codec():
         sos += bytes([0, 63, 0])
         out += _seg(0xDA, bytes(sos))
 
-        nblk = len(comps[0])
-        if any(len(c) != nblk for c in comps):
-            raise ValueError("JPEG arith: 1x1 sampling needs equal block counts")
-
         def fresh():
             return (_QMEncoder(), bytearray(64), bytearray(256),
                     bytearray([FIXED]), [0] * ncomp, [0] * ncomp)
 
         enc, dc_stats, ac_stats, fixed, last_dc, dc_ctx = fresh()
         rst = 0
-        for m in range(nblk):
+        nxt = [0] * ncomp  # next scan-order block per component
+        for m in range(nmcu):
             if restart_interval and m and m % restart_interval == 0:
                 enc.flush()
                 out += enc.stuffed()
@@ -587,13 +610,15 @@ def _make_jpeg_ext_codec():
                 rst += 1
                 enc, dc_stats, ac_stats, fixed, last_dc, dc_ctx = fresh()
             for ci in range(ncomp):
-                blk = comps[ci][m]
-                diff = blk[0] - last_dc[ci]
-                last_dc[ci] = blk[0]
-                dc_ctx[ci] = _enc_dc(
-                    enc, dc_stats, dc_ctx[ci], diff, L, U
-                )
-                _enc_ac_block(enc, ac_stats, fixed, blk, KX)
+                for _du in range(per_mcu[ci]):
+                    blk = comps[ci][nxt[ci]]
+                    nxt[ci] += 1
+                    diff = blk[0] - last_dc[ci]
+                    last_dc[ci] = blk[0]
+                    dc_ctx[ci] = _enc_dc(
+                        enc, dc_stats, dc_ctx[ci], diff, L, U
+                    )
+                    _enc_ac_block(enc, ac_stats, fixed, blk, KX)
         enc.flush()
         out += enc.stuffed()
         out += b"\xff\xd9"  # EOI
@@ -605,11 +630,13 @@ def _make_jpeg_ext_codec():
         height: int,
         quant: list[int],
         restart_interval: int = 0,
+        sampling: list[tuple[int, int]] | None = None,
     ) -> bytes:
         """REAL SOF10 (arithmetic PROGRESSIVE DCT) JPEG bytes from
-        QUANTIZED coefficient blocks (raster order, 1x1 sampling) —
-        the fixture twin of jpeg.py's ``encode_jpeg_progressive`` with
-        the same scan script, re-coded through the QM models of Annex G:
+        QUANTIZED coefficient blocks (SCAN order, any 1..4 ``sampling``
+        factors, r12) — the fixture twin of jpeg.py's
+        ``encode_jpeg_progressive`` with the same scan script, re-coded
+        through the QM models of Annex G:
 
           1. DC first (interleaved), Al=1  — shifted-domain diffs
           2. per component: AC first Ss=1..5 / 6..63, Al=1
@@ -617,21 +644,61 @@ def _make_jpeg_ext_codec():
           4. per component: AC refinement per band, Ah=1→Al=0
              (correction bits, newly-nonzero fixed-bin signs)
 
-        Successive approximation reconstructs exactly; restart markers
-        reset the coder + every statistics area per scan segment."""
+        Interleaved (DC) scans walk MCUs over the padded grids;
+        single-component (AC) scans raster the component's natural grid
+        (T.81 A.2.2). Successive approximation reconstructs exactly;
+        restart markers reset the coder + every statistics area per
+        scan segment."""
         ncomp = len(comps)
         L, U, KX = 0, 1, 5
-        nblk = _ceil_div(width, 8) * _ceil_div(height, 8)
-        if any(len(c) != nblk for c in comps):
-            raise ValueError(
-                "JPEG arith prog: 1x1 sampling needs ceil-grid block counts"
-            )
+        samp = list(sampling) if sampling else [(1, 1)] * ncomp
+        hmax = max(hi for hi, _ in samp)
+        vmax = max(vi for _, vi in samp)
+        if ncomp == 1:
+            samp = [(1, 1)]
+            hmax = vmax = 1
+            mcux, mcuy = _ceil_div(width, 8), _ceil_div(height, 8)
+        else:
+            mcux = _ceil_div(width, 8 * hmax)
+            mcuy = _ceil_div(height, 8 * vmax)
+        pad_bw = [mcux * hi for hi, _ in samp]
+        nat_bw = [
+            _ceil_div(_ceil_div(width * hi, hmax), 8) for hi, _ in samp
+        ]
+        nat_bh = [
+            _ceil_div(_ceil_div(height * vi, vmax), 8) for _, vi in samp
+        ]
+        # scan-order input → per-component padded block grids (the
+        # jpeg.py progressive-encoder ingestion, shared contract)
+        grids: list[list[list[int]]] = []
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            g = [[0] * 64 for _ in range(pad_bw[ci] * mcuy * vi)]
+            if ncomp == 1:
+                g = list(comps[0])
+            else:
+                b = 0
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for sy in range(vi):
+                        for sx in range(hi):
+                            g[
+                                (my * vi + sy) * pad_bw[ci] + (mx * hi + sx)
+                            ] = comps[ci][b]
+                            b += 1
+                if b != len(comps[ci]):
+                    raise ValueError(
+                        f"JPEG arith prog: component {ci} has "
+                        f"{len(comps[ci])} blocks, expected {b}"
+                    )
+            grids.append(g)
+
         out = bytearray(b"\xff\xd8")
         out += _seg(0xDB, b"\x00" + bytes(quant[ZZ[k]] for k in range(64)))
         sof = bytearray([8, height >> 8, height & 0xFF,
                          width >> 8, width & 0xFF, ncomp])
         for ci in range(ncomp):
-            sof += bytes([ci + 1, 0x11, 0])
+            sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
         out += _seg(0xCA, bytes(sof))  # SOF10: arithmetic progressive
         out += _seg(0xCC, bytes([0x00, (U << 4) | L, 0x10, KX]))
         if restart_interval:
@@ -663,34 +730,58 @@ def _make_jpeg_ext_codec():
                     bytearray(64),
                     bytearray(256),
                     bytearray([FIXED]),
-                    [0] * len(sc_idx),
-                    [0] * len(sc_idx),
+                    {ci: 0 for ci in sc_idx},
+                    {ci: 0 for ci in sc_idx},
                 )
 
             enc, dst, ast, fixed, last, ctx = fresh()
+
+            def op(ci, blk):
+                if Ss == 0 and Ah == 0:  # DC first (shifted domain)
+                    v = blk[0] >> Al
+                    diff = v - last[ci]
+                    last[ci] = v
+                    ctx[ci] = _enc_dc(enc, dst, ctx[ci], diff, L, U)
+                elif Ss == 0:  # DC refinement: one fixed-bin bit
+                    enc.encode(fixed, 0, (blk[0] >> Al) & 1)
+                elif Ah == 0:  # AC first over the band
+                    _enc_ac_block(enc, ast, fixed, blk, KX, Ss, Se, Al)
+                else:  # AC refinement
+                    _enc_ac_refine_block(
+                        enc, ast, fixed, blk, Ss, Se, Ah, Al
+                    )
+
+            interleaved = len(sc_idx) > 1
+            if interleaved:
+                total = mcux * mcuy
+            else:
+                ci0 = sc_idx[0]
+                total = nat_bw[ci0] * nat_bh[ci0]
             rst = 0
-            for m in range(nblk):
+            for m in range(total):
                 if restart_interval and m and m % restart_interval == 0:
                     enc.flush()
                     out += enc.stuffed()
                     out += bytes([0xFF, 0xD0 + (rst & 7)])
                     rst += 1
                     enc, dst, ast, fixed, last, ctx = fresh()
-                for j, ci in enumerate(sc_idx):
-                    blk = comps[ci][m]
-                    if Ss == 0 and Ah == 0:  # DC first (shifted domain)
-                        v = blk[0] >> Al
-                        diff = v - last[j]
-                        last[j] = v
-                        ctx[j] = _enc_dc(enc, dst, ctx[j], diff, L, U)
-                    elif Ss == 0:  # DC refinement: one fixed-bin bit
-                        enc.encode(fixed, 0, (blk[0] >> Al) & 1)
-                    elif Ah == 0:  # AC first over the band
-                        _enc_ac_block(enc, ast, fixed, blk, KX, Ss, Se, Al)
-                    else:  # AC refinement
-                        _enc_ac_refine_block(
-                            enc, ast, fixed, blk, Ss, Se, Ah, Al
-                        )
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    for ci in sc_idx:
+                        hi, vi = samp[ci]
+                        for sy in range(vi):
+                            for sx in range(hi):
+                                op(
+                                    ci,
+                                    grids[ci][
+                                        (my * vi + sy) * pad_bw[ci]
+                                        + (mx * hi + sx)
+                                    ],
+                                )
+                else:
+                    ci0 = sc_idx[0]
+                    by, bx = divmod(m, nat_bw[ci0])
+                    op(ci0, grids[ci0][by * pad_bw[ci0] + bx])
             enc.flush()
             out += enc.stuffed()
         out += b"\xff\xd9"
@@ -715,10 +806,13 @@ def _make_jpeg_ext_codec():
 
     def decode_jpeg_arith(p: bytes):
         """Entropy-decode an SOF9 (arithmetic sequential DCT) or SOF10
-        (arithmetic PROGRESSIVE DCT) JPEG — 1x1 sampling — to (width,
-        height, ncomp, comps) with comps = DEQUANTIZED 64-coef blocks in
-        raster order per component — the same output contract as
-        ``operators/jpeg.py::decode_jpeg``."""
+        (arithmetic PROGRESSIVE DCT) JPEG — any 1..4 sampling factors
+        including 4:2:0/4:2:2 (r12, VERDICT r11 #5: the QM entropy layer
+        is orthogonal to MCU geometry, so the interleave walker mirrors
+        the Huffman path's certified one) — to (width, height, ncomp,
+        comps) with comps = DEQUANTIZED 64-coef blocks in SCAN order
+        (MCU-interleaved for multi-component) — the same output
+        contract as ``operators/jpeg.py::decode_jpeg``."""
         if p[:2] != b"\xff\xd8":
             raise ValueError("JPEG: missing SOI")
         i = 2
@@ -732,12 +826,49 @@ def _make_jpeg_ext_codec():
         scan_at = None
         progressive = False
         grids: list[list[list[int]]] | None = None
+        geo: dict | None = None
         saw_scan = False
+
+        def _geometry() -> dict:
+            """MCU geometry per T.81 A.2 — the jpeg.py walker's shape:
+            single-component streams raster their own ceiling grid;
+            multi-component interleave pads each component to the MCU
+            grid, while NON-interleaved progressive scans cover only
+            the component's own (possibly narrower) natural grid."""
+            ncomp = len(comps_spec)
+            if ncomp == 1:
+                samp_l = [(1, 1)]
+                hmax = vmax = 1
+                mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
+            else:
+                samp_l = [(hi, vi) for _cid, _tq, hi, vi in comps_spec]
+                hmax = max(hi for hi, _ in samp_l)
+                vmax = max(vi for _, vi in samp_l)
+                mcux = _ceil_div(w, 8 * hmax)
+                mcuy = _ceil_div(h, 8 * vmax)
+            return {
+                "samp": samp_l, "hmax": hmax, "vmax": vmax,
+                "mcux": mcux, "mcuy": mcuy,
+                "per_mcu": [hi * vi for hi, vi in samp_l]
+                if ncomp > 1
+                else [1],
+                "pad_bw": [mcux * hi for hi, _ in samp_l],
+                "pad_bh": [mcuy * vi for _, vi in samp_l],
+                "nat_bw": [
+                    _ceil_div(_ceil_div(w * hi, hmax), 8) for hi, _ in samp_l
+                ],
+                "nat_bh": [
+                    _ceil_div(_ceil_div(h * vi, vmax), 8) for _, vi in samp_l
+                ],
+            }
 
         def _prog_scan(sc_idx, sc_td, sc_ta, Ss, Se, Ah, Al, start):
             """Decode one progressive scan into ``grids``; returns the
-            position of the marker terminating its entropy data."""
-            nblk = _ceil_div(w, 8) * _ceil_div(h, 8)
+            position of the marker terminating its entropy data.
+            Interleaved (multi-component) scans walk MCUs over the
+            padded grids; single-component scans raster the component's
+            natural grid (T.81 A.2.2) — the certified jpeg.py walk,
+            re-driven through the QM decoder."""
             segs = _entropy_segments(p, start)
             seg, end_marker, mp = next(segs)
             dec = _QMDecoder(seg)
@@ -746,7 +877,32 @@ def _make_jpeg_ext_codec():
             fixed = bytearray([FIXED])
             last = {ci: 0 for ci in sc_idx}
             ctx = {ci: 0 for ci in sc_idx}
-            for m in range(nblk):
+
+            def op(ci, blk):
+                if Ss == 0 and Ah == 0:  # DC first
+                    L, U = cond_dc.get(sc_td[ci], (0, 1))
+                    d = dst.setdefault(sc_td[ci], bytearray(64))
+                    diff, ctx[ci] = _dec_dc(dec, d, ctx[ci], L, U)
+                    last[ci] += diff
+                    blk[0] = last[ci] << Al
+                elif Ss == 0:  # DC refinement
+                    if dec.decode(fixed, 0):
+                        blk[0] |= 1 << Al
+                elif Ah == 0:  # AC first
+                    kx = cond_ac.get(sc_ta[ci], 5)
+                    a = ast.setdefault(sc_ta[ci], bytearray(256))
+                    _dec_ac_block(dec, a, fixed, blk, kx, Ss, Se, Al)
+                else:  # AC refinement
+                    a = ast.setdefault(sc_ta[ci], bytearray(256))
+                    _dec_ac_refine_block(dec, a, fixed, blk, Ss, Se, Al)
+
+            interleaved = len(sc_idx) > 1
+            if interleaved:
+                total = geo["mcux"] * geo["mcuy"]
+            else:
+                ci0 = sc_idx[0]
+                total = geo["nat_bw"][ci0] * geo["nat_bh"][ci0]
+            for m in range(total):
                 if restart_interval and m and m % restart_interval == 0:
                     if not (0xD0 <= end_marker <= 0xD7):
                         raise ValueError(
@@ -760,26 +916,23 @@ def _make_jpeg_ext_codec():
                     fixed = bytearray([FIXED])
                     last = {ci: 0 for ci in sc_idx}
                     ctx = {ci: 0 for ci in sc_idx}
-                for ci in sc_idx:
-                    blk = grids[ci][m]
-                    if Ss == 0 and Ah == 0:  # DC first
-                        L, U = cond_dc.get(sc_td[ci], (0, 1))
-                        d = dst.setdefault(sc_td[ci], bytearray(64))
-                        diff, ctx[ci] = _dec_dc(dec, d, ctx[ci], L, U)
-                        last[ci] += diff
-                        blk[0] = last[ci] << Al
-                    elif Ss == 0:  # DC refinement
-                        if dec.decode(fixed, 0):
-                            blk[0] |= 1 << Al
-                    elif Ah == 0:  # AC first
-                        kx = cond_ac.get(sc_ta[ci], 5)
-                        a = ast.setdefault(sc_ta[ci], bytearray(256))
-                        _dec_ac_block(dec, a, fixed, blk, kx, Ss, Se, Al)
-                    else:  # AC refinement
-                        a = ast.setdefault(sc_ta[ci], bytearray(256))
-                        _dec_ac_refine_block(
-                            dec, a, fixed, blk, Ss, Se, Al
-                        )
+                if interleaved:
+                    my, mx = divmod(m, geo["mcux"])
+                    for ci in sc_idx:
+                        hi, vi = geo["samp"][ci]
+                        for sy in range(vi):
+                            for sx in range(hi):
+                                op(
+                                    ci,
+                                    grids[ci][
+                                        (my * vi + sy) * geo["pad_bw"][ci]
+                                        + (mx * hi + sx)
+                                    ],
+                                )
+                else:
+                    ci0 = sc_idx[0]
+                    by, bx = divmod(m, geo["nat_bw"][ci0])
+                    op(ci0, grids[ci0][by * geo["pad_bw"][ci0] + bx])
             return mp
 
         while i + 4 <= len(p):
@@ -825,13 +978,13 @@ def _make_jpeg_ext_codec():
                 nc = body[5]
                 for ci in range(nc):
                     cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
-                        raise NotImplementedError(
-                            "JPEG arith: subsampled SOF9/SOF10 scans "
-                            "unsupported (1x1 only; the subsampled "
-                            "interleave is certified on the Huffman path)"
+                    hi, vi = samp >> 4, samp & 0x0F
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                        raise ValueError(
+                            f"JPEG arith: sampling factors {hi}x{vi} "
+                            "outside 1..4 (T.81 B.2.2)"
                         )
-                    comps_spec.append((cid, tq))
+                    comps_spec.append((cid, tq, hi, vi))
             elif marker in (0xC0, 0xC2):
                 raise ValueError(
                     "JPEG arith: Huffman SOF — use operators/jpeg.py"
@@ -865,10 +1018,15 @@ def _make_jpeg_ext_codec():
                     if w is None:
                         raise ValueError("JPEG arith: SOS before SOF10")
                     if grids is None:
-                        nb = _ceil_div(w, 8) * _ceil_div(h, 8)
+                        geo = _geometry()
                         grids = [
-                            [[0] * 64 for _ in range(nb)]
-                            for _ in range(len(comps_spec))
+                            [
+                                [0] * 64
+                                for _ in range(
+                                    geo["pad_bw"][ci] * geo["pad_bh"][ci]
+                                )
+                            ]
+                            for ci in range(len(comps_spec))
                         ]
                     ns = body[0]
                     sc_idx: list[int] = []
@@ -917,20 +1075,38 @@ def _make_jpeg_ext_codec():
             if w is None or not saw_scan:
                 raise ValueError("JPEG arith: missing SOF10/SOS")
             ncomp = len(comps_spec)
-            out_comps: list[list[list[int]]] = []
+            deq: list[list[list[int]]] = []
             for ci in range(ncomp):
                 q = quants[comps_spec[ci][1]]
-                out_comps.append(
+                deq.append(
                     [
                         [c * q[k] for k, c in enumerate(blk)]
                         for blk in grids[ci]
                     ]
                 )
+            if ncomp == 1:
+                return w, h, ncomp, deq
+            # flatten the padded grids to the SAME MCU-interleaved scan
+            # order the sequential path emits (the jpeg.py contract)
+            out_comps: list[list[list[int]]] = [[] for _ in range(ncomp)]
+            for m in range(geo["mcux"] * geo["mcuy"]):
+                my, mx = divmod(m, geo["mcux"])
+                for ci in range(ncomp):
+                    hi, vi = geo["samp"][ci]
+                    for sy in range(vi):
+                        for sx in range(hi):
+                            out_comps[ci].append(
+                                deq[ci][
+                                    (my * vi + sy) * geo["pad_bw"][ci]
+                                    + (mx * hi + sx)
+                                ]
+                            )
             return w, h, ncomp, out_comps
         if w is None or scan_at is None:
             raise ValueError("JPEG arith: missing SOF9/SOS")
         ncomp = len(comps_spec)
-        nblk = _ceil_div(w, 8) * _ceil_div(h, 8)
+        geo = _geometry()
+        nmcu = geo["mcux"] * geo["mcuy"]
         comps: list[list[list[int]]] = [[] for _ in range(ncomp)]
         segs = _entropy_segments(p, scan_at)
         seg, end_marker, _mp = next(segs)
@@ -940,7 +1116,7 @@ def _make_jpeg_ext_codec():
         fixed = bytearray([FIXED])
         last_dc = [0] * ncomp
         dc_ctx = [0] * ncomp
-        for m in range(nblk):
+        for m in range(nmcu):
             if restart_interval and m and m % restart_interval == 0:
                 if not (0xD0 <= end_marker <= 0xD7):
                     raise ValueError(
@@ -953,19 +1129,23 @@ def _make_jpeg_ext_codec():
                 fixed = bytearray([FIXED])
                 last_dc = [0] * ncomp
                 dc_ctx = [0] * ncomp
+            # MCU interleave per T.81 A.2.3: vi rows × hi cols of data
+            # units per component — degenerates to one block each at
+            # 1x1, the shape the 1x1-only path used to hard-code
             for ci in range(ncomp):
                 td, ta = scan_cond[ci]
                 L, U = cond_dc.get(td, (0, 1))
                 kx = cond_ac.get(ta, 5)
                 dst = dc_stats.setdefault(td, bytearray(64))
                 ast = ac_stats.setdefault(ta, bytearray(256))
-                blk = [0] * 64
-                diff, dc_ctx[ci] = _dec_dc(dec, dst, dc_ctx[ci], L, U)
-                last_dc[ci] += diff
-                blk[0] = last_dc[ci]
-                _dec_ac_block(dec, ast, fixed, blk, kx)
                 q = quants[comps_spec[ci][1]]
-                comps[ci].append([c * q[k] for k, c in enumerate(blk)])
+                for _du in range(geo["per_mcu"][ci]):
+                    blk = [0] * 64
+                    diff, dc_ctx[ci] = _dec_dc(dec, dst, dc_ctx[ci], L, U)
+                    last_dc[ci] += diff
+                    blk[0] = last_dc[ci]
+                    _dec_ac_block(dec, ast, fixed, blk, kx)
+                    comps[ci].append([c * q[k] for k, c in enumerate(blk)])
         # truncation cannot reach here silently: _entropy_segments
         # raises on data running past EOI and the RSTn check above
         # catches missing restart segments
@@ -1318,6 +1498,43 @@ def _make_synth_jpeg_arith_prog():
     return build
 
 
+def _make_synth_jpeg_arith420():
+    """Deterministic 4:2:0 chroma-subsampled SOF9 (arithmetic
+    sequential) JPEG per id (r12) — byte-for-byte the SAME block
+    formula program as ``operators/jpeg.py::_make_synth_jpeg420``
+    (odd dimensions, ceiling MCU grids, restart intervals), re-encoded
+    through the QM coder: the sequential decode is exact, so the 420
+    SQL oracle certifies this flavor verbatim while exercising the
+    subsampled arithmetic interleave on the registered corpus."""
+    enc = _make_jpeg_ext_codec()[0]
+    samp = [(2, 2), (1, 1), (1, 1)]
+
+    def build(i: int) -> bytes:
+        w, h = 17 + i % 16, 9 + i % 14
+        nmcu = 2 * (2 if h > 16 else 1)
+        quant = [1 + (u + v + i) % 3 for u in range(8) for v in range(8)]
+        comps = []
+        for comp in range(3):
+            nblk = 4 * nmcu if comp == 0 else nmcu
+            blocks = []
+            for b in range(nblk):
+                blk = [0] * 64
+                for u in range(8):
+                    for v in range(8):
+                        if u + v <= 2:
+                            blk[u * 8 + v] = (
+                                i + 3 * comp + 5 * b + 7 * u + 11 * v
+                            ) % 9 - 4
+                blk[63] = (i + comp) % 3 - 1
+                blocks.append(blk)
+            comps.append(blocks)
+        return enc(
+            comps, w, h, quant, restart_interval=i % 3, sampling=samp
+        )
+
+    return build
+
+
 def _make_synth_jpeg_lossless():
     """Deterministic SOF3 (lossless predictive) JPEG per id:
 
@@ -1377,13 +1594,15 @@ def synthesize_jpeg_ext_media(
 def synthesize_jpeg_mixed_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic REAL JPEGs of FIVE processes from one id column in
-    ONE map pass — flavor by id % 5: baseline 4:4:4, baseline 4:2:0,
-    progressive Huffman, sequential arithmetic, progressive arithmetic.
-    Byte-identical to routing each residue class through its per-flavor
-    synthesizer (the builders are shared), but with a single input scan
-    and a single ``mapInPandas`` stage instead of five branch scans and
-    a union — the shape the registered mixed-corpus query wants."""
+    """Deterministic REAL JPEGs of SIX processes from one id column in
+    ONE map pass — flavor by id % 6: baseline 4:4:4, baseline 4:2:0,
+    progressive Huffman, sequential arithmetic, progressive arithmetic,
+    and 4:2:0 SEQUENTIAL ARITHMETIC (r12 — the most common real-world
+    arithmetic shape, previously the router's loud gap). Byte-identical
+    to routing each residue class through its per-flavor synthesizer
+    (the builders are shared), but with a single input scan and a
+    single ``mapInPandas`` stage instead of per-flavor branch scans
+    and a union — the shape the registered mixed-corpus query wants."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
         _make_synth_jpeg,
         _make_synth_jpeg420,
@@ -1397,6 +1616,7 @@ def synthesize_jpeg_mixed_media(
         _make_synth_jpeg_prog(),
         _make_synth_jpeg_arith(),
         _make_synth_jpeg_arith_prog(),
+        _make_synth_jpeg_arith420(),
     ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1406,7 +1626,7 @@ def synthesize_jpeg_mixed_media(
                     "media_id": pdf[id_col].astype("int64"),
                     "kind": ["image"] * len(pdf),
                     "payload": [
-                        builders[int(i) % 5](int(i)) for i in pdf[id_col]
+                        builders[int(i) % 6](int(i)) for i in pdf[id_col]
                     ],
                     "meta": [None] * len(pdf),
                 }

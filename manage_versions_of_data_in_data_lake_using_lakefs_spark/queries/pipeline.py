@@ -1140,19 +1140,19 @@ ORACLE_MULTIMODAL_JPEG_ARITH_PROG = ORACLE_MULTIMODAL_JPEG_PROG
 
 
 def q_multimodal_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format-ROUTING decode over a heterogeneous JPEG corpus (r11):
-    each doc_id gets ONE of five processes by id % 5 (baseline 4:4:4,
-    baseline 4:2:0 subsampled+restarts, progressive Huffman, sequential
-    arithmetic, progressive arithmetic), the five synthesized frames
-    union into one corpus, and a SINGLE ``mapInPandas`` stage routes
-    each payload to the right decoder off its SOF marker — the entry
-    point a real crawl needs (mixed processes in one scan, no
-    per-flavor split). Synthesis is likewise ONE map pass picking the
-    flavor per id (r11 plan fix: the first spelling ran five branch
-    scans + a union — 160 tasks of scheduling overhead at sf0.1). The
-    oracle unions the five flavors' formula programs filtered to their
-    residue classes, so the hash certifies BOTH the routing and every
-    decode chain at once."""
+    """Format-ROUTING decode over a heterogeneous JPEG corpus (r11;
+    r12 widened): each doc_id gets ONE of SIX processes by id % 6
+    (baseline 4:4:4, baseline 4:2:0 subsampled+restarts, progressive
+    Huffman, sequential arithmetic, progressive arithmetic, and 4:2:0
+    SEQUENTIAL ARITHMETIC — the real-crawl arithmetic shape, VERDICT
+    r11 #5), and a SINGLE ``mapInPandas`` stage routes each payload to
+    the right decoder off its SOF marker — the entry point a real
+    crawl needs (mixed processes in one scan, no per-flavor split).
+    Synthesis is likewise ONE map pass picking the flavor per id (r11
+    plan fix: the first spelling ran per-flavor branch scans + a
+    union). The oracle unions the flavors' formula programs filtered
+    to their residue classes, so the hash certifies BOTH the routing
+    and every decode chain at once."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg_arith import (
         decode_jpeg_auto_stats,
         synthesize_jpeg_mixed_media,
@@ -1171,9 +1171,14 @@ def _oracle_multimodal_jpeg_mixed() -> str:
     b420 = ORACLE_MULTIMODAL_JPEG_420.rsplit("ORDER BY", 1)[0]
     prog = ORACLE_MULTIMODAL_JPEG_PROG.rsplit("ORDER BY", 1)[0]
     sel = []
-    for r, body in ((0, b444), (1, b420), (2, prog), (3, prog), (4, prog)):
+    # flavor 5 (4:2:0 sequential arithmetic, r12) shares the 420
+    # formula program: sequential decode is exact, so b420 certifies
+    # it verbatim — drift-proof by construction like the others
+    for r, body in (
+        (0, b444), (1, b420), (2, prog), (3, prog), (4, prog), (5, b420),
+    ):
         sel.append(
-            f"SELECT * FROM ({body}) AS t{r} WHERE media_id % 5 = {r}"
+            f"SELECT * FROM ({body}) AS t{r} WHERE media_id % 6 = {r}"
         )
     return " UNION ALL ".join(sel) + " ORDER BY media_id"
 

@@ -136,10 +136,11 @@ def test_arith_guards(codec):
     huff = good[: i + 1] + bytes([0xC0]) + good[i + 2 :]
     with pytest.raises(ValueError, match="Huffman SOF"):
         dec(huff)
-    # subsampled SOF9 refuses (entropy layer is 1x1-only by design)
+    # out-of-range sampling factors refuse loudly (subsampled 1..4
+    # decodes since r12 — certified by the differential suite below)
     sub = bytearray(good)
-    sub[i + 11] = 0x21
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[i + 11] = 0x51  # Hi=5: outside T.81's 1..4
+    with pytest.raises(ValueError, match="outside 1..4"):
         dec(bytes(sub))
     # truncation: dropping the EOI + final code bytes must stay loud
     with pytest.raises(ValueError, match="entropy data ran past|RSTn"):
@@ -404,3 +405,45 @@ def test_spark_stats_paths(spark):
         for x in range(8)
     )
     assert r["px_sum"] == want
+
+
+def test_arith_subsampled_differential_vs_huffman(codec):
+    """r12 (VERDICT r11 #5): subsampled SOF9/SOF10. The QM entropy
+    layer is orthogonal to MCU geometry, so the interleave walkers
+    mirror jpeg.py's certified ones — proven differentially: the same
+    quantized blocks encoded through the arithmetic and Huffman
+    encoders must decode identically, over randomized dimensions,
+    sampling factors (4:2:0/4:2:2/4:4:0/odd shapes), restart intervals
+    and sparsity. The progressive reference is the Huffman PROGRESSIVE
+    roundtrip (both drop AC in padding blocks outside the natural grid
+    per T.81 A.2.2 — comparing against the sequential path would
+    demand AC data no progressive stream carries)."""
+    enc_h, dec_h, _i, _px, enc_hp = _make_jpeg_codec()
+    enc_a, dec_a, _el, _dl, enc_ap = codec
+    rng = random.Random(1207)
+    samplings = [
+        [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+        [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+        [(1, 2), (1, 1), (1, 1)],  # 4:4:0
+        [(2, 2), (2, 1), (1, 1)],  # mixed
+        [(4, 1), (1, 1), (2, 1)],  # extreme ratio
+    ]
+    for trial in range(12):
+        w = 9 + rng.randrange(40)
+        h = 9 + rng.randrange(30)
+        samp = samplings[trial % len(samplings)]
+        ri = trial % 4
+        hmax = max(x for x, _ in samp)
+        vmax = max(y for _, y in samp)
+        nmcu = -(-w // (8 * hmax)) * -(-h // (8 * vmax))
+        quant = [1 + (k % 3) for k in range(64)]
+        comps = [
+            _random_blocks(rng, 1, nmcu * hi * vi, lo=-40, hi=40)[0]
+            for hi, vi in samp
+        ]
+        pj = enc_h(comps, w, h, quant, sampling=samp, restart_interval=ri)
+        pa = enc_a(comps, w, h, quant, restart_interval=ri, sampling=samp)
+        assert dec_a(pa) == dec_h(pj), f"trial {trial}: sequential"
+        pjp = enc_hp(comps, w, h, quant, sampling=samp, restart_interval=ri)
+        pp = enc_ap(comps, w, h, quant, restart_interval=ri, sampling=samp)
+        assert dec_a(pp) == dec_h(pjp), f"trial {trial}: progressive"
