@@ -86,10 +86,76 @@ _ZIGZAG = [
 ]
 
 
+def _make_mcu_geometry():
+    """Factory for the ONE copy of T.81 A.2's MCU geometry + interleave
+    index math (r12 review: it used to live in six hand-synced copies
+    across the Huffman and arithmetic codecs, where a consistently
+    mirrored walk-order bug in an encoder/decoder pair would cancel in
+    every roundtrip test). Returns ``(geometry, mcu_cells)``:
+
+    - ``geometry(w, h, samp_list)`` → dict of samp/hmax/vmax/mcux/mcuy/
+      per_mcu/pad_bw/pad_bh/nat_bw/nat_bh — single-component streams
+      raster their own ceiling grid (MCU = one data unit); interleaved
+      multi-component streams pad each component to the MCU grid while
+      non-interleaved progressive scans cover only the component's own
+      natural grid (T.81 A.2.2);
+    - ``mcu_cells(geo, ci, m)`` → the padded-grid indices of component
+      ``ci``'s data units inside MCU ``m``, in the vi-rows × hi-cols
+      interleave order of T.81 A.2.3.
+
+    Closure-built (by-value pickling) like the codec factories; both
+    the Huffman and arithmetic codecs consume it, so the interleave
+    convention is certified ONCE by the Huffman path's oracle."""
+
+    def _ceil_div(a: int, b: int) -> int:
+        return -(-a // b)
+
+    def geometry(w: int, h: int, samp_list) -> dict:
+        ncomp = len(samp_list)
+        if ncomp == 1:
+            samp_l = [(1, 1)]
+            hmax = vmax = 1
+            mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
+        else:
+            samp_l = [(hi, vi) for hi, vi in samp_list]
+            hmax = max(hi for hi, _ in samp_l)
+            vmax = max(vi for _, vi in samp_l)
+            mcux = _ceil_div(w, 8 * hmax)
+            mcuy = _ceil_div(h, 8 * vmax)
+        return {
+            "samp": samp_l, "hmax": hmax, "vmax": vmax,
+            "mcux": mcux, "mcuy": mcuy,
+            "per_mcu": [hi * vi for hi, vi in samp_l]
+            if ncomp > 1
+            else [1],
+            "pad_bw": [mcux * hi for hi, _ in samp_l],
+            "pad_bh": [mcuy * vi for _, vi in samp_l],
+            "nat_bw": [
+                _ceil_div(_ceil_div(w * hi, hmax), 8) for hi, _ in samp_l
+            ],
+            "nat_bh": [
+                _ceil_div(_ceil_div(h * vi, vmax), 8) for _, vi in samp_l
+            ],
+        }
+
+    def mcu_cells(geo: dict, ci: int, m: int) -> list[int]:
+        my, mx = divmod(m, geo["mcux"])
+        hi, vi = geo["samp"][ci]
+        pw = geo["pad_bw"][ci]
+        return [
+            (my * vi + sy) * pw + (mx * hi + sx)
+            for sy in range(vi)
+            for sx in range(hi)
+        ]
+
+    return geometry, mcu_cells
+
+
 def _make_jpeg_codec():
     """Factory returning ``(encode_jpeg, decode_jpeg, idct_block,
     decode_jpeg_pixels)``."""
     ZZ = list(_ZIGZAG)
+    _geom, _cells = _make_mcu_geometry()
 
     # -- bit IO -------------------------------------------------------------
 
@@ -518,36 +584,28 @@ def _make_jpeg_codec():
         ncomp = len(comps)
         if ncomp not in (1, 3):
             raise ValueError("encode_jpeg_progressive: 1 or 3 components")
-        samp = list(sampling) if sampling else [(1, 1)] * ncomp
-        hmax = max(hi for hi, _ in samp)
-        vmax = max(vi for _, vi in samp)
-        if ncomp == 1:
-            samp = [(1, 1)]
-            hmax = vmax = 1
-            mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
-        else:
-            mcux = _ceil_div(w, 8 * hmax)
-            mcuy = _ceil_div(h, 8 * vmax)
-        pad_bw = [mcux * hi for hi, _ in samp]
-        nat_bw = [_ceil_div(_ceil_div(w * hi, hmax), 8) for hi, _ in samp]
-        nat_bh = [_ceil_div(_ceil_div(h * vi, vmax), 8) for _, vi in samp]
+        geo = _geom(w, h, list(sampling) if sampling else [(1, 1)] * ncomp)
+        samp = geo["samp"]
+        mcux, mcuy = geo["mcux"], geo["mcuy"]
+        pad_bw, nat_bw, nat_bh = geo["pad_bw"], geo["nat_bw"], geo["nat_bh"]
         # scan-order input → per-component padded block grids
         grids: list[list[list[int]]] = []
         for ci in range(ncomp):
             hi, vi = samp[ci]
             g = [[0] * 64 for _ in range(pad_bw[ci] * mcuy * vi)]
             if ncomp == 1:
+                if len(comps[0]) != mcux * mcuy:
+                    raise ValueError(
+                        f"encode_jpeg_progressive: component 0 has "
+                        f"{len(comps[0])} blocks, expected {mcux * mcuy}"
+                    )
                 g = list(comps[0])
             else:
                 b = 0
                 for m in range(mcux * mcuy):
-                    my, mx = divmod(m, mcux)
-                    for sy in range(vi):
-                        for sx in range(hi):
-                            g[(my * vi + sy) * pad_bw[ci] + (mx * hi + sx)] = (
-                                comps[ci][b]
-                            )
-                            b += 1
+                    for idx in _cells(geo, ci, m):
+                        g[idx] = comps[ci][b]
+                        b += 1
                 if b != len(comps[ci]):
                     raise ValueError(
                         f"encode_jpeg_progressive: component {ci} has "
@@ -697,18 +755,9 @@ def _make_jpeg_codec():
                     rst += 1
                     pred.update({ci: 0 for ci in sc_idx})
                 if interleaved:
-                    my, mx = divmod(m, mcux)
                     for ci in sc_idx:
-                        hi, vi = samp[ci]
-                        for sy in range(vi):
-                            for sx in range(hi):
-                                op(
-                                    ci,
-                                    grids[ci][
-                                        (my * vi + sy) * pad_bw[ci]
-                                        + (mx * hi + sx)
-                                    ],
-                                )
+                        for idx in _cells(geo, ci, m):
+                            op(ci, grids[ci][idx])
                 else:
                     ci = sc_idx[0]
                     by, bx = divmod(m, nat_bw[ci])
@@ -755,33 +804,10 @@ def _make_jpeg_codec():
         saw_scan = False
 
         def _prog_geometry():
-            ncomp = len(comps_spec)
-            if ncomp == 1:
-                samp_l = [(1, 1)]
-                hmax = vmax = 1
-                mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
-            else:
-                samp_l = [(hi, vi) for _, hi, vi, _ in comps_spec]
-                hmax = max(hi for hi, _ in samp_l)
-                vmax = max(vi for _, vi in samp_l)
-                mcux = _ceil_div(w, 8 * hmax)
-                mcuy = _ceil_div(h, 8 * vmax)
-            pad_bw = [mcux * hi for hi, _ in samp_l]
-            pad_bh = [mcuy * vi for _, vi in samp_l]
-            # non-interleaved scans cover the component's OWN grid, which
-            # may be narrower than the padded interleaved grid
-            nat_bw = [
-                _ceil_div(_ceil_div(w * hi, hmax), 8) for hi, _ in samp_l
-            ]
-            nat_bh = [
-                _ceil_div(_ceil_div(h * vi, vmax), 8) for _, vi in samp_l
-            ]
-            return {
-                "samp": samp_l, "hmax": hmax, "vmax": vmax,
-                "mcux": mcux, "mcuy": mcuy,
-                "pad_bw": pad_bw, "pad_bh": pad_bh,
-                "nat_bw": nat_bw, "nat_bh": nat_bh,
-            }
+            # shared single-source geometry (_make_mcu_geometry): the
+            # non-interleaved nat grids may be narrower than the padded
+            # interleaved grids — see the factory docstring
+            return _geom(w, h, [(hi, vi) for _, hi, vi, _ in comps_spec])
 
         def _prog_scan(sc_idx, sc_dc, sc_ac, Ss, Se, Ah, Al, data, ri):
             """Decode one progressive scan's entropy data into pcoef."""
@@ -898,15 +924,9 @@ def _make_jpeg_codec():
                     pred.update({ci: 0 for ci in sc_idx})
                     eobrun = 0
                 if interleaved:
-                    my, mx = divmod(m, geo["mcux"])
                     for ci in sc_idx:
-                        hi, vi = geo["samp"][ci]
-                        for sy in range(vi):
-                            for sx in range(hi):
-                                idx = (my * vi + sy) * geo["pad_bw"][ci] + (
-                                    mx * hi + sx
-                                )
-                                op(ci, pcoef[ci][idx])
+                        for idx in _cells(geo, ci, m):
+                            op(ci, pcoef[ci][idx])
                 else:
                     ci = sc_idx[0]
                     by, bx = divmod(m, geo["nat_bw"][ci])
@@ -1064,17 +1084,9 @@ def _make_jpeg_codec():
                 comps[0] = pcoef[0]
             else:
                 for m in range(geo["mcux"] * geo["mcuy"]):
-                    my, mx = divmod(m, geo["mcux"])
                     for ci in range(ncomp):
-                        hi, vi = geo["samp"][ci]
-                        for sy in range(vi):
-                            for sx in range(hi):
-                                comps[ci].append(
-                                    pcoef[ci][
-                                        (my * vi + sy) * geo["pad_bw"][ci]
-                                        + (mx * hi + sx)
-                                    ]
-                                )
+                        for idx in _cells(geo, ci, m):
+                            comps[ci].append(pcoef[ci][idx])
             if not return_info:
                 return w, h, ncomp, comps
             info = {
@@ -1305,9 +1317,27 @@ def _make_synth_jpeg420():
       nmcu each).
     """
     encode_jpeg, _, _, _, _ = _make_jpeg_codec()
-    samp = [(2, 2), (1, 1), (1, 1)]
+    content = _make_synth_jpeg420_content()
 
     def build(i: int) -> bytes:
+        comps, w, h, quant, ri, samp = content(i)
+        return encode_jpeg(
+            comps, w, h, quant, sampling=samp, restart_interval=ri
+        )
+
+    return build
+
+
+def _make_synth_jpeg420_content():
+    """Factory for the 4:2:0 fixture's FORMULA PROGRAM as data:
+    ``content(i)`` → (comps, w, h, quant, restart_interval, sampling)
+    — ONE body shared by the Huffman (``_make_synth_jpeg420``) and
+    arithmetic (``jpeg_arith._make_synth_jpeg_arith420``) fixture
+    builders, so the two flavors can never drift and the single 420
+    SQL oracle certifies both (r12 review). Factory-wrapped like every
+    worker-shipped function: the returned closure pickles by value."""
+
+    def content(i: int):
         w, h = 17 + i % 16, 9 + i % 14
         nmcu = 2 * (2 if h > 16 else 1)  # mcux is 2 for every w in 17..32
         quant = [1 + (u + v + i) % 3 for u in range(8) for v in range(8)]
@@ -1320,15 +1350,15 @@ def _make_synth_jpeg420():
                 for u in range(8):
                     for v in range(8):
                         if u + v <= 2:
-                            blk[u * 8 + v] = (i + 3 * comp + 5 * b + 7 * u + 11 * v) % 9 - 4
+                            blk[u * 8 + v] = (
+                                i + 3 * comp + 5 * b + 7 * u + 11 * v
+                            ) % 9 - 4
                 blk[63] = (i + comp) % 3 - 1
                 blocks.append(blk)
             comps.append(blocks)
-        return encode_jpeg(
-            comps, w, h, quant, sampling=samp, restart_interval=i % 3
-        )
+        return comps, w, h, quant, i % 3, [(2, 2), (1, 1), (1, 1)]
 
-    return build
+    return content
 
 
 def _make_synth_jpeg_prog():

@@ -98,6 +98,12 @@ def _make_jpeg_ext_codec():
     returns (encode_jpeg_arith, decode_jpeg_arith, encode_jpeg_lossless,
     decode_jpeg_lossless). Built inside a factory for by-value pickling;
     see module docstring for the T.81 annex map."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import _make_mcu_geometry
+
+    # the ONE geometry/interleave implementation, shared with the
+    # certified Huffman codec (r12 review: a mirrored walk-order bug in
+    # a private encoder/decoder pair would cancel in roundtrip tests)
+    _geom, _cells = _make_mcu_geometry()
 
     # ---- T.81 Table D.3: Qe values and probability estimation state
     # machine. Entry 113 is the non-adapting near-0.5 state the AC sign
@@ -559,15 +565,10 @@ def _make_jpeg_ext_codec():
             raise ValueError(
                 "JPEG arith: sampling factors must be 1..4 per comp"
             )
-        hmax = max(hi for hi, _ in samp)
-        vmax = max(vi for _, vi in samp)
-        if ncomp == 1:
-            samp = [(1, 1)]
-            nmcu = _ceil_div(width, 8) * _ceil_div(height, 8)
-            per_mcu = [1]
-        else:
-            nmcu = _ceil_div(width, 8 * hmax) * _ceil_div(height, 8 * vmax)
-            per_mcu = [hi * vi for hi, vi in samp]
+        geo = _geom(width, height, samp)
+        samp = geo["samp"]
+        nmcu = geo["mcux"] * geo["mcuy"]
+        per_mcu = geo["per_mcu"]
         for ci, c in enumerate(comps):
             if len(c) != nmcu * per_mcu[ci]:
                 raise ValueError(
@@ -652,22 +653,18 @@ def _make_jpeg_ext_codec():
         ncomp = len(comps)
         L, U, KX = 0, 1, 5
         samp = list(sampling) if sampling else [(1, 1)] * ncomp
-        hmax = max(hi for hi, _ in samp)
-        vmax = max(vi for _, vi in samp)
-        if ncomp == 1:
-            samp = [(1, 1)]
-            hmax = vmax = 1
-            mcux, mcuy = _ceil_div(width, 8), _ceil_div(height, 8)
-        else:
-            mcux = _ceil_div(width, 8 * hmax)
-            mcuy = _ceil_div(height, 8 * vmax)
-        pad_bw = [mcux * hi for hi, _ in samp]
-        nat_bw = [
-            _ceil_div(_ceil_div(width * hi, hmax), 8) for hi, _ in samp
-        ]
-        nat_bh = [
-            _ceil_div(_ceil_div(height * vi, vmax), 8) for _, vi in samp
-        ]
+        if len(samp) != ncomp or any(
+            not (1 <= hi <= 4 and 1 <= vi <= 4) for hi, vi in samp
+        ):
+            raise ValueError(
+                "JPEG arith prog: sampling factors must be 1..4 per comp"
+            )
+        geo = _geom(width, height, samp)
+        samp = geo["samp"]
+        mcux, mcuy = geo["mcux"], geo["mcuy"]
+        pad_bw, nat_bw, nat_bh = (
+            geo["pad_bw"], geo["nat_bw"], geo["nat_bh"],
+        )
         # scan-order input → per-component padded block grids (the
         # jpeg.py progressive-encoder ingestion, shared contract)
         grids: list[list[list[int]]] = []
@@ -675,17 +672,18 @@ def _make_jpeg_ext_codec():
             hi, vi = samp[ci]
             g = [[0] * 64 for _ in range(pad_bw[ci] * mcuy * vi)]
             if ncomp == 1:
+                if len(comps[0]) != mcux * mcuy:
+                    raise ValueError(
+                        f"JPEG arith prog: component 0 has "
+                        f"{len(comps[0])} blocks, expected {mcux * mcuy}"
+                    )
                 g = list(comps[0])
             else:
                 b = 0
                 for m in range(mcux * mcuy):
-                    my, mx = divmod(m, mcux)
-                    for sy in range(vi):
-                        for sx in range(hi):
-                            g[
-                                (my * vi + sy) * pad_bw[ci] + (mx * hi + sx)
-                            ] = comps[ci][b]
-                            b += 1
+                    for idx in _cells(geo, ci, m):
+                        g[idx] = comps[ci][b]
+                        b += 1
                 if b != len(comps[ci]):
                     raise ValueError(
                         f"JPEG arith prog: component {ci} has "
@@ -766,18 +764,9 @@ def _make_jpeg_ext_codec():
                     rst += 1
                     enc, dst, ast, fixed, last, ctx = fresh()
                 if interleaved:
-                    my, mx = divmod(m, mcux)
                     for ci in sc_idx:
-                        hi, vi = samp[ci]
-                        for sy in range(vi):
-                            for sx in range(hi):
-                                op(
-                                    ci,
-                                    grids[ci][
-                                        (my * vi + sy) * pad_bw[ci]
-                                        + (mx * hi + sx)
-                                    ],
-                                )
+                        for idx in _cells(geo, ci, m):
+                            op(ci, grids[ci][idx])
                 else:
                     ci0 = sc_idx[0]
                     by, bx = divmod(m, nat_bw[ci0])
@@ -818,7 +807,7 @@ def _make_jpeg_ext_codec():
         i = 2
         quants: dict[int, list[int]] = {}
         w = h = None
-        comps_spec: list[tuple[int, int]] = []  # (cid, tq)
+        comps_spec: list[tuple[int, int, int, int]] = []  # (cid, tq, hi, vi)
         cond_dc: dict[int, tuple[int, int]] = {}  # tb -> (L, U)
         cond_ac: dict[int, int] = {}  # tb -> Kx
         restart_interval = 0
@@ -830,37 +819,11 @@ def _make_jpeg_ext_codec():
         saw_scan = False
 
         def _geometry() -> dict:
-            """MCU geometry per T.81 A.2 — the jpeg.py walker's shape:
-            single-component streams raster their own ceiling grid;
-            multi-component interleave pads each component to the MCU
-            grid, while NON-interleaved progressive scans cover only
-            the component's own (possibly narrower) natural grid."""
-            ncomp = len(comps_spec)
-            if ncomp == 1:
-                samp_l = [(1, 1)]
-                hmax = vmax = 1
-                mcux, mcuy = _ceil_div(w, 8), _ceil_div(h, 8)
-            else:
-                samp_l = [(hi, vi) for _cid, _tq, hi, vi in comps_spec]
-                hmax = max(hi for hi, _ in samp_l)
-                vmax = max(vi for _, vi in samp_l)
-                mcux = _ceil_div(w, 8 * hmax)
-                mcuy = _ceil_div(h, 8 * vmax)
-            return {
-                "samp": samp_l, "hmax": hmax, "vmax": vmax,
-                "mcux": mcux, "mcuy": mcuy,
-                "per_mcu": [hi * vi for hi, vi in samp_l]
-                if ncomp > 1
-                else [1],
-                "pad_bw": [mcux * hi for hi, _ in samp_l],
-                "pad_bh": [mcuy * vi for _, vi in samp_l],
-                "nat_bw": [
-                    _ceil_div(_ceil_div(w * hi, hmax), 8) for hi, _ in samp_l
-                ],
-                "nat_bh": [
-                    _ceil_div(_ceil_div(h * vi, vmax), 8) for _, vi in samp_l
-                ],
-            }
+            """MCU geometry per T.81 A.2 via the shared helper (one
+            implementation for both codecs — jpeg.py's factory)."""
+            return _geom(
+                w, h, [(hi, vi) for _cid, _tq, hi, vi in comps_spec]
+            )
 
         def _prog_scan(sc_idx, sc_td, sc_ta, Ss, Se, Ah, Al, start):
             """Decode one progressive scan into ``grids``; returns the
@@ -917,18 +880,9 @@ def _make_jpeg_ext_codec():
                     last = {ci: 0 for ci in sc_idx}
                     ctx = {ci: 0 for ci in sc_idx}
                 if interleaved:
-                    my, mx = divmod(m, geo["mcux"])
                     for ci in sc_idx:
-                        hi, vi = geo["samp"][ci]
-                        for sy in range(vi):
-                            for sx in range(hi):
-                                op(
-                                    ci,
-                                    grids[ci][
-                                        (my * vi + sy) * geo["pad_bw"][ci]
-                                        + (mx * hi + sx)
-                                    ],
-                                )
+                        for idx in _cells(geo, ci, m):
+                            op(ci, grids[ci][idx])
                 else:
                     ci0 = sc_idx[0]
                     by, bx = divmod(m, geo["nat_bw"][ci0])
@@ -1066,7 +1020,20 @@ def _make_jpeg_ext_codec():
                         "JPEG arith: partial-component scans unsupported"
                     )
                 for c in range(ns):
-                    tt = body[2 + 2 * c]
+                    cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    # interleaved scan data follows the SOS component
+                    # order; this walker runs frame order — bind the
+                    # conditioning tables by id and refuse a reordered
+                    # or unknown listing loudly instead of pairing
+                    # tables (and, subsampled, MCU geometry) to the
+                    # wrong components (r12 review)
+                    if cid != comps_spec[c][0]:
+                        known = [cs[0] for cs in comps_spec]
+                        raise ValueError(
+                            f"JPEG arith: SOS component id {cid} at "
+                            f"position {c} does not follow the frame "
+                            f"header order {known}"
+                        )
                     scan_cond.append((tt >> 4, tt & 0x0F))
                 scan_at = i + 2 + seg_len
                 break
@@ -1090,17 +1057,9 @@ def _make_jpeg_ext_codec():
             # order the sequential path emits (the jpeg.py contract)
             out_comps: list[list[list[int]]] = [[] for _ in range(ncomp)]
             for m in range(geo["mcux"] * geo["mcuy"]):
-                my, mx = divmod(m, geo["mcux"])
                 for ci in range(ncomp):
-                    hi, vi = geo["samp"][ci]
-                    for sy in range(vi):
-                        for sx in range(hi):
-                            out_comps[ci].append(
-                                deq[ci][
-                                    (my * vi + sy) * geo["pad_bw"][ci]
-                                    + (mx * hi + sx)
-                                ]
-                            )
+                    for idx in _cells(geo, ci, m):
+                        out_comps[ci].append(deq[ci][idx])
             return w, h, ncomp, out_comps
         if w is None or scan_at is None:
             raise ValueError("JPEG arith: missing SOF9/SOS")
@@ -1506,30 +1465,17 @@ def _make_synth_jpeg_arith420():
     through the QM coder: the sequential decode is exact, so the 420
     SQL oracle certifies this flavor verbatim while exercising the
     subsampled arithmetic interleave on the registered corpus."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.jpeg import (
+        _make_synth_jpeg420_content,
+    )
+
     enc = _make_jpeg_ext_codec()[0]
-    samp = [(2, 2), (1, 1), (1, 1)]
+    content = _make_synth_jpeg420_content()
 
     def build(i: int) -> bytes:
-        w, h = 17 + i % 16, 9 + i % 14
-        nmcu = 2 * (2 if h > 16 else 1)
-        quant = [1 + (u + v + i) % 3 for u in range(8) for v in range(8)]
-        comps = []
-        for comp in range(3):
-            nblk = 4 * nmcu if comp == 0 else nmcu
-            blocks = []
-            for b in range(nblk):
-                blk = [0] * 64
-                for u in range(8):
-                    for v in range(8):
-                        if u + v <= 2:
-                            blk[u * 8 + v] = (
-                                i + 3 * comp + 5 * b + 7 * u + 11 * v
-                            ) % 9 - 4
-                blk[63] = (i + comp) % 3 - 1
-                blocks.append(blk)
-            comps.append(blocks)
+        comps, w, h, quant, ri, samp = content(i)
         return enc(
-            comps, w, h, quant, restart_interval=i % 3, sampling=samp
+            comps, w, h, quant, restart_interval=ri, sampling=samp
         )
 
     return build
