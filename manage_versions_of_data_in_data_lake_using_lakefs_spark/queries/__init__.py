@@ -200,21 +200,33 @@ WINDOW_ORDER: list[str] = [
     # contains the other, so the suite keeps BOTH on the driver hash
     # while freeing one slot for versioned_dv_merge. Standalone
     # queries + oracles kept in the tail.)
-    "multimodal_jpeg_suite",  # r11: 4:2:0-baseline AND progressive (SOF2)
-                              # JPEG decode in one codec-tagged union —
-                              # sampling-factor MCU interleave, ceiling
-                              # grids, DRI/RSTn, successive-approximation
-                              # scan script, EOBn runs, AC-refinement
-                              # zero-history placement — exact embedded-
-                              # coefficient oracles for both flavors
-    "multimodal_jpeg_arith",  # r11 flagship codec: SOF9 sequential-
-                              # ARITHMETIC decode — QM conditional-
-                              # exchange coder over the Table D.3 state
-                              # machine, F.1.4 DC/AC models, DAC
-                              # conditioning, restart re-init; a shape
-                              # nothing else in the window exercises
-                              # (SOF10/SOF3 + the Huffman differential
-                              # certification live in the tail + pytest)
+    # (multimodal_jpeg_suite + multimodal_jpeg_arith — rotated to the
+    # tail in r12 (VERDICT r11 ask #7): the widened
+    # multimodal_jpeg_mixed router below is a strict coverage superset
+    # — it decodes the suite's two Huffman flavors (4:2:0 baseline +
+    # progressive, same builders) AND the arith row's SOF9 chain AND
+    # SOF10 progressive-arithmetic AND the r12 4:2:0
+    # sequential-arithmetic shape, each residue class certified by the
+    # same per-flavor oracle bodies, plus the SOF-marker routing
+    # nothing else exercises. Standalone queries + oracles kept in the
+    # tail; the freed slot window-certifies the hierarchical decoder.)
+    "multimodal_jpeg_mixed",  # r12: format-ROUTING decode over a
+                              # six-process corpus (id % 6 — baseline
+                              # 4:4:4, baseline 4:2:0, progressive
+                              # Huffman, sequential + progressive
+                              # ARITHMETIC over the QM/Table-D.3 coder,
+                              # and 4:2:0 sequential arithmetic), one
+                              # mapInPandas stage dispatching off the
+                              # SOF marker; the oracle unions the
+                              # flavors' formula programs residue-
+                              # filtered, certifying routing + every
+                              # decode chain at once
+    "multimodal_jpeg_hier",   # r12 rotation (VERDICT r11 #7): the
+                              # hierarchical (Annex J) decoder — DHP
+                              # frame pyramids, EXP upsampling, SOF5-7
+                              # DIFFERENTIAL frames accumulating onto
+                              # the reference — r11's hardest new shape,
+                              # previously tail-only
     # (multimodal_features — Arrow mapInPandas payload extract with a
     # blob-arithmetic oracle — rotated to the tail in r11: the
     # map-only mapInPandas-over-MEDIA_SCHEMA plumbing and blob
