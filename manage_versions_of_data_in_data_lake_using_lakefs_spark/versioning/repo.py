@@ -814,8 +814,10 @@ class LakeRepo:
         IDENTITY [(START WITH s [INCREMENT BY k])] — a STORED column
         whose values the engine allocates monotonically at write time
         (INSERT / COPY INTO / MERGE INSERT). Delta only allows identity
-        at CREATE TABLE; this engine's CREATE is CTAS-shaped, so the
-        ALTER spelling stands in, with the ADD-column era semantics:
+        at CREATE TABLE (which this engine also supports —
+        ``LakeSQL._create_table_schema``); the ALTER spelling is an
+        extension for EXISTING tables, with the ADD-column era
+        semantics:
         rows written BEFORE the ALTER read the column as NULL (the
         add-null era), rows after carry allocated values. Allocation is
         per-write-batch: n rows take the half-open arithmetic range

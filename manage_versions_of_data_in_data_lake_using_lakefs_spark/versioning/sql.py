@@ -79,6 +79,7 @@ from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
     DV_PREFIX,
+    _IDENTITY_BOUNDS,
     ConstraintViolation,
     DirtyBranchError,
     LakeRepo,
@@ -442,6 +443,31 @@ _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<table>{_IDENT})\s+AS\s+"
     r"(?P<select>SELECT\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_CREATE_SCHEMA_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    rf"(?P<table>{_IDENT})\s*\(\s*(?P<cols>.+)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COLDEF_RE = re.compile(
+    rf"^\s*(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})"
+    r"(?P<rest>(?:\s+.+)?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COLDEF_IDENTITY_RE = re.compile(
+    r"^\s*GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+)"
+    r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?"
+    r"|INCREMENT\s+BY\s+(?P<step2>-?\d+))\s*\))?(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COLDEF_DEFAULT_RE = re.compile(
+    r"^\s*DEFAULT\s+(?P<expr>.+?)"
+    r"(?P<rest>\s+NOT\s+NULL\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COLDEF_NOT_NULL_RE = re.compile(
+    r"^\s*NOT\s+NULL(?P<rest>.*)$", re.IGNORECASE | re.DOTALL
 )
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+INTO\s+(?P<table>{_IDENT})\s*"
@@ -2268,6 +2294,156 @@ class LakeSQL:
             raise
         return self._dml_result(name, c.version, rows)
 
+    def _create_table_schema(
+        self, table: str, cols_text: str, replace: bool
+    ) -> DataFrame:
+        """``CREATE [OR REPLACE] TABLE t (col TYPE [GENERATED ALWAYS AS
+        IDENTITY [(START WITH s [INCREMENT BY k])] | DEFAULT expr] [NOT
+        NULL], ...)`` (r12) — the explicit-schema creation Delta users
+        write, and Delta's CANONICAL home for IDENTITY declarations
+        (Delta only allows identity at CREATE TABLE; the ALTER spelling
+        remains this engine's extension for existing tables). Creates
+        an EMPTY versioned table in one commit with identity/default
+        registrations and NOT NULL (stored as the equivalent CHECK
+        constraint, enforced by the existing write-path machinery)."""
+        import json
+
+        existing = {t.lower() for t in self.repo.list_tables(self.branch)}
+        if table.lower() in existing and not replace:
+            raise ValueError(
+                f"table {table!r} already exists on {self.branch!r}; "
+                "use CREATE OR REPLACE TABLE"
+            )
+        name = (
+            self._resolve_table(table)
+            if table.lower() in existing
+            else table.lower()
+        )
+        defs: list[tuple[str, str]] = []
+        identity: dict[str, dict] = {}
+        defaults: dict[str, str] = {}
+        not_null: list[str] = []
+        seen: set[str] = set()
+        for part in _split_top_level(cols_text):
+            m = _COLDEF_RE.match(part)
+            if not m:
+                raise ValueError(
+                    f"CREATE TABLE: cannot parse column definition "
+                    f"{part.strip()!r}"
+                )
+            col, typ = m.group("col"), m.group("type")
+            if col.lower() in seen:
+                raise ValueError(f"CREATE TABLE: duplicate column {col!r}")
+            seen.add(col.lower())
+            rest = (m.group("rest") or "").strip()
+            while rest:
+                mi = _COLDEF_IDENTITY_RE.match(rest)
+                if mi:
+                    low = typ.strip().lower()
+                    if low not in ("bigint", "long", "int", "integer"):
+                        raise ValueError(
+                            f"CREATE TABLE: IDENTITY column {col!r} must "
+                            f"be an integer type (BIGINT/INT); got {typ!r}"
+                        )
+                    start = int(mi.group("start") or 1)
+                    step = int(
+                        mi.group("step") or mi.group("step2") or 1
+                    )
+                    if step == 0:
+                        raise ValueError(
+                            "CREATE TABLE: IDENTITY INCREMENT BY must be "
+                            "non-zero"
+                        )
+                    ity = "int" if low in ("int", "integer") else "bigint"
+                    lo, hi = _IDENTITY_BOUNDS[ity]
+                    if not (lo <= start <= hi):
+                        raise ValueError(
+                            f"CREATE TABLE: IDENTITY START WITH {start} "
+                            f"outside the {typ} range"
+                        )
+                    identity[col.lower()] = {
+                        "start": start,
+                        "step": step,
+                        "hwm": None,
+                        "type": ity,
+                    }
+                    rest = (mi.group("rest") or "").strip()
+                    continue
+                md = _COLDEF_DEFAULT_RE.match(rest)
+                if md:
+                    defaults[col.lower()] = md.group("expr").strip()
+                    rest = (md.group("rest") or "").strip()
+                    continue
+                mn = _COLDEF_NOT_NULL_RE.match(rest)
+                if mn:
+                    not_null.append(col)
+                    rest = (mn.group("rest") or "").strip()
+                    continue
+                raise ValueError(
+                    f"CREATE TABLE: unsupported clause {rest!r} on "
+                    f"column {col!r} (supported: GENERATED ALWAYS AS "
+                    f"IDENTITY, DEFAULT expr, NOT NULL)"
+                )
+            if col.lower() in identity and col.lower() in defaults:
+                raise ValueError(
+                    f"CREATE TABLE: column {col!r} cannot be both "
+                    "IDENTITY and DEFAULT"
+                )
+            defs.append((col, typ))
+        if not defs:
+            raise ValueError("CREATE TABLE: empty column list")
+        ddl = ", ".join(f"`{c}` {t}" for c, t in defs)
+        # schema validation (raises on garbage types) + the empty frame
+        # (coalesced: no point writing an empty table with one task per
+        # default-parallelism partition)
+        empty = self.spark.createDataFrame([], ddl).coalesce(1)
+        types = {f.name.lower(): f.dataType for f in empty.schema.fields}
+        for col_l, expr in defaults.items():
+            # self-contained DEFAULT validation, as in alter_set_default
+            self.spark.range(1).select().select(
+                F.expr(expr).cast(types[col_l])
+            )
+
+        cpath = self.repo._constraints_path(name)
+        mpath = self.repo._colmeta_path(name)
+        spath = self.repo._schema_map_path(name)
+        ppath = self.repo._tblprops_path(name)
+        snaps = [
+            (p, self.repo.staged_object_entry(self.branch, p))
+            for p in (cpath, mpath, spath, ppath)
+        ]
+        tbl_snap = self.repo.staged_entry(self.branch, name)
+        if replace and table.lower() in existing:
+            self.repo._drop_constraints_object(self.branch, name)
+            self.repo._drop_schema_map_object(self.branch, name)
+            self.repo._drop_tblprops_object(self.branch, name)
+            self.repo._drop_colmeta_object(self.branch, name)
+        try:
+            self.repo.write_table(self.branch, name, empty, mode="overwrite")
+            if identity or defaults:
+                self.repo.put_object(
+                    self.branch,
+                    mpath,
+                    json.dumps(
+                        {"defaults": defaults, "identity": identity}
+                    ),
+                )
+            if not_null:
+                cons = {
+                    f"{c.lower()}_not_null": f"{c} IS NOT NULL"
+                    for c in not_null
+                }
+                self.repo.put_object(self.branch, cpath, json.dumps(cons))
+            c = self.repo.commit(
+                self.branch, f"SQL: CREATE TABLE {name} (schema)"
+            )
+        except Exception:
+            for p, s in snaps:
+                self.repo.restore_staged_object_entry(self.branch, p, s)
+            self.repo.restore_staged_entry(self.branch, name, tbl_snap)
+            raise
+        return self._dml_result(name, c.version, 0)
+
     def _default_expr(
         self, defaults: dict[str, str], field
     ):
@@ -3338,6 +3514,11 @@ class LakeSQL:
         if m:
             return self._ctas(
                 m.group("table"), m.group("select"), bool(m.group("replace"))
+            )
+        m = _CREATE_SCHEMA_RE.match(query)
+        if m:
+            return self._create_table_schema(
+                m.group("table"), m.group("cols"), bool(m.group("replace"))
             )
         m = _INSERT_RE.match(query)
         if m:

@@ -310,3 +310,87 @@ def test_identity_failed_write_rolls_back_everything(spark, repo, lsql):
     lsql.sql("INSERT INTO t (k) VALUES (3)")
     got = _rows(spark, repo)
     assert got == [(1, "a", None), (2, "b", 1), (3, "d", 2)]
+
+
+def test_create_table_explicit_schema(spark, repo, lsql):
+    """r12: CREATE TABLE t (col TYPE ...) — the explicit-schema
+    creation Delta users write, and Delta's canonical home for IDENTITY
+    declarations. One commit creates an empty versioned table with
+    identity/default registrations and NOT NULL as the equivalent
+    CHECK constraint."""
+    lsql.sql(
+        "CREATE TABLE t ("
+        "  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 "
+        "INCREMENT BY 5),"
+        "  k INT NOT NULL,"
+        "  s STRING DEFAULT 'dflt',"
+        "  v DOUBLE)"
+    )
+    df = repo.read_table(spark, "t", "main")
+    assert df.schema.simpleString() == (
+        "struct<rid:bigint,k:int,s:string,v:double>"
+    )
+    assert df.count() == 0
+    v0 = repo.head("main").version
+    meta = repo.column_metadata("t", "main")
+    assert meta["identity"]["rid"] == {
+        "start": 10, "step": 5, "hwm": None, "type": "bigint",
+    }
+    assert meta["defaults"] == {"s": "'dflt'"}
+    assert repo.table_constraints("t", "main") == {
+        "k_not_null": "k IS NOT NULL"
+    }
+
+    lsql.sql("INSERT INTO t (k, v) VALUES (1, 1.5), (2, 2.5)")
+    got = [
+        tuple(r)
+        for r in repo.read_table(spark, "t", "main").orderBy("k").collect()
+    ]
+    assert got == [(10, 1, "dflt", 1.5), (15, 2, "dflt", 2.5)]
+    with pytest.raises(Exception, match="k_not_null|onstraint"):
+        lsql.sql("INSERT INTO t (k) VALUES (NULL)")
+    # the empty creation is a real version: time travel reads it
+    assert (
+        repo.read_table(spark, "t", "main", version_as_of=v0).count() == 0
+    )
+
+    # COPY INTO aligns against the schema-created target (identity +
+    # default omitted from the landed files)
+    import os as _os
+    import tempfile as _tf
+
+    land = _tf.mkdtemp(prefix="ctland_")
+    try:
+        spark.createDataFrame(
+            [(7, 9.9)], "k INT, v DOUBLE"
+        ).coalesce(1).write.parquet(_os.path.join(land, "b"))
+        lsql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(land, ignore_errors=True)
+    got = {r.k: (r.rid, r.s) for r in repo.read_table(spark, "t", "main").collect()}
+    assert got[7] == (20, "dflt")
+
+    # loud contracts + REPLACE hygiene; CTAS keeps working alongside
+    with pytest.raises(ValueError, match="duplicate column"):
+        lsql.sql("CREATE TABLE d2 (a INT, A STRING)")
+    with pytest.raises(ValueError, match="IDENTITY column"):
+        lsql.sql(
+            "CREATE TABLE d3 (a STRING GENERATED ALWAYS AS IDENTITY)"
+        )
+    with pytest.raises(ValueError, match="both"):
+        lsql.sql(
+            "CREATE TABLE d4 (a BIGINT GENERATED ALWAYS AS IDENTITY "
+            "DEFAULT 5)"
+        )
+    with pytest.raises(ValueError, match="unsupported clause"):
+        lsql.sql("CREATE TABLE d5 (a INT PRIMARY KEY)")
+    with pytest.raises(Exception, match="already exists"):
+        lsql.sql("CREATE TABLE t (x INT)")
+    lsql.sql("CREATE TABLE u AS SELECT 1 AS a")
+    lsql.sql("CREATE OR REPLACE TABLE t (x INT)")
+    assert repo.column_metadata("t", "main") == {
+        "defaults": {}, "identity": {},
+    }
+    assert repo.table_constraints("t", "main") == {}
