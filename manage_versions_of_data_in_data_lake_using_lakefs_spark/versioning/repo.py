@@ -800,6 +800,35 @@ class LakeRepo:
             branch, f"ALTER TABLE {table} ALTER COLUMN {col} DROP DEFAULT"
         )
 
+    @staticmethod
+    def build_identity_entry(
+        col: str, dtype: str, start: int, step: int
+    ) -> dict:
+        """Validate an identity spec and build its colmeta entry — ONE
+        source of truth for the type allowlist, bounds, and entry shape,
+        shared by ALTER ADD IDENTITY and explicit-schema CREATE TABLE
+        (r12 review)."""
+        if step == 0:
+            raise ValueError("IDENTITY INCREMENT BY must be non-zero")
+        low = dtype.strip().lower()
+        if low not in ("bigint", "long", "int", "integer"):
+            raise ValueError(
+                f"IDENTITY column {col!r} must be an integer type "
+                f"(BIGINT/INT); got {dtype!r}"
+            )
+        ity = "int" if low in ("int", "integer") else "bigint"
+        lo, hi = _IDENTITY_BOUNDS[ity]
+        if not (lo <= int(start) <= hi):
+            raise ValueError(
+                f"IDENTITY START WITH {start} outside the {dtype} range"
+            )
+        return {
+            "start": int(start),
+            "step": int(step),
+            "hwm": None,
+            "type": ity,
+        }
+
     def alter_add_identity_column(
         self,
         spark: SparkSession,
@@ -825,19 +854,7 @@ class LakeRepo:
         metadata plus numbering the batch, never table-proportional."""
         import json
 
-        if step == 0:
-            raise ValueError("IDENTITY INCREMENT BY must be non-zero")
-        low = dtype.strip().lower()
-        if low not in ("bigint", "long", "int", "integer"):
-            raise ValueError(
-                f"IDENTITY column {col!r} must be an integer type "
-                f"(BIGINT/INT); got {dtype!r}"
-            )
-        lo, hi = _IDENTITY_BOUNDS["int" if low in ("int", "integer") else "bigint"]
-        if not (lo <= int(start) <= hi):
-            raise ValueError(
-                f"IDENTITY START WITH {start} outside the {dtype} range"
-            )
+        entry = self.build_identity_entry(col, dtype, start, step)
         self._require_clean_for_alter(branch, f"ADD IDENTITY COLUMN {col}")
         meta = self.column_metadata(table, branch)
         if col.lower() in meta["defaults"]:
@@ -859,12 +876,7 @@ class LakeRepo:
         # ADD schema step — its commit sweeps both objects atomically
         # (the add-null era machinery owns existence: pre-ALTER files
         # read NULL, exactly the documented semantics)
-        meta["identity"][col.lower()] = {
-            "start": int(start),
-            "step": int(step),
-            "hwm": None,
-            "type": "int" if low in ("int", "integer") else "bigint",
-        }
+        meta["identity"][col.lower()] = entry
         snap = self.staged_object_entry(branch, self._colmeta_path(table))
         self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
         try:

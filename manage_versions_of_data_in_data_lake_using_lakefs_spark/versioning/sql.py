@@ -449,11 +449,41 @@ _CREATE_SCHEMA_RE = re.compile(
     rf"(?P<table>{_IDENT})\s*\(\s*(?P<cols>.+)\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_COLDEF_RE = re.compile(
-    rf"^\s*(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})"
-    r"(?P<rest>(?:\s+.+)?)\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+def _parse_coldef(part: str) -> tuple[str, str, str] | None:
+    """(col, type, rest) from one CREATE TABLE column definition, or
+    None. The type consumes a balanced ``<...>`` generic section
+    (MAP/ARRAY/STRUCT nest arbitrarily — beyond a regex) and an
+    optional ``(p[, s])`` precision suffix; ``rest`` carries the
+    IDENTITY/DEFAULT/NOT NULL clauses."""
+    m = re.match(r"\s*(\w+)\s+(\w+)", part)
+    if not m:
+        return None
+    col = m.group(1)
+    j = m.end()
+    k = j
+    while k < len(part) and part[k].isspace():
+        k += 1
+    if k < len(part) and part[k] == "<":
+        depth = 0
+        while k < len(part):
+            if part[k] == "<":
+                depth += 1
+            elif part[k] == ">":
+                depth -= 1
+                if depth == 0:
+                    k += 1
+                    break
+            k += 1
+        if depth != 0:
+            return None
+        j = k
+    k = j
+    while k < len(part) and part[k].isspace():
+        k += 1
+    mp = re.match(r"\(\s*\d+(?:\s*,\s*\d+)?\s*\)", part[k:])
+    if mp:
+        j = k + mp.end()
+    return col, part[m.start(2) : j].strip(), part[j:].strip()
 _COLDEF_IDENTITY_RE = re.compile(
     r"^\s*GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
     r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+)"
@@ -462,8 +492,12 @@ _COLDEF_IDENTITY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _COLDEF_DEFAULT_RE = re.compile(
+    # the expression ends before any FOLLOWING clause keyword, so a
+    # duplicate DEFAULT (or a trailing GENERATED) surfaces in `rest`
+    # for the duplicate/conflict checks instead of being silently
+    # swallowed into the expression text (r12 review)
     r"^\s*DEFAULT\s+(?P<expr>.+?)"
-    r"(?P<rest>\s+NOT\s+NULL\s*)?$",
+    r"(?P<rest>\s+(?:NOT\s+NULL|DEFAULT\s.+|GENERATED\s.+)\s*)?$",
     re.IGNORECASE | re.DOTALL,
 )
 _COLDEF_NOT_NULL_RE = re.compile(
@@ -543,6 +577,48 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [_MASK_RE.sub(lambda m: literals[int(m.group(1))], p).strip() for p in parts]
+
+
+def _split_coldefs(s: str) -> list[str]:
+    """Split a CREATE TABLE column-definition list on top-level commas:
+    like ``_split_top_level`` but ALSO angle-bracket aware, so complex
+    types keep their internal commas — ``m MAP<STRING, INT>, a INT`` is
+    two definitions (r12 review: the paren-only splitter cut
+    ``MAP<STRING`` in half and surfaced a fragment the user never
+    wrote). A ``<`` opens a bracket level only when glued to a word
+    character (``MAP<``, ``ARRAY<`` — Spark's generic-type spelling),
+    so a spaced comparison in a DEFAULT expression (``DEFAULT 1 < 2``)
+    never unbalances the scan."""
+    literals: list[str] = []
+
+    def mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = _LITERAL_RE.sub(mask, s)
+    parts, depth, angle, cur = [], 0, 0, []
+    prev = ""
+    for ch in masked:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "<" and (prev.isalnum() or prev == "_"):
+            angle += 1
+        elif ch == ">" and angle > 0:
+            angle -= 1
+        if ch == "," and depth == 0 and angle == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        if not ch.isspace():
+            prev = ch
+    parts.append("".join(cur))
+    return [
+        _MASK_RE.sub(lambda m: literals[int(m.group(1))], p).strip()
+        for p in parts
+    ]
 
 
 def _first_match_sel(conds: list[str | None]) -> str:
@@ -2269,19 +2345,25 @@ class LakeSQL:
         spath = self.repo._schema_map_path(name)
         ppath = self.repo._tblprops_path(name)
         mpath = self.repo._colmeta_path(name)
+        rpath = self.repo._copyinto_path(name)
         obj_snap = self.repo.staged_object_entry(self.branch, cpath)
         smap_snap = self.repo.staged_object_entry(self.branch, spath)
         props_snap = self.repo.staged_object_entry(self.branch, ppath)
         meta_snap = self.repo.staged_object_entry(self.branch, mpath)
+        reg_snap = self.repo.staged_object_entry(self.branch, rpath)
         tbl_snap = self.repo.staged_entry(self.branch, name)
         if replace and table.lower() in existing:
             # REPLACE defines a NEW table: the old one's CHECK
-            # constraints, column mapping, and TBLPROPERTIES must not
-            # leak onto it (Delta semantics)
+            # constraints, column mapping, TBLPROPERTIES, column
+            # metadata AND the COPY INTO loaded-file registry must not
+            # leak onto it (Delta semantics; r12 review — a stale
+            # registry silently skipped re-ingesting landed files into
+            # the replacement table)
             self.repo._drop_constraints_object(self.branch, name)
             self.repo._drop_schema_map_object(self.branch, name)
             self.repo._drop_tblprops_object(self.branch, name)
             self.repo._drop_colmeta_object(self.branch, name)
+            self.repo._drop_copyinto_object(self.branch, name)
         try:
             self.repo.write_table(self.branch, name, df, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
@@ -2290,6 +2372,7 @@ class LakeSQL:
             self.repo.restore_staged_object_entry(self.branch, spath, smap_snap)
             self.repo.restore_staged_object_entry(self.branch, ppath, props_snap)
             self.repo.restore_staged_object_entry(self.branch, mpath, meta_snap)
+            self.repo.restore_staged_object_entry(self.branch, rpath, reg_snap)
             self.repo.restore_staged_entry(self.branch, name, tbl_snap)
             raise
         return self._dml_result(name, c.version, rows)
@@ -2324,58 +2407,50 @@ class LakeSQL:
         defaults: dict[str, str] = {}
         not_null: list[str] = []
         seen: set[str] = set()
-        for part in _split_top_level(cols_text):
-            m = _COLDEF_RE.match(part)
-            if not m:
+        for part in _split_coldefs(cols_text):
+            parsed = _parse_coldef(part)
+            if parsed is None:
                 raise ValueError(
                     f"CREATE TABLE: cannot parse column definition "
                     f"{part.strip()!r}"
                 )
-            col, typ = m.group("col"), m.group("type")
+            col, typ, rest = parsed
             if col.lower() in seen:
                 raise ValueError(f"CREATE TABLE: duplicate column {col!r}")
             seen.add(col.lower())
-            rest = (m.group("rest") or "").strip()
             while rest:
                 mi = _COLDEF_IDENTITY_RE.match(rest)
                 if mi:
-                    low = typ.strip().lower()
-                    if low not in ("bigint", "long", "int", "integer"):
+                    if col.lower() in identity:
                         raise ValueError(
-                            f"CREATE TABLE: IDENTITY column {col!r} must "
-                            f"be an integer type (BIGINT/INT); got {typ!r}"
+                            f"CREATE TABLE: duplicate IDENTITY clause "
+                            f"on column {col!r}"
                         )
-                    start = int(mi.group("start") or 1)
-                    step = int(
-                        mi.group("step") or mi.group("step2") or 1
+                    identity[col.lower()] = self.repo.build_identity_entry(
+                        col,
+                        typ,
+                        int(mi.group("start") or 1),
+                        int(mi.group("step") or mi.group("step2") or 1),
                     )
-                    if step == 0:
-                        raise ValueError(
-                            "CREATE TABLE: IDENTITY INCREMENT BY must be "
-                            "non-zero"
-                        )
-                    ity = "int" if low in ("int", "integer") else "bigint"
-                    lo, hi = _IDENTITY_BOUNDS[ity]
-                    if not (lo <= start <= hi):
-                        raise ValueError(
-                            f"CREATE TABLE: IDENTITY START WITH {start} "
-                            f"outside the {typ} range"
-                        )
-                    identity[col.lower()] = {
-                        "start": start,
-                        "step": step,
-                        "hwm": None,
-                        "type": ity,
-                    }
                     rest = (mi.group("rest") or "").strip()
                     continue
                 md = _COLDEF_DEFAULT_RE.match(rest)
                 if md:
+                    if col.lower() in defaults:
+                        raise ValueError(
+                            f"CREATE TABLE: duplicate DEFAULT clause "
+                            f"on column {col!r}"
+                        )
                     defaults[col.lower()] = md.group("expr").strip()
                     rest = (md.group("rest") or "").strip()
                     continue
                 mn = _COLDEF_NOT_NULL_RE.match(rest)
                 if mn:
+                    if col in not_null:
+                        raise ValueError(
+                            f"CREATE TABLE: duplicate NOT NULL clause "
+                            f"on column {col!r}"
+                        )
                     not_null.append(col)
                     rest = (mn.group("rest") or "").strip()
                     continue
@@ -2390,8 +2465,6 @@ class LakeSQL:
                     "IDENTITY and DEFAULT"
                 )
             defs.append((col, typ))
-        if not defs:
-            raise ValueError("CREATE TABLE: empty column list")
         ddl = ", ".join(f"`{c}` {t}" for c, t in defs)
         # schema validation (raises on garbage types) + the empty frame
         # (coalesced: no point writing an empty table with one task per
@@ -2406,19 +2479,26 @@ class LakeSQL:
 
         cpath = self.repo._constraints_path(name)
         mpath = self.repo._colmeta_path(name)
-        spath = self.repo._schema_map_path(name)
-        ppath = self.repo._tblprops_path(name)
-        snaps = [
-            (p, self.repo.staged_object_entry(self.branch, p))
-            for p in (cpath, mpath, spath, ppath)
-        ]
-        tbl_snap = self.repo.staged_entry(self.branch, name)
-        if replace and table.lower() in existing:
-            self.repo._drop_constraints_object(self.branch, name)
-            self.repo._drop_schema_map_object(self.branch, name)
-            self.repo._drop_tblprops_object(self.branch, name)
-            self.repo._drop_colmeta_object(self.branch, name)
-        try:
+        with self._colmeta_rollback(
+            name,
+            extra_paths=(
+                cpath,
+                self.repo._schema_map_path(name),
+                self.repo._tblprops_path(name),
+                self.repo._copyinto_path(name),
+            ),
+        ):
+            if replace and table.lower() in existing:
+                # a REPLACE defines a NEW table: constraints, mapping,
+                # properties, column metadata AND the COPY INTO loaded-
+                # file registry must not leak (r12 review: a stale
+                # registry silently skipped re-ingesting files into the
+                # replacement table)
+                self.repo._drop_constraints_object(self.branch, name)
+                self.repo._drop_schema_map_object(self.branch, name)
+                self.repo._drop_tblprops_object(self.branch, name)
+                self.repo._drop_colmeta_object(self.branch, name)
+                self.repo._drop_copyinto_object(self.branch, name)
             self.repo.write_table(self.branch, name, empty, mode="overwrite")
             if identity or defaults:
                 self.repo.put_object(
@@ -2437,11 +2517,6 @@ class LakeSQL:
             c = self.repo.commit(
                 self.branch, f"SQL: CREATE TABLE {name} (schema)"
             )
-        except Exception:
-            for p, s in snaps:
-                self.repo.restore_staged_object_entry(self.branch, p, s)
-            self.repo.restore_staged_entry(self.branch, name, tbl_snap)
-            raise
         return self._dml_result(name, c.version, 0)
 
     def _default_expr(

@@ -394,3 +394,52 @@ def test_create_table_explicit_schema(spark, repo, lsql):
         "defaults": {}, "identity": {},
     }
     assert repo.table_constraints("t", "main") == {}
+
+
+def test_create_table_complex_types_and_replace_clears_copyinto(
+    spark, repo, lsql, tmp_path
+):
+    """r12 review batch: complex (nested) column types parse — the
+    splitter keeps MAP/ARRAY/STRUCT internal commas and comparisons in
+    DEFAULT expressions don't unbalance it; duplicate clauses are
+    rejected; CREATE OR REPLACE clears the COPY INTO registry so the
+    replacement table re-ingests landed files instead of silently
+    skipping them."""
+    lsql.sql(
+        "CREATE TABLE c1 ("
+        "  m MAP<STRING, INT>,"
+        "  a ARRAY<STRUCT<x: INT, y: STRING>>,"
+        "  d DECIMAL(10, 2),"
+        "  f INT DEFAULT 1 + 2,"
+        "  g BOOLEAN DEFAULT 1 < 2)"
+    )
+    sch = repo.read_table(spark, "c1", "main").schema.simpleString()
+    assert "map<string,int>" in sch and "array<struct<x:int,y:string>>" in sch
+    lsql.sql("INSERT INTO c1 (m) VALUES (map('k', 1))")
+    [r] = repo.read_table(spark, "c1", "main").collect()
+    assert (r.f, r.g) == (3, True)
+
+    with pytest.raises(ValueError, match="duplicate DEFAULT"):
+        lsql.sql("CREATE TABLE c2 (a INT DEFAULT 1 DEFAULT 2)")
+    with pytest.raises(ValueError, match="duplicate NOT NULL"):
+        lsql.sql("CREATE TABLE c3 (a INT NOT NULL NOT NULL)")
+
+    # REPLACE clears the loaded-file registry (both creation forms)
+    land = str(tmp_path / "landc")
+    spark.createDataFrame([(1,)], "k INT").coalesce(1).write.parquet(
+        os.path.join(land, "b")
+    )
+    for stmt in (
+        "CREATE OR REPLACE TABLE ld (k INT)",
+        "CREATE OR REPLACE TABLE ld AS SELECT 5 AS k",
+    ):
+        lsql.sql("CREATE OR REPLACE TABLE ld (k INT)")
+        r1 = lsql.sql(
+            f"COPY INTO ld FROM '{land}' FILEFORMAT = PARQUET"
+        ).first()
+        assert r1.num_loaded_files == 1
+        lsql.sql(stmt)
+        r2 = lsql.sql(
+            f"COPY INTO ld FROM '{land}' FILEFORMAT = PARQUET"
+        ).first()
+        assert (r2.num_loaded_files, r2.num_skipped_files) == (1, 0), stmt
