@@ -3514,14 +3514,54 @@ class LakeSQL:
         }:
             # DESCRIBE [TABLE] t — Spark's column listing over the
             # branch-head snapshot (falls through to the rewriter for
-            # non-repo names, which will fail loudly as before)
+            # non-repo names, which will fail loudly as before). The
+            # `extra` column annotates the write-time surface (r12):
+            # IDENTITY allocator spec, DEFAULT expression, GENERATED
+            # expression, and NOT NULL-shaped CHECK constraints.
             name = self._resolve_table(m.group("table"))
             df = self.repo.read_table(
                 self.spark, name, ref=self.branch, include_staged=True
             )
+            meta = self.repo.column_metadata(name, self.branch)
+            gen_exprs: dict[str, str] = {}
+            for st in (
+                self.repo.table_schema_map(name, ref=self.branch) or {}
+            ).get("steps", []):
+                if st.get("op") == "add_gen":
+                    gen_exprs[st["name"].lower()] = st["expr"]
+                elif st.get("op") == "drop":
+                    gen_exprs.pop(st["name"].lower(), None)
+            cons = self.repo.table_constraints(name, self.branch)
+            rows = []
+            for f in df.schema.fields:
+                low = f.name.lower()
+                notes = []
+                ide = meta["identity"].get(low)
+                if ide is not None:
+                    notes.append(
+                        "GENERATED ALWAYS AS IDENTITY (START WITH "
+                        f"{ide['start']} INCREMENT BY {ide['step']})"
+                    )
+                if low in gen_exprs:
+                    notes.append(
+                        f"GENERATED ALWAYS AS ({gen_exprs[low]})"
+                    )
+                if low in meta["defaults"]:
+                    notes.append(f"DEFAULT {meta['defaults'][low]}")
+                if cons.get(f"{low}_not_null") == f"{f.name} IS NOT NULL":
+                    notes.append("NOT NULL")
+                rows.append(
+                    (
+                        f.name,
+                        f.dataType.simpleString(),
+                        f.nullable,
+                        "; ".join(notes),
+                    )
+                )
             return self.spark.createDataFrame(
-                [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields],
-                "col_name STRING, data_type STRING, nullable BOOLEAN",
+                rows,
+                "col_name STRING, data_type STRING, nullable BOOLEAN, "
+                "extra STRING",
             )
         m = _VACUUM_RE.match(query)
         if m:

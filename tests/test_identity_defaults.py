@@ -443,3 +443,26 @@ def test_create_table_complex_types_and_replace_clears_copyinto(
             f"COPY INTO ld FROM '{land}' FILEFORMAT = PARQUET"
         ).first()
         assert (r2.num_loaded_files, r2.num_skipped_files) == (1, 0), stmt
+
+
+def test_describe_table_annotates_column_metadata(spark, repo, lsql):
+    """r12: DESCRIBE TABLE's `extra` column surfaces the write-time
+    surface a migrating user needs to see — identity allocator spec,
+    DEFAULT expression, GENERATED expression, NOT NULL."""
+    lsql.sql(
+        "CREATE TABLE t ("
+        "  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 7 "
+        "INCREMENT BY 2),"
+        "  k INT NOT NULL,"
+        "  s STRING DEFAULT 'x',"
+        "  v DOUBLE)"
+    )
+    lsql.sql("ALTER TABLE t ADD COLUMN k2 INT GENERATED ALWAYS AS (k + 1)")
+    got = {r.col_name: r.extra for r in lsql.sql("DESCRIBE TABLE t").collect()}
+    assert got["rid"] == (
+        "GENERATED ALWAYS AS IDENTITY (START WITH 7 INCREMENT BY 2)"
+    )
+    assert got["k"] == "NOT NULL"
+    assert got["s"] == "DEFAULT 'x'"
+    assert got["v"] == ""
+    assert got["k2"] == "GENERATED ALWAYS AS (k + 1)"
