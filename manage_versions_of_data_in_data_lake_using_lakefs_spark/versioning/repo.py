@@ -1077,16 +1077,35 @@ class LakeRepo:
 
     @staticmethod
     def _generated_names(smap: dict | None) -> set[str]:
-        """Live GENERATED column names: always recomputed on read, so a
-        write providing them would be silently ignored — rejected
-        loudly instead (Delta validates provided values; recompute-only
-        is the honest subset of that contract)."""
-        out: set[str] = set()
+        """Live GENERATED column names UNDER THEIR CURRENT SPELLING:
+        always recomputed on read, so a write providing them would be
+        silently shadowed — rejected loudly instead (Delta validates
+        provided values; recompute-only is the honest subset of that
+        contract). Rename-aware via ``_generated_exprs`` (r12 review:
+        the add_gen/drop-only replay lost track of a RENAMED generated
+        column, letting INSERT store a shadow value that read back
+        inconsistently against the recompute)."""
+        return set(LakeRepo._generated_exprs(smap))
+
+    @staticmethod
+    def _generated_exprs(smap: dict | None) -> dict[str, tuple[str, str]]:
+        """{current_lower_name: (current_name, expr)} of LIVE generated
+        columns — ONE schema-step replay (add_gen / rename-of-the-
+        column-itself / drop) shared by the write-rejection paths,
+        ``_gen_refs``, and DESCRIBE TABLE's annotations, so none of
+        them can drift on step semantics (r12 review)."""
+        out: dict[str, tuple[str, str]] = {}
         for st in (smap or {}).get("steps", []):
-            if st["op"] == "add_gen":
-                out.add(st["name"].lower())
-            elif st["op"] == "drop" and st["name"].lower() in out:
-                out.discard(st["name"].lower())
+            op = st["op"]
+            if op == "add_gen":
+                out[st["name"].lower()] = (st["name"], st["expr"])
+            elif op == "rename":
+                old = st["from"].lower()
+                if old in out:
+                    _disp, expr = out.pop(old)
+                    out[st["to"].lower()] = (st["to"], expr)
+            elif op == "drop":
+                out.pop(st["name"].lower(), None)
         return out
 
     @staticmethod
@@ -1400,26 +1419,19 @@ class LakeRepo:
 
     @staticmethod
     def _gen_refs(smap: dict | None, col: str) -> list[str]:
-        """Names of GENERATED columns whose expression mentions ``col``
-        (word-boundary match) — renaming/dropping the referenced column
-        would silently break the stored expression."""
+        """Current names of live GENERATED columns whose expression
+        mentions ``col`` (word-boundary match) — renaming/dropping the
+        referenced column would silently break the stored expression.
+        Shares the rename-aware replay (``_generated_exprs``)."""
         import re as _re
 
         pat = _re.compile(
             rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])", _re.I
         )
-        live: dict[str, str] = {}  # only gen columns not later dropped bind
-        for st in (smap or {}).get("steps", []):
-            if st["op"] == "add_gen":
-                live[st["name"].lower()] = st["name"]
-            elif st["op"] == "drop":
-                live.pop(st["name"].lower(), None)
         return [
-            name
-            for st in (smap or {}).get("steps", [])
-            if st["op"] == "add_gen"
-            and (name := live.get(st["name"].lower()))
-            and pat.search(st["expr"])
+            disp
+            for disp, expr in LakeRepo._generated_exprs(smap).values()
+            if pat.search(expr)
         ]
 
     def alter_add_generated_column(

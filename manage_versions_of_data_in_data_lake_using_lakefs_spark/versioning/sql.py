@@ -3523,14 +3523,12 @@ class LakeSQL:
                 self.spark, name, ref=self.branch, include_staged=True
             )
             meta = self.repo.column_metadata(name, self.branch)
-            gen_exprs: dict[str, str] = {}
-            for st in (
-                self.repo.table_schema_map(name, ref=self.branch) or {}
-            ).get("steps", []):
-                if st.get("op") == "add_gen":
-                    gen_exprs[st["name"].lower()] = st["expr"]
-                elif st.get("op") == "drop":
-                    gen_exprs.pop(st["name"].lower(), None)
+            gen_exprs = {
+                low: expr
+                for low, (_disp, expr) in self.repo._generated_exprs(
+                    self.repo.table_schema_map(name, ref=self.branch)
+                ).items()
+            }
             cons = self.repo.table_constraints(name, self.branch)
             rows = []
             for f in df.schema.fields:

@@ -466,3 +466,27 @@ def test_describe_table_annotates_column_metadata(spark, repo, lsql):
     assert got["s"] == "DEFAULT 'x'"
     assert got["v"] == ""
     assert got["k2"] == "GENERATED ALWAYS AS (k + 1)"
+
+
+def test_renamed_generated_column_stays_protected(spark, repo, lsql):
+    """r12 review: the generated-column replay is rename-aware — a
+    RENAMED generated column still refuses writes (previously INSERT
+    could store a shadow value that read back inconsistently against
+    the recompute), keeps recomputing on read under its new name, and
+    DESCRIBE still annotates it."""
+    lsql.sql("CREATE TABLE t AS SELECT 1 AS k")
+    lsql.sql("ALTER TABLE t ADD COLUMN k2 INT GENERATED ALWAYS AS (k + 1)")
+    lsql.sql("ALTER TABLE t RENAME COLUMN k2 TO k3")
+    # write protection follows the rename on every path
+    with pytest.raises(ValueError, match="GENERATED"):
+        lsql.sql("INSERT INTO t VALUES (5, 99)")
+    with pytest.raises(Exception, match="GENERATED|computed"):
+        lsql.sql("INSERT INTO t (k, k3) VALUES (5, 99)")
+    with pytest.raises(ValueError, match="GENERATED"):
+        lsql.sql("UPDATE t SET k3 = 9")
+    # the recompute rides the new name
+    lsql.sql("INSERT INTO t VALUES (5)")
+    got = {r.k: r.k3 for r in repo.read_table(spark, "t", "main").collect()}
+    assert got == {1: 2, 5: 6}
+    desc = {r.col_name: r.extra for r in lsql.sql("DESCRIBE t").collect()}
+    assert desc["k3"] == "GENERATED ALWAYS AS (k + 1)"
