@@ -79,7 +79,6 @@ from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
     DV_PREFIX,
-    _IDENTITY_BOUNDS,
     ConstraintViolation,
     DirtyBranchError,
     LakeRepo,
@@ -585,10 +584,11 @@ def _split_coldefs(s: str) -> list[str]:
     types keep their internal commas — ``m MAP<STRING, INT>, a INT`` is
     two definitions (r12 review: the paren-only splitter cut
     ``MAP<STRING`` in half and surfaced a fragment the user never
-    wrote). A ``<`` opens a bracket level only when glued to a word
-    character (``MAP<``, ``ARRAY<`` — Spark's generic-type spelling),
-    so a spaced comparison in a DEFAULT expression (``DEFAULT 1 < 2``)
-    never unbalances the scan."""
+    wrote). A ``<`` opens a bracket level only when the identifier
+    before it is a complex-type keyword (``ARRAY``/``MAP``/``STRUCT``,
+    glued or spaced), so a comparison in a DEFAULT expression
+    (``DEFAULT 1<2`` or ``DEFAULT 1 < 2``) never unbalances the scan
+    (r12 advice: the glued-word rule ate ``DEFAULT 1<2, b INT``)."""
     literals: list[str] = []
 
     def mask(m: re.Match) -> str:
@@ -597,14 +597,21 @@ def _split_coldefs(s: str) -> list[str]:
 
     masked = _LITERAL_RE.sub(mask, s)
     parts, depth, angle, cur = [], 0, 0, []
-    prev = ""
+    # '<' opens a generic-type bracket ONLY after a complex-type keyword
+    # (ARRAY<...>, MAP<...>, STRUCT<...>); a '<' after anything else is a
+    # comparison (e.g. DEFAULT 1<2) and must not swallow the next
+    # top-level comma
+    word: list[str] = []  # identifier being scanned
+    last_word = ""  # most recent completed identifier (survives spaces)
     for ch in masked:
         if ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif ch == "<" and (prev.isalnum() or prev == "_"):
-            angle += 1
+        elif ch == "<":
+            opener = ("".join(word) or last_word).upper()
+            if opener in ("ARRAY", "MAP", "STRUCT"):
+                angle += 1
         elif ch == ">" and angle > 0:
             angle -= 1
         if ch == "," and depth == 0 and angle == 0:
@@ -612,8 +619,14 @@ def _split_coldefs(s: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
-        if not ch.isspace():
-            prev = ch
+        if ch.isalnum() or ch == "_":
+            word.append(ch)
+        else:
+            if word:
+                last_word = "".join(word)
+                word = []
+            if not ch.isspace():
+                last_word = ""
     parts.append("".join(cur))
     return [
         _MASK_RE.sub(lambda m: literals[int(m.group(1))], p).strip()
@@ -976,6 +989,12 @@ class LakeSQL:
             if not files:
                 raise ValueError("COPY INTO: FILES = () names no files")
             for rel in files:
+                if os.path.isabs(rel):
+                    raise ValueError(
+                        f"COPY INTO: FILES entry {rel!r} is absolute — "
+                        "entries are relative to the FROM directory and "
+                        "may not reach outside it"
+                    )
                 bad = [
                     part
                     for part in rel.split(os.sep)
@@ -997,13 +1016,23 @@ class LakeSQL:
                 paths.append(full)
             paths.sort()
         elif pattern is not None:
+            if os.path.isabs(pattern) or ".." in pattern.split(os.sep):
+                raise ValueError(
+                    f"COPY INTO: PATTERN {pattern!r} is absolute or "
+                    "contains '..' — patterns match relative to the FROM "
+                    "directory and may not reach outside it"
+                )
             for hit in sorted(
                 globmod.glob(os.path.join(src, pattern), recursive=True)
             ):
+                rel_parts = os.path.relpath(hit, src).split(os.sep)
+                if ".." in rel_parts:
+                    # a symlinked match can still escape the landing dir
+                    continue
                 if os.path.isfile(hit) and all(
                     not part.startswith(("_", "."))
-                    for part in os.path.relpath(hit, src).split(os.sep)
-                    if part not in ("", ".", "..")
+                    for part in rel_parts
+                    if part not in ("", ".")
                 ):
                     paths.append(hit)
             if not paths:

@@ -305,3 +305,42 @@ def test_copy_into_files_and_pattern_spellings(spark, repo, tmp_path):
             f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
             f"PATTERN = 'zzz/*.parquet'"
         )
+
+
+def test_copy_into_files_pattern_cannot_escape_from_dir(spark, repo, tmp_path):
+    """r13 (ADVICE r12): FILES/PATTERN are relative-to-FROM by contract —
+    absolute FILES entries and '..'-bearing or absolute PATTERNs must be
+    rejected loudly, never silently load (and register forever) a file
+    outside the landing directory."""
+    land = str(tmp_path / "landing")
+    outside = str(tmp_path / "outside")
+    _land(spark, land, 0, 5)
+    _land(spark, outside, 100, 103)
+    out_file = next(
+        f for f in sorted(os.listdir(outside)) if f.endswith(".parquet")
+    )
+    sql = LakeSQL(spark, repo, "main")
+
+    with pytest.raises(ValueError, match="absolute"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"FILES = ('{outside}/{out_file}')"
+        )
+    with pytest.raises(ValueError, match="relative components"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"FILES = ('../outside/{out_file}')"
+        )
+    with pytest.raises(ValueError, match="outside"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"PATTERN = '../outside/*.parquet'"
+        )
+    with pytest.raises(ValueError, match="outside"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"PATTERN = '{outside}/*.parquet'"
+        )
+    # nothing was loaded or registered by the rejected statements
+    with pytest.raises(KeyError):
+        repo.read_table(spark, "t", "main")

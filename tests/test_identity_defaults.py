@@ -490,3 +490,20 @@ def test_renamed_generated_column_stays_protected(spark, repo, lsql):
     assert got == {1: 2, 5: 6}
     desc = {r.col_name: r.extra for r in lsql.sql("DESCRIBE t").collect()}
     assert desc["k3"] == "GENERATED ALWAYS AS (k + 1)"
+
+
+def test_create_table_glued_comparison_in_default(spark, repo, lsql):
+    """r13 (ADVICE r12): a GLUED comparison in a DEFAULT expression
+    (``DEFAULT 1<2``) must not open a generic-type bracket and swallow
+    the next top-level comma; ``<`` is a type opener only after
+    ARRAY/MAP/STRUCT (glued or spaced)."""
+    lsql.sql(
+        "CREATE TABLE gc ("
+        "  a BOOLEAN DEFAULT 1<2,"
+        "  b INT DEFAULT 7,"
+        "  arr ARRAY <INT>,"
+        "  c BOOLEAN DEFAULT (3>4))"
+    )
+    lsql.sql("INSERT INTO gc (arr) VALUES (array(1))")
+    [r] = repo.read_table(spark, "gc", "main").collect()
+    assert (r.a, r.b, list(r.arr), r.c) == (True, 7, [1], False)
