@@ -182,6 +182,51 @@ def q_versioned_delete_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_partitioned_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... PARTITIONED BY + SHOW PARTITIONS (r13, VERDICT
+    r12 #1): the declared-partitioning DDL path end-to-end. Orders land
+    via INSERT INTO a table created with ``PARTITIONED BY
+    (o_orderstatus)`` — the INSERT itself writes the Hive layout because
+    the spec is a table property every write path consults — then a
+    DELETE on the partition column drops the F partition WHOLESALE:
+    the O and P partition dirs carry into the new commit by reference.
+    Pins: ``parts_live`` (SHOW PARTITIONS output, post-delete) and
+    ``dirs_reused=2`` — a regression to whole-table rewrite flips the
+    reuse count to 0 and fails the hash check."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).createOrReplaceTempView("orders_src_pddl")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql(
+        "CREATE TABLE orders_p (o_orderkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderstatus STRING) PARTITIONED BY (o_orderstatus)"
+    )
+    lsql.sql(
+        "INSERT INTO orders_p SELECT o_orderkey, o_totalprice, "
+        "o_orderstatus FROM orders_src_pddl"
+    )
+    lsql.sql("DELETE FROM orders_p WHERE o_orderstatus = 'F'")
+    parts_live = ",".join(repo.show_partitions("orders_p", "main"))
+    reused = sum(
+        1
+        for f in repo.current_files("main", "orders_p")
+        if "=" in f.rsplit("/", 1)[-1]
+    )
+    return (
+        repo.read_table(spark, "orders_p", "main")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .withColumn("parts_live", F.lit(parts_live))
+        .withColumn("dirs_reused", F.lit(reused).cast("int"))
+    )
+
+
 def q_versioned_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK-constraint enforcement, driver-checkable: a constraint is
     added (validating the existing rows), a violating append is
@@ -753,6 +798,7 @@ VERSIONED_QUERIES = {
     "versioned_branch_merge": q_versioned_branch_merge,
     "versioned_incremental_agg": q_versioned_incremental_agg,
     "versioned_delete_prune": q_versioned_delete_prune,
+    "versioned_partitioned_ddl": q_versioned_partitioned_ddl,
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
     "vector_lake_search": q_vector_lake_search,
@@ -825,6 +871,19 @@ WHERE o_orderkey >=
       (SELECT (MAX(o_orderkey) // 4 + 1) // 2 FROM orders)
 """
 
+# survivors of the partition-wholesale DELETE are exactly a plain
+# status filter; parts_live pins SHOW PARTITIONS, dirs_reused=2 pins
+# that the O and P partition dirs carried by reference
+ORACLE_VERSIONED_PARTITIONED_DDL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_totalprice,
+       'o_orderstatus=O,o_orderstatus=P' AS parts_live,
+       CAST(2 AS INTEGER) AS dirs_reused
+FROM orders
+WHERE o_orderstatus <> 'F'
+"""
+
 # base rows (price > 0, i.e. all of them) + the clean append, and NOT
 # the rejected negative-price batch: the gate's accept/reject decisions
 # are fully replayed by a plain filter + union
@@ -870,6 +929,7 @@ VERSIONED_ORACLES = {
     "versioned_branch_merge": ORACLE_VERSIONED_BRANCH_MERGE,
     "versioned_incremental_agg": ORACLE_VERSIONED_INCREMENTAL_AGG,
     "versioned_delete_prune": ORACLE_VERSIONED_DELETE_PRUNE,
+    "versioned_partitioned_ddl": ORACLE_VERSIONED_PARTITIONED_DDL,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,

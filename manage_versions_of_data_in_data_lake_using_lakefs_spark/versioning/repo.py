@@ -78,6 +78,14 @@ class DirtyBranchError(Exception):
 #: DVs branch/merge/time-travel/vacuum/manifest-spill correct for free.
 DV_PREFIX = "__dv__"
 
+#: reserved TBLPROPERTIES key holding a table's declared PARTITIONED BY
+#: spec (comma-joined logical column names, declaration order). Riding
+#: tblprops means the spec branches, merges, clones, pushes, and
+#: time-travels through the existing object machinery — and is visible
+#: in SHOW TBLPROPERTIES, like Delta's partitionColumns in DESCRIBE
+#: DETAIL.
+PARTITION_PROP = "lakegraft.partition.columns"
+
 #: value ranges for identity-column allocation overflow guards (r12)
 _IDENTITY_BOUNDS = {
     "int": (-(2**31), 2**31 - 1),
@@ -406,12 +414,51 @@ class LakeRepo:
                         f"append to {table!r} changes column types: {clashes}; "
                         "overwrite instead or cast to the existing schema"
                     )
+        # a declared PARTITIONED BY spec applies to EVERY write path
+        # (INSERT, MERGE, COPY INTO, DML rewrites, OPTIMIZE) so the
+        # table's layout can never silently degrade to flat; an explicit
+        # conflicting partition_by raises rather than forking the layout
+        declared = (
+            []
+            if _internal or table.startswith(DV_PREFIX)
+            else self.table_partition_columns(table, branch)
+        )
+        if partition_by is None:
+            partition_by = declared or None
+        elif declared and [c.lower() for c in partition_by] != [
+            c.lower() for c in declared
+        ]:
+            raise ValueError(
+                f"write to {table!r}: partition_by={partition_by} conflicts "
+                f"with the declared PARTITIONED BY ({', '.join(declared)}) "
+                "spec — a mixed layout would fork the table's directory "
+                "structure"
+            )
+        if partition_by:
+            bycase = {c.lower(): c for c in df.columns}
+            missing = [c for c in partition_by if c.lower() not in bycase]
+            if missing:
+                raise ValueError(
+                    f"write to {table!r}: partition column(s) {missing} "
+                    "absent from the written frame"
+                )
+            partition_by = [bycase[c.lower()] for c in partition_by]
         file_id = new_id()
         out_dir = self._data_dir(table, file_id)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
+        if partition_by and not any(
+            fn.endswith(".parquet")
+            for _, _, fns in os.walk(out_dir)
+            for fn in fns
+        ):
+            # a 0-row frame under partitionBy writes no part-files at
+            # all (no partition dirs to create) — rewrite flat so the
+            # snapshot entry still carries the table schema for reads
+            shutil.rmtree(out_dir)
+            df.coalesce(1).write.mode("errorifexists").parquet(out_dir)
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import (
             add_bloom_stats,
             write_group_stats,
@@ -632,6 +679,12 @@ class LakeRepo:
 
         self._require_clean_for_alter(branch, "SET TBLPROPERTIES")
         self._require_table(branch, table)
+        if PARTITION_PROP in props:
+            raise ValueError(
+                f"TBLPROPERTIES key {PARTITION_PROP!r} is reserved for the "
+                "declared PARTITIONED BY spec — set it via CREATE TABLE "
+                "... PARTITIONED BY (...)"
+            )
         cur = self.table_properties(table, branch)
         cur.update({str(k): str(v) for k, v in props.items()})
         self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
@@ -652,6 +705,12 @@ class LakeRepo:
 
         self._require_clean_for_alter(branch, "UNSET TBLPROPERTIES")
         self._require_table(branch, table)
+        if PARTITION_PROP in keys:
+            raise ValueError(
+                f"TBLPROPERTIES key {PARTITION_PROP!r} is reserved for the "
+                "declared PARTITIONED BY spec — changing partitioning "
+                "requires recreating the table"
+            )
         cur = self.table_properties(table, branch)
         missing = [k for k in keys if k not in cur]
         if missing and not if_exists:
@@ -675,6 +734,68 @@ class LakeRepo:
             branch,
             f"UNSET TBLPROPERTIES ({', '.join(sorted(removed))}) ON {table}",
         )
+
+    # -- declared partitioning (r13): CREATE TABLE ... PARTITIONED BY -----
+
+    def table_partition_columns(
+        self, table: str, branch: str = "main", include_staged: bool = True
+    ) -> list[str]:
+        """The table's declared PARTITIONED BY columns (declaration
+        order), or [] for an undeclared table. Stored under the reserved
+        ``PARTITION_PROP`` tblproperties key so the spec rides branches,
+        merges, clones, pushes, and time travel for free."""
+        raw = self.table_properties(table, branch, include_staged).get(
+            PARTITION_PROP, ""
+        )
+        return [c for c in raw.split(",") if c]
+
+    def _stage_partition_spec(
+        self, branch: str, table: str, cols: list[str]
+    ) -> None:
+        """Stage the declared partition spec (no commit — the caller's
+        CREATE TABLE commit sweeps it in with the table itself)."""
+        import json
+
+        cur = self.table_properties(table, branch)
+        cur[PARTITION_PROP] = ",".join(cols)
+        self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
+
+    def show_partitions(self, table: str, branch: str = "main") -> list[str]:
+        """SHOW PARTITIONS: the table's live Hive partition directories
+        as ``k1=v1/k2=v2`` strings (Spark's SHOW PARTITIONS shape),
+        sorted. Metadata-only — walks the snapshot's directory entries,
+        zero file reads (the ANALYZE TABLE discipline)."""
+        self._require_table(branch, table)
+        if not self.table_partition_columns(table, branch):
+            raise ValueError(
+                f"SHOW PARTITIONS: table {table!r} has no declared "
+                "PARTITIONED BY spec (create it with CREATE TABLE ... "
+                "PARTITIONED BY (...))"
+            )
+        parts: set[str] = set()
+        for rel in self.current_files(branch, table):
+            full = os.path.join(self.root, rel)
+            # a pruned rewrite may have carried a partition SUBDIR (or a
+            # single part-file) by reference: its path already encodes
+            # leading partition segments
+            pre = [c for c in rel.split(os.sep) if "=" in c]
+            if os.path.isfile(full):
+                if pre:
+                    parts.add("/".join(pre))
+                continue
+            if not os.path.isdir(full):
+                continue
+            for dp, _dn, fns in os.walk(full):
+                if not any(fn.endswith(".parquet") for fn in fns):
+                    continue
+                segs = [
+                    c
+                    for c in os.path.relpath(dp, full).split(os.sep)
+                    if "=" in c
+                ]
+                if pre or segs:
+                    parts.add("/".join(pre + segs))
+        return sorted(parts)
 
     # -- column metadata: DEFAULT values + IDENTITY columns (r12) ---------
     # Stored as one versioned object per table (the constraints /
@@ -1499,6 +1620,16 @@ class LakeRepo:
                 f"cannot rename {old!r}: referenced by GENERATED column(s) "
                 f"{grefs}; drop them first"
             )
+        if old.lower() in (
+            c.lower() for c in self.table_partition_columns(table, branch)
+        ):
+            # existing Hive dirs are keyed `old=value`; a renamed spec
+            # would fork the directory layout (Delta blocks this too)
+            raise ValueError(
+                f"cannot rename {old!r}: it is a declared PARTITIONED BY "
+                f"column of {table!r} — changing partitioning requires "
+                "recreating the table"
+            )
         # a DEFAULT or identity registration follows the column to its
         # new name (r12 review: leaving it keyed under the old name
         # silently detached the default and orphaned the identity)
@@ -1548,6 +1679,14 @@ class LakeRepo:
             raise ValueError(
                 f"cannot drop {col!r}: referenced by GENERATED column(s) "
                 f"{grefs}; drop them first"
+            )
+        if col.lower() in (
+            c.lower() for c in self.table_partition_columns(table, branch)
+        ):
+            raise ValueError(
+                f"cannot drop {col!r}: it is a declared PARTITIONED BY "
+                f"column of {table!r} — changing partitioning requires "
+                "recreating the table"
             )
         # dropping a column retires its DEFAULT and identity
         # registration with it (r12 review: an orphaned identity entry

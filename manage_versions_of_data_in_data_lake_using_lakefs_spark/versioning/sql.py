@@ -439,13 +439,15 @@ _MERGE_ASSIGN_RE = re.compile(
     re.DOTALL,
 )
 _CTAS_RE = re.compile(
-    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<table>{_IDENT})\s+AS\s+"
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<table>{_IDENT})\s+"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>[^()]+?)\s*\)\s+)?AS\s+"
     r"(?P<select>SELECT\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_SCHEMA_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
-    rf"(?P<table>{_IDENT})\s*\(\s*(?P<cols>.+)\s*\)\s*;?\s*$",
+    rf"(?P<table>{_IDENT})\s*\(\s*(?P<cols>.+?)\s*\)"
+    r"(?:\s*PARTITIONED\s+BY\s*\(\s*(?P<parts>[^()]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 def _parse_coldef(part: str) -> tuple[str, str, str] | None:
@@ -530,6 +532,9 @@ _USE_BRANCH_RE = re.compile(
     rf"^\s*USE\s+BRANCH\s+(?P<name>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_BRANCHES_RE = re.compile(r"^\s*SHOW\s+BRANCHES\s*;?\s*$", re.IGNORECASE)
+_SHOW_PARTITIONS_RE = re.compile(
+    rf"^\s*SHOW\s+PARTITIONS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 _COMMIT_RE = re.compile(
     r"^\s*COMMIT(?:\s+MESSAGE\s+(?P<msg>'(?:[^'\\]|''|\\.)*'))?\s*;?\s*$",
     re.IGNORECASE,
@@ -632,6 +637,37 @@ def _split_coldefs(s: str) -> list[str]:
         _MASK_RE.sub(lambda m: literals[int(m.group(1))], p).strip()
         for p in parts
     ]
+
+
+def _parse_partition_spec(
+    parts_text: str | None, columns: list[str]
+) -> list[str]:
+    """Validate a ``PARTITIONED BY (c, ...)`` column list against the
+    table's columns; returns the spec resolved to the declared column
+    casing (Hive dir names must match the stored schema exactly)."""
+    if not parts_text:
+        return []
+    bycase = {c.lower(): c for c in columns}
+    seen: set[str] = set()
+    out: list[str] = []
+    for c in (p.strip() for p in parts_text.split(",")):
+        if not re.fullmatch(_IDENT, c):
+            raise ValueError(f"PARTITIONED BY: bad column name {c!r}")
+        if c.lower() in seen:
+            raise ValueError(f"PARTITIONED BY: duplicate column {c!r}")
+        seen.add(c.lower())
+        if c.lower() not in bycase:
+            raise ValueError(
+                f"PARTITIONED BY: column {c!r} is not in the table "
+                f"schema {sorted(columns)}"
+            )
+        out.append(bycase[c.lower()])
+    if out and len(out) == len(columns):
+        raise ValueError(
+            "PARTITIONED BY: cannot partition by every column (no data "
+            "columns would remain in the files)"
+        )
+    return out
 
 
 def _first_match_sel(conds: list[str | None]) -> str:
@@ -2351,10 +2387,19 @@ class LakeSQL:
             [(table, version, rows)], "table STRING, version INT, rows_affected BIGINT"
         )
 
-    def _ctas(self, table: str, select: str, replace: bool) -> DataFrame:
-        """CREATE [OR REPLACE] TABLE t AS SELECT ... — the SELECT runs
-        through the full rewriter (time travel and repo refs work), the
-        result is staged as an overwrite and committed in one step."""
+    def _ctas(
+        self,
+        table: str,
+        select: str,
+        replace: bool,
+        parts_text: str | None = None,
+    ) -> DataFrame:
+        """CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)] AS
+        SELECT ... — the SELECT runs through the full rewriter (time
+        travel and repo refs work), the result is staged as an overwrite
+        and committed in one step. A PARTITIONED BY spec (r13) is stored
+        as a reserved tblproperty and applies to this and EVERY future
+        write of the table (INSERT/MERGE/COPY INTO/DML rewrites)."""
         existing = {t.lower() for t in self.repo.list_tables(self.branch)}
         if table.lower() in existing and not replace:
             raise ValueError(
@@ -2363,6 +2408,7 @@ class LakeSQL:
             )
         name = self._resolve_table(table) if table.lower() in existing else table.lower()
         df = self.sql(select)
+        parts = _parse_partition_spec(parts_text, df.columns)
         rows = df.count()
         # snapshot staged state up front (cheap ref reads) so ANY failed
         # CTAS rolls back to exactly what it found — for REPLACE that
@@ -2394,6 +2440,10 @@ class LakeSQL:
             self.repo._drop_colmeta_object(self.branch, name)
             self.repo._drop_copyinto_object(self.branch, name)
         try:
+            if parts:
+                # staged FIRST so write_table's spec lookup partitions
+                # this very write; props_snap above rolls it back
+                self.repo._stage_partition_spec(self.branch, name, parts)
             self.repo.write_table(self.branch, name, df, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
         except Exception:
@@ -2407,17 +2457,23 @@ class LakeSQL:
         return self._dml_result(name, c.version, rows)
 
     def _create_table_schema(
-        self, table: str, cols_text: str, replace: bool
+        self,
+        table: str,
+        cols_text: str,
+        replace: bool,
+        parts_text: str | None = None,
     ) -> DataFrame:
         """``CREATE [OR REPLACE] TABLE t (col TYPE [GENERATED ALWAYS AS
         IDENTITY [(START WITH s [INCREMENT BY k])] | DEFAULT expr] [NOT
-        NULL], ...)`` (r12) — the explicit-schema creation Delta users
-        write, and Delta's CANONICAL home for IDENTITY declarations
-        (Delta only allows identity at CREATE TABLE; the ALTER spelling
-        remains this engine's extension for existing tables). Creates
-        an EMPTY versioned table in one commit with identity/default
-        registrations and NOT NULL (stored as the equivalent CHECK
-        constraint, enforced by the existing write-path machinery)."""
+        NULL], ...) [PARTITIONED BY (c, ...)]`` (r12; PARTITIONED BY
+        r13) — the explicit-schema creation Delta users write, and
+        Delta's CANONICAL home for IDENTITY declarations (Delta only
+        allows identity at CREATE TABLE; the ALTER spelling remains this
+        engine's extension for existing tables). Creates an EMPTY
+        versioned table in one commit with identity/default
+        registrations, NOT NULL (stored as the equivalent CHECK
+        constraint, enforced by the existing write-path machinery), and
+        the declared partition spec (honored by every future write)."""
         import json
 
         existing = {t.lower() for t in self.repo.list_tables(self.branch)}
@@ -2494,6 +2550,14 @@ class LakeSQL:
                     "IDENTITY and DEFAULT"
                 )
             defs.append((col, typ))
+        parts = _parse_partition_spec(parts_text, [c for c, _ in defs])
+        for p in parts:
+            if p.lower() in identity:
+                raise ValueError(
+                    f"PARTITIONED BY: column {p!r} is IDENTITY — "
+                    "partitioning on an engine-allocated monotonic key "
+                    "would create one directory per row"
+                )
         ddl = ", ".join(f"`{c}` {t}" for c, t in defs)
         # schema validation (raises on garbage types) + the empty frame
         # (coalesced: no point writing an empty table with one task per
@@ -2528,7 +2592,12 @@ class LakeSQL:
                 self.repo._drop_tblprops_object(self.branch, name)
                 self.repo._drop_colmeta_object(self.branch, name)
                 self.repo._drop_copyinto_object(self.branch, name)
+            # the empty write stays FLAT on purpose (a 0-row partitionBy
+            # write produces no schema-carrier file); the spec is staged
+            # right after, so the first INSERT partitions
             self.repo.write_table(self.branch, name, empty, mode="overwrite")
+            if parts:
+                self.repo._stage_partition_spec(self.branch, name, parts)
             if identity or defaults:
                 self.repo.put_object(
                     self.branch,
@@ -3626,6 +3695,13 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 rows, "branch STRING, head_commit STRING, version INT"
             )
+        m = _SHOW_PARTITIONS_RE.match(query)
+        if m:
+            name = self._resolve_table(m.group("table"))
+            parts = self.repo.show_partitions(name, self.branch)
+            return self.spark.createDataFrame(
+                [(p,) for p in parts], "partition STRING"
+            )
         m = _COMMIT_RE.match(query)
         if m:
             lit = m.group("msg")
@@ -3655,12 +3731,18 @@ class LakeSQL:
         m = _CTAS_RE.match(query)
         if m:
             return self._ctas(
-                m.group("table"), m.group("select"), bool(m.group("replace"))
+                m.group("table"),
+                m.group("select"),
+                bool(m.group("replace")),
+                m.group("parts"),
             )
         m = _CREATE_SCHEMA_RE.match(query)
         if m:
             return self._create_table_schema(
-                m.group("table"), m.group("cols"), bool(m.group("replace"))
+                m.group("table"),
+                m.group("cols"),
+                bool(m.group("replace")),
+                m.group("parts"),
             )
         m = _INSERT_RE.match(query)
         if m:

@@ -1,0 +1,174 @@
+"""CREATE TABLE ... PARTITIONED BY + SHOW PARTITIONS (r13, VERDICT r12
+#1): the declared-partitioning DDL surface. The spec rides a reserved
+TBLPROPERTIES key (branch/merge/clone/push/time-travel for free), every
+write path honors it (INSERT / MERGE / COPY INTO / DML rewrites), DML on
+the partition column carries untouched partition dirs by reference, and
+SHOW PARTITIONS lists live Hive dirs metadata-only."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
+    PARTITION_PROP,
+    LakeRepo,
+)
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+@pytest.fixture()
+def lsql(spark, repo):
+    return LakeSQL(spark, repo, "main")
+
+
+def _parts(lsql, table):
+    return [r.partition for r in lsql.sql(f"SHOW PARTITIONS {table}").collect()]
+
+
+def test_create_insert_show_partitions_and_pruned_dml(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t (k INT, v STRING, p INT) PARTITIONED BY (p)")
+    assert repo.table_partition_columns("t", "main") == ["p"]
+    # empty table: no live partitions yet, but reads carry the schema
+    assert _parts(lsql, "t") == []
+    assert repo.read_table(spark, "t", "main").columns == ["k", "v", "p"]
+
+    lsql.sql(
+        "INSERT INTO t SELECT CAST(id AS INT), CONCAT('v', id), "
+        "CAST(id % 3 AS INT) FROM range(300)"
+    )
+    assert _parts(lsql, "t") == ["p=0", "p=1", "p=2"]
+
+    # partition-column DELETE: untouched partition dirs carried by
+    # reference (the pruned-rewrite pin, mirroring versioned_delete_prune)
+    res = lsql.sql("DELETE FROM t WHERE p = 1").collect()[0]
+    assert res.rows_affected == 100
+    carried = [
+        f for f in repo.current_files("main", "t") if "=" in f.rsplit("/", 1)[-1]
+    ]
+    assert sorted(f.rsplit("/", 1)[-1] for f in carried) == ["p=0", "p=2"]
+    assert _parts(lsql, "t") == ["p=0", "p=2"]
+
+    # pruned read on the partition column scans fewer files
+    pr = repo.read_table(spark, "t", "main", prune_where="p = 2")
+    full = repo.read_table(spark, "t", "main")
+    assert len(pr.inputFiles()) < len(full.inputFiles())
+    assert pr.filter("p = 2").count() == 100
+    assert full.count() == 200
+
+
+def test_every_write_path_honors_the_spec(spark, repo, lsql, tmp_path):
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql("INSERT INTO t VALUES (1, 0), (2, 1)")
+    # MERGE INTO rewrites keep the layout
+    lsql.sql(
+        "MERGE INTO t USING (SELECT 2 AS k, 7 AS delta) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET k = t.k + s.delta "
+        "WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, 2)"
+    )
+    assert _parts(lsql, "t") == ["p=0", "p=1"]
+    # COPY INTO appends partition too
+    land = str(tmp_path / "landing")
+    spark.createDataFrame([(50, 5)], "k INT, p INT").coalesce(1).write.parquet(
+        land
+    )
+    lsql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+    assert _parts(lsql, "t") == ["p=0", "p=1", "p=5"]
+    got = sorted(
+        tuple(r) for r in repo.read_table(spark, "t", "main").collect()
+    )
+    assert got == [(1, 0), (9, 1), (50, 5)]
+    # every data-bearing snapshot entry is Hive-partitioned
+    for rel in repo.current_files("main", "t"):
+        full = os.path.join(repo.root, rel)
+        pqs = [
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(full)
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+        sized = [p for p in pqs if os.path.getsize(p) > 0]
+        assert all("p=" in p for p in sized) or not sized
+
+
+def test_ctas_partitioned_and_delete_all_keeps_schema(spark, repo, lsql):
+    lsql.sql(
+        "CREATE TABLE t2 PARTITIONED BY (p) AS "
+        "SELECT id AS k, CAST(id % 2 AS INT) AS p FROM range(10)"
+    )
+    assert repo.table_partition_columns("t2", "main") == ["p"]
+    assert _parts(lsql, "t2") == ["p=0", "p=1"]
+    # a rewrite to 0 rows must still leave a readable, schema-carrying
+    # snapshot (0-row partitionBy writes produce no files at all)
+    res = lsql.sql("DELETE FROM t2").collect()[0]
+    assert res.rows_affected == 10
+    t2 = repo.read_table(spark, "t2", "main")
+    assert t2.count() == 0 and t2.columns == ["k", "p"]
+    assert _parts(lsql, "t2") == []
+
+
+def test_spec_rides_branches_merges_and_time_travel(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql("INSERT INTO t VALUES (1, 0)")
+    repo.create_branch("dev", "main")
+    dev = LakeSQL(spark, repo, "dev")
+    dev.sql("INSERT INTO t VALUES (2, 9)")
+    assert repo.table_partition_columns("t", "dev") == ["p"]
+    assert _parts(dev, "t") == ["p=0", "p=9"]
+    assert _parts(lsql, "t") == ["p=0"]  # main unaffected pre-merge
+    repo.merge(spark, "dev", "main")
+    assert _parts(lsql, "t") == ["p=0", "p=9"]
+    # time travel: the old snapshot still reads (per-group basePath)
+    v_now = repo.head("main").version
+    old = repo.read_table(spark, "t", "main", version_as_of=v_now - 1)
+    assert sorted(tuple(r) for r in old.collect()) == [(1, 0)]
+
+
+def test_partitioning_guards(spark, repo, lsql):
+    with pytest.raises(ValueError, match="every column"):
+        lsql.sql("CREATE TABLE b1 (a INT) PARTITIONED BY (a)")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        lsql.sql("CREATE TABLE b2 (a INT, b INT) PARTITIONED BY (zz)")
+    with pytest.raises(ValueError, match="duplicate"):
+        lsql.sql("CREATE TABLE b3 (a INT, b INT, c INT) PARTITIONED BY (b, b)")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        lsql.sql(
+            "CREATE TABLE b4 (a INT GENERATED ALWAYS AS IDENTITY, b INT) "
+            "PARTITIONED BY (a)"
+        )
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql("CREATE TABLE flat (k INT)")
+    with pytest.raises(ValueError, match="no declared"):
+        lsql.sql("SHOW PARTITIONS flat")
+    # the partition column is pinned: no rename, no drop, no prop edits
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        repo.alter_rename_column(spark, "main", "t", "p", "q")
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        repo.alter_drop_column(spark, "main", "t", "p")
+    with pytest.raises(ValueError, match="reserved"):
+        repo.set_table_properties("main", "t", {PARTITION_PROP: "k"})
+    with pytest.raises(ValueError, match="reserved"):
+        repo.unset_table_properties("main", "t", [PARTITION_PROP])
+    # a conflicting explicit partition_by forks the layout -> refused
+    df = spark.createDataFrame([(1, 2)], "k INT, p INT")
+    with pytest.raises(ValueError, match="conflicts"):
+        repo.write_table("main", "t", df, partition_by=["k"])
+    # a frame missing the partition column is refused loudly
+    with pytest.raises(ValueError, match="absent"):
+        repo.write_table("main", "t", df.select("k"), mode="append")
+
+
+def test_replace_clears_the_spec(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql("CREATE OR REPLACE TABLE t (k INT, p INT)")
+    assert repo.table_partition_columns("t", "main") == []
+    lsql.sql("INSERT INTO t VALUES (1, 1)")
+    with pytest.raises(ValueError, match="no declared"):
+        lsql.sql("SHOW PARTITIONS t")
