@@ -227,6 +227,45 @@ def q_versioned_partitioned_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_view_truncate_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Versioned views + TRUNCATE TABLE + DEEP CLONE (r13, VERDICT r12
+    #2/#6) end-to-end: a stored VIEW re-binds to the branch's CURRENT
+    state (pre-truncate it sees the filtered rows, post-truncate zero),
+    TRUNCATE empties the table schema-preservingly in one commit, and a
+    DEEP CLONE taken before the truncate keeps its OWN full copy —
+    proving clone/source file independence. Every emitted value is a
+    pure function of the orders table, so the whole flow oracles."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("orders_src_vtc")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("CREATE TABLE t AS SELECT * FROM orders_src_vtc")
+    lsql.sql(
+        "CREATE VIEW high AS SELECT o_orderkey, o_totalprice FROM t "
+        "WHERE o_totalprice > 100000.0"
+    )
+    n_view_pre = lsql.sql("SELECT COUNT(*) AS n FROM high").first().n
+    lsql.sql("CREATE TABLE d DEEP CLONE t")
+    truncated = lsql.sql("TRUNCATE TABLE t").first().rows_affected
+    n_view_post = lsql.sql("SELECT COUNT(*) AS n FROM high").first().n
+    return (
+        repo.read_table(spark, "d", "main")
+        .agg(
+            F.count(F.lit(1)).alias("n_clone"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("sum_clone"),
+        )
+        .withColumn("n_view_pre", F.lit(n_view_pre).cast("long"))
+        .withColumn("n_view_post", F.lit(n_view_post).cast("long"))
+        .withColumn("truncated", F.lit(truncated).cast("long"))
+    )
+
+
 def q_versioned_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK-constraint enforcement, driver-checkable: a constraint is
     added (validating the existing rows), a violating append is
@@ -799,6 +838,7 @@ VERSIONED_QUERIES = {
     "versioned_incremental_agg": q_versioned_incremental_agg,
     "versioned_delete_prune": q_versioned_delete_prune,
     "versioned_partitioned_ddl": q_versioned_partitioned_ddl,
+    "versioned_view_truncate_clone": q_versioned_view_truncate_clone,
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
     "vector_lake_search": q_vector_lake_search,
@@ -884,6 +924,20 @@ FROM orders
 WHERE o_orderstatus <> 'F'
 """
 
+# the deep clone is a faithful full copy (count+sum of ALL orders), the
+# view sees the filtered rows before the truncate and zero after, the
+# truncate reports the full row count
+ORACLE_VERSIONED_VIEW_TRUNCATE_CLONE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clone,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_clone,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > 100000.0)
+            AS BIGINT) AS n_view_pre,
+       CAST(0 AS BIGINT) AS n_view_post,
+       CAST(COUNT(*) AS BIGINT) AS truncated
+FROM orders
+"""
+
 # base rows (price > 0, i.e. all of them) + the clean append, and NOT
 # the rejected negative-price batch: the gate's accept/reject decisions
 # are fully replayed by a plain filter + union
@@ -930,6 +984,7 @@ VERSIONED_ORACLES = {
     "versioned_incremental_agg": ORACLE_VERSIONED_INCREMENTAL_AGG,
     "versioned_delete_prune": ORACLE_VERSIONED_DELETE_PRUNE,
     "versioned_partitioned_ddl": ORACLE_VERSIONED_PARTITIONED_DDL,
+    "versioned_view_truncate_clone": ORACLE_VERSIONED_VIEW_TRUNCATE_CLONE,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,

@@ -797,6 +797,128 @@ class LakeRepo:
                     parts.add("/".join(pre + segs))
         return sorted(parts)
 
+    # -- versioned views (r13): CREATE [OR REPLACE] VIEW -------------------
+    # A view is its SELECT text, stored as a versioned object
+    # (`_views/<name>.json`) — so views ride branches, commits, merges,
+    # diffs, pushes, and time travel through the existing object
+    # machinery, exactly like CHECK constraints and TBLPROPERTIES do.
+    # Expansion happens at query time in LakeSQL (the text re-binds to
+    # the CURRENT branch state, standard view semantics).
+
+    @staticmethod
+    def _view_path(name: str) -> str:
+        return f"_views/{name}.json"
+
+    def list_views(
+        self, branch: str = "main", include_staged: bool = True
+    ) -> dict[str, str]:
+        """{view_name: select_text} in effect on a ref — the committed
+        snapshot overlaid with staged object puts/deletes."""
+        import json
+
+        paths = {
+            p for p in self._resolve(branch).objects if p.startswith("_views/")
+        }
+        if include_staged and os.path.exists(self._ref_file(branch)):
+            for p, e in self._staged_objects(self._read_ref(branch)).items():
+                if not p.startswith("_views/"):
+                    continue
+                if e["op"] == "delete":
+                    paths.discard(p)
+                else:
+                    paths.add(p)
+        out: dict[str, str] = {}
+        for p in sorted(paths):
+            name = p[len("_views/") : -len(".json")]
+            out[name] = json.loads(
+                self.get_object(p, branch, include_staged=include_staged)
+            )["sql"]
+        return out
+
+    def put_view(
+        self, branch: str, name: str, sql_text: str, replace: bool = False
+    ) -> "Commit":
+        """CREATE [OR REPLACE] VIEW — store the SELECT text in a
+        metadata-only commit (clean-branch gated like every ALTER, so
+        the commit can never sweep unrelated staged work in)."""
+        import json
+
+        self._require_clean_for_alter(branch, f"CREATE VIEW {name}")
+        low = name.lower()
+        if low in {t.lower() for t in self.list_tables(branch)}:
+            raise ValueError(
+                f"cannot CREATE VIEW {name!r}: a table of that name "
+                f"exists on {branch!r}"
+            )
+        exists = low in self.list_views(branch)
+        if exists and not replace:
+            raise ValueError(
+                f"view {name!r} already exists on {branch!r}; use "
+                "CREATE OR REPLACE VIEW"
+            )
+        self.put_object(branch, self._view_path(low), json.dumps({"sql": sql_text}))
+        verb = "CREATE OR REPLACE VIEW" if exists else "CREATE VIEW"
+        return self.commit(branch, f"SQL: {verb} {low}")
+
+    def drop_view(self, branch: str, name: str) -> "Commit":
+        """DROP VIEW — a metadata-only commit; missing views raise."""
+        self._require_clean_for_alter(branch, f"DROP VIEW {name}")
+        low = name.lower()
+        if low not in self.list_views(branch):
+            raise KeyError(f"no view {name!r} on {branch!r}")
+        self.delete_object(branch, self._view_path(low))
+        return self.commit(branch, f"SQL: DROP VIEW {low}")
+
+    def deep_clone_table(
+        self, spark: SparkSession, branch: str, src: str, dst: str
+    ) -> "Commit":
+        """CREATE TABLE dst DEEP CLONE src (Delta parity): materialize
+        an independent COPY of src's current rows plus its logical
+        definition — CHECK constraints, TBLPROPERTIES (including the
+        declared partition spec, so the clone's files land partitioned),
+        and column DEFAULT/IDENTITY registrations (the identity
+        high-water mark carries, so inserts into the clone continue the
+        sequence). Unlike SHALLOW CLONE the new table owns its files:
+        vacuuming either table can never reclaim the other's data — the
+        reason deep clone exists. Deletion-vectored rows are excluded by
+        the read itself; schema-mapped columns (renames, generated
+        columns) materialize under their CURRENT logical names as
+        stored columns — the clone starts with a clean physical schema."""
+        import json
+
+        self._require_clean_for_alter(branch, f"DEEP CLONE {src}")
+        head = self.get_commit(self._read_ref(branch)["head"])
+        if src not in head.tables:
+            raise KeyError(f"table {src} not on {branch}")
+        if dst in head.tables:
+            raise ValueError(f"table {dst!r} already exists on {branch!r}")
+        df = self.read_table(spark, src, ref=branch)
+        try:
+            # definition objects staged FIRST so the data write itself
+            # honors the carried partition spec
+            props = self.table_properties(src, branch)
+            if props:
+                self.put_object(
+                    branch, self._tblprops_path(dst), json.dumps(props)
+                )
+            cons = self.table_constraints(src, branch)
+            if cons:
+                self.put_object(
+                    branch, self._constraints_path(dst), json.dumps(cons)
+                )
+            meta = self.column_metadata(src, branch)
+            if meta.get("defaults") or meta.get("identity"):
+                self.put_object(
+                    branch, self._colmeta_path(dst), json.dumps(meta)
+                )
+            self.write_table(branch, dst, df, mode="overwrite")
+            return self.commit(branch, f"SQL: CREATE TABLE {dst} DEEP CLONE {src}")
+        except Exception:
+            # the branch was clean on entry (alter gate), so a reset
+            # rolls back exactly this clone's staged definition + data
+            self.reset(branch)
+            raise
+
     # -- column metadata: DEFAULT values + IDENTITY columns (r12) ---------
     # Stored as one versioned object per table (the constraints /
     # tblprops discipline), so defaults and identity high-water marks

@@ -240,10 +240,22 @@ _COPY_INTO_RE = re.compile(
 _QUOTED_ITEM_RE = re.compile(r"'([^']*)'")
 _OPT_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _CLONE_RE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?P<dst>{_IDENT})\s+SHALLOW\s+CLONE\s+"
+    rf"^\s*CREATE\s+TABLE\s+(?P<dst>{_IDENT})\s+(?P<kind>SHALLOW|DEEP)\s+CLONE\s+"
     rf"(?P<src>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+_TRUNCATE_RE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_CREATE_VIEW_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>{_IDENT})\s+AS\s+"
+    r"(?P<select>SELECT\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    rf"^\s*DROP\s+VIEW\s+(?P<name>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
 _COPY_TABLE_TO_RE = re.compile(
     rf"^\s*COPY\s+(?P<table>{_IDENT})\s+TO\s+'(?P<path>[^']+)'"
     r"(?:\s+FORMAT\s+(?P<fmt>CSV|PARQUET|ORC|JSON))?"
@@ -2406,6 +2418,11 @@ class LakeSQL:
                 f"table {table!r} already exists on {self.branch!r}; "
                 "use CREATE OR REPLACE TABLE"
             )
+        if table.lower() in self.repo.list_views(self.branch):
+            raise ValueError(
+                f"cannot CREATE TABLE {table!r}: a view of that name "
+                f"exists on {self.branch!r} (DROP VIEW it first)"
+            )
         name = self._resolve_table(table) if table.lower() in existing else table.lower()
         df = self.sql(select)
         parts = _parse_partition_spec(parts_text, df.columns)
@@ -2481,6 +2498,11 @@ class LakeSQL:
             raise ValueError(
                 f"table {table!r} already exists on {self.branch!r}; "
                 "use CREATE OR REPLACE TABLE"
+            )
+        if table.lower() in self.repo.list_views(self.branch):
+            raise ValueError(
+                f"cannot CREATE TABLE {table!r}: a view of that name "
+                f"exists on {self.branch!r} (DROP VIEW it first)"
             )
         name = (
             self._resolve_table(table)
@@ -3500,12 +3522,64 @@ class LakeSQL:
             )
         m = _CLONE_RE.match(query)
         if m:
-            c = self.repo.clone_table(
-                self.branch, self._resolve_table(m.group("src")), m.group("dst").lower()
+            src = self._resolve_table(m.group("src"))
+            dst = m.group("dst").lower()
+            if m.group("kind").upper() == "DEEP":
+                c = self.repo.deep_clone_table(self.spark, self.branch, src, dst)
+            else:
+                c = self.repo.clone_table(self.branch, src, dst)
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _TRUNCATE_RE.match(query)
+        if m:
+            name = self._resolve_table(m.group("table"))
+            cur = self.repo.read_table(
+                self.spark, name, self.branch, include_staged=True
+            )
+            n = cur.count()
+            empty = self.spark.createDataFrame([], cur.schema).coalesce(1)
+            self.repo.write_table(self.branch, name, empty, mode="overwrite")
+            c = self.repo.commit(self.branch, f"SQL: TRUNCATE TABLE {name}")
+            return self._dml_result(name, c.version, n)
+        m = _CREATE_VIEW_RE.match(query)
+        if m:
+            select = m.group("select")
+            # analyze NOW against current branch state (Spark validates
+            # view text at creation) — a bad reference raises here, not
+            # at first read; the DataFrame itself is discarded. The
+            # view's own name rides the expansion stack during the
+            # check, so a REPLACE that would close a reference cycle
+            # (a -> b -> a) is refused at creation, not at first query.
+            stack: set = self.__dict__.setdefault("_view_stack", set())
+            low = m.group("name").lower()
+            stack.add(low)
+            try:
+                self.sql(select)
+            finally:
+                stack.discard(low)
+            c = self.repo.put_view(
+                self.branch,
+                m.group("name"),
+                select,
+                replace=bool(m.group("replace")),
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
+            )
+        m = _DROP_VIEW_RE.match(query)
+        if m:
+            c = self.repo.drop_view(self.branch, m.group("name"))
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        if _SHOW_VIEWS_RE.match(query):
+            rows = sorted(self.repo.list_views(self.branch).items())
+            return self.spark.createDataFrame(
+                rows, "view_name STRING, view_text STRING"
             )
         m = _ADD_IDENTITY_RE.match(query)
         if m:
@@ -3778,12 +3852,13 @@ class LakeSQL:
         masked = _LITERAL_RE.sub(mask, query)
 
         # 1b) backticked identifiers: normalize `t` → t for repo tables
-        #     ONLY in table position (directly after FROM/JOIN) so they
-        #     resolve like bare refs, then mask every remaining backticked
-        #     identifier — a backticked COLUMN named like a repo table,
-        #     and any non-table identifier, must survive the bare-name
-        #     rewrite untouched
-        for t in self.repo.list_tables(self.branch):
+        #     AND stored views ONLY in table position (directly after
+        #     FROM/JOIN) so they resolve like bare refs, then mask every
+        #     remaining backticked identifier — a backticked COLUMN
+        #     named like a repo table, and any non-table identifier,
+        #     must survive the bare-name rewrite untouched
+        stored_views = self.repo.list_views(self.branch)
+        for t in [*self.repo.list_tables(self.branch), *stored_views]:
             masked = re.sub(
                 rf"(\b(?:FROM|JOIN)\s+)`{re.escape(t)}`",
                 lambda m, t=t: m.group(1) + t,
@@ -3838,6 +3913,31 @@ class LakeSQL:
         #    null-producing side would make skipped files ADD rows), as
         #    is any query where the table appears more than once (a
         #    pruned view would also feed the self-referencing subquery).
+        # 2b) stored views expand by name: the view's SELECT text runs
+        #     through a full nested sql() call (its own table refs, time
+        #     travel, and nested views all resolve against the CURRENT
+        #     branch state — standard view semantics), lands as a scoped
+        #     temp view, and the bare name is rewritten to it. The
+        #     scoped name has no word-boundary match for the view name
+        #     (underscores are word chars), so the table loop below
+        #     can't touch it. A self-referential chain raises loudly.
+        stack: set = self.__dict__.setdefault("_view_stack", set())
+        for v, text in stored_views.items():
+            vpat = re.compile(rf"\b{re.escape(v)}\b", re.IGNORECASE)
+            if not vpat.search(rewritten):
+                continue
+            if v in stack:
+                raise ValueError(
+                    f"view {v!r} participates in a self-referential "
+                    "expansion cycle"
+                )
+            stack.add(v)
+            try:
+                self.sql(text).createOrReplaceTempView(f"lake__view__{v}")
+            finally:
+                stack.discard(v)
+            rewritten = vpat.sub(f"lake__view__{v}", rewritten)
+
         auto_prune = self._auto_prune_where(query)
         for t in self.repo.list_tables(self.branch):
             pat = re.compile(rf"\b{re.escape(t)}\b", re.IGNORECASE)

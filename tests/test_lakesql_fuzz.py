@@ -176,3 +176,103 @@ def test_split_top_level_roundtrips_assignments(exprs):
     assigns = [f"c{i} = {e}" for i, e in enumerate(exprs)]
     out = _split_top_level(", ".join(assigns))
     assert out == assigns
+
+
+# stored-view rewriter (r13) ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def view_env(spark):
+    """A repo with a stored VIEW over events, plus an oracle temp view
+    pinned to the same rows through the plain API (no rewriting)."""
+    tmp = tempfile.mkdtemp(prefix="lakesql_viewfuzz_")
+    repo = LakeRepo.init(tmp + "/lake")
+    df = spark.range(10).selectExpr("id", "CAST(id * 10 AS STRING) AS val")
+    repo.write_table("main", "events", df)
+    repo.commit("main", "v1")
+    lsql = LakeSQL(spark, repo)
+    lsql.sql("CREATE VIEW recent AS SELECT id, val FROM events WHERE id >= 5")
+    repo.read_table(spark, "events", ref="main").where(
+        "id >= 5"
+    ).createOrReplaceTempView("oracle_recent")
+    return spark, lsql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ws=_WS,
+    spelling=st.sampled_from(
+        ["recent", "RECENT", "Recent", "`recent`", "`Recent`"]
+    ),
+    lit=st.builds(_sql_literal, _LIT_VALUE, _ESCAPE_STYLE),
+    limit=st.integers(min_value=0, max_value=12),
+    kw_from=st.sampled_from(["FROM", "from", "From"]),
+)
+def test_view_rewriter_differential(view_env, ws, spelling, lit, limit, kw_from):
+    """A stored view behaves exactly like an equivalently pinned plain
+    temp view under every lexical spelling (case, whitespace, backticks,
+    decoy literals) — the view-expansion rewrite touches nothing but
+    the view reference."""
+    spark, lsql = view_env
+    q = (
+        f"SELECT{ws}id,{ws}val,{ws}{lit}{ws}AS{ws}lit{ws}{kw_from}{ws}"
+        f"{{v}}{ws}WHERE{ws}id{ws}<{ws}{limit}"
+    )
+    got = lsql.sql(q.format(v=spelling)).collect()
+    exp = spark.sql(q.format(v="oracle_recent")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_view_name_in_literal_survives(view_env):
+    spark, lsql = view_env
+    r = lsql.sql(
+        "SELECT 'recent FROM recent' AS s, count(*) AS n FROM recent"
+    ).collect()
+    assert r[0].s == "recent FROM recent" and r[0].n == 5
+
+
+# CREATE TABLE column-definition splitter (r13) ------------------------------
+
+_COLTYPES = st.sampled_from(
+    [
+        "INT",
+        "STRING",
+        "DECIMAL(10, 2)",
+        "MAP<STRING, INT>",
+        "ARRAY<INT>",
+        "STRUCT<a: INT, b: STRING>",
+        "ARRAY<STRUCT<x: INT, y: ARRAY<INT>>>",
+        "MAP<STRING, ARRAY<INT>>",
+    ]
+)
+_COLDEF_TAILS = st.sampled_from(
+    [
+        "",
+        " NOT NULL",
+        " DEFAULT 7",
+        " DEFAULT 1<2",
+        " DEFAULT 1 < 2",
+        " DEFAULT (2 > 1)",
+        " DEFAULT 'a,b'",
+        " DEFAULT concat('x', 'y')",
+        " DEFAULT 'MAP<'",
+    ]
+)
+
+
+@given(defs=st.lists(st.tuples(_COLTYPES, _COLDEF_TAILS), min_size=1, max_size=6))
+@settings(deadline=None, max_examples=80)
+def test_split_coldefs_roundtrips(defs):
+    """Joining N column definitions with commas and re-splitting yields
+    exactly the N definitions — commas inside generic types (nested
+    MAP/ARRAY/STRUCT), DECIMAL precision, and literals never split, and
+    comparison operators in DEFAULT expressions (glued or spaced) never
+    open a phantom type bracket (ADVICE r12)."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import _split_coldefs
+
+    parts = [f"c{i} {t}{tail}" for i, (t, tail) in enumerate(defs)]
+    assert _split_coldefs(", ".join(parts)) == parts

@@ -1,0 +1,170 @@
+"""TRUNCATE TABLE, versioned CREATE [OR REPLACE] VIEW, and DEEP CLONE
+(r13, VERDICT r12 #2/#6). Views are SELECT text stored as a versioned
+object, so they ride branches, merges, commits, and time travel through
+the existing object machinery; expansion re-binds to the CURRENT branch
+state at query time (standard view semantics). DEEP CLONE materializes
+an independent copy — own files, carried definition — so vacuum can
+never entangle source and clone."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return LakeRepo.init(str(tmp_path / "lake"))
+
+
+@pytest.fixture()
+def lsql(spark, repo):
+    return LakeSQL(spark, repo, "main")
+
+
+def test_truncate_keeps_definition_and_identity(spark, repo, lsql):
+    lsql.sql(
+        "CREATE TABLE t (k INT GENERATED ALWAYS AS IDENTITY, v STRING, "
+        "p INT) PARTITIONED BY (p)"
+    )
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT p_pos CHECK (p >= 0)")
+    lsql.sql("INSERT INTO t (v, p) VALUES ('a', 1), ('b', 2)")
+    r = lsql.sql("TRUNCATE TABLE t").first()
+    assert r.rows_affected == 2
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 0 and t.columns == ["k", "v", "p"]
+    # definition survives: partition spec, constraint, identity HWM
+    assert repo.table_partition_columns("t", "main") == ["p"]
+    assert repo.table_constraints("t", "main") == {"p_pos": "p >= 0"}
+    lsql.sql("INSERT INTO t (v, p) VALUES ('c', 3)")
+    [row] = repo.read_table(spark, "t", "main").collect()
+    assert row.k == 3  # identity sequence continues past the truncate
+    assert repo.show_partitions("t", "main") == ["p=3"]
+    with pytest.raises(Exception):  # constraint still enforced
+        lsql.sql("INSERT INTO t (v, p) VALUES ('d', -1)")
+    # truncate is a commit: time travel reads the pre-truncate rows
+    v = repo.head("main").version
+    old = repo.read_table(spark, "t", "main", version_as_of=v - 2)
+    assert old.count() == 2
+
+
+def test_views_expand_rebind_and_nest(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (2), (12) AS v(k)")
+    lsql.sql("CREATE VIEW big AS SELECT k FROM t WHERE k > 9")
+    assert [r.k for r in lsql.sql("SELECT * FROM big").collect()] == [12]
+    # re-binds to current state (not frozen at creation)
+    lsql.sql("INSERT INTO t VALUES (20)")
+    assert sorted(
+        r.k for r in lsql.sql("SELECT k FROM big ORDER BY k").collect()
+    ) == [12, 20]
+    # nested views and view-over-view replacement
+    lsql.sql("CREATE VIEW big_n AS SELECT COUNT(*) AS n FROM big")
+    assert lsql.sql("SELECT n FROM big_n").first().n == 2
+    lsql.sql("CREATE OR REPLACE VIEW big AS SELECT k FROM t WHERE k > 19")
+    assert lsql.sql("SELECT n FROM big_n").first().n == 1
+    assert [
+        (r.view_name) for r in lsql.sql("SHOW VIEWS").collect()
+    ] == ["big", "big_n"]
+    lsql.sql("DROP VIEW big_n")
+    with pytest.raises(KeyError, match="no view"):
+        lsql.sql("DROP VIEW big_n")
+    # a view name inside a string literal is never rewritten
+    [r] = lsql.sql("SELECT 'big' AS s FROM t WHERE k = 1").collect()
+    assert r.s == "big"
+
+
+def test_view_name_collisions_both_directions(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t AS SELECT 1 AS k")
+    with pytest.raises(ValueError, match="table of that name"):
+        lsql.sql("CREATE VIEW t AS SELECT 1 AS x")
+    lsql.sql("CREATE VIEW w AS SELECT k FROM t")
+    with pytest.raises(ValueError, match="view of that name"):
+        lsql.sql("CREATE TABLE w AS SELECT 2 AS k")
+    with pytest.raises(ValueError, match="view of that name"):
+        lsql.sql("CREATE TABLE w (a INT)")
+    with pytest.raises(ValueError, match="already exists"):
+        lsql.sql("CREATE VIEW w AS SELECT 1 AS x")
+    # creation-time analysis: a broken SELECT never lands
+    with pytest.raises(Exception):
+        lsql.sql("CREATE VIEW bad AS SELECT nope FROM t")
+    assert "bad" not in repo.list_views("main")
+
+
+def test_views_ride_branches_merges_and_time_travel(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (11) AS v(k)")
+    lsql.sql("CREATE VIEW big AS SELECT k FROM t WHERE k > 9")
+    repo.create_branch("dev", "main")
+    dev = LakeSQL(spark, repo, "dev")
+    # the view EXISTS on the branch and sees the branch's data
+    dev.sql("INSERT INTO t VALUES (30)")
+    assert dev.sql("SELECT COUNT(*) AS n FROM big").first().n == 2
+    assert lsql.sql("SELECT COUNT(*) AS n FROM big").first().n == 1
+    # a view created on the branch merges back
+    dev.sql("CREATE VIEW small AS SELECT k FROM t WHERE k < 9")
+    repo.merge(spark, "dev", "main")
+    assert set(repo.list_views("main")) == {"big", "small"}
+    assert lsql.sql("SELECT COUNT(*) AS n FROM small").first().n == 1
+    # time travel: the view TEXT is versioned (old snapshot, old text)
+    lsql.sql("CREATE OR REPLACE VIEW big AS SELECT k FROM t WHERE k > 29")
+    assert "k > 29" in repo.list_views("main")["big"]
+    assert "k > 9" in repo.list_views("main~1")["big"]
+
+
+def test_view_cycle_raises(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t AS SELECT 1 AS k")
+    lsql.sql("CREATE VIEW a AS SELECT k FROM t")
+    lsql.sql("CREATE VIEW b AS SELECT k FROM a")
+    # rewire a to read b -> a<->b cycle; creation-time analysis itself
+    # must refuse (expansion of b hits a already on the stack)
+    with pytest.raises(ValueError, match="cycle"):
+        lsql.sql("CREATE OR REPLACE VIEW a AS SELECT k FROM b")
+    # both views still work afterwards (no half-staged state)
+    assert lsql.sql("SELECT k FROM b").first().k == 1
+
+
+def test_deep_clone_independent_files_and_definition(spark, repo, lsql):
+    lsql.sql(
+        "CREATE TABLE t (k INT GENERATED ALWAYS AS IDENTITY (START WITH "
+        "5), v DOUBLE, p INT) PARTITIONED BY (p)"
+    )
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT vpos CHECK (v > 0)")
+    lsql.sql("INSERT INTO t (v, p) VALUES (1.5, 0), (2.5, 1)")
+    lsql.sql("CREATE TABLE t2 DEEP CLONE t")
+    got = sorted(tuple(r) for r in repo.read_table(spark, "t2", "main").collect())
+    assert got == [(5, 1.5, 0), (6, 2.5, 1)]
+    # definition carried: constraints, partition spec, identity HWM
+    assert repo.table_constraints("t2", "main") == {"vpos": "v > 0"}
+    assert repo.table_partition_columns("t2", "main") == ["p"]
+    assert repo.show_partitions("t2", "main") == ["p=0", "p=1"]
+    lsql.sql("INSERT INTO t2 (v, p) VALUES (9.0, 2)")
+    assert {r.k for r in repo.read_table(spark, "t2", "main").collect()} == {
+        5, 6, 7,
+    }
+    with pytest.raises(Exception):
+        lsql.sql("INSERT INTO t2 (v, p) VALUES (-1.0, 0)")
+    # file independence: zero shared physical entries (unlike SHALLOW)
+    f1 = set(repo.current_files("main", "t"))
+    f2 = set(repo.current_files("main", "t2"))
+    assert not (f1 & f2)
+    # vacuum independence: drop the SOURCE, vacuum away its history —
+    # the clone still reads in full (the reason deep clone exists)
+    lsql.sql("DROP TABLE t")
+    repo.vacuum(keep_history=False, grace_seconds=0.0)
+    assert repo.read_table(spark, "t2", "main").count() == 3
+
+
+def test_shallow_vs_deep_share_vs_copy(spark, repo, lsql):
+    lsql.sql("CREATE TABLE t AS SELECT id AS k FROM range(100)")
+    lsql.sql("CREATE TABLE s SHALLOW CLONE t")
+    lsql.sql("CREATE TABLE d DEEP CLONE t")
+    base = set(repo.current_files("main", "t"))
+    assert set(repo.current_files("main", "s")) == base  # shared refs
+    assert not (set(repo.current_files("main", "d")) & base)  # own files
+    assert repo.read_table(spark, "d", "main").count() == 100
+    with pytest.raises(ValueError, match="already exists"):
+        lsql.sql("CREATE TABLE d DEEP CLONE t")
