@@ -86,6 +86,21 @@ DV_PREFIX = "__dv__"
 #: DETAIL.
 PARTITION_PROP = "lakegraft.partition.columns"
 
+
+def _check_name_unreserved(name: str, kind: str) -> None:
+    """Table and view names may not start with the LakeSQL scoped
+    temp-view prefixes: `lake__` hosts table/snapshot rewrites and
+    `lakeview__` hosts view expansions, so a user object named inside
+    either namespace could clobber (or be clobbered by) a rewrite's
+    registration mid-query (r13 review)."""
+    low = name.lower()
+    if low.startswith("lake__") or low.startswith("lakeview__"):
+        raise ValueError(
+            f"{kind} name {name!r} uses a reserved prefix (lake__ / "
+            "lakeview__ host LakeSQL's scoped query rewrites) — pick "
+            "another name"
+        )
+
 #: value ranges for identity-column allocation overflow guards (r12)
 _IDENTITY_BOUNDS = {
     "int": (-(2**31), 2**31 - 1),
@@ -359,6 +374,8 @@ class LakeRepo:
                 f"table names starting with {DV_PREFIX!r} are reserved for "
                 f"deletion vectors (delete_where_dv)"
             )
+        if not _internal:
+            _check_name_unreserved(table, "table")
         # the __lg_ COLUMN namespace is reserved for engine internals
         # (row lineage __lg_fp/__lg_ri, MERGE's clause index __lg_cl,
         # fate tags): a stored column there would shadow those at
@@ -403,11 +420,19 @@ class LakeRepo:
             except KeyError:
                 prior = None
             if prior is not None:
-                old = {f.name: f.dataType for f in prior.schema.fields}
+                # case-INSENSITIVE name match (r13 review: a mixed-case
+                # append like 'K' vs 'k' must not slip past the type
+                # guard — Spark resolves identifiers case-insensitively)
+                old = {f.name.lower(): f.dataType for f in prior.schema.fields}
                 clashes = [
-                    (f.name, old[f.name].simpleString(), f.dataType.simpleString())
+                    (
+                        f.name,
+                        old[f.name.lower()].simpleString(),
+                        f.dataType.simpleString(),
+                    )
                     for f in df.schema.fields
-                    if f.name in old and f.dataType != old[f.name]
+                    if f.name.lower() in old
+                    and f.dataType != old[f.name.lower()]
                 ]
                 if clashes:
                     raise ValueError(
@@ -442,7 +467,18 @@ class LakeRepo:
                     f"write to {table!r}: partition column(s) {missing} "
                     "absent from the written frame"
                 )
-            partition_by = [bycase[c.lower()] for c in partition_by]
+            if declared:
+                # Hive dir names take the partition COLUMN's spelling, so
+                # the frame's casing must yield to the DECLARED casing —
+                # otherwise a mixed-case append (COPY INTO from files
+                # with 'P' headers) forks p=.../P=... dir naming
+                for want in declared:
+                    have = bycase[want.lower()]
+                    if have != want:
+                        df = df.withColumnRenamed(have, want)
+                partition_by = list(declared)
+            else:
+                partition_by = [bycase[c.lower()] for c in partition_by]
         file_id = new_id()
         out_dir = self._data_dir(table, file_id)
         writer = df.write.mode("errorifexists")
@@ -809,13 +845,36 @@ class LakeRepo:
     def _view_path(name: str) -> str:
         return f"_views/{name}.json"
 
-    def list_views(
-        self, branch: str = "main", include_staged: bool = True
-    ) -> dict[str, str]:
-        """{view_name: select_text} in effect on a ref — the committed
-        snapshot overlaid with staged object puts/deletes."""
-        import json
+    def _reject_view_name(self, branch: str, name: str) -> None:
+        """Shared guard for every table-creating repo path (clones; the
+        SQL CREATE paths go through LakeSQL._reject_view_collision): a
+        destination held by a stored view would be silently shadowed by
+        view expansion."""
+        if name.lower() in self.list_view_names(branch):
+            raise ValueError(
+                f"cannot clone to {name!r}: a view of that name exists "
+                f"on {branch!r} (DROP VIEW it first)"
+            )
 
+    def _carry_copyinto(self, branch: str, src: str, dst: str) -> None:
+        """Carry src's COPY INTO loaded-file registry to dst (staged,
+        caller commits). Both clone flavors need it: the clone holds the
+        landed rows (by copy or shared reference), so re-running the
+        same COPY INTO against it must skip, not duplicate."""
+        try:
+            reg = self.get_object(
+                self._copyinto_path(src), branch, include_staged=True
+            )
+        except KeyError:
+            return
+        self.put_object(branch, self._copyinto_path(dst), reg)
+
+    def list_view_names(
+        self, branch: str = "main", include_staged: bool = True
+    ) -> list[str]:
+        """View names in effect on a ref — path enumeration only, zero
+        blob reads (the ``list_tables`` discipline: sql() consults this
+        on every call, so it must stay metadata-cheap)."""
         paths = {
             p for p in self._resolve(branch).objects if p.startswith("_views/")
         }
@@ -827,13 +886,31 @@ class LakeRepo:
                     paths.discard(p)
                 else:
                     paths.add(p)
-        out: dict[str, str] = {}
-        for p in sorted(paths):
-            name = p[len("_views/") : -len(".json")]
-            out[name] = json.loads(
-                self.get_object(p, branch, include_staged=include_staged)
-            )["sql"]
-        return out
+        return sorted(p[len("_views/") : -len(".json")] for p in paths)
+
+    def view_text(
+        self, name: str, branch: str = "main", include_staged: bool = True
+    ) -> str:
+        """A single view's stored SELECT text."""
+        import json
+
+        return json.loads(
+            self.get_object(
+                self._view_path(name.lower()), branch, include_staged=include_staged
+            )
+        )["sql"]
+
+    def list_views(
+        self, branch: str = "main", include_staged: bool = True
+    ) -> dict[str, str]:
+        """{view_name: select_text} in effect on a ref — the committed
+        snapshot overlaid with staged object puts/deletes. Reads every
+        view's blob; hot paths that only need NAMES use
+        ``list_view_names``."""
+        return {
+            n: self.view_text(n, branch, include_staged=include_staged)
+            for n in self.list_view_names(branch, include_staged=include_staged)
+        }
 
     def put_view(
         self, branch: str, name: str, sql_text: str, replace: bool = False
@@ -845,12 +922,13 @@ class LakeRepo:
 
         self._require_clean_for_alter(branch, f"CREATE VIEW {name}")
         low = name.lower()
+        _check_name_unreserved(name, "view")
         if low in {t.lower() for t in self.list_tables(branch)}:
             raise ValueError(
                 f"cannot CREATE VIEW {name!r}: a table of that name "
                 f"exists on {branch!r}"
             )
-        exists = low in self.list_views(branch)
+        exists = low in self.list_view_names(branch)
         if exists and not replace:
             raise ValueError(
                 f"view {name!r} already exists on {branch!r}; use "
@@ -864,7 +942,7 @@ class LakeRepo:
         """DROP VIEW — a metadata-only commit; missing views raise."""
         self._require_clean_for_alter(branch, f"DROP VIEW {name}")
         low = name.lower()
-        if low not in self.list_views(branch):
+        if low not in self.list_view_names(branch):
             raise KeyError(f"no view {name!r} on {branch!r}")
         self.delete_object(branch, self._view_path(low))
         return self.commit(branch, f"SQL: DROP VIEW {low}")
@@ -892,6 +970,7 @@ class LakeRepo:
             raise KeyError(f"table {src} not on {branch}")
         if dst in head.tables:
             raise ValueError(f"table {dst!r} already exists on {branch!r}")
+        self._reject_view_name(branch, dst)
         df = self.read_table(spark, src, ref=branch)
         try:
             # definition objects staged FIRST so the data write itself
@@ -911,6 +990,7 @@ class LakeRepo:
                 self.put_object(
                     branch, self._colmeta_path(dst), json.dumps(meta)
                 )
+            self._carry_copyinto(branch, src, dst)
             self.write_table(branch, dst, df, mode="overwrite")
             return self.commit(branch, f"SQL: CREATE TABLE {dst} DEEP CLONE {src}")
         except Exception:
@@ -1847,6 +1927,8 @@ class LakeRepo:
             raise KeyError(f"table {src} not on {branch}")
         if dst in head.tables:
             raise ValueError(f"table {dst!r} already exists on {branch!r}")
+        self._reject_view_name(branch, dst)
+        _check_name_unreserved(dst, "table")
         self.stage_table_files(branch, dst, list(head.tables[src]), op="overwrite")
         dv_src = head.tables.get(DV_PREFIX + src)
         try:
@@ -1879,6 +1961,7 @@ class LakeRepo:
                 self.put_object(
                     branch, self._colmeta_path(dst), json.dumps(cmeta)
                 )
+            self._carry_copyinto(branch, src, dst)
             return self.commit(branch, f"CLONE {src} -> {dst}")
         except Exception:
             # roll back the staged clone so a failed CLONE can't be swept
@@ -1891,6 +1974,7 @@ class LakeRepo:
             self.restore_staged_object_entry(branch, self._schema_map_path(dst), None)
             self.restore_staged_object_entry(branch, self._tblprops_path(dst), None)
             self.restore_staged_object_entry(branch, self._colmeta_path(dst), None)
+            self.restore_staged_object_entry(branch, self._copyinto_path(dst), None)
             raise
 
     def _schema_map_of_commit(self, commit: "Commit", table: str) -> dict | None:

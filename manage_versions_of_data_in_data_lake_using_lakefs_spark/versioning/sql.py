@@ -651,6 +651,22 @@ def _split_coldefs(s: str) -> list[str]:
     ]
 
 
+def _require_inside_landing_dir(path: str, src: str) -> None:
+    """COPY INTO FILES/PATTERN contract enforcement for what the lexical
+    guards can't see: a SYMLINK inside the landing dir can still point
+    outside it (r13 review — os.path.relpath is lexical, so a
+    relpath-based check never fires on symlinked escapes). Resolved
+    paths must stay under the resolved FROM directory."""
+    real = os.path.realpath(path)
+    root = os.path.realpath(src)
+    if real != root and not real.startswith(root.rstrip(os.sep) + os.sep):
+        raise ValueError(
+            f"COPY INTO: {path!r} resolves to {real!r}, outside the FROM "
+            f"directory {src!r} — landing files (including symlink "
+            "targets) must live under it"
+        )
+
+
 def _parse_partition_spec(
     parts_text: str | None, columns: list[str]
 ) -> list[str]:
@@ -984,6 +1000,11 @@ class LakeSQL:
             name = self._resolve_table(table)
         except KeyError:
             name = table.strip("`").lower()
+            # first COPY INTO an unknown name CREATES the table — the
+            # only table-creating path besides CTAS/schema/clone, so it
+            # enforces the same table/view disjointness (r13 review:
+            # a view-named target would shadow the ingested rows)
+            self._reject_view_collision(name)
         # enumerate concrete files: globs expand, directories walk.
         # Hidden/underscore names are skipped EVERYWHERE — files, walked
         # directories (a crashed writer's _temporary/ holds partial task
@@ -1061,6 +1082,7 @@ class LakeSQL:
                         f"COPY INTO: FILES entry {rel!r} not found under "
                         f"{src!r}"
                     )
+                _require_inside_landing_dir(full, src)
                 paths.append(full)
             paths.sort()
         elif pattern is not None:
@@ -1074,14 +1096,12 @@ class LakeSQL:
                 globmod.glob(os.path.join(src, pattern), recursive=True)
             ):
                 rel_parts = os.path.relpath(hit, src).split(os.sep)
-                if ".." in rel_parts:
-                    # a symlinked match can still escape the landing dir
-                    continue
                 if os.path.isfile(hit) and all(
                     not part.startswith(("_", "."))
                     for part in rel_parts
                     if part not in ("", ".")
                 ):
+                    _require_inside_landing_dir(hit, src)
                     paths.append(hit)
             if not paths:
                 raise FileNotFoundError(
@@ -1102,6 +1122,14 @@ class LakeSQL:
                         )
                 elif os.path.isfile(hit) and _hit_visible(hit):
                     paths.append(hit)
+            if fixed_prefix and os.path.isdir(fixed_prefix):
+                # the bare-FROM spelling enforces the same symlink
+                # containment as FILES/PATTERN (r13 review): everything
+                # enumerated must RESOLVE under the glob's literal
+                # prefix, or an in-dir symlink smuggles an outside file
+                # into the forever-loaded registry
+                for p in paths:
+                    _require_inside_landing_dir(p, fixed_prefix)
         if not paths:
             raise FileNotFoundError(f"COPY INTO: no files match {src!r}")
         copts = {k.lower(): v for k, v in copts.items()}
@@ -2282,6 +2310,17 @@ class LakeSQL:
                 f"known: {sorted(by_lower.values())}"
             ) from None
 
+    def _reject_view_collision(self, name: str) -> None:
+        """Every table-creating path (CTAS, explicit schema, clones via
+        the repo guards) must refuse a name held by a stored view —
+        view expansion runs before table rewriting, so a same-named
+        table would be silently shadowed forever (r13 review)."""
+        if name.lower() in self.repo.list_view_names(self.branch):
+            raise ValueError(
+                f"cannot CREATE TABLE {name!r}: a view of that name "
+                f"exists on {self.branch!r} (DROP VIEW it first)"
+            )
+
     def _register_snapshot(self, table: str, version: int | None, ts: str | None) -> str:
         table = self._resolve_table(table)
         if ts is not None:
@@ -2418,11 +2457,7 @@ class LakeSQL:
                 f"table {table!r} already exists on {self.branch!r}; "
                 "use CREATE OR REPLACE TABLE"
             )
-        if table.lower() in self.repo.list_views(self.branch):
-            raise ValueError(
-                f"cannot CREATE TABLE {table!r}: a view of that name "
-                f"exists on {self.branch!r} (DROP VIEW it first)"
-            )
+        self._reject_view_collision(table)
         name = self._resolve_table(table) if table.lower() in existing else table.lower()
         df = self.sql(select)
         parts = _parse_partition_spec(parts_text, df.columns)
@@ -2499,11 +2534,7 @@ class LakeSQL:
                 f"table {table!r} already exists on {self.branch!r}; "
                 "use CREATE OR REPLACE TABLE"
             )
-        if table.lower() in self.repo.list_views(self.branch):
-            raise ValueError(
-                f"cannot CREATE TABLE {table!r}: a view of that name "
-                f"exists on {self.branch!r} (DROP VIEW it first)"
-            )
+        self._reject_view_collision(table)
         name = (
             self._resolve_table(table)
             if table.lower() in existing
@@ -3857,7 +3888,7 @@ class LakeSQL:
         #     remaining backticked identifier — a backticked COLUMN
         #     named like a repo table, and any non-table identifier,
         #     must survive the bare-name rewrite untouched
-        stored_views = self.repo.list_views(self.branch)
+        stored_views = self.repo.list_view_names(self.branch)
         for t in [*self.repo.list_tables(self.branch), *stored_views]:
             masked = re.sub(
                 rf"(\b(?:FROM|JOIN)\s+)`{re.escape(t)}`",
@@ -3920,9 +3951,15 @@ class LakeSQL:
         #     temp view, and the bare name is rewritten to it. The
         #     scoped name has no word-boundary match for the view name
         #     (underscores are word chars), so the table loop below
-        #     can't touch it. A self-referential chain raises loudly.
+        #     can't touch it. The `lakeview__` prefix can't collide
+        #     with the table loop's `lake__<t>` names for any LEGAL
+        #     object name: both prefixes are reserved at creation
+        #     (`_check_name_unreserved`), so no user table or view can
+        #     itself live inside either namespace. View TEXT is fetched
+        #     lazily, only for views the query actually names. A
+        #     self-referential chain raises loudly.
         stack: set = self.__dict__.setdefault("_view_stack", set())
-        for v, text in stored_views.items():
+        for v in stored_views:
             vpat = re.compile(rf"\b{re.escape(v)}\b", re.IGNORECASE)
             if not vpat.search(rewritten):
                 continue
@@ -3933,10 +3970,12 @@ class LakeSQL:
                 )
             stack.add(v)
             try:
-                self.sql(text).createOrReplaceTempView(f"lake__view__{v}")
+                self.sql(self.repo.view_text(v, self.branch)).createOrReplaceTempView(
+                    f"lakeview__{v}"
+                )
             finally:
                 stack.discard(v)
-            rewritten = vpat.sub(f"lake__view__{v}", rewritten)
+            rewritten = vpat.sub(f"lakeview__{v}", rewritten)
 
         auto_prune = self._auto_prune_where(query)
         for t in self.repo.list_tables(self.branch):

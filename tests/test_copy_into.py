@@ -344,3 +344,81 @@ def test_copy_into_files_pattern_cannot_escape_from_dir(spark, repo, tmp_path):
     # nothing was loaded or registered by the rejected statements
     with pytest.raises(KeyError):
         repo.read_table(spark, "t", "main")
+
+
+def test_copy_into_symlink_cannot_escape_from_dir(spark, repo, tmp_path):
+    """r13 review: os.path.relpath is lexical, so only a realpath
+    containment check catches a SYMLINK inside the landing dir pointing
+    outside it — both the FILES and PATTERN selections must refuse."""
+    land = str(tmp_path / "landing")
+    outside = str(tmp_path / "outside")
+    _land(spark, land, 0, 5)
+    _land(spark, outside, 100, 103)
+    out_file = next(
+        f for f in sorted(os.listdir(outside)) if f.endswith(".parquet")
+    )
+    os.symlink(os.path.join(outside, out_file), os.path.join(land, "sneaky.parquet"))
+    sql = LakeSQL(spark, repo, "main")
+    with pytest.raises(ValueError, match="outside the FROM"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"FILES = ('sneaky.parquet')"
+        )
+    with pytest.raises(ValueError, match="outside the FROM"):
+        sql.sql(
+            f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+            f"PATTERN = 'sneaky.parquet'"
+        )
+    # a symlink WITHIN the landing dir is fine
+    legit = next(
+        f for f in sorted(os.listdir(land)) if f.endswith(".parquet") and f != "sneaky.parquet"
+    )
+    os.symlink(os.path.join(land, legit), os.path.join(land, "alias.parquet"))
+    r = sql.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+        f"FILES = ('alias.parquet')"
+    ).first()
+    assert r.num_loaded_files == 1
+
+
+def test_clone_carries_copy_into_registry(spark, repo, tmp_path):
+    """r13 review: both clone flavors must carry the loaded-file
+    registry — the clone holds the landed rows (by copy or by shared
+    reference), so re-running the same COPY INTO must skip."""
+    land = str(tmp_path / "landing")
+    _land(spark, land, 0, 5)
+    sql = LakeSQL(spark, repo, "main")
+    sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+    for stmt in ("CREATE TABLE s SHALLOW CLONE t", "CREATE TABLE d DEEP CLONE t"):
+        sql.sql(stmt)
+    for tbl in ("s", "d"):
+        r = sql.sql(
+            f"COPY INTO {tbl} FROM '{land}' FILEFORMAT = PARQUET"
+        ).first()
+        assert (r.num_loaded_files, r.num_skipped_files) == (0, 1), tbl
+        assert repo.read_table(spark, tbl, "main").count() == 5, tbl
+
+
+def test_copy_into_bare_from_symlink_and_view_target(spark, repo, tmp_path):
+    """r13 re-review: the bare-FROM spelling enforces symlink
+    containment too, and a first COPY INTO may not auto-create a table
+    under a stored view's name."""
+    land = str(tmp_path / "landing")
+    outside = str(tmp_path / "outside")
+    _land(spark, land, 0, 2)
+    _land(spark, outside, 100, 103)
+    out_file = next(
+        f for f in sorted(os.listdir(outside)) if f.endswith(".parquet")
+    )
+    os.symlink(
+        os.path.join(outside, out_file), os.path.join(land, "sneaky.parquet")
+    )
+    sql = LakeSQL(spark, repo, "main")
+    with pytest.raises(ValueError, match="outside the FROM"):
+        sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+    os.unlink(os.path.join(land, "sneaky.parquet"))
+    sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+    sql.sql("CREATE VIEW w AS SELECT k FROM t")
+    with pytest.raises(ValueError, match="view of that name"):
+        sql.sql(f"COPY INTO w FROM '{land}' FILEFORMAT = PARQUET")
+    assert "w" not in repo.list_tables("main")

@@ -168,3 +168,59 @@ def test_shallow_vs_deep_share_vs_copy(spark, repo, lsql):
     assert repo.read_table(spark, "d", "main").count() == 100
     with pytest.raises(ValueError, match="already exists"):
         lsql.sql("CREATE TABLE d DEEP CLONE t")
+
+
+def test_clone_refuses_view_named_destination(spark, repo, lsql):
+    """r13 review: the clone paths must enforce the same table/view
+    uniqueness the other CREATE TABLE paths do — a clone landing under
+    a view's name would be silently shadowed by view expansion."""
+    lsql.sql("CREATE TABLE t AS SELECT 1 AS k")
+    lsql.sql("CREATE VIEW w AS SELECT k FROM t")
+    with pytest.raises(ValueError, match="view of that name"):
+        lsql.sql("CREATE TABLE w SHALLOW CLONE t")
+    with pytest.raises(ValueError, match="view of that name"):
+        lsql.sql("CREATE TABLE w DEEP CLONE t")
+
+
+def test_view_and_lookalike_table_coexist(spark, repo, lsql):
+    """r13 review: a view `recent` and a table `view__recent` must not
+    collide in the scoped temp-view namespace — both referenced in ONE
+    query, each must read its own rows."""
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (11) AS v(k)")
+    lsql.sql("CREATE VIEW recent AS SELECT k FROM t WHERE k > 9")
+    lsql.sql("CREATE TABLE view__recent AS SELECT 777 AS k")
+    got = lsql.sql(
+        "SELECT r.k AS vk, x.k AS tk FROM recent r CROSS JOIN view__recent x"
+    ).collect()
+    assert [(r.vk, r.tk) for r in got] == [(11, 777)]
+
+
+def test_partition_casing_follows_declared_spec(spark, repo, lsql):
+    """r13 review: a mixed-case append must not fork p=.../P=... Hive
+    dir naming — the declared spec's casing wins."""
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql("INSERT INTO t VALUES (1, 0)")
+    df = spark.createDataFrame([(2, 1)], "k INT, P INT")
+    repo.write_table("main", "t", df, mode="append")
+    repo.commit("main", "mixed-case append")
+    assert repo.show_partitions("t", "main") == ["p=0", "p=1"]
+    got = sorted(tuple(r) for r in repo.read_table(spark, "t", "main").collect())
+    assert got == [(1, 0), (2, 1)]
+
+
+def test_reserved_prefixes_and_mixed_case_append_guard(spark, repo, lsql):
+    """r13 re-review: lake__/lakeview__ names are reserved at creation
+    (they would collide with scoped query rewrites), and the append
+    type guard matches column names case-insensitively."""
+    lsql.sql("CREATE TABLE t AS SELECT 1 AS k")
+    for stmt in (
+        "CREATE TABLE lake__x AS SELECT 1 AS k",
+        "CREATE TABLE lakeview__x (a INT)",
+        "CREATE VIEW lakeview__v AS SELECT k FROM t",
+        "CREATE TABLE lake__c SHALLOW CLONE t",
+    ):
+        with pytest.raises(ValueError, match="reserved prefix"):
+            lsql.sql(stmt)
+    bad = spark.createDataFrame([("x",)], "K STRING")
+    with pytest.raises(ValueError, match="changes column types"):
+        repo.write_table("main", "t", bad, mode="append")
