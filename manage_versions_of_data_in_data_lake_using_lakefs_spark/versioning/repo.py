@@ -87,18 +87,31 @@ DV_PREFIX = "__dv__"
 PARTITION_PROP = "lakegraft.partition.columns"
 
 
+#: LakeSQL's scoped temp-view namespaces, one per rewrite kind. Each
+#: kind gets its OWN prefix so no legal object name in one namespace can
+#: produce a registration that collides with another kind's (r13
+#: re-review: table `x__v3` vs the snapshot of `x` at v3 collided when
+#: snapshots shared the table prefix).
+_RESERVED_PREFIXES = (
+    "lake__",  # branch-head table rewrites
+    "lakeview__",  # stored-view expansions
+    "lakesnap__",  # VERSION/TIMESTAMP AS OF snapshot pins
+    "lakechg__",  # TABLE_CHANGES rewrites
+    "lakefeed__",  # TABLE_CHANGES_FEED rewrites
+)
+
+
 def _check_name_unreserved(name: str, kind: str) -> None:
-    """Table and view names may not start with the LakeSQL scoped
-    temp-view prefixes: `lake__` hosts table/snapshot rewrites and
-    `lakeview__` hosts view expansions, so a user object named inside
-    either namespace could clobber (or be clobbered by) a rewrite's
+    """Table and view names may not start with any LakeSQL scoped
+    temp-view prefix: a user object named inside one of those
+    namespaces could clobber (or be clobbered by) a rewrite's
     registration mid-query (r13 review)."""
     low = name.lower()
-    if low.startswith("lake__") or low.startswith("lakeview__"):
+    if low.startswith(_RESERVED_PREFIXES):
         raise ValueError(
-            f"{kind} name {name!r} uses a reserved prefix (lake__ / "
-            "lakeview__ host LakeSQL's scoped query rewrites) — pick "
-            "another name"
+            f"{kind} name {name!r} uses a reserved prefix "
+            f"({'/'.join(_RESERVED_PREFIXES)} host LakeSQL's scoped "
+            "query rewrites) — pick another name"
         )
 
 #: value ranges for identity-column allocation overflow guards (r12)
@@ -971,6 +984,14 @@ class LakeRepo:
         if dst in head.tables:
             raise ValueError(f"table {dst!r} already exists on {branch!r}")
         self._reject_view_name(branch, dst)
+        # fail BEFORE materializing the source read (write_table would
+        # also reject these, but only after the expensive copy)
+        if dst.startswith(DV_PREFIX):
+            raise ValueError(
+                f"table names starting with {DV_PREFIX!r} are reserved "
+                "for deletion vectors (delete_where_dv)"
+            )
+        _check_name_unreserved(dst, "table")
         df = self.read_table(spark, src, ref=branch)
         try:
             # definition objects staged FIRST so the data write itself
@@ -1927,6 +1948,14 @@ class LakeRepo:
             raise KeyError(f"table {src} not on {branch}")
         if dst in head.tables:
             raise ValueError(f"table {dst!r} already exists on {branch!r}")
+        if dst.startswith(DV_PREFIX):
+            # the shallow path never passes write_table, so it must
+            # reject the deletion-vector namespace itself (r13 re-review:
+            # a clone landing at __dv__<t> would poison every read of t)
+            raise ValueError(
+                f"table names starting with {DV_PREFIX!r} are reserved "
+                "for deletion vectors (delete_where_dv)"
+            )
         self._reject_view_name(branch, dst)
         _check_name_unreserved(dst, "table")
         self.stage_table_files(branch, dst, list(head.tables[src]), op="overwrite")

@@ -79,6 +79,7 @@ from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
     DV_PREFIX,
+    _check_name_unreserved,
     ConstraintViolation,
     DirtyBranchError,
     LakeRepo,
@@ -651,15 +652,18 @@ def _split_coldefs(s: str) -> list[str]:
     ]
 
 
-def _require_inside_landing_dir(path: str, src: str) -> None:
-    """COPY INTO FILES/PATTERN contract enforcement for what the lexical
+def _require_inside_landing_dir(path: str, src: str, root_real: str) -> None:
+    """COPY INTO selection-contract enforcement for what the lexical
     guards can't see: a SYMLINK inside the landing dir can still point
     outside it (r13 review — os.path.relpath is lexical, so a
     relpath-based check never fires on symlinked escapes). Resolved
-    paths must stay under the resolved FROM directory."""
+    paths must stay under ``root_real``, the caller's once-per-statement
+    ``os.path.realpath`` of the FROM directory (re-resolving it per file
+    would re-walk the same symlink chain thousands of times)."""
     real = os.path.realpath(path)
-    root = os.path.realpath(src)
-    if real != root and not real.startswith(root.rstrip(os.sep) + os.sep):
+    if real != root_real and not real.startswith(
+        root_real.rstrip(os.sep) + os.sep
+    ):
         raise ValueError(
             f"COPY INTO: {path!r} resolves to {real!r}, outside the FROM "
             f"directory {src!r} — landing files (including symlink "
@@ -1003,8 +1007,10 @@ class LakeSQL:
             # first COPY INTO an unknown name CREATES the table — the
             # only table-creating path besides CTAS/schema/clone, so it
             # enforces the same table/view disjointness (r13 review:
-            # a view-named target would shadow the ingested rows)
+            # a view-named target would shadow the ingested rows) and
+            # fails reserved names BEFORE the distributed file read
             self._reject_view_collision(name)
+            _check_name_unreserved(name, "table")
         # enumerate concrete files: globs expand, directories walk.
         # Hidden/underscore names are skipped EVERYWHERE — files, walked
         # directories (a crashed writer's _temporary/ holds partial task
@@ -1054,6 +1060,10 @@ class LakeSQL:
                 f"literal directory, not a glob ({src!r})"
             )
         paths: list[str] = []
+        # resolved once per statement; every selection path checks its
+        # files against it (FILES/PATTERN resolve src itself; the bare
+        # spelling resolves the glob's literal prefix)
+        src_real = os.path.realpath(src)
         if files is not None:
             if not files:
                 raise ValueError("COPY INTO: FILES = () names no files")
@@ -1082,7 +1092,7 @@ class LakeSQL:
                         f"COPY INTO: FILES entry {rel!r} not found under "
                         f"{src!r}"
                     )
-                _require_inside_landing_dir(full, src)
+                _require_inside_landing_dir(full, src, src_real)
                 paths.append(full)
             paths.sort()
         elif pattern is not None:
@@ -1101,7 +1111,7 @@ class LakeSQL:
                     for part in rel_parts
                     if part not in ("", ".")
                 ):
-                    _require_inside_landing_dir(hit, src)
+                    _require_inside_landing_dir(hit, src, src_real)
                     paths.append(hit)
             if not paths:
                 raise FileNotFoundError(
@@ -1128,8 +1138,9 @@ class LakeSQL:
                 # enumerated must RESOLVE under the glob's literal
                 # prefix, or an in-dir symlink smuggles an outside file
                 # into the forever-loaded registry
+                prefix_real = os.path.realpath(fixed_prefix)
                 for p in paths:
-                    _require_inside_landing_dir(p, fixed_prefix)
+                    _require_inside_landing_dir(p, fixed_prefix, prefix_real)
         if not paths:
             raise FileNotFoundError(f"COPY INTO: no files match {src!r}")
         copts = {k.lower(): v for k, v in copts.items()}
@@ -1149,11 +1160,20 @@ class LakeSQL:
             reg = {"files": {}}
         loaded = reg["files"]
         new: list[str] = []
+        seen_stmt: set[str] = set()
         skipped = 0
         for p in paths:
+            # the registry is keyed by REALPATH (r13 re-review): an
+            # in-dir symlink alias of an already-loaded file is the same
+            # physical bytes and must skip, not duplicate — whatever
+            # spelling enumerated it (and two aliases of one file in a
+            # single statement load it once)
+            rp = os.path.realpath(p)
+            if rp in seen_stmt:
+                continue
             st = os.stat(p)
             sig = [st.st_size, st.st_mtime_ns]
-            prev = loaded.get(p)
+            prev = loaded.get(rp)
             if prev is not None and not force:
                 if prev != sig:
                     raise ValueError(
@@ -1165,7 +1185,8 @@ class LakeSQL:
                     )
                 skipped += 1
                 continue
-            loaded[p] = sig
+            seen_stmt.add(rp)
+            loaded[rp] = sig
             new.append(p)
         if not new:
             return self.spark.createDataFrame(
@@ -2325,7 +2346,7 @@ class LakeSQL:
         table = self._resolve_table(table)
         if ts is not None:
             version = self._version_at(ts)
-        view = f"lake__{table}__v{version}"
+        view = f"lakesnap__{table}__v{version}"
         df = self.repo.read_table(self.spark, table, ref=self.branch, version_as_of=version)
         df.createOrReplaceTempView(view)
         return view
@@ -2411,7 +2432,7 @@ class LakeSQL:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        view = f"lake__{name}__chg_{v_start}_{v_end}"
+        view = f"lakechg__{name}__{v_start}_{v_end}"
         out.createOrReplaceTempView(view)
         return view
 
@@ -2427,7 +2448,7 @@ class LakeSQL:
         out = table_changes(
             self.repo, self.spark, name, v_start, v_end, ref=self.branch
         )
-        view = f"lake__{name}__feed_{v_start}_{v_end}"
+        view = f"lakefeed__{name}__{v_start}_{v_end}"
         out.createOrReplaceTempView(view)
         return view
 
@@ -3899,7 +3920,7 @@ class LakeSQL:
         masked = _BACKTICK_RE.sub(mask, masked)
 
         # 2) time-travel clause rewrites FIRST: each pinned snapshot
-        #    becomes a scoped `lake__<t>__vN` view; the substituted view
+        #    becomes a scoped `lakesnap__<t>__vN` view; the substituted view
         #    names contain no word-boundary match for the bare table name
         #    (underscores are word chars), so step 3 can't re-rewrite them
         def sub_version(m: re.Match) -> str:
@@ -3951,11 +3972,13 @@ class LakeSQL:
         #     temp view, and the bare name is rewritten to it. The
         #     scoped name has no word-boundary match for the view name
         #     (underscores are word chars), so the table loop below
-        #     can't touch it. The `lakeview__` prefix can't collide
-        #     with the table loop's `lake__<t>` names for any LEGAL
-        #     object name: both prefixes are reserved at creation
-        #     (`_check_name_unreserved`), so no user table or view can
-        #     itself live inside either namespace. View TEXT is fetched
+        #     can't touch it. Every rewrite kind registers under its OWN
+        #     reserved prefix (table heads lake__, views lakeview__,
+        #     snapshots lakesnap__, changes lakechg__/lakefeed__), and
+        #     all five prefixes are rejected at object creation
+        #     (`_check_name_unreserved`), so no legal table or view name
+        #     can produce a registration that collides with another
+        #     kind's (r13 re-review). View TEXT is fetched
         #     lazily, only for views the query actually names. A
         #     self-referential chain raises loudly.
         stack: set = self.__dict__.setdefault("_view_stack", set())

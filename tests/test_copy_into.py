@@ -422,3 +422,29 @@ def test_copy_into_bare_from_symlink_and_view_target(spark, repo, tmp_path):
     with pytest.raises(ValueError, match="view of that name"):
         sql.sql(f"COPY INTO w FROM '{land}' FILEFORMAT = PARQUET")
     assert "w" not in repo.list_tables("main")
+
+
+def test_copy_into_registry_keyed_by_realpath(spark, repo, tmp_path):
+    """r13 re-review: an in-dir symlink ALIAS of an already-loaded file
+    is the same physical bytes — it must skip, not duplicate; two
+    aliases in one statement load once."""
+    land = str(tmp_path / "landing")
+    _land(spark, land, 0, 5)
+    legit = next(
+        f for f in sorted(os.listdir(land)) if f.endswith(".parquet")
+    )
+    sql = LakeSQL(spark, repo, "main")
+    r1 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert r1.num_loaded_files == 1
+    os.symlink(os.path.join(land, legit), os.path.join(land, "alias.parquet"))
+    r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
+    assert (r2.num_loaded_files, r2.num_skipped_files) == (0, 2)
+    assert repo.read_table(spark, "t", "main").count() == 5
+    # fresh table, both spellings of the same file in one statement
+    os.symlink(os.path.join(land, legit), os.path.join(land, "alias2.parquet"))
+    r3 = sql.sql(
+        f"COPY INTO t2 FROM '{land}' FILEFORMAT = PARQUET "
+        f"FILES = ('{legit}', 'alias.parquet', 'alias2.parquet')"
+    ).first()
+    assert r3.num_loaded_files == 1
+    assert repo.read_table(spark, "t2", "main").count() == 5
