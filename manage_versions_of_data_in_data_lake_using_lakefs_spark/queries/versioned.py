@@ -772,6 +772,45 @@ ORDER BY state
 """
 
 
+#: staged landing FILES, one Spark write per (process, sf_dir) — the
+#: bench line should measure COPY INTO itself, not two coalesce(1)
+#: fixture writes per invocation (VERDICT r12 #3: the line was ~60%
+#: fixture setup). Invocations hardlink the cached files into a fresh
+#: landing dir (~0 cost, same inode, so size/mtime signatures and the
+#: realpath containment check behave exactly like freshly landed files).
+_COPYINTO_LANDING_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _staged_orders_batches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    hit = _COPYINTO_LANDING_CACHE.get(sf_dir)
+    if hit is not None and all(os.path.isfile(p) for p in hit):
+        return hit
+    root = tempfile.mkdtemp(prefix="lakegraft_landcache_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = []
+    for i, rem in enumerate((0, 1)):
+        d = os.path.join(root, f"b{i}")
+        orders.where(F.col("o_orderkey") % 3 == rem).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        f = next(fn for fn in sorted(os.listdir(d)) if fn.endswith(".parquet"))
+        out.append(os.path.join(d, f))
+    _COPYINTO_LANDING_CACHE[sf_dir] = (out[0], out[1])
+    return _COPYINTO_LANDING_CACHE[sf_dir]
+
+
+def _link_into(src_file: str, dest_dir: str) -> None:
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, os.path.basename(src_file))
+    try:
+        os.link(src_file, dest)
+    except OSError:  # cross-device landing dir: plain copy
+        shutil.copy2(src_file, dest)
+
+
 def q_versioned_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COPY INTO (r11 — Databricks' idempotent bulk load, the standard
     landing-zone ingestion statement): two landed parquet batches load
@@ -787,20 +826,14 @@ def q_versioned_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo = _fresh_repo()
     land = tempfile.mkdtemp(prefix="lakegraft_land_")
     try:
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_totalprice"
-        )
-        orders.where(F.col("o_orderkey") % 3 == 0).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(land, "batch1"))
+        b1, b2 = _staged_orders_batches(spark, sf_dir)
+        _link_into(b1, os.path.join(land, "batch1"))
         sql = LakeSQL(spark, repo, "main")
         r1 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
         r_retry = sql.sql(
             f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET"
         ).first()
-        orders.where(F.col("o_orderkey") % 3 == 1).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(land, "batch2"))
+        _link_into(b2, os.path.join(land, "batch2"))
         r2 = sql.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET").first()
         idempotent = int(
             r_retry.num_inserted_rows == 0

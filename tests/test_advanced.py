@@ -1510,3 +1510,68 @@ def test_cms_rows_are_independent_hashes():
     assert both / pairs < 5.0 / width, (
         f"row-1 re-collision rate {both / pairs:.3f} — rows not independent"
     )
+
+
+def test_gif_lzw_roundtrip_boundaries():
+    """r13: the GIF LZW codec across its hairy boundaries — code-width
+    growth through every width up to 12 bits, the 4094-entry clear/reset,
+    the KwKwK case, a 2-color palette (min code size floor of 2), and
+    interlace. Each roundtrip decodes to exactly the palette-resolved
+    source raster."""
+    import random
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import _make_gif_codec
+
+    enc, dec = _make_gif_codec()
+
+    def check(idx, w, h, pal, interlace=False):
+        got_w, got_h, rows = dec(enc(idx, w, h, pal, interlace=interlace))
+        assert (got_w, got_h) == (w, h)
+        assert b"".join(rows) == b"".join(pal[3 * k : 3 * k + 3] for k in idx)
+
+    # KwKwK: runs of one symbol produce the code==len(table) case
+    pal4 = bytes(range(12))
+    check(bytes([1] * 40 + [2] * 3 + [1] * 17), 12, 5, pal4)
+    # 2-color interlaced (min LZW code size is clamped to 2 per spec)
+    pal2 = b"\x00\x00\x00\xff\xff\xff"
+    check(bytes((x ^ y) & 1 for y in range(9) for x in range(7)), 7, 9, pal2, True)
+    # 256-color random raster large enough to cross width 9..12 AND the
+    # 4094 clear (each mismatch assigns one code; a random stream over
+    # 256 symbols assigns nearly every step)
+    rng = random.Random(1234)
+    pal256 = bytes(rng.randrange(256) for _ in range(256 * 3))
+    idx = bytes(rng.randrange(256) for _ in range(180 * 120))
+    check(idx, 180, 120, pal256)
+    # animated input raises loudly (the documented boundary)
+    one = enc(bytes([0]), 1, 1, pal2)
+    frame = one[one.index(b"\x2c") : -1]
+    with pytest.raises(NotImplementedError, match="single-frame"):
+        dec(one[:-1] + frame + b"\x3b")
+
+
+def test_gif_features_real_without_stub(spark):
+    """GIF joins PNG outside the stub boundary: extract_features with
+    allow_stub=False decodes real GIF pixels, deterministically across
+    partitionings, and probe_media reports the header dimensions."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.multimodal import (
+        _make_gif_codec,
+        _make_synth_gif,
+        extract_features,
+        probe_media,
+        synthesize_gif_media,
+    )
+
+    ids = spark.range(20).select(F.col("id").alias("doc_id"))
+    media = synthesize_gif_media(ids)
+    probed = {r.media_id: r for r in probe_media(media).collect()}
+    assert probed[7].detected_format == "gif"
+    assert (probed[7].width, probed[7].height) == (2 + 7 % 6, 1 + 7 % 4)
+    rows = extract_features(media, allow_stub=False).orderBy("media_id").collect()
+    assert len(rows) == 20
+    build, (_, decode) = _make_synth_gif(), _make_gif_codec()
+    flat = b"".join(decode(build(7))[2])
+    assert [r.feat_mean for r in rows if r.media_id == 7] == [sum(flat) // len(flat)]
+    again = extract_features(media.repartition(7), allow_stub=False)
+    assert [tuple(r) for r in again.orderBy("media_id").collect()] == [
+        tuple(r) for r in rows
+    ]
