@@ -195,6 +195,9 @@ def main() -> None:
         "multimodal_jpeg_mixed",
         "multimodal_jpeg_hier",
         "versioned_copy_into",
+        "versioned_partitioned_ddl",
+        "versioned_view_truncate_clone",
+        "multimodal_gif_decode",
     ):
         if extra in registry:
             names.append(extra)
