@@ -197,6 +197,7 @@ def main() -> None:
         "versioned_copy_into",
         "versioned_partitioned_ddl",
         "versioned_view_truncate_clone",
+        "versioned_replace_where",
         "multimodal_gif_decode",
     ):
         if extra in registry:

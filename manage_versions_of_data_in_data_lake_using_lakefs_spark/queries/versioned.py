@@ -227,6 +227,53 @@ def q_versioned_partitioned_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... REPLACE WHERE (r13 — Delta's atomic
+    predicate-scoped overwrite) on a declared-partitioned table: the F
+    partition is replaced wholesale with a transformed subset in ONE
+    commit while the O and P partition dirs carry by reference
+    (``dirs_reused=2`` pins the file-level copy-on-write; a regression
+    to whole-table rewrite flips it to 0). The delete/insert counts and
+    the survivors' aggregates are pure functions of orders, so the
+    whole statement oracles."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).createOrReplaceTempView("orders_src_rw")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql(
+        "CREATE TABLE orders_rw (o_orderkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderstatus STRING) PARTITIONED BY (o_orderstatus)"
+    )
+    lsql.sql(
+        "INSERT INTO orders_rw SELECT o_orderkey, o_totalprice, "
+        "o_orderstatus FROM orders_src_rw"
+    )
+    r = lsql.sql(
+        "INSERT INTO orders_rw REPLACE WHERE o_orderstatus = 'F' "
+        "SELECT o_orderkey + 1000000000, o_totalprice + 1.0, o_orderstatus "
+        "FROM orders_src_rw WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0"
+    ).first()
+    reused = sum(
+        1
+        for f in repo.current_files("main", "orders_rw")
+        if "=" in f.rsplit("/", 1)[-1]
+    )
+    return (
+        repo.read_table(spark, "orders_rw", "main")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .withColumn("num_deleted", F.lit(int(r.num_deleted)).cast("long"))
+        .withColumn("num_inserted", F.lit(int(r.num_inserted)).cast("long"))
+        .withColumn("dirs_reused", F.lit(reused).cast("int"))
+    )
+
+
 def q_versioned_view_truncate_clone(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -871,6 +918,7 @@ VERSIONED_QUERIES = {
     "versioned_incremental_agg": q_versioned_incremental_agg,
     "versioned_delete_prune": q_versioned_delete_prune,
     "versioned_partitioned_ddl": q_versioned_partitioned_ddl,
+    "versioned_replace_where": q_versioned_replace_where,
     "versioned_view_truncate_clone": q_versioned_view_truncate_clone,
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
@@ -957,6 +1005,28 @@ FROM orders
 WHERE o_orderstatus <> 'F'
 """
 
+# survivors = non-F orders plus the transformed even-key F subset; the
+# delete/insert counts replay as plain filters; dirs_reused=2 pins that
+# the O and P partition dirs carried by reference through the replace
+ORACLE_VERSIONED_REPLACE_WHERE = """
+WITH survivors AS (
+    SELECT o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT o_totalprice + 1.0 FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_totalprice,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+            AS BIGINT) AS num_deleted,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+            AS BIGINT) AS num_inserted,
+       CAST(2 AS INTEGER) AS dirs_reused
+FROM survivors
+"""
+
 # the deep clone is a faithful full copy (count+sum of ALL orders), the
 # view sees the filtered rows before the truncate and zero after, the
 # truncate reports the full row count
@@ -1017,6 +1087,7 @@ VERSIONED_ORACLES = {
     "versioned_incremental_agg": ORACLE_VERSIONED_INCREMENTAL_AGG,
     "versioned_delete_prune": ORACLE_VERSIONED_DELETE_PRUNE,
     "versioned_partitioned_ddl": ORACLE_VERSIONED_PARTITIONED_DDL,
+    "versioned_replace_where": ORACLE_VERSIONED_REPLACE_WHERE,
     "versioned_view_truncate_clone": ORACLE_VERSIONED_VIEW_TRUNCATE_CLONE,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,

@@ -523,6 +523,11 @@ _INSERT_RE = re.compile(
     r"(?P<body>(?:SELECT|VALUES)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_REPLACE_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+(?P<table>{_IDENT})\s+REPLACE\s+WHERE\s+"
+    r"(?P<cond>.+?)\s+(?P<body>(?:SELECT|VALUES)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+(?P<table>{_IDENT})"
     r"(?:\s+WHERE\s+(?P<cond>.*?))?\s*;?\s*$",
@@ -2760,26 +2765,24 @@ class LakeSQL:
             )
         return out.select(*[f.name for f in store_fields])
 
-    def _insert(
-        self, table: str, body: str, cols: str | None = None
-    ) -> DataFrame:
-        """``INSERT INTO t [(c1, c2, ...)] SELECT ... | VALUES (...),
-        ...`` — positional column alignment with a cast to the target
-        schema (Delta semantics); with an explicit column list (r11),
-        the provided values align positionally to the NAMED columns and
-        every unnamed stored column inserts its DEFAULT when declared
-        (r12) else NULL. IDENTITY columns are never provided — the
-        engine allocates them (r12). Append-mode schema policy enforced
-        by write_table."""
-        name = self._resolve_table(table)
+    def _aligned_insert_source(
+        self, name: str, body: str, cols: str | None
+    ) -> tuple[DataFrame, list, dict]:
+        """Shared INSERT source preparation (INSERT INTO and REPLACE
+        WHERE): evaluate the VALUES/SELECT body, align it positionally
+        to the table's insertable columns with a cast to the target
+        schema (Delta semantics); with an explicit column list the
+        values align to the NAMED columns and every unnamed stored
+        column takes its DEFAULT (else NULL). GENERATED columns are
+        recomputed on read and IDENTITY columns are engine-allocated —
+        neither is ever provided. Returns (aligned, store_fields, ids);
+        when ``ids`` is non-empty the caller must run the aligned frame
+        through ``_fill_identity`` under ``_colmeta_rollback``."""
         target = self.repo.read_table(self.spark, name, ref=self.branch, include_staged=True)
         if body.lstrip()[:6].upper() == "VALUES":
             src = self.spark.sql(f"SELECT * FROM {body}")
         else:
             src = self.sql(body)
-        # GENERATED columns are recomputed on read, never provided;
-        # IDENTITY columns are engine-allocated, never provided:
-        # positional alignment targets only the remaining stored columns
         gen = self.repo._generated_names(
             self.repo.table_schema_map(name, ref=self.branch)
         )
@@ -2853,6 +2856,18 @@ class LakeSQL:
                     for c, f in zip(src.columns, fields)
                 ]
             )
+        return aligned, store_fields, ids
+
+    def _insert(
+        self, table: str, body: str, cols: str | None = None
+    ) -> DataFrame:
+        """``INSERT INTO t [(c1, c2, ...)] SELECT ... | VALUES (...),
+        ...`` — alignment semantics in ``_aligned_insert_source``;
+        append-mode schema policy enforced by write_table."""
+        name = self._resolve_table(table)
+        aligned, store_fields, ids = self._aligned_insert_source(
+            name, body, cols
+        )
         if not ids:
             rows = aligned.count()
             self.repo.write_table(self.branch, name, aligned, mode="append")
@@ -2876,6 +2891,92 @@ class LakeSQL:
         finally:
             cached.unpersist(blocking=False)
         return self._dml_result(name, c.version, rows)
+
+    def _insert_replace(self, table: str, cond: str, body: str) -> DataFrame:
+        """``INSERT INTO t REPLACE WHERE cond SELECT ...`` — Delta's
+        atomic partition/predicate-scoped overwrite: rows matching
+        ``cond`` are deleted and the source rows land, in ONE commit.
+        Delta's safety rule is enforced: every inserted row must itself
+        satisfy ``cond`` (otherwise the statement's meaning depends on
+        evaluation order) — violators reject the whole statement.
+
+        Scale shape: the delete half rides the SAME file-pruning split
+        as DELETE — entries whose manifests prove no row matches carry
+        by reference (on a declared-partitioned table, a partition-
+        aligned cond rewrites only the matching partition dirs); the
+        insert half is one append. Both land in one staged unit, so a
+        reader never sees the gap between delete and insert."""
+        name = self._resolve_table(table)
+        aligned, store_fields, ids = self._aligned_insert_source(
+            name, body, None
+        )
+        cached = aligned.persist()
+        try:
+            n_ins = cached.count()
+            viol = cached.filter(F.expr(f"({cond}) IS NOT TRUE")).count()
+            if viol:
+                raise ValueError(
+                    f"INSERT INTO {name!r} REPLACE WHERE: {viol} source "
+                    f"row(s) do NOT satisfy the condition ({cond}) — "
+                    "Delta semantics require every inserted row to match "
+                    "the replaced predicate"
+                )
+            split = self._prune_split(name, cond)
+            if split is not None:
+                safe, cand, info = split
+                steps = self.repo.table_schema_map(name, ref=self.branch)
+                files = list(safe)
+                deleted = 0
+                if cand:
+                    cand_df = self.repo._read_files(
+                        self.spark, cand, merge_schema=bool(steps)
+                    )
+                    if steps:
+                        cand_df = self.repo.apply_schema_map(cand_df, steps)
+                    kept = cand_df.filter(F.expr(f"({cond}) IS NOT TRUE"))
+                    kept_n = kept.count()
+                    before = info.get("candidate_rows")
+                    if before is None:
+                        before = cand_df.count()
+                    if kept_n > 0:
+                        files.append(
+                            self.repo.write_table(
+                                self.branch, name, kept, mode="overwrite"
+                            )
+                        )
+                    deleted = before - kept_n
+                self.repo.stage_table_files(self.branch, name, files)
+            else:
+                cur = self.repo.read_table(
+                    self.spark, name, ref=self.branch, include_staged=True
+                )
+                kept = cur.filter(F.expr(f"({cond}) IS NOT TRUE"))
+                kept_n = kept.count()
+                deleted = cur.count() - kept_n
+                self.repo.write_table(self.branch, name, kept, mode="overwrite")
+            if ids:
+                with self._colmeta_rollback(name):
+                    filled = self._fill_identity(
+                        name, cached, store_fields, ids, n_ins
+                    )
+                    self.repo.write_table(
+                        self.branch, name, filled, mode="append"
+                    )
+                    c = self.repo.commit(
+                        self.branch, f"SQL: INSERT INTO {name} REPLACE WHERE"
+                    )
+            else:
+                self.repo.write_table(self.branch, name, cached, mode="append")
+                c = self.repo.commit(
+                    self.branch, f"SQL: INSERT INTO {name} REPLACE WHERE"
+                )
+        finally:
+            cached.unpersist(blocking=False)
+        return self.spark.createDataFrame(
+            [(name, c.version, int(deleted), int(n_ins))],
+            "table STRING, version INT, num_deleted LONG, "
+            "num_inserted LONG",
+        )
 
     def _prune_split(self, name: str, cond: str | None):
         """(safe, candidate, info) file split for a DML condition, or
@@ -3869,6 +3970,11 @@ class LakeSQL:
                 m.group("cols"),
                 bool(m.group("replace")),
                 m.group("parts"),
+            )
+        m = _INSERT_REPLACE_RE.match(query)
+        if m:
+            return self._insert_replace(
+                m.group("table"), m.group("cond"), m.group("body")
             )
         m = _INSERT_RE.match(query)
         if m:

@@ -172,3 +172,57 @@ def test_replace_clears_the_spec(spark, repo, lsql):
     lsql.sql("INSERT INTO t VALUES (1, 1)")
     with pytest.raises(ValueError, match="no declared"):
         lsql.sql("SHOW PARTITIONS t")
+
+
+def test_insert_replace_where(spark, repo, lsql):
+    """r13: INSERT INTO ... REPLACE WHERE — Delta's atomic
+    predicate-scoped overwrite. One commit, untouched partition dirs
+    carried by reference, inserted rows must satisfy the predicate,
+    identity allocation continues through it."""
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql(
+        "INSERT INTO t SELECT CAST(id AS INT), CAST(id % 3 AS INT) "
+        "FROM range(300)"
+    )
+    v0 = repo.head("main").version
+    r = lsql.sql(
+        "INSERT INTO t REPLACE WHERE p = 1 "
+        "SELECT CAST(id + 1000 AS INT), CAST(1 AS INT) FROM range(5)"
+    ).first()
+    assert (r.num_deleted, r.num_inserted) == (100, 5)
+    assert repo.head("main").version == v0 + 1  # ONE commit
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 205
+    assert sorted(x.k for x in t.where("p = 1").collect()) == list(
+        range(1000, 1005)
+    )
+    carried = [
+        f for f in repo.current_files("main", "t") if "=" in f.rsplit("/", 1)[-1]
+    ]
+    assert sorted(f.rsplit("/", 1)[-1] for f in carried) == ["p=0", "p=2"]
+    # a source row violating the predicate rejects the whole statement
+    with pytest.raises(ValueError, match="do NOT satisfy"):
+        lsql.sql("INSERT INTO t REPLACE WHERE p = 1 SELECT 1, 2")
+    assert repo.head("main").version == v0 + 1  # nothing landed
+    # time travel reads the pre-replace rows
+    old = repo.read_table(spark, "t", "main", version_as_of=v0)
+    assert old.where("p = 1").count() == 100
+
+    # identity table: allocation continues, engine fills the column
+    lsql.sql("CREATE TABLE ti (k INT GENERATED ALWAYS AS IDENTITY, v INT)")
+    lsql.sql("INSERT INTO ti (v) VALUES (1), (2), (100)")
+    r2 = lsql.sql("INSERT INTO ti REPLACE WHERE v >= 100 SELECT 200").first()
+    assert (r2.num_deleted, r2.num_inserted) == (1, 1)
+    got = sorted(tuple(x) for x in repo.read_table(spark, "ti", "main").collect())
+    assert got == [(1, 1), (2, 2), (4, 200)]
+
+    # replace-everything degenerates to an overwrite; empty source to a
+    # plain predicate delete
+    r3 = lsql.sql("INSERT INTO ti REPLACE WHERE TRUE SELECT 7").first()
+    assert (r3.num_deleted, r3.num_inserted) == (3, 1)
+    r4 = lsql.sql(
+        "INSERT INTO ti REPLACE WHERE v = 7 SELECT CAST(v AS INT) FROM "
+        "(SELECT 1 AS v) WHERE v < 0"
+    ).first()
+    assert (r4.num_deleted, r4.num_inserted) == (1, 0)
+    assert repo.read_table(spark, "ti", "main").count() == 0
