@@ -849,6 +849,7 @@ def test_ivfpq_topk_properties(spark):
     assert n1.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
 
 
+@pytest.mark.slow
 def test_scd2_apply_semantics(spark):
     """SCD2: equal-attribute changes are no-ops, differing ones close
     and reopen, new keys insert, history survives later rounds, and the
@@ -1192,6 +1193,7 @@ def test_wav_decode_rejects_unsupported_encodings():
         decode(b"not a wav")
 
 
+@pytest.mark.slow
 def test_classifier_learns_and_is_layout_independent(spark):
     """The trained quality classifier must (a) beat both trivial
     predictors on its training labels — the distillation actually
@@ -1223,6 +1225,7 @@ def test_classifier_learns_and_is_layout_independent(spark):
         feats.unpersist()
 
 
+@pytest.mark.slow
 def test_classifier_early_stop_matches_frozen_sql_replay(spark):
     """VERDICT r7 #6: tol_micro early stop. The trainer breaks at its
     first frozen iteration (max |Δw| ≤ tol, weights NOT updated); the
@@ -1362,6 +1365,7 @@ def test_quality_features_regex_equals_token_array_build(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_classifier_newton_converges_further_and_is_layout_independent(spark):
     """VERDICT r11 #2: the Newton/IRLS trainer. (a) 6 Newton iterations
     must reach a strictly better training fit than 24 fixed-step GD
@@ -1405,6 +1409,7 @@ def test_classifier_newton_converges_further_and_is_layout_independent(spark):
         feats.unpersist()
 
 
+@pytest.mark.slow
 def test_classifier_newton_early_stop_matches_frozen_sql_replay(spark):
     """The Newton trainer's tol_micro freeze is absorbing exactly like
     the GD one (unchanged weights recompute the identical below-tol

@@ -133,6 +133,7 @@ def test_dv_vacuum_keeps_vector_files(spark, repo):
     )
 
 
+@pytest.mark.slow
 def test_dv_append_stream_raises_unless_ignored(spark, repo):
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
 
@@ -711,6 +712,7 @@ def test_dv_purge_materializes_and_drops_vector(spark, repo):
     assert {r._change_type for r in feed} == {"delete"}
 
 
+@pytest.mark.slow
 def test_dv_auto_materialize_bounds_vector_under_point_dml(spark, repo):
     """r10: with dv_materialize_fraction set, sustained point DML keeps
     the committed vector bounded — files whose vectored share crosses
@@ -1204,6 +1206,7 @@ def test_merge_by_source_update(spark, repo, clauses, expect):
     assert got_dv == got_rw == expect()
 
 
+@pytest.mark.slow
 def test_merge_by_source_update_guards(spark, repo):
     """BY-SOURCE UPDATE guard rails: SET * is rejected (no source row),
     source-alias references in the condition or SET raise; both

@@ -636,6 +636,7 @@ def test_adaptive_k_oracle_parity_beyond_tuned_size(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_adaptive_k_hier_oracle_parity_beyond_tuned_size(spark, tmp_path):
     """The registered dedup_embedding_cosine_hier computes
     k₁ = k₂ = max(4, ⌈√(n/64)⌉) on BOTH sides (Spark via
@@ -676,6 +677,7 @@ def test_adaptive_k_hier_oracle_parity_beyond_tuned_size(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_simhash_expr_equals_shuffle_simhash(spark):
     """The map-only simhash_expr (streaming-legal, shuffle-free) must be
     bit-identical to the two-shuffle batch simhash on every document —

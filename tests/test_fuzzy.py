@@ -180,6 +180,7 @@ def test_mad_null_keys_never_flag_and_never_poison_routing(spark):
         assert got == {600}, (gkr, got)
 
 
+@pytest.mark.slow
 def test_mad_giant_key_bisection_matches_window_path(spark):
     """r9: a constant (or dominant) key auto-routes through the IEEE-bit
     histogram bisection instead of a one-task window — identical rows,

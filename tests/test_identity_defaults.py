@@ -206,6 +206,7 @@ def test_identity_conflicts_and_replace_hygiene(spark, repo, lsql):
     assert _rows(spark, repo) == [(9, "n"), (10, "p")]
 
 
+@pytest.mark.slow
 def test_identity_survives_drop_rename_clone_and_merge(spark, repo, lsql):
     """r12 review batch: DROP COLUMN retires the registration (inserts
     keep working), RENAME carries it (and a DEFAULT) to the new name,
@@ -312,6 +313,7 @@ def test_identity_failed_write_rolls_back_everything(spark, repo, lsql):
     assert got == [(1, "a", None), (2, "b", 1), (3, "d", 2)]
 
 
+@pytest.mark.slow
 def test_create_table_explicit_schema(spark, repo, lsql):
     """r12: CREATE TABLE t (col TYPE ...) — the explicit-schema
     creation Delta users write, and Delta's canonical home for IDENTITY
@@ -396,6 +398,7 @@ def test_create_table_explicit_schema(spark, repo, lsql):
     assert repo.table_constraints("t", "main") == {}
 
 
+@pytest.mark.slow
 def test_create_table_complex_types_and_replace_clears_copyinto(
     spark, repo, lsql, tmp_path
 ):

@@ -25,6 +25,9 @@ from hypothesis import strategies as st
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeRepo, LakeSQL
 
+# chaos/fuzz/property suite: excluded from the fast per-batch sweep (r13)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fuzz_env(spark):

@@ -26,6 +26,9 @@ from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log impo
 )
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import LakeRepo
 
+# chaos/fuzz/property suite: excluded from the fast per-batch sweep (r13)
+pytestmark = pytest.mark.slow
+
 
 def _entries(n, prefix="data/t"):
     return [f"{prefix}/{i:04d}" for i in range(n)]

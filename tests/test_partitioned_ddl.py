@@ -174,6 +174,7 @@ def test_replace_clears_the_spec(spark, repo, lsql):
         lsql.sql("SHOW PARTITIONS t")
 
 
+@pytest.mark.slow
 def test_insert_replace_where(spark, repo, lsql):
     """r13: INSERT INTO ... REPLACE WHERE — Delta's atomic
     predicate-scoped overwrite. One commit, untouched partition dirs

@@ -4,12 +4,16 @@ and dedup — hold for arbitrary inputs, not just the driver testdata."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.sampling import hash_bucket
+
+# chaos/fuzz/property suite: excluded from the fast per-batch sweep (r13)
+pytestmark = pytest.mark.slow
 
 _SETTINGS = dict(
     max_examples=8,

@@ -461,6 +461,7 @@ if HAVE_HYP:
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(cond=_predicate)
+    @pytest.mark.slow
     def test_pruned_delete_equals_full_delete(spark, tmp_path_factory, cond):
         root = str(tmp_path_factory.mktemp("prop") / "lake")
         repo = LakeRepo.init(root)

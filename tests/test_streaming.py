@@ -189,6 +189,7 @@ def test_stream_into_repo_enforces_check_constraints(spark, tmp_path):
     assert repo.read_table(spark, "m", "main").count() == 1
 
 
+@pytest.mark.slow
 def test_streaming_simhash_neardup_matches_batch(spark, tmp_path):
     """Streaming near-dup pairs must equal batch simhash_pairs exactly:
     same banding, same map-only signature (simhash_expr ≡ simhash,
@@ -675,6 +676,7 @@ _chaos_step = st.tuples(
 
 @given(steps=st.lists(_chaos_step, min_size=1, max_size=3))
 @settings(**_CHAOS_SETTINGS)
+@pytest.mark.slow
 def test_stream_upsert_exactly_once_under_chaos(spark, tmp_path_factory, steps):
     """VERDICT r6 #6: adversarial interleavings of the two crash windows
     the exactly-once protocol must close. Whatever the sequence of clean
@@ -1315,6 +1317,7 @@ def test_lake_stream_source_partition_values_python_only_literals(spark, source_
     assert got == batch == [(1, "1_2"), (2, "inf"), (3, "nan")]
 
 
+@pytest.mark.slow
 def test_lake_stream_source_survives_compaction(spark, source_repo, tmp_path):
     """OPTIMIZE/compact commits carry data_change=false (a pure
     rearrangement of the parent's rows); the append stream SKIPS them —
@@ -1434,6 +1437,7 @@ def test_lake_stream_source_max_files_per_trigger_paces_catchup(
     ), offsets
 
 
+@pytest.mark.slow
 def test_lake_stream_source_capped_restart_resumes_mid_commit(
     spark, source_repo, tmp_path
 ):
@@ -1485,6 +1489,7 @@ def test_lake_stream_source_capped_restart_resumes_mid_commit(
     ) == got
 
 
+@pytest.mark.slow
 def test_lake_stream_source_max_bytes_per_trigger_paces_catchup(
     spark, source_repo, tmp_path
 ):
@@ -1806,6 +1811,7 @@ def test_lake_stream_source_vacuum_hazard_is_loud(spark, source_repo, tmp_path):
     )
 )
 @settings(**_CHAOS_SETTINGS)
+@pytest.mark.slow
 def test_lake_stream_cdc_chaos_fold_equals_head(spark, tmp_path_factory, ops):
     """Property: for ANY commit history of appends / overwrites / SQL
     DELETEs, the CDC stream drained from scratch and folded (inserts

@@ -23,11 +23,15 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import LakeRepo, MergeConflict
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import DirtyBranchError
+
+# chaos/fuzz/property suite: excluded from the fast per-batch sweep (r13)
+pytestmark = pytest.mark.slow
 
 _SETTINGS = dict(
     max_examples=8,
