@@ -79,6 +79,7 @@ from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
     DV_PREFIX,
+    PARTITION_PROP,
     _check_name_unreserved,
     ConstraintViolation,
     DirtyBranchError,
@@ -257,6 +258,10 @@ _DROP_VIEW_RE = re.compile(
     rf"^\s*DROP\s+VIEW\s+(?P<name>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<table>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _COPY_TABLE_TO_RE = re.compile(
     rf"^\s*COPY\s+(?P<table>{_IDENT})\s+TO\s+'(?P<path>[^']+)'"
     r"(?:\s+FORMAT\s+(?P<fmt>CSV|PARQUET|ORC|JSON))?"
@@ -2336,6 +2341,83 @@ class LakeSQL:
                 f"known: {sorted(by_lower.values())}"
             ) from None
 
+    def _show_create(self, table: str) -> DataFrame:
+        """``SHOW CREATE TABLE t`` — a REPLAYABLE script in this
+        dialect's own spellings: the CREATE TABLE with inline
+        IDENTITY/DEFAULT/NOT NULL and PARTITIONED BY, followed by the
+        ALTER statements for generated columns, remaining CHECK
+        constraints, and TBLPROPERTIES (the reserved partition key is
+        expressed by PARTITIONED BY, not re-emitted). Running the
+        emitted statements on a fresh branch reproduces the table's
+        logical definition — the round-trip is pinned in tests. For a
+        stored VIEW the statement is its CREATE VIEW text."""
+        low = table.lower()
+        if low in self.repo.list_view_names(self.branch):
+            text = self.repo.view_text(low, self.branch)
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {low} AS {text};",)], "createtab_stmt STRING"
+            )
+        name = self._resolve_table(table)
+        df = self.repo.read_table(
+            self.spark, name, ref=self.branch, include_staged=True
+        )
+        meta = self.repo.column_metadata(name, self.branch)
+        gen_exprs = {
+            l: expr
+            for l, (_disp, expr) in self.repo._generated_exprs(
+                self.repo.table_schema_map(name, ref=self.branch)
+            ).items()
+        }
+        cons = dict(self.repo.table_constraints(name, self.branch))
+        parts = self.repo.table_partition_columns(name, self.branch)
+        props = {
+            k: v
+            for k, v in self.repo.table_properties(name, self.branch).items()
+            if k != PARTITION_PROP
+        }
+        coldefs: list[str] = []
+        alters: list[str] = []
+        for f in df.schema.fields:
+            l = f.name.lower()
+            typ = f.dataType.simpleString().upper()
+            if l in gen_exprs:
+                # generated columns use the dialect's ALTER spelling
+                alters.append(
+                    f"ALTER TABLE {name} ADD COLUMN {f.name} {typ} "
+                    f"GENERATED ALWAYS AS ({gen_exprs[l]})"
+                )
+                continue
+            d = f"{f.name} {typ}"
+            ide = meta["identity"].get(l)
+            if ide is not None:
+                d += (
+                    " GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{ide['start']} INCREMENT BY {ide['step']})"
+                )
+            if l in meta["defaults"]:
+                d += f" DEFAULT {meta['defaults'][l]}"
+            if cons.get(f"{l}_not_null") == f"{f.name} IS NOT NULL":
+                d += " NOT NULL"
+                del cons[f"{l}_not_null"]
+            coldefs.append(d)
+        stmt = f"CREATE TABLE {name} (\n  " + ",\n  ".join(coldefs) + ")"
+        if parts:
+            stmt += f"\nPARTITIONED BY ({', '.join(parts)})"
+        stmts = [stmt] + alters
+        for cname, expr in sorted(cons.items()):
+            stmts.append(
+                f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr})"
+            )
+        if props:
+            pairs = ", ".join(
+                "'{}'='{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+                for k, v in sorted(props.items())
+            )
+            stmts.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({pairs})")
+        return self.spark.createDataFrame(
+            [(";\n".join(stmts) + ";",)], "createtab_stmt STRING"
+        )
+
     def _reject_view_collision(self, name: str) -> None:
         """Every table-creating path (CTAS, explicit schema, clones via
         the repo guards) must refuse a name held by a stored view —
@@ -2743,13 +2825,32 @@ class LakeSQL:
         rows — cost ∝ the batch, never the table."""
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.windows import global_row_number_scalable
 
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        # MAP-bearing columns are not orderable (Spark refuses a sort on
+        # them, even nested inside arrays/structs) — drop them from the
+        # assignment order; the numbering is then deterministic up to
+        # rows identical in every orderable column (r13: identity INSERT
+        # into a table with a MAP column crashed)
+        def _orderable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
         order_cols = [
-            f.name for f in store_fields if f.name.lower() not in ids
+            f.name
+            for f in store_fields
+            if f.name.lower() not in ids and _orderable(f.dataType)
         ]
         if not order_cols:
             raise ValueError(
-                f"{name!r}: a table whose stored columns are ALL identity "
-                "columns has no deterministic assignment order"
+                f"{name!r}: a table whose stored columns are all identity "
+                "columns or unorderable (MAP) columns has no deterministic "
+                "assignment order"
             )
         out = global_row_number_scalable(df, order_cols, out="__lg_idrow")
         by_lower = {f.name.lower(): f for f in store_fields}
@@ -3734,6 +3835,9 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 rows, "view_name STRING, view_text STRING"
             )
+        m = _SHOW_CREATE_RE.match(query)
+        if m:
+            return self._show_create(m.group("table"))
         m = _ADD_IDENTITY_RE.match(query)
         if m:
             c = self.repo.alter_add_identity_column(

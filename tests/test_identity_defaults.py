@@ -510,3 +510,48 @@ def test_create_table_glued_comparison_in_default(spark, repo, lsql):
     lsql.sql("INSERT INTO gc (arr) VALUES (array(1))")
     [r] = repo.read_table(spark, "gc", "main").collect()
     assert (r.a, r.b, list(r.arr), r.c) == (True, 7, [1], False)
+
+
+def test_show_create_table_roundtrip(spark, repo, lsql):
+    """r13: SHOW CREATE TABLE emits a script in this dialect's own
+    spellings; replaying it on a fresh branch reproduces the table's
+    full logical definition — columns, IDENTITY spec, DEFAULT, NOT
+    NULL, PARTITIONED BY, generated columns, CHECK constraints, and
+    TBLPROPERTIES (reserved partition key expressed as PARTITIONED BY,
+    never re-emitted). Also covers the identity-fill fix: an identity
+    INSERT into a table with an unorderable MAP column works (ordering
+    skips MAP-bearing columns)."""
+    lsql.sql(
+        "CREATE TABLE t (k INT GENERATED ALWAYS AS IDENTITY (START WITH "
+        "5 INCREMENT BY 2), v DOUBLE DEFAULT 1.5 NOT NULL, "
+        "m MAP<STRING, INT>, p INT) PARTITIONED BY (p)"
+    )
+    lsql.sql("ALTER TABLE t ADD COLUMN g INT GENERATED ALWAYS AS (p + 1)")
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT v_small CHECK (v < 1e9)")
+    lsql.sql("ALTER TABLE t SET TBLPROPERTIES ('o'='x', 'n'='it''s')")
+    stmt = lsql.sql("SHOW CREATE TABLE t").first().createtab_stmt
+    assert "PARTITIONED BY (p)" in stmt
+    assert "lakegraft.partition.columns" not in stmt
+    repo.create_branch("fresh", "main")
+    f = LakeSQL(spark, repo, "fresh")
+    f.sql("DROP TABLE t")
+    for s in stmt.split(";\n"):
+        if s.strip():
+            f.sql(s)
+    f.sql("INSERT INTO t (v, m, p) VALUES (2.5, map('a', 1), 3)")
+    [row] = repo.read_table(spark, "t", "fresh").collect()
+    assert (row.k, row.v, dict(row.m), row.p, row.g) == (
+        5, 2.5, {"a": 1}, 3, 4,
+    )
+    assert repo.table_partition_columns("t", "fresh") == ["p"]
+    assert repo.table_constraints("t", "fresh") == {
+        "v_not_null": "v IS NOT NULL",
+        "v_small": "v < 1e9",
+    }
+    assert repo.table_properties("t", "fresh")["n"] == "it's"
+    # the view flavor emits its CREATE VIEW text
+    lsql.sql("CREATE VIEW w AS SELECT v FROM t")
+    assert (
+        lsql.sql("SHOW CREATE TABLE w").first().createtab_stmt
+        == "CREATE VIEW w AS SELECT v FROM t;"
+    )
