@@ -157,7 +157,7 @@ def q_versioned_delete_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         band = orders.filter(
             (F.col("o_orderkey") >= b * band_w)
             & (F.col("o_orderkey") < (b + 1) * band_w)
-        ).coalesce(1)
+        ).repartition(1)
         repo.write_table("main", "orders_t", band, mode="append")
     repo.commit("main", "range-banded")
     before = set(repo.current_files("main", "orders_t"))
@@ -227,6 +227,42 @@ def q_versioned_partitioned_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared base repo for the branch-per-invocation versioned demos
+#: (the versioned_copy_into landing-cache discipline, VERDICT r12 #3:
+#: recorded seconds should measure the OPERATOR, not per-invocation
+#: fixture builds). Built once per (process, sf_dir): `orders_p` — the
+#: full orders projection in a declared-PARTITIONED BY (o_orderstatus)
+#: table — and `orders_flat`, the same rows unpartitioned. Consumers
+#: never mutate main: each invocation branches (O(1)) and works there,
+#: so repeated bench runs stay independent.
+_SHARED_BASE: dict[str, "LakeRepo"] = {}
+_BRANCH_SEQ = __import__("itertools").count()
+
+
+def _shared_orders_repo(spark: SparkSession, sf_dir: str) -> LakeRepo:
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _SHARED_BASE.get(sf_dir)
+    if repo is not None:
+        return repo
+    repo = _fresh_repo()
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).createOrReplaceTempView("orders_src_shared")
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql(
+        "CREATE TABLE orders_p (o_orderkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderstatus STRING) PARTITIONED BY (o_orderstatus)"
+    )
+    lsql.sql(
+        "INSERT INTO orders_p SELECT o_orderkey, o_totalprice, "
+        "o_orderstatus FROM orders_src_shared"
+    )
+    lsql.sql("CREATE TABLE orders_flat AS SELECT * FROM orders_src_shared")
+    _SHARED_BASE[sf_dir] = repo
+    return repo
+
+
 def q_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT INTO ... REPLACE WHERE (r13 — Delta's atomic
     predicate-scoped overwrite) on a declared-partitioned table: the F
@@ -235,35 +271,31 @@ def q_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dirs_reused=2`` pins the file-level copy-on-write; a regression
     to whole-table rewrite flips it to 0). The delete/insert counts and
     the survivors' aggregates are pure functions of orders, so the
-    whole statement oracles."""
+    whole statement oracles. Runs on a fresh BRANCH of the shared base
+    repo, so the recorded time measures the statement, not the base
+    table build."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
 
-    repo = _fresh_repo()
+    repo = _shared_orders_repo(spark, sf_dir)
+    branch = f"rw{next(_BRANCH_SEQ)}"
+    repo.create_branch(branch, "main")
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     ).createOrReplaceTempView("orders_src_rw")
-    lsql = LakeSQL(spark, repo, "main")
-    lsql.sql(
-        "CREATE TABLE orders_rw (o_orderkey BIGINT, o_totalprice DOUBLE, "
-        "o_orderstatus STRING) PARTITIONED BY (o_orderstatus)"
-    )
-    lsql.sql(
-        "INSERT INTO orders_rw SELECT o_orderkey, o_totalprice, "
-        "o_orderstatus FROM orders_src_rw"
-    )
+    lsql = LakeSQL(spark, repo, branch)
     r = lsql.sql(
-        "INSERT INTO orders_rw REPLACE WHERE o_orderstatus = 'F' "
+        "INSERT INTO orders_p REPLACE WHERE o_orderstatus = 'F' "
         "SELECT o_orderkey + 1000000000, o_totalprice + 1.0, o_orderstatus "
         "FROM orders_src_rw WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0"
     ).first()
     reused = sum(
         1
-        for f in repo.current_files("main", "orders_rw")
+        for f in repo.current_files(branch, "orders_p")
         if "=" in f.rsplit("/", 1)[-1]
     )
     return (
-        repo.read_table(spark, "orders_rw", "main")
+        repo.read_table(spark, "orders_p", branch)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             decimal_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
@@ -283,26 +315,26 @@ def q_versioned_view_truncate_clone(
     TRUNCATE empties the table schema-preservingly in one commit, and a
     DEEP CLONE taken before the truncate keeps its OWN full copy —
     proving clone/source file independence. Every emitted value is a
-    pure function of the orders table, so the whole flow oracles."""
+    pure function of the orders table, so the whole flow oracles. Runs
+    on a fresh BRANCH of the shared base repo, so the recorded time
+    measures view/clone/truncate, not the base table build."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
 
-    repo = _fresh_repo()
-    load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).createOrReplaceTempView("orders_src_vtc")
-    lsql = LakeSQL(spark, repo, "main")
-    lsql.sql("CREATE TABLE t AS SELECT * FROM orders_src_vtc")
+    repo = _shared_orders_repo(spark, sf_dir)
+    branch = f"vtc{next(_BRANCH_SEQ)}"
+    repo.create_branch(branch, "main")
+    lsql = LakeSQL(spark, repo, branch)
     lsql.sql(
-        "CREATE VIEW high AS SELECT o_orderkey, o_totalprice FROM t "
-        "WHERE o_totalprice > 100000.0"
+        "CREATE VIEW high AS SELECT o_orderkey, o_totalprice FROM "
+        "orders_flat WHERE o_totalprice > 100000.0"
     )
     n_view_pre = lsql.sql("SELECT COUNT(*) AS n FROM high").first().n
-    lsql.sql("CREATE TABLE d DEEP CLONE t")
-    truncated = lsql.sql("TRUNCATE TABLE t").first().rows_affected
+    lsql.sql("CREATE TABLE d DEEP CLONE orders_flat")
+    truncated = lsql.sql("TRUNCATE TABLE orders_flat").first().rows_affected
     n_view_post = lsql.sql("SELECT COUNT(*) AS n FROM high").first().n
     return (
-        repo.read_table(spark, "d", "main")
+        repo.read_table(spark, "d", branch)
         .agg(
             F.count(F.lit(1)).alias("n_clone"),
             decimal_sum(F.col("o_totalprice"), 2).alias("sum_clone"),
@@ -840,7 +872,7 @@ def _staged_orders_batches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     out = []
     for i, rem in enumerate((0, 1)):
         d = os.path.join(root, f"b{i}")
-        orders.where(F.col("o_orderkey") % 3 == rem).coalesce(1).write.mode(
+        orders.where(F.col("o_orderkey") % 3 == rem).repartition(1).write.mode(
             "overwrite"
         ).parquet(d)
         f = next(fn for fn in sorted(os.listdir(d)) if fn.endswith(".parquet"))

@@ -507,7 +507,7 @@ class LakeRepo:
             # all (no partition dirs to create) — rewrite flat so the
             # snapshot entry still carries the table schema for reads
             shutil.rmtree(out_dir)
-            df.coalesce(1).write.mode("errorifexists").parquet(out_dir)
+            df.repartition(1).write.mode("errorifexists").parquet(out_dir)
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import (
             add_bloom_stats,
             write_group_stats,

@@ -2723,7 +2723,7 @@ class LakeSQL:
         # schema validation (raises on garbage types) + the empty frame
         # (coalesced: no point writing an empty table with one task per
         # default-parallelism partition)
-        empty = self.spark.createDataFrame([], ddl).coalesce(1)
+        empty = self.spark.createDataFrame([], ddl).repartition(1)
         types = {f.name.lower(): f.dataType for f in empty.schema.fields}
         for col_l, expr in defaults.items():
             # self-contained DEFAULT validation, as in alter_set_default
@@ -3793,7 +3793,7 @@ class LakeSQL:
                 self.spark, name, self.branch, include_staged=True
             )
             n = cur.count()
-            empty = self.spark.createDataFrame([], cur.schema).coalesce(1)
+            empty = self.spark.createDataFrame([], cur.schema).repartition(1)
             self.repo.write_table(self.branch, name, empty, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: TRUNCATE TABLE {name}")
             return self._dml_result(name, c.version, n)
