@@ -12,6 +12,7 @@ fails. Behavioral invariants live in tests/test_versioning.py.
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import shutil
 import tempfile
@@ -236,19 +237,19 @@ def q_versioned_partitioned_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: never mutate main: each invocation branches (O(1)) and works there,
 #: so repeated bench runs stay independent.
 _SHARED_BASE: dict[str, "LakeRepo"] = {}
-_BRANCH_SEQ = __import__("itertools").count()
+_BRANCH_SEQ = itertools.count()
 
 
 def _shared_orders_repo(spark: SparkSession, sf_dir: str) -> LakeRepo:
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
 
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).createOrReplaceTempView("orders_src_shared")
     repo = _SHARED_BASE.get(sf_dir)
     if repo is not None:
         return repo
     repo = _fresh_repo()
-    load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    ).createOrReplaceTempView("orders_src_shared")
     lsql = LakeSQL(spark, repo, "main")
     lsql.sql(
         "CREATE TABLE orders_p (o_orderkey BIGINT, o_totalprice DOUBLE, "
@@ -280,14 +281,11 @@ def q_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo = _shared_orders_repo(spark, sf_dir)
     branch = f"rw{next(_BRANCH_SEQ)}"
     repo.create_branch(branch, "main")
-    load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    ).createOrReplaceTempView("orders_src_rw")
     lsql = LakeSQL(spark, repo, branch)
     r = lsql.sql(
         "INSERT INTO orders_p REPLACE WHERE o_orderstatus = 'F' "
         "SELECT o_orderkey + 1000000000, o_totalprice + 1.0, o_orderstatus "
-        "FROM orders_src_rw WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0"
+        "FROM orders_src_shared WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0"
     ).first()
     reused = sum(
         1

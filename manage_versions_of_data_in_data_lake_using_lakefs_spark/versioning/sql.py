@@ -662,6 +662,16 @@ def _split_coldefs(s: str) -> list[str]:
     ]
 
 
+def _identity_clause(ent: dict) -> str:
+    """The one spelling of an identity declaration, shared by DESCRIBE
+    TABLE and SHOW CREATE TABLE so the two surfaces can never drift
+    (r13 review)."""
+    return (
+        "GENERATED ALWAYS AS IDENTITY (START WITH "
+        f"{ent['start']} INCREMENT BY {ent['step']})"
+    )
+
+
 def _require_inside_landing_dir(path: str, src: str, root_real: str) -> None:
     """COPY INTO selection-contract enforcement for what the lexical
     guards can't see: a SYMLINK inside the landing dir can still point
@@ -2341,6 +2351,26 @@ class LakeSQL:
                 f"known: {sorted(by_lower.values())}"
             ) from None
 
+    def _column_write_surface(
+        self, name: str
+    ) -> tuple[DataFrame, dict, dict, dict]:
+        """(frame, column_metadata, {col_lower: generated_expr},
+        constraints) — every write-time column annotation source, shared
+        by DESCRIBE TABLE and SHOW CREATE TABLE so the two surfaces can
+        never drift (r13 review)."""
+        df = self.repo.read_table(
+            self.spark, name, ref=self.branch, include_staged=True
+        )
+        meta = self.repo.column_metadata(name, self.branch)
+        gen_exprs = {
+            l: expr
+            for l, (_disp, expr) in self.repo._generated_exprs(
+                self.repo.table_schema_map(name, ref=self.branch)
+            ).items()
+        }
+        cons = dict(self.repo.table_constraints(name, self.branch))
+        return df, meta, gen_exprs, cons
+
     def _show_create(self, table: str) -> DataFrame:
         """``SHOW CREATE TABLE t`` — a REPLAYABLE script in this
         dialect's own spellings: the CREATE TABLE with inline
@@ -2358,42 +2388,60 @@ class LakeSQL:
                 [(f"CREATE VIEW {low} AS {text};",)], "createtab_stmt STRING"
             )
         name = self._resolve_table(table)
-        df = self.repo.read_table(
-            self.spark, name, ref=self.branch, include_staged=True
-        )
-        meta = self.repo.column_metadata(name, self.branch)
-        gen_exprs = {
-            l: expr
-            for l, (_disp, expr) in self.repo._generated_exprs(
-                self.repo.table_schema_map(name, ref=self.branch)
-            ).items()
-        }
-        cons = dict(self.repo.table_constraints(name, self.branch))
-        parts = self.repo.table_partition_columns(name, self.branch)
-        props = {
-            k: v
-            for k, v in self.repo.table_properties(name, self.branch).items()
-            if k != PARTITION_PROP
-        }
+        df, meta, gen_exprs, cons = self._column_write_surface(name)
+        all_props = self.repo.table_properties(name, self.branch)
+        parts = [
+            c for c in all_props.get(PARTITION_PROP, "").split(",") if c
+        ]
+        props = {k: v for k, v in all_props.items() if k != PARTITION_PROP}
         coldefs: list[str] = []
         alters: list[str] = []
         for f in df.schema.fields:
-            l = f.name.lower()
-            typ = f.dataType.simpleString().upper()
-            if l in gen_exprs:
-                # generated columns use the dialect's ALTER spelling
-                alters.append(
-                    f"ALTER TABLE {name} ADD COLUMN {f.name} {typ} "
-                    f"GENERATED ALWAYS AS ({gen_exprs[l]})"
+            if not re.fullmatch(r"\w+", f.name):
+                raise ValueError(
+                    f"SHOW CREATE TABLE {name!r}: column {f.name!r} is "
+                    "not a plain identifier — this dialect's DDL cannot "
+                    "express it, so no replayable script exists (rename "
+                    "the column first)"
                 )
+            l = f.name.lower()
+            # simpleString verbatim (NOT uppercased): nested struct
+            # field names are case-sensitive on read-back (r13 review)
+            typ = f.dataType.simpleString()
+            if l in gen_exprs or alters:
+                # the CREATE grammar has no inline GENERATED spelling, so
+                # from the FIRST generated column onward every column is
+                # emitted as an ALTER (appends preserve the logical
+                # order — r13 review: a trailing-ALTER-only emission
+                # reordered stored columns declared after a generated
+                # one); DEFAULT and IDENTITY have ALTER spellings, NOT
+                # NULL stays expressed by its stored CHECK constraint
+                if l in gen_exprs:
+                    alters.append(
+                        f"ALTER TABLE {name} ADD COLUMN {f.name} {typ} "
+                        f"GENERATED ALWAYS AS ({gen_exprs[l]})"
+                    )
+                    continue
+                ide = meta["identity"].get(l)
+                if ide is not None:
+                    alters.append(
+                        f"ALTER TABLE {name} ADD COLUMN {f.name} {typ} "
+                        f"{_identity_clause(ide)}"
+                    )
+                    continue
+                alters.append(
+                    f"ALTER TABLE {name} ADD COLUMN {f.name} {typ}"
+                )
+                if l in meta["defaults"]:
+                    alters.append(
+                        f"ALTER TABLE {name} ALTER COLUMN {f.name} SET "
+                        f"DEFAULT {meta['defaults'][l]}"
+                    )
                 continue
             d = f"{f.name} {typ}"
             ide = meta["identity"].get(l)
             if ide is not None:
-                d += (
-                    " GENERATED ALWAYS AS IDENTITY (START WITH "
-                    f"{ide['start']} INCREMENT BY {ide['step']})"
-                )
+                d += " " + _identity_clause(ide)
             if l in meta["defaults"]:
                 d += f" DEFAULT {meta['defaults'][l]}"
             if cons.get(f"{l}_not_null") == f"{f.name} IS NOT NULL":
@@ -3948,27 +3996,14 @@ class LakeSQL:
             # IDENTITY allocator spec, DEFAULT expression, GENERATED
             # expression, and NOT NULL-shaped CHECK constraints.
             name = self._resolve_table(m.group("table"))
-            df = self.repo.read_table(
-                self.spark, name, ref=self.branch, include_staged=True
-            )
-            meta = self.repo.column_metadata(name, self.branch)
-            gen_exprs = {
-                low: expr
-                for low, (_disp, expr) in self.repo._generated_exprs(
-                    self.repo.table_schema_map(name, ref=self.branch)
-                ).items()
-            }
-            cons = self.repo.table_constraints(name, self.branch)
+            df, meta, gen_exprs, cons = self._column_write_surface(name)
             rows = []
             for f in df.schema.fields:
                 low = f.name.lower()
                 notes = []
                 ide = meta["identity"].get(low)
                 if ide is not None:
-                    notes.append(
-                        "GENERATED ALWAYS AS IDENTITY (START WITH "
-                        f"{ide['start']} INCREMENT BY {ide['step']})"
-                    )
+                    notes.append(_identity_clause(ide))
                 if low in gen_exprs:
                     notes.append(
                         f"GENERATED ALWAYS AS ({gen_exprs[low]})"

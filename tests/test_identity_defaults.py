@@ -555,3 +555,34 @@ def test_show_create_table_roundtrip(spark, repo, lsql):
         lsql.sql("SHOW CREATE TABLE w").first().createtab_stmt
         == "CREATE VIEW w AS SELECT v FROM t;"
     )
+
+
+def test_show_create_preserves_order_casing_and_rejects_odd_names(
+    spark, repo, lsql
+):
+    """r13 re-review: SHOW CREATE keeps the logical column ORDER when
+    stored columns follow a generated one (they become ordered ALTERs),
+    keeps nested struct field-name CASING (types are never uppercased),
+    and refuses loudly when a column name is not expressible in the
+    dialect's DDL."""
+    lsql.sql("CREATE TABLE t (a INT, s STRUCT<Inner: INT, other: STRING>)")
+    lsql.sql("ALTER TABLE t ADD COLUMN g INT GENERATED ALWAYS AS (a + 1)")
+    lsql.sql("ALTER TABLE t ADD COLUMN z INT")
+    lsql.sql("ALTER TABLE t ALTER COLUMN z SET DEFAULT 7")
+    stmt = lsql.sql("SHOW CREATE TABLE t").first().createtab_stmt
+    assert "STRUCT" not in stmt and "struct<Inner:int,other:string>" in stmt
+    repo.create_branch("fresh", "main")
+    f = LakeSQL(spark, repo, "fresh")
+    f.sql("DROP TABLE t")
+    for s in stmt.split(";\n"):
+        if s.strip():
+            f.sql(s)
+    t = repo.read_table(spark, "t", "fresh")
+    assert t.columns == ["a", "s", "g", "z"]  # logical order preserved
+    f.sql("INSERT INTO t (a, s) VALUES (1, named_struct('Inner', 2, 'other', 'x'))")
+    [row] = repo.read_table(spark, "t", "fresh").collect()
+    assert (row.a, row.s.Inner, row.g, row.z) == (1, 2, 2, 7)
+
+    lsql.sql("CREATE TABLE odd AS SELECT 1 AS `my col`")
+    with pytest.raises(ValueError, match="not a plain identifier"):
+        lsql.sql("SHOW CREATE TABLE odd")
