@@ -241,6 +241,11 @@ _COPY_INTO_RE = re.compile(
 )
 _QUOTED_ITEM_RE = re.compile(r"'([^']*)'")
 _OPT_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_CREATE_LIKE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?P<dst>{_IDENT})\s+LIKE\s+"
+    rf"(?P<src>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CLONE_RE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?P<dst>{_IDENT})\s+(?P<kind>SHALLOW|DEEP)\s+CLONE\s+"
     rf"(?P<src>{_IDENT})\s*;?\s*$",
@@ -2388,8 +2393,19 @@ class LakeSQL:
                 [(f"CREATE VIEW {low} AS {text};",)], "createtab_stmt STRING"
             )
         name = self._resolve_table(table)
-        df, meta, gen_exprs, cons = self._column_write_surface(name)
-        all_props = self.repo.table_properties(name, self.branch)
+        stmts = self._create_table_script(name, name)
+        return self.spark.createDataFrame(
+            [(";\n".join(stmts) + ";",)], "createtab_stmt STRING"
+        )
+
+    def _create_table_script(self, src: str, dst: str) -> list[str]:
+        """The ordered DDL statements that reproduce ``src``'s logical
+        definition under the name ``dst`` — the engine of both SHOW
+        CREATE TABLE (dst == src) and CREATE TABLE ... LIKE (fresh
+        dst), so the two can never drift."""
+        name = dst
+        df, meta, gen_exprs, cons = self._column_write_surface(src)
+        all_props = self.repo.table_properties(src, self.branch)
         parts = [
             c for c in all_props.get(PARTITION_PROP, "").split(",") if c
         ]
@@ -2399,10 +2415,10 @@ class LakeSQL:
         for f in df.schema.fields:
             if not re.fullmatch(r"\w+", f.name):
                 raise ValueError(
-                    f"SHOW CREATE TABLE {name!r}: column {f.name!r} is "
-                    "not a plain identifier — this dialect's DDL cannot "
-                    "express it, so no replayable script exists (rename "
-                    "the column first)"
+                    f"table {src!r}: column {f.name!r} is not a plain "
+                    "identifier — this dialect's DDL cannot express it, "
+                    "so no replayable script exists (rename the column "
+                    "first)"
                 )
             l = f.name.lower()
             # simpleString verbatim (NOT uppercased): nested struct
@@ -2462,9 +2478,38 @@ class LakeSQL:
                 for k, v in sorted(props.items())
             )
             stmts.append(f"ALTER TABLE {name} SET TBLPROPERTIES ({pairs})")
-        return self.spark.createDataFrame(
-            [(";\n".join(stmts) + ";",)], "createtab_stmt STRING"
-        )
+        return stmts
+
+    def _create_like(self, dst: str, src: str) -> DataFrame:
+        """``CREATE TABLE dst LIKE src`` — an EMPTY table with src's
+        full logical definition (columns, order, IDENTITY restarting at
+        its declared START, DEFAULT, NOT NULL, generated columns, CHECK
+        constraints, PARTITIONED BY, TBLPROPERTIES), by replaying the
+        same script SHOW CREATE TABLE emits. A mid-script failure drops
+        the partial table so nothing half-defined survives."""
+        src_name = self._resolve_table(src)
+        low = dst.lower()
+        if low in {t.lower() for t in self.repo.list_tables(self.branch)}:
+            raise ValueError(
+                f"table {dst!r} already exists on {self.branch!r}"
+            )
+        self._reject_view_collision(dst)
+        _check_name_unreserved(low, "table")
+        stmts = self._create_table_script(src_name, low)
+        try:
+            for s in stmts:
+                self.sql(s)
+        except Exception:
+            try:
+                self.repo.remove_table(self.branch, low)
+                self.repo.commit(
+                    self.branch, f"SQL: rollback CREATE TABLE {low} LIKE"
+                )
+            except Exception:
+                pass
+            raise
+        c = self.repo.head(self.branch)
+        return self._dml_result(low, c.version, 0)
 
     def _reject_view_collision(self, name: str) -> None:
         """Every table-creating path (CTAS, explicit schema, clones via
@@ -3822,6 +3867,9 @@ class LakeSQL:
                 ),
                 pattern=m.group("pattern"),
             )
+        m = _CREATE_LIKE_RE.match(query)
+        if m:
+            return self._create_like(m.group("dst"), m.group("src"))
         m = _CLONE_RE.match(query)
         if m:
             src = self._resolve_table(m.group("src"))

@@ -586,3 +586,39 @@ def test_show_create_preserves_order_casing_and_rejects_odd_names(
     lsql.sql("CREATE TABLE odd AS SELECT 1 AS `my col`")
     with pytest.raises(ValueError, match="not a plain identifier"):
         lsql.sql("SHOW CREATE TABLE odd")
+
+
+def test_create_table_like(spark, repo, lsql):
+    """r13: CREATE TABLE dst LIKE src — an empty table with src's full
+    logical definition, by replaying the SHOW CREATE script. Identity
+    restarts at its declared START (definition, not state); data never
+    copies; guards match the other creating paths."""
+    lsql.sql(
+        "CREATE TABLE t (k INT GENERATED ALWAYS AS IDENTITY (START WITH "
+        "10), v DOUBLE DEFAULT 2.5 NOT NULL, p INT) PARTITIONED BY (p)"
+    )
+    lsql.sql("ALTER TABLE t ADD COLUMN g INT GENERATED ALWAYS AS (p * 2)")
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT vpos CHECK (v > 0)")
+    lsql.sql("INSERT INTO t (v, p) VALUES (1.0, 1), (2.0, 2)")  # k=10,11
+    lsql.sql("CREATE TABLE d LIKE t")
+    d = repo.read_table(spark, "d", "main")
+    assert d.count() == 0 and d.columns == ["k", "v", "p", "g"]
+    assert repo.table_partition_columns("d", "main") == ["p"]
+    assert repo.table_constraints("d", "main") == {
+        "v_not_null": "v IS NOT NULL",
+        "vpos": "v > 0",
+    }
+    lsql.sql("INSERT INTO d (v, p) VALUES (9.0, 3)")
+    [row] = repo.read_table(spark, "d", "main").collect()
+    assert (row.k, row.v, row.p, row.g) == (10, 9.0, 3, 6)  # fresh sequence
+    assert repo.show_partitions("d", "main") == ["p=3"]
+    with pytest.raises(Exception):
+        lsql.sql("INSERT INTO d (v, p) VALUES (-1.0, 0)")
+    # guards: existing table/view/reserved names refuse up front
+    with pytest.raises(ValueError, match="already exists"):
+        lsql.sql("CREATE TABLE d LIKE t")
+    lsql.sql("CREATE VIEW w AS SELECT v FROM t")
+    with pytest.raises(ValueError, match="view of that name"):
+        lsql.sql("CREATE TABLE w LIKE t")
+    with pytest.raises(ValueError, match="reserved prefix"):
+        lsql.sql("CREATE TABLE lake__d LIKE t")
