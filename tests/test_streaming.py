@@ -1881,3 +1881,62 @@ def test_lake_stream_cdc_chaos_fold_equals_head(spark, tmp_path_factory, ops):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_into_declared_partitioned_table(spark, source_repo, tmp_path):
+    """r13: a streaming exactly-once sink into a table declared
+    PARTITIONED BY lands every micro-batch in the Hive layout — the
+    spec is consulted by write_table on EVERY path, streaming included
+    — and SHOW PARTITIONS tracks the partitions across drains."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.ops import stream_into_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.streaming.source import stream_table_from_repo
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = source_repo
+    lsql = LakeSQL(spark, repo, "main")
+    lsql.sql("CREATE TABLE b (k BIGINT, v BIGINT, p BIGINT) PARTITIONED BY (p)")
+    ck = str(tmp_path / "ck")
+    repo.write_table("main", "a", _kv(spark, 0, 10))
+    repo.commit("main", "a v1")
+
+    def drain():
+        s = stream_table_from_repo(spark, repo.root, "a").withColumn(
+            "p", F.col("k") % 2
+        )
+        stream_into_repo(s, repo, "main", "b", ck)
+
+    drain()
+    assert repo.show_partitions("b", "main") == ["p=0", "p=1"]
+    assert repo.read_table(spark, "b", "main").count() == 10
+    # second source commit adds a new partition value; drain again
+    repo.write_table(
+        "main", "a",
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        mode="append",
+    )
+    repo.commit("main", "a v2")
+    def drain2():
+        s = stream_table_from_repo(spark, repo.root, "a").withColumn(
+            "p", F.col("k") % 3
+        )
+        stream_into_repo(s, repo, "main", "b", ck)
+    drain2()
+    t = repo.read_table(spark, "b", "main")
+    assert t.count() == 13
+    assert set(repo.show_partitions("b", "main")) >= {"p=0", "p=1"}
+    # every ROW-bearing file of b is under a Hive partition dir (the
+    # CREATE's 0-row schema-carrier file is legitimately flat)
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    for rel in repo.current_files("main", "b"):
+        full = _os.path.join(repo.root, rel)
+        for dp, _dn, fns in _os.walk(full):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                if _pq.ParquetFile(_os.path.join(dp, fn)).metadata.num_rows:
+                    assert "p=" in dp, (rel, dp, fn)
