@@ -73,11 +73,19 @@ WINDOW_ORDER: list[str] = [
     "horizontal_mean",
     "bucketize",
     # §2.3 joins
-    "join_inner",
+    # (join_inner — a single two-table equi-join — rotated to the tail in
+    # r14: flagship and tpch_q13 window-certify inner equi-joins and
+    # join_variants pins every join type; the freed slot driver-certifies
+    # the r13 partitioned-DDL write path below. Full oracle kept in the
+    # tail, re-verified every round by oracle-parity pytest.)
     "join_variants",        # left/right/full/semi/anti, tagged
     "join_broadcast",
     # §2.4 aggregations
-    "agg_sum",              # + COUNT(DISTINCT) column
+    # (agg_sum — groupBy+sum+count-distinct — rotated to the tail in r14:
+    # agg_multi_group's rollup/cube supersets the grouped-aggregate shape
+    # and flagship pins exact decimal sums; the freed slot
+    # driver-certifies REPLACE WHERE below. Full oracle kept in the
+    # tail.)
     "string_indexer",
     # §2.5 windows (window_count — A2's unordered-frame count-per-group —
     # rotated to the tail in r5: window_mode runs the same
@@ -91,10 +99,17 @@ WINDOW_ORDER: list[str] = [
                             # rank_global rotated to the tail in r5)
     "window_frames",        # lead/lag + ROWS frame + RANGE frame
     # §2.6 sorts / set ops
-    "sort_limit",
+    # (sort_limit — multi-key mixed-direction sort + limit — rotated to
+    # the tail in r14: flagship and vdt3_replica window-certify ordered
+    # limits; the freed slot driver-certifies the versioned
+    # view/TRUNCATE/clone DDL suite below. Full oracle kept in the tail.)
     "set_ops",              # union/intersect/except/distinct, tagged
     # §2.7 scalar/date functions
-    "scalar_funcs",
+    # (scalar_funcs — the arithmetic/compare/cast expression battery —
+    # rotated to the tail in r14: derived_filter, cast_columns and
+    # date_funcs pin the scalar-expression surface; the freed slot
+    # driver-certifies the GIF LZW decoder below. Full oracle kept in
+    # the tail.)
     "date_funcs",
     # SQL surface: subqueries
     "subqueries",           # correlated EXISTS + scalar subquery
@@ -227,6 +242,11 @@ WINDOW_ORDER: list[str] = [
                               # DIFFERENTIAL frames accumulating onto
                               # the reference — r11's hardest new shape,
                               # previously tail-only
+    "multimodal_gif_decode",  # r14 rotation (VERDICT r13 #1): GIF89a
+                              # variable-width LZW pixel decode — palette
+                              # mapping + 4-pass deinterlace, a codec
+                              # chain disjoint from the JPEG family;
+                              # r13 flagship codec, previously tail-only
     # (multimodal_features — Arrow mapInPandas payload extract with a
     # blob-arithmetic oracle — rotated to the tail in r11: the
     # map-only mapInPandas-over-MEDIA_SCHEMA plumbing and blob
@@ -258,6 +278,22 @@ WINDOW_ORDER: list[str] = [
                             # flagship write path, window-certified in r11
                             # (VERDICT r10 ask #4); multi-clause first-
                             # match-wins grammar exercised by the suite
+    "versioned_partitioned_ddl",  # r14 rotation (VERDICT r13 #1):
+                                  # CREATE TABLE ... PARTITIONED BY +
+                                  # SHOW PARTITIONS, spec consulted by
+                                  # every write path, partition-pruned
+                                  # DML dirs_reused pinned — r13 flagship
+                                  # DDL, previously tail-only
+    "versioned_replace_where",    # r14 rotation (VERDICT r13 #1): atomic
+                                  # INSERT INTO ... REPLACE WHERE riding
+                                  # the DELETE file-pruning split +
+                                  # Delta's inserted-rows-must-match rule
+                                  # — previously tail-only
+    "versioned_view_truncate_clone",  # r14 rotation (VERDICT r13 #1):
+                                      # versioned CREATE/DROP VIEW +
+                                      # TRUNCATE + DEEP CLONE vacuum
+                                      # independence — previously
+                                      # tail-only
     "graph_pagerank",       # integer-ppb Pregel passes, CTE oracle (r5)
     "versioned_schema_evolution",  # metadata-only ALTER COLUMN: rename-era
                                    # merge + add-null + drop + time-travel
