@@ -3101,6 +3101,19 @@ class LakeSQL:
         insert half is one append. Both land in one staged unit, so a
         reader never sees the gap between delete and insert."""
         name = self._resolve_table(table)
+        if not self._dv_routable(cond):
+            # cond is bound with raw F.expr on DataFrames (violation
+            # check + delete filters), where a subquery's table names
+            # resolve against the SPARK SESSION CATALOG, not the repo
+            # rewriter — a user temp view named like a repo table would
+            # silently change which rows are replaced. Same refusal as
+            # the DV DML route; Delta's replaceWhere likewise accepts
+            # only plain data-column predicates.
+            raise ValueError(
+                f"INSERT INTO {name!r} REPLACE WHERE: the condition may "
+                "not contain a subquery (SELECT) — it is evaluated "
+                "outside the repo rewriter"
+            )
         aligned, store_fields, ids = self._aligned_insert_source(
             name, body, None
         )
@@ -3116,54 +3129,71 @@ class LakeSQL:
                     "the replaced predicate"
                 )
             split = self._prune_split(name, cond)
-            if split is not None:
-                safe, cand, info = split
-                steps = self.repo.table_schema_map(name, ref=self.branch)
-                files = list(safe)
-                deleted = 0
-                if cand:
-                    cand_df = self.repo._read_files(
-                        self.spark, cand, merge_schema=bool(steps)
-                    )
-                    if steps:
-                        cand_df = self.repo.apply_schema_map(cand_df, steps)
-                    kept = cand_df.filter(F.expr(f"({cond}) IS NOT TRUE"))
-                    kept_n = kept.count()
-                    before = info.get("candidate_rows")
-                    if before is None:
-                        before = cand_df.count()
-                    if kept_n > 0:
-                        files.append(
-                            self.repo.write_table(
-                                self.branch, name, kept, mode="overwrite"
-                            )
+            # the statement stages in steps (delete overwrite/stage,
+            # insert append, commit); a failure after the delete half is
+            # staged (ConstraintViolation, identity overflow) would
+            # leave a delete-only staged state that the branch's next
+            # COMMIT silently sweeps in — silent data loss. Snapshot the
+            # pre-statement staged entry and restore it on ANY failure,
+            # the _delete pruned-path discipline.
+            snap = self.repo.staged_entry(self.branch, name)
+            try:
+                if split is not None:
+                    safe, cand, info = split
+                    steps = self.repo.table_schema_map(name, ref=self.branch)
+                    files = list(safe)
+                    deleted = 0
+                    if cand:
+                        cand_df = self.repo._read_files(
+                            self.spark, cand, merge_schema=bool(steps)
                         )
-                    deleted = before - kept_n
-                self.repo.stage_table_files(self.branch, name, files)
-            else:
-                cur = self.repo.read_table(
-                    self.spark, name, ref=self.branch, include_staged=True
-                )
-                kept = cur.filter(F.expr(f"({cond}) IS NOT TRUE"))
-                kept_n = kept.count()
-                deleted = cur.count() - kept_n
-                self.repo.write_table(self.branch, name, kept, mode="overwrite")
-            if ids:
-                with self._colmeta_rollback(name):
-                    filled = self._fill_identity(
-                        name, cached, store_fields, ids, n_ins
+                        if steps:
+                            cand_df = self.repo.apply_schema_map(cand_df, steps)
+                        kept = cand_df.filter(F.expr(f"({cond}) IS NOT TRUE"))
+                        kept_n = kept.count()
+                        before = info.get("candidate_rows")
+                        if before is None:
+                            before = cand_df.count()
+                        if kept_n > 0:
+                            files.append(
+                                self.repo.write_table(
+                                    self.branch, name, kept, mode="overwrite"
+                                )
+                            )
+                        deleted = before - kept_n
+                    self.repo.stage_table_files(self.branch, name, files)
+                else:
+                    cur = self.repo.read_table(
+                        self.spark, name, ref=self.branch, include_staged=True
                     )
+                    kept = cur.filter(F.expr(f"({cond}) IS NOT TRUE"))
+                    kept_n = kept.count()
+                    deleted = cur.count() - kept_n
                     self.repo.write_table(
-                        self.branch, name, filled, mode="append"
+                        self.branch, name, kept, mode="overwrite"
+                    )
+                if ids:
+                    with self._colmeta_rollback(name):
+                        filled = self._fill_identity(
+                            name, cached, store_fields, ids, n_ins
+                        )
+                        self.repo.write_table(
+                            self.branch, name, filled, mode="append"
+                        )
+                        c = self.repo.commit(
+                            self.branch,
+                            f"SQL: INSERT INTO {name} REPLACE WHERE",
+                        )
+                else:
+                    self.repo.write_table(
+                        self.branch, name, cached, mode="append"
                     )
                     c = self.repo.commit(
                         self.branch, f"SQL: INSERT INTO {name} REPLACE WHERE"
                     )
-            else:
-                self.repo.write_table(self.branch, name, cached, mode="append")
-                c = self.repo.commit(
-                    self.branch, f"SQL: INSERT INTO {name} REPLACE WHERE"
-                )
+            except Exception:
+                self.repo.restore_staged_entry(self.branch, name, snap)
+                raise
         finally:
             cached.unpersist(blocking=False)
         return self.spark.createDataFrame(

@@ -227,3 +227,65 @@ def test_insert_replace_where(spark, repo, lsql):
     ).first()
     assert (r4.num_deleted, r4.num_inserted) == (1, 0)
     assert repo.read_table(spark, "ti", "main").count() == 0
+
+def test_insert_replace_where_atomic_on_failure(spark, repo, lsql):
+    """r14 (ADVICE r13 high): a failure AFTER the delete half is staged
+    (here a CHECK violation in the insert append) must restore the
+    pre-statement staged entry — otherwise the branch is left dirty
+    with a delete-only state the next COMMIT silently sweeps in."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import ConstraintViolation
+
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql(
+        "INSERT INTO t SELECT CAST(id AS INT), CAST(id % 3 AS INT) "
+        "FROM range(300)"
+    )
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT k_small CHECK (k < 1000)")
+    v0 = repo.head("main").version
+    assert repo.staged_entry("main", "t") is None
+    with pytest.raises(ConstraintViolation):
+        lsql.sql(
+            "INSERT INTO t REPLACE WHERE p = 1 "
+            "SELECT CAST(id + 5000 AS INT), CAST(1 AS INT) FROM range(5)"
+        )
+    # staged state restored: no delete-only entry left to sweep in
+    assert repo.staged_entry("main", "t") is None
+    assert repo.head("main").version == v0
+    live = repo.read_table(spark, "t", "main", include_staged=True)
+    assert live.count() == 300
+    assert live.where("p = 1").count() == 100
+    # the branch's next DML commits cleanly on the intact table
+    lsql.sql("INSERT INTO t VALUES (999, 1)")
+    t = repo.read_table(spark, "t", "main")
+    assert t.count() == 301
+    assert t.where("p = 1").count() == 101
+
+    # same discipline on an UNPARTITIONED table (the non-pruned branch:
+    # the delete half is a staged full overwrite, not a file split)
+    lsql.sql("CREATE TABLE u (k INT, g INT)")
+    lsql.sql(
+        "INSERT INTO u SELECT CAST(id AS INT), CAST(id % 2 AS INT) "
+        "FROM range(100)"
+    )
+    lsql.sql("ALTER TABLE u ADD CONSTRAINT k_small CHECK (k < 1000)")
+    with pytest.raises(ConstraintViolation):
+        lsql.sql("INSERT INTO u REPLACE WHERE g = 0 SELECT 5000, 0")
+    assert repo.staged_entry("main", "u") is None
+    assert repo.read_table(spark, "u", "main", include_staged=True).count() == 100
+
+
+def test_insert_replace_where_rejects_subquery_cond(spark, repo, lsql):
+    """r14 (ADVICE r13 medium): the REPLACE WHERE condition is bound
+    with raw F.expr outside the repo rewriter, where a subquery's table
+    names resolve against the Spark session catalog — refuse up front,
+    the _dv_routable rule (the insert BODY may of course contain
+    SELECT)."""
+    lsql.sql("CREATE TABLE t (k INT, p INT)")
+    lsql.sql("INSERT INTO t VALUES (1, 1), (2, 2)")
+    with pytest.raises(ValueError, match="subquery"):
+        lsql.sql(
+            "INSERT INTO t REPLACE WHERE p = (SELECT 1) SELECT 9, 1"
+        )
+    # nothing staged, nothing committed by the refusal
+    assert repo.staged_entry("main", "t") is None
+    assert repo.read_table(spark, "t", "main").count() == 2
