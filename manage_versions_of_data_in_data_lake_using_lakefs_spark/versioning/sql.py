@@ -1338,6 +1338,32 @@ class LakeSQL:
             "null_count BIGINT, row_count BIGINT",
         )
 
+    def _meta_rows(self, name: str) -> int | None:
+        """Exact live row count of a table on this branch from group
+        manifests minus committed DV cardinality — zero data-file reads
+        (the ANALYZE zero-scan discipline). None when any manifest
+        declines (legacy/stats-less group, unanswerable DV), which
+        callers answer with a real scan."""
+        try:
+            entries = self.repo.current_files(self.branch, name)
+        except KeyError:
+            return None
+        try:
+            dv_entries = self.repo.current_files(self.branch, DV_PREFIX + name)
+        except KeyError:
+            dv = 0
+        else:
+            dv_vals = stats_mod.metadata_aggregate(
+                self.repo.root, dv_entries, [("count", "*")]
+            )
+            if dv_vals is None:
+                return None
+            dv = dv_vals[0]
+        vals = stats_mod.metadata_aggregate(
+            self.repo.root, entries, [("count", "*")]
+        )
+        return None if vals is None else vals[0] - dv
+
     def analyze_table(
         self,
         table: str,
@@ -1410,19 +1436,9 @@ class LakeSQL:
             n_files, size = file_footprint()
             rows = [("num_files", str(n_files)), ("size_bytes", str(size))]
             if not noscan:
-                dv_count = dv_cardinality()
-                vals = (
-                    stats_mod.metadata_aggregate(
-                        self.repo.root, entries, [("count", "*")]
-                    )
-                    if dv_count >= 0
-                    else None
-                )
-                n_rows = (
-                    vals[0] - dv_count
-                    if vals is not None
-                    else scan().count()
-                )
+                n_rows = self._meta_rows(name)
+                if n_rows is None:
+                    n_rows = scan().count()
                 rows.append(("row_count", str(n_rows)))
             return self.spark.createDataFrame(
                 rows, "statistic STRING, value STRING"
@@ -3918,7 +3934,17 @@ class LakeSQL:
             cur = self.repo.read_table(
                 self.spark, name, self.branch, include_staged=True
             )
-            n = cur.count()
+            # rows_affected comes from the group manifests minus the
+            # committed DV cardinality (the ANALYZE zero-scan
+            # discipline) — a full count() job over the about-to-vanish
+            # table would be the one table-sized cost in a statement
+            # users expect to be metadata-only. Scan fallback only when
+            # a manifest declines (legacy/stats-less group). The empty
+            # schema-carrier overwrite that follows is one 0-row task,
+            # O(1) at any table size.
+            n = self._meta_rows(name)
+            if n is None:
+                n = cur.count()
             empty = self.spark.createDataFrame([], cur.schema).repartition(1)
             self.repo.write_table(self.branch, name, empty, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: TRUNCATE TABLE {name}")

@@ -224,3 +224,31 @@ def test_reserved_prefixes_and_mixed_case_append_guard(spark, repo, lsql):
     bad = spark.createDataFrame([("x",)], "K STRING")
     with pytest.raises(ValueError, match="changes column types"):
         repo.write_table("main", "t", bad, mode="append")
+
+def test_truncate_is_metadata_only(spark, repo, lsql, monkeypatch):
+    """r14 (VERDICT r13 #2): TRUNCATE's rows_affected comes from group
+    manifests minus committed DV cardinality — no count() job over the
+    about-to-vanish table. Pinned by making DataFrame.count raise for
+    the duration of the statement: a regression to the scan path fails
+    loudly. DV-deleted rows must subtract exactly."""
+    from pyspark.sql import DataFrame
+
+    lsql.sql("CREATE TABLE t (k INT, p INT) PARTITIONED BY (p)")
+    lsql.sql(
+        "INSERT INTO t SELECT CAST(id AS INT), CAST(id % 3 AS INT) "
+        "FROM range(300)"
+    )
+    # route 40 rows through a deletion vector so the manifest count
+    # must be corrected by the committed DV cardinality
+    lsql.sql("ALTER TABLE t SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+    lsql.sql("DELETE FROM t WHERE k < 40")
+    assert repo.read_table(spark, "t", "main").count() == 260
+
+    def boom(self):
+        raise AssertionError("TRUNCATE must not run a count() job")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    r = lsql.sql("TRUNCATE TABLE t").first()
+    monkeypatch.undo()
+    assert r.rows_affected == 260
+    assert repo.read_table(spark, "t", "main").count() == 0
