@@ -3395,7 +3395,7 @@ class LakeRepo:
         table: str,
         target_files: int | None = None,
         sort_by: list[str] | None = None,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
         message: str | None = None,
         where: str | None = None,
     ) -> "Commit":
@@ -3441,11 +3441,16 @@ class LakeRepo:
             )
         n = target_files or spark.sparkContext.defaultParallelism
 
+        if zorder_by is not None and not zorder_by:
+            # an explicit empty key list silently falling through to a
+            # plain coalesce would be a no-op wearing a ZORDER label
+            raise ValueError("compact: zorder_by requires at least one column")
+
         def _cluster(df: DataFrame) -> DataFrame:
             if zorder_by:
                 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.layout import zorder_cluster
 
-                return zorder_cluster(df, zorder_by[0], zorder_by[1], n)
+                return zorder_cluster(df, list(zorder_by), n)
             if sort_by:
                 cols = [F.col(c) for c in sort_by]
                 return df.repartitionByRange(n, *cols).sortWithinPartitions(

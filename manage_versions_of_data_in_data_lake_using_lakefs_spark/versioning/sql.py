@@ -129,7 +129,7 @@ _VACUUM_RE = re.compile(
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+(?P<table>{_IDENT})"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"(?:\s+ZORDER\s+BY\s+\(\s*(?P<z1>{_IDENT})\s*,\s*(?P<z2>{_IDENT})\s*\)"
+    rf"(?:\s+ZORDER\s+BY\s+\(\s*(?P<zs>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)"
     rf"|\s+SORT\s+BY\s+\(\s*(?P<sorts>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
     r"(?:\s+INTO\s+(?P<nfiles>\d+)\s+FILES)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -942,22 +942,21 @@ class LakeSQL:
     def _optimize(
         self,
         table: str,
-        zorder: tuple[str, str] | None,
+        zorder: tuple[str, ...] | None,
         sorts: list[str] | None,
         nfiles: int | None,
         where: str | None = None,
     ) -> DataFrame:
-        """``OPTIMIZE t [WHERE cond] [ZORDER BY (a, b) | SORT BY (a,
+        """``OPTIMIZE t [WHERE cond] [ZORDER BY (a, ...) | SORT BY (a,
         ...)] [INTO n FILES]`` — the Delta maintenance statement, routed
-        to ``LakeRepo.compact``. ZORDER interleaves two keys on a Morton
-        curve; SORT range-clusters, which is what makes the data-skipping
+        to ``LakeRepo.compact``. ZORDER interleaves 1..k keys on a Morton
+        curve (Delta's arity; one key degenerates to a range cluster);
+        SORT range-clusters, which is what makes the data-skipping
         manifests selective (disjoint per-file min/max); WHERE scopes the
         rewrite to the file entries that may hold matching rows (compact
         the hot partition, carry the cold ones by reference). Lands as a
         new commit; old files stay for time travel until VACUUM."""
         name = self._resolve_table(table)
-        if zorder:
-            zorder = (zorder[0].strip("`"), zorder[1].strip("`"))
         c = self.repo.compact(
             self.spark,
             self.branch,
@@ -3756,7 +3755,9 @@ class LakeSQL:
         if m:
             return self._optimize(
                 m.group("table"),
-                (m.group("z1"), m.group("z2")) if m.group("z1") else None,
+                tuple(s.strip(" `") for s in m.group("zs").split(","))
+                if m.group("zs")
+                else None,
                 [s.strip(" `") for s in m.group("sorts").split(",")]
                 if m.group("sorts")
                 else None,
