@@ -809,18 +809,38 @@ class LakeRepo:
         cur[PARTITION_PROP] = ",".join(cols)
         self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
 
-    def show_partitions(self, table: str, branch: str = "main") -> list[str]:
-        """SHOW PARTITIONS: the table's live Hive partition directories
-        as ``k1=v1/k2=v2`` strings (Spark's SHOW PARTITIONS shape),
-        sorted. Metadata-only — walks the snapshot's directory entries,
-        zero file reads (the ANALYZE TABLE discipline)."""
+    def show_partitions(
+        self,
+        table: str,
+        branch: str = "main",
+        spec: dict[str, str] | None = None,
+    ) -> list[str]:
+        """SHOW PARTITIONS [PARTITION (k=v, ...)]: the table's live Hive
+        partition directories as ``k1=v1/k2=v2`` strings (Spark's SHOW
+        PARTITIONS shape), sorted; ``spec`` filters to partitions whose
+        named keys carry the given values (Spark's partial-spec form).
+        Metadata-only: partition dirs come from each group manifest's
+        per-file rel paths (one JSON read per group, the object-store
+        shape — no directory listing); the FS walk remains only as the
+        fallback for manifest-less legacy groups and carried subdirs."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
+
         self._require_table(branch, table)
-        if not self.table_partition_columns(table, branch):
+        declared = self.table_partition_columns(table, branch)
+        if not declared:
             raise ValueError(
                 f"SHOW PARTITIONS: table {table!r} has no declared "
                 "PARTITIONED BY spec (create it with CREATE TABLE ... "
                 "PARTITIONED BY (...))"
             )
+        if spec:
+            low = {c.lower() for c in declared}
+            bad = sorted(k for k in spec if k.lower() not in low)
+            if bad:
+                raise ValueError(
+                    f"SHOW PARTITIONS {table!r}: {bad} are not partition "
+                    f"columns (declared: {declared})"
+                )
         parts: set[str] = set()
         for rel in self.current_files(branch, table):
             full = os.path.join(self.root, rel)
@@ -834,6 +854,13 @@ class LakeRepo:
                 continue
             if not os.path.isdir(full):
                 continue
+            manifest = stats_mod.read_group_manifest(full)
+            if manifest and manifest.get("files"):
+                for frel in manifest["files"]:
+                    segs = [c for c in frel.split("/")[:-1] if "=" in c]
+                    if pre or segs:
+                        parts.add("/".join(pre + segs))
+                continue
             for dp, _dn, fns in os.walk(full):
                 if not any(fn.endswith(".parquet") for fn in fns):
                     continue
@@ -844,7 +871,28 @@ class LakeRepo:
                 ]
                 if pre or segs:
                     parts.add("/".join(pre + segs))
-        return sorted(parts)
+        out = sorted(parts)
+        if spec:
+            out = [p for p in out if self._partition_matches(p, spec)]
+        return out
+
+    @staticmethod
+    def _partition_matches(part: str, spec: dict[str, str]) -> bool:
+        """Whether a ``k1=v1/k2=v2`` partition string satisfies a partial
+        spec: every spec key must be present with the given value
+        (compared against both the raw path spelling and its
+        percent-decoded form, keys case-insensitively)."""
+        from urllib.parse import unquote
+
+        vals: dict[str, tuple[str, str]] = {}
+        for seg in part.split("/"):
+            k, _, raw = seg.partition("=")
+            vals[k.lower()] = (raw, unquote(raw))
+        for k, want in spec.items():
+            got = vals.get(k.lower())
+            if got is None or str(want) not in got:
+                return False
+        return True
 
     # -- versioned views (r13): CREATE [OR REPLACE] VIEW -------------------
     # A view is its SELECT text, stored as a versioned object

@@ -561,7 +561,9 @@ _USE_BRANCH_RE = re.compile(
 )
 _SHOW_BRANCHES_RE = re.compile(r"^\s*SHOW\s+BRANCHES\s*;?\s*$", re.IGNORECASE)
 _SHOW_PARTITIONS_RE = re.compile(
-    rf"^\s*SHOW\s+PARTITIONS\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
+    rf"^\s*SHOW\s+PARTITIONS\s+(?P<table>{_IDENT})"
+    r"(?:\s+PARTITION\s*\(\s*(?P<spec>[^)]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _COMMIT_RE = re.compile(
     r"^\s*COMMIT(?:\s+MESSAGE\s+(?P<msg>'(?:[^'\\]|''|\\.)*'))?\s*;?\s*$",
@@ -4169,7 +4171,22 @@ class LakeSQL:
         m = _SHOW_PARTITIONS_RE.match(query)
         if m:
             name = self._resolve_table(m.group("table"))
-            parts = self.repo.show_partitions(name, self.branch)
+            spec = None
+            if m.group("spec"):
+                spec = {}
+                for pair in m.group("spec").split(","):
+                    k, eq, v = pair.partition("=")
+                    k, v = k.strip().strip("`"), v.strip()
+                    if not eq or not k or not v:
+                        raise ValueError(
+                            f"SHOW PARTITIONS: malformed PARTITION spec "
+                            f"at {pair.strip()!r} (expected k = v, "
+                            "comma-separated)"
+                        )
+                    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                        v = v[1:-1]
+                    spec[k] = v
+            parts = self.repo.show_partitions(name, self.branch, spec=spec)
             return self.spark.createDataFrame(
                 [(p,) for p in parts], "partition STRING"
             )

@@ -222,17 +222,27 @@ def write_group_stats(group_dir: str) -> dict | None:
         return None
 
 
+def read_group_manifest(group_dir: str) -> dict | None:
+    """The PERSISTED manifest only — None when missing or corrupt, no
+    footer fallback. For callers that must stay zero-read (SHOW
+    PARTITIONS lists partition dirs from the manifests' per-file rel
+    paths; a data read there would defeat the point)."""
+    p = os.path.join(group_dir, STATS_NAME)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def load_group_stats(group_dir: str) -> dict | None:
     """Manifest for a group dir; falls back to computing from footers for
     groups written before stats existed (not persisted — historical dirs
     stay immutable)."""
-    p = os.path.join(group_dir, STATS_NAME)
-    if os.path.exists(p):
-        try:
-            with open(p) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
-            return None
+    if os.path.exists(os.path.join(group_dir, STATS_NAME)):
+        return read_group_manifest(group_dir)
     return _collect_group_stats(group_dir)
 
 

@@ -289,3 +289,54 @@ def test_insert_replace_where_rejects_subquery_cond(spark, repo, lsql):
     # nothing staged, nothing committed by the refusal
     assert repo.staged_entry("main", "t") is None
     assert repo.read_table(spark, "t", "main").count() == 2
+
+def test_show_partitions_manifest_backed_and_partial_spec(
+    spark, repo, lsql, monkeypatch
+):
+    """r14 (VERDICT r13 #3): SHOW PARTITIONS reads partition dirs from
+    the group manifests' per-file rel paths — zero os.walk on a clean
+    snapshot (pinned by making os.walk raise) — stays correct on files
+    carried by reference across branch merges, and supports Spark's
+    partial PARTITION (k=v) spec filter."""
+    lsql.sql(
+        "CREATE TABLE t (k INT, p INT, q STRING) PARTITIONED BY (p, q)"
+    )
+    lsql.sql(
+        "INSERT INTO t SELECT CAST(id AS INT), CAST(id % 2 AS INT), "
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END FROM range(60)"
+    )
+    want = ["p=0/q=a", "p=0/q=b", "p=1/q=a", "p=1/q=b"]
+    assert _parts(lsql, "t") == want
+
+    # the manifest path: a clean snapshot never lists directories
+    import manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo as repo_mod
+
+    def no_walk(*a, **kw):
+        raise AssertionError("SHOW PARTITIONS must not os.walk a clean snapshot")
+
+    monkeypatch.setattr(repo_mod.os, "walk", no_walk)
+    assert _parts(lsql, "t") == want
+    monkeypatch.undo()
+
+    # partial-spec filter, SQL surface; quoted strings and bare ints
+    rows = lsql.sql("SHOW PARTITIONS t PARTITION (p = 1)").collect()
+    assert [r.partition for r in rows] == ["p=1/q=a", "p=1/q=b"]
+    rows = lsql.sql("SHOW PARTITIONS t PARTITION (q = 'a', p = 0)").collect()
+    assert [r.partition for r in rows] == ["p=0/q=a"]
+    with pytest.raises(ValueError, match="not partition columns"):
+        lsql.sql("SHOW PARTITIONS t PARTITION (k = 1)")
+    with pytest.raises(ValueError, match="malformed"):
+        lsql.sql("SHOW PARTITIONS t PARTITION (p)")
+
+    # carried-by-reference correctness across a branch merge: the pruned
+    # DELETE stages untouched partition SUBDIRS as entries; merge carries
+    # them — listing must still see every live partition
+    repo.create_branch("dev", "main")
+    dev = type(lsql)(spark, repo, "dev")
+    dev.sql("DELETE FROM t WHERE p = 0")
+    repo.merge(spark, "dev", "main")
+    assert _parts(lsql, "t") == ["p=1/q=a", "p=1/q=b"]
+    assert [
+        r.partition
+        for r in lsql.sql("SHOW PARTITIONS t PARTITION (q = 'b')").collect()
+    ] == ["p=1/q=b"]
