@@ -33,29 +33,33 @@ def _effective_bits(k: int, bits: int) -> int:
 def zorder_key(*cols: Column, bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` of k non-negative int columns:
     bit i of column j lands at position k*i + j. With one column this
-    degenerates to the column's low bits (a plain range key)."""
+    degenerates to the column's low bits (a plain range key).
+
+    Bit extraction is integer shiftright — exact for the full 60-bit
+    budget (float division rounds a >2^53 operand before dividing, so
+    low-order bits would come out silently wrong; r14 review)."""
     k = len(cols)
     eff = _effective_bits(k, bits)
     mods = [c.cast("long") % F.lit(1 << eff) for c in cols]
     out = F.lit(0).cast("long")
     for i in range(eff):
         for j, cm in enumerate(mods):
-            b = F.floor(cm / F.lit(float(1 << i))).cast("long") % 2
+            b = F.shiftright(cm, i) % 2
             out = out + b * F.lit(1 << (k * i + j))
     return out
 
 
 def zorder_key_sql(*cols: str, bits: int = 16) -> str:
     """DuckDB twin of ``zorder_key`` (kept adjacent so they never
-    drift)."""
+    drift) — same integer ``>>`` extraction, same exactness."""
     k = len(cols)
     eff = _effective_bits(k, bits)
     terms = []
     for i in range(eff):
         for j, c in enumerate(cols):
             terms.append(
-                f"(CAST(FLOOR(({c} % {1 << eff}) / {float(1 << i)}) "
-                f"AS BIGINT) % 2) * {1 << (k * i + j)}"
+                f"(((CAST({c} AS BIGINT) % {1 << eff}) >> {i}) % 2) "
+                f"* {1 << (k * i + j)}"
             )
     return "(" + " + ".join(terms) + ")"
 

@@ -562,8 +562,10 @@ _USE_BRANCH_RE = re.compile(
 _SHOW_BRANCHES_RE = re.compile(r"^\s*SHOW\s+BRANCHES\s*;?\s*$", re.IGNORECASE)
 _SHOW_PARTITIONS_RE = re.compile(
     rf"^\s*SHOW\s+PARTITIONS\s+(?P<table>{_IDENT})"
-    r"(?:\s+PARTITION\s*\(\s*(?P<spec>[^)]+?)\s*\))?\s*;?\s*$",
-    re.IGNORECASE,
+    # greedy .+ so a quoted value containing ')' still reaches the
+    # quote-aware pair parser; the close paren anchors at statement end
+    r"(?:\s+PARTITION\s*\(\s*(?P<spec>.+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _COMMIT_RE = re.compile(
     r"^\s*COMMIT(?:\s+MESSAGE\s+(?P<msg>'(?:[^'\\]|''|\\.)*'))?\s*;?\s*$",
@@ -1339,27 +1341,37 @@ class LakeSQL:
             "null_count BIGINT, row_count BIGINT",
         )
 
-    def _meta_rows(self, name: str) -> int | None:
+    def _dv_cardinality(self, name: str) -> int | None:
+        """Committed-DV row count for a table on this branch from the
+        vector parquets' manifests: 0 when no vector exists, None when
+        the manifests can't answer (callers then scan). The ONE
+        definition of DV counting — _meta_rows and ANALYZE both ride
+        it, so a fix can never land in only one place (r14 review)."""
+        try:
+            dv_entries = self.repo.current_files(self.branch, DV_PREFIX + name)
+        except KeyError:
+            return 0
+        vals = stats_mod.metadata_aggregate(
+            self.repo.root, dv_entries, [("count", "*")]
+        )
+        return None if vals is None else vals[0]
+
+    def _meta_rows(
+        self, name: str, entries: list[str] | None = None
+    ) -> int | None:
         """Exact live row count of a table on this branch from group
         manifests minus committed DV cardinality — zero data-file reads
         (the ANALYZE zero-scan discipline). None when any manifest
         declines (legacy/stats-less group, unanswerable DV), which
         callers answer with a real scan."""
-        try:
-            entries = self.repo.current_files(self.branch, name)
-        except KeyError:
-            return None
-        try:
-            dv_entries = self.repo.current_files(self.branch, DV_PREFIX + name)
-        except KeyError:
-            dv = 0
-        else:
-            dv_vals = stats_mod.metadata_aggregate(
-                self.repo.root, dv_entries, [("count", "*")]
-            )
-            if dv_vals is None:
+        if entries is None:
+            try:
+                entries = self.repo.current_files(self.branch, name)
+            except KeyError:
                 return None
-            dv = dv_vals[0]
+        dv = self._dv_cardinality(name)
+        if dv is None:
+            return None
         vals = stats_mod.metadata_aggregate(
             self.repo.root, entries, [("count", "*")]
         )
@@ -1392,21 +1404,6 @@ class LakeSQL:
         name = self._resolve_table(table)
         entries = self.repo.current_files(self.branch, name)
 
-        def dv_cardinality() -> int:
-            """Live-DV row count, or −1 when unanswerable (which forces
-            the scan path everywhere). Computed only by the branches
-            that consume it — NOSCAN stays stat-syscalls-only."""
-            try:
-                dv_entries = self.repo.current_files(
-                    self.branch, DV_PREFIX + name
-                )
-            except KeyError:
-                return 0
-            dv_vals = stats_mod.metadata_aggregate(
-                self.repo.root, dv_entries, [("count", "*")]
-            )
-            return -1 if dv_vals is None else dv_vals[0]
-
         def file_footprint() -> tuple[int, int]:
             n, size = 0, 0
             for rel in entries:
@@ -1437,7 +1434,7 @@ class LakeSQL:
             n_files, size = file_footprint()
             rows = [("num_files", str(n_files)), ("size_bytes", str(size))]
             if not noscan:
-                n_rows = self._meta_rows(name)
+                n_rows = self._meta_rows(name, entries)
                 if n_rows is None:
                     n_rows = scan().count()
                 rows.append(("row_count", str(n_rows)))
@@ -1456,7 +1453,7 @@ class LakeSQL:
         evolved = self.repo.table_schema_map(name, ref=self.branch) is not None
         per_file = (
             stats_mod.collect_per_file_stats(self.repo.root, entries)
-            if not evolved and dv_cardinality() == 0
+            if not evolved and self._dv_cardinality(name) == 0
             else None
         )
         if all_columns:
@@ -3151,9 +3148,14 @@ class LakeSQL:
             # staged (ConstraintViolation, identity overflow) would
             # leave a delete-only staged state that the branch's next
             # COMMIT silently sweeps in — silent data loss. Snapshot the
-            # pre-statement staged entry and restore it on ANY failure,
-            # the _delete pruned-path discipline.
+            # pre-statement staged entries and restore them on ANY
+            # failure, the _delete pruned-path discipline. The __dv__
+            # companion must ride along: the delete half's overwrite
+            # stages a DV drop (write_table's obsolete-vector rule), and
+            # restoring only the table entry would leave that orphaned
+            # drop to resurrect DV-deleted rows (r14 review).
             snap = self.repo.staged_entry(self.branch, name)
+            dv_snap = self.repo.staged_entry(self.branch, DV_PREFIX + name)
             try:
                 if split is not None:
                     safe, cand, info = split
@@ -3210,6 +3212,9 @@ class LakeSQL:
                     )
             except Exception:
                 self.repo.restore_staged_entry(self.branch, name, snap)
+                self.repo.restore_staged_entry(
+                    self.branch, DV_PREFIX + name, dv_snap
+                )
                 raise
         finally:
             cached.unpersist(blocking=False)
@@ -4174,7 +4179,10 @@ class LakeSQL:
             spec = None
             if m.group("spec"):
                 spec = {}
-                for pair in m.group("spec").split(","):
+                # _split_top_level, not str.split: a quoted value may
+                # contain ',' (or ')') — PARTITION (q = 'a,b') is ONE
+                # pair (r14 review)
+                for pair in _split_top_level(m.group("spec")):
                     k, eq, v = pair.partition("=")
                     k, v = k.strip().strip("`"), v.strip()
                     if not eq or not k or not v:

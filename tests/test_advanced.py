@@ -251,6 +251,28 @@ def test_zorder_k_ary_keys_and_sql(spark):
         for r in df.select("x", zorder_key(F.col("x")).alias("z1")).collect()
     }
     assert one == {0: 0, 1: 1, 3: 3}
+    # exactness above the double mantissa (r14 review): k=1 at 60 bits
+    # must reproduce the value itself for inputs > 2^53
+    import duckdb as _duck
+
+    big = spark.createDataFrame(
+        [((1 << 54) + 3,), ((1 << 59) + 12345,), (7,)], "x long"
+    )
+    got_big = {
+        r["x"]: r["z"]
+        for r in big.select(
+            "x", zorder_key(F.col("x"), bits=60).alias("z")
+        ).collect()
+    }
+    assert got_big == {v: v for v in got_big}
+    sql_big = dict(
+        _duck.sql(
+            f"SELECT x, {zorder_key_sql('x', bits=60)} AS z FROM (VALUES "
+            f"({(1 << 54) + 3}), ({(1 << 59) + 12345}), (7)) t(x)"
+        ).fetchall()
+    )
+    assert sql_big == got_big
+
     # SQL twin: same values, every arity
     for cols in (("x",), ("x", "y"), ("x", "y", "w")):
         expr = zorder_key_sql(*cols)

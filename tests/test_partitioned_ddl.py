@@ -327,6 +327,10 @@ def test_show_partitions_manifest_backed_and_partial_spec(
         lsql.sql("SHOW PARTITIONS t PARTITION (k = 1)")
     with pytest.raises(ValueError, match="malformed"):
         lsql.sql("SHOW PARTITIONS t PARTITION (p)")
+    # a quoted value containing ',' or ')' is ONE pair, not malformed
+    # (r14 review) — it simply matches nothing here
+    assert lsql.sql("SHOW PARTITIONS t PARTITION (q = 'a,b')").count() == 0
+    assert lsql.sql("SHOW PARTITIONS t PARTITION (q = 'a)b')").count() == 0
 
     # carried-by-reference correctness across a branch merge: the pruned
     # DELETE stages untouched partition SUBDIRS as entries; merge carries
@@ -340,3 +344,31 @@ def test_show_partitions_manifest_backed_and_partial_spec(
         r.partition
         for r in lsql.sql("SHOW PARTITIONS t PARTITION (q = 'b')").collect()
     ] == ["p=1/q=b"]
+
+def test_insert_replace_where_failure_restores_dv_companion(spark, repo, lsql):
+    """r14 review: on a DV-bearing table, the delete half's overwrite
+    stages a __dv__ DROP (write_table's obsolete-vector rule); a failed
+    insert must restore THAT entry too, or the orphaned drop resurrects
+    DV-deleted rows on the next commit."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
+        DV_PREFIX,
+        ConstraintViolation,
+    )
+
+    lsql.sql("CREATE TABLE t (k INT, p INT)")
+    lsql.sql(
+        "INSERT INTO t SELECT CAST(id AS INT), CAST(id % 2 AS INT) "
+        "FROM range(100)"
+    )
+    lsql.sql("ALTER TABLE t SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+    lsql.sql("DELETE FROM t WHERE k < 40")  # rides a deletion vector
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT k_small CHECK (k < 1000)")
+    assert repo.read_table(spark, "t", "main").count() == 60
+    with pytest.raises(ConstraintViolation):
+        lsql.sql("INSERT INTO t REPLACE WHERE p = 1 SELECT 5000, 1")
+    assert repo.staged_entry("main", "t") is None
+    assert repo.staged_entry("main", DV_PREFIX + "t") is None
+    # deleted rows stay deleted, now and after the next commit
+    assert repo.read_table(spark, "t", "main").count() == 60
+    lsql.sql("INSERT INTO t VALUES (999, 1)")
+    assert repo.read_table(spark, "t", "main").count() == 61
