@@ -199,6 +199,7 @@ def main() -> None:
         "versioned_view_truncate_clone",
         "versioned_replace_where",
         "multimodal_gif_decode",
+        "versioned_rename_ddl",
     ):
         if extra in registry:
             names.append(extra)

@@ -92,7 +92,11 @@ WINDOW_ORDER: list[str] = [
     # count-over-partition frame and window_frames pins ROWS/RANGE; the
     # freed slot driver-certifies the iterative-graph family via
     # graph_pagerank, a shape nothing else in the window exercises)
-    "window_top1",
+    # (window_top1 — row_number top-1-per-group — rotated to the tail in
+    # r14: flagship runs the identical partition/order/row_number/filter
+    # chain and window_mode pins stacked window aggregates; the freed
+    # slot driver-certifies the r14 rename/view DDL below. Full oracle
+    # kept in the tail, re-verified every round by oracle-parity pytest.)
     "window_mode",
     "rank_global_scalable", # W4 scale flavor (range-partition + offsets;
                             # the single-partition parity flavor
@@ -294,6 +298,11 @@ WINDOW_ORDER: list[str] = [
                                       # TRUNCATE + DEEP CLONE vacuum
                                       # independence — previously
                                       # tail-only
+    "versioned_rename_ddl",  # r14 flagship DDL: ALTER TABLE RENAME TO
+                             # (pure-metadata by-reference carry of file
+                             # list + DV + constraints/props/identity/
+                             # COPY INTO registry, carried=1 pinned) +
+                             # CREATE VIEW (column list) + ALTER VIEW AS
     "graph_pagerank",       # integer-ppb Pregel passes, CTE oracle (r5)
     "versioned_schema_evolution",  # metadata-only ALTER COLUMN: rename-era
                                    # merge + add-null + drop + time-travel

@@ -343,6 +343,66 @@ def q_versioned_view_truncate_clone(
     )
 
 
+def q_versioned_rename_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... RENAME TO + CREATE VIEW (column list) + ALTER
+    VIEW ... AS (r14). The partitioned base table renames in ONE pure-
+    metadata commit — ``carried=1`` pins that the file list moved BY
+    REFERENCE (a regression to copy-on-rename or a multi-commit script
+    flips it to 0) and the declared partition spec survives
+    (``n_parts``). A column-list view positionally renames its SELECT's
+    output (read back under the NEW names), and ALTER VIEW replaces the
+    whole definition. Every emitted value is a pure function of orders,
+    so the whole flow oracles. Runs on a fresh BRANCH of the shared
+    base repo, so the recorded time measures the DDL, not the base
+    table build."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _shared_orders_repo(spark, sf_dir)
+    branch = f"ren{next(_BRANCH_SEQ)}"
+    repo.create_branch(branch, "main")
+    lsql = LakeSQL(spark, repo, branch)
+    before = set(repo.current_files(branch, "orders_p"))
+    h0 = repo.head(branch)
+    lsql.sql("ALTER TABLE orders_p RENAME TO orders_ren")
+    h1 = repo.head(branch)
+    carried = int(
+        len(before) > 0
+        and set(repo.current_files(branch, "orders_ren")) == before
+        and h1.parents == [h0.id]
+    )
+    n_parts = len(repo.show_partitions("orders_ren", branch))
+    lsql.sql(
+        "CREATE VIEW vtop (key, price) AS SELECT o_orderkey, o_totalprice "
+        "FROM orders_ren WHERE o_totalprice > 150000.0"
+    )
+    pre = (
+        lsql.sql("SELECT key, price FROM vtop")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum(F.col("price"), 2).alias("s"),
+        )
+        .first()
+    )
+    lsql.sql(
+        "ALTER VIEW vtop AS SELECT o_orderkey FROM orders_ren "
+        "WHERE o_totalprice <= 150000.0"
+    )
+    n_post = lsql.sql("SELECT COUNT(*) AS n FROM vtop").first().n
+    return (
+        repo.read_table(spark, "orders_ren", branch)
+        .agg(
+            F.count(F.lit(1)).alias("n_renamed"),
+            decimal_sum(F.col("o_totalprice"), 2).alias("sum_renamed"),
+        )
+        .withColumn("carried", F.lit(carried).cast("int"))
+        .withColumn("n_parts", F.lit(n_parts).cast("int"))
+        .withColumn("n_view_pre", F.lit(pre.n).cast("long"))
+        .withColumn("sum_view_pre", F.lit(float(pre.s)))
+        .withColumn("n_view_post", F.lit(n_post).cast("long"))
+    )
+
+
 def q_versioned_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK-constraint enforcement, driver-checkable: a constraint is
     added (validating the existing rows), a violating append is
@@ -950,6 +1010,7 @@ VERSIONED_QUERIES = {
     "versioned_partitioned_ddl": q_versioned_partitioned_ddl,
     "versioned_replace_where": q_versioned_replace_where,
     "versioned_view_truncate_clone": q_versioned_view_truncate_clone,
+    "versioned_rename_ddl": q_versioned_rename_ddl,
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
     "vector_lake_search": q_vector_lake_search,
@@ -1038,6 +1099,23 @@ WHERE o_orderstatus <> 'F'
 # survivors = non-F orders plus the transformed even-key F subset; the
 # delete/insert counts replay as plain filters; dirs_reused=2 pins that
 # the O and P partition dirs carried by reference through the replace
+ORACLE_VERSIONED_RENAME_DDL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_renamed,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_renamed,
+       CAST(1 AS INT) AS carried,
+       CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+            AS INT) AS n_parts,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > 150000.0)
+            AS BIGINT) AS n_view_pre,
+       (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) / 100.0
+        FROM orders WHERE o_totalprice > 150000.0) AS sum_view_pre,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 150000.0)
+            AS BIGINT) AS n_view_post
+FROM orders
+"""
+
 ORACLE_VERSIONED_REPLACE_WHERE = """
 WITH survivors AS (
     SELECT o_totalprice FROM orders WHERE o_orderstatus <> 'F'
@@ -1119,6 +1197,7 @@ VERSIONED_ORACLES = {
     "versioned_partitioned_ddl": ORACLE_VERSIONED_PARTITIONED_DDL,
     "versioned_replace_where": ORACLE_VERSIONED_REPLACE_WHERE,
     "versioned_view_truncate_clone": ORACLE_VERSIONED_VIEW_TRUNCATE_CLONE,
+    "versioned_rename_ddl": ORACLE_VERSIONED_RENAME_DDL,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,

@@ -949,17 +949,26 @@ class LakeRepo:
                     paths.add(p)
         return sorted(p[len("_views/") : -len(".json")] for p in paths)
 
-    def view_text(
+    def view_def(
         self, name: str, branch: str = "main", include_staged: bool = True
-    ) -> str:
-        """A single view's stored SELECT text."""
+    ) -> dict:
+        """A view's stored definition: ``{"sql": text}`` plus an optional
+        ``"cols"`` list when the view was created with an explicit column
+        list (``CREATE VIEW v (a, b) AS ...`` — positional renames of the
+        SELECT's output)."""
         import json
 
         return json.loads(
             self.get_object(
                 self._view_path(name.lower()), branch, include_staged=include_staged
             )
-        )["sql"]
+        )
+
+    def view_text(
+        self, name: str, branch: str = "main", include_staged: bool = True
+    ) -> str:
+        """A single view's stored SELECT text."""
+        return self.view_def(name, branch, include_staged=include_staged)["sql"]
 
     def list_views(
         self, branch: str = "main", include_staged: bool = True
@@ -974,29 +983,50 @@ class LakeRepo:
         }
 
     def put_view(
-        self, branch: str, name: str, sql_text: str, replace: bool = False
+        self,
+        branch: str,
+        name: str,
+        sql_text: str,
+        replace: bool = False,
+        cols: list[str] | None = None,
+        alter: bool = False,
     ) -> "Commit":
-        """CREATE [OR REPLACE] VIEW — store the SELECT text in a
-        metadata-only commit (clean-branch gated like every ALTER, so
-        the commit can never sweep unrelated staged work in)."""
+        """CREATE [OR REPLACE] VIEW / ALTER VIEW ... AS — store the
+        SELECT text (plus the optional explicit column list, a
+        positional rename of the SELECT's output) in a metadata-only
+        commit (clean-branch gated like every ALTER, so the commit can
+        never sweep unrelated staged work in). ``alter`` requires the
+        view to already exist and REPLACES its whole definition — a
+        previous column list does not survive an ALTER that omits one
+        (the definition is the unit, as in Delta)."""
         import json
 
-        self._require_clean_for_alter(branch, f"CREATE VIEW {name}")
+        what = "ALTER VIEW" if alter else "CREATE VIEW"
+        self._require_clean_for_alter(branch, f"{what} {name}")
         low = name.lower()
         _check_name_unreserved(name, "view")
         if low in {t.lower() for t in self.list_tables(branch)}:
             raise ValueError(
-                f"cannot CREATE VIEW {name!r}: a table of that name "
+                f"cannot {what} {name!r}: a table of that name "
                 f"exists on {branch!r}"
             )
         exists = low in self.list_view_names(branch)
-        if exists and not replace:
+        if alter and not exists:
+            raise KeyError(f"no view {name!r} on {branch!r}")
+        if exists and not replace and not alter:
             raise ValueError(
                 f"view {name!r} already exists on {branch!r}; use "
                 "CREATE OR REPLACE VIEW"
             )
-        self.put_object(branch, self._view_path(low), json.dumps({"sql": sql_text}))
-        verb = "CREATE OR REPLACE VIEW" if exists else "CREATE VIEW"
+        body: dict = {"sql": sql_text}
+        if cols:
+            body["cols"] = list(cols)
+        self.put_object(branch, self._view_path(low), json.dumps(body))
+        verb = (
+            "ALTER VIEW"
+            if alter
+            else "CREATE OR REPLACE VIEW" if exists else "CREATE VIEW"
+        )
         return self.commit(branch, f"SQL: {verb} {low}")
 
     def drop_view(self, branch: str, name: str) -> "Commit":
@@ -2192,6 +2222,61 @@ class LakeRepo:
         self._drop_copyinto_object(branch, table)
         self._drop_tblprops_object(branch, table)
         self._drop_colmeta_object(branch, table)
+
+    def rename_table(self, branch: str, old: str, new: str) -> "Commit":
+        """ALTER TABLE old RENAME TO new — pure metadata, one commit: the
+        file list, the deletion-vector companion, and every companion
+        object (CHECK constraints, schema map, TBLPROPERTIES incl. the
+        partition spec, DEFAULT/IDENTITY column metadata, the COPY INTO
+        loaded-file registry) move BY REFERENCE; no data file is read,
+        copied, or rewritten, so the cost is independent of table size.
+        Time travel keeps working under the old name at pre-rename
+        versions (per-commit table maps are immutable). A stored view
+        whose text references the old name is NOT rewritten — its next
+        expansion fails loudly with TABLE_OR_VIEW_NOT_FOUND, matching
+        Delta/ANSI late-binding view semantics."""
+        self._require_clean_for_alter(branch, f"ALTER TABLE {old} RENAME TO {new}")
+        head = self.get_commit(self._read_ref(branch)["head"])
+        if old.startswith(DV_PREFIX) or new.startswith(DV_PREFIX):
+            raise ValueError(
+                f"table names starting with {DV_PREFIX!r} are reserved "
+                "for deletion vectors (delete_where_dv)"
+            )
+        if old not in head.tables:
+            raise KeyError(f"table {old} not on {branch}")
+        if new in head.tables:
+            raise ValueError(f"table {new!r} already exists on {branch!r}")
+        self._reject_view_name(branch, new)
+        _check_name_unreserved(new, "table")
+        try:
+            self.stage_table_files(
+                branch, new, list(head.tables[old]), op="overwrite"
+            )
+            dv = head.tables.get(DV_PREFIX + old)
+            if dv:
+                self.stage_table_files(
+                    branch, DV_PREFIX + new, list(dv), op="overwrite"
+                )
+            for pathfn in (
+                self._constraints_path,
+                self._schema_map_path,
+                self._tblprops_path,
+                self._colmeta_path,
+                self._copyinto_path,
+            ):
+                blob = head.objects.get(pathfn(old))
+                if blob:
+                    # blobs are immutable and repo-global: re-point, never copy
+                    self.restore_staged_object_entry(
+                        branch, pathfn(new), {"blob": blob, "op": "put"}
+                    )
+            self.remove_table(branch, old)
+            return self.commit(
+                branch, f"SQL: ALTER TABLE {old} RENAME TO {new}"
+            )
+        except Exception:
+            self.reset(branch)  # branch was clean on entry (alter gate)
+            raise
 
     def status(self, branch: str) -> dict:
         """Uncommitted staged changes on a branch (tables + objects)."""

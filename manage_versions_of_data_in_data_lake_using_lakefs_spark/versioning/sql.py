@@ -100,6 +100,15 @@ _LITERAL_RE = re.compile(r"'(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
 # not become `order-lake__events`)
 _BACKTICK_RE = re.compile(r"`[^`]*`")
 _MASK_RE = re.compile(r"\x00(\d+)\x00")
+# keywords that may directly follow a relation reference in FROM/JOIN
+# position — anything else there is a user-supplied alias (used by the
+# stored-view rewrite to decide whether to inject `AS <name>`)
+_RELATION_FOLLOWERS = frozenset(
+    "where on join inner left right full cross natural semi anti group "
+    "order limit having union intersect except minus using lateral window "
+    "sort cluster distribute offset pivot unpivot tablesample version "
+    "timestamp for select values when then else end and or not".split()
+)
 _VERSION_RE = re.compile(
     rf"\b(?P<table>{_IDENT})\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)", re.IGNORECASE
 )
@@ -255,9 +264,20 @@ _TRUNCATE_RE = re.compile(
     rf"^\s*TRUNCATE\s+TABLE\s+(?P<table>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _CREATE_VIEW_RE = re.compile(
-    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>{_IDENT})\s+AS\s+"
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>{_IDENT})\s*"
+    r"(?:\(\s*(?P<cols>[^)]*?)\s*\)\s*)?AS\s+"
     r"(?P<select>SELECT\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_VIEW_RE = re.compile(
+    rf"^\s*ALTER\s+VIEW\s+(?P<name>{_IDENT})\s+AS\s+"
+    r"(?P<select>SELECT\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RENAME_TABLE_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<old>{_IDENT})\s+RENAME\s+TO\s+"
+    rf"(?P<new>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DROP_VIEW_RE = re.compile(
     rf"^\s*DROP\s+VIEW\s+(?P<name>{_IDENT})\s*;?\s*$", re.IGNORECASE
@@ -2402,9 +2422,13 @@ class LakeSQL:
         stored VIEW the statement is its CREATE VIEW text."""
         low = table.lower()
         if low in self.repo.list_view_names(self.branch):
-            text = self.repo.view_text(low, self.branch)
+            vdef = self.repo.view_def(low, self.branch)
+            collist = (
+                " (" + ", ".join(vdef["cols"]) + ")" if vdef.get("cols") else ""
+            )
             return self.spark.createDataFrame(
-                [(f"CREATE VIEW {low} AS {text};",)], "createtab_stmt STRING"
+                [(f"CREATE VIEW {low}{collist} AS {vdef['sql']};",)],
+                "createtab_stmt STRING",
             )
         name = self._resolve_table(table)
         stmts = self._create_table_script(name, name)
@@ -2499,8 +2523,19 @@ class LakeSQL:
         full logical definition (columns, order, IDENTITY restarting at
         its declared START, DEFAULT, NOT NULL, generated columns, CHECK
         constraints, PARTITIONED BY, TBLPROPERTIES), by replaying the
-        same script SHOW CREATE TABLE emits. A mid-script failure drops
-        the partial table so nothing half-defined survives."""
+        same script SHOW CREATE TABLE emits — `_create_table_script`
+        stays the ONE definition serializer.
+
+        The replay runs on a throwaway branch and its net result (new
+        table entry + every object the script created) is carried back
+        as ONE staged unit with ONE commit (ADVICE r13: the old
+        replay-on-this-branch committed per statement, so half-defined
+        intermediate tables became permanent time-travel history, and a
+        mid-script failure needed a best-effort rollback commit). A
+        failure now just deletes the throwaway branch — this branch
+        never moves."""
+        import uuid as _uuid
+
         src_name = self._resolve_table(src)
         low = dst.lower()
         if low in {t.lower() for t in self.repo.list_tables(self.branch)}:
@@ -2509,21 +2544,57 @@ class LakeSQL:
             )
         self._reject_view_collision(dst)
         _check_name_unreserved(low, "table")
+        self.repo._require_clean_for_alter(
+            self.branch, f"CREATE TABLE {low} LIKE"
+        )
         stmts = self._create_table_script(src_name, low)
+        base = self.repo.head(self.branch)
+        tmp = f"__like__{_uuid.uuid4().hex[:12]}"
+        self.repo.create_branch(tmp, self.branch)
         try:
+            tsql = type(self)(self.spark, self.repo, tmp)
             for s in stmts:
-                self.sql(s)
+                tsql.sql(s)
+            head_tmp = self.repo.head(tmp)
+            # carry the replay's net effect: blobs are immutable and
+            # repo-global, so re-staging them on this branch BY REFERENCE
+            # is pure metadata (the deep-clone staged-unit pattern) — no
+            # byte copy, no duplicate blob; delete_branch only drops the
+            # ref file, so the blobs outlive the throwaway branch
+            for path, blob in head_tmp.objects.items():
+                if base.objects.get(path) != blob:
+                    self.repo.restore_staged_object_entry(
+                        self.branch, path, {"blob": blob, "op": "put"}
+                    )
+            for t, files in head_tmp.tables.items():
+                if base.tables.get(t) != files:
+                    self.repo.stage_table_files(self.branch, t, list(files))
+            c = self.repo.commit(
+                self.branch, f"SQL: CREATE TABLE {low} LIKE {src_name}"
+            )
         except Exception:
-            try:
-                self.repo.remove_table(self.branch, low)
-                self.repo.commit(
-                    self.branch, f"SQL: rollback CREATE TABLE {low} LIKE"
-                )
-            except Exception:
-                pass
+            self.repo.reset(self.branch)  # clean on entry (alter gate)
             raise
-        c = self.repo.head(self.branch)
+        finally:
+            self.repo.delete_branch(tmp)
         return self._dml_result(low, c.version, 0)
+
+    @staticmethod
+    def _parse_view_cols(raw: str | None, view: str) -> list[str] | None:
+        """The explicit column list of ``CREATE VIEW v (a, b) AS ...`` —
+        plain identifiers (optionally backticked), no duplicates, at
+        least one name. Returns None when the clause is absent."""
+        if raw is None:
+            return None
+        cols = [c.strip().strip("`").lower() for c in raw.split(",")]
+        if not all(re.fullmatch(r"\w+", c) for c in cols):
+            raise ValueError(
+                f"view {view!r}: column list must be plain identifiers, "
+                f"got {raw!r}"
+            )
+        if len(set(cols)) != len(cols):
+            raise ValueError(f"view {view!r}: duplicate column names in {raw!r}")
+        return cols
 
     def _reject_view_collision(self, name: str) -> None:
         """Every table-creating path (CTAS, explicit schema, clones via
@@ -3957,12 +4028,17 @@ class LakeSQL:
             self.repo.write_table(self.branch, name, empty, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: TRUNCATE TABLE {name}")
             return self._dml_result(name, c.version, n)
-        m = _CREATE_VIEW_RE.match(query)
+        m = _CREATE_VIEW_RE.match(query) or _ALTER_VIEW_RE.match(query)
         if m:
+            is_alter = "replace" not in m.groupdict()
             select = m.group("select")
+            cols = self._parse_view_cols(
+                m.groupdict().get("cols"), m.group("name")
+            )
             # analyze NOW against current branch state (Spark validates
             # view text at creation) — a bad reference raises here, not
-            # at first read; the DataFrame itself is discarded. The
+            # at first read; the DataFrame itself is discarded (except
+            # its arity, which gates the explicit column list). The
             # view's own name rides the expansion stack during the
             # check, so a REPLACE that would close a reference cycle
             # (a -> b -> a) is refused at creation, not at first query.
@@ -3970,14 +4046,32 @@ class LakeSQL:
             low = m.group("name").lower()
             stack.add(low)
             try:
-                self.sql(select)
+                vdf = self.sql(select)
             finally:
                 stack.discard(low)
+            if cols is not None and len(cols) != len(vdf.columns):
+                raise ValueError(
+                    f"view {low!r}: column list has {len(cols)} names but "
+                    f"the SELECT produces {len(vdf.columns)} columns"
+                )
             c = self.repo.put_view(
                 self.branch,
                 m.group("name"),
                 select,
-                replace=bool(m.group("replace")),
+                replace=not is_alter and bool(m.group("replace")),
+                cols=cols,
+                alter=is_alter,
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _RENAME_TABLE_RE.match(query)
+        if m:
+            c = self.repo.rename_table(
+                self.branch,
+                self._resolve_table(m.group("old")),
+                m.group("new").lower(),
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],
@@ -4358,7 +4452,23 @@ class LakeSQL:
         #     self-referential chain raises loudly.
         stack: set = self.__dict__.setdefault("_view_stack", set())
         for v in stored_views:
-            vpat = re.compile(rf"\b{re.escape(v)}\b", re.IGNORECASE)
+            # table position ONLY (after FROM/JOIN). A bare column or
+            # alias that happens to share a stored view's name must not
+            # be rewritten — SELECT high FROM t stays t's column even
+            # when a view `high` exists (ADVICE r13). Qualified refs
+            # (v.col) are NEVER rewritten; instead, when the user left
+            # the relation un-aliased we alias the scoped view back to
+            # the original name (FROM lakeview__high AS `high`) so the
+            # user's qualifiers resolve through the alias — and when the
+            # user DID alias it (FROM high h / FROM events high), their
+            # alias wins and nothing outside FROM/JOIN position is
+            # touched. The cost: a view in an old-style comma join
+            # (FROM a, v) no longer expands — that now fails loudly as
+            # TABLE_OR_VIEW_NOT_FOUND (use JOIN), never silently as the
+            # wrong relation.
+            vpat = re.compile(
+                rf"(\b(?:FROM|JOIN)\s+){re.escape(v)}\b", re.IGNORECASE
+            )
             if not vpat.search(rewritten):
                 continue
             if v in stack:
@@ -4368,12 +4478,31 @@ class LakeSQL:
                 )
             stack.add(v)
             try:
-                self.sql(self.repo.view_text(v, self.branch)).createOrReplaceTempView(
-                    f"lakeview__{v}"
-                )
+                vdef = self.repo.view_def(v, self.branch)
+                vdf = self.sql(vdef["sql"])
+                if vdef.get("cols"):
+                    # explicit column list = positional rename of the
+                    # SELECT's output (arity was validated at creation)
+                    vdf = vdf.toDF(*vdef["cols"])
+                vdf.createOrReplaceTempView(f"lakeview__{v}")
             finally:
                 stack.discard(v)
-            rewritten = vpat.sub(f"lakeview__{v}", rewritten)
+
+            def _sub_view(m: re.Match, v: str = v) -> str:
+                nxt = re.match(
+                    r"\s+(?:(AS)\s+)?`?([A-Za-z_]\w*)",
+                    m.string[m.end() :],
+                    re.IGNORECASE,
+                )
+                if nxt and (
+                    nxt.group(1)
+                    or nxt.group(2).lower() not in _RELATION_FOLLOWERS
+                ):
+                    # user-supplied alias covers all qualified refs
+                    return m.group(1) + f"lakeview__{v}"
+                return m.group(1) + f"lakeview__{v} AS `{v}`"
+
+            rewritten = vpat.sub(_sub_view, rewritten)
 
         auto_prune = self._auto_prune_where(query)
         for t in self.repo.list_tables(self.branch):

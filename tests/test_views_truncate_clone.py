@@ -252,3 +252,81 @@ def test_truncate_is_metadata_only(spark, repo, lsql, monkeypatch):
     monkeypatch.undo()
     assert r.rows_affected == 260
     assert repo.read_table(spark, "t", "main").count() == 0
+
+def test_create_like_is_one_commit(spark, repo, lsql):
+    """r14 (ADVICE r13): CREATE TABLE ... LIKE lands as exactly ONE
+    commit — no half-defined intermediate table states in time-travel
+    history (the old per-statement replay left them permanently)."""
+    lsql.sql(
+        "CREATE TABLE src (k INT GENERATED ALWAYS AS IDENTITY, v STRING, "
+        "p INT) PARTITIONED BY (p)"
+    )
+    lsql.sql("ALTER TABLE src ADD CONSTRAINT p_pos CHECK (p >= 0)")
+    lsql.sql("ALTER TABLE src SET TBLPROPERTIES ('team' = 'data')")
+    h0 = repo.head("main")
+    v0 = h0.version
+    lsql.sql("CREATE TABLE dst LIKE src")
+    # exactly ONE commit on this branch (versions are repo-global, so
+    # the throwaway replay branch may consume numbers — parent linkage
+    # is the invariant)
+    assert repo.head("main").parents == [h0.id]
+    # full definition carried in that single version
+    assert repo.table_partition_columns("dst", "main") == ["p"]
+    assert repo.table_constraints("dst", "main") == {"p_pos": "p >= 0"}
+    assert repo.table_properties("dst", "main").get("team") == "data"
+    assert repo.read_table(spark, "dst", "main").count() == 0
+    # the version just before the LIKE has no trace of dst
+    with pytest.raises(KeyError):
+        repo.read_table(spark, "dst", "main", version_as_of=v0)
+    # identity restarts at declared START on the new table
+    lsql.sql("INSERT INTO dst (v, p) VALUES ('a', 1)")
+    [row] = repo.read_table(spark, "dst", "main").collect()
+    assert row.k == 1
+    # no throwaway branch left behind
+    assert not [b for b in repo.branches() if b.startswith("__like__")]
+
+def test_view_name_rewrite_is_table_position_only(spark, repo, lsql):
+    """r14 (ADVICE r13): a column or alias sharing a stored view's name
+    must not be rewritten — only FROM/JOIN position expands. A view in
+    an old-style comma join fails loudly (use JOIN), never silently as
+    the wrong relation."""
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (12) AS v(high)")
+    lsql.sql("CREATE VIEW high AS SELECT high AS h FROM t WHERE high > 9")
+    # column position: untouched
+    assert sorted(r.high for r in lsql.sql("SELECT high FROM t").collect()) == [1, 12]
+    # alias position: untouched
+    assert sorted(
+        r.high for r in lsql.sql("SELECT t.high AS high FROM t").collect()
+    ) == [1, 12]
+    # FROM position: expands
+    assert [r.h for r in lsql.sql("SELECT h FROM high").collect()] == [12]
+    # JOIN position: expands
+    assert (
+        lsql.sql("SELECT * FROM t JOIN high ON t.high = high.h").count() == 1
+    )
+    # comma join: loud failure, not a silent mis-resolve
+    with pytest.raises(Exception):
+        lsql.sql("SELECT * FROM t, high").collect()
+
+def test_view_qualified_refs_and_aliases(spark, repo, lsql):
+    """r14 review: qualified refs (v.col) resolve through an injected
+    alias when the view is un-aliased; a user alias wins; a table alias
+    sharing a view's name is never rewritten; backticked view refs in
+    FROM position still expand (step-1b normalization)."""
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (12) AS v(high)")
+    lsql.sql("CREATE VIEW high AS SELECT high AS h FROM t WHERE high > 9")
+    # un-aliased view with qualified column ref → injected alias resolves
+    assert [r.h for r in lsql.sql("SELECT high.h FROM high").collect()] == [12]
+    # user alias on the view: their alias covers qualifiers
+    assert [r.h for r in lsql.sql("SELECT x.h FROM high x").collect()] == [12]
+    assert [r.h for r in lsql.sql("SELECT x.h FROM high AS x").collect()] == [12]
+    # a TABLE alias that shares the view's name is untouched: reads t
+    assert sorted(
+        r.v for r in lsql.sql("SELECT high.high AS v FROM t high").collect()
+    ) == [1, 12]
+    # backticked view ref in FROM position expands (1b normalization)
+    assert [r.h for r in lsql.sql("SELECT h FROM `high`").collect()] == [12]
+    # self-join of the view under two aliases
+    assert (
+        lsql.sql("SELECT * FROM high a JOIN high b ON a.h = b.h").count() == 1
+    )
