@@ -2077,11 +2077,8 @@ class LakeRepo:
             self.unstage_table(branch, dst)
             if dv_src:
                 self.unstage_table(branch, DV_PREFIX + dst)
-            self.restore_staged_object_entry(branch, self._constraints_path(dst), None)
-            self.restore_staged_object_entry(branch, self._schema_map_path(dst), None)
-            self.restore_staged_object_entry(branch, self._tblprops_path(dst), None)
-            self.restore_staged_object_entry(branch, self._colmeta_path(dst), None)
-            self.restore_staged_object_entry(branch, self._copyinto_path(dst), None)
+            for pathfn in self._companion_path_fns():
+                self.restore_staged_object_entry(branch, pathfn(dst), None)
             raise
 
     def _schema_map_of_commit(self, commit: "Commit", table: str) -> dict | None:
@@ -2217,11 +2214,31 @@ class LakeRepo:
             if dvt in ref["staged"] or dvt in self.get_commit(ref["head"]).tables:
                 ref["staged"][dvt] = {"files": [], "op": "drop"}
             self._write_ref(branch, ref)
-        self._drop_constraints_object(branch, table)
-        self._drop_schema_map_object(branch, table)
-        self._drop_copyinto_object(branch, table)
-        self._drop_tblprops_object(branch, table)
-        self._drop_colmeta_object(branch, table)
+        self._drop_companion_objects(branch, table)
+
+    def _companion_path_fns(self):
+        """Every per-table companion-object path family, in one place —
+        rename carry, drop cleanup, and clone rollback must all cover
+        the SAME set, so a sixth family added here is automatically
+        carried/dropped/rolled back everywhere (r14 review: the three
+        sites previously each hand-enumerated the five)."""
+        return (
+            self._constraints_path,
+            self._schema_map_path,
+            self._tblprops_path,
+            self._colmeta_path,
+            self._copyinto_path,
+        )
+
+    def _drop_companion_objects(self, branch: str, table: str) -> None:
+        """Delete every companion object of ``table`` that exists
+        (staged or committed) — a successor table of the same name must
+        start with a clean definition."""
+        for pathfn in self._companion_path_fns():
+            try:
+                self.delete_object(branch, pathfn(table))
+            except KeyError:
+                pass
 
     def rename_table(self, branch: str, old: str, new: str) -> "Commit":
         """ALTER TABLE old RENAME TO new — pure metadata, one commit: the
@@ -2257,13 +2274,7 @@ class LakeRepo:
                 self.stage_table_files(
                     branch, DV_PREFIX + new, list(dv), op="overwrite"
                 )
-            for pathfn in (
-                self._constraints_path,
-                self._schema_map_path,
-                self._tblprops_path,
-                self._colmeta_path,
-                self._copyinto_path,
-            ):
+            for pathfn in self._companion_path_fns():
                 blob = head.objects.get(pathfn(old))
                 if blob:
                     # blobs are immutable and repo-global: re-point, never copy

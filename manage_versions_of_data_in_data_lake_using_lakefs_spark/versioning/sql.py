@@ -2587,7 +2587,7 @@ class LakeSQL:
         if raw is None:
             return None
         cols = [c.strip().strip("`").lower() for c in raw.split(",")]
-        if not all(re.fullmatch(r"\w+", c) for c in cols):
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
             raise ValueError(
                 f"view {view!r}: column list must be plain identifiers, "
                 f"got {raw!r}"
@@ -2772,11 +2772,7 @@ class LakeSQL:
             # leak onto it (Delta semantics; r12 review — a stale
             # registry silently skipped re-ingesting landed files into
             # the replacement table)
-            self.repo._drop_constraints_object(self.branch, name)
-            self.repo._drop_schema_map_object(self.branch, name)
-            self.repo._drop_tblprops_object(self.branch, name)
-            self.repo._drop_colmeta_object(self.branch, name)
-            self.repo._drop_copyinto_object(self.branch, name)
+            self.repo._drop_companion_objects(self.branch, name)
         try:
             if parts:
                 # staged FIRST so write_table's spec lookup partitions
@@ -2926,11 +2922,7 @@ class LakeSQL:
                 # file registry must not leak (r12 review: a stale
                 # registry silently skipped re-ingesting files into the
                 # replacement table)
-                self.repo._drop_constraints_object(self.branch, name)
-                self.repo._drop_schema_map_object(self.branch, name)
-                self.repo._drop_tblprops_object(self.branch, name)
-                self.repo._drop_colmeta_object(self.branch, name)
-                self.repo._drop_copyinto_object(self.branch, name)
+                self.repo._drop_companion_objects(self.branch, name)
             # the empty write stays FLAT on purpose (a 0-row partitionBy
             # write produces no schema-carrier file); the spec is staged
             # right after, so the first INSERT partitions
@@ -4032,6 +4024,16 @@ class LakeSQL:
         if m:
             is_alter = "replace" not in m.groupdict()
             select = m.group("select")
+            if is_alter and m.group("name").lower() not in (
+                self.repo.list_view_names(self.branch)
+            ):
+                # existence is one metadata lookup — check it BEFORE
+                # analyzing the SELECT, so a missing view reports
+                # "no view", not the SELECT's own resolution error
+                # (r14 review)
+                raise KeyError(
+                    f"no view {m.group('name')!r} on {self.branch!r}"
+                )
             cols = self._parse_view_cols(
                 m.groupdict().get("cols"), m.group("name")
             )
@@ -4085,9 +4087,14 @@ class LakeSQL:
                 "version INT, commit_id STRING, message STRING",
             )
         if _SHOW_VIEWS_RE.match(query):
-            rows = sorted(self.repo.list_views(self.branch).items())
+            rows = []
+            for n in self.repo.list_view_names(self.branch):
+                d = self.repo.view_def(n, self.branch)
+                rows.append(
+                    (n, d["sql"], ", ".join(d.get("cols") or []) or None)
+                )
             return self.spark.createDataFrame(
-                rows, "view_name STRING, view_text STRING"
+                rows, "view_name STRING, view_text STRING, view_cols STRING"
             )
         m = _SHOW_CREATE_RE.match(query)
         if m:
@@ -4462,10 +4469,11 @@ class LakeSQL:
             # user's qualifiers resolve through the alias — and when the
             # user DID alias it (FROM high h / FROM events high), their
             # alias wins and nothing outside FROM/JOIN position is
-            # touched. The cost: a view in an old-style comma join
-            # (FROM a, v) no longer expands — that now fails loudly as
-            # TABLE_OR_VIEW_NOT_FOUND (use JOIN), never silently as the
-            # wrong relation.
+            # touched. The cost: a view in a NON-FIRST comma-join
+            # position (FROM a, v) no longer expands — that now fails
+            # loudly as TABLE_OR_VIEW_NOT_FOUND (use JOIN), never
+            # silently as the wrong relation; FROM v, a still expands
+            # (v directly follows FROM).
             vpat = re.compile(
                 rf"(\b(?:FROM|JOIN)\s+){re.escape(v)}\b", re.IGNORECASE
             )
@@ -4489,16 +4497,28 @@ class LakeSQL:
                 stack.discard(v)
 
             def _sub_view(m: re.Match, v: str = v) -> str:
+                # lookahead for a user-supplied alias: `AS x`, a bare
+                # identifier that is not a relation-follower keyword, or
+                # a backtick-masked token (step 1b turned `x` into
+                # \x00N\x00 — r14 review: the mask must read as an
+                # alias, not as "no alias")
                 nxt = re.match(
-                    r"\s+(?:(AS)\s+)?`?([A-Za-z_]\w*)",
+                    r"\s+(?:(AS)\s+)?(?:`?([A-Za-z_]\w*)|(\x00\d+\x00))",
                     m.string[m.end() :],
                     re.IGNORECASE,
                 )
                 if nxt and (
                     nxt.group(1)
+                    or nxt.group(3)
                     or nxt.group(2).lower() not in _RELATION_FOLLOWERS
                 ):
                     # user-supplied alias covers all qualified refs
+                    return m.group(1) + f"lakeview__{v}"
+                if nxt and nxt.group(2).lower() == "tablesample":
+                    # Spark's grammar puts the sample clause BEFORE the
+                    # alias, so injecting here would not parse — bare
+                    # rename; qualified refs through the original name
+                    # fail loudly (alias the view to keep them)
                     return m.group(1) + f"lakeview__{v}"
                 return m.group(1) + f"lakeview__{v} AS `{v}`"
 

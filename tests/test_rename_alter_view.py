@@ -144,6 +144,28 @@ def test_view_column_list_renames_output(spark, repo, lsql):
     assert "bad" not in repo.list_view_names("main")
 
 
+def test_view_rewrite_corners_from_review(spark, repo, lsql):
+    """r14 review: TABLESAMPLE after an un-aliased view must not get an
+    injected alias (Spark's grammar puts the sample before the alias);
+    a backtick-masked user alias must read as an alias; a view FIRST in
+    a comma join still expands; SHOW VIEWS reports the column list."""
+    lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (12) AS v(k)")
+    lsql.sql("CREATE VIEW high (h) AS SELECT k FROM t WHERE k > 9")
+    # TABLESAMPLE parses and runs (row count is sample-dependent; just run)
+    lsql.sql("SELECT * FROM high TABLESAMPLE (1 ROWS)").collect()
+    # backticked alias on the view: one alias, parses, resolves
+    assert [r.h for r in lsql.sql("SELECT `x`.h FROM high `x`").collect()] == [12]
+    assert [r.h for r in lsql.sql("SELECT x.h FROM high AS `x` ").collect()] == [12]
+    # view in FIRST comma-join position expands (directly follows FROM)
+    assert lsql.sql("SELECT * FROM high, t").count() == 2
+    # SHOW VIEWS carries the column list
+    [row] = lsql.sql("SHOW VIEWS").collect()
+    assert row.view_name == "high" and row.view_cols == "h"
+    # digit-leading column names are rejected (identifier contract)
+    with pytest.raises(ValueError):
+        lsql.sql("CREATE VIEW bad (9lives) AS SELECT k FROM t")
+
+
 def test_alter_view_redefines_whole_definition(spark, repo, lsql):
     lsql.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (12) AS v(k)")
     lsql.sql("CREATE VIEW vw (big) AS SELECT k FROM t WHERE k > 9")
