@@ -1224,7 +1224,7 @@ class LakeRepo:
 
     @staticmethod
     def build_identity_entry(
-        col: str, dtype: str, start: int, step: int
+        col: str, dtype: str, start: int, step: int, always: bool = True
     ) -> dict:
         """Validate an identity spec and build its colmeta entry — ONE
         source of truth for the type allowlist, bounds, and entry shape,
@@ -1249,6 +1249,13 @@ class LakeRepo:
             "step": int(step),
             "hwm": None,
             "type": ity,
+            # ALWAYS: the engine owns every value, user writes refuse.
+            # BY DEFAULT (Delta parity): explicit values are accepted
+            # when the write names the column; the allocator is used
+            # otherwise, and — as in Delta — explicit values may collide
+            # with later allocations until SYNC IDENTITY realigns the
+            # high-water mark with the data.
+            "always": bool(always),
         }
 
     def alter_add_identity_column(
@@ -1260,6 +1267,7 @@ class LakeRepo:
         dtype: str,
         start: int = 1,
         step: int = 1,
+        always: bool = True,
     ) -> "Commit":
         """ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS
         IDENTITY [(START WITH s [INCREMENT BY k])] — a STORED column
@@ -1276,7 +1284,7 @@ class LakeRepo:
         metadata plus numbering the batch, never table-proportional."""
         import json
 
-        entry = self.build_identity_entry(col, dtype, start, step)
+        entry = self.build_identity_entry(col, dtype, start, step, always=always)
         self._require_clean_for_alter(branch, f"ADD IDENTITY COLUMN {col}")
         meta = self.column_metadata(table, branch)
         if col.lower() in meta["defaults"]:
@@ -1308,7 +1316,8 @@ class LakeRepo:
                 cur.columns,
                 {"op": "add", "name": col, "type": dtype},
                 f"ALTER TABLE {table} ADD COLUMN {col} {dtype} "
-                f"GENERATED ALWAYS AS IDENTITY",
+                f"GENERATED {'ALWAYS' if always else 'BY DEFAULT'} "
+                "AS IDENTITY",
             )
         except Exception:
             self.restore_staged_object_entry(
@@ -1353,6 +1362,55 @@ class LakeRepo:
             ent["hwm"] = last
             self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
         return first
+
+    def sync_identity(
+        self, spark: SparkSession, branch: str, table: str
+    ) -> "Commit":
+        """ALTER TABLE t SYNC IDENTITY (Delta parity): realign every
+        identity column's high-water mark with the DATA — after explicit
+        inserts into a GENERATED BY DEFAULT column, the allocator may
+        lag the stored values and hand out collisions; one aggregate
+        scan (max for ascending, min for descending sequences) moves
+        each mark to the furthest stored value when that is beyond the
+        current mark. Marks never move backwards — history the allocator
+        already promised stays promised."""
+        import json
+
+        self._require_clean_for_alter(branch, f"SYNC IDENTITY {table}")
+        meta = self.column_metadata(table, branch)
+        if not meta["identity"]:
+            raise ValueError(f"table {table!r} has no identity columns")
+        cur = self.read_table(spark, table, ref=branch)
+        by_lower = {c.lower(): c for c in cur.columns}
+        aggs = [
+            (
+                F.max(F.col(by_lower[c]))
+                if ent["step"] > 0
+                else F.min(F.col(by_lower[c]))
+            ).alias(c)
+            for c, ent in sorted(meta["identity"].items())
+        ]
+        row = cur.agg(*aggs).first()
+        changed = False
+        for c, ent in meta["identity"].items():
+            far = row[c]
+            if far is None:
+                continue
+            far = int(far)
+            hwm = ent["hwm"]
+            ahead = hwm is None or (
+                far > hwm if ent["step"] > 0 else far < hwm
+            )
+            if ahead:
+                ent["hwm"] = far
+                changed = True
+        if not changed:
+            # marks already aligned: succeed without an empty commit
+            return self.head(branch)
+        self.put_object(branch, self._colmeta_path(table), json.dumps(meta))
+        return self.commit(
+            branch, f"SQL: ALTER TABLE {table} SYNC IDENTITY"
+        )
 
     def _require_table(self, branch: str, table: str) -> None:
         # ALTERs run on a clean branch (enforced by the callers), so the

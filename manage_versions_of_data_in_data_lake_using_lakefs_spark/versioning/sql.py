@@ -359,12 +359,16 @@ _ADD_GEN_COLUMN_RE = re.compile(
 _ADD_IDENTITY_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s+"
     rf"(?!CONSTRAINT\b)(?P<col>\w+)\s+(?P<type>{_SQL_TYPE})\s+"
-    r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+    r"GENERATED\s+(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
     # START WITH and INCREMENT BY are independently optional (Delta's
     # grammar): (START WITH s), (INCREMENT BY k), or both — never ()
     r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+)"
     r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?"
     r"|INCREMENT\s+BY\s+(?P<step2>-?\d+))\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SYNC_IDENTITY_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+SYNC\s+IDENTITY\s*;?\s*$",
     re.IGNORECASE,
 )
 _SET_DEFAULT_RE = re.compile(
@@ -529,7 +533,7 @@ def _parse_coldef(part: str) -> tuple[str, str, str] | None:
         j = k + mp.end()
     return col, part[m.start(2) : j].strip(), part[j:].strip()
 _COLDEF_IDENTITY_RE = re.compile(
-    r"^\s*GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+    r"^\s*GENERATED\s+(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
     r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+)"
     r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?"
     r"|INCREMENT\s+BY\s+(?P<step2>-?\d+))\s*\))?(?P<rest>.*)$",
@@ -695,8 +699,9 @@ def _identity_clause(ent: dict) -> str:
     """The one spelling of an identity declaration, shared by DESCRIBE
     TABLE and SHOW CREATE TABLE so the two surfaces can never drift
     (r13 review)."""
+    mode = "ALWAYS" if ent.get("always", True) else "BY DEFAULT"
     return (
-        "GENERATED ALWAYS AS IDENTITY (START WITH "
+        f"GENERATED {mode} AS IDENTITY (START WITH "
         f"{ent['start']} INCREMENT BY {ent['step']})"
     )
 
@@ -1260,13 +1265,25 @@ class LakeSQL:
             meta = self.repo.column_metadata(name, self.branch)
             ids, defaults = meta["identity"], meta["defaults"]
             have = {c.lower(): c for c in df.columns}
-            clash = sorted(set(have) & set(ids))
+            clash = sorted(
+                c
+                for c in set(have) & set(ids)
+                if ids[c].get("always", True)
+            )
             if clash:
                 raise ValueError(
                     f"COPY INTO {name!r}: columns {clash} are GENERATED "
                     "ALWAYS AS IDENTITY — the engine allocates them; "
                     "remove them from the landed files"
                 )
+            # BY DEFAULT identity columns present in the files land
+            # their file values as-is (Delta parity); absent ones are
+            # allocated like ALWAYS columns
+            ids = {
+                c: e
+                for c, e in ids.items()
+                if e.get("always", True) or c not in have
+            }
             missing = [
                 f.name
                 for f in target.schema.fields
@@ -1800,6 +1817,15 @@ class LakeSQL:
         # DEFAULT values substitute for NULL on unnamed INSERT columns
         _cm = self.repo.column_metadata(name, self.branch)
         id_cols, col_defaults = _cm["identity"], _cm["defaults"]
+        # BY DEFAULT identity columns (r14, Delta parity): explicitly
+        # providable in INSERT clauses / from the source; never SET.
+        # Each clause tracks which it provided — a mix of provided and
+        # allocated across clauses would need per-clause allocation, so
+        # it refuses loudly (provide in all clauses or none).
+        id_always = {
+            c for c, e in id_cols.items() if e.get("always", True)
+        }
+        i_provided: list[set] = []
         # targets written before the write-time __lg_ guard existed
         # would shadow the lateral clause-index alias too
         bad_t = [c for c in resolved.values() if c.lower().startswith("__lg_")]
@@ -1878,7 +1904,7 @@ class LakeSQL:
         i_clauses: list[tuple[str | None, dict[str, str]]] = []
         for cond, m in i_raw:
             if m.group("star"):
-                id_clash = sorted(set(id_cols) & src_lower)
+                id_clash = sorted(id_always & src_lower)
                 if id_clash:
                     # the other paths (INSERT lists, COPY INTO) refuse a
                     # user-provided identity column loudly; silently
@@ -1890,14 +1916,17 @@ class LakeSQL:
                         "the engine allocates them; drop them from the "
                         "USING source"
                     )
+                i_provided.append((set(id_cols) - id_always) & src_lower)
                 if evolve:
                     # automerge: target-only columns insert their
                     # DEFAULT when declared (r12), else NULL; IDENTITY
                     # columns are engine-allocated after the union
+                    # (except BY DEFAULT ones the source provides)
                     exprs = {
                         f.name: (
                             "NULL"
                             if f.name.lower() in id_cols
+                            and f.name.lower() not in i_provided[-1]
                             else f"{sa}.`{f.name}`"
                             if f.name.lower() in src_lower
                             else col_defaults.get(f.name.lower(), "NULL")
@@ -1923,6 +1952,7 @@ class LakeSQL:
                         f.name: (
                             "NULL"
                             if f.name.lower() in id_cols
+                            and f.name.lower() not in i_provided[-1]
                             else f"{sa}.`{f.name}`"
                         )
                         for f in target.schema.fields
@@ -1947,7 +1977,7 @@ class LakeSQL:
                         col = qual.group(1).strip("`")
                     if col.lower() not in resolved:
                         raise KeyError(f"MERGE {name!r}: no column {col!r}")
-                    if col.lower() in id_cols:
+                    if col.lower() in id_always:
                         raise ValueError(
                             f"MERGE INSERT: column {col!r} is GENERATED "
                             "ALWAYS AS IDENTITY — the engine allocates it"
@@ -1959,8 +1989,11 @@ class LakeSQL:
                         )
                     named[rc] = v
                 # unnamed columns insert their DEFAULT when declared
-                # (r12), else NULL; identity stays NULL here and is
-                # allocated after the union
+                # (r12), else NULL; unprovided identity stays NULL here
+                # and is allocated after the union
+                i_provided.append(
+                    {c.lower() for c in named} & (set(id_cols) - id_always)
+                )
                 exprs = {
                     f.name: named.get(
                         f.name,
@@ -1971,6 +2004,18 @@ class LakeSQL:
                     for f in target.schema.fields
                 }
             i_clauses.append((cond, exprs))
+        # all-or-none per BY DEFAULT column across insert clauses
+        ids_fill = dict(id_cols)
+        for c in set(id_cols) - id_always:
+            hits = [c in p for p in i_provided]
+            if any(hits) and not all(hits):
+                raise ValueError(
+                    f"MERGE INSERT: BY DEFAULT identity column {c!r} is "
+                    "provided by some insert clauses but not others — "
+                    "provide it in every clause or in none"
+                )
+            if hits and all(hits):
+                del ids_fill[c]
         # BY-SOURCE conditions and SET expressions are enforced
         # target-only BY SCOPE, not lexically: every place they evaluate
         # (the rewrite route's anti-join part, the DV route's anti-join
@@ -2005,8 +2050,10 @@ class LakeSQL:
                 self.repo.table_schema_map(name, ref=self.branch)
             )
             # identity allocation happens on the rewrite route's staged
-            # union (r12) — the DV route would insert NULLs
-            and not (id_cols and i_clauses)
+            # union (r12) — the DV route would insert NULLs (fully
+            # provided BY DEFAULT inserts carry their values and may
+            # route)
+            and not (ids_fill and i_clauses)
         ):
             out = self._try_dv_dml(
                 name,
@@ -2131,7 +2178,7 @@ class LakeSQL:
             }
             rows = sum(n for f, n in counts.items() if f != "pass")
             n_ins = int(counts.get("ins", 0))
-            if id_cols and n_ins:
+            if ids_fill and n_ins:
                 # allocate identity values for the inserted rows only
                 # (r12): pass/update rows carry their existing values
                 # through the union untouched; the insert part projected
@@ -2147,9 +2194,9 @@ class LakeSQL:
                 with self._colmeta_rollback(name):
                     filled = self._fill_identity(
                         name,
-                        ins.drop(*[resolved[c] for c in id_cols]),
+                        ins.drop(*[resolved[c] for c in ids_fill]),
                         list(target.schema.fields),
-                        id_cols,
+                        ids_fill,
                         n_ins,
                     )
                     merged = keep.unionByName(filled)
@@ -2851,6 +2898,7 @@ class LakeSQL:
                         typ,
                         int(mi.group("start") or 1),
                         int(mi.group("step") or mi.group("step2") or 1),
+                        always=mi.group("mode").upper() == "ALWAYS",
                     )
                     rest = (mi.group("rest") or "").strip()
                     continue
@@ -3062,11 +3110,23 @@ class LakeSQL:
         store_fields = [
             f for f in target.schema.fields if f.name.lower() not in gen
         ]
+        # GENERATED BY DEFAULT identity columns (Delta parity) are
+        # insertable when EXPLICITLY NAMED in the column list — their
+        # provided values land as-is (no allocation, no high-water bump;
+        # SYNC IDENTITY realigns the mark). ALWAYS columns and unnamed
+        # BY DEFAULT columns stay engine-allocated.
+        byd = {c for c, e in ids.items() if not e.get("always", True)}
         fields = [
             f for f in store_fields if f.name.lower() not in ids
         ]
+        ids_fill = dict(ids)
         if cols is not None:
-            resolved = {f.name.lower(): f for f in fields}
+            insertable = [
+                f
+                for f in store_fields
+                if f.name.lower() not in ids or f.name.lower() in byd
+            ]
+            resolved = {f.name.lower(): f for f in insertable}
             named: list = []
             for c in _split_top_level(cols):
                 key = c.strip().strip("`").lower()
@@ -3099,12 +3159,19 @@ class LakeSQL:
             # by-name mapping would hit an ambiguous-reference error
             src = src.toDF(*[f"__ins{i}" for i in range(len(src.columns))])
             by_field = dict(zip((f.name for f in named), src.columns))
+            provided_byd = {f.name.lower() for f in named} & byd
+            ids_fill = {c: e for c, e in ids.items() if c not in provided_byd}
+            sel_fields = [
+                f
+                for f in insertable
+                if f.name.lower() not in byd or f.name.lower() in provided_byd
+            ]
             aligned = src.select(
                 *[
                     F.col(by_field[f.name]).cast(f.dataType).alias(f.name)
                     if f.name in by_field
                     else self._default_expr(defaults, f)
-                    for f in fields
+                    for f in sel_fields
                 ]
             )
         else:
@@ -3127,7 +3194,7 @@ class LakeSQL:
                     for c, f in zip(src.columns, fields)
                 ]
             )
-        return aligned, store_fields, ids
+        return aligned, store_fields, ids_fill
 
     def _insert(
         self, table: str, body: str, cols: str | None = None
@@ -4109,6 +4176,16 @@ class LakeSQL:
                 m.group("type"),
                 start=int(m.group("start") or 1),
                 step=int(m.group("step") or m.group("step2") or 1),
+                always=m.group("mode").upper() == "ALWAYS",
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _SYNC_IDENTITY_RE.match(query)
+        if m:
+            c = self.repo.sync_identity(
+                self.spark, self.branch, self._resolve_table(m.group("table"))
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],

@@ -337,6 +337,7 @@ def test_create_table_explicit_schema(spark, repo, lsql):
     meta = repo.column_metadata("t", "main")
     assert meta["identity"]["rid"] == {
         "start": 10, "step": 5, "hwm": None, "type": "bigint",
+        "always": True,
     }
     assert meta["defaults"] == {"s": "'dflt'"}
     assert repo.table_constraints("t", "main") == {
