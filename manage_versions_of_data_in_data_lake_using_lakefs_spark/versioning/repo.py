@@ -1396,13 +1396,21 @@ class LakeRepo:
             far = row[c]
             if far is None:
                 continue
-            far = int(far)
+            far, start, step = int(far), ent["start"], ent["step"]
+            # Delta parity (r14 review): the realigned mark must stay ON
+            # the declared start+n·step lattice — post-sync allocations
+            # keep the sequence's congruence class — and never fall
+            # before START (values short of the declared start promise
+            # nothing about the sequence)
+            if (far < start) if step > 0 else (far > start):
+                continue
+            cand = start + ((far - start) // step) * step
             hwm = ent["hwm"]
             ahead = hwm is None or (
-                far > hwm if ent["step"] > 0 else far < hwm
+                cand > hwm if step > 0 else cand < hwm
             )
             if ahead:
-                ent["hwm"] = far
+                ent["hwm"] = cand
                 changed = True
         if not changed:
             # marks already aligned: succeed without an empty commit

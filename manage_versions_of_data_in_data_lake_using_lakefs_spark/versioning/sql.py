@@ -1250,6 +1250,15 @@ class LakeSQL:
         reader = self.spark.read
         for k, v in fopts.items():
             reader = reader.option(k, v)
+        if fmt.lower() == "parquet" and "mergeschema" not in {
+            k.lower() for k in fopts
+        }:
+            # provided-vs-allocated for BY DEFAULT identity (and the
+            # ALWAYS clash refusal) is decided from the READER schema —
+            # without mergeSchema, a landing batch whose files disagree
+            # about carrying a column could infer the narrower schema
+            # and silently misclassify (r14 review)
+            reader = reader.option("mergeSchema", True)
         df = reader.format(fmt).load(new)
         # staged-inclusive, case-robust existence probe: the BY-NAME
         # alignment below must fire for mixed-case and staged-only
@@ -1261,6 +1270,7 @@ class LakeSQL:
         except KeyError:
             target = None
         ids: dict = {}
+        provided_byd: list = []
         if target is not None:
             meta = self.repo.column_metadata(name, self.branch)
             ids, defaults = meta["identity"], meta["defaults"]
@@ -1279,11 +1289,12 @@ class LakeSQL:
             # BY DEFAULT identity columns present in the files land
             # their file values as-is (Delta parity); absent ones are
             # allocated like ALWAYS columns
-            ids = {
-                c: e
-                for c, e in ids.items()
-                if e.get("always", True) or c not in have
-            }
+            provided_byd = sorted(
+                c
+                for c in set(have) & set(ids)
+                if not ids[c].get("always", True)
+            )
+            ids = {c: e for c, e in ids.items() if c not in have}
             missing = [
                 f.name
                 for f in target.schema.fields
@@ -1314,6 +1325,22 @@ class LakeSQL:
         cached = df.persist()
         try:
             rows = cached.count()
+            for c in provided_byd:
+                # a NULL here means a file in the batch lacked the
+                # column (schema-merged read) or carried explicit NULLs
+                # — both would corrupt the identity column silently;
+                # refuse loudly (per-file provided/allocated mixing has
+                # no deterministic meaning)
+                actual = next(
+                    cc for cc in cached.columns if cc.lower() == c
+                )
+                if cached.where(F.col(actual).isNull()).limit(1).count():
+                    raise ValueError(
+                        f"COPY INTO {name!r}: BY DEFAULT identity column "
+                        f"{actual!r} has NULL values in the landed batch "
+                        "— every file must carry the column (or none), "
+                        "and explicit NULLs are not allocatable"
+                    )
             with self._colmeta_rollback(name, extra_paths=(reg_path,)):
                 out = cached
                 if ids:
@@ -1851,9 +1878,15 @@ class LakeSQL:
                 if col.lower() not in resolved:
                     raise KeyError(f"MERGE {name!r}: no column {col!r}")
                 if col.lower() in id_cols:
+                    mode = (
+                        "ALWAYS"
+                        if id_cols[col.lower()].get("always", True)
+                        else "BY DEFAULT"
+                    )
                     raise ValueError(
                         f"MERGE {name!r}: column {col!r} is GENERATED "
-                        "ALWAYS AS IDENTITY — it cannot be SET"
+                        f"{mode} AS IDENTITY — identity columns are "
+                        "never assignable"
                     )
                 out[resolved[col.lower()]] = am.group("expr").strip()
             return out
@@ -2014,7 +2047,7 @@ class LakeSQL:
                     "provided by some insert clauses but not others — "
                     "provide it in every clause or in none"
                 )
-            if hits and all(hits):
+            elif any(hits):  # the raise above makes any() imply all()
                 del ids_fill[c]
         # BY-SOURCE conditions and SET expressions are enforced
         # target-only BY SCOPE, not lexically: every place they evaluate
@@ -3788,10 +3821,15 @@ class LakeSQL:
                     "recomputed on read; update its source columns instead"
                 )
             if col.lower() in id_cols:
+                mode = (
+                    "ALWAYS"
+                    if id_cols[col.lower()].get("always", True)
+                    else "BY DEFAULT"
+                )
                 raise ValueError(
-                    f"UPDATE {name!r}: column {col!r} is GENERATED ALWAYS "
-                    "AS IDENTITY — its values are engine-allocated and "
-                    "immutable"
+                    f"UPDATE {name!r}: column {col!r} is GENERATED "
+                    f"{mode} AS IDENTITY — identity columns are never "
+                    "assignable"
                 )
             assigns[resolved[col.lower()]] = m.group("expr").strip()
         if (
