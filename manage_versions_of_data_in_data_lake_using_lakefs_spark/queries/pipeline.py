@@ -632,6 +632,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "text", "n_tokens", "quality")
     )
+    # NOT persisted on purpose: the corpus feeds both the MinHash build
+    # and the survivor anti-join, but an interleaved best-of-6 A/B at
+    # sf0.1 (r14, recorded in SCALING.md) showed persist wins nothing —
+    # the doubled map+window recompute is cheap next to the MinHash
+    # shuffle, and the cache adds memory pressure for free
     pairs = minhash_lsh_pairs(corpus, threshold=0.5)
     near_dups = pairs.select(F.col("b").alias("doc_id")).distinct()
     survivors = corpus.join(near_dups, "doc_id", "left_anti")
