@@ -136,6 +136,7 @@ def make_lake_stream_source():
         chains: dict[str, list[str]] = {}
         consumed: set[str] = set()
         declared: dict[str, str] = {}
+        addable: set[str] = set()  # later-ADDed: absence = pre-ADD era
         gens: set[str] = set()  # LIVE generated columns (add_gen minus drop)
         for st in (smap or {}).get("steps", []):
             op = st["op"]
@@ -150,17 +151,28 @@ def make_lake_stream_source():
                 consumed.add(st["from"])
                 if st["from"] in declared:
                     declared[st["to"]] = declared.pop(st["from"])
+                if st["from"] in addable:
+                    addable.discard(st["from"])
+                    addable.add(st["to"])
             elif op == "add":
                 chains.setdefault(st["name"], [st["name"]])
                 declared[st["name"]] = st["type"]
+                addable.add(st["name"])
             elif op == "drop":
                 if st["name"] in gens:
                     gens.discard(st["name"])  # never stored: nothing to
                     continue                  # consume (batch rule too)
                 consumed.update(chains.pop(st["name"], [st["name"]]))
                 declared.pop(st["name"], None)
+                addable.discard(st["name"])
             elif op == "add_gen":
                 gens.add(st["name"])
+            elif op == "widen":
+                # lossless type widening (r14): the declared DDL pins
+                # the WIDE type for every era's files (the batch reader
+                # casts narrow eras up); absence stays illegal — a
+                # widened column was always stored
+                declared[st["name"]] = st["type"]
         if gens:
             # only LIVE generated columns block streaming — ones added
             # and later dropped never stored anything and are invisible
@@ -169,7 +181,7 @@ def make_lake_stream_source():
                 f"{sorted(gens)} (their expressions need Spark "
                 f"evaluation); DROP them or read in batch"
             )
-        return chains, consumed, declared
+        return chains, consumed, declared, addable
 
     def _split_partvals(rel):
         """``k=v`` path components of a relative file path, in path
@@ -566,7 +578,7 @@ def make_lake_stream_source():
                     break
             return end
 
-        def _plan_file(self, filepv, chains, consumed, declared):
+        def _plan_file(self, filepv, chains, consumed, declared, addable):
             """The replay plan for one file: resolve each stream field
             through its alias chain (or to its path-encoded partition
             constant) and pin the set of legal extra physical names.
@@ -591,7 +603,7 @@ def make_lake_stream_source():
                     spec.append((L, None, _parse_part(pdict[L], self.ddl[L]), True))
                 else:
                     spec.append(
-                        (L, tuple(chains.get(L, (L,))), None, L in declared)
+                        (L, tuple(chains.get(L, (L,))), None, L in addable)
                     )
             allowed = frozenset(
                 consumed | {p for a in spec if a[1] for p in a[1]}
@@ -624,7 +636,7 @@ def make_lake_stream_source():
             # read-at-head semantics (and Delta's field-id mapping). A
             # commit's own older map would strand pre-ALTER files: the
             # stream schema speaks post-ALTER names.
-            chains, consumed, declared = _alias_chains(
+            chains, consumed, declared, addable = _alias_chains(
                 repo.table_schema_map(table, ref=branch, include_staged=False)
             )
             drift = [L for L in self.fields if L in consumed]
@@ -730,7 +742,7 @@ def make_lake_stream_source():
                     ):
                         for fpv in group:
                             spec, allowed = self._plan_file(
-                                fpv, chains, consumed, declared
+                                fpv, chains, consumed, declared, addable
                             )
                             parts.append(
                                 _FilePartition(
@@ -763,7 +775,7 @@ def make_lake_stream_source():
                             if not newly:
                                 continue
                             spec, allowed = self._plan_file(
-                                rel_pv, chains, consumed, declared
+                                rel_pv, chains, consumed, declared, addable
                             )
                             parts.append(
                                 _FilePartition(
@@ -818,7 +830,7 @@ def make_lake_stream_source():
                 if hi is not None:
                     new_files = new_files[:hi]
                 for fpv in new_files:
-                    spec, allowed = self._plan_file(fpv, chains, consumed, declared)
+                    spec, allowed = self._plan_file(fpv, chains, consumed, declared, addable)
                     parts.append(
                         _FilePartition(
                             os.path.join(repo.root, fpv[0]), spec, allowed
@@ -966,7 +978,7 @@ def make_lake_stream_source():
                         f"appear in ALTER TABLE history; path-encoded "
                         f"columns cannot be replayed — read in batch"
                     )
-                chains, consumed, declared = _alias_chains(smap)
+                chains, consumed, declared, addable = _alias_chains(smap)
                 # resolve each logical column's type from file footers,
                 # newest file first (newest era's physical type wins —
                 # append type changes are blocked, so eras agree anyway).

@@ -1638,6 +1638,14 @@ class LakeRepo:
                 df = df.withColumn(
                     st["name"], F.expr(st["expr"]).cast(st["type"])
                 )
+            elif op == "widen":
+                # lossless type widening (r14): old files keep the
+                # narrow physical encoding; the cast is exact by the
+                # _WIDEN_OK lattice, and appends land the wide type
+                if st["name"] in df.columns:
+                    df = df.withColumn(
+                        st["name"], F.col(st["name"]).cast(st["type"])
+                    )
         order = list(smap.get("base") or [])
         for st in smap["steps"]:
             if st["op"] == "rename" and st["from"] in order:
@@ -1903,6 +1911,68 @@ class LakeRepo:
             cur.columns,
             {"op": "add", "name": col, "type": dtype},
             f"ALTER TABLE {table} ADD COLUMN {col} {dtype}",
+        )
+
+    #: lossless type-widening lattice (Delta type-widening parity):
+    #: every hop preserves every representable value exactly AND is a
+    #: promotion Spark's parquet scan/union coercion performs natively
+    #: (int widths up the chain; float→double). int→double is absent —
+    #: the parquet reader refuses that promotion — and long→double is
+    #: absent because it loses integer precision past 2^53.
+    _WIDEN_OK = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def alter_widen_column(
+        self, spark: SparkSession, branch: str, table: str, col: str, dtype: str
+    ) -> "Commit":
+        """ALTER TABLE t ALTER COLUMN c TYPE wider — METADATA-ONLY type
+        widening (Delta parity): one schema step; existing files keep
+        their narrow physical encoding and re-read through a lossless
+        cast, appends land the wide type. Only hops on the `_WIDEN_OK`
+        lattice are legal — narrowing or precision-losing changes refuse
+        loudly. Generated columns refuse (their type follows the stored
+        expression — re-add instead); identity columns refuse (their
+        overflow bounds are part of the allocation contract)."""
+        self._require_clean_for_alter(branch, f"ALTER COLUMN {col} TYPE")
+        cur = self.read_table(spark, table, ref=branch)
+        smap = self.table_schema_map(table, ref=branch)
+        by_lower = {f.name.lower(): f for f in cur.schema.fields}
+        f = by_lower.get(col.lower())
+        if f is None:
+            raise KeyError(f"no column {col!r} on {table!r}")
+        if col.lower() in self._generated_names(smap):
+            raise ValueError(
+                f"column {col!r} is GENERATED — its type follows the "
+                "expression; drop and re-add it with a new cast instead"
+            )
+        if col.lower() in self.column_metadata(table, branch)["identity"]:
+            raise ValueError(
+                f"column {col!r} is an IDENTITY column — its declared "
+                "type bounds the allocation sequence and cannot widen"
+            )
+        old_t = f.dataType.simpleString()
+        new_t = dtype.strip().lower()
+        new_t = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}.get(new_t, new_t)
+        if new_t == old_t:
+            raise ValueError(
+                f"column {col!r} already has type {old_t!r}"
+            )
+        if new_t not in self._WIDEN_OK.get(old_t, set()):
+            raise ValueError(
+                f"cannot change {table}.{col} from {old_t!r} to "
+                f"{new_t!r}: only lossless widenings are supported "
+                f"({old_t!r} → {sorted(self._WIDEN_OK.get(old_t, set())) or 'nothing'})"
+            )
+        return self._put_schema_step(
+            branch,
+            table,
+            cur.columns,
+            {"op": "widen", "name": f.name, "type": new_t},
+            f"ALTER TABLE {table} ALTER COLUMN {f.name} TYPE {new_t}",
         )
 
     @staticmethod
@@ -2524,7 +2594,9 @@ class LakeRepo:
         # a column-mapped table may mix pre- and post-rename/add physical
         # schemas across files, so the union schema is required for the
         # mapping replay to see every era's columns
-        ms = merge_schema or bool(steps)
+        # pass the MAP itself (not a bool) so _read_files can see
+        # whether a widen step legitimizes a schema-merge fallback
+        ms = steps if steps else merge_schema
         dvt = DV_PREFIX + table
         is_dv_table = table.startswith(DV_PREFIX)  # the vector reads raw
 
@@ -2653,7 +2725,7 @@ class LakeRepo:
         smap = self.table_schema_map(table, ref=branch)
         entries = self.current_files(branch, table, include_staged=False)
         df = self._read_files(
-            spark, entries, merge_schema=bool(smap), with_lineage=True
+            spark, entries, merge_schema=smap, with_lineage=True
         )
         self._check_lg_columns(table, df)
         # the branch is clean (checked above), so the committed head's
@@ -2735,7 +2807,7 @@ class LakeRepo:
             )
         entries = self.current_files(branch, table, include_staged=False)
         df = self._read_files(
-            spark, entries, merge_schema=bool(smap), with_lineage=True
+            spark, entries, merge_schema=smap, with_lineage=True
         )
         self._check_lg_columns(table, df)
         dv0 = self.head(branch).tables.get(DV_PREFIX + table)
@@ -2872,7 +2944,7 @@ class LakeRepo:
                 carried.extend(f for f in files if f not in sel_set)
         smap = self.table_schema_map(table, ref=branch)
         df = self._read_files(
-            spark, sorted(sel_set), merge_schema=bool(smap), with_lineage=True
+            spark, sorted(sel_set), merge_schema=smap, with_lineage=True
         )
         prefix = "file:" + self.root + os.sep
         sel_df = spark.createDataFrame(
@@ -3012,11 +3084,29 @@ class LakeRepo:
         safe, cand, _info = pruned
         return cand if cand else rel_files[:1]
 
+    def _entry_schema_key(self, path: str) -> str:
+        """A physical-schema fingerprint for one file entry (file or
+        file-group dir) — one parquet footer read. Entries written by
+        one write share one schema, so the first part-file represents
+        the entry."""
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            for dp, _dn, fns in os.walk(path):
+                hit = next(
+                    (n for n in sorted(fns) if n.endswith(".parquet")), None
+                )
+                if hit:
+                    f = os.path.join(dp, hit)
+                    break
+        return str(pq.read_schema(f))
+
     def _read_files(
         self,
         spark: SparkSession,
         rel_files: list[str],
-        merge_schema: bool = False,
+        merge_schema: object = False,
         with_lineage: bool = False,
     ) -> DataFrame:
         """Read a snapshot's file entries. Entries may be file-group
@@ -3063,11 +3153,34 @@ class LakeRepo:
                 F.col("_metadata.row_index").alias("__lg_ri"),
             )
 
+        # the fallback below is legal ONLY when the table's schema map
+        # actually carries a widen step — otherwise an incompatible file
+        # mix (foreign writer, adoption) must stay a LOUD merge failure,
+        # not get silently union-coerced to a wider type (r14 review)
+        widened = isinstance(merge_schema, dict) and any(
+            st.get("op") == "widen" for st in merge_schema.get("steps", [])
+        )
         dfs = []
         if plain:
-            dfs.append(
-                lineage(reader().parquet(*[os.path.join(self.root, f) for f in plain]))
-            )
+            paths = [os.path.join(self.root, f) for f in plain]
+            try:
+                dfs.append(lineage(reader().parquet(*paths)))
+            except Exception as e:
+                if not widened or "merg" not in str(e).lower():
+                    raise
+                # eras with a WIDENED physical type (r14: ALTER COLUMN
+                # TYPE) cannot schema-merge in one scan — parquet footer
+                # merging refuses int32 vs int64. Group entries by
+                # physical schema (one footer read each) and run ONE
+                # scan per era, unioned below with Spark's wider-type
+                # coercion; the widen step in apply_schema_map re-pins
+                # the final logical type. Grouping keeps the plan at
+                # O(eras) scans, not O(entries) (r14 review).
+                eras: dict[str, list[str]] = {}
+                for p in paths:
+                    eras.setdefault(self._entry_schema_key(p), []).append(p)
+                for _k, ps in sorted(eras.items()):
+                    dfs.append(lineage(spark.read.parquet(*ps)))
         for group, fs in sorted(by_group.items()):
             dfs.append(
                 lineage(
@@ -3078,7 +3191,7 @@ class LakeRepo:
             )
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d, allowMissingColumns=merge_schema)
+            out = out.unionByName(d, allowMissingColumns=bool(merge_schema))
         return out
 
     def restore_table(
@@ -3519,7 +3632,7 @@ class LakeRepo:
             # read would classify DV-deleted rows as live and merge them
             # back in
             df = self._read_files(
-                spark, files, merge_schema=bool(smap), with_lineage=bool(dv)
+                spark, files, merge_schema=smap, with_lineage=bool(dv)
             )
             if dv:
                 df = self._apply_dv(spark, df, dv)
@@ -3709,7 +3822,7 @@ class LakeRepo:
         smap = self.table_schema_map(table, ref=branch)
         dv0 = head.tables.get(DV_PREFIX + table)
         df = self._read_files(
-            spark, cand, merge_schema=bool(smap), with_lineage=bool(dv0)
+            spark, cand, merge_schema=smap, with_lineage=bool(dv0)
         )
         if dv0:
             # positions on the rewritten files materialize away (the

@@ -367,6 +367,12 @@ _ADD_IDENTITY_RE = re.compile(
     r"|INCREMENT\s+BY\s+(?P<step2>-?\d+))\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_WIDEN_COLUMN_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ALTER\s+COLUMN\s+"
+    rf"(?P<col>\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(?P<type>{_SQL_TYPE})"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SYNC_IDENTITY_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+SYNC\s+IDENTITY\s*;?\s*$",
     re.IGNORECASE,
@@ -4215,6 +4221,19 @@ class LakeSQL:
                 start=int(m.group("start") or 1),
                 step=int(m.group("step") or m.group("step2") or 1),
                 always=m.group("mode").upper() == "ALWAYS",
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
+        m = _WIDEN_COLUMN_RE.match(query)
+        if m:
+            c = self.repo.alter_widen_column(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                m.group("col"),
+                m.group("type"),
             )
             return self.spark.createDataFrame(
                 [(c.version, c.id, c.message)],
