@@ -200,6 +200,7 @@ def main() -> None:
         "versioned_replace_where",
         "multimodal_gif_decode",
         "versioned_rename_ddl",
+        "versioned_widen_identity",
     ):
         if extra in registry:
             names.append(extra)

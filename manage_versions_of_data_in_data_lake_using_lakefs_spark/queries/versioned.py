@@ -403,6 +403,54 @@ def q_versioned_rename_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_widen_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening + BY DEFAULT identity + SYNC IDENTITY (r14)
+    end-to-end: an INT key column widens to BIGINT in one metadata step
+    (the second insert lands values only the wide type can hold, read
+    back across BOTH physical eras), a BY DEFAULT identity column takes
+    engine-allocated values for the first batch, explicit values for
+    the second, and — after SYNC IDENTITY realigns the mark with the
+    data — continues allocating past the explicit maximum. Every
+    emitted value is a pure function of orders: allocation is
+    deterministic (batch numbering follows the total order of the
+    non-identity columns), explicit ids are arithmetic on o_orderkey,
+    and the post-sync allocation is max(explicit)+1."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    lsql = LakeSQL(spark, repo, "main")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).where(F.col("o_orderkey") <= 1000).createOrReplaceTempView(
+        "orders_widen_src"
+    )
+    lsql.sql(
+        "CREATE TABLE w (id BIGINT GENERATED BY DEFAULT AS IDENTITY, "
+        "okey INT, price DOUBLE)"
+    )
+    # era 1: INT keys, engine-allocated ids 1..n1
+    lsql.sql(
+        "INSERT INTO w (okey, price) SELECT o_orderkey, o_totalprice "
+        "FROM orders_widen_src"
+    )
+    lsql.sql("ALTER TABLE w ALTER COLUMN okey TYPE BIGINT")
+    # era 2: BIGINT-only keys, EXPLICIT ids = o_orderkey + 1000000
+    lsql.sql(
+        "INSERT INTO w (id, okey, price) SELECT o_orderkey + 1000000, "
+        f"o_orderkey + {2**40}, o_totalprice FROM orders_widen_src"
+    )
+    lsql.sql("ALTER TABLE w SYNC IDENTITY")
+    # post-sync: allocation continues past the explicit maximum
+    lsql.sql("INSERT INTO w (okey, price) VALUES (7, 1.0)")
+    return repo.read_table(spark, "w", "main").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("okey").cast("long").alias("sum_okey"),
+        F.max("id").cast("long").alias("max_id"),
+        F.count_distinct(F.col("id")).cast("long").alias("n_ids"),
+        F.min(F.col("id")).cast("long").alias("min_id"),
+    )
+
+
 def q_versioned_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK-constraint enforcement, driver-checkable: a constraint is
     added (validating the existing rows), a violating append is
@@ -1011,6 +1059,7 @@ VERSIONED_QUERIES = {
     "versioned_replace_where": q_versioned_replace_where,
     "versioned_view_truncate_clone": q_versioned_view_truncate_clone,
     "versioned_rename_ddl": q_versioned_rename_ddl,
+    "versioned_widen_identity": q_versioned_widen_identity,
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
     "vector_lake_search": q_vector_lake_search,
@@ -1116,6 +1165,17 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_renamed,
 FROM orders
 """
 
+ORACLE_VERSIONED_WIDEN_IDENTITY = """
+WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000)
+SELECT CAST(2 * COUNT(*) + 1 AS BIGINT) AS n_rows,
+       CAST(2 * SUM(o_orderkey) + COUNT(*) * 1099511627776 + 7
+            AS BIGINT) AS sum_okey,
+       CAST(MAX(o_orderkey) + 1000001 AS BIGINT) AS max_id,
+       CAST(2 * COUNT(*) + 1 AS BIGINT) AS n_ids,
+       CAST(1 AS BIGINT) AS min_id
+FROM s
+"""
+
 ORACLE_VERSIONED_REPLACE_WHERE = """
 WITH survivors AS (
     SELECT o_totalprice FROM orders WHERE o_orderstatus <> 'F'
@@ -1198,6 +1258,7 @@ VERSIONED_ORACLES = {
     "versioned_replace_where": ORACLE_VERSIONED_REPLACE_WHERE,
     "versioned_view_truncate_clone": ORACLE_VERSIONED_VIEW_TRUNCATE_CLONE,
     "versioned_rename_ddl": ORACLE_VERSIONED_RENAME_DDL,
+    "versioned_widen_identity": ORACLE_VERSIONED_WIDEN_IDENTITY,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,
