@@ -201,6 +201,7 @@ def main() -> None:
         "multimodal_gif_decode",
         "versioned_rename_ddl",
         "versioned_widen_identity",
+        "versioned_cluster_optimize",
     ):
         if extra in registry:
             names.append(extra)

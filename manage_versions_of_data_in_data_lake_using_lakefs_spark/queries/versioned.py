@@ -451,6 +451,58 @@ def q_versioned_widen_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_cluster_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY — the liquid-clustering analogue (r14) — end-to-end:
+    a table declared ``CLUSTER BY (k)`` takes two un-clustered striped
+    inserts (every file spans the whole k domain), then a PLAIN
+    ``OPTIMIZE c INTO 4 FILES`` — naming no keys — picks the declared
+    spec up and range-clusters on k, after which a footer-manifest
+    pruned read on ``k <= 1`` provably skips files. A column RENAME
+    then shows the spec is pure metadata that FOLLOWS the column.
+    Pins: ``pruned_skips_files`` (false if plain OPTIMIZE stops
+    consulting the spec or clustering stops making manifests
+    selective) and ``cluster_spec`` = 'kk' post-rename (breaks if the
+    spec goes stale). Data columns are pure functions of orders."""
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.sql import LakeSQL
+
+    repo = _fresh_repo()
+    lsql = LakeSQL(spark, repo, "main")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).where(F.col("o_orderkey") <= 4000).createOrReplaceTempView(
+        "orders_cluster_src"
+    )
+    lsql.sql("CREATE TABLE c (k INT, price DOUBLE) CLUSTER BY (k)")
+    lsql.sql(
+        "INSERT INTO c SELECT CAST(o_orderkey % 7 AS INT), o_totalprice "
+        "FROM orders_cluster_src WHERE o_orderkey <= 2000"
+    )
+    lsql.sql(
+        "INSERT INTO c SELECT CAST(o_orderkey % 7 AS INT), o_totalprice "
+        "FROM orders_cluster_src WHERE o_orderkey > 2000"
+    )
+    lsql.sql("OPTIMIZE c INTO 4 FILES")  # plain: declared spec supplies keys
+    total = len(repo.read_table(spark, "c", "main").inputFiles())
+    pruned = len(
+        repo.read_table(spark, "c", "main", prune_where="k <= 1").inputFiles()
+    )
+    lsql.sql("ALTER TABLE c RENAME COLUMN k TO kk")
+    spec = ",".join(repo.table_cluster_columns("c", "main"))
+    return (
+        repo.read_table(spark, "c", "main")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("kk").cast("long").alias("sum_k"),
+            decimal_sum(F.col("price"), 2).alias("sum_price"),
+        )
+        .withColumn(
+            "pruned_skips_files", F.lit(bool(pruned < total)).cast("boolean")
+        )
+        .withColumn("cluster_spec", F.lit(spec))
+    )
+
+
 def q_versioned_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK-constraint enforcement, driver-checkable: a constraint is
     added (validating the existing rows), a violating append is
@@ -1060,6 +1112,7 @@ VERSIONED_QUERIES = {
     "versioned_view_truncate_clone": q_versioned_view_truncate_clone,
     "versioned_rename_ddl": q_versioned_rename_ddl,
     "versioned_widen_identity": q_versioned_widen_identity,
+    "versioned_cluster_optimize": q_versioned_cluster_optimize,
     "versioned_constraint_gate": q_versioned_constraint_gate,
     "versioned_schema_evolution": q_versioned_schema_evolution,
     "vector_lake_search": q_vector_lake_search,
@@ -1176,6 +1229,16 @@ SELECT CAST(2 * COUNT(*) + 1 AS BIGINT) AS n_rows,
 FROM s
 """
 
+ORACLE_VERSIONED_CLUSTER_OPTIMIZE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey % 7) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_price,
+       TRUE AS pruned_skips_files,
+       'kk' AS cluster_spec
+FROM orders WHERE o_orderkey <= 4000
+"""
+
 ORACLE_VERSIONED_REPLACE_WHERE = """
 WITH survivors AS (
     SELECT o_totalprice FROM orders WHERE o_orderstatus <> 'F'
@@ -1259,6 +1322,7 @@ VERSIONED_ORACLES = {
     "versioned_view_truncate_clone": ORACLE_VERSIONED_VIEW_TRUNCATE_CLONE,
     "versioned_rename_ddl": ORACLE_VERSIONED_RENAME_DDL,
     "versioned_widen_identity": ORACLE_VERSIONED_WIDEN_IDENTITY,
+    "versioned_cluster_optimize": ORACLE_VERSIONED_CLUSTER_OPTIMIZE,
     "versioned_constraint_gate": ORACLE_VERSIONED_CONSTRAINT_GATE,
     "versioned_schema_evolution": ORACLE_VERSIONED_SCHEMA_EVOLUTION,
     "vector_lake_search": ORACLE_VECTOR_LAKE_SEARCH,

@@ -86,6 +86,11 @@ DV_PREFIX = "__dv__"
 #: DETAIL.
 PARTITION_PROP = "lakegraft.partition.columns"
 
+#: declared clustering spec (Delta liquid-clustering analogue): the
+#: columns OPTIMIZE clusters on when the statement names none. Reserved
+#: tblproperties key, same machinery as PARTITION_PROP.
+CLUSTER_PROP = "lakegraft.cluster.columns"
+
 
 #: LakeSQL's scoped temp-view namespaces, one per rewrite kind. Each
 #: kind gets its OWN prefix so no legal object name in one namespace can
@@ -113,6 +118,52 @@ def _check_name_unreserved(name: str, kind: str) -> None:
             f"({'/'.join(_RESERVED_PREFIXES)} host LakeSQL's scoped "
             "query rewrites) — pick another name"
         )
+
+#: the dialect's plain-identifier shape — defined HERE (the bottom of
+#: the dependency graph) and imported by sql.py's grammar so the parser
+#: regexes and the column-spec validator can never drift.
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _validate_col_spec(
+    kw: str, cols: list[str], columns: list[str]
+) -> list[str]:
+    """The ONE validator for column-list specs (PARTITIONED BY /
+    CLUSTER BY, create-time and ALTER alike): plain identifiers, no
+    duplicates, every column present — returned resolved to the
+    declared casing (Hive dir names and stored specs must match the
+    schema's spelling exactly)."""
+    import re as _re
+
+    bycase = {c.lower(): c for c in columns}
+    seen: set[str] = set()
+    out: list[str] = []
+    for c in cols:
+        if not _re.fullmatch(_IDENT, c):
+            raise ValueError(f"{kw}: bad column name {c!r}")
+        if c.lower() in seen:
+            raise ValueError(f"{kw}: duplicate column {c!r}")
+        seen.add(c.lower())
+        if c.lower() not in bycase:
+            raise ValueError(
+                f"{kw}: column {c!r} is not in the table schema "
+                f"{sorted(columns)}"
+            )
+        out.append(bycase[c.lower()])
+    return out
+
+
+def _check_cluster_disjoint(cols: list[str], parts: list[str]) -> None:
+    """A partition column has one value per file already — clustering
+    on it is either a no-op or a sign the user wanted partitioning
+    changed, so the two specs must be disjoint."""
+    clash = [c for c in cols if c.lower() in {p.lower() for p in parts}]
+    if clash:
+        raise ValueError(
+            f"CLUSTER BY columns {clash} are PARTITIONED BY columns — "
+            "the two specs must be disjoint"
+        )
+
 
 #: value ranges for identity-column allocation overflow guards (r12)
 _IDENTITY_BOUNDS = {
@@ -734,6 +785,12 @@ class LakeRepo:
                 "declared PARTITIONED BY spec — set it via CREATE TABLE "
                 "... PARTITIONED BY (...)"
             )
+        if CLUSTER_PROP in props:
+            raise ValueError(
+                f"TBLPROPERTIES key {CLUSTER_PROP!r} is reserved for the "
+                "declared CLUSTER BY spec — set it via CREATE TABLE ... "
+                "CLUSTER BY (...) or ALTER TABLE ... CLUSTER BY (...)"
+            )
         cur = self.table_properties(table, branch)
         cur.update({str(k): str(v) for k, v in props.items()})
         self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
@@ -759,6 +816,12 @@ class LakeRepo:
                 f"TBLPROPERTIES key {PARTITION_PROP!r} is reserved for the "
                 "declared PARTITIONED BY spec — changing partitioning "
                 "requires recreating the table"
+            )
+        if CLUSTER_PROP in keys:
+            raise ValueError(
+                f"TBLPROPERTIES key {CLUSTER_PROP!r} is reserved for the "
+                "declared CLUSTER BY spec — change it via ALTER TABLE "
+                "... CLUSTER BY (...) | NONE"
             )
         cur = self.table_properties(table, branch)
         missing = [k for k in keys if k not in cur]
@@ -808,6 +871,85 @@ class LakeRepo:
         cur = self.table_properties(table, branch)
         cur[PARTITION_PROP] = ",".join(cols)
         self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
+
+    # -- declared clustering (r14): CLUSTER BY -----------------------------
+
+    def table_cluster_columns(
+        self, table: str, branch: str = "main", include_staged: bool = True
+    ) -> list[str]:
+        """The table's declared CLUSTER BY columns (declaration order),
+        or [] — stored under the reserved ``CLUSTER_PROP`` key so the
+        spec rides branches, merges, clones, renames, and time travel
+        through the tblproperties machinery."""
+        raw = self.table_properties(table, branch, include_staged).get(
+            CLUSTER_PROP, ""
+        )
+        return [c for c in raw.split(",") if c]
+
+    def _stage_cluster_spec(
+        self, branch: str, table: str, cols: list[str]
+    ) -> None:
+        """Stage the declared cluster spec (no commit — the caller's
+        CREATE TABLE commit sweeps it in with the table itself)."""
+        import json
+
+        cur = self.table_properties(table, branch)
+        cur[CLUSTER_PROP] = ",".join(cols)
+        self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
+
+    def _validate_cluster_cols(
+        self, spark: SparkSession, branch: str, table: str, cols: list[str]
+    ) -> list[str]:
+        """Cluster columns must exist (case-corrected to the stored
+        spelling) and be disjoint from the partition spec — delegates
+        to the shared ``_validate_col_spec`` so ALTER-time and
+        create-time validation can never drift."""
+        if not cols:
+            raise ValueError("CLUSTER BY needs at least one column")
+        cols = _validate_col_spec(
+            "CLUSTER BY",
+            cols,
+            self.read_table(spark, table, ref=branch).columns,
+        )
+        _check_cluster_disjoint(
+            cols, self.table_partition_columns(table, branch)
+        )
+        return cols
+
+    def alter_cluster_by(
+        self,
+        spark: SparkSession,
+        branch: str,
+        table: str,
+        cols: list[str] | None,
+    ) -> "Commit":
+        """ALTER TABLE t CLUSTER BY (cols) | NONE — metadata-only commit
+        updating the declared clustering spec. Takes effect at the next
+        OPTIMIZE (data already written keeps its layout, as in Delta
+        liquid clustering)."""
+        import json
+
+        self._require_clean_for_alter(branch, f"CLUSTER BY ON {table}")
+        self._require_table(branch, table)
+        cur = self.table_properties(table, branch)
+        if cols is None:
+            if CLUSTER_PROP not in cur:
+                # nothing to retire: no state change, no spurious commit
+                # (the unset_tblproperties no-change discipline)
+                return self.head(branch)
+            del cur[CLUSTER_PROP]
+            what = "NONE"
+        else:
+            cols = self._validate_cluster_cols(spark, branch, table, cols)
+            cur[CLUSTER_PROP] = ",".join(cols)
+            what = f"({', '.join(cols)})"
+        if cur:
+            self.put_object(branch, self._tblprops_path(table), json.dumps(cur))
+        else:
+            self._drop_tblprops_object(branch, table)
+        return self.commit(
+            branch, f"SQL: ALTER TABLE {table} CLUSTER BY {what}"
+        )
 
     def show_partitions(
         self,
@@ -2073,6 +2215,20 @@ class LakeRepo:
         snap = self._stage_colmeta_retirement(
             branch, table, old.lower(), rename_to=new
         )
+        # a declared CLUSTER BY spec follows too (it is pure metadata —
+        # no directory layout to fork, unlike partition columns); staged
+        # first so the schema step's commit sweeps both atomically
+        clus = self.table_cluster_columns(table, branch)
+        props_snap = False
+        if old.lower() in (c.lower() for c in clus):
+            props_snap = self.staged_object_entry(
+                branch, self._tblprops_path(table)
+            )
+            self._stage_cluster_spec(
+                branch,
+                table,
+                [new if c.lower() == old.lower() else c for c in clus],
+            )
         try:
             return self._put_schema_step(
                 branch,
@@ -2085,6 +2241,10 @@ class LakeRepo:
             if snap is not False:
                 self.restore_staged_object_entry(
                     branch, self._colmeta_path(table), snap
+                )
+            if props_snap is not False:
+                self.restore_staged_object_entry(
+                    branch, self._tblprops_path(table), props_snap
                 )
             raise
 
@@ -2124,6 +2284,16 @@ class LakeRepo:
                 f"cannot drop {col!r}: it is a declared PARTITIONED BY "
                 f"column of {table!r} — changing partitioning requires "
                 "recreating the table"
+            )
+        if col.lower() in (
+            c.lower() for c in self.table_cluster_columns(table, branch)
+        ):
+            # a stale spec would crash the next plain OPTIMIZE and make
+            # SHOW CREATE TABLE non-replayable (Delta blocks this too)
+            raise ValueError(
+                f"cannot drop {col!r}: it is a declared CLUSTER BY column "
+                f"of {table!r} — run ALTER TABLE {table} CLUSTER BY "
+                "(...) | NONE first"
             )
         # dropping a column retires its DEFAULT and identity
         # registration with it (r12 review: an orphaned identity entry

@@ -78,16 +78,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
+    CLUSTER_PROP,
     DV_PREFIX,
     PARTITION_PROP,
+    _check_cluster_disjoint,
     _check_name_unreserved,
+    _validate_col_spec,
     ConstraintViolation,
     DirtyBranchError,
     LakeRepo,
 )
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning import stats as stats_mod
-
-_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import _IDENT
 # masked-literal placeholder: \x00<index>\x00 never appears in real SQL.
 # Covers ''-doubling AND backslash escapes inside '...', plus "..."
 # double-quoted string literals (Spark's default non-ANSI mode; users of
@@ -493,15 +495,23 @@ _MERGE_ASSIGN_RE = re.compile(
 )
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<table>{_IDENT})\s+"
-    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>[^()]+?)\s*\)\s+)?AS\s+"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>[^()]+?)\s*\)\s+)?"
+    r"(?:CLUSTER\s+BY\s*\(\s*(?P<clus>[^()]+?)\s*\)\s+)?AS\s+"
     r"(?P<select>SELECT\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_SCHEMA_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
     rf"(?P<table>{_IDENT})\s*\(\s*(?P<cols>.+?)\s*\)"
-    r"(?:\s*PARTITIONED\s+BY\s*\(\s*(?P<parts>[^()]+?)\s*\))?\s*;?\s*$",
+    r"(?:\s*PARTITIONED\s+BY\s*\(\s*(?P<parts>[^()]+?)\s*\))?"
+    r"(?:\s*CLUSTER\s+BY\s*\(\s*(?P<clus>[^()]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_CLUSTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+CLUSTER\s+BY\s+"
+    r"(?:\(\s*(?P<cols>[^()]+?)\s*\)|(?P<none>NONE))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
 )
 def _parse_coldef(part: str) -> tuple[str, str, str] | None:
     """(col, type, rest) from one CREATE TABLE column definition, or
@@ -736,24 +746,15 @@ def _parse_partition_spec(
 ) -> list[str]:
     """Validate a ``PARTITIONED BY (c, ...)`` column list against the
     table's columns; returns the spec resolved to the declared column
-    casing (Hive dir names must match the stored schema exactly)."""
+    casing (Hive dir names must match the stored schema exactly).
+    Delegates to the shared ``_validate_col_spec``."""
     if not parts_text:
         return []
-    bycase = {c.lower(): c for c in columns}
-    seen: set[str] = set()
-    out: list[str] = []
-    for c in (p.strip() for p in parts_text.split(",")):
-        if not re.fullmatch(_IDENT, c):
-            raise ValueError(f"PARTITIONED BY: bad column name {c!r}")
-        if c.lower() in seen:
-            raise ValueError(f"PARTITIONED BY: duplicate column {c!r}")
-        seen.add(c.lower())
-        if c.lower() not in bycase:
-            raise ValueError(
-                f"PARTITIONED BY: column {c!r} is not in the table "
-                f"schema {sorted(columns)}"
-            )
-        out.append(bycase[c.lower()])
+    out = _validate_col_spec(
+        "PARTITIONED BY",
+        [p.strip().strip("`") for p in parts_text.split(",")],
+        columns,
+    )
     if out and len(out) == len(columns):
         raise ValueError(
             "PARTITIONED BY: cannot partition by every column (no data "
@@ -990,8 +991,18 @@ class LakeSQL:
         manifests selective (disjoint per-file min/max); WHERE scopes the
         rewrite to the file entries that may hold matching rows (compact
         the hot partition, carry the cold ones by reference). Lands as a
-        new commit; old files stay for time travel until VACUUM."""
+        new commit; old files stay for time travel until VACUUM.
+
+        When the statement names NO keys, the table's declared CLUSTER
+        BY spec (r14, the liquid-clustering analogue) supplies them —
+        plain ``OPTIMIZE t`` on a clustered table re-clusters, exactly
+        Delta's behavior; an explicit ZORDER/SORT clause overrides the
+        spec for this run."""
         name = self._resolve_table(table)
+        if zorder is None and sorts is None:
+            declared = self.repo.table_cluster_columns(name, self.branch)
+            if declared:
+                zorder = tuple(declared)
         c = self.repo.compact(
             self.spark,
             self.branch,
@@ -2533,7 +2544,12 @@ class LakeSQL:
         parts = [
             c for c in all_props.get(PARTITION_PROP, "").split(",") if c
         ]
-        props = {k: v for k, v in all_props.items() if k != PARTITION_PROP}
+        clus = [c for c in all_props.get(CLUSTER_PROP, "").split(",") if c]
+        props = {
+            k: v
+            for k, v in all_props.items()
+            if k not in (PARTITION_PROP, CLUSTER_PROP)
+        }
         coldefs: list[str] = []
         alters: list[str] = []
         for f in df.schema.fields:
@@ -2591,6 +2607,16 @@ class LakeSQL:
         stmt = f"CREATE TABLE {name} (\n  " + ",\n  ".join(coldefs) + ")"
         if parts:
             stmt += f"\nPARTITIONED BY ({', '.join(parts)})"
+        inline = {d.split(" ", 1)[0].lower() for d in coldefs}
+        if clus and all(c.lower() in inline for c in clus):
+            stmt += f"\nCLUSTER BY ({', '.join(clus)})"
+        elif clus:
+            # a cluster column only exists after an ALTER ADD COLUMN, so
+            # the inline clause would fail existence validation on
+            # replay — express clustering as its own trailing statement
+            alters = alters + [
+                f"ALTER TABLE {name} CLUSTER BY ({', '.join(clus)})"
+            ]
         stmts = [stmt] + alters
         for cname, expr in sorted(cons.items()):
             stmts.append(
@@ -2810,19 +2836,40 @@ class LakeSQL:
             [(table, version, rows)], "table STRING, version INT, rows_affected BIGINT"
         )
 
+    @staticmethod
+    def _parse_cluster_spec(
+        clus_text: str | None, columns: list[str], parts: list[str]
+    ) -> list[str]:
+        """CLUSTER BY columns at creation time, validated against the
+        frame being written — the shared ``_validate_col_spec`` plus
+        the cluster/partition disjointness rule."""
+        if not clus_text:
+            return []
+        cols = _validate_col_spec(
+            "CLUSTER BY",
+            [c.strip().strip("`") for c in clus_text.split(",")],
+            columns,
+        )
+        _check_cluster_disjoint(cols, parts)
+        return cols
+
     def _ctas(
         self,
         table: str,
         select: str,
         replace: bool,
         parts_text: str | None = None,
+        clus_text: str | None = None,
     ) -> DataFrame:
-        """CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)] AS
-        SELECT ... — the SELECT runs through the full rewriter (time
-        travel and repo refs work), the result is staged as an overwrite
-        and committed in one step. A PARTITIONED BY spec (r13) is stored
-        as a reserved tblproperty and applies to this and EVERY future
-        write of the table (INSERT/MERGE/COPY INTO/DML rewrites)."""
+        """CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)]
+        [CLUSTER BY (c, ...)] AS SELECT ... — the SELECT runs through
+        the full rewriter (time travel and repo refs work), the result
+        is staged as an overwrite and committed in one step. A
+        PARTITIONED BY spec (r13) is stored as a reserved tblproperty
+        and applies to this and EVERY future write of the table
+        (INSERT/MERGE/COPY INTO/DML rewrites); a CLUSTER BY spec (r14,
+        the liquid-clustering analogue) is consulted by OPTIMIZE when
+        the statement names no keys."""
         existing = {t.lower() for t in self.repo.list_tables(self.branch)}
         if table.lower() in existing and not replace:
             raise ValueError(
@@ -2833,6 +2880,7 @@ class LakeSQL:
         name = self._resolve_table(table) if table.lower() in existing else table.lower()
         df = self.sql(select)
         parts = _parse_partition_spec(parts_text, df.columns)
+        clus = self._parse_cluster_spec(clus_text, df.columns, parts)
         rows = df.count()
         # snapshot staged state up front (cheap ref reads) so ANY failed
         # CTAS rolls back to exactly what it found — for REPLACE that
@@ -2864,6 +2912,8 @@ class LakeSQL:
                 # staged FIRST so write_table's spec lookup partitions
                 # this very write; props_snap above rolls it back
                 self.repo._stage_partition_spec(self.branch, name, parts)
+            if clus:
+                self.repo._stage_cluster_spec(self.branch, name, clus)
             self.repo.write_table(self.branch, name, df, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
         except Exception:
@@ -2882,6 +2932,7 @@ class LakeSQL:
         cols_text: str,
         replace: bool,
         parts_text: str | None = None,
+        clus_text: str | None = None,
     ) -> DataFrame:
         """``CREATE [OR REPLACE] TABLE t (col TYPE [GENERATED ALWAYS AS
         IDENTITY [(START WITH s [INCREMENT BY k])] | DEFAULT expr] [NOT
@@ -2980,6 +3031,9 @@ class LakeSQL:
                     "partitioning on an engine-allocated monotonic key "
                     "would create one directory per row"
                 )
+        clus = self._parse_cluster_spec(
+            clus_text, [c for c, _ in defs], parts
+        )
         ddl = ", ".join(f"`{c}` {t}" for c, t in defs)
         # schema validation (raises on garbage types) + the empty frame
         # (coalesced: no point writing an empty table with one task per
@@ -3016,6 +3070,8 @@ class LakeSQL:
             self.repo.write_table(self.branch, name, empty, mode="overwrite")
             if parts:
                 self.repo._stage_partition_spec(self.branch, name, parts)
+            if clus:
+                self.repo._stage_cluster_spec(self.branch, name, clus)
             if identity or defaults:
                 self.repo.put_object(
                     self.branch,
@@ -4226,6 +4282,22 @@ class LakeSQL:
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
+        m = _ALTER_CLUSTER_RE.match(query)
+        if m:
+            c = self.repo.alter_cluster_by(
+                self.spark,
+                self.branch,
+                self._resolve_table(m.group("table")),
+                None
+                if m.group("none")
+                else [
+                    s.strip(" `") for s in m.group("cols").split(",")
+                ],
+            )
+            return self.spark.createDataFrame(
+                [(c.version, c.id, c.message)],
+                "version INT, commit_id STRING, message STRING",
+            )
         m = _WIDEN_COLUMN_RE.match(query)
         if m:
             c = self.repo.alter_widen_column(
@@ -4466,6 +4538,7 @@ class LakeSQL:
                 m.group("select"),
                 bool(m.group("replace")),
                 m.group("parts"),
+                m.group("clus"),
             )
         m = _CREATE_SCHEMA_RE.match(query)
         if m:
@@ -4474,6 +4547,7 @@ class LakeSQL:
                 m.group("cols"),
                 bool(m.group("replace")),
                 m.group("parts"),
+                m.group("clus"),
             )
         m = _INSERT_REPLACE_RE.match(query)
         if m:

@@ -61,7 +61,7 @@ def test_registry_window_contract():
     assert q[:50] == WINDOW_ORDER
     oracles = all_oracles()
     assert all(n in oracles for n in WINDOW_ORDER)
-    assert len(q) == 201, f"registry shrank or grew unexpectedly: {len(q)}"
+    assert len(q) == 202, f"registry shrank or grew unexpectedly: {len(q)}"
     # rows-only queries (no oracle) are deliberate and enumerated
     rows_only = set(q) - set(oracles)
     assert rows_only == {"agg_approx"}, rows_only
