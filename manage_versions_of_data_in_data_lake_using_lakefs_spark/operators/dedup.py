@@ -57,8 +57,23 @@ def _widen(df: DataFrame, *cols: str) -> DataFrame:
     the shingle/token expansion on a single core; hash-repartitioning by doc
     id first costs one tiny shuffle of raw text and buys full parallelism on
     the expensive part. No-op when the scan already yields enough partitions
-    (the at-scale case — a 100 TB corpus arrives thousands-wide)."""
+    (the at-scale case — a 100 TB corpus arrives thousands-wide).
+
+    Probe cost (r14): ``df.rdd.getNumPartitions()`` physical-plans the whole
+    subtree on the driver — measured 1.3 s of corpus_prep's build just to
+    learn "no-op". Any shuffle-downstream subtree is already
+    ``spark.sql.shuffle.partitions`` wide (≥ cores in our sessions), so the
+    already-analyzed logical plan answers the question for free; the RDD
+    probe only runs for narrow scan/project trees, where planning is cheap.
+    A column name colliding with a node keyword could only skip the widen
+    (a perf hedge, never a correctness issue)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        op in plan
+        for op in ("Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate")
+    ):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, *[F.col(c) for c in cols])
     return df

@@ -794,6 +794,28 @@ def _codec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _codec_sorted(df: DataFrame, *keys: str) -> DataFrame:
+    """Trailing global sort of a codec-stats frame without running the
+    codec twice (r14). A global ``orderBy`` executes its child ONCE FOR
+    RANGE-BOUNDARY SAMPLING and again for the real pass; only map
+    stages behind a shuffle get reused, and the codec chains here are
+    entirely narrow (repartition → synthesize → decode fuse into one
+    stage), so the sampling pass re-synthesized and re-decoded every
+    image — measured 1.6 s → 3.3 s on multimodal_jpeg_suite, i.e. the
+    sort DOUBLED the query. Persisting the (tiny, few-dozen-bytes/row)
+    stats frame lets the sampling pass populate the cache and the sort
+    pass read it: suite 3.3 s → 1.85 s. At 100 TB the same holds — the
+    per-image stats are orders of magnitude smaller than the payloads,
+    and decoding the corpus twice is the real scale-killer. The persist
+    is created inside the query and released by the registry wrapper
+    (``runtime.release_tracked``), so nothing survives across runs."""
+    from pyspark import StorageLevel
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+    return track(df.persist(StorageLevel.MEMORY_AND_DISK)).orderBy(*keys)
+
+
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL PNG pixel decode (r7 — the codec boundary the earlier rounds
     stubbed): deterministic VALID PNGs (gray / RGB / palette by id % 3,
@@ -812,7 +834,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_png_stats(synthesize_png_media(ids)).orderBy("media_id")
+    return _codec_sorted(decode_png_stats(synthesize_png_media(ids)), "media_id")
 
 
 ORACLE_MULTIMODAL_PNG_DECODE = """
@@ -868,7 +890,7 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_gif_stats(synthesize_gif_media(ids)).orderBy("media_id")
+    return _codec_sorted(decode_gif_stats(synthesize_gif_media(ids)), "media_id")
 
 
 ORACLE_MULTIMODAL_GIF_DECODE = """
@@ -915,7 +937,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     media = synthesize_media(ids).where(F.col("kind") == "audio")
-    return decode_wav_stats(media).orderBy("media_id")
+    return _codec_sorted(decode_wav_stats(media), "media_id")
 
 
 ORACLE_MULTIMODAL_WAV_DECODE = """
@@ -961,7 +983,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_stats(synthesize_jpeg_media(ids)).orderBy("media_id")
+    return _codec_sorted(decode_jpeg_stats(synthesize_jpeg_media(ids)), "media_id")
 
 
 ORACLE_MULTIMODAL_JPEG_DECODE = """
@@ -1019,9 +1041,7 @@ def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_stats(synthesize_jpeg_media(ids, flavor="420")).orderBy(
-        "media_id"
-    )
+    return _codec_sorted(decode_jpeg_stats(synthesize_jpeg_media(ids, flavor="420")), "media_id")
 
 
 ORACLE_MULTIMODAL_JPEG_420 = """
@@ -1088,9 +1108,7 @@ def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_stats(synthesize_jpeg_media(ids, flavor="prog")).orderBy(
-        "media_id"
-    )
+    return _codec_sorted(decode_jpeg_stats(synthesize_jpeg_media(ids, flavor="prog")), "media_id")
 
 
 ORACLE_MULTIMODAL_JPEG_PROG = """
@@ -1155,9 +1173,10 @@ def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_arith_stats(
-        synthesize_jpeg_ext_media(ids, flavor="arith")
-    ).orderBy("media_id")
+    return _codec_sorted(
+        decode_jpeg_arith_stats(synthesize_jpeg_ext_media(ids, flavor="arith")),
+        "media_id",
+    )
 
 
 # same content family as the progressive fixture — the oracle formulas
@@ -1184,9 +1203,10 @@ def q_multimodal_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_arith_stats(
-        synthesize_jpeg_ext_media(ids, flavor="arith_prog")
-    ).orderBy("media_id")
+    return _codec_sorted(
+        decode_jpeg_arith_stats(synthesize_jpeg_ext_media(ids, flavor="arith_prog")),
+        "media_id",
+    )
 
 
 ORACLE_MULTIMODAL_JPEG_ARITH_PROG = ORACLE_MULTIMODAL_JPEG_PROG
@@ -1212,9 +1232,9 @@ def q_multimodal_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_auto_stats(
-        synthesize_jpeg_mixed_media(ids)
-    ).orderBy("media_id")
+    return _codec_sorted(
+        decode_jpeg_auto_stats(synthesize_jpeg_mixed_media(ids)), "media_id"
+    )
 
 
 def _oracle_multimodal_jpeg_mixed() -> str:
@@ -1256,9 +1276,10 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_lossless_stats(
-        synthesize_jpeg_ext_media(ids, flavor="lossless")
-    ).orderBy("media_id")
+    return _codec_sorted(
+        decode_jpeg_lossless_stats(synthesize_jpeg_ext_media(ids, flavor="lossless")),
+        "media_id",
+    )
 
 
 ORACLE_MULTIMODAL_JPEG_LOSSLESS = """
@@ -1311,9 +1332,7 @@ def q_multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = _codec_ids(spark, sf_dir)
-    return decode_jpeg_hier_stats(synthesize_jpeg_hier_media(ids)).orderBy(
-        "media_id"
-    )
+    return _codec_sorted(decode_jpeg_hier_stats(synthesize_jpeg_hier_media(ids)), "media_id")
 
 
 ORACLE_MULTIMODAL_JPEG_HIER = """
@@ -1395,7 +1414,7 @@ def q_multimodal_jpeg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     prog = decode_jpeg_stats(
         synthesize_jpeg_media(ids, flavor="prog")
     ).withColumn("codec", F.lit("prog"))
-    return b420.unionByName(prog).orderBy("codec", "media_id")
+    return _codec_sorted(b420.unionByName(prog), "codec", "media_id")
 
 
 def _oracle_multimodal_jpeg_suite() -> str:

@@ -561,10 +561,20 @@ class LakeRepo:
             df.repartition(1).write.mode("errorifexists").parquet(out_dir)
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import (
             add_bloom_stats,
+            nullable_schema_json,
             write_group_stats,
         )
 
-        write_group_stats(out_dir)  # footer-derived manifest; best-effort
+        # record the written Spark schema in the manifest (flat groups
+        # only: a partitioned group's footers lack the partition columns,
+        # and those groups are read via basePath discovery anyway) so
+        # reads can pin it and skip the footer-inference driver roundtrip
+        schema_json = None
+        if not partition_by or not any(
+            "=" in fn for fn in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, fn))
+        ):
+            schema_json = nullable_schema_json(df.schema)
+        write_group_stats(out_dir, schema_json)  # footer-derived manifest; best-effort
         if bloom_cols:
             # opt-in per-file bloom indexes: point-lookup DML/reads on
             # these (typically unclustered) columns can then skip files
@@ -3272,6 +3282,34 @@ class LakeRepo:
                     break
         return str(pq.read_schema(f))
 
+    def _pinned_schema(self, paths: list[str]):
+        """The one Spark schema every path's group manifest recorded at
+        write time, as a StructType — or None when any path lacks a
+        manifest/schema or the recorded schemas differ (mixed eras must
+        keep the loud merge behavior). Entries may be group dirs or
+        individual part-files inside a group; both resolve to the same
+        group manifest. Pure local JSON reads — no Spark involvement."""
+        import json as _json
+
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import read_group_manifest
+
+        seen: str | None = None
+        for p in paths:
+            group = p if os.path.isdir(p) else os.path.dirname(p)
+            m = read_group_manifest(group)
+            sj = (m or {}).get("spark_schema")
+            if not sj or (seen is not None and sj != seen):
+                return None
+            seen = sj
+        if seen is None:
+            return None
+        try:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(_json.loads(seen))
+        except Exception:
+            return None
+
     def _read_files(
         self,
         spark: SparkSession,
@@ -3333,8 +3371,20 @@ class LakeRepo:
         dfs = []
         if plain:
             paths = [os.path.join(self.root, f) for f in plain]
+            # schema fast path: when every plain entry's group manifest
+            # recorded the SAME written Spark schema, pin it instead of
+            # letting the JVM re-infer from footers (measured 0.1-0.3 s
+            # of driver time per read on versioned queries). Any miss —
+            # absent manifest, absent key, differing eras, or an
+            # explicit merge request — falls back to inference, so
+            # behavior only changes when the pinned schema is exactly
+            # what inference would return.
+            pinned = None if merge_schema else self._pinned_schema(paths)
             try:
-                dfs.append(lineage(reader().parquet(*paths)))
+                if pinned is not None:
+                    dfs.append(lineage(spark.read.schema(pinned).parquet(*paths)))
+                else:
+                    dfs.append(lineage(reader().parquet(*paths)))
             except Exception as e:
                 if not widened or "merg" not in str(e).lower():
                     raise

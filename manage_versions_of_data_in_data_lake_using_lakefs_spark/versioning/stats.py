@@ -203,16 +203,44 @@ def _collect_group_stats(group_dir: str) -> dict | None:
     return {"files": files} if files else None
 
 
-def write_group_stats(group_dir: str) -> dict | None:
+def nullable_schema_json(schema) -> str:
+    """A Spark schema as canonical JSON with every nullability flag set
+    and field metadata stripped — exactly what parquet footer inference
+    of the same files returns. Two writes of the same logical schema
+    normalize to the same string, so the read-side fast path (pin the
+    stored schema, skip the JVM footer-inference roundtrip) hits across
+    appends regardless of per-frame nullability drift."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def norm(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [StructField(f.name, norm(f.dataType), True) for f in dt.fields]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(norm(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(norm(dt.keyType), norm(dt.valueType), True)
+        return dt
+
+    return norm(schema).json()
+
+
+def write_group_stats(group_dir: str, spark_schema_json: str | None = None) -> dict | None:
     """Build + persist the stats manifest for a freshly written file
     group. Partition values from the path ride along as exact
     min=max=value column stats, so predicates on partition columns prune
-    too. Best-effort: any failure leaves the group without a manifest
+    too. ``spark_schema_json`` (non-partitioned writes only — partition
+    columns live in dir names, not footers) records the written frame's
+    normalized Spark schema so reads can skip footer inference.
+    Best-effort: any failure leaves the group without a manifest
     (pruning then treats every file as may-match)."""
     try:
         manifest = _collect_group_stats(group_dir)
         if manifest is None:
             return None
+        if spark_schema_json is not None:
+            manifest["spark_schema"] = spark_schema_json
         tmp = os.path.join(group_dir, STATS_NAME + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
