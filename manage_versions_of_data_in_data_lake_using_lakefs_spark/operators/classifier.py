@@ -132,13 +132,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 FEATURE_COLS = ["f_bias", "f_len", "f_stop", "f_alnum", "f_tlen"]
 
 
-def sigmoid_ppm(z_micro: Column) -> Column:
+def sigmoid_lut_array() -> Column:
+    """The σ̃ LUT as a Spark array Column — ~65 literal nodes, ~130 py4j
+    round-trips to construct. Iteration loops build it ONCE and pass it
+    to ``sigmoid_ppm`` (r14: expression construction, not the job, was
+    half of each Newton iteration's wall time)."""
+    return F.array(*[F.lit(v).cast("long") for v in sigmoid_lut()])
+
+
+def sigmoid_ppm(z_micro: Column, lut_arr: Column | None = None) -> Column:
     """Piecewise-linear integer σ̃: clamp the micro logit to ±SIG_CLAMP,
     locate its LUT segment, interpolate in exact int arithmetic. All
     intermediate quantities are non-negative, so the floor divisions
-    agree across engines."""
-    lut = sigmoid_lut()
-    arr = F.array(*[F.lit(v).cast("long") for v in lut])
+    agree across engines. ``lut_arr`` lets iteration loops reuse one
+    prebuilt LUT array Column (identical tree, cheaper construction)."""
+    arr = lut_arr if lut_arr is not None else sigmoid_lut_array()
     zc = F.least(F.greatest(z_micro, F.lit(-SIG_CLAMP)), F.lit(SIG_CLAMP))
     off = zc + F.lit(SIG_CLAMP)  # 0 … 2·SIG_CLAMP
     i = F.least(F.floor(off / SIG_STEP), F.lit(N_NODES - 2)).cast("int")
@@ -182,6 +190,13 @@ def train_logreg(
     n: int | None = None
     w = [0] * len(FEATURE_COLS)
     y_ppm = F.col("label").cast("long") * PPM
+    # iteration-invariant Column trees built once (r14; see
+    # train_logreg_newton for the measurement)
+    lut_arr = sigmoid_lut_array()
+    aggs = [
+        F.sum((F.col(c) * F.col("_d")).cast("decimal(38,0)")).alias(c)
+        for c in FEATURE_COLS
+    ]
     it = 0
     for it in range(iters):
         # σ̃ projected once as a named column (see train_logreg_newton:
@@ -189,15 +204,10 @@ def train_logreg(
         # aggregate expression; the alias evaluates it once per row)
         proj = feats.select(
             *FEATURE_COLS,
-            (sigmoid_ppm(_logit_micro(w)) - y_ppm).alias("_d"),
+            (sigmoid_ppm(_logit_micro(w), lut_arr) - y_ppm).alias("_d"),
         )
-        aggs = [
-            F.sum((F.col(c) * F.col("_d")).cast("decimal(38,0)")).alias(c)
-            for c in FEATURE_COLS
-        ]
-        if n is None:
-            aggs.append(F.count(F.lit(1)).alias("_n"))
-        row = proj.select(*aggs).collect()[0]
+        it_aggs = aggs + [F.count(F.lit(1)).alias("_n")] if n is None else aggs
+        row = proj.select(*it_aggs).collect()[0]
         if n is None:
             n = int(row["_n"])
             if n == 0:
@@ -317,6 +327,32 @@ def train_logreg_newton(
     n: int | None = None
     w = [0] * k_
     y_ppm = F.col("label").cast("long") * PPM
+    # Everything except the 5 weight literals is iteration-invariant, so
+    # build it ONCE (r14): expression construction was ~0.5 s of each
+    # iteration's ~0.85 s wall — the LUT array alone is ~130 py4j
+    # round-trips — and Column objects are unbound trees, safe to reuse
+    # across the per-iteration DataFrames. Plans are unchanged.
+    lut_arr = sigmoid_lut_array()
+    sig = F.col("_sig")
+    proj2_cols = [
+        *FEATURE_COLS,
+        (sig - F.col("_y")).alias("_d"),
+        # σ̃(PPM−σ̃) ≤ 2.5e11 and x_j·x_k ≤ 1e12: both fit long
+        # before the floor; the per-row Hessian term ≤ 2.5e11 rides
+        # the same decimal(38,0) partial sums as the gradient
+        F.floor((sig * (F.lit(PPM) - sig)) / PPM).cast("long").alias("_h"),
+    ]
+    aggs = [
+        F.sum((F.col(c) * F.col("_d")).cast("decimal(38,0)")).alias(f"g{j}")
+        for j, c in enumerate(FEATURE_COLS)
+    ]
+    for a in range(k_):
+        for b in range(a, k_):
+            term = (
+                F.floor((F.col(FEATURE_COLS[a]) * F.col(FEATURE_COLS[b])) / PPM)
+                * F.col("_h")
+            )
+            aggs.append(F.sum(term.cast("decimal(38,0)")).alias(f"h{a}{b}"))
     it = 0
     for it in range(iters):
         # project σ̃ ONCE as a named column before aggregating: the LUT
@@ -324,33 +360,13 @@ def train_logreg_newton(
         # in all 20 aggregate expressions would clone it into each one
         # (measured: ~1.9 s/iteration of plan+codegen at sf0.1 vs ~0.2 s
         # with the projection — the aliased column is evaluated once)
-        sig = F.col("_sig")
         proj = feats.select(
             *FEATURE_COLS,
-            sigmoid_ppm(_logit_micro(w)).alias("_sig"),
+            sigmoid_ppm(_logit_micro(w), lut_arr).alias("_sig"),
             y_ppm.alias("_y"),
-        ).select(
-            *FEATURE_COLS,
-            (sig - F.col("_y")).alias("_d"),
-            # σ̃(PPM−σ̃) ≤ 2.5e11 and x_j·x_k ≤ 1e12: both fit long
-            # before the floor; the per-row Hessian term ≤ 2.5e11 rides
-            # the same decimal(38,0) partial sums as the gradient
-            F.floor((sig * (F.lit(PPM) - sig)) / PPM).cast("long").alias("_h"),
-        )
-        aggs = [
-            F.sum((F.col(c) * F.col("_d")).cast("decimal(38,0)")).alias(f"g{j}")
-            for j, c in enumerate(FEATURE_COLS)
-        ]
-        for a in range(k_):
-            for b in range(a, k_):
-                term = (
-                    F.floor((F.col(FEATURE_COLS[a]) * F.col(FEATURE_COLS[b])) / PPM)
-                    * F.col("_h")
-                )
-                aggs.append(F.sum(term.cast("decimal(38,0)")).alias(f"h{a}{b}"))
-        if n is None:
-            aggs.append(F.count(F.lit(1)).alias("_n"))
-        row = proj.select(*aggs).collect()[0]
+        ).select(*proj2_cols)
+        it_aggs = aggs + [F.count(F.lit(1)).alias("_n")] if n is None else aggs
+        row = proj.select(*it_aggs).collect()[0]
         if n is None:
             n = int(row["_n"])
             if n == 0:

@@ -104,9 +104,54 @@ def _symdel_candidates(s: DataFrame, k: int) -> DataFrame:
     key-like data — no frequency pass, no window, two shuffles total —
     which is why this beats the prefix filter wherever it is applicable
     (k ≤ 2, bounded length: variant count is C(len, k))."""
-    v = s.select(
-        "id", F.explode(_deletion_variants(F.col("t"), k)).alias("var")
-    ).select("id", F.md5("var").alias("h"))
+    # hash choice (r14): the blocking hash is internal — blocking is
+    # complete (an ed≤k pair always shares a key) and the exact verify
+    # strips any collision-added candidate — so the result is
+    # hash-independent; xxhash64 longs shuffle 4× narrower than 32-hex
+    # md5 strings at ~1/3 the per-byte hash cost.
+    if k == 1:
+        # POSITION-TAGGED deletions (r14): plain symdel at k=1 admits
+        # every ed≤2 pair (one deletion on EACH side) — measured 956k
+        # candidates for 19.5k true pairs on sequential zero-padded
+        # customer keys, all of it thrown away by the verify. Tagging
+        # the deletion position makes the block exact for k=1:
+        #   substitution at p   ⟺ (p, del_p(a)) = (p, del_p(b)),
+        #   b = del_p(a)        ⟺ (p, del_p(a)) = (p, b)  [slot term],
+        #   a = b               ⟺ any slot term collides,
+        # and conversely same-position matches imply ed≤1, so the
+        # candidate set IS the answer set (verify still runs, now
+        # near-free). Slots range to len+1 because the longer side of a
+        # deletion pair may delete at its last position.
+        t_, ln = F.col("t"), F.length(F.col("t"))
+        dels = F.when(
+            ln >= 1,
+            F.transform(
+                F.sequence(F.lit(1), ln),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.concat(t_.substr(F.lit(1), i - 1), t_.substr(i + 1, ln)).alias("v"),
+                ),
+            ),
+        ).otherwise(F.array())
+        slots = F.transform(
+            F.sequence(F.lit(1), ln + 1),
+            lambda i: F.struct(i.alias("p"), t_.alias("v")),
+        )
+        v = s.select(
+            "id", F.explode(F.concat(dels, slots)).alias("pv")
+        ).select("id", F.xxhash64("pv.p", "pv.v").alias("h"))
+    else:
+        v = s.select(
+            "id", F.explode(_deletion_variants(F.col("t"), k)).alias("var")
+        ).select("id", F.xxhash64("var").alias("h"))
+    # both sides of the self-join read the variant set; persist it so the
+    # explode+hash runs once, not once per side (released by the query
+    # registry via runtime.release_tracked)
+    from pyspark import StorageLevel
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+    v = track(v.persist(StorageLevel.MEMORY_AND_DISK))
     return (
         v.alias("a")
         .join(v.alias("b"), "h")
