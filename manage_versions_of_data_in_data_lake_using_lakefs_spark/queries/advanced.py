@@ -1732,6 +1732,14 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dim = scd2_apply(dim, changes_v2, ["c_custkey"], version=2)
+    # round 2 references round 1's output THREE times (closed-history
+    # filter, current filter, and the change join) and the final agg a
+    # fourth — persist the small intermediate so round 1 runs once (r14)
+    from pyspark import StorageLevel
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
+
+    dim = track(dim.persist(StorageLevel.MEMORY_AND_DISK))
     changes_v3 = cust.where(F.col("c_custkey") % 20 == 0).withColumn(
         "c_acctbal", F.col("c_acctbal") + 300.0
     )

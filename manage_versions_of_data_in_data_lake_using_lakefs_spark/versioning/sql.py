@@ -2836,6 +2836,22 @@ class LakeSQL:
             [(table, version, rows)], "table STRING, version INT, rows_affected BIGINT"
         )
 
+    def _written_rows(self, rel: str, df: DataFrame) -> int:
+        """rows_affected for a group ``write_table`` just wrote, summed
+        from its footer-derived manifest — zero extra scan (the TRUNCATE
+        metadata-count discipline, r14: INSERT/CTAS previously ran a full
+        ``count()`` job solely for the report). Falls back to counting
+        only when the best-effort manifest is absent."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import read_group_manifest
+
+        m = read_group_manifest(os.path.join(self.repo.root, rel))
+        if m and isinstance(m.get("files"), dict):
+            try:
+                return sum(int(f["rows"]) for f in m["files"].values())
+            except (KeyError, TypeError, ValueError):
+                pass
+        return df.count()
+
     @staticmethod
     def _parse_cluster_spec(
         clus_text: str | None, columns: list[str], parts: list[str]
@@ -2881,7 +2897,6 @@ class LakeSQL:
         df = self.sql(select)
         parts = _parse_partition_spec(parts_text, df.columns)
         clus = self._parse_cluster_spec(clus_text, df.columns, parts)
-        rows = df.count()
         # snapshot staged state up front (cheap ref reads) so ANY failed
         # CTAS rolls back to exactly what it found — for REPLACE that
         # covers the constraint/mapping deletions, which must be staged
@@ -2914,8 +2929,9 @@ class LakeSQL:
                 self.repo._stage_partition_spec(self.branch, name, parts)
             if clus:
                 self.repo._stage_cluster_spec(self.branch, name, clus)
-            self.repo.write_table(self.branch, name, df, mode="overwrite")
+            rel = self.repo.write_table(self.branch, name, df, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: CREATE TABLE {name} AS SELECT")
+            rows = self._written_rows(rel, df)
         except Exception:
             self.repo.restore_staged_object_entry(self.branch, cpath, obj_snap)
             self.repo.restore_staged_object_entry(self.branch, spath, smap_snap)
@@ -3302,10 +3318,9 @@ class LakeSQL:
             name, body, cols
         )
         if not ids:
-            rows = aligned.count()
-            self.repo.write_table(self.branch, name, aligned, mode="append")
+            rel = self.repo.write_table(self.branch, name, aligned, mode="append")
             c = self.repo.commit(self.branch, f"SQL: INSERT INTO {name}")
-            return self._dml_result(name, c.version, rows)
+            return self._dml_result(name, c.version, self._written_rows(rel, aligned))
         # identity path: PIN the frame before counting — the reserved
         # range must cover exactly the rows the write lands, and an
         # unpersisted nondeterministic source re-executing for the
