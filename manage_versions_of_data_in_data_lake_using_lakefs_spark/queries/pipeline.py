@@ -631,12 +631,23 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         filt.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("doc_id", "text", "n_tokens", "quality")
+        # re-spread the deduped corpus by doc_id before the shingle
+        # explode (r14): the window left it partitioned by md5(text), so
+        # every copy of a duplicated text sits in ONE partition — the
+        # dedup use case makes those hot by construction — and AQE
+        # coalescing shrinks the tiny local shuffle to ~3 uneven chunks
+        # that serialize the 10-100× explode. Hashing unique doc_ids is
+        # uniform at any scale; the shuffled bytes are the already-
+        # deduped corpus. Measured: full query 4.7 s → 3.0 s
+        # (interleaved best-of-4 ×2 sessions).
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     # NOT persisted on purpose: the corpus feeds both the MinHash build
-    # and the survivor anti-join, but an interleaved best-of-6 A/B at
-    # sf0.1 (r14, recorded in SCALING.md) showed persist wins nothing —
-    # the doubled map+window recompute is cheap next to the MinHash
-    # shuffle, and the cache adds memory pressure for free
+    # and the survivor anti-join, but interleaved A/Bs (best-of-6 plain,
+    # re-run best-of-4 ×2 on the widened variant — both r14, recorded in
+    # SCALING.md) showed persist wins nothing: the doubled map+window
+    # recompute is cheap next to the MinHash shuffle, and the cache adds
+    # memory pressure for free
     pairs = minhash_lsh_pairs(corpus, threshold=0.5)
     near_dups = pairs.select(F.col("b").alias("doc_id")).distinct()
     survivors = corpus.join(near_dups, "doc_id", "left_anti")

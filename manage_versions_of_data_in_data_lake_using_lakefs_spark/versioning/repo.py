@@ -3282,31 +3282,44 @@ class LakeRepo:
                     break
         return str(pq.read_schema(f))
 
+    def _manifest_schemas(self, paths: list[str]) -> list[str | None]:
+        """Per-path written-schema JSON from the group manifests (None
+        where absent). Entries may be group dirs or individual
+        part-files inside a group; both resolve to the same group
+        manifest. Pure local JSON reads — no Spark involvement."""
+        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import read_group_manifest
+
+        out: list[str | None] = []
+        for p in paths:
+            group = p if os.path.isdir(p) else os.path.dirname(p)
+            m = read_group_manifest(group)
+            out.append((m or {}).get("spark_schema") or None)
+        return out
+
+    @staticmethod
+    def _schema_from_json(sj: str):
+        import json as _json
+
+        try:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(_json.loads(sj))
+        except Exception:
+            return None
+
     def _pinned_schema(self, paths: list[str]):
         """The one Spark schema every path's group manifest recorded at
         write time, as a StructType — or None when any path lacks a
         manifest/schema or the recorded schemas differ (mixed eras must
-        keep the loud merge behavior). Entries may be group dirs or
-        individual part-files inside a group; both resolve to the same
-        group manifest. Pure local JSON reads — no Spark involvement."""
-        import json as _json
-
-        from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.stats import read_group_manifest
-
-        seen: str | None = None
-        for p in paths:
-            group = p if os.path.isdir(p) else os.path.dirname(p)
-            m = read_group_manifest(group)
-            sj = (m or {}).get("spark_schema")
-            if not sj or (seen is not None and sj != seen):
-                return None
-            seen = sj
+        keep the loud merge behavior)."""
+        sjs = set(self._manifest_schemas(paths))
+        if len(sjs) != 1:
+            return None
+        (seen,) = sjs
         if seen is None:
             return None
         try:
-            from pyspark.sql.types import StructType
-
-            return StructType.fromJson(_json.loads(seen))
+            return self._schema_from_json(seen)
         except Exception:
             return None
 
@@ -3371,18 +3384,41 @@ class LakeRepo:
         dfs = []
         if plain:
             paths = [os.path.join(self.root, f) for f in plain]
-            # schema fast path: when every plain entry's group manifest
-            # recorded the SAME written Spark schema, pin it instead of
+            # schema fast path (r14): the group manifests record the
+            # written Spark schema, so most reads can pin it instead of
             # letting the JVM re-infer from footers (measured 0.1-0.3 s
-            # of driver time per read on versioned queries). Any miss —
-            # absent manifest, absent key, differing eras, or an
-            # explicit merge request — falls back to inference, so
-            # behavior only changes when the pinned schema is exactly
-            # what inference would return.
-            pinned = None if merge_schema else self._pinned_schema(paths)
+            # of driver time per read on versioned queries):
+            #   - one recorded schema across all entries → pin it. This
+            #     also holds under a merge request: merging N files of
+            #     one identical schema IS that schema.
+            #   - several recorded schemas on a widened table → go
+            #     straight to one pinned scan per era (the doomed
+            #     mergeSchema attempt used to cost a full footer pass +
+            #     a JVM exception before the same era split ran on
+            #     re-read footers). Widen eras share the column-name
+            #     set, so the unionByName below coerces types exactly
+            #     as the exception path did.
+            # Any other miss — absent manifest/key, non-widen mixes —
+            # falls back to inference, so behavior only changes where
+            # the pinned schema is exactly what inference returns.
+            sjs = self._manifest_schemas(paths)
+            pin1 = self._schema_from_json(sjs[0]) if len(set(sjs)) == 1 and sjs[0] else None
+            eras: dict[str, list[str]] = {}
+            if pin1 is None and widened and all(sjs):
+                for p, sj in zip(paths, sjs):
+                    eras.setdefault(sj, []).append(p)
+                if any(self._schema_from_json(k) is None for k in eras):
+                    eras = {}
             try:
-                if pinned is not None:
-                    dfs.append(lineage(spark.read.schema(pinned).parquet(*paths)))
+                if pin1 is not None:
+                    dfs.append(lineage(spark.read.schema(pin1).parquet(*paths)))
+                elif len(eras) > 1:
+                    for k, ps in sorted(eras.items()):
+                        dfs.append(
+                            lineage(
+                                spark.read.schema(self._schema_from_json(k)).parquet(*ps)
+                            )
+                        )
                 else:
                     dfs.append(lineage(reader().parquet(*paths)))
             except Exception as e:
@@ -3395,11 +3431,13 @@ class LakeRepo:
                 # scan per era, unioned below with Spark's wider-type
                 # coercion; the widen step in apply_schema_map re-pins
                 # the final logical type. Grouping keeps the plan at
-                # O(eras) scans, not O(entries) (r14 review).
-                eras: dict[str, list[str]] = {}
+                # O(eras) scans, not O(entries) (r14 review). Reached
+                # only when some group lacks a manifest schema (the
+                # manifest-keyed split above handles the rest).
+                eras2: dict[str, list[str]] = {}
                 for p in paths:
-                    eras.setdefault(self._entry_schema_key(p), []).append(p)
-                for _k, ps in sorted(eras.items()):
+                    eras2.setdefault(self._entry_schema_key(p), []).append(p)
+                for _k, ps in sorted(eras2.items()):
                     dfs.append(lineage(spark.read.parquet(*ps)))
         for group, fs in sorted(by_group.items()):
             dfs.append(
