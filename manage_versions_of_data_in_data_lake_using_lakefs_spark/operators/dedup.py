@@ -193,13 +193,21 @@ def minhash_signatures(
         ids = sh.withColumn("sid", F.abs(F.xxhash64("shingle")) % F.lit(_P))
     else:
         ids = sh.withColumn("sid", portable_hash(F.col("shingle")))
+    # one parsed SQL string per aggregate instead of ~6 py4j round-trips
+    # of Column arithmetic each (r14: expression construction was a
+    # measurable slice of every minhash consumer's build); the parsed
+    # tree is operation-identical — CAST(a AS BIGINT) * sid + b % P over
+    # the same literals
     aggs = []
     for k in range(num_hashes):
         a_k = (_A * (k + 1) + _B) % _P
         b_k = (_B * (k + 1)) % _P
         # a_k * sid reaches ~4.6e18, just inside int64
-        hk = (F.lit(a_k).cast("long") * F.col("sid") + F.lit(b_k)) % F.lit(_P)
-        aggs.append(F.min(hk).alias(f"mh{k}"))
+        aggs.append(
+            F.expr(
+                f"min((CAST({a_k} AS BIGINT) * sid + {b_k}) % {_P}) AS mh{k}"
+            )
+        )
     return ids.groupBy("id").agg(*aggs)
 
 
@@ -272,24 +280,21 @@ def lsh_band_index(
     sig = minhash_signatures(
         df, text_col, id_col, n, num_hashes, use_fast_hash, shingles_df=shingles_df
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{b * rows_per_band + i}").cast("string")
-                        for i in range(rows_per_band)
-                    ],
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
+    # single parsed expression for the band array (see minhash_signatures
+    # on why: py4j round-trip count, identical parsed tree)
+    parts = ", ".join(
+        "named_struct('band', {b}, 'sig', concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows_per_band + i} AS STRING)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
     )
-    return sig.select("id", F.explode(band_structs).alias("bs")).select(
-        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    return sig.select(
+        "id", F.expr(f"explode(array({parts}))").alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def substring_dup_metrics(
