@@ -320,10 +320,10 @@ def substring_dup_metrics(
     scalable approximation of the paper's suffix-array dedup.
     dup_fraction is one int/int division — the same IEEE double in any
     engine, oracle-safe."""
-    toks = df.select(
+    toks = _widen(df, id_col).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tk")
     ).where(F.size("tk") >= n)
-    wins = _widen(toks, "id").select(
+    wins = toks.select(
         "id",
         F.explode(
             F.expr(

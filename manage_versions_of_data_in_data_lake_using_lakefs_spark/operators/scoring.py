@@ -153,7 +153,9 @@ def bigram_lm_scores(
     stays below ~9.2·10¹² (int64 ÷ 10⁶ ppm scale) — beyond that, drop
     the scale a decade.
     """
-    toks = docs.select(
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import _widen
+
+    toks = _widen(docs, id_col).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tk")
     ).where(F.size("tk") >= 2)
     occ = toks.select(

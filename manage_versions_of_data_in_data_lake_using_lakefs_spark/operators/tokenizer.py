@@ -222,9 +222,12 @@ def bpe_encode_doc_counts(
     registered plan."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import track
 
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import _widen
+
     spark = docs.sparkSession
     dw = track(
-        docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("w"))
+        _widen(docs, "doc_id")
+        .select("doc_id", F.explode(tokenize(F.col(text_col))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()

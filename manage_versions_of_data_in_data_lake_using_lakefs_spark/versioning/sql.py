@@ -1339,6 +1339,25 @@ class LakeSQL:
                     if f.name.lower() not in ids
                 ]
             )
+        if not ids and not provided_byd:
+            # plain append (no identity involvement): the landed batch
+            # is read ONCE — straight into the write — and rows_affected
+            # comes from the written group's manifest (r14; the old
+            # persist+count pass read every landed byte a second time
+            # solely for the report, a real double-read at ingest scale)
+            with self._colmeta_rollback(name, extra_paths=(reg_path,)):
+                rel = self.repo.write_table(self.branch, name, df, mode="append")
+                rows = self._written_rows(rel, df)
+                self.repo.put_object(self.branch, reg_path, json.dumps(reg))
+                self.repo.commit(
+                    self.branch,
+                    f"SQL: COPY INTO {name} ({len(new)} files, {rows} rows)",
+                )
+            return self.spark.createDataFrame(
+                [(rows, len(new), skipped)],
+                "num_inserted_rows LONG, num_loaded_files INT, "
+                "num_skipped_files INT",
+            )
         cached = df.persist()
         try:
             rows = cached.count()
