@@ -3409,15 +3409,32 @@ class LakeRepo:
                     eras.setdefault(sj, []).append(p)
                 if any(self._schema_from_json(k) is None for k in eras):
                     eras = {}
+            def pinned_read(schema, ps):
+                # a pinned read must stay as LOUD as inference about
+                # vanished data: inference fails on a file-less snapshot
+                # ("unable to infer schema"), while a user-supplied
+                # schema would silently scan empty. One listing probe
+                # (the file index is already built) restores the old
+                # failure surface (caught by test_meta_agg's gutted-file
+                # pins).
+                d = spark.read.schema(schema).parquet(*ps)
+                if not d.inputFiles():
+                    raise IOError(
+                        f"table snapshot lists {len(ps)} entr"
+                        f"{'y' if len(ps) == 1 else 'ies'} but no data "
+                        f"files exist under them (first: {ps[0]!r}) — "
+                        "snapshot corrupted or files removed outside "
+                        "vacuum"
+                    )
+                return d
+
             try:
                 if pin1 is not None:
-                    dfs.append(lineage(spark.read.schema(pin1).parquet(*paths)))
+                    dfs.append(lineage(pinned_read(pin1, paths)))
                 elif len(eras) > 1:
                     for k, ps in sorted(eras.items()):
                         dfs.append(
-                            lineage(
-                                spark.read.schema(self._schema_from_json(k)).parquet(*ps)
-                            )
+                            lineage(pinned_read(self._schema_from_json(k), ps))
                         )
                 else:
                     dfs.append(lineage(reader().parquet(*paths)))
