@@ -250,6 +250,10 @@ def main() -> None:
     # copy of everything on the line) goes to BENCH_LOCAL.json instead of
     # riding on stdout — round 5's line grew past the capture window once
     # spread was inlined and the driver recorded "parsed": null.
+    # n_queries always reports the FULL query count, so a round-over-round
+    # diff can tell "fell below the truncation cutoff" from "removed from
+    # the bench" without the full record (VERDICT r14 #5; additions-only —
+    # timing, the one-line format, and the env contract are unchanged)
     line = json.dumps(
         {
             "metric": "headline_suite_seconds",
@@ -258,6 +262,7 @@ def main() -> None:
             "queries": timings,
             "n_repeats": repeats,
             "sf": sf,
+            "n_queries": len(timings),
         }
     )
     n_keep = 30
@@ -274,6 +279,7 @@ def main() -> None:
                 "queries": slow,
                 "n_repeats": repeats,
                 "sf": sf,
+                "n_queries": len(timings),
                 "truncated_to": len(slow),
             }
         )

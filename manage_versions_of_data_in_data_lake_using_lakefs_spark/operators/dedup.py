@@ -23,6 +23,8 @@ Spark-only results (verified by invariant tests instead of the oracle).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,13 +67,16 @@ def _widen(df: DataFrame, *cols: str) -> DataFrame:
     ``spark.sql.shuffle.partitions`` wide (≥ cores in our sessions), so the
     already-analyzed logical plan answers the question for free; the RDD
     probe only runs for narrow scan/project trees, where planning is cheap.
-    A column name colliding with a node keyword could only skip the widen
-    (a perf hedge, never a correctness issue)."""
+    Node names are matched ANCHORED at line starts (after the tree-drawing
+    prefix), not as raw substrings — a column or literal containing "Join"
+    must not skip the widen (r14 review); even then the guard is a perf
+    hedge, never a correctness issue."""
     target = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().analyzed().toString()
-    if any(
-        op in plan
-        for op in ("Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate")
+    if re.search(
+        r"^[\s:+-]*(?:Join|Aggregate|Window|Sort|Repartition|Deduplicate)",
+        plan,
+        re.M,
     ):
         return df
     if df.rdd.getNumPartitions() < target:

@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import local_df
 from pyspark.sql import Window
 
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import (
@@ -185,7 +187,7 @@ def centroid_classify(
     window on the (narrow) scored rows and the k²-row final count."""
     spark = df.sparkSession
     cents = label_centroids(df, vec_col, label_col)
-    cdf = spark.createDataFrame(
+    cdf = local_df(spark, 
         [(lb, vec) for lb, vec in cents], "cand LONG, cvec ARRAY<LONG>"
     )
     q = df.select(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import local_df
+
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.text import tokenize
 
 
@@ -234,7 +236,7 @@ def bpe_encode_doc_counts(
     )
     vocab = collect_vocab(dw.groupBy("w").agg(F.sum("c").alias("wc")))
     merges = bpe_train_from_vocab(vocab, n_merges=n_merges)
-    words = spark.createDataFrame([(w,) for w, _ in vocab], "w string")
+    words = local_df(spark, [(w,) for w, _ in vocab], "w string")
     enc = bpe_word_symbols(words, merges).select(
         "w", F.size(F.split(F.col("s"), " ")).cast("long").alias("n_syms")
     )

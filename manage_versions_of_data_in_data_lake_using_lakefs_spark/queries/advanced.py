@@ -16,6 +16,8 @@ import pandas as pd  # module-level so pandas_udf type hints resolve under
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import local_df
+
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.aggregates import decimal_sum, decimal_sum_sql
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.queries.kmeans_sql import (
     CENT_SAMPLE_SQL,
@@ -131,7 +133,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition runs as a broadcast nested-loop over 3 rows — no shuffle of
     the fact table at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    tiers = spark.createDataFrame(
+    tiers = local_df(spark, 
         [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 51.0)],
         "tier string, lo double, hi double",
     )
@@ -2613,7 +2615,7 @@ def q_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     res = exact_rank_select(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
-    return spark.createDataFrame(res, "p DOUBLE, q DOUBLE").orderBy("p")
+    return local_df(spark, res, "p DOUBLE, q DOUBLE").orderBy("p")
 
 
 ORACLE_QUANTILES_SCALABLE = """

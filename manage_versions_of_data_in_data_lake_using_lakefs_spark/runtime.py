@@ -30,6 +30,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+
+def local_df(spark, rows, schema) -> DataFrame:
+    """Tiny literal frame as a LocalRelation instead of a pickled RDD.
+
+    ``createDataFrame(list, schema)`` parallelizes the rows into a Python
+    RDD, so EVERY later action on the frame — even ``.first()`` on one
+    row — launches a job that spins a Python worker to unpickle it
+    (measured 1.1 s per ``.first()`` at r15; ~30 versioned-statement
+    result frames in the bench paid it). Routing the same rows through a
+    pandas frame makes the Arrow conversion build a LocalRelation the
+    driver answers with no job at all (~30 ms), with bit-identical
+    schema and values (pinned by tests/test_local_df.py). Rows that are
+    not plain tuples/lists (Row objects, dict rows) and empty row lists
+    keep the classic path — correctness first, the fast path is only an
+    execution-strategy change."""
+    try:
+        data = rows if isinstance(rows, list) else list(rows)
+        if data and all(type(r) in (tuple, list) for r in data):
+            import pandas as pd
+
+            ncols = len(data[0])
+            if ncols and all(len(r) == ncols for r in data):
+                pdf = pd.DataFrame(
+                    {
+                        i: pd.Series([r[i] for r in data], dtype=object)
+                        for i in range(ncols)
+                    }
+                )
+                return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, schema)
+
 _LIVE: list[DataFrame] = []
 
 #: direct operator users (library/notebook callers that never go through

@@ -37,6 +37,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import local_df
+
 
 def _files_of(root: str, entries: list[str]) -> list[str]:
     """Commit entries → relative parquet file paths. Entries may be
@@ -178,7 +180,7 @@ def table_changes(
             # case (delete_where_dv / update_where_dv) skips the eager
             # revocation probe job entirely
             if survive and prev_pos is not None and not set(dv_prev) <= set(dv_cur):
-                surv_df = spark.createDataFrame(
+                surv_df = local_df(spark, 
                     [(prefix + f,) for f in survive], schema="__lg_fp string"
                 )
                 revoked = prev_pos.join(

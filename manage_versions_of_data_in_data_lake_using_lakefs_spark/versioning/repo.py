@@ -41,6 +41,8 @@ from collections import deque
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import local_df
+
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.log import (
     MANIFEST_DIR,
     Commit,
@@ -570,9 +572,7 @@ class LakeRepo:
         # and those groups are read via basePath discovery anyway) so
         # reads can pin it and skip the footer-inference driver roundtrip
         schema_json = None
-        if not partition_by or not any(
-            "=" in fn for fn in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, fn))
-        ):
+        if not partition_by:
             schema_json = nullable_schema_json(df.schema)
         write_group_stats(out_dir, schema_json)  # footer-derived manifest; best-effort
         if bloom_cols:
@@ -3127,7 +3127,7 @@ class LakeRepo:
             spark, sorted(sel_set), merge_schema=smap, with_lineage=True
         )
         prefix = "file:" + self.root + os.sep
-        sel_df = spark.createDataFrame(
+        sel_df = local_df(spark, 
             [(f,) for f in sorted(sel_set)], "file string"
         )
         anti = dv.join(F.broadcast(sel_df), "file", "left_semi").select(
@@ -3183,7 +3183,7 @@ class LakeRepo:
                 )
             self.stage_table_files(branch, table, files)
             if dv0:
-                drop_df = spark.createDataFrame(
+                drop_df = local_df(spark, 
                     [(f,) for f in sorted(materialized_files)], "file string"
                 )
                 dv = self._read_files(spark, dv0)
@@ -3429,15 +3429,21 @@ class LakeRepo:
                 return d
 
             try:
+                # accumulate locally and extend dfs only on full success:
+                # were a pinned-era read ever to raise an error matching
+                # the except's "merg" probe, already-appended eras would
+                # be re-appended via eras2 and double-read (r14 advice)
+                pinned: list = []
                 if pin1 is not None:
-                    dfs.append(lineage(pinned_read(pin1, paths)))
+                    pinned.append(lineage(pinned_read(pin1, paths)))
                 elif len(eras) > 1:
                     for k, ps in sorted(eras.items()):
-                        dfs.append(
+                        pinned.append(
                             lineage(pinned_read(self._schema_from_json(k), ps))
                         )
                 else:
-                    dfs.append(lineage(reader().parquet(*paths)))
+                    pinned.append(lineage(reader().parquet(*paths)))
+                dfs.extend(pinned)
             except Exception as e:
                 if not widened or "merg" not in str(e).lower():
                     raise

@@ -77,6 +77,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from manage_versions_of_data_in_data_lake_using_lakefs_spark.runtime import local_df
 from manage_versions_of_data_in_data_lake_using_lakefs_spark.versioning.repo import (
     CLUSTER_PROP,
     DV_PREFIX,
@@ -924,7 +925,7 @@ class LakeSQL:
                     )
                 )
         rows.reverse()
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "version INT, commit_id STRING, timestamp TIMESTAMP, "
             "operation STRING, message STRING, branch STRING",
@@ -934,7 +935,7 @@ class LakeSQL:
         """``SHOW TABLES`` — tables at the branch head (Delta/Spark
         catalog spelling of ``LakeRepo.list_tables``)."""
         rows = [(t,) for t in self.repo.list_tables(self.branch)]
-        return self.spark.createDataFrame(rows, "tableName STRING")
+        return local_df(self.spark, rows, "tableName STRING")
 
     def detail(self, table: str) -> DataFrame:
         """``DESCRIBE DETAIL`` essentials (Delta's schema subset that
@@ -969,7 +970,7 @@ class LakeSQL:
             int(last.version),
             last.timestamp,
         )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [row],
             "name STRING, format STRING, branch STRING, numFiles BIGINT, "
             "sizeInBytes BIGINT, version INT, lastModified TIMESTAMP",
@@ -1014,7 +1015,7 @@ class LakeSQL:
             where=where,
         )
         head = self.repo.head(self.branch)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(name, c.version, len(head.tables[name]))],
             "table STRING, version INT, file_groups INT",
         )
@@ -1259,7 +1260,7 @@ class LakeSQL:
             loaded[rp] = sig
             new.append(p)
         if not new:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(0, 0, skipped)],
                 "num_inserted_rows LONG, num_loaded_files INT, "
                 "num_skipped_files INT",
@@ -1353,7 +1354,7 @@ class LakeSQL:
                     self.branch,
                     f"SQL: COPY INTO {name} ({len(new)} files, {rows} rows)",
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(rows, len(new), skipped)],
                 "num_inserted_rows LONG, num_loaded_files INT, "
                 "num_skipped_files INT",
@@ -1391,7 +1392,7 @@ class LakeSQL:
                 )
         finally:
             cached.unpersist(blocking=False)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(rows, len(new), skipped)],
             "num_inserted_rows LONG, num_loaded_files INT, "
             "num_skipped_files INT",
@@ -1435,7 +1436,7 @@ class LakeSQL:
                             st.get("rows"),
                         )
                     )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "file STRING, column STRING, min STRING, max STRING, "
             "null_count BIGINT, row_count BIGINT",
@@ -1538,7 +1539,7 @@ class LakeSQL:
                 if n_rows is None:
                     n_rows = scan().count()
                 rows.append(("row_count", str(n_rows)))
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "statistic STRING, value STRING"
             )
 
@@ -1626,7 +1627,7 @@ class LakeSQL:
                 )
         order = {c: i for i, c in enumerate(cols)}
         out_rows.sort(key=lambda t: order[t[0]])
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             out_rows,
             "column STRING, min STRING, max STRING, null_count BIGINT, "
             "row_count BIGINT, source STRING",
@@ -2542,13 +2543,13 @@ class LakeSQL:
             collist = (
                 " (" + ", ".join(vdef["cols"]) + ")" if vdef.get("cols") else ""
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(f"CREATE VIEW {low}{collist} AS {vdef['sql']};",)],
                 "createtab_stmt STRING",
             )
         name = self._resolve_table(table)
         stmts = self._create_table_script(name, name)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(";\n".join(stmts) + ";",)], "createtab_stmt STRING"
         )
 
@@ -2851,7 +2852,7 @@ class LakeSQL:
     # -- DML (Delta-style SQL writes; auto-commit like upsert_table) -------
 
     def _dml_result(self, table: str, version: int, rows: int) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(table, version, rows)], "table STRING, version INT, rows_affected BIGINT"
         )
 
@@ -3073,7 +3074,7 @@ class LakeSQL:
         # schema validation (raises on garbage types) + the empty frame
         # (coalesced: no point writing an empty table with one task per
         # default-parallelism partition)
-        empty = self.spark.createDataFrame([], ddl).repartition(1)
+        empty = local_df(self.spark, [], ddl).repartition(1)
         types = {f.name.lower(): f.dataType for f in empty.schema.fields}
         for col_l, expr in defaults.items():
             # self-contained DEFAULT validation, as in alter_set_default
@@ -3477,7 +3478,7 @@ class LakeSQL:
                 raise
         finally:
             cached.unpersist(blocking=False)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(name, c.version, int(deleted), int(n_ins))],
             "table STRING, version INT, num_deleted LONG, "
             "num_inserted LONG",
@@ -4018,7 +4019,7 @@ class LakeSQL:
             c = self.repo.restore_table(
                 self.branch, self._resolve_table(m.group("table")), ver
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4042,7 +4043,7 @@ class LakeSQL:
             c = self.repo.purge_deletion_vectors(
                 self.spark, self.branch, self._resolve_table(m.group("table"))
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4069,7 +4070,7 @@ class LakeSQL:
                 self._resolve_table(m.group("table")),
                 _parse_prop_pairs(m.group("pairs")),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4081,7 +4082,7 @@ class LakeSQL:
                 _parse_prop_keys(m.group("keys")),
                 if_exists=bool(m.group("ifex")),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4108,7 +4109,7 @@ class LakeSQL:
                     if key is not None
                     else sorted(props.items())
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "key STRING, value STRING"
             )
         m = _ADD_CONSTRAINT_RE.match(query)
@@ -4120,7 +4121,7 @@ class LakeSQL:
                 m.group("name"),
                 m.group("expr"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4129,7 +4130,7 @@ class LakeSQL:
             c = self.repo.drop_constraint(
                 self.branch, self._resolve_table(m.group("table")), m.group("name")
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4167,7 +4168,7 @@ class LakeSQL:
                     write_parquet(out, path)
             finally:
                 out.unpersist(blocking=False)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(path, fmt, rows)], "path STRING, format STRING, rows_copied LONG"
             )
         m = _COPY_INTO_RE.match(query)
@@ -4196,7 +4197,7 @@ class LakeSQL:
                 c = self.repo.deep_clone_table(self.spark, self.branch, src, dst)
             else:
                 c = self.repo.clone_table(self.branch, src, dst)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4217,7 +4218,7 @@ class LakeSQL:
             n = self._meta_rows(name)
             if n is None:
                 n = cur.count()
-            empty = self.spark.createDataFrame([], cur.schema).repartition(1)
+            empty = local_df(self.spark, [], cur.schema).repartition(1)
             self.repo.write_table(self.branch, name, empty, mode="overwrite")
             c = self.repo.commit(self.branch, f"SQL: TRUNCATE TABLE {name}")
             return self._dml_result(name, c.version, n)
@@ -4265,7 +4266,7 @@ class LakeSQL:
                 cols=cols,
                 alter=is_alter,
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4276,14 +4277,14 @@ class LakeSQL:
                 self._resolve_table(m.group("old")),
                 m.group("new").lower(),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
         m = _DROP_VIEW_RE.match(query)
         if m:
             c = self.repo.drop_view(self.branch, m.group("name"))
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4294,7 +4295,7 @@ class LakeSQL:
                 rows.append(
                     (n, d["sql"], ", ".join(d.get("cols") or []) or None)
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "view_name STRING, view_text STRING, view_cols STRING"
             )
         m = _SHOW_CREATE_RE.match(query)
@@ -4312,7 +4313,7 @@ class LakeSQL:
                 step=int(m.group("step") or m.group("step2") or 1),
                 always=m.group("mode").upper() == "ALWAYS",
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4328,7 +4329,7 @@ class LakeSQL:
                     s.strip(" `") for s in m.group("cols").split(",")
                 ],
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4341,7 +4342,7 @@ class LakeSQL:
                 m.group("col"),
                 m.group("type"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4350,7 +4351,7 @@ class LakeSQL:
             c = self.repo.sync_identity(
                 self.spark, self.branch, self._resolve_table(m.group("table"))
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4363,7 +4364,7 @@ class LakeSQL:
                 m.group("col"),
                 m.group("expr"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4374,7 +4375,7 @@ class LakeSQL:
                 self._resolve_table(m.group("table")),
                 m.group("col"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4388,7 +4389,7 @@ class LakeSQL:
                 m.group("type"),
                 m.group("expr"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4401,7 +4402,7 @@ class LakeSQL:
                 m.group("col"),
                 m.group("type"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4414,7 +4415,7 @@ class LakeSQL:
                 m.group("old"),
                 m.group("new"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4426,7 +4427,7 @@ class LakeSQL:
                 self._resolve_table(m.group("table")),
                 m.group("col"),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
@@ -4435,7 +4436,7 @@ class LakeSQL:
             cons = self.repo.table_constraints(
                 self._resolve_table(m.group("table")), self.branch
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 sorted(cons.items()), "name STRING, check_expr STRING"
             )
         m = _DESCRIBE_TABLE_RE.match(query)
@@ -4473,7 +4474,7 @@ class LakeSQL:
                         "; ".join(notes),
                     )
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows,
                 "col_name STRING, data_type STRING, nullable BOOLEAN, "
                 "extra STRING",
@@ -4486,32 +4487,32 @@ class LakeSQL:
                     int(m.group("retain")) if m.group("retain") else None
                 ),
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(p,) for p in removed], "path STRING"
             )
         m = _CREATE_BRANCH_RE.match(query)
         if m:
             c = self.repo.create_branch(m.group("name"), m.group("src") or self.branch)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(m.group("name"), c.id)], "branch STRING, head_commit STRING"
             )
         m = _DROP_BRANCH_RE.match(query)
         if m:
             self.repo.delete_branch(m.group("name"))
-            return self.spark.createDataFrame([(m.group("name"),)], "dropped STRING")
+            return local_df(self.spark, [(m.group("name"),)], "dropped STRING")
         m = _USE_BRANCH_RE.match(query)
         if m:
             name = m.group("name")
             if name not in self.repo.branches():
                 raise KeyError(f"no branch {name!r}; known: {self.repo.branches()}")
             self.branch = name
-            return self.spark.createDataFrame([(name,)], "branch STRING")
+            return local_df(self.spark, [(name,)], "branch STRING")
         if _SHOW_BRANCHES_RE.match(query):
             rows = [
                 (b, self.repo.head(b).id, self.repo.head(b).version)
                 for b in self.repo.branches()
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "branch STRING, head_commit STRING, version INT"
             )
         m = _SHOW_PARTITIONS_RE.match(query)
@@ -4536,7 +4537,7 @@ class LakeSQL:
                         v = v[1:-1]
                     spec[k] = v
             parts = self.repo.show_partitions(name, self.branch, spec=spec)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(p,) for p in parts], "partition STRING"
             )
         m = _COMMIT_RE.match(query)
@@ -4548,14 +4549,14 @@ class LakeSQL:
                 else "SQL: COMMIT"
             )
             c = self.repo.commit(self.branch, msg)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(c.version, c.id, c.message)],
                 "version INT, commit_id STRING, message STRING",
             )
         m = _MERGE_BRANCH_RE.match(query)
         if m:
             c = self.repo.merge(self.spark, m.group("src"), m.group("dest"))
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(m.group("dest"), c.version, c.id)],
                 "branch STRING, version INT, commit_id STRING",
             )

@@ -203,16 +203,36 @@ def _collect_group_stats(group_dir: str) -> dict | None:
     return {"files": files} if files else None
 
 
-def nullable_schema_json(schema) -> str:
+def nullable_schema_json(schema) -> str | None:
     """A Spark schema as canonical JSON with every nullability flag set
     and field metadata stripped — exactly what parquet footer inference
     of the same files returns. Two writes of the same logical schema
     normalize to the same string, so the read-side fast path (pin the
     stored schema, skip the JVM footer-inference roundtrip) hits across
-    appends regardless of per-frame nullability drift."""
-    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+    appends regardless of per-frame nullability drift.
+
+    Returns None (record nothing → reads fall back to inference) when the
+    schema contains a type parquet footers do not round-trip verbatim —
+    CHAR/VARCHAR infer back as STRING, and TIMESTAMP_NTZ's inferred type
+    depends on the reading session's ``inferTimestampNTZ`` config — so a
+    pinned read can never return a schema inference would not (r14
+    advice; the supported envelope is everything else Spark writes to
+    parquet)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        CharType,
+        MapType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        VarcharType,
+    )
+
+    no_roundtrip = (CharType, VarcharType, TimestampNTZType)
 
     def norm(dt):
+        if isinstance(dt, no_roundtrip):
+            raise _NoRoundtrip()
         if isinstance(dt, StructType):
             return StructType(
                 [StructField(f.name, norm(f.dataType), True) for f in dt.fields]
@@ -223,7 +243,14 @@ def nullable_schema_json(schema) -> str:
             return MapType(norm(dt.keyType), norm(dt.valueType), True)
         return dt
 
-    return norm(schema).json()
+    try:
+        return norm(schema).json()
+    except _NoRoundtrip:
+        return None
+
+
+class _NoRoundtrip(Exception):
+    """Internal: schema contains a non-footer-round-tripping type."""
 
 
 def write_group_stats(group_dir: str, spark_schema_json: str | None = None) -> dict | None:
