@@ -125,6 +125,7 @@ def kmeans_fit(
     iters: int = 5,
     adaptive_k: Callable[[int], int] | None = None,
     _q: DataFrame | None = None,
+    _init_vecs: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Train k quantized centroids; returns them as plain Python ints
     (metadata — k × dims, the thing IVF broadcasts).
@@ -140,9 +141,15 @@ def kmeans_fit(
     cached columnar projection are ~free).
 
     ``_q``: a pre-built (id, q) quantized projection, for callers that
-    already hold one persisted (the hierarchical trainer) — avoids a
-    second quantize+persist of the corpus. Caller keeps ownership
-    (this function does not unpersist it).
+    already hold one persisted (the hierarchical trainer, the r15 shared
+    query-level projections) — avoids a second quantize+persist of the
+    corpus. Caller keeps ownership (this function does not unpersist it).
+
+    ``_init_vecs``: the init centroid vectors (min(k, n) quantized rows,
+    ALREADY selected by the canonical (portable_hash(id), id) top-k rule)
+    for callers that collected them in a shared job (``ivfpq_train``
+    collects ONE top-max(k, coarse_k) batch for both trainers, r15) —
+    skips this trainer's init job; value-identical by construction.
     """
     from pyspark import StorageLevel
 
@@ -169,16 +176,20 @@ def kmeans_fit(
         # The SQL-replay oracle orders by the same portable hash.
         from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
 
-        init = (
-            q.select("id", "q")
-            .orderBy(portable_hash(F.col("id").cast("string")), "id")
-            .limit(k)
-            .collect()
-        )
-        if not init:
+        if _init_vecs is not None:
+            vecs = list(_init_vecs[:k])
+        else:
+            vecs = [
+                r.q
+                for r in q.select("id", "q")
+                .orderBy(portable_hash(F.col("id").cast("string")), "id")
+                .limit(k)
+                .collect()
+            ]
+        if not vecs:
             raise ValueError("kmeans_fit: empty input")
-        k = len(init)  # min(k, n) without a separate count() job
-        C = np.array([r.q for r in init], dtype=np.int64)
+        k = len(vecs)  # min(k, n) without a separate count() job
+        C = np.array(vecs, dtype=np.int64)
         dims = C.shape[1]
         # partials are ≤ #partitions × k tiny rows; below this bound the
         # driver merges them directly (one job per iteration instead of a
@@ -232,6 +243,7 @@ def kmeans_fit_hierarchical(
     k_coarse: int | None = None,
     k_fine: int | None = None,
     iters: int = 2,
+    _q: DataFrame | None = None,
 ) -> tuple[list[list[int]], dict[int, list[list[int]]], int]:
     """Two-level quantizer — the "past broadcastable k" scale path the
     flat trainer's docstring promises: k_coarse shards from ``kmeans_fit``
@@ -266,6 +278,10 @@ def kmeans_fit_hierarchical(
     k_fine get one cell per vector; empty shards are absent); k_fine is
     the EFFECTIVE nominal fine width — the global-cell-id multiplier
     (cell = shard · k_fine + fine) callers must use.
+
+    ``_q``: a pre-built (id, q) quantized projection the caller already
+    persists (the r15 shared query-level projection) — skips this
+    trainer's own quantize+persist; caller keeps ownership.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -273,11 +289,15 @@ def kmeans_fit_hierarchical(
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import topn_cells
 
-    q0 = (
-        with_quantized(df, vec_col)
-        .select(F.col(id_col).alias("id"), F.col("_q").alias("q"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    own_q = _q is None
+    if own_q:
+        q0 = (
+            with_quantized(df, vec_col)
+            .select(F.col(id_col).alias("id"), F.col("_q").alias("q"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        q0 = _q
     if k_coarse is None or k_fine is None:
         k_auto = adaptive_k_hier(q0.count())
         k_coarse = k_coarse if k_coarse is not None else k_auto
@@ -303,8 +323,10 @@ def kmeans_fit_hierarchical(
         )
         # qs (id, q, shard) is materialized by the init collect; the bare
         # quantized projection underneath it is no longer needed — drop
-        # it so the corpus is cached once, not twice
-        q0.unpersist(blocking=False)
+        # it so the corpus is cached once, not twice (only when we own
+        # it: a caller-shared projection outlives this trainer)
+        if own_q:
+            q0.unpersist(blocking=False)
         fines: dict[int, dict[int, np.ndarray]] = {}
         for r in init:
             fines.setdefault(int(r.shard), {})[int(r.rn) - 1] = np.array(
@@ -363,4 +385,5 @@ def kmeans_fit_hierarchical(
         )
     finally:
         qs.unpersist(blocking=False)
-        q0.unpersist(blocking=False)
+        if own_q:
+            q0.unpersist(blocking=False)

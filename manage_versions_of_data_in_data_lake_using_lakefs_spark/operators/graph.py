@@ -116,7 +116,20 @@ def pagerank_ppb(
     """
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import _persisted
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # repartition by src FIRST so the dedup, the degree aggregation and
+    # the contribution join all ride ONE exchange of the edge list:
+    # hash(src) satisfies the clustered distribution of both the
+    # (src, dst) distinct and the src groupBy, so neither inserts its
+    # own exchange (r15, guide §2.4 — the un-keyed spelling shuffled the
+    # full edge list for the distinct and again for the degree partials).
+    # Results are exact either way; a hub-heavy src skew concentrates a
+    # partition here, but the src-keyed degree aggregation always has
+    # that locality requirement — this just stops paying twice.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition(F.col("src"))
+        .distinct()
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = _persisted(e.join(deg, "src"))
     # nodes = src ∪ dst: on a general directed graph, sink nodes appear

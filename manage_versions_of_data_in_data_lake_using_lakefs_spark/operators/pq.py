@@ -90,6 +90,7 @@ def pq_train(
     m: int = 4,
     k: int = 8,
     iters: int = 2,
+    _qn: DataFrame | None = None,
 ) -> list[list[list[int]]]:
     """Train ``m`` per-subspace codebooks of ``k`` codewords each →
     ``codebooks[j][c]`` = list of d/m ints (driver-side metadata,
@@ -97,7 +98,13 @@ def pq_train(
 
     Init mirrors the IVF trainer's total rule: the k smallest ids by
     (portable_hash(id), id) seed EVERY subspace (their slices), so the
-    SQL oracle replays init with one shared ORDER BY."""
+    SQL oracle replays init with one shared ORDER BY.
+
+    ``_qn``: a caller-persisted ``(id, q, n)`` quantized projection of
+    ``df`` (r15 — one quantize+persist shared by train, encode and
+    search instead of one per stage); caller keeps ownership."""
+    if _qn is not None:
+        return _pq_train_q(_qn.select("id", "q"), m, k, iters, _persist=False)
     q = with_quantized(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_q").alias("q")
     )
@@ -105,33 +112,52 @@ def pq_train(
 
 
 def _pq_train_q(
-    q: DataFrame, m: int, k: int, iters: int
+    q: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    _init_vecs: list[list[int]] | None = None,
+    _persist: bool = True,
 ) -> list[list[list[int]]]:
     """Codebook trainer over an already-quantized ``(id, q)`` frame —
     the shared core of ``pq_train`` (raw vectors) and ``ivfpq_train``
-    (IVF-cell residuals)."""
+    (IVF-cell residuals).
+
+    ``_init_vecs``: the init vectors (min(k, n) rows already selected by
+    the canonical (portable_hash(id), id) top-k rule), for callers that
+    derived them without a job (``ivfpq_train`` computes the residual
+    init on the driver from the shared init batch, r15) — skips this
+    trainer's init collect. ``_persist=False`` when ``q`` rides a
+    caller-owned cache."""
     from pyspark import StorageLevel
 
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import _merge_partials
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
 
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    if _persist:
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        init = (
-            q.orderBy(portable_hash(F.col("id").cast("string")), "id")
-            .limit(k)
-            .collect()
-        )
-        if not init:
+        if _init_vecs is not None:
+            vecs = list(_init_vecs[:k])
+        else:
+            vecs = [
+                r.q
+                for r in q.orderBy(
+                    portable_hash(F.col("id").cast("string")), "id"
+                )
+                .limit(k)
+                .collect()
+            ]
+        if not vecs:
             raise ValueError("pq_train: empty input")
-        k = len(init)  # min(k, n) without a separate count job
-        dims = len(init[0].q)
+        k = len(vecs)  # min(k, n) without a separate count job
+        dims = len(vecs[0])
         if dims % m != 0:
             raise ValueError(f"pq_train: m={m} must divide dims={dims}")
         sub = dims // m
         # C[j]: k × sub int64 codebook for subspace j
         C = [
-            np.array([r.q[j * sub : (j + 1) * sub] for r in init], dtype=np.int64)
+            np.array([v[j * sub : (j + 1) * sub] for v in vecs], dtype=np.int64)
             for j in range(m)
         ]
         small_merge = q.rdd.getNumPartitions() * k * m <= 65536
@@ -177,7 +203,8 @@ def _pq_train_q(
             C = C_new
         return [[[int(x) for x in row] for row in cb] for cb in C]
     finally:
-        q.unpersist(blocking=False)
+        if _persist:
+            q.unpersist(blocking=False)
 
 
 def _make_encode_batches(
@@ -218,11 +245,13 @@ def pq_encode(
     codebooks: list[list[list[int]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _qn: DataFrame | None = None,
 ) -> DataFrame:
     """Compress the corpus → (id, codes array<int> of length m, n) where
     ``n`` is the exact quantized norm² (kept for cosine ranking). One
-    map pass, codebooks ride the closure."""
-    q = with_quantized(df, vec_col).select(
+    map pass, codebooks ride the closure. ``_qn``: caller-shared
+    quantized projection (see ``pq_train``)."""
+    q = _qn if _qn is not None else with_quantized(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
     )
     return q.mapInPandas(
@@ -285,6 +314,8 @@ def pq_topk_adc(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _qn: DataFrame | None = None,
+    _queries_qn: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k over the PQ-compressed corpus → (query_id, rank, nbr,
     adc). The query side collects to the driver and rides the task
@@ -292,8 +323,10 @@ def pq_topk_adc(
     small-query-side assumption); the corpus is scanned once, never
     decompressed, never shuffled — only per-partition local top-k rows
     move."""
-    enc = pq_encode(corpus, codebooks, vec_col, id_col)
-    return pq_topk_adc_encoded(enc, queries, codebooks, k, vec_col, id_col)
+    enc = pq_encode(corpus, codebooks, vec_col, id_col, _qn=_qn)
+    return pq_topk_adc_encoded(
+        enc, queries, codebooks, k, vec_col, id_col, _queries_qn=_queries_qn
+    )
 
 
 def pq_topk_adc_encoded(
@@ -303,16 +336,21 @@ def pq_topk_adc_encoded(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _queries_qn: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k over an ALREADY-ENCODED ``(id, codes, n)`` frame — the
     stored-index entry point: a PQ index persisted as a lake table (plus
     its codebooks object) is searched without re-encoding the corpus,
     and ingest batches encoded with the SAME stored codebooks append to
-    it without retraining."""
+    it without retraining. ``_queries_qn``: caller-shared quantized
+    ``(id, q, n)`` projection of the query frame (rides the corpus
+    projection's cache when queries are a corpus slice, r15)."""
     from pyspark.sql import Window
 
     qrows = _collect_query_batch(
-        with_quantized(queries, vec_col).select(
+        _queries_qn
+        if _queries_qn is not None
+        else with_quantized(queries, vec_col).select(
             F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
         ),
         "pq_topk_adc",
@@ -340,18 +378,35 @@ def _exact_rerank(
     k: int,
     vec_col: str,
     id_col: str,
+    _qn: DataFrame | None = None,
+    _queries_qn: DataFrame | None = None,
 ) -> DataFrame:
     """Shared refine tail: exact cosine re-rank of a (query_id, nbr)
-    shortlist — only shortlisted rows are re-read at full precision."""
+    shortlist — only shortlisted rows are re-read at full precision.
+    ``_qn``/``_queries_qn``: caller-shared quantized projections."""
     from pyspark.sql import Window
 
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_q, dot_q
 
-    c = with_quantized(corpus, vec_col).select(
-        F.col(id_col).alias("nbr"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+    c = (
+        _qn.select(
+            F.col("id").alias("nbr"), F.col("q").alias("qc"), F.col("n").alias("nc")
+        )
+        if _qn is not None
+        else with_quantized(corpus, vec_col).select(
+            F.col(id_col).alias("nbr"), F.col("_q").alias("qc"), F.col("_n").alias("nc")
+        )
     )
-    qs = with_quantized(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_q").alias("qq"), F.col("_n").alias("nq")
+    qs = (
+        _queries_qn.select(
+            F.col("id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("n").alias("nq"),
+        )
+        if _queries_qn is not None
+        else with_quantized(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("_q").alias("qq"), F.col("_n").alias("nq")
+        )
     )
     exact = (
         short.join(c, "nbr")
@@ -375,6 +430,8 @@ def pq_topk_refined(
     shortlist: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _qn: DataFrame | None = None,
+    _queries_qn: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ search, the production pattern (FAISS IndexIVFPQ +
     refine): ADC over the compressed corpus produces a ``shortlist`` of
@@ -388,14 +445,14 @@ def pq_topk_refined(
     instead of 1e9. Recall is the shortlist's (measured 0.85 @100 /
     0.675 @50 for top-5 on the embeddings fixture, SCALING.md) while
     the final ordering is exact over what survives."""
-    from pyspark.sql import Window
-
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.similarity import cosine_q, dot_q
-
     short = pq_topk_adc(
-        corpus, queries, codebooks, k=shortlist, vec_col=vec_col, id_col=id_col
+        corpus, queries, codebooks, k=shortlist, vec_col=vec_col, id_col=id_col,
+        _qn=_qn, _queries_qn=_queries_qn,
     ).select("query_id", "nbr")
-    return _exact_rerank(short, corpus, queries, k, vec_col, id_col)
+    return _exact_rerank(
+        short, corpus, queries, k, vec_col, id_col,
+        _qn=_qn, _queries_qn=_queries_qn,
+    )
 
 
 def _make_residual_batches(cents: list[list[int]]):
@@ -434,24 +491,73 @@ def ivfpq_train(
     m: int = 4,
     k: int = 8,
     iters: int = 2,
+    _qn: DataFrame | None = None,
 ) -> tuple[list[list[int]], list[list[list[int]]]]:
     """FAISS IndexIVFPQ training: a coarse IVF quantizer (the existing
     integer-cosine Lloyd's trainer) plus PQ codebooks trained on the
     CELL RESIDUALS q − centroid — residuals are far smaller in magnitude
     than raw vectors, so the same code budget quantizes them much more
     tightly (the reason the combo beats flat PQ at scale). Returns
-    (coarse_centroids, residual_codebooks) — both driver-side metadata."""
-    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import kmeans_fit
+    (coarse_centroids, residual_codebooks) — both driver-side metadata.
 
-    cents = kmeans_fit(df, vec_col, id_col, k=coarse_k, iters=iters)
-    qn = with_quantized(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
+    r15 job-count shape: ONE quantized projection (caller-shared via
+    ``_qn`` or persisted here) feeds both trainers; ONE top-max(k,
+    coarse_k) init collect seeds both (the init rule orders by
+    (portable_hash(id), id) — id-only, so the residual frame's top-k
+    rows are the SAME rows, and their residuals are computed on the
+    driver with the same ``_assign_cells`` int64 kernel the distributed
+    map uses: bit-identical, no second init job). Driver-paced jobs:
+    1 init + iters (coarse) + iters (PQ) — was 2 + 2·iters, each also
+    paying a fresh corpus quantize."""
+    from pyspark import StorageLevel
+
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import (
+        _make_assign_cells,
+        kmeans_fit,
     )
-    resid = qn.mapInPandas(
-        _make_residual_batches(cents), "id LONG, cell INT, q ARRAY<LONG>, n LONG"
-    ).select("id", "q")
-    cbs = _pq_train_q(resid, m, k, iters)
-    return cents, cbs
+    from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.dedup import portable_hash
+
+    own_qn = _qn is None
+    if own_qn:
+        qn = with_quantized(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        qn = _qn
+    try:
+        init_vecs = [
+            r.q
+            for r in qn.select("id", "q")
+            .orderBy(portable_hash(F.col("id").cast("string")), "id")
+            .limit(max(coarse_k, k))
+            .collect()
+        ]
+        cents = kmeans_fit(
+            df, vec_col, id_col, k=coarse_k, iters=iters,
+            _q=qn.select("id", "q"), _init_vecs=init_vecs[:coarse_k],
+        )
+        # residual init on the driver: same rows (id-only ordering), same
+        # assignment kernel, same exact int64 subtraction as the
+        # distributed residual map below
+        C = np.array(cents, dtype=np.int64)
+        assign = _make_assign_cells()
+        pq_init = []
+        for v in init_vecs[:k]:
+            vv = np.array(v, dtype=np.int64)
+            cell = int(assign(vv[None, :], C)[0])
+            pq_init.append((vv - C[cell]).tolist())
+        resid = qn.mapInPandas(
+            _make_residual_batches(cents), "id LONG, cell INT, q ARRAY<LONG>, n LONG"
+        ).select("id", "q")
+        # resid stays persisted even under a shared qn: its cache
+        # materializes during PQ iteration 1 for free and saves iteration
+        # 2+ the per-pass residual recompute (same 2-projection memory
+        # shape as before the r15 restructure)
+        cbs = _pq_train_q(resid, m, k, iters, _init_vecs=pq_init)
+        return cents, cbs
+    finally:
+        if own_qn:
+            qn.unpersist(blocking=False)
 
 
 def _make_ivfpq_adc_batches(
@@ -516,21 +622,27 @@ def ivfpq_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _qn: DataFrame | None = None,
+    _queries_qn: DataFrame | None = None,
 ) -> DataFrame:
     """IndexIVFPQ search: each query probes its ``nprobe`` nearest
     coarse cells and ADC-scores ONLY the compressed vectors in them —
     candidate volume is ~|corpus|·nprobe/coarse_k and the scan reads
     m-byte codes, the double reduction that makes billion-scale ANN
-    feasible. Output (query_id, rank, nbr, adc), exact int64 adc."""
+    feasible. Output (query_id, rank, nbr, adc), exact int64 adc.
+    ``_qn``/``_queries_qn``: caller-shared quantized projections (one
+    quantize for train + search, r15)."""
     from pyspark.sql import Window
 
     qrows = _collect_query_batch(
-        with_quantized(queries, vec_col).select(
+        _queries_qn
+        if _queries_qn is not None
+        else with_quantized(queries, vec_col).select(
             F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
         ),
         "ivfpq_topk",
     )
-    qn = with_quantized(corpus, vec_col).select(
+    qn = _qn if _qn is not None else with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
     )
     resid = qn.mapInPandas(
@@ -569,6 +681,8 @@ def ivfpq_topk_refined(
     shortlist: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _qn: DataFrame | None = None,
+    _queries_qn: DataFrame | None = None,
 ) -> DataFrame:
     """The full production ANN stack (FAISS IndexIVFPQ + refine): probe
     nprobe coarse cells, ADC-shortlist over their compressed codes, then
@@ -580,5 +694,9 @@ def ivfpq_topk_refined(
     short = ivfpq_topk(
         corpus, queries, cents, codebooks,
         k=shortlist, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+        _qn=_qn, _queries_qn=_queries_qn,
     ).select("query_id", "nbr")
-    return _exact_rerank(short, corpus, queries, k, vec_col, id_col)
+    return _exact_rerank(
+        short, corpus, queries, k, vec_col, id_col,
+        _qn=_qn, _queries_qn=_queries_qn,
+    )

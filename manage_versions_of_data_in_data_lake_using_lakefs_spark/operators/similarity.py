@@ -102,6 +102,20 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_q", q).withColumn("_n", dot_q(F.col("_q"), F.col("_q")))
 
 
+def quantized_norm(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """The canonical ``(id, q, n)`` quantized projection — what a query
+    builds ONCE (usually ``_persisted``) and threads through trainers,
+    encoders and search tails via their ``_qn``/``_q_all`` parameters
+    (r15: one quantize+persist per query instead of one per stage).
+    Pure projection of deterministic expressions — sharing it cannot
+    change any value."""
+    return with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_q").alias("q"), F.col("_n").alias("n")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -235,6 +249,7 @@ def cosine_pairs_ivf(
     centroid_stride: int = 64,
     nprobe: int = 2,
     centroids: list[list[int]] | None = None,
+    _q_all: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-cell-blocked embedding near-dup pairs — the published
     cluster-then-pairwise recipe (SemDeDup): coarse-quantize the corpus,
@@ -257,8 +272,12 @@ def cosine_pairs_ivf(
     — or quantize hierarchically (coarse shard → per-shard quantizer).
     Each vector belongs to its ``nprobe`` nearest cells (fixed fan-out),
     and pairs are de-duplicated before the verify join.
+
+    ``_q_all``: a caller-persisted ``(id, _q, _n)`` quantized projection
+    (alias of ``quantized_norm`` output; the r15 shared-cache shape) —
+    skips this function's own persist; caller keeps ownership.
     """
-    q_all = _persisted(
+    q_all = _q_all if _q_all is not None else _persisted(
         with_quantized(df, vec_col).select(
             F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
         )
@@ -409,18 +428,23 @@ def cosine_pairs_ivf_hier(
 
     ``k_coarse``/``k_fine`` default to the corpus-scaled
     ``adaptive_k_hier`` rule (k₁ = k₂ = ⌈√(n/64)⌉ — constant cell width,
-    linear candidate volume at any scale); pass ints to pin them."""
+    linear candidate volume at any scale); pass ints to pin them.
+
+    r15: ONE persisted quantized projection feeds both training levels
+    AND the assignment/verify tail (the trainer re-quantizing its own
+    copy was a full second quantize pass + cache)."""
     from manage_versions_of_data_in_data_lake_using_lakefs_spark.operators.clustering import (
         kmeans_fit_hierarchical,
     )
 
-    coarse, fines, k_fine = kmeans_fit_hierarchical(
-        df, vec_col, id_col, k_coarse=k_coarse, k_fine=k_fine, iters=iters
-    )
     q_all = _persisted(
         with_quantized(df, vec_col).select(
             F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
         )
+    )
+    coarse, fines, k_fine = kmeans_fit_hierarchical(
+        df, vec_col, id_col, k_coarse=k_coarse, k_fine=k_fine, iters=iters,
+        _q=q_all.select("id", F.col("_q").alias("q")),
     )
     assign = _persisted(
         q_all.select(
@@ -681,11 +705,17 @@ def topk_ivf_hier(
         kmeans_fit_hierarchical,
     )
 
-    coarse, fines, k_fine = kmeans_fit_hierarchical(
-        corpus, vec_col, id_col, k_coarse=k_coarse, k_fine=k_fine, iters=iters
+    # one persisted quantized projection for both training levels and
+    # the search tail (r15 — the trainer used to quantize+persist its
+    # own copy)
+    q_all = _persisted(
+        with_quantized(corpus, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
+        )
     )
-    q_all = with_quantized(corpus, vec_col).select(
-        F.col(id_col).alias("id"), F.col("_q"), F.col("_n")
+    coarse, fines, k_fine = kmeans_fit_hierarchical(
+        corpus, vec_col, id_col, k_coarse=k_coarse, k_fine=k_fine, iters=iters,
+        _q=q_all.select("id", F.col("_q").alias("q")),
     )
     qids = queries.select(F.col(id_col).alias("id")).distinct()
     withcells = _persisted(
