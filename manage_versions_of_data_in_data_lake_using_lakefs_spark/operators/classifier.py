@@ -133,11 +133,14 @@ FEATURE_COLS = ["f_bias", "f_len", "f_stop", "f_alnum", "f_tlen"]
 
 
 def sigmoid_lut_array() -> Column:
-    """The σ̃ LUT as a Spark array Column — ~65 literal nodes, ~130 py4j
-    round-trips to construct. Iteration loops build it ONCE and pass it
-    to ``sigmoid_ppm`` (r14: expression construction, not the job, was
-    half of each Newton iteration's wall time)."""
-    return F.array(*[F.lit(v).cast("long") for v in sigmoid_lut()])
+    """The σ̃ LUT as a Spark array Column. r14 hoisted construction out
+    of the iteration loop; r15 makes each construction ONE parsed
+    ``F.expr`` string (the minhash r14 pattern) instead of ~130 py4j
+    round-trips of ``F.array(lit(v).cast(...))`` — measured 0.36 s per
+    call, and scoring builds its own copy. ``123L`` literals parse
+    straight to BIGINT, so the tree constant-folds to the identical
+    array<bigint> the Column spelling produced."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in sigmoid_lut()) + ")")
 
 
 def sigmoid_ppm(z_micro: Column, lut_arr: Column | None = None) -> Column:
